@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.TimeOps
+
+/** The BTrDB query shapes (SURVEY §2) as reusable DataFrame transforms.
+  *
+  * Inputs are point DataFrames with columns (sid LONG, time LONG /*ns*/,
+  * value DOUBLE, ...). Everything is declarative Column algebra — Catalyst
+  * pushes the time/sid filters into the Parquet scan and the aggregations
+  * compile to partial+final HashAggregate (the distributed analog of the
+  * reference's pre-aggregated tree combine, /root/reference/qtree/operators.go:9-77).
+  */
+object StatOps {
+
+  /** Exact integer representation of a 2-decimal double column (cents).
+    * Aggregating cents as LONG makes sums/means bit-deterministic across
+    * engines — the strategy SURVEY §7.4(7) calls for to hash-match the
+    * DuckDB oracle (double summation order would otherwise differ in ulps).
+    */
+  def cents(v: Column): Column = round(v * 100, 0).cast("long")
+
+  /** Exact mean from a cents-sum and a count: both operands are exact
+    * integers, so the IEEE divisions are bit-identical in any engine. */
+  def meanFromCents(sumCents: Column, count: Column): Column =
+    sumCents / lit(100.0) / nullif(count, lit(0L))
+
+  /** The stat tuple (count,min,mean,max) over `value`, exact-mean variant.
+    * Aliases cnt/vmin/vmean/vmax — `count`/`min`/`max` collide with SQL
+    * function names on the oracle side. */
+  def statAgg(value: Column): Seq[Column] = Seq(
+    count(value).as("cnt"),
+    min(value).as("vmin"),
+    meanFromCents(sum(cents(value)), count(value)).as("vmean"),
+    max(value).as("vmax"))
+
+  /** AlignedWindows (reference /root/reference/quasar.go:266-304): tumbling
+    * windows of width 2^pw aligned to the epoch; both bounds align DOWN to
+    * 2^pw; emits only non-empty windows; result keyed by window start.
+    * One hash aggregate — no shuffle beyond the agg exchange; the time
+    * filter is pushed to the scan.
+    */
+  def alignedWindows(points: DataFrame, pw: Int, start: Long, end: Long,
+                     keys: Seq[String] = Seq("sid")): DataFrame = {
+    val s = TimeOps.alignDown(start, pw)
+    val e = TimeOps.alignDown(end, pw)
+    points
+      .filter(col("time") >= s && col("time") < e)
+      .groupBy((keys.map(col) :+ TimeOps.clampTime(col("time"), pw).as("wstart")): _*)
+      .agg(statAgg(col("value")).head, statAgg(col("value")).tail: _*)
+  }
+
+  /** Windows (reference /root/reference/quasar.go:306-346): tumbling windows
+    * of arbitrary ns width from `start`; the trailing partial window is
+    * truncated; EMPTY WINDOWS ARE EMITTED with count=0, min=mean=max=0
+    * (hole emission, /root/reference/qtree/qtree.go:1143-1173).
+    *
+    * The hole materialization joins the aggregate against an in-memory
+    * `spark.range(nWindows)` — broadcastable at any data scale because the
+    * window count depends only on the query range, not the data size.
+    */
+  def windows(points: DataFrame, sid: Long, start: Long, end: Long,
+              width: Long): DataFrame = {
+    val spark = points.sparkSession
+    val e = TimeOps.truncateEnd(start, end, width)
+    val n = (e - start) / width
+    val agg = points
+      .filter(col("sid") === sid && col("time") >= start && col("time") < e)
+      .groupBy(TimeOps.windowIndex(col("time"), start, width).as("i"))
+      .agg(statAgg(col("value")).head, statAgg(col("value")).tail: _*)
+    spark.range(n).toDF("i")
+      .join(agg, Seq("i"), "left_outer")
+      .select(
+        col("i"),
+        (col("i") * width + start).as("wstart"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        coalesce(col("vmin"), lit(0.0)).as("vmin"),
+        coalesce(col("vmean"), lit(0.0)).as("vmean"),
+        coalesce(col("vmax"), lit(0.0)).as("vmax"))
+  }
+
+  /** Nearest (reference /root/reference/quasar.go:359-391): forward = first
+    * point with t >= T (inclusive); backward = last point with t < T
+    * (exclusive). Ties on time broken by value for determinism (the
+    * reference returns an arbitrary one of the duplicates). Compiles to
+    * TakeOrderedAndProject — no full sort, no shuffle of the data.
+    */
+  def nearest(points: DataFrame, sid: Long, t: Long, backward: Boolean): DataFrame = {
+    val base = points.filter(col("sid") === sid)
+    val (filtered, ord) =
+      if (backward) (base.filter(col("time") < t), Seq(col("time").desc, col("value").desc))
+      else (base.filter(col("time") >= t), Seq(col("time").asc, col("value").asc))
+    filtered.orderBy(ord: _*).select("time", "value").limit(1)
+  }
+
+  /** Interval coalescing (reference /root/reference/merger.go:38-124 — the
+    * Changes post-pass): merge overlapping/adjacent [start,end) intervals
+    * per key. Classic segment detection: a row starts a new segment when
+    * its start exceeds the running max of previous ends; a running sum of
+    * the flags labels segments; group by segment.
+    */
+  def mergeIntervals(ranges: DataFrame, key: String = "sid",
+                     startCol: String = "s", endCol: String = "e"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol)).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = ranges
+      .withColumn("_flag", when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("_seg", sum(col("_flag")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col(key), col("_seg"))
+      .agg(min(col(startCol)).as(startCol), max(col(endCol)).as(endCol))
+      .drop("_seg")
+  }
+
+  /** Changes(fromVersion, toVersion, resolution) over a commit-range set:
+    * snap each commit's touched [tmin, tmax] envelope outward to
+    * 2^resolution, then coalesce (reference /root/reference/pqm.go:365-374
+    * + merger.go:38-124). `ranges` must have (sid, version, tmin, tmax).
+    */
+  def changes(ranges: DataFrame, fromV: Long, toV: Long, resolution: Int): DataFrame = {
+    val snapped = ranges
+      .filter(col("version") > fromV && col("version") <= toV)
+      .select(
+        col("sid"),
+        TimeOps.clampTime(col("tmin"), resolution).as("s"),
+        (TimeOps.clampTime(col("tmax"), resolution) + lit(1L << resolution)).as("e"))
+    mergeIntervals(snapped)
+  }
+}
