@@ -1,0 +1,344 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Training-data pipeline operators over `documents` / `embeddings`:
+  * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), text
+  * analysis (language-ID, quality, token counts, fingerprinting) and
+  * embedding similarity (norms, brute-force cosine top-k, sign-LSH
+  * bucketing). Every computation is engine-portable by construction —
+  * md5/substr/replace string ops and exact scaled-integer arithmetic —
+  * so each query hash-matches its DuckDB oracle bit-for-bit.
+  *
+  * Scale notes (100 TB): every operator here is a pure
+  * shingle/explode → hash → groupBy/join pipeline with no driver-side
+  * loops; candidate generation is always banded/bucketed (LSH) so the
+  * pairwise stage never goes quadratic in the corpus.
+  */
+object EtlQueries {
+
+  /** Number of MinHash permutations and LSH band width (4 bands × 4 rows). */
+  private val NumHashes = 16
+  private val RowsPerBand = 4
+  /** Char-shingle geometry: 8-gram, stride 4, max scan fixed (docs ≤ 2 KB). */
+  private val ShingleLen = 8
+  private val ShingleStride = 4
+  private val MaxPos = 2048
+  /** Embedding fixed-point scale: values ~[-1,1]; 1e6 keeps 64-dim dot
+    * products far inside Long range while making sums order-independent. */
+  private val Scale = 1000000L
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+
+  /** Exact occurrence count of `pat` in a string column (replace-length
+    * trick — no regex, identical semantics in any SQL engine). */
+  private def occurrences(c: Column, pat: String): Column =
+    ((length(c) - length(replace(c, lit(pat), lit("")))) / pat.length).cast("long")
+  private def occSql(e: String, pat: String): String =
+    s"CAST((length($e) - length(replace($e, '$pat', ''))) / ${pat.length} AS BIGINT)"
+
+  /** Whitespace token count: spaces + 1 (single-space-separated corpus). */
+  private def tokenCount(c: Column): Column =
+    (length(c) - length(replace(c, lit(" "), lit(""))) + 1).cast("long")
+  private val tokenCountSql =
+    "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+
+  /** DuckDB CTE for the distinct character-shingle set (mirror of
+    * [[shinglesOf]]). */
+  private def shinglesSql(len: Int = ShingleLen, stride: Int = ShingleStride): String =
+    s"""SELECT DISTINCT doc_id, substr(text, CAST(p AS INTEGER), $len) AS sh
+       |  FROM documents, generate_series(1, $MaxPos, $stride) AS g(p)
+       |  WHERE p <= length(text) - ${len - 1}""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- Deduplication ------------------------------------------------
+
+    // Exact dedup: content-hash groupBy; per-source duplicate accounting.
+    "q_dedup_exact" -> QueryDef(
+      s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+         |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dups
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      docs(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text").cast("binary"))).as("n_distinct"),
+          (count(lit(1)) - countDistinct(md5(col("text").cast("binary")))).as("n_dups"))
+        .orderBy("source")
+    },
+
+    // MinHash + LSH near-dup candidates: shingle → 16 minhashes →
+    // 4 bands of 4 → bucket self-join. The join key is (band, signature)
+    // so the pair stage is linear in bucket sizes, never all-pairs.
+    "q_dedup_minhash" -> QueryDef(
+      s"""WITH shingles AS (
+         |${shinglesSql()}),
+         |mh AS (
+         |  SELECT doc_id, s.seed,
+         |         MIN(md5(CAST(s.seed AS VARCHAR) || ':' || sh)) AS h
+         |  FROM shingles, generate_series(0, ${NumHashes - 1}) AS s(seed)
+         |  GROUP BY doc_id, s.seed),
+         |bands AS (
+         |  SELECT doc_id, seed // $RowsPerBand AS band,
+         |         md5(string_agg(h, '' ORDER BY seed)) AS sig
+         |  FROM mh GROUP BY doc_id, seed // $RowsPerBand)
+         |SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      val sh = shinglesOf(docs(s, dir))
+      val mh = sh
+        .select(col("doc_id"), col("sh"),
+          explode(sequence(lit(0), lit(NumHashes - 1))).as("seed"))
+        .groupBy("doc_id", "seed")
+        .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh"))
+          .cast("binary"))).as("h"))
+      val bands = mh
+        .groupBy(col("doc_id"), expr(s"seed div $RowsPerBand").as("band"))
+        .agg(md5(expr("array_join(transform(array_sort(collect_list(struct(seed, h))), x -> x.h), '')")
+          .cast("binary")).as("sig"))
+      val a = bands.select(col("doc_id").as("a"), col("band"), col("sig"))
+      val b = bands.select(col("doc_id").as("b"), col("band"), col("sig"))
+      a.join(b, Seq("band", "sig")).filter(col("a") < col("b"))
+        .select("a", "b").distinct().orderBy("a", "b")
+    },
+
+    // SimHash: 16-bit signature; bit j votes from a hex digit of each
+    // feature's md5 (parity of the digit's value).
+    "q_dedup_simhash" -> QueryDef(
+      s"""WITH shingles AS (
+         |${shinglesSql()}),
+         |bits AS (
+         |  SELECT doc_id, j.j,
+         |    SUM(CASE WHEN (strpos('0123456789abcdef',
+         |          substr(md5(sh), CAST(j.j + 1 AS INTEGER), 1)) - 1) % 2 = 1
+         |        THEN 1 ELSE -1 END) AS vote
+         |  FROM shingles, generate_series(0, 15) AS j(j)
+         |  GROUP BY doc_id, j.j)
+         |SELECT doc_id,
+         |  CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sh = shinglesOf(docs(s, dir))
+      val bits = sh
+        .select(col("doc_id"), md5(col("sh").cast("binary")).as("h"),
+          explode(sequence(lit(0), lit(15))).as("j"))
+        .groupBy("doc_id", "j")
+        .agg(sum(when((instr(lit("0123456789abcdef"),
+            expr("substring(h, j + 1, 1)")) - 1) % 2 === 1, 1L)
+          .otherwise(-1L)).as("vote"))
+      bits.groupBy("doc_id")
+        .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
+          .otherwise(lit(0L))).cast("long").as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // n-gram Jaccard on a doc subset: exact integer |A∩B| and |A∪B| per
+    // pair (no float), via equality join of distinct 4-gram sets.
+    "q_ngram_jaccard" -> QueryDef(
+      s"""WITH grams AS (
+         |  SELECT DISTINCT doc_id, substr(text, CAST(p AS INTEGER), 4) AS g
+         |  FROM documents, generate_series(1, $MaxPos, 2) AS s(p)
+         |  WHERE p <= length(text) - 3 AND doc_id < 40),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS nab
+         |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT i.a, i.b, CAST(i.nab AS BIGINT) AS jac_num,
+         |  CAST(sa.n + sb.n - i.nab AS BIGINT) AS jac_den
+         |FROM inter i
+         |JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+         |WHERE i.nab * 4 >= sa.n + sb.n - i.nab
+         |ORDER BY i.a, i.b""".stripMargin) { (s, dir) =>
+      val grams = docs(s, dir).filter(col("doc_id") < 40)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - 3, lit(2))).as("p"))
+        .filter(col("p") <= length(col("text")) - 3)
+        .select(col("doc_id"), expr("substring(text, p, 4)").as("g"))
+        .distinct()
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = grams.select(col("doc_id").as("a"), col("g"))
+        .join(grams.select(col("doc_id").as("b"), col("g")), "g")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("nab"))
+      inter
+        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .filter(col("nab") * 4 >= col("na") + col("nb") - col("nab"))
+        .select(col("a"), col("b"), col("nab").as("jac_num"),
+          (col("na") + col("nb") - col("nab")).as("jac_den"))
+        .orderBy("a", "b")
+    },
+
+    // ---- Text analysis ------------------------------------------------
+
+    // Language-ID by marker-token hits (padded-occurrence counting),
+    // reported as a predicted-vs-labeled confusion matrix.
+    "q_lang_id" -> QueryDef {
+      val pad = "' ' || text || ' '"
+      val (en, es, fr, de) = (occSql(pad, " the "), occSql(pad, " el "),
+        occSql(pad, " le "), occSql(pad, " der "))
+      s"""WITH scored AS (
+         |  SELECT lang, $en AS s_en, $es AS s_es, $fr AS s_fr, $de AS s_de
+         |  FROM documents),
+         |pred AS (
+         |  SELECT lang, CASE
+         |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+         |    WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+         |    WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS pred
+         |  FROM scored)
+         |SELECT lang, pred, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM pred GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+    } { (s, dir) =>
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      val scored = docs(s, dir).select(col("lang"),
+        occurrences(padded, " the ").as("s_en"),
+        occurrences(padded, " el ").as("s_es"),
+        occurrences(padded, " le ").as("s_fr"),
+        occurrences(padded, " der ").as("s_de"))
+      scored.select(col("lang"),
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr")
+            && col("s_en") >= col("s_de"), "en")
+            .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de"), "es")
+            .when(col("s_fr") >= col("s_de"), "fr")
+            .otherwise("de").as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "pred")
+    },
+
+    // Quality scoring: length/token/stopword features + a rule label.
+    "q_text_quality" -> QueryDef {
+      val stops = s"${occSql("' ' || text || ' '", " the ")} + ${occSql("' ' || text || ' '", " a ")}"
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |  $tokenCountSql AS n_tokens,
+         |  CAST($stops AS BIGINT) AS n_stop,
+         |  CAST($stops AS DOUBLE) / $tokenCountSql AS stop_ratio,
+         |  CASE WHEN $tokenCountSql >= 40 AND ($stops) * 5 <= $tokenCountSql
+         |       THEN 'keep' ELSE 'drop' END AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    } { (s, dir) =>
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      val stops = occurrences(padded, " the ") + occurrences(padded, " a ")
+      val toks = tokenCount(col("text"))
+      docs(s, dir).select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          toks.as("n_tokens"),
+          stops.as("n_stop"),
+          (stops.cast("double") / toks).as("stop_ratio"),
+          when(toks >= 40 && stops * 5 <= toks, "keep").otherwise("drop").as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Token accounting per source (corpus-level budgeting).
+    "q_token_count" -> QueryDef(
+      s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM($tokenCountSql) AS BIGINT) AS total_tokens,
+         |  CAST(MAX($tokenCountSql) AS BIGINT) AS max_tokens
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      docs(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text"))).as("total_tokens"),
+          max(tokenCount(col("text"))).as("max_tokens"))
+        .orderBy("source")
+    },
+
+    // Document fingerprint: normalized-prefix content hash + length bucket.
+    "q_fingerprint" -> QueryDef(
+      s"""SELECT doc_id,
+         |  md5(substr(replace(text, ' ', ''), 1, 64) ||
+         |      ':' || CAST(length(text) // 64 AS VARCHAR)) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          md5(concat(
+            substring(replace(col("text"), lit(" "), lit("")), 1, 64),
+            lit(":"),
+            TimeOpsFloorDiv(length(col("text")), 64).cast("string")).cast("binary")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Embedding similarity ----------------------------------------
+
+    // L2 norms via exact fixed-point arithmetic (order-independent sums).
+    "q_embed_norm" -> QueryDef(
+      s"""WITH sc AS (
+         |  SELECT vec_id,
+         |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * $Scale, 0) AS BIGINT) AS v
+         |  FROM embeddings)
+         |SELECT vec_id, sqrt(CAST(SUM(v * v) AS DOUBLE)) / $Scale AS norm
+         |FROM sc GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      emb(s, dir).select(col("vec_id"),
+          (sqrt(expr(s"aggregate(transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * $Scale, 0) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v * v)")
+            .cast("double")) / Scale).as("norm"))
+        .orderBy("vec_id")
+    },
+
+    // Brute-force cosine top-k against one query vector — the exact
+    // baseline an ANN index is graded against.
+    "q_ann_topk" -> QueryDef(
+      s"""WITH sc AS (
+         |  SELECT vec_id, unnest(range(len(embedding))) AS i,
+         |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * $Scale, 0) AS BIGINT) AS v
+         |  FROM embeddings),
+         |q AS (SELECT i, v AS qv FROM sc WHERE vec_id = 0),
+         |dots AS (
+         |  SELECT sc.vec_id, SUM(sc.v * q.qv) AS dot, SUM(sc.v * sc.v) AS nn
+         |  FROM sc JOIN q ON sc.i = q.i GROUP BY sc.vec_id),
+         |qn AS (SELECT nn AS qnn FROM dots WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  CAST(dot AS DOUBLE) / (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(qnn AS DOUBLE))) AS cos
+         |FROM dots, qn WHERE vec_id <> 0
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val scaled = emb(s, dir).select(col("vec_id"),
+        expr(s"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * $Scale, 0) AS BIGINT))").as("sv"))
+      val q = scaled.filter(col("vec_id") === 0)
+        .select(col("sv").as("qv"))
+      scaled.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          expr("aggregate(zip_with(sv, qv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("dot"),
+          expr("aggregate(sv, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)").as("nn"),
+          expr("aggregate(qv, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)").as("qnn"))
+        .select(col("vec_id"),
+          (col("dot").cast("double") /
+            (sqrt(col("nn").cast("double")) * sqrt(col("qnn").cast("double")))).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    // Sign-LSH bucketing over the first 8 dims — the scale path that
+    // bounds ANN candidate sets; reported as a bucket histogram.
+    "q_ann_lsh" -> QueryDef {
+      val bitsSql = (0 until 8)
+        .map(d => s"CASE WHEN embedding[${d + 1}] >= 0 THEN ${1 << d} ELSE 0 END")
+        .mkString(" + ")
+      s"""SELECT CAST($bitsSql AS BIGINT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt, CAST(MIN(vec_id) AS BIGINT) AS first_vec
+         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin
+    } { (s, dir) =>
+      val bits = (0 until 8)
+        .map(d => when(element_at(col("embedding"), d + 1) >= 0f, 1L << d).otherwise(0L))
+        .reduce(_ + _)
+      emb(s, dir).select(bits.cast("long").as("bucket"), col("vec_id"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"), min("vec_id").as("first_vec"))
+        .orderBy("bucket")
+    })
+
+  /** Distinct character shingles (ShingleLen-grams at ShingleStride). */
+  private def shinglesOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (ShingleLen - 1),
+          lit(ShingleStride))).as("p"))
+      .select(col("doc_id"), expr(s"substring(text, p, $ShingleLen)").as("sh"))
+      .distinct()
+
+  /** Exact integer floor-div for non-negative int columns. */
+  private def TimeOpsFloorDiv(a: Column, b: Long): Column =
+    graft.core.TimeOps.floorDiv(a.cast("long"), b)
+}
