@@ -1,0 +1,419 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{TimeConsts, TimeOps}
+import graft.operators.StatOps
+
+/** The engine facade — the BTrDB public surface (the 19 RPCs of
+  * /root/reference/grpcinterface/btrdb.proto:5-24) re-expressed as a
+  * versioned, partitioned Parquet point log + commit log + staging
+  * buffer + stat-rollup pyramid, all driven through DataFrame programs.
+  *
+  * Storage layout under `root`:
+  *   catalog/   stream descriptors (sid, uuid, collection, tags,
+  *              annotations, annotationVersion, tombstoned)
+  *   points/    committed point log, partitioned by sbucket = sid % SBuckets
+  *              and tbucket = time >> TBucketPw; carries a `version` column
+  *   commits/   commit log: (sid, version, kind insert|delete, tmin, tmax,
+  *              npoints) — the source of truth for visibility, version
+  *              counters, changed-range queries, and rollup invalidation
+  *   staging/   unflushed inserts (the PQM write buffer,
+  *              /root/reference/pqm.go:29-35) — merged on latest reads
+  *   pyramid/pw=K/  rollup tables (sid, wstart, cnt, vmin, vmax, vsum)
+  *
+  * Scale design (100 TB, 1000 executors):
+  *   - sbucket partitioning spreads streams; tbucket (2^48 ns ≈ 3.26 d)
+  *     gives partition pruning for time-range queries — the distributed
+  *     analog of the reference's per-stream tree + MASH placement.
+  *   - Commit metadata is tiny and broadcast into every read — delete
+  *     anti-filters and version pins never shuffle the point log.
+  *   - Rollup maintenance recomputes only commit-touched buckets
+  *     (the CGeneration trick, SURVEY §4.1) via dynamic partition
+  *     overwrite, so backfill cost is proportional to dirtied data.
+  *
+  * Single-writer per engine root is assumed (the reference holds
+  * per-stream write locks; a driver-side lock is the same contract).
+  */
+class Btrdb(val spark: SparkSession, val root: String,
+            sBuckets: Int = 64, tBucketPw: Int = 48,
+            bufferCommitThreshold: Long = 32768L,
+            pyramidLevels: Seq[Int] = Seq(30, 36, 42, 48)) {
+  import Btrdb._
+
+  spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+  private def path(part: String) = s"$root/$part"
+  private def exists(part: String) = Files.exists(Paths.get(path(part).stripPrefix("file:")))
+
+  private def readOr(part: String, schema: String): DataFrame =
+    if (exists(part)) spark.read.parquet(path(part))
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+
+  // ---- catalog (mprovider equivalent) --------------------------------
+
+  def catalog: DataFrame = readOr("catalog", CatalogSchema)
+
+  /** CreateStream: uuid and (collection, tags) must be unique among live
+    * streams; tombstoned uuids may never be reused
+    * (/root/reference/internal/mprovider/metaprovider.go:288-320). */
+  def createStream(uuid: String, collection: String,
+                   tags: Map[String, String],
+                   annotations: Map[String, String] = Map.empty): Long = {
+    val cat = catalog.cache()
+    // uniqueness of (collection, tags) uses the canonical sorted tag
+    // string, as Spark has no MapType equality (reference
+    // /root/reference/internal/mprovider/metaprovider.go:27)
+    val canonical = tags.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+    val canonCol = expr(
+      "array_join(transform(array_sort(map_entries(tags)), e -> concat(e.key, '=', e.value)), ',')")
+    val clash = cat.filter(col("uuid") === uuid ||
+      (!col("tombstoned") && col("collection") === collection &&
+        canonCol === canonical)).count()
+    require(clash == 0, s"stream exists or uuid tombstoned: $uuid")
+    require(tags.size <= 32 && annotations.size <= 64, "tag/annotation limits")
+    val sid = cat.agg(coalesce(max("sid"), lit(-1L))).head.getLong(0) + 1
+    val row = spark.createDataFrame(Seq(
+      (uuid, sid, collection, tags, annotations, 0L, false)))
+      .toDF("uuid", "sid", "collection", "tags", "annotations",
+        "annotationVersion", "tombstoned")
+    row.write.mode(SaveMode.Append).parquet(path("catalog"))
+    cat.unpersist()
+    sid
+  }
+
+  /** LookupStreams: tag/annotation predicates; None ⇒ key must exist
+    * (/root/reference/internal/mprovider/lookup.go:209-292). */
+  def lookupStreams(collectionPrefix: String,
+                    tags: Map[String, Option[String]] = Map.empty): DataFrame =
+    tags.foldLeft(
+      catalog.filter(!col("tombstoned") &&
+        col("collection").startsWith(collectionPrefix))) {
+      case (df, (k, Some(v))) => df.filter(col("tags")(k) === v)
+      case (df, (k, None))    => df.filter(col("tags")(k).isNotNull)
+    }
+
+  /** ListCollections with prefix + cursor + limit (≤10k,
+    * /root/reference/internal/mprovider/metaprovider.go:423-451). */
+  def listCollections(prefix: String, startingFrom: String = "",
+                      limit: Int = 10000): DataFrame =
+    catalog.filter(!col("tombstoned") && col("collection").startsWith(prefix) &&
+        col("collection") >= startingFrom)
+      .select("collection").distinct()
+      .orderBy("collection").limit(math.min(limit, 10000))
+
+  /** GetKeyUsage: streams-per-tag-key and per-annotation-key counts. */
+  def keyUsage(collectionPrefix: String): DataFrame = {
+    val live = catalog.filter(!col("tombstoned") &&
+      col("collection").startsWith(collectionPrefix))
+    live.select(explode(map_keys(col("tags"))).as("key"), lit("tag").as("kind"))
+      .unionByName(live.select(explode(map_keys(col("annotations"))).as("key"),
+        lit("annotation").as("kind")))
+      .groupBy("kind", "key").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** SetStreamAnnotations: CAS on annotationVersion
+    * (/root/reference/internal/mprovider/metaprovider.go:142-208). */
+  def setAnnotations(uuid: String, expectedVersion: Long,
+                     updates: Map[String, String]): Unit = {
+    val updated = collectCatalog().map { c =>
+      if (c._1 == uuid) {
+        require(c._6 == expectedVersion,
+          s"annotation CAS failed: expected $expectedVersion got ${c._6}")
+        val anns = c._5 ++ updates
+        require(anns.size <= 64, "annotation limit")
+        c.copy(_5 = anns, _6 = c._6 + 1)
+      } else c
+    }
+    overwriteCatalog(updated)
+  }
+
+  /** Obliterate: tombstone the stream; its sid never reappears in reads
+    * (/root/reference/quasar.go:572-593). Data is left for compaction. */
+  def obliterate(uuid: String): Unit =
+    overwriteCatalog(collectCatalog().map(c =>
+      if (c._1 == uuid) c.copy(_7 = true) else c))
+
+  private def collectCatalog(): Array[(String, Long, String,
+      Map[String, String], Map[String, String], Long, Boolean)] =
+    catalog.collect().map { r => // catalog is small by construction
+      (r.getAs[String]("uuid"), r.getAs[Long]("sid"), r.getAs[String]("collection"),
+        r.getAs[scala.collection.Map[String, String]]("tags").toMap,
+        r.getAs[scala.collection.Map[String, String]]("annotations").toMap,
+        r.getAs[Long]("annotationVersion"), r.getAs[Boolean]("tombstoned"))
+    }
+
+  private def overwriteCatalog(rows: Array[(String, Long, String,
+      Map[String, String], Map[String, String], Long, Boolean)]): Unit = {
+    val df = spark.createDataFrame(rows.toSeq)
+      .toDF("uuid", "sid", "collection", "tags", "annotations",
+        "annotationVersion", "tombstoned")
+    val tmp = path("catalog_tmp")
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path("catalog"))
+  }
+
+  private def sidOf(uuid: String): Long =
+    catalog.filter(col("uuid") === uuid && !col("tombstoned"))
+      .select("sid").head.getLong(0)
+
+  // ---- versioned storage ---------------------------------------------
+
+  def commits: DataFrame = readOr("commits", CommitSchema)
+  private def stagingDf: DataFrame = readOr("staging", StagingSchema)
+
+  /** (major, minor) version of a stream: major = last committed
+    * generation, minor = staged (unflushed) point count
+    * (/root/reference/pqm.go:337-355). */
+  def version(uuid: String): (Long, Long) = {
+    val sid = sidOf(uuid)
+    val maj = commits.filter(col("sid") === sid)
+      .agg(coalesce(max("version"), lit(0L))).head.getLong(0)
+    val minor = stagingDf.filter(col("sid") === sid).count()
+    (maj, minor)
+  }
+
+  /** Insert: validate, stage; auto-commit when the buffer crosses the
+    * threshold (PQM semantics, /root/reference/pqm.go:510-625).
+    * Returns (major, minor) after the insert. */
+  def insert(uuid: String, points: DataFrame): (Long, Long) = {
+    val sid = sidOf(uuid)
+    val batch = points.select(lit(sid).as("sid"),
+      col("time").cast("long").as("time"), col("value").cast("double").as("value"))
+    val bad = batch.filter(!TimeOps.validPoint(col("time"), col("value"))).count()
+    require(bad == 0, s"$bad points rejected: NaN/Inf value or time out of range")
+    batch.sortWithinPartitions("time")
+      .write.mode(SaveMode.Append).parquet(path("staging"))
+    val staged = stagingDf.filter(col("sid") === sid).count()
+    if (staged >= bufferCommitThreshold) { flush(uuid); version(uuid) }
+    else version(uuid)
+  }
+
+  /** Flush: staged points → committed log at version major+1; write the
+    * commit record; incrementally maintain the pyramid; clear staging
+    * (/root/reference/quasar.go:221-229). */
+  def flush(uuid: String): (Long, Long) = {
+    val sid = sidOf(uuid)
+    val staged = stagingDf.filter(col("sid") === sid).cache()
+    val n = staged.count()
+    if (n == 0) return version(uuid)
+    val maj = commits.filter(col("sid") === sid)
+      .agg(coalesce(max("version"), lit(0L))).head.getLong(0)
+    val v = maj + 1
+    val envelope = staged.agg(min("time"), max("time")).head
+    val (tmin, tmax) = (envelope.getLong(0), envelope.getLong(1))
+
+    staged
+      .withColumn("version", lit(v))
+      .withColumn("sbucket", pmod(col("sid"), lit(sBuckets)))
+      .withColumn("tbucket", shiftright(col("time"), tBucketPw))
+      .repartition(col("sbucket"), col("tbucket"))
+      .sortWithinPartitions("sid", "time")
+      .write.mode(SaveMode.Append)
+      .partitionBy("sbucket", "tbucket")
+      .parquet(path("points"))
+
+    appendCommit(sid, v, "insert", tmin, tmax, n)
+    maintainPyramid(sid, tmin, tmax + 1)
+
+    // clear this stream's staging (rewrite others; staging is small by
+    // construction — it holds < threshold points per stream)
+    val others = stagingDf.filter(col("sid") =!= sid).cache()
+    others.count()
+    staged.unpersist()
+    val tmp = path("staging_tmp")
+    others.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path("staging"))
+    others.unpersist()
+    version(uuid)
+  }
+
+  /** DeleteRange [start, end): pure commit-log operation — readers apply
+    * the anti-filter merge-on-read (/root/reference/quasar.go:481-514). */
+  def deleteRange(uuid: String, start: Long, end: Long): (Long, Long) = {
+    val sid = sidOf(uuid)
+    flush(uuid) // deletes apply to committed data, like the reference
+    val maj = commits.filter(col("sid") === sid)
+      .agg(coalesce(max("version"), lit(0L))).head.getLong(0)
+    appendCommit(sid, maj + 1, "delete", start, end, 0)
+    maintainPyramid(sid, start, end)
+    version(uuid)
+  }
+
+  private def appendCommit(sid: Long, v: Long, kind: String,
+                           tmin: Long, tmax: Long, n: Long): Unit =
+    spark.createDataFrame(Seq((sid, v, kind, tmin, tmax, n)))
+      .toDF("sid", "version", "kind", "tmin", "tmax", "npoints")
+      .write.mode(SaveMode.Append).parquet(path("commits"))
+
+  /** Snapshot of one stream's committed points at `version`: version pin
+    * + delete anti-filters, both derived from the (tiny, broadcast)
+    * commit log — the point log itself is only scanned, never joined. */
+  def pointsAt(uuid: String, version: Long = TimeConsts.LatestGeneration,
+               start: Long = TimeConsts.MinimumTime,
+               end: Long = TimeConsts.MaximumTime): DataFrame = {
+    val sid = sidOf(uuid)
+    val v = version
+    val deletes = commits
+      .filter(col("sid") === sid && col("kind") === "delete" && col("version") <= v)
+      .select("version", "tmin", "tmax").collect()
+    val committed = readOr("points", PointsSchema)
+      .filter(col("sbucket") === (sid % sBuckets) &&
+        col("tbucket") >= (start >> tBucketPw) && col("tbucket") <= ((end - 1) >> tBucketPw) &&
+        col("sid") === sid && col("version") <= v &&
+        col("time") >= start && col("time") < end)
+    deletes.foldLeft(committed) { (df, d) =>
+      df.filter(!(col("time") >= d.getLong(1) && col("time") < d.getLong(2) &&
+        col("version") < d.getLong(0)))
+    }.select("sid", "time", "value", "version")
+  }
+
+  /** Latest-version read merges the staging buffer — read-your-writes
+    * (J3, /root/reference/pqm.go:428-470). */
+  private def readable(uuid: String, version: Long,
+                       start: Long, end: Long): DataFrame = {
+    val committed = pointsAt(uuid, version, start, end)
+    if (version != TimeConsts.LatestGeneration) committed
+    else {
+      val sid = sidOf(uuid)
+      val staged = stagingDf
+        .filter(col("sid") === sid && col("time") >= start && col("time") < end)
+        .withColumn("version", lit(Long.MaxValue))
+      committed.unionByName(staged)
+    }
+  }
+
+  // ---- queries --------------------------------------------------------
+
+  /** RawValues: time-ordered scan of [start, end) at a version. */
+  def rawValues(uuid: String, start: Long, end: Long,
+                version: Long = TimeConsts.LatestGeneration): DataFrame =
+    readable(uuid, version, start, end)
+      .select("time", "value").orderBy("time", "value")
+
+  /** AlignedWindows at 2^pw; uses the rollup pyramid when the query is
+    * at-or-above a maintained level and pinned to the committed state. */
+  def alignedWindows(uuid: String, start: Long, end: Long, pw: Int,
+                     version: Long = TimeConsts.LatestGeneration): DataFrame = {
+    val s = TimeOps.alignDown(start, pw)
+    val e = TimeOps.alignDown(end, pw)
+    val sid = sidOf(uuid)
+    val level = pyramidLevels.filter(_ <= pw).sorted.lastOption
+    val usable = level.exists(l => exists(s"pyramid/pw=$l")) &&
+      version == TimeConsts.LatestGeneration &&
+      stagingDf.filter(col("sid") === sid).isEmpty &&
+      commits.filter(col("sid") === sid && col("kind") === "delete").isEmpty
+    if (usable) {
+      val l = level.get
+      spark.read.parquet(path(s"pyramid/pw=$l"))
+        .filter(col("sid") === sid && col("wstart") >= s && col("wstart") < e)
+        .groupBy(TimeOps.clampTime(col("wstart"), pw).as("wstart"))
+        .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
+          (sum("vsum") / sum("cnt")).as("vmean"), max("vmax").as("vmax"))
+        .orderBy("wstart")
+    } else
+      readable(uuid, version, s, e)
+        .groupBy(TimeOps.clampTime(col("time"), pw).as("wstart"))
+        .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
+          avg("value").as("vmean"), max("value").as("vmax"))
+        .orderBy("wstart")
+  }
+
+  /** Windows: arbitrary width, end truncated to whole windows, empty
+    * windows emitted with zeros (/root/reference/quasar.go:306-346). */
+  def windows(uuid: String, start: Long, end: Long, width: Long,
+              version: Long = TimeConsts.LatestGeneration): DataFrame = {
+    val e = TimeOps.truncateEnd(start, end, width)
+    val n = (e - start) / width
+    val agg0 = readable(uuid, version, start, e)
+      .groupBy(TimeOps.windowIndex(col("time"), start, width).as("i"))
+      .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
+        avg("value").as("vmean"), max("value").as("vmax"))
+    spark.range(n).toDF("i").join(agg0, Seq("i"), "left_outer")
+      .select(col("i"), (col("i") * width + start).as("wstart"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        coalesce(col("vmin"), lit(0.0)).as("vmin"),
+        coalesce(col("vmean"), lit(0.0)).as("vmean"),
+        coalesce(col("vmax"), lit(0.0)).as("vmax"))
+      .orderBy("i")
+  }
+
+  /** Nearest: forward inclusive / backward exclusive
+    * (/root/reference/qtree/qtree.go:24-26). */
+  def nearest(uuid: String, t: Long, backward: Boolean,
+              version: Long = TimeConsts.LatestGeneration): Option[(Long, Double)] = {
+    val (lo, hi) = if (backward) (TimeConsts.MinimumTime, t)
+                   else (t, TimeConsts.MaximumTime)
+    val df = readable(uuid, version, lo, hi)
+    val ordered = if (backward) df.orderBy(col("time").desc, col("value").desc)
+                  else df.orderBy(col("time").asc, col("value").asc)
+    ordered.select("time", "value").limit(1).collect()
+      .headOption.map(r => (r.getLong(0), r.getDouble(1)))
+  }
+
+  /** Changes(fromV, toV, resolution): commit-touched ranges snapped to
+    * 2^resolution and coalesced (/root/reference/quasar.go:436-470). */
+  def changes(uuid: String, fromVersion: Long, toVersion: Long,
+              resolution: Int): DataFrame = {
+    val sid = sidOf(uuid)
+    StatOps.changes(
+      commits.filter(col("sid") === sid).select("sid", "version", "tmin", "tmax"),
+      fromVersion, toVersion, resolution)
+      .orderBy("s").select("s", "e")
+  }
+
+  /** GenerateCSV / multi-stream temporal align: k streams full-outer
+    * aligned on time (J1, /root/reference/grpcinterface/serve.go:888-1002). */
+  def multiAlign(uuids: Seq[String], start: Long, end: Long): DataFrame = {
+    val frames = uuids.zipWithIndex.map { case (u, i) =>
+      rawValues(u, start, end).select(col("time"), col("value").as(s"v$i"))
+    }
+    frames.reduce(_.join(_, Seq("time"), "full_outer")).orderBy("time")
+  }
+
+  // ---- stat pyramid maintenance --------------------------------------
+
+  /** Recompute exactly the rollup buckets the commit touched — the
+    * distributed CGeneration trick. With dynamic partition overwrite only
+    * the dirtied sbucket partitions rewrite. */
+  private def maintainPyramid(sid: Long, tmin: Long, tmax: Long): Unit =
+    pyramidLevels.foreach { pw =>
+      val lo = TimeOps.alignDown(tmin, pw)
+      val hi = TimeOps.alignDown(tmax - 1, pw) + (1L << pw)
+      val fresh = pointsAt(uuidBySid(sid), TimeConsts.LatestGeneration, lo, hi)
+        .groupBy(TimeOps.clampTime(col("time"), pw).as("wstart"))
+        .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
+          max("value").as("vmax"), sum("value").as("vsum"))
+        .withColumn("sid", lit(sid))
+      val part = s"pyramid/pw=$pw"
+      val existing = if (exists(part)) spark.read.parquet(path(part)) else null
+      val untouched = if (existing == null) null
+        else existing.filter(!(col("sid") === sid &&
+          col("wstart") >= lo && col("wstart") < hi))
+      val merged = if (untouched == null) fresh
+        else untouched.select("sid", "wstart", "cnt", "vmin", "vmax", "vsum")
+          .unionByName(fresh.select("sid", "wstart", "cnt", "vmin", "vmax", "vsum"))
+      val tmp = path(s"pyramid_tmp/pw=$pw")
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+      spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path(part))
+    }
+
+  private def uuidBySid(sid: Long): String =
+    catalog.filter(col("sid") === sid).select("uuid").head.getString(0)
+}
+
+object Btrdb {
+  val CatalogSchema =
+    "uuid STRING, sid BIGINT, collection STRING, tags MAP<STRING,STRING>, " +
+      "annotations MAP<STRING,STRING>, annotationVersion BIGINT, tombstoned BOOLEAN"
+  val CommitSchema =
+    "sid BIGINT, version BIGINT, kind STRING, tmin BIGINT, tmax BIGINT, npoints BIGINT"
+  val StagingSchema = "sid BIGINT, time BIGINT, value DOUBLE"
+  val PointsSchema =
+    "sid BIGINT, time BIGINT, value DOUBLE, version BIGINT, sbucket INT, tbucket BIGINT"
+}

@@ -1,0 +1,221 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.TimeConsts
+
+/** Engine semantics ported from the reference's (disabled) qtree tests —
+  * see FIXTURES.md §2 for the fixture↔source mapping:
+  * dense4096 / superdense / nearestTriple / deleteMiddle / bufferMerge
+  * (/root/reference/qtree/qtree2_test.go, /root/reference/pqm_test/main_test.go).
+  */
+class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var db: Btrdb = _
+  private val seed = 424242L
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("btrdb-spec")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = Files.createTempDirectory("btrdbspec").toString
+    db = new Btrdb(spark, dir, sBuckets = 4, tBucketPw = 52,
+      bufferCommitThreshold = 1 << 20, pyramidLevels = Seq(6, 10))
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def insertPoints(uuid: String, pts: Seq[(Long, Double)]): Unit = {
+    val df = spark.createDataFrame(pts).toDF("time", "value")
+    db.insert(uuid, df)
+  }
+
+  test("catalog: create, lookup by tag value and key-existence, list, usage") {
+    db.createStream("u-cat-1", "plant/a", Map("phase" -> "L1", "kind" -> "voltage"))
+    db.createStream("u-cat-2", "plant/a", Map("phase" -> "L2"))
+    db.createStream("u-cat-3", "plant/b", Map("phase" -> "L1"))
+    assert(db.lookupStreams("plant/", Map("phase" -> Some("L1"))).count() == 2)
+    assert(db.lookupStreams("plant/a", Map("kind" -> None)).count() == 1)
+    assert(db.listCollections("plant/").collect().map(_.getString(0)).toSeq ==
+      Seq("plant/a", "plant/b"))
+    val usage = db.keyUsage("plant/").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(usage(("tag", "phase")) == 3 && usage(("tag", "kind")) == 1)
+    // duplicate (collection, tags) rejected
+    intercept[IllegalArgumentException] {
+      db.createStream("u-cat-4", "plant/a", Map("phase" -> "L2"))
+    }
+  }
+
+  test("dense4096: stat-pyramid invariant — pw=k query returns 4096>>k full windows") {
+    val uuid = "u-dense"
+    db.createStream(uuid, "test/dense", Map("t" -> "dense"))
+    val rnd = new scala.util.Random(seed)
+    val pts = (0L until 4096L).map(t => (t, rnd.nextDouble() * 100))
+    insertPoints(uuid, pts)
+    db.flush(uuid)
+    // readback equality
+    val back = db.rawValues(uuid, 0, 4096).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(back.toSeq == pts.sortBy(p => (p._1, p._2)))
+    for (k <- Seq(2, 4, 6, 8, 10, 12)) {
+      val win = db.alignedWindows(uuid, 0, 4096, k).collect()
+      assert(win.length == (4096 >> k), s"pw=$k window count")
+      assert(win.forall(_.getLong(1) == (1L << k)), s"pw=$k counts")
+      // pairwise rollup: adjacent pw=k windows combine exactly to pw=k+1
+      val next = db.alignedWindows(uuid, 0, 4096, k + 1).collect()
+      win.grouped(2).zip(next.iterator).foreach { case (Array(a, b), c) =>
+        assert(a.getLong(1) + b.getLong(1) == c.getLong(1))
+        assert(math.min(a.getDouble(2), b.getDouble(2)) == c.getDouble(2))
+        assert(math.max(a.getDouble(4), b.getDouble(4)) == c.getDouble(4))
+      }
+    }
+  }
+
+  test("superdense: duplicate timestamps all accepted (no VSIZE truncation)") {
+    val uuid = "u-superdense"
+    db.createStream(uuid, "test/superdense", Map("t" -> "sd"))
+    insertPoints(uuid, Seq.fill(10000)((5L, 1.0)))
+    db.flush(uuid)
+    assert(db.rawValues(uuid, 0, 10).count() == 10000)
+    val stat = db.alignedWindows(uuid, 0, 64, 6).collect()
+    assert(stat.length == 1 && stat.head.getLong(1) == 10000)
+  }
+
+  test("nearestTriple: forward inclusive, backward exclusive, out-of-range empty") {
+    val uuid = "u-nearest"
+    db.createStream(uuid, "test/nearest", Map("t" -> "near"))
+    val t1 = 1L << 56; val t2 = 2L << 56; val t3 = 3L << 56
+    insertPoints(uuid, Seq((t1, 1.0), (t2, 2.0), (t3, 3.0)))
+    db.flush(uuid)
+    assert(db.nearest(uuid, t2, backward = false).contains((t2, 2.0)))     // inclusive
+    assert(db.nearest(uuid, t2 + 1, backward = false).contains((t3, 3.0)))
+    assert(db.nearest(uuid, t2, backward = true).contains((t1, 1.0)))      // exclusive
+    assert(db.nearest(uuid, t2 + 1, backward = true).contains((t2, 2.0)))
+    assert(db.nearest(uuid, t3 + 1, backward = false).isEmpty)
+    assert(db.nearest(uuid, t1, backward = true).isEmpty)
+  }
+
+  test("bufferMerge: latest read merges staging; pinned read doesn't; (maj,min) versions") {
+    val uuid = "u-buffer"
+    db.createStream(uuid, "test/buffer", Map("t" -> "buf"))
+    insertPoints(uuid, Seq((100L, 100.0)))
+    db.flush(uuid)
+    assert(db.version(uuid) == (1L, 0L))
+    insertPoints(uuid, Seq((105L, 105.0))) // staged, not flushed
+    assert(db.version(uuid) == (1L, 1L))
+    val latest = db.rawValues(uuid, 0, 1000).collect().map(_.getLong(0)).toSeq
+    assert(latest == Seq(100L, 105L)) // read-your-writes
+    val pinned = db.rawValues(uuid, 0, 1000, version = 1).collect().map(_.getLong(0)).toSeq
+    assert(pinned == Seq(100L)) // pinned excludes staging
+    db.flush(uuid)
+    assert(db.version(uuid) == (2L, 0L))
+  }
+
+  test("deleteMiddle: range delete, version pinning, changes coalescing") {
+    val uuid = "u-delete"
+    db.createStream(uuid, "test/delete", Map("t" -> "del"))
+    insertPoints(uuid, (0L until 1000L).map(t => (t, t.toDouble)))
+    db.flush(uuid) // v1
+    db.deleteRange(uuid, 10, 990) // v2
+    assert(db.rawValues(uuid, 0, 1000).count() == 20)
+    // pinned at v1 still sees everything (time travel)
+    assert(db.rawValues(uuid, 0, 1000, version = 1).count() == 1000)
+    // a later insert INTO the deleted range survives (delete only applies
+    // to points with version < delete version)
+    insertPoints(uuid, Seq((500L, 42.0)))
+    db.flush(uuid) // v3
+    assert(db.rawValues(uuid, 0, 1000).count() == 21)
+    // changes(0, 3) covers insert+delete+insert envelopes, coalesced
+    val ch = db.changes(uuid, 0, 3, resolution = 4).collect()
+    assert(ch.length == 1)
+    assert(ch.head.getLong(0) == 0 && ch.head.getLong(1) >= 992)
+    // changes between v2 and v3 only covers the second insert's envelope
+    val ch2 = db.changes(uuid, 2, 3, resolution = 0).collect()
+    assert(ch2.length == 1 && ch2.head.getLong(0) == 500 && ch2.head.getLong(1) == 501)
+  }
+
+  test("windows: arbitrary width with hole emission and end truncation") {
+    val uuid = "u-windows"
+    db.createStream(uuid, "test/windows", Map("t" -> "win"))
+    // points in windows 0 and 2 (width 100), nothing in window 1
+    insertPoints(uuid, Seq((10L, 1.0), (20L, 3.0), (250L, 5.0)))
+    db.flush(uuid)
+    val w = db.windows(uuid, 0, 350, 100).collect() // 350 truncates to 3 windows
+    assert(w.length == 3)
+    assert(w(0).getLong(2) == 2 && w(0).getDouble(4) == 2.0) // cnt, mean
+    assert(w(1).getLong(2) == 0 && w(1).getDouble(3) == 0.0) // hole: zeros
+    assert(w(2).getLong(2) == 1 && w(2).getDouble(5) == 5.0)
+  }
+
+  test("pyramid: aligned windows served from rollups match raw computation") {
+    val uuid = "u-pyramid"
+    db.createStream(uuid, "test/pyramid", Map("t" -> "pyr"))
+    val rnd = new scala.util.Random(seed + 1)
+    insertPoints(uuid, (0L until 5000L).map(t => (t * 3, rnd.nextDouble())))
+    db.flush(uuid)
+    // pw=12 >= maintained level 10 → pyramid path; compare against a
+    // pinned-version read, which always takes the raw path
+    val fromPyr = db.alignedWindows(uuid, 0, 15000, 12).collect()
+    val fromRaw = db.alignedWindows(uuid, 0, 15000, 12, version = 1).collect()
+    assert(fromPyr.length == fromRaw.length)
+    fromPyr.zip(fromRaw).foreach { case (p, r) =>
+      assert(p.getLong(0) == r.getLong(0) && p.getLong(1) == r.getLong(1))
+      assert(p.getDouble(2) == r.getDouble(2) && p.getDouble(4) == r.getDouble(4))
+      assert(math.abs(p.getDouble(3) - r.getDouble(3)) < 1e-9)
+    }
+  }
+
+  test("multiAlign: k-way full-outer temporal join") {
+    val ua = "u-align-a"; val ub = "u-align-b"
+    db.createStream(ua, "test/align", Map("s" -> "a"))
+    db.createStream(ub, "test/align", Map("s" -> "b"))
+    insertPoints(ua, Seq((1L, 10.0), (3L, 30.0)))
+    insertPoints(ub, Seq((2L, 20.0), (3L, 33.0)))
+    db.flush(ua); db.flush(ub)
+    val rows = db.multiAlign(Seq(ua, ub), 0, 10).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(0).isNullAt(2) && rows(1).isNullAt(1))
+    assert(rows(2).getDouble(1) == 30.0 && rows(2).getDouble(2) == 33.0)
+  }
+
+  test("insert validation: NaN/Inf and out-of-domain times rejected") {
+    val uuid = "u-valid"
+    db.createStream(uuid, "test/valid", Map("t" -> "v"))
+    intercept[IllegalArgumentException] {
+      insertPoints(uuid, Seq((1L, Double.NaN)))
+    }
+    intercept[IllegalArgumentException] {
+      insertPoints(uuid, Seq((TimeConsts.MaximumTime, 1.0)))
+    }
+  }
+
+  test("obliterate: stream disappears from lookups; uuid cannot be recreated") {
+    db.createStream("u-obl", "test/obl", Map("t" -> "o"))
+    db.obliterate("u-obl")
+    assert(db.lookupStreams("test/obl").count() == 0)
+    intercept[IllegalArgumentException] {
+      db.createStream("u-obl", "test/obl2", Map("t" -> "o2"))
+    }
+  }
+
+  test("annotations: CAS update bumps version, stale CAS rejected") {
+    db.createStream("u-ann", "test/ann", Map("t" -> "a"), Map("owner" -> "alice"))
+    db.setAnnotations("u-ann", 0L, Map("owner" -> "bob"))
+    val r = db.catalog.filter(org.apache.spark.sql.functions.col("uuid") === "u-ann").head
+    assert(r.getAs[scala.collection.Map[String, String]]("annotations")("owner") == "bob")
+    assert(r.getAs[Long]("annotationVersion") == 1L)
+    intercept[IllegalArgumentException] {
+      db.setAnnotations("u-ann", 0L, Map("owner" -> "carol"))
+    }
+  }
+}
