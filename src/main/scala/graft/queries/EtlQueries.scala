@@ -92,17 +92,22 @@ object EtlQueries {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
          |ORDER BY a, b""".stripMargin) { (s, dir) =>
-      val sh = shinglesOf(docs(s, dir))
-      val mh = sh
-        .select(col("doc_id"), col("sh"),
-          explode(sequence(lit(0), lit(NumHashes - 1))).as("seed"))
-        .groupBy("doc_id", "seed")
-        .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh"))
-          .cast("binary"))).as("h"))
-      val bands = mh
-        .groupBy(col("doc_id"), expr(s"seed div $RowsPerBand").as("band"))
-        .agg(md5(expr("array_join(transform(array_sort(collect_list(struct(seed, h))), x -> x.h), '')")
-          .cast("binary")).as("sig"))
+      // One shuffle: the 16 per-seed minhashes are 16 agg columns of a
+      // single groupBy(doc_id) (min is duplicate-insensitive, so the
+      // shingle set needs no distinct). The oracle's row-per-seed CTE is
+      // algebraically identical.
+      val sh = shinglesOf(docs(s, dir), distinctShingles = false)
+      val aggs = (0 until NumHashes).map(seed =>
+        min(md5(concat(lit(s"$seed:"), col("sh")).cast("binary"))).as(s"h$seed"))
+      val mh = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      val bandCols = (0 until NumHashes / RowsPerBand).map { b =>
+        val sig = md5(concat((0 until RowsPerBand)
+          .map(r => col(s"h${b * RowsPerBand + r}")): _*).cast("binary"))
+        struct(lit(b).as("band"), sig.as("sig"))
+      }
+      val bands = mh.select(col("doc_id"),
+          explode(array(bandCols: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       val a = bands.select(col("doc_id").as("a"), col("band"), col("sig"))
       val b = bands.select(col("doc_id").as("b"), col("band"), col("sig"))
       a.join(b, Seq("band", "sig")).filter(col("a") < col("b"))
@@ -124,17 +129,19 @@ object EtlQueries {
          |SELECT doc_id,
          |  CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // One shuffle: the 16 bit-position votes are 16 agg columns of a
+      // single groupBy(doc_id) over the distinct-shingle set (votes are
+      // per distinct feature, so distinct matters here, unlike minhash).
       val sh = shinglesOf(docs(s, dir))
-      val bits = sh
-        .select(col("doc_id"), md5(col("sh").cast("binary")).as("h"),
-          explode(sequence(lit(0), lit(15))).as("j"))
-        .groupBy("doc_id", "j")
-        .agg(sum(when((instr(lit("0123456789abcdef"),
-            expr("substring(h, j + 1, 1)")) - 1) % 2 === 1, 1L)
-          .otherwise(-1L)).as("vote"))
-      bits.groupBy("doc_id")
-        .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
-          .otherwise(lit(0L))).cast("long").as("simhash"))
+        .select(col("doc_id"), md5(col("sh").cast("binary")).as("h"))
+      val votes = (0 until 16).map(j =>
+        sum(when((instr(lit("0123456789abcdef"),
+            substring(col("h"), j + 1, 1)) - 1) % 2 === 1, 1L)
+          .otherwise(-1L)).as(s"v$j"))
+      sh.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"),
+          (0 until 16).map(j => when(col(s"v$j") > 0, 1L << j).otherwise(0L))
+            .reduce(_ + _).cast("long").as("simhash"))
         .orderBy("doc_id")
     },
 
@@ -330,13 +337,16 @@ object EtlQueries {
         .orderBy("bucket")
     })
 
-  /** Distinct character shingles (ShingleLen-grams at ShingleStride). */
-  private def shinglesOf(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), col("text"),
+  /** Character shingles (ShingleLen-grams at ShingleStride), optionally
+    * distinct per doc. Duplicate-insensitive consumers (minhash MIN) skip
+    * the distinct and its shuffle. */
+  private def shinglesOf(d: DataFrame, distinctShingles: Boolean = true): DataFrame = {
+    val sh = d.select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")) - (ShingleLen - 1),
           lit(ShingleStride))).as("p"))
       .select(col("doc_id"), expr(s"substring(text, p, $ShingleLen)").as("sh"))
-      .distinct()
+    if (distinctShingles) sh.distinct() else sh
+  }
 
   /** Exact integer floor-div for non-negative int columns. */
   private def TimeOpsFloorDiv(a: Column, b: Long): Column =
