@@ -335,6 +335,15 @@ object EtlQueries {
         .groupBy("bucket")
         .agg(count(lit(1)).as("cnt"), min("vec_id").as("first_vec"))
         .orderBy("bucket")
+    },
+
+    // ---- Multimodal ---------------------------------------------------
+
+    // Binary-payload batch decode + feature extraction (decode stubbed,
+    // plumbing real — see graft.etl.Multimodal). Not SQL-expressible →
+    // rows-only check.
+    "q_multimodal" -> QueryDef.noOracle { (s, dir) =>
+      graft.etl.Multimodal.features(s, dir).drop("feature")
     })
 
   /** Character shingles (ShingleLen-grams at ShingleStride), optionally

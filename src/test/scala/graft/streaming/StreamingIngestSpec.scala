@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("streaming-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("streaming ingest lands valid points in staging, rejects bad ones, journals batches") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val root = Files.createTempDirectory("stream-root").toString
+    val ckpt = Files.createTempDirectory("stream-ckpt").toString
+
+    val mem = MemoryStream[(Long, Long, Double)]
+    val q = StreamingIngest.attach(
+      mem.toDF().toDF("sid", "time", "value"), root, ckpt)
+    mem.addData((1L, 100L, 1.5), (1L, 200L, 2.5), (2L, 100L, 9.0))
+    q.processAllAvailable()
+    mem.addData((1L, 300L, Double.NaN)) // rejected, not fatal
+    mem.addData((1L, 400L, 4.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val staged = spark.read.parquet(s"$root/staging")
+    assert(staged.count() == 4)
+    assert(staged.filter($"sid" === 1).count() == 3)
+    val rejects = spark.read.parquet(s"$root/rejects")
+    assert(rejects.count() == 1 && rejects.head.getLong(1) == 300L)
+    val journal = spark.read.parquet(s"$root/journal")
+    assert(journal.count() >= 2) // one entry per non-empty batch
+  }
+
+  test("windowed stat stream emits exact ns window starts") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[(Long, Long, Double)]
+    val out = StreamingIngest.statStream(
+      mem.toDF().toDF("sid", "time", "value"), pw = 30, lateness = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("stats")
+      .outputMode("append").start()
+    // two points in one 2^30-ns (~1.07 s) window, one in the next,
+    // then a point far ahead to close the earlier windows' watermark
+    val w0 = 0L
+    val w1 = 1L << 30
+    mem.addData((1L, w0 + 10L, 1.0), (1L, w0 + 20L, 3.0), (1L, w1 + 5L, 7.0))
+    q.processAllAvailable()
+    mem.addData((1L, (100L << 30) + 1L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT * FROM stats ORDER BY wstart").collect()
+    assert(rows.length >= 2)
+    assert(rows(0).getLong(1) == w0 && rows(0).getLong(2) == 2
+      && rows(0).getDouble(4) == 2.0) // wstart, cnt, mean
+    assert(rows(1).getLong(1) == w1 && rows(1).getLong(2) == 1)
+  }
+}
