@@ -46,8 +46,8 @@ object BtrdbQueries {
       s"""$P SELECT time, value FROM points
          |WHERE sid = 3 AND time >= $week1 AND time < $week2
          |ORDER BY time, value""".stripMargin) { (s, dir) =>
-      Tables.points(s, dir)
-        .filter(col("sid") === 3 && col("time") >= week1 && col("time") < week2)
+      Tables.timeSlice(Tables.points(s, dir), week1, week2)
+        .filter(col("sid") === 3)
         .select("time", "value")
         .orderBy("time", "value")
     },
@@ -74,7 +74,8 @@ object BtrdbQueries {
          |FROM points WHERE sid = 1 AND time >= $s42 AND time < $e42
          |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       StatOps.alignedWindows(
-        Tables.points(s, dir).filter(col("sid") === 1), pw42, T0, end28, keys = Nil)
+        Tables.timeSlice(Tables.points(s, dir), s42, e42)
+          .filter(col("sid") === 1), pw42, T0, end28, keys = Nil)
         .orderBy("wstart")
     },
 
@@ -91,21 +92,24 @@ object BtrdbQueries {
          |  COALESCE(vmean, 0.0) AS vmean, COALESCE(vmax, 0.0) AS vmax
          |FROM generate_series(0, 44) AS g(i) LEFT JOIN agg ON agg.i = g.i
          |ORDER BY 1""".stripMargin) { (s, dir) =>
-      StatOps.windows(Tables.points(s, dir), 5, T0, winEnd, DayNs).orderBy("i")
+      StatOps.windows(Tables.timeSlice(Tables.points(s, dir), T0, winEnd), 5,
+        T0, winEnd, DayNs).orderBy("i")
     },
 
     // W1 — Nearest forward: first point with t >= T (inclusive).
     "q_nearest_fwd" -> QueryDef(
       s"""$P SELECT time, value FROM points WHERE sid = 2 AND time >= $nearT
          |ORDER BY time, value LIMIT 1""".stripMargin) { (s, dir) =>
-      StatOps.nearest(Tables.points(s, dir), 2, nearT, backward = false)
+      StatOps.nearest(Tables.timeSlice(Tables.points(s, dir), nearT,
+        graft.core.TimeConsts.MaximumTime), 2, nearT, backward = false)
     },
 
     // W1 — Nearest backward: last point with t < T (exclusive).
     "q_nearest_back" -> QueryDef(
       s"""$P SELECT time, value FROM points WHERE sid = 2 AND time < $nearT
          |ORDER BY time DESC, value DESC LIMIT 1""".stripMargin) { (s, dir) =>
-      StatOps.nearest(Tables.points(s, dir), 2, nearT, backward = true)
+      StatOps.nearest(Tables.timeSlice(Tables.points(s, dir),
+        graft.core.TimeConsts.MinimumTime, nearT), 2, nearT, backward = true)
     },
 
     // W2 — Changes(1, 4, resolution=44): per-commit touched ranges snapped
@@ -158,7 +162,8 @@ object BtrdbQueries {
          |  ${meanSql()} AS vmean, MAX(value) AS vmax
          |FROM points WHERE sid = 0 AND time >= $s44 AND time < $e44
          |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-      val p = Tables.points(s, dir).filter(col("sid") === 0)
+      val p = Tables.timeSlice(Tables.points(s, dir), s44, e44)
+        .filter(col("sid") === 0)
       val committed = p.filter(col("version") <= 4)
       val staging = p.filter(col("version") === 5)
       StatOps.alignedWindows(
@@ -177,8 +182,8 @@ object BtrdbQueries {
       def cell(sid: Int) = meanFromCents(
         sum(when(col("sid") === sid, cents(col("value")))),
         count(when(col("sid") === sid, lit(1)))).as(s"s$sid")
-      Tables.points(s, dir)
-        .filter(col("sid") < 4 && col("time") >= s44 && col("time") < e44)
+      Tables.timeSlice(Tables.points(s, dir), s44, e44)
+        .filter(col("sid") < 4)
         .groupBy(TimeOps.clampTime(col("time"), pw44).as("wstart"))
         .agg(cell(0), cell(1), cell(2), cell(3))
         .orderBy("wstart")

@@ -46,7 +46,19 @@ object Tables {
       expr("(ts div 1000) * 1000").as("time"),
       col("value"),
       (expr(s"(((ts div 1000) * 1000) - ${T0}L) div ${WeekNs}L") + lit(1L)).as("version"),
-      col("event_type"))
+      col("event_type"),
+      col("ts").as("ts_raw"))
+
+  /** Time-range filter [lo, hi) on `time` that ALSO pushes to the parquet
+    * scan: `time` is an arithmetic derivation of `ts`, so a predicate on
+    * it alone cannot reach row-group stats. The conjoined raw-column
+    * bounds are a strict superset (trunc(ts) >= lo ⇒ ts >= lo;
+    * trunc(ts) < hi ⇒ ts < hi + 1000) — semantics unchanged, pushdown
+    * restored. At 100 TB this is the difference between a pruned scan
+    * and reading every row-group. */
+  def timeSlice(df: DataFrame, lo: Long, hi: Long): DataFrame =
+    df.filter(col("time") >= lo && col("time") < hi &&
+      col("ts_raw") >= lo && col("ts_raw") < hi + 1000L)
 
   /** DuckDB CTE text equivalent to [[points]]. Paste as `WITH points AS (...)`.
     * `time` is truncated to µs-aligned ns on BOTH sides because DuckDB ≤1.0

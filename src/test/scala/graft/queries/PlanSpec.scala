@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan guardrails: the properties that make these operators
+  * survive a 100 TB scale-up. A correctness-green query whose plan quietly
+  * stopped pushing filters or broadcasting its dim table is a regression
+  * these tests catch at CI time.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("plan-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("raw time-range scan pushes bounds to the parquet reader") {
+    val p = plan("q_raw_values")
+    assert(p.contains("PushedFilters:"), "scan node with pushdown")
+    assert(p.contains("GreaterThanOrEqual(ts"),
+      s"raw-column lower bound must be pushed, got:\n$p")
+    assert(p.contains("LessThan(ts"),
+      "raw-column upper bound must be pushed")
+  }
+
+  test("time-range scan prunes columns (no full-width read)") {
+    val p = plan("q_raw_values")
+    assert(p.contains("ReadSchema"), "parquet scan present")
+    assert(!p.contains("event_type"),
+      "unused columns must be pruned from the scan")
+  }
+
+  test("dim-fact joins broadcast the small side") {
+    assert(plan("q_join_agg").contains("BroadcastHashJoin"))
+    val nr = plan("q_nation_revenue")
+    assert(nr.contains("BroadcastHashJoin") &&
+      !nr.contains("SortMergeJoin"), "both dims must broadcast")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    assert(plan("q_topk_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("nearest compiles to a limit over a pruned scan, not a full sort+shuffle") {
+    val p = plan("q_nearest_fwd")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"nearest should be top-1-by-time, got:\n$p")
+  }
+
+  test("aligned windows aggregate partially before the exchange") {
+    val p = plan("q_aligned_windows")
+    assert(p.contains("HashAggregate"), "hash aggregation")
+    // partial + final pair: two HashAggregate nodes around one exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "map-side combine")
+  }
+
+  test("cosine top-k broadcasts the query vector") {
+    assert(plan("q_ann_topk").contains("BroadcastNestedLoopJoin") ||
+      plan("q_ann_topk").contains("BroadcastExchange"))
+  }
+}
