@@ -369,11 +369,36 @@ class Btrdb(val spark: SparkSession, val root: String,
 
   /** GenerateCSV / multi-stream temporal align: k streams full-outer
     * aligned on time (J1, /root/reference/grpcinterface/serve.go:888-1002). */
-  def multiAlign(uuids: Seq[String], start: Long, end: Long): DataFrame = {
-    val frames = uuids.zipWithIndex.map { case (u, i) =>
-      rawValues(u, start, end).select(col("time"), col("value").as(s"v$i"))
+  def multiAlign(uuids: Seq[String], start: Long, end: Long,
+                 labels: Seq[String] = Nil): DataFrame = {
+    val names = if (labels.nonEmpty) labels else uuids.indices.map(i => s"v$i")
+    val frames = uuids.zip(names).map { case (u, n) =>
+      rawValues(u, start, end).select(col("time"), col("value").as(n))
     }
     frames.reduce(_.join(_, Seq("time"), "full_outer")).orderBy("time")
+  }
+
+  /** GenerateCSV sink (S6): align k streams (raw points, or mean of
+    * 2^pw aligned windows) and write CSV with RFC3339-rendered times
+    * (/root/reference/grpcinterface/serve.go:975 — rendered at µs
+    * precision, the engine-internal ns column stays exact). */
+  def generateCsv(uuids: Seq[String], labels: Seq[String],
+                  start: Long, end: Long, outPath: String,
+                  alignedPw: Option[Int] = None): Unit = {
+    val aligned = alignedPw match {
+      case None => multiAlign(uuids, start, end, labels)
+      case Some(pw) =>
+        val frames = uuids.zip(labels).map { case (u, n) =>
+          alignedWindows(u, start, end, pw)
+            .select(col("wstart").as("time"), col("vmean").as(n))
+        }
+        frames.reduce(_.join(_, Seq("time"), "full_outer")).orderBy("time")
+    }
+    aligned
+      .withColumn("time", date_format(
+        timestamp_micros(expr("time div 1000")), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(outPath)
   }
 
   // ---- stat pyramid maintenance --------------------------------------

@@ -337,6 +337,61 @@ object EtlQueries {
         .orderBy("bucket")
     },
 
+    // IVF-style two-stage ANN: coarse sign-quantization to a bucket,
+    // probe the query's bucket plus Hamming-distance-1 neighbors, exact
+    // cosine rerank only on those candidates. At corpus scale the rerank
+    // set is |corpus| / 2^bits on average — the bucket join replaces the
+    // all-pairs scan.
+    "q_ann_ivf" -> QueryDef {
+      val bitsSql = (0 until 8)
+        .map(d => s"CASE WHEN embedding[${d + 1}] >= 0 THEN ${1 << d} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH bk AS (
+         |  SELECT vec_id, CAST($bitsSql AS BIGINT) AS bucket FROM embeddings),
+         |qb AS (SELECT bucket AS qbucket FROM bk WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT bk.vec_id FROM bk, qb
+         |  WHERE bk.vec_id <> 0 AND bit_count(xor(bk.bucket, qb.qbucket)) <= 1),
+         |sc AS (
+         |  SELECT vec_id, unnest(range(len(embedding))) AS i,
+         |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * $Scale, 0) AS BIGINT) AS v
+         |  FROM embeddings),
+         |q AS (SELECT i, v AS qv FROM sc WHERE vec_id = 0),
+         |dots AS (
+         |  SELECT sc.vec_id, SUM(sc.v * q.qv) AS dot, SUM(sc.v * sc.v) AS nn
+         |  FROM sc JOIN q ON sc.i = q.i
+         |  WHERE sc.vec_id IN (SELECT vec_id FROM cand) OR sc.vec_id = 0
+         |  GROUP BY sc.vec_id),
+         |qn AS (SELECT nn AS qnn FROM dots WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  CAST(dot AS DOUBLE) / (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(qnn AS DOUBLE))) AS cos
+         |FROM dots, qn WHERE vec_id <> 0
+         |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
+    } { (s, dir) =>
+      val bits = (0 until 8)
+        .map(d => when(element_at(col("embedding"), d + 1) >= 0f, 1L << d).otherwise(0L))
+        .reduce(_ + _)
+      val base = emb(s, dir).withColumn("bucket", bits.cast("long"))
+      val qrow = base.filter(col("vec_id") === 0)
+        .select(col("bucket").as("qbucket"),
+          expr(s"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * $Scale, 0) AS BIGINT))").as("qv"))
+      base.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qrow))
+        .filter(expr("bit_count(bucket ^ qbucket) <= 1"))
+        .select(col("vec_id"),
+          expr(s"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * $Scale, 0) AS BIGINT))").as("sv"),
+          col("qv"))
+        .select(col("vec_id"),
+          expr("aggregate(zip_with(sv, qv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("dot"),
+          expr("aggregate(sv, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)").as("nn"),
+          expr("aggregate(qv, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)").as("qnn"))
+        .select(col("vec_id"),
+          (col("dot").cast("double") /
+            (sqrt(col("nn").cast("double")) * sqrt(col("qnn").cast("double")))).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(5)
+    },
+
     // ---- Multimodal ---------------------------------------------------
 
     // Binary-payload batch decode + feature extraction (decode stubbed,

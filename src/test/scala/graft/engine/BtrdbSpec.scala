@@ -188,6 +188,21 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(2).getDouble(1) == 30.0 && rows(2).getDouble(2) == 33.0)
   }
 
+  test("generateCsv: RFC3339 header + aligned cells, empty cells for absent streams") {
+    val ua = "u-csv-a"; val ub = "u-csv-b"
+    db.createStream(ua, "test/csv", Map("s" -> "a"))
+    db.createStream(ub, "test/csv", Map("s" -> "b"))
+    insertPoints(ua, Seq((1000L, 10.0), (3000L, 30.0)))
+    insertPoints(ub, Seq((2000L, 20.0), (3000L, 33.0)))
+    db.flush(ua); db.flush(ub)
+    val dir = Files.createTempDirectory("csvout").toString + "/out"
+    db.generateCsv(Seq(ua, ub), Seq("a", "b"), 0, 10000, dir)
+    val lines = spark.read.option("header", "true").csv(dir).collect()
+    assert(lines.length == 3)
+    assert(lines(0).getString(0).startsWith("1970-01-01T00:00:00.000001"))
+    assert(lines(0).getString(1) == "10.0" && lines(0).getString(2) == null)
+  }
+
   test("insert validation: NaN/Inf and out-of-domain times rejected") {
     val uuid = "u-valid"
     db.createStream(uuid, "test/valid", Map("t" -> "v"))
