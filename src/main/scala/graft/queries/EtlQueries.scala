@@ -280,7 +280,7 @@ object EtlQueries {
          |SELECT vec_id, sqrt(CAST(SUM(v * v) AS DOUBLE)) / $Scale AS norm
          |FROM sc GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
       emb(s, dir).select(col("vec_id"),
-          (sqrt(expr(s"aggregate(transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * $Scale, 0) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v * v)")
+          (sqrt(graft.functions.FixedPointOps.fixedPointNormSq(col("embedding"))
             .cast("double")) / Scale).as("norm"))
         .orderBy("vec_id")
     },
@@ -301,19 +301,18 @@ object EtlQueries {
          |  CAST(dot AS DOUBLE) / (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(qnn AS DOUBLE))) AS cos
          |FROM dots, qn WHERE vec_id <> 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
-      val scaled = emb(s, dir).select(col("vec_id"),
-        expr(s"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * $Scale, 0) AS BIGINT))").as("sv"))
-      val q = scaled.filter(col("vec_id") === 0)
-        .select(col("sv").as("qv"))
-      scaled.filter(col("vec_id") =!= 0)
+      // native codegen'd fixed-point dot (graft.functions.FixedPointDot):
+      // same arithmetic as the oracle's scaled-int unnest/join, one fused
+      // loop per row instead of interpreted lambdas + array allocs
+      import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
+      val base = emb(s, dir)
+      val q = base.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+      base.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
-          expr("aggregate(zip_with(sv, qv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("dot"),
-          expr("aggregate(sv, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)").as("nn"),
-          expr("aggregate(qv, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)").as("qnn"))
-        .select(col("vec_id"),
-          (col("dot").cast("double") /
-            (sqrt(col("nn").cast("double")) * sqrt(col("qnn").cast("double")))).as("cos"))
+          (fixedPointDot(col("embedding"), col("qemb")).cast("double") /
+            (sqrt(fixedPointNormSq(col("embedding")).cast("double")) *
+              sqrt(fixedPointNormSq(col("qemb")).cast("double")))).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
     },
@@ -371,23 +370,17 @@ object EtlQueries {
       val bits = (0 until 8)
         .map(d => when(element_at(col("embedding"), d + 1) >= 0f, 1L << d).otherwise(0L))
         .reduce(_ + _)
+      import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
       val base = emb(s, dir).withColumn("bucket", bits.cast("long"))
       val qrow = base.filter(col("vec_id") === 0)
-        .select(col("bucket").as("qbucket"),
-          expr(s"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * $Scale, 0) AS BIGINT))").as("qv"))
+        .select(col("bucket").as("qbucket"), col("embedding").as("qemb"))
       base.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(qrow))
         .filter(expr("bit_count(bucket ^ qbucket) <= 1"))
         .select(col("vec_id"),
-          expr(s"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * $Scale, 0) AS BIGINT))").as("sv"),
-          col("qv"))
-        .select(col("vec_id"),
-          expr("aggregate(zip_with(sv, qv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("dot"),
-          expr("aggregate(sv, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)").as("nn"),
-          expr("aggregate(qv, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)").as("qnn"))
-        .select(col("vec_id"),
-          (col("dot").cast("double") /
-            (sqrt(col("nn").cast("double")) * sqrt(col("qnn").cast("double")))).as("cos"))
+          (fixedPointDot(col("embedding"), col("qemb")).cast("double") /
+            (sqrt(fixedPointNormSq(col("embedding")).cast("double")) *
+              sqrt(fixedPointNormSq(col("qemb")).cast("double")))).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(5)
     },
