@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.engine.Btrdb
+
+/** Ingest/scan throughput microbench for the engine facade: synthesizes
+  * N points, pushes them through insert→flush (validation, staging,
+  * commit, pyramid maintenance) and then times a full raw scan and an
+  * aligned stat query. Prints one JSON line.
+  * `sbt "runMain graft.IngestBench [nPoints]"`.
+  */
+object IngestBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("ingest-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val root = java.nio.file.Files.createTempDirectory("ingest-bench").toString
+    val db = new Btrdb(spark, root, sBuckets = 8, tBucketPw = 44,
+      pyramidLevels = Seq(20, 30))
+    db.createStream("bench-uuid", "bench/ingest", Map("kind" -> "synthetic"))
+
+    // synthetic stream: 1 point/µs with a noisy sine value
+    val pts = spark.range(n).select(
+      (col("id") * 1000L).as("time"),
+      (sin(col("id") / 1e5) * 100 + pmod(col("id"), lit(97)) / 97.0).as("value"))
+
+    val t0 = System.nanoTime()
+    db.insert("bench-uuid", pts)
+    db.flush("bench-uuid")
+    val tIngest = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val scanned = db.rawValues("bench-uuid", 0, n * 1000L).count()
+    val tScan = (System.nanoTime() - t1) / 1e9
+
+    val t2 = System.nanoTime()
+    val wins = db.alignedWindows("bench-uuid", 0, n * 1000L, 30).count()
+    val tStat = (System.nanoTime() - t2) / 1e9
+
+    println(f"""{"points":$n,"ingest_s":$tIngest%.3f,"ingest_pts_per_s":${(n / tIngest).toLong},"scan_s":$tScan%.3f,"scan_pts_per_s":${(scanned / tScan).toLong},"stat_s":$tStat%.3f,"stat_windows":$wins}""")
+    spark.stop()
+  }
+}

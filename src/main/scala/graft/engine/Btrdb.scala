@@ -57,7 +57,35 @@ class Btrdb(val spark: SparkSession, val root: String,
 
   // ---- catalog (mprovider equivalent) --------------------------------
 
-  def catalog: DataFrame = readOr("catalog", CatalogSchema)
+  @volatile private var catalogCache: DataFrame = null
+  @volatile private var commitsCache: DataFrame = null
+  /** In-memory staged-point counts per sid (minor versions) — seeded
+    * lazily from the staging dir, maintained on insert/flush so the hot
+    * path never re-counts parquet. */
+  private val minorCounts = scala.collection.mutable.Map.empty[Long, Long]
+  @volatile private var minorSeeded = false
+
+  private def invalidateCatalog(): Unit = synchronized {
+    if (catalogCache != null) catalogCache.unpersist()
+    catalogCache = null
+  }
+  private def invalidateCommits(): Unit = synchronized {
+    if (commitsCache != null) commitsCache.unpersist()
+    commitsCache = null
+  }
+
+  def catalog: DataFrame = {
+    var c = catalogCache
+    if (c == null) synchronized {
+      c = catalogCache
+      if (c == null) {
+        c = readOr("catalog", CatalogSchema).cache()
+        c.count()
+        catalogCache = c
+      }
+    }
+    c
+  }
 
   /** CreateStream: uuid and (collection, tags) must be unique among live
     * streams; tombstoned uuids may never be reused
@@ -84,6 +112,7 @@ class Btrdb(val spark: SparkSession, val root: String,
         "annotationVersion", "tombstoned")
     row.write.mode(SaveMode.Append).parquet(path("catalog"))
     cat.unpersist()
+    invalidateCatalog()
     sid
   }
 
@@ -156,6 +185,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     val tmp = path("catalog_tmp")
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
     spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path("catalog"))
+    invalidateCatalog()
   }
 
   private def sidOf(uuid: String): Long =
@@ -164,19 +194,46 @@ class Btrdb(val spark: SparkSession, val root: String,
 
   // ---- versioned storage ---------------------------------------------
 
-  def commits: DataFrame = readOr("commits", CommitSchema)
+  def commits: DataFrame = {
+    var c = commitsCache
+    if (c == null) synchronized {
+      c = commitsCache
+      if (c == null) {
+        c = readOr("commits", CommitSchema).cache()
+        c.count()
+        commitsCache = c
+      }
+    }
+    c
+  }
   private def stagingDf: DataFrame = readOr("staging", StagingSchema)
+
+  private def seedMinors(): Unit = synchronized {
+    if (!minorSeeded) {
+      stagingDf.groupBy("sid").count().collect()
+        .foreach(r => minorCounts(r.getLong(0)) = r.getLong(1))
+      minorSeeded = true
+    }
+  }
+  private def minorOf(sid: Long): Long = { seedMinors(); minorCounts.getOrElse(sid, 0L) }
+
+  /** Re-seed staged counts from disk — call after an external writer
+    * (e.g. StreamingIngest) appended to this root's staging area. */
+  def refreshStaging(): Unit = synchronized {
+    minorCounts.clear(); minorSeeded = false
+  }
 
   /** (major, minor) version of a stream: major = last committed
     * generation, minor = staged (unflushed) point count
     * (/root/reference/pqm.go:337-355). */
   def version(uuid: String): (Long, Long) = {
     val sid = sidOf(uuid)
-    val maj = commits.filter(col("sid") === sid)
-      .agg(coalesce(max("version"), lit(0L))).head.getLong(0)
-    val minor = stagingDf.filter(col("sid") === sid).count()
-    (maj, minor)
+    (majorOf(sid), minorOf(sid))
   }
+
+  private def majorOf(sid: Long): Long =
+    commits.filter(col("sid") === sid)
+      .agg(coalesce(max("version"), lit(0L))).head.getLong(0)
 
   /** Insert: validate, stage; auto-commit when the buffer crosses the
     * threshold (PQM semantics, /root/reference/pqm.go:510-625).
@@ -185,13 +242,50 @@ class Btrdb(val spark: SparkSession, val root: String,
     val sid = sidOf(uuid)
     val batch = points.select(lit(sid).as("sid"),
       col("time").cast("long").as("time"), col("value").cast("double").as("value"))
-    val bad = batch.filter(!TimeOps.validPoint(col("time"), col("value"))).count()
+    // one pass: validation + count + time envelope together
+    val st = batch.agg(
+      count(lit(1)), sum(when(!TimeOps.validPoint(col("time"), col("value")), 1L)),
+      min("time"), max("time")).head
+    val n = st.getLong(0)
+    if (n == 0) return version(uuid)
+    val bad = if (st.isNullAt(1)) 0L else st.getLong(1)
     require(bad == 0, s"$bad points rejected: NaN/Inf value or time out of range")
-    batch.sortWithinPartitions("time")
-      .write.mode(SaveMode.Append).parquet(path("staging"))
-    val staged = stagingDf.filter(col("sid") === sid).count()
-    if (staged >= bufferCommitThreshold) { flush(uuid); version(uuid) }
-    else version(uuid)
+    val (tmin, tmax) = (st.getLong(2), st.getLong(3))
+    if (minorOf(sid) == 0 && n >= bufferCommitThreshold) {
+      // large batch, empty buffer: commit directly — no staging round-trip
+      commitBatch(sid, batch, tmin, tmax, n)
+      version(uuid)
+    } else {
+      batch.sortWithinPartitions("time")
+        .write.mode(SaveMode.Append).parquet(path("staging"))
+      minorCounts(sid) = minorOf(sid) + n
+      if (minorOf(sid) >= bufferCommitThreshold) flush(uuid)
+      version(uuid)
+    }
+  }
+
+  /** Commit a validated batch as the stream's next generation: write the
+    * partitioned point files, the commit record, and recompute exactly
+    * the rollup buckets the commit touches. */
+  private def commitBatch(sid: Long, batch: DataFrame,
+                          tmin: Long, tmax: Long, n: Long): Long = {
+    val v = majorOf(sid) + 1
+    batch
+      .withColumn("version", lit(v))
+      .withColumn("sbucket", pmod(col("sid"), lit(sBuckets)))
+      .withColumn("tbucket", shiftright(col("time"), tBucketPw))
+      // no repartition: a full shuffle per ingest batch is the wrong
+      // trade at scale — file count is bounded by input partitions ×
+      // touched tbuckets per batch (time-contiguous batches touch few),
+      // and sortWithinPartitions keeps per-file row-group time stats
+      // tight for pushdown
+      .sortWithinPartitions("sid", "time")
+      .write.mode(SaveMode.Append)
+      .partitionBy("sbucket", "tbucket")
+      .parquet(path("points"))
+    appendCommit(sid, v, "insert", tmin, tmax, n)
+    maintainPyramid(sid, tmin, tmax + 1)
+    v
   }
 
   /** Flush: staged points → committed log at version major+1; write the
@@ -199,27 +293,12 @@ class Btrdb(val spark: SparkSession, val root: String,
     * (/root/reference/quasar.go:221-229). */
   def flush(uuid: String): (Long, Long) = {
     val sid = sidOf(uuid)
+    if (minorOf(sid) == 0) return version(uuid)
     val staged = stagingDf.filter(col("sid") === sid).cache()
-    val n = staged.count()
-    if (n == 0) return version(uuid)
-    val maj = commits.filter(col("sid") === sid)
-      .agg(coalesce(max("version"), lit(0L))).head.getLong(0)
-    val v = maj + 1
-    val envelope = staged.agg(min("time"), max("time")).head
-    val (tmin, tmax) = (envelope.getLong(0), envelope.getLong(1))
-
-    staged
-      .withColumn("version", lit(v))
-      .withColumn("sbucket", pmod(col("sid"), lit(sBuckets)))
-      .withColumn("tbucket", shiftright(col("time"), tBucketPw))
-      .repartition(col("sbucket"), col("tbucket"))
-      .sortWithinPartitions("sid", "time")
-      .write.mode(SaveMode.Append)
-      .partitionBy("sbucket", "tbucket")
-      .parquet(path("points"))
-
-    appendCommit(sid, v, "insert", tmin, tmax, n)
-    maintainPyramid(sid, tmin, tmax + 1)
+    val st = staged.agg(count(lit(1)), min("time"), max("time")).head
+    val n = st.getLong(0)
+    if (n == 0) { staged.unpersist(); minorCounts(sid) = 0; return version(uuid) }
+    commitBatch(sid, staged, st.getLong(1), st.getLong(2), n)
 
     // clear this stream's staging (rewrite others; staging is small by
     // construction — it holds < threshold points per stream)
@@ -230,6 +309,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     others.write.mode(SaveMode.Overwrite).parquet(tmp)
     spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path("staging"))
     others.unpersist()
+    minorCounts(sid) = 0
     version(uuid)
   }
 
@@ -238,18 +318,18 @@ class Btrdb(val spark: SparkSession, val root: String,
   def deleteRange(uuid: String, start: Long, end: Long): (Long, Long) = {
     val sid = sidOf(uuid)
     flush(uuid) // deletes apply to committed data, like the reference
-    val maj = commits.filter(col("sid") === sid)
-      .agg(coalesce(max("version"), lit(0L))).head.getLong(0)
-    appendCommit(sid, maj + 1, "delete", start, end, 0)
+    appendCommit(sid, majorOf(sid) + 1, "delete", start, end, 0)
     maintainPyramid(sid, start, end)
     version(uuid)
   }
 
   private def appendCommit(sid: Long, v: Long, kind: String,
-                           tmin: Long, tmax: Long, n: Long): Unit =
+                           tmin: Long, tmax: Long, n: Long): Unit = {
     spark.createDataFrame(Seq((sid, v, kind, tmin, tmax, n)))
       .toDF("sid", "version", "kind", "tmin", "tmax", "npoints")
       .write.mode(SaveMode.Append).parquet(path("commits"))
+    invalidateCommits()
+  }
 
   /** Snapshot of one stream's committed points at `version`: version pin
     * + delete anti-filters, both derived from the (tiny, broadcast)
@@ -306,7 +386,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     val level = pyramidLevels.filter(_ <= pw).sorted.lastOption
     val usable = level.exists(l => exists(s"pyramid/pw=$l")) &&
       version == TimeConsts.LatestGeneration &&
-      stagingDf.filter(col("sid") === sid).isEmpty &&
+      minorOf(sid) == 0 &&
       commits.filter(col("sid") === sid && col("kind") === "delete").isEmpty
     if (usable) {
       val l = level.get
@@ -406,27 +486,49 @@ class Btrdb(val spark: SparkSession, val root: String,
   /** Recompute exactly the rollup buckets the commit touched — the
     * distributed CGeneration trick. With dynamic partition overwrite only
     * the dirtied sbucket partitions rewrite. */
-  private def maintainPyramid(sid: Long, tmin: Long, tmax: Long): Unit =
-    pyramidLevels.foreach { pw =>
-      val lo = TimeOps.alignDown(tmin, pw)
-      val hi = TimeOps.alignDown(tmax - 1, pw) + (1L << pw)
-      val fresh = pointsAt(uuidBySid(sid), TimeConsts.LatestGeneration, lo, hi)
-        .groupBy(TimeOps.clampTime(col("time"), pw).as("wstart"))
-        .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
-          max("value").as("vmax"), sum("value").as("vsum"))
-        .withColumn("sid", lit(sid))
+  private def maintainPyramid(sid: Long, tmin: Long, tmax: Long): Unit = {
+    if (pyramidLevels.isEmpty) return
+    // ONE raw scan at the finest level; coarser levels combine the
+    // finer rollup (count/min/max/sum compose exactly) — the same
+    // bottom-up build as the reference's LinkAndStore backpatch
+    // (/root/reference/internal/bstore/linker.go:51-141).
+    val sorted = pyramidLevels.sorted
+    val base = sorted.head
+    val lo0 = TimeOps.alignDown(tmin, sorted.last)
+    val hi0 = TimeOps.alignDown(tmax - 1, sorted.last) + (1L << sorted.last)
+    var fresh = pointsAt(uuidBySid(sid), TimeConsts.LatestGeneration, lo0, hi0)
+      .groupBy(TimeOps.clampTime(col("time"), base).as("wstart"))
+      .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
+        max("value").as("vmax"), sum("value").as("vsum"))
+      .withColumn("sid", lit(sid))
+      .cache()
+    sorted.foreach { pw =>
+      if (pw != base) {
+        val prev = fresh
+        fresh = prev
+          .groupBy(TimeOps.clampTime(col("wstart"), pw).as("wstart"))
+          .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
+            max("vmax").as("vmax"), sum("vsum").as("vsum"))
+          .withColumn("sid", lit(sid))
+          .cache()
+        prev.unpersist()
+      }
+      // the replaced window range is the coarsest-aligned [lo0, hi0) at
+      // EVERY level — exactly what `fresh` covers
       val part = s"pyramid/pw=$pw"
-      val existing = if (exists(part)) spark.read.parquet(path(part)) else null
-      val untouched = if (existing == null) null
-        else existing.filter(!(col("sid") === sid &&
-          col("wstart") >= lo && col("wstart") < hi))
-      val merged = if (untouched == null) fresh
-        else untouched.select("sid", "wstart", "cnt", "vmin", "vmax", "vsum")
-          .unionByName(fresh.select("sid", "wstart", "cnt", "vmin", "vmax", "vsum"))
+      val cols = Seq("sid", "wstart", "cnt", "vmin", "vmax", "vsum")
+      val merged =
+        if (!exists(part)) fresh.select(cols.map(col): _*)
+        else spark.read.parquet(path(part))
+          .filter(!(col("sid") === sid && col("wstart") >= lo0 && col("wstart") < hi0))
+          .select(cols.map(col): _*)
+          .unionByName(fresh.select(cols.map(col): _*))
       val tmp = path(s"pyramid_tmp/pw=$pw")
       merged.write.mode(SaveMode.Overwrite).parquet(tmp)
       spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path(part))
     }
+    fresh.unpersist()
+  }
 
   private def uuidBySid(sid: Long): String =
     catalog.filter(col("sid") === sid).select("uuid").head.getString(0)
