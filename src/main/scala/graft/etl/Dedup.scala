@@ -1,0 +1,104 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reusable near-duplicate detection pipeline for document corpora:
+  *
+  *   shingle → MinHash signatures → LSH bands → candidate pairs →
+  *   connected components → canonical-per-cluster dedup verdict.
+  *
+  * All stages are DataFrame programs. The pair stage is banded (LSH), so
+  * it is linear in bucket sizes, and the clustering is iterative
+  * min-label propagation over the candidate graph — O(cluster diameter)
+  * rounds, each one join + one groupBy, with localCheckpoint to keep the
+  * lineage flat. Nothing is collected to the driver except the
+  * convergence flag (one count per round).
+  */
+object Dedup {
+
+  /** stride MUST stay 1 for edit-robustness: with stride > 1 a single
+    * character insertion shifts every later shingle sampling position,
+    * making the shingle sets of near-identical docs disjoint. At stride 1
+    * the shingle SET is position-independent — an edit perturbs only
+    * ~shingleLen shingles. */
+  final case class Params(
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleLen: Int = 8,
+      stride: Int = 1)
+
+  /** Character shingles (not distinct — MinHash MIN is duplicate-
+    * insensitive). `docs` must have (id LONG, text STRING). */
+  def shingles(docs: DataFrame, p: Params = Params()): DataFrame =
+    docs.select(col("id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (p.shingleLen - 1),
+          lit(p.stride))).as("pos"))
+      .select(col("id"), expr(s"substring(text, pos, ${p.shingleLen})").as("sh"))
+
+  /** Per-doc LSH band signatures: (id, band, sig). One shuffle — the
+    * numHashes min-aggregates are columns of a single groupBy. */
+  def bandSignatures(docs: DataFrame, p: Params = Params()): DataFrame = {
+    val aggs = (0 until p.numHashes).map(seed =>
+      min(md5(concat(lit(s"$seed:"), col("sh")).cast("binary"))).as(s"h$seed"))
+    val mh = shingles(docs, p).groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until p.numHashes / p.rowsPerBand).map { b =>
+      val sig = md5(concat((0 until p.rowsPerBand)
+        .map(r => col(s"h${b * p.rowsPerBand + r}")): _*).cast("binary"))
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    mh.select(col("id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Near-dup candidate pairs (a < b) from shared LSH buckets. */
+  def candidatePairs(docs: DataFrame, p: Params = Params()): DataFrame = {
+    val bands = bandSignatures(docs, p)
+    val a = bands.select(col("id").as("a"), col("band"), col("sig"))
+    val b = bands.select(col("id").as("b"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Connected components over an undirected pair graph: returns
+    * (id, cluster) where cluster = min id in the component. Iterative
+    * min-label propagation; rounds = graph diameter (near-dup clusters
+    * are shallow — a handful of rounds in practice). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("cluster", "nCluster"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("nCluster").as("nMin"))
+      val next = labels.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nMin"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Full dedup verdict for a corpus: every doc labeled with its cluster
+    * and whether it is the cluster's canonical (minimum-id) member.
+    * Docs in no candidate pair are their own singleton cluster. */
+  def dedup(docs: DataFrame, p: Params = Params()): DataFrame = {
+    val clusters = connectedComponents(candidatePairs(docs, p))
+    docs.select(col("id"))
+      .join(clusters, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+      .withColumn("is_canonical", col("id") === col("cluster"))
+  }
+}
