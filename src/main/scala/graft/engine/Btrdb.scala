@@ -223,6 +223,18 @@ class Btrdb(val spark: SparkSession, val root: String,
     minorCounts.clear(); minorSeeded = false
   }
 
+  /** StreamInfo: descriptor + (major, minor) version
+    * (/root/reference/grpcinterface/serve.go StreamInfo RPC). */
+  def streamInfo(uuid: String): (StreamDescInfo, Long, Long) = {
+    val r = catalog.filter(col("uuid") === uuid && !col("tombstoned")).head
+    val (maj, minor) = version(uuid)
+    (StreamDescInfo(
+      r.getAs[String]("uuid"), r.getAs[Long]("sid"), r.getAs[String]("collection"),
+      r.getAs[scala.collection.Map[String, String]]("tags").toMap,
+      r.getAs[scala.collection.Map[String, String]]("annotations").toMap,
+      r.getAs[Long]("annotationVersion")), maj, minor)
+  }
+
   /** (major, minor) version of a stream: major = last committed
     * generation, minor = staged (unflushed) point count
     * (/root/reference/pqm.go:337-355). */
@@ -281,6 +293,8 @@ class Btrdb(val spark: SparkSession, val root: String,
       // tight for pushdown
       .sortWithinPartitions("sid", "time")
       .write.mode(SaveMode.Append)
+      .option("compression", "zstd") // columnar analog of the reference's
+                                     // delta-delta+varint (~2.9x, FAST'16)
       .partitionBy("sbucket", "tbucket")
       .parquet(path("points"))
     appendCommit(sid, v, "insert", tmin, tmax, n)
@@ -321,6 +335,70 @@ class Btrdb(val spark: SparkSession, val root: String,
     appendCommit(sid, majorOf(sid) + 1, "delete", start, end, 0)
     maintainPyramid(sid, start, end)
     version(uuid)
+  }
+
+  /** Compact one stream: materialize its latest-visible snapshot (delete
+    * anti-filters applied, old generations dropped), rewrite its sbucket
+    * partition, and collapse its commit history to a single generation.
+    * Merge-on-read debt goes to zero and the pyramid fast path (disabled
+    * while delete commits exist) is re-enabled. Trade-off, documented:
+    * time travel below the current major version is forfeited for this
+    * stream. Cost is proportional to the stream's sbucket partition, not
+    * the table. */
+  def compact(uuid: String): Long = {
+    val sid = sidOf(uuid)
+    flush(uuid)
+    val maj = majorOf(sid)
+    if (maj == 0) return 0
+    val bucket = sid % sBuckets
+    // materialize the bucket BEFORE touching files (localCheckpoint is
+    // eager — the rewrite below deletes the source directory)
+    val bucketDf = readOr("points", PointsSchema)
+      .filter(col("sbucket") === bucket).localCheckpoint()
+    val compacted = {
+      val deletes = commits
+        .filter(col("sid") === sid && col("kind") === "delete")
+        .select("version", "tmin", "tmax").collect()
+      val own = bucketDf.filter(col("sid") === sid)
+      deletes.foldLeft(own) { (df, d) =>
+        df.filter(!(col("time") >= d.getLong(1) && col("time") < d.getLong(2) &&
+          col("version") < d.getLong(0)))
+      }.withColumn("version", lit(maj))
+    }
+    val st = compacted.agg(count(lit(1)),
+      coalesce(min("time"), lit(0L)), coalesce(max("time"), lit(0L))).head
+    val (n, tmin, tmax) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    val rewritten = bucketDf.filter(col("sid") =!= sid)
+      .unionByName(compacted)
+      .withColumn("tbucket", shiftright(col("time"), tBucketPw))
+      .localCheckpoint()
+    deleteDir(s"points/sbucket=$bucket")
+    rewritten.drop("sbucket")
+      .withColumn("sbucket", lit(bucket))
+      .sortWithinPartitions("sid", "time")
+      .write.mode(SaveMode.Append)
+      .option("compression", "zstd")
+      .partitionBy("sbucket", "tbucket")
+      .parquet(path("points"))
+    // collapse this stream's commit history to one generation
+    val keep = commits.filter(col("sid") =!= sid)
+      .select("sid", "version", "kind", "tmin", "tmax", "npoints")
+      .unionByName(spark.createDataFrame(Seq((sid, maj, "insert", tmin, tmax, n)))
+        .toDF("sid", "version", "kind", "tmin", "tmax", "npoints"))
+      .localCheckpoint()
+    deleteDir("commits")
+    keep.write.mode(SaveMode.Overwrite).parquet(path("commits"))
+    invalidateCommits()
+    if (n > 0) maintainPyramid(sid, tmin, tmax + 1)
+    maj
+  }
+
+  private def deleteDir(part: String): Unit = {
+    val p = Paths.get(path(part).stripPrefix("file:"))
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
   }
 
   private def appendCommit(sid: Long, v: Long, kind: String,
@@ -533,6 +611,11 @@ class Btrdb(val spark: SparkSession, val root: String,
   private def uuidBySid(sid: Long): String =
     catalog.filter(col("sid") === sid).select("uuid").head.getString(0)
 }
+
+final case class StreamDescInfo(
+    uuid: String, sid: Long, collection: String,
+    tags: Map[String, String], annotations: Map[String, String],
+    annotationVersion: Long)
 
 object Btrdb {
   val CatalogSchema =

@@ -1,0 +1,19 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions hook registering the engine's native
+  * expressions for SQL use — enable with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * programmatically via `withExtensions`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("fixed_point_dot"),
+      new ExpressionInfo(classOf[FixedPointDot].getName, "fixed_point_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FixedPointDot(exprs(0), exprs(1))))
+  }
+}

@@ -144,6 +144,29 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ch2.length == 1 && ch2.head.getLong(0) == 500 && ch2.head.getLong(1) == 501)
   }
 
+  test("compact: collapses generations, applies deletes, re-enables pyramid path") {
+    val uuid = "u-compact"
+    db.createStream(uuid, "test/compact", Map("t" -> "c"))
+    insertPoints(uuid, (0L until 500L).map(t => (t, t.toDouble)))
+    db.flush(uuid) // v1
+    insertPoints(uuid, (500L until 1000L).map(t => (t, t.toDouble)))
+    db.flush(uuid) // v2
+    db.deleteRange(uuid, 100, 900) // v3
+    val before = db.rawValues(uuid, 0, 1000).collect().map(_.getLong(0)).toSeq
+    assert(before.length == 200)
+    val maj = db.compact(uuid)
+    assert(maj == 3)
+    val after = db.rawValues(uuid, 0, 1000).collect().map(_.getLong(0)).toSeq
+    assert(after == before)
+    // commit history collapsed to one generation, delete gone
+    assert(db.commits.filter(org.apache.spark.sql.functions.col("sid") ===
+      db.catalog.filter(org.apache.spark.sql.functions.col("uuid") === uuid)
+        .head.getAs[Long]("sid")).count() == 1)
+    // stat queries still correct post-compaction
+    val stat = db.alignedWindows(uuid, 0, 1024, 10).collect()
+    assert(stat.map(_.getLong(1)).sum == 200)
+  }
+
   test("windows: arbitrary width with hole emission and end truncation") {
     val uuid = "u-windows"
     db.createStream(uuid, "test/windows", Map("t" -> "win"))
