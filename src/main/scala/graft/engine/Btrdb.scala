@@ -116,16 +116,53 @@ class Btrdb(val spark: SparkSession, val root: String,
     sid
   }
 
+  /** Bulk stream creation — one catalog write for N streams (the
+    * per-stream path costs a Spark job each; catalogs are created in
+    * bulk at 10k-stream scale, mp_test.go:285). Same uniqueness rules. */
+  def createStreams(streams: Seq[(String, String, Map[String, String])]): Seq[Long] = {
+    val cat = catalog
+    val canon = (t: Map[String, String]) =>
+      t.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+    val existingUuids = cat.select("uuid").collect().map(_.getString(0)).toSet
+    val existingKeys = cat.filter(!col("tombstoned"))
+      .select("collection", "tags").collect()
+      .map(r => (r.getString(0),
+        canon(r.getAs[scala.collection.Map[String, String]]("tags").toMap))).toSet
+    val dupIn = streams.groupBy(s => (s._2, canon(s._3))).exists(_._2.size > 1)
+    require(!dupIn, "duplicate (collection, tags) within batch")
+    streams.foreach { case (u, c, t) =>
+      require(!existingUuids.contains(u), s"uuid exists/tombstoned: $u")
+      require(!existingKeys.contains((c, canon(t))), s"(collection, tags) exists: $c")
+      require(t.size <= 32, "tag limit")
+    }
+    val sid0 = cat.agg(coalesce(max("sid"), lit(-1L))).head.getLong(0) + 1
+    val rows = streams.zipWithIndex.map { case ((u, c, t), i) =>
+      (u, sid0 + i, c, t, Map.empty[String, String], 0L, false)
+    }
+    spark.createDataFrame(rows)
+      .toDF("uuid", "sid", "collection", "tags", "annotations",
+        "annotationVersion", "tombstoned")
+      .write.mode(SaveMode.Append).parquet(path("catalog"))
+    invalidateCatalog()
+    rows.map(_._2)
+  }
+
   /** LookupStreams: tag/annotation predicates; None ⇒ key must exist
     * (/root/reference/internal/mprovider/lookup.go:209-292). */
   def lookupStreams(collectionPrefix: String,
-                    tags: Map[String, Option[String]] = Map.empty): DataFrame =
-    tags.foldLeft(
+                    tags: Map[String, Option[String]] = Map.empty,
+                    annotations: Map[String, Option[String]] = Map.empty): DataFrame = {
+    val base = tags.foldLeft(
       catalog.filter(!col("tombstoned") &&
         col("collection").startsWith(collectionPrefix))) {
       case (df, (k, Some(v))) => df.filter(col("tags")(k) === v)
       case (df, (k, None))    => df.filter(col("tags")(k).isNotNull)
     }
+    annotations.foldLeft(base) {
+      case (df, (k, Some(v))) => df.filter(col("annotations")(k) === v)
+      case (df, (k, None))    => df.filter(col("annotations")(k).isNotNull)
+    }
+  }
 
   /** ListCollections with prefix + cursor + limit (≤10k,
     * /root/reference/internal/mprovider/metaprovider.go:423-451). */
@@ -485,13 +522,34 @@ class Btrdb(val spark: SparkSession, val root: String,
   /** Windows: arbitrary width, end truncated to whole windows, empty
     * windows emitted with zeros (/root/reference/quasar.go:306-346). */
   def windows(uuid: String, start: Long, end: Long, width: Long,
-              version: Long = TimeConsts.LatestGeneration): DataFrame = {
+              version: Long = TimeConsts.LatestGeneration,
+              depth: Int = 0): DataFrame = {
     val e = TimeOps.truncateEnd(start, end, width)
     val n = (e - start) / width
-    val agg0 = readable(uuid, version, start, e)
-      .groupBy(TimeOps.windowIndex(col("time"), start, width).as("i"))
-      .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
-        avg("value").as("vmean"), max("value").as("vmax"))
+    // `depth` (reference /root/reference/quasar.go:306-346): below
+    // pointwidth `depth` a whole 2^depth bucket is attributed to the
+    // window holding its START — approximate boundaries, exact counts,
+    // in exchange for reading the rollup instead of raw points. depth=0
+    // is exact. Emulated here by sourcing from the pyramid level ≤ depth
+    // when one exists and the stream has no merge-on-read debt.
+    val sid = sidOf(uuid)
+    val level = pyramidLevels.filter(_ <= depth).sorted.lastOption
+      .filter(l => exists(s"pyramid/pw=$l") &&
+        version == TimeConsts.LatestGeneration && minorOf(sid) == 0 &&
+        commits.filter(col("sid") === sid && col("kind") === "delete").isEmpty)
+    val agg0 = level match {
+      case Some(l) =>
+        spark.read.parquet(path(s"pyramid/pw=$l"))
+          .filter(col("sid") === sid && col("wstart") >= start && col("wstart") < e)
+          .groupBy(TimeOps.windowIndex(col("wstart"), start, width).as("i"))
+          .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
+            (sum("vsum") / sum("cnt")).as("vmean"), max("vmax").as("vmax"))
+      case None =>
+        readable(uuid, version, start, e)
+          .groupBy(TimeOps.windowIndex(col("time"), start, width).as("i"))
+          .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
+            avg("value").as("vmean"), max("value").as("vmax"))
+    }
     spark.range(n).toDF("i").join(agg0, Seq("i"), "left_outer")
       .select(col("i"), (col("i") * width + start).as("wstart"),
         coalesce(col("cnt"), lit(0L)).as("cnt"),

@@ -189,6 +189,31 @@ object BtrdbQueries {
         .orderBy("wstart")
     },
 
+    // J1 (raw mode) — k-way full-outer align on exact timestamps: each
+    // output row is one instant; streams without a point there are NULL
+    // (GenerateCSV raw semantics). Per-(sid,time) max() guards the join
+    // against duplicate-timestamp blowup on both sides identically.
+    "q_multi_align_raw" -> QueryDef(
+      s"""$P, p AS (
+         |  SELECT sid, time, MAX(value) AS v FROM points
+         |  WHERE sid < 3 AND time >= $week1 AND time < ${week1 + 3 * DayNs}
+         |  GROUP BY sid, time),
+         |s0 AS (SELECT time, v AS v0 FROM p WHERE sid = 0),
+         |s1 AS (SELECT time, v AS v1 FROM p WHERE sid = 1),
+         |s2 AS (SELECT time, v AS v2 FROM p WHERE sid = 2)
+         |SELECT COALESCE(s0.time, s1.time, s2.time) AS time, v0, v1, v2
+         |FROM s0
+         |FULL JOIN s1 ON s0.time = s1.time
+         |FULL JOIN s2 ON COALESCE(s0.time, s1.time) = s2.time
+         |ORDER BY time""".stripMargin) { (s, dir) =>
+      val p = Tables.timeSlice(Tables.points(s, dir), week1, week1 + 3 * DayNs)
+        .filter(col("sid") < 3)
+        .groupBy("sid", "time").agg(max("value").as("v"))
+      val frames = (0 to 2).map(i =>
+        p.filter(col("sid") === i).select(col("time"), col("v").as(s"v$i")))
+      frames.reduce(_.join(_, Seq("time"), "full_outer")).orderBy("time")
+    },
+
     // A1/A2 — stat pyramid: rollup at pw=38 combined up to pw=44; the
     // oracle aggregates raw points directly — exact-integer stats make
     // the two algebraically identical (count/min/max/sum compose).

@@ -198,6 +198,41 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("catalog at scale: bulk create 1000 streams, lookup by tag and annotation") {
+    val streams = (0 until 1000).map(i =>
+      (s"u-bulk-$i", s"bulk/c${i % 10}", Map("shard" -> s"${i % 7}", "idx" -> s"$i")))
+    val sids = db.createStreams(streams)
+    assert(sids.length == 1000 && sids.distinct.length == 1000)
+    assert(db.lookupStreams("bulk/", Map("shard" -> Some("3"))).count() == 143)
+    assert(db.lookupStreams("bulk/c4", Map("idx" -> None)).count() == 100)
+    db.setAnnotations("u-bulk-17", 0L, Map("owner" -> "ops"))
+    assert(db.lookupStreams("bulk/",
+      annotations = Map("owner" -> Some("ops"))).count() == 1)
+    intercept[IllegalArgumentException] { // duplicate (collection, tags)
+      db.createStreams(Seq(("u-bulk-x", "bulk/c0", Map("shard" -> "0", "idx" -> "0"))))
+    }
+  }
+
+  test("windows depth knob: approximate bucketing from the pyramid, exact counts") {
+    val uuid = "u-depth"
+    db.createStream(uuid, "test/depth", Map("t" -> "d"))
+    insertPoints(uuid, (0L until 4096L).map(t => (t, 1.0)))
+    db.flush(uuid)
+    // width 1000 (not a power of two); depth=8 sources pyramid pw=6
+    // (spec engine maintains Seq(6, 10)): buckets of 64 attributed to the
+    // window holding their start — counts conserved, boundaries coarse
+    val exact = db.windows(uuid, 0, 4000, 1000).collect()
+    val approx = db.windows(uuid, 0, 4000, 1000, depth = 8).collect()
+    assert(approx.length == exact.length)
+    // whole buckets are attributed by their start: interior counts are
+    // redistributed across boundaries, and the bucket straddling `end`
+    // (3968..4031) contributes its tail — 4032 = 63 windows of 64 + tail
+    assert(exact.map(_.getLong(2)).sum == 4000)
+    assert(approx.map(_.getLong(2)).sum == 4032)
+    // bucket 960..1023 straddles the w0/w1 boundary → attributed to w0
+    assert(approx(0).getLong(2) == 1024 && exact(0).getLong(2) == 1000)
+  }
+
   test("multiAlign: k-way full-outer temporal join") {
     val ua = "u-align-a"; val ub = "u-align-b"
     db.createStream(ua, "test/align", Map("s" -> "a"))
