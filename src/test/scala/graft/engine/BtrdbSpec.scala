@@ -233,6 +233,19 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(approx(0).getLong(2) == 1024 && exact(0).getLong(2) == 1000)
   }
 
+  test("time-range reads prune tbucket partitions (scan cost ∝ range, not table)") {
+    val uuid = "u-prune"
+    db.createStream(uuid, "test/prune", Map("t" -> "p"))
+    // spec engine uses tBucketPw=52: two points 2 tbuckets apart
+    insertPoints(uuid, Seq((0L, 1.0), (3L << 52, 2.0)))
+    db.flush(uuid)
+    val narrow = db.pointsAt(uuid, start = 0L, end = 100L)
+    val plan = narrow.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters:"), s"plan:\n$plan")
+    assert(plan.contains("tbucket"), "tbucket must appear in partition filters")
+    assert(narrow.count() == 1)
+  }
+
   test("multiAlign: k-way full-outer temporal join") {
     val ua = "u-align-a"; val ub = "u-align-b"
     db.createStream(ua, "test/align", Map("s" -> "a"))

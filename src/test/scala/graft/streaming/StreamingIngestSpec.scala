@@ -50,6 +50,30 @@ class StreamingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(journal.count() >= 2) // one entry per non-empty batch
   }
 
+  test("streaming feeds the engine: staged rows visible on latest reads, flush commits") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val root = Files.createTempDirectory("stream-engine").toString
+    val ckpt = Files.createTempDirectory("stream-engine-ckpt").toString
+    val db = new graft.engine.Btrdb(spark, root, sBuckets = 4, tBucketPw = 52,
+      pyramidLevels = Seq(8))
+    val sid = db.createStream("u-stream", "live/ingest", Map("src" -> "mem"))
+
+    val mem = MemoryStream[(Long, Long, Double)]
+    val q = StreamingIngest.attach(mem.toDF().toDF("sid", "time", "value"), root, ckpt)
+    mem.addData((sid, 100L, 1.0), (sid, 200L, 2.0))
+    q.processAllAvailable()
+    q.stop()
+
+    db.refreshStaging() // external writer appended to staging
+    assert(db.version("u-stream") == (0L, 2L)) // staged, not committed
+    assert(db.rawValues("u-stream", 0, 1000).count() == 2) // read-your-writes
+    db.flush("u-stream")
+    assert(db.version("u-stream") == (1L, 0L))
+    assert(db.rawValues("u-stream", 0, 1000, version = 1).count() == 2)
+  }
+
   test("windowed stat stream emits exact ns window starts") {
     val ss = spark
     implicit val sqlCtx = ss.sqlContext
