@@ -499,15 +499,29 @@ class Btrdb(val spark: SparkSession, val root: String,
     val e = TimeOps.alignDown(end, pw)
     val sid = sidOf(uuid)
     val level = pyramidLevels.filter(_ <= pw).sorted.lastOption
+    // pyramid serves the committed part whenever the stream has no
+    // delete debt; a non-empty staging buffer is handled the way the
+    // reference merges its write buffer into stat results — aggregate
+    // the buffer alone and COMBINE partials (Σcnt, min, Σsum, max;
+    // mean = Σ(mean·count)/Σcount, /root/reference/merger.go:126-208)
     val usable = level.exists(l => exists(s"pyramid/pw=$l")) &&
       version == TimeConsts.LatestGeneration &&
-      minorOf(sid) == 0 &&
       commits.filter(col("sid") === sid && col("kind") === "delete").isEmpty
     if (usable) {
       val l = level.get
-      spark.read.parquet(path(s"pyramid/pw=$l"))
+      val committed = spark.read.parquet(path(s"pyramid/pw=$l"))
         .filter(col("sid") === sid && col("wstart") >= s && col("wstart") < e)
-        .groupBy(TimeOps.clampTime(col("wstart"), pw).as("wstart"))
+        .select(TimeOps.clampTime(col("wstart"), pw).as("wstart"),
+          col("cnt"), col("vmin"), col("vsum"), col("vmax"))
+      val partials = if (minorOf(sid) == 0) committed else {
+        val staged = stagingDf
+          .filter(col("sid") === sid && col("time") >= s && col("time") < e)
+          .groupBy(TimeOps.clampTime(col("time"), pw).as("wstart"))
+          .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
+            sum("value").as("vsum"), max("value").as("vmax"))
+        committed.unionByName(staged)
+      }
+      partials.groupBy("wstart")
         .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
           (sum("vsum") / sum("cnt")).as("vmean"), max("vmax").as("vmax"))
         .orderBy("wstart")

@@ -336,6 +336,47 @@ object EtlQueries {
         .orderBy("bucket")
     },
 
+    // Embedding-cosine near-duplicate pairs: same-sign-bucket candidates
+    // only (the LSH guard against all-pairs), exact fixed-point cosine,
+    // keep pairs above threshold. Output integers + deterministic cosine.
+    "q_dedup_embcos" -> QueryDef {
+      val bitsSql = (0 until 8)
+        .map(d => s"CASE WHEN embedding[${d + 1}] >= 0 THEN ${1 << d} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH sc AS (
+         |  SELECT vec_id, CAST($bitsSql AS BIGINT) AS bucket,
+         |    unnest(range(len(embedding))) AS i,
+         |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * $Scale, 0) AS BIGINT) AS v
+         |  FROM embeddings),
+         |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM sc GROUP BY vec_id),
+         |dots AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b, SUM(a.v * b.v) AS dot
+         |  FROM sc a JOIN sc b
+         |    ON a.bucket = b.bucket AND a.i = b.i AND a.vec_id < b.vec_id
+         |  GROUP BY a.vec_id, b.vec_id)
+         |SELECT d.a, d.b,
+         |  CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cos
+         |FROM dots d JOIN norms na ON na.vec_id = d.a JOIN norms nb ON nb.vec_id = d.b
+         |WHERE CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.2
+         |ORDER BY d.a, d.b""".stripMargin
+    } { (s, dir) =>
+      import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
+      val bits = (0 until 8)
+        .map(d => when(element_at(col("embedding"), d + 1) >= 0f, 1L << d).otherwise(0L))
+        .reduce(_ + _)
+      val base = emb(s, dir).select(col("vec_id"), col("embedding"),
+        bits.cast("long").as("bucket"))
+      val a = base.select(col("vec_id").as("a"), col("embedding").as("ea"), col("bucket"))
+      val b = base.select(col("vec_id").as("b"), col("embedding").as("eb"), col("bucket"))
+      a.join(b, Seq("bucket")).filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          (fixedPointDot(col("ea"), col("eb")).cast("double") /
+            (sqrt(fixedPointNormSq(col("ea")).cast("double")) *
+              sqrt(fixedPointNormSq(col("eb")).cast("double")))).as("cos"))
+        .filter(col("cos") >= 0.2)
+        .orderBy("a", "b")
+    },
+
     // IVF-style two-stage ANN: coarse sign-quantization to a bucket,
     // probe the query's bucket plus Hamming-distance-1 neighbors, exact
     // cosine rerank only on those candidates. At corpus scale the rerank

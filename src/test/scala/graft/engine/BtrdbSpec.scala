@@ -246,6 +246,28 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(narrow.count() == 1)
   }
 
+  test("pyramid + staging combine: stat results merge the write buffer exactly") {
+    val uuid = "u-pyrmerge"
+    db.createStream(uuid, "test/pyrmerge", Map("t" -> "pm"))
+    insertPoints(uuid, (0L until 2048L).map(t => (t, 1.0)))
+    db.flush(uuid)
+    insertPoints(uuid, (0L until 512L).map(t => (t * 4, 3.0))) // staged overlap
+    assert(db.version(uuid)._2 == 512L)
+    // pyramid path (level 6 <= pw 8) must merge the buffer: each pw=8
+    // window gets 256 committed (v=1.0) + 64 staged (v=3.0) points
+    val merged = db.alignedWindows(uuid, 0, 2048, 8).collect()
+    assert(merged.length == 8)
+    merged.foreach { r =>
+      assert(r.getLong(1) == 320, s"cnt ${r.getLong(1)}")
+      assert(r.getDouble(2) == 1.0 && r.getDouble(4) == 3.0)
+      assert(math.abs(r.getDouble(3) - (256 * 1.0 + 64 * 3.0) / 320.0) < 1e-12)
+    }
+    // identical to the raw computation over the same (latest) state
+    val raw = db.rawValues(uuid, 0, 2048).count()
+    assert(raw == 2048 + 512)
+    db.flush(uuid)
+  }
+
   test("multiAlign: k-way full-outer temporal join") {
     val ua = "u-align-a"; val ub = "u-align-b"
     db.createStream(ua, "test/align", Map("s" -> "a"))
