@@ -39,9 +39,14 @@ object Dedup {
   /** Per-doc LSH band signatures: (id, band, sig). One shuffle — the
     * numHashes min-aggregates are columns of a single groupBy. */
   def bandSignatures(docs: DataFrame, p: Params = Params()): DataFrame = {
-    val aggs = (0 until p.numHashes).map(seed =>
-      min(md5(concat(lit(s"$seed:"), col("sh")).cast("binary"))).as(s"h$seed"))
-    val mh = shingles(docs, p).groupBy("id").agg(aggs.head, aggs.tail: _*)
+    // each md5 call yields four 8-hex-char minhash lanes — numHashes
+    // lanes need only numHashes/4 md5 evaluations per shingle row
+    val nMd5 = (p.numHashes + 3) / 4
+    val hashed = shingles(docs, p).select(Seq(col("id")) ++ (0 until nMd5).map(g =>
+      md5(concat(lit(s"$g:"), col("sh")).cast("binary")).as(s"H$g")): _*)
+    val aggs = (0 until p.numHashes).map(i =>
+      min(substring(col(s"H${i / 4}"), 1 + 8 * (i % 4), 8)).as(s"h$i"))
+    val mh = hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until p.numHashes / p.rowsPerBand).map { b =>
       val sig = md5(concat((0 until p.rowsPerBand)
         .map(r => col(s"h${b * p.rowsPerBand + r}")): _*).cast("binary"))

@@ -80,30 +80,33 @@ object EtlQueries {
       s"""WITH shingles AS (
          |${shinglesSql()}),
          |mh AS (
-         |  SELECT doc_id, s.seed,
-         |         MIN(md5(CAST(s.seed AS VARCHAR) || ':' || sh)) AS h
-         |  FROM shingles, generate_series(0, ${NumHashes - 1}) AS s(seed)
-         |  GROUP BY doc_id, s.seed),
+         |  SELECT doc_id, g.g, k.k,
+         |    MIN(substr(md5(CAST(g.g AS VARCHAR) || ':' || sh),
+         |               CAST(1 + 8 * k.k AS INTEGER), 8)) AS h
+         |  FROM shingles, generate_series(0, 3) AS g(g), generate_series(0, 3) AS k(k)
+         |  GROUP BY doc_id, g.g, k.k),
          |bands AS (
-         |  SELECT doc_id, seed // $RowsPerBand AS band,
-         |         md5(string_agg(h, '' ORDER BY seed)) AS sig
-         |  FROM mh GROUP BY doc_id, seed // $RowsPerBand)
+         |  SELECT doc_id, g AS band, md5(string_agg(h, '' ORDER BY k)) AS sig
+         |  FROM mh GROUP BY doc_id, g)
          |SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
          |ORDER BY a, b""".stripMargin) { (s, dir) =>
-      // One shuffle: the 16 per-seed minhashes are 16 agg columns of a
-      // single groupBy(doc_id) (min is duplicate-insensitive, so the
-      // shingle set needs no distinct). The oracle's row-per-seed CTE is
-      // algebraically identical.
-      val sh = shinglesOf(docs(s, dir), distinctShingles = false)
-      val aggs = (0 until NumHashes).map(seed =>
-        min(md5(concat(lit(s"$seed:"), col("sh")).cast("binary"))).as(s"h$seed"))
+      // One shuffle, 4 md5 calls per shingle row: each md5's 32 hex chars
+      // are split into four 8-char minhash lanes (16 lanes total), each a
+      // min-agg column of a single groupBy(doc_id). min is duplicate-
+      // insensitive, so the shingle set needs no distinct. The oracle's
+      // row-per-lane CTE is algebraically identical.
+      val sh0 = shinglesOf(docs(s, dir), distinctShingles = false)
+      val sh = sh0.select(Seq(col("doc_id")) ++ (0 until 4).map(g =>
+        md5(concat(lit(s"$g:"), col("sh")).cast("binary")).as(s"H$g")): _*)
+      val aggs = for (g <- 0 until 4; k <- 0 until 4)
+        yield min(substring(col(s"H$g"), 1 + 8 * k, 8)).as(s"h${g}_$k")
       val mh = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      val bandCols = (0 until NumHashes / RowsPerBand).map { b =>
-        val sig = md5(concat((0 until RowsPerBand)
-          .map(r => col(s"h${b * RowsPerBand + r}")): _*).cast("binary"))
-        struct(lit(b).as("band"), sig.as("sig"))
+      val bandCols = (0 until 4).map { g =>
+        val sig = md5(concat((0 until 4)
+          .map(k => col(s"h${g}_$k")): _*).cast("binary"))
+        struct(lit(g).as("band"), sig.as("sig"))
       }
       val bands = mh.select(col("doc_id"),
           explode(array(bandCols: _*)).as("bs"))

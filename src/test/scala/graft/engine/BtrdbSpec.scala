@@ -268,6 +268,30 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     db.flush(uuid)
   }
 
+  test("backfill invalidates exactly the dirtied rollup buckets") {
+    val uuid = "u-backfill"
+    db.createStream(uuid, "test/backfill", Map("t" -> "bf"))
+    insertPoints(uuid, (0L until 4096L).map(t => (t, 1.0)))
+    db.flush(uuid) // v1
+    // late data lands in the middle of the already-rolled-up range
+    insertPoints(uuid, (1000L until 1100L).map(t => (t, 5.0)))
+    db.flush(uuid) // v2 — dirties only buckets covering [1000, 1100)
+    val stats = db.alignedWindows(uuid, 0, 4096, 10).collect() // pyramid path
+    assert(stats.length == 4)
+    assert(stats.map(_.getLong(1)).sum == 4196)
+    // window [1024,2048) holds 76 of the backfilled points ([1024,1100))
+    assert(stats(0).getLong(1) == 1024 + 24 && stats(0).getDouble(4) == 5.0)
+    assert(stats(1).getLong(1) == 1024 + 76)
+    assert(stats(2).getLong(1) == 1024 && stats(2).getDouble(4) == 1.0)
+    // agrees with the raw path (pinned reads always compute from points)
+    val raw = db.alignedWindows(uuid, 0, 4096, 10, version = 2).collect()
+    stats.zip(raw).foreach { case (p, r) =>
+      assert(p.getLong(0) == r.getLong(0) && p.getLong(1) == r.getLong(1))
+      assert(p.getDouble(2) == r.getDouble(2) && p.getDouble(4) == r.getDouble(4))
+      assert(math.abs(p.getDouble(3) - r.getDouble(3)) < 1e-9)
+    }
+  }
+
   test("multiAlign: k-way full-outer temporal join") {
     val ua = "u-align-a"; val ub = "u-align-b"
     db.createStream(ua, "test/align", Map("s" -> "a"))
