@@ -67,6 +67,20 @@ object RelQueries {
         .orderBy("c_mktsegment")
     },
 
+    // Anti-join (NOT EXISTS): customers with no high-value order.
+    "q_anti_join" -> QueryDef(
+      s"""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM customer
+         |WHERE NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      Tables.table(s, dir, "customer")
+        .join(Tables.table(s, dir, "orders").filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")
+    },
+
     // Multi-way join through the dimension chain with two broadcasts.
     "q_nation_revenue" -> QueryDef(
       s"""SELECT n_name, CAST(COUNT(*) AS BIGINT) AS cnt,
