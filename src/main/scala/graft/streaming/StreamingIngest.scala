@@ -50,9 +50,16 @@ object StreamingIngest {
       .start()
 
   /** Continuous windowed stat stream: per-stream tumbling 2^pw-ns stat
-    * tuples with late-data tolerance. Watermarking needs TimestampType,
-    * so the ns time is projected to µs for the clock only — the emitted
-    * window start stays exact int64 ns.
+    * tuples with late-data tolerance.
+    *
+    * Watermark eviction needs an event-time `window()` column, which is
+    * ms-based — and 2^pw ns is never a whole number of ms, so a ms
+    * window alone would drift off the exact ns buckets. The group key is
+    * therefore (sid, ms-window, exact-ns clamp): the watermark window
+    * drives state eviction, the clamp keeps bucket boundaries exact. A
+    * ns bucket straddling a ms-window boundary emits ≤2 PARTIAL rows;
+    * downstream combines partials exactly ((cnt,vmin,vsum,vmax) — the
+    * same merge contract as the engine's buffer merge, J3).
     */
   def statStream(source: DataFrame, pw: Int, lateness: String): DataFrame =
     source
@@ -60,9 +67,16 @@ object StreamingIngest {
       .withColumn("ts", timestamp_micros((col("time") / 1000L).cast("long")))
       .withWatermark("ts", lateness)
       .groupBy(col("sid"),
-        window(col("ts"), s"${math.max(1L, (1L << pw) / 1000000L)} milliseconds"))
+        window(col("ts"), s"${math.max(1L, (1L << pw) / 1000000L)} milliseconds"),
+        col("wstart_ns").as("wstart"))
       .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
-        avg("value").as("vmean"), max("value").as("vmax"),
-        min("wstart_ns").as("wstart"))
-      .select("sid", "wstart", "cnt", "vmin", "vmean", "vmax")
+        sum("value").as("vsum"), max("value").as("vmax"))
+      .select("sid", "wstart", "cnt", "vmin", "vsum", "vmax")
+
+  /** Combine partial stat rows from [[statStream]] into final per-bucket
+    * stats (batch post-pass or downstream consumer). */
+  def combinePartials(partials: DataFrame): DataFrame =
+    partials.groupBy("sid", "wstart")
+      .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
+        (sum("vsum") / sum("cnt")).as("vmean"), max("vmax").as("vmax"))
 }

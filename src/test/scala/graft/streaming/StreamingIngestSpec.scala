@@ -92,7 +92,8 @@ class StreamingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     mem.addData((1L, (100L << 30) + 1L, 0.0))
     q.processAllAvailable()
     q.stop()
-    val rows = spark.sql("SELECT * FROM stats ORDER BY wstart").collect()
+    val rows = StreamingIngest.combinePartials(spark.table("stats"))
+      .orderBy("wstart").collect()
     assert(rows.length >= 2)
     assert(rows(0).getLong(1) == w0 && rows(0).getLong(2) == 2
       && rows(0).getDouble(4) == 2.0) // wstart, cnt, mean
