@@ -104,7 +104,7 @@ class Btrdb(val spark: SparkSession, val root: String,
       (!col("tombstoned") && col("collection") === collection &&
         canonCol === canonical)).count()
     require(clash == 0, s"stream exists or uuid tombstoned: $uuid")
-    require(tags.size <= 32 && annotations.size <= 64, "tag/annotation limits")
+    validateMetadata(collection, tags, annotations)
     val sid = cat.agg(coalesce(max("sid"), lit(-1L))).head.getLong(0) + 1
     val row = spark.createDataFrame(Seq(
       (uuid, sid, collection, tags, annotations, 0L, false)))
@@ -130,10 +130,15 @@ class Btrdb(val spark: SparkSession, val root: String,
         canon(r.getAs[scala.collection.Map[String, String]]("tags").toMap))).toSet
     val dupIn = streams.groupBy(s => (s._2, canon(s._3))).exists(_._2.size > 1)
     require(!dupIn, "duplicate (collection, tags) within batch")
+    // two batch rows with the same uuid would get distinct sids, silently
+    // breaking uuid uniqueness (/root/reference/internal/mprovider/
+    // metaprovider.go:288-320) and making sidOf(uuid) nondeterministic
+    require(streams.map(_._1).distinct.size == streams.size,
+      "duplicate uuid within batch")
     streams.foreach { case (u, c, t) =>
       require(!existingUuids.contains(u), s"uuid exists/tombstoned: $u")
       require(!existingKeys.contains((c, canon(t))), s"(collection, tags) exists: $c")
-      require(t.size <= 32, "tag limit")
+      validateMetadata(c, t, Map.empty)
     }
     val sid0 = cat.agg(coalesce(max("sid"), lit(-1L))).head.getLong(0) + 1
     val rows = streams.zipWithIndex.map { case ((u, c, t), i) =>
@@ -191,8 +196,12 @@ class Btrdb(val spark: SparkSession, val root: String,
       if (c._1 == uuid) {
         require(c._6 == expectedVersion,
           s"annotation CAS failed: expected $expectedVersion got ${c._6}")
+        updates.foreach { case (k, v) =>
+          require(Btrdb.validAnnKey(k), s"invalid annotation key: '$k'")
+          require(v.length < Btrdb.MaxAnnValLength, s"annotation value too long: '$k'")
+        }
         val anns = c._5 ++ updates
-        require(anns.size <= 64, "annotation limit")
+        require(anns.size <= Btrdb.MaximumAnnotations, "annotation limit")
         c.copy(_5 = anns, _6 = c._6 + 1)
       } else c
     }
@@ -223,6 +232,29 @@ class Btrdb(val spark: SparkSession, val root: String,
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
     spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path("catalog"))
     invalidateCatalog()
+  }
+
+  /** Full metadata validation — the reference's limits table
+    * (/root/reference/internal/mprovider/metaprovider.go:18-47): key
+    * regex ^[a-z][a-z0-9_.]*$ with length < 64; tag values non-empty,
+    * NUL-free, < 256; annotation values < 256 (may be empty); collection
+    * non-empty, NUL-free, < 256; ≤32 tags, ≤64 annotations. */
+  private def validateMetadata(collection: String, tags: Map[String, String],
+                               annotations: Map[String, String]): Unit = {
+    import Btrdb._
+    require(collection.nonEmpty && collection.length < MaxCollectionLength &&
+      !collection.contains('\u0000'), s"invalid collection: '$collection'")
+    require(tags.size <= MaximumTags, "tag limit")
+    require(annotations.size <= MaximumAnnotations, "annotation limit")
+    tags.foreach { case (k, v) =>
+      require(validTagKey(k), s"invalid tag key: '$k'")
+      require(v.nonEmpty && v.length < MaxTagValLength && !v.contains('\u0000'),
+        s"invalid tag value for '$k'")
+    }
+    annotations.foreach { case (k, v) =>
+      require(validAnnKey(k), s"invalid annotation key: '$k'")
+      require(v.length < MaxAnnValLength, s"annotation value too long: '$k'")
+    }
   }
 
   private def sidOf(uuid: String): Long =
@@ -270,6 +302,22 @@ class Btrdb(val spark: SparkSession, val root: String,
       r.getAs[scala.collection.Map[String, String]]("tags").toMap,
       r.getAs[scala.collection.Map[String, String]]("annotations").toMap,
       r.getAs[Long]("annotationVersion")), maj, minor)
+  }
+
+  /** Info RPC analog (/root/reference/grpcinterface/btrdb.proto:18 +
+    * serve.go:818-874): engine build/version plus a catalog and point-log
+    * summary. The reference reports MASH cluster state; a single Spark
+    * engine root has no membership to report, so `healthy` is
+    * unconditionally true and the member list is empty — the analog of a
+    * 1-node healthy cluster. `pointCount` totals committed insert
+    * generations (deletes are anti-filters, not decrements). */
+  def engineInfo(): EngineInfo = {
+    val live = catalog.filter(!col("tombstoned")).count()
+    val pts = commits.filter(col("kind") === "insert")
+      .agg(coalesce(sum("npoints"), lit(0L))).head.getLong(0)
+    EngineInfo(majorVersion = 4, minorVersion = 15,
+      build = "graft-spark (btrdb-surface 4.15)", healthy = true,
+      streamCount = live, pointCount = pts)
   }
 
   /** (major, minor) version of a stream: major = last committed
@@ -684,12 +732,32 @@ class Btrdb(val spark: SparkSession, val root: String,
     catalog.filter(col("sid") === sid).select("uuid").head.getString(0)
 }
 
+/** Info RPC response analog (/root/reference/grpcinterface/btrdb.proto:177-186). */
+final case class EngineInfo(
+    majorVersion: Int, minorVersion: Int, build: String,
+    healthy: Boolean, streamCount: Long, pointCount: Long)
+
 final case class StreamDescInfo(
     uuid: String, sid: Long, collection: String,
     tags: Map[String, String], annotations: Map[String, String],
     annotationVersion: Long)
 
 object Btrdb {
+  /** Metadata limits, mirrored from
+    * /root/reference/internal/mprovider/metaprovider.go:18-28. */
+  val MaximumTags = 32
+  val MaximumAnnotations = 64
+  val MaxTagKeyLength = 64
+  val MaxTagValLength = 256
+  val MaxAnnKeyLength = 64
+  val MaxAnnValLength = 256
+  val MaxCollectionLength = 256
+  private val KeyRegex = "^[a-z][a-z0-9_.]*$".r
+  def validTagKey(k: String): Boolean =
+    k.nonEmpty && k.length < MaxTagKeyLength && KeyRegex.matches(k)
+  def validAnnKey(k: String): Boolean =
+    k.nonEmpty && k.length < MaxAnnKeyLength && KeyRegex.matches(k)
+
   val CatalogSchema =
     "uuid STRING, sid BIGINT, collection STRING, tags MAP<STRING,STRING>, " +
       "annotations MAP<STRING,STRING>, annotationVersion BIGINT, tombstoned BOOLEAN"

@@ -29,9 +29,13 @@ object Dedup {
       stride: Int = 1)
 
   /** Character shingles (not distinct — MinHash MIN is duplicate-
-    * insensitive). `docs` must have (id LONG, text STRING). */
+    * insensitive). `docs` must have (id LONG, text STRING). Docs shorter
+    * than the shingle length have no shingles (and surface downstream as
+    * singleton clusters) — the pre-filter also guards `sequence`, whose
+    * upper bound must not fall below its lower bound. */
   def shingles(docs: DataFrame, p: Params = Params()): DataFrame =
-    docs.select(col("id"), col("text"),
+    docs.filter(length(col("text")) >= p.shingleLen)
+      .select(col("id"), col("text"),
         explode(sequence(lit(1), length(col("text")) - (p.shingleLen - 1),
           lit(p.stride))).as("pos"))
       .select(col("id"), expr(s"substring(text, pos, ${p.shingleLen})").as("sh"))

@@ -166,7 +166,7 @@ object EtlQueries {
          |JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
          |WHERE i.nab * 4 >= sa.n + sb.n - i.nab
          |ORDER BY i.a, i.b""".stripMargin) { (s, dir) =>
-      val grams = docs(s, dir).filter(col("doc_id") < 40)
+      val grams = docs(s, dir).filter(col("doc_id") < 40 && length(col("text")) >= 4)
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(1), length(col("text")) - 3, lit(2))).as("p"))
         .filter(col("p") <= length(col("text")) - 3)
@@ -442,7 +442,10 @@ object EtlQueries {
     * distinct per doc. Duplicate-insensitive consumers (minhash MIN) skip
     * the distinct and its shuffle. */
   private def shinglesOf(d: DataFrame, distinctShingles: Boolean = true): DataFrame = {
-    val sh = d.select(col("doc_id"), col("text"),
+    // length pre-filter guards sequence() against short docs (negative
+    // upper bound throws); the oracle's WHERE clause is the same guard
+    val sh = d.filter(length(col("text")) >= ShingleLen)
+      .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")) - (ShingleLen - 1),
           lit(ShingleStride))).as("p"))
       .select(col("doc_id"), expr(s"substring(text, p, $ShingleLen)").as("sh"))

@@ -64,7 +64,7 @@ object StreamingIngest {
   def statStream(source: DataFrame, pw: Int, lateness: String): DataFrame =
     source
       .withColumn("wstart_ns", TimeOps.clampTime(col("time"), pw))
-      .withColumn("ts", timestamp_micros((col("time") / 1000L).cast("long")))
+      .withColumn("ts", eventTimeMicros)
       .withWatermark("ts", lateness)
       .groupBy(col("sid"),
         window(col("ts"), s"${math.max(1L, (1L << pw) / 1000000L)} milliseconds"),
@@ -72,6 +72,13 @@ object StreamingIngest {
       .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
         sum("value").as("vsum"), max("value").as("vmax"))
       .select("sid", "wstart", "cnt", "vmin", "vsum", "vmax")
+
+  /** Exact ns→µs event time for watermarking: integer `div`, as
+    * generateCsv does — `col("time") / 1000` would be a float Divide,
+    * violating TimeOps' "never route ns through DoubleType" invariant
+    * (~1 µs jitter at epoch scale). */
+  private[streaming] def eventTimeMicros =
+    timestamp_micros(expr("time div 1000"))
 
   /** Combine partial stat rows from [[statStream]] into final per-bucket
     * stats (batch post-pass or downstream consumer). */

@@ -340,6 +340,58 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("metadata validation: reference limits table enforced") {
+    // key regex ^[a-z][a-z0-9_.]*$ (metaprovider.go:27)
+    intercept[IllegalArgumentException] {
+      db.createStream("u-val-1", "val/a", Map("Phase" -> "L1"))
+    }
+    intercept[IllegalArgumentException] {
+      db.createStream("u-val-2", "val/a", Map("9lives" -> "x"))
+    }
+    // key length < 64, tag value non-empty and < 256
+    intercept[IllegalArgumentException] {
+      db.createStream("u-val-3", "val/a", Map("k" * 64 -> "x"))
+    }
+    intercept[IllegalArgumentException] {
+      db.createStream("u-val-4", "val/a", Map("k" -> ""))
+    }
+    intercept[IllegalArgumentException] {
+      db.createStream("u-val-5", "val/a", Map("k" -> "v" * 256))
+    }
+    // annotation value may be empty but key must validate
+    intercept[IllegalArgumentException] {
+      db.createStream("u-val-6", "val/a", Map("k" -> "v"), Map("BAD" -> ""))
+    }
+    db.createStream("u-val-7", "val/a",
+      Map("phase.l1_x" -> "ok"), Map("note" -> ""))
+    intercept[IllegalArgumentException] { // CAS path validates too
+      db.setAnnotations("u-val-7", 0L, Map("Bad.Key" -> "x"))
+    }
+    // collection: non-empty, < 256
+    intercept[IllegalArgumentException] {
+      db.createStream("u-val-8", "", Map("k" -> "v"))
+    }
+    intercept[IllegalArgumentException] {
+      db.createStream("u-val-9", "c" * 256, Map("k" -> "v"))
+    }
+  }
+
+  test("createStreams rejects duplicate uuid within a batch") {
+    intercept[IllegalArgumentException] {
+      db.createStreams(Seq(
+        ("u-dupu", "dup/a", Map("i" -> "1")),
+        ("u-dupu", "dup/b", Map("i" -> "2"))))
+    }
+  }
+
+  test("engineInfo: build/version surface with stream and point counts") {
+    val info = db.engineInfo()
+    assert(info.healthy && info.majorVersion == 4)
+    assert(info.streamCount > 0 && info.streamCount ==
+      db.catalog.filter(!org.apache.spark.sql.functions.col("tombstoned")).count())
+    assert(info.pointCount > 0)
+  }
+
   test("annotations: CAS update bumps version, stale CAS rejected") {
     db.createStream("u-ann", "test/ann", Map("t" -> "a"), Map("owner" -> "alice"))
     db.setAnnotations("u-ann", 0L, Map("owner" -> "bob"))

@@ -33,6 +33,20 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Seq(20L, 21L).forall(got(_) == 20L))
   }
 
+  test("docs shorter than the shingle length don't crash and become singletons") {
+    val ss = spark
+    import ss.implicits._
+    // "ab" and "" are shorter than shingleLen=8: sequence() would throw
+    // "Illegal sequence boundaries" without the length pre-filter
+    val df = Seq((1L, "ab"), (2L, ""), (3L, "a longer document about spark"),
+      (4L, "a longer document about spark")).toDF("id", "text")
+    val verdict = Dedup.dedup(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(verdict.length == 4)
+    assert(verdict(0) == ((1L, 1L, true)) && verdict(1) == ((2L, 2L, true)))
+    assert(verdict(2)._2 == 3L && verdict(3)._2 == 3L) // identical docs cluster
+  }
+
   test("end-to-end dedup: planted near-duplicates cluster to one canonical") {
     val ss = spark
     import ss.implicits._

@@ -74,6 +74,19 @@ class StreamingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(db.rawValues("u-stream", 0, 1000, version = 1).count() == 2)
   }
 
+  test("event time uses exact integer ns->us division at epoch scale") {
+    val ss = spark
+    import ss.implicits._
+    // 2^60 ns / 1000 = 1152921504606846.976 us: float division rounds the
+    // quotient UP to ...847, integer `div` truncates to ...846
+    val t = 1L << 60
+    val got = Seq(Tuple1(t)).toDF("time")
+      .select(org.apache.spark.sql.functions.unix_micros(
+        StreamingIngest.eventTimeMicros).as("us"))
+      .head.getLong(0)
+    assert(got == t / 1000)
+  }
+
   test("windowed stat stream emits exact ns window starts") {
     val ss = spark
     implicit val sqlCtx = ss.sqlContext
