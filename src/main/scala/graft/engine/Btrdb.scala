@@ -49,11 +49,30 @@ class Btrdb(val spark: SparkSession, val root: String,
   private def path(part: String) = s"$root/$part"
   private def exists(part: String) = Files.exists(Paths.get(path(part).stripPrefix("file:")))
 
-  private def readOr(part: String, schema: String): DataFrame =
-    if (exists(part)) spark.read.parquet(path(part))
-    else spark.createDataFrame(
+  /** True iff the directory holds at least one parquet data file — an
+    * existing-but-drained directory (e.g. staging after every stream
+    * flushed: only _SUCCESS and empty partition dirs remain) must read
+    * as empty, not fail schema inference. Driver-side walk; these are
+    * metadata-scale directories at any data volume. */
+  private def hasParquet(part: String): Boolean = {
+    val p = Paths.get(path(part).stripPrefix("file:"))
+    if (!Files.exists(p)) false
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = Files.walk(p)
+      try s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+  }
+
+  private def emptyDf(schema: String): DataFrame =
+    spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(schema))
+
+  private def readOr(part: String, schema: String): DataFrame =
+    if (exists(part)) spark.read.parquet(path(part))
+    else emptyDf(schema)
 
   // ---- catalog (mprovider equivalent) --------------------------------
 
@@ -275,7 +294,16 @@ class Btrdb(val spark: SparkSession, val root: String,
     }
     c
   }
-  private def stagingDf: DataFrame = readOr("staging", StagingSchema)
+  /** The PQM write buffer, partitioned by `sid` (each stream's buffer is
+    * independent, /root/reference/pqm.go:510-625) and a writer-private
+    * `batch` subkey (streaming replay idempotence). Reads normalize the
+    * inferred partition-column types and drop the physical subkey. */
+  private def stagingDf: DataFrame =
+    if (hasParquet("staging"))
+      spark.read.parquet(path("staging"))
+        .select(col("sid").cast("long").as("sid"),
+          col("time").cast("long").as("time"), col("value"))
+    else emptyDf(StagingSchema)
 
   private def seedMinors(): Unit = synchronized {
     if (!minorSeeded) {
@@ -353,8 +381,12 @@ class Btrdb(val spark: SparkSession, val root: String,
       commitBatch(sid, batch, tmin, tmax, n)
       version(uuid)
     } else {
-      batch.sortWithinPartitions("time")
-        .write.mode(SaveMode.Append).parquet(path("staging"))
+      // batch=-1 marks direct (non-streaming) appends; StreamingIngest
+      // writes real batch ids it can idempotently overwrite on replay
+      batch.withColumn("batch", lit(-1L))
+        .sortWithinPartitions("time")
+        .write.mode(SaveMode.Append).partitionBy("sid", "batch")
+        .parquet(path("staging"))
       minorCounts(sid) = minorOf(sid) + n
       if (minorOf(sid) >= bufferCommitThreshold) flush(uuid)
       version(uuid)
@@ -389,7 +421,14 @@ class Btrdb(val spark: SparkSession, val root: String,
 
   /** Flush: staged points → committed log at version major+1; write the
     * commit record; incrementally maintain the pyramid; clear staging
-    * (/root/reference/quasar.go:221-229). */
+    * (/root/reference/quasar.go:221-229). Staging is partitioned by sid,
+    * so clearing this stream is one partition-directory delete — flush
+    * cost is O(this stream's buffer), never O(all streams' buffers).
+    * Crash window: between the commit and the partition delete the
+    * flushed points exist in both logs; single-writer recovery is to
+    * compare the stream's last insert commit against its staged batches
+    * and drop staging dirs whose rows are already committed (the same
+    * version-match replay guard as /root/reference/pqm.go:172-179). */
   def flush(uuid: String): (Long, Long) = {
     val sid = sidOf(uuid)
     if (minorOf(sid) == 0) return version(uuid)
@@ -398,16 +437,8 @@ class Btrdb(val spark: SparkSession, val root: String,
     val n = st.getLong(0)
     if (n == 0) { staged.unpersist(); minorCounts(sid) = 0; return version(uuid) }
     commitBatch(sid, staged, st.getLong(1), st.getLong(2), n)
-
-    // clear this stream's staging (rewrite others; staging is small by
-    // construction — it holds < threshold points per stream)
-    val others = stagingDf.filter(col("sid") =!= sid).cache()
-    others.count()
     staged.unpersist()
-    val tmp = path("staging_tmp")
-    others.write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path("staging"))
-    others.unpersist()
+    deleteDir(s"staging/sid=$sid")
     minorCounts(sid) = 0
     version(uuid)
   }

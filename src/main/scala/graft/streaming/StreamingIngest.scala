@@ -26,28 +26,52 @@ object StreamingIngest {
     source.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val committedIds =
-          try spark.read.parquet(s"$root/journal").select("batchId")
-            .collect().map(_.getLong(0)).toSet
-          catch { case _: Throwable => Set.empty[Long] }
-        if (!committedIds.contains(batchId)) { // idempotent replay guard
-          val typed = batch.select(
-            col("sid").cast("long").as("sid"),
-            col("time").cast("long").as("time"),
-            col("value").cast("double").as("value"))
-          val valid = typed.filter(TimeOps.validPoint(col("time"), col("value")))
-          val invalid = typed.filter(!TimeOps.validPoint(col("time"), col("value")))
-          valid.sortWithinPartitions("sid", "time")
-            .write.mode(SaveMode.Append).parquet(s"$root/staging")
-          if (!invalid.isEmpty)
-            invalid.write.mode(SaveMode.Append).parquet(s"$root/rejects")
-          spark.createDataFrame(Seq(Tuple1(batchId))).toDF("batchId")
-            .write.mode(SaveMode.Append).parquet(s"$root/journal")
-        }
-        ()
+        ingestBatch(batch, batchId, root)
       }
       .start()
+
+  /** One micro-batch, exactly-once end to end:
+    *
+    *  1. the journal marker for `batchId` (an O(1) existence probe, not a
+    *     scan of the whole journal) short-circuits an already-committed
+    *     replay;
+    *  2. staging/rejects land under partition `batch=batchId` with
+    *     dynamic partition overwrite, so a replay of a half-written batch
+    *     REPLACES its own partitions instead of appending duplicates;
+    *  3. the journal marker is written last — the commit point.
+    *
+    * A crash anywhere before (3) leaves a batch that replays
+    * idempotently; after (3) the marker short-circuits it. This is the
+    * same idempotence contract as the reference's journal recovery
+    * (replay only if `jrn.MajorVersion == current`,
+    * /root/reference/pqm.go:172-179), carried by Spark's checkpointed
+    * batchId instead of a stream version. */
+  private[streaming] def ingestBatch(batch: DataFrame, batchId: Long,
+                                     root: String): Unit = {
+    val spark = batch.sparkSession
+    val journalDir = java.nio.file.Paths.get(
+      s"$root/journal".stripPrefix("file:"))
+    val marker = journalDir.resolve(s"batch-$batchId")
+    if (!java.nio.file.Files.exists(marker)) {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val typed = batch.select(
+        col("sid").cast("long").as("sid"),
+        col("time").cast("long").as("time"),
+        col("value").cast("double").as("value"))
+      val valid = typed.filter(TimeOps.validPoint(col("time"), col("value")))
+      val invalid = typed.filter(!TimeOps.validPoint(col("time"), col("value")))
+      valid.withColumn("batch", lit(batchId))
+        .sortWithinPartitions("sid", "time")
+        .write.mode(SaveMode.Overwrite).partitionBy("sid", "batch")
+        .parquet(s"$root/staging")
+      if (!invalid.isEmpty)
+        invalid.withColumn("batch", lit(batchId))
+          .write.mode(SaveMode.Overwrite).partitionBy("batch")
+          .parquet(s"$root/rejects")
+      java.nio.file.Files.createDirectories(journalDir)
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+  }
 
   /** Continuous windowed stat stream: per-stream tumbling 2^pw-ns stat
     * tuples with late-data tolerance.

@@ -340,6 +340,35 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("flush touches only the flushed stream's staging partition") {
+    import java.nio.file.{Files => F, Paths}
+    import scala.jdk.CollectionConverters._
+    val ua = "u-flix-a"; val ub = "u-flix-b"
+    val sa = db.createStream(ua, "test/flix", Map("s" -> "a"))
+    val sb = db.createStream(ub, "test/flix", Map("s" -> "b"))
+    insertPoints(ua, Seq((1L, 1.0), (2L, 2.0)))
+    insertPoints(ub, Seq((3L, 3.0)))
+    val rootDir = db.root.stripPrefix("file:")
+    def filesOf(sid: Long) = {
+      val p = Paths.get(s"$rootDir/staging/sid=$sid")
+      val s = F.walk(p)
+      try s.iterator().asScala.filter(F.isRegularFile(_))
+        .map(f => (f.toString, F.getLastModifiedTime(f), F.size(f))).toList.sorted
+      finally s.close()
+    }
+    val bBefore = filesOf(sb)
+    assert(bBefore.nonEmpty)
+    db.flush(ua)
+    // stream A's staging partition is gone; B's files byte-identical
+    assert(!F.exists(Paths.get(s"$rootDir/staging/sid=$sa")))
+    assert(filesOf(sb) == bBefore)
+    // B's buffer still reads back; A committed
+    assert(db.version(ub)._2 == 1L)
+    assert(db.rawValues(ua, 0, 10).count() == 2)
+    assert(db.rawValues(ub, 0, 10).count() == 1)
+    db.flush(ub)
+  }
+
   test("metadata validation: reference limits table enforced") {
     // key regex ^[a-z][a-z0-9_.]*$ (metaprovider.go:27)
     intercept[IllegalArgumentException] {

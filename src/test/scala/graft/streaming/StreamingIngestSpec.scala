@@ -46,8 +46,35 @@ class StreamingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(staged.filter($"sid" === 1).count() == 3)
     val rejects = spark.read.parquet(s"$root/rejects")
     assert(rejects.count() == 1 && rejects.head.getLong(1) == 300L)
-    val journal = spark.read.parquet(s"$root/journal")
-    assert(journal.count() >= 2) // one entry per non-empty batch
+    // journal = one O(1) marker file per committed batch
+    val markers = Files.list(java.nio.file.Paths.get(s"$root/journal"))
+      .iterator()
+    var nMarkers = 0
+    while (markers.hasNext) { markers.next(); nMarkers += 1 }
+    assert(nMarkers >= 2)
+  }
+
+  test("batch replay is idempotent: marker short-circuits, partial batch overwrites") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("stream-replay").toString
+    val pts = Seq((1L, 100L, 1.0), (1L, 200L, 2.0), (2L, 100L, 9.0))
+      .toDF("sid", "time", "value")
+    StreamingIngest.ingestBatch(pts, 7L, root)
+    assert(spark.read.parquet(s"$root/staging").count() == 3)
+    // committed replay: marker exists, nothing re-ingested
+    StreamingIngest.ingestBatch(pts, 7L, root)
+    assert(spark.read.parquet(s"$root/staging").count() == 3)
+    // crash-before-marker replay: delete the marker (simulating a failure
+    // after the staging write), replay the batch — dynamic partition
+    // overwrite REPLACES batch=7's partitions instead of appending
+    Files.delete(java.nio.file.Paths.get(s"$root/journal/batch-7"))
+    StreamingIngest.ingestBatch(pts, 7L, root)
+    assert(spark.read.parquet(s"$root/staging").count() == 3)
+    // and a different batch appends alongside
+    StreamingIngest.ingestBatch(
+      Seq((3L, 50L, 5.0)).toDF("sid", "time", "value"), 8L, root)
+    assert(spark.read.parquet(s"$root/staging").count() == 4)
   }
 
   test("streaming feeds the engine: staged rows visible on latest reads, flush commits") {
