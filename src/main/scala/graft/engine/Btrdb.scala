@@ -2,7 +2,7 @@ package graft.engine
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{TimeConsts, TimeOps}
@@ -41,8 +41,13 @@ import graft.operators.StatOps
 class Btrdb(val spark: SparkSession, val root: String,
             sBuckets: Int = 64, tBucketPw: Int = 48,
             bufferCommitThreshold: Long = 32768L,
-            pyramidLevels: Seq[Int] = Seq(30, 36, 42, 48)) {
+            pyramidLevels: Seq[Int] = Seq(30, 36, 42, 48),
+            pyramidWBucketPw: Int = 54,
+            commitRangePw: Int = 36) {
   import Btrdb._
+
+  require(pyramidLevels.isEmpty || pyramidWBucketPw >= pyramidLevels.max,
+    "pyramid window-bucket width must be at least the coarsest level")
 
   spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -276,7 +281,8 @@ class Btrdb(val spark: SparkSession, val root: String,
     }
   }
 
-  private def sidOf(uuid: String): Long =
+  /** Internal stream id of a live uuid (stable for the stream's life). */
+  def sidOf(uuid: String): Long =
     catalog.filter(col("uuid") === uuid && !col("tombstoned"))
       .select("sid").head.getLong(0)
 
@@ -393,13 +399,58 @@ class Btrdb(val spark: SparkSession, val root: String,
     }
   }
 
+  /** Per-commit touched time ranges — the sub-envelope fidelity the
+    * reference gets from generation-stamped subtrees
+    * (/root/reference/qtree/qtree.go:255-351). Each range is the EXACT
+    * [min, max+1) envelope of a cluster of touched 2^pw buckets; pw
+    * starts at `commitRangePw` and coarsens (up to the envelope) until
+    * the range count is bounded, so the commit record stays metadata-
+    * sized no matter how the batch is shaped. A backfill touching two
+    * points a year apart records two tight ranges, not one year-wide
+    * envelope — `changes()` consumers and the pyramid invalidator both
+    * read these. */
+  private def touchedRanges(pts: DataFrame): Seq[(Long, Long)] = {
+    val MaxBuckets = 256
+    val MaxRanges = 64
+    var pw = commitRangePw
+    var buckets: Array[(Long, Long, Long)] = null // (bstart, s, e)
+    while (buckets == null) {
+      val got = pts
+        .groupBy(TimeOps.clampTime(col("time"), pw).as("b"))
+        .agg(min("time").as("s"), (max("time") + 1).as("e"))
+        .orderBy("b").limit(MaxBuckets + 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      if (got.length <= MaxBuckets || pw >= 60) buckets = got else pw += 8
+    }
+    // merge clusters of adjacent buckets (driver-side; ≤256 entries)
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val width = 1L << pw
+    buckets.sortBy(_._1).foreach { case (b, s, e) =>
+      // adjacent iff this bucket starts right after the previous range's
+      // last touched bucket: ((e-1) | (width-1)) + 1 is that next start
+      if (merged.nonEmpty && b <= ((merged.last._2 - 1) | (width - 1)) + 1)
+        merged(merged.size - 1) = (merged.last._1, math.max(merged.last._2, e))
+      else merged += ((s, e))
+    }
+    // pathological spray: close the smallest gaps until bounded
+    while (merged.size > MaxRanges) {
+      val gi = merged.indices.init.minBy(i => merged(i + 1)._1 - merged(i)._2)
+      merged(gi) = (merged(gi)._1, merged(gi + 1)._2)
+      merged.remove(gi + 1)
+    }
+    merged.toSeq
+  }
+
   /** Commit a validated batch as the stream's next generation: write the
-    * partitioned point files, the commit record, and recompute exactly
-    * the rollup buckets the commit touches. */
+    * partitioned point files, the commit record (with its touched
+    * ranges), and recompute exactly the rollup buckets the commit
+    * touches. */
   private def commitBatch(sid: Long, batch: DataFrame,
                           tmin: Long, tmax: Long, n: Long): Long = {
     val v = majorOf(sid) + 1
-    batch
+    val cached = batch.cache()
+    val ranges = touchedRanges(cached)
+    cached
       .withColumn("version", lit(v))
       .withColumn("sbucket", pmod(col("sid"), lit(sBuckets)))
       .withColumn("tbucket", shiftright(col("time"), tBucketPw))
@@ -414,8 +465,9 @@ class Btrdb(val spark: SparkSession, val root: String,
                                      // delta-delta+varint (~2.9x, FAST'16)
       .partitionBy("sbucket", "tbucket")
       .parquet(path("points"))
-    appendCommit(sid, v, "insert", tmin, tmax, n)
-    maintainPyramid(sid, tmin, tmax + 1)
+    cached.unpersist()
+    appendCommit(sid, v, "insert", tmin, tmax, n, ranges)
+    maintainPyramid(sid, ranges)
     v
   }
 
@@ -448,8 +500,9 @@ class Btrdb(val spark: SparkSession, val root: String,
   def deleteRange(uuid: String, start: Long, end: Long): (Long, Long) = {
     val sid = sidOf(uuid)
     flush(uuid) // deletes apply to committed data, like the reference
-    appendCommit(sid, majorOf(sid) + 1, "delete", start, end, 0)
-    maintainPyramid(sid, start, end)
+    appendCommit(sid, majorOf(sid) + 1, "delete", start, end, 0,
+      Seq((start, end)))
+    maintainPyramid(sid, Seq((start, end)))
     version(uuid)
   }
 
@@ -496,16 +549,18 @@ class Btrdb(val spark: SparkSession, val root: String,
       .option("compression", "zstd")
       .partitionBy("sbucket", "tbucket")
       .parquet(path("points"))
-    // collapse this stream's commit history to one generation
+    // collapse this stream's commit history to one generation whose
+    // touched range is the whole compacted envelope
+    import spark.implicits._
     val keep = commits.filter(col("sid") =!= sid)
-      .select("sid", "version", "kind", "tmin", "tmax", "npoints")
-      .unionByName(spark.createDataFrame(Seq((sid, maj, "insert", tmin, tmax, n)))
-        .toDF("sid", "version", "kind", "tmin", "tmax", "npoints"))
+      .select("sid", "version", "kind", "tmin", "tmax", "npoints", "ranges")
+      .unionByName(Seq(CommitRecord(sid, maj, "insert", tmin, tmax, n,
+        Seq(CommitRange(tmin, tmax + 1)))).toDF())
       .localCheckpoint()
     deleteDir("commits")
     keep.write.mode(SaveMode.Overwrite).parquet(path("commits"))
     invalidateCommits()
-    if (n > 0) maintainPyramid(sid, tmin, tmax + 1)
+    if (n > 0) maintainPyramid(sid, Seq((tmin, tmax + 1)))
     maj
   }
 
@@ -518,9 +573,12 @@ class Btrdb(val spark: SparkSession, val root: String,
   }
 
   private def appendCommit(sid: Long, v: Long, kind: String,
-                           tmin: Long, tmax: Long, n: Long): Unit = {
-    spark.createDataFrame(Seq((sid, v, kind, tmin, tmax, n)))
-      .toDF("sid", "version", "kind", "tmin", "tmax", "npoints")
+                           tmin: Long, tmax: Long, n: Long,
+                           ranges: Seq[(Long, Long)]): Unit = {
+    import spark.implicits._
+    Seq(CommitRecord(sid, v, kind, tmin, tmax, n,
+        ranges.map { case (s, e) => CommitRange(s, e) }))
+      .toDF()
       .write.mode(SaveMode.Append).parquet(path("commits"))
     invalidateCommits()
   }
@@ -589,7 +647,8 @@ class Btrdb(val spark: SparkSession, val root: String,
     if (usable) {
       val l = level.get
       val committed = spark.read.parquet(path(s"pyramid/pw=$l"))
-        .filter(col("sid") === sid && col("wstart") >= s && col("wstart") < e)
+        .filter(pyramidSlice(sid, s, e) &&
+          col("wstart") >= s && col("wstart") < e)
         .select(TimeOps.clampTime(col("wstart"), pw).as("wstart"),
           col("cnt"), col("vmin"), col("vsum"), col("vmax"))
       val partials = if (minorOf(sid) == 0) committed else {
@@ -633,7 +692,8 @@ class Btrdb(val spark: SparkSession, val root: String,
     val agg0 = level match {
       case Some(l) =>
         spark.read.parquet(path(s"pyramid/pw=$l"))
-          .filter(col("sid") === sid && col("wstart") >= start && col("wstart") < e)
+          .filter(pyramidSlice(sid, start, e) &&
+            col("wstart") >= start && col("wstart") < e)
           .groupBy(TimeOps.windowIndex(col("wstart"), start, width).as("i"))
           .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
             (sum("vsum") / sum("cnt")).as("vmean"), max("vmax").as("vmax"))
@@ -665,14 +725,23 @@ class Btrdb(val spark: SparkSession, val root: String,
       .headOption.map(r => (r.getLong(0), r.getDouble(1)))
   }
 
-  /** Changes(fromV, toV, resolution): commit-touched ranges snapped to
-    * 2^resolution and coalesced (/root/reference/quasar.go:436-470). */
+  /** Changes(fromV, toV, resolution): per-commit TOUCHED RANGES (not the
+    * commit envelope — a backfill hitting two distant instants yields
+    * two ranges, the reference's tree-diff fidelity,
+    * /root/reference/qtree/qtree.go:255-351) snapped to 2^resolution and
+    * coalesced (/root/reference/quasar.go:436-470). Recorded granularity
+    * floors at 2^commitRangePw bucket clusters; each range's bounds are
+    * the exact point envelope of its cluster. */
   def changes(uuid: String, fromVersion: Long, toVersion: Long,
               resolution: Int): DataFrame = {
     val sid = sidOf(uuid)
-    StatOps.changes(
-      commits.filter(col("sid") === sid).select("sid", "version", "tmin", "tmax"),
-      fromVersion, toVersion, resolution)
+    val perRange = commits.filter(col("sid") === sid)
+      .select(col("sid"), col("version"),
+        explode(coalesce(col("ranges"),
+          array(struct(col("tmin").as("s"), (col("tmax") + 1).as("e"))))).as("r"))
+      .select(col("sid"), col("version"),
+        col("r.s").as("tmin"), (col("r.e") - 1).as("tmax"))
+    StatOps.changes(perRange, fromVersion, toVersion, resolution)
       .orderBy("s").select("s", "e")
   }
 
@@ -713,24 +782,52 @@ class Btrdb(val spark: SparkSession, val root: String,
   // ---- stat pyramid maintenance --------------------------------------
 
   /** Recompute exactly the rollup buckets the commit touched — the
-    * distributed CGeneration trick. With dynamic partition overwrite only
-    * the dirtied sbucket partitions rewrite. */
-  private def maintainPyramid(sid: Long, tmin: Long, tmax: Long): Unit = {
-    if (pyramidLevels.isEmpty) return
-    // ONE raw scan at the finest level; coarser levels combine the
-    // finer rollup (count/min/max/sum compose exactly) — the same
-    // bottom-up build as the reference's LinkAndStore backpatch
-    // (/root/reference/internal/bstore/linker.go:51-141).
+    * distributed CGeneration trick
+    * (/root/reference/internal/bstore/blocktypes.go:111, maintained in
+    * /root/reference/internal/bstore/linker.go:51-141). Each pyramid
+    * level is partitioned by (sbucket, wbucket = wstart >>
+    * pyramidWBucketPw); a maintenance pass rewrites ONLY the partitions
+    * intersecting the commit's touched ranges, via dynamic partition
+    * overwrite — ingest cost is proportional to dirtied data, never to
+    * total rollup size. Crash window: the pyramid is a derived cache;
+    * a write interrupted mid-overwrite leaves dirtied partitions stale,
+    * and single-writer recovery is to re-run the maintenance for the
+    * last commit's ranges (idempotent — it recomputes from the point
+    * log). */
+  private def maintainPyramid(sid: Long, touched: Seq[(Long, Long)]): Unit = {
+    if (pyramidLevels.isEmpty || touched.isEmpty) return
     val sorted = pyramidLevels.sorted
     val base = sorted.head
-    val lo0 = TimeOps.alignDown(tmin, sorted.last)
-    val hi0 = TimeOps.alignDown(tmax - 1, sorted.last) + (1L << sorted.last)
-    var fresh = pointsAt(uuidBySid(sid), TimeConsts.LatestGeneration, lo0, hi0)
+    val coarsest = sorted.last
+    // align ranges to the coarsest level and coalesce (driver-side, ≤64)
+    val w = 1L << coarsest
+    val aligned = touched.map { case (s, e) =>
+      (TimeOps.alignDown(s, coarsest), TimeOps.alignDown(e - 1, coarsest) + w)
+    }.sortBy(_._1)
+    val ranges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    aligned.foreach { case (s, e) =>
+      if (ranges.nonEmpty && s <= ranges.last._2)
+        ranges(ranges.size - 1) = (ranges.last._1, math.max(ranges.last._2, e))
+      else ranges += ((s, e))
+    }
+    val sb = sid % sBuckets
+    val uuid = uuidBySid(sid)
+    // ONE raw scan per dirtied range at the finest level (each range gets
+    // its own tbucket-pruned scan); coarser levels combine the finer
+    // rollup — count/min/max/sum compose exactly, the same bottom-up
+    // build as the reference's LinkAndStore backpatch.
+    var fresh = ranges.map { case (lo, hi) =>
+        pointsAt(uuid, TimeConsts.LatestGeneration, lo, hi)
+      }.reduce(_ unionByName _)
       .groupBy(TimeOps.clampTime(col("time"), base).as("wstart"))
       .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
         max("value").as("vmax"), sum("value").as("vsum"))
       .withColumn("sid", lit(sid))
       .cache()
+    val inRange = (c: Column) =>
+      ranges.map { case (lo, hi) => c >= lo && c < hi }.reduce(_ || _)
+    val wbuckets: Seq[Long] = ranges.toSeq.flatMap { case (lo, hi) =>
+      (lo >> pyramidWBucketPw) to ((hi - 1) >> pyramidWBucketPw) }.distinct
     sorted.foreach { pw =>
       if (pw != base) {
         val prev = fresh
@@ -742,26 +839,63 @@ class Btrdb(val spark: SparkSession, val root: String,
           .cache()
         prev.unpersist()
       }
-      // the replaced window range is the coarsest-aligned [lo0, hi0) at
-      // EVERY level — exactly what `fresh` covers
       val part = s"pyramid/pw=$pw"
       val cols = Seq("sid", "wstart", "cnt", "vmin", "vmax", "vsum")
-      val merged =
-        if (!exists(part)) fresh.select(cols.map(col): _*)
+      // survivors within the dirtied partitions: other streams sharing
+      // the sbucket, and this stream's windows outside the touched
+      // ranges — partition filters prune everything else from the read
+      val kept =
+        if (!exists(part)) fresh.select(cols.map(col): _*).limit(0)
         else spark.read.parquet(path(part))
-          .filter(!(col("sid") === sid && col("wstart") >= lo0 && col("wstart") < hi0))
+          .filter(col("sbucket") === sb &&
+            col("wbucket").isin(wbuckets: _*) &&
+            !(col("sid") === sid && inRange(col("wstart"))))
           .select(cols.map(col): _*)
-          .unionByName(fresh.select(cols.map(col): _*))
-      val tmp = path(s"pyramid_tmp/pw=$pw")
-      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-      spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path(part))
+      val merged = kept.unionByName(fresh.select(cols.map(col): _*))
+        .withColumn("sbucket", lit(sb))
+        .withColumn("wbucket", shiftright(col("wstart"), pyramidWBucketPw))
+        // eager materialization — the write below replaces partitions the
+        // `kept` branch reads from
+        .localCheckpoint()
+      merged
+        // hash-repartition on the partition keys: one task owns each
+        // dirtied (sbucket, wbucket) → one file per partition dir
+        .repartition(col("sbucket"), col("wbucket"))
+        .sortWithinPartitions("sid", "wstart")
+        .write.mode(SaveMode.Overwrite) // dynamic: only written partitions
+        .partitionBy("sbucket", "wbucket")
+        .parquet(path(part))
+      // a dirtied partition whose merged content is EMPTY (e.g. a delete
+      // drained the whole bucket) is absent from the write — dynamic
+      // overwrite leaves its old file — so clear it explicitly
+      val present = merged.select("wbucket").distinct().collect()
+        .map(_.getLong(0)).toSet
+      wbuckets.filterNot(present).foreach(wb =>
+        deleteDir(s"$part/sbucket=$sb/wbucket=$wb"))
     }
     fresh.unpersist()
   }
 
+  /** Partition-pruned pyramid slice: sbucket + wbucket filters reach the
+    * directory listing, so a stat query reads only the partitions its
+    * window range intersects. */
+  private def pyramidSlice(sid: Long, s: Long, e: Long): Column =
+    col("sid") === sid && col("sbucket") === (sid % sBuckets) &&
+      col("wbucket") >= (s >> pyramidWBucketPw) &&
+      col("wbucket") <= ((e - 1) >> pyramidWBucketPw)
+
   private def uuidBySid(sid: Long): String =
     catalog.filter(col("sid") === sid).select("uuid").head.getString(0)
 }
+
+/** One touched time range [s, e) of a commit — the exact point envelope
+  * of a cluster of adjacent commitRangePw buckets. */
+final case class CommitRange(s: Long, e: Long)
+
+/** A commit-log record: the source of truth for versions, visibility,
+  * changed-range queries, and pyramid invalidation. */
+final case class CommitRecord(sid: Long, version: Long, kind: String,
+    tmin: Long, tmax: Long, npoints: Long, ranges: Seq[CommitRange])
 
 /** Info RPC response analog (/root/reference/grpcinterface/btrdb.proto:177-186). */
 final case class EngineInfo(
@@ -793,7 +927,8 @@ object Btrdb {
     "uuid STRING, sid BIGINT, collection STRING, tags MAP<STRING,STRING>, " +
       "annotations MAP<STRING,STRING>, annotationVersion BIGINT, tombstoned BOOLEAN"
   val CommitSchema =
-    "sid BIGINT, version BIGINT, kind STRING, tmin BIGINT, tmax BIGINT, npoints BIGINT"
+    "sid BIGINT, version BIGINT, kind STRING, tmin BIGINT, tmax BIGINT, " +
+      "npoints BIGINT, ranges ARRAY<STRUCT<s: BIGINT, e: BIGINT>>"
   val StagingSchema = "sid BIGINT, time BIGINT, value DOUBLE"
   val PointsSchema =
     "sid BIGINT, time BIGINT, value DOUBLE, version BIGINT, sbucket INT, tbucket BIGINT"

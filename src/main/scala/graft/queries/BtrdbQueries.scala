@@ -137,6 +137,38 @@ object BtrdbQueries {
       StatOps.changes(ranges, 1, 4, pw44).orderBy("sid", "s")
     },
 
+    // W2 (tree-diff fidelity) — Changes from per-bucket touched ranges:
+    // each commit records the exact envelope of every touched 2^44
+    // bucket instead of one commit-wide envelope, so a commit touching
+    // two distant clusters reports two ranges (the reference's
+    // generation-stamped subtree walk, qtree.go:255-351). Snap to 2^40
+    // and coalesce per stream.
+    "q_changes_split" -> QueryDef(
+      s"""$P, ranges AS (
+         |  SELECT sid, ((MIN(time) >> 40) << 40) AS s,
+         |         ((MAX(time) >> 40) << 40) + ${1L << 40} AS e
+         |  FROM points WHERE version > 1 AND version <= 4
+         |  GROUP BY sid, version, time >> $pw44),
+         |m AS (SELECT sid, s, e,
+         |  MAX(e) OVER (PARTITION BY sid ORDER BY s, e
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |  FROM ranges),
+         |f AS (SELECT sid, s, e,
+         |  CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS flag FROM m),
+         |g AS (SELECT sid, s, e,
+         |  SUM(flag) OVER (PARTITION BY sid ORDER BY s, e
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+         |  FROM f)
+         |SELECT sid, MIN(s) AS s, MAX(e) AS e FROM g GROUP BY sid, seg
+         |ORDER BY sid, s""".stripMargin) { (s, dir) =>
+      val ranges = Tables.points(s, dir)
+        .groupBy(col("sid"), col("version"),
+          shiftright(col("time"), pw44).as("tb"))
+        .agg(min("time").as("tmin"), max("time").as("tmax"))
+        .select("sid", "version", "tmin", "tmax")
+      StatOps.changes(ranges, 1, 4, 40).orderBy("sid", "s")
+    },
+
     // S3 — DeleteRange [del0, del1) committed at version 4, read at latest:
     // merge-on-read anti-filter (points of version 5 in the range survive).
     "q_delete_range" -> QueryDef(

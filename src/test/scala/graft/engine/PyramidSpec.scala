@@ -1,0 +1,129 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+/** Incremental pyramid maintenance: commits must rewrite ONLY the
+  * (sbucket, wbucket) rollup partitions their touched ranges dirty —
+  * the engine's analog of the reference's per-child generation stamps
+  * (/root/reference/internal/bstore/blocktypes.go:111). Asserted at the
+  * FILESYSTEM level: untouched partitions' files stay byte-identical.
+  */
+class PyramidSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("pyramid-spec")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Engine with tiny geometry: levels 2^4/2^8, window buckets of 2^12 ns
+    * (16 pw=8 windows each), commit ranges clustered at 2^8. */
+  private def mkDb(): Btrdb = {
+    val dir = Files.createTempDirectory("pyrspec").toString
+    new Btrdb(spark, dir, sBuckets = 4, tBucketPw = 12,
+      bufferCommitThreshold = 1 << 20,
+      pyramidLevels = Seq(4, 8), pyramidWBucketPw = 12, commitRangePw = 8)
+  }
+
+  private def insertPts(db: Btrdb, uuid: String, pts: Seq[(Long, Double)]): Unit =
+    db.insert(uuid, spark.createDataFrame(pts).toDF("time", "value"))
+
+  private def partitionFiles(db: Btrdb, pw: Int): Map[String, List[(String, Long, Long)]] = {
+    val base = Paths.get(s"${db.root}/pyramid/pw=$pw".stripPrefix("file:"))
+    if (!Files.exists(base)) Map.empty
+    else {
+      val s = Files.walk(base)
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .toList
+        .groupBy(p => base.relativize(p.getParent).toString)
+        .map { case (part, files) =>
+          part -> files.map(f => (f.getFileName.toString,
+            Files.getLastModifiedTime(f).toMillis, Files.size(f))).sorted
+        }
+      finally s.close()
+    }
+  }
+
+  test("a two-instant backfill dirties exactly two wbucket partitions") {
+    val db = mkDb()
+    val uuid = "u-incr"
+    db.createStream(uuid, "pyr/incr", Map("t" -> "i"))
+    // v1: four full wbuckets [0, 4*4096)
+    insertPts(db, uuid, (0L until 4 * 4096L).map(t => (t, 1.0)))
+    db.flush(uuid)
+    val before = Seq(4, 8).map(pw => pw -> partitionFiles(db, pw)).toMap
+    assert(before(8).keySet ==
+      (0 to 3).map(w => s"sbucket=${db.sidOf(uuid) % 4}/wbucket=$w").toSet)
+
+    // v2: one batch touching two instants ~3 wbuckets apart
+    insertPts(db, uuid, Seq((100L, 9.0), (3L * 4096 + 50, 9.0)))
+    db.flush(uuid)
+    val after = Seq(4, 8).map(pw => pw -> partitionFiles(db, pw)).toMap
+    val sb = db.sidOf(uuid) % 4
+    Seq(4, 8).foreach { pw =>
+      // middle wbuckets 1 and 2 untouched — files byte-identical
+      assert(after(pw)(s"sbucket=$sb/wbucket=1") == before(pw)(s"sbucket=$sb/wbucket=1"),
+        s"pw=$pw wbucket=1 was rewritten")
+      assert(after(pw)(s"sbucket=$sb/wbucket=2") == before(pw)(s"sbucket=$sb/wbucket=2"),
+        s"pw=$pw wbucket=2 was rewritten")
+      // dirtied wbuckets 0 and 3 rewritten
+      assert(after(pw)(s"sbucket=$sb/wbucket=0") != before(pw)(s"sbucket=$sb/wbucket=0"),
+        s"pw=$pw wbucket=0 not refreshed")
+      assert(after(pw)(s"sbucket=$sb/wbucket=3") != before(pw)(s"sbucket=$sb/wbucket=3"),
+        s"pw=$pw wbucket=3 not refreshed")
+    }
+    // pyramid-served stats agree with the raw (version-pinned) path
+    val pyr = db.alignedWindows(uuid, 0, 4 * 4096, 8).collect()
+    val raw = db.alignedWindows(uuid, 0, 4 * 4096, 8, version = 2).collect()
+    assert(pyr.length == raw.length && pyr.length == 64)
+    pyr.zip(raw).foreach { case (p, r) =>
+      assert(p.getLong(0) == r.getLong(0) && p.getLong(1) == r.getLong(1))
+      assert(p.getDouble(2) == r.getDouble(2) && p.getDouble(4) == r.getDouble(4))
+      assert(math.abs(p.getDouble(3) - r.getDouble(3)) < 1e-12)
+    }
+    assert(pyr.map(_.getLong(1)).sum == 4 * 4096 + 2)
+  }
+
+  test("changes reports two tight ranges for a two-instant commit") {
+    val db = mkDb()
+    val uuid = "u-split"
+    db.createStream(uuid, "pyr/split", Map("t" -> "s"))
+    insertPts(db, uuid, Seq((100L, 1.0), (3L * 4096 + 50, 2.0)))
+    db.flush(uuid)
+    val ch = db.changes(uuid, 0, 1, resolution = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ch.toSeq == Seq((100L, 101L), (3L * 4096 + 50, 3L * 4096 + 51)),
+      s"got ${ch.toSeq}") // NOT one [100, 12339) envelope
+  }
+
+  test("a delete draining a bucket clears its pyramid partition") {
+    val db = mkDb()
+    val uuid = "u-drain"
+    db.createStream(uuid, "pyr/drain", Map("t" -> "d"))
+    insertPts(db, uuid, ((0L until 4096L) ++ (8192L until 12288L)).map(t => (t, 1.0)))
+    db.flush(uuid)
+    val sb = db.sidOf(uuid) % 4
+    assert(partitionFiles(db, 8).keySet ==
+      Set(s"sbucket=$sb/wbucket=0", s"sbucket=$sb/wbucket=2"))
+    db.deleteRange(uuid, 8192L, 12288L)
+    // drained partition removed; survivor untouched
+    assert(partitionFiles(db, 8).keySet == Set(s"sbucket=$sb/wbucket=0"))
+    assert(db.rawValues(uuid, 0, 16384).count() == 4096)
+  }
+}
