@@ -288,17 +288,47 @@ class Btrdb(val spark: SparkSession, val root: String,
 
   // ---- versioned storage ---------------------------------------------
 
+  /** The commit log as a DataFrame. Stored as JSON lines — one small
+    * file per commit, written by the driver with NO Spark job (a commit
+    * is one metadata row; a distributed write for it is pure scheduler
+    * overhead, and the reference's per-commit superblock write is the
+    * same O(1) metadata append). Parsed with an explicit schema so all
+    * int64 ns values round-trip exactly. */
   def commits: DataFrame = {
     var c = commitsCache
     if (c == null) synchronized {
       c = commitsCache
       if (c == null) {
-        c = readOr("commits", CommitSchema).cache()
+        c = (if (exists("commits"))
+            spark.read.schema(
+              org.apache.spark.sql.types.StructType.fromDDL(CommitSchema))
+              .json(path("commits"))
+          else emptyDf(CommitSchema)).cache()
         c.count()
         commitsCache = c
       }
     }
     c
+  }
+
+  /** In-memory per-stream commit state (major version + delete debt),
+    * seeded from the commit log once and maintained on every commit so
+    * the ingest and stat hot paths never re-scan commit metadata. */
+  private val majorCounts = scala.collection.mutable.Map.empty[Long, Long]
+  private val deleteDebt = scala.collection.mutable.Set.empty[Long]
+  @volatile private var commitStateSeeded = false
+
+  private def seedCommitState(): Unit = synchronized {
+    if (!commitStateSeeded) {
+      commits.groupBy("sid")
+        .agg(max("version").as("maj"),
+          max(when(col("kind") === "delete", 1L).otherwise(0L)).as("del"))
+        .collect().foreach { r =>
+          majorCounts(r.getLong(0)) = r.getLong(1)
+          if (r.getLong(2) == 1L) deleteDebt += r.getLong(0)
+        }
+      commitStateSeeded = true
+    }
   }
   /** The PQM write buffer, partitioned by `sid` (each stream's buffer is
     * independent, /root/reference/pqm.go:510-625) and a writer-private
@@ -362,9 +392,15 @@ class Btrdb(val spark: SparkSession, val root: String,
     (majorOf(sid), minorOf(sid))
   }
 
-  private def majorOf(sid: Long): Long =
-    commits.filter(col("sid") === sid)
-      .agg(coalesce(max("version"), lit(0L))).head.getLong(0)
+  private def majorOf(sid: Long): Long = {
+    seedCommitState()
+    majorCounts.getOrElse(sid, 0L)
+  }
+
+  private def hasDeleteDebt(sid: Long): Boolean = {
+    seedCommitState()
+    deleteDebt.contains(sid)
+  }
 
   /** Insert: validate, stage; auto-commit when the buffer crosses the
     * threshold (PQM semantics, /root/reference/pqm.go:510-625).
@@ -373,59 +409,87 @@ class Btrdb(val spark: SparkSession, val root: String,
     val sid = sidOf(uuid)
     val batch = points.select(lit(sid).as("sid"),
       col("time").cast("long").as("time"), col("value").cast("double").as("value"))
-    // one pass: validation + count + time envelope together
-    val st = batch.agg(
-      count(lit(1)), sum(when(!TimeOps.validPoint(col("time"), col("value")), 1L)),
-      min("time"), max("time")).head
-    val n = st.getLong(0)
-    if (n == 0) return version(uuid)
-    val bad = if (st.isNullAt(1)) 0L else st.getLong(1)
-    require(bad == 0, s"$bad points rejected: NaN/Inf value or time out of range")
-    val (tmin, tmax) = (st.getLong(2), st.getLong(3))
-    if (minorOf(sid) == 0 && n >= bufferCommitThreshold) {
-      // large batch, empty buffer: commit directly — no staging round-trip
-      commitBatch(sid, batch, tmin, tmax, n)
-      version(uuid)
-    } else {
-      // batch=-1 marks direct (non-streaming) appends; StreamingIngest
-      // writes real batch ids it can idempotently overwrite on replay
-      batch.withColumn("batch", lit(-1L))
-        .sortWithinPartitions("time")
-        .write.mode(SaveMode.Append).partitionBy("sid", "batch")
-        .parquet(path("staging"))
-      minorCounts(sid) = minorOf(sid) + n
-      if (minorOf(sid) >= bufferCommitThreshold) flush(uuid)
-      version(uuid)
-    }
+    // ONE aggregation pass over the batch produces the window partials;
+    // validation, count, envelope, touched ranges, AND the pyramid fold
+    // all derive from them — the raw batch is only read once more, by
+    // the point-log write itself
+    val partials = batchPartials(batch).cache()
+    val st = batchStats(partials)
+    if (st.n == 0) { partials.unpersist(); return version(uuid) }
+    require(st.bad == 0,
+      s"${st.bad} points rejected: NaN/Inf value or time out of range")
+    val out =
+      if (minorOf(sid) == 0 && st.n >= bufferCommitThreshold) {
+        // large batch, empty buffer: commit directly — no staging round-trip
+        commitBatch(sid, batch, st, partials)
+        version(uuid)
+      } else {
+        // batch=-1 marks direct (non-streaming) appends; StreamingIngest
+        // writes real batch ids it can idempotently overwrite on replay
+        batch.withColumn("batch", lit(-1L))
+          .sortWithinPartitions("time")
+          .write.mode(SaveMode.Append).partitionBy("sid", "batch")
+          .parquet(path("staging"))
+        minorCounts(sid) = minorOf(sid) + st.n
+        if (minorOf(sid) >= bufferCommitThreshold) flush(uuid)
+        version(uuid)
+      }
+    partials.unpersist()
+    out
   }
 
-  /** Per-commit touched time ranges — the sub-envelope fidelity the
+  /** Granularity of the one-pass batch partials: the finest pyramid
+    * level (so the fold needs no re-aggregation) but never coarser than
+    * the commit-range clustering width. */
+  private val partialPw: Int =
+    math.min(pyramidLevels.sorted.headOption.getOrElse(commitRangePw),
+      commitRangePw)
+
+  /** The single aggregation pass every commit makes over its batch:
+    * per-2^partialPw-window (cnt, bad, time envelope, vmin, vmax, vsum).
+    * Everything else — validation verdicts, commit envelope, touched
+    * ranges, pyramid maintenance — is derived from these partials, which
+    * are ≤ one row per touched window. */
+  private def batchPartials(batch: DataFrame): DataFrame =
+    batch.groupBy(TimeOps.clampTime(col("time"), partialPw).as("wstart"))
+      .agg(count(lit(1)).as("cnt"),
+        coalesce(sum(when(!TimeOps.validPoint(col("time"), col("value")), 1L)),
+          lit(0L)).as("bad"),
+        min("time").as("ts"), (max("time") + 1).as("te"),
+        min("value").as("vmin"), max("value").as("vmax"),
+        sum("value").as("vsum"))
+
+  /** Batch statistics from the partials: count, invalid count, envelope,
+    * and the per-commit TOUCHED RANGES — the sub-envelope fidelity the
     * reference gets from generation-stamped subtrees
     * (/root/reference/qtree/qtree.go:255-351). Each range is the EXACT
     * [min, max+1) envelope of a cluster of touched 2^pw buckets; pw
-    * starts at `commitRangePw` and coarsens (up to the envelope) until
-    * the range count is bounded, so the commit record stays metadata-
-    * sized no matter how the batch is shaped. A backfill touching two
-    * points a year apart records two tight ranges, not one year-wide
-    * envelope — `changes()` consumers and the pyramid invalidator both
-    * read these. */
-  private def touchedRanges(pts: DataFrame): Seq[(Long, Long)] = {
+    * starts at `commitRangePw` and coarsens until the bucket count is
+    * bounded, so the commit record stays metadata-sized no matter how
+    * the batch is shaped. A backfill touching two points a year apart
+    * records two tight ranges, not one year-wide envelope — `changes()`
+    * consumers and the pyramid invalidator both read these. */
+  private def batchStats(partials: DataFrame): BatchStats = {
     val MaxBuckets = 256
     val MaxRanges = 64
-    var pw = commitRangePw
-    var buckets: Array[(Long, Long, Long)] = null // (bstart, s, e)
+    var pw = math.max(commitRangePw, partialPw)
+    var buckets: Array[(Long, Long, Long, Long, Long)] = null // (b, n, bad, s, e)
     while (buckets == null) {
-      val got = pts
-        .groupBy(TimeOps.clampTime(col("time"), pw).as("b"))
-        .agg(min("time").as("s"), (max("time") + 1).as("e"))
+      val got = partials
+        .groupBy(TimeOps.clampTime(col("wstart"), pw).as("b"))
+        .agg(sum("cnt").as("n"), sum("bad").as("bad"),
+          min("ts").as("s"), max("te").as("e"))
         .orderBy("b").limit(MaxBuckets + 1).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      // an overflowed collect is truncated — its stats are unusable
       if (got.length <= MaxBuckets || pw >= 60) buckets = got else pw += 8
     }
+    if (buckets.isEmpty) return BatchStats(0, 0, 0, 0, Nil)
     // merge clusters of adjacent buckets (driver-side; ≤256 entries)
     val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val width = 1L << pw
-    buckets.sortBy(_._1).foreach { case (b, s, e) =>
+    buckets.sortBy(_._1).foreach { case (b, _, _, s, e) =>
       // adjacent iff this bucket starts right after the previous range's
       // last touched bucket: ((e-1) | (width-1)) + 1 is that next start
       if (merged.nonEmpty && b <= ((merged.last._2 - 1) | (width - 1)) + 1)
@@ -438,19 +502,18 @@ class Btrdb(val spark: SparkSession, val root: String,
       merged(gi) = (merged(gi)._1, merged(gi + 1)._2)
       merged.remove(gi + 1)
     }
-    merged.toSeq
+    BatchStats(buckets.map(_._2).sum, buckets.map(_._3).sum,
+      buckets.map(_._4).min, buckets.map(_._5).max - 1, merged.toSeq)
   }
 
   /** Commit a validated batch as the stream's next generation: write the
     * partitioned point files, the commit record (with its touched
-    * ranges), and recompute exactly the rollup buckets the commit
-    * touches. */
-  private def commitBatch(sid: Long, batch: DataFrame,
-                          tmin: Long, tmax: Long, n: Long): Long = {
+    * ranges), and fold the batch's partials into exactly the rollup
+    * buckets it touches. */
+  private def commitBatch(sid: Long, batch: DataFrame, st: BatchStats,
+                          partials: DataFrame): Long = {
     val v = majorOf(sid) + 1
-    val cached = batch.cache()
-    val ranges = touchedRanges(cached)
-    cached
+    batch
       .withColumn("version", lit(v))
       .withColumn("sbucket", pmod(col("sid"), lit(sBuckets)))
       .withColumn("tbucket", shiftright(col("time"), tBucketPw))
@@ -465,9 +528,10 @@ class Btrdb(val spark: SparkSession, val root: String,
                                      // delta-delta+varint (~2.9x, FAST'16)
       .partitionBy("sbucket", "tbucket")
       .parquet(path("points"))
-    cached.unpersist()
-    appendCommit(sid, v, "insert", tmin, tmax, n, ranges)
-    maintainPyramid(sid, ranges)
+    appendCommit(sid, v, "insert", st.tmin, st.tmax, st.n, st.ranges)
+    // INSERT path: the batch's partial aggregates fold into the existing
+    // rollup rows — no point-log rescan, no second batch pass
+    maintainPyramid(sid, st.ranges, foldPartials = Some(partials))
     v
   }
 
@@ -485,10 +549,15 @@ class Btrdb(val spark: SparkSession, val root: String,
     val sid = sidOf(uuid)
     if (minorOf(sid) == 0) return version(uuid)
     val staged = stagingDf.filter(col("sid") === sid).cache()
-    val st = staged.agg(count(lit(1)), min("time"), max("time")).head
-    val n = st.getLong(0)
-    if (n == 0) { staged.unpersist(); minorCounts(sid) = 0; return version(uuid) }
-    commitBatch(sid, staged, st.getLong(1), st.getLong(2), n)
+    val partials = batchPartials(staged).cache()
+    val st = batchStats(partials)
+    if (st.n == 0) {
+      partials.unpersist(); staged.unpersist()
+      minorCounts(sid) = 0
+      return version(uuid)
+    }
+    commitBatch(sid, staged, st, partials)
+    partials.unpersist()
     staged.unpersist()
     deleteDir(s"staging/sid=$sid")
     minorCounts(sid) = 0
@@ -502,7 +571,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     flush(uuid) // deletes apply to committed data, like the reference
     appendCommit(sid, majorOf(sid) + 1, "delete", start, end, 0,
       Seq((start, end)))
-    maintainPyramid(sid, Seq((start, end)))
+    maintainPyramid(sid, Seq((start, end)), foldPartials = None)
     version(uuid)
   }
 
@@ -558,9 +627,10 @@ class Btrdb(val spark: SparkSession, val root: String,
         Seq(CommitRange(tmin, tmax + 1)))).toDF())
       .localCheckpoint()
     deleteDir("commits")
-    keep.write.mode(SaveMode.Overwrite).parquet(path("commits"))
+    keep.write.mode(SaveMode.Overwrite).json(path("commits"))
     invalidateCommits()
-    if (n > 0) maintainPyramid(sid, Seq((tmin, tmax + 1)))
+    deleteDebt -= sid // history collapsed; merge-on-read debt cleared
+    if (n > 0) maintainPyramid(sid, Seq((tmin, tmax + 1)), foldPartials = None)
     maj
   }
 
@@ -572,14 +642,26 @@ class Btrdb(val spark: SparkSession, val root: String,
     }
   }
 
+  /** Append one commit record: a single JSON line written by the driver
+    * — no Spark job for a metadata row (the analog of the reference's
+    * superblock append, blockstore.go:317-360). File creation is the
+    * atomic visibility point. */
   private def appendCommit(sid: Long, v: Long, kind: String,
                            tmin: Long, tmax: Long, n: Long,
                            ranges: Seq[(Long, Long)]): Unit = {
-    import spark.implicits._
-    Seq(CommitRecord(sid, v, kind, tmin, tmax, n,
-        ranges.map { case (s, e) => CommitRange(s, e) }))
-      .toDF()
-      .write.mode(SaveMode.Append).parquet(path("commits"))
+    val dir = Paths.get(path("commits").stripPrefix("file:"))
+    Files.createDirectories(dir)
+    val rangesJson = ranges
+      .map { case (s, e) => s"""{"s":$s,"e":$e}""" }.mkString("[", ",", "]")
+    val line = s"""{"sid":$sid,"version":$v,"kind":"$kind","tmin":$tmin,""" +
+      s""""tmax":$tmax,"npoints":$n,"ranges":$rangesJson}""" + "\n"
+    val tmp = dir.resolve(s".commit-$sid-$v.json.tmp")
+    Files.write(tmp, line.getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve(s"commit-$sid-$v.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    seedCommitState()
+    majorCounts(sid) = math.max(majorCounts.getOrElse(sid, 0L), v)
+    if (kind == "delete") deleteDebt += sid
     invalidateCommits()
   }
 
@@ -642,8 +724,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     // the buffer alone and COMBINE partials (Σcnt, min, Σsum, max;
     // mean = Σ(mean·count)/Σcount, /root/reference/merger.go:126-208)
     val usable = level.exists(l => exists(s"pyramid/pw=$l")) &&
-      version == TimeConsts.LatestGeneration &&
-      commits.filter(col("sid") === sid && col("kind") === "delete").isEmpty
+      version == TimeConsts.LatestGeneration && !hasDeleteDebt(sid)
     if (usable) {
       val l = level.get
       val committed = spark.read.parquet(path(s"pyramid/pw=$l"))
@@ -688,7 +769,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     val level = pyramidLevels.filter(_ <= depth).sorted.lastOption
       .filter(l => exists(s"pyramid/pw=$l") &&
         version == TimeConsts.LatestGeneration && minorOf(sid) == 0 &&
-        commits.filter(col("sid") === sid && col("kind") === "delete").isEmpty)
+        !hasDeleteDebt(sid))
     val agg0 = level match {
       case Some(l) =>
         spark.read.parquet(path(s"pyramid/pw=$l"))
@@ -794,7 +875,8 @@ class Btrdb(val spark: SparkSession, val root: String,
     * and single-writer recovery is to re-run the maintenance for the
     * last commit's ranges (idempotent — it recomputes from the point
     * log). */
-  private def maintainPyramid(sid: Long, touched: Seq[(Long, Long)]): Unit = {
+  private def maintainPyramid(sid: Long, touched: Seq[(Long, Long)],
+                              foldPartials: Option[DataFrame]): Unit = {
     if (pyramidLevels.isEmpty || touched.isEmpty) return
     val sorted = pyramidLevels.sorted
     val base = sorted.head
@@ -811,17 +893,30 @@ class Btrdb(val spark: SparkSession, val root: String,
       else ranges += ((s, e))
     }
     val sb = sid % sBuckets
-    val uuid = uuidBySid(sid)
-    // ONE raw scan per dirtied range at the finest level (each range gets
-    // its own tbucket-pruned scan); coarser levels combine the finer
-    // rollup — count/min/max/sum compose exactly, the same bottom-up
-    // build as the reference's LinkAndStore backpatch.
-    var fresh = ranges.map { case (lo, hi) =>
-        pointsAt(uuid, TimeConsts.LatestGeneration, lo, hi)
-      }.reduce(_ unionByName _)
-      .groupBy(TimeOps.clampTime(col("time"), base).as("wstart"))
-      .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
-        max("value").as("vmax"), sum("value").as("vsum"))
+    // Finest-level partials. INSERT path: the batch's one-pass partials
+    // FOLD into the existing rollup rows (count/min/max/sum compose over
+    // multisets) — the reference's SetChild recompute on relink
+    // (/root/reference/qtree/qtree.go:436-468), with zero point-log
+    // rescan and zero extra batch passes. DELETE/compact path: recompute
+    // the dirtied ranges from the (anti-filtered) point log, one
+    // tbucket-pruned scan per range.
+    val fold = foldPartials.isDefined
+    var fresh = (foldPartials match {
+        case Some(p) if partialPw == base =>
+          p.select(col("wstart"), col("cnt"), col("vmin"), col("vmax"), col("vsum"))
+        case Some(p) =>
+          p.groupBy(TimeOps.clampTime(col("wstart"), base).as("wstart"))
+            .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
+              max("vmax").as("vmax"), sum("vsum").as("vsum"))
+        case None =>
+          val uuid = uuidBySid(sid)
+          ranges.map { case (lo, hi) =>
+            pointsAt(uuid, TimeConsts.LatestGeneration, lo, hi)
+          }.reduce(_ unionByName _)
+            .groupBy(TimeOps.clampTime(col("time"), base).as("wstart"))
+            .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
+              max("value").as("vmax"), sum("value").as("vsum"))
+      })
       .withColumn("sid", lit(sid))
       .cache()
     val inRange = (c: Column) =>
@@ -841,21 +936,30 @@ class Btrdb(val spark: SparkSession, val root: String,
       }
       val part = s"pyramid/pw=$pw"
       val cols = Seq("sid", "wstart", "cnt", "vmin", "vmax", "vsum")
-      // survivors within the dirtied partitions: other streams sharing
-      // the sbucket, and this stream's windows outside the touched
-      // ranges — partition filters prune everything else from the read
-      val kept =
+      // rows already in the dirtied partitions — partition filters prune
+      // everything else from the read
+      val existing =
         if (!exists(part)) fresh.select(cols.map(col): _*).limit(0)
         else spark.read.parquet(path(part))
-          .filter(col("sbucket") === sb &&
-            col("wbucket").isin(wbuckets: _*) &&
-            !(col("sid") === sid && inRange(col("wstart"))))
+          .filter(col("sbucket") === sb && col("wbucket").isin(wbuckets: _*))
           .select(cols.map(col): _*)
-      val merged = kept.unionByName(fresh.select(cols.map(col): _*))
+      val merged = (if (fold)
+          // fold: existing rows (all streams, incl. this one's) combine
+          // with the batch partials per (sid, wstart); untouched rows
+          // pass through as single-row groups
+          existing.unionByName(fresh.select(cols.map(col): _*))
+            .groupBy("sid", "wstart")
+            .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
+              max("vmax").as("vmax"), sum("vsum").as("vsum"))
+            .select(cols.map(col): _*)
+        else
+          // recompute: this stream's in-range rows are REPLACED by fresh
+          existing.filter(!(col("sid") === sid && inRange(col("wstart"))))
+            .unionByName(fresh.select(cols.map(col): _*)))
         .withColumn("sbucket", lit(sb))
         .withColumn("wbucket", shiftright(col("wstart"), pyramidWBucketPw))
         // eager materialization — the write below replaces partitions the
-        // `kept` branch reads from
+        // `existing` branch reads from
         .localCheckpoint()
       merged
         // hash-repartition on the partition keys: one task owns each
@@ -865,13 +969,16 @@ class Btrdb(val spark: SparkSession, val root: String,
         .write.mode(SaveMode.Overwrite) // dynamic: only written partitions
         .partitionBy("sbucket", "wbucket")
         .parquet(path(part))
-      // a dirtied partition whose merged content is EMPTY (e.g. a delete
-      // drained the whole bucket) is absent from the write — dynamic
-      // overwrite leaves its old file — so clear it explicitly
-      val present = merged.select("wbucket").distinct().collect()
-        .map(_.getLong(0)).toSet
-      wbuckets.filterNot(present).foreach(wb =>
-        deleteDir(s"$part/sbucket=$sb/wbucket=$wb"))
+      if (!fold) {
+        // a dirtied partition whose merged content is EMPTY (e.g. a
+        // delete drained the whole bucket) is absent from the write —
+        // dynamic overwrite leaves its old file — so clear it explicitly
+        // (inserts can never drain a partition; skip the extra job)
+        val present = merged.select("wbucket").distinct().collect()
+          .map(_.getLong(0)).toSet
+        wbuckets.filterNot(present).foreach(wb =>
+          deleteDir(s"$part/sbucket=$sb/wbucket=$wb"))
+      }
     }
     fresh.unpersist()
   }
@@ -887,6 +994,10 @@ class Btrdb(val spark: SparkSession, val root: String,
   private def uuidBySid(sid: Long): String =
     catalog.filter(col("sid") === sid).select("uuid").head.getString(0)
 }
+
+/** One-pass batch statistics (see Btrdb.batchStats). */
+final case class BatchStats(n: Long, bad: Long, tmin: Long, tmax: Long,
+    ranges: Seq[(Long, Long)])
 
 /** One touched time range [s, e) of a commit — the exact point envelope
   * of a cluster of adjacent commitRangePw buckets. */
