@@ -46,7 +46,25 @@ object IngestBench {
     val wins = db.alignedWindows("bench-uuid", 0, n * 1000L, 30).count()
     val tStat = (System.nanoTime() - t2) / 1e9
 
-    println(f"""{"points":$n,"ingest_s":$tIngest%.3f,"ingest_pts_per_s":${(n / tIngest).toLong},"scan_s":$tScan%.3f,"scan_pts_per_s":${(scanned / tScan).toLong},"stat_s":$tStat%.3f,"stat_windows":$wins}""")
+    // steady-state commit cadence: K further commits of `step` points
+    // each, appended after the bulk load — the reference's 32k-point PQM
+    // commit pattern. Per-commit cost must stay flat as the stream (and
+    // its rollup) grows; this is the number the incremental pyramid
+    // maintenance is accountable to.
+    val commits = 8
+    val step = 131072L
+    val t3 = System.nanoTime()
+    (0 until commits).foreach { i =>
+      val lo = n + i * step
+      val pts = spark.range(lo, lo + step).select(
+        (col("id") * 1000L).as("time"),
+        (sin(col("id") / 1e5) * 100).as("value"))
+      db.insert("bench-uuid", pts)
+      db.flush("bench-uuid")
+    }
+    val tSteady = (System.nanoTime() - t3) / 1e9
+
+    println(f"""{"points":$n,"ingest_s":$tIngest%.3f,"ingest_pts_per_s":${(n / tIngest).toLong},"scan_s":$tScan%.3f,"scan_pts_per_s":${(scanned / tScan).toLong},"stat_s":$tStat%.3f,"stat_windows":$wins,"steady_commits":$commits,"steady_commit_s":${tSteady / commits}%.3f,"steady_pts_per_s":${(commits * step / tSteady).toLong}}""")
     spark.stop()
   }
 }

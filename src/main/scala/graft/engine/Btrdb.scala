@@ -316,16 +316,23 @@ class Btrdb(val spark: SparkSession, val root: String,
     * the ingest and stat hot paths never re-scan commit metadata. */
   private val majorCounts = scala.collection.mutable.Map.empty[Long, Long]
   private val deleteDebt = scala.collection.mutable.Set.empty[Long]
+  /** Committed time envelope per stream (inserts only) — an
+    * over-approximation of where points can exist, used to bound
+    * `nearest` probes. */
+  private val envelopes = scala.collection.mutable.Map.empty[Long, (Long, Long)]
   @volatile private var commitStateSeeded = false
 
   private def seedCommitState(): Unit = synchronized {
     if (!commitStateSeeded) {
       commits.groupBy("sid")
         .agg(max("version").as("maj"),
-          max(when(col("kind") === "delete", 1L).otherwise(0L)).as("del"))
+          max(when(col("kind") === "delete", 1L).otherwise(0L)).as("del"),
+          min(when(col("kind") === "insert", col("tmin"))).as("emin"),
+          max(when(col("kind") === "insert", col("tmax"))).as("emax"))
         .collect().foreach { r =>
           majorCounts(r.getLong(0)) = r.getLong(1)
           if (r.getLong(2) == 1L) deleteDebt += r.getLong(0)
+          if (!r.isNullAt(3)) envelopes(r.getLong(0)) = (r.getLong(3), r.getLong(4))
         }
       commitStateSeeded = true
     }
@@ -630,6 +637,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     keep.write.mode(SaveMode.Overwrite).json(path("commits"))
     invalidateCommits()
     deleteDebt -= sid // history collapsed; merge-on-read debt cleared
+    if (n > 0) envelopes(sid) = (tmin, tmax) else envelopes -= sid
     if (n > 0) maintainPyramid(sid, Seq((tmin, tmax + 1)), foldPartials = None)
     maj
   }
@@ -662,6 +670,10 @@ class Btrdb(val spark: SparkSession, val root: String,
     seedCommitState()
     majorCounts(sid) = math.max(majorCounts.getOrElse(sid, 0L), v)
     if (kind == "delete") deleteDebt += sid
+    else envelopes(sid) = envelopes.get(sid) match {
+      case Some((a, b)) => (math.min(a, tmin), math.max(b, tmax))
+      case None => (tmin, tmax)
+    }
     invalidateCommits()
   }
 
@@ -723,7 +735,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     // reference merges its write buffer into stat results — aggregate
     // the buffer alone and COMBINE partials (Σcnt, min, Σsum, max;
     // mean = Σ(mean·count)/Σcount, /root/reference/merger.go:126-208)
-    val usable = level.exists(l => exists(s"pyramid/pw=$l")) &&
+    val usable = level.exists(l => hasParquet(s"pyramid/pw=$l")) &&
       version == TimeConsts.LatestGeneration && !hasDeleteDebt(sid)
     if (usable) {
       val l = level.get
@@ -767,7 +779,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     // when one exists and the stream has no merge-on-read debt.
     val sid = sidOf(uuid)
     val level = pyramidLevels.filter(_ <= depth).sorted.lastOption
-      .filter(l => exists(s"pyramid/pw=$l") &&
+      .filter(l => hasParquet(s"pyramid/pw=$l") &&
         version == TimeConsts.LatestGeneration && minorOf(sid) == 0 &&
         !hasDeleteDebt(sid))
     val agg0 = level match {
@@ -794,16 +806,75 @@ class Btrdb(val spark: SparkSession, val root: String,
   }
 
   /** Nearest: forward inclusive / backward exclusive
-    * (/root/reference/qtree/qtree.go:24-26). */
+    * (/root/reference/qtree/qtree.go:24-26). Probes geometrically
+    * widening time windows outward from `t`, bounded by the stream's
+    * in-memory commit envelope — scan cost is proportional to the
+    * distance to the hit, NEVER the stream's whole half-range (the
+    * reference's nearest is the same log-depth idea as a tree walk,
+    * /root/reference/qtree/qtree.go:27-127). Each probe's tbucket
+    * filter prunes the point-log scan to the probed buckets. */
   def nearest(uuid: String, t: Long, backward: Boolean,
-              version: Long = TimeConsts.LatestGeneration): Option[(Long, Double)] = {
-    val (lo, hi) = if (backward) (TimeConsts.MinimumTime, t)
-                   else (t, TimeConsts.MaximumTime)
-    val df = readable(uuid, version, lo, hi)
-    val ordered = if (backward) df.orderBy(col("time").desc, col("value").desc)
-                  else df.orderBy(col("time").asc, col("value").asc)
-    ordered.select("time", "value").limit(1).collect()
-      .headOption.map(r => (r.getLong(0), r.getDouble(1)))
+              version: Long = TimeConsts.LatestGeneration): Option[(Long, Double)] =
+    nearestProbed(uuid, t, backward, version)._1
+
+  /** [[nearest]] plus the number of window probes issued — specs pin the
+    * probe count to stay logarithmic in the distance to the hit. */
+  private[engine] def nearestProbed(uuid: String, t: Long, backward: Boolean,
+      version: Long = TimeConsts.LatestGeneration): (Option[(Long, Double)], Int) = {
+    val sid = sidOf(uuid)
+    seedCommitState()
+    // probe bound = committed envelope ∪ staging envelope (one tiny
+    // sid-partition-pruned job, only while a write buffer exists)
+    val stagedEnv =
+      if (version == TimeConsts.LatestGeneration && minorOf(sid) > 0) {
+        val r = stagingDf.filter(col("sid") === sid)
+          .agg(min("time"), max("time")).head
+        if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+      } else None
+    val env = (envelopes.get(sid), stagedEnv) match {
+      case (Some((a, b)), Some((c, d))) => Some((math.min(a, c), math.max(b, d)))
+      case (x, y) => x.orElse(y)
+    }
+    env match {
+      case None => (None, 0)
+      case Some((emin, emax)) =>
+        var probes = 0
+        def probe(lo: Long, hi: Long): Option[(Long, Double)] = {
+          probes += 1
+          val df = readable(uuid, version, lo, hi)
+          val ordered =
+            if (backward) df.orderBy(col("time").desc, col("value").desc)
+            else df.orderBy(col("time").asc, col("value").asc)
+          ordered.select("time", "value").limit(1).collect()
+            .headOption.map(r => (r.getLong(0), r.getDouble(1)))
+        }
+        var res: Option[(Long, Double)] = None
+        var width = 1L << math.min(tBucketPw, 60)
+        if (!backward) {
+          if (t > emax) return (None, 0)
+          val lo = math.max(t, TimeConsts.MinimumTime)
+          val bound = emax + 1
+          var done = false
+          while (!done) {
+            val hi = if (width >= bound - lo) bound else lo + width
+            res = probe(lo, hi)
+            done = res.isDefined || hi >= bound
+            if (width < (1L << 61)) width *= 8
+          }
+        } else {
+          if (t <= emin) return (None, 0)
+          val hi = math.min(t, TimeConsts.MaximumTime)
+          val bound = emin
+          var done = false
+          while (!done) {
+            val lo = if (width >= hi - bound) bound else hi - width
+            res = probe(lo, hi)
+            done = res.isDefined || lo <= bound
+            if (width < (1L << 61)) width *= 8
+          }
+        }
+        (res, probes)
+    }
   }
 
   /** Changes(fromV, toV, resolution): per-commit TOUCHED RANGES (not the
@@ -901,7 +972,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     // the dirtied ranges from the (anti-filtered) point log, one
     // tbucket-pruned scan per range.
     val fold = foldPartials.isDefined
-    var fresh = (foldPartials match {
+    val baseFresh = (foldPartials match {
         case Some(p) if partialPw == base =>
           p.select(col("wstart"), col("cnt"), col("vmin"), col("vmax"), col("vsum"))
         case Some(p) =>
@@ -923,64 +994,69 @@ class Btrdb(val spark: SparkSession, val root: String,
       ranges.map { case (lo, hi) => c >= lo && c < hi }.reduce(_ || _)
     val wbuckets: Seq[Long] = ranges.toSeq.flatMap { case (lo, hi) =>
       (lo >> pyramidWBucketPw) to ((hi - 1) >> pyramidWBucketPw) }.distinct
-    sorted.foreach { pw =>
-      if (pw != base) {
-        val prev = fresh
-        fresh = prev
+    // ALL levels live in ONE table partitioned by (pw, sbucket, wbucket):
+    // the whole maintenance pass is a single checkpoint and a single
+    // dynamic-overwrite write, not one pair of jobs per level. Coarser
+    // levels roll up from the finer fresh rows lazily — everything
+    // materializes inside the one checkpoint job.
+    val cols = Seq("sid", "wstart", "cnt", "vmin", "vmax", "vsum")
+    val freshByLevel = sorted.tail.scanLeft(base -> baseFresh) {
+      case ((_, finer), pw) =>
+        pw -> finer
           .groupBy(TimeOps.clampTime(col("wstart"), pw).as("wstart"))
           .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
             max("vmax").as("vmax"), sum("vsum").as("vsum"))
           .withColumn("sid", lit(sid))
-          .cache()
-        prev.unpersist()
-      }
-      val part = s"pyramid/pw=$pw"
-      val cols = Seq("sid", "wstart", "cnt", "vmin", "vmax", "vsum")
-      // rows already in the dirtied partitions — partition filters prune
-      // everything else from the read
-      val existing =
-        if (!exists(part)) fresh.select(cols.map(col): _*).limit(0)
-        else spark.read.parquet(path(part))
-          .filter(col("sbucket") === sb && col("wbucket").isin(wbuckets: _*))
-          .select(cols.map(col): _*)
-      val merged = (if (fold)
-          // fold: existing rows (all streams, incl. this one's) combine
-          // with the batch partials per (sid, wstart); untouched rows
-          // pass through as single-row groups
-          existing.unionByName(fresh.select(cols.map(col): _*))
-            .groupBy("sid", "wstart")
-            .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
-              max("vmax").as("vmax"), sum("vsum").as("vsum"))
-            .select(cols.map(col): _*)
-        else
-          // recompute: this stream's in-range rows are REPLACED by fresh
-          existing.filter(!(col("sid") === sid && inRange(col("wstart"))))
-            .unionByName(fresh.select(cols.map(col): _*)))
-        .withColumn("sbucket", lit(sb))
-        .withColumn("wbucket", shiftright(col("wstart"), pyramidWBucketPw))
-        // eager materialization — the write below replaces partitions the
-        // `existing` branch reads from
-        .localCheckpoint()
-      merged
-        // hash-repartition on the partition keys: one task owns each
-        // dirtied (sbucket, wbucket) → one file per partition dir
-        .repartition(col("sbucket"), col("wbucket"))
-        .sortWithinPartitions("sid", "wstart")
-        .write.mode(SaveMode.Overwrite) // dynamic: only written partitions
-        .partitionBy("sbucket", "wbucket")
-        .parquet(path(part))
-      if (!fold) {
-        // a dirtied partition whose merged content is EMPTY (e.g. a
-        // delete drained the whole bucket) is absent from the write —
-        // dynamic overwrite leaves its old file — so clear it explicitly
-        // (inserts can never drain a partition; skip the extra job)
-        val present = merged.select("wbucket").distinct().collect()
-          .map(_.getLong(0)).toSet
-        wbuckets.filterNot(present).foreach(wb =>
-          deleteDir(s"$part/sbucket=$sb/wbucket=$wb"))
-      }
     }
-    fresh.unpersist()
+    val freshAll = freshByLevel.map { case (pw, df) =>
+      df.select(cols.map(col): _*).withColumn("pw", lit(pw)) }
+      .reduce(_ unionByName _)
+    val pcols = Seq("pw") ++ cols
+    // rows already in the dirtied partitions — partition filters prune
+    // everything else from the read
+    val existing =
+      if (!hasParquet("pyramid")) freshAll.select(pcols.map(col): _*).limit(0)
+      else spark.read.parquet(path("pyramid"))
+        .filter(col("pw").isin(sorted: _*) && col("sbucket") === sb &&
+          col("wbucket").isin(wbuckets: _*))
+        .select(pcols.map(col): _*)
+    val merged = (if (fold)
+        // fold: existing rows (all streams, incl. this one's) combine
+        // with the fresh partials per (pw, sid, wstart); untouched rows
+        // pass through as single-row groups
+        existing.unionByName(freshAll.select(pcols.map(col): _*))
+          .groupBy("pw", "sid", "wstart")
+          .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
+            max("vmax").as("vmax"), sum("vsum").as("vsum"))
+          .select(pcols.map(col): _*)
+      else
+        // recompute: this stream's in-range rows are REPLACED by fresh
+        existing.filter(!(col("sid") === sid && inRange(col("wstart"))))
+          .unionByName(freshAll.select(pcols.map(col): _*)))
+      .withColumn("sbucket", lit(sb))
+      .withColumn("wbucket", shiftright(col("wstart"), pyramidWBucketPw))
+      // eager materialization — the write below replaces partitions the
+      // `existing` branch reads from
+      .localCheckpoint()
+    merged
+      // hash-repartition on the partition keys: one task owns each
+      // dirtied (pw, sbucket, wbucket) → one file per partition dir
+      .repartition(col("pw"), col("sbucket"), col("wbucket"))
+      .sortWithinPartitions("sid", "wstart")
+      .write.mode(SaveMode.Overwrite) // dynamic: only written partitions
+      .partitionBy("pw", "sbucket", "wbucket")
+      .parquet(path("pyramid"))
+    if (!fold) {
+      // a dirtied partition whose merged content is EMPTY (e.g. a
+      // delete drained the whole bucket) is absent from the write —
+      // dynamic overwrite leaves its old file — so clear it explicitly
+      // (inserts can never drain a partition; skip the extra job)
+      val present = merged.select("pw", "wbucket").distinct().collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+      for (pw <- sorted; wb <- wbuckets if !present((pw, wb)))
+        deleteDir(s"pyramid/pw=$pw/sbucket=$sb/wbucket=$wb")
+    }
+    baseFresh.unpersist()
   }
 
   /** Partition-pruned pyramid slice: sbucket + wbucket filters reach the

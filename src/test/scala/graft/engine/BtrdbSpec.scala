@@ -105,6 +105,32 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(db.nearest(uuid, t1, backward = true).isEmpty)
   }
 
+  test("nearest probes outward from t, bounded by the stream envelope") {
+    val uuid = "u-probe"
+    db.createStream(uuid, "test/probe", Map("t" -> "pr"))
+    // spec engine: tBucketPw=52 → initial probe width 2^52. Points span
+    // a wide range; a hit adjacent to t must resolve in ONE probe even
+    // though the stream stretches 2^58 ns beyond it.
+    insertPoints(uuid, Seq((1L << 53, 1.0), ((1L << 53) + 5, 2.0), (1L << 58, 3.0)))
+    db.flush(uuid)
+    val (hit, probes) = db.nearestProbed(uuid, (1L << 53) + 1, backward = false)
+    assert(hit.contains(((1L << 53) + 5, 2.0)))
+    assert(probes == 1, s"adjacent hit needed $probes probes")
+    // distant hit: probe count grows logarithmically (8x widening from
+    // 2^52 → ≤ 3 probes to span 2^58), never a full half-range scan
+    val (far, probesFar) = db.nearestProbed(uuid, (1L << 53) + 6, backward = false)
+    assert(far.contains((1L << 58, 3.0)))
+    assert(probesFar <= 3, s"distant hit needed $probesFar probes")
+    // out-of-envelope queries answer without any probe
+    val (none, probes0) = db.nearestProbed(uuid, (1L << 58) + 1, backward = false)
+    assert(none.isEmpty && probes0 == 0)
+    // staged (unflushed) points extend the probe bound
+    insertPoints(uuid, Seq(((1L << 58) + 100, 9.0)))
+    assert(db.nearest(uuid, (1L << 58) + 1, backward = false)
+      .contains(((1L << 58) + 100, 9.0)))
+    db.flush(uuid)
+  }
+
   test("bufferMerge: latest read merges staging; pinned read doesn't; (maj,min) versions") {
     val uuid = "u-buffer"
     db.createStream(uuid, "test/buffer", Map("t" -> "buf"))
