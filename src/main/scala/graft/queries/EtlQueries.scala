@@ -431,10 +431,30 @@ object EtlQueries {
 
     // ---- Multimodal ---------------------------------------------------
 
-    // Binary-payload batch decode + feature extraction (decode stubbed,
-    // plumbing real — see graft.etl.Multimodal). Not SQL-expressible →
-    // rows-only check.
-    "q_multimodal" -> QueryDef.noOracle { (s, dir) =>
+    // Binary-payload batch decode: each doc's bytes are wrapped in a
+    // REAL BMP (54-byte little-endian header) and the Spark side
+    // genuinely parses the binary header for width/height and checksums
+    // the first 32 payload bytes (graft.etl.Multimodal.BmpCodec). The
+    // oracle recomputes those fields arithmetically from the known
+    // header layout: checksum = 'B'+'M' + LE-bytes(filesize=54+n) +
+    // bytes(offset=54) + bytes(hdrsize=40) + bytes(w) + bytes(h) +
+    // planes(1) + bpp(8) = 246 + Σbytes(54+n) + Σbytes(w) + Σbytes(h).
+    "q_multimodal" -> QueryDef(
+      s"""WITH b AS (
+         |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+         |d AS (
+         |  SELECT doc_id, n, 1 + n % 64 AS w, 1 + n // 64 AS h,
+         |         54 + n AS fs FROM b)
+         |SELECT doc_id AS asset_id, 'image/bmp' AS kind,
+         |  CAST(54 + n AS BIGINT) AS n_bytes,
+         |  CAST(246
+         |    + fs % 256 + (fs // 256) % 256
+         |    + (fs // 65536) % 256 + (fs // 16777216) % 256
+         |    + w % 256 + (w // 256) % 256
+         |    + h % 256 + (h // 256) % 256 AS BIGINT) AS checksum,
+         |  CAST(1 + n % 64 AS INTEGER) AS width,
+         |  CAST(1 + n // 64 AS INTEGER) AS height
+         |FROM d ORDER BY asset_id""".stripMargin) { (s, dir) =>
       graft.etl.Multimodal.features(s, dir).drop("feature")
     })
 
