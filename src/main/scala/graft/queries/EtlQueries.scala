@@ -339,39 +339,45 @@ object EtlQueries {
         .orderBy("bucket")
     },
 
-    // Embedding-cosine near-duplicate pairs: same-sign-bucket candidates
-    // only (the LSH guard against all-pairs), exact fixed-point cosine,
-    // keep pairs above threshold. Output integers + deterministic cosine.
-    "q_dedup_embcos" -> QueryDef {
-      val bitsSql = (0 until 8)
-        .map(d => s"CASE WHEN embedding[${d + 1}] >= 0 THEN ${1 << d} ELSE 0 END")
-        .mkString(" + ")
+    // Embedding-cosine near-duplicate pairs: banded RANDOM-HYPERPLANE
+    // signatures (2 bands × 8 bits, deterministic LCG coefficients over
+    // ALL 64 dims — computable bit-for-bit in SQL) gate the candidate
+    // pairs, exact fixed-point cosine reranks, keep pairs above
+    // threshold. Candidate volume scales as Σ bucket², tuned by bits
+    // (SCALE.md) — never all-pairs.
+    "q_dedup_embcos" -> QueryDef(
       s"""WITH sc AS (
-         |  SELECT vec_id, CAST($bitsSql AS BIGINT) AS bucket,
-         |    unnest(range(len(embedding))) AS i,
+         |  SELECT vec_id, unnest(range(len(embedding))) AS i,
          |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * $Scale, 0) AS BIGINT) AS v
          |  FROM embeddings),
+         |${hyperplaneSql(nPlanes = 16)},
+         |bk AS (
+         |  SELECT vec_id, j // 8 AS band,
+         |    SUM(CASE WHEN b = 1
+         |        THEN (CAST(1 AS BIGINT) << CAST(j % 8 AS INTEGER)) ELSE 0 END) AS sig
+         |  FROM bits GROUP BY vec_id, j // 8),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM bk x JOIN bk y
+         |    ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id),
          |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM sc GROUP BY vec_id),
          |dots AS (
-         |  SELECT a.vec_id AS a, b.vec_id AS b, SUM(a.v * b.v) AS dot
-         |  FROM sc a JOIN sc b
-         |    ON a.bucket = b.bucket AND a.i = b.i AND a.vec_id < b.vec_id
-         |  GROUP BY a.vec_id, b.vec_id)
+         |  SELECT c.a, c.b, SUM(sa.v * sb.v) AS dot
+         |  FROM cand c
+         |  JOIN sc sa ON sa.vec_id = c.a
+         |  JOIN sc sb ON sb.vec_id = c.b AND sb.i = sa.i
+         |  GROUP BY c.a, c.b)
          |SELECT d.a, d.b,
          |  CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cos
          |FROM dots d JOIN norms na ON na.vec_id = d.a JOIN norms nb ON nb.vec_id = d.b
          |WHERE CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.2
-         |ORDER BY d.a, d.b""".stripMargin
-    } { (s, dir) =>
+         |ORDER BY d.a, d.b""".stripMargin) { (s, dir) =>
       import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
-      val bits = (0 until 8)
-        .map(d => when(element_at(col("embedding"), d + 1) >= 0f, 1L << d).otherwise(0L))
-        .reduce(_ + _)
-      val base = emb(s, dir).select(col("vec_id"), col("embedding"),
-        bits.cast("long").as("bucket"))
-      val a = base.select(col("vec_id").as("a"), col("embedding").as("ea"), col("bucket"))
-      val b = base.select(col("vec_id").as("b"), col("embedding").as("eb"), col("bucket"))
-      a.join(b, Seq("bucket")).filter(col("a") < col("b"))
+      val base = emb(s, dir)
+      val cand = graft.etl.Similarity.candidatePairs(base, bands = 2, bits = 8, dim = 64)
+      cand
+        .join(base.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+        .join(base.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
         .select(col("a"), col("b"),
           (fixedPointDot(col("ea"), col("eb")).cast("double") /
             (sqrt(fixedPointNormSq(col("ea")).cast("double")) *
@@ -380,25 +386,27 @@ object EtlQueries {
         .orderBy("a", "b")
     },
 
-    // IVF-style two-stage ANN: coarse sign-quantization to a bucket,
-    // probe the query's bucket plus Hamming-distance-1 neighbors, exact
-    // cosine rerank only on those candidates. At corpus scale the rerank
-    // set is |corpus| / 2^bits on average — the bucket join replaces the
-    // all-pairs scan.
-    "q_ann_ivf" -> QueryDef {
-      val bitsSql = (0 until 8)
-        .map(d => s"CASE WHEN embedding[${d + 1}] >= 0 THEN ${1 << d} ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH bk AS (
-         |  SELECT vec_id, CAST($bitsSql AS BIGINT) AS bucket FROM embeddings),
+    // IVF-style two-stage ANN: coarse quantization to a RANDOM-
+    // HYPERPLANE bucket (8 deterministic hash-derived planes over all 64
+    // dims — not fixed sign bits of a dim prefix), probe the query's
+    // bucket plus Hamming-distance-1 neighbors, exact cosine rerank only
+    // on those candidates. Candidate fraction ≈ (1+bits)/2^bits; `bits`
+    // is the corpus-scale knob (SCALE.md).
+    "q_ann_ivf" -> QueryDef(
+      s"""WITH sc AS (
+         |  SELECT vec_id, unnest(range(len(embedding))) AS i,
+         |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * $Scale, 0) AS BIGINT) AS v
+         |  FROM embeddings),
+         |${hyperplaneSql(nPlanes = 8)},
+         |bk AS (
+         |  SELECT vec_id,
+         |    SUM(CASE WHEN b = 1
+         |        THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS bucket
+         |  FROM bits GROUP BY vec_id),
          |qb AS (SELECT bucket AS qbucket FROM bk WHERE vec_id = 0),
          |cand AS (
          |  SELECT bk.vec_id FROM bk, qb
          |  WHERE bk.vec_id <> 0 AND bit_count(xor(bk.bucket, qb.qbucket)) <= 1),
-         |sc AS (
-         |  SELECT vec_id, unnest(range(len(embedding))) AS i,
-         |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * $Scale, 0) AS BIGINT) AS v
-         |  FROM embeddings),
          |q AS (SELECT i, v AS qv FROM sc WHERE vec_id = 0),
          |dots AS (
          |  SELECT sc.vec_id, SUM(sc.v * q.qv) AS dot, SUM(sc.v * sc.v) AS nn
@@ -409,13 +417,10 @@ object EtlQueries {
          |SELECT vec_id,
          |  CAST(dot AS DOUBLE) / (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(qnn AS DOUBLE))) AS cos
          |FROM dots, qn WHERE vec_id <> 0
-         |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
-    } { (s, dir) =>
-      val bits = (0 until 8)
-        .map(d => when(element_at(col("embedding"), d + 1) >= 0f, 1L << d).otherwise(0L))
-        .reduce(_ + _)
+         |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin) { (s, dir) =>
       import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
-      val base = emb(s, dir).withColumn("bucket", bits.cast("long"))
+      val base = emb(s, dir).withColumn("bucket",
+        graft.etl.Similarity.hyperplaneBucket(col("embedding"), bits = 8, dim = 64))
       val qrow = base.filter(col("vec_id") === 0)
         .select(col("bucket").as("qbucket"), col("embedding").as("qemb"))
       base.filter(col("vec_id") =!= 0)
@@ -475,4 +480,21 @@ object EtlQueries {
   /** Exact integer floor-div for non-negative int columns. */
   private def TimeOpsFloorDiv(a: Column, b: Long): Column =
     graft.core.TimeOps.floorDiv(a.cast("long"), b)
+
+  /** DuckDB CTEs for `nPlanes` deterministic random-hyperplane sign
+    * bits over the scaled-embedding CTE `sc` — the SQL mirror of
+    * [[graft.etl.Similarity.hyperplane]]'s LCG coefficients. Yields
+    * `bits(vec_id, j, b)`. */
+  private def hyperplaneSql(nPlanes: Int, dim: Int = 64): String =
+    s"""coef AS (
+       |  SELECT j.j, i.i,
+       |    ((CAST(j.j * $dim + i.i + 1 AS BIGINT) * 2654435761) % 4294967296)
+       |      % 2001 - 1000 AS c
+       |  FROM generate_series(0, ${nPlanes - 1}) AS j(j),
+       |       generate_series(0, ${dim - 1}) AS i(i)),
+       |bits AS (
+       |  SELECT sc.vec_id, coef.j,
+       |    CASE WHEN SUM(sc.v * coef.c) >= 0 THEN 1 ELSE 0 END AS b
+       |  FROM sc JOIN coef ON sc.i = coef.i
+       |  GROUP BY sc.vec_id, coef.j)""".stripMargin
 }
