@@ -14,16 +14,24 @@ import graft.operators.StatOps
   * buffer + stat-rollup pyramid, all driven through DataFrame programs.
   *
   * Storage layout under `root`:
-  *   catalog/   stream descriptors (sid, uuid, collection, tags,
-  *              annotations, annotationVersion, tombstoned)
+  *   catalog/ or catalog_v/N + catalog_CURRENT pointer — stream
+  *              descriptors (sid, uuid, collection, tags, annotations,
+  *              annotationVersion, tombstoned); rewrites are versioned
+  *              directories behind an atomically-moved pointer file
   *   points/    committed point log, partitioned by sbucket = sid % SBuckets
   *              and tbucket = time >> TBucketPw; carries a `version` column
-  *   commits/   commit log: (sid, version, kind insert|delete, tmin, tmax,
-  *              npoints) — the source of truth for visibility, version
-  *              counters, changed-range queries, and rollup invalidation
-  *   staging/   unflushed inserts (the PQM write buffer,
-  *              /root/reference/pqm.go:29-35) — merged on latest reads
-  *   pyramid/pw=K/  rollup tables (sid, wstart, cnt, vmin, vmax, vsum)
+  *   commits/   commit log, one driver-written JSON line per commit:
+  *              (sid, version, kind insert|delete, tmin, tmax, npoints,
+  *              ranges[{s,e}...]) — the source of truth for visibility,
+  *              version counters, changed-range queries, and rollup
+  *              invalidation; touched `ranges` carry tree-diff fidelity
+  *   staging/sid=S/batch=B/  unflushed inserts (the PQM write buffer,
+  *              /root/reference/pqm.go:29-35) — merged on latest reads;
+  *              per-stream partitions flush independently, per-batch
+  *              subkeys make streaming replay idempotent
+  *   pyramid/pw=K/sbucket=X/wbucket=Y/  one rollup table for ALL levels
+  *              (sid, wstart, cnt, vmin, vmax, vsum), partitioned so
+  *              maintenance dynamic-overwrites only dirtied partitions
   *
   * Scale design (100 TB, 1000 executors):
   *   - sbucket partitioning spreads streams; tbucket (2^48 ns ≈ 3.26 d)
@@ -98,12 +106,27 @@ class Btrdb(val spark: SparkSession, val root: String,
     commitsCache = null
   }
 
+  /** The live catalog directory. Whole-catalog rewrites (annotation
+    * CAS, obliterate) go to a NEW `catalog_v/<n>` directory and then
+    * atomically swing the `catalog_CURRENT` pointer file — a crash at
+    * any instant leaves either the old or the new catalog fully intact,
+    * never a half-written table (the tmp-then-overwrite pattern this
+    * replaces had a destroy-then-rebuild window). Appends (stream
+    * creation) land inside the current directory, which parquet commits
+    * via its own task-temp rename. */
+  private def catalogDir: String = {
+    val ptr = Paths.get(path("catalog_CURRENT").stripPrefix("file:"))
+    if (Files.exists(ptr))
+      s"catalog_v/${new String(Files.readAllBytes(ptr), "UTF-8").trim}"
+    else "catalog" // pre-first-rewrite layout
+  }
+
   def catalog: DataFrame = {
     var c = catalogCache
     if (c == null) synchronized {
       c = catalogCache
       if (c == null) {
-        c = readOr("catalog", CatalogSchema).cache()
+        c = readOr(catalogDir, CatalogSchema).cache()
         c.count()
         catalogCache = c
       }
@@ -134,7 +157,7 @@ class Btrdb(val spark: SparkSession, val root: String,
       (uuid, sid, collection, tags, annotations, 0L, false)))
       .toDF("uuid", "sid", "collection", "tags", "annotations",
         "annotationVersion", "tombstoned")
-    row.write.mode(SaveMode.Append).parquet(path("catalog"))
+    row.write.mode(SaveMode.Append).parquet(path(catalogDir))
     cat.unpersist()
     invalidateCatalog()
     sid
@@ -171,7 +194,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     spark.createDataFrame(rows)
       .toDF("uuid", "sid", "collection", "tags", "annotations",
         "annotationVersion", "tombstoned")
-      .write.mode(SaveMode.Append).parquet(path("catalog"))
+      .write.mode(SaveMode.Append).parquet(path(catalogDir))
     invalidateCatalog()
     rows.map(_._2)
   }
@@ -247,14 +270,32 @@ class Btrdb(val spark: SparkSession, val root: String,
         r.getAs[Long]("annotationVersion"), r.getAs[Boolean]("tombstoned"))
     }
 
+  /** Crash-safe whole-catalog rewrite: write the next `catalog_v/<n>`
+    * directory in full, then atomically move a pointer file onto
+    * `catalog_CURRENT`. Readers resolve through the pointer, so they
+    * see the old catalog until the instant of the (atomic) move and the
+    * new one after — no window where the catalog is missing or partial.
+    * The superseded directory is removed after the swing; a crash
+    * between move and cleanup leaves only an orphan directory. */
   private def overwriteCatalog(rows: Array[(String, Long, String,
       Map[String, String], Map[String, String], Long, Boolean)]): Unit = {
     val df = spark.createDataFrame(rows.toSeq)
       .toDF("uuid", "sid", "collection", "tags", "annotations",
         "annotationVersion", "tombstoned")
-    val tmp = path("catalog_tmp")
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path("catalog"))
+    val oldDir = catalogDir
+    val next = oldDir match {
+      case "catalog" => 1L
+      case d => d.stripPrefix("catalog_v/").toLong + 1
+    }
+    df.write.mode(SaveMode.Overwrite).parquet(path(s"catalog_v/$next"))
+    val ptrDir = Paths.get(root.stripPrefix("file:"))
+    Files.createDirectories(ptrDir)
+    val tmpPtr = ptrDir.resolve(".catalog_CURRENT.tmp")
+    Files.write(tmpPtr, next.toString.getBytes("UTF-8"))
+    Files.move(tmpPtr, ptrDir.resolve("catalog_CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    deleteDir(oldDir)
     invalidateCatalog()
   }
 

@@ -447,6 +447,28 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(info.pointCount > 0)
   }
 
+  test("catalog rewrites are versioned behind an atomic pointer") {
+    import java.nio.file.{Files => F, Paths}
+    val rootDir = db.root.stripPrefix("file:")
+    db.createStream("u-ptr-1", "ptr/a", Map("k" -> "1"))
+    db.setAnnotations("u-ptr-1", 0L, Map("o" -> "x")) // rewrite → catalog_v/N
+    val ptr = Paths.get(s"$rootDir/catalog_CURRENT")
+    assert(F.exists(ptr))
+    val v1 = new String(F.readAllBytes(ptr), "UTF-8").trim.toLong
+    assert(F.exists(Paths.get(s"$rootDir/catalog_v/$v1")))
+    // appends land in the pointed-at dir; a further rewrite advances it
+    db.createStream("u-ptr-2", "ptr/b", Map("k" -> "2"))
+    db.obliterate("u-ptr-2")
+    val v2 = new String(F.readAllBytes(ptr), "UTF-8").trim.toLong
+    assert(v2 == v1 + 1)
+    assert(F.exists(Paths.get(s"$rootDir/catalog_v/$v2")))
+    assert(!F.exists(Paths.get(s"$rootDir/catalog_v/$v1"))) // superseded dir cleaned
+    assert(db.lookupStreams("ptr/").count() == 1)
+    assert(db.catalog.filter(
+      org.apache.spark.sql.functions.col("uuid") === "u-ptr-1")
+      .head.getAs[scala.collection.Map[String, String]]("annotations")("o") == "x")
+  }
+
   test("annotations: CAS update bumps version, stale CAS rejected") {
     db.createStream("u-ann", "test/ann", Map("t" -> "a"), Map("owner" -> "alice"))
     db.setAnnotations("u-ann", 0L, Map("owner" -> "bob"))
