@@ -100,6 +100,7 @@ class Btrdb(val spark: SparkSession, val root: String,
   private def invalidateCatalog(): Unit = synchronized {
     if (catalogCache != null) catalogCache.unpersist()
     catalogCache = null
+    sidCache.clear()
   }
   private def invalidateCommits(): Unit = synchronized {
     if (commitsCache != null) commitsCache.unpersist()
@@ -322,10 +323,17 @@ class Btrdb(val spark: SparkSession, val root: String,
     }
   }
 
-  /** Internal stream id of a live uuid (stable for the stream's life). */
-  def sidOf(uuid: String): Long =
-    catalog.filter(col("uuid") === uuid && !col("tombstoned"))
-      .select("sid").head.getLong(0)
+  private val sidCache = scala.collection.mutable.Map.empty[String, Long]
+
+  /** Internal stream id of a live uuid (stable for the stream's life).
+    * Memoized — the uuid→sid hop fronts every engine call and must not
+    * cost a catalog job each time; the cache clears with the catalog
+    * (obliterate tombstones invalidate it). */
+  def sidOf(uuid: String): Long = synchronized {
+    sidCache.getOrElseUpdate(uuid,
+      catalog.filter(col("uuid") === uuid && !col("tombstoned"))
+        .select("sid").head.getLong(0))
+  }
 
   // ---- versioned storage ---------------------------------------------
 

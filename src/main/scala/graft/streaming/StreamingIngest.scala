@@ -70,6 +70,20 @@ object StreamingIngest {
           .parquet(s"$root/rejects")
       java.nio.file.Files.createDirectories(journalDir)
       java.nio.file.Files.write(marker, Array.emptyByteArray)
+      // retention: markers far behind the checkpoint's committed offset
+      // are dead (Spark never replays batches that old) — prune so the
+      // journal directory stays O(retention window), not O(stream age)
+      val horizon = batchId - 128
+      if (horizon > 0) {
+        val files = java.nio.file.Files.list(journalDir)
+        try files.iterator().forEachRemaining { f =>
+          val name = f.getFileName.toString
+          if (name.startsWith("batch-") &&
+              name.stripPrefix("batch-").toLongOption.exists(_ < horizon))
+            java.nio.file.Files.delete(f)
+        }
+        finally files.close()
+      }
     }
   }
 

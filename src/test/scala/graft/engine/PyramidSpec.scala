@@ -100,6 +100,21 @@ class PyramidSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pyr.map(_.getLong(1)).sum == 4 * 4096 + 2)
   }
 
+  test("pyramid-served stats prune to the queried (sbucket, wbucket) partitions") {
+    val db = mkDb()
+    val uuid = "u-prune"
+    db.createStream(uuid, "pyr/prune", Map("t" -> "p"))
+    insertPts(db, uuid, (0L until 4 * 4096L).map(t => (t, 1.0)))
+    db.flush(uuid)
+    // query only wbucket 1's window range
+    val q = db.alignedWindows(uuid, 4096L, 8192L, 8)
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters:"), s"plan:\n$plan")
+    assert(plan.contains("wbucket"), "wbucket must reach partition filters")
+    assert(plan.contains("sbucket"), "sbucket must reach partition filters")
+    assert(q.collect().map(_.getLong(1)).sum == 4096)
+  }
+
   test("changes reports two tight ranges for a two-instant commit") {
     val db = mkDb()
     val uuid = "u-split"
