@@ -620,6 +620,38 @@ class Btrdb(val spark: SparkSession, val root: String,
     version(uuid)
   }
 
+  /** The PQM scanner analog (/root/reference/pqm.go:33-35,207-235: the
+    * reference force-flushes buffers older than 8 h, scanning every
+    * 2 min): flush every stream whose staging buffer is non-empty and
+    * either crosses the commit threshold or has sat longer than
+    * `maxAgeMillis` (age = oldest staged file's mtime; 0 flushes
+    * everything — the shutdown drain). Run from a scheduler or after a
+    * streaming micro-batch burst; returns the flushed uuids. */
+  def flushAll(maxAgeMillis: Long = 8L * 3600 * 1000): Seq[String] = {
+    seedMinors()
+    val now = System.currentTimeMillis()
+    val staged = minorCounts.filter(_._2 > 0).keys.toSeq.sorted
+    staged.flatMap { sid =>
+      val dir = Paths.get(path(s"staging/sid=$sid").stripPrefix("file:"))
+      val oldest: Long =
+        if (!Files.exists(dir)) Long.MaxValue
+        else {
+          import scala.jdk.CollectionConverters._
+          val s = Files.walk(dir)
+          try s.iterator().asScala.filter(Files.isRegularFile(_))
+            .map(Files.getLastModifiedTime(_).toMillis)
+            .minOption.getOrElse(Long.MaxValue)
+          finally s.close()
+        }
+      if (minorCounts(sid) >= bufferCommitThreshold ||
+          (oldest != Long.MaxValue && now - oldest >= maxAgeMillis)) {
+        val uuid = uuidBySid(sid)
+        flush(uuid)
+        Some(uuid)
+      } else None
+    }
+  }
+
   /** DeleteRange [start, end): pure commit-log operation — readers apply
     * the anti-filter merge-on-read (/root/reference/quasar.go:481-514). */
   def deleteRange(uuid: String, start: Long, end: Long): (Long, Long) = {

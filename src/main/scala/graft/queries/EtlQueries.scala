@@ -30,6 +30,9 @@ object EtlQueries {
   /** Embedding fixed-point scale: values ~[-1,1]; 1e6 keeps 64-dim dot
     * products far inside Long range while making sums order-independent. */
   private val Scale = 1000000L
+  /** Karp-Rabin rolling-hash base and modulus. */
+  private val RollB = 131L
+  private val RollM = 1000000007L
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
@@ -256,6 +259,58 @@ object EtlQueries {
           sum(tokenCount(col("text"))).as("total_tokens"),
           max(tokenCount(col("text"))).as("max_tokens"))
         .orderBy("source")
+    },
+
+    // BPE-ish subtoken accounting: greedy longest-match over letter
+    // runs / single digits / single punctuation (the shape of a byte-
+    // pair-encoded vocabulary's pretokenizer), vs whitespace words.
+    // Plain character-class regex → identical semantics in Java regex
+    // (Spark) and RE2 (DuckDB).
+    "q_token_bpeish" -> QueryDef(
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_subtokens,
+         |  $tokenCountSql AS n_words
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)"))
+            .cast("long").as("n_subtokens"),
+          tokenCount(col("text")).as("n_words"))
+        .orderBy("doc_id")
+    },
+
+    // Rolling-hash fingerprint (Karp-Rabin): fp = Σ ord(c_i)·B^(n-i)
+    // mod M over the first 2048 chars — the positional content hash a
+    // shift-tolerant dedup layer keys on. Exact 64-bit integer
+    // arithmetic on both sides (terms < 2.6e11, ≤2048 of them — no
+    // overflow before the final mod).
+    "q_fingerprint_roll" -> QueryDef(
+      s"""WITH RECURSIVE powers(k, p) AS (
+         |  SELECT 0, CAST(1 AS BIGINT)
+         |  UNION ALL SELECT k + 1, (p * $RollB) % $RollM FROM powers WHERE k < ${MaxPos - 1}),
+         |ch AS (
+         |  SELECT doc_id, LEAST(length(text), $MaxPos) AS n, g.i AS i,
+         |    ord(substr(text, CAST(g.i AS INTEGER), 1)) AS c
+         |  FROM documents, generate_series(1, $MaxPos) AS g(i)
+         |  WHERE g.i <= LEAST(length(text), $MaxPos))
+         |SELECT ch.doc_id,
+         |  CAST(SUM(ch.c * p.p) % $RollM AS BIGINT) AS fp_roll
+         |FROM ch JOIN powers p ON p.k = ch.n - ch.i
+         |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin) { (s, dir) =>
+      // powers table precomputed driver-side and broadcast as a literal
+      // array — no sequential dependency in the distributed plan
+      val powers = Array.iterate(1L, MaxPos)(p => p * RollB % RollM)
+      val n = least(length(col("text")), lit(MaxPos))
+      docs(s, dir)
+        .select(col("doc_id"), col("text"), n.as("n"),
+          explode(sequence(lit(1), n)).as("i"))
+        .select(col("doc_id"),
+          (ascii(expr("substring(text, i, 1)")).cast("long") *
+            element_at(typedlit(powers), (col("n") - col("i") + 1).cast("int")))
+            .as("term"))
+        .groupBy("doc_id")
+        .agg((sum("term") % RollM).as("fp_roll"))
+        .orderBy("doc_id")
     },
 
     // Document fingerprint: normalized-prefix content hash + length bucket.

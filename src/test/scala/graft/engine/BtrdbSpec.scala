@@ -395,6 +395,23 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     db.flush(ub)
   }
 
+  test("flushAll: the PQM scanner analog flushes aged buffers, leaves young ones") {
+    val ua = "u-scan-a"; val ub = "u-scan-b"
+    db.createStream(ua, "test/scan", Map("s" -> "a"))
+    db.createStream(ub, "test/scan", Map("s" -> "b"))
+    insertPoints(ua, Seq((1L, 1.0)))
+    insertPoints(ub, Seq((2L, 2.0)))
+    assert(db.version(ua)._2 == 1 && db.version(ub)._2 == 1)
+    // young buffers below the commit threshold: an 8h age bar flushes none
+    assert(db.flushAll(maxAgeMillis = 8L * 3600 * 1000).isEmpty)
+    assert(db.version(ua)._2 == 1)
+    // age bar 0 = drain everything staged
+    val flushed = db.flushAll(maxAgeMillis = 0)
+    assert(flushed.toSet == Set(ua, ub))
+    assert(db.version(ua)._2 == 0 && db.version(ub)._2 == 0)
+    assert(db.rawValues(ua, 0, 10).count() == 1)
+  }
+
   test("metadata validation: reference limits table enforced") {
     // key regex ^[a-z][a-z0-9_.]*$ (metaprovider.go:27)
     intercept[IllegalArgumentException] {
