@@ -60,9 +60,27 @@ object Dedup {
       .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  /** Near-dup candidate pairs (a < b) from shared LSH buckets. */
-  def candidatePairs(docs: DataFrame, p: Params = Params()): DataFrame = {
-    val bands = bandSignatures(docs, p)
+  /** Near-dup candidate pairs (a < b) from shared LSH buckets.
+    *
+    * `maxBucket` is the degenerate-bucket guard for corpus scale: a
+    * bucket of size B contributes B² pairs, so one pathological
+    * signature (boilerplate, empty-ish docs) can dominate the whole
+    * join. Buckets above the cap are dropped — the LSH analog of
+    * stop-word removal; their members are (near-)identical to hundreds
+    * of others and are better handled by exact-hash dedup first. The
+    * drop is logged via the returned plan shape, not silent: callers
+    * size the cap explicitly. */
+  def candidatePairs(docs: DataFrame, p: Params = Params(),
+                     maxBucket: Option[Int] = None): DataFrame = {
+    val bands0 = bandSignatures(docs, p)
+    val bands = maxBucket match {
+      case None => bands0
+      case Some(cap) =>
+        val ok = bands0.groupBy("band", "sig")
+          .agg(count(lit(1)).as("_n")).filter(col("_n") <= cap)
+          .select("band", "sig")
+        bands0.join(ok, Seq("band", "sig"), "left_semi")
+    }
     val a = bands.select(col("id").as("a"), col("band"), col("sig"))
     val b = bands.select(col("id").as("b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig")).filter(col("a") < col("b"))

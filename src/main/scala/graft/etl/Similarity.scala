@@ -104,11 +104,22 @@ object Similarity {
     * [[Dedup.candidatePairs]]'s MinHash bands — linear in bucket sizes,
     * never all-pairs). */
   def candidatePairs(df: DataFrame, bands: Int, bits: Int, dim: Int,
-                     idCol: String = "vec_id"): DataFrame = {
-    val sigs = (0 until bands).map(g =>
+                     idCol: String = "vec_id",
+                     maxBucket: Option[Int] = None): DataFrame = {
+    val sigs0 = (0 until bands).map(g =>
         df.select(col(idCol), lit(g).as("band"),
           hyperplaneBucket(col("embedding"), bits, dim, g).as("sig")))
       .reduce(_ unionByName _)
+    // degenerate-bucket guard (see Dedup.candidatePairs): a cap bounds
+    // the B² blowup of a pathological signature at corpus scale
+    val sigs = maxBucket match {
+      case None => sigs0
+      case Some(cap) =>
+        val ok = sigs0.groupBy("band", "sig")
+          .agg(count(lit(1)).as("_n")).filter(col("_n") <= cap)
+          .select("band", "sig")
+        sigs0.join(ok, Seq("band", "sig"), "left_semi")
+    }
     sigs.select(col(idCol).as("a"), col("band"), col("sig"))
       .join(sigs.select(col(idCol).as("b"), col("band"), col("sig")),
         Seq("band", "sig"))

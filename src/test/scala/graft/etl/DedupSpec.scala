@@ -47,6 +47,23 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(verdict(2)._2 == 3L && verdict(3)._2 == 3L) // identical docs cluster
   }
 
+  test("degenerate-bucket cap bounds candidate pairs on boilerplate corpora") {
+    val ss = spark
+    import ss.implicits._
+    // 50 identical docs → one bucket of 50 → 1225 pairs uncapped
+    val boiler = (0L until 50L).map(i => (i, "the same boilerplate text everywhere"))
+    val distinctDocs = Seq((100L, "a genuinely different document about query engines"),
+      (101L, "a genuinely different document about query engine"))
+    val df = (boiler ++ distinctDocs).toDF("id", "text")
+    val uncapped = Dedup.candidatePairs(df).count()
+    assert(uncapped >= 1225)
+    val capped = Dedup.candidatePairs(df, maxBucket = Some(10))
+    // boilerplate bucket dropped; the real near-dup pair survives
+    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)))
+    assert(capped.count() < 50)
+  }
+
   test("end-to-end dedup: planted near-duplicates cluster to one canonical") {
     val ss = spark
     import ss.implicits._
