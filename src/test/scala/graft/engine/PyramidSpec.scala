@@ -127,6 +127,58 @@ class PyramidSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got ${ch.toSeq}") // NOT one [100, 12339) envelope
   }
 
+  test("randomized commits: folded pyramid equals raw recompute; changes covers every instant") {
+    val db = mkDb()
+    val uuid = "u-rand"
+    db.createStream(uuid, "pyr/rand", Map("t" -> "r"))
+    val rnd = new scala.util.Random(20260812L)
+    val all = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // 5 commits: clustered runs + random sprays, overlapping earlier data
+    (0 until 5).foreach { c =>
+      val base = rnd.nextInt(12) * 1024L
+      val run = (0 until 200).map(_ => base + rnd.nextInt(2048)).map(_.toLong)
+      val spray = (0 until 20).map(_ => rnd.nextInt(4 * 4096).toLong)
+      val pts = (run ++ spray).map(t => (t, (t % 97).toDouble))
+      all ++= pts.map(_._1)
+      insertPts(db, uuid, pts)
+      db.flush(uuid)
+    }
+    // folded pyramid path vs pinned raw recompute: identical stats
+    val pyr = db.alignedWindows(uuid, 0, 4 * 4096, 8).collect()
+    val raw = db.alignedWindows(uuid, 0, 4 * 4096, 8, version = 5).collect()
+    assert(pyr.length == raw.length)
+    pyr.zip(raw).foreach { case (p, r) =>
+      assert(p.getLong(0) == r.getLong(0) && p.getLong(1) == r.getLong(1),
+        s"window ${p.getLong(0)}: cnt ${p.getLong(1)} vs ${r.getLong(1)}")
+      assert(p.getDouble(2) == r.getDouble(2) && p.getDouble(4) == r.getDouble(4))
+      assert(math.abs(p.getDouble(3) - r.getDouble(3)) < 1e-9)
+    }
+    assert(pyr.map(_.getLong(1)).sum == all.size)
+    // every inserted instant is covered by some changes() range
+    val ranges = db.changes(uuid, 0, 5, resolution = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    all.foreach { t =>
+      assert(ranges.exists { case (s, e) => t >= s && t < e },
+        s"instant $t not covered by ${ranges.length} ranges")
+    }
+  }
+
+  test("negative times: ingest, pyramid, nearest and changes below epoch") {
+    val db = mkDb()
+    val uuid = "u-neg"
+    db.createStream(uuid, "pyr/neg", Map("t" -> "n"))
+    // straddle zero: [-4096, 4096) — negative tbuckets, wbuckets, ranges
+    insertPts(db, uuid, (-4096L until 4096L).map(t => (t, 1.0)))
+    db.flush(uuid)
+    assert(db.rawValues(uuid, -4096, 4096).count() == 8192)
+    val pyr = db.alignedWindows(uuid, -4096, 4096, 8).collect()
+    assert(pyr.length == 32 && pyr.forall(_.getLong(1) == 256))
+    assert(pyr.head.getLong(0) == -4096)
+    assert(db.nearest(uuid, 0, backward = true).contains((-1L, 1.0)))
+    val ch = db.changes(uuid, 0, 1, resolution = 0).collect()
+    assert(ch.length == 1 && ch.head.getLong(0) == -4096 && ch.head.getLong(1) == 4096)
+  }
+
   test("a delete draining a bucket clears its pyramid partition") {
     val db = mkDb()
     val uuid = "u-drain"
