@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery}
 
 import graft.core.TimeOps
 
@@ -124,4 +124,42 @@ object StreamingIngest {
     partials.groupBy("sid", "wstart")
       .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
         (sum("vsum") / sum("cnt")).as("vmean"), max("vmax").as("vmax"))
+
+  /** Running whole-stream stat state, one row per stream per update. */
+  final case class StreamStat(sid: Long, cnt: Long, tmin: Long, tmax: Long,
+                              vmin: Double, vmax: Double, vsum: Double) {
+    def vmean: Double = vsum / cnt
+  }
+
+  /** Per-stream running statistics over the whole stream's life — a
+    * stateful `mapGroupsWithState` fold (the custom-state shape the
+    * engine's live monitoring uses: last-seen time, lifetime count,
+    * running min/mean/max per stream). State is one tiny record per
+    * stream; each micro-batch emits every updated stream's new state.
+    * The fold is the same exact combine contract as the engine's stat
+    * merge ((cnt, min, Σ, max) — mean derived), so the streaming state
+    * agrees bit-for-bit with a batch recompute. */
+  def runningStats(source: DataFrame): Dataset[StreamStat] = {
+    val spark = source.sparkSession
+    import spark.implicits._
+    source
+      .select(col("sid").cast("long").as("sid"),
+        col("time").cast("long").as("time"),
+        col("value").cast("double").as("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[StreamStat, StreamStat](
+        GroupStateTimeout.NoTimeout) { case (sid, rows, state) =>
+        val prev = state.getOption.getOrElse(
+          StreamStat(sid, 0L, Long.MaxValue, Long.MinValue,
+            Double.PositiveInfinity, Double.NegativeInfinity, 0.0))
+        val next = rows.foldLeft(prev) { case (s, (_, t, v)) =>
+          StreamStat(sid, s.cnt + 1,
+            math.min(s.tmin, t), math.max(s.tmax, t),
+            math.min(s.vmin, v), math.max(s.vmax, v), s.vsum + v)
+        }
+        state.update(next)
+        next
+      }
+  }
 }

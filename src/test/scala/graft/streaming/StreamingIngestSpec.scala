@@ -114,6 +114,31 @@ class StreamingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == t / 1000)
   }
 
+  test("running per-stream stats: stateful fold across micro-batches") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[(Long, Long, Double)]
+    val out = StreamingIngest.runningStats(
+      mem.toDF().toDF("sid", "time", "value"))
+    val q = out.toDF().writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    mem.addData((1L, 100L, 2.0), (1L, 200L, 4.0), (2L, 50L, 9.0))
+    q.processAllAvailable()
+    mem.addData((1L, 300L, 6.0)) // second batch folds into batch-1 state
+    q.processAllAvailable()
+    q.stop()
+    // latest state per stream = last emitted row
+    val latest = spark.table("running").collect()
+      .groupBy(_.getLong(0)).map { case (sid, rows) =>
+        sid -> rows.maxBy(_.getLong(1)) }
+    val s1 = latest(1L)
+    assert(s1.getLong(1) == 3 && s1.getLong(2) == 100 && s1.getLong(3) == 300)
+    assert(s1.getDouble(4) == 2.0 && s1.getDouble(5) == 6.0 && s1.getDouble(6) == 12.0)
+    val s2 = latest(2L)
+    assert(s2.getLong(1) == 1 && s2.getDouble(4) == 9.0)
+  }
+
   test("windowed stat stream emits exact ns window starts") {
     val ss = spark
     implicit val sqlCtx = ss.sqlContext
