@@ -845,6 +845,46 @@ class Btrdb(val spark: SparkSession, val root: String,
         .orderBy("wstart")
   }
 
+  /** AlignedWindows across MANY streams in one scan — the bulk shape a
+    * Spark-native engine adds over the reference's per-stream RPC: one
+    * pyramid (or point-log) pass serves every selected stream, grouped
+    * by (sid, wstart). Streams with delete debt or staged points take
+    * the raw path; the rest read the rollup — both branches are single
+    * jobs unioned, so cost is one scan of each source regardless of
+    * stream count (vs N RPCs in the reference). */
+  def alignedWindowsBulk(uuids: Seq[String], start: Long, end: Long,
+                         pw: Int): DataFrame = {
+    val s = TimeOps.alignDown(start, pw)
+    val e = TimeOps.alignDown(end, pw)
+    val sids = uuids.map(sidOf)
+    seedCommitState()
+    val level = pyramidLevels.filter(_ <= pw).sorted.lastOption
+      .filter(l => hasParquet(s"pyramid/pw=$l"))
+    val (pyrSids, rawSids) = sids.partition(sid =>
+      level.isDefined && !hasDeleteDebt(sid) && minorOf(sid) == 0)
+    val parts = Seq(
+      if (pyrSids.isEmpty) None else Some {
+        spark.read.parquet(path(s"pyramid/pw=${level.get}"))
+          .filter(col("sid").isin(pyrSids: _*) &&
+            col("sbucket").isin(pyrSids.map(_ % sBuckets).distinct: _*) &&
+            col("wbucket") >= (s >> pyramidWBucketPw) &&
+            col("wbucket") <= ((e - 1) >> pyramidWBucketPw) &&
+            col("wstart") >= s && col("wstart") < e)
+          .groupBy(col("sid"), TimeOps.clampTime(col("wstart"), pw).as("wstart"))
+          .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
+            (sum("vsum") / sum("cnt")).as("vmean"), max("vmax").as("vmax"))
+      },
+      if (rawSids.isEmpty) None else Some {
+        rawSids.map(sid => readable(uuidBySid(sid),
+            TimeConsts.LatestGeneration, s, e))
+          .reduce(_ unionByName _)
+          .groupBy(col("sid"), TimeOps.clampTime(col("time"), pw).as("wstart"))
+          .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
+            avg("value").as("vmean"), max("value").as("vmax"))
+      }).flatten
+    parts.reduce(_ unionByName _).orderBy("sid", "wstart")
+  }
+
   /** Windows: arbitrary width, end truncated to whole windows, empty
     * windows emitted with zeros (/root/reference/quasar.go:306-346). */
   def windows(uuid: String, start: Long, end: Long, width: Long,

@@ -318,6 +318,28 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("alignedWindowsBulk: one scan serves many streams, mixed pyramid/raw paths") {
+    val us = (0 until 3).map(i => s"u-bulkw-$i")
+    us.foreach(u => db.createStream(u, "test/bulkw", Map("i" -> u.last.toString)))
+    us.zipWithIndex.foreach { case (u, i) =>
+      insertPoints(u, (0L until 512L).map(t => (t, (i + 1).toDouble)))
+      db.flush(u)
+    }
+    // leave stream 2 with staged (unflushed) points → it takes the raw path
+    insertPoints(us(2), Seq((100L, 42.0)))
+    val rows = db.alignedWindowsBulk(us, 0, 512, 8).collect()
+    assert(rows.length == 6) // 3 streams × 2 windows of 2^8
+    val bySid = rows.groupBy(_.getLong(0))
+    assert(bySid.size == 3)
+    bySid.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).sum >= 512)
+    }
+    // the stream with staging merged its buffer (513 points, max 42)
+    val s2 = bySid(db.sidOf(us(2))).sortBy(_.getLong(1))
+    assert(s2.map(_.getLong(2)).sum == 513 && s2.head.getDouble(5) == 42.0)
+    db.flush(us(2))
+  }
+
   test("multiAlign: k-way full-outer temporal join") {
     val ua = "u-align-a"; val ub = "u-align-b"
     db.createStream(ua, "test/align", Map("s" -> "a"))
