@@ -76,4 +76,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan("q_ann_topk").contains("BroadcastNestedLoopJoin") ||
       plan("q_ann_topk").contains("BroadcastExchange"))
   }
+
+  test("hyperplane ANN broadcasts the query row and avoids cartesian products") {
+    val p = plan("q_ann_ivf")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("TakeOrderedAndProject"), "rerank must stay top-k")
+  }
+
+  test("banded embedding dedup joins on signatures, never all-pairs") {
+    val p = plan("q_dedup_embcos")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate stage must be a bucketed equality join, got:\n$p")
+  }
+
+  test("rolling-hash fingerprint is one aggregation, no join blowup") {
+    val p = plan("q_fingerprint_roll")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
 }
