@@ -236,19 +236,29 @@ class Btrdb(val spark: SparkSession, val root: String,
       .groupBy("kind", "key").agg(count(lit(1)).as("cnt"))
   }
 
-  /** SetStreamAnnotations: CAS on annotationVersion
-    * (/root/reference/internal/mprovider/metaprovider.go:142-208). */
+  /** SetStreamAnnotations, set-only convenience form. */
   def setAnnotations(uuid: String, expectedVersion: Long,
-                     updates: Map[String, String]): Unit = {
+                     updates: Map[String, String]): Unit =
+    updateAnnotations(uuid, expectedVersion,
+      updates.map { case (k, v) => k -> Some(v) })
+
+  /** SetStreamAnnotations with the reference's full change semantics:
+    * CAS on annotationVersion; a `None` value REMOVES the key (the
+    * `map[string]*string` nil-value convention,
+    * /root/reference/internal/mprovider/metaprovider.go:98,142-208). */
+  def updateAnnotations(uuid: String, expectedVersion: Long,
+                        changes: Map[String, Option[String]]): Unit = {
     val updated = collectCatalog().map { c =>
       if (c._1 == uuid) {
         require(c._6 == expectedVersion,
           s"annotation CAS failed: expected $expectedVersion got ${c._6}")
-        updates.foreach { case (k, v) =>
+        changes.foreach { case (k, v) =>
           require(Btrdb.validAnnKey(k), s"invalid annotation key: '$k'")
-          require(v.length < Btrdb.MaxAnnValLength, s"annotation value too long: '$k'")
+          v.foreach(value => require(value.length < Btrdb.MaxAnnValLength,
+            s"annotation value too long: '$k'"))
         }
-        val anns = c._5 ++ updates
+        val anns = (c._5 ++ changes.collect { case (k, Some(v)) => k -> v }) --
+          changes.collect { case (k, None) => k }
         require(anns.size <= Btrdb.MaximumAnnotations, "annotation limit")
         c.copy(_5 = anns, _6 = c._6 + 1)
       } else c

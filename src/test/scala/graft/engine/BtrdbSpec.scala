@@ -517,5 +517,12 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       db.setAnnotations("u-ann", 0L, Map("owner" -> "carol"))
     }
+    // None removes the key (the reference's nil-value change semantics)
+    db.updateAnnotations("u-ann", 1L,
+      Map("owner" -> None, "team" -> Some("grid")))
+    val r2 = db.catalog.filter(org.apache.spark.sql.functions.col("uuid") === "u-ann").head
+    val anns = r2.getAs[scala.collection.Map[String, String]]("annotations")
+    assert(!anns.contains("owner") && anns("team") == "grid")
+    assert(r2.getAs[Long]("annotationVersion") == 2L)
   }
 }
