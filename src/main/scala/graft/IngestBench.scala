@@ -64,7 +64,21 @@ object IngestBench {
     }
     val tSteady = (System.nanoTime() - t3) / 1e9
 
-    println(f"""{"points":$n,"ingest_s":$tIngest%.3f,"ingest_pts_per_s":${(n / tIngest).toLong},"scan_s":$tScan%.3f,"scan_pts_per_s":${(scanned / tScan).toLong},"stat_s":$tStat%.3f,"stat_windows":$wins,"steady_commits":$commits,"steady_commit_s":${tSteady / commits}%.3f,"steady_pts_per_s":${(commits * step / tSteady).toLong}}""")
+    // backfill cadence: commits landing INSIDE the already-rolled-up
+    // range, folding into existing rollup rows — must cost the same as
+    // appends (the incremental-pyramid guarantee), not O(rollup).
+    val t4 = System.nanoTime()
+    (0 until commits).foreach { i =>
+      val lo = (n / commits) * i
+      val pts = spark.range(lo, lo + step).select(
+        (col("id") * 1000L + 500L).as("time"), // interleaves existing µs grid
+        (sin(col("id") / 1e5) * 50).as("value"))
+      db.insert("bench-uuid", pts)
+      db.flush("bench-uuid")
+    }
+    val tBackfill = (System.nanoTime() - t4) / 1e9
+
+    println(f"""{"points":$n,"ingest_s":$tIngest%.3f,"ingest_pts_per_s":${(n / tIngest).toLong},"scan_s":$tScan%.3f,"scan_pts_per_s":${(scanned / tScan).toLong},"stat_s":$tStat%.3f,"stat_windows":$wins,"steady_commits":$commits,"steady_commit_s":${tSteady / commits}%.3f,"steady_pts_per_s":${(commits * step / tSteady).toLong},"backfill_commit_s":${tBackfill / commits}%.3f}""")
     spark.stop()
   }
 }

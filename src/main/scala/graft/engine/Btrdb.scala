@@ -864,6 +864,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     * stream count (vs N RPCs in the reference). */
   def alignedWindowsBulk(uuids: Seq[String], start: Long, end: Long,
                          pw: Int): DataFrame = {
+    require(uuids.nonEmpty, "alignedWindowsBulk needs at least one stream")
     val s = TimeOps.alignDown(start, pw)
     val e = TimeOps.alignDown(end, pw)
     val sids = uuids.map(sidOf)
