@@ -358,11 +358,24 @@ class Btrdb(val spark: SparkSession, val root: String,
     if (c == null) synchronized {
       c = commitsCache
       if (c == null) {
-        c = (if (exists("commits"))
+        val raw = (if (exists("commits"))
             spark.read.schema(
               org.apache.spark.sql.types.StructType.fromDDL(CommitSchema))
               .json(path("commits"))
-          else emptyDf(CommitSchema)).cache()
+          else emptyDf(CommitSchema))
+          .withColumn("compacted", coalesce(col("compacted"), lit(false)))
+        // supersede rule: a compacted record at version V replaces every
+        // plain record of its stream at version ≤ V (and any older
+        // compacted record) — this is what makes compact() crash-safe:
+        // leftovers from an interrupted garbage collection are ignored,
+        // never double-counted
+        val cv = raw.filter(col("compacted"))
+          .groupBy("sid").agg(max("version").as("_cv"))
+        c = raw.join(cv, Seq("sid"), "left_outer")
+          .filter(col("_cv").isNull || col("version") > col("_cv") ||
+            (col("compacted") && col("version") === col("_cv")))
+          .drop("_cv")
+          .cache()
         c.count()
         commitsCache = c
       }
@@ -420,6 +433,14 @@ class Btrdb(val spark: SparkSession, val root: String,
     * (e.g. StreamingIngest) appended to this root's staging area. */
   def refreshStaging(): Unit = synchronized {
     minorCounts.clear(); minorSeeded = false
+  }
+
+  /** Re-read commit metadata from disk — call after an external process
+    * touched the commit log (recovery tooling, tests). */
+  def refreshCommits(): Unit = synchronized {
+    invalidateCommits()
+    majorCounts.clear(); deleteDebt.clear(); envelopes.clear()
+    commitStateSeeded = false
   }
 
   /** StreamInfo: descriptor + (major, minor) version
@@ -707,30 +728,65 @@ class Btrdb(val spark: SparkSession, val root: String,
     val rewritten = bucketDf.filter(col("sid") =!= sid)
       .unionByName(compacted)
       .withColumn("tbucket", shiftright(col("time"), tBucketPw))
-      .localCheckpoint()
-    deleteDir(s"points/sbucket=$bucket")
-    rewritten.drop("sbucket")
+      .drop("sbucket")
       .withColumn("sbucket", lit(bucket))
+      .localCheckpoint()
+    // dynamic partition overwrite replaces each (sbucket, tbucket)
+    // partition in place — NO delete-then-rewrite window. A crash
+    // mid-write leaves a mix of old and new partitions, both of which
+    // read correctly against the still-uncollapsed commit log: new rows
+    // carry version = maj (already delete-filtered, and maj ≥ any
+    // delete version so anti-filters skip them), old rows keep their
+    // original anti-filters.
+    rewritten
+      .repartition(col("sbucket"), col("tbucket"))
       .sortWithinPartitions("sid", "time")
-      .write.mode(SaveMode.Append)
+      .write.mode(SaveMode.Overwrite)
       .option("compression", "zstd")
       .partitionBy("sbucket", "tbucket")
       .parquet(path("points"))
-    // collapse this stream's commit history to one generation whose
-    // touched range is the whole compacted envelope
-    import spark.implicits._
-    val keep = commits.filter(col("sid") =!= sid)
-      .select("sid", "version", "kind", "tmin", "tmax", "npoints", "ranges")
-      .unionByName(Seq(CommitRecord(sid, maj, "insert", tmin, tmax, n,
-        Seq(CommitRange(tmin, tmax + 1)))).toDF())
-      .localCheckpoint()
-    deleteDir("commits")
-    keep.write.mode(SaveMode.Overwrite).json(path("commits"))
+    // clear tbuckets fully drained by the compaction (absent from the
+    // write, so dynamic overwrite left their old files)
+    val present = rewritten.select(col("tbucket").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val before = bucketDf.select(col("tbucket").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    before.diff(present).foreach(tb =>
+      deleteDir(s"points/sbucket=$bucket/tbucket=$tb"))
+    // collapse this stream's commit history ONLY after the points
+    // rewrite completed: write one superseding compacted record (atomic
+    // file move), then garbage-collect the superseded per-commit files.
+    // A crash between the two leaves both on disk and the commit
+    // reader's supersede rule picks the compacted one.
+    writeCommitFile(s"commit-$sid-$maj-c.json",
+      commitJson(sid, maj, "insert", tmin, tmax, n,
+        Seq((tmin, tmax + 1)), compacted = true))
+    gcCommitFiles(sid, maj)
     invalidateCommits()
     deleteDebt -= sid // history collapsed; merge-on-read debt cleared
     if (n > 0) envelopes(sid) = (tmin, tmax) else envelopes -= sid
     if (n > 0) maintainPyramid(sid, Seq((tmin, tmax + 1)), foldPartials = None)
     maj
+  }
+
+  /** Delete this stream's plain commit files at or below the compacted
+    * version, plus older compacted records — pure garbage collection:
+    * the reader's supersede rule already ignores them. */
+  private def gcCommitFiles(sid: Long, compactedVersion: Long): Unit = {
+    val dir = Paths.get(path("commits").stripPrefix("file:"))
+    if (!Files.exists(dir)) return
+    val files = Files.list(dir)
+    try files.iterator().forEachRemaining { f =>
+      val name = f.getFileName.toString
+      val plain = s"commit-$sid-(\\d+)\\.json".r
+      val compactRe = s"commit-$sid-(\\d+)-c\\.json".r
+      name match {
+        case plain(v) if v.toLong <= compactedVersion => Files.delete(f)
+        case compactRe(v) if v.toLong < compactedVersion => Files.delete(f)
+        case _ => ()
+      }
+    }
+    finally files.close()
   }
 
   private def deleteDir(part: String): Unit = {
@@ -741,23 +797,35 @@ class Btrdb(val spark: SparkSession, val root: String,
     }
   }
 
+  private def commitJson(sid: Long, v: Long, kind: String,
+                         tmin: Long, tmax: Long, n: Long,
+                         ranges: Seq[(Long, Long)],
+                         compacted: Boolean): String = {
+    val rangesJson = ranges
+      .map { case (s, e) => s"""{"s":$s,"e":$e}""" }.mkString("[", ",", "]")
+    s"""{"sid":$sid,"version":$v,"kind":"$kind","tmin":$tmin,""" +
+      s""""tmax":$tmax,"npoints":$n,"ranges":$rangesJson,""" +
+      s""""compacted":$compacted}""" + "\n"
+  }
+
+  /** Write one commit file; the atomic move is the visibility point. */
+  private def writeCommitFile(name: String, json: String): Unit = {
+    val dir = Paths.get(path("commits").stripPrefix("file:"))
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".$name.tmp")
+    Files.write(tmp, json.getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Append one commit record: a single JSON line written by the driver
     * — no Spark job for a metadata row (the analog of the reference's
-    * superblock append, blockstore.go:317-360). File creation is the
-    * atomic visibility point. */
+    * superblock append, blockstore.go:317-360). */
   private def appendCommit(sid: Long, v: Long, kind: String,
                            tmin: Long, tmax: Long, n: Long,
                            ranges: Seq[(Long, Long)]): Unit = {
-    val dir = Paths.get(path("commits").stripPrefix("file:"))
-    Files.createDirectories(dir)
-    val rangesJson = ranges
-      .map { case (s, e) => s"""{"s":$s,"e":$e}""" }.mkString("[", ",", "]")
-    val line = s"""{"sid":$sid,"version":$v,"kind":"$kind","tmin":$tmin,""" +
-      s""""tmax":$tmax,"npoints":$n,"ranges":$rangesJson}""" + "\n"
-    val tmp = dir.resolve(s".commit-$sid-$v.json.tmp")
-    Files.write(tmp, line.getBytes("UTF-8"))
-    Files.move(tmp, dir.resolve(s"commit-$sid-$v.json"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    writeCommitFile(s"commit-$sid-$v.json",
+      commitJson(sid, v, kind, tmin, tmax, n, ranges, compacted = false))
     seedCommitState()
     majorCounts(sid) = math.max(majorCounts.getOrElse(sid, 0L), v)
     if (kind == "delete") deleteDebt += sid
@@ -1211,10 +1279,13 @@ final case class BatchStats(n: Long, bad: Long, tmin: Long, tmax: Long,
   * of a cluster of adjacent commitRangePw buckets. */
 final case class CommitRange(s: Long, e: Long)
 
-/** A commit-log record: the source of truth for versions, visibility,
-  * changed-range queries, and pyramid invalidation. */
+/** A commit-log record (mirrors Btrdb.CommitSchema): the source of
+  * truth for versions, visibility, changed-range queries, and pyramid
+  * invalidation. `compacted = true` marks a record that supersedes the
+  * stream's history at-or-below its version. */
 final case class CommitRecord(sid: Long, version: Long, kind: String,
-    tmin: Long, tmax: Long, npoints: Long, ranges: Seq[CommitRange])
+    tmin: Long, tmax: Long, npoints: Long, ranges: Seq[CommitRange],
+    compacted: Boolean = false)
 
 /** Info RPC response analog (/root/reference/grpcinterface/btrdb.proto:177-186). */
 final case class EngineInfo(
@@ -1247,7 +1318,8 @@ object Btrdb {
       "annotations MAP<STRING,STRING>, annotationVersion BIGINT, tombstoned BOOLEAN"
   val CommitSchema =
     "sid BIGINT, version BIGINT, kind STRING, tmin BIGINT, tmax BIGINT, " +
-      "npoints BIGINT, ranges ARRAY<STRUCT<s: BIGINT, e: BIGINT>>"
+      "npoints BIGINT, ranges ARRAY<STRUCT<s: BIGINT, e: BIGINT>>, " +
+      "compacted BOOLEAN"
   val StagingSchema = "sid BIGINT, time BIGINT, value DOUBLE"
   val PointsSchema =
     "sid BIGINT, time BIGINT, value DOUBLE, version BIGINT, sbucket INT, tbucket BIGINT"

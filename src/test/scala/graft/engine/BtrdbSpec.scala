@@ -191,6 +191,19 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     // stat queries still correct post-compaction
     val stat = db.alignedWindows(uuid, 0, 1024, 10).collect()
     assert(stat.map(_.getLong(1)).sum == 200)
+    // crash-recovery: a stale plain commit file left by an interrupted
+    // garbage collection is superseded by the compacted record, not
+    // double-counted
+    val sid = db.sidOf(uuid)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${db.root}/commits/commit-$sid-1.json"),
+      (s"""{"sid":$sid,"version":1,"kind":"insert","tmin":0,"tmax":499,""" +
+        s""""npoints":500,"ranges":[{"s":0,"e":500}],"compacted":false}""" + "\n")
+        .getBytes("UTF-8"))
+    db.refreshCommits()
+    assert(db.rawValues(uuid, 0, 1000).count() == 200) // unchanged
+    assert(db.commits.filter(
+      org.apache.spark.sql.functions.col("sid") === sid).count() == 1)
   }
 
   test("windows: arbitrary width with hole emission and end truncation") {
