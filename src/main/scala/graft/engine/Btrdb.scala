@@ -789,6 +789,68 @@ class Btrdb(val spark: SparkSession, val root: String,
     finally files.close()
   }
 
+  /** Reclaim storage for obliterated streams: their tombstones hide them
+    * from every read instantly (Obliterate, quasar.go:572-593); this
+    * maintenance pass deletes their bytes — point-log rows (dynamic
+    * partition overwrite per touched sbucket, drained tbuckets cleared),
+    * pyramid rows, commit files, and staging partitions. The catalog
+    * tombstone itself is KEPT (uuid reuse stays forbidden forever).
+    * Cost ∝ the touched sbuckets, not the table. Returns purged sids. */
+  def purgeObliterated(): Seq[Long] = {
+    val dead = catalog.filter(col("tombstoned"))
+      .select("sid").collect().map(_.getLong(0)).toSeq.sorted
+    val active = dead.filter(sid =>
+      majorOf(sid) > 0 || exists(s"staging/sid=$sid"))
+    if (active.isEmpty) return Nil
+    val buckets = active.map(_ % sBuckets).distinct
+    if (hasParquet("points")) {
+      val bucketDf = readOr("points", PointsSchema)
+        .filter(col("sbucket").isin(buckets: _*)).localCheckpoint()
+      val kept = bucketDf.filter(!col("sid").isin(active: _*))
+      kept.repartition(col("sbucket"), col("tbucket"))
+        .sortWithinPartitions("sid", "time")
+        .write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd")
+        .partitionBy("sbucket", "tbucket")
+        .parquet(path("points"))
+      val present = kept
+        .select(col("sbucket").cast("long"), col("tbucket").cast("long"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val before = bucketDf
+        .select(col("sbucket").cast("long"), col("tbucket").cast("long"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      before.diff(present).foreach { case (sb, tb) =>
+        deleteDir(s"points/sbucket=$sb/tbucket=$tb") }
+    }
+    if (hasParquet("pyramid")) {
+      val pyrDf = spark.read.parquet(path("pyramid"))
+        .filter(col("sbucket").isin(buckets: _*)).localCheckpoint()
+      val keptP = pyrDf.filter(!col("sid").isin(active: _*))
+      keptP.repartition(col("pw"), col("sbucket"), col("wbucket"))
+        .sortWithinPartitions("sid", "wstart")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("pw", "sbucket", "wbucket")
+        .parquet(path("pyramid"))
+      def parts(df: DataFrame) = df
+        .select(col("pw").cast("long"), col("sbucket").cast("long"),
+          col("wbucket").cast("long"))
+        .distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      parts(pyrDf).diff(parts(keptP)).foreach { case (pw, sb, wb) =>
+        deleteDir(s"pyramid/pw=$pw/sbucket=$sb/wbucket=$wb") }
+    }
+    active.foreach { sid =>
+      gcCommitFiles(sid, Long.MaxValue)
+      deleteDir(s"staging/sid=$sid")
+      synchronized {
+        majorCounts -= sid; envelopes -= sid; deleteDebt -= sid
+        minorCounts -= sid
+      }
+    }
+    invalidateCommits()
+    active
+  }
+
   private def deleteDir(part: String): Unit = {
     val p = Paths.get(path(part).stripPrefix("file:"))
     if (Files.exists(p)) {

@@ -392,6 +392,32 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("purgeObliterated reclaims data but keeps the tombstone") {
+    val ua = "u-purge-a"; val ub = "u-purge-b"
+    db.createStream(ua, "test/purge", Map("s" -> "a"))
+    db.createStream(ub, "test/purge", Map("s" -> "b"))
+    val sidA = db.sidOf(ua)
+    insertPoints(ua, (0L until 300L).map(t => (t, 1.0)))
+    db.flush(ua)
+    insertPoints(ub, (0L until 200L).map(t => (t, 2.0)))
+    db.flush(ub)
+    db.obliterate(ua)
+    val purged = db.purgeObliterated()
+    assert(purged.contains(sidA))
+    // survivor intact (points + pyramid-served stats)
+    assert(db.rawValues(ub, 0, 1000).count() == 200)
+    assert(db.alignedWindows(ub, 0, 256, 8).head.getLong(1) == 200)
+    // purged stream's commits and points are gone
+    assert(db.commits.filter(
+      org.apache.spark.sql.functions.col("sid") === sidA).count() == 0)
+    // uuid stays reserved forever
+    intercept[IllegalArgumentException] {
+      db.createStream(ua, "test/purge2", Map("s" -> "x"))
+    }
+    // second purge is a no-op
+    assert(db.purgeObliterated().isEmpty)
+  }
+
   test("obliterate: stream disappears from lookups; uuid cannot be recreated") {
     db.createStream("u-obl", "test/obl", Map("t" -> "o"))
     db.obliterate("u-obl")
