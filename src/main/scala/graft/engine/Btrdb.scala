@@ -96,6 +96,10 @@ class Btrdb(val spark: SparkSession, val root: String,
     * path never re-counts parquet. */
   private val minorCounts = scala.collection.mutable.Map.empty[Long, Long]
   @volatile private var minorSeeded = false
+  /** Staging batch-id generator: ms epoch << 20 + counter — unique
+    * across restarts, disjoint from Spark streaming batch ids. */
+  private val batchIdGen = new java.util.concurrent.atomic.AtomicLong(
+    System.currentTimeMillis() << 20)
 
   private def invalidateCatalog(): Unit = synchronized {
     if (catalogCache != null) catalogCache.unpersist()
@@ -422,10 +426,50 @@ class Btrdb(val spark: SparkSession, val root: String,
 
   private def seedMinors(): Unit = synchronized {
     if (!minorSeeded) {
+      recoverFlushedStaging()
       stagingDf.groupBy("sid").count().collect()
         .foreach(r => minorCounts(r.getLong(0)) = r.getLong(1))
       minorSeeded = true
     }
+  }
+
+  /** Flush crash recovery: each flush commit records the staging batch
+    * ids it consumed; a crash between the commit and the staging delete
+    * leaves those batches on disk, where a naive restart would re-flush
+    * them as duplicates. On first staging seed, drop any staged batch
+    * dir whose id appears in its stream's latest insert commit — the
+    * same version-match replay guard as /root/reference/pqm.go:172-179,
+    * keyed by batch id instead of journal version. */
+  private def recoverFlushedStaging(): Unit = {
+    val stagingRoot = Paths.get(path("staging").stripPrefix("file:"))
+    if (!Files.exists(stagingRoot) || !exists("commits")) return
+    val consumed: Map[Long, Set[Long]] = commits
+      .filter(col("kind") === "insert")
+      .groupBy("sid")
+      .agg(max_by(coalesce(col("batches"), array()), col("version")).as("b"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Long](1).toSet)
+      .toMap
+    if (consumed.forall(_._2.isEmpty)) return
+    import scala.jdk.CollectionConverters._
+    val sidDirs = Files.list(stagingRoot)
+    try sidDirs.iterator().asScala
+      .filter(d => d.getFileName.toString.startsWith("sid="))
+      .foreach { sidDir =>
+        val sid = sidDir.getFileName.toString.stripPrefix("sid=").toLong
+        val dead = consumed.getOrElse(sid, Set.empty)
+        if (dead.nonEmpty) {
+          val batchDirs = Files.list(sidDir)
+          try batchDirs.iterator().asScala
+            .filter(b => b.getFileName.toString.stripPrefix("batch=")
+              .toLongOption.exists(dead.contains))
+            .toSeq
+            .foreach(b => deleteDir(s"staging/sid=$sid/${b.getFileName}"))
+          finally batchDirs.close()
+        }
+      }
+    finally sidDirs.close()
   }
   private def minorOf(sid: Long): Long = { seedMinors(); minorCounts.getOrElse(sid, 0L) }
 
@@ -511,9 +555,10 @@ class Btrdb(val spark: SparkSession, val root: String,
         commitBatch(sid, batch, st, partials)
         version(uuid)
       } else {
-        // batch=-1 marks direct (non-streaming) appends; StreamingIngest
-        // writes real batch ids it can idempotently overwrite on replay
-        batch.withColumn("batch", lit(-1L))
+        // unique engine-generated batch id (disjoint from StreamingIngest's
+        // small checkpoint batchIds): flush records the ids it consumes,
+        // making an interrupted flush recoverable without duplicates
+        batch.withColumn("batch", lit(batchIdGen.incrementAndGet()))
           .sortWithinPartitions("time")
           .write.mode(SaveMode.Append).partitionBy("sid", "batch")
           .parquet(path("staging"))
@@ -598,7 +643,8 @@ class Btrdb(val spark: SparkSession, val root: String,
     * ranges), and fold the batch's partials into exactly the rollup
     * buckets it touches. */
   private def commitBatch(sid: Long, batch: DataFrame, st: BatchStats,
-                          partials: DataFrame): Long = {
+                          partials: DataFrame,
+                          consumedBatches: Seq[Long] = Nil): Long = {
     val v = majorOf(sid) + 1
     batch
       .withColumn("version", lit(v))
@@ -615,7 +661,8 @@ class Btrdb(val spark: SparkSession, val root: String,
                                      // delta-delta+varint (~2.9x, FAST'16)
       .partitionBy("sbucket", "tbucket")
       .parquet(path("points"))
-    appendCommit(sid, v, "insert", st.tmin, st.tmax, st.n, st.ranges)
+    appendCommit(sid, v, "insert", st.tmin, st.tmax, st.n, st.ranges,
+      consumedBatches)
     // INSERT path: the batch's partial aggregates fold into the existing
     // rollup rows — no point-log rescan, no second batch pass
     maintainPyramid(sid, st.ranges, foldPartials = Some(partials))
@@ -643,7 +690,7 @@ class Btrdb(val spark: SparkSession, val root: String,
       minorCounts(sid) = 0
       return version(uuid)
     }
-    commitBatch(sid, staged, st, partials)
+    commitBatch(sid, staged, st, partials, consumedBatches = stagedBatches(sid))
     partials.unpersist()
     staged.unpersist()
     deleteDir(s"staging/sid=$sid")
@@ -862,12 +909,27 @@ class Btrdb(val spark: SparkSession, val root: String,
   private def commitJson(sid: Long, v: Long, kind: String,
                          tmin: Long, tmax: Long, n: Long,
                          ranges: Seq[(Long, Long)],
-                         compacted: Boolean): String = {
+                         compacted: Boolean,
+                         batches: Seq[Long] = Nil): String = {
     val rangesJson = ranges
       .map { case (s, e) => s"""{"s":$s,"e":$e}""" }.mkString("[", ",", "]")
     s"""{"sid":$sid,"version":$v,"kind":"$kind","tmin":$tmin,""" +
       s""""tmax":$tmax,"npoints":$n,"ranges":$rangesJson,""" +
-      s""""compacted":$compacted}""" + "\n"
+      s""""compacted":$compacted,"batches":${batches.mkString("[", ",", "]")}}""" + "\n"
+  }
+
+  /** Staged batch ids of one stream, from the partition directory names. */
+  private def stagedBatches(sid: Long): Seq[Long] = {
+    val dir = Paths.get(path(s"staging/sid=$sid").stripPrefix("file:"))
+    if (!Files.exists(dir)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      val l = Files.list(dir)
+      try l.iterator().asScala
+        .flatMap(_.getFileName.toString.stripPrefix("batch=").toLongOption)
+        .toSeq
+      finally l.close()
+    }
   }
 
   /** Write one commit file; the atomic move is the visibility point. */
@@ -885,9 +947,11 @@ class Btrdb(val spark: SparkSession, val root: String,
     * superblock append, blockstore.go:317-360). */
   private def appendCommit(sid: Long, v: Long, kind: String,
                            tmin: Long, tmax: Long, n: Long,
-                           ranges: Seq[(Long, Long)]): Unit = {
+                           ranges: Seq[(Long, Long)],
+                           batches: Seq[Long] = Nil): Unit = {
     writeCommitFile(s"commit-$sid-$v.json",
-      commitJson(sid, v, kind, tmin, tmax, n, ranges, compacted = false))
+      commitJson(sid, v, kind, tmin, tmax, n, ranges, compacted = false,
+        batches = batches))
     seedCommitState()
     majorCounts(sid) = math.max(majorCounts.getOrElse(sid, 0L), v)
     if (kind == "delete") deleteDebt += sid
@@ -1381,7 +1445,7 @@ object Btrdb {
   val CommitSchema =
     "sid BIGINT, version BIGINT, kind STRING, tmin BIGINT, tmax BIGINT, " +
       "npoints BIGINT, ranges ARRAY<STRUCT<s: BIGINT, e: BIGINT>>, " +
-      "compacted BOOLEAN"
+      "compacted BOOLEAN, batches ARRAY<BIGINT>"
   val StagingSchema = "sid BIGINT, time BIGINT, value DOUBLE"
   val PointsSchema =
     "sid BIGINT, time BIGINT, value DOUBLE, version BIGINT, sbucket INT, tbucket BIGINT"

@@ -456,6 +456,39 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     db.flush(ub)
   }
 
+  test("interrupted flush recovers without duplicating points") {
+    import java.nio.file.{Files => F, Paths}
+    import scala.jdk.CollectionConverters._
+    val uuid = "u-crash-flush"
+    db.createStream(uuid, "test/crashflush", Map("t" -> "cf"))
+    insertPoints(uuid, Seq((1L, 1.0), (2L, 2.0))) // staged under batch=B
+    val sid = db.sidOf(uuid)
+    val stagedDir = Paths.get(s"${db.root.stripPrefix("file:")}/staging/sid=$sid")
+    // snapshot the staged partition (we'll re-plant it below)
+    val backup = F.createTempDirectory("flush-crash")
+    val walk = F.walk(stagedDir)
+    try walk.iterator().asScala.foreach { p =>
+      val t = backup.resolve(stagedDir.relativize(p).toString)
+      if (F.isDirectory(p)) F.createDirectories(t)
+      else F.copy(p, t)
+    } finally walk.close()
+    db.flush(uuid) // commit written, staging cleared
+    assert(db.version(uuid) == (1L, 0L))
+    // crash simulation: the staging partition reappears as if the
+    // post-commit delete never ran
+    val walkB = F.walk(backup)
+    try walkB.iterator().asScala.foreach { p =>
+      val t = stagedDir.resolve(backup.relativize(p).toString)
+      if (F.isDirectory(p)) F.createDirectories(t)
+      else F.copy(p, t)
+    } finally walkB.close()
+    db.refreshStaging()
+    // recovery (batch id recorded in the flush commit) drops the
+    // re-surfaced batch instead of re-flushing it as duplicates
+    assert(db.version(uuid) == (1L, 0L))
+    assert(db.rawValues(uuid, 0, 10).count() == 2)
+  }
+
   test("flushAll: the PQM scanner analog flushes aged buffers, leaves young ones") {
     val ua = "u-scan-a"; val ub = "u-scan-b"
     db.createStream(ua, "test/scan", Map("s" -> "a"))
