@@ -674,11 +674,10 @@ class Btrdb(val spark: SparkSession, val root: String,
     * (/root/reference/quasar.go:221-229). Staging is partitioned by sid,
     * so clearing this stream is one partition-directory delete — flush
     * cost is O(this stream's buffer), never O(all streams' buffers).
-    * Crash window: between the commit and the partition delete the
-    * flushed points exist in both logs; single-writer recovery is to
-    * compare the stream's last insert commit against its staged batches
-    * and drop staging dirs whose rows are already committed (the same
-    * version-match replay guard as /root/reference/pqm.go:172-179). */
+    * Crash-safe: the commit records the staged batch ids it consumed,
+    * and the first staging seed after a restart drops any batch already
+    * committed (see recoverFlushedStaging) — an interrupted flush never
+    * duplicates points. */
   def flush(uuid: String): (Long, Long) = {
     val sid = sidOf(uuid)
     if (minorOf(sid) == 0) return version(uuid)
