@@ -1,12 +1,11 @@
 package graft.engine
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{TimeConsts, TimeOps}
 import graft.operators.StatOps
+import graft.storage.Store
 
 /** The engine facade — the BTrDB public surface (the 19 RPCs of
   * /root/reference/grpcinterface/btrdb.proto:5-24) re-expressed as a
@@ -59,24 +58,23 @@ class Btrdb(val spark: SparkSession, val root: String,
 
   spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+  /** All driver-side metadata I/O (commit files, pointers, partition
+    * listings) goes through the Hadoop `FileSystem` of the root URI —
+    * the engine runs wherever Spark can read parquet (HDFS, S3A, local).
+    * Bulk data always moves through Spark's own parquet reader/writer,
+    * which resolves paths through the SAME FileSystem. */
+  val store = new Store(root, spark.sessionState.newHadoopConf())
+
   private def path(part: String) = s"$root/$part"
-  private def exists(part: String) = Files.exists(Paths.get(path(part).stripPrefix("file:")))
+  private def exists(part: String) = store.exists(part)
 
   /** True iff the directory holds at least one parquet data file — an
     * existing-but-drained directory (e.g. staging after every stream
     * flushed: only _SUCCESS and empty partition dirs remain) must read
-    * as empty, not fail schema inference. Driver-side walk; these are
-    * metadata-scale directories at any data volume. */
-  private def hasParquet(part: String): Boolean = {
-    val p = Paths.get(path(part).stripPrefix("file:"))
-    if (!Files.exists(p)) false
-    else {
-      import scala.jdk.CollectionConverters._
-      val s = Files.walk(p)
-      try s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
-      finally s.close()
-    }
-  }
+    * as empty, not fail schema inference. Driver-side short-circuiting
+    * walk; these are metadata-scale directories at any data volume. */
+  private def hasParquet(part: String): Boolean =
+    store.containsFile(part, ".parquet")
 
   private def emptyDf(schema: String): DataFrame =
     spark.createDataFrame(
@@ -119,12 +117,11 @@ class Btrdb(val spark: SparkSession, val root: String,
     * replaces had a destroy-then-rebuild window). Appends (stream
     * creation) land inside the current directory, which parquet commits
     * via its own task-temp rename. */
-  private def catalogDir: String = {
-    val ptr = Paths.get(path("catalog_CURRENT").stripPrefix("file:"))
-    if (Files.exists(ptr))
-      s"catalog_v/${new String(Files.readAllBytes(ptr), "UTF-8").trim}"
-    else "catalog" // pre-first-rewrite layout
-  }
+  private def catalogDir: String =
+    store.readString("catalog_CURRENT") match {
+      case Some(v) => s"catalog_v/${v.trim}"
+      case None => "catalog" // pre-first-rewrite layout
+    }
 
   def catalog: DataFrame = {
     var c = catalogCache
@@ -303,13 +300,7 @@ class Btrdb(val spark: SparkSession, val root: String,
       case d => d.stripPrefix("catalog_v/").toLong + 1
     }
     df.write.mode(SaveMode.Overwrite).parquet(path(s"catalog_v/$next"))
-    val ptrDir = Paths.get(root.stripPrefix("file:"))
-    Files.createDirectories(ptrDir)
-    val tmpPtr = ptrDir.resolve(".catalog_CURRENT.tmp")
-    Files.write(tmpPtr, next.toString.getBytes("UTF-8"))
-    Files.move(tmpPtr, ptrDir.resolve("catalog_CURRENT"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    store.writeAtomic("catalog_CURRENT", next.toString)
     deleteDir(oldDir)
     invalidateCatalog()
   }
@@ -397,6 +388,19 @@ class Btrdb(val spark: SparkSession, val root: String,
     * `nearest` probes. */
   private val envelopes = scala.collection.mutable.Map.empty[Long, (Long, Long)]
   @volatile private var commitStateSeeded = false
+  /** Pyramid-level non-emptiness memo: each level is probed at most once
+    * per (in)validation — a stat query must never walk the filesystem.
+    * Insert-path maintenance marks its levels present; the (rare)
+    * delete/compact/purge paths invalidate, and the next query re-probes
+    * lazily (one listing per level). */
+  private val pyramidPresent = scala.collection.mutable.Map.empty[Int, Boolean]
+
+  private def pyramidHas(level: Int): Boolean = synchronized {
+    pyramidPresent.getOrElseUpdate(level, hasParquet(s"pyramid/pw=$level"))
+  }
+  private def invalidatePyramidPresence(): Unit = synchronized {
+    pyramidPresent.clear()
+  }
 
   private def seedCommitState(): Unit = synchronized {
     if (!commitStateSeeded) {
@@ -416,13 +420,20 @@ class Btrdb(val spark: SparkSession, val root: String,
   /** The PQM write buffer, partitioned by `sid` (each stream's buffer is
     * independent, /root/reference/pqm.go:510-625) and a writer-private
     * `batch` subkey (streaming replay idempotence). Reads normalize the
-    * inferred partition-column types and drop the physical subkey. */
-  private def stagingDf: DataFrame =
-    if (hasParquet("staging"))
+    * inferred partition-column types and drop the physical subkey.
+    *
+    * Presence is resolved from the in-memory staged counts once seeded —
+    * the emptiness walk runs ONCE per (re)seed, never per query. */
+  private def stagingDf: DataFrame = {
+    val nonEmpty =
+      if (minorSeeded) minorCounts.exists(_._2 > 0)
+      else hasParquet("staging")
+    if (nonEmpty)
       spark.read.parquet(path("staging"))
         .select(col("sid").cast("long").as("sid"),
           col("time").cast("long").as("time"), col("value"))
     else emptyDf(StagingSchema)
+  }
 
   private def seedMinors(): Unit = synchronized {
     if (!minorSeeded) {
@@ -441,8 +452,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     * same version-match replay guard as /root/reference/pqm.go:172-179,
     * keyed by batch id instead of journal version. */
   private def recoverFlushedStaging(): Unit = {
-    val stagingRoot = Paths.get(path("staging").stripPrefix("file:"))
-    if (!Files.exists(stagingRoot) || !exists("commits")) return
+    if (!exists("staging") || !exists("commits")) return
     val consumed: Map[Long, Set[Long]] = commits
       .filter(col("kind") === "insert")
       .groupBy("sid")
@@ -452,24 +462,16 @@ class Btrdb(val spark: SparkSession, val root: String,
         r.getSeq[Long](1).toSet)
       .toMap
     if (consumed.forall(_._2.isEmpty)) return
-    import scala.jdk.CollectionConverters._
-    val sidDirs = Files.list(stagingRoot)
-    try sidDirs.iterator().asScala
-      .filter(d => d.getFileName.toString.startsWith("sid="))
+    store.listNames("staging")
+      .filter(_.startsWith("sid="))
       .foreach { sidDir =>
-        val sid = sidDir.getFileName.toString.stripPrefix("sid=").toLong
+        val sid = sidDir.stripPrefix("sid=").toLong
         val dead = consumed.getOrElse(sid, Set.empty)
-        if (dead.nonEmpty) {
-          val batchDirs = Files.list(sidDir)
-          try batchDirs.iterator().asScala
-            .filter(b => b.getFileName.toString.stripPrefix("batch=")
-              .toLongOption.exists(dead.contains))
-            .toSeq
-            .foreach(b => deleteDir(s"staging/sid=$sid/${b.getFileName}"))
-          finally batchDirs.close()
-        }
+        if (dead.nonEmpty)
+          store.listNames(s"staging/$sidDir")
+            .filter(_.stripPrefix("batch=").toLongOption.exists(dead.contains))
+            .foreach(b => deleteDir(s"staging/$sidDir/$b"))
       }
-    finally sidDirs.close()
   }
   private def minorOf(sid: Long): Long = { seedMinors(); minorCounts.getOrElse(sid, 0L) }
 
@@ -485,6 +487,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     invalidateCommits()
     majorCounts.clear(); deleteDebt.clear(); envelopes.clear()
     commitStateSeeded = false
+    invalidatePyramidPresence()
   }
 
   /** StreamInfo: descriptor + (major, minor) version
@@ -709,17 +712,8 @@ class Btrdb(val spark: SparkSession, val root: String,
     val now = System.currentTimeMillis()
     val staged = minorCounts.filter(_._2 > 0).keys.toSeq.sorted
     staged.flatMap { sid =>
-      val dir = Paths.get(path(s"staging/sid=$sid").stripPrefix("file:"))
       val oldest: Long =
-        if (!Files.exists(dir)) Long.MaxValue
-        else {
-          import scala.jdk.CollectionConverters._
-          val s = Files.walk(dir)
-          try s.iterator().asScala.filter(Files.isRegularFile(_))
-            .map(Files.getLastModifiedTime(_).toMillis)
-            .minOption.getOrElse(Long.MaxValue)
-          finally s.close()
-        }
+        store.oldestFileMtime(s"staging/sid=$sid").getOrElse(Long.MaxValue)
       if (minorCounts(sid) >= bufferCommitThreshold ||
           (oldest != Long.MaxValue && now - oldest >= maxAgeMillis)) {
         val uuid = uuidBySid(sid)
@@ -819,20 +813,15 @@ class Btrdb(val spark: SparkSession, val root: String,
     * version, plus older compacted records — pure garbage collection:
     * the reader's supersede rule already ignores them. */
   private def gcCommitFiles(sid: Long, compactedVersion: Long): Unit = {
-    val dir = Paths.get(path("commits").stripPrefix("file:"))
-    if (!Files.exists(dir)) return
-    val files = Files.list(dir)
-    try files.iterator().forEachRemaining { f =>
-      val name = f.getFileName.toString
-      val plain = s"commit-$sid-(\\d+)\\.json".r
-      val compactRe = s"commit-$sid-(\\d+)-c\\.json".r
-      name match {
-        case plain(v) if v.toLong <= compactedVersion => Files.delete(f)
-        case compactRe(v) if v.toLong < compactedVersion => Files.delete(f)
-        case _ => ()
-      }
+    val plain = s"commit-$sid-(\\d+)\\.json".r
+    val compactRe = s"commit-$sid-(\\d+)-c\\.json".r
+    store.listNames("commits").foreach {
+      case name @ plain(v) if v.toLong <= compactedVersion =>
+        store.delete(s"commits/$name")
+      case name @ compactRe(v) if v.toLong < compactedVersion =>
+        store.delete(s"commits/$name")
+      case _ => ()
     }
-    finally files.close()
   }
 
   /** Reclaim storage for obliterated streams: their tombstones hide them
@@ -884,6 +873,7 @@ class Btrdb(val spark: SparkSession, val root: String,
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       parts(pyrDf).diff(parts(keptP)).foreach { case (pw, sb, wb) =>
         deleteDir(s"pyramid/pw=$pw/sbucket=$sb/wbucket=$wb") }
+      invalidatePyramidPresence()
     }
     active.foreach { sid =>
       gcCommitFiles(sid, Long.MaxValue)
@@ -897,13 +887,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     active
   }
 
-  private def deleteDir(part: String): Unit = {
-    val p = Paths.get(path(part).stripPrefix("file:"))
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
-  }
+  private def deleteDir(part: String): Unit = store.deleteRecursive(part)
 
   private def commitJson(sid: Long, v: Long, kind: String,
                          tmin: Long, tmax: Long, n: Long,
@@ -918,28 +902,14 @@ class Btrdb(val spark: SparkSession, val root: String,
   }
 
   /** Staged batch ids of one stream, from the partition directory names. */
-  private def stagedBatches(sid: Long): Seq[Long] = {
-    val dir = Paths.get(path(s"staging/sid=$sid").stripPrefix("file:"))
-    if (!Files.exists(dir)) Nil
-    else {
-      import scala.jdk.CollectionConverters._
-      val l = Files.list(dir)
-      try l.iterator().asScala
-        .flatMap(_.getFileName.toString.stripPrefix("batch=").toLongOption)
-        .toSeq
-      finally l.close()
-    }
-  }
+  private def stagedBatches(sid: Long): Seq[Long] =
+    store.listNames(s"staging/sid=$sid")
+      .flatMap(_.stripPrefix("batch=").toLongOption)
 
-  /** Write one commit file; the atomic move is the visibility point. */
-  private def writeCommitFile(name: String, json: String): Unit = {
-    val dir = Paths.get(path("commits").stripPrefix("file:"))
-    Files.createDirectories(dir)
-    val tmp = dir.resolve(s".$name.tmp")
-    Files.write(tmp, json.getBytes("UTF-8"))
-    Files.move(tmp, dir.resolve(name),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
+  /** Write one commit file; the store's atomic publish (rename on HDFS/
+    * local, single PUT on object stores) is the visibility point. */
+  private def writeCommitFile(name: String, json: String): Unit =
+    store.writeAtomic(s"commits/$name", json)
 
   /** Append one commit record: a single JSON line written by the driver
     * — no Spark job for a metadata row (the analog of the reference's
@@ -991,10 +961,15 @@ class Btrdb(val spark: SparkSession, val root: String,
     if (version != TimeConsts.LatestGeneration) committed
     else {
       val sid = sidOf(uuid)
-      val staged = stagingDf
-        .filter(col("sid") === sid && col("time") >= start && col("time") < end)
-        .withColumn("version", lit(Long.MaxValue))
-      committed.unionByName(staged)
+      // empty buffer (the steady state): no staging subplan at all — the
+      // committed scan IS the plan, with no union or extra listing
+      if (minorOf(sid) == 0) committed
+      else {
+        val staged = stagingDf
+          .filter(col("sid") === sid && col("time") >= start && col("time") < end)
+          .withColumn("version", lit(Long.MaxValue))
+        committed.unionByName(staged)
+      }
     }
   }
 
@@ -1019,7 +994,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     // reference merges its write buffer into stat results — aggregate
     // the buffer alone and COMBINE partials (Σcnt, min, Σsum, max;
     // mean = Σ(mean·count)/Σcount, /root/reference/merger.go:126-208)
-    val usable = level.exists(l => hasParquet(s"pyramid/pw=$l")) &&
+    val usable = level.exists(pyramidHas) &&
       version == TimeConsts.LatestGeneration && !hasDeleteDebt(sid)
     if (usable) {
       val l = level.get
@@ -1063,7 +1038,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     val sids = uuids.map(sidOf)
     seedCommitState()
     val level = pyramidLevels.filter(_ <= pw).sorted.lastOption
-      .filter(l => hasParquet(s"pyramid/pw=$l"))
+      .filter(pyramidHas)
     val (pyrSids, rawSids) = sids.partition(sid =>
       level.isDefined && !hasDeleteDebt(sid) && minorOf(sid) == 0)
     val parts = Seq(
@@ -1104,7 +1079,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     // when one exists and the stream has no merge-on-read debt.
     val sid = sidOf(uuid)
     val level = pyramidLevels.filter(_ <= depth).sorted.lastOption
-      .filter(l => hasParquet(s"pyramid/pw=$l") &&
+      .filter(l => pyramidHas(l) &&
         version == TimeConsts.LatestGeneration && minorOf(sid) == 0 &&
         !hasDeleteDebt(sid))
     val agg0 = level match {
@@ -1380,6 +1355,12 @@ class Btrdb(val spark: SparkSession, val root: String,
         .map(r => (r.getInt(0), r.getLong(1))).toSet
       for (pw <- sorted; wb <- wbuckets if !present((pw, wb)))
         deleteDir(s"pyramid/pw=$pw/sbucket=$sb/wbucket=$wb")
+      // deletes can drain a level entirely — drop the presence memo and
+      // let the next stat query re-probe (one listing per level)
+      invalidatePyramidPresence()
+    } else synchronized {
+      // the fold path wrote ≥1 fresh row into every level
+      sorted.foreach(pyramidPresent(_) = true)
     }
     baseFresh.unpersist()
   }

@@ -49,10 +49,12 @@ object StreamingIngest {
   private[streaming] def ingestBatch(batch: DataFrame, batchId: Long,
                                      root: String): Unit = {
     val spark = batch.sparkSession
-    val journalDir = java.nio.file.Paths.get(
-      s"$root/journal".stripPrefix("file:"))
-    val marker = journalDir.resolve(s"batch-$batchId")
-    if (!java.nio.file.Files.exists(marker)) {
+    // same FileSystem resolution as the engine root (Store instances are
+    // cheap — Hadoop caches the FileSystem per scheme+authority)
+    val store = new graft.storage.Store(root,
+      spark.sessionState.newHadoopConf())
+    val marker = s"journal/batch-$batchId"
+    if (!store.exists(marker)) {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       val typed = batch.select(
         col("sid").cast("long").as("sid"),
@@ -68,22 +70,17 @@ object StreamingIngest {
         invalid.withColumn("batch", lit(batchId))
           .write.mode(SaveMode.Overwrite).partitionBy("batch")
           .parquet(s"$root/rejects")
-      java.nio.file.Files.createDirectories(journalDir)
-      java.nio.file.Files.write(marker, Array.emptyByteArray)
+      store.writeAtomic(marker, "")
       // retention: markers far behind the checkpoint's committed offset
       // are dead (Spark never replays batches that old) — prune so the
       // journal directory stays O(retention window), not O(stream age)
       val horizon = batchId - 128
-      if (horizon > 0) {
-        val files = java.nio.file.Files.list(journalDir)
-        try files.iterator().forEachRemaining { f =>
-          val name = f.getFileName.toString
+      if (horizon > 0)
+        store.listNames("journal").foreach { name =>
           if (name.startsWith("batch-") &&
               name.stripPrefix("batch-").toLongOption.exists(_ < horizon))
-            java.nio.file.Files.delete(f)
+            store.delete(s"journal/$name")
         }
-        finally files.close()
-      }
     }
   }
 
