@@ -43,14 +43,18 @@ import graft.storage.Store
   *     overwrite, so backfill cost is proportional to dirtied data.
   *
   * Single-writer per engine root is assumed (the reference holds
-  * per-stream write locks; a driver-side lock is the same contract).
+  * per-stream write locks; a driver-side lock is the same contract) —
+  * enforced fail-fast by an advisory heartbeat lock file, see
+  * "single-writer root lock" below.
   */
 class Btrdb(val spark: SparkSession, val root: String,
             sBuckets: Int = 64, tBucketPw: Int = 48,
             bufferCommitThreshold: Long = 32768L,
             pyramidLevels: Seq[Int] = Seq(30, 36, 42, 48),
             pyramidWBucketPw: Int = 54,
-            commitRangePw: Int = 36) {
+            commitRangePw: Int = 36,
+            lockRoot: Boolean = true,
+            lockStaleMillis: Long = 120000L) {
   import Btrdb._
 
   require(pyramidLevels.isEmpty || pyramidWBucketPw >= pyramidLevels.max,
@@ -67,6 +71,61 @@ class Btrdb(val spark: SparkSession, val root: String,
 
   private def path(part: String) = s"$root/$part"
   private def exists(part: String) = store.exists(part)
+
+  // ---- single-writer root lock ---------------------------------------
+  //
+  // The engine assumes ONE writer per root (the reference holds
+  // per-stream write locks; here the commit log + catalog pointer are
+  // root-wide, so the contract is root-wide). A best-effort advisory
+  // lock makes contention FAIL FAST instead of corrupting the commit
+  // log: `engine.lock` is created create-no-overwrite, heartbeat-
+  // refreshed while the engine lives, and a lock whose mtime is older
+  // than `lockStaleMillis` is treated as a crash leftover and taken
+  // over. Best-effort, documented: the stale takeover (delete + create)
+  // is not atomic, and `writeExclusive` is only as exact as the store's
+  // conditional create (see SCALE.md "Storage atomicity"). Readers and
+  // the staging-only streaming appender are NOT gated — the lock guards
+  // the commit-log/catalog writer.
+  private val lockToken = java.util.UUID.randomUUID().toString
+  @volatile private var lockHeld = false
+  private var heartbeat: java.util.concurrent.ScheduledExecutorService = null
+
+  if (lockRoot) {
+    if (!store.writeExclusive(LockFile, lockToken)) {
+      val stale = store.modificationTime(LockFile)
+        .forall(m => System.currentTimeMillis() - m > lockStaleMillis)
+      if (stale) store.delete(LockFile)
+      if (!stale || !store.writeExclusive(LockFile, lockToken))
+        throw new IllegalStateException(
+          s"engine root $root is locked by another live writer " +
+            s"(${store.readString(LockFile).getOrElse("?")}); single-writer " +
+            "contract — close() the other engine, or delete " +
+            s"$root/$LockFile if it is a crash leftover older than " +
+            s"$lockStaleMillis ms")
+    }
+    lockHeld = true
+    heartbeat = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      r => { val t = new Thread(r, s"btrdb-lock-heartbeat"); t.setDaemon(true); t })
+    val period = math.max(lockStaleMillis / 4, 250L)
+    heartbeat.scheduleAtFixedRate(
+      () => if (lockHeld) store.rewrite(LockFile, lockToken),
+      period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+  }
+
+  /** Release the root lock and drop cached state. The engine must not
+    * be used after close; a new `Btrdb` on the same root takes over. */
+  def close(): Unit = synchronized {
+    if (heartbeat != null) { heartbeat.shutdownNow(); heartbeat = null }
+    if (lockHeld) {
+      // only remove a lock we still own (a stale takeover may have
+      // replaced it while we were paused)
+      if (store.readString(LockFile).map(_.trim).contains(lockToken))
+        store.delete(LockFile)
+      lockHeld = false
+    }
+    invalidateCatalog()
+    invalidateCommits()
+  }
 
   /** True iff the directory holds at least one parquet data file — an
     * existing-but-drained directory (e.g. staging after every stream
@@ -1404,6 +1463,9 @@ final case class StreamDescInfo(
     annotationVersion: Long)
 
 object Btrdb {
+  /** Advisory single-writer lock file at the engine root. */
+  val LockFile = "engine.lock"
+
   /** Metadata limits, mirrored from
     * /root/reference/internal/mprovider/metaprovider.go:18-28. */
   val MaximumTags = 32

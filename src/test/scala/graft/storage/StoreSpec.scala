@@ -104,12 +104,41 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(db.streamInfo(uuid)._1.annotations == Map("note" -> "hi"))
     // changes() over the commit log written through the Store
     assert(db.changes(uuid, 0, db.version(uuid)._1, 8).count() > 0)
-    // restart: a fresh engine on the same file:-scheme root recovers
+    // graceful restart: a fresh engine on the same file:-scheme root
+    // recovers (close releases the single-writer lock)
+    val major = db.version(uuid)._1
+    db.close()
     val db2 = new Btrdb(spark, root, sBuckets = 4, tBucketPw = 12,
       bufferCommitThreshold = 16,
       pyramidLevels = Seq(4, 8), pyramidWBucketPw = 12, commitRangePw = 8)
     assert(db2.rawValues(uuid, 0, 1000).count() == 68)
-    assert(db2.version(uuid)._1 == db.version(uuid)._1)
+    assert(db2.version(uuid)._1 == major)
+    db2.close()
+  }
+
+  test("single-writer lock: second engine fails fast; crash leftover taken over") {
+    val dir = Files.createTempDirectory("storelock").toString
+    val root = s"file:$dir"
+    val a = new Btrdb(spark, root, sBuckets = 4, tBucketPw = 12)
+    // a live writer blocks a second engine on the same root
+    val e = intercept[IllegalStateException] {
+      new Btrdb(spark, root, sBuckets = 4, tBucketPw = 12)
+    }
+    assert(e.getMessage.contains("locked by another live writer"))
+    // close releases; the next engine acquires
+    a.close()
+    val b = new Btrdb(spark, root, sBuckets = 4, tBucketPw = 12)
+    b.close()
+    // a crash leaves the lock file with no heartbeat: once its mtime is
+    // older than lockStaleMillis the next engine takes over
+    val st = new Store(root, spark.sessionState.newHadoopConf())
+    st.writeAtomic(Btrdb.LockFile, "crashed-owner")
+    Thread.sleep(120)
+    val c = new Btrdb(spark, root, sBuckets = 4, tBucketPw = 12,
+      lockStaleMillis = 100L)
+    assert(st.readString(Btrdb.LockFile).exists(_ != "crashed-owner"))
+    c.close()
+    assert(!st.exists(Btrdb.LockFile))
   }
 
   test("stat and raw queries issue zero Store listings once state is seeded") {
