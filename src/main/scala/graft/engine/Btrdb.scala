@@ -446,6 +446,10 @@ class Btrdb(val spark: SparkSession, val root: String,
     * over-approximation of where points can exist, used to bound
     * `nearest` probes. */
   private val envelopes = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+  /** Version floor per compacted stream: history at-or-below it is
+    * collapsed — pins below the floor read as EMPTY (the documented
+    * "time travel forfeited" contract), never as delete-unaware rows. */
+  private val compactedFloor = scala.collection.mutable.Map.empty[Long, Long]
   @volatile private var commitStateSeeded = false
   /** Pyramid-level non-emptiness memo: each level is probed at most once
     * per (in)validation — a stat query must never walk the filesystem.
@@ -467,11 +471,13 @@ class Btrdb(val spark: SparkSession, val root: String,
         .agg(max("version").as("maj"),
           max(when(col("kind") === "delete", 1L).otherwise(0L)).as("del"),
           min(when(col("kind") === "insert", col("tmin"))).as("emin"),
-          max(when(col("kind") === "insert", col("tmax"))).as("emax"))
+          max(when(col("kind") === "insert", col("tmax"))).as("emax"),
+          max(when(col("compacted"), col("version"))).as("floor"))
         .collect().foreach { r =>
           majorCounts(r.getLong(0)) = r.getLong(1)
           if (r.getLong(2) == 1L) deleteDebt += r.getLong(0)
           if (!r.isNullAt(3)) envelopes(r.getLong(0)) = (r.getLong(3), r.getLong(4))
+          if (!r.isNullAt(4)) compactedFloor(r.getLong(0)) = r.getLong(4)
         }
       commitStateSeeded = true
     }
@@ -545,6 +551,7 @@ class Btrdb(val spark: SparkSession, val root: String,
   def refreshCommits(): Unit = synchronized {
     invalidateCommits()
     majorCounts.clear(); deleteDebt.clear(); envelopes.clear()
+    compactedFloor.clear()
     commitStateSeeded = false
     invalidatePyramidPresence()
   }
@@ -794,64 +801,84 @@ class Btrdb(val spark: SparkSession, val root: String,
   }
 
   /** Compact one stream: materialize its latest-visible snapshot (delete
-    * anti-filters applied, old generations dropped), rewrite its sbucket
-    * partition, and collapse its commit history to a single generation.
-    * Merge-on-read debt goes to zero and the pyramid fast path (disabled
-    * while delete commits exist) is re-enabled. Trade-off, documented:
-    * time travel below the current major version is forfeited for this
-    * stream. Cost is proportional to the stream's sbucket partition, not
-    * the table. */
+    * anti-filters applied, old generations dropped), rewrite the
+    * partitions holding it, and collapse its commit history to a single
+    * generation. Merge-on-read debt goes to zero and the pyramid fast
+    * path (disabled while delete commits exist) is re-enabled.
+    * Trade-off, documented: time travel below the current major version
+    * is forfeited for this stream.
+    *
+    * TBUCKET-AT-A-TIME: the working set is ONE (sbucket, tbucket)
+    * partition — peak materialized size is bounded by a single tbucket
+    * (~3.5 GB at the 100 TB layout), never the stream's whole sbucket.
+    * Rows keep their original version numbers (bumping them to `maj`
+    * would dirty EVERY tbucket on every compact; versions ≤ maj are
+    * equally visible under the collapsed record, and time travel below
+    * maj is forfeited either way), so only tbuckets actually holding
+    * delete debt rewrite at all. Each rewrite is independently
+    * crash-safe: the rows it removes are exactly the rows the delete
+    * anti-filters hide, so a rewritten tbucket reads identically under
+    * the OLD commit log — a crash mid-stream leaves a correct mix, and
+    * re-running compact is idempotent (clean tbuckets take a stats-only
+    * fast path with no rewrite). Tbuckets outside the stream's
+    * committed envelope are skipped without reading — cost ∝ the
+    * stream's delete debt, not its size. */
   def compact(uuid: String): Long = {
     val sid = sidOf(uuid)
     flush(uuid)
     val maj = majorOf(sid)
     if (maj == 0) return 0
     val bucket = sid % sBuckets
-    // materialize the bucket BEFORE touching files (localCheckpoint is
-    // eager — the rewrite below deletes the source directory)
-    val bucketDf = readOr("points", PointsSchema)
-      .filter(col("sbucket") === bucket).localCheckpoint()
-    val compacted = {
-      val deletes = commits
-        .filter(col("sid") === sid && col("kind") === "delete")
-        .select("version", "tmin", "tmax").collect()
-      val own = bucketDf.filter(col("sid") === sid)
-      deletes.foldLeft(own) { (df, d) =>
-        df.filter(!(col("time") >= d.getLong(1) && col("time") < d.getLong(2) &&
-          col("version") < d.getLong(0)))
-      }.withColumn("version", lit(maj))
+    val deletes = commits
+      .filter(col("sid") === sid && col("kind") === "delete")
+      .select("version", "tmin", "tmax").collect()
+    // rows of THIS stream erased by a delete commit (merge-on-read debt)
+    val delCond = deletes.map(d =>
+        col("time") >= d.getLong(1) && col("time") < d.getLong(2) &&
+          col("version") < d.getLong(0))
+      .foldLeft(lit(false))(_ || _)
+    val isOwn = col("sid") === sid
+    val env = envelopes.get(sid)
+    var n = 0L; var tmin = Long.MaxValue; var tmax = Long.MinValue
+    val tbuckets = store.listNames(s"points/sbucket=$bucket")
+      .flatMap(_.stripPrefix("tbucket=").toLongOption).sorted
+    for (tb <- tbuckets;
+         (emin, emax) <- env
+         if (emin >> tBucketPw) <= tb && tb <= (emax >> tBucketPw)) {
+      val dir = s"points/sbucket=$bucket/tbucket=$tb"
+      val part = spark.read.parquet(path(dir))
+      // one agg pass decides the tbucket's fate AND accumulates stats
+      val r = part.agg(
+        count(when(!isOwn, 1)),                                  // other streams
+        count(when(isOwn && !delCond, 1)),                       // kept own
+        min(when(isOwn && !delCond, col("time"))),
+        max(when(isOwn && !delCond, col("time"))),
+        count(when(isOwn && delCond, 1))).head
+      val (others, kept, dirty) = (r.getLong(0), r.getLong(1), r.getLong(4))
+      if (kept > 0) {
+        n += kept
+        tmin = math.min(tmin, r.getLong(2)); tmax = math.max(tmax, r.getLong(3))
+      }
+      if (dirty > 0) {
+        if (others + kept == 0) deleteDir(dir) // fully drained
+        else {
+          // materialize BEFORE the overwrite replaces the source files
+          val merged = part.filter(!isOwn || !delCond)
+            .withColumn("sbucket", lit(bucket))
+            .withColumn("tbucket", lit(tb))
+            .localCheckpoint()
+          merged
+            .repartition(col("sbucket"), col("tbucket"))
+            .sortWithinPartitions("sid", "time")
+            .write.mode(SaveMode.Overwrite)
+            .option("compression", "zstd")
+            .partitionBy("sbucket", "tbucket")
+            .parquet(path("points"))
+          merged.unpersist()
+        }
+      }
     }
-    val st = compacted.agg(count(lit(1)),
-      coalesce(min("time"), lit(0L)), coalesce(max("time"), lit(0L))).head
-    val (n, tmin, tmax) = (st.getLong(0), st.getLong(1), st.getLong(2))
-    val rewritten = bucketDf.filter(col("sid") =!= sid)
-      .unionByName(compacted)
-      .withColumn("tbucket", shiftright(col("time"), tBucketPw))
-      .drop("sbucket")
-      .withColumn("sbucket", lit(bucket))
-      .localCheckpoint()
-    // dynamic partition overwrite replaces each (sbucket, tbucket)
-    // partition in place — NO delete-then-rewrite window. A crash
-    // mid-write leaves a mix of old and new partitions, both of which
-    // read correctly against the still-uncollapsed commit log: new rows
-    // carry version = maj (already delete-filtered, and maj ≥ any
-    // delete version so anti-filters skip them), old rows keep their
-    // original anti-filters.
-    rewritten
-      .repartition(col("sbucket"), col("tbucket"))
-      .sortWithinPartitions("sid", "time")
-      .write.mode(SaveMode.Overwrite)
-      .option("compression", "zstd")
-      .partitionBy("sbucket", "tbucket")
-      .parquet(path("points"))
-    // clear tbuckets fully drained by the compaction (absent from the
-    // write, so dynamic overwrite left their old files)
-    val present = rewritten.select(col("tbucket").cast("long"))
-      .distinct().collect().map(_.getLong(0)).toSet
-    val before = bucketDf.select(col("tbucket").cast("long"))
-      .distinct().collect().map(_.getLong(0)).toSet
-    before.diff(present).foreach(tb =>
-      deleteDir(s"points/sbucket=$bucket/tbucket=$tb"))
+    if (n == 0) { tmin = 0L; tmax = 0L }
     // collapse this stream's commit history ONLY after the points
     // rewrite completed: write one superseding compacted record (atomic
     // file move), then garbage-collect the superseded per-commit files.
@@ -863,6 +890,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     gcCommitFiles(sid, maj)
     invalidateCommits()
     deleteDebt -= sid // history collapsed; merge-on-read debt cleared
+    compactedFloor(sid) = maj
     if (n > 0) envelopes(sid) = (tmin, tmax) else envelopes -= sid
     if (n > 0) maintainPyramid(sid, Seq((tmin, tmax + 1)), foldPartials = None)
     maj
@@ -897,26 +925,37 @@ class Btrdb(val spark: SparkSession, val root: String,
       majorOf(sid) > 0 || exists(s"staging/sid=$sid"))
     if (active.isEmpty) return Nil
     val buckets = active.map(_ % sBuckets).distinct
-    if (hasParquet("points")) {
-      val bucketDf = readOr("points", PointsSchema)
-        .filter(col("sbucket").isin(buckets: _*)).localCheckpoint()
-      val kept = bucketDf.filter(!col("sid").isin(active: _*))
-      kept.repartition(col("sbucket"), col("tbucket"))
-        .sortWithinPartitions("sid", "time")
-        .write.mode(SaveMode.Overwrite)
-        .option("compression", "zstd")
-        .partitionBy("sbucket", "tbucket")
-        .parquet(path("points"))
-      val present = kept
-        .select(col("sbucket").cast("long"), col("tbucket").cast("long"))
-        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val before = bucketDf
-        .select(col("sbucket").cast("long"), col("tbucket").cast("long"))
-        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      before.diff(present).foreach { case (sb, tb) =>
-        deleteDir(s"points/sbucket=$sb/tbucket=$tb") }
+    // tbucket-at-a-time (same bounded-working-set shape as compact):
+    // untouched partitions are detected by one agg and never rewritten;
+    // a crash mid-stream leaves already-purged partitions purged and
+    // the rest pending — re-running purge is idempotent
+    val isDead = col("sid").isin(active: _*)
+    for (sb <- buckets;
+         tb <- store.listNames(s"points/sbucket=$sb")
+           .flatMap(_.stripPrefix("tbucket=").toLongOption).sorted) {
+      val dir = s"points/sbucket=$sb/tbucket=$tb"
+      val part = spark.read.parquet(path(dir))
+      val r = part.agg(count(when(isDead, 1)), count(lit(1))).head
+      val (dead, total) = (r.getLong(0), r.getLong(1))
+      if (dead == total && dead > 0) deleteDir(dir)
+      else if (dead > 0) {
+        val keptP = part.filter(!isDead)
+          .withColumn("sbucket", lit(sb))
+          .withColumn("tbucket", lit(tb))
+          .localCheckpoint()
+        keptP.repartition(col("sbucket"), col("tbucket"))
+          .sortWithinPartitions("sid", "time")
+          .write.mode(SaveMode.Overwrite)
+          .option("compression", "zstd")
+          .partitionBy("sbucket", "tbucket")
+          .parquet(path("points"))
+        keptP.unpersist()
+      }
     }
     if (hasParquet("pyramid")) {
+      // rollup rows are ~data/2^minLevel (≥2^30 at production geometry):
+      // a whole touched-sbucket slice is metadata-scale, so the simple
+      // one-pass rewrite is fine where it was not for the point log
       val pyrDf = spark.read.parquet(path("pyramid"))
         .filter(col("sbucket").isin(buckets: _*)).localCheckpoint()
       val keptP = pyrDf.filter(!col("sid").isin(active: _*))
@@ -939,7 +978,7 @@ class Btrdb(val spark: SparkSession, val root: String,
       deleteDir(s"staging/sid=$sid")
       synchronized {
         majorCounts -= sid; envelopes -= sid; deleteDebt -= sid
-        minorCounts -= sid
+        minorCounts -= sid; compactedFloor -= sid
       }
     }
     invalidateCommits()
@@ -998,6 +1037,12 @@ class Btrdb(val spark: SparkSession, val root: String,
                end: Long = TimeConsts.MaximumTime): DataFrame = {
     val sid = sidOf(uuid)
     val v = version
+    seedCommitState()
+    // pins below a compacted stream's floor read as EMPTY: that history
+    // is collapsed (its delete anti-filters no longer exist, so serving
+    // surviving rows would silently ignore the deletes)
+    if (v < compactedFloor.getOrElse(sid, 0L))
+      return emptyDf("sid BIGINT, time BIGINT, value DOUBLE, version BIGINT")
     val deletes = commits
       .filter(col("sid") === sid && col("kind") === "delete" && col("version") <= v)
       .select("version", "tmin", "tmax").collect()

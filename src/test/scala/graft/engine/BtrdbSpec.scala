@@ -418,6 +418,61 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(db.purgeObliterated().isEmpty)
   }
 
+  test("compact is tbucket-incremental: only delete-debt partitions rewrite") {
+    import java.nio.file.{Files => F, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("compactinc").toString
+    val cdb = new Btrdb(spark, dir, sBuckets = 2, tBucketPw = 8,
+      bufferCommitThreshold = 1 << 20, pyramidLevels = Seq(4, 8),
+      pyramidWBucketPw = 12, commitRangePw = 8)
+    val uuid = "u-inc"
+    cdb.createStream(uuid, "test/inc", Map("t" -> "i"))
+    // 4 tbuckets of 256 ns each
+    cdb.insert(uuid, spark.createDataFrame(
+      (0L until 1024L).map(t => (t, t.toDouble))).toDF("time", "value"))
+    cdb.flush(uuid) // v1
+    cdb.deleteRange(uuid, 300, 400) // v2 — only tbucket 1 holds debt
+    val bucket = cdb.sidOf(uuid) % 2
+    def files(tb: Long): List[String] = {
+      val p = Paths.get(s"$dir/points/sbucket=$bucket/tbucket=$tb")
+      if (!F.exists(p)) Nil
+      else {
+        val s = F.list(p)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toList.sorted
+        finally s.close()
+      }
+    }
+    val before = (0L to 3L).map(files)
+    assert(before.forall(_.nonEmpty))
+    cdb.compact(uuid)
+    val after1 = (0L to 3L).map(files)
+    // only the delete-intersecting tbucket was rewritten (parquet part
+    // files get fresh names on rewrite)
+    assert(after1(0) == before(0) && after1(2) == before(2) &&
+      after1(3) == before(3), "clean tbuckets must not rewrite")
+    assert(after1(1) != before(1), "debt tbucket must rewrite")
+    assert(cdb.rawValues(uuid, 0, 2048).count() == 924)
+    // re-running compact with no debt touches NOTHING (stats-only pass)
+    cdb.compact(uuid)
+    assert((0L to 3L).map(files) == after1, "idempotent re-run rewrote files")
+    // pin below the compacted floor reads empty (history collapsed),
+    // pin at/above it reads the full snapshot
+    assert(cdb.pointsAt(uuid, version = 1).count() == 0)
+    assert(cdb.pointsAt(uuid, version = 2).count() == 924)
+    // a delete draining one whole tbucket removes just that directory
+    cdb.deleteRange(uuid, 512, 768) // exactly tbucket 2
+    cdb.compact(uuid)
+    val after2 = (0L to 3L).map(files)
+    assert(after2(2).isEmpty, "drained tbucket directory must be deleted")
+    assert(after2(0) == after1(0) && after2(1) == after1(1) &&
+      after2(3) == after1(3))
+    assert(cdb.rawValues(uuid, 0, 2048).count() == 668)
+    assert(cdb.alignedWindows(uuid, 0, 1024, 8).collect()
+      .map(_.getLong(1)).sum == 668)
+    cdb.close()
+  }
+
   test("obliterate: stream disappears from lookups; uuid cannot be recreated") {
     db.createStream("u-obl", "test/obl", Map("t" -> "o"))
     db.obliterate("u-obl")
