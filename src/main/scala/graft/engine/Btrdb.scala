@@ -1158,10 +1158,33 @@ class Btrdb(val spark: SparkSession, val root: String,
             (sum("vsum") / sum("cnt")).as("vmean"), max("vmax").as("vmax"))
       },
       if (rawSids.isEmpty) None else Some {
-        rawSids.map(sid => readable(uuidBySid(sid),
-            TimeConsts.LatestGeneration, s, e))
-          .reduce(_ unionByName _)
-          .groupBy(col("sid"), TimeOps.clampTime(col("time"), pw).as("wstart"))
+        // ONE point-log scan for every raw-path stream: `sid isin` +
+        // pruned sbucket/tbucket filters, with each stream's delete
+        // anti-filters folded in conjunctively (each is sid-scoped, so
+        // other streams pass through) — N streams, N subplans would
+        // re-scan the log N times; this is one scan regardless of N
+        val deletes = commits
+          .filter(col("sid").isin(rawSids: _*) && col("kind") === "delete")
+          .select("sid", "version", "tmin", "tmax").collect()
+        val committed = readOr("points", PointsSchema)
+          .filter(col("sbucket").isin(rawSids.map(_ % sBuckets).distinct: _*) &&
+            col("tbucket") >= (s >> tBucketPw) &&
+            col("tbucket") <= ((e - 1) >> tBucketPw) &&
+            col("sid").isin(rawSids: _*) &&
+            col("time") >= s && col("time") < e)
+        val antiFiltered = deletes.foldLeft(committed) { (df, d) =>
+          df.filter(!(col("sid") === d.getLong(0) &&
+            col("time") >= d.getLong(2) && col("time") < d.getLong(3) &&
+            col("version") < d.getLong(1)))
+        }.select("sid", "time", "value")
+        val stagedSids = rawSids.filter(minorOf(_) > 0)
+        val all =
+          if (stagedSids.isEmpty) antiFiltered
+          else antiFiltered.unionByName(stagingDf
+            .filter(col("sid").isin(stagedSids: _*) &&
+              col("time") >= s && col("time") < e)
+            .select("sid", "time", "value"))
+        all.groupBy(col("sid"), TimeOps.clampTime(col("time"), pw).as("wstart"))
           .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
             avg("value").as("vmean"), max("value").as("vmax"))
       }).flatten
@@ -1301,16 +1324,43 @@ class Btrdb(val spark: SparkSession, val root: String,
       .orderBy("s").select("s", "e")
   }
 
-  /** GenerateCSV / multi-stream temporal align: k streams full-outer
-    * aligned on time (J1, /root/reference/grpcinterface/serve.go:888-1002). */
+  /** GenerateCSV / multi-stream temporal align: k streams aligned on
+    * time, one output row per distinct instant, NULL where a stream has
+    * no point (J1, /root/reference/grpcinterface/serve.go:888-1002).
+    * Duplicate timestamps within a stream collapse to max(value) — the
+    * same duplicate-guard the oracle queries use.
+    *
+    * Two plans, one semantics (SURVEY §2.3 J1 names both):
+    *   - small k: a chain of full-outer sort-merge joins on time —
+    *     co-partitioned after the first exchange, fine at CSV-export k;
+    *   - k > [[Btrdb.MultiAlignJoinMaxK]]: tidy union of (time, value,
+    *     label) rows + groupBy(time).pivot(label) — ONE shuffle at any
+    *     k, where the join chain would be k−1 sequential shuffles. */
   def multiAlign(uuids: Seq[String], start: Long, end: Long,
                  labels: Seq[String] = Nil): DataFrame = {
     val names = if (labels.nonEmpty) labels else uuids.indices.map(i => s"v$i")
-    val frames = uuids.zip(names).map { case (u, n) =>
-      rawValues(u, start, end).select(col("time"), col("value").as(n))
-    }
-    frames.reduce(_.join(_, Seq("time"), "full_outer")).orderBy("time")
+    // frames are built UNSORTED (readable, not rawValues): a per-frame
+    // orderBy would put one range exchange per stream under the union —
+    // the one sort that matters is the final orderBy("time")
+    alignFrames(uuids.zip(names).map { case (u, n) =>
+      n -> readable(u, TimeConsts.LatestGeneration, start, end)
+        .select("time", "value")
+    }).orderBy("time")
   }
+
+  /** Align k labeled (time, value) frames on time — join chain for
+    * small k, union+pivot (single shuffle) beyond the threshold. */
+  private def alignFrames(frames: Seq[(String, DataFrame)]): DataFrame =
+    if (frames.size <= MultiAlignJoinMaxK)
+      frames.map { case (n, df) =>
+        df.groupBy("time").agg(max("value").as(n)) }
+        .reduce(_.join(_, Seq("time"), "full_outer"))
+    else
+      frames.map { case (n, df) =>
+        df.select(col("time"), col("value"), lit(n).as("_label")) }
+        .reduce(_ unionByName _)
+        // explicit pivot values: no discovery job, stable column order
+        .groupBy("time").pivot("_label", frames.map(_._1)).agg(max("value"))
 
   /** GenerateCSV sink (S6): align k streams (raw points, or mean of
     * 2^pw aligned windows) and write CSV with RFC3339-rendered times
@@ -1321,12 +1371,21 @@ class Btrdb(val spark: SparkSession, val root: String,
                   alignedPw: Option[Int] = None): Unit = {
     val aligned = alignedPw match {
       case None => multiAlign(uuids, start, end, labels)
+      case Some(pw) if uuids.size > MultiAlignJoinMaxK =>
+        // large k: ONE bulk scan (pyramid-served where possible) +
+        // single-shuffle pivot, instead of k alignedWindows subplans
+        val sidToLabel = uuids.map(sidOf).zip(labels).toMap
+        alignedWindowsBulk(uuids, start, end, pw)
+          .select(col("wstart").as("time"),
+            element_at(typedlit(sidToLabel), col("sid")).as("_label"),
+            col("vmean").as("value"))
+          .groupBy("time").pivot("_label", labels).agg(max("value"))
+          .orderBy("time")
       case Some(pw) =>
-        val frames = uuids.zip(labels).map { case (u, n) =>
-          alignedWindows(u, start, end, pw)
-            .select(col("wstart").as("time"), col("vmean").as(n))
-        }
-        frames.reduce(_.join(_, Seq("time"), "full_outer")).orderBy("time")
+        alignFrames(uuids.zip(labels).map { case (u, n) =>
+          n -> alignedWindows(u, start, end, pw)
+            .select(col("wstart").as("time"), col("vmean").as("value"))
+        }).orderBy("time")
     }
     aligned
       .withColumn("time", date_format(
@@ -1510,6 +1569,10 @@ final case class StreamDescInfo(
 object Btrdb {
   /** Advisory single-writer lock file at the engine root. */
   val LockFile = "engine.lock"
+
+  /** Above this stream count, multiAlign/generateCsv switch from the
+    * k−1-join chain to the single-shuffle union+pivot plan. */
+  val MultiAlignJoinMaxK = 8
 
   /** Metadata limits, mirrored from
     * /root/reference/internal/mprovider/metaprovider.go:18-28. */

@@ -338,18 +338,33 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
       insertPoints(u, (0L until 512L).map(t => (t, (i + 1).toDouble)))
       db.flush(u)
     }
-    // leave stream 2 with staged (unflushed) points → it takes the raw path
+    // stream 1 gets delete debt (empty range — results unchanged) and
+    // stream 2 staged points: BOTH take the raw path
+    db.deleteRange(us(1), 600, 700)
     insertPoints(us(2), Seq((100L, 42.0)))
-    val rows = db.alignedWindowsBulk(us, 0, 512, 8).collect()
+    val df = db.alignedWindowsBulk(us, 0, 512, 8)
+    val rows = df.collect()
     assert(rows.length == 6) // 3 streams × 2 windows of 2^8
     val bySid = rows.groupBy(_.getLong(0))
     assert(bySid.size == 3)
     bySid.foreach { case (_, rs) =>
       assert(rs.map(_.getLong(2)).sum >= 512)
     }
+    // stream 1's delete-debt raw path returns its full data
+    assert(bySid(db.sidOf(us(1))).map(_.getLong(2)).sum == 512)
     // the stream with staging merged its buffer (513 points, max 42)
     val s2 = bySid(db.sidOf(us(2))).sortBy(_.getLong(1))
     assert(s2.map(_.getLong(2)).sum == 513 && s2.head.getDouble(5) == 42.0)
+    // plan: ONE point-log scan serves every raw-path stream — N raw
+    // streams must not become N subplans re-scanning the log
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val pointScans = df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] &&
+        l.relation.asInstanceOf[HadoopFsRelation].location.rootPaths
+          .exists(_.toString.contains("/points")) => l
+    }
+    assert(pointScans.size == 1,
+      s"expected exactly one point-log scan, got ${pointScans.size}")
     db.flush(us(2))
   }
 
@@ -559,6 +574,28 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(flushed.toSet == Set(ua, ub))
     assert(db.version(ua)._2 == 0 && db.version(ub)._2 == 0)
     assert(db.rawValues(ua, 0, 10).count() == 1)
+  }
+
+  test("multiAlign beyond the join threshold: pivot plan with bounded shuffles") {
+    val us = (0 until 64).map(i => f"u-pv-$i%02d")
+    db.createStreams(us.map(u => (u, "test/pivot", Map("n" -> u))))
+    // stage interleaved points on 9 streams (> MultiAlignJoinMaxK = 8;
+    // no flush needed — latest reads merge the buffer)
+    (0 until 9).foreach { i =>
+      insertPoints(us(i), Seq((i.toLong, i * 10.0), (500L, i * 1.0)))
+    }
+    val rows = db.multiAlign(us.take(9), 0, 1000).collect()
+    assert(rows.length == 10) // 9 lone instants + the shared t=500
+    (0 until 9).foreach { i =>
+      assert(rows(i).getLong(0) == i && rows(i).getDouble(1 + i) == i * 10.0)
+      (0 until 9).foreach(j => if (j != i) assert(rows(i).isNullAt(1 + j)))
+    }
+    assert((0 until 9).forall(i => rows(9).getDouble(1 + i) == i * 1.0))
+    // k=64: the union+pivot form keeps shuffles BOUNDED — the join
+    // chain would be 63 sequential exchanges
+    val plan = db.multiAlign(us, 0, 1000).queryExecution.executedPlan.toString()
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"pivot plan scales shuffles with k ($exchanges)")
   }
 
   test("metadata validation: reference limits table enforced") {
