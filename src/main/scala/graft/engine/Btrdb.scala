@@ -664,8 +664,11 @@ class Btrdb(val spark: SparkSession, val root: String,
     * and the per-commit TOUCHED RANGES — the sub-envelope fidelity the
     * reference gets from generation-stamped subtrees
     * (/root/reference/qtree/qtree.go:255-351). Each range is the EXACT
-    * [min, max+1) envelope of a cluster of touched 2^pw buckets; pw
-    * starts at `commitRangePw` and coarsens until the bucket count is
+    * [min, max+1) envelope of a cluster of touched 2^pw buckets; pw is
+    * ADAPTIVE: it starts at the finest partial granularity (so a small
+    * or tight batch records ranges at full 2^partialPw fidelity — the
+    * reference resolves changes to ANY requested resolution,
+    * qtree.go:255-351) and coarsens only until the bucket count is
     * bounded, so the commit record stays metadata-sized no matter how
     * the batch is shaped. A backfill touching two points a year apart
     * records two tight ranges, not one year-wide envelope — `changes()`
@@ -673,7 +676,7 @@ class Btrdb(val spark: SparkSession, val root: String,
   private def batchStats(partials: DataFrame): BatchStats = {
     val MaxBuckets = 256
     val MaxRanges = 64
-    var pw = math.max(commitRangePw, partialPw)
+    var pw = partialPw
     var buckets: Array[(Long, Long, Long, Long, Long)] = null // (b, n, bad, s, e)
     while (buckets == null) {
       val got = partials
@@ -1308,9 +1311,12 @@ class Btrdb(val spark: SparkSession, val root: String,
     * commit envelope — a backfill hitting two distant instants yields
     * two ranges, the reference's tree-diff fidelity,
     * /root/reference/qtree/qtree.go:255-351) snapped to 2^resolution and
-    * coalesced (/root/reference/quasar.go:436-470). Recorded granularity
-    * floors at 2^commitRangePw bucket clusters; each range's bounds are
-    * the exact point envelope of its cluster. */
+    * coalesced (/root/reference/quasar.go:436-470). Recording is
+    * adaptive (see batchStats): tight batches record at the finest
+    * partial granularity, so fine requested resolutions are served
+    * exactly; only a batch spraying >256 finest buckets coarsens its
+    * own record. Each range's bounds are always the exact point
+    * envelope of its cluster. */
   def changes(uuid: String, fromVersion: Long, toVersion: Long,
               resolution: Int): DataFrame = {
     val sid = sidOf(uuid)

@@ -169,6 +169,36 @@ object BtrdbQueries {
       StatOps.changes(ranges, 1, 4, 40).orderBy("sid", "s")
     },
 
+    // W2 (adaptive fine resolution) — Changes at 2^32 from ranges
+    // recorded per 2^36 bucket: the adaptive commit recording keeps
+    // per-bucket point envelopes, so a fine requested resolution (4.3 s
+    // here) is served exactly instead of snapping to a coarse floor.
+    "q_changes_fine" -> QueryDef(
+      s"""$P, ranges AS (
+         |  SELECT sid, ((MIN(time) >> 32) << 32) AS s,
+         |         ((MAX(time) >> 32) << 32) + ${1L << 32} AS e
+         |  FROM points WHERE version > 1 AND version <= 4
+         |  GROUP BY sid, version, time >> 36),
+         |m AS (SELECT sid, s, e,
+         |  MAX(e) OVER (PARTITION BY sid ORDER BY s, e
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |  FROM ranges),
+         |f AS (SELECT sid, s, e,
+         |  CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS flag FROM m),
+         |g AS (SELECT sid, s, e,
+         |  SUM(flag) OVER (PARTITION BY sid ORDER BY s, e
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+         |  FROM f)
+         |SELECT sid, MIN(s) AS s, MAX(e) AS e FROM g GROUP BY sid, seg
+         |ORDER BY sid, s""".stripMargin) { (s, dir) =>
+      val ranges = Tables.points(s, dir)
+        .groupBy(col("sid"), col("version"),
+          shiftright(col("time"), 36).as("tb"))
+        .agg(min("time").as("tmin"), max("time").as("tmax"))
+        .select("sid", "version", "tmin", "tmax")
+      StatOps.changes(ranges, 1, 4, 32).orderBy("sid", "s")
+    },
+
     // S3 — DeleteRange [del0, del1) committed at version 4, read at latest:
     // merge-on-read anti-filter (points of version 5 in the range survive).
     "q_delete_range" -> QueryDef(

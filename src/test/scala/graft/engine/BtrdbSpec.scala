@@ -170,6 +170,22 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ch2.length == 1 && ch2.head.getLong(0) == 500 && ch2.head.getLong(1) == 501)
   }
 
+  test("adaptive commit ranges: distant tight clusters record separately") {
+    val uuid = "u-adaptive"
+    db.createStream(uuid, "test/adaptive", Map("t" -> "ar"))
+    // two 4-point clusters sharing a 2^commitRangePw=2^8 bucket but
+    // distinct (with a full empty bucket between) at the finest partial
+    // granularity 2^6 — the old fixed-floor recording collapsed them
+    // into one [0,204) range; adaptive recording keeps them separate
+    insertPoints(uuid, (0L until 4L).map(t => (t, 1.0)) ++
+      (200L until 204L).map(t => (t, 2.0)))
+    db.flush(uuid) // v1, one commit touching two distant clusters
+    val ch = db.changes(uuid, 0, 1, resolution = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ch.toSeq == Seq((0L, 16L), (192L, 208L)),
+      s"expected two tight ranges, got ${ch.toSeq}")
+  }
+
   test("compact: collapses generations, applies deletes, re-enables pyramid path") {
     val uuid = "u-compact"
     db.createStream(uuid, "test/compact", Map("t" -> "c"))
