@@ -27,6 +27,8 @@ object EtlQueries {
   private val ShingleLen = 8
   private val ShingleStride = 4
   private val MaxPos = 2048
+  /** Profile depth for the Cavnar-Trenkle language-ID query. */
+  private val LangIdTopK = 40
   /** Embedding fixed-point scale: values ~[-1,1]; 1e6 keeps 64-dim dot
     * products far inside Long range while making sums order-independent. */
   private val Scale = 1000000L
@@ -191,37 +193,55 @@ object EtlQueries {
 
     // ---- Text analysis ------------------------------------------------
 
-    // Language-ID by marker-token hits (padded-occurrence counting),
-    // reported as a predicted-vs-labeled confusion matrix.
-    "q_lang_id" -> QueryDef {
-      val pad = "' ' || text || ' '"
-      val (en, es, fr, de) = (occSql(pad, " the "), occSql(pad, " el "),
-        occSql(pad, " le "), occSql(pad, " der "))
-      s"""WITH scored AS (
-         |  SELECT lang, $en AS s_en, $es AS s_es, $fr AS s_fr, $de AS s_de
-         |  FROM documents),
+    // Language-ID: Cavnar-Trenkle character-trigram rank-order profiles
+    // (graft.etl.LangId) trained on the labeled corpus and scored per
+    // doc, reported as a predicted-vs-labeled confusion matrix. NOTE on
+    // the fixture: `documents.lang` is statistically independent of the
+    // synthetic text (no language-specific tokens exist), so accuracy
+    // is chance-level by construction — the query exercises the real
+    // classifier machinery (profile build, broadcast score join,
+    // deterministic argmax) and LangIdSpec proves classification
+    // quality on text that actually carries a signal.
+    "q_lang_id" -> QueryDef(
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, lower(text) AS t FROM documents
+         |  WHERE length(text) >= 3),
+         |grams AS (
+         |  SELECT doc_id, lang, substr(t, CAST(p AS INTEGER), 3) AS g
+         |  FROM d, generate_series(1, $MaxPos) AS s(p)
+         |  WHERE p <= length(t) - 2),
+         |prof AS (
+         |  SELECT * FROM (
+         |    SELECT lang AS plang, g,
+         |      ROW_NUMBER() OVER (PARTITION BY lang
+         |        ORDER BY COUNT(*) DESC, g ASC) AS rnk
+         |    FROM grams GROUP BY lang, g)
+         |  WHERE rnk <= $LangIdTopK),
+         |dg AS (SELECT doc_id, g, COUNT(*) AS n FROM grams GROUP BY doc_id, g),
+         |score AS (
+         |  SELECT dg.doc_id, pr.plang,
+         |    SUM(dg.n * (${LangIdTopK + 1} - pr.rnk)) AS s
+         |  FROM dg JOIN prof pr ON dg.g = pr.g
+         |  GROUP BY dg.doc_id, pr.plang),
          |pred AS (
-         |  SELECT lang, CASE
-         |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
-         |    WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
-         |    WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS pred
-         |  FROM scored)
-         |SELECT lang, pred, CAST(COUNT(*) AS BIGINT) AS cnt
-         |FROM pred GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
-    } { (s, dir) =>
-      val padded = concat(lit(" "), col("text"), lit(" "))
-      val scored = docs(s, dir).select(col("lang"),
-        occurrences(padded, " the ").as("s_en"),
-        occurrences(padded, " el ").as("s_es"),
-        occurrences(padded, " le ").as("s_fr"),
-        occurrences(padded, " der ").as("s_de"))
-      scored.select(col("lang"),
-          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr")
-            && col("s_en") >= col("s_de"), "en")
-            .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de"), "es")
-            .when(col("s_fr") >= col("s_de"), "fr")
-            .otherwise("de").as("pred"))
-        .groupBy("lang", "pred").agg(count(lit(1)).as("cnt"))
+         |  SELECT doc_id, plang AS pred FROM (
+         |    SELECT doc_id, plang,
+         |      ROW_NUMBER() OVER (PARTITION BY doc_id
+         |        ORDER BY s DESC, plang ASC) AS rn
+         |    FROM score)
+         |  WHERE rn = 1)
+         |SELECT d.lang, COALESCE(p.pred, 'en') AS pred,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM d LEFT JOIN pred p ON d.doc_id = p.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).filter(length(col("text")) >= 3)
+      val grams = graft.etl.LangId.trigrams(d, "text", MaxPos)
+      val prof = graft.etl.LangId.profiles(grams, LangIdTopK)
+      val pred = graft.etl.LangId.classify(grams, prof, LangIdTopK)
+      d.select(col("doc_id"), col("lang"))
+        .join(pred, Seq("doc_id"), "left_outer")
+        .groupBy(col("lang"), coalesce(col("pred"), lit("en")).as("pred"))
+        .agg(count(lit(1)).as("cnt"))
         .orderBy("lang", "pred")
     },
 
