@@ -213,7 +213,7 @@ class Btrdb(val spark: SparkSession, val root: String,
         canonCol === canonical)).count()
     require(clash == 0, s"stream exists or uuid tombstoned: $uuid")
     validateMetadata(collection, tags, annotations)
-    val sid = cat.agg(coalesce(max("sid"), lit(-1L))).head.getLong(0) + 1
+    val sid = cat.agg(coalesce(max("sid"), lit(-1L))).head().getLong(0) + 1
     val row = spark.createDataFrame(Seq(
       (uuid, sid, collection, tags, annotations, 0L, false)))
       .toDF("uuid", "sid", "collection", "tags", "annotations",
@@ -248,7 +248,7 @@ class Btrdb(val spark: SparkSession, val root: String,
       require(!existingKeys.contains((c, canon(t))), s"(collection, tags) exists: $c")
       validateMetadata(c, t, Map.empty)
     }
-    val sid0 = cat.agg(coalesce(max("sid"), lit(-1L))).head.getLong(0) + 1
+    val sid0 = cat.agg(coalesce(max("sid"), lit(-1L))).head().getLong(0) + 1
     val rows = streams.zipWithIndex.map { case ((u, c, t), i) =>
       (u, sid0 + i, c, t, Map.empty[String, String], 0L, false)
     }
@@ -396,7 +396,7 @@ class Btrdb(val spark: SparkSession, val root: String,
   def sidOf(uuid: String): Long = synchronized {
     sidCache.getOrElseUpdate(uuid,
       catalog.filter(col("uuid") === uuid && !col("tombstoned"))
-        .select("sid").head.getLong(0))
+        .select("sid").head().getLong(0))
   }
 
   // ---- versioned storage ---------------------------------------------
@@ -559,7 +559,7 @@ class Btrdb(val spark: SparkSession, val root: String,
   /** StreamInfo: descriptor + (major, minor) version
     * (/root/reference/grpcinterface/serve.go StreamInfo RPC). */
   def streamInfo(uuid: String): (StreamDescInfo, Long, Long) = {
-    val r = catalog.filter(col("uuid") === uuid && !col("tombstoned")).head
+    val r = catalog.filter(col("uuid") === uuid && !col("tombstoned")).head()
     val (maj, minor) = version(uuid)
     (StreamDescInfo(
       r.getAs[String]("uuid"), r.getAs[Long]("sid"), r.getAs[String]("collection"),
@@ -578,7 +578,7 @@ class Btrdb(val spark: SparkSession, val root: String,
   def engineInfo(): EngineInfo = {
     val live = catalog.filter(!col("tombstoned")).count()
     val pts = commits.filter(col("kind") === "insert")
-      .agg(coalesce(sum("npoints"), lit(0L))).head.getLong(0)
+      .agg(coalesce(sum("npoints"), lit(0L))).head().getLong(0)
     EngineInfo(majorVersion = 4, minorVersion = 15,
       build = "graft-spark (btrdb-surface 4.15)", healthy = true,
       streamCount = live, pointCount = pts)
@@ -856,7 +856,7 @@ class Btrdb(val spark: SparkSession, val root: String,
         count(when(isOwn && !delCond, 1)),                       // kept own
         min(when(isOwn && !delCond, col("time"))),
         max(when(isOwn && !delCond, col("time"))),
-        count(when(isOwn && delCond, 1))).head
+        count(when(isOwn && delCond, 1))).head()
       val (others, kept, dirty) = (r.getLong(0), r.getLong(1), r.getLong(4))
       if (kept > 0) {
         n += kept
@@ -938,7 +938,7 @@ class Btrdb(val spark: SparkSession, val root: String,
            .flatMap(_.stripPrefix("tbucket=").toLongOption).sorted) {
       val dir = s"points/sbucket=$sb/tbucket=$tb"
       val part = spark.read.parquet(path(dir))
-      val r = part.agg(count(when(isDead, 1)), count(lit(1))).head
+      val r = part.agg(count(when(isDead, 1)), count(lit(1))).head()
       val (dead, total) = (r.getLong(0), r.getLong(1))
       if (dead == total && dead > 0) deleteDir(dir)
       else if (dead > 0) {
@@ -1258,7 +1258,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     val stagedEnv =
       if (version == TimeConsts.LatestGeneration && minorOf(sid) > 0) {
         val r = stagingDf.filter(col("sid") === sid)
-          .agg(min("time"), max("time")).head
+          .agg(min("time"), max("time")).head()
         if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
       } else None
     val env = (envelopes.get(sid), stagedEnv) match {
@@ -1543,7 +1543,7 @@ class Btrdb(val spark: SparkSession, val root: String,
       col("wbucket") <= ((e - 1) >> pyramidWBucketPw)
 
   private def uuidBySid(sid: Long): String =
-    catalog.filter(col("sid") === sid).select("uuid").head.getString(0)
+    catalog.filter(col("sid") === sid).select("uuid").head().getString(0)
 }
 
 /** One-pass batch statistics (see Btrdb.batchStats). */

@@ -203,7 +203,7 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     // commit history collapsed to one generation, delete gone
     assert(db.commits.filter(org.apache.spark.sql.functions.col("sid") ===
       db.catalog.filter(org.apache.spark.sql.functions.col("uuid") === uuid)
-        .head.getAs[Long]("sid")).count() == 1)
+        .head().getAs[Long]("sid")).count() == 1)
     // stat queries still correct post-compaction
     val stat = db.alignedWindows(uuid, 0, 1024, 10).collect()
     assert(stat.map(_.getLong(1)).sum == 200)
@@ -437,7 +437,7 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(purged.contains(sidA))
     // survivor intact (points + pyramid-served stats)
     assert(db.rawValues(ub, 0, 1000).count() == 200)
-    assert(db.alignedWindows(ub, 0, 256, 8).head.getLong(1) == 200)
+    assert(db.alignedWindows(ub, 0, 256, 8).head().getLong(1) == 200)
     // purged stream's commits and points are gone
     assert(db.commits.filter(
       org.apache.spark.sql.functions.col("sid") === sidA).count() == 0)
@@ -685,13 +685,13 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(db.lookupStreams("ptr/").count() == 1)
     assert(db.catalog.filter(
       org.apache.spark.sql.functions.col("uuid") === "u-ptr-1")
-      .head.getAs[scala.collection.Map[String, String]]("annotations")("o") == "x")
+      .head().getAs[scala.collection.Map[String, String]]("annotations")("o") == "x")
   }
 
   test("annotations: CAS update bumps version, stale CAS rejected") {
     db.createStream("u-ann", "test/ann", Map("t" -> "a"), Map("owner" -> "alice"))
     db.setAnnotations("u-ann", 0L, Map("owner" -> "bob"))
-    val r = db.catalog.filter(org.apache.spark.sql.functions.col("uuid") === "u-ann").head
+    val r = db.catalog.filter(org.apache.spark.sql.functions.col("uuid") === "u-ann").head()
     assert(r.getAs[scala.collection.Map[String, String]]("annotations")("owner") == "bob")
     assert(r.getAs[Long]("annotationVersion") == 1L)
     intercept[IllegalArgumentException] {
@@ -700,7 +700,7 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     // None removes the key (the reference's nil-value change semantics)
     db.updateAnnotations("u-ann", 1L,
       Map("owner" -> None, "team" -> Some("grid")))
-    val r2 = db.catalog.filter(org.apache.spark.sql.functions.col("uuid") === "u-ann").head
+    val r2 = db.catalog.filter(org.apache.spark.sql.functions.col("uuid") === "u-ann").head()
     val anns = r2.getAs[scala.collection.Map[String, String]]("annotations")
     assert(!anns.contains("owner") && anns("team") == "grid")
     assert(r2.getAs[Long]("annotationVersion") == 2L)

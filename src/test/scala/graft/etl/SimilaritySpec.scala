@@ -23,7 +23,7 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
   test("annTopK candidates are a subset scored identically to brute force") {
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val query = df.filter(org.apache.spark.sql.functions.col("vec_id") === 7)
-      .head.getAs[scala.collection.Seq[Float]]("embedding").toArray
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
     val exact = Similarity.cosineTopK(df, query, 50).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val ann = Similarity.annTopK(df, query, 10, hamming = 2).collect()
@@ -39,7 +39,7 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
   test("recall: hamming=2 probes recover most of the true top-10") {
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val query = df.filter(org.apache.spark.sql.functions.col("vec_id") === 3)
-      .head.getAs[scala.collection.Seq[Float]]("embedding").toArray
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
     val exact = Similarity.cosineTopK(df, query, 10).collect().map(_.getLong(0)).toSet
     val ann = Similarity.annTopK(df, query, 10, hamming = 2).collect().map(_.getLong(0)).toSet
     val recall = exact.intersect(ann).size.toDouble / exact.size

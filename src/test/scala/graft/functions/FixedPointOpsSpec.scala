@@ -53,8 +53,8 @@ class FixedPointOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val vals = Array.fill(2000)((rnd.nextFloat() - 0.5f) * 2f)
     val df = Seq((vals, Array.fill(2000)(1.0f))).toDF("a", "b")
     val native = df.select(FixedPointOps.fixedPointDot(col("a"), col("b")))
-      .head.getLong(0)
-    val hof = df.select(expr(hofDot)).head.getLong(0)
+      .head().getLong(0)
+    val hof = df.select(expr(hofDot)).head().getLong(0)
     assert(native == hof)
     val model = vals.map(x => FixedPointDot.scale(x) * 1000000L).sum
     assert(native == model)
@@ -66,7 +66,7 @@ class FixedPointOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = df.queryExecution.executedPlan.toString()
     // the "*(n)" prefix marks operators fused into a WholeStageCodegen stage
     assert(p.contains("*(1) Project [fixed_point_dot"), s"plan:\n$p")
-    assert(df.agg(sum("n")).head.getLong(0) > 0)
+    assert(df.agg(sum("n")).head().getLong(0) > 0)
   }
 
   test("SQL registration") {
@@ -75,7 +75,7 @@ class FixedPointOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .createOrReplaceTempView("emb_fp")
     val r = spark.sql(
       "SELECT fixed_point_dot(embedding, embedding) AS d FROM emb_fp LIMIT 1")
-      .head.getLong(0)
+      .head().getLong(0)
     assert(r > 0)
   }
 }

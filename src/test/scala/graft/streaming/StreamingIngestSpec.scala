@@ -45,7 +45,7 @@ class StreamingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(staged.count() == 4)
     assert(staged.filter($"sid" === 1).count() == 3)
     val rejects = spark.read.parquet(s"$root/rejects")
-    assert(rejects.count() == 1 && rejects.head.getLong(1) == 300L)
+    assert(rejects.count() == 1 && rejects.head().getLong(1) == 300L)
     // journal = one O(1) marker file per committed batch
     val markers = Files.list(java.nio.file.Paths.get(s"$root/journal"))
       .iterator()
@@ -110,7 +110,7 @@ class StreamingIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = Seq(Tuple1(t)).toDF("time")
       .select(org.apache.spark.sql.functions.unix_micros(
         StreamingIngest.eventTimeMicros).as("us"))
-      .head.getLong(0)
+      .head().getLong(0)
     assert(got == t / 1000)
   }
 
