@@ -29,6 +29,14 @@ object EtlQueries {
   private val MaxPos = 2048
   /** Profile depth for the Cavnar-Trenkle language-ID query. */
   private val LangIdTopK = 40
+  /** Trigram positions per doc for language-ID — the signal saturates in
+    * the first few hundred characters; unbounded explode would scale the
+    * query with doc length for no accuracy gain. */
+  private val LangIdMaxPos = 128
+  /** Profile training samples 1-in-N docs (deterministic doc_id modulo,
+    * DuckDB-reproducible): at corpus scale profiles are always trained
+    * on a sample, never the full corpus. */
+  private val LangIdTrainMod = 8
   /** Embedding fixed-point scale: values ~[-1,1]; 1e6 keeps 64-dim dot
     * products far inside Long range while making sums order-independent. */
   private val Scale = 1000000L
@@ -208,14 +216,15 @@ object EtlQueries {
          |  WHERE length(text) >= 3),
          |grams AS (
          |  SELECT doc_id, lang, substr(t, CAST(p AS INTEGER), 3) AS g
-         |  FROM d, generate_series(1, $MaxPos) AS s(p)
+         |  FROM d, generate_series(1, $LangIdMaxPos) AS s(p)
          |  WHERE p <= length(t) - 2),
          |prof AS (
          |  SELECT * FROM (
          |    SELECT lang AS plang, g,
          |      ROW_NUMBER() OVER (PARTITION BY lang
          |        ORDER BY COUNT(*) DESC, g ASC) AS rnk
-         |    FROM grams GROUP BY lang, g)
+         |    FROM grams WHERE doc_id % $LangIdTrainMod = 0
+         |    GROUP BY lang, g)
          |  WHERE rnk <= $LangIdTopK),
          |dg AS (SELECT doc_id, g, COUNT(*) AS n FROM grams GROUP BY doc_id, g),
          |score AS (
@@ -235,8 +244,9 @@ object EtlQueries {
          |FROM d LEFT JOIN pred p ON d.doc_id = p.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       val d = docs(s, dir).filter(length(col("text")) >= 3)
-      val grams = graft.etl.LangId.trigrams(d, "text", MaxPos)
-      val prof = graft.etl.LangId.profiles(grams, LangIdTopK)
+      val grams = graft.etl.LangId.trigrams(d, "text", LangIdMaxPos)
+      val prof = graft.etl.LangId.profiles(
+        grams.filter(col("doc_id") % LangIdTrainMod === 0), LangIdTopK)
       val pred = graft.etl.LangId.classify(grams, prof, LangIdTopK)
       d.select(col("doc_id"), col("lang"))
         .join(pred, Seq("doc_id"), "left_outer")
