@@ -54,7 +54,8 @@ class Btrdb(val spark: SparkSession, val root: String,
             pyramidWBucketPw: Int = 54,
             commitRangePw: Int = 36,
             lockRoot: Boolean = true,
-            lockStaleMillis: Long = 120000L) {
+            lockStaleMillis: Long = 120000L,
+            admission: Admission = Admission.default) {
   import Btrdb._
 
   require(pyramidLevels.isEmpty || pyramidWBucketPw >= pyramidLevels.max,
@@ -605,7 +606,10 @@ class Btrdb(val spark: SparkSession, val root: String,
   /** Insert: validate, stage; auto-commit when the buffer crosses the
     * threshold (PQM semantics, /root/reference/pqm.go:510-625).
     * Returns (major, minor) after the insert. */
-  def insert(uuid: String, points: DataFrame): (Long, Long) = {
+  def insert(uuid: String, points: DataFrame): (Long, Long) =
+    admission.run(Admission.Write)(insertImpl(uuid, points))
+
+  private def insertImpl(uuid: String, points: DataFrame): (Long, Long) = {
     val sid = sidOf(uuid)
     val batch = points.select(lit(sid).as("sid"),
       col("time").cast("long").as("time"), col("value").cast("double").as("value"))
@@ -632,7 +636,7 @@ class Btrdb(val spark: SparkSession, val root: String,
           .write.mode(SaveMode.Append).partitionBy("sid", "batch")
           .parquet(path("staging"))
         minorCounts(sid) = minorOf(sid) + st.n
-        if (minorOf(sid) >= bufferCommitThreshold) flush(uuid)
+        if (minorOf(sid) >= bufferCommitThreshold) flushImpl(uuid)
         version(uuid)
       }
     partials.unpersist()
@@ -750,7 +754,10 @@ class Btrdb(val spark: SparkSession, val root: String,
     * and the first staging seed after a restart drops any batch already
     * committed (see recoverFlushedStaging) — an interrupted flush never
     * duplicates points. */
-  def flush(uuid: String): (Long, Long) = {
+  def flush(uuid: String): (Long, Long) =
+    admission.run(Admission.Write)(flushImpl(uuid))
+
+  private def flushImpl(uuid: String): (Long, Long) = {
     val sid = sidOf(uuid)
     if (minorOf(sid) == 0) return version(uuid)
     val staged = stagingDf.filter(col("sid") === sid).cache()
@@ -794,9 +801,12 @@ class Btrdb(val spark: SparkSession, val root: String,
 
   /** DeleteRange [start, end): pure commit-log operation — readers apply
     * the anti-filter merge-on-read (/root/reference/quasar.go:481-514). */
-  def deleteRange(uuid: String, start: Long, end: Long): (Long, Long) = {
+  def deleteRange(uuid: String, start: Long, end: Long): (Long, Long) =
+    admission.run(Admission.Write)(deleteRangeImpl(uuid, start, end))
+
+  private def deleteRangeImpl(uuid: String, start: Long, end: Long): (Long, Long) = {
     val sid = sidOf(uuid)
-    flush(uuid) // deletes apply to committed data, like the reference
+    flushImpl(uuid) // deletes apply to committed data, like the reference
     appendCommit(sid, majorOf(sid) + 1, "delete", start, end, 0,
       Seq((start, end)))
     maintainPyramid(sid, Seq((start, end)), foldPartials = None)
@@ -826,9 +836,12 @@ class Btrdb(val spark: SparkSession, val root: String,
     * fast path with no rewrite). Tbuckets outside the stream's
     * committed envelope are skipped without reading — cost ∝ the
     * stream's delete debt, not its size. */
-  def compact(uuid: String): Long = {
+  def compact(uuid: String): Long =
+    admission.run(Admission.Maintenance)(compactImpl(uuid))
+
+  private def compactImpl(uuid: String): Long = {
     val sid = sidOf(uuid)
-    flush(uuid)
+    flushImpl(uuid)
     val maj = majorOf(sid)
     if (maj == 0) return 0
     val bucket = sid % sBuckets
@@ -921,7 +934,10 @@ class Btrdb(val spark: SparkSession, val root: String,
     * pyramid rows, commit files, and staging partitions. The catalog
     * tombstone itself is KEPT (uuid reuse stays forbidden forever).
     * Cost ∝ the touched sbuckets, not the table. Returns purged sids. */
-  def purgeObliterated(): Seq[Long] = {
+  def purgeObliterated(): Seq[Long] =
+    admission.run(Admission.Maintenance)(purgeObliteratedImpl())
+
+  private def purgeObliteratedImpl(): Seq[Long] = {
     val dead = catalog.filter(col("tombstoned"))
       .select("sid").collect().map(_.getLong(0)).toSeq.sorted
     val active = dead.filter(sid =>
@@ -1250,7 +1266,11 @@ class Btrdb(val spark: SparkSession, val root: String,
   /** [[nearest]] plus the number of window probes issued — specs pin the
     * probe count to stay logarithmic in the distance to the hit. */
   private[engine] def nearestProbed(uuid: String, t: Long, backward: Boolean,
-      version: Long = TimeConsts.LatestGeneration): (Option[(Long, Double)], Int) = {
+      version: Long = TimeConsts.LatestGeneration): (Option[(Long, Double)], Int) =
+    admission.run(Admission.PointOp)(nearestProbedImpl(uuid, t, backward, version))
+
+  private def nearestProbedImpl(uuid: String, t: Long, backward: Boolean,
+      version: Long): (Option[(Long, Double)], Int) = {
     val sid = sidOf(uuid)
     seedCommitState()
     // probe bound = committed envelope ∪ staging envelope (one tiny
