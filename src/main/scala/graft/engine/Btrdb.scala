@@ -419,6 +419,9 @@ class Btrdb(val spark: SparkSession, val root: String,
               .json(path("commits"))
           else emptyDf(CommitSchema))
           .withColumn("compacted", coalesce(col("compacted"), lit(false)))
+          // a crash between an archive write and the per-file deletes
+          // leaves records present in BOTH — identical lines, deduped
+          .distinct()
         // supersede rule: a compacted record at version V replaces every
         // plain record of its stream at version ≤ V (and any older
         // compacted record) — this is what makes compact() crash-safe:
@@ -1027,6 +1030,38 @@ class Btrdb(val spark: SparkSession, val root: String,
     * local, single PUT on object stores) is the visibility point. */
   private def writeCommitFile(name: String, json: String): Unit =
     store.writeAtomic(s"commits/$name", json)
+
+  /** Roll the per-commit files into ONE archive file when the commit
+    * directory exceeds `maxFiles` — over an engine root's lifetime the
+    * log would otherwise accumulate one tiny file per commit (millions
+    * of files to list and open at 100 TB scale; the reference's analog
+    * is the superblock chain packed inside its block store). Returns
+    * true iff an archive was written.
+    *
+    * Crash-safe: the archive (all current records, one JSONL file) is
+    * published atomically FIRST, then the superseded files are deleted.
+    * A crash mid-delete leaves records duplicated between archive and
+    * leftover files — the commit reader dedups identical lines, and
+    * compact()'s stale-record leftovers were already ignored by the
+    * supersede rule, archived or not. Re-archiving folds previous
+    * archives in, so the steady state is one archive + recent files. */
+  def archiveCommitLog(maxFiles: Int = 1024): Boolean =
+    admission.run(Admission.Maintenance) {
+      val names = store.listNames("commits").filter(_.endsWith(".json"))
+      if (names.size <= maxFiles) false
+      else {
+        val seq = names.filter(_.startsWith("archive-"))
+          .flatMap(_.stripPrefix("archive-").stripSuffix(".json").toLongOption)
+          .maxOption.getOrElse(0L) + 1
+        val content = new StringBuilder
+        names.sorted.foreach(n =>
+          store.readString(s"commits/$n").foreach(content.append(_)))
+        store.writeAtomic(s"commits/archive-$seq.json", content.toString)
+        names.foreach(n => store.delete(s"commits/$n"))
+        invalidateCommits()
+        true
+      }
+    }
 
   /** Append one commit record: a single JSON line written by the driver
     * — no Spark job for a metadata row (the analog of the reference's
