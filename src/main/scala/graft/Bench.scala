@@ -19,7 +19,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional name filter for local iteration (the driver passes none)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => args.isEmpty || args.contains(n) }
     queries.foreach { case (_, fn) => // warmup
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }

@@ -51,15 +51,24 @@ object LangId {
   /** Predicted language per doc id: count-weighted rank-order score
     * against every profile, argmax with (score DESC, plang ASC)
     * tie-break. Docs matching no profile gram get no row — callers
-    * default them (the oracle uses COALESCE). */
+    * default them (the oracle uses COALESCE).
+    *
+    * Plan shape: the profile is ≤ topK × #languages rows, so it
+    * BROADCASTS into the gram stream and each occurrence contributes
+    * its rank weight directly — Σ_g count(d,g)·w(g) ≡ Σ_occ w(g), so
+    * no per-(doc, gram) pre-aggregation (a corpus-sized shuffle on a
+    * wide string key) is ever needed. The only shuffle is the final
+    * groupBy over (doc, candidate-language) — #docs × #languages rows
+    * at most, with map-side partial aggregation. */
   def classify(grams: DataFrame, prof: DataFrame, topK: Int): DataFrame = {
-    val dg = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
-    dg.join(prof, "g")
+    grams.join(broadcast(prof), "g")
       .groupBy("doc_id", "plang")
-      .agg(sum(col("n") * (lit(topK + 1) - col("rnk"))).as("s"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("s").desc, col("plang").asc)))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("plang").as("pred"))
+      .agg(sum(lit(topK + 1) - col("rnk")).as("s"))
+      // argmax by (score DESC, plang ASC) as a hash aggregate: min of
+      // (−score, plang) is the same total order, without the sort-based
+      // window shuffle a row_number() would cost at corpus scale
+      .groupBy("doc_id")
+      .agg(min(struct((-col("s")).as("ns"), col("plang"))).as("m"))
+      .select(col("doc_id"), col("m.plang").as("pred"))
   }
 }
