@@ -790,7 +790,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     seedMinors()
     val now = System.currentTimeMillis()
     val staged = minorCounts.filter(_._2 > 0).keys.toSeq.sorted
-    staged.flatMap { sid =>
+    val flushed = staged.flatMap { sid =>
       val oldest: Long =
         store.oldestFileMtime(s"staging/sid=$sid").getOrElse(Long.MaxValue)
       if (minorCounts(sid) >= bufferCommitThreshold ||
@@ -800,6 +800,10 @@ class Btrdb(val spark: SparkSession, val root: String,
         Some(uuid)
       } else None
     }
+    // the scanner is also the natural cadence for bounding the commit
+    // directory — roll per-commit files into one archive once they pile up
+    archiveCommitLog()
+    flushed
   }
 
   /** DeleteRange [start, end): pure commit-log operation — readers apply

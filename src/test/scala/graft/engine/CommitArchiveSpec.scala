@@ -1,0 +1,79 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** archiveCommitLog: the commit directory must stay O(archive + recent)
+  * over an engine root's lifetime, the reader must see identical state
+  * before/after an archive, and the crash window between archive write
+  * and per-file delete must be harmless (duplicate lines dedup away).
+  */
+class CommitArchiveSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var db: Btrdb = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("commit-archive-spec")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = Files.createTempDirectory("archivespec").toString
+    db = new Btrdb(spark, dir, sBuckets = 2, tBucketPw = 52,
+      bufferCommitThreshold = 1, pyramidLevels = Seq(6))
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def insert(uuid: String, pts: Seq[(Long, Double)]): Unit =
+    db.insert(uuid, spark.createDataFrame(pts).toDF("time", "value"))
+
+  test("archive folds the log, preserves reads, survives re-archive and leftovers") {
+    val uuid = "u-archive"
+    db.createStream(uuid, "arch/a", Map("k" -> "v"))
+    val pts = (0L until 40L).map(t => (t, t * 1.5))
+    pts.grouped(8).foreach(g => insert(uuid, g))
+    db.flush(uuid)
+    db.deleteRange(uuid, 10, 20)
+    val before = db.rawValues(uuid, 0, 64).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val filesBefore = db.store.listNames("commits").count(_.endsWith(".json"))
+    assert(filesBefore > 3, s"fixture must produce several commit files, got $filesBefore")
+
+    // below threshold: no-op
+    assert(!db.archiveCommitLog(maxFiles = 1024))
+    assert(db.store.listNames("commits").count(_.endsWith(".json")) == filesBefore)
+
+    // archive: one file remains, reads identical
+    assert(db.archiveCommitLog(maxFiles = 2))
+    val names1 = db.store.listNames("commits").filter(_.endsWith(".json"))
+    assert(names1 == Seq("archive-1.json"), s"got $names1")
+    assert(db.rawValues(uuid, 0, 64).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq == before)
+
+    // crash window: archive written but a superseded file survives the
+    // delete pass — its lines are byte-identical to archived ones and
+    // must dedup away in the reader
+    val archived = db.store.readString("commits/archive-1.json").get
+    val firstLine = archived.linesIterator.next() + "\n"
+    db.store.writeAtomic("commits/leftover-0.json", firstLine)
+    // force a reload of the cached commit state
+    insert(uuid, Seq((100L, 1.0)))
+    db.flush(uuid)
+    assert(db.rawValues(uuid, 0, 64).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq == before)
+
+    // re-archive folds the previous archive + leftovers + new commits
+    assert(db.archiveCommitLog(maxFiles = 1))
+    val names2 = db.store.listNames("commits").filter(_.endsWith(".json"))
+    assert(names2 == Seq("archive-2.json"), s"got $names2")
+    assert(db.rawValues(uuid, 0, 128).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq == before :+ ((100L, 1.0)))
+  }
+}
