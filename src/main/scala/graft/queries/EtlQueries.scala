@@ -44,6 +44,26 @@ object EtlQueries {
   private val RollB = 131L
   private val RollM = 1000000007L
 
+  /** 2-universal MinHash lane arithmetic: lane_i = (a·h1 + b·h2 + c) mod
+    * LaneP with (h1, h2) two 32-bit words of ONE md5 per shingle.
+    * Coefficients come from a fixed LCG so Spark and the DuckDB oracle
+    * share them as literals. a, b < 2^20 keep every product < 2^52 —
+    * exact int64 in both engines. */
+  private val LaneP = 2147483647L
+  private val laneCoef: IndexedSeq[(Long, Long, Long)] = {
+    var x = 0x5DEECE66DL
+    def next(bound: Long): Long = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      java.lang.Math.floorMod(x >>> 17, bound)
+    }
+    (0 until NumHashes).map(_ =>
+      (1 + next((1L << 20) - 1), 1 + next((1L << 20) - 1), next(LaneP)))
+  }
+  private def laneSqlExprs: String = laneCoef.zipWithIndex.map {
+    case ((a, b, c), i) =>
+      s"    MIN(($a * h1 + $b * h2 + $c) % $LaneP) AS l$i"
+  }.mkString(",\n")
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -86,47 +106,59 @@ object EtlQueries {
         .orderBy("source")
     },
 
-    // MinHash + LSH near-dup candidates: shingle → 16 minhashes →
-    // 4 bands of 4 → bucket self-join. The join key is (band, signature)
-    // so the pair stage is linear in bucket sizes, never all-pairs.
+    // MinHash + LSH near-dup candidates: shingle → ONE md5 → 16
+    // 2-universal integer lanes (Broder-style (a·h1 + b·h2 + c) mod P,
+    // fixed LCG-derived coefficients) → 4 bands of 4 lanes → bucket
+    // self-join on the integer lane tuple. One digest per shingle where
+    // the first cut computed four, and the band key is 4 longs instead
+    // of an md5-of-concat string — the hash volume, not the single
+    // shuffle, dominated this query's cost. Everything stays exact
+    // int64 (products < 2^53), so DuckDB reproduces it bit-for-bit.
     "q_dedup_minhash" -> QueryDef(
       s"""WITH shingles AS (
          |${shinglesSql()}),
+         |hs AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h1,
+         |    CAST('0x' || substr(md5(sh), 9, 8) AS BIGINT) AS h2
+         |  FROM shingles),
          |mh AS (
-         |  SELECT doc_id, g.g, k.k,
-         |    MIN(substr(md5(CAST(g.g AS VARCHAR) || ':' || sh),
-         |               CAST(1 + 8 * k.k AS INTEGER), 8)) AS h
-         |  FROM shingles, generate_series(0, 3) AS g(g), generate_series(0, 3) AS k(k)
-         |  GROUP BY doc_id, g.g, k.k),
+         |  SELECT doc_id,
+         |${laneSqlExprs}
+         |  FROM hs GROUP BY doc_id),
          |bands AS (
-         |  SELECT doc_id, g AS band, md5(string_agg(h, '' ORDER BY k)) AS sig
-         |  FROM mh GROUP BY doc_id, g)
+         |  SELECT doc_id, 0 AS band, l0 AS k0, l1 AS k1, l2 AS k2, l3 AS k3 FROM mh
+         |  UNION ALL SELECT doc_id, 1, l4, l5, l6, l7 FROM mh
+         |  UNION ALL SELECT doc_id, 2, l8, l9, l10, l11 FROM mh
+         |  UNION ALL SELECT doc_id, 3, l12, l13, l14, l15 FROM mh)
          |SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
          |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |  ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+         |  AND a.k2 = b.k2 AND a.k3 = b.k3 AND a.doc_id < b.doc_id
          |ORDER BY a, b""".stripMargin) { (s, dir) =>
-      // One shuffle, 4 md5 calls per shingle row: each md5's 32 hex chars
-      // are split into four 8-char minhash lanes (16 lanes total), each a
-      // min-agg column of a single groupBy(doc_id). min is duplicate-
-      // insensitive, so the shingle set needs no distinct. The oracle's
-      // row-per-lane CTE is algebraically identical.
+      // min is duplicate-insensitive, so the shingle set needs no
+      // distinct; the 16 lane mins are columns of ONE groupBy(doc_id).
       val sh0 = shinglesOf(docs(s, dir), distinctShingles = false)
-      val sh = sh0.select(Seq(col("doc_id")) ++ (0 until 4).map(g =>
-        md5(concat(lit(s"$g:"), col("sh")).cast("binary")).as(s"H$g")): _*)
-      val aggs = for (g <- 0 until 4; k <- 0 until 4)
-        yield min(substring(col(s"H$g"), 1 + 8 * k, 8)).as(s"h${g}_$k")
-      val mh = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      val bandCols = (0 until 4).map { g =>
-        val sig = md5(concat((0 until 4)
-          .map(k => col(s"h${g}_$k")): _*).cast("binary"))
-        struct(lit(g).as("band"), sig.as("sig"))
+      val hs = sh0.select(col("doc_id"), md5(col("sh").cast("binary")).as("m"))
+        .select(col("doc_id"),
+          conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),
+          conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h2"))
+      val aggs = laneCoef.zipWithIndex.map { case ((a, b, c), i) =>
+        min((col("h1") * a + col("h2") * b + c) % LaneP).as(s"l$i")
       }
+      val mh = hs.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      val bandCols = (0 until NumHashes / RowsPerBand).map { g =>
+        struct(lit(g).as("band"),
+          col(s"l${4 * g}").as("k0"), col(s"l${4 * g + 1}").as("k1"),
+          col(s"l${4 * g + 2}").as("k2"), col(s"l${4 * g + 3}").as("k3"))
+      }
+      val keys = Seq("band", "k0", "k1", "k2", "k3")
       val bands = mh.select(col("doc_id"),
           explode(array(bandCols: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      val a = bands.select(col("doc_id").as("a"), col("band"), col("sig"))
-      val b = bands.select(col("doc_id").as("b"), col("band"), col("sig"))
-      a.join(b, Seq("band", "sig")).filter(col("a") < col("b"))
+        .select(col("doc_id") +: keys.map(k => col(s"bs.$k").as(k)): _*)
+      val a = bands.withColumnRenamed("doc_id", "a")
+      val b = bands.withColumnRenamed("doc_id", "b")
+      a.join(b, keys).filter(col("a") < col("b"))
         .select("a", "b").distinct().orderBy("a", "b")
     },
 
