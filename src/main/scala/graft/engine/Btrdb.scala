@@ -163,6 +163,24 @@ class Btrdb(val spark: SparkSession, val root: String,
     if (catalogCache != null) catalogCache.unpersist()
     catalogCache = null
     sidCache.clear()
+    tombstonedSidsCache = null
+  }
+
+  /** sids of tombstoned (obliterated-but-not-yet-purged) streams —
+    * excluded from the SQL views and the pyramid substitution, which
+    * span every stream and so cannot rely on per-uuid lookups failing. */
+  @volatile private var tombstonedSidsCache: Set[Long] = null
+  private def tombstonedSids: Set[Long] = {
+    var t = tombstonedSidsCache
+    if (t == null) synchronized {
+      t = tombstonedSidsCache
+      if (t == null) {
+        t = catalog.filter(col("tombstoned")).select("sid")
+          .collect().map(_.getLong(0)).toSet
+        tombstonedSidsCache = t
+      }
+    }
+    t
   }
   private def invalidateCommits(): Unit = synchronized {
     if (commitsCache != null) commitsCache.unpersist()
@@ -1247,6 +1265,93 @@ class Btrdb(val spark: SparkSession, val root: String,
             avg("value").as("vmean"), max("value").as("vmax"))
       }).flatten
     parts.reduce(_ unionByName _).orderBy("sid", "wstart")
+  }
+
+  // ---- SQL surface -----------------------------------------------------
+
+  /** Latest-version merged point set over EVERY live stream —
+    * (sid, time, value): committed points with all delete anti-filters
+    * applied, unioned with the staging buffer, tombstoned streams
+    * excluded. One point-log scan regardless of stream count (the bulk
+    * shape, not N per-stream subplans). This is the DataFrame behind the
+    * `<prefix>_points` SQL view [[registerViews]] creates. */
+  def pointsView(): DataFrame = {
+    seedCommitState(); seedMinors()
+    val deletes = commits.filter(col("kind") === "delete")
+      .select("sid", "version", "tmin", "tmax").collect()
+    val committed = readOr("points", PointsSchema)
+    val anti = deletes.foldLeft(committed) { (df, d) =>
+      df.filter(!(col("sid") === d.getLong(0) &&
+        col("time") >= d.getLong(2) && col("time") < d.getLong(3) &&
+        col("version") < d.getLong(1)))
+    }.select("sid", "time", "value")
+    val all =
+      if (minorCounts.exists(_._2 > 0))
+        anti.unionByName(stagingDf.select("sid", "time", "value"))
+      else anti
+    val tomb = tombstonedSids
+    if (tomb.isEmpty) all else all.filter(!col("sid").isin(tomb.toSeq: _*))
+  }
+
+  /** Register the engine as plain SQL: temp views `<prefix>_points`
+    * (latest merged points — see [[pointsView]]), `<prefix>_catalog`
+    * (live stream descriptors) and `<prefix>_commits` (the version
+    * log), plus the pyramid-substitution rewrite for `<prefix>_points`
+    * (see [[graft.plans.PyramidSubstitution]] — requires the session to
+    * be built with [[graft.functions.GraftExtensions]]).
+    *
+    * The views capture the CURRENT merge topology (e.g. whether a
+    * staging union subplan exists); call again after ingest/flush if
+    * the read-your-writes surface must reflect new staged batches. The
+    * substitution guard always consults live engine state, so a stale
+    * view can only miss an optimization, never return wrong data. */
+  def registerViews(prefix: String = "graft"): Unit = {
+    pointsView().createOrReplaceTempView(s"${prefix}_points")
+    catalog.filter(!col("tombstoned"))
+      .drop("tombstoned").createOrReplaceTempView(s"${prefix}_catalog")
+    commits.createOrReplaceTempView(s"${prefix}_commits")
+    graft.plans.PyramidSubstitution.register(spark, s"${prefix}_points", this)
+  }
+
+  /** The pyramid combine frame serving an aligned stat aggregate at
+    * 2^pw for [[graft.plans.PyramidSubstitutionRule]], or None when the
+    * rewrite would not be exactly equivalent: no maintained level ≤ pw,
+    * or an affected stream has staged points or un-compacted delete
+    * debt (the merge-on-read cases the pyramid does not reflect).
+    *
+    * Columns: (sid?), wstart, cnt, vmin, vmean, vmax, vsum — the rule
+    * projects the subset the query asked for; Catalyst prunes the rest. */
+  private[graft] def pyramidFrameFor(sids: Option[Seq[Long]],
+      lo: Option[Long], hi: Option[Long], pw: Int,
+      bySid: Boolean): Option[DataFrame] = {
+    seedCommitState(); seedMinors()
+    val level = pyramidLevels.filter(_ <= pw).sorted.lastOption
+      .filter(pyramidHas)
+    val tomb = tombstonedSids
+    val affected = sids.getOrElse(
+      (majorCounts.keys ++ minorCounts.keys).toSeq.distinct)
+      .filterNot(tomb.contains)
+    val clean = affected.forall(s =>
+      !deleteDebt.contains(s) && minorCounts.getOrElse(s, 0L) == 0L)
+    if (level.isEmpty || !clean) None
+    else {
+      var df = spark.read.parquet(path(s"pyramid/pw=${level.get}"))
+      sids.foreach { ss =>
+        df = df.filter(col("sbucket").isin(ss.map(_ % sBuckets).distinct: _*) &&
+          col("sid").isin(ss: _*))
+      }
+      if (tomb.nonEmpty) df = df.filter(!col("sid").isin(tomb.toSeq: _*))
+      lo.foreach(s => df = df.filter(
+        col("wbucket") >= (s >> pyramidWBucketPw) && col("wstart") >= s))
+      hi.foreach(e => df = df.filter(
+        col("wbucket") <= ((e - 1) >> pyramidWBucketPw) && col("wstart") < e))
+      val keys = (if (bySid) Seq(col("sid")) else Nil) :+
+        TimeOps.clampTime(col("wstart"), pw).as("wstart")
+      Some(df.groupBy(keys: _*)
+        .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
+          (sum("vsum") / sum("cnt")).as("vmean"), max("vmax").as("vmax"),
+          sum("vsum").as("vsum")))
+    }
   }
 
   /** Windows: arbitrary width, end truncated to whole windows, empty

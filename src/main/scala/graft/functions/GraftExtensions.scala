@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** SparkSessionExtensions hook registering the engine's native
-  * expressions for SQL use — enable with
+  * expressions and plan rewrites for SQL use — enable with
   * `spark.sql.extensions=graft.functions.GraftExtensions` (or
   * programmatically via `withExtensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -15,5 +15,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FixedPointDot].getName, "fixed_point_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FixedPointDot(exprs(0), exprs(1))))
+    // stat-shaped GROUP BY over a registered engine point view → served
+    // from the rollup pyramid (post-hoc resolution: the view's
+    // SubqueryAlias marker is erased by the optimizer's first batch)
+    ext.injectPostHocResolutionRule(session =>
+      new graft.plans.PyramidSubstitutionRule(session))
   }
 }

@@ -1,0 +1,218 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.engine.Btrdb
+
+/** Catalyst rewrite: stat-shaped aggregates over a registered engine
+  * point view are served from the rollup pyramid instead of the point
+  * log — the optimizer-integrated form of the planner-function
+  * substitution `alignedWindows` does inside the engine API (SURVEY
+  * §4.1 "aggregate pushdown / materialized rollups", §7.3 "optional
+  * `Rule[LogicalPlan]` later"; the reference's analog is the tree walk
+  * stopping at pre-aggregated core nodes without touching leaves,
+  * /root/reference/qtree/qtree.go:894-942).
+  *
+  * A SQL user writes the natural query over the view
+  * [[graft.engine.Btrdb.registerViews]] creates:
+  *
+  * {{{
+  *   SELECT shiftleft(shiftright(time, 42), 42) AS w,
+  *          count(*) AS cnt, min(value), avg(value), max(value)
+  *   FROM graft_points
+  *   WHERE sid = 3 AND time >= :aligned_lo AND time < :aligned_hi
+  *   GROUP BY 1
+  * }}}
+  *
+  * and the rule swaps the point-log scan for the coarsest maintained
+  * pyramid level ≤ the requested pointwidth, combining partials exactly
+  * ((Σcnt, min, Σsum, max); mean = Σsum/Σcnt — the same merge contract
+  * as /root/reference/merger.go:126-208). At 100 TB the difference is a
+  * partition-pruned scan of rollup rows (data/2^level) vs the raw log.
+  *
+  * The rewrite fires only when it is EXACTLY equivalent:
+  *   - grouping is the canonical clamp `shiftleft(shiftright(time, pw),
+  *     pw)` (optionally plus `sid`) with pw ≥ the finest pyramid level;
+  *   - aggregates are count/min/max/avg/sum over `value` (no DISTINCT,
+  *     no FILTER clauses);
+  *   - WHERE is a conjunction of `sid = k` / `sid IN (...)` and
+  *     2^pw-ALIGNED `time >= lo` / `time < hi` bounds — an unaligned
+  *     bound would make boundary buckets over-count, so it bails;
+  *   - the engine confirms the affected streams are clean: pyramid
+  *     level present, no staged (minor-version) points, no un-compacted
+  *     delete debt, no tombstoned stream awaiting purge. Anything else
+  *     falls through to the merge-on-read point-log plan unchanged.
+  *
+  * Registered per-session via [[graft.functions.GraftExtensions]]
+  * (post-hoc resolution — the view's `SubqueryAlias` marker is still
+  * present there; the optimizer erases it in its first batch).
+  */
+object PyramidSubstitution {
+
+  /** view name (lowercase) → (owning session, engine). One engine per
+    * view name per JVM; the session is identity-checked at match time. */
+  private val registry =
+    new ConcurrentHashMap[String, (SparkSession, Btrdb)]()
+
+  def register(spark: SparkSession, viewName: String, engine: Btrdb): Unit =
+    registry.put(viewName.toLowerCase, (spark, engine))
+
+  def unregister(viewName: String): Unit =
+    registry.remove(viewName.toLowerCase)
+
+  private[plans] def lookup(session: SparkSession,
+                            viewName: String): Option[Btrdb] =
+    Option(registry.get(viewName.toLowerCase))
+      .collect { case (s, e) if s eq session => e }
+}
+
+final class PyramidSubstitutionRule(session: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case agg: Aggregate if agg.resolved =>
+        tryRewrite(agg).getOrElse(agg)
+    }
+
+  /** The matched query, destructured. */
+  private case class Shape(engine: Btrdb, sidAttr: Attribute,
+      timeAttr: Attribute, valueAttr: Attribute, pw: Int,
+      clampExpr: Expression, bySid: Boolean, sids: Option[Seq[Long]],
+      lo: Option[Long], hi: Option[Long])
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] =
+    for {
+      (view, conds) <- peel(agg.child, Nil)
+      engine <- PyramidSubstitution.lookup(session, view.alias)
+      shape <- matchShape(engine, view.output, conds, agg)
+      frame <- shape.engine.pyramidFrameFor(
+        shape.sids, shape.lo, shape.hi, shape.pw, shape.bySid)
+    } yield splice(agg, shape, frame.queryExecution.analyzed)
+
+  /** Strip Filter/View layers down to the view's SubqueryAlias marker,
+    * collecting filter conjuncts on the way. */
+  @annotation.tailrec
+  private def peel(p: LogicalPlan, conds: Seq[Expression])
+      : Option[(SubqueryAlias, Seq[Expression])] = p match {
+    case Filter(cond, child) =>
+      peel(child, conds ++ splitConjunctivePredicates(cond))
+    case s: SubqueryAlias => Some((s, conds))
+    case v: View => peel(v.child, conds)
+    case _ => None
+  }
+
+  private object LongLit {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, _) => Some(v)
+      case Literal(v: Int, _) => Some(v.toLong)
+      // analysis-time type coercion widens int literals via Cast; the
+      // optimizer would fold it, but this rule runs before that
+      case c: Cast if c.dataType == org.apache.spark.sql.types.LongType =>
+        unapply(c.child)
+      case _ => None
+    }
+  }
+
+  /** The canonical clamp `shiftleft(shiftright(t, pw), pw)`. */
+  private def clampPw(e: Expression, timeAttr: Attribute): Option[Int] =
+    trimAliases(e) match {
+      case ShiftLeft(ShiftRight(t: Attribute, LongLit(a)), LongLit(b))
+          if a == b && t.semanticEquals(timeAttr) => Some(a.toInt)
+      case _ => None
+    }
+
+  private def matchShape(engine: Btrdb, viewOut: Seq[Attribute],
+      conds: Seq[Expression], agg: Aggregate): Option[Shape] = {
+    def attr(name: String) = viewOut.find(_.name.equalsIgnoreCase(name))
+    (attr("sid"), attr("time"), attr("value")) match {
+      case (Some(sidA), Some(timeA), Some(valueA)) =>
+        // ---- filters: sid pins and 2^pw-aligned time bounds only ----
+        var sids: Option[Seq[Long]] = None
+        var lo: Option[Long] = None
+        var hi: Option[Long] = None
+        val condsOk = conds.forall {
+          case EqualTo(a: Attribute, LongLit(v)) if a.semanticEquals(sidA) =>
+            sids = Some(Seq(v)); true
+          case EqualTo(LongLit(v), a: Attribute) if a.semanticEquals(sidA) =>
+            sids = Some(Seq(v)); true
+          case In(a: Attribute, vs) if a.semanticEquals(sidA) &&
+              vs.forall(LongLit.unapply(_).isDefined) =>
+            sids = Some(vs.map(LongLit.unapply(_).get)); true
+          case GreaterThanOrEqual(a: Attribute, LongLit(v))
+              if a.semanticEquals(timeA) => lo = Some(v); true
+          case LessThan(a: Attribute, LongLit(v))
+              if a.semanticEquals(timeA) => hi = Some(v); true
+          case _ => false
+        }
+        // ---- grouping: clamp(time, pw) with optional sid ----
+        val groups = agg.groupingExpressions.map(trimAliases)
+        val clampGroups = groups.flatMap(g => clampPw(g, timeA).map(g -> _))
+        val sidGrouped = groups.exists {
+          case a: Attribute => a.semanticEquals(sidA)
+          case _ => false
+        }
+        val shapeOk = condsOk && clampGroups.size == 1 &&
+          groups.size == clampGroups.size + (if (sidGrouped) 1 else 0)
+        if (!shapeOk) None
+        else {
+          val (clampExpr, pw) = clampGroups.head
+          val aligned = Seq(lo, hi).flatten.forall(t => ((t >> pw) << pw) == t)
+          val aggsOk = agg.aggregateExpressions.forall(ne =>
+            classify(ne, Shape(engine, sidA, timeA, valueA, pw, clampExpr,
+              sidGrouped, sids, lo, hi)).isDefined)
+          if (aligned && aggsOk)
+            Some(Shape(engine, sidA, timeA, valueA, pw, clampExpr,
+              sidGrouped, sids, lo, hi))
+          else None
+        }
+      case _ => None
+    }
+  }
+
+  /** Map one output expression of the matched Aggregate to the column
+    * name it reads from the pyramid combine frame. */
+  private def classify(ne: NamedExpression, s: Shape): Option[String] = {
+    val e = trimAliases(ne)
+    e match {
+      case ae: AggregateExpression
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case c: Count if c.children.forall {
+              case _: Literal => true
+              // count(col) on the view's never-null columns ≡ count(*)
+              case a: Attribute => a.semanticEquals(s.sidAttr) ||
+                a.semanticEquals(s.timeAttr) || a.semanticEquals(s.valueAttr)
+              case _ => false
+            } => Some("cnt")
+          case m: Min if m.child.semanticEquals(s.valueAttr) => Some("vmin")
+          case m: Max if m.child.semanticEquals(s.valueAttr) => Some("vmax")
+          case a: Average if a.child.semanticEquals(s.valueAttr) => Some("vmean")
+          case sm: Sum if sm.child.semanticEquals(s.valueAttr) => Some("vsum")
+          case _ => None
+        }
+      case g if g.semanticEquals(s.clampExpr) => Some("wstart")
+      case a: Attribute if s.bySid && a.semanticEquals(s.sidAttr) => Some("sid")
+      case _ => None
+    }
+  }
+
+  /** Replace the Aggregate with the pyramid combine plan, re-aliasing
+    * its columns onto the original output attributes' exprIds so every
+    * parent operator resolves unchanged. */
+  private def splice(agg: Aggregate, shape: Shape,
+                     rep: LogicalPlan): LogicalPlan = {
+    val byName = rep.output.map(a => a.name -> a).toMap
+    val projections = agg.aggregateExpressions.map { ne =>
+      val target = byName(classify(ne, shape).get)
+      Alias(target, ne.name)(exprId = ne.exprId)
+    }
+    Project(projections, rep)
+  }
+}

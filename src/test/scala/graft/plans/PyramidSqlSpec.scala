@@ -1,0 +1,208 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.TimeOps
+import graft.engine.Btrdb
+import graft.functions.GraftExtensions
+
+/** The Catalyst pyramid substitution: a plain-SQL stat aggregate over
+  * the registered `graft_points` view must be SERVED FROM THE ROLLUP
+  * PYRAMID (plan-level assert: the scan reads `pyramid/pw=…`, not the
+  * point log) and return exactly what the point-log plan returns — and
+  * it must BAIL to the merge-on-read plan in every case where the
+  * rewrite would not be equivalent (unaligned bounds, staged points,
+  * delete debt, sub-level pointwidth).
+  */
+class PyramidSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("pyramid-sql-spec")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Tiny geometry (as PyramidSpec): levels 2^4/2^8, immediate commits. */
+  private def mkDb(threshold: Long = 1L): Btrdb = {
+    val dir = Files.createTempDirectory("pyrsql").toString
+    new Btrdb(spark, dir, sBuckets = 4, tBucketPw = 12,
+      bufferCommitThreshold = threshold,
+      pyramidLevels = Seq(4, 8), pyramidWBucketPw = 12, commitRangePw = 8)
+  }
+
+  private def insertPts(db: Btrdb, uuid: String, pts: Seq[(Long, Double)]): Unit =
+    db.insert(uuid, spark.createDataFrame(pts).toDF("time", "value"))
+
+  /** Two streams, 512 points each over [0, 4096) at every 8th ns. */
+  private def seeded(threshold: Long = 1L): Btrdb = {
+    val db = mkDb(threshold)
+    db.createStream("u0", "c", Map("k" -> "v0"))
+    db.createStream("u1", "c", Map("k" -> "v1"))
+    insertPts(db, "u0", (0 until 512).map(i => (i * 8L, i.toDouble)))
+    insertPts(db, "u1", (0 until 512).map(i => (i * 8L + 1, i * 2.0)))
+    db
+  }
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  private def readsPyramid(df: DataFrame): Boolean = {
+    val p = planOf(df)
+    p.contains("pyramid/pw=") && !p.contains("/points")
+  }
+
+  /** Reference result via the DataFrame API (no SubqueryAlias marker,
+    * so the rule cannot fire) straight off the merged point view. */
+  private def rawAgg(db: Btrdb, pw: Int, sidPin: Option[Long],
+                     bySid: Boolean): Seq[(Option[Long], Long, Long, Double,
+                       Double, Double)] = {
+    val base = sidPin.fold(db.pointsView())(s =>
+      db.pointsView().filter(col("sid") === s))
+    val keys = (if (bySid) Seq(col("sid")) else Nil) :+
+      TimeOps.clampTime(col("time"), pw).as("w")
+    base.groupBy(keys: _*)
+      .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
+        avg("value").as("vmean"), max("value").as("vmax"))
+      .collect().map(r => (
+        if (bySid) Some(r.getLong(r.fieldIndex("sid"))) else None,
+        r.getLong(r.fieldIndex("w")), r.getLong(r.fieldIndex("cnt")),
+        r.getDouble(r.fieldIndex("vmin")), r.getDouble(r.fieldIndex("vmean")),
+        r.getDouble(r.fieldIndex("vmax"))))
+      .sortBy(t => (t._1, t._2)).toSeq
+  }
+
+  private def collectSql(df: DataFrame): Seq[(Option[Long], Long, Long,
+      Double, Double, Double)] =
+    df.collect().map { r =>
+      val sid = if (r.schema.fieldNames.contains("sid"))
+        Some(r.getLong(r.fieldIndex("sid"))) else None
+      (sid, r.getLong(r.fieldIndex("w")), r.getLong(r.fieldIndex("cnt")),
+        r.getDouble(r.fieldIndex("vmin")), r.getDouble(r.fieldIndex("vmean")),
+        r.getDouble(r.fieldIndex("vmax")))
+    }.sortBy(t => (t._1, t._2)).toSeq
+
+  private def assertSame(a: Seq[(Option[Long], Long, Long, Double, Double,
+      Double)], b: Seq[(Option[Long], Long, Long, Double, Double, Double)]): Unit = {
+    assert(a.size == b.size, s"row counts: ${a.size} vs ${b.size}")
+    a.zip(b).foreach { case (x, y) =>
+      assert(x._1 == y._1 && x._2 == y._2 && x._3 == y._3, s"$x vs $y")
+      assert(x._4 == y._4 && x._6 == y._6, s"min/max: $x vs $y")
+      // mean combines partial sums — ulp tolerance for reassociation
+      assert(math.abs(x._5 - y._5) <= math.ulp(x._5) * 8, s"mean: $x vs $y")
+    }
+  }
+
+  test("sid-pinned aligned aggregate is served from the pyramid") {
+    val db = seeded()
+    db.registerViews("gp1")
+    val df = spark.sql(
+      """SELECT shiftleft(shiftright(time, 8), 8) AS w,
+        |  count(*) AS cnt, min(value) AS vmin, avg(value) AS vmean,
+        |  max(value) AS vmax
+        |FROM gp1_points
+        |WHERE sid = 0 AND time >= 0 AND time < 4096
+        |GROUP BY 1 ORDER BY w""".stripMargin)
+    assert(readsPyramid(df), s"expected a pyramid scan:\n${planOf(df)}")
+    assertSame(collectSql(df), rawAgg(db, 8, Some(0L), bySid = false))
+    db.close()
+  }
+
+  test("whole-corpus sid-grouped aggregate substitutes across streams") {
+    val db = seeded()
+    db.registerViews("gp2")
+    val df = spark.sql(
+      """SELECT sid, shiftleft(shiftright(time, 8), 8) AS w,
+        |  count(*) AS cnt, min(value) AS vmin, avg(value) AS vmean,
+        |  max(value) AS vmax
+        |FROM gp2_points GROUP BY 1, 2 ORDER BY sid, w""".stripMargin)
+    assert(readsPyramid(df), s"expected a pyramid scan:\n${planOf(df)}")
+    assertSame(collectSql(df), rawAgg(db, 8, None, bySid = true))
+    db.close()
+  }
+
+  test("DataFrame API over the view substitutes too") {
+    val db = seeded()
+    db.registerViews("gp3")
+    val df = spark.table("gp3_points")
+      .groupBy(TimeOps.clampTime(col("time"), 8).as("w"))
+      .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
+        avg("value").as("vmean"), max("value").as("vmax"))
+    assert(readsPyramid(df), s"expected a pyramid scan:\n${planOf(df)}")
+    assertSame(collectSql(df), rawAgg(db, 8, None, bySid = false))
+    db.close()
+  }
+
+  test("unaligned time bound bails to the point log") {
+    val db = seeded()
+    db.registerViews("gp4")
+    val df = spark.sql(
+      """SELECT shiftleft(shiftright(time, 8), 8) AS w, count(*) AS cnt
+        |FROM gp4_points WHERE time >= 3 GROUP BY 1""".stripMargin)
+    assert(!readsPyramid(df), "a 3-ns lower bound is not 2^8-aligned")
+    assert(planOf(df).contains("/points"), "must scan the point log")
+    db.close()
+  }
+
+  test("pointwidth below the finest level bails") {
+    val db = seeded()
+    db.registerViews("gp5")
+    val df = spark.sql(
+      """SELECT shiftleft(shiftright(time, 2), 2) AS w, count(*) AS cnt
+        |FROM gp5_points GROUP BY 1""".stripMargin)
+    assert(!readsPyramid(df), "no pyramid level <= 2 exists")
+    db.close()
+  }
+
+  test("staged (minor-version) points suppress substitution until flush") {
+    val db = seeded(threshold = 1000000L) // below threshold: all points stage
+    db.registerViews("gp6")
+    val sql =
+      """SELECT shiftleft(shiftright(time, 8), 8) AS w, count(*) AS cnt,
+        |  min(value) AS vmin, avg(value) AS vmean, max(value) AS vmax
+        |FROM gp6_points GROUP BY 1""".stripMargin
+    val before = spark.sql(sql)
+    assert(!readsPyramid(before),
+      "staged points are invisible to the pyramid — must bail")
+    val expected = rawAgg(db, 8, None, bySid = false)
+    assertSame(collectSql(before), expected)
+    db.flush("u0"); db.flush("u1")
+    // same SQL, re-planned: live guard now passes — pyramid serves it,
+    // and the answer is unchanged by the flush
+    val after = spark.sql(sql)
+    assert(readsPyramid(after), s"expected a pyramid scan:\n${planOf(after)}")
+    assertSame(collectSql(after), expected)
+    db.close()
+  }
+
+  test("delete debt suppresses substitution; compaction restores it") {
+    val db = seeded()
+    db.deleteRange("u0", 0L, 1024L)
+    db.registerViews("gp7")
+    val df = spark.sql(
+      """SELECT shiftleft(shiftright(time, 8), 8) AS w, count(*) AS cnt
+        |FROM gp7_points GROUP BY 1""".stripMargin)
+    assert(!readsPyramid(df), "un-compacted delete debt must bail")
+    // the raw plan still returns the anti-filtered truth
+    val raw = rawAgg(db, 8, None, bySid = false)
+    assertSame(collectSql(spark.sql(
+      """SELECT shiftleft(shiftright(time, 8), 8) AS w, count(*) AS cnt,
+        |  min(value) AS vmin, avg(value) AS vmean, max(value) AS vmax
+        |FROM gp7_points GROUP BY 1""".stripMargin)), raw)
+    db.close()
+  }
+}
