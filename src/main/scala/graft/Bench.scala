@@ -3,9 +3,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line. Each query is run once untimed (JIT + file-cache
-  * warmup — the steady-state a long-lived cluster actually runs at) and
-  * then timed.
+  * prints ONE JSON line.
+  *
+  * Three phases, strictly ordered:
+  *   1. FIXTURE — every one-time build cost (the engine-SQL queries
+  *      ingest the fixture into a real Btrdb root) runs first, followed
+  *      by a GC + settle. Ingest inside the warmup/timed passes leaves
+  *      residual JVM/executor state (context-cleaner churn, GC debt)
+  *      that inflated UNRELATED query times up to 54× in BENCH_r05.
+  *   2. WARMUP — one untimed pass per query (JIT + file cache: the
+  *      steady state a long-lived cluster actually runs at).
+  *   3. TIMED — one timed pass; a failing query records `-1` in
+  *      `queries` AND its message in `errors` (never a silent time).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,18 +32,44 @@ object Bench {
     // optional name filter for local iteration (the driver passes none)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
-    queries.foreach { case (_, fn) => // warmup
+
+    // ---- phase 1: fixtures, then settle ----
+    val fixtureErr =
+      try { graft.queries.EngineSqlQueries.prebuild(spark, sfDir); None }
+      catch { case e: Throwable => Some(e.toString) }
+    System.gc()
+    Thread.sleep(1000)
+
+    // ---- phase 2: warmup ----
+    queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+
+    // ---- phase 3: timed ----
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(e.toString.take(300)) }
+      val sec = if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0
+      (name, sec, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = (results.collect { case (k, _, Some(e)) => k -> e } ++
+        fixtureErr.map("fixture" -> _))
+      .map { case (k, e) => jstr(k) + ":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -63,7 +63,21 @@ final class Admission(poolSizes: Map[String, Int], maxQueue: Int = 100) {
   /** Queue depth snapshot (monitoring analog of rez's prometheus gauges). */
   def queuedWaiters(pool: String): Int =
     pools.get(pool).map(_.queued.get()).getOrElse(0)
+
+  /** Full pool-state snapshot: name → (size, inUse, queued) — the
+    * reference surfaces the same occupancy/queue gauges through its
+    * Info/metrics path (/root/reference/internal/rez/mercy.go watchers).
+    * Reads are lock-free and approximate under concurrency, as gauges
+    * are. */
+  def gauges: Map[String, PoolGauge] =
+    pools.map { case (name, p) =>
+      val size = poolSizes(name)
+      name -> PoolGauge(size, size - p.sem.availablePermits(), p.queued.get())
+    }
 }
+
+/** One pool's occupancy snapshot. */
+final case class PoolGauge(size: Int, inUse: Int, queued: Int)
 
 object Admission {
   /** Pool names, mirroring the reference's ResourceIdentifiers where a

@@ -29,8 +29,15 @@ import graft.storage.Store
   *              per-stream partitions flush independently, per-batch
   *              subkeys make streaming replay idempotent
   *   pyramid/pw=K/sbucket=X/wbucket=Y/  one rollup table for ALL levels
-  *              (sid, wstart, cnt, vmin, vmax, vsum), partitioned so
-  *              maintenance dynamic-overwrites only dirtied partitions
+  *              (sid, wstart, cnt, vmin, vmax, vsum, vsc), partitioned so
+  *              maintenance dynamic-overwrites only dirtied partitions.
+  *              `vsc` is the exact integer cents sum (StatOps.cents):
+  *              long sums are associative, so pyramid-served mean/sum
+  *              are bit-deterministic and identical to the raw path —
+  *              exact for the 2-decimal fixed-point value domain; for
+  *              off-grid doubles the served mean is the (deterministic)
+  *              mean of cents-rounded values, while `vsum` keeps the
+  *              plain double sum
   *
   * Scale design (100 TB, 1000 executors):
   *   - sbucket partitioning spreads streams; tbucket (2^48 ns ≈ 3.26 d)
@@ -499,7 +506,12 @@ class Btrdb(val spark: SparkSession, val root: String,
           majorCounts(r.getLong(0)) = r.getLong(1)
           if (r.getLong(2) == 1L) deleteDebt += r.getLong(0)
           if (!r.isNullAt(3)) envelopes(r.getLong(0)) = (r.getLong(3), r.getLong(4))
-          if (!r.isNullAt(4)) compactedFloor(r.getLong(0)) = r.getLong(4)
+          // column 5 is the compacted-version floor — reading the
+          // envelope max (column 4) here made every FRESH engine
+          // instance on an existing root treat pins below emax as
+          // compacted-away (empty), a bug only a second-session read
+          // could observe
+          if (!r.isNullAt(5)) compactedFloor(r.getLong(0)) = r.getLong(5)
         }
       commitStateSeeded = true
     }
@@ -603,7 +615,8 @@ class Btrdb(val spark: SparkSession, val root: String,
       .agg(coalesce(sum("npoints"), lit(0L))).head().getLong(0)
     EngineInfo(majorVersion = 4, minorVersion = 15,
       build = "graft-spark (btrdb-surface 4.15)", healthy = true,
-      streamCount = live, pointCount = pts)
+      streamCount = live, pointCount = pts,
+      pools = admission.gauges)
   }
 
   /** (major, minor) version of a stream: major = last committed
@@ -664,6 +677,41 @@ class Btrdb(val spark: SparkSession, val root: String,
     out
   }
 
+  /** Stage a multi-stream batch in ONE pass: `points` carries
+    * (sid, time, value) rows for already-created streams. The whole
+    * batch lands in the per-sid staging partitions under a single
+    * engine batch id — one validation job and one write regardless of
+    * stream count, where N per-stream insert() calls would each re-scan
+    * their source. Commit cadence stays per-stream: follow with
+    * flushAll(0) (or rely on the age/threshold scanner). */
+  def insertAll(points: DataFrame): Unit =
+    admission.run(Admission.Write) {
+      val batch = points.select(col("sid").cast("long").as("sid"),
+        col("time").cast("long").as("time"),
+        col("value").cast("double").as("value"))
+      val counts = batch.groupBy("sid")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(when(!TimeOps.validPoint(col("time"), col("value")), 1L)),
+            lit(0L)).as("bad"))
+        .collect()
+      val bad = counts.map(_.getLong(2)).sum
+      require(bad == 0,
+        s"$bad points rejected: NaN/Inf value or time out of range")
+      val known = catalog.filter(!col("tombstoned"))
+        .select("sid").collect().map(_.getLong(0)).toSet
+      val unknown = counts.map(_.getLong(0)).filterNot(known)
+      require(unknown.isEmpty, s"unknown sids: ${unknown.mkString(",")}")
+      seedMinors()
+      batch.withColumn("batch", lit(batchIdGen.incrementAndGet()))
+        .sortWithinPartitions("time")
+        .write.mode(SaveMode.Append).partitionBy("sid", "batch")
+        .parquet(path("staging"))
+      synchronized {
+        counts.foreach(r => minorCounts(r.getLong(0)) =
+          minorCounts.getOrElse(r.getLong(0), 0L) + r.getLong(1))
+      }
+    }
+
   /** Granularity of the one-pass batch partials: the finest pyramid
     * level (so the fold needs no re-aggregation) but never coarser than
     * the commit-range clustering width. */
@@ -683,7 +731,8 @@ class Btrdb(val spark: SparkSession, val root: String,
           lit(0L)).as("bad"),
         min("time").as("ts"), (max("time") + 1).as("te"),
         min("value").as("vmin"), max("value").as("vmax"),
-        sum("value").as("vsum"))
+        sum("value").as("vsum"),
+        sum(StatOps.cents(col("value"))).as("vsc"))
 
   /** Batch statistics from the partials: count, invalid count, envelope,
     * and the per-commit TOUCHED RANGES — the sub-envelope fidelity the
@@ -904,10 +953,10 @@ class Btrdb(val spark: SparkSession, val root: String,
         if (others + kept == 0) deleteDir(dir) // fully drained
         else {
           // materialize BEFORE the overwrite replaces the source files
-          val merged = part.filter(!isOwn || !delCond)
-            .withColumn("sbucket", lit(bucket))
-            .withColumn("tbucket", lit(tb))
-            .localCheckpoint()
+          val (merged, release) = checkpointReleasable(
+            part.filter(!isOwn || !delCond)
+              .withColumn("sbucket", lit(bucket))
+              .withColumn("tbucket", lit(tb)))
           merged
             .repartition(col("sbucket"), col("tbucket"))
             .sortWithinPartitions("sid", "time")
@@ -915,7 +964,7 @@ class Btrdb(val spark: SparkSession, val root: String,
             .option("compression", "zstd")
             .partitionBy("sbucket", "tbucket")
             .parquet(path("points"))
-          merged.unpersist()
+          release()
         }
       }
     }
@@ -983,25 +1032,26 @@ class Btrdb(val spark: SparkSession, val root: String,
       val (dead, total) = (r.getLong(0), r.getLong(1))
       if (dead == total && dead > 0) deleteDir(dir)
       else if (dead > 0) {
-        val keptP = part.filter(!isDead)
-          .withColumn("sbucket", lit(sb))
-          .withColumn("tbucket", lit(tb))
-          .localCheckpoint()
+        val (keptP, release) = checkpointReleasable(
+          part.filter(!isDead)
+            .withColumn("sbucket", lit(sb))
+            .withColumn("tbucket", lit(tb)))
         keptP.repartition(col("sbucket"), col("tbucket"))
           .sortWithinPartitions("sid", "time")
           .write.mode(SaveMode.Overwrite)
           .option("compression", "zstd")
           .partitionBy("sbucket", "tbucket")
           .parquet(path("points"))
-        keptP.unpersist()
+        release()
       }
     }
     if (hasParquet("pyramid")) {
       // rollup rows are ~data/2^minLevel (≥2^30 at production geometry):
       // a whole touched-sbucket slice is metadata-scale, so the simple
       // one-pass rewrite is fine where it was not for the point log
-      val pyrDf = spark.read.parquet(path("pyramid"))
-        .filter(col("sbucket").isin(buckets: _*)).localCheckpoint()
+      val (pyrDf, releasePyr) = checkpointReleasable(
+        spark.read.parquet(path("pyramid"))
+          .filter(col("sbucket").isin(buckets: _*)))
       val keptP = pyrDf.filter(!col("sid").isin(active: _*))
       keptP.repartition(col("pw"), col("sbucket"), col("wbucket"))
         .sortWithinPartitions("sid", "wstart")
@@ -1015,6 +1065,7 @@ class Btrdb(val spark: SparkSession, val root: String,
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       parts(pyrDf).diff(parts(keptP)).foreach { case (pw, sb, wb) =>
         deleteDir(s"pyramid/pw=$pw/sbucket=$sb/wbucket=$wb") }
+      releasePyr()
       invalidatePyramidPresence()
     }
     active.foreach { sid =>
@@ -1030,6 +1081,24 @@ class Btrdb(val spark: SparkSession, val root: String,
   }
 
   private def deleteDir(part: String): Unit = store.deleteRecursive(part)
+
+  /** Eager local checkpoint with a RELEASABLE handle. The checkpoint
+    * materializes `df` and BREAKS LINEAGE, so a following overwrite of
+    * its source files can never trigger a recompute-from-overwritten-
+    * input. `Dataset.unpersist` cannot free it — the blocks belong to
+    * the checkpoint's internal RDD, which the CacheManager never sees —
+    * so without the returned release() every maintenance pass would
+    * leak one cached RDD into the block manager for the driver's
+    * lifetime. release() unpersists the RDDs the checkpoint registered. */
+  private val checkpointLock = new Object
+  private def checkpointReleasable(df: DataFrame): (DataFrame, () => Unit) =
+    checkpointLock.synchronized {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val cp = df.localCheckpoint()
+      val fresh = spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !before.contains(id) }.values.toSeq
+      (cp, () => fresh.foreach(_.unpersist(blocking = false)))
+    }
 
   private def commitJson(sid: Long, v: Long, kind: String,
                          tmin: Long, tmax: Long, n: Long,
@@ -1053,33 +1122,37 @@ class Btrdb(val spark: SparkSession, val root: String,
   private def writeCommitFile(name: String, json: String): Unit =
     store.writeAtomic(s"commits/$name", json)
 
-  /** Roll the per-commit files into ONE archive file when the commit
-    * directory exceeds `maxFiles` — over an engine root's lifetime the
-    * log would otherwise accumulate one tiny file per commit (millions
-    * of files to list and open at 100 TB scale; the reference's analog
-    * is the superblock chain packed inside its block store). Returns
-    * true iff an archive was written.
+  /** Roll loose per-commit files into a CLOSED archive segment when the
+    * commit directory holds more than `maxFiles` of them — over an
+    * engine root's lifetime the log would otherwise accumulate one tiny
+    * file per commit (millions of files to list and open at 100 TB
+    * scale; the reference's analog is the superblock chain packed
+    * inside its block store). Returns true iff a segment was written.
     *
-    * Crash-safe: the archive (all current records, one JSONL file) is
-    * published atomically FIRST, then the superseded files are deleted.
-    * A crash mid-delete leaves records duplicated between archive and
-    * leftover files — the commit reader dedups identical lines, and
-    * compact()'s stale-record leftovers were already ignored by the
-    * supersede rule, archived or not. Re-archiving folds previous
-    * archives in, so the steady state is one archive + recent files. */
+    * Segments are IMMUTABLE once closed: each pass streams ONLY the
+    * current loose files into the next `archive-N.json` and never reads
+    * or rewrites a previous segment — driver memory is one copy buffer
+    * and lifetime archive I/O is linear in the log, where a
+    * fold-everything design re-writes the whole history every pass
+    * (O(n²) bytes) and must hold it in driver memory. The commit reader
+    * merges all segments + loose files (and dedups identical lines), so
+    * the only crash window — between the atomic segment publish and the
+    * per-file deletes — duplicates records harmlessly; compact()'s
+    * stale records inside closed segments stay ignored by the
+    * supersede rule. */
   def archiveCommitLog(maxFiles: Int = 1024): Boolean =
     admission.run(Admission.Maintenance) {
       val names = store.listNames("commits").filter(_.endsWith(".json"))
-      if (names.size <= maxFiles) false
+      val loose = names.filterNot(_.startsWith("archive-"))
+      if (loose.size <= maxFiles) false
       else {
         val seq = names.filter(_.startsWith("archive-"))
           .flatMap(_.stripPrefix("archive-").stripSuffix(".json").toLongOption)
           .maxOption.getOrElse(0L) + 1
-        val content = new StringBuilder
-        names.sorted.foreach(n =>
-          store.readString(s"commits/$n").foreach(content.append(_)))
-        store.writeAtomic(s"commits/archive-$seq.json", content.toString)
-        names.foreach(n => store.delete(s"commits/$n"))
+        store.writeAtomicStream(s"commits/archive-$seq.json") { out =>
+          loose.sorted.foreach(n => store.copyTo(s"commits/$n", out))
+        }
+        loose.foreach(n => store.delete(s"commits/$n"))
         invalidateCommits()
         true
       }
@@ -1182,24 +1255,27 @@ class Btrdb(val spark: SparkSession, val root: String,
         .filter(pyramidSlice(sid, s, e) &&
           col("wstart") >= s && col("wstart") < e)
         .select(TimeOps.clampTime(col("wstart"), pw).as("wstart"),
-          col("cnt"), col("vmin"), col("vsum"), col("vmax"))
+          col("cnt"), col("vmin"), col("vsc"), col("vmax"))
       val partials = if (minorOf(sid) == 0) committed else {
         val staged = stagingDf
           .filter(col("sid") === sid && col("time") >= s && col("time") < e)
           .groupBy(TimeOps.clampTime(col("time"), pw).as("wstart"))
           .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
-            sum("value").as("vsum"), max("value").as("vmax"))
+            sum(StatOps.cents(col("value"))).as("vsc"), max("value").as("vmax"))
         committed.unionByName(staged)
       }
       partials.groupBy("wstart")
         .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
-          (sum("vsum") / sum("cnt")).as("vmean"), max("vmax").as("vmax"))
+          StatOps.meanFromCents(sum("vsc"), sum("cnt")).as("vmean"),
+          max("vmax").as("vmax"))
         .orderBy("wstart")
     } else
       readable(uuid, version, s, e)
         .groupBy(TimeOps.clampTime(col("time"), pw).as("wstart"))
         .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
-          avg("value").as("vmean"), max("value").as("vmax"))
+          StatOps.meanFromCents(sum(StatOps.cents(col("value"))),
+            count(lit(1))).as("vmean"),
+          max("value").as("vmax"))
         .orderBy("wstart")
   }
 
@@ -1231,7 +1307,8 @@ class Btrdb(val spark: SparkSession, val root: String,
             col("wstart") >= s && col("wstart") < e)
           .groupBy(col("sid"), TimeOps.clampTime(col("wstart"), pw).as("wstart"))
           .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
-            (sum("vsum") / sum("cnt")).as("vmean"), max("vmax").as("vmax"))
+            StatOps.meanFromCents(sum("vsc"), sum("cnt")).as("vmean"),
+            max("vmax").as("vmax"))
       },
       if (rawSids.isEmpty) None else Some {
         // ONE point-log scan for every raw-path stream: `sid isin` +
@@ -1262,7 +1339,9 @@ class Btrdb(val spark: SparkSession, val root: String,
             .select("sid", "time", "value"))
         all.groupBy(col("sid"), TimeOps.clampTime(col("time"), pw).as("wstart"))
           .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
-            avg("value").as("vmean"), max("value").as("vmax"))
+            StatOps.meanFromCents(sum(StatOps.cents(col("value"))),
+              count(lit(1))).as("vmean"),
+            max("value").as("vmax"))
       }).flatten
     parts.reduce(_ unionByName _).orderBy("sid", "wstart")
   }
@@ -1347,10 +1426,15 @@ class Btrdb(val spark: SparkSession, val root: String,
         col("wbucket") <= ((e - 1) >> pyramidWBucketPw) && col("wstart") < e))
       val keys = (if (bySid) Seq(col("sid")) else Nil) :+
         TimeOps.clampTime(col("wstart"), pw).as("wstart")
+      // vmean/vsum derive from the EXACT integer cents sum — long sums
+      // are associative, so the served aggregate is bit-identical to a
+      // sequential raw computation (the fixed-point value-domain
+      // contract StatOps.cents documents)
       Some(df.groupBy(keys: _*)
         .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
-          (sum("vsum") / sum("cnt")).as("vmean"), max("vmax").as("vmax"),
-          sum("vsum").as("vsum")))
+          StatOps.meanFromCents(sum("vsc"), sum("cnt")).as("vmean"),
+          max("vmax").as("vmax"),
+          (sum("vsc") / lit(100.0)).as("vsum")))
     }
   }
 
@@ -1379,12 +1463,15 @@ class Btrdb(val spark: SparkSession, val root: String,
             col("wstart") >= start && col("wstart") < e)
           .groupBy(TimeOps.windowIndex(col("wstart"), start, width).as("i"))
           .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
-            (sum("vsum") / sum("cnt")).as("vmean"), max("vmax").as("vmax"))
+            StatOps.meanFromCents(sum("vsc"), sum("cnt")).as("vmean"),
+            max("vmax").as("vmax"))
       case None =>
         readable(uuid, version, start, e)
           .groupBy(TimeOps.windowIndex(col("time"), start, width).as("i"))
           .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
-            avg("value").as("vmean"), max("value").as("vmax"))
+            StatOps.meanFromCents(sum(StatOps.cents(col("value"))),
+              count(lit(1))).as("vmean"),
+            max("value").as("vmax"))
     }
     spark.range(n).toDF("i").join(agg0, Seq("i"), "left_outer")
       .select(col("i"), (col("i") * width + start).as("wstart"),
@@ -1607,11 +1694,13 @@ class Btrdb(val spark: SparkSession, val root: String,
     val fold = foldPartials.isDefined
     val baseFresh = (foldPartials match {
         case Some(p) if partialPw == base =>
-          p.select(col("wstart"), col("cnt"), col("vmin"), col("vmax"), col("vsum"))
+          p.select(col("wstart"), col("cnt"), col("vmin"), col("vmax"),
+            col("vsum"), col("vsc"))
         case Some(p) =>
           p.groupBy(TimeOps.clampTime(col("wstart"), base).as("wstart"))
             .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
-              max("vmax").as("vmax"), sum("vsum").as("vsum"))
+              max("vmax").as("vmax"), sum("vsum").as("vsum"),
+              sum("vsc").as("vsc"))
         case None =>
           val uuid = uuidBySid(sid)
           ranges.map { case (lo, hi) =>
@@ -1619,7 +1708,8 @@ class Btrdb(val spark: SparkSession, val root: String,
           }.reduce(_ unionByName _)
             .groupBy(TimeOps.clampTime(col("time"), base).as("wstart"))
             .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
-              max("value").as("vmax"), sum("value").as("vsum"))
+              max("value").as("vmax"), sum("value").as("vsum"),
+              sum(StatOps.cents(col("value"))).as("vsc"))
       })
       .withColumn("sid", lit(sid))
       .cache()
@@ -1632,13 +1722,14 @@ class Btrdb(val spark: SparkSession, val root: String,
     // dynamic-overwrite write, not one pair of jobs per level. Coarser
     // levels roll up from the finer fresh rows lazily — everything
     // materializes inside the one checkpoint job.
-    val cols = Seq("sid", "wstart", "cnt", "vmin", "vmax", "vsum")
+    val cols = Seq("sid", "wstart", "cnt", "vmin", "vmax", "vsum", "vsc")
     val freshByLevel = sorted.tail.scanLeft(base -> baseFresh) {
       case ((_, finer), pw) =>
         pw -> finer
           .groupBy(TimeOps.clampTime(col("wstart"), pw).as("wstart"))
           .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
-            max("vmax").as("vmax"), sum("vsum").as("vsum"))
+            max("vmax").as("vmax"), sum("vsum").as("vsum"),
+            sum("vsc").as("vsc"))
           .withColumn("sid", lit(sid))
     }
     val freshAll = freshByLevel.map { case (pw, df) =>
@@ -1653,24 +1744,25 @@ class Btrdb(val spark: SparkSession, val root: String,
         .filter(col("pw").isin(sorted: _*) && col("sbucket") === sb &&
           col("wbucket").isin(wbuckets: _*))
         .select(pcols.map(col): _*)
-    val merged = (if (fold)
+    val (merged, release) = checkpointReleasable(
+      (if (fold)
         // fold: existing rows (all streams, incl. this one's) combine
         // with the fresh partials per (pw, sid, wstart); untouched rows
         // pass through as single-row groups
         existing.unionByName(freshAll.select(pcols.map(col): _*))
           .groupBy("pw", "sid", "wstart")
           .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
-            max("vmax").as("vmax"), sum("vsum").as("vsum"))
+            max("vmax").as("vmax"), sum("vsum").as("vsum"),
+            sum("vsc").as("vsc"))
           .select(pcols.map(col): _*)
       else
         // recompute: this stream's in-range rows are REPLACED by fresh
         existing.filter(!(col("sid") === sid && inRange(col("wstart"))))
           .unionByName(freshAll.select(pcols.map(col): _*)))
       .withColumn("sbucket", lit(sb))
-      .withColumn("wbucket", shiftright(col("wstart"), pyramidWBucketPw))
+      .withColumn("wbucket", shiftright(col("wstart"), pyramidWBucketPw)))
       // eager materialization — the write below replaces partitions the
       // `existing` branch reads from
-      .localCheckpoint()
     merged
       // hash-repartition on the partition keys: one task owns each
       // dirtied (pw, sbucket, wbucket) → one file per partition dir
@@ -1695,6 +1787,7 @@ class Btrdb(val spark: SparkSession, val root: String,
       // the fold path wrote ≥1 fresh row into every level
       sorted.foreach(pyramidPresent(_) = true)
     }
+    release()
     baseFresh.unpersist()
   }
 
@@ -1726,10 +1819,13 @@ final case class CommitRecord(sid: Long, version: Long, kind: String,
     tmin: Long, tmax: Long, npoints: Long, ranges: Seq[CommitRange],
     compacted: Boolean = false)
 
-/** Info RPC response analog (/root/reference/grpcinterface/btrdb.proto:177-186). */
+/** Info RPC response analog (/root/reference/grpcinterface/btrdb.proto:177-186).
+  * `pools` carries the admission-control occupancy gauges — the analog
+  * of the reference's rez pool state in its Info/metrics surface. */
 final case class EngineInfo(
     majorVersion: Int, minorVersion: Int, build: String,
-    healthy: Boolean, streamCount: Long, pointCount: Long)
+    healthy: Boolean, streamCount: Long, pointCount: Long,
+    pools: Map[String, PoolGauge] = Map.empty)
 
 final case class StreamDescInfo(
     uuid: String, sid: Long, collection: String,

@@ -41,9 +41,11 @@ import graft.engine.Btrdb
   *     pw)` (optionally plus `sid`) with pw ≥ the finest pyramid level;
   *   - aggregates are count/min/max/avg/sum over `value` (no DISTINCT,
   *     no FILTER clauses);
-  *   - WHERE is a conjunction of `sid = k` / `sid IN (...)` and
-  *     2^pw-ALIGNED `time >= lo` / `time < hi` bounds — an unaligned
-  *     bound would make boundary buckets over-count, so it bails;
+  *   - WHERE is a conjunction of `sid = k` / `sid IN (...)` and time
+  *     bounds in any equivalent spelling (`>=`, `>`, `<`, `<=`,
+  *     BETWEEN, literal on either side) that NORMALIZE to 2^pw-ALIGNED
+  *     `[lo, hi)` — an unaligned bound would make boundary buckets
+  *     over-count, so it bails;
   *   - the engine confirms the affected streams are clean: pyramid
   *     level present, no staged (minor-version) points, no un-compacted
   *     delete debt, no tombstoned stream awaiting purge. Anything else
@@ -134,21 +136,51 @@ final class PyramidSubstitutionRule(session: SparkSession)
     (attr("sid"), attr("time"), attr("value")) match {
       case (Some(sidA), Some(timeA), Some(valueA)) =>
         // ---- filters: sid pins and 2^pw-aligned time bounds only ----
+        // Every equivalent spelling of a half-open bound normalizes to
+        // [lo, hi): `>=`/`>`/`<`/`<=` with the literal on either side
+        // (BETWEEN arrives parser-lowered to `>= AND <=`). Repeated
+        // bounds TIGHTEN (max of lows, min of highs) and repeated sid
+        // pins intersect — dropping one conjunct would widen the scan
+        // past what the original plan filters.
         var sids: Option[Seq[Long]] = None
         var lo: Option[Long] = None
         var hi: Option[Long] = None
+        def pinSids(vs: Seq[Long]): Boolean = {
+          sids = Some(sids.fold(vs)(_.intersect(vs))); true
+        }
+        def low(v: Long): Boolean = { lo = Some(lo.fold(v)(math.max(_, v))); true }
+        def high(v: Long): Boolean = { hi = Some(hi.fold(v)(math.min(_, v))); true }
         val condsOk = conds.forall {
           case EqualTo(a: Attribute, LongLit(v)) if a.semanticEquals(sidA) =>
-            sids = Some(Seq(v)); true
+            pinSids(Seq(v))
           case EqualTo(LongLit(v), a: Attribute) if a.semanticEquals(sidA) =>
-            sids = Some(Seq(v)); true
+            pinSids(Seq(v))
           case In(a: Attribute, vs) if a.semanticEquals(sidA) &&
               vs.forall(LongLit.unapply(_).isDefined) =>
-            sids = Some(vs.map(LongLit.unapply(_).get)); true
+            pinSids(vs.map(LongLit.unapply(_).get))
           case GreaterThanOrEqual(a: Attribute, LongLit(v))
-              if a.semanticEquals(timeA) => lo = Some(v); true
+              if a.semanticEquals(timeA) => low(v)            // time >= v
+          case GreaterThan(a: Attribute, LongLit(v))
+              if a.semanticEquals(timeA) => low(v + 1)        // time > v
           case LessThan(a: Attribute, LongLit(v))
-              if a.semanticEquals(timeA) => hi = Some(v); true
+              if a.semanticEquals(timeA) => high(v)           // time < v
+          case LessThanOrEqual(a: Attribute, LongLit(v))
+              if a.semanticEquals(timeA) => high(v + 1)       // time <= v
+          case LessThanOrEqual(LongLit(v), a: Attribute)
+              if a.semanticEquals(timeA) => low(v)            // v <= time
+          case LessThan(LongLit(v), a: Attribute)
+              if a.semanticEquals(timeA) => low(v + 1)        // v < time
+          case GreaterThan(LongLit(v), a: Attribute)
+              if a.semanticEquals(timeA) => high(v)           // v > time
+          case GreaterThanOrEqual(LongLit(v), a: Attribute)
+              if a.semanticEquals(timeA) => high(v + 1)       // v >= time
+          // BETWEEN survives analysis as a RuntimeReplaceable that only
+          // lowers to >=/<= in the optimizer — after this rule runs
+          case b: Between => (b.input, b.lower, b.upper) match {
+            case (a: Attribute, LongLit(l), LongLit(u))
+                if a.semanticEquals(timeA) => low(l) && high(u + 1)
+            case _ => false
+          }
           case _ => false
         }
         // ---- grouping: clamp(time, pw) with optional sid ----

@@ -1,18 +1,16 @@
 package graft.queries
 
-import java.util.concurrent.atomic.AtomicInteger
-
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 import graft.engine.Btrdb
+import graft.storage.Store
 import graft.tables.Tables
 
 /** Oracle-gated queries that exercise the ENGINE end-to-end through its
   * plain-SQL surface: the events-derived point fixture is ingested into
-  * a real Btrdb root (createStreams → insert → stage → flush →
+  * a real Btrdb root (createStreams → bulk stage → flush →
   * pyramid), the root is registered as temp views
   * ([[graft.engine.Btrdb.registerViews]]), and the queries run as
   * `spark.sql` text over those views — the path a SQL-only consumer of
@@ -22,10 +20,11 @@ import graft.tables.Tables
   * substitution ([[graft.plans.PyramidSubstitutionRule]]) to have fired
   * — it fails loudly if the plan still reads the point log — so the
   * driver's DuckDB hash compare gates the rewrite's EXACT equivalence
-  * on real data, not just its plan shape. Only order-insensitive exact
-  * aggregates (count/min/max) are exposed to the hash: a combined
-  * double `sum` is reassociated relative to the oracle's sequential
-  * sum, which is correct but not bit-identical.
+  * on real data, not just its plan shape. All five stat aggregates are
+  * exposed to the hash, including avg/sum: the pyramid carries the
+  * exact integer cents sum (`vsc`), whose combine is associative, so
+  * the served mean/sum are bit-identical to the oracle's fixed-point
+  * computation over raw rows.
   *
   * The session must be built with
   * `withExtensions(new graft.functions.GraftExtensions)` — `Verify`
@@ -33,37 +32,52 @@ import graft.tables.Tables
   */
 object EngineSqlQueries {
 
-  /** One ingested root per (session, sfDir) per JVM. `Bench`'s untimed
-    * warmup pass builds it; the timed pass and every later query reuse
-    * it — which mirrors production, where ingest is a standing pipeline
-    * and queries hit an already-populated root. */
+  /** One ingested root per (session, sfDir) per JVM — ingest is a
+    * standing pipeline in production; queries hit an already-populated
+    * root. `Bench` calls [[prebuild]] to pay this cost in its fixture
+    * phase, BEFORE any warmup or timing. */
   private val roots = TrieMap[(SparkSession, String), String]()
-  private val seq = new AtomicInteger(0)
+
+  /** Build the engine fixture root for `dir` now (idempotent). Bench
+    * invokes this in its fixture phase so that no engine ingest runs
+    * inside the measured (or even warmup) passes — residual executor/
+    * JVM state from an in-measurement ingest inflated unrelated query
+    * times by up to 54× before this phase existed. */
+  def prebuild(spark: SparkSession, dir: String): Unit = viewPrefix(spark, dir)
 
   private def viewPrefix(spark: SparkSession, dir: String): String =
     roots.getOrElseUpdate((spark, dir), {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_sql_root").toString
+      val scratch = sys.env.getOrElse("SPARK_GRAFT_SCRATCH",
+        System.getProperty("java.io.tmpdir"))
+      // deterministic per-fixture path: a rerun (or a run after a crash)
+      // finds and replaces the previous root instead of accreting a new
+      // temp directory per JVM
+      val tag = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir) & 0xffffffffL)
+      val root = s"$scratch/graft_sql_root_$tag"
+      // resolved + cleaned through the engine's Store (any Hadoop
+      // scheme, not only POSIX); the root is also removed at JVM exit
+      val store = new Store(root, spark.sessionState.newHadoopConf())
+      store.deleteRecursive("")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try store.deleteRecursive("") catch { case _: Exception => () }))
       val db = new Btrdb(spark, root)
       val sids = db.createStreams((0 until Tables.NumSids).map(k =>
         (s"sql-u$k", "sql/events", Map("sid" -> k.toString))))
       require(sids == (0L until Tables.NumSids.toLong),
         s"fresh root must allocate sids 0..${Tables.NumSids - 1}, got $sids")
-      val pts = Tables.points(spark, dir)
-        .select("sid", "time", "value").cache()
-      (0 until Tables.NumSids).foreach { k =>
-        db.insert(s"sql-u$k",
-          pts.filter(col("sid") === k).select("time", "value"))
-        db.flush(s"sql-u$k")
-      }
-      pts.unpersist()
-      val prefix = s"gsql${seq.incrementAndGet()}"
+      // ONE fixture scan stages every stream's points; per-stream flush
+      // then reads only its own staging partition
+      db.insertAll(Tables.points(spark, dir).select("sid", "time", "value"))
+      db.flushAll(maxAgeMillis = 0)
+      val prefix = s"gsql_$tag"
       db.registerViews(prefix)
       prefix
     })
 
   private val P = s"WITH points AS (${Tables.pointsSql})"
   private val pw = 44
+  private val sumCents = "SUM(CAST(ROUND(value*100, 0) AS BIGINT))"
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -81,17 +95,21 @@ object EngineSqlQueries {
 
     // A stat-shaped GROUP BY in plain SQL, REQUIRED to be served from
     // the rollup pyramid by the Catalyst substitution: the oracle
-    // computes the same aggregate from the raw fixture, so a hash match
-    // proves the pyramid's combined partials are exactly the raw truth.
+    // computes the same aggregates from the raw fixture, so a hash
+    // match proves the pyramid's combined partials — including the
+    // cents-exact avg and sum — are exactly the raw truth.
     "q_sql_pyramid" -> QueryDef(
       s"""$P SELECT sid, (time >> $pw) << $pw AS wstart,
          |  CAST(COUNT(*) AS BIGINT) AS cnt,
-         |  MIN(value) AS vmin, MAX(value) AS vmax
+         |  MIN(value) AS vmin, MAX(value) AS vmax,
+         |  $sumCents / 100.0 / NULLIF(COUNT(*), 0) AS vavg,
+         |  $sumCents / 100.0 AS vsum
          |FROM points GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       val p = viewPrefix(s, dir)
       val df = s.sql(
         s"""SELECT sid, shiftleft(shiftright(time, $pw), $pw) AS wstart,
-           |  count(*) AS cnt, min(value) AS vmin, max(value) AS vmax
+           |  count(*) AS cnt, min(value) AS vmin, max(value) AS vmax,
+           |  avg(value) AS vavg, sum(value) AS vsum
            |FROM ${p}_points GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
       val plan = df.queryExecution.executedPlan.toString()
       require(plan.contains("pyramid/pw="),

@@ -138,6 +138,32 @@ final class Store(rootUri: String, conf: Configuration) {
     }
   }
 
+  /** Atomically publish a file whose content is STREAMED by `write` —
+    * the large-content form of [[writeAtomic]] (same per-store commit
+    * point), for producers that must not hold the whole payload in
+    * driver memory. */
+  def writeAtomicStream(part: String)(write: java.io.OutputStream => Unit): Unit = {
+    val target = resolve(part)
+    fs.mkdirs(target.getParent)
+    if (isObjectStore) {
+      val out = fs.create(target, true)
+      try write(out) finally out.close()
+    } else {
+      val tmp = new Path(target.getParent, s".${target.getName}.tmp")
+      val out = fs.create(tmp, true)
+      try write(out) finally out.close()
+      fileContext.rename(tmp, target, Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** Stream a file's bytes into `out` (fixed copy buffer — never
+    * materializes the file). */
+  def copyTo(part: String, out: java.io.OutputStream): Unit = {
+    val in = fs.open(resolve(part))
+    try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+    finally in.close()
+  }
+
   private lazy val fileContext: FileContext =
     FileContext.getFileContext(root.toUri, conf)
 

@@ -62,4 +62,27 @@ class AdmissionSpec extends AnyFunSuite {
     val a = Admission.unlimited
     assert(a.run("anything")(3) == 3)
   }
+
+  test("gauges report occupancy and queue depth under load") {
+    val a = new Admission(Map("write" -> 1, "point_op" -> 4), maxQueue = 8)
+    assert(a.gauges == Map(
+      "write" -> PoolGauge(1, 0, 0), "point_op" -> PoolGauge(4, 0, 0)))
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val holder = new Thread(() => a.run("write") {
+      entered.countDown()
+      release.await(10, TimeUnit.SECONDS); ()
+    })
+    holder.start()
+    assert(entered.await(10, TimeUnit.SECONDS))
+    val waiter = new Thread(() => a.run("write")(()))
+    waiter.start()
+    Thread.sleep(100) // let the waiter park in the queue
+    assert(a.gauges("write") == PoolGauge(1, 1, 1),
+      s"saturated pool with one waiter, got ${a.gauges("write")}")
+    assert(a.gauges("point_op") == PoolGauge(4, 0, 0))
+    release.countDown()
+    holder.join(10000); waiter.join(10000)
+    assert(a.gauges("write") == PoolGauge(1, 0, 0))
+  }
 }

@@ -664,6 +664,10 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(info.streamCount > 0 && info.streamCount ==
       db.catalog.filter(!org.apache.spark.sql.functions.col("tombstoned")).count())
     assert(info.pointCount > 0)
+    // admission pool gauges ride along (idle here: nothing in flight)
+    assert(info.pools.keySet ==
+      Set(Admission.Write, Admission.Maintenance, Admission.PointOp))
+    assert(info.pools.values.forall(g => g.size > 0 && g.inUse == 0 && g.queued == 0))
   }
 
   test("catalog rewrites are versioned behind an atomic pointer") {

@@ -6,10 +6,12 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-/** archiveCommitLog: the commit directory must stay O(archive + recent)
+/** archiveCommitLog: the commit directory must stay O(segments + recent)
   * over an engine root's lifetime, the reader must see identical state
-  * before/after an archive, and the crash window between archive write
-  * and per-file delete must be harmless (duplicate lines dedup away).
+  * before/after an archive, the crash window between segment write and
+  * per-file delete must be harmless (duplicate lines dedup away), and
+  * closed segments must be IMMUTABLE — a later pass archives only the
+  * loose files and never reads or rewrites an earlier segment.
   */
 class CommitArchiveSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -69,10 +71,22 @@ class CommitArchiveSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(db.rawValues(uuid, 0, 64).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq == before)
 
-    // re-archive folds the previous archive + leftovers + new commits
+    // second pass: a NEW closed segment holds only the loose files; the
+    // first segment is untouched (not re-read, not rewritten) — the
+    // archive history is append-only, each pass O(new records)
+    val mtime1 = db.store.modificationTime("commits/archive-1.json").get
     assert(db.archiveCommitLog(maxFiles = 1))
-    val names2 = db.store.listNames("commits").filter(_.endsWith(".json"))
-    assert(names2 == Seq("archive-2.json"), s"got $names2")
+    val names2 = db.store.listNames("commits").filter(_.endsWith(".json")).sorted
+    assert(names2 == Seq("archive-1.json", "archive-2.json"), s"got $names2")
+    assert(db.store.readString("commits/archive-1.json").get == archived,
+      "closed segment must be byte-identical after a later pass")
+    assert(db.store.modificationTime("commits/archive-1.json").get == mtime1,
+      "closed segment must not be rewritten by a later pass")
+    val seg2 = db.store.readString("commits/archive-2.json").get
+    assert(!archived.linesIterator.toSet.subsetOf(seg2.linesIterator.toSet),
+      "second segment must not refold the first segment's records")
+    assert(seg2.linesIterator.contains(firstLine.trim),
+      "loose leftover must land in the new segment")
     assert(db.rawValues(uuid, 0, 128).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq == before :+ ((100L, 1.0)))
   }

@@ -189,6 +189,74 @@ class PyramidSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     db.close()
   }
 
+  test("equivalent bound spellings substitute; unaligned ones still bail") {
+    val db = seeded()
+    db.registerViews("gp8")
+    val expected = rawAgg(db, 8, Some(0L), bySid = false)
+    Seq(
+      "sid = 0 AND time >= 0 AND time <= 4095",  // inclusive high bound
+      "sid = 0 AND time BETWEEN 0 AND 4095",     // parser-lowered BETWEEN
+      "sid = 0 AND 0 <= time AND 4096 > time",   // literal on the left
+      "sid = 0 AND time > -1 AND time < 4096"    // exclusive low bound
+    ).foreach { where =>
+      val df = spark.sql(
+        s"""SELECT shiftleft(shiftright(time, 8), 8) AS w,
+           |  count(*) AS cnt, min(value) AS vmin, avg(value) AS vmean,
+           |  max(value) AS vmax
+           |FROM gp8_points WHERE $where GROUP BY 1 ORDER BY w""".stripMargin)
+      assert(readsPyramid(df), s"'$where' should substitute:\n${planOf(df)}")
+      assertSame(collectSql(df), expected)
+    }
+    // normalized-but-unaligned inclusive bound: time <= 4094 → hi = 4095
+    val unaligned = spark.sql(
+      """SELECT shiftleft(shiftright(time, 8), 8) AS w, count(*) AS cnt
+        |FROM gp8_points WHERE time <= 4094 GROUP BY 1""".stripMargin)
+    assert(!readsPyramid(unaligned), "a 4095 high bound is not 2^8-aligned")
+    db.close()
+  }
+
+  test("repeated bounds tighten instead of dropping a conjunct") {
+    val db = seeded()
+    db.registerViews("gp9")
+    val df = spark.sql(
+      """SELECT shiftleft(shiftright(time, 8), 8) AS w, count(*) AS cnt
+        |FROM gp9_points
+        |WHERE time >= 0 AND time >= 256 AND time < 4096 AND time < 1024
+        |GROUP BY 1 ORDER BY w""".stripMargin)
+    assert(readsPyramid(df), s"expected a pyramid scan:\n${planOf(df)}")
+    // served result must honor the TIGHT bounds [256, 1024)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = db.pointsView()
+      .filter(col("time") >= 256 && col("time") < 1024)
+      .groupBy(TimeOps.clampTime(col("time"), 8).as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == want, s"$got vs $want")
+    db.close()
+  }
+
+  test("avg/sum served from the pyramid are the exact cents aggregates") {
+    val db = seeded() // integer values — on the cents grid, so exact
+    db.registerViews("gp10")
+    val df = spark.sql(
+      """SELECT shiftleft(shiftright(time, 8), 8) AS w,
+        |  avg(value) AS a, sum(value) AS s
+        |FROM gp10_points GROUP BY 1 ORDER BY w""".stripMargin)
+    assert(readsPyramid(df), s"expected a pyramid scan:\n${planOf(df)}")
+    import graft.operators.StatOps.{cents, meanFromCents}
+    val exact = db.pointsView()
+      .groupBy(TimeOps.clampTime(col("time"), 8).as("w"))
+      .agg(meanFromCents(sum(cents(col("value"))), count(lit(1))).as("a"),
+        (sum(cents(col("value"))) / lit(100.0)).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    // BIT-identical, no tolerance: long cents sums are associative
+    assert(got == exact, s"$got vs $exact")
+    db.close()
+  }
+
   test("delete debt suppresses substitution; compaction restores it") {
     val db = seeded()
     db.deleteRange("u0", 0L, 1024L)
