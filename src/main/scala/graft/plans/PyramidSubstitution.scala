@@ -150,6 +150,12 @@ final class PyramidSubstitutionRule(session: SparkSession)
         }
         def low(v: Long): Boolean = { lo = Some(lo.fold(v)(math.max(_, v))); true }
         def high(v: Long): Boolean = { hi = Some(hi.fold(v)(math.min(_, v))); true }
+        // exclusive→half-open normalization needs v+1; at Long.MaxValue
+        // that wraps to MinValue (`time <= MaxValue` would substitute an
+        // EMPTY plan for an unbounded query) — bail instead, the raw
+        // plan already answers the degenerate bound correctly
+        def lowX(v: Long): Boolean = v != Long.MaxValue && low(v + 1)
+        def highX(v: Long): Boolean = v != Long.MaxValue && high(v + 1)
         val condsOk = conds.forall {
           case EqualTo(a: Attribute, LongLit(v)) if a.semanticEquals(sidA) =>
             pinSids(Seq(v))
@@ -161,24 +167,24 @@ final class PyramidSubstitutionRule(session: SparkSession)
           case GreaterThanOrEqual(a: Attribute, LongLit(v))
               if a.semanticEquals(timeA) => low(v)            // time >= v
           case GreaterThan(a: Attribute, LongLit(v))
-              if a.semanticEquals(timeA) => low(v + 1)        // time > v
+              if a.semanticEquals(timeA) => lowX(v)           // time > v
           case LessThan(a: Attribute, LongLit(v))
               if a.semanticEquals(timeA) => high(v)           // time < v
           case LessThanOrEqual(a: Attribute, LongLit(v))
-              if a.semanticEquals(timeA) => high(v + 1)       // time <= v
+              if a.semanticEquals(timeA) => highX(v)          // time <= v
           case LessThanOrEqual(LongLit(v), a: Attribute)
               if a.semanticEquals(timeA) => low(v)            // v <= time
           case LessThan(LongLit(v), a: Attribute)
-              if a.semanticEquals(timeA) => low(v + 1)        // v < time
+              if a.semanticEquals(timeA) => lowX(v)           // v < time
           case GreaterThan(LongLit(v), a: Attribute)
               if a.semanticEquals(timeA) => high(v)           // v > time
           case GreaterThanOrEqual(LongLit(v), a: Attribute)
-              if a.semanticEquals(timeA) => high(v + 1)       // v >= time
+              if a.semanticEquals(timeA) => highX(v)          // v >= time
           // BETWEEN survives analysis as a RuntimeReplaceable that only
           // lowers to >=/<= in the optimizer — after this rule runs
           case b: Between => (b.input, b.lower, b.upper) match {
             case (a: Attribute, LongLit(l), LongLit(u))
-                if a.semanticEquals(timeA) => low(l) && high(u + 1)
+                if a.semanticEquals(timeA) => low(l) && highX(u)
             case _ => false
           }
           case _ => false

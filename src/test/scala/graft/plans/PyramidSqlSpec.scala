@@ -257,6 +257,27 @@ class PyramidSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     db.close()
   }
 
+  test("Long.MaxValue inclusive bounds bail instead of wrapping to empty") {
+    val db = seeded()
+    db.registerViews("gp11")
+    // `time <= MaxValue` normalizes via hi+1, which would WRAP to
+    // MinValue and serve an empty result for an unbounded query — the
+    // guard must bail to the point log and keep the full answer
+    Seq(s"time <= ${Long.MaxValue}", s"${Long.MaxValue} >= time",
+        s"time BETWEEN 0 AND ${Long.MaxValue}",
+        s"time > ${Long.MaxValue}").foreach { where =>
+      val df = spark.sql(
+        s"""SELECT shiftleft(shiftright(time, 8), 8) AS w, count(*) AS cnt
+           |FROM gp11_points WHERE $where GROUP BY 1""".stripMargin)
+      assert(!readsPyramid(df), s"'$where' must bail:\n${planOf(df)}")
+      val want = db.pointsView().filter(expr(where))
+        .groupBy(TimeOps.clampTime(col("time"), 8).as("w"))
+        .agg(count(lit(1))).count()
+      assert(df.count() == want, s"'$where': ${df.count()} vs $want")
+    }
+    db.close()
+  }
+
   test("delete debt suppresses substitution; compaction restores it") {
     val db = seeded()
     db.deleteRange("u0", 0L, 1024L)
