@@ -1089,16 +1089,20 @@ class Btrdb(val spark: SparkSession, val root: String,
     * the checkpoint's internal RDD, which the CacheManager never sees —
     * so without the returned release() every maintenance pass would
     * leak one cached RDD into the block manager for the driver's
-    * lifetime. release() unpersists the RDDs the checkpoint registered. */
-  private val checkpointLock = new Object
-  private def checkpointReleasable(df: DataFrame): (DataFrame, () => Unit) =
-    checkpointLock.synchronized {
-      val before = spark.sparkContext.getPersistentRDDs.keySet
-      val cp = df.localCheckpoint()
-      val fresh = spark.sparkContext.getPersistentRDDs
-        .filter { case (id, _) => !before.contains(id) }.values.toSeq
-      (cp, () => fresh.foreach(_.unpersist(blocking = false)))
+    * lifetime. release() unpersists EXACTLY the checkpoint's own RDD —
+    * the one the returned Dataset's `LogicalRDD` leaf wraps — never a
+    * registry diff: with a 16-way write pool, a concurrent op's
+    * `.cache()` materializing during this checkpoint's job would land
+    * in a before/after diff of `getPersistentRDDs` and be torn down
+    * mid-operation by the wrong thread. */
+  private[engine] def checkpointReleasable(df: DataFrame): (DataFrame, () => Unit) = {
+    val cp = df.localCheckpoint()
+    val own = cp.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
+    require(own.nonEmpty, "localCheckpoint did not produce a LogicalRDD leaf")
+    (cp, () => own.foreach(_.unpersist(blocking = false)))
+  }
 
   private def commitJson(sid: Long, v: Long, kind: String,
                          tmin: Long, tmax: Long, n: Long,

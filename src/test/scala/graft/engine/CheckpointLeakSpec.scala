@@ -71,4 +71,31 @@ class CheckpointLeakSpec extends AnyFunSuite with BeforeAndAfterAll {
         "maintenance checkpoint is leaking block-manager storage")
     db.close()
   }
+
+  test("checkpoint release drops exactly its own RDD, never a bystander") {
+    val dir = Files.createTempDirectory("leakspec2").toString
+    val db = new Btrdb(spark, dir, sBuckets = 4, tBucketPw = 12,
+      bufferCommitThreshold = 1L,
+      pyramidLevels = Seq(4, 8), pyramidWBucketPw = 12, commitRangePw = 8)
+    import org.apache.spark.sql.functions.lit
+    def registry = spark.sparkContext.getPersistentRDDs.keySet
+    val before = registry
+    val (cp, release) = db.checkpointReleasable(
+      spark.range(200).withColumn("v", lit(1.0)).toDF())
+    val own = registry.diff(before)
+    assert(own.nonEmpty, "the eager checkpoint must persist an RDD")
+    assert(cp.count() == 200)
+    // a cache materialized while the checkpoint is LIVE (the window in
+    // which a registry-diff release would misattribute it)
+    val bystander = spark.range(100).withColumn("v", lit(2.0)).cache()
+    bystander.count()
+    release()
+    val after = registry
+    assert(own.forall(!after.contains(_)),
+      s"release() left the checkpoint's own RDD(s) $own persisted")
+    assert(after.exists(id => !before.contains(id) && !own.contains(id)),
+      "bystander cache should still be registered after release()")
+    bystander.unpersist(blocking = true)
+    db.close()
+  }
 }
