@@ -33,11 +33,14 @@ import graft.storage.Store
   *              maintenance dynamic-overwrites only dirtied partitions.
   *              `vsc` is the exact integer cents sum (StatOps.cents):
   *              long sums are associative, so pyramid-served mean/sum
-  *              are bit-deterministic and identical to the raw path —
-  *              exact for the 2-decimal fixed-point value domain; for
-  *              off-grid doubles the served mean is the (deterministic)
-  *              mean of cents-rounded values, while `vsum` keeps the
-  *              plain double sum
+  *              are bit-deterministic — and EXACT when every value lies
+  *              on the 2-decimal cents grid. Whether that holds is
+  *              TRACKED, not assumed: each insert commit records a
+  *              `grid` flag (one off-grid value in any commit clears
+  *              the stream's flag) and the SQL pyramid substitution
+  *              refuses to serve avg/sum for a non-grid stream — the
+  *              raw IEEE plan answers instead. `vsum` keeps the plain
+  *              double sum for the engine's own stat surface
   *
   * Scale design (100 TB, 1000 executors):
   *   - sbucket partitioning spreads streams; tbucket (2^48 ns ≈ 3.26 d)
@@ -479,6 +482,12 @@ class Btrdb(val spark: SparkSession, val root: String,
     * collapsed — pins below the floor read as EMPTY (the documented
     * "time travel forfeited" contract), never as delete-unaware rows. */
   private val compactedFloor = scala.collection.mutable.Map.empty[Long, Long]
+  /** True iff EVERY insert commit of the stream carried only values on
+    * the 2-decimal cents grid — the precondition for serving SQL
+    * avg/sum from the pyramid's integer cents sums exactly (off-grid
+    * doubles would be rounded by up to 0.005/point). AND-folded over
+    * the commit log; legacy records without the flag read as false. */
+  private val gridOk = scala.collection.mutable.Map.empty[Long, Boolean]
   @volatile private var commitStateSeeded = false
   /** Pyramid-level non-emptiness memo: each level is probed at most once
     * per (in)validation — a stat query must never walk the filesystem.
@@ -501,7 +510,10 @@ class Btrdb(val spark: SparkSession, val root: String,
           max(when(col("kind") === "delete", 1L).otherwise(0L)).as("del"),
           min(when(col("kind") === "insert", col("tmin"))).as("emin"),
           max(when(col("kind") === "insert", col("tmax"))).as("emax"),
-          max(when(col("compacted"), col("version"))).as("floor"))
+          max(when(col("compacted"), col("version"))).as("floor"),
+          min(when(col("kind") === "insert",
+            when(coalesce(col("grid"), lit(false)), 1L).otherwise(0L)))
+            .as("grid"))
         .collect().foreach { r =>
           majorCounts(r.getLong(0)) = r.getLong(1)
           if (r.getLong(2) == 1L) deleteDebt += r.getLong(0)
@@ -512,6 +524,8 @@ class Btrdb(val spark: SparkSession, val root: String,
           // compacted-away (empty), a bug only a second-session read
           // could observe
           if (!r.isNullAt(5)) compactedFloor(r.getLong(0)) = r.getLong(5)
+          // column 6: 1 iff every insert commit was cents-grid exact
+          if (!r.isNullAt(6)) gridOk(r.getLong(0)) = r.getLong(6) == 1L
         }
       commitStateSeeded = true
     }
@@ -585,7 +599,7 @@ class Btrdb(val spark: SparkSession, val root: String,
   def refreshCommits(): Unit = synchronized {
     invalidateCommits()
     majorCounts.clear(); deleteDebt.clear(); envelopes.clear()
-    compactedFloor.clear()
+    compactedFloor.clear(); gridOk.clear()
     commitStateSeeded = false
     invalidatePyramidPresence()
   }
@@ -635,6 +649,13 @@ class Btrdb(val spark: SparkSession, val root: String,
   private def hasDeleteDebt(sid: Long): Boolean = {
     seedCommitState()
     deleteDebt.contains(sid)
+  }
+
+  /** True iff the stream's committed values all lie on the cents grid
+    * (empty streams trivially do). */
+  private def gridOf(sid: Long): Boolean = {
+    seedCommitState()
+    gridOk.getOrElse(sid, true)
   }
 
   /** Insert: validate, stage; auto-commit when the buffer crosses the
@@ -724,7 +745,8 @@ class Btrdb(val spark: SparkSession, val root: String,
     * Everything else — validation verdicts, commit envelope, touched
     * ranges, pyramid maintenance — is derived from these partials, which
     * are ≤ one row per touched window. */
-  private def batchPartials(batch: DataFrame): DataFrame =
+  private def batchPartials(batch: DataFrame): DataFrame = {
+    val c = StatOps.cents(col("value"))
     batch.groupBy(TimeOps.clampTime(col("time"), partialPw).as("wstart"))
       .agg(count(lit(1)).as("cnt"),
         coalesce(sum(when(!TimeOps.validPoint(col("time"), col("value")), 1L)),
@@ -732,7 +754,14 @@ class Btrdb(val spark: SparkSession, val root: String,
         min("time").as("ts"), (max("time") + 1).as("te"),
         min("value").as("vmin"), max("value").as("vmax"),
         sum("value").as("vsum"),
-        sum(StatOps.cents(col("value"))).as("vsc"))
+        sum(c).as("vsc"),
+        // values NOT on the cents grid — lossy to round (off by up to
+        // 0.005) or outside the cents LONG domain entirely (c is null)
+        // — mark the commit inexact for pyramid-served SQL avg/sum
+        coalesce(sum(when(
+          !(col("value") === c / lit(100.0)) || c.isNull, 1L)),
+          lit(0L)).as("og"))
+  }
 
   /** Batch statistics from the partials: count, invalid count, envelope,
     * and the per-commit TOUCHED RANGES — the sub-envelope fidelity the
@@ -751,15 +780,16 @@ class Btrdb(val spark: SparkSession, val root: String,
     val MaxBuckets = 256
     val MaxRanges = 64
     var pw = partialPw
-    var buckets: Array[(Long, Long, Long, Long, Long)] = null // (b, n, bad, s, e)
+    // (b, n, bad, s, e, og)
+    var buckets: Array[(Long, Long, Long, Long, Long, Long)] = null
     while (buckets == null) {
       val got = partials
         .groupBy(TimeOps.clampTime(col("wstart"), pw).as("b"))
         .agg(sum("cnt").as("n"), sum("bad").as("bad"),
-          min("ts").as("s"), max("te").as("e"))
+          min("ts").as("s"), max("te").as("e"), sum("og").as("og"))
         .orderBy("b").limit(MaxBuckets + 1).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-          r.getLong(3), r.getLong(4)))
+          r.getLong(3), r.getLong(4), r.getLong(5)))
       // an overflowed collect is truncated — its stats are unusable
       if (got.length <= MaxBuckets || pw >= 60) buckets = got else pw += 8
     }
@@ -767,7 +797,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     // merge clusters of adjacent buckets (driver-side; ≤256 entries)
     val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val width = 1L << pw
-    buckets.sortBy(_._1).foreach { case (b, _, _, s, e) =>
+    buckets.sortBy(_._1).foreach { case (b, _, _, s, e, _) =>
       // adjacent iff this bucket starts right after the previous range's
       // last touched bucket: ((e-1) | (width-1)) + 1 is that next start
       if (merged.nonEmpty && b <= ((merged.last._2 - 1) | (width - 1)) + 1)
@@ -781,7 +811,8 @@ class Btrdb(val spark: SparkSession, val root: String,
       merged.remove(gi + 1)
     }
     BatchStats(buckets.map(_._2).sum, buckets.map(_._3).sum,
-      buckets.map(_._4).min, buckets.map(_._5).max - 1, merged.toSeq)
+      buckets.map(_._4).min, buckets.map(_._5).max - 1, merged.toSeq,
+      buckets.map(_._6).sum)
   }
 
   /** Commit a validated batch as the stream's next generation: write the
@@ -808,7 +839,7 @@ class Btrdb(val spark: SparkSession, val root: String,
       .partitionBy("sbucket", "tbucket")
       .parquet(path("points"))
     appendCommit(sid, v, "insert", st.tmin, st.tmax, st.n, st.ranges,
-      consumedBatches)
+      consumedBatches, grid = st.offGrid == 0L)
     // INSERT path: the batch's partial aggregates fold into the existing
     // rollup rows — no point-log rescan, no second batch pass
     maintainPyramid(sid, st.ranges, foldPartials = Some(partials))
@@ -976,7 +1007,10 @@ class Btrdb(val spark: SparkSession, val root: String,
     // reader's supersede rule picks the compacted one.
     writeCommitFile(s"commit-$sid-$maj-c.json",
       commitJson(sid, maj, "insert", tmin, tmax, n,
-        Seq((tmin, tmax + 1)), compacted = true))
+        Seq((tmin, tmax + 1)), compacted = true,
+        // surviving points are a subset of what the superseded records
+        // described — carry the stream's AND-folded grid flag forward
+        grid = gridOf(sid)))
     gcCommitFiles(sid, maj)
     invalidateCommits()
     deleteDebt -= sid // history collapsed; merge-on-read debt cleared
@@ -1073,7 +1107,7 @@ class Btrdb(val spark: SparkSession, val root: String,
       deleteDir(s"staging/sid=$sid")
       synchronized {
         majorCounts -= sid; envelopes -= sid; deleteDebt -= sid
-        minorCounts -= sid; compactedFloor -= sid
+        minorCounts -= sid; compactedFloor -= sid; gridOk -= sid
       }
     }
     invalidateCommits()
@@ -1108,12 +1142,14 @@ class Btrdb(val spark: SparkSession, val root: String,
                          tmin: Long, tmax: Long, n: Long,
                          ranges: Seq[(Long, Long)],
                          compacted: Boolean,
-                         batches: Seq[Long] = Nil): String = {
+                         batches: Seq[Long] = Nil,
+                         grid: Boolean = false): String = {
     val rangesJson = ranges
       .map { case (s, e) => s"""{"s":$s,"e":$e}""" }.mkString("[", ",", "]")
     s"""{"sid":$sid,"version":$v,"kind":"$kind","tmin":$tmin,""" +
       s""""tmax":$tmax,"npoints":$n,"ranges":$rangesJson,""" +
-      s""""compacted":$compacted,"batches":${batches.mkString("[", ",", "]")}}""" + "\n"
+      s""""compacted":$compacted,"batches":${batches.mkString("[", ",", "]")},""" +
+      s""""grid":$grid}""" + "\n"
   }
 
   /** Staged batch ids of one stream, from the partition directory names. */
@@ -1168,16 +1204,20 @@ class Btrdb(val spark: SparkSession, val root: String,
   private def appendCommit(sid: Long, v: Long, kind: String,
                            tmin: Long, tmax: Long, n: Long,
                            ranges: Seq[(Long, Long)],
-                           batches: Seq[Long] = Nil): Unit = {
+                           batches: Seq[Long] = Nil,
+                           grid: Boolean = false): Unit = {
     writeCommitFile(s"commit-$sid-$v.json",
       commitJson(sid, v, kind, tmin, tmax, n, ranges, compacted = false,
-        batches = batches))
+        batches = batches, grid = grid))
     seedCommitState()
     majorCounts(sid) = math.max(majorCounts.getOrElse(sid, 0L), v)
     if (kind == "delete") deleteDebt += sid
-    else envelopes(sid) = envelopes.get(sid) match {
-      case Some((a, b)) => (math.min(a, tmin), math.max(b, tmax))
-      case None => (tmin, tmax)
+    else {
+      envelopes(sid) = envelopes.get(sid) match {
+        case Some((a, b)) => (math.min(a, tmin), math.max(b, tmax))
+        case None => (tmin, tmax)
+      }
+      gridOk(sid) = gridOk.getOrElse(sid, true) && grid
     }
     invalidateCommits()
   }
@@ -1400,13 +1440,19 @@ class Btrdb(val spark: SparkSession, val root: String,
     * 2^pw for [[graft.plans.PyramidSubstitutionRule]], or None when the
     * rewrite would not be exactly equivalent: no maintained level ≤ pw,
     * or an affected stream has staged points or un-compacted delete
-    * debt (the merge-on-read cases the pyramid does not reflect).
+    * debt (the merge-on-read cases the pyramid does not reflect), or —
+    * when the query asks for avg/sum (`needExactSum`) — an affected
+    * stream holds values off the cents grid: the pyramid's mean/sum are
+    * the exact integer cents sums, which for off-grid doubles differ
+    * from the point-log plan's IEEE aggregates by up to 0.005/point, so
+    * an optimizer rule must not swap one for the other. (count/min/max
+    * are value-exact regardless and stay serveable.)
     *
     * Columns: (sid?), wstart, cnt, vmin, vmean, vmax, vsum — the rule
     * projects the subset the query asked for; Catalyst prunes the rest. */
   private[graft] def pyramidFrameFor(sids: Option[Seq[Long]],
       lo: Option[Long], hi: Option[Long], pw: Int,
-      bySid: Boolean): Option[DataFrame] = {
+      bySid: Boolean, needExactSum: Boolean = false): Option[DataFrame] = {
     seedCommitState(); seedMinors()
     val level = pyramidLevels.filter(_ <= pw).sorted.lastOption
       .filter(pyramidHas)
@@ -1416,7 +1462,8 @@ class Btrdb(val spark: SparkSession, val root: String,
       .filterNot(tomb.contains)
     val clean = affected.forall(s =>
       !deleteDebt.contains(s) && minorCounts.getOrElse(s, 0L) == 0L)
-    if (level.isEmpty || !clean) None
+    val exactOk = !needExactSum || affected.forall(gridOf)
+    if (level.isEmpty || !clean || !exactOk) None
     else {
       var df = spark.read.parquet(path(s"pyramid/pw=${level.get}"))
       sids.foreach { ss =>
@@ -1431,9 +1478,12 @@ class Btrdb(val spark: SparkSession, val root: String,
       val keys = (if (bySid) Seq(col("sid")) else Nil) :+
         TimeOps.clampTime(col("wstart"), pw).as("wstart")
       // vmean/vsum derive from the EXACT integer cents sum — long sums
-      // are associative, so the served aggregate is bit-identical to a
-      // sequential raw computation (the fixed-point value-domain
-      // contract StatOps.cents documents)
+      // are associative, and the needExactSum gate above guarantees
+      // every affected value lies on the cents grid, so (Σcents)/100 is
+      // the correctly-rounded exact sum. (The point-log plan's IEEE
+      // double sum is itself partitioning-dependent at ulp scale, so
+      // serving the exact value sits within Spark's own aggregate
+      // nondeterminism envelope.)
       Some(df.groupBy(keys: _*)
         .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
           StatOps.meanFromCents(sum("vsc"), sum("cnt")).as("vmean"),
@@ -1807,9 +1857,12 @@ class Btrdb(val spark: SparkSession, val root: String,
     catalog.filter(col("sid") === sid).select("uuid").head().getString(0)
 }
 
-/** One-pass batch statistics (see Btrdb.batchStats). */
+/** One-pass batch statistics (see Btrdb.batchStats). `offGrid` counts
+  * values NOT exactly representable on the 2-decimal cents grid — a
+  * single off-grid commit forfeits the stream's exact-avg/sum pyramid
+  * serving (see Btrdb.gridOf). */
 final case class BatchStats(n: Long, bad: Long, tmin: Long, tmax: Long,
-    ranges: Seq[(Long, Long)])
+    ranges: Seq[(Long, Long)], offGrid: Long = 0L)
 
 /** One touched time range [s, e) of a commit — the exact point envelope
   * of a cluster of adjacent commitRangePw buckets. */
@@ -1865,7 +1918,7 @@ object Btrdb {
   val CommitSchema =
     "sid BIGINT, version BIGINT, kind STRING, tmin BIGINT, tmax BIGINT, " +
       "npoints BIGINT, ranges ARRAY<STRUCT<s: BIGINT, e: BIGINT>>, " +
-      "compacted BOOLEAN, batches ARRAY<BIGINT>"
+      "compacted BOOLEAN, batches ARRAY<BIGINT>, grid BOOLEAN"
   val StagingSchema = "sid BIGINT, time BIGINT, value DOUBLE"
   val PointsSchema =
     "sid BIGINT, time BIGINT, value DOUBLE, version BIGINT, sbucket INT, tbucket BIGINT"

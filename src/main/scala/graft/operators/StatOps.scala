@@ -16,12 +16,23 @@ import graft.core.TimeOps
   */
 object StatOps {
 
+  /** Largest |value| whose cents fit a LONG with margin (9e16 × 100 =
+    * 9e18 < 2^63−1 ≈ 9.22e18). Outside it [[cents]] is NULL. */
+  val CentsDomain: Double = 9.0e16
+
   /** Exact integer representation of a 2-decimal double column (cents).
     * Aggregating cents as LONG makes sums/means bit-deterministic across
     * engines — the strategy SURVEY §7.4(7) calls for to hash-match the
     * DuckDB oracle (double summation order would otherwise differ in ulps).
-    */
-  def cents(v: Column): Column = round(v * 100, 0).cast("long")
+    *
+    * NULL outside ±[[CentsDomain]] (and for NaN/±Inf): under ANSI mode
+    * an unguarded `cast(double as long)` THROWS on overflow, which
+    * would crash ingest partials and pyramid maintenance on any legal
+    * finite double ≥ ~9.2e16. Such values are inherently off the cents
+    * grid, so sums skipping the null and the grid tracker counting it
+    * inexact is the correct degradation. */
+  def cents(v: Column): Column =
+    when(v.between(-CentsDomain, CentsDomain), round(v * 100, 0).cast("long"))
 
   /** Exact mean from a cents-sum and a count: both operands are exact
     * integers, so the IEEE divisions are bit-identical in any engine. */

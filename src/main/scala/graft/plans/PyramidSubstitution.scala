@@ -48,8 +48,13 @@ import graft.engine.Btrdb
   *     over-count, so it bails;
   *   - the engine confirms the affected streams are clean: pyramid
   *     level present, no staged (minor-version) points, no un-compacted
-  *     delete debt, no tombstoned stream awaiting purge. Anything else
-  *     falls through to the merge-on-read point-log plan unchanged.
+  *     delete debt, no tombstoned stream awaiting purge;
+  *   - avg/sum additionally require every affected stream's values to
+  *     lie on the 2-decimal cents grid (tracked per insert commit) —
+  *     the pyramid serves them from exact integer cents sums, which for
+  *     off-grid doubles would differ from the IEEE plan by up to
+  *     0.005/point. Anything else falls through to the merge-on-read
+  *     point-log plan unchanged.
   *
   * Registered per-session via [[graft.functions.GraftExtensions]]
   * (post-hoc resolution — the view's `SubqueryAlias` marker is still
@@ -94,8 +99,14 @@ final class PyramidSubstitutionRule(session: SparkSession)
       (view, conds) <- peel(agg.child, Nil)
       engine <- PyramidSubstitution.lookup(session, view.alias)
       shape <- matchShape(engine, view.output, conds, agg)
+      // avg/sum are served from the exact integer cents sums, which is
+      // only equivalent for streams whose every value lies on the cents
+      // grid — the engine bails otherwise (count/min/max need no such
+      // guarantee)
+      needExactSum = agg.aggregateExpressions.exists(ne =>
+        classify(ne, shape).exists(c => c == "vmean" || c == "vsum"))
       frame <- shape.engine.pyramidFrameFor(
-        shape.sids, shape.lo, shape.hi, shape.pw, shape.bySid)
+        shape.sids, shape.lo, shape.hi, shape.pw, shape.bySid, needExactSum)
     } yield splice(agg, shape, frame.queryExecution.analyzed)
 
   /** Strip Filter/View layers down to the view's SubqueryAlias marker,

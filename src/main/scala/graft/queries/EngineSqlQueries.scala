@@ -24,7 +24,12 @@ import graft.tables.Tables
   * exposed to the hash, including avg/sum: the pyramid carries the
   * exact integer cents sum (`vsc`), whose combine is associative, so
   * the served mean/sum are bit-identical to the oracle's fixed-point
-  * computation over raw rows.
+  * computation over raw rows. Serving avg/sum this way is gated on the
+  * per-stream cents-grid flag the ingest path records — the fixture's
+  * `events.value` column is 2-decimal, so every stream qualifies and
+  * the rule is REQUIRED to fire; a stream with off-grid doubles would
+  * instead fall back to the raw IEEE plan (PyramidSqlSpec pins both
+  * sides).
   *
   * The session must be built with
   * `withExtensions(new graft.functions.GraftExtensions)` — `Verify`

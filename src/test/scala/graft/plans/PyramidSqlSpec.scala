@@ -257,6 +257,81 @@ class PyramidSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     db.close()
   }
 
+  test("off-grid values bail avg/sum to the IEEE plan; count/min/max still serve") {
+    val db = mkDb()
+    db.createStream("og0", "c", Map("k" -> "og"))
+    // π-scaled values are nowhere near the cents grid: rounding them to
+    // integer cents would shift each by up to 0.005 — the substitution
+    // must refuse to serve avg/sum for this stream
+    insertPts(db, "og0", (0 until 512).map(i => (i * 8L, i * math.Pi * 1e-4)))
+    db.registerViews("gp12")
+    val withAvg = spark.sql(
+      """SELECT shiftleft(shiftright(time, 8), 8) AS w,
+        |  avg(value) AS a, sum(value) AS s
+        |FROM gp12_points GROUP BY 1 ORDER BY w""".stripMargin)
+    assert(!readsPyramid(withAvg),
+      s"avg/sum over an off-grid stream must bail:\n${planOf(withAvg)}")
+    // the raw plan serves the true IEEE aggregates
+    val raw = db.pointsView()
+      .groupBy(TimeOps.clampTime(col("time"), 8).as("w"))
+      .agg(avg("value").as("a"), sum("value").as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val got = withAvg.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    got.zip(raw).foreach { case (g, r) =>
+      assert(g._1 == r._1 && math.abs(g._2 - r._2) <= math.ulp(r._2) * 8 &&
+        math.abs(g._3 - r._3) <= math.ulp(r._3) * 8, s"$g vs $r")
+    }
+    // count/min/max need no grid guarantee — same stream, still served
+    val noSum = spark.sql(
+      """SELECT shiftleft(shiftright(time, 8), 8) AS w,
+        |  count(*) AS cnt, min(value) AS vmin, max(value) AS vmax
+        |FROM gp12_points GROUP BY 1 ORDER BY w""".stripMargin)
+    assert(readsPyramid(noSum),
+      s"count/min/max should still substitute:\n${planOf(noSum)}")
+    assert(noSum.count() == withAvg.count())
+    // a legal finite double beyond the cents LONG domain: ingest and
+    // pyramid maintenance must not hit an ANSI cast overflow, the value
+    // must read back exactly, and the stream is simply off-grid
+    insertPts(db, "og0", Seq((100000L, 1.0e17)))
+    val big = db.rawValues("og0", 100000L, 100001L).collect()
+    assert(big.length == 1 && big(0).getDouble(big(0).fieldIndex("value")) == 1.0e17)
+    db.close()
+  }
+
+  test("grid flag survives reopen and an off-grid commit clears it for good") {
+    val dir = Files.createTempDirectory("pyrsqlgrid").toString
+    def open() = new Btrdb(spark, dir, sBuckets = 4, tBucketPw = 12,
+      bufferCommitThreshold = 1L,
+      pyramidLevels = Seq(4, 8), pyramidWBucketPw = 12, commitRangePw = 8)
+    val db = open()
+    db.createStream("g0", "c", Map.empty)
+    insertPts(db, "g0", (0 until 256).map(i => (i * 8L, i * 0.25)))
+    db.close()
+    // i*0.25 is 25i cents — exactly on the grid — so a REOPENED engine
+    // must still serve avg, proving the flag is read back from the
+    // commit log's persisted records, not only from in-memory state
+    val db2 = open()
+    db2.registerViews("gp13")
+    val sql =
+      """SELECT shiftleft(shiftright(time, 8), 8) AS w, avg(value) AS a
+        |FROM gp13_points GROUP BY 1""".stripMargin
+    assert(readsPyramid(spark.sql(sql)),
+      "grid flag must persist across engine restarts")
+    // one off-grid commit poisons the stream permanently
+    db2.insert("g0", spark.createDataFrame(
+      Seq((10000L, 0.001))).toDF("time", "value"))
+    assert(!readsPyramid(spark.sql(sql)),
+      "an off-grid commit must clear the stream's grid flag")
+    db2.close()
+    val db3 = open()
+    db3.registerViews("gp14")
+    assert(!readsPyramid(spark.sql(sql.replace("gp13", "gp14"))),
+      "the cleared grid flag must persist across restarts too")
+    db3.close()
+  }
+
   test("Long.MaxValue inclusive bounds bail instead of wrapping to empty") {
     val db = seeded()
     db.registerViews("gp11")
