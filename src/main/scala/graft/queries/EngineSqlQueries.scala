@@ -50,19 +50,43 @@ object EngineSqlQueries {
     * times by up to 54× before this phase existed. */
   def prebuild(spark: SparkSession, dir: String): Unit = viewPrefix(spark, dir)
 
+  private val RootPrefix = "graft_sql_root_"
+  /** A crash leftover is one whose engine lock has missed this many
+    * heartbeat refreshes — matches Btrdb's default lockStaleMillis. */
+  private val StaleLockMillis = 120000L
+
   private def viewPrefix(spark: SparkSession, dir: String): String =
     roots.getOrElseUpdate((spark, dir), {
-      val scratch = sys.env.getOrElse("SPARK_GRAFT_SCRATCH",
-        System.getProperty("java.io.tmpdir"))
-      // deterministic per-fixture path: a rerun (or a run after a crash)
-      // finds and replaces the previous root instead of accreting a new
-      // temp directory per JVM
+      val scratch = sys.props.get("graft.sql.scratch")
+        .orElse(sys.env.get("SPARK_GRAFT_SCRATCH"))
+        .getOrElse(System.getProperty("java.io.tmpdir"))
+      val conf = spark.sessionState.newHadoopConf()
+      // the root path is unique per (fixture, JVM, session): a hash-only
+      // path let a second session or a concurrent JVM sharing the
+      // scratch dir deleteRecursive a LIVE root (lock file included,
+      // silently bypassing the single-writer check) out from under the
+      // session that registered views on it
       val tag = java.lang.Long.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(dir) & 0xffffffffL)
-      val root = s"$scratch/graft_sql_root_$tag"
+      val name = s"$RootPrefix${tag}_p${ProcessHandle.current().pid()}" +
+        s"_s${Integer.toHexString(System.identityHashCode(spark))}"
+      // reap crash leftovers instead of accreting them: a LIVE fixture
+      // root heartbeats its engine.lock, so a missing or stale lock
+      // marks an orphan from a dead JVM; a fresh lock is left alone
+      val scratchStore = new Store(scratch, conf)
+      try scratchStore.listNames("")
+        .filter(n => n.startsWith(RootPrefix) && n != name)
+        .foreach { n =>
+          val live = scratchStore.modificationTime(s"$n/${Btrdb.LockFile}")
+            .exists(m => System.currentTimeMillis() - m <= StaleLockMillis)
+          if (!live)
+            try scratchStore.deleteRecursive(n) catch { case _: Exception => () }
+        }
+      catch { case _: Exception => () }
+      val root = s"$scratch/$name"
       // resolved + cleaned through the engine's Store (any Hadoop
       // scheme, not only POSIX); the root is also removed at JVM exit
-      val store = new Store(root, spark.sessionState.newHadoopConf())
+      val store = new Store(root, conf)
       store.deleteRecursive("")
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         try store.deleteRecursive("") catch { case _: Exception => () }))
@@ -75,7 +99,11 @@ object EngineSqlQueries {
       // then reads only its own staging partition
       db.insertAll(Tables.points(spark, dir).select("sid", "time", "value"))
       db.flushAll(maxAgeMillis = 0)
-      val prefix = s"gsql_$tag"
+      // session-unique: the pyramid-substitution registry is JVM-global
+      // and keyed by view name, so a shared prefix would let a second
+      // session's registration shadow the first's
+      val prefix =
+        s"gsql_${tag}_s${Integer.toHexString(System.identityHashCode(spark))}"
       db.registerViews(prefix)
       prefix
     })
@@ -116,11 +144,23 @@ object EngineSqlQueries {
            |  count(*) AS cnt, min(value) AS vmin, max(value) AS vmax,
            |  avg(value) AS vavg, sum(value) AS vsum
            |FROM ${p}_points GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
-      val plan = df.queryExecution.executedPlan.toString()
-      require(plan.contains("pyramid/pw="),
-        s"pyramid substitution did not fire:\n$plan")
-      require(!plan.contains("/points"),
-        s"substituted plan must not scan the point log:\n$plan")
+      // inspect the actual scan locations, not the rendered plan text —
+      // plan toString truncates long paths, which silently broke a
+      // substring check when the fixture root moved to a longer
+      // per-(jvm,session) path
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+      require(scans.exists(_.contains("pyramid/pw=")),
+        s"pyramid substitution did not fire; scans=$scans\n" +
+          df.queryExecution.optimizedPlan.toString())
+      require(!scans.exists(_.contains("/points")),
+        s"substituted plan must not scan the point log; scans=$scans")
       df
     })
 }
