@@ -12,6 +12,8 @@ while dimension tables (region, nation) stay fixed. Usage:
 import sys
 
 import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 
 def main(src: str, dst: str, factor: int) -> None:
@@ -58,8 +60,25 @@ def main(src: str, dst: str, factor: int) -> None:
     }
     for table, sql in plans.items():
         q = sql.format(src=src)
-        con.execute(f"COPY ({q}) TO '{dst}/{table}.parquet'"
-                    " (FORMAT PARQUET, COMPRESSION ZSTD)")
+        if table == "events":
+            # ts must round-trip as parquet TIMESTAMP(NANOS): DuckDB's
+            # writer downgrades it to us TIMESTAMP, which Spark reads as
+            # TimestampType instead of the long ns column the whole
+            # pipeline is built on (nanosAsLong) — route through pyarrow
+            # and restore the ns type. Bench queries previously FAILED
+            # silently on the replica because of the downgraded type
+            # (pre-round-6 Bench recorded a time for a failing query).
+            tbl = con.execute(q).fetch_arrow_table()
+            i = tbl.schema.get_field_index("ts")
+            tbl = tbl.set_column(
+                i, pa.field("ts", pa.timestamp("ns")),
+                tbl.column(i).cast(pa.timestamp("ns")))
+            pq.write_table(tbl, f"{dst}/{table}.parquet",
+                           compression="zstd", version="2.6",
+                           coerce_timestamps=None)
+        else:
+            con.execute(f"COPY ({q}) TO '{dst}/{table}.parquet'"
+                        " (FORMAT PARQUET, COMPRESSION ZSTD)")
         n = con.execute(f"SELECT count(*) FROM '{dst}/{table}.parquet'").fetchone()[0]
         print(f"{table}: {n} rows")
 
