@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
+
+import graft.engine.Btrdb
+import graft.functions.GraftExtensions
+
+/** The long-running service surface: Spark's Thrift JDBC/ODBC server
+  * over the engine's registered SQL views — the Spark-native analog of
+  * the reference's gRPC daemon (18 RPCs,
+  * /root/reference/grpcinterface/btrdb.proto:5-23, serve.go). Any
+  * JDBC/ODBC client (beeline, BI tools, a driverless script) can query
+  * `<prefix>_points` / `<prefix>_catalog` / `<prefix>_commits` as plain
+  * SQL, with the Catalyst pyramid substitution firing SERVER-side —
+  * stat-shaped aggregates are answered from the rollup, not the point
+  * log, for clients that have never heard of this library.
+  *
+  * The service attaches READ-ONLY (`lockRoot = false`): the engine's
+  * documented reader/writer contract (ReaderIsolationSpec) means an
+  * ingest writer keeps its advisory lock and commit cadence while any
+  * number of service JVMs serve queries — the daemon adds no second
+  * writer and needs no coordination.
+  *
+  * Usage: `sbt "runMain graft.Service <engineRoot> [prefix] [port]"`,
+  * then e.g. `beeline -u jdbc:hive2://localhost:<port>`.
+  */
+object Service {
+
+  /** Start the Thrift server on an already-configured session (the
+    * session must have been built with
+    * `spark.sql.hive.thriftServer.singleSession=true` so JDBC
+    * connections share the session that holds the temp views and the
+    * engine's optimizer extension, and with `hive.server2.thrift.port`
+    * set). Returns the server handle (typed as the public Hive
+    * supertype — the Spark subclass is package-private to Scala);
+    * `stop()` it to shut down. */
+  def start(spark: SparkSession): org.apache.hive.service.server.HiveServer2 =
+    HiveThriftServer2.startWithSparkSession(spark, exitOnError = false)
+
+  /** A session shaped for serving: views + substitution rule shared
+    * with every JDBC connection, engine extensions installed. Hive
+    * side-artifacts (derby log, warehouse dir) land in a temp scratch,
+    * not the process working directory. */
+  def buildSession(port: Int, cpus: Int): SparkSession = {
+    val scratch =
+      java.nio.file.Files.createTempDirectory("graft-service").toString
+    System.setProperty("derby.stream.error.file", s"$scratch/derby.log")
+    SparkSession.builder()
+      .config("spark.sql.warehouse.dir", s"$scratch/warehouse")
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft-service")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // one shared session: temp views and the pyramid-substitution
+      // registration live in the session the views were created in
+      .config("spark.sql.hive.thriftServer.singleSession", "true")
+      .config("hive.server2.thrift.port", port.toString)
+      .getOrCreate()
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: graft.Service <engineRoot> [viewPrefix] [port]")
+    val root = args(0)
+    val prefix = if (args.length > 1) args(1) else "graft"
+    val port = if (args.length > 2) args(2).toInt else 10000
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+    val spark = buildSession(port, cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    val db = new Btrdb(spark, root, lockRoot = false)
+    db.registerViews(prefix)
+    start(spark)
+    // scalastyle:off println
+    println(s"""{"service":"thrift-jdbc","port":$port,"views":""" +
+      s""""${prefix}_points,${prefix}_catalog,${prefix}_commits"}""")
+    // scalastyle:on println
+    // the server's non-daemon threads keep the JVM alive; park main
+    Thread.currentThread.join()
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Btrdb
+
+/** End-to-end daemon surface: a real Thrift JDBC server over a live
+  * engine root, queried through the stock Hive JDBC driver — no
+  * library classes on the "client" side of the wire. Pins that (a) the
+  * views resolve over JDBC, (b) results match the engine API, and
+  * (c) the pyramid substitution serves a stat aggregate to a JDBC
+  * client (the rollup answers, proven by value equality against the
+  * exact cents computation the pyramid stores).
+  */
+class ServiceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var server: org.apache.hive.service.server.HiveServer2 = _
+  private var port: Int = _
+  private var db: Btrdb = _
+
+  override def beforeAll(): Unit = {
+    port = {
+      val s = new java.net.ServerSocket(0)
+      try s.getLocalPort finally s.close()
+    }
+    spark = Service.buildSession(port, cpus = 4)
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = java.nio.file.Files.createTempDirectory("svcspec").toString
+    db = new Btrdb(spark, root, sBuckets = 4, tBucketPw = 12,
+      bufferCommitThreshold = 1L,
+      pyramidLevels = Seq(4, 8), pyramidWBucketPw = 12, commitRangePw = 8)
+    db.createStream("svc-u0", "svc/a", Map("k" -> "v"))
+    db.insert("svc-u0", spark.createDataFrame(
+      (0 until 512).map(i => (i * 8L, i.toDouble))).toDF("time", "value"))
+    db.registerViews("svc")
+    server = Service.start(spark)
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop()
+    if (db != null) db.close()
+    if (spark != null) spark.stop()
+  }
+
+  private def connect(): java.sql.Connection = {
+    Class.forName("org.apache.hive.jdbc.HiveDriver")
+    // the server binds asynchronously — poll until it accepts
+    val deadline = System.currentTimeMillis() + 60000
+    var last: Throwable = null
+    while (System.currentTimeMillis() < deadline) {
+      try {
+        return DriverManager.getConnection(
+          s"jdbc:hive2://localhost:$port/default", "anonymous", "")
+      } catch {
+        case e: Throwable => last = e; Thread.sleep(500)
+      }
+    }
+    throw new AssertionError(s"thrift server never came up on $port", last)
+  }
+
+  test("JDBC clients query engine views and pyramid-served stats") {
+    val conn = connect()
+    try {
+      val st = conn.createStatement()
+
+      // (a) raw view over the wire matches the engine API
+      val rs1 = st.executeQuery(
+        "SELECT count(*) AS n, min(time) AS t0, max(time) AS t1 FROM svc_points")
+      assert(rs1.next())
+      assert(rs1.getLong("n") == 512L)
+      assert(rs1.getLong("t0") == 0L && rs1.getLong("t1") == 511 * 8L)
+
+      // (b) catalog view resolves stream metadata
+      val rs2 = st.executeQuery(
+        "SELECT collection FROM svc_catalog WHERE uuid = 'svc-u0'")
+      assert(rs2.next() && rs2.getString(1) == "svc/a")
+
+      // (c) a stat-shaped aggregate over JDBC: integer values are on
+      // the cents grid, so the pyramid serves count/min/avg/max and the
+      // answers are the exact aggregates of 0..511 per 2^8 window
+      val rs3 = st.executeQuery(
+        """SELECT shiftleft(shiftright(time, 8), 8) AS w,
+          |  count(*) AS cnt, min(value) AS vmin, avg(value) AS vmean,
+          |  max(value) AS vmax
+          |FROM svc_points GROUP BY 1 ORDER BY w""".stripMargin)
+      var rows = 0
+      while (rs3.next()) {
+        val w = rs3.getLong("w")
+        // window [w, w+256) holds times w..w+255 step 8 → values w/8..w/8+31
+        val lo = w / 8.0
+        assert(rs3.getLong("cnt") == 32L)
+        assert(rs3.getDouble("vmin") == lo)
+        assert(rs3.getDouble("vmax") == lo + 31)
+        assert(rs3.getDouble("vmean") == lo + 15.5)
+        rows += 1
+      }
+      assert(rows == 16, s"512 points / 32 per 2^8 window = 16 windows, got $rows")
+
+      // and the SAME query in-session is pyramid-served (plan-level
+      // proof; the JDBC path shares this session via singleSession)
+      val plan = spark.sql(
+        """SELECT shiftleft(shiftright(time, 8), 8) AS w, count(*) AS cnt,
+          |  min(value) AS vmin, avg(value) AS vmean, max(value) AS vmax
+          |FROM svc_points GROUP BY 1""".stripMargin)
+        .queryExecution.executedPlan.toString()
+      assert(plan.contains("pyramid/pw=") && !plan.contains("/points"),
+        s"expected the pyramid to serve the stat shape:\n$plan")
+    } finally conn.close()
+  }
+}
