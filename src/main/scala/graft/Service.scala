@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
 
-import graft.engine.Btrdb
+import graft.engine.{Btrdb, Federation}
 import graft.functions.GraftExtensions
 
 /** The long-running service surface: Spark's Thrift JDBC/ODBC server
@@ -63,20 +63,33 @@ object Service {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: graft.Service <engineRoot> [viewPrefix] [port]")
-    val root = args(0)
+      "usage: graft.Service <engineRoot>[,root2,...] [viewPrefix] [port]")
+    val roots = args(0).split(",").toSeq.filter(_.nonEmpty)
     val prefix = if (args.length > 1) args(1) else "graft"
     val port = if (args.length > 2) args(2).toInt else 10000
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = buildSession(port, cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val db = new Btrdb(spark, root, lockRoot = false)
-    db.registerViews(prefix)
+    // one root: the full view surface incl. pyramid substitution.
+    // several: the federated union surface (engine-tagged), plus each
+    // member's own views under <prefix>_<i> for member-scoped queries
+    // with the substitution still available per member.
+    roots match {
+      case Seq(root) =>
+        new Btrdb(spark, root, lockRoot = false).registerViews(prefix)
+      case many =>
+        val members = many.zipWithIndex.map { case (r, i) =>
+          val e = new Btrdb(spark, r, lockRoot = false)
+          e.registerViews(s"${prefix}_$i")
+          (s"e$i", e)
+        }
+        Federation.registerViews(spark, prefix, members)
+    }
     start(spark)
     // scalastyle:off println
-    println(s"""{"service":"thrift-jdbc","port":$port,"views":""" +
-      s""""${prefix}_points,${prefix}_catalog,${prefix}_commits"}""")
+    println(s"""{"service":"thrift-jdbc","port":$port,"roots":${roots.size},""" +
+      s""""views":"${prefix}_points,${prefix}_catalog"}""")
     // scalastyle:on println
     // the server's non-daemon threads keep the JVM alive; park main
     Thread.currentThread.join()

@@ -112,4 +112,29 @@ class ServiceSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"expected the pyramid to serve the stat shape:\n$plan")
     } finally conn.close()
   }
+
+  test("a federated multi-root view is queryable over the same server") {
+    val root2 = java.nio.file.Files.createTempDirectory("svcspec2").toString
+    val db2 = new Btrdb(spark, root2, sBuckets = 4, tBucketPw = 12,
+      bufferCommitThreshold = 1L,
+      pyramidLevels = Seq(4, 8), pyramidWBucketPw = 12, commitRangePw = 8)
+    db2.createStream("svc-u1", "svc/b", Map("k" -> "w"))
+    db2.insert("svc-u1", spark.createDataFrame(
+      (0 until 128).map(i => (i * 4L, i * 2.0))).toDF("time", "value"))
+    // registered AFTER server start: singleSession means live temp
+    // views are immediately visible to connected JDBC clients
+    graft.engine.Federation.registerViews(spark, "fed",
+      Seq(("e0", db), ("e1", db2)))
+    val conn = connect()
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "SELECT engine, count(*) AS n FROM fed_points GROUP BY 1 ORDER BY 1")
+      assert(rs.next() && rs.getString(1) == "e0" && rs.getLong(2) == 512L)
+      assert(rs.next() && rs.getString(1) == "e1" && rs.getLong(2) == 128L)
+      assert(!rs.next())
+    } finally {
+      conn.close()
+      db2.close()
+    }
+  }
 }
