@@ -503,6 +503,68 @@ object EtlQueries {
         .orderBy("a", "b")
     },
 
+    // The duplicate-heavy-corpus form of embedding dedup: collapse
+    // bit-identical embeddings to one representative (min vec_id) with
+    // a multiplicity FIRST, then run the same banded LSH + exact rerank
+    // over representatives only. Pair-emission over the raw corpus is
+    // OUTPUT-bound — k identical copies of a vector contribute k²/2
+    // pairs, so a replicated/crawled corpus makes q_dedup_embcos
+    // quadratic in duplication (measured: 359 s at 100× vs 4.6 s at
+    // 10×, SCALE.md round-7) while this form stays linear: the LSH join
+    // sees each distinct vector once and multiplicities ride along as
+    // counts.
+    "q_dedup_embcos_rep" -> QueryDef(
+      s"""WITH g AS (
+         |  SELECT MIN(vec_id) AS vec_id, COUNT(*) AS n, embedding
+         |  FROM embeddings GROUP BY embedding),
+         |sc AS (
+         |  SELECT vec_id, unnest(range(len(embedding))) AS i,
+         |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * $Scale, 0) AS BIGINT) AS v
+         |  FROM g),
+         |${hyperplaneSql(nPlanes = 16)},
+         |bk AS (
+         |  SELECT vec_id, j // 8 AS band,
+         |    SUM(CASE WHEN b = 1
+         |        THEN (CAST(1 AS BIGINT) << CAST(j % 8 AS INTEGER)) ELSE 0 END) AS sig
+         |  FROM bits GROUP BY vec_id, j // 8),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM bk x JOIN bk y
+         |    ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id),
+         |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM sc GROUP BY vec_id),
+         |dots AS (
+         |  SELECT c.a, c.b, SUM(sa.v * sb.v) AS dot
+         |  FROM cand c
+         |  JOIN sc sa ON sa.vec_id = c.a
+         |  JOIN sc sb ON sb.vec_id = c.b AND sb.i = sa.i
+         |  GROUP BY c.a, c.b)
+         |SELECT d.a, d.b,
+         |  CAST(d.dot AS DOUBLE) / (sqrt(CAST(qa.nn AS DOUBLE)) * sqrt(CAST(qb.nn AS DOUBLE))) AS cos,
+         |  ga.n AS na, gb.n AS nb
+         |FROM dots d
+         |JOIN norms qa ON qa.vec_id = d.a JOIN norms qb ON qb.vec_id = d.b
+         |JOIN g ga ON ga.vec_id = d.a JOIN g gb ON gb.vec_id = d.b
+         |WHERE CAST(d.dot AS DOUBLE) / (sqrt(CAST(qa.nn AS DOUBLE)) * sqrt(CAST(qb.nn AS DOUBLE))) >= 0.2
+         |ORDER BY d.a, d.b""".stripMargin) { (s, dir) =>
+      import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
+      val g = emb(s, dir).groupBy("embedding")
+        .agg(min("vec_id").as("vec_id"), count(lit(1)).as("n"))
+      val cand = graft.etl.Similarity.candidatePairs(
+        g.select("vec_id", "embedding"), bands = 2, bits = 8, dim = 64)
+      cand
+        .join(g.select(col("vec_id").as("a"), col("embedding").as("ea"),
+          col("n").as("na")), "a")
+        .join(g.select(col("vec_id").as("b"), col("embedding").as("eb"),
+          col("n").as("nb")), "b")
+        .select(col("a"), col("b"),
+          (fixedPointDot(col("ea"), col("eb")).cast("double") /
+            (sqrt(fixedPointNormSq(col("ea")).cast("double")) *
+              sqrt(fixedPointNormSq(col("eb")).cast("double")))).as("cos"),
+          col("na"), col("nb"))
+        .filter(col("cos") >= 0.2)
+        .orderBy("a", "b")
+    },
+
     // IVF-style two-stage ANN: coarse quantization to a RANDOM-
     // HYPERPLANE bucket (8 deterministic hash-derived planes over all 64
     // dims — not fixed sign bits of a dim prefix), probe the query's
