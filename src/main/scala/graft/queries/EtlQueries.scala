@@ -84,9 +84,10 @@ object EtlQueries {
 
   /** DuckDB CTE for the distinct character-shingle set (mirror of
     * [[shinglesOf]]). */
-  private def shinglesSql(len: Int = ShingleLen, stride: Int = ShingleStride): String =
+  private def shinglesSql(len: Int = ShingleLen, stride: Int = ShingleStride,
+                          from: String = "documents"): String =
     s"""SELECT DISTINCT doc_id, substr(text, CAST(p AS INTEGER), $len) AS sh
-       |  FROM documents, generate_series(1, $MaxPos, $stride) AS g(p)
+       |  FROM $from, generate_series(1, $MaxPos, $stride) AS gp(p)
        |  WHERE p <= length(text) - ${len - 1}""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
@@ -160,6 +161,72 @@ object EtlQueries {
       val b = bands.withColumnRenamed("doc_id", "b")
       a.join(b, keys).filter(col("a") < col("b"))
         .select("a", "b").distinct().orderBy("a", "b")
+    },
+
+    // Replication-invariant MinHash: collapse bit-identical texts to a
+    // representative (min doc_id) + multiplicity, then the IDENTICAL
+    // lane/band pipeline over representatives only. Pair emission over
+    // a duplicate-heavy corpus is output-bound (k copies → k²/2 pairs
+    // per group — a crawled corpus at 100× replication put
+    // q_dedup_minhash at 92.5 s, SCALE.md round-7); this form's LSH
+    // join sees each distinct text once, so its cost and result are
+    // invariant under duplication and the counts carry the rest.
+    "q_dedup_minhash_rep" -> QueryDef(
+      s"""WITH g AS (
+         |  SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n, text
+         |  FROM documents GROUP BY text),
+         |shingles AS (
+         |${shinglesSql(from = "g")}),
+         |hs AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h1,
+         |    CAST('0x' || substr(md5(sh), 9, 8) AS BIGINT) AS h2
+         |  FROM shingles),
+         |mh AS (
+         |  SELECT doc_id,
+         |${laneSqlExprs}
+         |  FROM hs GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, l0 AS k0, l1 AS k1, l2 AS k2, l3 AS k3 FROM mh
+         |  UNION ALL SELECT doc_id, 1, l4, l5, l6, l7 FROM mh
+         |  UNION ALL SELECT doc_id, 2, l8, l9, l10, l11 FROM mh
+         |  UNION ALL SELECT doc_id, 3, l12, l13, l14, l15 FROM mh),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+         |    AND a.k2 = b.k2 AND a.k3 = b.k3 AND a.doc_id < b.doc_id)
+         |SELECT p.a, p.b, ga.n AS na, gb.n AS nb
+         |FROM pairs p
+         |JOIN g ga ON ga.doc_id = p.a JOIN g gb ON gb.doc_id = p.b
+         |ORDER BY p.a, p.b""".stripMargin) { (s, dir) =>
+      val g = docs(s, dir).groupBy("text")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n"))
+      val sh0 = shinglesOf(g.select("doc_id", "text"), distinctShingles = false)
+      val hs = sh0.select(col("doc_id"), md5(col("sh").cast("binary")).as("m"))
+        .select(col("doc_id"),
+          conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),
+          conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h2"))
+      val aggs = laneCoef.zipWithIndex.map { case ((a, b, c), i) =>
+        min((col("h1") * a + col("h2") * b + c) % LaneP).as(s"l$i")
+      }
+      val mh = hs.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      val bandCols = (0 until NumHashes / RowsPerBand).map { gi =>
+        struct(lit(gi).as("band"),
+          col(s"l${4 * gi}").as("k0"), col(s"l${4 * gi + 1}").as("k1"),
+          col(s"l${4 * gi + 2}").as("k2"), col(s"l${4 * gi + 3}").as("k3"))
+      }
+      val keys = Seq("band", "k0", "k1", "k2", "k3")
+      val bands = mh.select(col("doc_id"),
+          explode(array(bandCols: _*)).as("bs"))
+        .select(col("doc_id") +: keys.map(k => col(s"bs.$k").as(k)): _*)
+      val a = bands.withColumnRenamed("doc_id", "a")
+      val b = bands.withColumnRenamed("doc_id", "b")
+      a.join(b, keys).filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+        .join(g.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(g.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .select("a", "b", "na", "nb").orderBy("a", "b")
     },
 
     // SimHash: 16-bit signature; bit j votes from a hex digit of each
