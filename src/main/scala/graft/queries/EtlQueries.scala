@@ -343,12 +343,24 @@ object EtlQueries {
          |FROM d LEFT JOIN pred p ON d.doc_id = p.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       val d = docs(s, dir).filter(length(col("text")) >= 3)
-      val grams = graft.etl.LangId.trigrams(d, "text", LangIdMaxPos)
+      // training sampling is keyed by doc_id, so it runs on the raw
+      // corpus (the sample is 1/LangIdTrainMod of it); SCORING is a
+      // pure function of the text, so each DISTINCT text is scored
+      // once and the prediction joins back by text — on a
+      // duplicate-heavy corpus the ~200× trigram explosion prices
+      // distinct content only (same confusion matrix either way;
+      // the oracle scores per doc and hash-matches this)
       val prof = graft.etl.LangId.profiles(
-        grams.filter(col("doc_id") % LangIdTrainMod === 0), LangIdTopK)
-      val pred = graft.etl.LangId.classify(grams, prof, LangIdTopK)
-      d.select(col("doc_id"), col("lang"))
-        .join(pred, Seq("doc_id"), "left_outer")
+        graft.etl.LangId.trigrams(
+          d.filter(col("doc_id") % LangIdTrainMod === 0), "text", LangIdMaxPos),
+        LangIdTopK)
+      val reps = d.groupBy("text").agg(min("doc_id").as("doc_id"))
+      val predByText = graft.etl.LangId.classify(
+          graft.etl.LangId.trigrams(reps, "text", LangIdMaxPos),
+          prof, LangIdTopK)
+        .join(reps, "doc_id").select(col("text"), col("pred"))
+      d.select(col("doc_id"), col("lang"), col("text"))
+        .join(predByText, Seq("text"), "left_outer")
         .groupBy(col("lang"), coalesce(col("pred"), lit("en")).as("pred"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("lang", "pred")
