@@ -29,8 +29,13 @@ import graft.storage.Store
   *              per-stream partitions flush independently, per-batch
   *              subkeys make streaming replay idempotent
   *   pyramid/pw=K/sbucket=X/wbucket=Y/  one rollup table for ALL levels
-  *              (sid, wstart, cnt, vmin, vmax, vsum, vsc), partitioned so
-  *              maintenance dynamic-overwrites only dirtied partitions.
+  *              (sid, wstart, cnt, ccnt, vmin, vmax, vsum, vsc),
+  *              partitioned so maintenance dynamic-overwrites only
+  *              dirtied partitions. `ccnt` counts rows whose value has
+  *              a representable cents integer; serving compares Σccnt
+  *              to Σcnt and degrades that window's mean to Σvsum/Σcnt
+  *              when they differ (never a null-skipped cents sum over
+  *              the full count).
   *              `vsc` is the exact integer cents sum (StatOps.cents):
   *              long sums are associative, so pyramid-served mean/sum
   *              are bit-deterministic — and EXACT when every value lies
@@ -755,6 +760,11 @@ class Btrdb(val spark: SparkSession, val root: String,
         min("value").as("vmin"), max("value").as("vmax"),
         sum("value").as("vsum"),
         sum(c).as("vsc"),
+        // rows whose value HAS a representable cents integer — serving
+        // paths compare Σccnt to Σcnt and fall back to the double mean
+        // when they differ (a null-skipped vsc must never be divided by
+        // the full count)
+        count(c).as("ccnt"),
         // values NOT on the cents grid — lossy to round (off by up to
         // 0.005) or outside the cents LONG domain entirely (c is null)
         // — mark the commit inexact for pyramid-served SQL avg/sum
@@ -1295,30 +1305,33 @@ class Btrdb(val spark: SparkSession, val root: String,
       version == TimeConsts.LatestGeneration && !hasDeleteDebt(sid)
     if (usable) {
       val l = level.get
-      val committed = spark.read.parquet(path(s"pyramid/pw=$l"))
+      val committed = pyramidRead(s"pyramid/pw=$l")
         .filter(pyramidSlice(sid, s, e) &&
           col("wstart") >= s && col("wstart") < e)
         .select(TimeOps.clampTime(col("wstart"), pw).as("wstart"),
-          col("cnt"), col("vmin"), col("vsc"), col("vmax"))
+          col("cnt"), col("ccnt"), col("vmin"), col("vsc"), col("vsum"),
+          col("vmax"))
       val partials = if (minorOf(sid) == 0) committed else {
         val staged = stagingDf
           .filter(col("sid") === sid && col("time") >= s && col("time") < e)
           .groupBy(TimeOps.clampTime(col("time"), pw).as("wstart"))
-          .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
-            sum(StatOps.cents(col("value"))).as("vsc"), max("value").as("vmax"))
+          .agg(count(lit(1)).as("cnt"),
+            count(StatOps.cents(col("value"))).as("ccnt"),
+            min("value").as("vmin"),
+            sum(StatOps.cents(col("value"))).as("vsc"),
+            sum("value").as("vsum"), max("value").as("vmax"))
         committed.unionByName(staged)
       }
       partials.groupBy("wstart")
         .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
-          StatOps.meanFromCents(sum("vsc"), sum("cnt")).as("vmean"),
+          StatOps.rollupMean.as("vmean"),
           max("vmax").as("vmax"))
         .orderBy("wstart")
     } else
       readable(uuid, version, s, e)
         .groupBy(TimeOps.clampTime(col("time"), pw).as("wstart"))
         .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
-          StatOps.meanFromCents(sum(StatOps.cents(col("value"))),
-            count(lit(1))).as("vmean"),
+          StatOps.rawMean(col("value")).as("vmean"),
           max("value").as("vmax"))
         .orderBy("wstart")
   }
@@ -1343,7 +1356,7 @@ class Btrdb(val spark: SparkSession, val root: String,
       level.isDefined && !hasDeleteDebt(sid) && minorOf(sid) == 0)
     val parts = Seq(
       if (pyrSids.isEmpty) None else Some {
-        spark.read.parquet(path(s"pyramid/pw=${level.get}"))
+        pyramidRead(s"pyramid/pw=${level.get}")
           .filter(col("sid").isin(pyrSids: _*) &&
             col("sbucket").isin(pyrSids.map(_ % sBuckets).distinct: _*) &&
             col("wbucket") >= (s >> pyramidWBucketPw) &&
@@ -1351,7 +1364,7 @@ class Btrdb(val spark: SparkSession, val root: String,
             col("wstart") >= s && col("wstart") < e)
           .groupBy(col("sid"), TimeOps.clampTime(col("wstart"), pw).as("wstart"))
           .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
-            StatOps.meanFromCents(sum("vsc"), sum("cnt")).as("vmean"),
+            StatOps.rollupMean.as("vmean"),
             max("vmax").as("vmax"))
       },
       if (rawSids.isEmpty) None else Some {
@@ -1383,8 +1396,7 @@ class Btrdb(val spark: SparkSession, val root: String,
             .select("sid", "time", "value"))
         all.groupBy(col("sid"), TimeOps.clampTime(col("time"), pw).as("wstart"))
           .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
-            StatOps.meanFromCents(sum(StatOps.cents(col("value"))),
-              count(lit(1))).as("vmean"),
+            StatOps.rawMean(col("value")).as("vmean"),
             max("value").as("vmax"))
       }).flatten
     parts.reduce(_ unionByName _).orderBy("sid", "wstart")
@@ -1465,7 +1477,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     val exactOk = !needExactSum || affected.forall(gridOf)
     if (level.isEmpty || !clean || !exactOk) None
     else {
-      var df = spark.read.parquet(path(s"pyramid/pw=${level.get}"))
+      var df = pyramidRead(s"pyramid/pw=${level.get}")
       sids.foreach { ss =>
         df = df.filter(col("sbucket").isin(ss.map(_ % sBuckets).distinct: _*) &&
           col("sid").isin(ss: _*))
@@ -1512,19 +1524,18 @@ class Btrdb(val spark: SparkSession, val root: String,
         !hasDeleteDebt(sid))
     val agg0 = level match {
       case Some(l) =>
-        spark.read.parquet(path(s"pyramid/pw=$l"))
+        pyramidRead(s"pyramid/pw=$l")
           .filter(pyramidSlice(sid, start, e) &&
             col("wstart") >= start && col("wstart") < e)
           .groupBy(TimeOps.windowIndex(col("wstart"), start, width).as("i"))
           .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
-            StatOps.meanFromCents(sum("vsc"), sum("cnt")).as("vmean"),
+            StatOps.rollupMean.as("vmean"),
             max("vmax").as("vmax"))
       case None =>
         readable(uuid, version, start, e)
           .groupBy(TimeOps.windowIndex(col("time"), start, width).as("i"))
           .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
-            StatOps.meanFromCents(sum(StatOps.cents(col("value"))),
-              count(lit(1))).as("vmean"),
+            StatOps.rawMean(col("value")).as("vmean"),
             max("value").as("vmax"))
     }
     spark.range(n).toDF("i").join(agg0, Seq("i"), "left_outer")
@@ -1748,11 +1759,12 @@ class Btrdb(val spark: SparkSession, val root: String,
     val fold = foldPartials.isDefined
     val baseFresh = (foldPartials match {
         case Some(p) if partialPw == base =>
-          p.select(col("wstart"), col("cnt"), col("vmin"), col("vmax"),
-            col("vsum"), col("vsc"))
+          p.select(col("wstart"), col("cnt"), col("ccnt"), col("vmin"),
+            col("vmax"), col("vsum"), col("vsc"))
         case Some(p) =>
           p.groupBy(TimeOps.clampTime(col("wstart"), base).as("wstart"))
-            .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
+            .agg(sum("cnt").as("cnt"), sum("ccnt").as("ccnt"),
+              min("vmin").as("vmin"),
               max("vmax").as("vmax"), sum("vsum").as("vsum"),
               sum("vsc").as("vsc"))
         case None =>
@@ -1761,7 +1773,9 @@ class Btrdb(val spark: SparkSession, val root: String,
             pointsAt(uuid, TimeConsts.LatestGeneration, lo, hi)
           }.reduce(_ unionByName _)
             .groupBy(TimeOps.clampTime(col("time"), base).as("wstart"))
-            .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
+            .agg(count(lit(1)).as("cnt"),
+              count(StatOps.cents(col("value"))).as("ccnt"),
+              min("value").as("vmin"),
               max("value").as("vmax"), sum("value").as("vsum"),
               sum(StatOps.cents(col("value"))).as("vsc"))
       })
@@ -1776,12 +1790,14 @@ class Btrdb(val spark: SparkSession, val root: String,
     // dynamic-overwrite write, not one pair of jobs per level. Coarser
     // levels roll up from the finer fresh rows lazily — everything
     // materializes inside the one checkpoint job.
-    val cols = Seq("sid", "wstart", "cnt", "vmin", "vmax", "vsum", "vsc")
+    val cols =
+      Seq("sid", "wstart", "cnt", "ccnt", "vmin", "vmax", "vsum", "vsc")
     val freshByLevel = sorted.tail.scanLeft(base -> baseFresh) {
       case ((_, finer), pw) =>
         pw -> finer
           .groupBy(TimeOps.clampTime(col("wstart"), pw).as("wstart"))
-          .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
+          .agg(sum("cnt").as("cnt"), sum("ccnt").as("ccnt"),
+            min("vmin").as("vmin"),
             max("vmax").as("vmax"), sum("vsum").as("vsum"),
             sum("vsc").as("vsc"))
           .withColumn("sid", lit(sid))
@@ -1794,7 +1810,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     // everything else from the read
     val existing =
       if (!hasParquet("pyramid")) freshAll.select(pcols.map(col): _*).limit(0)
-      else spark.read.parquet(path("pyramid"))
+      else pyramidRead("pyramid")
         .filter(col("pw").isin(sorted: _*) && col("sbucket") === sb &&
           col("wbucket").isin(wbuckets: _*))
         .select(pcols.map(col): _*)
@@ -1805,7 +1821,8 @@ class Btrdb(val spark: SparkSession, val root: String,
         // pass through as single-row groups
         existing.unionByName(freshAll.select(pcols.map(col): _*))
           .groupBy("pw", "sid", "wstart")
-          .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
+          .agg(sum("cnt").as("cnt"), sum("ccnt").as("ccnt"),
+            min("vmin").as("vmin"),
             max("vmax").as("vmax"), sum("vsum").as("vsum"),
             sum("vsc").as("vsc"))
           .select(pcols.map(col): _*)
@@ -1843,6 +1860,22 @@ class Btrdb(val spark: SparkSession, val root: String,
     }
     release()
     baseFresh.unpersist()
+  }
+
+  /** Pyramid reader normalizing rollup rows written before the `ccnt`
+    * column existed: absent (or per-file null) ccnt reads as cnt, which
+    * is correct for legacy rows — the pre-ccnt build rejected any value
+    * without a representable cents integer with a loud cast error, so a
+    * legacy bucket can only hold in-domain values. (Residual edge:
+    * parquet schema inference samples one footer, so a MIXED
+    * legacy/new table could drop the column; only a legacy root later
+    * ingesting out-of-domain values can hit it, and its new buckets are
+    * rewritten with ccnt by the same maintenance pass.) */
+  private def pyramidRead(sub: String): DataFrame = {
+    val df = spark.read.parquet(path(sub))
+    if (df.columns.contains("ccnt"))
+      df.withColumn("ccnt", coalesce(col("ccnt"), col("cnt")))
+    else df.withColumn("ccnt", col("cnt"))
   }
 
   /** Partition-pruned pyramid slice: sbucket + wbucket filters reach the

@@ -39,13 +39,31 @@ object StatOps {
   def meanFromCents(sumCents: Column, count: Column): Column =
     sumCents / lit(100.0) / nullif(count, lit(0L))
 
+  /** Mean over raw value rows: the deterministic cents mean when every
+    * contributing value has a representable cents integer, the IEEE
+    * double mean otherwise. An out-of-domain value (|v| > CentsDomain,
+    * where [[cents]] is NULL) must DEGRADE the window to the double
+    * mean — a null-skipping cents sum divided by the full count would
+    * silently exclude it from the numerator only. */
+  def rawMean(value: Column): Column =
+    when(count(cents(value)) === count(value),
+      meanFromCents(sum(cents(value)), count(value)))
+      .otherwise(sum(value) / count(value))
+
+  /** The same degradation over pre-aggregated rollup rows carrying
+    * (cnt, ccnt = in-cents-domain count, vsc, vsum). */
+  def rollupMean: Column =
+    when(sum(col("ccnt")) === sum(col("cnt")),
+      meanFromCents(sum(col("vsc")), sum(col("cnt"))))
+      .otherwise(sum(col("vsum")) / sum(col("cnt")))
+
   /** The stat tuple (count,min,mean,max) over `value`, exact-mean variant.
     * Aliases cnt/vmin/vmean/vmax — `count`/`min`/`max` collide with SQL
     * function names on the oracle side. */
   def statAgg(value: Column): Seq[Column] = Seq(
     count(value).as("cnt"),
     min(value).as("vmin"),
-    meanFromCents(sum(cents(value)), count(value)).as("vmean"),
+    rawMean(value).as("vmean"),
     max(value).as("vmax"))
 
   /** AlignedWindows (reference /root/reference/quasar.go:266-304): tumbling

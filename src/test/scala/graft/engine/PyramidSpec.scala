@@ -179,6 +179,37 @@ class PyramidSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ch.length == 1 && ch.head.getLong(0) == -4096 && ch.head.getLong(1) == 4096)
   }
 
+  test("out-of-cents-domain values degrade vmean to the exact double mean") {
+    // 1e17 has no representable cents integer (cents() is NULL): the
+    // window mean must fall back to Σvalue/cnt on BOTH the raw and the
+    // pyramid-served path — a null-skipping cents sum over the full
+    // count would silently report 0.5 here instead of 5e16
+    val db = mkDb()
+    db.createStream("u-dom", "pyr/dom", Map.empty)
+    insertPts(db, "u-dom", Seq((0L, 1.0), (8L, 1.0e17)))
+    db.flush("u-dom")
+    val expected = (1.0 + 1.0e17) / 2
+    def meanOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.filter(org.apache.spark.sql.functions.col("cnt") > 0)
+        .head().getAs[Double]("vmean")
+    // pyramid-served (clean stream, pw=8 level exists)
+    assert(meanOf(db.alignedWindows("u-dom", 0L, 256L, 8)) == expected)
+    // raw path (version pin forces the point-log plan)
+    val (maj, _) = db.version("u-dom")
+    assert(meanOf(db.alignedWindows("u-dom", 0L, 256L, 8, version = maj))
+      == expected)
+    // windows() goes through its own agg pair
+    assert(meanOf(db.windows("u-dom", 0L, 256L, 256L)) == expected)
+    // an all-in-domain sibling window still serves the exact cents mean
+    insertPts(db, "u-dom", Seq((300L, 0.1), (310L, 0.2)))
+    db.flush("u-dom")
+    val m2 = db.alignedWindows("u-dom", 256L, 512L, 8)
+      .filter(org.apache.spark.sql.functions.col("cnt") > 0)
+      .head().getAs[Double]("vmean")
+    assert(m2 == (10L + 20L) / 100.0 / 2, s"cents mean expected, got $m2")
+    db.close()
+  }
+
   test("a delete draining a bucket clears its pyramid partition") {
     val db = mkDb()
     val uuid = "u-drain"
