@@ -43,6 +43,17 @@ object Service {
     * side-artifacts (derby log, warehouse dir) land in a temp scratch,
     * not the process working directory. */
   def buildSession(port: Int, cpus: Int): SparkSession = {
+    // getOrCreate would silently RETURN a pre-existing session without
+    // applying the port or singleSession confs — the server would bind
+    // the wrong port and JDBC clients would stop sharing the
+    // view-holding session. The service must own its session.
+    val leftover = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .filterNot(_.sparkContext.isStopped)
+    require(leftover.isEmpty,
+      "graft.Service must build its own SparkSession; a live one already " +
+        "exists in this JVM (thrift port / singleSession confs would be " +
+        "silently ignored by getOrCreate)")
     val scratch =
       java.nio.file.Files.createTempDirectory("graft-service").toString
     System.setProperty("derby.stream.error.file", s"$scratch/derby.log")
@@ -65,6 +76,8 @@ object Service {
     require(args.nonEmpty,
       "usage: graft.Service <engineRoot>[,root2,...] [viewPrefix] [port]")
     val roots = args(0).split(",").toSeq.filter(_.nonEmpty)
+    require(roots.nonEmpty,
+      "usage: graft.Service <engineRoot>[,root2,...] [viewPrefix] [port]")
     val prefix = if (args.length > 1) args(1) else "graft"
     val port = if (args.length > 2) args(2).toInt else 10000
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)

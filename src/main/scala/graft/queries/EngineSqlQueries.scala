@@ -51,9 +51,14 @@ object EngineSqlQueries {
   def prebuild(spark: SparkSession, dir: String): Unit = viewPrefix(spark, dir)
 
   private val RootPrefix = "graft_sql_root_"
-  /** A crash leftover is one whose engine lock has missed this many
-    * heartbeat refreshes — matches Btrdb's default lockStaleMillis. */
-  private val StaleLockMillis = 120000L
+  /** A crash leftover is one whose engine lock is this stale — 10× the
+    * engine's own takeover bound, because the stakes differ: the
+    * engine's lock steal claims a root it then OWNS, while the reaper
+    * DELETES a sibling's data. A JVM paused past the engine bound
+    * (long GC, machine suspend) must not lose its fixture to a
+    * concurrent run, so the reaper demands a margin no live heartbeat
+    * (30 s cadence) can miss short of real death. */
+  private val StaleLockMillis = 10L * 120000L
 
   private def viewPrefix(spark: SparkSession, dir: String): String =
     roots.getOrElseUpdate((spark, dir), {

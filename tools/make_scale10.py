@@ -68,14 +68,17 @@ def main(src: str, dst: str, factor: int) -> None:
             # and restore the ns type. Bench queries previously FAILED
             # silently on the replica because of the downgraded type
             # (pre-round-6 Bench recorded a time for a failing query).
-            tbl = con.execute(q).fetch_arrow_table()
-            i = tbl.schema.get_field_index("ts")
-            tbl = tbl.set_column(
-                i, pa.field("ts", pa.timestamp("ns")),
-                tbl.column(i).cast(pa.timestamp("ns")))
-            pq.write_table(tbl, f"{dst}/{table}.parquet",
-                           compression="zstd", version="2.6",
-                           coerce_timestamps=None)
+            # Streamed batch-by-batch: factor× the base table must not
+            # have to fit in driver memory.
+            reader = con.execute(q).fetch_record_batch()
+            i = reader.schema.get_field_index("ts")
+            schema = reader.schema.set(i, pa.field("ts", pa.timestamp("ns")))
+            with pq.ParquetWriter(f"{dst}/{table}.parquet", schema,
+                                  compression="zstd", version="2.6") as w:
+                for batch in reader:
+                    w.write_batch(pa.record_batch(
+                        [batch.column(j).cast(schema.field(j).type)
+                         for j in range(batch.num_columns)], schema=schema))
         else:
             con.execute(f"COPY ({q}) TO '{dst}/{table}.parquet'"
                         " (FORMAT PARQUET, COMPRESSION ZSTD)")
