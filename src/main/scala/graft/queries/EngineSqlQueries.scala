@@ -153,19 +153,10 @@ object EngineSqlQueries {
       // plan toString truncates long paths, which silently broke a
       // substring check when the fixture root moved to a longer
       // per-(jvm,session) path
-      val scans = df.queryExecution.optimizedPlan.collect {
-        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          l.relation match {
-            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              h.location.rootPaths.map(_.toString)
-            case _ => Nil
-          }
-      }.flatten
-      require(scans.exists(_.contains("pyramid/pw=")),
-        s"pyramid substitution did not fire; scans=$scans\n" +
+      require(graft.plans.PlanChecks.readsPyramidOnly(df),
+        "pyramid substitution did not fire; scans=" +
+          s"${graft.plans.PlanChecks.scanRootPaths(df)}\n" +
           df.queryExecution.optimizedPlan.toString())
-      require(!scans.exists(_.contains("/points")),
-        s"substituted plan must not scan the point log; scans=$scans")
       df
     })
 }

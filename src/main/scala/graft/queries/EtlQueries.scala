@@ -90,6 +90,114 @@ object EtlQueries {
        |  FROM $from, generate_series(1, $MaxPos, $stride) AS gp(p)
        |  WHERE p <= length(text) - ${len - 1}""".stripMargin
 
+  /** The 16-lane/4-band MinHash candidate pairs over `src`
+    * (doc_id, text) — ONE implementation shared by the pair and
+    * representative forms (and mirrored term-for-term by
+    * [[minhashPairsSql]]); a tuning change must touch exactly one
+    * Spark pipeline and one SQL builder. */
+  private def minhashBandPairs(src: DataFrame): DataFrame = {
+    val sh0 = shinglesOf(src, distinctShingles = false)
+    val hs = sh0.select(col("doc_id"), md5(col("sh").cast("binary")).as("m"))
+      .select(col("doc_id"),
+        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h2"))
+    val aggs = laneCoef.zipWithIndex.map { case ((a, b, c), i) =>
+      min((col("h1") * a + col("h2") * b + c) % LaneP).as(s"l$i")
+    }
+    val mh = hs.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until NumHashes / RowsPerBand).map { g =>
+      struct(lit(g).as("band"),
+        col(s"l${4 * g}").as("k0"), col(s"l${4 * g + 1}").as("k1"),
+        col(s"l${4 * g + 2}").as("k2"), col(s"l${4 * g + 3}").as("k3"))
+    }
+    val keys = Seq("band", "k0", "k1", "k2", "k3")
+    val bands = mh.select(col("doc_id"),
+        explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id") +: keys.map(k => col(s"bs.$k").as(k)): _*)
+    val a = bands.withColumnRenamed("doc_id", "a")
+    val b = bands.withColumnRenamed("doc_id", "b")
+    a.join(b, keys).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** The DuckDB mirror of [[minhashBandPairs]]: CTE chain
+    * shingles→hs→mh→bands→pairs over `from` (doc_id, text). */
+  private def minhashPairsSql(from: String): String =
+    s"""shingles AS (
+       |${shinglesSql(from = from)}),
+       |hs AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h1,
+       |    CAST('0x' || substr(md5(sh), 9, 8) AS BIGINT) AS h2
+       |  FROM shingles),
+       |mh AS (
+       |  SELECT doc_id,
+       |$laneSqlExprs
+       |  FROM hs GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, l0 AS k0, l1 AS k1, l2 AS k2, l3 AS k3 FROM mh
+       |  UNION ALL SELECT doc_id, 1, l4, l5, l6, l7 FROM mh
+       |  UNION ALL SELECT doc_id, 2, l8, l9, l10, l11 FROM mh
+       |  UNION ALL SELECT doc_id, 3, l12, l13, l14, l15 FROM mh),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+       |    AND a.k2 = b.k2 AND a.k3 = b.k3 AND a.doc_id < b.doc_id)"""
+      .stripMargin
+
+  /** Banded hyperplane-signature candidates over `base`
+    * (vec_id, embedding) + exact fixed-point cosine, one implementation
+    * for the pair and representative forms (SQL mirror:
+    * [[embcosPairsSql]]). Emits (a, b, cos) above `threshold`. */
+  private def cosinePairs(base: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
+    val cand = graft.etl.Similarity.candidatePairs(
+      base.select("vec_id", "embedding"), bands = 2, bits = 8, dim = 64)
+    cand
+      .join(base.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+      .join(base.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+      .select(col("a"), col("b"),
+        (fixedPointDot(col("ea"), col("eb")).cast("double") /
+          (sqrt(fixedPointNormSq(col("ea")).cast("double")) *
+            sqrt(fixedPointNormSq(col("eb")).cast("double")))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** The DuckDB mirror of [[cosinePairs]]: CTE chain
+    * sc→coef/bits→bk→cand→norms→dots→cpairs over `from`
+    * (vec_id, embedding); `cpairs` carries (a, b, cos) unthresholded.
+    */
+  private def embcosPairsSql(from: String): String =
+    s"""sc AS (
+       |  SELECT vec_id, unnest(range(len(embedding))) AS i,
+       |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * $Scale, 0) AS BIGINT) AS v
+       |  FROM $from),
+       |${hyperplaneSql(nPlanes = 16)},
+       |bk AS (
+       |  SELECT vec_id, j // 8 AS band,
+       |    SUM(CASE WHEN b = 1
+       |        THEN (CAST(1 AS BIGINT) << CAST(j % 8 AS INTEGER)) ELSE 0 END) AS sig
+       |  FROM bits GROUP BY vec_id, j // 8),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM bk x JOIN bk y
+       |    ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id),
+       |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM sc GROUP BY vec_id),
+       |dots AS (
+       |  SELECT c.a, c.b, SUM(sa.v * sb.v) AS dot
+       |  FROM cand c
+       |  JOIN sc sa ON sa.vec_id = c.a
+       |  JOIN sc sb ON sb.vec_id = c.b AND sb.i = sa.i
+       |  GROUP BY c.a, c.b),
+       |cpairs AS (
+       |  SELECT d.a, d.b,
+       |    CAST(d.dot AS DOUBLE) /
+       |      (sqrt(CAST(qa.nn AS DOUBLE)) * sqrt(CAST(qb.nn AS DOUBLE))) AS cos
+       |  FROM dots d
+       |  JOIN norms qa ON qa.vec_id = d.a JOIN norms qb ON qb.vec_id = d.b)"""
+      .stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- Deduplication ------------------------------------------------
@@ -116,51 +224,11 @@ object EtlQueries {
     // shuffle, dominated this query's cost. Everything stays exact
     // int64 (products < 2^53), so DuckDB reproduces it bit-for-bit.
     "q_dedup_minhash" -> QueryDef(
-      s"""WITH shingles AS (
-         |${shinglesSql()}),
-         |hs AS (
-         |  SELECT doc_id,
-         |    CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h1,
-         |    CAST('0x' || substr(md5(sh), 9, 8) AS BIGINT) AS h2
-         |  FROM shingles),
-         |mh AS (
-         |  SELECT doc_id,
-         |${laneSqlExprs}
-         |  FROM hs GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, l0 AS k0, l1 AS k1, l2 AS k2, l3 AS k3 FROM mh
-         |  UNION ALL SELECT doc_id, 1, l4, l5, l6, l7 FROM mh
-         |  UNION ALL SELECT doc_id, 2, l8, l9, l10, l11 FROM mh
-         |  UNION ALL SELECT doc_id, 3, l12, l13, l14, l15 FROM mh)
-         |SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
-         |  AND a.k2 = b.k2 AND a.k3 = b.k3 AND a.doc_id < b.doc_id
-         |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      s"""WITH ${minhashPairsSql("documents")}
+         |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin) { (s, dir) =>
       // min is duplicate-insensitive, so the shingle set needs no
       // distinct; the 16 lane mins are columns of ONE groupBy(doc_id).
-      val sh0 = shinglesOf(docs(s, dir), distinctShingles = false)
-      val hs = sh0.select(col("doc_id"), md5(col("sh").cast("binary")).as("m"))
-        .select(col("doc_id"),
-          conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),
-          conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h2"))
-      val aggs = laneCoef.zipWithIndex.map { case ((a, b, c), i) =>
-        min((col("h1") * a + col("h2") * b + c) % LaneP).as(s"l$i")
-      }
-      val mh = hs.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      val bandCols = (0 until NumHashes / RowsPerBand).map { g =>
-        struct(lit(g).as("band"),
-          col(s"l${4 * g}").as("k0"), col(s"l${4 * g + 1}").as("k1"),
-          col(s"l${4 * g + 2}").as("k2"), col(s"l${4 * g + 3}").as("k3"))
-      }
-      val keys = Seq("band", "k0", "k1", "k2", "k3")
-      val bands = mh.select(col("doc_id"),
-          explode(array(bandCols: _*)).as("bs"))
-        .select(col("doc_id") +: keys.map(k => col(s"bs.$k").as(k)): _*)
-      val a = bands.withColumnRenamed("doc_id", "a")
-      val b = bands.withColumnRenamed("doc_id", "b")
-      a.join(b, keys).filter(col("a") < col("b"))
-        .select("a", "b").distinct().orderBy("a", "b")
+      minhashBandPairs(docs(s, dir)).orderBy("a", "b")
     },
 
     // Replication-invariant MinHash: collapse bit-identical texts to a
@@ -175,55 +243,14 @@ object EtlQueries {
       s"""WITH g AS (
          |  SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n, text
          |  FROM documents GROUP BY text),
-         |shingles AS (
-         |${shinglesSql(from = "g")}),
-         |hs AS (
-         |  SELECT doc_id,
-         |    CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h1,
-         |    CAST('0x' || substr(md5(sh), 9, 8) AS BIGINT) AS h2
-         |  FROM shingles),
-         |mh AS (
-         |  SELECT doc_id,
-         |${laneSqlExprs}
-         |  FROM hs GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, l0 AS k0, l1 AS k1, l2 AS k2, l3 AS k3 FROM mh
-         |  UNION ALL SELECT doc_id, 1, l4, l5, l6, l7 FROM mh
-         |  UNION ALL SELECT doc_id, 2, l8, l9, l10, l11 FROM mh
-         |  UNION ALL SELECT doc_id, 3, l12, l13, l14, l15 FROM mh),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
-         |    AND a.k2 = b.k2 AND a.k3 = b.k3 AND a.doc_id < b.doc_id)
+         |${minhashPairsSql("g")}
          |SELECT p.a, p.b, ga.n AS na, gb.n AS nb
          |FROM pairs p
          |JOIN g ga ON ga.doc_id = p.a JOIN g gb ON gb.doc_id = p.b
          |ORDER BY p.a, p.b""".stripMargin) { (s, dir) =>
       val g = docs(s, dir).groupBy("text")
         .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n"))
-      val sh0 = shinglesOf(g.select("doc_id", "text"), distinctShingles = false)
-      val hs = sh0.select(col("doc_id"), md5(col("sh").cast("binary")).as("m"))
-        .select(col("doc_id"),
-          conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),
-          conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h2"))
-      val aggs = laneCoef.zipWithIndex.map { case ((a, b, c), i) =>
-        min((col("h1") * a + col("h2") * b + c) % LaneP).as(s"l$i")
-      }
-      val mh = hs.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      val bandCols = (0 until NumHashes / RowsPerBand).map { gi =>
-        struct(lit(gi).as("band"),
-          col(s"l${4 * gi}").as("k0"), col(s"l${4 * gi + 1}").as("k1"),
-          col(s"l${4 * gi + 2}").as("k2"), col(s"l${4 * gi + 3}").as("k3"))
-      }
-      val keys = Seq("band", "k0", "k1", "k2", "k3")
-      val bands = mh.select(col("doc_id"),
-          explode(array(bandCols: _*)).as("bs"))
-        .select(col("doc_id") +: keys.map(k => col(s"bs.$k").as(k)): _*)
-      val a = bands.withColumnRenamed("doc_id", "a")
-      val b = bands.withColumnRenamed("doc_id", "b")
-      a.join(b, keys).filter(col("a") < col("b"))
-        .select("a", "b").distinct()
+      minhashBandPairs(g.select("doc_id", "text"))
         .join(g.select(col("doc_id").as("a"), col("n").as("na")), "a")
         .join(g.select(col("doc_id").as("b"), col("n").as("nb")), "b")
         .select("a", "b", "na", "nb").orderBy("a", "b")
@@ -542,44 +569,10 @@ object EtlQueries {
     // threshold. Candidate volume scales as Σ bucket², tuned by bits
     // (SCALE.md) — never all-pairs.
     "q_dedup_embcos" -> QueryDef(
-      s"""WITH sc AS (
-         |  SELECT vec_id, unnest(range(len(embedding))) AS i,
-         |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * $Scale, 0) AS BIGINT) AS v
-         |  FROM embeddings),
-         |${hyperplaneSql(nPlanes = 16)},
-         |bk AS (
-         |  SELECT vec_id, j // 8 AS band,
-         |    SUM(CASE WHEN b = 1
-         |        THEN (CAST(1 AS BIGINT) << CAST(j % 8 AS INTEGER)) ELSE 0 END) AS sig
-         |  FROM bits GROUP BY vec_id, j // 8),
-         |cand AS (
-         |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-         |  FROM bk x JOIN bk y
-         |    ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id),
-         |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM sc GROUP BY vec_id),
-         |dots AS (
-         |  SELECT c.a, c.b, SUM(sa.v * sb.v) AS dot
-         |  FROM cand c
-         |  JOIN sc sa ON sa.vec_id = c.a
-         |  JOIN sc sb ON sb.vec_id = c.b AND sb.i = sa.i
-         |  GROUP BY c.a, c.b)
-         |SELECT d.a, d.b,
-         |  CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cos
-         |FROM dots d JOIN norms na ON na.vec_id = d.a JOIN norms nb ON nb.vec_id = d.b
-         |WHERE CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.2
-         |ORDER BY d.a, d.b""".stripMargin) { (s, dir) =>
-      import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
-      val base = emb(s, dir)
-      val cand = graft.etl.Similarity.candidatePairs(base, bands = 2, bits = 8, dim = 64)
-      cand
-        .join(base.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
-        .join(base.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
-        .select(col("a"), col("b"),
-          (fixedPointDot(col("ea"), col("eb")).cast("double") /
-            (sqrt(fixedPointNormSq(col("ea")).cast("double")) *
-              sqrt(fixedPointNormSq(col("eb")).cast("double")))).as("cos"))
-        .filter(col("cos") >= 0.2)
-        .orderBy("a", "b")
+      s"""WITH ${embcosPairsSql("embeddings")}
+         |SELECT a, b, cos FROM cpairs WHERE cos >= 0.2
+         |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      cosinePairs(emb(s, dir), threshold = 0.2).orderBy("a", "b")
     },
 
     // The duplicate-heavy-corpus form of embedding dedup: collapse
@@ -596,52 +589,18 @@ object EtlQueries {
       s"""WITH g AS (
          |  SELECT MIN(vec_id) AS vec_id, COUNT(*) AS n, embedding
          |  FROM embeddings GROUP BY embedding),
-         |sc AS (
-         |  SELECT vec_id, unnest(range(len(embedding))) AS i,
-         |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * $Scale, 0) AS BIGINT) AS v
-         |  FROM g),
-         |${hyperplaneSql(nPlanes = 16)},
-         |bk AS (
-         |  SELECT vec_id, j // 8 AS band,
-         |    SUM(CASE WHEN b = 1
-         |        THEN (CAST(1 AS BIGINT) << CAST(j % 8 AS INTEGER)) ELSE 0 END) AS sig
-         |  FROM bits GROUP BY vec_id, j // 8),
-         |cand AS (
-         |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-         |  FROM bk x JOIN bk y
-         |    ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id),
-         |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM sc GROUP BY vec_id),
-         |dots AS (
-         |  SELECT c.a, c.b, SUM(sa.v * sb.v) AS dot
-         |  FROM cand c
-         |  JOIN sc sa ON sa.vec_id = c.a
-         |  JOIN sc sb ON sb.vec_id = c.b AND sb.i = sa.i
-         |  GROUP BY c.a, c.b)
-         |SELECT d.a, d.b,
-         |  CAST(d.dot AS DOUBLE) / (sqrt(CAST(qa.nn AS DOUBLE)) * sqrt(CAST(qb.nn AS DOUBLE))) AS cos,
-         |  ga.n AS na, gb.n AS nb
-         |FROM dots d
-         |JOIN norms qa ON qa.vec_id = d.a JOIN norms qb ON qb.vec_id = d.b
-         |JOIN g ga ON ga.vec_id = d.a JOIN g gb ON gb.vec_id = d.b
-         |WHERE CAST(d.dot AS DOUBLE) / (sqrt(CAST(qa.nn AS DOUBLE)) * sqrt(CAST(qb.nn AS DOUBLE))) >= 0.2
-         |ORDER BY d.a, d.b""".stripMargin) { (s, dir) =>
-      import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
+         |${embcosPairsSql("g")}
+         |SELECT c.a, c.b, c.cos, ga.n AS na, gb.n AS nb
+         |FROM cpairs c
+         |JOIN g ga ON ga.vec_id = c.a JOIN g gb ON gb.vec_id = c.b
+         |WHERE c.cos >= 0.2
+         |ORDER BY c.a, c.b""".stripMargin) { (s, dir) =>
       val g = emb(s, dir).groupBy("embedding")
         .agg(min("vec_id").as("vec_id"), count(lit(1)).as("n"))
-      val cand = graft.etl.Similarity.candidatePairs(
-        g.select("vec_id", "embedding"), bands = 2, bits = 8, dim = 64)
-      cand
-        .join(g.select(col("vec_id").as("a"), col("embedding").as("ea"),
-          col("n").as("na")), "a")
-        .join(g.select(col("vec_id").as("b"), col("embedding").as("eb"),
-          col("n").as("nb")), "b")
-        .select(col("a"), col("b"),
-          (fixedPointDot(col("ea"), col("eb")).cast("double") /
-            (sqrt(fixedPointNormSq(col("ea")).cast("double")) *
-              sqrt(fixedPointNormSq(col("eb")).cast("double")))).as("cos"),
-          col("na"), col("nb"))
-        .filter(col("cos") >= 0.2)
-        .orderBy("a", "b")
+      cosinePairs(g, threshold = 0.2)
+        .join(g.select(col("vec_id").as("a"), col("n").as("na")), "a")
+        .join(g.select(col("vec_id").as("b"), col("n").as("nb")), "b")
+        .select("a", "b", "cos", "na", "nb").orderBy("a", "b")
     },
 
     // IVF-style two-stage ANN: coarse quantization to a RANDOM-

@@ -103,13 +103,13 @@ class ServiceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
       // and the SAME query in-session is pyramid-served (plan-level
       // proof; the JDBC path shares this session via singleSession)
-      val plan = spark.sql(
+      val df = spark.sql(
         """SELECT shiftleft(shiftright(time, 8), 8) AS w, count(*) AS cnt,
           |  min(value) AS vmin, avg(value) AS vmean, max(value) AS vmax
           |FROM svc_points GROUP BY 1""".stripMargin)
-        .queryExecution.executedPlan.toString()
-      assert(plan.contains("pyramid/pw=") && !plan.contains("/points"),
-        s"expected the pyramid to serve the stat shape:\n$plan")
+      assert(graft.plans.PlanChecks.readsPyramidOnly(df),
+        "expected the pyramid to serve the stat shape; scans=" +
+          graft.plans.PlanChecks.scanRootPaths(df))
     } finally conn.close()
   }
 

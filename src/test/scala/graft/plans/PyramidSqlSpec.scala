@@ -59,12 +59,11 @@ class PyramidSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   private def planOf(df: DataFrame): String =
-    df.queryExecution.executedPlan.toString()
+    df.queryExecution.optimizedPlan.toString() +
+      s"\nscans=${PlanChecks.scanRootPaths(df)}"
 
-  private def readsPyramid(df: DataFrame): Boolean = {
-    val p = planOf(df)
-    p.contains("pyramid/pw=") && !p.contains("/points")
-  }
+  private def readsPyramid(df: DataFrame): Boolean =
+    PlanChecks.readsPyramidOnly(df)
 
   /** Reference result via the DataFrame API (no SubqueryAlias marker,
     * so the rule cannot fire) straight off the merged point view. */
@@ -154,7 +153,8 @@ class PyramidSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       """SELECT shiftleft(shiftright(time, 8), 8) AS w, count(*) AS cnt
         |FROM gp4_points WHERE time >= 3 GROUP BY 1""".stripMargin)
     assert(!readsPyramid(df), "a 3-ns lower bound is not 2^8-aligned")
-    assert(planOf(df).contains("/points"), "must scan the point log")
+    assert(PlanChecks.scanRootPaths(df).exists(_.contains("/points")),
+      "must scan the point log")
     db.close()
   }
 
