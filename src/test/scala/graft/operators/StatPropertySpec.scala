@@ -104,6 +104,40 @@ class StatPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     pts.unpersist()
   }
 
+  test("statAgg mean model: cents-exact in-domain, double mean once any value is out (seed logged)") {
+    val seed = 7L
+    info(s"seed = $seed")
+    val rnd = new scala.util.Random(seed)
+    for (round <- 0 until 20) {
+      val n = 1 + rnd.nextInt(50)
+      // mostly 2-decimal values; sometimes fine-grained; sometimes an
+      // out-of-cents-domain magnitude that must flip the window to the
+      // IEEE mean (never a null-skipped cents mean)
+      val vals = Seq.fill(n) {
+        rnd.nextInt(10) match {
+          case 0 => rnd.nextDouble() * 1e18            // out of domain
+          case 1 => rnd.nextDouble() * 1e-4            // off-grid, in-domain
+          case _ => rnd.nextInt(200000) / 100.0        // cents grid
+        }
+      }
+      val aggs = StatOps.statAgg(col("value"))
+      val got = spark.createDataFrame(vals.map(Tuple1(_))).toDF("value")
+        .agg(aggs.head, aggs.tail: _*)
+        .head().getAs[Double]("vmean")
+      val allInDomain = vals.forall(v => math.abs(v) <= StatOps.CentsDomain)
+      val model =
+        if (allInDomain) {
+          val cents = vals.map(v => math.round(v * 100))
+          cents.sum / 100.0 / n
+        } else vals.sum / n
+      // the double-mean branch reassociates across partitions — allow
+      // ulp-scale drift there; the cents branch must be bit-exact
+      if (allInDomain) assert(got == model, s"round=$round $vals")
+      else assert(math.abs(got - model) <= math.ulp(model) * 16,
+        s"round=$round $vals")
+    }
+  }
+
   test("interval coalescing: merged set covers exactly the union (random intervals)") {
     val seed = 777L
     info(s"seed = $seed")
