@@ -244,9 +244,32 @@ object EtlQueries {
     "q_dedup_minhash" -> QueryDef(
       s"""WITH ${minhashPairsSql("documents")}
          |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin) { (s, dir) =>
-      // min is duplicate-insensitive, so the shingle set needs no
-      // distinct; the 16 lane mins are columns of ONE groupBy(doc_id).
-      minhashBandPairs(docs(s, dir)).orderBy("a", "b")
+      // Identical texts have identical lane minima, so band buckets —
+      // and therefore the PAIR SET — factor through distinct texts:
+      // hash/band work runs once per distinct text, and the full pair
+      // set is recovered by expansion (cross pairs via the rep pair ×
+      // both member sets; intra pairs for any text that shingles at
+      // all, since it shares every band with its copies). Identical
+      // output to banding the raw corpus — the oracle still does — at
+      // hash cost ∝ distinct content + output size, where the direct
+      // form re-hashed every duplicate (93 s vs ~10 s at the 100×
+      // duplicate-heavy replica, SCALE.md).
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val g = d.groupBy("text").agg(min("doc_id").as("rid"))
+      val members = d.join(g, "text").select(col("rid"), col("doc_id"))
+      val repPairs = minhashBandPairs(
+        g.select(col("rid").as("doc_id"), col("text")))
+      val cross = repPairs
+        .join(members.select(col("rid").as("a"), col("doc_id").as("da")), "a")
+        .join(members.select(col("rid").as("b"), col("doc_id").as("db")), "b")
+        .select(least(col("da"), col("db")).as("a"),
+          greatest(col("da"), col("db")).as("b"))
+      val shingly = g.filter(length(col("text")) >= ShingleLen)
+      val m2 = d.join(shingly, "text").select(col("rid"), col("doc_id"))
+      val intra = m2.select(col("rid"), col("doc_id").as("a"))
+        .join(m2.select(col("rid"), col("doc_id").as("b")), "rid")
+        .filter(col("a") < col("b")).select("a", "b")
+      cross.unionByName(intra).orderBy("a", "b")
     },
 
     // Replication-invariant MinHash: collapse bit-identical texts to a
@@ -596,7 +619,37 @@ object EtlQueries {
       s"""WITH ${embcosPairsSql("embeddings")}
          |SELECT a, b, cos FROM cpairs WHERE cos >= 0.2
          |ORDER BY a, b""".stripMargin) { (s, dir) =>
-      cosinePairs(emb(s, dir), threshold = 0.2).orderBy("a", "b")
+      // Same factoring as q_dedup_minhash: signatures and cosines are
+      // pure functions of the embedding, so LSH + rerank run on
+      // distinct vectors and the full pair set expands afterwards —
+      // cross pairs inherit their rep pair's exact fixed-point cosine,
+      // intra pairs get the self-cosine computed by the IDENTICAL
+      // formula (≈1.0 up to the same sqrt rounding the direct form
+      // produces; a zero vector yields NaN and is excluded either
+      // way). Identical output, compute ∝ distinct vectors + output
+      // (359 s → output-bound at the 100× replica, SCALE.md).
+      import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
+      val base = emb(s, dir)
+      val g = base.groupBy("embedding").agg(min("vec_id").as("rid"))
+      val members = base.join(g, "embedding").select(col("rid"), col("vec_id"))
+      val repPairs = cosinePairs(
+        g.select(col("rid").as("vec_id"), col("embedding")), threshold = 0.2)
+      val cross = repPairs
+        .join(members.select(col("rid").as("a"), col("vec_id").as("va")), "a")
+        .join(members.select(col("rid").as("b"), col("vec_id").as("vb")), "b")
+        .select(least(col("va"), col("vb")).as("a"),
+          greatest(col("va"), col("vb")).as("b"), col("cos"))
+      val selfCos = g.select(col("rid"),
+          (fixedPointDot(col("embedding"), col("embedding")).cast("double") /
+            (sqrt(fixedPointNormSq(col("embedding")).cast("double")) *
+              sqrt(fixedPointNormSq(col("embedding")).cast("double"))))
+            .as("cos"))
+        .filter(col("cos") >= 0.2)
+      val intra = members.select(col("rid"), col("vec_id").as("a"))
+        .join(members.select(col("rid"), col("vec_id").as("b")), "rid")
+        .filter(col("a") < col("b"))
+        .join(selfCos, "rid").select("a", "b", "cos")
+      cross.unionByName(intra).orderBy("a", "b")
     },
 
     // The duplicate-heavy-corpus form of embedding dedup: collapse
