@@ -759,7 +759,7 @@ class Btrdb(val spark: SparkSession, val root: String,
         min("time").as("ts"), (max("time") + 1).as("te"),
         min("value").as("vmin"), max("value").as("vmax"),
         sum("value").as("vsum"),
-        sum(c).as("vsc"),
+        sum(StatOps.centsSum(col("value"))).as("vsc"),
         // rows whose value HAS a representable cents integer — serving
         // paths compare Σccnt to Σcnt and fall back to the double mean
         // when they differ (a null-skipped vsc must never be divided by
@@ -1318,7 +1318,7 @@ class Btrdb(val spark: SparkSession, val root: String,
           .agg(count(lit(1)).as("cnt"),
             count(StatOps.cents(col("value"))).as("ccnt"),
             min("value").as("vmin"),
-            sum(StatOps.cents(col("value"))).as("vsc"),
+            sum(StatOps.centsSum(col("value"))).as("vsc"),
             sum("value").as("vsum"), max("value").as("vmax"))
         committed.unionByName(staged)
       }
@@ -1777,7 +1777,7 @@ class Btrdb(val spark: SparkSession, val root: String,
               count(StatOps.cents(col("value"))).as("ccnt"),
               min("value").as("vmin"),
               max("value").as("vmax"), sum("value").as("vsum"),
-              sum(StatOps.cents(col("value"))).as("vsc"))
+              sum(StatOps.centsSum(col("value"))).as("vsc"))
       })
       .withColumn("sid", lit(sid))
       .cache()
@@ -1872,10 +1872,14 @@ class Btrdb(val spark: SparkSession, val root: String,
     * ingesting out-of-domain values can hit it, and its new buckets are
     * rewritten with ccnt by the same maintenance pass.) */
   private def pyramidRead(sub: String): DataFrame = {
-    val df = spark.read.parquet(path(sub))
-    if (df.columns.contains("ccnt"))
-      df.withColumn("ccnt", coalesce(col("ccnt"), col("cnt")))
-    else df.withColumn("ccnt", col("cnt"))
+    val df0 = spark.read.parquet(path(sub))
+    val df = if (df0.columns.contains("ccnt"))
+      df0.withColumn("ccnt", coalesce(col("ccnt"), col("cnt")))
+    else df0.withColumn("ccnt", col("cnt"))
+    // vsc is summed as DECIMAL(38,0) (see StatOps.centsSum); legacy
+    // buckets stored it as LONG — widen so unions and folds line up
+    df.withColumn("vsc",
+      col("vsc").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
   }
 
   /** Partition-pruned pyramid slice: sbucket + wbucket filters reach the

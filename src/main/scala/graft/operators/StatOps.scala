@@ -47,8 +47,17 @@ object StatOps {
     * silently exclude it from the numerator only. */
   def rawMean(value: Column): Column =
     when(count(cents(value)) === count(value),
-      meanFromCents(sum(cents(value)), count(value)))
+      meanFromCents(sum(centsSum(value)), count(value)))
       .otherwise(sum(value) / count(value))
+
+  /** [[cents]] widened for SUMMING: individual cents fit a LONG, but a
+    * window of many near-domain values does not (two 9e16 values are
+    * 1.8e19 cents > Long.MaxValue — an ANSI long sum THROWS on legal
+    * input). DECIMAL(38,0) sums hold ~1e19 more headroom than any
+    * physical corpus (10¹³ points × 9e18 cents ≈ 1e32 < 1e38) and stay
+    * exact and associative. */
+  def centsSum(v: Column): Column =
+    cents(v).cast(org.apache.spark.sql.types.DecimalType(38, 0))
 
   /** The same degradation over pre-aggregated rollup rows carrying
     * (cnt, ccnt = in-cents-domain count, vsc, vsum). */

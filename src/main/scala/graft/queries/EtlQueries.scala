@@ -90,6 +90,30 @@ object EtlQueries {
        |  FROM $from, generate_series(1, $MaxPos, $stride) AS gp(p)
        |  WHERE p <= length(text) - ${len - 1}""".stripMargin
 
+  /** Expand rep-level pair rows back to the full id-level pair set.
+    * `members` maps rep id → member id (rid, id); `repPairs` carries
+    * (a, b, carry…) over rep ids; `intraCarry` lists the reps whose
+    * duplicate groups pair among THEMSELVES (always true of groups
+    * that produce a signature — identical content shares every
+    * bucket) plus the carry columns an intra pair gets. Cross and
+    * intra sets are disjoint and duplicate-free by construction. */
+  private def expandPairs(members: DataFrame, repPairs: DataFrame,
+                          intraCarry: DataFrame): DataFrame = {
+    val carry = repPairs.columns.toSeq.filterNot(Set("a", "b"))
+    val cross = repPairs
+      .join(members.select(col("rid").as("a"), col("id").as("xa")), "a")
+      .join(members.select(col("rid").as("b"), col("id").as("xb")), "b")
+      .select(least(col("xa"), col("xb")).as("a") +:
+        greatest(col("xa"), col("xb")).as("b") +: carry.map(col): _*)
+    val ea = members.join(intraCarry, Seq("rid"))
+      .select(col("rid") +: col("id").as("a") +: carry.map(col): _*)
+    val eb = members.join(intraCarry.select("rid"), Seq("rid"), "left_semi")
+      .select(col("rid"), col("id").as("b"))
+    val intra = ea.join(eb, "rid").filter(col("a") < col("b"))
+      .select(("a" +: "b" +: carry).map(col): _*)
+    cross.unionByName(intra)
+  }
+
   /** Run a pure-function-of-text computation ONCE per distinct text
     * and restore the per-doc shape: `compute` receives one
     * representative (doc_id, text) row per distinct text and returns
@@ -256,20 +280,13 @@ object EtlQueries {
       // duplicate-heavy replica, SCALE.md).
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       val g = d.groupBy("text").agg(min("doc_id").as("rid"))
-      val members = d.join(g, "text").select(col("rid"), col("doc_id"))
+      val members = d.join(g, "text")
+        .select(col("rid"), col("doc_id").as("id"))
       val repPairs = minhashBandPairs(
         g.select(col("rid").as("doc_id"), col("text")))
-      val cross = repPairs
-        .join(members.select(col("rid").as("a"), col("doc_id").as("da")), "a")
-        .join(members.select(col("rid").as("b"), col("doc_id").as("db")), "b")
-        .select(least(col("da"), col("db")).as("a"),
-          greatest(col("da"), col("db")).as("b"))
       val shingly = g.filter(length(col("text")) >= ShingleLen)
-      val m2 = d.join(shingly, "text").select(col("rid"), col("doc_id"))
-      val intra = m2.select(col("rid"), col("doc_id").as("a"))
-        .join(m2.select(col("rid"), col("doc_id").as("b")), "rid")
-        .filter(col("a") < col("b")).select("a", "b")
-      cross.unionByName(intra).orderBy("a", "b")
+        .select(col("rid"))
+      expandPairs(members, repPairs, shingly).orderBy("a", "b")
     },
 
     // Replication-invariant MinHash: collapse bit-identical texts to a
@@ -517,6 +534,10 @@ object EtlQueries {
       val n = least(length(col("text")), lit(MaxPos))
       perDistinctText(docs(s, dir)) { reps =>
         reps
+          // empty text: sequence(1, 0) is [1, 0] (negative default step)
+          // and element_at(powers, 0) THROWS — omit the doc, exactly as
+          // the oracle's WHERE g.i <= 0 does
+          .filter(length(col("text")) >= 1)
           .select(col("doc_id"), col("text"), n.as("n"),
             explode(sequence(lit(1), n)).as("i"))
           .select(col("doc_id"),
@@ -631,25 +652,17 @@ object EtlQueries {
       import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
       val base = emb(s, dir)
       val g = base.groupBy("embedding").agg(min("vec_id").as("rid"))
-      val members = base.join(g, "embedding").select(col("rid"), col("vec_id"))
+      val members = base.join(g, "embedding")
+        .select(col("rid"), col("vec_id").as("id"))
       val repPairs = cosinePairs(
         g.select(col("rid").as("vec_id"), col("embedding")), threshold = 0.2)
-      val cross = repPairs
-        .join(members.select(col("rid").as("a"), col("vec_id").as("va")), "a")
-        .join(members.select(col("rid").as("b"), col("vec_id").as("vb")), "b")
-        .select(least(col("va"), col("vb")).as("a"),
-          greatest(col("va"), col("vb")).as("b"), col("cos"))
       val selfCos = g.select(col("rid"),
           (fixedPointDot(col("embedding"), col("embedding")).cast("double") /
             (sqrt(fixedPointNormSq(col("embedding")).cast("double")) *
               sqrt(fixedPointNormSq(col("embedding")).cast("double"))))
             .as("cos"))
         .filter(col("cos") >= 0.2)
-      val intra = members.select(col("rid"), col("vec_id").as("a"))
-        .join(members.select(col("rid"), col("vec_id").as("b")), "rid")
-        .filter(col("a") < col("b"))
-        .join(selfCos, "rid").select("a", "b", "cos")
-      cross.unionByName(intra).orderBy("a", "b")
+      expandPairs(members, repPairs, selfCos).orderBy("a", "b")
     },
 
     // The duplicate-heavy-corpus form of embedding dedup: collapse

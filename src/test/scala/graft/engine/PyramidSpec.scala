@@ -207,6 +207,15 @@ class PyramidSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(org.apache.spark.sql.functions.col("cnt") > 0)
       .head().getAs[Double]("vmean")
     assert(m2 == (10L + 20L) / 100.0 / 2, s"cents mean expected, got $m2")
+    // a window of several near-domain values: the cents SUM exceeds
+    // Long.MaxValue (2 × 9e16 values = 1.8e19 cents) — decimal sums
+    // must serve the exact cents mean instead of an ANSI overflow crash
+    insertPts(db, "u-dom", Seq((600L, 9.0e16), (610L, 9.0e16), (620L, 9.0e16)))
+    db.flush("u-dom")
+    val m3 = db.alignedWindows("u-dom", 512L, 768L, 8)
+      .filter(org.apache.spark.sql.functions.col("cnt") > 0)
+      .head().getAs[Double]("vmean")
+    assert(m3 == 9.0e16, s"decimal cents sum expected, got $m3")
     db.close()
   }
 

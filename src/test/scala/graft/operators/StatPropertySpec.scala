@@ -108,16 +108,21 @@ class StatPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     val seed = 7L
     info(s"seed = $seed")
     val rnd = new scala.util.Random(seed)
-    for (round <- 0 until 20) {
+    for (round <- 0 until 40) {
       val n = 1 + rnd.nextInt(50)
-      // mostly 2-decimal values; sometimes fine-grained; sometimes an
-      // out-of-cents-domain magnitude that must flip the window to the
-      // IEEE mean (never a null-skipped cents mean)
+      // signed values across the whole documented domain: cents-grid,
+      // fine-grained off-grid, exact half-cent midpoints (rounding-mode
+      // sensitive), near-CentsDomain magnitudes whose cents SUM exceeds
+      // Long.MaxValue (decimal sums must absorb it), and out-of-domain
+      // magnitudes that must flip the window to the IEEE mean
+      def signed(v: Double) = if (rnd.nextBoolean()) v else -v
       val vals = Seq.fill(n) {
-        rnd.nextInt(10) match {
-          case 0 => rnd.nextDouble() * 1e18            // out of domain
-          case 1 => rnd.nextDouble() * 1e-4            // off-grid, in-domain
-          case _ => rnd.nextInt(200000) / 100.0        // cents grid
+        rnd.nextInt(12) match {
+          case 0 => signed(1e17 + rnd.nextDouble() * 1e18) // out of domain
+          case 1 => signed(rnd.nextDouble() * 1e-4)        // off-grid
+          case 2 => signed(rnd.nextInt(1000) + 0.005)      // half-cent midpoint
+          case 3 => signed(8.9e16 + rnd.nextInt(1000))     // near-domain edge
+          case _ => signed(rnd.nextInt(200000) / 100.0)    // cents grid
         }
       }
       val aggs = StatOps.statAgg(col("value"))
@@ -127,12 +132,21 @@ class StatPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       val allInDomain = vals.forall(v => math.abs(v) <= StatOps.CentsDomain)
       val model =
         if (allInDomain) {
-          val cents = vals.map(v => math.round(v * 100))
-          cents.sum / 100.0 / n
+          // Spark's round() is BigDecimal HALF_UP — ties away from zero
+          // (math.round would round -x.5 toward +inf); sums in BigInt so
+          // the MODEL cannot overflow where the engine's decimal doesn't
+          val cents = vals.map(v =>
+            BigDecimal(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+              .toBigInt)
+          (BigDecimal(cents.sum) / 100 / n).toDouble
         } else vals.sum / n
       // the double-mean branch reassociates across partitions — allow
-      // ulp-scale drift there; the cents branch must be bit-exact
-      if (allInDomain) assert(got == model, s"round=$round $vals")
+      // ulp-scale drift there; the cents branch is deterministic but
+      // its decimal→double division may differ from the model's
+      // BigDecimal division in the last ulp
+      if (allInDomain)
+        assert(math.abs(got - model) <= math.ulp(model) * 4,
+          s"round=$round $vals")
       else assert(math.abs(got - model) <= math.ulp(model) * 16,
         s"round=$round $vals")
     }
