@@ -41,8 +41,20 @@ object LangId {
   /** Rank-ordered top-`topK` trigram profile per language:
     * (plang, g, rnk) with rnk 1-based by (count DESC, g ASC). */
   def profiles(labeledGrams: DataFrame, topK: Int): DataFrame =
-    labeledGrams.groupBy(col("lang").as("plang"), col("g"))
-      .agg(count(lit(1)).as("c"))
+    rankProfiles(labeledGrams.groupBy(col("lang").as("plang"), col("g"))
+      .agg(count(lit(1)).as("c")), topK)
+
+  /** [[profiles]] over grams carrying a multiplicity `w` — the
+    * distinct-text training form: k identical sample docs contribute
+    * weight k per occurrence, which sums to EXACTLY the per-occurrence
+    * row count the unweighted form ranks by (same tie-break, same
+    * profile). */
+  def profilesWeighted(weightedGrams: DataFrame, topK: Int): DataFrame =
+    rankProfiles(weightedGrams.groupBy(col("lang").as("plang"), col("g"))
+      .agg(sum("w").as("c")), topK)
+
+  private def rankProfiles(counts: DataFrame, topK: Int): DataFrame =
+    counts
       .withColumn("rnk", row_number().over(
         Window.partitionBy("plang").orderBy(col("c").desc, col("g").asc)))
       .filter(col("rnk") <= topK)

@@ -431,16 +431,21 @@ object EtlQueries {
          |FROM d LEFT JOIN pred p ON d.doc_id = p.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       val d = docs(s, dir).filter(length(col("text")) >= 3)
-      // training sampling is keyed by doc_id, so it runs on the raw
-      // corpus (the sample is 1/LangIdTrainMod of it); SCORING is a
-      // pure function of the text, so each DISTINCT text is scored
-      // once and the prediction joins back by text — on a
-      // duplicate-heavy corpus the ~200× trigram explosion prices
-      // distinct content only (same confusion matrix either way;
-      // the oracle scores per doc and hash-matches this)
-      val prof = graft.etl.LangId.profiles(
-        graft.etl.LangId.trigrams(
-          d.filter(col("doc_id") % LangIdTrainMod === 0), "text", LangIdMaxPos),
+      // training sampling is keyed by doc_id, so the SAMPLE comes from
+      // the raw corpus — but within it, identical (text, lang) rows
+      // contribute identical gram rows, so training too collapses to
+      // distinct texts with multiplicity weights (exactly the
+      // per-occurrence counts); SCORING is a pure function of the
+      // text, so each DISTINCT text is scored once and the prediction
+      // joins back by text. On a duplicate-heavy corpus the ~200×
+      // trigram explosion prices distinct content only, in both
+      // passes (same confusion matrix either way; the oracle scores
+      // per doc and hash-matches this)
+      val sample = d.filter(col("doc_id") % LangIdTrainMod === 0)
+        .groupBy("text", "lang").agg(count(lit(1)).as("w"))
+      val prof = graft.etl.LangId.profilesWeighted(
+        graft.etl.LangId.trigrams(sample, "text", LangIdMaxPos)
+          .select("lang", "g", "w"),
         LangIdTopK)
       val reps = d.groupBy("text").agg(min("doc_id").as("doc_id"))
       val predByText = graft.etl.LangId.classify(
