@@ -386,6 +386,66 @@ object EtlQueries {
         .orderBy("a", "b")
     },
 
+    // The corpus-scale Jaccard form the audit table promises: exact
+    // 4-gram |A∩B| / |A∪B| computed ONLY for banded MinHash candidate
+    // pairs over the WHOLE corpus (q_ngram_jaccard's bounded-subset
+    // equality join would go quadratic on hot grams), reported at the
+    // same ≥1/4 threshold. Distinct-factored end to end: banding,
+    // gram sets, and the Jaccard itself are text functions, so rep
+    // pairs carry their (jac_num, jac_den) through the expansion and
+    // intra pairs of identical texts are J = 1 (n, n) by construction.
+    "q_ngram_jaccard_lsh" -> QueryDef(
+      s"""WITH ${minhashPairsSql("documents")},
+         |grams AS (
+         |  SELECT DISTINCT doc_id, substr(text, CAST(p AS INTEGER), 4) AS g
+         |  FROM documents, generate_series(1, $MaxPos, 2) AS s2(p)
+         |  WHERE p <= length(text) - 3),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+         |inter AS (
+         |  SELECT pr.a, pr.b, COUNT(*) AS nab
+         |  FROM pairs pr
+         |  JOIN grams ga ON ga.doc_id = pr.a
+         |  JOIN grams gb ON gb.doc_id = pr.b AND gb.g = ga.g
+         |  GROUP BY pr.a, pr.b)
+         |SELECT i.a, i.b, CAST(i.nab AS BIGINT) AS jac_num,
+         |  CAST(sa.n + sb.n - i.nab AS BIGINT) AS jac_den
+         |FROM inter i
+         |JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+         |WHERE i.nab * 4 >= sa.n + sb.n - i.nab
+         |ORDER BY i.a, i.b""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val g = d.groupBy("text").agg(min("doc_id").as("rid"))
+      val members = d.join(g, "text")
+        .select(col("rid"), col("doc_id").as("id"))
+      val reps = g.select(col("rid").as("doc_id"), col("text"))
+      val repPairs = minhashBandPairs(reps)
+      val grams = reps.filter(length(col("text")) >= 4)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - 3, lit(2))).as("p"))
+        .select(col("doc_id"), expr("substring(text, p, 4)").as("g"))
+        .distinct()
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = repPairs
+        .join(grams.select(col("doc_id").as("a"), col("g")), "a")
+        .join(grams.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
+        .groupBy("a", "b").agg(count(lit(1)).as("nab"))
+      val repJac = inter
+        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .filter(col("nab") * 4 >= col("na") + col("nb") - col("nab"))
+        .select(col("a"), col("b"), col("nab").as("jac_num"),
+          (col("na") + col("nb") - col("nab")).as("jac_den"))
+      // identical texts: A = B, so J = 1 exactly — (n, n) per group
+      // that bands at all (≥ 8 chars implies ≥ 1 4-gram, so the size
+      // join below never drops an eligible group)
+      val intraCarry = g.filter(length(col("text")) >= ShingleLen)
+        .select(col("rid"))
+        .join(sizes.select(col("doc_id").as("rid"), col("n")), "rid")
+        .select(col("rid"), col("n").as("jac_num"), col("n").as("jac_den"))
+      expandPairs(members, repPairs = repJac, intraCarry = intraCarry)
+        .orderBy("a", "b")
+    },
+
     // ---- Text analysis ------------------------------------------------
 
     // Language-ID: Cavnar-Trenkle character-trigram rank-order profiles
