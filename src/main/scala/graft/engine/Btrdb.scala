@@ -1464,7 +1464,21 @@ class Btrdb(val spark: SparkSession, val root: String,
     * projects the subset the query asked for; Catalyst prunes the rest. */
   private[graft] def pyramidFrameFor(sids: Option[Seq[Long]],
       lo: Option[Long], hi: Option[Long], pw: Int,
-      bySid: Boolean, needExactSum: Boolean = false): Option[DataFrame] = {
+      bySid: Boolean, needExactSum: Boolean = false): Option[DataFrame] =
+    pyramidPartialsFor(sids, lo, hi, pw, needExactSum)
+      .map(Btrdb.combinePyramidPartials(_, bySid))
+
+  /** The un-combined rollup rows behind [[pyramidFrameFor]]: this
+    * engine's pyramid slice re-clamped to 2^pw, columns
+    * (sid, wstart, cnt, vmin, vsc, vmax), with the same cleanliness
+    * gates. Kept separate so a FEDERATION of engines can union each
+    * member's partials and pay ONE final combine — the cross-root
+    * analog of the reference answering stat queries from pre-aggregated
+    * cores on every cluster node (/root/reference/qtree/qtree.go:863-944
+    * under MASH placement). */
+  private[graft] def pyramidPartialsFor(sids: Option[Seq[Long]],
+      lo: Option[Long], hi: Option[Long], pw: Int,
+      needExactSum: Boolean): Option[DataFrame] = {
     seedCommitState(); seedMinors()
     val level = pyramidLevels.filter(_ <= pw).sorted.lastOption
       .filter(pyramidHas)
@@ -1487,20 +1501,9 @@ class Btrdb(val spark: SparkSession, val root: String,
         col("wbucket") >= (s >> pyramidWBucketPw) && col("wstart") >= s))
       hi.foreach(e => df = df.filter(
         col("wbucket") <= ((e - 1) >> pyramidWBucketPw) && col("wstart") < e))
-      val keys = (if (bySid) Seq(col("sid")) else Nil) :+
-        TimeOps.clampTime(col("wstart"), pw).as("wstart")
-      // vmean/vsum derive from the EXACT integer cents sum — long sums
-      // are associative, and the needExactSum gate above guarantees
-      // every affected value lies on the cents grid, so (Σcents)/100 is
-      // the correctly-rounded exact sum. (The point-log plan's IEEE
-      // double sum is itself partitioning-dependent at ulp scale, so
-      // serving the exact value sits within Spark's own aggregate
-      // nondeterminism envelope.)
-      Some(df.groupBy(keys: _*)
-        .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
-          StatOps.meanFromCents(sum("vsc"), sum("cnt")).as("vmean"),
-          max("vmax").as("vmax"),
-          (sum("vsc") / lit(100.0)).as("vsum")))
+      Some(df.select(col("sid"),
+        TimeOps.clampTime(col("wstart"), pw).as("wstart"),
+        col("cnt"), col("vmin"), col("vsc"), col("vmax")))
     }
   }
 
@@ -1929,6 +1932,25 @@ final case class StreamDescInfo(
 object Btrdb {
   /** Advisory single-writer lock file at the engine root. */
   val LockFile = "engine.lock"
+
+  /** Final combine over [[Btrdb.pyramidPartialsFor]] rows — shared by
+    * the single-engine frame and the federated union of per-member
+    * partials. vmean/vsum derive from the EXACT integer cents sum —
+    * decimal sums are associative, and the needExactSum gate upstream
+    * guarantees every affected value lies on the cents grid, so
+    * (Σcents)/100 is the correctly-rounded exact sum. (The point-log
+    * plan's IEEE double sum is itself partitioning-dependent at ulp
+    * scale, so serving the exact value sits within Spark's own
+    * aggregate nondeterminism envelope.) */
+  private[graft] def combinePyramidPartials(partials: DataFrame,
+      bySid: Boolean): DataFrame = {
+    val keys = (if (bySid) Seq(col("sid")) else Nil) :+ col("wstart")
+    partials.groupBy(keys: _*)
+      .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
+        StatOps.meanFromCents(sum("vsc"), sum("cnt")).as("vmean"),
+        max("vmax").as("vmax"),
+        (sum("vsc") / lit(100.0)).as("vsum"))
+  }
 
   /** Above this stream count, multiAlign/generateCsv switch from the
     * k−1-join chain to the single-shuffle union+pivot plan. */

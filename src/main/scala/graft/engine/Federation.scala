@@ -49,9 +49,15 @@ object Federation {
 
   /** Register the federation as plain SQL: `<prefix>_points`
     * (engine, sid, time, value) and `<prefix>_catalog` (live stream
-    * descriptors, engine-tagged). Per-member pyramid substitution stays
-    * available on each member's OWN registered views; the federated
-    * union view is served merge-on-read. */
+    * descriptors, engine-tagged). Stat-shaped aggregates over the
+    * union view are served from EVERY member's rollup pyramid — the
+    * Catalyst rule ([[graft.plans.PyramidSubstitution]]) unions the
+    * members' pyramid partials and pays one final combine, the same
+    * shape as the reference answering stat queries from pre-aggregated
+    * cores on every node (/root/reference/qtree/qtree.go:863-944 under
+    * MASH placement). Queries that filter or group on `engine` — or
+    * hit a member with staged points / delete debt / off-grid values
+    * (for avg/sum) — fall back to merge-on-read unchanged. */
   def registerViews(spark: SparkSession, prefix: String,
                     engines: Seq[(String, Btrdb)]): Unit = {
     pointsView(engines).createOrReplaceTempView(s"${prefix}_points")
@@ -60,5 +66,7 @@ object Federation {
         .withColumn("engine", lit(name))
     }.reduce(_ unionByName _)
       .createOrReplaceTempView(s"${prefix}_catalog")
+    graft.plans.PyramidSubstitution.registerFederation(
+      spark, s"${prefix}_points", engines.map(_._2))
   }
 }

@@ -62,19 +62,31 @@ import graft.engine.Btrdb
   */
 object PyramidSubstitution {
 
-  /** view name (lowercase) → (owning session, engine). One engine per
-    * view name per JVM; the session is identity-checked at match time. */
+  /** view name (lowercase) → (owning session, member engines). A
+    * single-engine view registers one member; a federated union view
+    * ([[graft.engine.Federation.registerViews]]) registers every
+    * member, and the rule splices a union of per-member pyramid
+    * partials. One registration per view name per JVM; the session is
+    * identity-checked at match time. */
   private val registry =
-    new ConcurrentHashMap[String, (SparkSession, Btrdb)]()
+    new ConcurrentHashMap[String, (SparkSession, Seq[Btrdb])]()
 
   def register(spark: SparkSession, viewName: String, engine: Btrdb): Unit =
-    registry.put(viewName.toLowerCase, (spark, engine))
+    registry.put(viewName.toLowerCase, (spark, Seq(engine)))
+
+  /** Register a federated union view: stat queries over it are served
+    * from EVERY member's pyramid (combined exactly), or none — one
+    * member that cannot serve (staged points, delete debt, off-grid
+    * values for avg/sum) bails the whole rewrite to merge-on-read. */
+  def registerFederation(spark: SparkSession, viewName: String,
+                         engines: Seq[Btrdb]): Unit =
+    registry.put(viewName.toLowerCase, (spark, engines))
 
   def unregister(viewName: String): Unit =
     registry.remove(viewName.toLowerCase)
 
   private[plans] def lookup(session: SparkSession,
-                            viewName: String): Option[Btrdb] =
+                            viewName: String): Option[Seq[Btrdb]] =
     Option(registry.get(viewName.toLowerCase))
       .collect { case (s, e) if s eq session => e }
 }
@@ -89,7 +101,7 @@ final class PyramidSubstitutionRule(session: SparkSession)
     }
 
   /** The matched query, destructured. */
-  private case class Shape(engine: Btrdb, sidAttr: Attribute,
+  private case class Shape(sidAttr: Attribute,
       timeAttr: Attribute, valueAttr: Attribute, pw: Int,
       clampExpr: Expression, bySid: Boolean, sids: Option[Seq[Long]],
       lo: Option[Long], hi: Option[Long])
@@ -97,16 +109,27 @@ final class PyramidSubstitutionRule(session: SparkSession)
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] =
     for {
       (view, conds) <- peel(agg.child, Nil)
-      engine <- PyramidSubstitution.lookup(session, view.alias)
-      shape <- matchShape(engine, view.output, conds, agg)
+      engines <- PyramidSubstitution.lookup(session, view.alias)
+      shape <- matchShape(view.output, conds, agg)
       // avg/sum are served from the exact integer cents sums, which is
       // only equivalent for streams whose every value lies on the cents
       // grid — the engine bails otherwise (count/min/max need no such
       // guarantee)
       needExactSum = agg.aggregateExpressions.exists(ne =>
         classify(ne, shape).exists(c => c == "vmean" || c == "vsum"))
-      frame <- shape.engine.pyramidFrameFor(
-        shape.sids, shape.lo, shape.hi, shape.pw, shape.bySid, needExactSum)
+      // one filtered partial slice per federation member (a plain view
+      // registers exactly one member); EVERY member must be serveable
+      // from its pyramid or the whole rewrite bails — a partial
+      // substitution would double-count nothing but could mix exact
+      // cents sums with IEEE sums across members
+      partials <- engines.foldLeft(Option(Seq.empty[org.apache.spark.sql
+          .DataFrame])) { (acc, e) =>
+        acc.flatMap(ps => e.pyramidPartialsFor(
+          shape.sids, shape.lo, shape.hi, shape.pw, needExactSum)
+          .map(ps :+ _))
+      }
+      frame = Btrdb.combinePyramidPartials(
+        partials.reduce(_ unionByName _), shape.bySid)
     } yield splice(agg, shape, frame.queryExecution.analyzed)
 
   /** Strip Filter/View layers down to the view's SubqueryAlias marker,
@@ -141,7 +164,7 @@ final class PyramidSubstitutionRule(session: SparkSession)
       case _ => None
     }
 
-  private def matchShape(engine: Btrdb, viewOut: Seq[Attribute],
+  private def matchShape(viewOut: Seq[Attribute],
       conds: Seq[Expression], agg: Aggregate): Option[Shape] = {
     def attr(name: String) = viewOut.find(_.name.equalsIgnoreCase(name))
     (attr("sid"), attr("time"), attr("value")) match {
@@ -214,10 +237,10 @@ final class PyramidSubstitutionRule(session: SparkSession)
           val (clampExpr, pw) = clampGroups.head
           val aligned = Seq(lo, hi).flatten.forall(t => ((t >> pw) << pw) == t)
           val aggsOk = agg.aggregateExpressions.forall(ne =>
-            classify(ne, Shape(engine, sidA, timeA, valueA, pw, clampExpr,
+            classify(ne, Shape(sidA, timeA, valueA, pw, clampExpr,
               sidGrouped, sids, lo, hi)).isDefined)
           if (aligned && aggsOk)
-            Some(Shape(engine, sidA, timeA, valueA, pw, clampExpr,
+            Some(Shape(sidA, timeA, valueA, pw, clampExpr,
               sidGrouped, sids, lo, hi))
           else None
         }

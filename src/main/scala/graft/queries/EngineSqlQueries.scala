@@ -3,8 +3,9 @@ package graft.queries
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
-import graft.engine.Btrdb
+import graft.engine.{Btrdb, Federation}
 import graft.storage.Store
 import graft.tables.Tables
 
@@ -42,13 +43,16 @@ object EngineSqlQueries {
     * root. `Bench` calls [[prebuild]] to pay this cost in its fixture
     * phase, BEFORE any warmup or timing. */
   private val roots = TrieMap[(SparkSession, String), String]()
+  private val fedRoots = TrieMap[(SparkSession, String), String]()
 
-  /** Build the engine fixture root for `dir` now (idempotent). Bench
+  /** Build the engine fixture roots for `dir` now (idempotent). Bench
     * invokes this in its fixture phase so that no engine ingest runs
     * inside the measured (or even warmup) passes — residual executor/
     * JVM state from an in-measurement ingest inflated unrelated query
     * times by up to 54× before this phase existed. */
-  def prebuild(spark: SparkSession, dir: String): Unit = viewPrefix(spark, dir)
+  def prebuild(spark: SparkSession, dir: String): Unit = {
+    viewPrefix(spark, dir); fedPrefix(spark, dir)
+  }
 
   private val RootPrefix = "graft_sql_root_"
   /** A crash leftover is one whose engine lock is this stale — 10× the
@@ -60,42 +64,73 @@ object EngineSqlQueries {
     * (30 s cadence) can miss short of real death. */
   private val StaleLockMillis = 10L * 120000L
 
+  /** Unique-per-(fixture, JVM, session) base name: a hash-only path let
+    * a second session or a concurrent JVM sharing the scratch dir
+    * deleteRecursive a LIVE root (lock file included, silently
+    * bypassing the single-writer check) out from under the session that
+    * registered views on it. */
+  private def fixtureTag(dir: String): String =
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir) & 0xffffffffL)
+
+  private def fixtureBase(spark: SparkSession, dir: String): String =
+    s"$RootPrefix${fixtureTag(dir)}_p${ProcessHandle.current().pid()}" +
+      s"_s${Integer.toHexString(System.identityHashCode(spark))}"
+
+  private def scratchDir: String =
+    sys.props.get("graft.sql.scratch")
+      .orElse(sys.env.get("SPARK_GRAFT_SCRATCH"))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+
+  /** Create an empty fixture root `<base><suffix>` under the scratch,
+    * reaping crash leftovers from other runs on the way: a LIVE fixture
+    * root heartbeats its engine.lock, so a missing or stale lock marks
+    * an orphan from a dead JVM; a fresh lock is left alone. */
+  private def newRoot(spark: SparkSession, dir: String,
+                      suffix: String): String = {
+    val scratch = scratchDir
+    val conf = spark.sessionState.newHadoopConf()
+    val base = fixtureBase(spark, dir)
+    val scratchStore = new Store(scratch, conf)
+    try scratchStore.listNames("")
+      .filter(n => n.startsWith(RootPrefix) && !n.startsWith(base))
+      .foreach { n =>
+        val live = scratchStore.modificationTime(s"$n/${Btrdb.LockFile}")
+          .exists(m => System.currentTimeMillis() - m <= StaleLockMillis)
+        // a stale lock alone is not proof of death — a JVM paused past
+        // the margin (debugger, machine suspend) still owns its
+        // fixture, and losing it would be cross-process data deletion
+        // keyed on wall clock. Require the root's embedded pid to be
+        // provably dead ON THIS HOST too; an unparsable pid (foreign
+        // naming, or a remote store where the pid namespace is not
+        // ours) falls back to the mtime rule alone.
+        val pidDead = "_p([0-9]+)".r.findFirstMatchIn(n).forall(m =>
+          scala.util.Try(ProcessHandle.of(m.group(1).toLong).isEmpty)
+            .getOrElse(true))
+        if (!live && pidDead)
+          try scratchStore.deleteRecursive(n) catch { case _: Exception => () }
+      }
+    catch { case _: Exception => () }
+    val root = s"$scratch/$base$suffix"
+    // resolved + cleaned through the engine's Store (any Hadoop
+    // scheme, not only POSIX); the root is also removed at JVM exit
+    val store = new Store(root, conf)
+    store.deleteRecursive("")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try store.deleteRecursive("") catch { case _: Exception => () }))
+    root
+  }
+
+  /** Session-unique view prefix: the pyramid-substitution registry is
+    * JVM-global and keyed by view name, so a shared prefix would let a
+    * second session's registration shadow the first's. */
+  private def viewName(spark: SparkSession, dir: String, kind: String) =
+    s"g${kind}_${fixtureTag(dir)}" +
+      s"_s${Integer.toHexString(System.identityHashCode(spark))}"
+
   private def viewPrefix(spark: SparkSession, dir: String): String =
     roots.getOrElseUpdate((spark, dir), {
-      val scratch = sys.props.get("graft.sql.scratch")
-        .orElse(sys.env.get("SPARK_GRAFT_SCRATCH"))
-        .getOrElse(System.getProperty("java.io.tmpdir"))
-      val conf = spark.sessionState.newHadoopConf()
-      // the root path is unique per (fixture, JVM, session): a hash-only
-      // path let a second session or a concurrent JVM sharing the
-      // scratch dir deleteRecursive a LIVE root (lock file included,
-      // silently bypassing the single-writer check) out from under the
-      // session that registered views on it
-      val tag = java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(dir) & 0xffffffffL)
-      val name = s"$RootPrefix${tag}_p${ProcessHandle.current().pid()}" +
-        s"_s${Integer.toHexString(System.identityHashCode(spark))}"
-      // reap crash leftovers instead of accreting them: a LIVE fixture
-      // root heartbeats its engine.lock, so a missing or stale lock
-      // marks an orphan from a dead JVM; a fresh lock is left alone
-      val scratchStore = new Store(scratch, conf)
-      try scratchStore.listNames("")
-        .filter(n => n.startsWith(RootPrefix) && n != name)
-        .foreach { n =>
-          val live = scratchStore.modificationTime(s"$n/${Btrdb.LockFile}")
-            .exists(m => System.currentTimeMillis() - m <= StaleLockMillis)
-          if (!live)
-            try scratchStore.deleteRecursive(n) catch { case _: Exception => () }
-        }
-      catch { case _: Exception => () }
-      val root = s"$scratch/$name"
-      // resolved + cleaned through the engine's Store (any Hadoop
-      // scheme, not only POSIX); the root is also removed at JVM exit
-      val store = new Store(root, conf)
-      store.deleteRecursive("")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try store.deleteRecursive("") catch { case _: Exception => () }))
-      val db = new Btrdb(spark, root)
+      val db = new Btrdb(spark, newRoot(spark, dir, ""))
       val sids = db.createStreams((0 until Tables.NumSids).map(k =>
         (s"sql-u$k", "sql/events", Map("sid" -> k.toString))))
       require(sids == (0L until Tables.NumSids.toLong),
@@ -104,12 +139,35 @@ object EngineSqlQueries {
       // then reads only its own staging partition
       db.insertAll(Tables.points(spark, dir).select("sid", "time", "value"))
       db.flushAll(maxAgeMillis = 0)
-      // session-unique: the pyramid-substitution registry is JVM-global
-      // and keyed by view name, so a shared prefix would let a second
-      // session's registration shadow the first's
-      val prefix =
-        s"gsql_${tag}_s${Integer.toHexString(System.identityHashCode(spark))}"
+      val prefix = viewName(spark, dir, "sql")
       db.registerViews(prefix)
+      prefix
+    })
+
+  /** A two-writer federation over the SAME fixture: every stream exists
+    * in both roots (so local sids line up with the fixture's global sid
+    * space), but each root ingests only the half [[Federation.ownerOf]]
+    * analog below places there — the reference's MASH-disjoint write
+    * placement, with the read surface unioned back by
+    * [[Federation.registerViews]]. */
+  private def fedPrefix(spark: SparkSession, dir: String): String =
+    fedRoots.getOrElseUpdate((spark, dir), {
+      val half = Tables.NumSids / 2
+      val members = Seq("_f0", "_f1").map(s =>
+        new Btrdb(spark, newRoot(spark, dir, s)))
+      members.foreach { db =>
+        val sids = db.createStreams((0 until Tables.NumSids).map(k =>
+          (s"sqlfed-u$k", "sql/events", Map("sid" -> k.toString))))
+        require(sids == (0L until Tables.NumSids.toLong),
+          s"fresh root must allocate sids 0..${Tables.NumSids - 1}, got $sids")
+      }
+      val pts = Tables.points(spark, dir).select("sid", "time", "value")
+      members.head.insertAll(pts.filter(col("sid") < half))
+      members.last.insertAll(pts.filter(col("sid") >= half))
+      members.foreach(_.flushAll(maxAgeMillis = 0))
+      val prefix = viewName(spark, dir, "fed")
+      Federation.registerViews(spark, prefix,
+        members.zipWithIndex.map { case (e, i) => (s"e$i", e) })
       prefix
     })
 
@@ -155,6 +213,35 @@ object EngineSqlQueries {
       // per-(jvm,session) path
       require(graft.plans.PlanChecks.readsPyramidOnly(df),
         "pyramid substitution did not fire; scans=" +
+          s"${graft.plans.PlanChecks.scanRootPaths(df)}\n" +
+          df.queryExecution.optimizedPlan.toString())
+      df
+    },
+
+    // The SAME stat shape against a TWO-writer federation: the points
+    // live in two disjoint engine roots behind one union view, and the
+    // substitution is REQUIRED to serve it from BOTH members' pyramids
+    // (a union of per-member partials, one final combine) — the one
+    // query shape a 100 TB federation must never answer by scanning N
+    // point logs (/root/reference/qtree/qtree.go:863-944 answers it
+    // from pre-aggregated cores on every node). The oracle is the same
+    // whole-fixture truth as q_sql_pyramid: a hash match proves the
+    // cross-root combine is exact, including the cents avg/sum.
+    "q_sql_pyramid_fed" -> QueryDef(
+      s"""$P SELECT sid, (time >> $pw) << $pw AS wstart,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  MIN(value) AS vmin, MAX(value) AS vmax,
+         |  $sumCents / 100.0 / NULLIF(COUNT(*), 0) AS vavg,
+         |  $sumCents / 100.0 AS vsum
+         |FROM points GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val p = fedPrefix(s, dir)
+      val df = s.sql(
+        s"""SELECT sid, shiftleft(shiftright(time, $pw), $pw) AS wstart,
+           |  count(*) AS cnt, min(value) AS vmin, max(value) AS vmax,
+           |  avg(value) AS vavg, sum(value) AS vsum
+           |FROM ${p}_points GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+      require(graft.plans.PlanChecks.readsPyramidOnly(df),
+        "federated pyramid substitution did not fire; scans=" +
           s"${graft.plans.PlanChecks.scanRootPaths(df)}\n" +
           df.queryExecution.optimizedPlan.toString())
       df

@@ -114,22 +114,36 @@ object EtlQueries {
     cross.unionByName(intra)
   }
 
+  /** 128-bit content digest used as THE distinct-content shuffle key:
+    * the distinct-group and re-key joins move a 16-byte digest instead
+    * of the full ~2 KB text as the join KEY (the text crosses the wire
+    * once, as payload into the compute side only). Hash-identity on
+    * md5 is the same contract the exact-dedup query already keys on. */
+  private def textKey: Column = md5(col("text").cast("binary"))
+
+  /** The same digest for embeddings (canonical JSON rendering of the
+    * float array) — array join keys hash and compare element-wise;
+    * a 16-byte digest key does neither. */
+  private def embKey: Column = md5(to_json(col("embedding")).cast("binary"))
+
   /** Run a pure-function-of-text computation ONCE per distinct text
     * and restore the per-doc shape: `compute` receives one
     * representative (doc_id, text) row per distinct text and returns
     * rows keyed by that doc_id; the result re-keys every original
-    * doc_id by joining back on the text. A duplicate-heavy corpus
-    * (the crawled-corpus norm) pays the expensive transform once per
-    * distinct value — the same split the lang-ID scoring pass uses.
-    * Docs for which `compute` emits nothing (e.g. too short to
-    * shingle) stay absent, exactly as in the direct form. */
+    * doc_id by joining back on the text DIGEST. A duplicate-heavy
+    * corpus (the crawled-corpus norm) pays the expensive transform
+    * once per distinct value — the same split the lang-ID scoring
+    * pass uses. Docs for which `compute` emits nothing (e.g. too
+    * short to shingle) stay absent, exactly as in the direct form. */
   private def perDistinctText(d: DataFrame)
       (compute: DataFrame => DataFrame): DataFrame = {
-    val g = d.groupBy("text").agg(min("doc_id").as("doc_id"))
-    val byText = compute(g.select("doc_id", "text"))
-      .join(g, "doc_id").drop("doc_id")
-    d.select(col("doc_id"), col("text")).join(byText, Seq("text"))
-      .drop("text")
+    val keyed = d.select(col("doc_id"), col("text"), textKey.as("k"))
+    val g = keyed.groupBy("k")
+      .agg(min("doc_id").as("doc_id"), min("text").as("text"))
+    val byKey = compute(g.select("doc_id", "text"))
+      .join(g.select("doc_id", "k"), "doc_id").drop("doc_id")
+    keyed.select(col("doc_id"), col("k")).join(byKey, Seq("k"))
+      .drop("k")
   }
 
   /** The 16-lane/4-band MinHash candidate pairs over `src`
@@ -277,10 +291,14 @@ object EtlQueries {
       // output to banding the raw corpus — the oracle still does — at
       // hash cost ∝ distinct content + output size, where the direct
       // form re-hashed every duplicate (93 s vs ~10 s at the 100×
-      // duplicate-heavy replica, SCALE.md).
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val g = d.groupBy("text").agg(min("doc_id").as("rid"))
-      val members = d.join(g, "text")
+      // duplicate-heavy replica, SCALE.md). Group/join keys are the
+      // 16-byte content digest, never the raw text.
+      val d = docs(s, dir).select(col("doc_id"), textKey.as("k"),
+        col("text"))
+      val g = d.groupBy("k")
+        .agg(min("doc_id").as("rid"), min("text").as("text"))
+      val members = d.select(col("doc_id"), col("k"))
+        .join(g.select("rid", "k"), "k")
         .select(col("rid"), col("doc_id").as("id"))
       val repPairs = minhashBandPairs(
         g.select(col("rid").as("doc_id"), col("text")))
@@ -306,8 +324,9 @@ object EtlQueries {
          |FROM pairs p
          |JOIN g ga ON ga.doc_id = p.a JOIN g gb ON gb.doc_id = p.b
          |ORDER BY p.a, p.b""".stripMargin) { (s, dir) =>
-      val g = docs(s, dir).groupBy("text")
-        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n"))
+      val g = docs(s, dir).groupBy(textKey.as("k"))
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n"),
+          min("text").as("text"))
       minhashBandPairs(g.select("doc_id", "text"))
         .join(g.select(col("doc_id").as("a"), col("n").as("na")), "a")
         .join(g.select(col("doc_id").as("b"), col("n").as("nb")), "b")
@@ -368,8 +387,9 @@ object EtlQueries {
          |ORDER BY i.a, i.b""".stripMargin) { (s, dir) =>
       val grams = docs(s, dir).filter(col("doc_id") < 40 && length(col("text")) >= 4)
         .select(col("doc_id"), col("text"),
-          explode(sequence(lit(1), length(col("text")) - 3, lit(2))).as("p"))
-        .filter(col("p") <= length(col("text")) - 3)
+          // cap mirrors the oracle's generate_series(1, MaxPos, 2)
+          explode(sequence(lit(1),
+            least(length(col("text")) - 3, lit(MaxPos)), lit(2))).as("p"))
         .select(col("doc_id"), expr("substring(text, p, 4)").as("g"))
         .distinct()
       val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -413,15 +433,32 @@ object EtlQueries {
          |JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
          |WHERE i.nab * 4 >= sa.n + sb.n - i.nab
          |ORDER BY i.a, i.b""".stripMargin) { (s, dir) =>
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val g = d.groupBy("text").agg(min("doc_id").as("rid"))
-      val members = d.join(g, "text")
+      val d = docs(s, dir).select(col("doc_id"), textKey.as("k"),
+        col("text"))
+      val g = d.groupBy("k").agg(min("doc_id").as("rid"),
+        min("text").as("text"), count(lit(1)).as("nm"))
+      val members = d.select(col("doc_id"), col("k"))
+        .join(g.select("rid", "k"), "k")
         .select(col("rid"), col("doc_id").as("id"))
       val reps = g.select(col("rid").as("doc_id"), col("text"))
       val repPairs = minhashBandPairs(reps)
-      val grams = reps.filter(length(col("text")) >= 4)
+      // the gram explode prices only docs that can REACH the output:
+      // banded candidates (cross pairs) and reps of duplicate groups
+      // (intra pairs) — at corpus scale a small fraction of the
+      // distinct set, where the previous form exploded every distinct
+      // text into ~1 K gram rows to then drop all non-candidates
+      val needed = repPairs.select(col("a").as("doc_id"))
+        .unionByName(repPairs.select(col("b").as("doc_id")))
+        .unionByName(g.filter(col("nm") >= 2).select(col("rid").as("doc_id")))
+        .distinct()
+      val grams = reps.join(needed, Seq("doc_id"), "left_semi")
+        .filter(length(col("text")) >= 4)
         .select(col("doc_id"), col("text"),
-          explode(sequence(lit(1), length(col("text")) - 3, lit(2))).as("p"))
+          // position cap mirrors the oracle's generate_series(1, MaxPos)
+          // — without it a > MaxPos+3-char doc grows extra Spark-side
+          // grams the SQL never scans
+          explode(sequence(lit(1),
+            least(length(col("text")) - 3, lit(MaxPos)), lit(2))).as("p"))
         .select(col("doc_id"), expr("substring(text, p, 4)").as("g"))
         .distinct()
       val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -437,8 +474,10 @@ object EtlQueries {
           (col("na") + col("nb") - col("nab")).as("jac_den"))
       // identical texts: A = B, so J = 1 exactly — (n, n) per group
       // that bands at all (≥ 8 chars implies ≥ 1 4-gram, so the size
-      // join below never drops an eligible group)
-      val intraCarry = g.filter(length(col("text")) >= ShingleLen)
+      // join below never drops an eligible group); singleton groups
+      // yield no a < b intra pair, so only nm ≥ 2 groups participate
+      val intraCarry = g
+        .filter(length(col("text")) >= ShingleLen && col("nm") >= 2)
         .select(col("rid"))
         .join(sizes.select(col("doc_id").as("rid"), col("n")), "rid")
         .select(col("rid"), col("n").as("jac_num"), col("n").as("jac_den"))
@@ -491,29 +530,35 @@ object EtlQueries {
          |FROM d LEFT JOIN pred p ON d.doc_id = p.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       val d = docs(s, dir).filter(length(col("text")) >= 3)
+        .select(col("doc_id"), col("lang"), textKey.as("k"), col("text"))
       // training sampling is keyed by doc_id, so the SAMPLE comes from
       // the raw corpus — but within it, identical (text, lang) rows
       // contribute identical gram rows, so training too collapses to
       // distinct texts with multiplicity weights (exactly the
       // per-occurrence counts); SCORING is a pure function of the
       // text, so each DISTINCT text is scored once and the prediction
-      // joins back by text. On a duplicate-heavy corpus the ~200×
+      // joins back by the content DIGEST (the text never rides a
+      // shuffle as join key). On a duplicate-heavy corpus the ~200×
       // trigram explosion prices distinct content only, in both
       // passes (same confusion matrix either way; the oracle scores
       // per doc and hash-matches this)
       val sample = d.filter(col("doc_id") % LangIdTrainMod === 0)
-        .groupBy("text", "lang").agg(count(lit(1)).as("w"))
+        .groupBy("k", "lang")
+        .agg(count(lit(1)).as("w"), min("text").as("text"))
       val prof = graft.etl.LangId.profilesWeighted(
         graft.etl.LangId.trigrams(sample, "text", LangIdMaxPos)
           .select("lang", "g", "w"),
         LangIdTopK)
-      val reps = d.groupBy("text").agg(min("doc_id").as("doc_id"))
-      val predByText = graft.etl.LangId.classify(
-          graft.etl.LangId.trigrams(reps, "text", LangIdMaxPos),
+      val reps = d.groupBy("k")
+        .agg(min("doc_id").as("doc_id"), min("text").as("text"))
+      val predByKey = graft.etl.LangId.classify(
+          graft.etl.LangId.trigrams(
+            reps.select("doc_id", "text"), "text", LangIdMaxPos),
           prof, LangIdTopK)
-        .join(reps, "doc_id").select(col("text"), col("pred"))
-      d.select(col("doc_id"), col("lang"), col("text"))
-        .join(predByText, Seq("text"), "left_outer")
+        .join(reps.select("doc_id", "k"), "doc_id")
+        .select(col("k"), col("pred"))
+      d.select(col("doc_id"), col("lang"), col("k"))
+        .join(predByKey, Seq("k"), "left_outer")
         .groupBy(col("lang"), coalesce(col("pred"), lit("en")).as("pred"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("lang", "pred")
@@ -711,13 +756,20 @@ object EtlQueries {
       // cross pairs inherit their rep pair's exact fixed-point cosine,
       // intra pairs get the self-cosine computed by the IDENTICAL
       // formula (≈1.0 up to the same sqrt rounding the direct form
-      // produces; a zero vector yields NaN and is excluded either
-      // way). Identical output, compute ∝ distinct vectors + output
-      // (359 s → output-bound at the 100× replica, SCALE.md).
+      // produces; a zero vector's NaN self-cosine is KEPT by
+      // `NaN >= 0.2` under Spark's and DuckDB's shared NaN-greatest
+      // ordering — consistently on both sides and in the oracle, so
+      // the forms still agree row-for-row). Identical output, compute
+      // ∝ distinct vectors + output (359 s → output-bound at the 100×
+      // replica, SCALE.md). Group/join keys are the 16-byte content
+      // digest, never the float array.
       import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
-      val base = emb(s, dir)
-      val g = base.groupBy("embedding").agg(min("vec_id").as("rid"))
-      val members = base.join(g, "embedding")
+      val base = emb(s, dir).select(col("vec_id"), embKey.as("k"),
+        col("embedding"))
+      val g = base.groupBy("k")
+        .agg(min("vec_id").as("rid"), first("embedding").as("embedding"))
+      val members = base.select(col("vec_id"), col("k"))
+        .join(g.select("rid", "k"), "k")
         .select(col("rid"), col("vec_id").as("id"))
       val repPairs = cosinePairs(
         g.select(col("rid").as("vec_id"), col("embedding")), threshold = 0.2)
@@ -750,9 +802,10 @@ object EtlQueries {
          |JOIN g ga ON ga.vec_id = c.a JOIN g gb ON gb.vec_id = c.b
          |WHERE c.cos >= 0.2
          |ORDER BY c.a, c.b""".stripMargin) { (s, dir) =>
-      val g = emb(s, dir).groupBy("embedding")
-        .agg(min("vec_id").as("vec_id"), count(lit(1)).as("n"))
-      cosinePairs(g, threshold = 0.2)
+      val g = emb(s, dir).groupBy(embKey.as("k"))
+        .agg(min("vec_id").as("vec_id"), count(lit(1)).as("n"),
+          first("embedding").as("embedding"))
+      cosinePairs(g.select("vec_id", "embedding", "n"), threshold = 0.2)
         .join(g.select(col("vec_id").as("a"), col("n").as("na")), "a")
         .join(g.select(col("vec_id").as("b"), col("n").as("nb")), "b")
         .select("a", "b", "cos", "na", "nb").orderBy("a", "b")
@@ -840,10 +893,14 @@ object EtlQueries {
     * the distinct and its shuffle. */
   private def shinglesOf(d: DataFrame, distinctShingles: Boolean = true): DataFrame = {
     // length pre-filter guards sequence() against short docs (negative
-    // upper bound throws); the oracle's WHERE clause is the same guard
+    // upper bound throws); the oracle's WHERE clause is the same guard.
+    // The MaxPos cap mirrors the oracle's generate_series(1, MaxPos, …)
+    // bound — without it a > MaxPos-char doc grows Spark-side shingles
+    // the SQL never scans.
     val sh = d.filter(length(col("text")) >= ShingleLen)
       .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - (ShingleLen - 1),
+        explode(sequence(lit(1),
+          least(length(col("text")) - (ShingleLen - 1), lit(MaxPos)),
           lit(ShingleStride))).as("p"))
       .select(col("doc_id"), expr(s"substring(text, p, $ShingleLen)").as("sh"))
     if (distinctShingles) sh.distinct() else sh

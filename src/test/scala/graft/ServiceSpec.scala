@@ -132,6 +132,36 @@ class ServiceSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rs.next() && rs.getString(1) == "e0" && rs.getLong(2) == 512L)
       assert(rs.next() && rs.getString(1) == "e1" && rs.getLong(2) == 128L)
       assert(!rs.next())
+
+      // a stat-shaped aggregate over the FEDERATED view is served from
+      // both members' pyramids — the query shape a multi-root daemon
+      // must never answer by scanning N point logs
+      val fedSql =
+        """SELECT shiftleft(shiftright(time, 8), 8) AS w, count(*) AS cnt,
+          |  min(value) AS vmin, avg(value) AS vmean, max(value) AS vmax
+          |FROM fed_points GROUP BY 1 ORDER BY w""".stripMargin
+      val df = spark.sql(fedSql)
+      assert(graft.plans.PlanChecks.readsPyramidOnly(df),
+        "expected the federated stat shape to be pyramid-served; scans=" +
+          graft.plans.PlanChecks.scanRootPaths(df))
+      // expected truth from the inserted sequences themselves
+      val pts = (0 until 512).map(i => (i * 8L, i.toDouble)) ++
+        (0 until 128).map(i => (i * 4L, i * 2.0))
+      val expected = pts.groupBy { case (t, _) => (t >> 8) << 8 }
+        .view.mapValues { ps =>
+          val vs = ps.map(_._2)
+          (ps.size.toLong, vs.min, vs.sum / vs.size, vs.max)
+        }.toMap
+      val rs2 = conn.createStatement().executeQuery(fedSql)
+      var seen = 0
+      while (rs2.next()) {
+        val (cnt, vmin, vmean, vmax) = expected(rs2.getLong("w"))
+        assert(rs2.getLong("cnt") == cnt && rs2.getDouble("vmin") == vmin &&
+          rs2.getDouble("vmean") == vmean && rs2.getDouble("vmax") == vmax,
+          s"window ${rs2.getLong("w")} mismatch")
+        seen += 1
+      }
+      assert(seen == expected.size, s"$seen of ${expected.size} windows")
     } finally {
       conn.close()
       db2.close()

@@ -369,4 +369,89 @@ class PyramidSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
         |FROM gp7_points GROUP BY 1""".stripMargin)), raw)
     db.close()
   }
+
+  // ---- federation: the union view substitutes across members --------
+
+  /** Raw truth for a federated view: the same aggregate off the plain
+    * union of member point views (no SubqueryAlias → rule can't fire). */
+  private def rawFedAgg(dbs: Seq[Btrdb], pw: Int, bySid: Boolean) = {
+    val base = dbs.map(_.pointsView()).reduce(_ unionByName _)
+    val keys = (if (bySid) Seq(col("sid")) else Nil) :+
+      TimeOps.clampTime(col("time"), pw).as("w")
+    base.groupBy(keys: _*)
+      .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
+        avg("value").as("vmean"), max("value").as("vmax"))
+      .collect().map(r => (
+        if (bySid) Some(r.getLong(r.fieldIndex("sid"))) else None,
+        r.getLong(r.fieldIndex("w")), r.getLong(r.fieldIndex("cnt")),
+        r.getDouble(r.fieldIndex("vmin")), r.getDouble(r.fieldIndex("vmean")),
+        r.getDouble(r.fieldIndex("vmax"))))
+      .sortBy(t => (t._1, t._2)).toSeq
+  }
+
+  test("federated union view is served from BOTH members' pyramids") {
+    val a = seeded()
+    val b = mkDb()
+    b.createStream("u2", "c", Map("k" -> "v2"))
+    insertPts(b, "u2", (0 until 256).map(i => (i * 16L, i * 3.0)))
+    graft.engine.Federation.registerViews(spark, "gpf1",
+      Seq(("e0", a), ("e1", b)))
+    val df = spark.sql(
+      """SELECT shiftleft(shiftright(time, 8), 8) AS w, count(*) AS cnt,
+        |  min(value) AS vmin, avg(value) AS vmean, max(value) AS vmax
+        |FROM gpf1_points GROUP BY 1 ORDER BY w""".stripMargin)
+    assert(readsPyramid(df), s"expected pyramid scans:\n${planOf(df)}")
+    // the plan reads the rollup of EVERY member, not just one
+    val scans = PlanChecks.scanRootPaths(df).filter(_.contains("pyramid/pw="))
+    assert(Seq(a, b).forall(db => scans.exists(_.contains(db.root))),
+      s"one member's pyramid missing from the scans: $scans")
+    assertSame(collectSql(df), rawFedAgg(Seq(a, b), 8, bySid = false))
+    a.close(); b.close()
+  }
+
+  test("one unclean federation member bails the whole federated rewrite") {
+    val a = seeded()
+    val b = mkDb(threshold = 1000000L) // b's points all stage
+    b.createStream("u2", "c", Map("k" -> "v2"))
+    insertPts(b, "u2", (0 until 256).map(i => (i * 16L, i * 3.0)))
+    graft.engine.Federation.registerViews(spark, "gpf2",
+      Seq(("e0", a), ("e1", b)))
+    val sql =
+      """SELECT shiftleft(shiftright(time, 8), 8) AS w, count(*) AS cnt,
+        |  min(value) AS vmin, avg(value) AS vmean, max(value) AS vmax
+        |FROM gpf2_points GROUP BY 1""".stripMargin
+    val before = spark.sql(sql)
+    assert(!readsPyramid(before),
+      "a member with staged points must bail the federated rewrite")
+    val expected = rawFedAgg(Seq(a, b), 8, bySid = false)
+    assertSame(collectSql(before), expected)
+    b.flush("u2")
+    val after = spark.sql(sql)
+    assert(readsPyramid(after), s"expected pyramid scans:\n${planOf(after)}")
+    assertSame(collectSql(after), expected)
+    a.close(); b.close()
+  }
+
+  test("engine-column grouping or filter bails the federated rewrite") {
+    val a = seeded()
+    val b = mkDb()
+    b.createStream("u2", "c", Map("k" -> "v2"))
+    insertPts(b, "u2", (0 until 256).map(i => (i * 16L, i * 3.0)))
+    graft.engine.Federation.registerViews(spark, "gpf3",
+      Seq(("e0", a), ("e1", b)))
+    val grouped = spark.sql(
+      """SELECT engine, shiftleft(shiftright(time, 8), 8) AS w, count(*) AS cnt
+        |FROM gpf3_points GROUP BY 1, 2""".stripMargin)
+    assert(!readsPyramid(grouped),
+      "grouping on engine has no pyramid analog — must bail")
+    val filtered = spark.sql(
+      """SELECT shiftleft(shiftright(time, 8), 8) AS w, count(*) AS cnt
+        |FROM gpf3_points WHERE engine = 'e0' GROUP BY 1""".stripMargin)
+    assert(!readsPyramid(filtered),
+      "an engine filter is not a recognized conjunct — must bail")
+    // both still answer correctly from the merge-on-read union
+    // (e0 = seeded() = two streams × 512 points)
+    assert(filtered.collect().map(_.getLong(1)).sum == 1024L)
+    a.close(); b.close()
+  }
 }

@@ -39,23 +39,36 @@ class EngineSqlFixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("prebuild reaps stale orphans, spares live roots, builds its own") {
-    // a dead JVM's leftover: no lock file at all
-    val orphan = Paths.get(scratch, "graft_sql_root_dead0_p1_s1")
+    // a dead JVM's leftover: no lock file, embedded pid provably dead
+    // (way above pid_max, so ProcessHandle.of is empty)
+    val orphan = Paths.get(scratch, "graft_sql_root_dead0_p999999999_s1")
     Files.createDirectories(orphan)
     Files.writeString(orphan.resolve("marker"), "stale")
     // a live sibling: engine.lock with a FRESH mtime (heartbeat analog)
     val live = Paths.get(scratch, "graft_sql_root_live0_p2_s2")
     Files.createDirectories(live)
     Files.writeString(live.resolve(graft.engine.Btrdb.LockFile), "other-jvm")
+    // a lock-less root whose embedded pid is ALIVE (pid 1 always is):
+    // the window between root creation and the engine's first lock
+    // write, or a JVM paused past the heartbeat margin — deleting it
+    // would be cross-process data loss keyed on wall clock, so the
+    // reaper must demand a provably-dead pid too
+    val paused = Paths.get(scratch, "graft_sql_root_wait0_p1_s3")
+    Files.createDirectories(paused)
+    Files.writeString(paused.resolve("marker"), "mid-create")
 
     EngineSqlQueries.prebuild(spark, sfDir)
 
-    assert(!Files.exists(orphan), "lock-less orphan root must be reaped")
+    assert(!Files.exists(orphan),
+      "lock-less orphan of a dead pid must be reaped")
     assert(Files.exists(live.resolve(graft.engine.Btrdb.LockFile)),
       "a root with a live heartbeat lock must never be touched")
+    assert(Files.exists(paused.resolve("marker")),
+      "a lock-less root whose pid is alive must be spared")
     val own = Files.list(Paths.get(scratch)).toArray.map(_.toString)
       .filter(p => p.contains("graft_sql_root_") && p.contains("_p") &&
-        p.contains("_s") && !p.endsWith("_p1_s1") && !p.endsWith("_p2_s2"))
+        p.contains("_s") && !p.contains("_p999999999_") &&
+        !p.endsWith("_p2_s2") && !p.endsWith("_p1_s3"))
     assert(own.nonEmpty, s"expected a per-(jvm,session) fixture root in $scratch")
     assert(own.head.contains(s"_p${ProcessHandle.current().pid()}_"),
       "root path must carry the owning JVM's pid")
