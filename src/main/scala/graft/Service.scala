@@ -84,6 +84,19 @@ object Service {
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = buildSession(port, cpus)
     spark.sparkContext.setLogLevel("WARN")
+    // per-statement admission — the reference sheds load with [426] on
+    // every RPC (internal/rez); here every JDBC statement takes one
+    // "query"-pool permit for its whole execution, queues when the pool
+    // is saturated, and sheds with the retryable [426] once the waiter
+    // queue is full. Sized by env so an operator can match the
+    // deployment (defaults: concurrency = cpus, queue = 4× that).
+    val qPool = sys.env.get("SPARK_GRAFT_QUERY_POOL").map(_.toInt)
+      .getOrElse(cpus)
+    val qQueue = sys.env.get("SPARK_GRAFT_QUERY_QUEUE").map(_.toInt)
+      .getOrElse(4 * qPool)
+    graft.plans.QueryGate.install(spark,
+      new graft.engine.Admission(
+        Map(graft.engine.Admission.Query -> qPool), maxQueue = qQueue))
     // one root: the full view surface incl. pyramid substitution.
     // several: the federated union surface (engine-tagged), plus each
     // member's own views under <prefix>_<i> for member-scoped queries

@@ -46,8 +46,19 @@ final class Admission(poolSizes: Map[String, Int], maxQueue: Int = 100) {
     * waiter queue is full. Unknown pools run unguarded (tunables may
     * name pools this deployment doesn't size — same as the reference's
     * unwatched tunables). */
-  def run[T](pool: String)(f: => T): T = pools.get(pool) match {
-    case None => f
+  def run[T](pool: String)(f: => T): T = {
+    val held = enter(pool)
+    try f finally if (held) exit(pool)
+  }
+
+  /** Split-phase [[run]] for callers whose release point is an async
+    * callback (the JDBC daemon's per-statement gate releases on the
+    * SQL-execution-end event): same tryAcquire → bounded-queue →
+    * load-shed semantics. Returns true when a permit was taken (an
+    * unknown pool is unguarded → false); a true return must be paired
+    * with exactly one [[exit]]. */
+  def enter(pool: String): Boolean = pools.get(pool) match {
+    case None => false
     case Some(p) =>
       if (!p.sem.tryAcquire()) {
         if (p.queued.incrementAndGet() > maxQueue) {
@@ -57,8 +68,11 @@ final class Admission(poolSizes: Map[String, Int], maxQueue: Int = 100) {
         try p.sem.acquire()
         finally p.queued.decrementAndGet()
       }
-      try f finally p.sem.release()
+      true
   }
+
+  /** Release one handle of `pool` taken by a true-returning [[enter]]. */
+  def exit(pool: String): Unit = pools.get(pool).foreach(_.sem.release())
 
   /** Queue depth snapshot (monitoring analog of rez's prometheus gauges). */
   def queuedWaiters(pool: String): Int =
@@ -85,6 +99,7 @@ object Admission {
   val Write = "write"            // insert/flush/delete commit paths
   val Maintenance = "maintenance" // compact / purge / pyramid rebuild
   val PointOp = "point_op"       // nearest & other driver-completed reads
+  val Query = "query"            // daemon-served SQL statements (QueryGate)
 
   /** Default sizing, scaled from defaults.go's "200,100" ConcurrentOp
     * shape to a single driver's realistic concurrency. */

@@ -1737,6 +1737,7 @@ class Btrdb(val spark: SparkSession, val root: String,
   private def maintainPyramid(sid: Long, touched: Seq[(Long, Long)],
                               foldPartials: Option[DataFrame]): Unit = {
     if (pyramidLevels.isEmpty || touched.isEmpty) return
+    ensurePyramidLayout()
     val sorted = pyramidLevels.sorted
     val base = sorted.head
     val coarsest = sorted.last
@@ -1865,15 +1866,52 @@ class Btrdb(val spark: SparkSession, val root: String,
     baseFresh.unpersist()
   }
 
+  /** Rollup layout generation stamped at `pyramid/_layout` (underscore
+    * prefix — invisible to parquet listings): "2" = ccnt column present
+    * and vsc physically DECIMAL(38,0). A pyramid without the stamp may
+    * hold pre-ccnt files (vsc INT64, no ccnt), and appending
+    * current-layout files to it would create a MIXED table whose
+    * single-footer schema inference either fails the INT64→DECIMAL
+    * conversion or silently drops ccnt (re-enabling the null-skipped
+    * cents-mean bug ccnt exists to prevent). */
+  private val PyramidLayoutVersion = "2"
+
+  /** Called before ANY pyramid write: an unstamped existing table is
+    * rewritten whole in the current layout first (read → normalize
+    * ccnt/vsc → full overwrite — the pyramid is data/2^level, so this
+    * one-time migration is cheap relative to the point log), then the
+    * stamp is written. A mixed-generation rollup table can therefore
+    * never exist: legacy files are gone before the first new file
+    * lands. Pure-legacy roots opened READ-ONLY never migrate — the
+    * inference-normalizing [[pyramidRead]] is sufficient for a
+    * same-generation table. */
+  private def ensurePyramidLayout(): Unit = {
+    if (store.readString("pyramid/_layout").contains(PyramidLayoutVersion))
+      return
+    if (hasParquet("pyramid")) {
+      val cols = Seq("pw", "sid", "wstart", "cnt", "ccnt",
+        "vmin", "vmax", "vsum", "vsc", "sbucket", "wbucket")
+      val (snap, release) = checkpointReleasable(
+        pyramidRead("pyramid").select(cols.map(col): _*))
+      snap
+        .repartition(col("pw"), col("sbucket"), col("wbucket"))
+        .sortWithinPartitions("sid", "wstart")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("pw", "sbucket", "wbucket")
+        .parquet(path("pyramid"))
+      release()
+    }
+    store.writeAtomic("pyramid/_layout", PyramidLayoutVersion)
+  }
+
   /** Pyramid reader normalizing rollup rows written before the `ccnt`
     * column existed: absent (or per-file null) ccnt reads as cnt, which
     * is correct for legacy rows — the pre-ccnt build rejected any value
     * without a representable cents integer with a loud cast error, so a
-    * legacy bucket can only hold in-domain values. (Residual edge:
-    * parquet schema inference samples one footer, so a MIXED
-    * legacy/new table could drop the column; only a legacy root later
-    * ingesting out-of-domain values can hit it, and its new buckets are
-    * rewritten with ccnt by the same maintenance pass.) */
+    * legacy bucket can only hold in-domain values. A mixed legacy/new
+    * table (the case single-footer schema inference cannot represent)
+    * is prevented at the source: [[ensurePyramidLayout]] migrates an
+    * unstamped table wholesale before the first current-layout write. */
   private def pyramidRead(sub: String): DataFrame = {
     val df0 = spark.read.parquet(path(sub))
     val df = if (df0.columns.contains("ccnt"))

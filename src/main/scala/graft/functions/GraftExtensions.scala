@@ -20,5 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SubqueryAlias marker is erased by the optimizer's first batch)
     ext.injectPostHocResolutionRule(session =>
       new graft.plans.PyramidSubstitutionRule(session))
+    // per-statement admission for daemon sessions (no-op unless the
+    // session opted in via QueryGate.install — graft.Service does)
+    ext.injectOptimizerRule(session =>
+      new graft.plans.QueryGateRule(session))
   }
 }

@@ -333,6 +333,54 @@ object EtlQueries {
         .select("a", "b", "na", "nb").orderBy("a", "b")
     },
 
+    // Dedup clustering — the step a real pipeline ACTS on: connected
+    // components over the rep-level MinHash candidate graph, every doc
+    // labeled with its cluster (min doc_id in the component, through
+    // exact-duplicate membership) and a keep/drop canonical flag.
+    // Spark side: graft.etl.Dedup.connectedComponents — iterative
+    // min-label propagation, one join + one groupBy per round,
+    // O(cluster diameter) rounds (near-dup clusters are shallow), no
+    // corpus-wide collect. The oracle reproduces the fixpoint with a
+    // recursive CTE (reachability set → MIN label), which is exact at
+    // fixture scale.
+    "q_dedup_cluster" -> QueryDef(
+      s"""WITH RECURSIVE g AS (
+         |  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         |${minhashPairsSql("g")},
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b AS src, a AS dst FROM pairs),
+         |cc(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, c.lbl FROM edges e JOIN cc c ON c.id = e.dst),
+         |repc AS (SELECT id, MIN(lbl) AS cluster FROM cc GROUP BY id),
+         |rep AS (
+         |  SELECT d.doc_id, g.doc_id AS rid
+         |  FROM documents d JOIN g ON g.text = d.text)
+         |SELECT r.doc_id, COALESCE(c.cluster, r.rid) AS cluster,
+         |  CAST(r.doc_id = COALESCE(c.cluster, r.rid) AS BIGINT) AS is_canonical
+         |FROM rep r LEFT JOIN repc c ON c.id = r.rid
+         |ORDER BY r.doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), textKey.as("k"),
+        col("text"))
+      val g = d.groupBy("k")
+        .agg(min("doc_id").as("rid"), min("text").as("text"))
+      val members = d.select(col("doc_id"), col("k"))
+        .join(g.select("rid", "k"), "k")
+        .select(col("rid"), col("doc_id").as("id"))
+      val pairs = minhashBandPairs(
+        g.select(col("rid").as("doc_id"), col("text")))
+      val cc = graft.etl.Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "rid")
+      members.join(cc, Seq("rid"), "left_outer")
+        .select(col("id").as("doc_id"),
+          coalesce(col("cluster"), col("rid")).as("cluster"))
+        .withColumn("is_canonical",
+          (col("doc_id") === col("cluster")).cast("long"))
+        .orderBy("doc_id")
+    },
+
     // SimHash: 16-bit signature; bit j votes from a hex digit of each
     // feature's md5 (parity of the digit's value).
     "q_dedup_simhash" -> QueryDef(

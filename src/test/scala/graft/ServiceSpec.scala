@@ -167,4 +167,61 @@ class ServiceSpec extends AnyFunSuite with BeforeAndAfterAll {
       db2.close()
     }
   }
+
+  test("a saturated query pool sheds JDBC statements with [426]") {
+    // a deliberately slow view: every partition sleeps, so the first
+    // statement reliably HOLDS its query-pool permit while the second
+    // arrives — deterministic saturation, no timing races
+    spark.range(4).repartition(4)
+      .mapPartitions { it => Thread.sleep(4000); it }(
+        org.apache.spark.sql.Encoders.LONG)
+      .toDF("v").createOrReplaceTempView("svc_slow")
+    graft.plans.QueryGate.install(spark, new graft.engine.Admission(
+      Map(graft.engine.Admission.Query -> 1), maxQueue = 0))
+    val c1 = connect()
+    val c2 = connect()
+    try {
+      val slowErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val slowN = new java.util.concurrent.atomic.AtomicLong(-1)
+      val done = new java.util.concurrent.CountDownLatch(1)
+      val t1 = new Thread(() => {
+        try {
+          val rs = c1.createStatement()
+            .executeQuery("SELECT count(*) AS n FROM svc_slow")
+          if (rs.next()) slowN.set(rs.getLong(1))
+        } catch { case e: Throwable => slowErr.set(e) }
+        finally done.countDown()
+      })
+      t1.start()
+      // wait until the slow statement actually holds the pool's permit
+      val deadline = System.currentTimeMillis() + 15000
+      while (graft.plans.QueryGate.heldBy(spark) < 1 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(graft.plans.QueryGate.heldBy(spark) == 1,
+        "slow statement never acquired the query permit")
+      // pool saturated + zero queue: the concurrent statement sheds
+      // with the recognizable retryable error, end to end over JDBC
+      val shed = intercept[java.sql.SQLException] {
+        c2.createStatement()
+          .executeQuery("SELECT count(*) AS n FROM svc_points")
+      }
+      assert(shed.getMessage.contains("426"),
+        s"expected the [426] shed signal, got: ${shed.getMessage}")
+      // the in-flight statement completes unharmed
+      assert(done.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      assert(slowErr.get() == null,
+        s"in-flight statement must complete: ${slowErr.get()}")
+      assert(slowN.get() == 4L)
+      // once the permit drains (async end-event), the shed statement
+      // kind succeeds again
+      while (graft.plans.QueryGate.heldBy(spark) > 0 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val rs = c2.createStatement()
+        .executeQuery("SELECT count(*) AS n FROM svc_points")
+      assert(rs.next() && rs.getLong(1) == 512L)
+    } finally {
+      graft.plans.QueryGate.uninstall(spark)
+      c1.close(); c2.close()
+    }
+  }
 }

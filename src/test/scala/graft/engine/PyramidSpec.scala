@@ -219,6 +219,61 @@ class PyramidSpec extends AnyFunSuite with BeforeAndAfterAll {
     db.close()
   }
 
+  test("an unstamped pre-ccnt rollup migrates whole before new writes can mix layouts") {
+    import org.apache.spark.sql.functions.col
+    val db = mkDb()
+    val uuid = "u-legacy"
+    db.createStream(uuid, "pyr/legacy", Map("t" -> "l"))
+    insertPts(db, uuid, (0L until 4096L).map(t => (t, 2.0)))
+    db.flush(uuid)
+    // simulate a root written before the ccnt/decimal layout existed:
+    // rewrite the rollup with vsc as INT64 and no ccnt column, and
+    // remove the layout stamp
+    val pyr = Paths.get(s"${db.root}/pyramid".stripPrefix("file:"))
+    val legacy = spark.read.parquet(pyr.toString)
+      .drop("ccnt").withColumn("vsc", col("vsc").cast("long"))
+      .localCheckpoint()
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val s = Files.walk(p)
+      try s.iterator().asScala.toList.reverse.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+    rmTree(pyr)
+    legacy.write.partitionBy("pw", "sbucket", "wbucket")
+      .parquet(pyr.toString)
+    assert(!Files.exists(pyr.resolve("_layout")))
+    // a post-ccnt ingest FOLDS into the legacy table: without the
+    // migration this appends DECIMAL/ccnt files next to INT64 files —
+    // unreadable or silently ccnt-dropping depending on which footer
+    // inference samples. 1e17 has no representable cents integer, so
+    // its window must degrade to the IEEE mean, which requires ccnt to
+    // have survived for BOTH legacy and fresh rows.
+    insertPts(db, uuid, Seq((100L, 1.0e17)))
+    db.flush(uuid)
+    assert(Files.exists(pyr.resolve("_layout")),
+      "maintenance must stamp the migrated layout")
+    val migrated = spark.read.parquet(pyr.toString)
+    assert(migrated.columns.contains("ccnt"),
+      "migrated table must carry ccnt for every row")
+    assert(migrated.schema("vsc").dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 0),
+      s"migrated vsc must be decimal, got ${migrated.schema("vsc").dataType}")
+    assert(migrated.filter(col("ccnt").isNull).count() == 0)
+    // the mixed window [96, 112): 16 legacy 2.0-points + the off-domain
+    // value — ccnt (16) < cnt (17) ⇒ exact IEEE degrade, never a
+    // null-skipped cents sum over the full count
+    val w = db.windows(uuid, 96L, 112L, 16L, depth = 4)
+      .filter(col("cnt") > 0).head()
+    assert(w.getAs[Long]("cnt") == 17L)
+    assert(w.getAs[Double]("vmean") == (16 * 2.0 + 1.0e17) / 17,
+      s"expected IEEE-degraded mean, got ${w.getAs[Double]("vmean")}")
+    // an untouched all-legacy window still serves the exact cents mean
+    val w2 = db.windows(uuid, 512L, 528L, 16L, depth = 4)
+      .filter(col("cnt") > 0).head()
+    assert(w2.getAs[Long]("cnt") == 16L && w2.getAs[Double]("vmean") == 2.0)
+    db.close()
+  }
+
   test("a delete draining a bucket clears its pyramid partition") {
     val db = mkDb()
     val uuid = "u-drain"
