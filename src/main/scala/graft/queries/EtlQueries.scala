@@ -99,15 +99,21 @@ object EtlQueries {
     * intra sets are disjoint and duplicate-free by construction. */
   private def expandPairs(members: DataFrame, repPairs: DataFrame,
                           intraCarry: DataFrame): DataFrame = {
+    // members is corpus-sized but narrow (two 8-byte ids/row) and is
+    // consumed FOUR times below (both cross sides + both intra sides);
+    // each consumer would otherwise re-run the scan → digest → distinct
+    // group → join pipeline that produced it. Materialize once
+    // (spillable), like the candidate waist of the callers.
+    val m = members.localCheckpoint()
     val carry = repPairs.columns.toSeq.filterNot(Set("a", "b"))
     val cross = repPairs
-      .join(members.select(col("rid").as("a"), col("id").as("xa")), "a")
-      .join(members.select(col("rid").as("b"), col("id").as("xb")), "b")
+      .join(m.select(col("rid").as("a"), col("id").as("xa")), "a")
+      .join(m.select(col("rid").as("b"), col("id").as("xb")), "b")
       .select(least(col("xa"), col("xb")).as("a") +:
         greatest(col("xa"), col("xb")).as("b") +: carry.map(col): _*)
-    val ea = members.join(intraCarry, Seq("rid"))
+    val ea = m.join(intraCarry, Seq("rid"))
       .select(col("rid") +: col("id").as("a") +: carry.map(col): _*)
-    val eb = members.join(intraCarry.select("rid"), Seq("rid"), "left_semi")
+    val eb = m.join(intraCarry.select("rid"), Seq("rid"), "left_semi")
       .select(col("rid"), col("id").as("b"))
     val intra = ea.join(eb, "rid").filter(col("a") < col("b"))
       .select(("a" +: "b" +: carry).map(col): _*)
@@ -160,7 +166,12 @@ object EtlQueries {
     val aggs = laneCoef.zipWithIndex.map { case ((a, b, c), i) =>
       min((col("h1") * a + col("h2") * b + c) % LaneP).as(s"l$i")
     }
+    // the signature matrix is tiny (17 longs per distinct doc) but its
+    // upstream — shingle explode + per-shingle md5 — is the most
+    // expensive scan of the pipeline, and the band self-join below
+    // consumes it TWICE; materialize it so both sides share one pass
     val mh = hs.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint()
     val bandCols = (0 until NumHashes / RowsPerBand).map { g =>
       struct(lit(g).as("band"),
         col(s"l${4 * g}").as("k0"), col(s"l${4 * g + 1}").as("k1"),
@@ -483,13 +494,23 @@ object EtlQueries {
          |ORDER BY i.a, i.b""".stripMargin) { (s, dir) =>
       val d = docs(s, dir).select(col("doc_id"), textKey.as("k"),
         col("text"))
+      // the distinct corpus is read by FIVE consumers below (members,
+      // banding, gram pruning, gram sets, intra carry); materialize it
+      // once so the raw corpus is scanned and digest-grouped a single
+      // time (spillable; bounded by distinct content, not corpus size)
       val g = d.groupBy("k").agg(min("doc_id").as("rid"),
         min("text").as("text"), count(lit(1)).as("nm"))
+        .localCheckpoint()
       val members = d.select(col("doc_id"), col("k"))
         .join(g.select("rid", "k"), "k")
         .select(col("rid"), col("doc_id").as("id"))
       val reps = g.select(col("rid").as("doc_id"), col("text"))
-      val repPairs = minhashBandPairs(reps)
+      // candidate pairs are the narrow waist of the query (a few rows
+      // per near-dup group): materialize them ONCE — consumed by the
+      // gram pruning, the intersection join and the expansion, which
+      // would otherwise each re-run the whole minhash pipeline (the
+      // optimizer cannot share subtrees across consumers)
+      val repPairs = minhashBandPairs(reps).localCheckpoint()
       // the gram explode prices only docs that can REACH the output:
       // banded candidates (cross pairs) and reps of duplicate groups
       // (intra pairs) — at corpus scale a small fraction of the
@@ -509,6 +530,9 @@ object EtlQueries {
             least(length(col("text")) - 3, lit(MaxPos)), lit(2))).as("p"))
         .select(col("doc_id"), expr("substring(text, p, 4)").as("g"))
         .distinct()
+        // consumed three times (sizes + both sides of the intersection
+        // join); bounded by candidate count × ≤ MaxPos/2 grams
+        .localCheckpoint()
       val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = repPairs
         .join(grams.select(col("doc_id").as("a"), col("g")), "a")
