@@ -179,6 +179,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     catalogCache = null
     sidCache.clear()
     tombstonedSidsCache = null
+    migratingInSidsCache = null
   }
 
   /** sids of tombstoned (obliterated-but-not-yet-purged) streams —
@@ -196,6 +197,28 @@ class Btrdb(val spark: SparkSession, val root: String,
       }
     }
     t
+  }
+
+  /** sids of streams being migrated INTO this root
+    * ([[Federation.migrate]]): live in the catalog — their replay goes
+    * through the normal uuid API — but excluded from the SQL views and
+    * the pyramid substitution until the cutover clears the
+    * [[Btrdb.MigratingInAnnotation]] marker, so a federated read can
+    * never count a stream at both its old and new home. */
+  @volatile private var migratingInSidsCache: Set[Long] = null
+  private[engine] def migratingInSids: Set[Long] = {
+    var m = migratingInSidsCache
+    if (m == null) synchronized {
+      m = migratingInSidsCache
+      if (m == null) {
+        m = catalog.filter(!col("tombstoned") &&
+            map_contains_key(col("annotations"),
+              Btrdb.MigratingInAnnotation))
+          .select("sid").collect().map(_.getLong(0)).toSet
+        migratingInSidsCache = m
+      }
+    }
+    m
   }
   private def invalidateCommits(): Unit = synchronized {
     if (commitsCache != null) commitsCache.unpersist()
@@ -831,10 +854,18 @@ class Btrdb(val spark: SparkSession, val root: String,
     * buckets it touches. */
   private def commitBatch(sid: Long, batch: DataFrame, st: BatchStats,
                           partials: DataFrame,
-                          consumedBatches: Seq[Long] = Nil): Long = {
-    val v = majorOf(sid) + 1
-    batch
-      .withColumn("version", lit(v))
+                          consumedBatches: Seq[Long] = Nil,
+                          atVersion: Option[Long] = None,
+                          asCompacted: Boolean = false): Long = {
+    // atVersion: migration replay pins the generation number so the
+    // target's version history matches the source's (which may have
+    // gaps after a compaction collapse); normal commits allocate
+    // major+1. A replayed compacted snapshot keeps its rows' ORIGINAL
+    // version stamps (they are ≤ v and carried in the batch) and lands
+    // as a compacted record, reproducing the source's collapsed floor.
+    val v = atVersion.getOrElse(majorOf(sid) + 1)
+    (if (batch.columns.contains("version")) batch
+     else batch.withColumn("version", lit(v)))
       .withColumn("sbucket", pmod(col("sid"), lit(sBuckets)))
       .withColumn("tbucket", shiftright(col("time"), tBucketPw))
       // no repartition: a full shuffle per ingest batch is the wrong
@@ -849,7 +880,7 @@ class Btrdb(val spark: SparkSession, val root: String,
       .partitionBy("sbucket", "tbucket")
       .parquet(path("points"))
     appendCommit(sid, v, "insert", st.tmin, st.tmax, st.n, st.ranges,
-      consumedBatches, grid = st.offGrid == 0L)
+      consumedBatches, grid = st.offGrid == 0L, compacted = asCompacted)
     // INSERT path: the batch's partial aggregates fold into the existing
     // rollup rows — no point-log rescan, no second batch pass
     maintainPyramid(sid, st.ranges, foldPartials = Some(partials))
@@ -927,6 +958,83 @@ class Btrdb(val spark: SparkSession, val root: String,
     maintainPyramid(sid, Seq((start, end)), foldPartials = None)
     version(uuid)
   }
+
+  // ---- migration replay (Federation.migrate) --------------------------
+
+  /** Raw point rows of one committed generation — the replay source for
+    * [[Federation.migrate]]. `upTo` reads every row at version ≤ v
+    * (the shape of a compacted record, whose snapshot keeps original
+    * version numbers); otherwise exactly version v. */
+  private[engine] def generationRows(uuid: String, v: Long,
+                                     upTo: Boolean): DataFrame = {
+    val sid = sidOf(uuid)
+    // version is carried so a compacted snapshot's rows keep their
+    // ORIGINAL stamps at the target (a plain generation's rows all
+    // carry exactly v, so the column is equivalent to re-stamping)
+    readOr("points", PointsSchema)
+      .filter(col("sbucket") === (sid % sBuckets) && col("sid") === sid &&
+        (if (upTo) col("version") <= v else col("version") === v))
+      .select("time", "value", "version")
+  }
+
+  /** Replay one insert generation at a PINNED version — the migration
+    * analog of a commit: same validation, point-log write, commit
+    * record and incremental pyramid fold, but the generation number is
+    * the source's (which may leave gaps after a compaction collapse —
+    * [[appendCommit]] advances the major to the max seen). Requires an
+    * empty staging buffer: replay interleaved with live writes on the
+    * target stream has no defined version order. */
+  private[engine] def replayInsert(uuid: String, atVersion: Long,
+                                   points: DataFrame,
+                                   asCompacted: Boolean = false): Unit =
+    admission.run(Admission.Write) {
+      val sid = sidOf(uuid)
+      require(atVersion > majorOf(sid),
+        s"replay version $atVersion not above major ${majorOf(sid)}")
+      require(minorOf(sid) == 0, "replay into a stream with staged points")
+      val batch = points.select(lit(sid).as("sid"),
+        col("time").cast("long").as("time"),
+        col("value").cast("double").as("value"),
+        col("version").cast("long").as("version"))
+      val partials = batchPartials(batch).cache()
+      val st = batchStats(partials)
+      if (st.n > 0) {
+        require(st.bad == 0,
+          s"${st.bad} replayed points invalid: NaN/Inf or time out of range")
+        commitBatch(sid, batch, st, partials, atVersion = Some(atVersion),
+          asCompacted = asCompacted)
+      } else {
+        // a zero-survivor compacted source generation: record the
+        // version so pinned reads line up (the source compactor's
+        // n == 0 convention: tmin = tmax = 0, one degenerate range),
+        // leaving the envelope untouched — nothing exists to cover
+        writeCommitFile(
+          s"commit-$sid-$atVersion${if (asCompacted) "-c" else ""}.json",
+          commitJson(sid, atVersion, "insert", 0L, 0L, 0L, Seq((0L, 1L)),
+            compacted = asCompacted, grid = true))
+        seedCommitState()
+        majorCounts(sid) = math.max(majorCounts.getOrElse(sid, 0L), atVersion)
+        if (asCompacted) compactedFloor(sid) = atVersion
+        invalidateCommits()
+      }
+      partials.unpersist()
+    }
+
+  /** Replay one delete commit at a PINNED version — appends the
+    * anti-filter record and invalidates the touched rollups, with no
+    * implicit flush (the target stream takes no live writes during
+    * migration). */
+  private[engine] def replayDelete(uuid: String, atVersion: Long,
+                                   start: Long, end: Long): Unit =
+    admission.run(Admission.Write) {
+      val sid = sidOf(uuid)
+      require(atVersion > majorOf(sid),
+        s"replay version $atVersion not above major ${majorOf(sid)}")
+      require(minorOf(sid) == 0, "replay into a stream with staged points")
+      appendCommit(sid, atVersion, "delete", start, end, 0,
+        Seq((start, end)))
+      maintainPyramid(sid, Seq((start, end)), foldPartials = None)
+    }
 
   /** Compact one stream: materialize its latest-visible snapshot (delete
     * anti-filters applied, old generations dropped), rewrite the
@@ -1215,9 +1323,10 @@ class Btrdb(val spark: SparkSession, val root: String,
                            tmin: Long, tmax: Long, n: Long,
                            ranges: Seq[(Long, Long)],
                            batches: Seq[Long] = Nil,
-                           grid: Boolean = false): Unit = {
-    writeCommitFile(s"commit-$sid-$v.json",
-      commitJson(sid, v, kind, tmin, tmax, n, ranges, compacted = false,
+                           grid: Boolean = false,
+                           compacted: Boolean = false): Unit = {
+    writeCommitFile(s"commit-$sid-$v${if (compacted) "-c" else ""}.json",
+      commitJson(sid, v, kind, tmin, tmax, n, ranges, compacted = compacted,
         batches = batches, grid = grid))
     seedCommitState()
     majorCounts(sid) = math.max(majorCounts.getOrElse(sid, 0L), v)
@@ -1229,6 +1338,10 @@ class Btrdb(val spark: SparkSession, val root: String,
       }
       gridOk(sid) = gridOk.getOrElse(sid, true) && grid
     }
+    // a compacted record collapses everything at or below it — pins
+    // below the floor read empty (migration replay of a compacted
+    // source record reproduces the floor at the target)
+    if (compacted) compactedFloor(sid) = v
     invalidateCommits()
   }
 
@@ -1424,8 +1537,9 @@ class Btrdb(val spark: SparkSession, val root: String,
       if (minorCounts.exists(_._2 > 0))
         anti.unionByName(stagingDf.select("sid", "time", "value"))
       else anti
-    val tomb = tombstonedSids
-    if (tomb.isEmpty) all else all.filter(!col("sid").isin(tomb.toSeq: _*))
+    val hidden = tombstonedSids ++ migratingInSids
+    if (hidden.isEmpty) all
+    else all.filter(!col("sid").isin(hidden.toSeq: _*))
   }
 
   /** Register the engine as plain SQL: temp views `<prefix>_points`
@@ -1482,7 +1596,9 @@ class Btrdb(val spark: SparkSession, val root: String,
     seedCommitState(); seedMinors()
     val level = pyramidLevels.filter(_ <= pw).sorted.lastOption
       .filter(pyramidHas)
-    val tomb = tombstonedSids
+    // hidden = tombstoned + migrating-in: both are excluded from the
+    // point views, so the substituted frame must exclude them too
+    val tomb = tombstonedSids ++ migratingInSids
     val affected = sids.getOrElse(
       (majorCounts.keys ++ minorCounts.keys).toSeq.distinct)
       .filterNot(tomb.contains)
@@ -1993,6 +2109,11 @@ object Btrdb {
   /** Above this stream count, multiAlign/generateCsv switch from the
     * k−1-join chain to the single-shuffle union+pivot plan. */
   val MultiAlignJoinMaxK = 8
+
+  /** Annotation marking a stream as migrating INTO its root
+    * ([[Federation.migrate]]): live for the replay API, hidden from the
+    * SQL views and the pyramid substitution until cutover clears it. */
+  val MigratingInAnnotation = "graft.migrating_in"
 
   /** Metadata limits, mirrored from
     * /root/reference/internal/mprovider/metaprovider.go:18-28. */

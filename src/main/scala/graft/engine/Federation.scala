@@ -69,4 +69,122 @@ object Federation {
     graft.plans.PyramidSubstitution.registerFederation(
       spark, s"${prefix}_points", engines.map(_._2))
   }
+
+  /** Outcome of [[migrate]]: the stream's id at each root and the
+    * verified state (generation count and point count at cutover). */
+  final case class MigrationReport(uuid: String, fromSid: Long,
+      toSid: Long, major: Long, npoints: Long)
+
+  /** Move one stream between federation roots — the resharding tool an
+    * [[ownerOf]] `n` change requires (the reference's analog is a MASH
+    * ring transition, /root/reference/internal/configprovider/
+    * cluster_leader.go:15-37, where readings move to the node whose
+    * hash range now covers them).
+    *
+    * Protocol, crash-safe at every step:
+    *   1. flush `from`'s staging so the commit log is the whole truth;
+    *   2. create the stream at `to` under the
+    *      [[Btrdb.MigratingInAnnotation]] marker — live for the replay
+    *      API but hidden from `to`'s views and pyramid substitution,
+    *      so no federated read can count the stream twice;
+    *   3. replay `from`'s effective commit log in version order at
+    *      PINNED generation numbers (a compacted record replays its
+    *      snapshot as one generation at the collapse version; deletes
+    *      replay as anti-filter records) — pinned reads at the target
+    *      then answer exactly as at the source for every surviving
+    *      version;
+    *   4. verify parity: point count and an order-independent content
+    *      hash over (time, value, version) at the latest version, plus
+    *      the major version itself;
+    *   5. cut over: tombstone at `from` FIRST, then clear the marker at
+    *      `to` — the stream is briefly absent from the federated view
+    *      (the reference's ring transition has the same unavailability
+    *      window) but never present twice.
+    *
+    * Idempotent: a crash mid-replay resumes after the target's major
+    * (each replayed generation is a crash-safe commit); a crash between
+    * tombstone and marker-clear resumes at step 5. */
+  def migrate(uuid: String, from: Btrdb, to: Btrdb): MigrationReport = {
+    val marker = Btrdb.MigratingInAnnotation
+    val toLive = to.catalog
+      .filter(col("uuid") === uuid && !col("tombstoned")).collect()
+    val fromLive = from.catalog
+      .filter(col("uuid") === uuid && !col("tombstoned")).count() > 0
+
+    if (!fromLive) {
+      // resume after a crash between tombstone and marker-clear: the
+      // replay completed (the tombstone is written strictly after the
+      // parity check), only the reveal remains
+      require(toLive.nonEmpty && toLive.head
+          .getAs[scala.collection.Map[String, String]]("annotations")
+          .contains(marker),
+        s"stream not live at the source and not mid-migration at the target: $uuid")
+      val (desc, maj, _) = to.streamInfo(uuid)
+      to.updateAnnotations(uuid, desc.annotationVersion, Map(marker -> None))
+      val n = to.pointsAt(uuid).count()
+      return MigrationReport(uuid, -1L, desc.sid, maj, n)
+    }
+
+    from.flush(uuid)
+    val (desc, srcMajor, _) = from.streamInfo(uuid)
+    val fromSid = desc.sid
+
+    if (toLive.isEmpty) {
+      to.createStream(uuid, desc.collection, desc.tags,
+        desc.annotations + (marker -> "1"))
+    } else {
+      require(toLive.head
+          .getAs[scala.collection.Map[String, String]]("annotations")
+          .contains(marker),
+        s"target already holds a live '$uuid' that is not migrating in")
+    }
+    val toSid = to.sidOf(uuid)
+
+    // the source's EFFECTIVE commit log (compaction supersede applied),
+    // replayed in version order; resume skips what the target already
+    // committed
+    val doneTo = to.version(uuid)._1
+    val recs = from.commits
+      .filter(col("sid") === fromSid)
+      .select("version", "kind", "tmin", "tmax", "compacted")
+      .collect().sortBy(_.getLong(0))
+    recs.filter(_.getLong(0) > doneTo).foreach { r =>
+      val v = r.getLong(0)
+      r.getString(1) match {
+        case "insert" =>
+          to.replayInsert(uuid, v,
+            from.generationRows(uuid, v, upTo = r.getBoolean(4)),
+            asCompacted = r.getBoolean(4))
+        case "delete" =>
+          to.replayDelete(uuid, v, r.getLong(2), r.getLong(3))
+        case k => throw new IllegalStateException(s"unknown commit kind: $k")
+      }
+    }
+
+    // parity gate: nothing at the source is touched unless the target
+    // provably holds the same stream
+    def digest(e: Btrdb): (Long, java.math.BigDecimal) = {
+      // decimal sum: exact, order-independent, and immune to the ANSI
+      // long-overflow a plain sum of 2^63-range hashes hits
+      val r = e.pointsAt(uuid)
+        .agg(count(lit(1)),
+          coalesce(sum(xxhash64(col("time"), col("value"), col("version"))
+            .cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)))
+        .head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    val (srcN, srcH) = digest(from)
+    val (dstN, dstH) = digest(to)
+    val dstMajor = to.version(uuid)._1
+    require(srcMajor == dstMajor && srcN == dstN && srcH == dstH,
+      s"migration parity failed for $uuid: " +
+        s"major $srcMajor/$dstMajor, count $srcN/$dstN, hash $srcH/$dstH")
+
+    // cutover: hide at the source FIRST — a reader between the two
+    // steps misses the stream, but can never double-count it
+    from.obliterate(uuid)
+    val annVer = to.streamInfo(uuid)._1.annotationVersion
+    to.updateAnnotations(uuid, annVer, Map(marker -> None))
+    MigrationReport(uuid, fromSid, toSid, dstMajor, dstN)
+  }
 }
