@@ -25,6 +25,14 @@ object Bench {
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE sizes post-shuffle partitions by INPUT bytes; the dedup
+      // expansion joins have kilobyte inputs (16-byte digest keys) but
+      // multiply row counts a hundredfold, so the default 1 MB floor
+      // coalesces them to ~3 tasks and serializes the expansion no
+      // matter the core count. A smaller floor keeps join parallelism
+      // at core count; the extra scheduling cost for genuinely tiny
+      // queries is microseconds per task.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -127,10 +127,13 @@ object EtlQueries {
     * md5 is the same contract the exact-dedup query already keys on. */
   private def textKey: Column = md5(col("text").cast("binary"))
 
-  /** The same digest for embeddings (canonical JSON rendering of the
-    * float array) — array join keys hash and compare element-wise;
-    * a 16-byte digest key does neither. */
-  private def embKey: Column = md5(to_json(col("embedding")).cast("binary"))
+  // Embeddings deliberately group/join on the RAW array: Spark hashes
+  // and compares arrays natively inside codegen, while any digest of
+  // the array must first render it (to_json is a codegen-fallback
+  // Jackson call per row — measured 3.5× slower end-to-end at the 100×
+  // replica than shuffling the 256-byte array itself). The digest
+  // trade-off only wins for ~2 KB texts, where it replaces a key two
+  // orders of magnitude wider.
 
   /** Run a pure-function-of-text computation ONCE per distinct text
     * and restore the per-doc shape: `compute` receives one
@@ -833,15 +836,12 @@ object EtlQueries {
       // ordering — consistently on both sides and in the oracle, so
       // the forms still agree row-for-row). Identical output, compute
       // ∝ distinct vectors + output (359 s → output-bound at the 100×
-      // replica, SCALE.md). Group/join keys are the 16-byte content
-      // digest, never the float array.
+      // replica, SCALE.md). Keys are the raw array — codegen-hashed in
+      // the exchange; see the note above replacing embKey.
       import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
-      val base = emb(s, dir).select(col("vec_id"), embKey.as("k"),
-        col("embedding"))
-      val g = base.groupBy("k")
-        .agg(min("vec_id").as("rid"), first("embedding").as("embedding"))
-      val members = base.select(col("vec_id"), col("k"))
-        .join(g.select("rid", "k"), "k")
+      val base = emb(s, dir)
+      val g = base.groupBy("embedding").agg(min("vec_id").as("rid"))
+      val members = base.join(g, "embedding")
         .select(col("rid"), col("vec_id").as("id"))
       val repPairs = cosinePairs(
         g.select(col("rid").as("vec_id"), col("embedding")), threshold = 0.2)
@@ -874,9 +874,8 @@ object EtlQueries {
          |JOIN g ga ON ga.vec_id = c.a JOIN g gb ON gb.vec_id = c.b
          |WHERE c.cos >= 0.2
          |ORDER BY c.a, c.b""".stripMargin) { (s, dir) =>
-      val g = emb(s, dir).groupBy(embKey.as("k"))
-        .agg(min("vec_id").as("vec_id"), count(lit(1)).as("n"),
-          first("embedding").as("embedding"))
+      val g = emb(s, dir).groupBy("embedding")
+        .agg(min("vec_id").as("vec_id"), count(lit(1)).as("n"))
       cosinePairs(g.select("vec_id", "embedding", "n"), threshold = 0.2)
         .join(g.select(col("vec_id").as("a"), col("n").as("na")), "a")
         .join(g.select(col("vec_id").as("b"), col("n").as("nb")), "b")
