@@ -216,6 +216,53 @@ object EtlQueries {
        |    AND a.k2 = b.k2 AND a.k3 = b.k3 AND a.doc_id < b.doc_id)"""
       .stripMargin
 
+  /** DuckDB CTE chain assigning every doc its dedup cluster (shared by
+    * `q_dedup_cluster` and `q_dedup_keep`): distinct-text groups →
+    * MinHash band pairs → undirected edges → recursive reachability
+    * fixpoint → MIN-label per rep → `clusters(doc_id, cluster)`.
+    * Callers prepend `WITH RECURSIVE`. */
+  private def clusterCteSql: String =
+    s"""g AS (
+       |  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+       |${minhashPairsSql("g")},
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION SELECT b AS src, a AS dst FROM pairs),
+       |cc(id, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, c.lbl FROM edges e JOIN cc c ON c.id = e.dst),
+       |repc AS (SELECT id, MIN(lbl) AS cluster FROM cc GROUP BY id),
+       |rep AS (
+       |  SELECT d.doc_id, g.doc_id AS rid
+       |  FROM documents d JOIN g ON g.text = d.text),
+       |clusters AS (
+       |  SELECT r.doc_id, COALESCE(c.cluster, r.rid) AS cluster
+       |  FROM rep r LEFT JOIN repc c ON c.id = r.rid)""".stripMargin
+
+  /** (doc_id, cluster) for every doc — the Spark mirror of
+    * [[clusterCteSql]]: connected components
+    * ([[graft.etl.Dedup.connectedComponents]] — iterative min-label
+    * propagation, O(cluster diameter) rounds) over the rep-level
+    * MinHash candidate graph, exact-duplicate members inheriting their
+    * rep's component, singletons their own id. */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), textKey.as("k"),
+      col("text"))
+    val g = d.groupBy("k")
+      .agg(min("doc_id").as("rid"), min("text").as("text"))
+    val members = d.select(col("doc_id"), col("k"))
+      .join(g.select("rid", "k"), "k")
+      .select(col("rid"), col("doc_id").as("id"))
+    val pairs = minhashBandPairs(
+      g.select(col("rid").as("doc_id"), col("text")))
+    val cc = graft.etl.Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "rid")
+    members.join(cc, Seq("rid"), "left_outer")
+      .select(col("id").as("doc_id"),
+        coalesce(col("cluster"), col("rid")).as("cluster"))
+  }
+
   /** Banded hyperplane-signature candidates over `base`
     * (vec_id, embedding) + exact fixed-point cosine, one implementation
     * for the pair and representative forms (SQL mirror:
@@ -358,40 +405,121 @@ object EtlQueries {
     // recursive CTE (reachability set → MIN label), which is exact at
     // fixture scale.
     "q_dedup_cluster" -> QueryDef(
-      s"""WITH RECURSIVE g AS (
-         |  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
-         |${minhashPairsSql("g")},
-         |edges AS (
-         |  SELECT a AS src, b AS dst FROM pairs
-         |  UNION SELECT b AS src, a AS dst FROM pairs),
-         |cc(id, lbl) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, c.lbl FROM edges e JOIN cc c ON c.id = e.dst),
-         |repc AS (SELECT id, MIN(lbl) AS cluster FROM cc GROUP BY id),
-         |rep AS (
-         |  SELECT d.doc_id, g.doc_id AS rid
-         |  FROM documents d JOIN g ON g.text = d.text)
-         |SELECT r.doc_id, COALESCE(c.cluster, r.rid) AS cluster,
-         |  CAST(r.doc_id = COALESCE(c.cluster, r.rid) AS BIGINT) AS is_canonical
-         |FROM rep r LEFT JOIN repc c ON c.id = r.rid
-         |ORDER BY r.doc_id""".stripMargin) { (s, dir) =>
-      val d = docs(s, dir).select(col("doc_id"), textKey.as("k"),
-        col("text"))
-      val g = d.groupBy("k")
-        .agg(min("doc_id").as("rid"), min("text").as("text"))
-      val members = d.select(col("doc_id"), col("k"))
-        .join(g.select("rid", "k"), "k")
-        .select(col("rid"), col("doc_id").as("id"))
-      val pairs = minhashBandPairs(
-        g.select(col("rid").as("doc_id"), col("text")))
-      val cc = graft.etl.Dedup.connectedComponents(pairs)
-        .withColumnRenamed("id", "rid")
-      members.join(cc, Seq("rid"), "left_outer")
-        .select(col("id").as("doc_id"),
-          coalesce(col("cluster"), col("rid")).as("cluster"))
+      s"""WITH RECURSIVE $clusterCteSql
+         |SELECT doc_id, cluster,
+         |  CAST(doc_id = cluster AS BIGINT) AS is_canonical
+         |FROM clusters ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      dedupClusters(s, dir)
         .withColumn("is_canonical",
           (col("doc_id") === col("cluster")).cast("long"))
+        .orderBy("doc_id")
+    },
+
+    // Canonical selection over the dedup clusters: the keep/drop
+    // decision a pipeline executes — per cluster, KEEP the longest
+    // member (the standard near-dup heuristic: the longest variant
+    // subsumes its truncations), ties to the smallest doc_id. One
+    // window over the cluster assignment; skew is bounded by duplicate
+    // group size, and a cluster's members already co-locate on the
+    // cluster key.
+    "q_dedup_keep" -> QueryDef(
+      s"""WITH RECURSIVE $clusterCteSql
+         |SELECT c.doc_id, c.cluster,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY c.cluster
+         |    ORDER BY length(d.text) DESC, c.doc_id) = 1 AS BIGINT) AS keep
+         |FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster").orderBy(col("len").desc, col("doc_id").asc)
+      dedupClusters(s, dir)
+        .join(docs(s, dir)
+          .select(col("doc_id"), length(col("text")).as("len")), "doc_id")
+        .withColumn("keep", (row_number().over(w) === 1).cast("long"))
+        .select("doc_id", "cluster", "keep")
+        .orderBy("doc_id")
+    },
+
+    // Eval-set contamination: corpus docs whose distinct 8-gram set
+    // CONTAINS ≥ 20% of some probe ("eval") doc's grams — the n-gram
+    // containment check a training pipeline runs against its benchmark
+    // suites before training (real checks run 8-13-gram containment;
+    // the threshold is the tunable). The probe set here is the
+    // deterministic doc_id % 97 slice standing in for an eval suite. Distinct-
+    // factored: gram sets are computed once per distinct text (keyed by
+    // the content digest) and doc-level hits expand through the member
+    // maps; at corpus scale the probe side is a small broadcastable
+    // relation (eval suites are thousands of docs), and top-frequency
+    // "stopword" grams would be dropped before the join to bound key
+    // skew — the fixture's gram distribution doesn't need it.
+    "q_contamination" -> QueryDef(
+      s"""WITH grams AS (
+         |  SELECT DISTINCT doc_id, substr(text, CAST(p AS INTEGER), 8) AS g
+         |  FROM documents, generate_series(1, $MaxPos, 2) AS s(p)
+         |  WHERE p <= length(text) - 7),
+         |probe AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 = 0),
+         |psz AS (SELECT doc_id, COUNT(*) AS np FROM probe GROUP BY doc_id),
+         |hits AS (
+         |  SELECT c.doc_id, p.doc_id AS probe_id, COUNT(*) AS shared
+         |  FROM grams c JOIN probe p ON p.g = c.g AND c.doc_id % 97 <> 0
+         |  GROUP BY c.doc_id, p.doc_id)
+         |SELECT h.doc_id, h.probe_id, CAST(h.shared AS BIGINT) AS shared,
+         |  CAST(s.np AS BIGINT) AS np
+         |FROM hits h JOIN psz s ON s.doc_id = h.probe_id
+         |WHERE h.shared * 10 >= s.np * 2
+         |ORDER BY h.doc_id, h.probe_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), textKey.as("k"),
+        col("text"))
+      val isProbe = pmod(col("doc_id"), lit(97)) === 0
+      val probeM = d.filter(isProbe)
+        .select(col("k").as("kp"), col("doc_id").as("probe_id"))
+      val corpusM = d.filter(!isProbe)
+        .select(col("k").as("kc"), col("doc_id"))
+      val g = d.groupBy("k").agg(min("text").as("text"))
+      // one gram explode per distinct text, shared by both sides
+      val kGrams = g.filter(length(col("text")) >= 8)
+        .select(col("k"), col("text"),
+          explode(sequence(lit(1),
+            least(length(col("text")) - 7, lit(MaxPos)), lit(2))).as("p"))
+        .select(col("k"), expr("substring(text, p, 8)").as("g"))
+        .distinct()
+        .localCheckpoint()
+      val probeGrams = kGrams
+        .join(probeM.select(col("kp").as("k")).distinct(), Seq("k"), "left_semi")
+        .withColumnRenamed("k", "kp")
+      val corpusGrams = kGrams
+        .join(corpusM.select(col("kc").as("k")).distinct(), Seq("k"), "left_semi")
+        .withColumnRenamed("k", "kc")
+      val np = probeGrams.groupBy("kp").agg(count(lit(1)).as("np"))
+      val hitsK = corpusGrams.join(probeGrams, "g")
+        .groupBy("kc", "kp").agg(count(lit(1)).as("shared"))
+        .join(np, "kp")
+        .filter(col("shared") * 10 >= col("np") * 2)
+      hitsK.join(corpusM, "kc").join(probeM, "kp")
+        .select(col("doc_id"), col("probe_id"), col("shared"), col("np"))
+        .orderBy("doc_id", "probe_id")
+    },
+
+    // Stratified deterministic sampling — corpus mixing by language
+    // with per-stratum rates (down-weight the dominant language), the
+    // reproducible-sample primitive every training-data pipeline needs:
+    // the keep decision is a pure hash of (doc_id, text), so the same
+    // sample falls out on any engine, any partitioning, any run. Pure
+    // map-side filter: no shuffle, no state, scales with the scan.
+    "q_corpus_sample" -> QueryDef(
+      s"""SELECT doc_id, lang,
+         |  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8) AS BIGINT) % 100 AS BIGINT) AS bucket
+         |FROM documents
+         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8) AS BIGINT) % 100
+         |      < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val bucket = pmod(
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("text")).cast("binary")), 1, 8), 16, 10).cast("long"),
+        lit(100))
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+        .filter(col("bucket") <
+          when(col("lang") === "en", 20).otherwise(50))
         .orderBy("doc_id")
     },
 
