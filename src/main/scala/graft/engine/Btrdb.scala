@@ -417,7 +417,20 @@ class Btrdb(val spark: SparkSession, val root: String,
     }
     df.write.mode(SaveMode.Overwrite).parquet(path(s"catalog_v/$next"))
     store.writeAtomic("catalog_CURRENT", next.toString)
-    deleteDir(oldDir)
+    // Superseded generations are RETAINED (bounded) rather than deleted
+    // on the spot: a registered SQL view captures its parquet file list
+    // at registration, so deleting the just-replaced directory turns
+    // every live catalog view into FILE_NOT_EXIST on the next metadata
+    // mutation — the long-running daemon's catalog surface must degrade
+    // to STALE, never to broken. A view more than
+    // [[Btrdb.RetainedCatalogGenerations]] swings stale needs a
+    // re-registration, the same contract compaction already imposes on
+    // pinned point readers.
+    val floor = next - Btrdb.RetainedCatalogGenerations
+    if (floor > 0) deleteDir("catalog") // pre-versioning layout
+    store.listNames("catalog_v")
+      .flatMap(_.toLongOption).filter(_ <= floor)
+      .foreach(n => deleteDir(s"catalog_v/$n"))
     invalidateCatalog()
   }
 
@@ -2114,6 +2127,14 @@ object Btrdb {
     * ([[Federation.migrate]]): live for the replay API, hidden from the
     * SQL views and the pyramid substitution until cutover clears it. */
   val MigratingInAnnotation = "graft.migrating_in"
+
+  /** Superseded catalog generations kept on disk after a rewrite so
+    * registered views (whose parquet file lists are captured at
+    * registration) keep reading a CONSISTENT older catalog instead of
+    * failing on deleted files. Catalog directories are metadata-sized;
+    * 64 generations is hours of headroom at any realistic annotation
+    * cadence. */
+  val RetainedCatalogGenerations = 64L
 
   /** Metadata limits, mirrored from
     * /root/reference/internal/mprovider/metaprovider.go:18-28. */

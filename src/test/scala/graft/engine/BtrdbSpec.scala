@@ -685,11 +685,35 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     val v2 = new String(F.readAllBytes(ptr), "UTF-8").trim.toLong
     assert(v2 == v1 + 1)
     assert(F.exists(Paths.get(s"$rootDir/catalog_v/$v2")))
-    assert(!F.exists(Paths.get(s"$rootDir/catalog_v/$v1"))) // superseded dir cleaned
+    // superseded generations are RETAINED (bounded GC) so registered
+    // views reading them degrade to stale, never to FILE_NOT_EXIST
+    assert(F.exists(Paths.get(s"$rootDir/catalog_v/$v1")))
     assert(db.lookupStreams("ptr/").count() == 1)
     assert(db.catalog.filter(
       org.apache.spark.sql.functions.col("uuid") === "u-ptr-1")
       .head().getAs[scala.collection.Map[String, String]]("annotations")("o") == "x")
+  }
+
+  test("a registered catalog view survives metadata rewrites (stale, not broken)") {
+    import org.apache.spark.sql.functions.col
+    db.createStream("u-view-1", "view/a", Map("k" -> "1"))
+    db.createStream("u-view-2", "view/b", Map("k" -> "2"))
+    db.registerViews("stale")
+    val before = spark.sql("SELECT count(*) FROM stale_catalog").head().getLong(0)
+    // every class of catalog rewrite: annotation CAS and obliterate
+    db.setAnnotations("u-view-1", 0L, Map("note" -> "x"))
+    db.obliterate("u-view-2")
+    // the captured view still answers — the generation it reads is
+    // retained; its content is the registration-time snapshot
+    assert(spark.sql("SELECT count(*) FROM stale_catalog").head()
+      .getLong(0) == before)
+    // re-registration sees the current truth
+    db.registerViews("stale")
+    assert(spark.sql("SELECT count(*) FROM stale_catalog")
+      .head().getLong(0) == before - 1)
+    assert(spark.sql(
+      "SELECT count(*) FROM stale_catalog WHERE uuid = 'u-view-2'")
+      .head().getLong(0) == 0L)
   }
 
   test("annotations: CAS update bumps version, stale CAS rejected") {
@@ -708,5 +732,27 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     val anns = r2.getAs[scala.collection.Map[String, String]]("annotations")
     assert(!anns.contains("owner") && anns("team") == "grid")
     assert(r2.getAs[Long]("annotationVersion") == 2L)
+  }
+
+  test("superseded catalog generations GC down to the retention bound") {
+    import java.nio.file.{Files => F, Paths}
+    val rootDir = db.root.stripPrefix("file:")
+    db.createStream("u-gc", "gc/a", Map("t" -> "1"))
+    val swings = Btrdb.RetainedCatalogGenerations.toInt + 3
+    (0 until swings).foreach { i =>
+      db.setAnnotations("u-gc", i.toLong, Map("n" -> i.toString))
+    }
+    val ptr = Paths.get(s"$rootDir/catalog_CURRENT")
+    val cur = new String(F.readAllBytes(ptr), "UTF-8").trim.toLong
+    val dirs = F.list(Paths.get(s"$rootDir/catalog_v")).iterator()
+    var kept = List.empty[Long]
+    while (dirs.hasNext) kept ::= dirs.next().getFileName.toString.toLong
+    assert(kept.size <= Btrdb.RetainedCatalogGenerations + 1,
+      s"retention bound exceeded: ${kept.size} generations on disk")
+    assert(kept.max == cur)
+    assert(kept.min > cur - Btrdb.RetainedCatalogGenerations - 1)
+    // the pre-versioning layout is gone once the floor passed it
+    assert(!F.exists(Paths.get(s"$rootDir/catalog")))
+    assert(db.lookupStreams("gc/").count() == 1)
   }
 }
