@@ -72,6 +72,53 @@ object Service {
       .getOrCreate()
   }
 
+  /** Cheap fingerprint of a root's externally-visible state: catalog
+    * pointer, commit-log listing, staging listing. Three filesystem
+    * metadata calls — safe at any polling cadence. */
+  private def epochOf(e: Btrdb): Int =
+    (e.store.readString("catalog_CURRENT"),
+      e.store.listNames("commits").sorted,
+      e.store.listNames("staging").sorted).hashCode
+
+  /** Keep the registered views tracking the writers: registered temp
+    * views capture their parquet file lists and merge topology at
+    * registration, so a writer's commits, flushes and catalog rewrites
+    * are invisible (at best) to a long-running daemon until someone
+    * re-registers. This daemon-side poller re-seeds each engine's
+    * caches and re-runs the registration whenever a root's fingerprint
+    * moves — the reference daemon reads every RPC from live state; a
+    * bounded staleness window (one poll interval) is the Spark-native
+    * equivalent. Returns the started daemon thread. */
+  def autoRefresh(engines: Seq[Btrdb], register: () => Unit,
+                  intervalMs: Long): Thread = {
+    val t = new Thread(() => {
+      var last = engines.map(epochOf)
+      var running = true
+      while (running) {
+        try {
+          Thread.sleep(intervalMs)
+          val now = engines.map(epochOf)
+          if (now != last) {
+            engines.foreach { e =>
+              e.refreshCatalog(); e.refreshCommits(); e.refreshStaging()
+            }
+            register()
+            last = now
+          }
+        } catch {
+          case _: InterruptedException => running = false
+          // a half-written external mutation can surface transiently
+          // (e.g. a commit file mid-rename); the next tick retries
+          case e: Throwable =>
+            System.err.println(s"[graft.Service] view refresh failed: $e")
+        }
+      }
+    }, "graft-service-view-refresh")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
       "usage: graft.Service <engineRoot>[,root2,...] [viewPrefix] [port]")
@@ -101,17 +148,26 @@ object Service {
     // several: the federated union surface (engine-tagged), plus each
     // member's own views under <prefix>_<i> for member-scoped queries
     // with the substitution still available per member.
-    roots match {
+    val (engines, register): (Seq[Btrdb], () => Unit) = roots match {
       case Seq(root) =>
-        new Btrdb(spark, root, lockRoot = false).registerViews(prefix)
+        val e = new Btrdb(spark, root, lockRoot = false)
+        (Seq(e), () => e.registerViews(prefix))
       case many =>
         val members = many.zipWithIndex.map { case (r, i) =>
-          val e = new Btrdb(spark, r, lockRoot = false)
-          e.registerViews(s"${prefix}_$i")
-          (s"e$i", e)
+          (s"e$i", new Btrdb(spark, r, lockRoot = false), s"${prefix}_$i")
         }
-        Federation.registerViews(spark, prefix, members)
+        (members.map(_._2), () => {
+          members.foreach { case (_, e, p) => e.registerViews(p) }
+          Federation.registerViews(spark, prefix,
+            members.map(m => (m._1, m._2)))
+        })
     }
+    register()
+    // track external writers: re-register when any root's state moves
+    // (0 disables)
+    val refreshMs = sys.env.get("SPARK_GRAFT_REFRESH_MS").map(_.toLong)
+      .getOrElse(5000L)
+    if (refreshMs > 0) autoRefresh(engines, register, refreshMs)
     start(spark)
     // scalastyle:off println
     println(s"""{"service":"thrift-jdbc","port":$port,"roots":${roots.size},""" +

@@ -635,6 +635,11 @@ class Btrdb(val spark: SparkSession, val root: String,
     minorCounts.clear(); minorSeeded = false
   }
 
+  /** Re-read the catalog from disk — call after an external process
+    * rewrote it (a writer's annotation CAS / obliterate seen from a
+    * read-only attach). */
+  def refreshCatalog(): Unit = synchronized { invalidateCatalog() }
+
   /** Re-read commit metadata from disk — call after an external process
     * touched the commit log (recovery tooling, tests). */
   def refreshCommits(): Unit = synchronized {

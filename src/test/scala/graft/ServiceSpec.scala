@@ -168,6 +168,50 @@ class ServiceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("auto-refresh tracks an external writer: new commits and catalog rewrites reach JDBC") {
+    val refresher = Service.autoRefresh(Seq(db),
+      () => db.registerViews("svc"), intervalMs = 300)
+    val conn = connect()
+    try {
+      val st = conn.createStatement()
+      def count(sql: String): Long = {
+        val rs = st.executeQuery(sql)
+        assert(rs.next()); rs.getLong(1)
+      }
+      val n0 = count("SELECT count(*) AS n FROM svc_points")
+      val c0 = count("SELECT count(*) AS n FROM svc_catalog")
+      // an "external" mutation: a new stream, a commit, an obliterate —
+      // the captured views can't see any of it until the poller fires
+      db.createStream("svc-fresh", "svc/fresh", Map("k" -> "f"))
+      db.insert("svc-fresh", spark.createDataFrame(
+        (0 until 64).map(i => (100000L + i, 1.0))).toDF("time", "value"))
+      db.flush("svc-fresh")
+      val deadline = System.currentTimeMillis() + 20000
+      var (n1, c1) = (n0, c0)
+      while ((n1 != n0 + 64 || c1 != c0 + 1) &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        n1 = count("SELECT count(*) AS n FROM svc_points")
+        c1 = count("SELECT count(*) AS n FROM svc_catalog")
+      }
+      assert(n1 == n0 + 64, s"points view never refreshed: $n1 vs ${n0 + 64}")
+      assert(c1 == c0 + 1, s"catalog view never refreshed: $c1 vs ${c0 + 1}")
+      // catalog REWRITE (obliterate) — the retention fix keeps the old
+      // generation readable until the poller re-registers
+      db.obliterate("svc-fresh")
+      var c2 = c1
+      while (c2 != c0 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        c2 = count("SELECT count(*) AS n FROM svc_catalog")
+      }
+      assert(c2 == c0, s"catalog view never dropped the obliterated stream")
+      assert(count("SELECT count(*) AS n FROM svc_points") == n0)
+    } finally {
+      refresher.interrupt()
+      conn.close()
+    }
+  }
+
   test("a saturated query pool sheds JDBC statements with [426]") {
     // a deliberately slow view: every partition sleeps, so the first
     // statement reliably HOLDS its query-pool permit while the second
