@@ -94,4 +94,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("HashAggregate"))
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
   }
+
+  test("stratified sampling is a pure map-side filter (no shuffle before the sort)") {
+    val p = plan("q_corpus_sample")
+    assert(!p.contains("CartesianProduct"))
+    // exactly one exchange: the final presentation orderBy's range
+    // partitioning — the keep decision itself must not shuffle
+    val exchanges = "Exchange".r.findAllIn(p).size -
+      "ReusedExchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected only the orderBy exchange, got:\n$p")
+  }
+
+  test("contamination containment join is equi-keyed, never all-pairs") {
+    val p = plan("q_contamination")
+    assert(!p.contains("CartesianProduct"),
+      s"gram containment must join on the gram key, got:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "no nested-loop fallback in the containment join")
+  }
+
+  test("dedup clustering never goes all-pairs") {
+    val p = plan("q_dedup_cluster")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"cluster assignment must stay banded/equi-keyed, got:\n$p")
+  }
 }
