@@ -29,6 +29,13 @@ object EtlQueries {
   private val MaxPos = 2048
   /** Profile depth for the Cavnar-Trenkle language-ID query. */
   private val LangIdTopK = 40
+  /** Contamination df cap: 8-grams present in more than this many
+    * DISTINCT texts are dropped from the containment check on both
+    * sides (and from the denominator) — the n-gram analog of stopword
+    * removal. Common grams carry no contamination evidence, and the
+    * cap bounds the gram join linearly in the probe corpus where the
+    * uncapped join grows quadratically through hot grams. */
+  private val ContamDfCap = 128
   /** Trigram positions per doc for language-ID — the signal saturates in
     * the first few hundred characters; unbounded explode would scale the
     * query with doc length for no accuracy gain. */
@@ -439,8 +446,8 @@ object EtlQueries {
         .orderBy("doc_id")
     },
 
-    // Eval-set contamination: corpus docs whose distinct 8-gram set
-    // CONTAINS ≥ 20% of some probe ("eval") doc's grams — the n-gram
+    // Eval-set contamination: corpus docs whose distinct RARE-8-gram
+    // set contains ≥ 15% of some probe ("eval") doc's rare grams — the
     // containment check a training pipeline runs against its benchmark
     // suites before training (real checks run 8-13-gram containment;
     // the threshold is the tunable). The probe set here is the
@@ -456,16 +463,22 @@ object EtlQueries {
          |  SELECT DISTINCT doc_id, substr(text, CAST(p AS INTEGER), 8) AS g
          |  FROM documents, generate_series(1, $MaxPos, 2) AS s(p)
          |  WHERE p <= length(text) - 7),
-         |probe AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 = 0),
+         |tg AS (
+         |  SELECT DISTINCT text, substr(text, CAST(p AS INTEGER), 8) AS g
+         |  FROM documents, generate_series(1, $MaxPos, 2) AS s(p)
+         |  WHERE p <= length(text) - 7),
+         |rare AS (SELECT g FROM tg GROUP BY g HAVING COUNT(*) <= $ContamDfCap),
+         |rg AS (SELECT doc_id, grams.g FROM grams JOIN rare ON rare.g = grams.g),
+         |probe AS (SELECT doc_id, g FROM rg WHERE doc_id % 97 = 0),
          |psz AS (SELECT doc_id, COUNT(*) AS np FROM probe GROUP BY doc_id),
          |hits AS (
          |  SELECT c.doc_id, p.doc_id AS probe_id, COUNT(*) AS shared
-         |  FROM grams c JOIN probe p ON p.g = c.g AND c.doc_id % 97 <> 0
+         |  FROM rg c JOIN probe p ON p.g = c.g AND c.doc_id % 97 <> 0
          |  GROUP BY c.doc_id, p.doc_id)
          |SELECT h.doc_id, h.probe_id, CAST(h.shared AS BIGINT) AS shared,
          |  CAST(s.np AS BIGINT) AS np
          |FROM hits h JOIN psz s ON s.doc_id = h.probe_id
-         |WHERE h.shared * 10 >= s.np * 2
+         |WHERE h.shared * 20 >= s.np * 3
          |ORDER BY h.doc_id, h.probe_id""".stripMargin) { (s, dir) =>
       val d = docs(s, dir).select(col("doc_id"), textKey.as("k"),
         col("text"))
@@ -475,14 +488,24 @@ object EtlQueries {
       val corpusM = d.filter(!isProbe)
         .select(col("k").as("kc"), col("doc_id"))
       val g = d.groupBy("k").agg(min("text").as("text"))
-      // one gram explode per distinct text, shared by both sides
-      val kGrams = g.filter(length(col("text")) >= 8)
+      // one gram explode per distinct text, shared by both sides, with
+      // the DOCUMENT-FREQUENCY CAP applied before any pairwise work:
+      // a gram present in > ContamDfCap distinct texts carries no
+      // contamination evidence but dominates the containment join
+      // (Σ_g df_c·df_p is quadratic in text count through common
+      // grams); capping df bounds the join at cap × probe postings —
+      // linear in the probe corpus. Probes whose every gram is common
+      // drop out (no rare-gram denominator), as they should.
+      val kGrams0 = g.filter(length(col("text")) >= 8)
         .select(col("k"), col("text"),
           explode(sequence(lit(1),
             least(length(col("text")) - 7, lit(MaxPos)), lit(2))).as("p"))
         .select(col("k"), expr("substring(text, p, 8)").as("g"))
         .distinct()
         .localCheckpoint()
+      val rare = kGrams0.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= ContamDfCap).select("g")
+      val kGrams = kGrams0.join(rare, Seq("g"), "left_semi")
       val probeGrams = kGrams
         .join(probeM.select(col("kp").as("k")).distinct(), Seq("k"), "left_semi")
         .withColumnRenamed("k", "kp")
@@ -493,7 +516,7 @@ object EtlQueries {
       val hitsK = corpusGrams.join(probeGrams, "g")
         .groupBy("kc", "kp").agg(count(lit(1)).as("shared"))
         .join(np, "kp")
-        .filter(col("shared") * 10 >= col("np") * 2)
+        .filter(col("shared") * 20 >= col("np") * 3)
       hitsK.join(corpusM, "kc").join(probeM, "kp")
         .select(col("doc_id"), col("probe_id"), col("shared"), col("np"))
         .orderBy("doc_id", "probe_id")
