@@ -180,6 +180,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     sidCache.clear()
     tombstonedSidsCache = null
     migratingInSidsCache = null
+    migratingOutSidsCache = null
   }
 
   /** sids of tombstoned (obliterated-but-not-yet-purged) streams —
@@ -220,6 +221,54 @@ class Btrdb(val spark: SparkSession, val root: String,
     }
     m
   }
+  /** sids of streams being migrated OUT of this root — the write
+    * fence [[Federation.migrate]] raises before replaying: a write
+    * that lands at the source after the parity digest would be
+    * silently discarded at cutover (the tombstone hides commits that
+    * were never replayed to the target), so inserts and deletes are
+    * rejected outright while the marker is up. Durable (a catalog
+    * annotation) so the fence survives a crash mid-migration; flushes
+    * of ALREADY-staged data stay allowed — migrate drains them before
+    * the replay, and with inserts fenced no new staging can appear. */
+  @volatile private var migratingOutSidsCache: Set[Long] = null
+  private[engine] def migratingOutSids: Set[Long] = {
+    var m = migratingOutSidsCache
+    if (m == null) synchronized {
+      m = migratingOutSidsCache
+      if (m == null) {
+        m = catalog.filter(!col("tombstoned") &&
+            map_contains_key(col("annotations"),
+              Btrdb.MigratingOutAnnotation))
+          .select("sid").collect().map(_.getLong(0)).toSet
+        migratingOutSidsCache = m
+      }
+    }
+    m
+  }
+
+  private def requireNotMigratingOut(sid: Long, op: String): Unit =
+    require(!migratingOutSids.contains(sid),
+      s"$op rejected: stream sid=$sid is migrating out of this root " +
+        "(writes after the migration's parity digest would be lost at cutover)")
+
+  /** Raise the migrating-out fence (idempotent). */
+  private[engine] def beginMigrationOut(uuid: String): Unit = {
+    val (desc, _, _) = streamInfo(uuid)
+    if (!desc.annotations.contains(Btrdb.MigratingOutAnnotation))
+      updateAnnotations(uuid, desc.annotationVersion,
+        Map(Btrdb.MigratingOutAnnotation -> Some("1")))
+  }
+
+  /** Clear the migrating-out fence (idempotent) — the abort path of a
+    * failed migration; the success path obliterates the stream, which
+    * removes the fence with it. */
+  private[engine] def endMigrationOut(uuid: String): Unit = {
+    val (desc, _, _) = streamInfo(uuid)
+    if (desc.annotations.contains(Btrdb.MigratingOutAnnotation))
+      updateAnnotations(uuid, desc.annotationVersion,
+        Map(Btrdb.MigratingOutAnnotation -> None))
+  }
+
   private def invalidateCommits(): Unit = synchronized {
     if (commitsCache != null) commitsCache.unpersist()
     commitsCache = null
@@ -712,6 +761,7 @@ class Btrdb(val spark: SparkSession, val root: String,
 
   private def insertImpl(uuid: String, points: DataFrame): (Long, Long) = {
     val sid = sidOf(uuid)
+    requireNotMigratingOut(sid, "insert")
     val batch = points.select(lit(sid).as("sid"),
       col("time").cast("long").as("time"), col("value").cast("double").as("value"))
     // ONE aggregation pass over the batch produces the window partials;
@@ -768,6 +818,7 @@ class Btrdb(val spark: SparkSession, val root: String,
         .select("sid").collect().map(_.getLong(0)).toSet
       val unknown = counts.map(_.getLong(0)).filterNot(known)
       require(unknown.isEmpty, s"unknown sids: ${unknown.mkString(",")}")
+      counts.map(_.getLong(0)).foreach(requireNotMigratingOut(_, "insertAll"))
       seedMinors()
       batch.withColumn("batch", lit(batchIdGen.incrementAndGet()))
         .sortWithinPartitions("time")
@@ -970,6 +1021,7 @@ class Btrdb(val spark: SparkSession, val root: String,
 
   private def deleteRangeImpl(uuid: String, start: Long, end: Long): (Long, Long) = {
     val sid = sidOf(uuid)
+    requireNotMigratingOut(sid, "deleteRange")
     flushImpl(uuid) // deletes apply to committed data, like the reference
     appendCommit(sid, majorOf(sid) + 1, "delete", start, end, 0,
       Seq((start, end)))
@@ -993,6 +1045,51 @@ class Btrdb(val spark: SparkSession, val root: String,
       .filter(col("sbucket") === (sid % sBuckets) && col("sid") === sid &&
         (if (upTo) col("version") <= v else col("version") === v))
       .select("time", "value", "version")
+  }
+
+  /** Repair pass for a crashed replay ([[Federation.migrate]] resume):
+    * point rows of `uuid` with version ABOVE the committed major are
+    * provably uncommitted orphans — a replayed (or flushed) generation
+    * that died between its point-log append inside [[commitBatch]] and
+    * its commit-file write. Left in place they are invisible to reads
+    * (every read pins version ≤ major), but a resumed replay
+    * re-appends the same generation at the same pinned version, and
+    * the duplicated rows would fail the migration parity gate
+    * PERMANENTLY with no repair path. Drops them by rewriting exactly
+    * the touched tbuckets (the same bounded-working-set shape as
+    * compact/purge: detection is one column-pruned, partition-pruned
+    * scan of the stream's sbucket; clean roots rewrite nothing).
+    * Returns the number of orphan rows dropped. */
+  private[engine] def dropUncommittedReplay(uuid: String): Long = {
+    val sid = sidOf(uuid)
+    val maj = majorOf(sid)
+    val bucket = sid % sBuckets
+    val orphan = col("sid") === sid && col("version") > maj
+    val touched = readOr("points", PointsSchema)
+      .filter(col("sbucket") === bucket && orphan)
+      .groupBy(col("tbucket").cast("long").as("tb"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    touched.foreach { case (tb, _) =>
+      val dir = s"points/sbucket=$bucket/tbucket=$tb"
+      val part = spark.read.parquet(path(dir))
+      val kept = part.agg(count(when(!orphan, 1))).head().getLong(0)
+      if (kept == 0) deleteDir(dir)
+      else {
+        val (merged, release) = checkpointReleasable(
+          part.filter(!orphan)
+            .withColumn("sbucket", lit(bucket))
+            .withColumn("tbucket", lit(tb)))
+        merged.repartition(col("sbucket"), col("tbucket"))
+          .sortWithinPartitions("sid", "time")
+          .write.mode(SaveMode.Overwrite)
+          .option("compression", "zstd")
+          .partitionBy("sbucket", "tbucket")
+          .parquet(path("points"))
+        release()
+      }
+    }
+    touched.map(_._2).sum
   }
 
   /** Replay one insert generation at a PINNED version — the migration
@@ -1024,16 +1121,11 @@ class Btrdb(val spark: SparkSession, val root: String,
       } else {
         // a zero-survivor compacted source generation: record the
         // version so pinned reads line up (the source compactor's
-        // n == 0 convention: tmin = tmax = 0, one degenerate range),
-        // leaving the envelope untouched — nothing exists to cover
-        writeCommitFile(
-          s"commit-$sid-$atVersion${if (asCompacted) "-c" else ""}.json",
-          commitJson(sid, atVersion, "insert", 0L, 0L, 0L, Seq((0L, 1L)),
-            compacted = asCompacted, grid = true))
-        seedCommitState()
-        majorCounts(sid) = math.max(majorCounts.getOrElse(sid, 0L), atVersion)
-        if (asCompacted) compactedFloor(sid) = atVersion
-        invalidateCommits()
+        // n == 0 convention: tmin = tmax = 0, one degenerate range);
+        // appendCommit's n == 0 short-circuit leaves the envelope
+        // untouched — nothing exists to cover
+        appendCommit(sid, atVersion, "insert", 0L, 0L, 0L, Seq((0L, 1L)),
+          grid = true, compacted = asCompacted)
       }
       partials.unpersist()
     }
@@ -1349,13 +1441,15 @@ class Btrdb(val spark: SparkSession, val root: String,
     seedCommitState()
     majorCounts(sid) = math.max(majorCounts.getOrElse(sid, 0L), v)
     if (kind == "delete") deleteDebt += sid
-    else {
+    else if (n > 0) {
       envelopes(sid) = envelopes.get(sid) match {
         case Some((a, b)) => (math.min(a, tmin), math.max(b, tmax))
         case None => (tmin, tmax)
       }
       gridOk(sid) = gridOk.getOrElse(sid, true) && grid
     }
+    // n == 0 insert (a replayed zero-survivor compacted generation):
+    // nothing exists to cover — envelope and grid flag stay untouched
     // a compacted record collapses everything at or below it — pins
     // below the floor read empty (migration replay of a compacted
     // source record reproduces the floor at the target)
@@ -2132,6 +2226,9 @@ object Btrdb {
     * ([[Federation.migrate]]): live for the replay API, hidden from the
     * SQL views and the pyramid substitution until cutover clears it. */
   val MigratingInAnnotation = "graft.migrating_in"
+  /** Source-side write fence of [[Federation.migrate]] (see
+    * [[Btrdb.migratingOutSids]]). */
+  val MigratingOutAnnotation = "graft.migrating_out"
 
   /** Superseded catalog generations kept on disk after a rewrite so
     * registered views (whose parquet file lists are captured at

@@ -32,30 +32,56 @@ import graft.engine.Admission
   * (no job group) are gated per SQL execution instead, released on
   * the execution-end event.
   *
+  * Release rides the ASYNC listener bus, which can drop events under
+  * queue overflow — a dropped finish event must never leak a permit
+  * forever (a leaked permit shrinks the pool until every statement
+  * sheds [426]). Two backstops close that hole:
+  *   - [[install]] is idempotent: re-installing on a session removes
+  *     the previous release listener first, so a stale listener can
+  *     never win the `held` race and release into the OLD pool;
+  *   - a reconciliation sweep ([[reconcile]], run opportunistically
+  *     from [[admit]]) releases held entries older than a TTL whose
+  *     work is provably finished — an execution-keyed entry whose
+  *     execution id no longer resolves, or any entry past the hard
+  *     TTL (a long-lived legitimate statement loses its permit early,
+  *     which briefly oversubscribes the pool — strictly better than a
+  *     permanent leak, and the double-release guard in `release`
+  *     keeps the eventual real finish event a no-op).
+  *
   * Installed only on sessions that opt in ([[QueryGate.install]] —
   * `graft.Service` does); every other session sees a no-op rule. The
   * rule itself never alters the plan.
   */
 object QueryGate {
 
-  private val registry =
-    new ConcurrentHashMap[SparkSession, (Admission, String)]()
-  /** (session, permit key) currently holding a pool permit; keys are
+  private final case class Gate(admission: Admission, pool: String,
+                                listener: SparkListener)
+
+  private val registry = new ConcurrentHashMap[SparkSession, Gate]()
+  /** (session, permit key) → acquire time (ms); keys are
     * "g:<jobGroup>" (statement-scoped) or "e:<executionId>". */
   private val held =
-    ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+    new ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
   /** thrift operation id → its statement's job group (populated from
     * the operation-start event, consumed by the end events). */
   private val opGroup = new ConcurrentHashMap[String, String]()
 
+  /** Hard TTL for the reconciliation sweep: a held permit older than
+    * this is released even if liveness can't be disproven. */
+  @volatile private[plans] var reconcileTtlMs: Long = 10L * 60 * 1000
+  private val lastSweep = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Gate `spark`'s statements on `admission`'s `pool`. Registers the
-    * release listener; call once per session. */
+    * release listener. Idempotent per session: a re-install removes
+    * the prior listener (and releases its outstanding permits into
+    * its own pool) — without this, the OLD listener races the new one
+    * on `held` and over-releases the old semaphore while permanently
+    * leaking a permit from the new pool. */
   def install(spark: SparkSession, admission: Admission,
               pool: String = Admission.Query): Unit = {
-    registry.put(spark, (admission, pool))
-    spark.sparkContext.addSparkListener(new SparkListener {
+    val listener = new SparkListener {
       private def release(key: String): Unit =
-        if (held.remove((spark, key))) admission.exit(pool)
+        if (held.remove((spark, key)) != null) admission.exit(pool)
       private def releaseOp(opId: String): Unit = {
         val g = opGroup.remove(opId)
         if (g != null) release(s"g:$g")
@@ -67,6 +93,8 @@ object QueryGate {
       // matched structurally: JVM-public case-class accessors `id()`
       // and `groupId()` via reflection. Listener events are low-rate
       // (a handful per statement), so reflection cost is noise.
+      // ThriftEventCanarySpec pins the class/accessor names against
+      // the installed Spark build.
       private def strField(e: SparkListenerEvent, f: String): String =
         e.getClass.getMethod(f).invoke(e).asInstanceOf[String]
       override def onOtherEvent(event: SparkListenerEvent): Unit =
@@ -84,19 +112,69 @@ object QueryGate {
               case _ => ()
             }
         }
-    })
+    }
+    val prev = registry.put(spark, Gate(admission, pool, listener))
+    if (prev != null) {
+      spark.sparkContext.removeSparkListener(prev.listener)
+      drainHeld(spark, prev)
+    }
+    spark.sparkContext.addSparkListener(listener)
   }
 
-  /** Stop gating `spark` (in-flight permits still drain through the
-    * release listener, which captured its admission directly). */
-  def uninstall(spark: SparkSession): Unit = registry.remove(spark)
+  /** Stop gating `spark`: remove the release listener and return its
+    * outstanding permits to their own pool. */
+  def uninstall(spark: SparkSession): Unit = {
+    val prev = registry.remove(spark)
+    if (prev != null) {
+      spark.sparkContext.removeSparkListener(prev.listener)
+      drainHeld(spark, prev)
+    }
+  }
+
+  /** Release every permit `spark` holds back into `gate`'s pool. */
+  private def drainHeld(spark: SparkSession, gate: Gate): Unit = {
+    val it = held.keySet.iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if ((k._1 eq spark) && held.remove(k) != null)
+        gate.admission.exit(gate.pool)
+    }
+  }
 
   /** Test/monitoring hook: permits currently held by `spark`. */
   def heldBy(spark: SparkSession): Int = {
-    val it = held.iterator()
+    val it = held.keySet.iterator()
     var n = 0
     while (it.hasNext) if (it.next()._1 eq spark) n += 1
     n
+  }
+
+  /** Release held entries whose work is over but whose finish event
+    * the listener bus dropped. An "e:" entry is released as soon as
+    * its execution id stops resolving (and it is older than
+    * `graceMs` — the id registers only once the execution RUNS, so a
+    * just-admitted plan-time entry must not be swept); any entry
+    * older than the hard TTL is released unconditionally. Runs in
+    * O(|held|), which is bounded by pool + queue size. */
+  private[plans] def reconcile(session: SparkSession,
+                               now: Long = System.currentTimeMillis(),
+                               graceMs: Long = 30000L): Unit = {
+    val gate = registry.get(session)
+    if (gate == null) return
+    val it = held.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val (s, key) = e.getKey
+      if (s eq session) {
+        val age = now - e.getValue
+        val dead = age > reconcileTtlMs ||
+          (age > graceMs && key.startsWith("e:") &&
+            key.drop(2).toLongOption.exists(
+              SQLExecution.getQueryExecution(_) == null))
+        if (dead && held.remove(e.getKey) != null)
+          gate.admission.exit(gate.pool)
+      }
+    }
   }
 
   /** Admit the work the current optimizer pass belongs to (idempotent
@@ -108,6 +186,11 @@ object QueryGate {
   private[plans] def admit(session: SparkSession): Unit = {
     val reg = registry.get(session)
     if (reg == null) return
+    // opportunistic leak sweep, at most once per 30 s across sessions
+    val now = System.currentTimeMillis()
+    val last = lastSweep.get
+    if (now - last > 30000L && lastSweep.compareAndSet(last, now))
+      reconcile(session, now)
     val sc = session.sparkContext
     val key =
       Option(sc.getLocalProperty("spark.jobGroup.id")).map(g => s"g:$g")
@@ -116,10 +199,10 @@ object QueryGate {
         .orNull
     if (key == null) return
     val k = (session, key)
-    if (held.contains(k)) return
-    val (adm, pool) = reg
-    if (adm.enter(pool) && !held.add(k))
-      adm.exit(pool) // lost an admit race for the same statement
+    if (held.containsKey(k)) return
+    if (reg.admission.enter(reg.pool) &&
+        held.putIfAbsent(k, java.lang.Long.valueOf(now)) != null)
+      reg.admission.exit(reg.pool) // lost an admit race for the same statement
   }
 }
 

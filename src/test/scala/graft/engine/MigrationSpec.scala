@@ -146,4 +146,80 @@ class MigrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(to.pointsView().filter(col("sid") === desc.sid).count() == 16L)
     from.close(); to.close()
   }
+
+  test("the source write fence rejects writes mid-migration and lifts on abort") {
+    val from = mkDb(); val to = mkDb()
+    val uuid = "mig-u4"
+    from.createStream(uuid, "mig/d", Map("site" -> "s4"))
+    ins(from, uuid, (0L until 8L).map(t => (t, 1.0)))
+
+    // the fence itself: inserts and deletes are rejected while up
+    from.beginMigrationOut(uuid)
+    val eIns = intercept[IllegalArgumentException] {
+      from.insert(uuid, spark.createDataFrame(Seq((100L, 9.0)))
+        .toDF("time", "value"))
+    }
+    assert(eIns.getMessage.contains("migrating out"))
+    val eDel = intercept[IllegalArgumentException] {
+      from.deleteRange(uuid, 0L, 4L)
+    }
+    assert(eDel.getMessage.contains("migrating out"))
+    from.endMigrationOut(uuid)
+
+    // abort path: the target already holds a live NON-migrating stream
+    // with the same uuid — migrate throws after raising the fence, and
+    // the fence must lift so the source stays writable
+    to.createStream(uuid, "mig/d", Map("site" -> "s4"))
+    intercept[IllegalArgumentException] { Federation.migrate(uuid, from, to) }
+    from.insert(uuid, spark.createDataFrame(Seq((100L, 9.0)))
+      .toDF("time", "value"))
+    from.flush(uuid)
+    assert(from.rawValues(uuid, 0L, 1000L).count() == 9L)
+    from.close(); to.close()
+  }
+
+  test("migrate repairs orphan rows from a crash inside a replayed commit") {
+    val from = mkDb(); val to = mkDb()
+    val uuid = "mig-u5"
+    from.createStream(uuid, "mig/e", Map("site" -> "s5"))
+    ins(from, uuid, (0L until 32L).map(t => (t, 2.0)))
+    ins(from, uuid, (32L until 48L).map(t => (t, 4.0)))
+
+    // crash simulation: generation 1 replays fully, then its commit
+    // record (written after the point append) and pyramid fold
+    // (written after the commit record) are removed — exactly the
+    // state a crash between the points-parquet append and the
+    // commit-file write leaves (rows at version 1, major still 0, no
+    // rollup). Without repair, resume re-appends generation 1 and the
+    // duplicated rows fail parity FOREVER.
+    to.createStream(uuid, "mig/e", Map("site" -> "s5"),
+      Map(Btrdb.MigratingInAnnotation -> "1"))
+    to.replayInsert(uuid, 1L, from.generationRows(uuid, 1L, upTo = false))
+    val toRoot = to.root
+    to.close()
+    val commitDir = java.nio.file.Paths.get(toRoot, "commits")
+    val deleted = java.nio.file.Files.list(commitDir).toArray.map(_.toString)
+      .filter(_.endsWith(".json"))
+    assert(deleted.nonEmpty)
+    deleted.foreach(p => java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).toArray.foreach(c =>
+          rmTree(c.asInstanceOf[java.nio.file.Path]))
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rmTree(java.nio.file.Paths.get(toRoot, "pyramid"))
+
+    val to2 = new Btrdb(spark, toRoot, sBuckets = 4, tBucketPw = 12,
+      bufferCommitThreshold = 1L, pyramidLevels = Seq(4, 8),
+      pyramidWBucketPw = 12, commitRangePw = 8)
+    assert(to2.version(uuid)._1 == 0L, "orphaned generation must be invisible")
+
+    val report = Federation.migrate(uuid, from, to2)
+    assert(report.major == 2L && report.npoints == 48L)
+    assert(to2.rawValues(uuid, 0L, 1000L).count() == 48L)
+    // no duplicated rows at version 1 after the repair+resume
+    assert(to2.pointsAt(uuid, 1L).count() == 32L)
+    from.close(); to2.close()
+  }
 }
