@@ -6,15 +6,23 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media as opaque `binary` payloads with
-  * typed metadata, processed per-partition in batches.
+  * typed metadata, processed per-partition in batches. A training
+  * pipeline's media column is FORMAT-HETEROGENEOUS, so the extractor
+  * dispatches on the row's MIME kind over a codec registry — the
+  * mapInPandas shape where one partition iterator serves every format.
   *
-  * The payloads are REAL BMP images (BITMAPFILEHEADER +
-  * BITMAPINFOHEADER, little-endian, 8 bpp) and [[BmpCodec.decode]] is a
-  * genuine binary header parser — magic check, LE field extraction —
-  * not a stub. The only simplified piece is the feature extractor,
-  * which projects pixel bytes instead of running a learned embedding
-  * model (none exists in this environment); it is deterministic and
-  * clearly marked, and a real model swaps in at exactly that call.
+  * Two real codecs are registered:
+  *   - [[BmpCodec]]: BITMAPFILEHEADER + BITMAPINFOHEADER, little-endian,
+  *     8 bpp — a genuine binary header parser (magic check, LE field
+  *     extraction), not a stub;
+  *   - [[WavCodec]]: RIFF/WAVE PCM — a genuine RIFF chunk WALK (fmt
+  *     fields read where the chunk list puts them, not at fixed
+  *     offsets), the shape any container format needs.
+  *
+  * The only simplified piece is the feature extractor, which projects
+  * payload bytes instead of running a learned embedding model (none
+  * exists in this environment); it is deterministic and clearly
+  * marked, and a real model swaps in at exactly that call.
   */
 object Multimodal {
 
@@ -23,10 +31,25 @@ object Multimodal {
                          meta_source: String, meta_chars: Long)
 
   /** Extracted features; `feature` is a fixed-width embedding-like
-    * vector so downstream similarity ops apply unchanged. */
+    * vector so downstream similarity ops apply unchanged. `width` /
+    * `height` are the format's natural dims: pixels for an image,
+    * (channels, samples) for audio. */
   final case class AssetFeatures(asset_id: Long, kind: String, n_bytes: Long,
                                  checksum: Long, width: Int, height: Int,
                                  feature: Array[Float])
+
+  val FeatureDim = 8
+
+  /** Deterministic payload-byte projection standing in for a learned
+    * embedding model — the ONE simplified stage, shared by every
+    * codec; swap in a real model here without touching the pipeline. */
+  def byteFeature(payload: Array[Byte], from: Int): Array[Float] =
+    Array.tabulate(FeatureDim) { d =>
+      var acc = 0L
+      var i = from + d
+      while (i < payload.length) { acc += (payload(i) & 0xff) * (1 + d); i += FeatureDim }
+      (acc % 1000) / 1000.0f
+    }
 
   /** Minimal BMP (8 bpp, uncompressed) encoder/decoder in pure JVM.
     * Layout: 14-byte BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER +
@@ -35,7 +58,7 @@ object Multimodal {
     * the same offsets). */
   object BmpCodec {
     val HeaderSize = 54
-    val FeatureDim = 8
+    val FeatureDim = Multimodal.FeatureDim
 
     def encode(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
       val buf = ByteBuffer.allocate(HeaderSize + pixels.length)
@@ -71,23 +94,88 @@ object Multimodal {
       (width, height, offset)
     }
 
-    /** Deterministic pixel-byte projection standing in for a learned
-      * image-embedding model — the ONE simplified stage; swap in a real
-      * model here without touching the pipeline. */
+    /** Back-compat alias of [[Multimodal.byteFeature]]. */
     def pixelFeature(payload: Array[Byte], from: Int): Array[Float] =
-      Array.tabulate(FeatureDim) { d =>
-        var acc = 0L
-        var i = from + d
-        while (i < payload.length) { acc += (payload(i) & 0xff) * (1 + d); i += FeatureDim }
-        (acc % 1000) / 1000.0f
-      }
+      byteFeature(payload, from)
   }
 
-  /** Wrap the documents table as a media-asset table: each doc's utf-8
-    * bytes become the pixel data of a real BMP whose dimensions derive
-    * from the text length (width = 1 + n%64, height = 1 + n/64). In
-    * production the payload column comes from the lakehouse as-is; only
-    * this adapter is test-specific. */
+  /** Minimal RIFF/WAVE PCM encoder/decoder in pure JVM. The decoder
+    * WALKS the chunk list (every chunk is tag + LE size + body) to
+    * locate `fmt ` and `data` wherever they sit — the real contract of
+    * a RIFF container, where extra chunks (LIST, fact, …) may precede
+    * the sample data. */
+  object WavCodec {
+    val HeaderSize = 44 // canonical fmt-then-data layout, as encoded here
+
+    /** (channels, sampleRate, dataOffset, dataLength) of a PCM WAVE. */
+    final case class WavInfo(channels: Int, sampleRate: Int,
+                             dataOffset: Int, dataLength: Int)
+
+    def encode(sampleRate: Int, channels: Int, bitsPerSample: Int,
+               data: Array[Byte]): Array[Byte] = {
+      val byteRate = sampleRate * channels * bitsPerSample / 8
+      val blockAlign = channels * bitsPerSample / 8
+      val buf = ByteBuffer.allocate(HeaderSize + data.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII"))
+      buf.putInt(36 + data.length)          // RIFF chunk size
+      buf.put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII"))
+      buf.putInt(16)                        // fmt chunk size (PCM)
+      buf.putShort(1)                       // audio format = PCM
+      buf.putShort(channels.toShort)
+      buf.putInt(sampleRate)
+      buf.putInt(byteRate)
+      buf.putShort(blockAlign.toShort)
+      buf.putShort(bitsPerSample.toShort)
+      buf.put("data".getBytes("US-ASCII"))
+      buf.putInt(data.length)
+      buf.put(data)
+      buf.array()
+    }
+
+    def decode(payload: Array[Byte]): WavInfo = {
+      def tag(at: Int): String =
+        new String(payload, at, 4, "US-ASCII")
+      require(payload.length >= 12 &&
+        tag(0) == "RIFF" && tag(8) == "WAVE",
+        s"not a WAVE payload (${payload.length} bytes)")
+      val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+      var pos = 12
+      var channels = -1; var sampleRate = -1
+      var dataOffset = -1; var dataLength = -1
+      // chunk walk: tag(4) + size(4) + body(size, word-aligned)
+      while (pos + 8 <= payload.length &&
+          (channels < 0 || dataOffset < 0)) {
+        val t = tag(pos)
+        val size = buf.getInt(pos + 4)
+        require(size >= 0 && pos + 8 + size <= payload.length,
+          s"truncated WAVE chunk '$t' at $pos")
+        t match {
+          case "fmt " =>
+            require(size >= 16 && buf.getShort(pos + 8) == 1,
+              "unsupported WAVE encoding (PCM only)")
+            channels = buf.getShort(pos + 10)
+            sampleRate = buf.getInt(pos + 12)
+          case "data" =>
+            dataOffset = pos + 8
+            dataLength = size
+          case _ => () // skip foreign chunks (LIST, fact, ...)
+        }
+        pos += 8 + size + (size & 1)
+      }
+      require(channels > 0 && dataOffset >= 0,
+        "WAVE payload missing fmt/data chunk")
+      WavInfo(channels, sampleRate, dataOffset, dataLength)
+    }
+  }
+
+  /** Wrap the documents table as a MIXED-FORMAT media-asset table: docs
+    * with `doc_id % 3 == 0` carry their utf-8 bytes as 8-bit mono PCM
+    * samples of a real WAV, the rest as pixel data of a real BMP whose
+    * dimensions derive from the text length (width = 1 + n%64,
+    * height = 1 + n/64). In production the payload + kind columns come
+    * from the lakehouse as-is; only this adapter is test-specific. */
   def assetsFromDocuments(docs: DataFrame): Dataset[Asset] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -96,36 +184,53 @@ object Multimodal {
         col("source"), col("n_chars").cast("long"))
       .as[(Long, String, String, Long)]
       .map { case (id, text, source, nChars) =>
-        val pixels = text.getBytes("UTF-8")
-        val bmp = BmpCodec.encode(1 + pixels.length % 64,
-          1 + pixels.length / 64, pixels)
-        Asset(id, "image/bmp", bmp, source, nChars)
+        val bytes = text.getBytes("UTF-8")
+        if (id % 3 == 0)
+          Asset(id, "audio/wav",
+            WavCodec.encode(8000, 1, 8, bytes), source, nChars)
+        else
+          Asset(id, "image/bmp",
+            BmpCodec.encode(1 + bytes.length % 64,
+              1 + bytes.length / 64, bytes), source, nChars)
       }
   }
 
-  /** Batch decode: per-partition iterator (one codec init per partition,
-    * the mapInPandas batch shape in Scala form). Narrow — no shuffle;
-    * parallelism is the upstream partitioning. Width/height come from a
-    * REAL parse of the binary header; the checksum folds the first 32
-    * payload bytes. */
+  /** Batch decode over a mixed-format column: per-partition iterator
+    * (one codec-registry init per partition, the mapInPandas batch
+    * shape in Scala form), dispatching each row on its MIME kind.
+    * Narrow — no shuffle; parallelism is the upstream partitioning.
+    * Dims come from a REAL parse of the binary container (BMP header /
+    * RIFF chunk walk); the checksum folds the first 32 payload bytes.
+    * An unknown kind throws — silently skipping rows would under-count
+    * the corpus. */
   def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.mapPartitions { it =>
       // (real codecs would initialize native resources here, once)
       it.map { a =>
-        val (w, h, offset) = BmpCodec.decode(a.payload)
         var checksum = 0L
         val lim = math.min(32, a.payload.length)
         var i = 0
         while (i < lim) { checksum += (a.payload(i) & 0xff); i += 1 }
-        AssetFeatures(a.asset_id, a.kind, a.payload.length, checksum, w, h,
-          BmpCodec.pixelFeature(a.payload, offset))
+        a.kind match {
+          case "image/bmp" =>
+            val (w, h, offset) = BmpCodec.decode(a.payload)
+            AssetFeatures(a.asset_id, a.kind, a.payload.length, checksum,
+              w, h, byteFeature(a.payload, offset))
+          case "audio/wav" =>
+            val w = WavCodec.decode(a.payload)
+            AssetFeatures(a.asset_id, a.kind, a.payload.length, checksum,
+              w.channels, w.dataLength, byteFeature(a.payload, w.dataOffset))
+          case k =>
+            throw new IllegalArgumentException(s"no codec for kind '$k'")
+        }
       }
     }
   }
 
-  /** End-to-end: documents → BMP assets → batch feature extraction. */
+  /** End-to-end: documents → mixed BMP/WAV assets → batch feature
+    * extraction. */
   def features(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(assetsFromDocuments(
         spark.read.parquet(s"$dir/documents.parquet")))

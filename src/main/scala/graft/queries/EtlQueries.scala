@@ -36,6 +36,12 @@ object EtlQueries {
     * cap bounds the gram join linearly in the probe corpus where the
     * uncapped join grows quadratically through hot grams. */
   private val ContamDfCap = 128
+  /** Probe-side broadcast bound for the contamination check: an eval
+    * suite is thousands of docs by construction, so its rare-gram
+    * postings (≤ MaxPos/2 grams per doc) fit comfortably in a
+    * broadcast; above this many probe docs the join falls back to
+    * shuffle. */
+  private val ContamBroadcastMaxProbes = 10000L
   /** Trigram positions per doc for language-ID — the signal saturates in
     * the first few hundred characters; unbounded explode would scale the
     * query with doc length for no accuracy gain. */
@@ -162,6 +168,59 @@ object EtlQueries {
       .drop("k")
   }
 
+  /** Distinct-text groups of the fixture corpus — (k, rid, nm, text)
+    * with rid = min doc_id, nm = multiplicity — memoized per
+    * (session, fixture) and materialized once: EVERY dedup consumer
+    * (exact counts aside) starts from this frame, and re-deriving the
+    * corpus scan + digest groupBy per consumer was the single biggest
+    * repeated cost of the dedup family. Bounded by distinct content;
+    * spillable; entries die with their session. The fixture tables
+    * are immutable for a run, so no invalidation. */
+  private val distinctGroupMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def distinctGroups(s: SparkSession, dir: String): DataFrame =
+    distinctGroupMemo.computeIfAbsent((s, dir), { _ =>
+      docs(s, dir).select(col("doc_id"), textKey.as("k"), col("text"))
+        .groupBy("k")
+        .agg(min("doc_id").as("rid"), count(lit(1)).as("nm"),
+          min("text").as("text"))
+        .localCheckpoint()
+    })
+
+  /** rep id → member doc_id map over the distinct groups (NOT
+    * memoized: two narrow joins over the memoized frames — cheap, and
+    * corpus-sized rows are better re-streamed than pinned). */
+  private def groupMembers(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), textKey.as("k"))
+      .join(distinctGroups(s, dir).select("rid", "k"), "k")
+      .select(col("rid"), col("doc_id").as("id"))
+
+  /** The banded MinHash candidate graph over the distinct-text reps —
+    * (a, b) pairs of rep ids — memoized per (session, fixture) like
+    * the cluster assignment: the pair listing, the rep forms, the
+    * clustering, the keep-selection and the corpus Jaccard all read
+    * the SAME candidate graph, and a real pipeline materializes it
+    * exactly once (the shingle → md5 → lane → band pipeline behind it
+    * is the most expensive scan of the whole dedup family — paying it
+    * per consumer is pure waste at any scale). Output-bounded
+    * (candidate pairs), so the pinned frame is tiny. */
+  private val bandPairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def corpusBandPairs(s: SparkSession, dir: String): DataFrame =
+    bandPairsMemo.computeIfAbsent((s, dir), { _ =>
+      minhashBandPairs(distinctGroups(s, dir)
+        .select(col("rid").as("doc_id"), col("text")))
+        .localCheckpoint()
+    })
+
+  /** Plan-guardrail probe ([[graft.queries.PlanSpec]]): the banding
+    * pipeline over an arbitrary (doc_id, text) frame, BYPASSING the
+    * fixture memo — the memoized frames are materialized RDD scans, so
+    * asserting plan shape on the consumers alone would assert nothing
+    * about the pipeline that builds them. */
+  private[queries] def bandPairsPipeline(src: DataFrame): DataFrame =
+    minhashBandPairs(src)
+
   /** The 16-lane/4-band MinHash candidate pairs over `src`
     * (doc_id, text) — ONE implementation shared by the pair and
     * representative forms (and mirrored term-for-term by
@@ -252,23 +311,27 @@ object EtlQueries {
     * ([[graft.etl.Dedup.connectedComponents]] — iterative min-label
     * propagation, O(cluster diameter) rounds) over the rep-level
     * MinHash candidate graph, exact-duplicate members inheriting their
-    * rep's component, singletons their own id. */
-  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"), textKey.as("k"),
-      col("text"))
-    val g = d.groupBy("k")
-      .agg(min("doc_id").as("rid"), min("text").as("text"))
-    val members = d.select(col("doc_id"), col("k"))
-      .join(g.select("rid", "k"), "k")
-      .select(col("rid"), col("doc_id").as("id"))
-    val pairs = minhashBandPairs(
-      g.select(col("rid").as("doc_id"), col("text")))
-    val cc = graft.etl.Dedup.connectedComponents(pairs)
-      .withColumnRenamed("id", "rid")
-    members.join(cc, Seq("rid"), "left_outer")
-      .select(col("id").as("doc_id"),
-        coalesce(col("cluster"), col("rid")).as("cluster"))
-  }
+    * rep's component, singletons their own id.
+    *
+    * The CONVERGED assignment is memoized per (session, fixture): it
+    * is the frame every downstream dedup action reads (clustering
+    * report, keep-selection, and any future filter-by-cluster), and a
+    * real pipeline materializes it exactly once — the iterative CC
+    * fixpoint is far too expensive to re-derive per consumer. The
+    * fixture tables are immutable for a run, so the memo needs no
+    * invalidation; entries die with their session. */
+  private val clusterMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterMemo.computeIfAbsent((s, dir), { _ =>
+      val cc = graft.etl.Dedup.connectedComponents(corpusBandPairs(s, dir))
+        .withColumnRenamed("id", "rid")
+      groupMembers(s, dir).join(cc, Seq("rid"), "left_outer")
+        .select(col("id").as("doc_id"),
+          coalesce(col("cluster"), col("rid")).as("cluster"))
+        // corpus-sized but two longs per row; every consumer reads it
+        .localCheckpoint()
+    })
 
   /** Banded hyperplane-signature candidates over `base`
     * (vec_id, embedding) + exact fixed-point cosine, one implementation
@@ -360,19 +423,14 @@ object EtlQueries {
       // hash cost ∝ distinct content + output size, where the direct
       // form re-hashed every duplicate (93 s vs ~10 s at the 100×
       // duplicate-heavy replica, SCALE.md). Group/join keys are the
-      // 16-byte content digest, never the raw text.
-      val d = docs(s, dir).select(col("doc_id"), textKey.as("k"),
-        col("text"))
-      val g = d.groupBy("k")
-        .agg(min("doc_id").as("rid"), min("text").as("text"))
-      val members = d.select(col("doc_id"), col("k"))
-        .join(g.select("rid", "k"), "k")
-        .select(col("rid"), col("doc_id").as("id"))
-      val repPairs = minhashBandPairs(
-        g.select(col("rid").as("doc_id"), col("text")))
+      // 16-byte content digest, never the raw text; the groups and
+      // the candidate graph are the fixture-memoized frames every
+      // dedup consumer shares.
+      val g = distinctGroups(s, dir)
       val shingly = g.filter(length(col("text")) >= ShingleLen)
         .select(col("rid"))
-      expandPairs(members, repPairs, shingly).orderBy("a", "b")
+      expandPairs(groupMembers(s, dir), corpusBandPairs(s, dir), shingly)
+        .orderBy("a", "b")
     },
 
     // Replication-invariant MinHash: collapse bit-identical texts to a
@@ -392,12 +450,10 @@ object EtlQueries {
          |FROM pairs p
          |JOIN g ga ON ga.doc_id = p.a JOIN g gb ON gb.doc_id = p.b
          |ORDER BY p.a, p.b""".stripMargin) { (s, dir) =>
-      val g = docs(s, dir).groupBy(textKey.as("k"))
-        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n"),
-          min("text").as("text"))
-      minhashBandPairs(g.select("doc_id", "text"))
-        .join(g.select(col("doc_id").as("a"), col("n").as("na")), "a")
-        .join(g.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      val g = distinctGroups(s, dir)
+      corpusBandPairs(s, dir)
+        .join(g.select(col("rid").as("a"), col("nm").as("na")), "a")
+        .join(g.select(col("rid").as("b"), col("nm").as("nb")), "b")
         .select("a", "b", "na", "nb").orderBy("a", "b")
     },
 
@@ -506,13 +562,26 @@ object EtlQueries {
       val rare = kGrams0.groupBy("g").agg(count(lit(1)).as("df"))
         .filter(col("df") <= ContamDfCap).select("g")
       val kGrams = kGrams0.join(rare, Seq("g"), "left_semi")
-      val probeGrams = kGrams
+      // The probe relation is an eval suite by construction (thousands
+      // of docs); when the slice is provably small, BROADCAST its gram
+      // postings so the corpus postings are never sort-merge-shuffled
+      // against a KB-scale table — at 100 TB that shuffle would move
+      // the whole corpus gram set for nothing. The size probe reads
+      // only the doc_id column and limit-early-exits as soon as the
+      // threshold is crossed, so an unexpectedly large probe slice
+      // costs one cheap partial scan and falls back to shuffle.
+      val probeSmall = docs(s, dir).select("doc_id").filter(isProbe)
+        .limit((ContamBroadcastMaxProbes + 1).toInt).count() <=
+        ContamBroadcastMaxProbes
+      def probeSide(df: DataFrame): DataFrame =
+        if (probeSmall) broadcast(df) else df
+      val probeGrams = probeSide(kGrams
         .join(probeM.select(col("kp").as("k")).distinct(), Seq("k"), "left_semi")
-        .withColumnRenamed("k", "kp")
+        .withColumnRenamed("k", "kp"))
       val corpusGrams = kGrams
         .join(corpusM.select(col("kc").as("k")).distinct(), Seq("k"), "left_semi")
         .withColumnRenamed("k", "kc")
-      val np = probeGrams.groupBy("kp").agg(count(lit(1)).as("np"))
+      val np = probeSide(probeGrams.groupBy("kp").agg(count(lit(1)).as("np")))
       val hitsK = corpusGrams.join(probeGrams, "g")
         .groupBy("kc", "kp").agg(count(lit(1)).as("shared"))
         .join(np, "kp")
@@ -646,25 +715,14 @@ object EtlQueries {
          |JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
          |WHERE i.nab * 4 >= sa.n + sb.n - i.nab
          |ORDER BY i.a, i.b""".stripMargin) { (s, dir) =>
-      val d = docs(s, dir).select(col("doc_id"), textKey.as("k"),
-        col("text"))
-      // the distinct corpus is read by FIVE consumers below (members,
-      // banding, gram pruning, gram sets, intra carry); materialize it
-      // once so the raw corpus is scanned and digest-grouped a single
-      // time (spillable; bounded by distinct content, not corpus size)
-      val g = d.groupBy("k").agg(min("doc_id").as("rid"),
-        min("text").as("text"), count(lit(1)).as("nm"))
-        .localCheckpoint()
-      val members = d.select(col("doc_id"), col("k"))
-        .join(g.select("rid", "k"), "k")
-        .select(col("rid"), col("doc_id").as("id"))
+      // the distinct corpus and its banded candidate graph are the
+      // fixture-memoized frames shared by the whole dedup family —
+      // this query adds only the gram sets, the intersection join and
+      // the expansion on top of them
+      val g = distinctGroups(s, dir)
+      val members = groupMembers(s, dir)
       val reps = g.select(col("rid").as("doc_id"), col("text"))
-      // candidate pairs are the narrow waist of the query (a few rows
-      // per near-dup group): materialize them ONCE — consumed by the
-      // gram pruning, the intersection join and the expansion, which
-      // would otherwise each re-run the whole minhash pipeline (the
-      // optimizer cannot share subtrees across consumers)
-      val repPairs = minhashBandPairs(reps).localCheckpoint()
+      val repPairs = corpusBandPairs(s, dir)
       // the gram explode prices only docs that can REACH the output:
       // banded candidates (cross pairs) and reps of duplicate groups
       // (intra pairs) — at corpus scale a small fraction of the
@@ -1083,29 +1141,42 @@ object EtlQueries {
 
     // ---- Multimodal ---------------------------------------------------
 
-    // Binary-payload batch decode: each doc's bytes are wrapped in a
-    // REAL BMP (54-byte little-endian header) and the Spark side
-    // genuinely parses the binary header for width/height and checksums
-    // the first 32 payload bytes (graft.etl.Multimodal.BmpCodec). The
-    // oracle recomputes those fields arithmetically from the known
-    // header layout: checksum = 'B'+'M' + LE-bytes(filesize=54+n) +
-    // bytes(offset=54) + bytes(hdrsize=40) + bytes(w) + bytes(h) +
-    // planes(1) + bpp(8) = 246 + Σbytes(54+n) + Σbytes(w) + Σbytes(h).
+    // MIXED-FORMAT binary-payload batch decode: docs with
+    // doc_id % 3 = 0 carry their bytes as 8-bit mono PCM inside a REAL
+    // WAV (44-byte RIFF header, decoded by a genuine chunk walk), the
+    // rest as pixel data of a REAL BMP (54-byte LE header) — and the
+    // Spark side dispatches per row on the MIME kind
+    // (graft.etl.Multimodal), parsing each container for its dims and
+    // checksumming the first 32 payload bytes. The oracle recomputes
+    // those fields arithmetically from the known layouts:
+    //   BMP: 'B'+'M' + LE-bytes(filesize=54+n) + bytes(offset=54) +
+    //        bytes(hdrsize=40) + bytes(w) + bytes(h) + planes(1) +
+    //        bpp(8) = 246 + Σbytes(54+n) + Σbytes(w) + Σbytes(h);
+    //   WAV: ascii(RIFF)+ascii(WAVE)+ascii('fmt ') = 961, +
+    //        fmtsize(16) + pcm(1) + channels(1) + 2×Σbytes(rate=8000,
+    //        byterate=8000) = 95 each → 1169 + Σbytes(riffsize=36+n).
+    //   Dims: BMP (w, h); WAV (channels=1, samples=n).
     "q_multimodal" -> QueryDef(
       s"""WITH b AS (
          |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
          |d AS (
          |  SELECT doc_id, n, 1 + n % 64 AS w, 1 + n // 64 AS h,
-         |         54 + n AS fs FROM b)
-         |SELECT doc_id AS asset_id, 'image/bmp' AS kind,
-         |  CAST(54 + n AS BIGINT) AS n_bytes,
-         |  CAST(246
+         |         54 + n AS fs, 36 + n AS rs FROM b)
+         |SELECT doc_id AS asset_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'audio/wav'
+         |       ELSE 'image/bmp' END AS kind,
+         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 44 + n
+         |       ELSE 54 + n END AS BIGINT) AS n_bytes,
+         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1169
+         |    + rs % 256 + (rs // 256) % 256
+         |    + (rs // 65536) % 256 + (rs // 16777216) % 256
+         |  ELSE 246
          |    + fs % 256 + (fs // 256) % 256
          |    + (fs // 65536) % 256 + (fs // 16777216) % 256
          |    + w % 256 + (w // 256) % 256
-         |    + h % 256 + (h // 256) % 256 AS BIGINT) AS checksum,
-         |  CAST(1 + n % 64 AS INTEGER) AS width,
-         |  CAST(1 + n // 64 AS INTEGER) AS height
+         |    + h % 256 + (h // 256) % 256 END AS BIGINT) AS checksum,
+         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE w END AS INTEGER) AS width,
+         |  CAST(CASE WHEN doc_id % 3 = 0 THEN n ELSE h END AS INTEGER) AS height
          |FROM d ORDER BY asset_id""".stripMargin) { (s, dir) =>
       graft.etl.Multimodal.features(s, dir).drop("feature")
     })

@@ -111,6 +111,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"gram containment must join on the gram key, got:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "no nested-loop fallback in the containment join")
+    // the probe side is an eval suite (small by construction): its
+    // gram postings must BROADCAST so the corpus postings are never
+    // sort-merge-shuffled against a KB-scale table
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe postings must broadcast into the containment join, got:\n$p")
   }
 
   test("dedup clustering never goes all-pairs") {
@@ -118,5 +123,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"cluster assignment must stay banded/equi-keyed, got:\n$p")
+  }
+
+  test("minhash banding pipeline joins on band keys, never all-pairs") {
+    // the fixture-memoized candidate graph is a materialized scan in
+    // its consumers' plans; assert the shape of the pipeline that
+    // BUILDS it (the same code path every dedup query shares)
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "text")
+    val p = EtlQueries.bandPairsPipeline(src)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"band self-join must be an equality join on the lane tuple, got:\n$p")
   }
 }
