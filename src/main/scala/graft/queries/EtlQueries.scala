@@ -36,12 +36,17 @@ object EtlQueries {
     * cap bounds the gram join linearly in the probe corpus where the
     * uncapped join grows quadratically through hot grams. */
   private val ContamDfCap = 128
-  /** Probe-side broadcast bound for the contamination check: an eval
-    * suite is thousands of docs by construction, so its rare-gram
-    * postings (≤ MaxPos/2 grams per doc) fit comfortably in a
-    * broadcast; above this many probe docs the join falls back to
-    * shuffle. */
-  private val ContamBroadcastMaxProbes = 10000L
+  /** Probe-side broadcast bound for the contamination check, in GRAM
+    * POSTINGS (the thing actually broadcast): a real eval suite is
+    * thousands of docs × ≤ MaxPos/2 rare grams ≈ low millions of
+    * ~25-byte postings — comfortably broadcastable, and broadcasting
+    * it spares the CORPUS postings a sort-merge shuffle (the 100 TB
+    * win). Above the bound the join falls back to shuffle: measured at
+    * the 100× replica (where the %97 probe slice degenerates to
+    * corpus-distinct scale, ~5 M postings), forcing the broadcast cost
+    * 16.4 → 26.9 s — the posting count, not a doc-count proxy, is the
+    * quantity that decides. */
+  private val ContamBroadcastMaxPostings = 2000000L
   /** Trigram positions per doc for language-ID — the signal saturates in
     * the first few hundred characters; unbounded explode would scale the
     * query with doc length for no accuracy gain. */
@@ -563,28 +568,29 @@ object EtlQueries {
         .filter(col("df") <= ContamDfCap).select("g")
       val kGrams = kGrams0.join(rare, Seq("g"), "left_semi")
       // The probe relation is an eval suite by construction (thousands
-      // of docs); when the slice is provably small, BROADCAST its gram
-      // postings so the corpus postings are never sort-merge-shuffled
-      // against a KB-scale table — at 100 TB that shuffle would move
-      // the whole corpus gram set for nothing. The size probe reads
-      // only the doc_id column and limit-early-exits as soon as the
-      // threshold is crossed, so an unexpectedly large probe slice
-      // costs one cheap partial scan and falls back to shuffle.
-      val probeSmall = docs(s, dir).select("doc_id").filter(isProbe)
-        .limit((ContamBroadcastMaxProbes + 1).toInt).count() <=
-        ContamBroadcastMaxProbes
-      def probeSide(df: DataFrame): DataFrame =
-        if (probeSmall) broadcast(df) else df
-      val probeGrams = probeSide(kGrams
+      // of docs, low-millions of rare-gram postings); when its ACTUAL
+      // posting count is small, BROADCAST it so the corpus postings
+      // are never sort-merge-shuffled against a KB-scale table — at
+      // 100 TB that shuffle would move the whole corpus gram set for
+      // nothing. The probe frame is materialized once (both the
+      // containment join and the denominator read it; an un-pinned
+      // broadcast would re-derive the whole gram pipeline through the
+      // driver per consumer), so the posting count that gates the
+      // broadcast is a free scan of its blocks.
+      val probeGrams = kGrams
         .join(probeM.select(col("kp").as("k")).distinct(), Seq("k"), "left_semi")
-        .withColumnRenamed("k", "kp"))
+        .withColumnRenamed("k", "kp")
+        .localCheckpoint()
+      def probeSide(df: DataFrame): DataFrame =
+        if (probeGrams.count() <= ContamBroadcastMaxPostings) broadcast(df)
+        else df
       val corpusGrams = kGrams
         .join(corpusM.select(col("kc").as("k")).distinct(), Seq("k"), "left_semi")
         .withColumnRenamed("k", "kc")
-      val np = probeSide(probeGrams.groupBy("kp").agg(count(lit(1)).as("np")))
-      val hitsK = corpusGrams.join(probeGrams, "g")
+      val np = probeGrams.groupBy("kp").agg(count(lit(1)).as("np"))
+      val hitsK = corpusGrams.join(probeSide(probeGrams), "g")
         .groupBy("kc", "kp").agg(count(lit(1)).as("shared"))
-        .join(np, "kp")
+        .join(probeSide(np), "kp")
         .filter(col("shared") * 20 >= col("np") * 3)
       hitsK.join(corpusM, "kc").join(probeM, "kp")
         .select(col("doc_id"), col("probe_id"), col("shared"), col("np"))
