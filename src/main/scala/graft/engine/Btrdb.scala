@@ -1919,26 +1919,33 @@ class Btrdb(val spark: SparkSession, val root: String,
     * 2^pw aligned windows) and write CSV with RFC3339-rendered times
     * (/root/reference/grpcinterface/serve.go:975 — rendered at µs
     * precision, the engine-internal ns column stays exact). */
+  /** Mean-of-2^pw-aligned-windows multi-stream align — the frame the
+    * aligned GenerateCSV form renders, exposed for the wire shim
+    * ([[graft.wire.BtrdbWire]]) too. Large k takes ONE bulk scan
+    * (pyramid-served where possible) + single-shuffle pivot instead of
+    * k alignedWindows subplans. */
+  def multiAlignedMeans(uuids: Seq[String], labels: Seq[String],
+                        start: Long, end: Long, pw: Int): DataFrame =
+    if (uuids.size > MultiAlignJoinMaxK) {
+      val sidToLabel = uuids.map(sidOf).zip(labels).toMap
+      alignedWindowsBulk(uuids, start, end, pw)
+        .select(col("wstart").as("time"),
+          element_at(typedlit(sidToLabel), col("sid")).as("_label"),
+          col("vmean").as("value"))
+        .groupBy("time").pivot("_label", labels).agg(max("value"))
+        .orderBy("time")
+    } else
+      alignFrames(uuids.zip(labels).map { case (u, n) =>
+        n -> alignedWindows(u, start, end, pw)
+          .select(col("wstart").as("time"), col("vmean").as("value"))
+      }).orderBy("time")
+
   def generateCsv(uuids: Seq[String], labels: Seq[String],
                   start: Long, end: Long, outPath: String,
                   alignedPw: Option[Int] = None): Unit = {
     val aligned = alignedPw match {
       case None => multiAlign(uuids, start, end, labels)
-      case Some(pw) if uuids.size > MultiAlignJoinMaxK =>
-        // large k: ONE bulk scan (pyramid-served where possible) +
-        // single-shuffle pivot, instead of k alignedWindows subplans
-        val sidToLabel = uuids.map(sidOf).zip(labels).toMap
-        alignedWindowsBulk(uuids, start, end, pw)
-          .select(col("wstart").as("time"),
-            element_at(typedlit(sidToLabel), col("sid")).as("_label"),
-            col("vmean").as("value"))
-          .groupBy("time").pivot("_label", labels).agg(max("value"))
-          .orderBy("time")
-      case Some(pw) =>
-        alignFrames(uuids.zip(labels).map { case (u, n) =>
-          n -> alignedWindows(u, start, end, pw)
-            .select(col("wstart").as("time"), col("vmean").as("value"))
-        }).orderBy("time")
+      case Some(pw) => multiAlignedMeans(uuids, labels, start, end, pw)
     }
     aligned
       .withColumn("time", date_format(

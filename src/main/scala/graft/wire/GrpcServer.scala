@@ -1,0 +1,183 @@
+package graft.wire
+
+import java.util.concurrent.ConcurrentHashMap
+
+import io.netty.bootstrap.ServerBootstrap
+import io.netty.buffer.{ByteBuf, Unpooled}
+import io.netty.channel.{Channel, ChannelHandlerContext, ChannelInboundHandlerAdapter, ChannelInitializer, MultiThreadIoEventLoopGroup}
+import io.netty.channel.nio.NioIoHandler
+import io.netty.channel.socket.SocketChannel
+import io.netty.channel.socket.nio.NioServerSocketChannel
+import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers, DefaultHttp2HeadersFrame, Http2DataFrame, Http2FrameCodecBuilder, Http2FrameStream, Http2HeadersFrame}
+
+import graft.engine.Btrdb
+
+/** A BTrDB-wire gRPC endpoint over the engine — the drop-in surface a
+  * reference client connects to (insecure/h2c, the reference's default
+  * `btrdb.Connect` mode). Speaks real gRPC: HTTP/2 prior-knowledge
+  * (Netty's frame codec handles the connection preface and framing),
+  * `:path = /grpcinterface.BTrDB/<Method>` routing
+  * (/root/reference/grpcinterface/btrdb.proto:2-24), the 5-byte
+  * gRPC message prefix (compressed flag + u32 big-endian length), and
+  * `grpc-status` trailers. Messages are encoded/decoded by the
+  * hand-rolled [[Pb]] codec — no protobuf runtime ships with Spark.
+  *
+  * Engine calls run Spark jobs (milliseconds to seconds), so dispatch
+  * is OFFLOADED to a worker pool — the Netty event loop never blocks,
+  * and slow queries on one HTTP/2 stream do not stall frames of
+  * another on the same connection. Responses are written back on the
+  * channel's event loop. Admission control is the engine's own
+  * ([[graft.engine.Admission]] wraps every facade call), matching the
+  * reference daemon shedding on each RPC.
+  *
+  * This is a shim for client migration, not the scale path: results
+  * collect through the driver exactly like the reference daemon
+  * funnels points through one node's RPC reply. Analytics at 100 TB
+  * belongs on the SQL/DataFrame surface.
+  */
+final class GrpcServer(engine: Btrdb, port: Int) {
+
+  private val group =
+    new MultiThreadIoEventLoopGroup(2, NioIoHandler.newFactory())
+  private val workers = java.util.concurrent.Executors.newFixedThreadPool(
+    8,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-grpc-worker"); t.setDaemon(true); t
+    })
+  @volatile private var channel: Channel = _
+
+  /** Per-stream request state: path + accumulated DATA bytes. */
+  private final class StreamState(val path: String) {
+    val body = new java.io.ByteArrayOutputStream(512)
+  }
+
+  def start(): Int = {
+    val b = new ServerBootstrap()
+      .group(group)
+      .channel(classOf[NioServerSocketChannel])
+      .childHandler(new ChannelInitializer[SocketChannel] {
+        override def initChannel(ch: SocketChannel): Unit = {
+          ch.pipeline().addLast(Http2FrameCodecBuilder.forServer().build())
+          ch.pipeline().addLast(new RpcHandler)
+        }
+      })
+    channel = b.bind(port).sync().channel()
+    channel.localAddress()
+      .asInstanceOf[java.net.InetSocketAddress].getPort
+  }
+
+  def stop(): Unit = {
+    if (channel != null) channel.close().sync()
+    group.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS)
+    workers.shutdown()
+  }
+
+  private final class RpcHandler extends ChannelInboundHandlerAdapter {
+    private val streams =
+      new ConcurrentHashMap[Http2FrameStream, StreamState]()
+
+    override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit =
+      msg match {
+        case h: Http2HeadersFrame =>
+          val path = String.valueOf(h.headers().path())
+          val st = new StreamState(path)
+          streams.put(h.stream(), st)
+          if (h.isEndStream) finish(ctx, h.stream(), st)
+        case d: Http2DataFrame =>
+          val st = streams.get(d.stream())
+          if (st != null) {
+            val buf = d.content()
+            val arr = new Array[Byte](buf.readableBytes())
+            buf.readBytes(arr)
+            st.body.write(arr, 0, arr.length)
+            if (d.isEndStream) finish(ctx, d.stream(), st)
+          }
+          d.release()
+        case other =>
+          io.netty.util.ReferenceCountUtil.release(other)
+      }
+
+    private def finish(ctx: ChannelHandlerContext, stream: Http2FrameStream,
+                       st: StreamState): Unit = {
+      streams.remove(stream)
+      val method = st.path.split('/').lastOption.getOrElse("")
+      val service = st.path.stripPrefix("/").takeWhile(_ != '/')
+      val payload = st.body.toByteArray
+      workers.execute { () =>
+        // unknown service → gRPC UNIMPLEMENTED (12); everything else
+        // answers app-level (stat field) with grpc-status 0, the
+        // reference server's convention
+        val unimplemented = service != "grpcinterface.BTrDB"
+        val responses =
+          if (unimplemented) Nil
+          else BtrdbWire.handle(engine, method, firstMessage(payload))
+        ctx.channel().eventLoop().execute { () =>
+          val headers = new DefaultHttp2Headers()
+          headers.status("200")
+          headers.set("content-type", "application/grpc")
+          ctx.write(new DefaultHttp2HeadersFrame(headers).stream(stream))
+          responses.foreach { m =>
+            ctx.write(new DefaultHttp2DataFrame(frame(m)).stream(stream))
+          }
+          val trailers = new DefaultHttp2Headers()
+          trailers.set("grpc-status", if (unimplemented) "12" else "0")
+          ctx.writeAndFlush(
+            new DefaultHttp2HeadersFrame(trailers, true).stream(stream))
+        }
+      }
+      ()
+    }
+
+    override def exceptionCaught(ctx: ChannelHandlerContext,
+                                 cause: Throwable): Unit = {
+      ctx.close(); ()
+    }
+  }
+
+  /** Extract the first gRPC-framed message (clients of unary and
+    * client-unary-streaming RPCs send exactly one). */
+  private def firstMessage(body: Array[Byte]): Array[Byte] = {
+    if (body.length < 5) return Array.emptyByteArray
+    require(body(0) == 0, "compressed gRPC messages unsupported")
+    val len = ((body(1) & 0xff) << 24) | ((body(2) & 0xff) << 16) |
+      ((body(3) & 0xff) << 8) | (body(4) & 0xff)
+    require(5 + len <= body.length, "truncated gRPC message")
+    java.util.Arrays.copyOfRange(body, 5, 5 + len)
+  }
+
+  /** gRPC message framing: flag byte + u32 BE length + payload. */
+  private def frame(payload: Array[Byte]): ByteBuf = {
+    val buf = Unpooled.buffer(5 + payload.length)
+    buf.writeByte(0)
+    buf.writeInt(payload.length)
+    buf.writeBytes(payload)
+    buf
+  }
+}
+
+object GrpcServer {
+  /** Standalone daemon: `runMain graft.wire.GrpcServer <root> [port]`.
+    * Attaches read-write (single writer per root — the Insert/Delete
+    * RPCs need the commit path, like the reference daemon). */
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: graft.wire.GrpcServer <engineRoot> [port]")
+    val port = if (args.length > 1) args(1).toInt else 4410
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft-grpc")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val engine = new Btrdb(spark, args(0))
+    val bound = new GrpcServer(engine, port).start()
+    // scalastyle:off println
+    println(s"""{"service":"grpc","port":$bound,"proto":"grpcinterface.BTrDB"}""")
+    // scalastyle:on println
+    Thread.currentThread.join()
+  }
+}

@@ -1,0 +1,315 @@
+package graft.wire
+
+import java.nio.file.Files
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, TimeUnit}
+
+import io.netty.bootstrap.Bootstrap
+import io.netty.channel.{ChannelHandlerContext, ChannelInboundHandlerAdapter, ChannelInitializer, MultiThreadIoEventLoopGroup}
+import io.netty.channel.nio.NioIoHandler
+import io.netty.channel.socket.SocketChannel
+import io.netty.channel.socket.nio.NioSocketChannel
+import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers, DefaultHttp2HeadersFrame, Http2DataFrame, Http2FrameCodecBuilder, Http2HeadersFrame, Http2MultiplexHandler, Http2StreamChannelBootstrap}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Btrdb
+
+/** End-to-end BTrDB-wire shim test: a REAL HTTP/2 client (Netty frame
+  * codec, nothing shared with the server beyond the [[Pb]] codec the
+  * shim itself defines) connects over a TCP socket and speaks gRPC —
+  * prior-knowledge h2c, `:path` routing, 5-byte message framing,
+  * `grpc-status` trailers — against [[GrpcServer]] running a live
+  * engine. Every assertion compares wire-decoded values against the
+  * engine API directly. */
+class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var db: Btrdb = _
+  private var server: GrpcServer = _
+  private var port: Int = 0
+  private var group: MultiThreadIoEventLoopGroup = _
+  private var conn: io.netty.channel.Channel = _
+
+  private val uuid = "11111111-2222-3333-4444-555555555555"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("grpc-wire-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    db = new Btrdb(spark, Files.createTempDirectory("grpcspec").toString,
+      sBuckets = 4, tBucketPw = 12, bufferCommitThreshold = 1L,
+      pyramidLevels = Seq(4, 8), pyramidWBucketPw = 12, commitRangePw = 8)
+    server = new GrpcServer(db, 0)
+    port = server.start()
+    group = new MultiThreadIoEventLoopGroup(1, NioIoHandler.newFactory())
+    conn = new Bootstrap()
+      .group(group)
+      .channel(classOf[NioSocketChannel])
+      .handler(new ChannelInitializer[SocketChannel] {
+        override def initChannel(ch: SocketChannel): Unit = {
+          ch.pipeline().addLast(Http2FrameCodecBuilder.forClient().build())
+          ch.pipeline().addLast(
+            new Http2MultiplexHandler(new ChannelInboundHandlerAdapter))
+        }
+      })
+      .connect("127.0.0.1", port).sync().channel()
+  }
+
+  override def afterAll(): Unit = {
+    if (conn != null) conn.close().sync()
+    if (group != null) group.shutdownGracefully(0, 1, TimeUnit.SECONDS)
+    if (server != null) server.stop()
+    spark.stop()
+  }
+
+  /** One gRPC call over a fresh HTTP/2 stream: returns the decoded
+    * response messages and the grpc-status trailer. */
+  private def call(method: String,
+                   request: PbWriter): (Seq[Array[Byte]], String) = {
+    val done = new CountDownLatch(1)
+    val data = new java.io.ByteArrayOutputStream()
+    val status = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val sch = new Http2StreamChannelBootstrap(conn)
+      .handler(new ChannelInboundHandlerAdapter {
+        override def channelRead(ctx: ChannelHandlerContext,
+                                 msg: AnyRef): Unit = msg match {
+          case h: Http2HeadersFrame =>
+            val st = h.headers().get("grpc-status")
+            if (st != null) status.set(String.valueOf(st))
+            if (h.isEndStream) done.countDown()
+          case d: Http2DataFrame =>
+            val arr = new Array[Byte](d.content().readableBytes())
+            d.content().readBytes(arr)
+            data.write(arr, 0, arr.length)
+            if (d.isEndStream) done.countDown()
+            d.release()
+          case other => io.netty.util.ReferenceCountUtil.release(other)
+        }
+      })
+      .open().sync().getNow
+    val headers = new DefaultHttp2Headers()
+    headers.method("POST").scheme("http")
+      .authority(s"127.0.0.1:$port")
+      .path(s"/grpcinterface.BTrDB/$method")
+    headers.set("content-type", "application/grpc")
+    headers.set("te", "trailers")
+    sch.write(new DefaultHttp2HeadersFrame(headers))
+    val payload = request.toBytes
+    val buf = io.netty.buffer.Unpooled.buffer(5 + payload.length)
+    buf.writeByte(0).writeInt(payload.length).writeBytes(payload)
+    sch.writeAndFlush(new DefaultHttp2DataFrame(buf, true))
+    assert(done.await(120, TimeUnit.SECONDS), s"$method timed out")
+    // split the concatenated DATA bytes back into framed messages
+    val all = data.toByteArray
+    val msgs = Seq.newBuilder[Array[Byte]]
+    var pos = 0
+    while (pos < all.length) {
+      assert(all(pos) == 0, "uncompressed flag expected")
+      val len = ((all(pos + 1) & 0xff) << 24) | ((all(pos + 2) & 0xff) << 16) |
+        ((all(pos + 3) & 0xff) << 8) | (all(pos + 4) & 0xff)
+      msgs += java.util.Arrays.copyOfRange(all, pos + 5, pos + 5 + len)
+      pos += 5 + len
+    }
+    (msgs.result(), status.get())
+  }
+
+  /** Decode a Status message (code field 1, msg field 2) if present at
+    * `field` 1 of the response; None = success. */
+  private def statOf(msg: Array[Byte]): Option[(Int, String)] = {
+    val r = new PbReader(msg)
+    while (r.hasNext) r.readTag() match {
+      case (1, _) =>
+        val st = r.lenReader()
+        var code = 0; var m = ""
+        while (st.hasNext) st.readTag() match {
+          case (1, _) => code = st.varint().toInt
+          case (2, _) => m = st.lenString()
+          case (_, w) => st.skip(w)
+        }
+        return Some((code, m))
+      case (_, w) => r.skip(w)
+    }
+    None
+  }
+
+  test("Create + Insert(sync) + RawValues round-trip the wire") {
+    val create = new PbWriter
+    create.bytes(1, BtrdbWire.uuidBytes(uuid))
+    create.string(2, "wire/a")
+    val kv = new PbWriter; kv.string(1, "site"); kv.bytes(2, "s1".getBytes)
+    create.message(3, kv)
+    val (cres, cstatus) = call("Create", create)
+    assert(cstatus == "0" && statOf(cres.head).isEmpty)
+
+    val ins = new PbWriter
+    ins.bytes(1, BtrdbWire.uuidBytes(uuid))
+    ins.bool(2, true) // sync
+    (0 until 64).foreach { i =>
+      val p = new PbWriter
+      p.sfixed64(1, i * 10L); p.double(2, i * 1.5)
+      ins.message(3, p)
+    }
+    val (ires, _) = call("Insert", ins)
+    assert(statOf(ires.head).isEmpty)
+
+    val raw = new PbWriter
+    raw.bytes(1, BtrdbWire.uuidBytes(uuid))
+    raw.sfixed64(2, 0L); raw.sfixed64(3, 1000L)
+    val (rres, rstatus) = call("RawValues", raw)
+    assert(rstatus == "0")
+    val pts = Seq.newBuilder[(Long, Double)]
+    var vmaj = -1L
+    rres.foreach { m =>
+      assert(statOf(m).isEmpty)
+      val r = new PbReader(m)
+      while (r.hasNext) r.readTag() match {
+        case (2, _) => vmaj = r.varint()
+        case (4, _) =>
+          val p = r.lenReader()
+          var t = 0L; var v = 0.0
+          while (p.hasNext) p.readTag() match {
+            case (1, _) => t = p.fixed64()
+            case (2, _) => v = p.double()
+            case (_, w) => p.skip(w)
+          }
+          pts += ((t, v))
+        case (_, w) => r.skip(w)
+      }
+    }
+    val expected = db.rawValues(uuid, 0L, 1000L).collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(pts.result() == expected)
+    assert(vmaj == db.version(uuid)._1)
+  }
+
+  test("AlignedWindows over the wire matches the engine") {
+    val req = new PbWriter
+    req.bytes(1, BtrdbWire.uuidBytes(uuid))
+    req.sfixed64(2, 0L); req.sfixed64(3, 640L)
+    req.uint32(5, 4) // pointWidth
+    val (res, status) = call("AlignedWindows", req)
+    assert(status == "0")
+    val got = Seq.newBuilder[(Long, Double, Double, Double, Long)]
+    res.foreach { m =>
+      assert(statOf(m).isEmpty)
+      val r = new PbReader(m)
+      while (r.hasNext) r.readTag() match {
+        case (4, _) =>
+          val p = r.lenReader()
+          var t = 0L; var mn = 0.0; var mean = 0.0; var mx = 0.0; var n = 0L
+          while (p.hasNext) p.readTag() match {
+            case (1, _) => t = p.fixed64()
+            case (2, _) => mn = p.double()
+            case (3, _) => mean = p.double()
+            case (4, _) => mx = p.double()
+            case (5, _) => n = p.fixed64()
+            case (_, w) => p.skip(w)
+          }
+          got += ((t, mn, mean, mx, n))
+        case (_, w) => r.skip(w)
+      }
+    }
+    val expected = db.alignedWindows(uuid, 0L, 640L, 4)
+      .select("wstart", "vmin", "vmean", "vmax", "cnt").collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2),
+        x.getDouble(3), x.getLong(4))).toSeq
+    assert(got.result() == expected)
+  }
+
+  test("Nearest finds a point; misses answer with bte 401, grpc-status 0") {
+    val req = new PbWriter
+    req.bytes(1, BtrdbWire.uuidBytes(uuid))
+    req.sfixed64(2, 25L)
+    req.bool(4, true) // backward
+    val (res, _) = call("Nearest", req)
+    assert(statOf(res.head).isEmpty)
+    val r = new PbReader(res.head)
+    var t = -1L; var v = 0.0
+    while (r.hasNext) r.readTag() match {
+      case (4, _) =>
+        val p = r.lenReader()
+        while (p.hasNext) p.readTag() match {
+          case (1, _) => t = p.fixed64()
+          case (2, _) => v = p.double()
+          case (_, w) => p.skip(w)
+        }
+      case (_, w) => r.skip(w)
+    }
+    assert(Some((t, v)) == db.nearest(uuid, 25L, backward = true))
+
+    val miss = new PbWriter
+    miss.bytes(1, BtrdbWire.uuidBytes(uuid))
+    miss.sfixed64(2, -500L)
+    miss.bool(4, true)
+    val (mres, mstatus) = call("Nearest", miss)
+    assert(mstatus == "0", "app-level miss keeps grpc-status 0")
+    assert(statOf(mres.head).map(_._1).contains(401))
+  }
+
+  test("Info and ListCollections answer over the wire") {
+    val (ires, _) = call("Info", new PbWriter)
+    val r = new PbReader(ires.head)
+    var build = ""; var major = 0
+    while (r.hasNext) r.readTag() match {
+      case (3, _) => major = r.varint().toInt
+      case (5, _) => build = r.lenString()
+      case (_, w) => r.skip(w)
+    }
+    assert(major == 4 && build.contains("graft"))
+
+    val lc = new PbWriter
+    lc.string(1, "wire/")
+    val (lres, _) = call("ListCollections", lc)
+    val lr = new PbReader(lres.head)
+    val cols = Seq.newBuilder[String]
+    while (lr.hasNext) lr.readTag() match {
+      case (2, _) => cols += lr.lenString()
+      case (_, w) => lr.skip(w)
+    }
+    assert(cols.result() == Seq("wire/a"))
+  }
+
+  test("errors map to bte codes: unknown stream is 404-family, not a hang") {
+    val req = new PbWriter
+    req.bytes(1, BtrdbWire.uuidBytes("99999999-9999-9999-9999-999999999999"))
+    req.sfixed64(2, 0L); req.sfixed64(3, 10L)
+    val (res, status) = call("RawValues", req)
+    assert(status == "0")
+    val st = statOf(res.head)
+    assert(st.isDefined && st.get._1 >= 400, s"expected bte error, got $st")
+  }
+
+  test("unknown service answers gRPC UNIMPLEMENTED") {
+    val done = new CountDownLatch(1)
+    val status = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val sch = new Http2StreamChannelBootstrap(conn)
+      .handler(new ChannelInboundHandlerAdapter {
+        override def channelRead(ctx: ChannelHandlerContext,
+                                 msg: AnyRef): Unit = msg match {
+          case h: Http2HeadersFrame =>
+            val st = h.headers().get("grpc-status")
+            if (st != null) status.set(String.valueOf(st))
+            if (h.isEndStream) done.countDown()
+          case other => io.netty.util.ReferenceCountUtil.release(other)
+        }
+      })
+      .open().sync().getNow
+    val headers = new DefaultHttp2Headers()
+    headers.method("POST").scheme("http")
+      .authority(s"127.0.0.1:$port")
+      .path("/no.such.Service/Nope")
+    headers.set("content-type", "application/grpc")
+    sch.write(new DefaultHttp2HeadersFrame(headers))
+    val buf = io.netty.buffer.Unpooled.buffer(5)
+    buf.writeByte(0).writeInt(0)
+    sch.writeAndFlush(new DefaultHttp2DataFrame(buf, true))
+    assert(done.await(60, TimeUnit.SECONDS))
+    assert(status.get() == "12")
+  }
+}
