@@ -697,6 +697,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     compactedFloor.clear(); gridOk.clear()
     commitStateSeeded = false
     invalidatePyramidPresence()
+    pyramidWmCache.clear()
   }
 
   /** StreamInfo: descriptor + (major, minor) version
@@ -952,7 +953,7 @@ class Btrdb(val spark: SparkSession, val root: String,
       consumedBatches, grid = st.offGrid == 0L, compacted = asCompacted)
     // INSERT path: the batch's partial aggregates fold into the existing
     // rollup rows — no point-log rescan, no second batch pass
-    maintainPyramid(sid, st.ranges, foldPartials = Some(partials))
+    maintainPyramid(sid, st.ranges, foldPartials = Some(partials), v)
     v
   }
 
@@ -1023,9 +1024,9 @@ class Btrdb(val spark: SparkSession, val root: String,
     val sid = sidOf(uuid)
     requireNotMigratingOut(sid, "deleteRange")
     flushImpl(uuid) // deletes apply to committed data, like the reference
-    appendCommit(sid, majorOf(sid) + 1, "delete", start, end, 0,
-      Seq((start, end)))
-    maintainPyramid(sid, Seq((start, end)), foldPartials = None)
+    val v = majorOf(sid) + 1
+    appendCommit(sid, v, "delete", start, end, 0, Seq((start, end)))
+    maintainPyramid(sid, Seq((start, end)), foldPartials = None, v)
     version(uuid)
   }
 
@@ -1126,6 +1127,9 @@ class Btrdb(val spark: SparkSession, val root: String,
         // untouched — nothing exists to cover
         appendCommit(sid, atVersion, "insert", 0L, 0L, 0L, Seq((0L, 1L)),
           grid = true, compacted = asCompacted)
+        // nothing to fold, but the watermark must advance (and heal any
+        // earlier crashed fold) or the rollup would read as stale
+        maintainPyramid(sid, Nil, foldPartials = None, atVersion)
       }
       partials.unpersist()
     }
@@ -1143,7 +1147,7 @@ class Btrdb(val spark: SparkSession, val root: String,
       require(minorOf(sid) == 0, "replay into a stream with staged points")
       appendCommit(sid, atVersion, "delete", start, end, 0,
         Seq((start, end)))
-      maintainPyramid(sid, Seq((start, end)), foldPartials = None)
+      maintainPyramid(sid, Seq((start, end)), foldPartials = None, atVersion)
     }
 
   /** Compact one stream: materialize its latest-visible snapshot (delete
@@ -1244,7 +1248,8 @@ class Btrdb(val spark: SparkSession, val root: String,
     deleteDebt -= sid // history collapsed; merge-on-read debt cleared
     compactedFloor(sid) = maj
     if (n > 0) envelopes(sid) = (tmin, tmax) else envelopes -= sid
-    if (n > 0) maintainPyramid(sid, Seq((tmin, tmax + 1)), foldPartials = None)
+    if (n > 0) maintainPyramid(sid, Seq((tmin, tmax + 1)), foldPartials = None, maj)
+    else if (pyramidLevels.nonEmpty) stampPyramidWatermark(sid, maj)
     maj
   }
 
@@ -1333,9 +1338,11 @@ class Btrdb(val spark: SparkSession, val root: String,
     active.foreach { sid =>
       gcCommitFiles(sid, Long.MaxValue)
       deleteDir(s"staging/sid=$sid")
+      store.delete(s"pyramid/_wm-$sid")
       synchronized {
         majorCounts -= sid; envelopes -= sid; deleteDebt -= sid
         minorCounts -= sid; compactedFloor -= sid; gridOk -= sid
+        pyramidWmCache -= sid
       }
     }
     invalidateCommits()
@@ -1527,7 +1534,8 @@ class Btrdb(val spark: SparkSession, val root: String,
     // the buffer alone and COMBINE partials (Σcnt, min, Σsum, max;
     // mean = Σ(mean·count)/Σcount, /root/reference/merger.go:126-208)
     val usable = level.exists(pyramidHas) &&
-      version == TimeConsts.LatestGeneration && !hasDeleteDebt(sid)
+      version == TimeConsts.LatestGeneration && !hasDeleteDebt(sid) &&
+      pyramidCurrent(sid)
     if (usable) {
       val l = level.get
       val committed = pyramidRead(s"pyramid/pw=$l")
@@ -1578,7 +1586,8 @@ class Btrdb(val spark: SparkSession, val root: String,
     val level = pyramidLevels.filter(_ <= pw).sorted.lastOption
       .filter(pyramidHas)
     val (pyrSids, rawSids) = sids.partition(sid =>
-      level.isDefined && !hasDeleteDebt(sid) && minorOf(sid) == 0)
+      level.isDefined && !hasDeleteDebt(sid) && minorOf(sid) == 0 &&
+        pyramidCurrent(sid))
     val parts = Seq(
       if (pyrSids.isEmpty) None else Some {
         pyramidRead(s"pyramid/pw=${level.get}")
@@ -1715,7 +1724,8 @@ class Btrdb(val spark: SparkSession, val root: String,
       (majorCounts.keys ++ minorCounts.keys).toSeq.distinct)
       .filterNot(tomb.contains)
     val clean = affected.forall(s =>
-      !deleteDebt.contains(s) && minorCounts.getOrElse(s, 0L) == 0L)
+      !deleteDebt.contains(s) && minorCounts.getOrElse(s, 0L) == 0L &&
+        pyramidCurrent(s))
     val exactOk = !needExactSum || affected.forall(gridOf)
     if (level.isEmpty || !clean || !exactOk) None
     else {
@@ -1752,7 +1762,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     val level = pyramidLevels.filter(_ <= depth).sorted.lastOption
       .filter(l => pyramidHas(l) &&
         version == TimeConsts.LatestGeneration && minorOf(sid) == 0 &&
-        !hasDeleteDebt(sid))
+        !hasDeleteDebt(sid) && pyramidCurrent(sid))
     val agg0 = level match {
       case Some(l) =>
         pyramidRead(s"pyramid/pw=$l")
@@ -1940,6 +1950,14 @@ class Btrdb(val spark: SparkSession, val root: String,
           .select(col("wstart").as("time"), col("vmean").as("value"))
       }).orderBy("time")
 
+  /** RFC3339-render an aligned frame's ns `time` column at µs precision
+    * — the reference's CSV time format
+    * (/root/reference/grpcinterface/serve.go:975), shared by the CSV
+    * file sink and the wire GenerateCSV RPC. */
+  def csvTimeRendered(aligned: DataFrame): DataFrame =
+    aligned.withColumn("time", date_format(
+      timestamp_micros(expr("time div 1000")), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"))
+
   def generateCsv(uuids: Seq[String], labels: Seq[String],
                   start: Long, end: Long, outPath: String,
                   alignedPw: Option[Int] = None): Unit = {
@@ -1947,9 +1965,7 @@ class Btrdb(val spark: SparkSession, val root: String,
       case None => multiAlign(uuids, start, end, labels)
       case Some(pw) => multiAlignedMeans(uuids, labels, start, end, pw)
     }
-    aligned
-      .withColumn("time", date_format(
-        timestamp_micros(expr("time div 1000")), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"))
+    csvTimeRendered(aligned)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).option("header", "true").csv(outPath)
   }
@@ -1969,8 +1985,80 @@ class Btrdb(val spark: SparkSession, val root: String,
     * and single-writer recovery is to re-run the maintenance for the
     * last commit's ranges (idempotent — it recomputes from the point
     * log). */
+  // ---- pyramid fold watermark ----------------------------------------
+  // The commit protocol is points → commit record → pyramid fold; a
+  // crash between the record and the fold leaves the rollup silently
+  // MISSING that commit's contribution — a stat query would then
+  // under-count with no signal. The watermark closes that window: the
+  // fold stamps `pyramid/_wm-<sid>` (atomic rename) with the commit
+  // version it completed, readers treat wm < major as "pyramid not
+  // current" (bail to merge-on-read, exactly like delete debt), and
+  // the writer SELF-HEALS on its next fold — commits above the
+  // watermark recompute their ranges from the point log (idempotent)
+  // before the new batch folds. Steady state costs one tiny file
+  // write per commit and zero extra jobs (the gap query runs only
+  // when the watermark is actually behind). A root written before
+  // watermarking has no `_wm` files; absence reads as current (the
+  // legacy assumption), and the first post-upgrade fold starts
+  // stamping.
+  private val pyramidWmCache =
+    scala.collection.mutable.Map.empty[Long, Option[Long]]
+  private def pyramidWatermark(sid: Long): Option[Long] = synchronized {
+    pyramidWmCache.getOrElseUpdate(sid,
+      store.readString(s"pyramid/_wm-$sid").map(_.trim.toLong))
+  }
+  private def stampPyramidWatermark(sid: Long, v: Long): Unit = synchronized {
+    store.writeAtomic(s"pyramid/_wm-$sid", v.toString)
+    pyramidWmCache(sid) = Some(v)
+  }
+  /** True iff the rollup provably includes every committed generation
+    * of `sid` (or the root predates watermarking). */
+  private[graft] def pyramidCurrent(sid: Long): Boolean =
+    pyramidLevels.isEmpty || pyramidWatermark(sid).forall(_ >= majorOf(sid))
+
+  /** Ranges of commits whose fold a crash discarded: version in
+    * (wm, below). Empty in steady state. */
+  private def missedFoldRanges(sid: Long, below: Long): Seq[(Long, Long)] =
+    pyramidWatermark(sid).filter(_ < below - 1).map { wm =>
+      commits.filter(col("sid") === sid &&
+          col("version") > wm && col("version") < below)
+        .select(explode(coalesce(col("ranges"),
+          array(struct(col("tmin").as("s"), (col("tmax") + 1).as("e"))))).as("r"))
+        .select(col("r.s"), col("r.e")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }.getOrElse(Nil)
+
+  /** Maintenance op: recompute any rollup ranges a crash left unfolded
+    * and bring the watermark current — for a read-heavy stream that
+    * sees no new commits (the write path self-heals on its next fold).
+    * Returns true iff a repair ran. */
+  def repairPyramid(uuid: String): Boolean =
+    admission.run(Admission.Maintenance) {
+      val sid = sidOf(uuid)
+      if (pyramidCurrent(sid)) false
+      else {
+        val maj = majorOf(sid)
+        val missed = missedFoldRanges(sid, maj + 1)
+        if (missed.nonEmpty) maintainPyramidInner(sid, missed, None)
+        stampPyramidWatermark(sid, maj)
+        true
+      }
+    }
+
   private def maintainPyramid(sid: Long, touched: Seq[(Long, Long)],
-                              foldPartials: Option[DataFrame]): Unit = {
+                              foldPartials: Option[DataFrame],
+                              commitVersion: Long): Unit = {
+    // self-heal BEFORE the new fold: recompute (idempotent) the ranges
+    // of commits between the watermark and this one, so a crashed
+    // earlier fold can never be masked by this commit's stamp
+    val missed = missedFoldRanges(sid, commitVersion)
+    if (missed.nonEmpty) maintainPyramidInner(sid, missed, None)
+    maintainPyramidInner(sid, touched, foldPartials)
+    if (pyramidLevels.nonEmpty) stampPyramidWatermark(sid, commitVersion)
+  }
+
+  private def maintainPyramidInner(sid: Long, touched: Seq[(Long, Long)],
+                                   foldPartials: Option[DataFrame]): Unit = {
     if (pyramidLevels.isEmpty || touched.isEmpty) return
     ensurePyramidLayout()
     val sorted = pyramidLevels.sorted

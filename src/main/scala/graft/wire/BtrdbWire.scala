@@ -476,7 +476,7 @@ object BtrdbWire {
     }
     val (uuids, labels) = streams.result().unzip
     require(uuids.nonEmpty, "no streams requested")
-    val frame = queryType match {
+    val frame0 = queryType match {
       case 2 => e.multiAlign(uuids, start, end, labels) // RAW_QUERY
       case 0 => // ALIGNED_WINDOWS_QUERY: windowSize = 2^pw
         val pw = java.lang.Long.numberOfTrailingZeros(windowSize)
@@ -487,6 +487,7 @@ object BtrdbWire {
         "WINDOWS_QUERY CSV unsupported; use the Windows RPC")
       case q => throw new IllegalArgumentException(s"unknown queryType $q")
     }
+    val frame = e.csvTimeRendered(frame0) // RFC3339 times, like the file sink
     val rows = frame.collect()
     val header = {
       val w = new PbWriter

@@ -288,4 +288,82 @@ class PyramidSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(partitionFiles(db, 8).keySet == Set(s"sbucket=$sb/wbucket=0"))
     assert(db.rawValues(uuid, 0, 16384).count() == 4096)
   }
+
+  test("a crashed fold is detected by the watermark and self-heals") {
+    // protocol: points → commit record → pyramid fold → watermark
+    // stamp. Simulate a crash between the record and the fold: commit
+    // generation 2, then restore the pyramid directory (and watermark)
+    // to their generation-1 state — exactly what the crash leaves.
+    val db = mkDb()
+    val uuid = "u-wm"
+    db.createStream(uuid, "pyr/wm", Map("t" -> "w"))
+    insertPts(db, uuid, (0L until 256L).map(t => (t, 1.0)))
+    db.flush(uuid)
+    val root = db.root
+    val sid = db.sidOf(uuid)
+    val pyrDir = Paths.get(root, "pyramid")
+    val snap = Paths.get(root, "pyramid_snapshot_gen1")
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      val s = Files.walk(from)
+      try s.iterator().asScala.foreach { p =>
+        val dst = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(dst)
+        else Files.copy(p, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally s.close()
+    }
+    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.iterator().asScala.toList.reverse.foreach(Files.delete)
+      finally s.close()
+    }
+    copyTree(pyrDir, snap)
+
+    insertPts(db, uuid, (256L until 512L).map(t => (t, 3.0)))
+    db.flush(uuid)
+    db.close()
+    // crash: generation 2's fold (and stamp) never happened
+    rmTree(pyrDir)
+    copyTree(snap, pyrDir)
+
+    // a fresh attach must DETECT the stale rollup — stat reads bail to
+    // merge-on-read and stay CORRECT, never silently under-counting
+    val db2 = new Btrdb(spark, root, sBuckets = 4, tBucketPw = 12,
+      bufferCommitThreshold = 1 << 20,
+      pyramidLevels = Seq(4, 8), pyramidWBucketPw = 12, commitRangePw = 8)
+    assert(!db2.pyramidCurrent(sid), "stale rollup must not read as current")
+    assert(db2.pyramidPartialsFor(Some(Seq(sid)), None, None, 8,
+      needExactSum = false).isEmpty, "substitution must bail while stale")
+    val w = db2.alignedWindows(uuid, 0L, 512L, 8)
+      .select("cnt", "vmean").collect()
+    assert(w.map(_.getLong(0)).sum == 512L, "merge-on-read answers exactly")
+
+    // explicit repair brings the watermark current and the rollup exact
+    assert(db2.repairPyramid(uuid))
+    assert(db2.pyramidCurrent(sid))
+    assert(!db2.repairPyramid(uuid), "repair is idempotent / no-op when current")
+    val healed = db2.alignedWindows(uuid, 0L, 512L, 8)
+      .select("wstart", "cnt", "vmean").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(healed == Set((0L, 256L, 1.0), (256L, 256L, 3.0)))
+
+    // ...and the write path self-heals on its NEXT fold even without an
+    // explicit repair: rewind to the crashed state again, then commit a
+    // third generation and check generation 2's contribution reappears
+    db2.close()
+    rmTree(pyrDir)
+    copyTree(snap, pyrDir)
+    val db3 = new Btrdb(spark, root, sBuckets = 4, tBucketPw = 12,
+      bufferCommitThreshold = 1 << 20,
+      pyramidLevels = Seq(4, 8), pyramidWBucketPw = 12, commitRangePw = 8)
+    insertPts(db3, uuid, (512L until 768L).map(t => (t, 5.0)))
+    db3.flush(uuid)
+    assert(db3.pyramidCurrent(sid))
+    val after = db3.pyramidPartialsFor(Some(Seq(sid)), None, None, 8,
+      needExactSum = false)
+    assert(after.isDefined, "healed rollup serves the substitution again")
+    val total = after.get.groupBy().sum("cnt").head().getLong(0)
+    assert(total == 768L, "generation 2's fold was recomputed, not masked")
+    db3.close()
+  }
 }

@@ -285,6 +285,167 @@ class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.isDefined && st.get._1 >= 400, s"expected bte error, got $st")
   }
 
+  test("Windows, Changes, Delete and Flush round-trip the wire") {
+    // arbitrary-width windows
+    val wreq = new PbWriter
+    wreq.bytes(1, BtrdbWire.uuidBytes(uuid))
+    wreq.sfixed64(2, 0L); wreq.sfixed64(3, 630L)
+    wreq.uint64(5, 90L) // width (not a power of two on purpose)
+    val (wres, _) = call("Windows", wreq)
+    val got = Seq.newBuilder[(Long, Long)]
+    wres.foreach { m =>
+      assert(statOf(m).isEmpty)
+      val r = new PbReader(m)
+      while (r.hasNext) r.readTag() match {
+        case (4, _) =>
+          val p = r.lenReader()
+          var t = 0L; var n = 0L
+          while (p.hasNext) p.readTag() match {
+            case (1, _) => t = p.fixed64()
+            case (5, _) => n = p.fixed64()
+            case (_, w) => p.skip(w)
+          }
+          got += ((t, n))
+        case (_, w) => r.skip(w)
+      }
+    }
+    val expected = db.windows(uuid, 0L, 630L, 90L)
+      .select("wstart", "cnt").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(got.result() == expected)
+
+    // delete a range over the wire, then verify over the wire
+    val del = new PbWriter
+    del.bytes(1, BtrdbWire.uuidBytes(uuid))
+    del.sfixed64(2, 100L); del.sfixed64(3, 200L)
+    val (dres, _) = call("Delete", del)
+    assert(statOf(dres.head).isEmpty)
+    assert(db.rawValues(uuid, 100L, 200L).count() == 0)
+
+    // changes between versions
+    val ch = new PbWriter
+    ch.bytes(1, BtrdbWire.uuidBytes(uuid))
+    ch.uint64(2, 0L) // fromMajor; toMajor 0 = latest
+    ch.uint32(4, 4)  // resolution
+    val (cres, _) = call("Changes", ch)
+    var nRanges = 0
+    cres.foreach { m =>
+      val r = new PbReader(m)
+      while (r.hasNext) r.readTag() match {
+        case (4, _) => r.lenReader(); nRanges += 1
+        case (_, w) => r.skip(w)
+      }
+    }
+    assert(nRanges == db.changes(uuid, 0L, db.version(uuid)._1, 4).count())
+
+    // flush is a no-op here (sync inserts) but must answer versions
+    val fl = new PbWriter
+    fl.bytes(1, BtrdbWire.uuidBytes(uuid))
+    val (fres, _) = call("Flush", fl)
+    val fr = new PbReader(fres.head)
+    var vmaj = -1L
+    while (fr.hasNext) fr.readTag() match {
+      case (2, _) => vmaj = fr.varint()
+      case (_, w) => fr.skip(w)
+    }
+    assert(vmaj == db.version(uuid)._1)
+  }
+
+  test("annotations, lookup and metadata usage round-trip the wire") {
+    // SetStreamAnnotations with CAS at version 0
+    val setReq = new PbWriter
+    setReq.bytes(1, BtrdbWire.uuidBytes(uuid))
+    val kov = new PbWriter
+    kov.string(1, "owner")
+    val ov = new PbWriter; ov.bytes(1, "team-w".getBytes)
+    kov.message(2, ov)
+    setReq.message(3, kov)
+    val (sres, _) = call("SetStreamAnnotations", setReq)
+    assert(statOf(sres.head).isEmpty)
+    assert(db.streamInfo(uuid)._1.annotations == Map("owner" -> "team-w"))
+
+    // a stale CAS must fail with an app-level error
+    val (sres2, _) = call("SetStreamAnnotations", setReq) // version moved to 1
+    assert(statOf(sres2.head).exists(_._1 >= 400))
+
+    // LookupStreams by annotation
+    val lk = new PbWriter
+    lk.string(1, "wire/")
+    lk.bool(2, true) // prefix
+    val filt = new PbWriter
+    filt.string(1, "owner")
+    val fov = new PbWriter; fov.bytes(1, "team-w".getBytes)
+    filt.message(2, fov)
+    lk.message(4, filt)
+    val (lres, _) = call("LookupStreams", lk)
+    val uuids = Seq.newBuilder[String]
+    lres.foreach { m =>
+      val r = new PbReader(m)
+      while (r.hasNext) r.readTag() match {
+        case (2, _) =>
+          val d = r.lenReader()
+          while (d.hasNext) d.readTag() match {
+            case (1, _) => uuids += BtrdbWire.uuidStr(d.lenBytes())
+            case (_, w) => d.skip(w)
+          }
+        case (_, w) => r.skip(w)
+      }
+    }
+    assert(uuids.result() == Seq(uuid))
+
+    // GetMetadataUsage: the tag key and annotation key both count 1
+    val mu = new PbWriter
+    mu.string(1, "wire/")
+    val (mres, _) = call("GetMetadataUsage", mu)
+    val mr = new PbReader(mres.head)
+    val tagKeys = Seq.newBuilder[(String, Long)]
+    val annKeys = Seq.newBuilder[(String, Long)]
+    while (mr.hasNext) mr.readTag() match {
+      case (f, _) if f == 2 || f == 3 =>
+        val kc = mr.lenReader()
+        var k = ""; var n = 0L
+        while (kc.hasNext) kc.readTag() match {
+          case (1, _) => k = kc.lenString()
+          case (2, _) => n = kc.varint()
+          case (_, w) => kc.skip(w)
+        }
+        (if (f == 2) tagKeys else annKeys) += ((k, n))
+      case (_, w) => mr.skip(w)
+    }
+    assert(tagKeys.result() == Seq(("site", 1L)))
+    assert(annKeys.result() == Seq(("owner", 1L)))
+  }
+
+  test("GenerateCSV streams a header row then one response per data row") {
+    val req = new PbWriter
+    req.uint32(1, 2) // RAW_QUERY
+    req.uint64(2, 0L); req.uint64(3, 50L)
+    val sc = new PbWriter
+    sc.string(2, "w0")
+    sc.bytes(3, BtrdbWire.uuidBytes(uuid))
+    req.message(7, sc)
+    val (res, status) = call("GenerateCSV", req)
+    assert(status == "0" && statOf(res.head).isEmpty)
+    def rowOf(m: Array[Byte]): (Boolean, Seq[String]) = {
+      val r = new PbReader(m)
+      var header = false
+      val cells = Seq.newBuilder[String]
+      while (r.hasNext) r.readTag() match {
+        case (2, _) => header = r.varint() != 0
+        case (3, _) => cells += r.lenString()
+        case (_, w) => r.skip(w)
+      }
+      (header, cells.result())
+    }
+    val (h, cols) = rowOf(res.head)
+    assert(h && cols == Seq("time", "w0"))
+    val dataRows = res.tail.map(rowOf)
+    assert(dataRows.forall(!_._1))
+    assert(dataRows.size ==
+      db.multiAlign(Seq(uuid), 0L, 50L, Seq("w0")).count())
+    assert(dataRows.forall(_._2.size == 2))
+  }
+
   test("unknown service answers gRPC UNIMPLEMENTED") {
     val done = new CountDownLatch(1)
     val status = new java.util.concurrent.atomic.AtomicReference[String]("")
