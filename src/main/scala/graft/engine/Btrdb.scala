@@ -126,6 +126,13 @@ class Btrdb(val spark: SparkSession, val root: String,
     heartbeat.scheduleAtFixedRate(
       () => if (lockHeld) store.rewrite(LockFile, lockToken),
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    // watermark enablement marker, written BEFORE any commit this
+    // writer can make: under the marker, a stream with commits but no
+    // per-sid watermark file is a CRASHED FIRST FOLD (stale), not a
+    // legacy root — without the marker that state would silently read
+    // as current (see pyramidCurrent)
+    if (pyramidLevels.nonEmpty && !exists(WmEnabledMarker))
+      store.writeAtomic(WmEnabledMarker, "1")
   }
 
   /** Release the root lock and drop cached state. The engine must not
@@ -698,6 +705,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     commitStateSeeded = false
     invalidatePyramidPresence()
     pyramidWmCache.clear()
+    wmEnabledCache = null
   }
 
   /** StreamInfo: descriptor + (major, minor) version
@@ -1181,6 +1189,12 @@ class Btrdb(val spark: SparkSession, val root: String,
     flushImpl(uuid)
     val maj = majorOf(sid)
     if (maj == 0) return 0
+    // ranges of folds a crash discarded, captured BEFORE the history
+    // collapse erases the per-commit records they are derived from — a
+    // crashed delete-fold would otherwise be MASKED by the stamp below
+    // (the envelope recompute only covers surviving data, not the
+    // stale rollup rows of a deleted range outside it)
+    val missedPreCompact = missedFoldRanges(sid, maj + 1)
     val bucket = sid % sBuckets
     val deletes = commits
       .filter(col("sid") === sid && col("kind") === "delete")
@@ -1248,7 +1262,13 @@ class Btrdb(val spark: SparkSession, val root: String,
     deleteDebt -= sid // history collapsed; merge-on-read debt cleared
     compactedFloor(sid) = maj
     if (n > 0) envelopes(sid) = (tmin, tmax) else envelopes -= sid
-    if (n > 0) maintainPyramid(sid, Seq((tmin, tmax + 1)), foldPartials = None, maj)
+    // recompute covers the surviving envelope PLUS any crash-unfolded
+    // ranges (post-compact Latest state — points are rewritten, so an
+    // unpinned recompute is exact here); the stamp is only written
+    // after both
+    val dirty =
+      (if (n > 0) Seq((tmin, tmax + 1)) else Nil) ++ missedPreCompact
+    if (dirty.nonEmpty) maintainPyramid(sid, dirty, foldPartials = None, maj)
     else if (pyramidLevels.nonEmpty) stampPyramidWatermark(sid, maj)
     maj
   }
@@ -2003,10 +2023,29 @@ class Btrdb(val spark: SparkSession, val root: String,
   // stamping.
   private val pyramidWmCache =
     scala.collection.mutable.Map.empty[Long, Option[Long]]
+  @volatile private var wmEnabledCache: java.lang.Boolean = null
+  private def wmEnabled: Boolean = {
+    var e = wmEnabledCache
+    if (e == null) synchronized {
+      e = wmEnabledCache
+      if (e == null) {
+        e = java.lang.Boolean.valueOf(exists(WmEnabledMarker))
+        wmEnabledCache = e
+      }
+    }
+    e.booleanValue()
+  }
   private def pyramidWatermark(sid: Long): Option[Long] = synchronized {
     pyramidWmCache.getOrElseUpdate(sid,
       store.readString(s"pyramid/_wm-$sid").map(_.trim.toLong))
   }
+  /** The watermark the consistency checks compare against: the per-sid
+    * stamp when present; under the enablement marker an ABSENT stamp
+    * means no fold ever completed (a crashed FIRST fold reads as 0,
+    * stale) — only a root no post-upgrade writer has touched (no
+    * marker) keeps the legacy everything-is-current assumption. */
+  private def effectiveWatermark(sid: Long): Option[Long] =
+    pyramidWatermark(sid).orElse(if (wmEnabled) Some(0L) else None)
   private def stampPyramidWatermark(sid: Long, v: Long): Unit = synchronized {
     store.writeAtomic(s"pyramid/_wm-$sid", v.toString)
     pyramidWmCache(sid) = Some(v)
@@ -2014,12 +2053,12 @@ class Btrdb(val spark: SparkSession, val root: String,
   /** True iff the rollup provably includes every committed generation
     * of `sid` (or the root predates watermarking). */
   private[graft] def pyramidCurrent(sid: Long): Boolean =
-    pyramidLevels.isEmpty || pyramidWatermark(sid).forall(_ >= majorOf(sid))
+    pyramidLevels.isEmpty || effectiveWatermark(sid).forall(_ >= majorOf(sid))
 
   /** Ranges of commits whose fold a crash discarded: version in
     * (wm, below). Empty in steady state. */
   private def missedFoldRanges(sid: Long, below: Long): Seq[(Long, Long)] =
-    pyramidWatermark(sid).filter(_ < below - 1).map { wm =>
+    effectiveWatermark(sid).filter(_ < below - 1).map { wm =>
       commits.filter(col("sid") === sid &&
           col("version") > wm && col("version") < below)
         .select(explode(coalesce(col("ranges"),
@@ -2050,15 +2089,22 @@ class Btrdb(val spark: SparkSession, val root: String,
                               commitVersion: Long): Unit = {
     // self-heal BEFORE the new fold: recompute (idempotent) the ranges
     // of commits between the watermark and this one, so a crashed
-    // earlier fold can never be masked by this commit's stamp
+    // earlier fold can never be masked by this commit's stamp. The
+    // recompute PINS at commitVersion - 1: this commit's own rows are
+    // already in the point log, and an unpinned recompute would bake
+    // them into any overlapping window — the additive fold below would
+    // then count them a second time.
     val missed = missedFoldRanges(sid, commitVersion)
-    if (missed.nonEmpty) maintainPyramidInner(sid, missed, None)
+    if (missed.nonEmpty)
+      maintainPyramidInner(sid, missed, None, recomputeAt = commitVersion - 1)
     maintainPyramidInner(sid, touched, foldPartials)
     if (pyramidLevels.nonEmpty) stampPyramidWatermark(sid, commitVersion)
   }
 
   private def maintainPyramidInner(sid: Long, touched: Seq[(Long, Long)],
-                                   foldPartials: Option[DataFrame]): Unit = {
+                                   foldPartials: Option[DataFrame],
+                                   recomputeAt: Long =
+                                     TimeConsts.LatestGeneration): Unit = {
     if (pyramidLevels.isEmpty || touched.isEmpty) return
     ensurePyramidLayout()
     val sorted = pyramidLevels.sorted
@@ -2097,7 +2143,7 @@ class Btrdb(val spark: SparkSession, val root: String,
         case None =>
           val uuid = uuidBySid(sid)
           ranges.map { case (lo, hi) =>
-            pointsAt(uuid, TimeConsts.LatestGeneration, lo, hi)
+            pointsAt(uuid, recomputeAt, lo, hi)
           }.reduce(_ unionByName _)
             .groupBy(TimeOps.clampTime(col("time"), base).as("wstart"))
             .agg(count(lit(1)).as("cnt"),
@@ -2293,6 +2339,8 @@ final case class StreamDescInfo(
 object Btrdb {
   /** Advisory single-writer lock file at the engine root. */
   val LockFile = "engine.lock"
+  /** Pyramid-watermark enablement marker (see `pyramidCurrent`). */
+  val WmEnabledMarker = "pyramid/_wm_enabled"
 
   /** Final combine over [[Btrdb.pyramidPartialsFor]] rows — shared by
     * the single-engine frame and the federated union of per-member

@@ -173,24 +173,39 @@ object EtlQueries {
       .drop("k")
   }
 
+  /** Fixture-memo accessor shared by the three dedup memos below:
+    * evicts entries of STOPPED sessions first — a stopped session's
+    * checkpointed frames are unusable, and without eviction the
+    * object-lifetime map would pin every dead session and its plan
+    * trees for the JVM's life — then computes-if-absent for the live
+    * one. The maps stay a handful of entries (one per live session ×
+    * fixture), so the sweep is a few pointer checks. */
+  private def fixtureMemo(
+      map: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame],
+      s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
+    val it = map.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    map.computeIfAbsent((s, dir), _ => build)
+  }
+
   /** Distinct-text groups of the fixture corpus — (k, rid, nm, text)
     * with rid = min doc_id, nm = multiplicity — memoized per
     * (session, fixture) and materialized once: EVERY dedup consumer
     * (exact counts aside) starts from this frame, and re-deriving the
     * corpus scan + digest groupBy per consumer was the single biggest
     * repeated cost of the dedup family. Bounded by distinct content;
-    * spillable; entries die with their session. The fixture tables
-    * are immutable for a run, so no invalidation. */
+    * spillable. The fixture tables are immutable for a run, so no
+    * invalidation. */
   private val distinctGroupMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def distinctGroups(s: SparkSession, dir: String): DataFrame =
-    distinctGroupMemo.computeIfAbsent((s, dir), { _ =>
+    fixtureMemo(distinctGroupMemo, s, dir) {
       docs(s, dir).select(col("doc_id"), textKey.as("k"), col("text"))
         .groupBy("k")
         .agg(min("doc_id").as("rid"), count(lit(1)).as("nm"),
           min("text").as("text"))
         .localCheckpoint()
-    })
+    }
 
   /** rep id → member doc_id map over the distinct groups (NOT
     * memoized: two narrow joins over the memoized frames — cheap, and
@@ -212,11 +227,11 @@ object EtlQueries {
   private val bandPairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def corpusBandPairs(s: SparkSession, dir: String): DataFrame =
-    bandPairsMemo.computeIfAbsent((s, dir), { _ =>
+    fixtureMemo(bandPairsMemo, s, dir) {
       minhashBandPairs(distinctGroups(s, dir)
         .select(col("rid").as("doc_id"), col("text")))
         .localCheckpoint()
-    })
+    }
 
   /** Plan-guardrail probe ([[graft.queries.PlanSpec]]): the banding
     * pipeline over an arbitrary (doc_id, text) frame, BYPASSING the
@@ -324,11 +339,12 @@ object EtlQueries {
     * real pipeline materializes it exactly once — the iterative CC
     * fixpoint is far too expensive to re-derive per consumer. The
     * fixture tables are immutable for a run, so the memo needs no
-    * invalidation; entries die with their session. */
+    * invalidation; stopped sessions' entries are evicted on access
+    * ([[fixtureMemo]]). */
   private val clusterMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    clusterMemo.computeIfAbsent((s, dir), { _ =>
+    fixtureMemo(clusterMemo, s, dir) {
       val cc = graft.etl.Dedup.connectedComponents(corpusBandPairs(s, dir))
         .withColumnRenamed("id", "rid")
       groupMembers(s, dir).join(cc, Seq("rid"), "left_outer")
@@ -336,7 +352,7 @@ object EtlQueries {
           coalesce(col("cluster"), col("rid")).as("cluster"))
         // corpus-sized but two longs per row; every consumer reads it
         .localCheckpoint()
-    })
+    }
 
   /** Banded hyperplane-signature candidates over `base`
     * (vec_id, embedding) + exact fixed-point cosine, one implementation

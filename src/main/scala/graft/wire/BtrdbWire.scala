@@ -145,12 +145,28 @@ object BtrdbWire {
 
   // ---- dispatch -------------------------------------------------------
 
-  /** Handle one unary-or-server-streaming call: decode `body`, run the
-    * engine, return the encoded response message(s). Never throws —
-    * failures become a single response carrying `stat`. */
-  def handle(e: Btrdb, method: String, body: Array[Byte]): Seq[Array[Byte]] =
-    try dispatch(e, method, body)
+  /** Handle one unary-or-server-streaming call: strip the gRPC message
+    * prefix from `framedBody`, decode, run the engine, return the
+    * encoded response message(s). Never throws — failures INCLUDING a
+    * malformed/compressed request frame become a single response
+    * carrying `stat` (a throw here would be swallowed by the worker
+    * pool and the client's RPC would hang to its deadline). */
+  def handle(e: Btrdb, method: String,
+             framedBody: Array[Byte]): Seq[Array[Byte]] =
+    try dispatch(e, method, firstMessage(framedBody))
     catch { case t: Throwable => Seq(errorResponse(t)) }
+
+  /** Extract the first gRPC-framed message (clients of unary and
+    * client-unary-streaming RPCs send exactly one): flag byte + u32
+    * big-endian length + payload. */
+  private def firstMessage(body: Array[Byte]): Array[Byte] = {
+    if (body.length < 5) return Array.emptyByteArray
+    require(body(0) == 0, "compressed gRPC messages unsupported")
+    val len = ((body(1) & 0xff) << 24) | ((body(2) & 0xff) << 16) |
+      ((body(3) & 0xff) << 8) | (body(4) & 0xff)
+    require(len >= 0 && 5 + len <= body.length, "truncated gRPC message")
+    java.util.Arrays.copyOfRange(body, 5, 5 + len)
+  }
 
   private def dispatch(e: Btrdb, method: String,
                        body: Array[Byte]): Seq[Array[Byte]] = method match {

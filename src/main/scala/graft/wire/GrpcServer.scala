@@ -8,7 +8,7 @@ import io.netty.channel.{Channel, ChannelHandlerContext, ChannelInboundHandlerAd
 import io.netty.channel.nio.NioIoHandler
 import io.netty.channel.socket.SocketChannel
 import io.netty.channel.socket.nio.NioServerSocketChannel
-import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers, DefaultHttp2HeadersFrame, Http2DataFrame, Http2FrameCodecBuilder, Http2FrameStream, Http2HeadersFrame}
+import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers, DefaultHttp2HeadersFrame, DefaultHttp2WindowUpdateFrame, Http2DataFrame, Http2FrameCodecBuilder, Http2FrameStream, Http2HeadersFrame, Http2ResetFrame}
 
 import graft.engine.Btrdb
 
@@ -85,6 +85,13 @@ final class GrpcServer(engine: Btrdb, port: Int) {
           if (h.isEndStream) finish(ctx, h.stream(), st)
         case d: Http2DataFrame =>
           val st = streams.get(d.stream())
+          // RETURN FLOW-CONTROL CREDIT for every flow-controlled byte:
+          // the frame codec leaves window replenishment to the
+          // application, so without this a request larger than the
+          // 64 KiB initial window (a few thousand Insert points) — or
+          // any long-lived connection past 64 KiB cumulative — stalls
+          // forever waiting for WINDOW_UPDATE
+          val credit = d.initialFlowControlledBytes()
           if (st != null) {
             val buf = d.content()
             val arr = new Array[Byte](buf.readableBytes())
@@ -92,7 +99,18 @@ final class GrpcServer(engine: Btrdb, port: Int) {
             st.body.write(arr, 0, arr.length)
             if (d.isEndStream) finish(ctx, d.stream(), st)
           }
+          val stream = d.stream()
           d.release()
+          if (credit > 0)
+            ctx.writeAndFlush(
+              new DefaultHttp2WindowUpdateFrame(credit).stream(stream))
+          ()
+        case r: Http2ResetFrame =>
+          // client cancellation (deadline, RST_STREAM): drop the
+          // accumulated request state or it leaks until the connection
+          // closes
+          streams.remove(r.stream())
+          ()
         case other =>
           io.netty.util.ReferenceCountUtil.release(other)
       }
@@ -106,11 +124,15 @@ final class GrpcServer(engine: Btrdb, port: Int) {
       workers.execute { () =>
         // unknown service → gRPC UNIMPLEMENTED (12); everything else
         // answers app-level (stat field) with grpc-status 0, the
-        // reference server's convention
-        val unimplemented = service != "grpcinterface.BTrDB"
-        val responses =
-          if (unimplemented) Nil
-          else BtrdbWire.handle(engine, method, firstMessage(payload))
+        // reference server's convention. handle() never throws; the
+        // catch is belt-and-braces so NO code path can swallow the
+        // response and leave the client hanging to its deadline.
+        val (responses, grpcStatus) =
+          try {
+            if (service != "grpcinterface.BTrDB")
+              (Nil, "12") // UNIMPLEMENTED
+            else (BtrdbWire.handle(engine, method, payload), "0")
+          } catch { case _: Throwable => (Nil, "2") } // UNKNOWN
         ctx.channel().eventLoop().execute { () =>
           val headers = new DefaultHttp2Headers()
           headers.status("200")
@@ -120,7 +142,7 @@ final class GrpcServer(engine: Btrdb, port: Int) {
             ctx.write(new DefaultHttp2DataFrame(frame(m)).stream(stream))
           }
           val trailers = new DefaultHttp2Headers()
-          trailers.set("grpc-status", if (unimplemented) "12" else "0")
+          trailers.set("grpc-status", grpcStatus)
           ctx.writeAndFlush(
             new DefaultHttp2HeadersFrame(trailers, true).stream(stream))
         }
@@ -132,17 +154,6 @@ final class GrpcServer(engine: Btrdb, port: Int) {
                                  cause: Throwable): Unit = {
       ctx.close(); ()
     }
-  }
-
-  /** Extract the first gRPC-framed message (clients of unary and
-    * client-unary-streaming RPCs send exactly one). */
-  private def firstMessage(body: Array[Byte]): Array[Byte] = {
-    if (body.length < 5) return Array.emptyByteArray
-    require(body(0) == 0, "compressed gRPC messages unsupported")
-    val len = ((body(1) & 0xff) << 24) | ((body(2) & 0xff) << 16) |
-      ((body(3) & 0xff) << 8) | (body(4) & 0xff)
-    require(5 + len <= body.length, "truncated gRPC message")
-    java.util.Arrays.copyOfRange(body, 5, 5 + len)
   }
 
   /** gRPC message framing: flag byte + u32 BE length + payload. */

@@ -289,6 +289,163 @@ class PyramidSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(db.rawValues(uuid, 0, 16384).count() == 4096)
   }
 
+  test("self-heal of an OVERLAPPING crashed fold never double-counts the healing commit") {
+    // generations 1, 2, 3 all target the SAME window range. Crash
+    // between generation 2's record and its fold; generation 3 then
+    // both heals 2 and folds itself. The heal recomputes from the
+    // point log, which at that moment already holds generation 3's
+    // rows — an unpinned recompute would bake them in and the fold
+    // would add them AGAIN. Pinning the heal at v-1 keeps the rollup
+    // exact.
+    val db = mkDb()
+    val uuid = "u-wm-overlap"
+    db.createStream(uuid, "pyr/wmov", Map("t" -> "o"))
+    insertPts(db, uuid, (0L until 256L).map(t => (t, 1.0)))
+    db.flush(uuid)
+    val root = db.root
+    val sid = db.sidOf(uuid)
+    val pyrDir = Paths.get(root, "pyramid")
+    val snap = Paths.get(root, "pyr_snap_ov")
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      val s = Files.walk(from)
+      try s.iterator().asScala.foreach { p =>
+        val dst = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(dst)
+        else Files.copy(p, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally s.close()
+    }
+    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.iterator().asScala.toList.reverse.foreach(Files.delete)
+      finally s.close()
+    }
+    copyTree(pyrDir, snap)
+    insertPts(db, uuid, (0L until 256L).map(t => (t, 3.0)))
+    db.flush(uuid)
+    db.close()
+    rmTree(pyrDir); copyTree(snap, pyrDir) // crash: gen 2 fold lost
+
+    val db2 = new Btrdb(spark, root, sBuckets = 4, tBucketPw = 12,
+      bufferCommitThreshold = 1 << 20,
+      pyramidLevels = Seq(4, 8), pyramidWBucketPw = 12, commitRangePw = 8)
+    insertPts(db2, uuid, (0L until 256L).map(t => (t, 5.0)))
+    db2.flush(uuid) // heals gen 2 AND folds gen 3
+    assert(db2.pyramidCurrent(sid))
+    val w = db2.alignedWindows(uuid, 0L, 256L, 8)
+      .select("cnt", "vmean").head()
+    assert(w.getLong(0) == 768L,
+      s"each generation counted exactly once, got cnt=${w.getLong(0)}")
+    assert(w.getDouble(1) == 3.0, // (256*1 + 256*3 + 256*5) / 768
+      s"healing commit must not be folded twice, got vmean=${w.getDouble(1)}")
+    db2.close()
+  }
+
+  test("a crashed FIRST fold is stale under the enablement marker, not silently current") {
+    // another stream's rollup already exists, so the pyramid level is
+    // present; the new stream's very first fold crashes before any
+    // per-sid watermark file exists. Without the attach-time
+    // enablement marker that state is indistinguishable from a legacy
+    // root and would read as current — with it, the stream reads
+    // stale, answers stay merge-on-read-correct, and the next fold
+    // heals from watermark 0.
+    val db = mkDb()
+    val root = db.root
+    db.createStream("u-wm-other", "pyr/wmf", Map("t" -> "x"))
+    insertPts(db, "u-wm-other", (0L until 64L).map(t => (t, 9.0)))
+    db.flush("u-wm-other")
+    val uuid = "u-wm-first"
+    db.createStream(uuid, "pyr/wmf", Map("t" -> "f"))
+    val sid = db.sidOf(uuid)
+    insertPts(db, uuid, (0L until 128L).map(t => (t, 2.0)))
+    db.flush(uuid)
+    db.close()
+    // crash simulation: the first fold's watermark stamp never landed
+    // (the marker and the OTHER stream's rollup survive, as they would
+    // in the real crash; detection must not depend on whether the
+    // fold's rollup rows themselves made it — the heal recompute
+    // replaces them either way)
+    val pyr = Paths.get(root, "pyramid")
+    Files.delete(pyr.resolve(s"_wm-$sid"))
+    val db2 = new Btrdb(spark, root, sBuckets = 4, tBucketPw = 12,
+      bufferCommitThreshold = 1 << 20,
+      pyramidLevels = Seq(4, 8), pyramidWBucketPw = 12, commitRangePw = 8)
+    assert(!db2.pyramidCurrent(sid),
+      "no watermark + committed data under the marker must read stale")
+    assert(db2.pyramidPartialsFor(Some(Seq(sid)), None, None, 8,
+      needExactSum = false).isEmpty)
+    // merge-on-read answer stays exact even though the rollup rows for
+    // this stream were (partially) written before the simulated crash
+    assert(db2.alignedWindows(uuid, 0L, 256L, 8)
+      .agg(org.apache.spark.sql.functions.sum("cnt")).head().getLong(0) == 128L)
+    // the other stream stays pyramid-served throughout
+    assert(db2.pyramidPartialsFor(Some(Seq(db2.sidOf("u-wm-other"))),
+      None, None, 8, needExactSum = false).isDefined)
+    // the next fold self-heals from watermark 0 — and must not
+    // double-count (its recompute pins below the healing commit even
+    // though the crashed fold's rows may already be present)
+    insertPts(db2, uuid, (128L until 256L).map(t => (t, 4.0)))
+    db2.flush(uuid)
+    assert(db2.pyramidCurrent(sid))
+    val healed = db2.pyramidPartialsFor(Some(Seq(sid)), None, None, 8,
+      needExactSum = false)
+    assert(healed.isDefined)
+    assert(healed.get.agg(org.apache.spark.sql.functions.sum("cnt"))
+      .head().getLong(0) == 256L)
+    db2.close()
+  }
+
+  test("compact heals a crashed delete-fold instead of masking it with its stamp") {
+    // deleteRange commits its anti-filter, then crashes before the fold
+    // invalidates the rollup. compact() collapses the history (erasing
+    // the delete record the heal would need) and stamps the watermark —
+    // unless it captures the missed ranges FIRST, the stale rollup rows
+    // of the deleted range become permanent phantom points.
+    val db = mkDb()
+    val uuid = "u-wm-compact"
+    db.createStream(uuid, "pyr/wmc", Map("t" -> "c"))
+    insertPts(db, uuid, (0L until 1024L).map(t => (t, 1.0)))
+    db.flush(uuid)
+    val root = db.root
+    val sid = db.sidOf(uuid)
+    val pyrDir = Paths.get(root, "pyramid")
+    val snap = Paths.get(root, "pyr_snap_cmp")
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      val s = Files.walk(from)
+      try s.iterator().asScala.foreach { p =>
+        val dst = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(dst)
+        else Files.copy(p, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally s.close()
+    }
+    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.iterator().asScala.toList.reverse.foreach(Files.delete)
+      finally s.close()
+    }
+    copyTree(pyrDir, snap)
+    db.deleteRange(uuid, 512L, 1024L)
+    db.close()
+    rmTree(pyrDir); copyTree(snap, pyrDir) // crash: delete fold lost
+
+    val db2 = new Btrdb(spark, root, sBuckets = 4, tBucketPw = 12,
+      bufferCommitThreshold = 1 << 20,
+      pyramidLevels = Seq(4, 8), pyramidWBucketPw = 12, commitRangePw = 8)
+    assert(!db2.pyramidCurrent(sid))
+    db2.compact(uuid)
+    assert(db2.pyramidCurrent(sid))
+    val served = db2.pyramidPartialsFor(Some(Seq(sid)), None, None, 8,
+      needExactSum = false)
+    assert(served.isDefined, "compacted stream serves the pyramid again")
+    val total = served.get
+      .agg(org.apache.spark.sql.functions.sum("cnt")).head().getLong(0)
+    assert(total == 512L,
+      s"deleted range must not survive as phantom rollup rows, got $total")
+    assert(db2.rawValues(uuid, 0L, 2048L).count() == 512L)
+    db2.close()
+  }
+
   test("a crashed fold is detected by the watermark and self-heals") {
     // protocol: points → commit record → pyramid fold → watermark
     // stamp. Simulate a crash between the record and the fold: commit

@@ -87,8 +87,14 @@ class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
             val arr = new Array[Byte](d.content().readableBytes())
             d.content().readBytes(arr)
             data.write(arr, 0, arr.length)
-            if (d.isEndStream) done.countDown()
+            val end = d.isEndStream
+            // return flow-control credit or a >64 KiB response stalls
+            val credit = d.initialFlowControlledBytes()
             d.release()
+            if (credit > 0)
+              ctx.writeAndFlush(
+                new io.netty.handler.codec.http2.DefaultHttp2WindowUpdateFrame(credit))
+            if (end) done.countDown()
           case other => io.netty.util.ReferenceCountUtil.release(other)
         }
       })
@@ -444,6 +450,89 @@ class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dataRows.size ==
       db.multiAlign(Seq(uuid), 0L, 50L, Seq("w0")).count())
     assert(dataRows.forall(_._2.size == 2))
+  }
+
+  test("a request larger than the 64 KiB HTTP/2 window round-trips (flow control)") {
+    // ~20k points ≈ 400 KB of request DATA and ≈ 4 chunked response
+    // messages — both directions cross the 65535-byte initial window
+    // several times, so this deadlocks unless the server returns
+    // WINDOW_UPDATE credit for consumed request bytes (and the client
+    // for response bytes)
+    val big = "22222222-3333-4444-5555-666666666666"
+    val create = new PbWriter
+    create.bytes(1, BtrdbWire.uuidBytes(big))
+    create.string(2, "wire/big")
+    assert(statOf(call("Create", create)._1.head).isEmpty)
+    val n = 20000
+    val ins = new PbWriter
+    ins.bytes(1, BtrdbWire.uuidBytes(big))
+    ins.bool(2, true)
+    (0 until n).foreach { i =>
+      val p = new PbWriter
+      p.sfixed64(1, i.toLong); p.double(2, i * 0.5)
+      ins.message(3, p)
+    }
+    val (ires, istatus) = call("Insert", ins)
+    assert(istatus == "0" && statOf(ires.head).isEmpty)
+    val raw = new PbWriter
+    raw.bytes(1, BtrdbWire.uuidBytes(big))
+    raw.sfixed64(2, 0L); raw.sfixed64(3, n.toLong)
+    val (rres, rstatus) = call("RawValues", raw)
+    assert(rstatus == "0")
+    assert(rres.size == (n + BtrdbWire.ChunkSize - 1) / BtrdbWire.ChunkSize,
+      "response streams in ChunkSize messages")
+    var total = 0
+    rres.foreach { m =>
+      val r = new PbReader(m)
+      while (r.hasNext) r.readTag() match {
+        case (4, _) => r.lenReader(); total += 1
+        case (_, w) => r.skip(w)
+      }
+    }
+    assert(total == n)
+  }
+
+  test("a compressed request frame answers an app-level error, never a hang") {
+    val raw = new PbWriter
+    raw.bytes(1, BtrdbWire.uuidBytes(uuid))
+    val done = new CountDownLatch(1)
+    val data = new java.io.ByteArrayOutputStream()
+    val status = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val sch = new Http2StreamChannelBootstrap(conn)
+      .handler(new ChannelInboundHandlerAdapter {
+        override def channelRead(ctx: ChannelHandlerContext,
+                                 msg: AnyRef): Unit = msg match {
+          case h: Http2HeadersFrame =>
+            val st = h.headers().get("grpc-status")
+            if (st != null) status.set(String.valueOf(st))
+            if (h.isEndStream) done.countDown()
+          case d: Http2DataFrame =>
+            val arr = new Array[Byte](d.content().readableBytes())
+            d.content().readBytes(arr)
+            data.write(arr, 0, arr.length)
+            if (d.isEndStream) done.countDown()
+            d.release()
+          case other => io.netty.util.ReferenceCountUtil.release(other)
+        }
+      })
+      .open().sync().getNow
+    val headers = new DefaultHttp2Headers()
+    headers.method("POST").scheme("http")
+      .authority(s"127.0.0.1:$port")
+      .path("/grpcinterface.BTrDB/RawValues")
+    headers.set("content-type", "application/grpc")
+    sch.write(new DefaultHttp2HeadersFrame(headers))
+    val payload = raw.toBytes
+    val buf = io.netty.buffer.Unpooled.buffer(5 + payload.length)
+    buf.writeByte(1) // compressed flag — unsupported
+    buf.writeInt(payload.length).writeBytes(payload)
+    sch.writeAndFlush(new DefaultHttp2DataFrame(buf, true))
+    assert(done.await(60, TimeUnit.SECONDS), "must answer, not hang")
+    assert(status.get() == "0")
+    val all = data.toByteArray
+    val body = java.util.Arrays.copyOfRange(all, 5, all.length)
+    val st = statOf(body)
+    assert(st.exists(_._1 == 421), s"expected bte WrongArgs, got $st")
   }
 
   test("unknown service answers gRPC UNIMPLEMENTED") {
