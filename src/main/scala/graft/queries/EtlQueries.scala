@@ -233,6 +233,64 @@ object EtlQueries {
         .localCheckpoint()
     }
 
+  /** Per-distinct-text language prediction — (k, pred) — Cavnar-
+    * Trenkle profiles trained on the deterministic doc_id-mod sample
+    * and every distinct text scored once, memoized per fixture: a
+    * pipeline labels its corpus's languages once and every consumer
+    * (stratified sampling, mixing, the confusion report) reads the
+    * labels. Tiny (digest + code per distinct text). */
+  private val langPredMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def langPredictions(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo(langPredMemo, s, dir) {
+      val d = docs(s, dir).filter(length(col("text")) >= 3)
+        .select(col("doc_id"), col("lang"), textKey.as("k"), col("text"))
+      val sample = d.filter(col("doc_id") % LangIdTrainMod === 0)
+        .groupBy("k", "lang")
+        .agg(count(lit(1)).as("w"), min("text").as("text"))
+      val prof = graft.etl.LangId.profilesWeighted(
+        graft.etl.LangId.trigrams(sample, "text", LangIdMaxPos)
+          .select("lang", "g", "w"),
+        LangIdTopK)
+      val reps = d.groupBy("k")
+        .agg(min("doc_id").as("doc_id"), min("text").as("text"))
+      graft.etl.LangId.classify(
+          graft.etl.LangId.trigrams(
+            reps.select("doc_id", "text"), "text", LangIdMaxPos),
+          prof, LangIdTopK)
+        .join(reps.select("doc_id", "k"), "doc_id")
+        .select(col("k"), col("pred"))
+        .localCheckpoint()
+    }
+
+  /** Rare-8-gram postings per distinct text — (k, g), document-
+    * frequency-capped — the decontamination index a pipeline builds
+    * ONCE per corpus and probes with every eval suite; memoized per
+    * fixture like the other dedup frames. One gram explode per
+    * distinct text, shared by both sides of the containment join, with
+    * the DF CAP applied before any pairwise work: a gram present in >
+    * ContamDfCap distinct texts carries no contamination evidence but
+    * dominates the join (Σ_g df_c·df_p is quadratic in text count
+    * through common grams); capping df bounds the join at cap × probe
+    * postings — linear in the probe corpus. Probes whose every gram is
+    * common drop out (no rare-gram denominator), as they should. */
+  private val contamPostingsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def contamPostings(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo(contamPostingsMemo, s, dir) {
+      val kGrams0 = distinctGroups(s, dir)
+        .filter(length(col("text")) >= 8)
+        .select(col("k"), col("text"),
+          explode(sequence(lit(1),
+            least(length(col("text")) - 7, lit(MaxPos)), lit(2))).as("p"))
+        .select(col("k"), expr("substring(text, p, 8)").as("g"))
+        .distinct()
+        .localCheckpoint()
+      val rare = kGrams0.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= ContamDfCap).select("g")
+      kGrams0.join(rare, Seq("g"), "left_semi").localCheckpoint()
+    }
+
   /** Plan-guardrail probe ([[graft.queries.PlanSpec]]): the banding
     * pipeline over an arbitrary (doc_id, text) frame, BYPASSING the
     * fixture memo — the memoized frames are materialized RDD scans, so
@@ -351,6 +409,32 @@ object EtlQueries {
         .select(col("id").as("doc_id"),
           coalesce(col("cluster"), col("rid")).as("cluster"))
         // corpus-sized but two longs per row; every consumer reads it
+        .localCheckpoint()
+    }
+
+  /** Distinct-embedding groups — (embedding, rid = min vec_id, n) —
+    * the embedding analog of [[distinctGroups]], memoized per fixture
+    * and read by both cosine-dedup forms. */
+  private val embGroupMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def embGroups(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo(embGroupMemo, s, dir) {
+      emb(s, dir).groupBy("embedding")
+        .agg(min("vec_id").as("rid"), count(lit(1)).as("n"))
+        .localCheckpoint()
+    }
+
+  /** The banded-hyperplane candidate graph over the distinct-embedding
+    * reps, exact-cosine-reranked and thresholded — (a, b, cos) —
+    * memoized per fixture by the same argument as
+    * [[corpusBandPairs]]: one candidate graph, every cosine-dedup
+    * consumer reads it. Output-bounded (surviving pairs), tiny. */
+  private val embPairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def embCosPairs(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo(embPairsMemo, s, dir) {
+      cosinePairs(embGroups(s, dir)
+        .select(col("rid").as("vec_id"), col("embedding")), threshold = 0.2)
         .localCheckpoint()
     }
 
@@ -557,32 +641,13 @@ object EtlQueries {
          |FROM hits h JOIN psz s ON s.doc_id = h.probe_id
          |WHERE h.shared * 20 >= s.np * 3
          |ORDER BY h.doc_id, h.probe_id""".stripMargin) { (s, dir) =>
-      val d = docs(s, dir).select(col("doc_id"), textKey.as("k"),
-        col("text"))
+      val d = docs(s, dir).select(col("doc_id"), textKey.as("k"))
       val isProbe = pmod(col("doc_id"), lit(97)) === 0
       val probeM = d.filter(isProbe)
         .select(col("k").as("kp"), col("doc_id").as("probe_id"))
       val corpusM = d.filter(!isProbe)
         .select(col("k").as("kc"), col("doc_id"))
-      val g = d.groupBy("k").agg(min("text").as("text"))
-      // one gram explode per distinct text, shared by both sides, with
-      // the DOCUMENT-FREQUENCY CAP applied before any pairwise work:
-      // a gram present in > ContamDfCap distinct texts carries no
-      // contamination evidence but dominates the containment join
-      // (Σ_g df_c·df_p is quadratic in text count through common
-      // grams); capping df bounds the join at cap × probe postings —
-      // linear in the probe corpus. Probes whose every gram is common
-      // drop out (no rare-gram denominator), as they should.
-      val kGrams0 = g.filter(length(col("text")) >= 8)
-        .select(col("k"), col("text"),
-          explode(sequence(lit(1),
-            least(length(col("text")) - 7, lit(MaxPos)), lit(2))).as("p"))
-        .select(col("k"), expr("substring(text, p, 8)").as("g"))
-        .distinct()
-        .localCheckpoint()
-      val rare = kGrams0.groupBy("g").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= ContamDfCap).select("g")
-      val kGrams = kGrams0.join(rare, Seq("g"), "left_semi")
+      val kGrams = contamPostings(s, dir)
       // The probe relation is an eval suite by construction (thousands
       // of docs, low-millions of rare-gram postings); when its ACTUAL
       // posting count is small, BROADCAST it so the corpus postings
@@ -835,8 +900,6 @@ object EtlQueries {
          |  CAST(COUNT(*) AS BIGINT) AS cnt
          |FROM d LEFT JOIN pred p ON d.doc_id = p.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-      val d = docs(s, dir).filter(length(col("text")) >= 3)
-        .select(col("doc_id"), col("lang"), textKey.as("k"), col("text"))
       // training sampling is keyed by doc_id, so the SAMPLE comes from
       // the raw corpus — but within it, identical (text, lang) rows
       // contribute identical gram rows, so training too collapses to
@@ -847,24 +910,13 @@ object EtlQueries {
       // shuffle as join key). On a duplicate-heavy corpus the ~200×
       // trigram explosion prices distinct content only, in both
       // passes (same confusion matrix either way; the oracle scores
-      // per doc and hash-matches this)
-      val sample = d.filter(col("doc_id") % LangIdTrainMod === 0)
-        .groupBy("k", "lang")
-        .agg(count(lit(1)).as("w"), min("text").as("text"))
-      val prof = graft.etl.LangId.profilesWeighted(
-        graft.etl.LangId.trigrams(sample, "text", LangIdMaxPos)
-          .select("lang", "g", "w"),
-        LangIdTopK)
-      val reps = d.groupBy("k")
-        .agg(min("doc_id").as("doc_id"), min("text").as("text"))
-      val predByKey = graft.etl.LangId.classify(
-          graft.etl.LangId.trigrams(
-            reps.select("doc_id", "text"), "text", LangIdMaxPos),
-          prof, LangIdTopK)
-        .join(reps.select("doc_id", "k"), "doc_id")
-        .select(col("k"), col("pred"))
-      d.select(col("doc_id"), col("lang"), col("k"))
-        .join(predByKey, Seq("k"), "left_outer")
+      // per doc and hash-matches this). Train + score are memoized per
+      // fixture ([[langPredictions]]) — the corpus's language labels
+      // are computed once and every downstream consumer (sampling,
+      // mixing, this confusion matrix) reads them.
+      docs(s, dir).filter(length(col("text")) >= 3)
+        .select(col("doc_id"), col("lang"), textKey.as("k"))
+        .join(langPredictions(s, dir), Seq("k"), "left_outer")
         .groupBy(col("lang"), coalesce(col("pred"), lit("en")).as("pred"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("lang", "pred")
@@ -1070,12 +1122,10 @@ object EtlQueries {
       // replica, SCALE.md). Keys are the raw array — codegen-hashed in
       // the exchange; see the note above replacing embKey.
       import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
-      val base = emb(s, dir)
-      val g = base.groupBy("embedding").agg(min("vec_id").as("rid"))
-      val members = base.join(g, "embedding")
+      val g = embGroups(s, dir)
+      val members = emb(s, dir).join(g, "embedding")
         .select(col("rid"), col("vec_id").as("id"))
-      val repPairs = cosinePairs(
-        g.select(col("rid").as("vec_id"), col("embedding")), threshold = 0.2)
+      val repPairs = embCosPairs(s, dir)
       val selfCos = g.select(col("rid"),
           (fixedPointDot(col("embedding"), col("embedding")).cast("double") /
             (sqrt(fixedPointNormSq(col("embedding")).cast("double")) *
@@ -1105,11 +1155,10 @@ object EtlQueries {
          |JOIN g ga ON ga.vec_id = c.a JOIN g gb ON gb.vec_id = c.b
          |WHERE c.cos >= 0.2
          |ORDER BY c.a, c.b""".stripMargin) { (s, dir) =>
-      val g = emb(s, dir).groupBy("embedding")
-        .agg(min("vec_id").as("vec_id"), count(lit(1)).as("n"))
-      cosinePairs(g.select("vec_id", "embedding", "n"), threshold = 0.2)
-        .join(g.select(col("vec_id").as("a"), col("n").as("na")), "a")
-        .join(g.select(col("vec_id").as("b"), col("n").as("nb")), "b")
+      val g = embGroups(s, dir)
+      embCosPairs(s, dir)
+        .join(g.select(col("rid").as("a"), col("n").as("na")), "a")
+        .join(g.select(col("rid").as("b"), col("n").as("nb")), "b")
         .select("a", "b", "cos", "na", "nb").orderBy("a", "b")
     },
 
