@@ -1189,12 +1189,19 @@ class Btrdb(val spark: SparkSession, val root: String,
     flushImpl(uuid)
     val maj = majorOf(sid)
     if (maj == 0) return 0
-    // ranges of folds a crash discarded, captured BEFORE the history
-    // collapse erases the per-commit records they are derived from — a
-    // crashed delete-fold would otherwise be MASKED by the stamp below
-    // (the envelope recompute only covers surviving data, not the
-    // stale rollup rows of a deleted range outside it)
+    // Heal any crash-unfolded ranges NOW, while the per-commit records
+    // they derive from still exist — the history collapse below erases
+    // them, and a crashed delete-fold would otherwise survive as
+    // phantom rollup rows (the envelope recompute only covers
+    // surviving data, not a deleted range outside it). Healing BEFORE
+    // any compaction mutation also closes the double-crash window: a
+    // crash after the collapse but before the final recompute resumes
+    // with the rollup already consistent (the watermark, stamped only
+    // at the very end, keeps reads on merge-on-read until then), and a
+    // crash during this heal resumes with the records intact.
     val missedPreCompact = missedFoldRanges(sid, maj + 1)
+    if (missedPreCompact.nonEmpty)
+      maintainPyramidInner(sid, missedPreCompact, None)
     val bucket = sid % sBuckets
     val deletes = commits
       .filter(col("sid") === sid && col("kind") === "delete")
@@ -1262,13 +1269,9 @@ class Btrdb(val spark: SparkSession, val root: String,
     deleteDebt -= sid // history collapsed; merge-on-read debt cleared
     compactedFloor(sid) = maj
     if (n > 0) envelopes(sid) = (tmin, tmax) else envelopes -= sid
-    // recompute covers the surviving envelope PLUS any crash-unfolded
-    // ranges (post-compact Latest state — points are rewritten, so an
-    // unpinned recompute is exact here); the stamp is only written
-    // after both
-    val dirty =
-      (if (n > 0) Seq((tmin, tmax + 1)) else Nil) ++ missedPreCompact
-    if (dirty.nonEmpty) maintainPyramid(sid, dirty, foldPartials = None, maj)
+    // crash-unfolded ranges were healed before the collapse; only the
+    // surviving envelope recompute and the stamp remain
+    if (n > 0) maintainPyramid(sid, Seq((tmin, tmax + 1)), foldPartials = None, maj)
     else if (pyramidLevels.nonEmpty) stampPyramidWatermark(sid, maj)
     maj
   }
@@ -2056,15 +2059,23 @@ class Btrdb(val spark: SparkSession, val root: String,
     pyramidLevels.isEmpty || effectiveWatermark(sid).forall(_ >= majorOf(sid))
 
   /** Ranges of commits whose fold a crash discarded: version in
-    * (wm, below). Empty in steady state. */
+    * (wm, below). Empty in steady state. Bounded: past `MaxHealRanges`
+    * the ranges coalesce to their overall envelope — one recompute of
+    * everything beats a thousands-way DataFrame union (the
+    * legacy-root-upgrade case, where effective watermark 0 makes the
+    * whole history "missed": the first post-upgrade fold then does one
+    * envelope-wide rebuild instead of a per-commit range list the
+    * planner chokes on). */
   private def missedFoldRanges(sid: Long, below: Long): Seq[(Long, Long)] =
     effectiveWatermark(sid).filter(_ < below - 1).map { wm =>
-      commits.filter(col("sid") === sid &&
+      val rs = commits.filter(col("sid") === sid &&
           col("version") > wm && col("version") < below)
         .select(explode(coalesce(col("ranges"),
           array(struct(col("tmin").as("s"), (col("tmax") + 1).as("e"))))).as("r"))
         .select(col("r.s"), col("r.e")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      if (rs.size <= Btrdb.MaxHealRanges) rs
+      else Seq((rs.map(_._1).min, rs.map(_._2).max))
     }.getOrElse(Nil)
 
   /** Maintenance op: recompute any rollup ranges a crash left unfolded
@@ -2341,6 +2352,9 @@ object Btrdb {
   val LockFile = "engine.lock"
   /** Pyramid-watermark enablement marker (see `pyramidCurrent`). */
   val WmEnabledMarker = "pyramid/_wm_enabled"
+  /** Heal-range bound: beyond this many crash-unfolded ranges the heal
+    * recomputes their overall envelope instead (see missedFoldRanges). */
+  val MaxHealRanges = 64
 
   /** Final combine over [[Btrdb.pyramidPartialsFor]] rows — shared by
     * the single-engine frame and the federated union of per-member

@@ -162,14 +162,17 @@ object EtlQueries {
     * once per distinct value — the same split the lang-ID scoring
     * pass uses. Docs for which `compute` emits nothing (e.g. too
     * short to shingle) stay absent, exactly as in the direct form. */
-  private def perDistinctText(d: DataFrame)
+  private def perDistinctText(s: SparkSession, dir: String)
       (compute: DataFrame => DataFrame): DataFrame = {
-    val keyed = d.select(col("doc_id"), col("text"), textKey.as("k"))
-    val g = keyed.groupBy("k")
-      .agg(min("doc_id").as("doc_id"), min("text").as("text"))
-    val byKey = compute(g.select("doc_id", "text"))
-      .join(g.select("doc_id", "k"), "doc_id").drop("doc_id")
-    keyed.select(col("doc_id"), col("k")).join(byKey, Seq("k"))
+    // the distinct-group frame is the fixture-memoized one every dedup
+    // consumer shares — rid is min(doc_id) per digest, exactly the
+    // representative the direct groupBy produced
+    val g = distinctGroups(s, dir)
+    val byKey = compute(g.select(col("rid").as("doc_id"), col("text")))
+      .join(g.select(col("rid").as("doc_id"), col("k")), "doc_id")
+      .drop("doc_id")
+    docs(s, dir).select(col("doc_id"), textKey.as("k"))
+      .join(byKey, Seq("k"))
       .drop("k")
   }
 
@@ -298,6 +301,11 @@ object EtlQueries {
     * about the pipeline that builds them. */
   private[queries] def bandPairsPipeline(src: DataFrame): DataFrame =
     minhashBandPairs(src)
+
+  /** Same probe for the embedding-cosine candidate pipeline (memo
+    * bypass; see [[bandPairsPipeline]]). */
+  private[queries] def embCosPipeline(base: DataFrame): DataFrame =
+    cosinePairs(base, threshold = 0.2)
 
   /** The 16-lane/4-band MinHash candidate pairs over `src`
     * (doc_id, text) — ONE implementation shared by the pair and
@@ -722,7 +730,7 @@ object EtlQueries {
       // per distinct feature, so distinct matters here, unlike minhash).
       // The signature is a pure function of the text → computed once
       // per distinct text.
-      perDistinctText(docs(s, dir)) { reps =>
+      perDistinctText(s, dir) { reps =>
         val sh = shinglesOf(reps)
           .select(col("doc_id"), md5(col("sh").cast("binary")).as("h"))
         val votes = (0 until 16).map(j =>
@@ -1000,7 +1008,7 @@ object EtlQueries {
       // distinct text (the 2048-way explode prices distinct content)
       val powers = Array.iterate(1L, MaxPos)(p => p * RollB % RollM)
       val n = least(length(col("text")), lit(MaxPos))
-      perDistinctText(docs(s, dir)) { reps =>
+      perDistinctText(s, dir) { reps =>
         reps
           // empty text: sequence(1, 0) is [1, 0] (negative default step)
           // and element_at(powers, 0) THROWS — omit the doc, exactly as

@@ -43,6 +43,24 @@ class PyramidSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def insertPts(db: Btrdb, uuid: String, pts: Seq[(Long, Double)]): Unit =
     db.insert(uuid, spark.createDataFrame(pts).toDF("time", "value"))
 
+  /** Recursive copy/delete used by the crash-simulation tests to
+    * snapshot and restore a root's pyramid state. */
+  private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    val s = Files.walk(from)
+    try s.iterator().asScala.foreach { p =>
+      val dst = to.resolve(from.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(dst)
+      else Files.copy(p, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally s.close()
+  }
+
+  private def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+    val s = Files.walk(p)
+    try s.iterator().asScala.toList.reverse.foreach(Files.deleteIfExists(_))
+    finally s.close()
+  }
+
   private def partitionFiles(db: Btrdb, pw: Int): Map[String, List[(String, Long, Long)]] = {
     val base = Paths.get(s"${db.root}/pyramid/pw=$pw".stripPrefix("file:"))
     if (!Files.exists(base)) Map.empty
@@ -233,11 +251,6 @@ class PyramidSpec extends AnyFunSuite with BeforeAndAfterAll {
     val legacy = spark.read.parquet(pyr.toString)
       .drop("ccnt").withColumn("vsc", col("vsc").cast("long"))
       .localCheckpoint()
-    def rmTree(p: java.nio.file.Path): Unit = {
-      val s = Files.walk(p)
-      try s.iterator().asScala.toList.reverse.foreach(Files.deleteIfExists(_))
-      finally s.close()
-    }
     rmTree(pyr)
     legacy.write.partitionBy("pw", "sbucket", "wbucket")
       .parquet(pyr.toString)
@@ -306,20 +319,6 @@ class PyramidSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sid = db.sidOf(uuid)
     val pyrDir = Paths.get(root, "pyramid")
     val snap = Paths.get(root, "pyr_snap_ov")
-    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
-      val s = Files.walk(from)
-      try s.iterator().asScala.foreach { p =>
-        val dst = to.resolve(from.relativize(p))
-        if (Files.isDirectory(p)) Files.createDirectories(dst)
-        else Files.copy(p, dst,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      } finally s.close()
-    }
-    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.iterator().asScala.toList.reverse.foreach(Files.delete)
-      finally s.close()
-    }
     copyTree(pyrDir, snap)
     insertPts(db, uuid, (0L until 256L).map(t => (t, 3.0)))
     db.flush(uuid)
@@ -410,20 +409,6 @@ class PyramidSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sid = db.sidOf(uuid)
     val pyrDir = Paths.get(root, "pyramid")
     val snap = Paths.get(root, "pyr_snap_cmp")
-    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
-      val s = Files.walk(from)
-      try s.iterator().asScala.foreach { p =>
-        val dst = to.resolve(from.relativize(p))
-        if (Files.isDirectory(p)) Files.createDirectories(dst)
-        else Files.copy(p, dst,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      } finally s.close()
-    }
-    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.iterator().asScala.toList.reverse.foreach(Files.delete)
-      finally s.close()
-    }
     copyTree(pyrDir, snap)
     db.deleteRange(uuid, 512L, 1024L)
     db.close()
@@ -460,20 +445,6 @@ class PyramidSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sid = db.sidOf(uuid)
     val pyrDir = Paths.get(root, "pyramid")
     val snap = Paths.get(root, "pyramid_snapshot_gen1")
-    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
-      val s = Files.walk(from)
-      try s.iterator().asScala.foreach { p =>
-        val dst = to.resolve(from.relativize(p))
-        if (Files.isDirectory(p)) Files.createDirectories(dst)
-        else Files.copy(p, dst,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      } finally s.close()
-    }
-    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.iterator().asScala.toList.reverse.foreach(Files.delete)
-      finally s.close()
-    }
     copyTree(pyrDir, snap)
 
     insertPts(db, uuid, (256L until 512L).map(t => (t, 3.0)))

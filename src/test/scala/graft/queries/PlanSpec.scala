@@ -137,4 +137,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       !p.contains("BroadcastNestedLoopJoin"),
       s"band self-join must be an equality join on the lane tuple, got:\n$p")
   }
+
+  test("embedding-cosine candidate pipeline joins on signatures, never all-pairs") {
+    // same memo-bypass probe for the embedding side: the consumers'
+    // plans read a checkpointed scan, so the banded LSH shape must be
+    // asserted on the building pipeline itself
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding")
+    val p = EtlQueries.embCosPipeline(base)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate stage must be a bucketed equality join, got:\n$p")
+  }
 }
