@@ -1170,6 +1170,51 @@ object EtlQueries {
         .select("a", "b", "cos", "na", "nb").orderBy("a", "b")
     },
 
+    // Embedding-cosine dedup CLUSTERING — the action an embedding
+    // near-dup pipeline executes, symmetric with q_dedup_cluster on
+    // the text side: connected components over the thresholded cosine
+    // candidate graph (reps = distinct embeddings), every vector
+    // labeled (cluster = min vec_id reachable, is_canonical).
+    // Identical-embedding members inherit their rep's component;
+    // vectors in no surviving pair are their own singleton. Reads the
+    // fixture-memoized groups + candidate graph; the oracle reproduces
+    // the fixpoint with a recursive CTE over the same banded pipeline.
+    "q_embcos_cluster" -> QueryDef(
+      s"""WITH RECURSIVE g AS (
+         |  SELECT MIN(vec_id) AS vec_id, embedding
+         |  FROM embeddings GROUP BY embedding),
+         |${embcosPairsSql("g")},
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM cpairs WHERE cos >= 0.2
+         |  UNION SELECT b AS src, a AS dst FROM cpairs WHERE cos >= 0.2),
+         |cc(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, c.lbl FROM edges e JOIN cc c ON c.id = e.dst),
+         |repc AS (SELECT id, MIN(lbl) AS cluster FROM cc GROUP BY id),
+         |rep AS (
+         |  SELECT e.vec_id, g.vec_id AS rid
+         |  FROM embeddings e JOIN g ON g.embedding = e.embedding),
+         |clusters AS (
+         |  SELECT r.vec_id, COALESCE(c.cluster, r.rid) AS cluster
+         |  FROM rep r LEFT JOIN repc c ON c.id = r.rid)
+         |SELECT vec_id, cluster,
+         |  CAST(vec_id = cluster AS BIGINT) AS is_canonical
+         |FROM clusters ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val g = embGroups(s, dir)
+      val cc = graft.etl.Dedup.connectedComponents(
+          embCosPairs(s, dir).select("a", "b"))
+        .withColumnRenamed("id", "rid")
+      emb(s, dir).join(g, "embedding")
+        .select(col("rid"), col("vec_id").as("id"))
+        .join(cc, Seq("rid"), "left_outer")
+        .select(col("id").as("vec_id"),
+          coalesce(col("cluster"), col("rid")).as("cluster"))
+        .withColumn("is_canonical",
+          (col("vec_id") === col("cluster")).cast("long"))
+        .orderBy("vec_id")
+    },
+
     // IVF-style two-stage ANN: coarse quantization to a RANDOM-
     // HYPERPLANE bucket (8 deterministic hash-derived planes over all 64
     // dims — not fixed sign bits of a dim prefix), probe the query's
