@@ -446,6 +446,31 @@ object EtlQueries {
         .localCheckpoint()
     }
 
+  /** The CONVERGED embedding cluster assignment — (vec_id, cluster)
+    * for every vector — the embedding analog of [[dedupClusters]] and
+    * memoized by the same argument: the iterative CC fixpoint
+    * ([[graft.etl.Dedup.connectedComponents]]) is far too expensive to
+    * re-derive per consumer, the fixture is immutable for a run, and
+    * every downstream embedding-dedup action (clustering report,
+    * filter-by-cluster) reads this one frame. Identical-embedding
+    * members inherit their rep's component; vectors in no surviving
+    * pair are their own singleton. */
+  private val embClusterMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def embClusters(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo(embClusterMemo, s, dir) {
+      val cc = graft.etl.Dedup.connectedComponents(
+          embCosPairs(s, dir).select("a", "b"))
+        .withColumnRenamed("id", "rid")
+      emb(s, dir).join(embGroups(s, dir), "embedding")
+        .select(col("rid"), col("vec_id").as("id"))
+        .join(cc, Seq("rid"), "left_outer")
+        .select(col("id").as("vec_id"),
+          coalesce(col("cluster"), col("rid")).as("cluster"))
+        // corpus-sized but two longs per row; every consumer reads it
+        .localCheckpoint()
+    }
+
   /** Banded hyperplane-signature candidates over `base`
     * (vec_id, embedding) + exact fixed-point cosine, one implementation
     * for the pair and representative forms (SQL mirror:
