@@ -1973,6 +1973,53 @@ class Btrdb(val spark: SparkSession, val root: String,
           .select(col("wstart").as("time"), col("vmean").as("value"))
       }).orderBy("time")
 
+  /** Raw multi-align over caller-built labeled (time, value) frames —
+    * the version-pinned form of [[multiAlign]] (the wire GenerateCSV
+    * honors a per-stream version pin,
+    * /root/reference/grpcinterface/serve.go:925-934, which the
+    * uuid-keyed convenience form cannot express). Same plan shape:
+    * join chain at small k, single-shuffle union+pivot beyond. */
+  def multiRawAlign(frames: Seq[(String, DataFrame)]): DataFrame =
+    alignFrames(frames).orderBy("time")
+
+  /** Align k per-stream STAT frames on window start into the
+    * reference's stat-CSV column layout — four columns per stream,
+    * `<label> (Min) | (Mean) | (Max) | (Count)`
+    * (/root/reference/grpcinterface/csv.go:68-100, both the
+    * ALIGNED_WINDOWS and WINDOWS CSV variants). Inputs are
+    * (label, frame) with frame columns (time, vmin, vmean, vmax, cnt),
+    * one row per non-empty window. Small k: full-outer join chain;
+    * beyond [[Btrdb.MultiAlignJoinMaxK]]: tidy union + ONE
+    * shuffle (groupBy.pivot with four aggregates) — the same scale
+    * shape as [[multiAlignedMeans]]. The final rename is positional
+    * (`toDF`), so labels may contain dots/spaces/backticks without
+    * breaking column resolution. */
+  def multiStatAlign(frames: Seq[(String, DataFrame)]): DataFrame = {
+    val k = frames.size
+    require(k > 0, "multiStatAlign needs at least one stream")
+    val stat = Seq("vmin", "vmean", "vmax", "cnt")
+    val merged =
+      if (k <= MultiAlignJoinMaxK)
+        frames.zipWithIndex.map { case ((_, df), i) =>
+          df.select(col("time") +:
+            stat.zipWithIndex.map { case (c, j) => col(c).as(s"_s${i}_$j") }: _*)
+        }.reduce(_.join(_, Seq("time"), "full_outer"))
+      else
+        frames.zipWithIndex.map { case ((_, df), i) =>
+          df.select(col("time"), lit(i).as("_s"),
+            col("vmin"), col("vmean"), col("vmax"), col("cnt"))
+        }.reduce(_ unionByName _)
+          // explicit pivot values: no discovery job; with multiple
+          // aggregates the output is grouped per pivot value in agg
+          // order — exactly the positional layout toDF below expects
+          .groupBy("time").pivot("_s", frames.indices)
+          .agg(first("vmin").as("a"), first("vmean").as("b"),
+            first("vmax").as("c"), first("cnt").as("d"))
+    val display = "time" +: frames.flatMap { case (l, _) =>
+      Seq(s"$l (Min)", s"$l (Mean)", s"$l (Max)", s"$l (Count)") }
+    merged.toDF(display: _*).orderBy("time")
+  }
+
   /** RFC3339-render an aligned frame's ns `time` column at µs precision
     * — the reference's CSV time format
     * (/root/reference/grpcinterface/serve.go:975), shared by the CSV

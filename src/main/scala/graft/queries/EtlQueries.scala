@@ -1226,15 +1226,7 @@ object EtlQueries {
          |SELECT vec_id, cluster,
          |  CAST(vec_id = cluster AS BIGINT) AS is_canonical
          |FROM clusters ORDER BY vec_id""".stripMargin) { (s, dir) =>
-      val g = embGroups(s, dir)
-      val cc = graft.etl.Dedup.connectedComponents(
-          embCosPairs(s, dir).select("a", "b"))
-        .withColumnRenamed("id", "rid")
-      emb(s, dir).join(g, "embedding")
-        .select(col("rid"), col("vec_id").as("id"))
-        .join(cc, Seq("rid"), "left_outer")
-        .select(col("id").as("vec_id"),
-          coalesce(col("cluster"), col("rid")).as("cluster"))
+      embClusters(s, dir)
         .withColumn("is_canonical",
           (col("vec_id") === col("cluster")).cast("long"))
         .orderBy("vec_id")

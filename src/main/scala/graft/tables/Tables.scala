@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * events→points mapping shared by every BTrDB-surface query and its
   * DuckDB oracle (FIXTURES.md §3).
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS). Spark's TimestampType is
-  * µs-precision, so we read nanos as a plain LongType ns column
-  * (`spark.sql.legacy.parquet.nanosAsLong`) — which is exactly the
-  * engine's canonical time representation (SURVEY §1.6) and matches
-  * DuckDB's `epoch_ns(ts)` bit-for-bit.
+  * `events.ts` is parquet TIMESTAMP(MICROS) without UTC adjustment, which
+  * Spark reads as TIMESTAMP_NTZ. The engine's canonical time axis is ns
+  * since epoch (SURVEY §1.6), so [[points]] derives `time` as
+  * `unix_micros(ts) * 1000` — bit-for-bit the same value DuckDB's
+  * `epoch_ns(ts)` produces for the oracle (both treat the naive
+  * timestamp as UTC; we pin the session zone to UTC in [[events]] so the
+  * NTZ→LTZ hop inside `unix_micros` is the identity).
   */
 object Tables {
 
@@ -26,9 +28,21 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     table(spark, dir, "events")
   }
+
+  /** µs-since-epoch → TIMESTAMP_NTZ literal (UTC wall clock), for
+    * predicates against the raw parquet `ts` column. */
+  private def ntzLit(micros: Long) =
+    lit(java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L),
+      (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC))
+
+  /** `ts` (TIMESTAMP_NTZ, µs) as ns since epoch — µs-aligned by
+    * construction, so no further truncation is needed. */
+  private val tsNsExpr = "unix_micros(cast(ts as timestamp_ltz)) * 1000"
 
   /** The engine's point log derived from `events`:
     *   sid     = user_id % 8
@@ -43,27 +57,28 @@ object Tables {
   def points(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir).select(
       (col("user_id") % NumSids).as("sid"),
-      expr("(ts div 1000) * 1000").as("time"),
+      expr(tsNsExpr).as("time"),
       col("value"),
-      (expr(s"(((ts div 1000) * 1000) - ${T0}L) div ${WeekNs}L") + lit(1L)).as("version"),
+      (expr(s"(($tsNsExpr) - ${T0}L) div ${WeekNs}L") + lit(1L)).as("version"),
       col("event_type"),
       col("ts").as("ts_raw"))
 
   /** Time-range filter [lo, hi) on `time` that ALSO pushes to the parquet
     * scan: `time` is an arithmetic derivation of `ts`, so a predicate on
     * it alone cannot reach row-group stats. The conjoined raw-column
-    * bounds are a strict superset (trunc(ts) >= lo ⇒ ts >= lo;
-    * trunc(ts) < hi ⇒ ts < hi + 1000) — semantics unchanged, pushdown
-    * restored. At 100 TB this is the difference between a pruned scan
-    * and reading every row-group. */
+    * bounds are a strict superset in µs space (time = µs*1000 ≥ lo ⇒
+    * µs ≥ ⌊lo/1000⌋; time < hi ⇒ µs < ⌊hi/1000⌋+1) — semantics
+    * unchanged, pushdown restored. At 100 TB this is the difference
+    * between a pruned scan and reading every row-group. */
   def timeSlice(df: DataFrame, lo: Long, hi: Long): DataFrame =
     df.filter(col("time") >= lo && col("time") < hi &&
-      col("ts_raw") >= lo && col("ts_raw") < hi + 1000L)
+      col("ts_raw") >= ntzLit(Math.floorDiv(lo, 1000L)) &&
+      col("ts_raw") < ntzLit(Math.floorDiv(hi, 1000L) + 1L))
 
   /** DuckDB CTE text equivalent to [[points]]. Paste as `WITH points AS (...)`.
-    * `time` is truncated to µs-aligned ns on BOTH sides because DuckDB ≤1.0
-    * reads parquet TIMESTAMP(NANOS) at µs precision — the engine itself
-    * stays ns-native; only this shared fixture is µs-aligned. */
+    * The source `ts` is TIMESTAMP(MICROS), so `epoch_ns(ts)` is already
+    * µs-aligned and the `// 1000 * 1000` truncation is the identity — kept
+    * so both sides stay textually robust to a finer-grained source. */
   val pointsSql: String =
     s"""SELECT user_id % $NumSids AS sid,
        |       (epoch_ns(ts) // 1000) * 1000 AS time,
