@@ -2033,7 +2033,15 @@ class Btrdb(val spark: SparkSession, val root: String,
                   alignedPw: Option[Int] = None): Unit = {
     val aligned = alignedPw match {
       case None => multiAlign(uuids, start, end, labels)
-      case Some(pw) => multiAlignedMeans(uuids, labels, start, end, pw)
+      case Some(pw) =>
+        // reference stat CSV carries all four aggregates per stream
+        // (/root/reference/grpcinterface/csv.go:68-100), not just the
+        // mean — label (Min) | (Mean) | (Max) | (Count) columns
+        multiStatAlign(uuids.zip(labels).map { case (u, n) =>
+          n -> alignedWindows(u, start, end, pw)
+            .select(col("wstart").as("time"), col("vmin"), col("vmean"),
+              col("vmax"), col("cnt"))
+        })
     }
     csvTimeRendered(aligned)
       .coalesce(1)

@@ -2,6 +2,8 @@ package graft.wire
 
 import java.nio.charset.StandardCharsets.UTF_8
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.core.TimeConsts
@@ -19,12 +21,18 @@ import graft.engine.Btrdb
   * error to its clients).
   *
   * Server-streaming RPCs chunk their value lists at [[ChunkSize]] rows
-  * per response message, the reference's streaming shape. Two RPCs are
-  * intentionally stubbed with app-level errors, mirroring documented
-  * divergences (SURVEY §2.A): FaultInject (424 — disabled, as on any
-  * production reference node) and GenerateCSV's WINDOWS_QUERY variant
-  * (421 — arbitrary-width windows are served by the Windows RPC; the
-  * CSV export covers RAW and ALIGNED_WINDOWS).
+  * per response message, the reference's streaming shape — and they
+  * STREAM: the value-list RPCs pull rows through
+  * `Dataset.toLocalIterator` (one partition of driver memory at a
+  * time, ordered) and [[RpcReply.messages]] is an iterator the server
+  * drains under HTTP/2 flow control, so a RawValues over a wide range
+  * never materializes on the driver — the same producer/bounded-
+  * channel shape as the reference
+  * (/root/reference/qtree/qtree.go:756-769,
+  * grpcinterface/serve.go:147-172). One RPC is intentionally stubbed
+  * with an app-level error, mirroring a documented divergence
+  * (SURVEY §2.A): FaultInject (424 — disabled, as on any production
+  * reference node).
   */
 object BtrdbWire {
 
@@ -145,16 +153,60 @@ object BtrdbWire {
 
   // ---- dispatch -------------------------------------------------------
 
+  /** One RPC's reply: the encoded response messages (an ITERATOR — the
+    * server drains it incrementally under flow control; pulling may run
+    * Spark work) and the gRPC status for the trailers. */
+  final case class RpcReply(messages: Iterator[Array[Byte]], grpcStatus: Int)
+
+  /** Every method of the public service
+    * (/root/reference/grpcinterface/btrdb.proto:6-23). Anything else on
+    * the correct service is answered grpc-status 12 (UNIMPLEMENTED),
+    * as a real gRPC server does. */
+  val Methods: Set[String] = Set(
+    "RawValues", "AlignedWindows", "Windows", "StreamInfo",
+    "SetStreamAnnotations", "Create", "ListCollections", "LookupStreams",
+    "Nearest", "Changes", "Insert", "Delete", "Info", "FaultInject",
+    "Flush", "Obliterate", "GetMetadataUsage", "GenerateCSV")
+
   /** Handle one unary-or-server-streaming call: strip the gRPC message
     * prefix from `framedBody`, decode, run the engine, return the
-    * encoded response message(s). Never throws — failures INCLUDING a
-    * malformed/compressed request frame become a single response
-    * carrying `stat` (a throw here would be swallowed by the worker
-    * pool and the client's RPC would hang to its deadline). */
+    * reply. Neither this call nor the returned iterator ever throws —
+    * failures INCLUDING a malformed/compressed request frame and a
+    * Spark job failing MID-STREAM become a response message carrying
+    * `stat` (a throw would be swallowed by the worker pool and the
+    * client's RPC would hang to its deadline). */
   def handle(e: Btrdb, method: String,
-             framedBody: Array[Byte]): Seq[Array[Byte]] =
-    try dispatch(e, method, firstMessage(framedBody))
-    catch { case t: Throwable => Seq(errorResponse(t)) }
+             framedBody: Array[Byte]): RpcReply =
+    if (!Methods.contains(method)) RpcReply(Iterator.empty, 12)
+    else RpcReply(guarded(dispatch(e, method, firstMessage(framedBody))), 0)
+
+  /** Wrap a lazily-built message iterator so that any failure — during
+    * construction (decode, eager engine calls) or mid-drain (a Spark
+    * job under `toLocalIterator`) — surfaces as one final stat-carrying
+    * message instead of a throw. */
+  private def guarded(make: => Iterator[Array[Byte]]): Iterator[Array[Byte]] =
+    new Iterator[Array[Byte]] {
+      private var pendingError: Array[Byte] = _
+      private var finished = false
+      private val it: Iterator[Array[Byte]] =
+        try make
+        catch {
+          case t: Throwable =>
+            pendingError = errorResponse(t); Iterator.empty
+        }
+      override def hasNext: Boolean = !finished && (pendingError != null ||
+        (try it.hasNext catch {
+          case t: Throwable => pendingError = errorResponse(t); true
+        }))
+      override def next(): Array[Byte] =
+        if (pendingError != null) {
+          finished = true; pendingError
+        } else
+          try it.next()
+          catch {
+            case t: Throwable => finished = true; errorResponse(t)
+          }
+    }
 
   /** Extract the first gRPC-framed message (clients of unary and
     * client-unary-streaming RPCs send exactly one): flag byte + u32
@@ -169,7 +221,7 @@ object BtrdbWire {
   }
 
   private def dispatch(e: Btrdb, method: String,
-                       body: Array[Byte]): Seq[Array[Byte]] = method match {
+                       body: Array[Byte]): Iterator[Array[Byte]] = method match {
 
     case "RawValues" =>
       var uuid = ""; var start = 0L; var end = 0L; var vmaj = 0L
@@ -183,8 +235,8 @@ object BtrdbWire {
       }
       val (maj, minor) = verOf(e, uuid)
       val rows = e.rawValues(uuid, start, end, pin(vmaj))
-        .collect().map(x => (x.getLong(0), x.getDouble(1)))
-      chunked(rows.toSeq, maj, minor)((w, p) => w.message(4, rawPoint(p._1, p._2)))
+        .toLocalIterator().asScala.map(x => (x.getLong(0), x.getDouble(1)))
+      chunked(rows, maj, minor)((w, p) => w.message(4, rawPoint(p._1, p._2)))
 
     case "AlignedWindows" =>
       var uuid = ""; var start = 0L; var end = 0L; var vmaj = 0L; var pw = 0
@@ -199,10 +251,11 @@ object BtrdbWire {
       }
       val (maj, minor) = verOf(e, uuid)
       val rows = e.alignedWindows(uuid, start, end, pw, pin(vmaj))
-        .select("wstart", "vmin", "vmean", "vmax", "cnt").collect()
+        .select("wstart", "vmin", "vmean", "vmax", "cnt")
+        .toLocalIterator().asScala
         .map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2),
           x.getDouble(3), x.getLong(4)))
-      chunked(rows.toSeq, maj, minor)((w, p) =>
+      chunked(rows, maj, minor)((w, p) =>
         w.message(4, statPoint(p._1, p._2, p._3, p._4, p._5)))
 
     case "Windows" =>
@@ -220,10 +273,11 @@ object BtrdbWire {
       }
       val (maj, minor) = verOf(e, uuid)
       val rows = e.windows(uuid, start, end, width, pin(vmaj), depth)
-        .select("wstart", "vmin", "vmean", "vmax", "cnt").collect()
+        .select("wstart", "vmin", "vmean", "vmax", "cnt")
+        .toLocalIterator().asScala
         .map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2),
           x.getDouble(3), x.getLong(4)))
-      chunked(rows.toSeq, maj, minor)((w, p) =>
+      chunked(rows, maj, minor)((w, p) =>
         w.message(4, statPoint(p._1, p._2, p._3, p._4, p._5)))
 
     case "StreamInfo" =>
@@ -239,7 +293,7 @@ object BtrdbWire {
       val w = new PbWriter
       if (!omitVersion) withVersion(w, maj, minor)
       if (!omitDescriptor) w.message(4, descriptor(desc))
-      Seq(w.toBytes)
+      Iterator.single(w.toBytes)
 
     case "SetStreamAnnotations" =>
       var uuid = ""; var expected = 0L
@@ -254,7 +308,7 @@ object BtrdbWire {
       }
       changes = kovMap(kovs.result())
       e.updateAnnotations(uuid, expected, changes)
-      Seq(new PbWriter().toBytes)
+      Iterator.single(new PbWriter().toBytes)
 
     case "Create" =>
       var uuid = ""; var collection = ""
@@ -269,7 +323,7 @@ object BtrdbWire {
       }
       e.createStream(uuid, collection, kvMap(tags.result()),
         kvMap(anns.result()))
-      Seq(new PbWriter().toBytes)
+      Iterator.single(new PbWriter().toBytes)
 
     case "ListCollections" =>
       var prefix = ""; var startWith = ""; var limit = 0L
@@ -284,7 +338,7 @@ object BtrdbWire {
       val w = new PbWriter
       e.listCollections(prefix, startWith, lim).collect()
         .foreach(row => w.string(2, row.getString(0)))
-      Seq(w.toBytes)
+      Iterator.single(w.toBytes)
 
     case "LookupStreams" =>
       var collection = ""; var isPrefix = false
@@ -308,13 +362,11 @@ object BtrdbWire {
           x.getAs[scala.collection.Map[String, String]]("annotations").toMap,
           x.getAs[Long]("annotationVersion"))
       }
-      descs.grouped(ChunkSize).map { group =>
+      if (descs.isEmpty) Iterator.single(new PbWriter().toBytes)
+      else descs.iterator.grouped(ChunkSize).map { group =>
         val w = new PbWriter
         group.foreach(d => w.message(2, descriptor(d)))
         w.toBytes
-      }.toSeq match {
-        case Seq() => Seq(new PbWriter().toBytes)
-        case chunks => chunks
       }
 
     case "Nearest" =>
@@ -332,11 +384,11 @@ object BtrdbWire {
         case Some((t, v)) =>
           val w = withVersion(new PbWriter, maj, minor)
           w.message(4, rawPoint(t, v))
-          Seq(w.toBytes)
+          Iterator.single(w.toBytes)
         case None =>
           val w = new PbWriter
           w.message(1, statusMsg(401, "no such point"))
-          Seq(w.toBytes)
+          Iterator.single(w.toBytes)
       }
 
     case "Changes" =>
@@ -352,8 +404,8 @@ object BtrdbWire {
       val (maj, minor) = verOf(e, uuid)
       val to = if (toMajor == 0L) maj else toMajor
       val rows = e.changes(uuid, fromMajor, to, resolution)
-        .collect().map(x => (x.getLong(0), x.getLong(1)))
-      chunked(rows.toSeq, maj, minor) { (w, p) =>
+        .toLocalIterator().asScala.map(x => (x.getLong(0), x.getLong(1)))
+      chunked(rows, maj, minor) { (w, p) =>
         val cr = new PbWriter
         cr.sfixed64(1, p._1); cr.sfixed64(2, p._2)
         w.message(4, cr)
@@ -381,7 +433,7 @@ object BtrdbWire {
       val df = spark.createDataFrame(pts.result()).toDF("time", "value")
       e.insert(uuid, df)
       val (maj, minor) = if (sync) e.flush(uuid) else verOf(e, uuid)
-      Seq(withVersion(new PbWriter, maj, minor).toBytes)
+      Iterator.single(withVersion(new PbWriter, maj, minor).toBytes)
 
     case "Delete" =>
       var uuid = ""; var start = 0L; var end = 0L
@@ -393,7 +445,7 @@ object BtrdbWire {
         case (_, w) => r.skip(w)
       }
       val (maj, minor) = e.deleteRange(uuid, start, end)
-      Seq(withVersion(new PbWriter, maj, minor).toBytes)
+      Iterator.single(withVersion(new PbWriter, maj, minor).toBytes)
 
     case "Info" =>
       val info = e.engineInfo()
@@ -404,15 +456,15 @@ object BtrdbWire {
       w.uint32(3, info.majorVersion)
       w.uint32(4, info.minorVersion)
       w.string(5, info.build)
-      Seq(w.toBytes)
+      Iterator.single(w.toBytes)
 
     case "Flush" =>
       val (maj, minor) = e.flush(uuidField(body))
-      Seq(withVersion(new PbWriter, maj, minor).toBytes)
+      Iterator.single(withVersion(new PbWriter, maj, minor).toBytes)
 
     case "Obliterate" =>
       e.obliterate(uuidField(body))
-      Seq(new PbWriter().toBytes)
+      Iterator.single(new PbWriter().toBytes)
 
     case "GetMetadataUsage" =>
       var prefix = ""
@@ -427,7 +479,7 @@ object BtrdbWire {
         kc.string(1, x.getString(1)); kc.uint64(2, x.getLong(2))
         w.message(if (x.getString(0) == "tag") 2 else 3, kc)
       }
-      Seq(w.toBytes)
+      Iterator.single(w.toBytes)
 
     case "GenerateCSV" =>
       generateCsv(e, body)
@@ -437,12 +489,10 @@ object BtrdbWire {
       // (bte 424, /root/reference/bte/errors.go)
       val w = new PbWriter
       w.message(1, statusMsg(424, "fault injection disabled"))
-      Seq(w.toBytes)
+      Iterator.single(w.toBytes)
 
-    case m =>
-      val w = new PbWriter
-      w.message(1, statusMsg(421, s"unknown method $m"))
-      Seq(w.toBytes)
+    case m => // unreachable: handle() gates on [[Methods]]
+      throw new IllegalArgumentException(s"unknown method $m")
   }
 
   private def uuidField(body: Array[Byte]): String = {
@@ -455,71 +505,142 @@ object BtrdbWire {
     uuid
   }
 
-  private def chunked[T](rows: Seq[T], maj: Long, minor: Long)
-      (emit: (PbWriter, T) => Unit): Seq[Array[Byte]] = {
-    if (rows.isEmpty) return Seq(withVersion(new PbWriter, maj, minor).toBytes)
+  /** Lazily frame a row iterator into ChunkSize-row response messages —
+    * pulling a chunk pulls at most one Spark partition past it (the
+    * `toLocalIterator` contract), so driver memory is bounded by one
+    * partition + one encoded chunk regardless of result size. */
+  private def chunked[T](rows: Iterator[T], maj: Long, minor: Long)
+      (emit: (PbWriter, T) => Unit): Iterator[Array[Byte]] = {
+    if (!rows.hasNext)
+      return Iterator.single(withVersion(new PbWriter, maj, minor).toBytes)
     rows.grouped(ChunkSize).map { group =>
       val w = withVersion(new PbWriter, maj, minor)
       group.foreach(emit(w, _))
       w.toBytes
-    }.toSeq
+    }
   }
 
-  /** GenerateCSV over the engine's multi-stream align: RAW and
-    * ALIGNED_WINDOWS query types (windowSize must be a power of two
-    * for the aligned form, as the engine's pyramid levels are);
-    * emits the header row then the data rows, chunked. */
-  private def generateCsv(e: Btrdb, body: Array[Byte]): Seq[Array[Byte]] = {
+  /** GenerateCSV — all three reference query types
+    * (/root/reference/grpcinterface/serve.go:874-1007) in the
+    * reference's exact column layout (grpcinterface/csv.go):
+    * `Timestamp (ns)` + `Human-Readable Time (UTC)` + per stream one
+    * value column (RAW) or four stat columns `label (Min|Mean|Max|
+    * Count)`; rows k-way merged on time with empty cells where a
+    * stream has no point; min/mean/max rendered `%f`, count `%d`,
+    * the human time RFC3339 at second precision — all as the
+    * reference's fmt verbs produce. The ALIGNED form takes its
+    * pointwidth from the `depth` field and WINDOWS takes
+    * windowSize+depth, mirroring serve.go:891-922; each stream may
+    * pin its own version. The merge runs distributed (join chain or
+    * single-shuffle pivot, [[graft.engine.Btrdb.multiStatAlign]]) and
+    * rows stream through `toLocalIterator` — one response message per
+    * row, after the header row. */
+  private def generateCsv(e: Btrdb, body: Array[Byte]): Iterator[Array[Byte]] = {
     var queryType = 0; var start = 0L; var end = 0L
-    var windowSize = 0L
-    val streams = Seq.newBuilder[(String, String)] // (uuid, label)
+    var windowSize = 0L; var depth = 0; var includeVersions = false
+    val streams = Seq.newBuilder[(String, String, Long)] // (uuid, label, ver)
     val r = new PbReader(body)
     while (r.hasNext) r.readTag() match {
       case (1, _) => queryType = r.varint().toInt
       case (2, _) => start = r.varint()
       case (3, _) => end = r.varint()
       case (4, _) => windowSize = r.varint()
+      case (5, _) => depth = r.varint().toInt
+      case (6, _) => includeVersions = r.varint() != 0
       case (7, _) =>
         val sc = r.lenReader()
-        var uuid = ""; var label = ""
+        var uuid = ""; var label = ""; var ver = 0L
         while (sc.hasNext) sc.readTag() match {
+          case (1, _) => ver = sc.varint()
           case (2, _) => label = sc.lenString()
           case (3, _) => uuid = uuidStr(sc.lenBytes())
           case (_, w) => sc.skip(w)
         }
-        streams += ((uuid, if (label.nonEmpty) label else uuid))
+        streams += ((uuid, if (label.nonEmpty) label else uuid, ver))
       case (_, w) => r.skip(w)
     }
-    val (uuids, labels) = streams.result().unzip
-    require(uuids.nonEmpty, "no streams requested")
-    val frame0 = queryType match {
-      case 2 => e.multiAlign(uuids, start, end, labels) // RAW_QUERY
-      case 0 => // ALIGNED_WINDOWS_QUERY: windowSize = 2^pw
-        val pw = java.lang.Long.numberOfTrailingZeros(windowSize)
-        require(windowSize > 0 && (1L << pw) == windowSize,
-          s"aligned CSV needs a power-of-two windowSize, got $windowSize")
-        e.multiAlignedMeans(uuids, labels, start, end, pw)
-      case 1 => throw new IllegalArgumentException(
-        "WINDOWS_QUERY CSV unsupported; use the Windows RPC")
+    val cfg = streams.result()
+    require(cfg.nonEmpty, "no streams requested")
+    val isRaw = queryType == 2
+    val frame = queryType match {
+      case 2 => // RAW_QUERY: one value column per stream
+        e.multiRawAlign(cfg.map { case (u, l, v) =>
+          l -> e.rawValues(u, start, end, pin(v)).select("time", "value") })
+      case 0 => // ALIGNED_WINDOWS_QUERY: pointwidth = depth (serve.go:891-899)
+        require(depth >= 0 && depth <= 64, s"bad pointwidth $depth")
+        e.multiStatAlign(cfg.map { case (u, l, v) =>
+          l -> e.alignedWindows(u, start, end, depth, pin(v))
+            .select(col("wstart").as("time"), col("vmin"), col("vmean"),
+              col("vmax"), col("cnt")) })
+      case 1 => // WINDOWS_QUERY: arbitrary width + depth (serve.go:908-922)
+        require(windowSize > 0, s"bad windowSize $windowSize")
+        e.multiStatAlign(cfg.map { case (u, l, v) =>
+          l -> e.windows(u, start, end, windowSize, pin(v), depth)
+            .select(col("wstart").as("time"), col("vmin"), col("vmean"),
+              col("vmax"), col("cnt")) })
       case q => throw new IllegalArgumentException(s"unknown queryType $q")
     }
-    val frame = e.csvTimeRendered(frame0) // RFC3339 times, like the file sink
-    val rows = frame.collect()
+    // header row (csv.go:36-41,84-100,137-150); resolving each pinned
+    // version is a catalog lookup, done only when the client asked
+    val verSuffix: Int => String =
+      if (!includeVersions) _ => ""
+      else {
+        val resolved = cfg.map { case (u, _, v) =>
+          if (v == 0L) verOf(e, u)._1 else v }
+        i => s", ver. ${resolved(i)}"
+      }
+    val headerCells = Seq("Timestamp (ns)", "Human-Readable Time (UTC)") ++
+      cfg.zipWithIndex.flatMap { case ((_, l, _), i) =>
+        if (isRaw) Seq(s"$l${verSuffix(i)}")
+        else Seq("Min", "Mean", "Max", "Count")
+          .map(st => s"$l${verSuffix(i)} ($st)")
+      }
     val header = {
       val w = new PbWriter
       w.bool(2, true)
-      frame.columns.foreach(c => w.stringElem(3, c))
+      headerCells.foreach(w.stringElem(3, _))
       w.toBytes
     }
+    val k = cfg.size
     // one response message PER ROW — `repeated string row` is one
     // row's cells in the proto, so rows must never share a message
-    header +: rows.toSeq.map { row =>
-      val w = new PbWriter
-      (0 until row.length).foreach { i =>
-        w.stringElem(3,
-          if (row.isNullAt(i)) "" else String.valueOf(row.get(i)))
+    Iterator.single(header) ++
+      frame.toLocalIterator().asScala.map { row =>
+        val w = new PbWriter
+        val t = row.getLong(0)
+        w.stringElem(3, t.toString)
+        w.stringElem(3, rfc3339(t))
+        if (isRaw)
+          (0 until k).foreach { i =>
+            w.stringElem(3,
+              if (row.isNullAt(1 + i)) "" else fmtF(row.getDouble(1 + i)))
+          }
+        else
+          (0 until k).foreach { i =>
+            val base = 1 + 4 * i
+            if (row.isNullAt(base)) (0 until 4).foreach(_ => w.stringElem(3, ""))
+            else {
+              w.stringElem(3, fmtF(row.getDouble(base)))
+              w.stringElem(3, fmtF(row.getDouble(base + 1)))
+              w.stringElem(3, fmtF(row.getDouble(base + 2)))
+              w.stringElem(3, row.getLong(base + 3).toString)
+            }
+          }
+        w.toBytes
       }
-      w.toBytes
-    }
   }
+
+  /** Go `%f`: fixed six decimals, locale-independent. */
+  private def fmtF(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%f", Double.box(v))
+
+  private val Rfc3339 = java.time.format.DateTimeFormatter
+    .ofPattern("uuuu-MM-dd'T'HH:mm:ssXXX").withZone(java.time.ZoneOffset.UTC)
+
+  /** Go `time.Unix(0, ns).Format(time.RFC3339)` on a UTC host: second
+    * precision (the layout has no fractional second — the exact ns
+    * ride in the first column), trailing `Z`. */
+  private def rfc3339(ns: Long): String =
+    Rfc3339.format(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(ns, 1000000000L)))
 }

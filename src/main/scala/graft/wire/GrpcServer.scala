@@ -30,12 +30,22 @@ import graft.engine.Btrdb
   * ([[graft.engine.Admission]] wraps every facade call), matching the
   * reference daemon shedding on each RPC.
   *
-  * This is a shim for client migration, not the scale path: results
-  * collect through the driver exactly like the reference daemon
-  * funnels points through one node's RPC reply. Analytics at 100 TB
-  * belongs on the SQL/DataFrame surface.
+  * Streaming RPCs stream for real: [[BtrdbWire.handle]] hands back a
+  * message ITERATOR backed by `Dataset.toLocalIterator` and the worker
+  * drains it with a bounded number of unacknowledged DATA frames —
+  * driver memory stays one-partition-sized no matter how wide the
+  * queried range, the same bounded producer/consumer shape as the
+  * reference's channel-fed sender (/root/reference/grpcinterface/
+  * serve.go:147-172). Analytics at 100 TB still belongs on the
+  * SQL/DataFrame surface; this endpoint is the migration-compatible
+  * wire.
   */
 final class GrpcServer(engine: Btrdb, port: Int) {
+
+  /** Max unacknowledged DATA frames per RPC before the worker stops
+    * pulling the result iterator (≈ MaxInFlight × ~85 KiB encoded
+    * chunk of buffered response). */
+  private val MaxInFlight = 4
 
   private val group =
     new MultiThreadIoEventLoopGroup(2, NioIoHandler.newFactory())
@@ -122,30 +132,61 @@ final class GrpcServer(engine: Btrdb, port: Int) {
       val service = st.path.stripPrefix("/").takeWhile(_ != '/')
       val payload = st.body.toByteArray
       workers.execute { () =>
-        // unknown service → gRPC UNIMPLEMENTED (12); everything else
-        // answers app-level (stat field) with grpc-status 0, the
-        // reference server's convention. handle() never throws; the
-        // catch is belt-and-braces so NO code path can swallow the
-        // response and leave the client hanging to its deadline.
-        val (responses, grpcStatus) =
+        // unknown service/method → gRPC UNIMPLEMENTED (12); everything
+        // else answers app-level (stat field) with grpc-status 0, the
+        // reference server's convention. handle() and its iterator
+        // never throw; the catch is belt-and-braces so NO code path can
+        // swallow the response and leave the client hanging to its
+        // deadline.
+        val reply =
           try {
             if (service != "grpcinterface.BTrDB")
-              (Nil, "12") // UNIMPLEMENTED
-            else (BtrdbWire.handle(engine, method, payload), "0")
-          } catch { case _: Throwable => (Nil, "2") } // UNKNOWN
-        ctx.channel().eventLoop().execute { () =>
-          val headers = new DefaultHttp2Headers()
-          headers.status("200")
-          headers.set("content-type", "application/grpc")
-          ctx.write(new DefaultHttp2HeadersFrame(headers).stream(stream))
-          responses.foreach { m =>
-            ctx.write(new DefaultHttp2DataFrame(frame(m)).stream(stream))
+              BtrdbWire.RpcReply(Iterator.empty, 12)
+            else BtrdbWire.handle(engine, method, payload)
+          } catch {
+            case _: Throwable => BtrdbWire.RpcReply(Iterator.empty, 2)
+          } // UNKNOWN
+        // Incremental drain WITH BACKPRESSURE: pulling the iterator may
+        // run a Spark partition; each message is written from this
+        // worker (Netty marshals cross-thread writes onto the event
+        // loop in order) and at most MaxInFlight data frames are
+        // unacknowledged — a write future completes only once the
+        // HTTP/2 flow controller has actually flushed the frame, so a
+        // slow or stalled client suspends the Spark pull instead of
+        // queueing the whole result in driver memory.
+        val ch = ctx.channel()
+        val headers = new DefaultHttp2Headers()
+        headers.status("200")
+        headers.set("content-type", "application/grpc")
+        ctx.write(new DefaultHttp2HeadersFrame(headers).stream(stream))
+        val inFlight =
+          new java.util.ArrayDeque[io.netty.channel.ChannelFuture]()
+        def reap(maxOutstanding: Int): Boolean = {
+          while (inFlight.size > maxOutstanding) {
+            val f = inFlight.poll()
+            while (!f.await(1000)) if (!ch.isActive) return false
+            if (!f.isSuccess) return false // stream reset / conn gone
           }
-          val trailers = new DefaultHttp2Headers()
-          trailers.set("grpc-status", grpcStatus)
-          ctx.writeAndFlush(
-            new DefaultHttp2HeadersFrame(trailers, true).stream(stream))
+          true
         }
+        var alive = true
+        val it = reply.messages
+        while (alive && (try it.hasNext
+                         catch { case _: Throwable => false })) {
+          val m = try it.next() catch { case _: Throwable => null }
+          if (m == null) alive = false
+          else {
+            inFlight.add(ctx.writeAndFlush(
+              new DefaultHttp2DataFrame(frame(m)).stream(stream)))
+            alive = reap(MaxInFlight)
+          }
+        }
+        if (alive) reap(0)
+        val trailers = new DefaultHttp2Headers()
+        trailers.set("grpc-status", reply.grpcStatus.toString)
+        ctx.writeAndFlush(
+          new DefaultHttp2HeadersFrame(trailers, true).stream(stream))
+        ()
       }
       ()
     }

@@ -412,6 +412,25 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lines(0).getString(1) == "10.0" && lines(0).getString(2) == null)
   }
 
+  test("generateCsv aligned: four stat columns per stream (reference layout)") {
+    val ua = "u-csv-stat"
+    db.createStream(ua, "test/csvstat", Map("s" -> "x"))
+    insertPoints(ua, Seq((0L, 1.0), (5L, 3.0), (20L, 10.0)))
+    db.flush(ua)
+    val dir = Files.createTempDirectory("csvstat").toString + "/out"
+    db.generateCsv(Seq(ua), Seq("x"), 0, 32, dir, alignedPw = Some(4))
+    val df = spark.read.option("header", "true").csv(dir)
+    assert(df.columns.toSeq ==
+      Seq("time", "x (Min)", "x (Mean)", "x (Max)", "x (Count)"))
+    val rows = df.collect().sortBy(_.getString(1).toDouble)
+    assert(rows.length == 2)
+    assert(rows(0).getString(1).toDouble == 1.0 &&
+      rows(0).getString(2).toDouble == 2.0 &&
+      rows(0).getString(3).toDouble == 3.0 && rows(0).getString(4) == "2")
+    assert(rows(1).getString(1).toDouble == 10.0 &&
+      rows(1).getString(4) == "1")
+  }
+
   test("insert validation: NaN/Inf and out-of-domain times rejected") {
     val uuid = "u-valid"
     db.createStream(uuid, "test/valid", Map("t" -> "v"))

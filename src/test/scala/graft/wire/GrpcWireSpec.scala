@@ -444,12 +444,96 @@ class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
       (header, cells.result())
     }
     val (h, cols) = rowOf(res.head)
-    assert(h && cols == Seq("time", "w0"))
+    assert(h && cols == Seq("Timestamp (ns)", "Human-Readable Time (UTC)", "w0"))
     val dataRows = res.tail.map(rowOf)
     assert(dataRows.forall(!_._1))
     assert(dataRows.size ==
       db.multiAlign(Seq(uuid), 0L, 50L, Seq("w0")).count())
-    assert(dataRows.forall(_._2.size == 2))
+    assert(dataRows.forall(_._2.size == 3))
+    // reference cell formats (csv.go): ns, RFC3339 seconds, Go %f
+    val first = dataRows.head._2
+    assert(first(0) == "0")
+    assert(first(1) == "1970-01-01T00:00:00Z")
+    assert(first(2) == "0.000000")
+  }
+
+  test("GenerateCSV ALIGNED_WINDOWS emits Min/Mean/Max/Count per stream") {
+    val req = new PbWriter
+    req.uint32(1, 0) // ALIGNED_WINDOWS_QUERY
+    req.uint64(2, 0L); req.uint64(3, 640L)
+    req.uint32(5, 5) // pointwidth rides in `depth` (serve.go:891-899)
+    req.bool(6, true) // includeVersions
+    val sc = new PbWriter
+    sc.string(2, "a")
+    sc.bytes(3, BtrdbWire.uuidBytes(uuid))
+    req.message(7, sc)
+    val (res, status) = call("GenerateCSV", req)
+    assert(status == "0" && statOf(res.head).isEmpty)
+    def cells(m: Array[Byte]): Seq[String] = {
+      val r = new PbReader(m)
+      val out = Seq.newBuilder[String]
+      while (r.hasNext) r.readTag() match {
+        case (3, _) => out += r.lenString()
+        case (_, w) => r.skip(w)
+      }
+      out.result()
+    }
+    val (vmaj, _) = db.version(uuid)
+    assert(cells(res.head) == Seq("Timestamp (ns)",
+      "Human-Readable Time (UTC)", s"a, ver. $vmaj (Min)",
+      s"a, ver. $vmaj (Mean)", s"a, ver. $vmaj (Max)",
+      s"a, ver. $vmaj (Count)"))
+    val expected = db.alignedWindows(uuid, 0L, 640L, 5)
+      .select("wstart", "vmin", "vmean", "vmax", "cnt")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).sortBy(_._1)
+    val rows = res.tail.map(cells)
+    assert(rows.size == expected.length && rows.forall(_.size == 6))
+    rows.zip(expected).foreach { case (row, (t, mn, me, mx, c)) =>
+      assert(row(0) == t.toString)
+      assert(row(2) == f"$mn%f" && row(3) == f"$me%f" && row(4) == f"$mx%f")
+      assert(row(5) == c.toString)
+    }
+  }
+
+  test("GenerateCSV WINDOWS_QUERY serves arbitrary-width window CSV") {
+    val req = new PbWriter
+    req.uint32(1, 1) // WINDOWS_QUERY
+    req.uint64(2, 0L); req.uint64(3, 640L)
+    req.uint64(4, 100L) // arbitrary (non-power-of-two) width
+    val sc = new PbWriter
+    sc.string(2, "w")
+    sc.bytes(3, BtrdbWire.uuidBytes(uuid))
+    req.message(7, sc)
+    val (res, status) = call("GenerateCSV", req)
+    assert(status == "0" && statOf(res.head).isEmpty)
+    def cells(m: Array[Byte]): Seq[String] = {
+      val r = new PbReader(m)
+      val out = Seq.newBuilder[String]
+      while (r.hasNext) r.readTag() match {
+        case (3, _) => out += r.lenString()
+        case (_, w) => r.skip(w)
+      }
+      out.result()
+    }
+    assert(cells(res.head) == Seq("Timestamp (ns)",
+      "Human-Readable Time (UTC)", "w (Min)", "w (Mean)", "w (Max)",
+      "w (Count)"))
+    val expected = db.windows(uuid, 0L, 640L, 100L)
+      .select("wstart", "vmin", "vmean", "vmax", "cnt")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).sortBy(_._1)
+    val rows = res.tail.map(cells)
+    assert(rows.size == expected.length)
+    rows.zip(expected).foreach { case (row, (t, mn, me, mx, c)) =>
+      assert(row(0) == t.toString && row(5) == c.toString)
+      assert(row(2) == f"$mn%f" && row(3) == f"$me%f" && row(4) == f"$mx%f")
+    }
+  }
+
+  test("unknown method on the BTrDB service answers gRPC UNIMPLEMENTED") {
+    val (res, status) = call("NoSuchMethod", new PbWriter)
+    assert(status == "12" && res.isEmpty)
   }
 
   test("a request larger than the 64 KiB HTTP/2 window round-trips (flow control)") {
