@@ -978,6 +978,71 @@ object EtlQueries {
         .orderBy("doc_id")
     },
 
+    // Repetition-based quality filters (the Gopher/MassiveText rule
+    // family, Rae et al. 2021 §A1.1): per doc the duplicate-word
+    // fraction, most-common-word fraction and most-common-word-bigram
+    // fraction, plus an INTEGER-arithmetic keep/drop so the verdict
+    // can't drift across float formatting. Pure per-text function →
+    // factored over distinct content ([[perDistinctText]], replication-
+    // invariant like the dedup family); gram counting is explode →
+    // groupBy keyed (doc, gram) — map-side combine, one shuffle, no
+    // skew (the doc id is in the key), linear in corpus tokens.
+    "q_quality_repetition" -> QueryDef(
+      s"""WITH wl AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '),
+         |                             x -> length(x) > 0) AS w
+         |  FROM documents),
+         |base AS (SELECT doc_id, len(w) AS n, w FROM wl),
+         |wrows AS (SELECT doc_id, n, unnest(w) AS word FROM base),
+         |wc AS (SELECT doc_id, n, word, COUNT(*) AS c
+         |       FROM wrows GROUP BY 1, 2, 3),
+         |wstat AS (SELECT doc_id, n, COUNT(*) AS nd, MAX(c) AS top_w
+         |          FROM wc GROUP BY 1, 2),
+         |brows AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, n),
+         |    i -> w[i] || ' ' || w[i + 1])) AS bg
+         |  FROM base WHERE n >= 2),
+         |bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM brows GROUP BY 1, 2),
+         |bstat AS (SELECT doc_id, MAX(c) AS top_bg FROM bc GROUP BY 1)
+         |SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_words,
+         |  CAST(s.n - s.nd AS DOUBLE) / s.n AS dup_word_frac,
+         |  CAST(s.top_w AS DOUBLE) / s.n AS top_word_frac,
+         |  CAST(COALESCE(b.top_bg, 0) AS DOUBLE) / (s.n - 1) AS top_bigram_frac,
+         |  CASE WHEN s.top_w * 5 >= s.n OR (s.n - s.nd) * 2 >= s.n
+         |            OR COALESCE(b.top_bg, 0) * 4 >= s.n - 1
+         |       THEN 'drop' ELSE 'keep' END AS verdict
+         |FROM wstat s LEFT JOIN bstat b USING (doc_id)
+         |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      perDistinctText(s, dir) { reps =>
+        val base = reps.select(col("doc_id"),
+            expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
+          .select(col("doc_id"), size(col("w")).as("n"), col("w"))
+        val wstat = base
+          .select(col("doc_id"), col("n"), explode(col("w")).as("word"))
+          .groupBy("doc_id", "n", "word").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id", "n")
+          .agg(count(lit(1)).as("nd"), max("c").as("top_w"))
+        val bstat = base.filter(col("n") >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, n - 1), " +
+              "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+            .as("bg"))
+          .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max("c").as("top_bg"))
+        wstat.join(bstat, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n").cast("long").as("n_words"),
+            ((col("n") - col("nd")).cast("double") / col("n"))
+              .as("dup_word_frac"),
+            (col("top_w").cast("double") / col("n")).as("top_word_frac"),
+            (coalesce(col("top_bg"), lit(0L)).cast("double") /
+              (col("n") - 1)).as("top_bigram_frac"),
+            when(col("top_w") * 5 >= col("n") ||
+              (col("n") - col("nd")) * 2 >= col("n") ||
+              coalesce(col("top_bg"), lit(0L)) * 4 >= col("n") - 1,
+              "drop").otherwise("keep").as("verdict"))
+      }.orderBy("doc_id")
+    },
+
     // Token accounting per source (corpus-level budgeting).
     "q_token_count" -> QueryDef(
       s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
