@@ -95,6 +95,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
   }
 
+  test("repetition quality metrics aggregate with map-side combine, no blowup") {
+    val p = plan("q_quality_repetition")
+    // gram counting must be partial-aggregated before its exchange and
+    // the word/bigram stat join must stay equi-keyed on doc_id
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("stratified sampling is a pure map-side filter (no shuffle before the sort)") {
     val p = plan("q_corpus_sample")
     assert(!p.contains("CartesianProduct"))

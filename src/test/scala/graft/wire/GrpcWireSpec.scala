@@ -576,6 +576,43 @@ class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total == n)
   }
 
+  test("client reset mid-stream aborts the drain; the connection stays usable") {
+    // depends on the 20k-point stream the flow-control test created:
+    // the response is ~4 chunked messages crossing the 64 KiB window,
+    // so the server is necessarily mid-drain when the reset lands
+    val big = "22222222-3333-4444-5555-666666666666"
+    val raw = new PbWriter
+    raw.bytes(1, BtrdbWire.uuidBytes(big))
+    raw.sfixed64(2, 0L); raw.sfixed64(3, 20000L)
+    val gotData = new CountDownLatch(1)
+    val sch = new Http2StreamChannelBootstrap(conn)
+      .handler(new ChannelInboundHandlerAdapter {
+        override def channelRead(ctx: ChannelHandlerContext,
+                                 msg: AnyRef): Unit = msg match {
+          case d: Http2DataFrame =>
+            d.release(); gotData.countDown()
+          case other => io.netty.util.ReferenceCountUtil.release(other)
+        }
+      })
+      .open().sync().getNow
+    val headers = new DefaultHttp2Headers()
+    headers.method("POST").scheme("http")
+      .authority(s"127.0.0.1:$port")
+      .path("/grpcinterface.BTrDB/RawValues")
+    headers.set("content-type", "application/grpc")
+    sch.write(new DefaultHttp2HeadersFrame(headers))
+    val payload = raw.toBytes
+    val buf = io.netty.buffer.Unpooled.buffer(5 + payload.length)
+    buf.writeByte(0).writeInt(payload.length).writeBytes(payload)
+    sch.writeAndFlush(new DefaultHttp2DataFrame(buf, true))
+    assert(gotData.await(60, TimeUnit.SECONDS), "first chunk must arrive")
+    sch.close().sync() // RST_STREAM(CANCEL) while the server is draining
+    // the worker must abort (failed write future), not wedge — the same
+    // connection keeps serving RPCs
+    val (ires, istatus) = call("Info", new PbWriter)
+    assert(istatus == "0" && statOf(ires.head).isEmpty)
+  }
+
   test("a compressed request frame answers an app-level error, never a hang") {
     val raw = new PbWriter
     raw.bytes(1, BtrdbWire.uuidBytes(uuid))
