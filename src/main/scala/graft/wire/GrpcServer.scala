@@ -49,8 +49,14 @@ final class GrpcServer(engine: Btrdb, port: Int) {
 
   private val group =
     new MultiThreadIoEventLoopGroup(2, NioIoHandler.newFactory())
-  private val workers = java.util.concurrent.Executors.newFixedThreadPool(
-    8,
+  // Thread-per-in-flight-RPC, like the reference's goroutine-per-RPC
+  // (serve.go spawns one per call and gates real work on rez
+  // admission): a worker now lives for the whole drain — including
+  // flow-control waits on a slow client — so a FIXED pool of N would
+  // let N stalled clients starve every other caller. The cached pool
+  // grows with concurrent RPCs and shrinks when idle; actual Spark
+  // concurrency is still bounded by the engine's Admission permits.
+  private val workers = java.util.concurrent.Executors.newCachedThreadPool(
     (r: Runnable) => {
       val t = new Thread(r, "graft-grpc-worker"); t.setDaemon(true); t
     })

@@ -12,8 +12,6 @@ while dimension tables (region, nation) stay fixed. Usage:
 import sys
 
 import duckdb
-import pyarrow as pa
-import pyarrow.parquet as pq
 
 
 def main(src: str, dst: str, factor: int) -> None:
@@ -60,28 +58,15 @@ def main(src: str, dst: str, factor: int) -> None:
     }
     for table, sql in plans.items():
         q = sql.format(src=src)
-        if table == "events":
-            # ts must round-trip as parquet TIMESTAMP(NANOS): DuckDB's
-            # writer downgrades it to us TIMESTAMP, which Spark reads as
-            # TimestampType instead of the long ns column the whole
-            # pipeline is built on (nanosAsLong) — route through pyarrow
-            # and restore the ns type. Bench queries previously FAILED
-            # silently on the replica because of the downgraded type
-            # (pre-round-6 Bench recorded a time for a failing query).
-            # Streamed batch-by-batch: factor× the base table must not
-            # have to fit in driver memory.
-            reader = con.execute(q).fetch_record_batch()
-            i = reader.schema.get_field_index("ts")
-            schema = reader.schema.set(i, pa.field("ts", pa.timestamp("ns")))
-            with pq.ParquetWriter(f"{dst}/{table}.parquet", schema,
-                                  compression="zstd", version="2.6") as w:
-                for batch in reader:
-                    w.write_batch(pa.record_batch(
-                        [batch.column(j).cast(schema.field(j).type)
-                         for j in range(batch.num_columns)], schema=schema))
-        else:
-            con.execute(f"COPY ({q}) TO '{dst}/{table}.parquet'"
-                        " (FORMAT PARQUET, COMPRESSION ZSTD)")
+        # events.ts is TIMESTAMP(MICROS) without UTC adjustment since the
+        # round-11 testdata regeneration — DuckDB's naive TIMESTAMP writes
+        # back as exactly that type, so the replica round-trips with no
+        # special-casing. (The pre-round-11 source was TIMESTAMP(NANOS)
+        # and needed a pyarrow detour to avoid a silent µs downgrade;
+        # if the driver ever regenerates at ns precision again, restore
+        # that path from git history.)
+        con.execute(f"COPY ({q}) TO '{dst}/{table}.parquet'"
+                    " (FORMAT PARQUET, COMPRESSION ZSTD)")
         n = con.execute(f"SELECT count(*) FROM '{dst}/{table}.parquet'").fetchone()[0]
         print(f"{table}: {n} rows")
 
