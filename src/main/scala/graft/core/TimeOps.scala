@@ -18,8 +18,14 @@ object TimeOps {
 
   /** Floor t to a multiple of 2^pw. Arithmetic shift makes this floor
     * (round toward -inf) for negative times too, matching the
-    * reference's bit-clear on two's-complement ints. */
-  def clampTime(t: Column, pw: Int): Column = shiftleft(shiftright(t, pw), pw)
+    * reference's bit-clear on two's-complement ints. pw ≥ 64 clears
+    * everything: Go shifts by ≥ the operand width produce 0
+    * (the reference accepts pointwidth 64 over the wire,
+    * /root/reference/grpcinterface/serve.go:193-195, and its aligned
+    * bounds then collapse to 0) — the JVM would silently mask the
+    * shift distance to pw % 64 instead. */
+  def clampTime(t: Column, pw: Int): Column =
+    if (pw >= 64) lit(0L) else shiftleft(shiftright(t, pw), pw)
 
   /** Exact floor division of a LongType column by a positive literal.
     * `a - pmod(a,b)` is an exact multiple of b (floor semantics for
@@ -38,8 +44,11 @@ object TimeOps {
 
   /** AlignedWindows boundary alignment (reference /root/reference/quasar.go:279-283):
     * both bounds round DOWN to 2^pw; the effective window starts lie in
-    * [alignDown(start), alignDown(end)). */
-  def alignDown(t: Long, pw: Int): Long = (t >> pw) << pw
+    * [alignDown(start), alignDown(end)). pw ≥ 64 → 0, Go shift
+    * semantics (see [[clampTime]]) — both bounds collapse and the
+    * window set is empty, exactly the reference's pw=64 behavior. */
+  def alignDown(t: Long, pw: Int): Long =
+    if (pw >= 64) 0L else (t >> pw) << pw
 
   /** Windows end-truncation (reference /root/reference/quasar.go:322-324):
     * drop the trailing partial window. */

@@ -1948,30 +1948,46 @@ class Btrdb(val spark: SparkSession, val root: String,
         // explicit pivot values: no discovery job, stable column order
         .groupBy("time").pivot("_label", frames.map(_._1)).agg(max("value"))
 
-  /** GenerateCSV sink (S6): align k streams (raw points, or mean of
-    * 2^pw aligned windows) and write CSV with RFC3339-rendered times
-    * (/root/reference/grpcinterface/serve.go:975 — rendered at µs
-    * precision, the engine-internal ns column stays exact). */
-  /** Mean-of-2^pw-aligned-windows multi-stream align — the frame the
-    * aligned GenerateCSV form renders, exposed for the wire shim
-    * ([[graft.wire.BtrdbWire]]) too. Large k takes ONE bulk scan
-    * (pyramid-served where possible) + single-shuffle pivot instead of
-    * k alignedWindows subplans. */
-  def multiAlignedMeans(uuids: Seq[String], labels: Seq[String],
-                        start: Long, end: Long, pw: Int): DataFrame =
-    if (uuids.size > MultiAlignJoinMaxK) {
-      val sidToLabel = uuids.map(sidOf).zip(labels).toMap
-      alignedWindowsBulk(uuids, start, end, pw)
+  /** Aligned-windows stat align in the reference's stat-CSV layout —
+    * the frame both the aligned GenerateCSV file sink and the wire
+    * RPC render. All-latest large k takes ONE bulk scan
+    * (pyramid-served where possible, [[alignedWindowsBulk]] already
+    * carries all four aggregates) + a single-shuffle 4-aggregate
+    * pivot instead of k alignedWindows subplans; version-pinned or
+    * small-k requests fall to per-stream frames under
+    * [[multiStatAlign]]. The bulk path keys the pivot by stream
+    * INDEX, so duplicate labels or a repeated uuid can never merge
+    * columns (a repeated uuid also disqualifies the sid-keyed bulk
+    * mapping, hence the distinct-sid guard). */
+  def multiStatAligned(uuids: Seq[String], labels: Seq[String],
+                       start: Long, end: Long, pw: Int,
+                       versions: Seq[Long] = Nil): DataFrame = {
+    val vers =
+      if (versions.isEmpty) uuids.map(_ => TimeConsts.LatestGeneration)
+      else versions
+    val sids = uuids.map(sidOf)
+    val bulkable = uuids.size > MultiAlignJoinMaxK &&
+      vers.forall(_ == TimeConsts.LatestGeneration) &&
+      sids.distinct.size == sids.size
+    if (bulkable) {
+      val sidToIdx = sids.zip(uuids.indices).toMap
+      val merged = alignedWindowsBulk(uuids, start, end, pw)
         .select(col("wstart").as("time"),
-          element_at(typedlit(sidToLabel), col("sid")).as("_label"),
-          col("vmean").as("value"))
-        .groupBy("time").pivot("_label", labels).agg(max("value"))
-        .orderBy("time")
+          element_at(typedlit(sidToIdx), col("sid")).as("_s"),
+          col("vmin"), col("vmean"), col("vmax"), col("cnt"))
+        .groupBy("time").pivot("_s", uuids.indices)
+        .agg(first("vmin").as("a"), first("vmean").as("b"),
+          first("vmax").as("c"), first("cnt").as("d"))
+      val display = "time" +: labels.flatMap(l =>
+        Seq(s"$l (Min)", s"$l (Mean)", s"$l (Max)", s"$l (Count)"))
+      merged.toDF(display: _*).orderBy("time")
     } else
-      alignFrames(uuids.zip(labels).map { case (u, n) =>
-        n -> alignedWindows(u, start, end, pw)
-          .select(col("wstart").as("time"), col("vmean").as("value"))
-      }).orderBy("time")
+      multiStatAlign(uuids.lazyZip(labels).lazyZip(vers).map { (u, l, v) =>
+        l -> alignedWindows(u, start, end, pw, v)
+          .select(col("wstart").as("time"), col("vmin"), col("vmean"),
+            col("vmax"), col("cnt"))
+      }.toSeq)
+  }
 
   /** Raw multi-align over caller-built labeled (time, value) frames —
     * the version-pinned form of [[multiAlign]] (the wire GenerateCSV
@@ -1991,7 +2007,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     * one row per non-empty window. Small k: full-outer join chain;
     * beyond [[Btrdb.MultiAlignJoinMaxK]]: tidy union + ONE
     * shuffle (groupBy.pivot with four aggregates) — the same scale
-    * shape as [[multiAlignedMeans]]. The final rename is positional
+    * shape as [[multiAlign]]'s pivot form. The final rename is positional
     * (`toDF`), so labels may contain dots/spaces/backticks without
     * breaking column resolution. */
   def multiStatAlign(frames: Seq[(String, DataFrame)]): DataFrame = {
@@ -2037,11 +2053,7 @@ class Btrdb(val spark: SparkSession, val root: String,
         // reference stat CSV carries all four aggregates per stream
         // (/root/reference/grpcinterface/csv.go:68-100), not just the
         // mean — label (Min) | (Mean) | (Max) | (Count) columns
-        multiStatAlign(uuids.zip(labels).map { case (u, n) =>
-          n -> alignedWindows(u, start, end, pw)
-            .select(col("wstart").as("time"), col("vmin"), col("vmean"),
-              col("vmax"), col("cnt"))
-        })
+        multiStatAligned(uuids, labels, start, end, pw)
     }
     csvTimeRendered(aligned)
       .coalesce(1)

@@ -981,7 +981,9 @@ object EtlQueries {
     // Repetition-based quality filters (the Gopher/MassiveText rule
     // family, Rae et al. 2021 §A1.1): per doc the duplicate-word
     // fraction, most-common-word fraction and most-common-word-bigram
-    // fraction, plus an INTEGER-arithmetic keep/drop so the verdict
+    // fraction, plus an INTEGER-arithmetic STRICTLY-EXCEEDS keep/drop
+    // (a doc at exactly the threshold keeps, so short docs with top_w=1
+    // cannot be dropped by rounding) so the verdict
     // can't drift across float formatting. Pure per-text function →
     // factored over distinct content ([[perDistinctText]], replication-
     // invariant like the dedup family); gram counting is explode →
@@ -1008,8 +1010,8 @@ object EtlQueries {
          |  CAST(s.n - s.nd AS DOUBLE) / s.n AS dup_word_frac,
          |  CAST(s.top_w AS DOUBLE) / s.n AS top_word_frac,
          |  CAST(COALESCE(b.top_bg, 0) AS DOUBLE) / (s.n - 1) AS top_bigram_frac,
-         |  CASE WHEN s.top_w * 5 >= s.n OR (s.n - s.nd) * 2 >= s.n
-         |            OR COALESCE(b.top_bg, 0) * 4 >= s.n - 1
+         |  CASE WHEN s.top_w * 5 > s.n OR (s.n - s.nd) * 2 > s.n
+         |            OR COALESCE(b.top_bg, 0) * 4 > s.n - 1
          |       THEN 'drop' ELSE 'keep' END AS verdict
          |FROM wstat s LEFT JOIN bstat b USING (doc_id)
          |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
@@ -1036,9 +1038,9 @@ object EtlQueries {
             (col("top_w").cast("double") / col("n")).as("top_word_frac"),
             (coalesce(col("top_bg"), lit(0L)).cast("double") /
               (col("n") - 1)).as("top_bigram_frac"),
-            when(col("top_w") * 5 >= col("n") ||
-              (col("n") - col("nd")) * 2 >= col("n") ||
-              coalesce(col("top_bg"), lit(0L)) * 4 >= col("n") - 1,
+            when(col("top_w") * 5 > col("n") ||
+              (col("n") - col("nd")) * 2 > col("n") ||
+              coalesce(col("top_bg"), lit(0L)) * 4 > col("n") - 1,
               "drop").otherwise("keep").as("verdict"))
       }.orderBy("doc_id")
     },

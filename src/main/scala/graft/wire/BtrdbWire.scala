@@ -77,6 +77,25 @@ object BtrdbWire {
 
   private def verOf(e: Btrdb, uuid: String): (Long, Long) = e.version(uuid)
 
+  /** bte 415 InvalidPointWidth (/root/reference/bte/errors.go:182,
+    * ErrBadPW at serve.go:50-53) — the reference rejects pointwidth
+    * > 64; 64 itself is accepted and yields an empty window set. */
+  private def badPointWidth: Array[Byte] = {
+    val w = new PbWriter
+    w.message(1, statusMsg(415, "Bad point width"))
+    w.toBytes
+  }
+
+  /** bte 426 ResourceDepleted — the reference's rez admission shed
+    * (/root/reference/bte/errors.go, rez defaults ConcurrentOp 200 /
+    * queue 100): answered app-level with grpc-status 0, exactly as the
+    * reference daemon does when its semaphore is exhausted. */
+  private[wire] def resourceDepleted: Array[Byte] = {
+    val w = new PbWriter
+    w.message(1, statusMsg(426, "The cluster is overloaded, go away"))
+    w.toBytes
+  }
+
   private def pin(vmaj: Long): Long =
     if (vmaj == 0L) TimeConsts.LatestGeneration else vmaj
 
@@ -249,6 +268,7 @@ object BtrdbWire {
         case (5, _) => pw = r.varint().toInt
         case (_, w) => r.skip(w)
       }
+      if (pw > 64 || pw < 0) return Iterator.single(badPointWidth)
       val (maj, minor) = verOf(e, uuid)
       val rows = e.alignedWindows(uuid, start, end, pw, pin(vmaj))
         .select("wstart", "vmin", "vmean", "vmax", "cnt")
@@ -563,19 +583,23 @@ object BtrdbWire {
     require(cfg.nonEmpty, "no streams requested")
     val isRaw = queryType == 2
     val frame = queryType match {
-      case 2 => // RAW_QUERY: one value column per stream
-        e.multiRawAlign(cfg.map { case (u, l, v) =>
-          l -> e.rawValues(u, start, end, pin(v)).select("time", "value") })
+      case 2 => // RAW_QUERY: one value column per stream. INDEX-keyed
+        // internal names: the merge must never fold two requested
+        // streams that share a label (e.g. one uuid pinned at two
+        // versions, both defaulting the label to the uuid) — the
+        // display labels only ever appear in the header row
+        e.multiRawAlign(cfg.zipWithIndex.map { case ((u, _, v), i) =>
+          s"_s$i" -> e.rawValues(u, start, end, pin(v))
+            .select("time", "value") })
       case 0 => // ALIGNED_WINDOWS_QUERY: pointwidth = depth (serve.go:891-899)
-        require(depth >= 0 && depth <= 64, s"bad pointwidth $depth")
-        e.multiStatAlign(cfg.map { case (u, l, v) =>
-          l -> e.alignedWindows(u, start, end, depth, pin(v))
-            .select(col("wstart").as("time"), col("vmin"), col("vmean"),
-              col("vmax"), col("cnt")) })
+        if (depth > 64 || depth < 0)
+          return Iterator.single(badPointWidth)
+        e.multiStatAligned(cfg.map(_._1), cfg.indices.map(i => s"_s$i"),
+          start, end, depth, cfg.map(c => pin(c._3)))
       case 1 => // WINDOWS_QUERY: arbitrary width + depth (serve.go:908-922)
         require(windowSize > 0, s"bad windowSize $windowSize")
-        e.multiStatAlign(cfg.map { case (u, l, v) =>
-          l -> e.windows(u, start, end, windowSize, pin(v), depth)
+        e.multiStatAlign(cfg.zipWithIndex.map { case ((u, _, v), i) =>
+          s"_s$i" -> e.windows(u, start, end, windowSize, pin(v), depth)
             .select(col("wstart").as("time"), col("vmin"), col("vmean"),
               col("vmax"), col("cnt")) })
       case q => throw new IllegalArgumentException(s"unknown queryType $q")

@@ -40,12 +40,37 @@ import graft.engine.Btrdb
   * SQL/DataFrame surface; this endpoint is the migration-compatible
   * wire.
   */
-final class GrpcServer(engine: Btrdb, port: Int) {
+final class GrpcServer(engine: Btrdb, port: Int,
+                       concurrentOps: Int = 200) {
 
   /** Max unacknowledged DATA frames per RPC before the worker stops
     * pulling the result iterator (≈ MaxInFlight × ~85 KiB encoded
     * chunk of buffered response). */
   private val MaxInFlight = 4
+
+  // The reference's rez.ConcurrentOp gate, applied to EVERY RPC before
+  // any engine work (serve.go acquires it first in every handler; rez
+  // defaults: 200 permits, queue 100): this is the actual concurrency
+  // bound for the thread-per-RPC pool below — read RPCs run their
+  // Spark jobs lazily during the drain, outside the engine's
+  // write/maintenance Admission pools, so without this gate N stalled
+  // streaming clients would pin N threads and N in-flight partitions.
+  // Beyond permits + queue, shed with bte 426 like the reference.
+  private val rpcPermits =
+    new java.util.concurrent.Semaphore(concurrentOps, true)
+  private val rpcQueued = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val MaxQueued = concurrentOps / 2
+
+  /** Acquire an op permit: immediate, else join the bounded queue
+    * (reference rez queues 100 waiters), else shed. */
+  private def admit(): Boolean =
+    rpcPermits.tryAcquire() || {
+      if (rpcQueued.incrementAndGet() > MaxQueued) {
+        rpcQueued.decrementAndGet(); false
+      } else
+        try rpcPermits.tryAcquire(30, java.util.concurrent.TimeUnit.SECONDS)
+        finally rpcQueued.decrementAndGet()
+    }
 
   private val group =
     new MultiThreadIoEventLoopGroup(2, NioIoHandler.newFactory())
@@ -144,10 +169,14 @@ final class GrpcServer(engine: Btrdb, port: Int) {
         // never throw; the catch is belt-and-braces so NO code path can
         // swallow the response and leave the client hanging to its
         // deadline.
+        val admitted = admit()
         val reply =
           try {
             if (service != "grpcinterface.BTrDB")
               BtrdbWire.RpcReply(Iterator.empty, 12)
+            else if (!admitted)
+              BtrdbWire.RpcReply(
+                Iterator.single(BtrdbWire.resourceDepleted), 0)
             else BtrdbWire.handle(engine, method, payload)
           } catch {
             case _: Throwable => BtrdbWire.RpcReply(Iterator.empty, 2)
@@ -175,24 +204,26 @@ final class GrpcServer(engine: Btrdb, port: Int) {
           }
           true
         }
-        var alive = true
-        val it = reply.messages
-        while (alive && (try it.hasNext
-                         catch { case _: Throwable => false })) {
-          val m = try it.next() catch { case _: Throwable => null }
-          if (m == null) alive = false
-          else {
-            inFlight.add(ctx.writeAndFlush(
-              new DefaultHttp2DataFrame(frame(m)).stream(stream)))
-            alive = reap(MaxInFlight)
+        try {
+          var alive = true
+          val it = reply.messages
+          while (alive && (try it.hasNext
+                           catch { case _: Throwable => false })) {
+            val m = try it.next() catch { case _: Throwable => null }
+            if (m == null) alive = false
+            else {
+              inFlight.add(ctx.writeAndFlush(
+                new DefaultHttp2DataFrame(frame(m)).stream(stream)))
+              alive = reap(MaxInFlight)
+            }
           }
-        }
-        if (alive) reap(0)
-        val trailers = new DefaultHttp2Headers()
-        trailers.set("grpc-status", reply.grpcStatus.toString)
-        ctx.writeAndFlush(
-          new DefaultHttp2HeadersFrame(trailers, true).stream(stream))
-        ()
+          if (alive) reap(0)
+          val trailers = new DefaultHttp2Headers()
+          trailers.set("grpc-status", reply.grpcStatus.toString)
+          ctx.writeAndFlush(
+            new DefaultHttp2HeadersFrame(trailers, true).stream(stream))
+          ()
+        } finally if (admitted) rpcPermits.release()
       }
       ()
     }

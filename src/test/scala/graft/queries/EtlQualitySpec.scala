@@ -33,12 +33,16 @@ class EtlQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     // doc 2: 10 distinct words → no repetition at all
     // doc 3: byte-identical to doc 1 → must inherit its metrics via the
     //        distinct-content factoring, not recompute
-    Seq((1L, "a a a a b"), (2L, "x y z w v u t s q r"), (3L, "a a a a b"))
+    // doc 4: five distinct words — every metric sits EXACTLY at a
+    //        threshold (top_w*5 == n, top_bg*4 == n-1); the rules are
+    //        strictly-exceeds, so it must keep
+    Seq((1L, "a a a a b"), (2L, "x y z w v u t s q r"), (3L, "a a a a b"),
+        (4L, "p q r s t"))
       .toDF("doc_id", "text").write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
     val got = graft.SparkEntry.queries("q_quality_repetition")(spark, dir)
       .collect().map(r => r.getLong(0) -> r).toMap
-    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
     assert(got(1L).getLong(1) == 5L)
     assert(got(1L).getDouble(2) == 0.6) // dup_word_frac = 3/5
     assert(got(1L).getDouble(3) == 0.8) // top_word_frac = 4/5
@@ -50,5 +54,6 @@ class EtlQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L).getDouble(4) == 1.0 / 9.0)
     assert(got(2L).getString(5) == "keep")
     assert(got(3L).getDouble(3) == 0.8 && got(3L).getString(5) == "drop")
+    assert(got(4L).getDouble(3) == 0.2 && got(4L).getString(5) == "keep")
   }
 }

@@ -496,6 +496,101 @@ class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("AlignedWindows pointwidth over 64 answers bte 415; 64 is empty success") {
+    val req = new PbWriter
+    req.bytes(1, BtrdbWire.uuidBytes(uuid))
+    req.sfixed64(2, 0L); req.sfixed64(3, 640L)
+    req.uint32(5, 70)
+    val (res, status) = call("AlignedWindows", req)
+    assert(status == "0" && statOf(res.head).exists(_._1 == 415))
+    // pw = 64: the reference accepts it (serve.go:193 rejects only
+    // > 64) and Go shift semantics collapse both aligned bounds to 0 —
+    // an empty window set, not a raw dump (the JVM would mask the
+    // shift to identity without the TimeOps guard)
+    val req64 = new PbWriter
+    req64.bytes(1, BtrdbWire.uuidBytes(uuid))
+    req64.sfixed64(2, 0L); req64.sfixed64(3, 640L)
+    req64.uint32(5, 64)
+    val (res64, st64) = call("AlignedWindows", req64)
+    assert(st64 == "0" && statOf(res64.head).isEmpty)
+    val r = new PbReader(res64.head)
+    var points = 0
+    while (r.hasNext) r.readTag() match {
+      case (4, _) => r.lenReader(); points += 1
+      case (_, w) => r.skip(w)
+    }
+    assert(points == 0, "pw=64 must yield an empty window set")
+  }
+
+  test("GenerateCSV aligned with pointwidth over 64 answers bte 415") {
+    val req = new PbWriter
+    req.uint32(1, 0)
+    req.uint64(2, 0L); req.uint64(3, 640L)
+    req.uint32(5, 70)
+    val sc = new PbWriter
+    sc.string(2, "a"); sc.bytes(3, BtrdbWire.uuidBytes(uuid))
+    req.message(7, sc)
+    val (res, status) = call("GenerateCSV", req)
+    assert(status == "0" && statOf(res.head).exists(_._1 == 415))
+  }
+
+  test("admission gate sheds with bte 426 when ConcurrentOp permits are exhausted") {
+    val shedServer = new GrpcServer(db, 0, concurrentOps = 0)
+    val shedPort = shedServer.start()
+    val conn2 = new Bootstrap()
+      .group(group)
+      .channel(classOf[NioSocketChannel])
+      .handler(new ChannelInitializer[SocketChannel] {
+        override def initChannel(ch: SocketChannel): Unit = {
+          ch.pipeline().addLast(Http2FrameCodecBuilder.forClient().build())
+          ch.pipeline().addLast(
+            new Http2MultiplexHandler(new ChannelInboundHandlerAdapter))
+        }
+      })
+      .connect("127.0.0.1", shedPort).sync().channel()
+    try {
+      val done = new CountDownLatch(1)
+      val data = new java.io.ByteArrayOutputStream()
+      val status = new java.util.concurrent.atomic.AtomicReference[String]("")
+      val sch = new Http2StreamChannelBootstrap(conn2)
+        .handler(new ChannelInboundHandlerAdapter {
+          override def channelRead(ctx: ChannelHandlerContext,
+                                   msg: AnyRef): Unit = msg match {
+            case h: Http2HeadersFrame =>
+              val st = h.headers().get("grpc-status")
+              if (st != null) status.set(String.valueOf(st))
+              if (h.isEndStream) done.countDown()
+            case d: Http2DataFrame =>
+              val arr = new Array[Byte](d.content().readableBytes())
+              d.content().readBytes(arr)
+              data.write(arr, 0, arr.length)
+              val end = d.isEndStream
+              d.release()
+              if (end) done.countDown()
+            case other => io.netty.util.ReferenceCountUtil.release(other)
+          }
+        })
+        .open().sync().getNow
+      val headers = new DefaultHttp2Headers()
+      headers.method("POST").scheme("http")
+        .authority(s"127.0.0.1:$shedPort")
+        .path("/grpcinterface.BTrDB/Info")
+      headers.set("content-type", "application/grpc")
+      sch.write(new DefaultHttp2HeadersFrame(headers))
+      val buf = io.netty.buffer.Unpooled.buffer(5)
+      buf.writeByte(0).writeInt(0)
+      sch.writeAndFlush(new DefaultHttp2DataFrame(buf, true))
+      assert(done.await(60, TimeUnit.SECONDS), "shed must answer, not hang")
+      assert(status.get() == "0") // app-level shed, reference convention
+      val all = data.toByteArray
+      val body = java.util.Arrays.copyOfRange(all, 5, all.length)
+      assert(statOf(body).exists(_._1 == 426), "bte ResourceDepleted")
+    } finally {
+      conn2.close().sync()
+      shedServer.stop()
+    }
+  }
+
   test("GenerateCSV WINDOWS_QUERY serves arbitrary-width window CSV") {
     val req = new PbWriter
     req.uint32(1, 1) // WINDOWS_QUERY
