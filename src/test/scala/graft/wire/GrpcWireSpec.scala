@@ -708,6 +708,64 @@ class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(istatus == "0" && statOf(ires.head).isEmpty)
   }
 
+  test("two-stream aligned CSV merges on time with empty cell groups (csv.go:101-107)") {
+    // second stream disjoint from `uuid`'s [0, 630] range: windows
+    // where only one stream has data must render the other's four
+    // cells as empty strings, the reference's writeEmptyPoint
+    val cb = "33333333-4444-5555-6666-777777777777"
+    val create = new PbWriter
+    create.bytes(1, BtrdbWire.uuidBytes(cb))
+    create.string(2, "wire/csvb")
+    assert(statOf(call("Create", create)._1.head).isEmpty)
+    val ins = new PbWriter
+    ins.bytes(1, BtrdbWire.uuidBytes(cb))
+    ins.bool(2, true)
+    (0 until 32).foreach { i =>
+      val p = new PbWriter
+      p.sfixed64(1, 1000L + i * 10L); p.double(2, i * 2.0)
+      ins.message(3, p)
+    }
+    assert(statOf(call("Insert", ins)._1.head).isEmpty)
+    val req = new PbWriter
+    req.uint32(1, 0) // ALIGNED_WINDOWS_QUERY
+    req.uint64(2, 0L); req.uint64(3, 1320L)
+    req.uint32(5, 5) // pw
+    Seq(uuid -> "a", cb -> "b").foreach { case (u, l) =>
+      val sc = new PbWriter
+      sc.string(2, l); sc.bytes(3, BtrdbWire.uuidBytes(u))
+      req.message(7, sc)
+    }
+    val (res, status) = call("GenerateCSV", req)
+    assert(status == "0" && statOf(res.head).isEmpty)
+    def cells(m: Array[Byte]): Seq[String] = {
+      val r = new PbReader(m)
+      val out = Seq.newBuilder[String]
+      while (r.hasNext) r.readTag() match {
+        case (3, _) => out += r.lenString()
+        case (_, w) => r.skip(w)
+      }
+      out.result()
+    }
+    assert(cells(res.head).size == 10) // 2 time cols + 4 per stream
+    val rows = res.tail.map(cells)
+    assert(rows.forall(_.size == 10))
+    val aOnly = rows.filter(r => r(2).nonEmpty && r(6).isEmpty)
+    val bOnly = rows.filter(r => r(2).isEmpty && r(6).nonEmpty)
+    assert(aOnly.nonEmpty && bOnly.nonEmpty,
+      "disjoint ranges must produce one-sided rows in both directions")
+    // an empty group is ALL-empty; a present group is ALL-present
+    assert(rows.forall(r => (2 to 5).forall(i => r(i).isEmpty) ||
+      (2 to 5).forall(i => r(i).nonEmpty)))
+    assert(rows.forall(r => (6 to 9).forall(i => r(i).isEmpty) ||
+      (6 to 9).forall(i => r(i).nonEmpty)))
+    // row count = union of the two streams' non-empty window starts
+    val expected = (db.alignedWindows(uuid, 0L, 1320L, 5)
+        .select("wstart").collect().map(_.getLong(0)) ++
+      db.alignedWindows(cb, 0L, 1320L, 5)
+        .select("wstart").collect().map(_.getLong(0))).distinct.length
+    assert(rows.size == expected)
+  }
+
   test("a compressed request frame answers an app-level error, never a hang") {
     val raw = new PbWriter
     raw.bytes(1, BtrdbWire.uuidBytes(uuid))
