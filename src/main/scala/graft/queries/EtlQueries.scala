@@ -1016,31 +1016,39 @@ object EtlQueries {
          |FROM wstat s LEFT JOIN bstat b USING (doc_id)
          |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
       perDistinctText(s, dir) { reps =>
-        val base = reps.select(col("doc_id"),
+        // ONE pass over the tokenized corpus: words and bigrams explode
+        // together as (kind, gram) rows — the text is split once and
+        // never rescanned — then two doc-keyed aggregations and a
+        // 2-value pivot replace the former word/bigram subplan pair
+        // plus their join. sequence(1, 0) is [1, 0] (negative default
+        // step), hence the n >= 2 guard inside the if().
+        val grams = reps.select(col("doc_id"),
             expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
           .select(col("doc_id"), size(col("w")).as("n"), col("w"))
-        val wstat = base
-          .select(col("doc_id"), col("n"), explode(col("w")).as("word"))
-          .groupBy("doc_id", "n", "word").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id", "n")
-          .agg(count(lit(1)).as("nd"), max("c").as("top_w"))
-        val bstat = base.filter(col("n") >= 2)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, n - 1), " +
-              "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
-            .as("bg"))
-          .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id").agg(max("c").as("top_bg"))
-        wstat.join(bstat, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n"), explode(expr(
+            "concat(transform(w, x -> struct(0 AS kind, x AS g)), " +
+              "if(n >= 2, transform(sequence(1, n - 1), " +
+              "i -> struct(1 AS kind, concat(element_at(w, i), ' ', " +
+              "element_at(w, i + 1)) AS g)), " +
+              "array()))")).as("t"))
+          .select(col("doc_id"), col("n"),
+            col("t.kind").as("kind"), col("t.g").as("g"))
+        val pivoted = grams
+          .groupBy("doc_id", "n", "kind", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id", "n", "kind")
+          .agg(count(lit(1)).as("nd"), max("c").as("topc"))
+          .groupBy("doc_id", "n").pivot("kind", Seq(0, 1))
+          .agg(first("nd").as("nd"), first("topc").as("topc"))
+        pivoted
           .select(col("doc_id"), col("n").cast("long").as("n_words"),
-            ((col("n") - col("nd")).cast("double") / col("n"))
+            ((col("n") - col("0_nd")).cast("double") / col("n"))
               .as("dup_word_frac"),
-            (col("top_w").cast("double") / col("n")).as("top_word_frac"),
-            (coalesce(col("top_bg"), lit(0L)).cast("double") /
+            (col("0_topc").cast("double") / col("n")).as("top_word_frac"),
+            (coalesce(col("1_topc"), lit(0L)).cast("double") /
               (col("n") - 1)).as("top_bigram_frac"),
-            when(col("top_w") * 5 > col("n") ||
-              (col("n") - col("nd")) * 2 > col("n") ||
-              coalesce(col("top_bg"), lit(0L)) * 4 > col("n") - 1,
+            when(col("0_topc") * 5 > col("n") ||
+              (col("n") - col("0_nd")) * 2 > col("n") ||
+              coalesce(col("1_topc"), lit(0L)) * 4 > col("n") - 1,
               "drop").otherwise("keep").as("verdict"))
       }.orderBy("doc_id")
     },
