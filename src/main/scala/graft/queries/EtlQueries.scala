@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
@@ -61,6 +62,29 @@ object EtlQueries {
   /** Karp-Rabin rolling-hash base and modulus. */
   private val RollB = 131L
   private val RollM = 1000000007L
+  /** Retrieval / training-export knobs. BM25 uses the standard
+    * k1 = 1.2, b = 0.75 written as exact literals inside ONE shared
+    * formula shape so Spark and DuckDB evaluate the identical IEEE
+    * double expression tree. The probe terms span the df spectrum
+    * (one rare, two common) so the ranking exercises the idf weight. */
+  private val Bm25Terms = Seq("dup", "vector", "query")
+  private val Bm25TopK = 15
+  /** Context-window chunking: 256-char windows advancing 192 chars
+    * (64-char overlap) — the overlap-chunking shape a RAG/pretraining
+    * text splitter uses. */
+  private val ChunkLen = 256
+  private val ChunkStride = 192
+  /** Sequence packing: token budget per packed training sequence and
+    * the deterministic shard fan-out the packing runs inside. */
+  private val PackBudget = 512L
+  private val PackShards = 16L
+  /** Vocabulary coverage report depth (BPE vocab budget planning). */
+  private val VocabTopK = 64
+  /** PII patterns kept to character classes only ([.] instead of \. )
+    * so the SAME literal is a valid Java regex (Spark) and RE2 regex
+    * (DuckDB) with no escape-layer divergence. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private val Ipv4Re = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
 
   /** 2-universal MinHash lane arithmetic: lane_i = (a·h1 + b·h2 + c) mod
     * LaneP with (h1, h2) two 32-bit words of ONE md5 per shingle.
@@ -1353,6 +1377,297 @@ object EtlQueries {
               sqrt(fixedPointNormSq(col("qemb")).cast("double")))).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(5)
+    },
+
+    // ---- Retrieval, corpus statistics & training export ---------------
+
+    // BM25 keyword retrieval (Robertson-Spärck Jones): the quality-
+    // ranking primitive a data pipeline uses to score documents against
+    // a probe query (e.g. "educational value" seed terms). idf is kept
+    // as the raw Robertson ratio (N - df + 0.5)/(df + 0.5) — a
+    // per-term monotone transform of the usual log form, so the
+    // ranking is identical while the arithmetic stays inside exact-
+    // rounded IEEE ops (no libm log whose last ulp may differ across
+    // engines). Term frequencies come from the replace-length trick —
+    // a pure SCAN, no tokenize/explode/shuffle; the corpus statistics
+    // (N, avgdl, df per term) reduce to ONE row that cross-joins back
+    // broadcast, so the whole query is scan → broadcast → project →
+    // top-k: at 100 TB it reads the corpus exactly twice (once for
+    // stats, once for scoring) and shuffles only the k winners.
+    "q_bm25" -> QueryDef {
+      val tfSql = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"    ${occSql("' ' || text || ' '", s" $t ")} AS tf$i" }.mkString(",\n")
+      val scoreSql = Bm25Terms.indices.map { i =>
+        s"(n - df$i + 0.5) / (df$i + 0.5) * (tf$i * 2.2) / " +
+          s"(tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))" }.mkString("\n  + ")
+      val dfSql = Bm25Terms.indices.map { i =>
+        s"    CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i" }
+        .mkString(",\n")
+      s"""WITH d AS (
+         |  SELECT doc_id, $tokenCountSql AS dl,
+         |$tfSql
+         |  FROM documents),
+         |st AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         |$dfSql
+         |  FROM d)
+         |SELECT doc_id,
+         |  CAST(${Bm25Terms.indices.map(i => s"tf$i").mkString(" + ")} AS BIGINT) AS hits,
+         |  $scoreSql AS score
+         |FROM d, st
+         |WHERE ${Bm25Terms.indices.map(i => s"tf$i").mkString(" + ")} > 0
+         |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+    } { (s, dir) =>
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      val d = docs(s, dir).select(
+        col("doc_id") +: tokenCount(col("text")).as("dl") +:
+          Bm25Terms.zipWithIndex.map { case (t, i) =>
+            occurrences(padded, s" $t ").as(s"tf$i") }: _*)
+      val stAggs =
+        count(lit(1)).cast("double").as("n") +:
+          (sum("dl").cast("double") / count(lit(1))).as("avgdl") +:
+          Bm25Terms.indices.map { i =>
+            sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i")
+          }
+      val st = d.agg(stAggs.head, stAggs.tail: _*)
+      val score = Bm25Terms.indices.map { i =>
+        (col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) *
+          (col(s"tf$i") * 2.2) /
+          (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      }.reduce(_ + _)
+      val hits = Bm25Terms.indices.map(i => col(s"tf$i")).reduce(_ + _)
+      d.crossJoin(broadcast(st))
+        .filter(hits > 0)
+        .select(col("doc_id"), hits.cast("long").as("hits"), score.as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(Bm25TopK)
+    },
+
+    // TF-IDF characteristic terms per source — the per-subcorpus
+    // signature report a mixing pipeline reads when weighting sources.
+    // idf here is the raw #sources/df ratio (monotone ≡ log form, same
+    // exact-arithmetic rationale as q_bm25). tf aggregates with map-
+    // side combine keyed (source, term); df is vocabulary-bounded so
+    // its join side broadcasts; the rank window partitions by source —
+    // no single-partition stage anywhere.
+    "q_tfidf_source" -> QueryDef(
+      s"""WITH w AS (
+         |  SELECT source, unnest(list_filter(string_split(text, ' '),
+         |                                    x -> length(x) > 0)) AS word
+         |  FROM documents),
+         |tf AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM w GROUP BY 1, 2),
+         |df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |ns AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS s FROM documents)
+         |SELECT source, rank, word, tf, df, score FROM (
+         |  SELECT tf.source, tf.word, tf.tf, df.df,
+         |    tf.tf * ns.s / df.df AS score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.source
+         |      ORDER BY tf.tf * ns.s / df.df DESC, tf.word ASC) AS BIGINT) AS rank
+         |  FROM tf JOIN df USING (word), ns)
+         |WHERE rank <= 5
+         |ORDER BY source, rank""".stripMargin) { (s, dir) =>
+      val words = docs(s, dir).select(col("source"),
+        explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
+      val tf = words.groupBy("source", "word").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val ns = docs(s, dir).agg(countDistinct("source").cast("double").as("s"))
+      val rankW = Window.partitionBy("source")
+        .orderBy((col("tf") * col("s") / col("df")).desc, col("word").asc)
+      tf.join(broadcast(df), "word").crossJoin(broadcast(ns))
+        .withColumn("score", col("tf") * col("s") / col("df"))
+        .withColumn("rank", row_number().over(rankW).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("source", "rank", "word", "tf", "df", "score")
+        .orderBy("source", "rank")
+    },
+
+    // Vocabulary coverage (Zipf report): top-K terms by corpus
+    // frequency with the cumulative fraction of all token occurrences
+    // they cover — the curve a BPE vocab-size decision reads. The
+    // frequency table is vocabulary-bounded; the global top-K is a
+    // distributed TakeOrdered (orderBy + limit), and only the K
+    // winners enter the single-partition rank/cumsum window. ROWS
+    // framing (not RANGE) keeps the running sum per-row under cnt
+    // ties on both engines.
+    "q_vocab_coverage" -> QueryDef(
+      s"""WITH w AS (
+         |  SELECT unnest(list_filter(string_split(text, ' '),
+         |                            x -> length(x) > 0)) AS word
+         |  FROM documents),
+         |c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM c),
+         |top AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word ASC LIMIT $VocabTopK),
+         |r AS (
+         |  SELECT word, cnt,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC) AS BIGINT) AS rank,
+         |    CAST(SUM(cnt) OVER (ORDER BY cnt DESC, word ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt
+         |  FROM top)
+         |SELECT rank, word, cnt, cum_cnt, cum_cnt / tot AS coverage
+         |FROM r, tot ORDER BY rank""".stripMargin) { (s, dir) =>
+      val words = docs(s, dir).select(
+        explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
+      val c = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+      val tot = c.agg(sum("cnt").cast("double").as("tot"))
+      val top = c.orderBy(col("cnt").desc, col("word").asc).limit(VocabTopK)
+      val ord = Window.orderBy(col("cnt").desc, col("word").asc)
+      top
+        .withColumn("rank", row_number().over(ord).cast("long"))
+        .withColumn("cum_cnt", sum("cnt")
+          .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .select(col("rank"), col("word"), col("cnt"), col("cum_cnt"),
+          (col("cum_cnt") / col("tot")).as("coverage"))
+        .orderBy("rank")
+    },
+
+    // Context-window chunking: 256-char windows at stride 192 (64-char
+    // overlap) with per-chunk content digests — the splitter that
+    // turns documents into model-context-sized training/RAG pieces.
+    // Pure function of the text → factored over distinct content
+    // ([[perDistinctText]]): a duplicate-heavy corpus chunks each
+    // distinct text once. Output-bounded (≈ len/stride chunks per
+    // doc); no shuffle beyond the digest re-key join.
+    "q_chunk" -> QueryDef(
+      s"""SELECT doc_id,
+         |  CAST((p - 1) // $ChunkStride AS BIGINT) AS chunk_idx,
+         |  CAST(length(substr(text, CAST(p AS INTEGER), $ChunkLen)) AS BIGINT) AS n_chars,
+         |  md5(substr(text, CAST(p AS INTEGER), $ChunkLen)) AS h
+         |FROM documents, generate_series(1, $MaxPos, $ChunkStride) AS g(p)
+         |WHERE p <= length(text)
+         |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      perDistinctText(s, dir) { reps =>
+        val chunk = expr(s"substring(text, p, $ChunkLen)")
+        reps.filter(length(col("text")) >= 1)
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(1), least(length(col("text")), lit(MaxPos)),
+              lit(ChunkStride))).as("p"))
+          .select(col("doc_id"),
+            TimeOpsFloorDiv(col("p") - 1, ChunkStride).as("chunk_idx"),
+            length(chunk).cast("long").as("n_chars"),
+            md5(chunk.cast("binary")).as("h"))
+      }.orderBy("doc_id", "chunk_idx")
+    },
+
+    // Sequence packing for training export: documents are dealt into
+    // deterministic shards (doc_id mod), concatenated in doc_id order,
+    // and cut into fixed token-budget sequences — the GPT-style "pack
+    // then slice every 2048 tokens" export, reported per packed
+    // sequence. The only shuffle is the shard partition; the running
+    // offset is a window cumsum of exact longs inside each shard.
+    // At 100 TB the shard count scales with the cluster (the mod is a
+    // knob), and each shard's window is a single ordered pass.
+    "q_pack" -> QueryDef(
+      s"""WITH d AS (
+         |  SELECT doc_id, doc_id % $PackShards AS shard,
+         |    $tokenCountSql AS toks
+         |  FROM documents),
+         |o AS (
+         |  SELECT shard, doc_id, toks,
+         |    SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS off
+         |  FROM d)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(off // $PackBudget AS BIGINT) AS seq,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+         |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+         |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        (col("doc_id") % PackShards).as("shard"),
+        tokenCount(col("text")).as("toks"))
+      val cum = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("off", sum("toks").over(cum) - col("toks"))
+        .groupBy(col("shard").cast("long").as("shard"),
+          TimeOpsFloorDiv(col("off"), PackBudget).as("seq"))
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("shard", "seq")
+    },
+
+    // PII detection + redaction fingerprint: per-doc email/IPv4 match
+    // counts and the digest of the redacted text — the scrub pass a
+    // compliance pipeline runs before export. Patterns use character
+    // classes only ([.] not \.) so one literal is simultaneously a
+    // Java regex and an RE2 regex; the synthetic corpus is PII-free
+    // (counts 0, digest = digest of the unchanged text) and
+    // TrainingExportSpec proves the detection/redaction semantics on
+    // a fixture that does carry PII. Pure per-row scan — no shuffle.
+    "q_pii_redact" -> QueryDef(
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ip,
+         |  md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+         |      '$Ipv4Re', '<IP>', 'g')) AS redacted_fp
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          size(expr(s"regexp_extract_all(text, '$EmailRe', 0)"))
+            .cast("long").as("n_email"),
+          size(expr(s"regexp_extract_all(text, '$Ipv4Re', 0)"))
+            .cast("long").as("n_ip"),
+          md5(regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>").cast("binary")).as("redacted_fp"))
+        .orderBy("doc_id")
+    },
+
+    // Scalar-quantized (SQ8) ANN scoring: a SYMMETRIC int8 quantizer
+    // (q = round(v · 127 / gmax), gmax = corpus abs-max — zero maps to
+    // zero, so the quantized dot is an unbiased scaled dot product)
+    // scores vectors against the query in the compressed domain —
+    // exact int64 sums of int8 products, order-independent and
+    // engine-exact — then ranks by quantized COSINE, the same metric
+    // as the exact baseline. (An asymmetric per-dim min/max quantizer
+    // is the wrong tool for dot/cosine ranking: the per-dim offsets
+    // bias the inner product by data-dependent cross terms — measured
+    // 0/10 recall on this corpus — while the symmetric form measures
+    // 10/10; TrainingExportSpec pins the recall.) This is the memory-
+    // bound scale path: codes are 4× smaller than float32, the
+    // trained scale (one scalar) and the quantized query broadcast to
+    // every executor, and the corpus side never shuffles until the
+    // final top-k.
+    "q_ann_sq8" -> QueryDef(
+      s"""WITH sc AS (
+         |  SELECT vec_id, unnest(range(len(embedding))) AS i,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings),
+         |gm AS (SELECT MAX(ABS(v)) AS gmax FROM sc),
+         |q8 AS (
+         |  SELECT vec_id, i, CAST(ROUND(v * 127 / gmax, 0) AS BIGINT) AS q
+         |  FROM sc, gm),
+         |qv AS (SELECT i, q AS qq FROM q8 WHERE vec_id = 0),
+         |dots AS (
+         |  SELECT q8.vec_id, SUM(q8.q * qv.qq) AS adot, SUM(q8.q * q8.q) AS nn
+         |  FROM q8 JOIN qv ON q8.i = qv.i GROUP BY q8.vec_id),
+         |qn AS (SELECT nn AS qnn FROM dots WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  CAST(adot AS DOUBLE) /
+         |    (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(qnn AS DOUBLE))) AS acos
+         |FROM dots, qn WHERE vec_id <> 0
+         |ORDER BY acos DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val sc = emb(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "f")))
+        .select(col("vec_id"), col("i"), col("f").cast("double").as("v"))
+      val gm = sc.agg(max(abs(col("v"))).as("gmax"))
+      val q8 = sc.crossJoin(broadcast(gm))
+        .select(col("vec_id"), col("i"),
+          round(col("v") * 127 / col("gmax"), 0).cast("long").as("q"))
+      val qv = q8.filter(col("vec_id") === 0).select(col("i"), col("q").as("qq"))
+      val dots = q8.join(broadcast(qv), "i")
+        .groupBy("vec_id")
+        .agg(sum(col("q") * col("qq")).as("adot"), sum(col("q") * col("q")).as("nn"))
+      val qn = dots.filter(col("vec_id") === 0).select(col("nn").as("qnn"))
+      dots.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qn))
+        .select(col("vec_id"),
+          (col("adot").cast("double") /
+            (sqrt(col("nn").cast("double")) * sqrt(col("qnn").cast("double"))))
+            .as("acos"))
+        .orderBy(col("acos").desc, col("vec_id"))
+        .limit(10)
     },
 
     // ---- Multimodal ---------------------------------------------------

@@ -159,4 +159,51 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       !p.contains("BroadcastNestedLoopJoin"),
       s"candidate stage must be a bucketed equality join, got:\n$p")
   }
+
+  test("BM25 is scan + broadcast stats + top-k: no tokenize explode, no shuffle join") {
+    val p = plan("q_bm25")
+    // tf comes from the replace-length trick — a pure scan, never a
+    // per-token Generate; the one-row stats frame broadcasts; the
+    // final ranking is a distributed top-k
+    assert(!p.contains("Generate"), s"no tokenize explode, got:\n$p")
+    assert(!p.contains("SortMergeJoin"), "stats must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
+  test("TF-IDF df side broadcasts (vocabulary-bounded), tf aggregates map-side") {
+    val p = plan("q_tfidf_source")
+    assert(p.contains("BroadcastHashJoin"),
+      s"df join must broadcast the vocab-bounded side, got:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "map-side combine on tf")
+  }
+
+  test("vocab coverage: global top-K is a TakeOrdered, not a full sort") {
+    val p = plan("q_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K terms must TakeOrdered before the rank window, got:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("packing shuffles once (by shard) and aggregates with map-side combine") {
+    val p = plan("q_pack")
+    assert(p.contains("Window"), "running offset is a window cumsum")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
+  test("PII redaction is a pure per-row scan — no join, no pre-sort shuffle") {
+    val p = plan("q_pii_redact")
+    assert(!p.contains("Join"), s"scrub pass must not join, got:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size -
+      "ReusedExchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"only the presentation orderBy may shuffle, got:\n$p")
+  }
+
+  test("SQ8 ANN broadcasts the quantizer scale and the quantized query") {
+    val p = plan("q_ann_sq8")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus side must never shuffle into a merge join, got:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
 }

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed examples for the retrieval / corpus-statistics /
+  * training-export operators (BM25, TF-IDF, vocab coverage, chunking,
+  * packing, PII redaction, SQ8 ANN). The DuckDB oracle proves
+  * Spark/SQL agreement at corpus scale; this pins the SEMANTICS to
+  * worked examples — including behaviors the synthetic corpus cannot
+  * exercise (PII hits) and the approximation quality the oracle can't
+  * express (SQ8 recall against the exact baseline). */
+class TrainingExportSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("training-export-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    val ss = spark
+    import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("expdocs").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q_pii_redact: finds and scrubs emails and IPv4s; clean text untouched") {
+    val dirty = "contact bob@example.com or 10.0.0.1 for details"
+    val clean = "no personal data here at all"
+    val dir = writeDocs(Seq((1L, dirty), (2L, clean)))
+    val got = graft.SparkEntry.queries("q_pii_redact")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) == 1L && got(1L).getLong(2) == 1L)
+    assert(got(1L).getString(3) ==
+      md5hex("contact <EMAIL> or <IP> for details"))
+    assert(got(2L).getLong(1) == 0L && got(2L).getLong(2) == 0L)
+    assert(got(2L).getString(3) == md5hex(clean))
+  }
+
+  test("q_chunk: 256/192 windows cover the text; digests match substrings") {
+    // 500 chars -> chunks start at 1, 193, 385 (1-based), lengths
+    // 256/256/116; adjacent chunks overlap by 64 chars
+    val text = (0 until 500).map(i => ('a' + i % 26).toChar).mkString
+    val dir = writeDocs(Seq((7L, text)))
+    val rows = graft.SparkEntry.queries("q_chunk")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(rows.map(_._2).toSeq == Seq(256L, 256L, 116L))
+    assert(rows(0)._3 == md5hex(text.substring(0, 256)))
+    assert(rows(1)._3 == md5hex(text.substring(192, 192 + 256)))
+    assert(rows(2)._3 == md5hex(text.substring(384)))
+    // stride + lengths reconstruct the full text (overlap consistency)
+    assert(192 * 2 + 116 == 500)
+  }
+
+  test("q_chunk: duplicate texts chunk identically via the distinct-content factoring") {
+    val text = "x" * 300
+    val dir = writeDocs(Seq((1L, text), (2L, text)))
+    val rows = graft.SparkEntry.queries("q_chunk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    // both docs present, same chunk set each
+    assert(rows.count(_._1 == 1L) == 2 && rows.count(_._1 == 2L) == 2)
+    assert(rows.filter(_._1 == 1L).map(t => (t._2, t._3)).toSet ==
+      rows.filter(_._1 == 2L).map(t => (t._2, t._3)).toSet)
+  }
+
+  test("q_pack: greedy concatenation cuts at the token budget, in doc order") {
+    // four docs in shard 0 (doc_id % 16 == 0), 300 tokens each; budget
+    // 512 -> offsets 0/300/600/900 -> sequences (0,0,1,1)
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val dir = writeDocs(Seq(0L, 16L, 32L, 48L).map(id => (id, words(300))))
+    val rows = graft.SparkEntry.queries("q_pack")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.toSeq == Seq(
+      (0L, 0L, 2L, 600L, 0L, 16L),
+      (0L, 1L, 2L, 600L, 32L, 48L)))
+  }
+
+  test("q_pack: token totals are conserved across packed sequences") {
+    val texts = Seq((1L, "a b c"), (2L, "d e"), (17L, "f g h i"), (33L, "j"))
+    val dir = writeDocs(texts)
+    val total = texts.map(_._2.split(" ").length.toLong).sum
+    val rows = graft.SparkEntry.queries("q_pack")(spark, dir).collect()
+    assert(rows.map(_.getLong(3)).sum == total)
+    assert(rows.map(_.getLong(2)).sum == texts.length.toLong)
+  }
+
+  test("q_bm25: rare-term doc outranks common-term doc (idf weighting)") {
+    // "dup" appears in ONE doc; "query" in many -> the dup doc must
+    // rank first even though the query-heavy doc has more hits
+    val common = (3L to 20L).map(id => (id, "query alpha beta gamma"))
+    val dir = writeDocs(Seq(
+      (1L, "dup alpha beta gamma"),
+      (2L, "query query query query alpha")) ++ common)
+    val rows = graft.SparkEntry.queries("q_bm25")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.head._1 == 1L, s"rare-term doc must rank first: ${rows.toSeq}")
+    // every scored doc actually contains a probe term
+    assert(rows.forall(_._2 > 0))
+    // scores strictly ordered (ties broken by doc_id)
+    assert(rows.map(_._3).sliding(2).forall(w => w(0) >= w(1)))
+  }
+
+  test("q_vocab_coverage: exact cumulative coverage on a worked example") {
+    val dir = writeDocs(Seq((1L, "a a b"), (2L, "b c")))
+    val rows = graft.SparkEntry.queries("q_vocab_coverage")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // counts: a=2, b=2, c=1; total 5; ties rank alphabetically
+    assert(rows.toSeq == Seq(
+      (1L, "a", 2L, 2L, 0.4),
+      (2L, "b", 2L, 4L, 0.8),
+      (3L, "c", 1L, 5L, 1.0)))
+  }
+
+  test("q_tfidf_source: source-exclusive terms outrank shared terms") {
+    val ss = spark
+    import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tfidocs").toString
+    Seq((1L, "xonly xonly shared", "A"), (2L, "yonly yonly shared", "B"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val rows = graft.SparkEntry.queries("q_tfidf_source")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // rank-1 term of each source is its exclusive word, not "shared"
+    assert(rows.collect { case ("A", 1L, w) => w }.head == "xonly")
+    assert(rows.collect { case ("B", 1L, w) => w }.head == "yonly")
+  }
+
+  test("q_ann_sq8: quantized cosine top-10 matches the exact baseline") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = graft.SparkEntry.queries("q_ann_topk")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val approx = graft.SparkEntry.queries("q_ann_sq8")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    // int8 precision preserves this corpus's ranking exactly; accept
+    // >= 8/10 so a legitimate near-tie flip can't flake the suite
+    assert((exact & approx).size >= 8,
+      s"SQ8 recall too low: exact=$exact approx=$approx")
+  }
+}
