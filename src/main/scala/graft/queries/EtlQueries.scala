@@ -1614,6 +1614,89 @@ object EtlQueries {
         .orderBy("doc_id")
     },
 
+    // Incremental (cross-corpus) dedup: the decision a pipeline makes
+    // when NEW crawl data arrives against an already-trained corpus —
+    // never re-admit what the model has seen. "Seen" is the src0-src9
+    // half of the corpus, incoming is src10-src19; each incoming doc is
+    // dup_exact (digest already in the seen index), dup_near (shares a
+    // MinHash cluster with a seen doc), or new. Reads the SAME memoized
+    // cluster assignment as q_dedup_cluster — the production shape is
+    // one candidate graph serving both the intra-corpus and the
+    // incremental decision. The seen-digest index joins equi-keyed on
+    // the 16-byte digest (at 100 TB this is THE persisted dedup index,
+    // a join not a broadcast); the seen-cluster set is output-bounded.
+    "q_dedup_incr" -> QueryDef(
+      s"""WITH RECURSIVE $clusterCteSql,
+         |sn AS (
+         |  SELECT doc_id, text, CAST(substr(source, 4, 8) AS INTEGER) AS sn
+         |  FROM documents),
+         |seen AS (SELECT DISTINCT text FROM sn WHERE sn < 10),
+         |seenc AS (
+         |  SELECT DISTINCT c.cluster
+         |  FROM clusters c JOIN sn ON sn.doc_id = c.doc_id
+         |  WHERE sn.sn < 10)
+         |SELECT d.doc_id,
+         |  CASE WHEN d.text IN (SELECT text FROM seen) THEN 'dup_exact'
+         |       WHEN c.cluster IN (SELECT cluster FROM seenc) THEN 'dup_near'
+         |       ELSE 'new' END AS verdict
+         |FROM sn d JOIN clusters c ON c.doc_id = d.doc_id
+         |WHERE d.sn >= 10
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), textKey.as("k"),
+        expr("CAST(substr(source, 4, 8) AS INT)").as("sn"))
+      val cl = dedupClusters(s, dir)
+      val seenKeys = d.filter(col("sn") < 10).select("k").distinct()
+        .withColumn("seen_exact", lit(1))
+      val seenClusters = d.filter(col("sn") < 10)
+        .join(cl, "doc_id").select("cluster").distinct()
+        .withColumn("seen_near", lit(1))
+      d.filter(col("sn") >= 10)
+        .join(cl, "doc_id")
+        .join(seenKeys, Seq("k"), "left_outer")
+        .join(seenClusters, Seq("cluster"), "left_outer")
+        .select(col("doc_id"),
+          when(col("seen_exact").isNotNull, "dup_exact")
+            .when(col("seen_near").isNotNull, "dup_near")
+            .otherwise("new").as("verdict"))
+        .orderBy("doc_id")
+    },
+
+    // Mixture weighting: per-source sampling allocation proportional to
+    // tokens^0.75 (the sub-linear upweighting of small sources every
+    // multi-corpus training mix uses) against a fixed token budget.
+    // t^0.75 is computed as sqrt(t * sqrt(t)) — sqrt is an IEEE
+    // exact-rounded op in BOTH engines, where pow(t, 0.75) is a libm
+    // call whose last ulp may differ — then fixed-pointed so the
+    // normalizing total is an exact integer sum (order-independent
+    // across partitions). One tiny aggregate per source; the totals
+    // row broadcasts back.
+    "q_mix_weights" -> QueryDef(
+      s"""WITH t AS (
+         |  SELECT source, CAST(SUM($tokenCountSql) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |w AS (
+         |  SELECT source, n_tokens,
+         |    CAST(ROUND(sqrt(n_tokens * sqrt(n_tokens)) * 1000000, 0) AS BIGINT) AS wq
+         |  FROM t),
+         |tot AS (SELECT SUM(wq) AS tot FROM w)
+         |SELECT source, n_tokens, wq,
+         |  CAST(wq AS DOUBLE) / tot AS share,
+         |  CAST(ROUND(CAST(wq AS DOUBLE) / tot * 1000000, 0) AS BIGINT) AS alloc_tokens
+         |FROM w, tot ORDER BY source""".stripMargin) { (s, dir) =>
+      val t = docs(s, dir).groupBy("source")
+        .agg(sum(tokenCount(col("text"))).as("n_tokens"))
+      val w = t.select(col("source"), col("n_tokens"),
+        round(sqrt(col("n_tokens") * sqrt(col("n_tokens"))) * 1000000, 0)
+          .cast("long").as("wq"))
+      val tot = w.agg(sum("wq").as("tot"))
+      w.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"), col("wq"),
+          (col("wq").cast("double") / col("tot")).as("share"),
+          round(col("wq").cast("double") / col("tot") * 1000000, 0)
+            .cast("long").as("alloc_tokens"))
+        .orderBy("source")
+    },
+
     // Scalar-quantized (SQ8) ANN scoring: a SYMMETRIC int8 quantizer
     // (q = round(v · 127 / gmax), gmax = corpus abs-max — zero maps to
     // zero, so the quantized dot is an unbiased scaled dot product)

@@ -145,6 +145,44 @@ class TrainingExportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.collect { case ("B", 1L, w) => w }.head == "yonly")
   }
 
+  test("q_dedup_incr: exact and transitive-near duplicates of the seen corpus are flagged") {
+    val ss = spark
+    import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("incrdocs").toString
+    val base = Seq.fill(60)("the quick brown fox jumps over the lazy dog").mkString(" ")
+    val tweaked = base.dropRight(3) + "cat"
+    // seen half (src0): base text + an unrelated doc; incoming half
+    // (src10): an exact copy, a near copy (same shingles bar the tail),
+    // and a genuinely new doc
+    Seq((1L, base, "src0"), (2L, "completely unrelated content here", "src0"),
+        (10L, base, "src10"), (11L, tweaked, "src10"),
+        (12L, "x y z totally fresh words nothing shared", "src10"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("q_dedup_incr")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == Set(10L, 11L, 12L), "only incoming docs reported")
+    assert(got(10L) == "dup_exact")
+    assert(got(11L) == "dup_near",
+      s"near-identical repetitive text must share a MinHash band: $got")
+    assert(got(12L) == "new")
+  }
+
+  test("q_mix_weights: tokens^0.75 allocation on a worked example") {
+    val ss = spark
+    import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mixdocs").toString
+    // source A: 16 tokens -> 16^0.75 = 8; source B: 1 token -> 1
+    Seq((1L, Seq.fill(16)("w").mkString(" "), "A"), (2L, "w", "B"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val rows = graft.SparkEntry.queries("q_mix_weights")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(rows("A") == ((16L, 8000000L, 8.0 / 9.0, 888889L)))
+    assert(rows("B") == ((1L, 1000000L, 1.0 / 9.0, 111111L)))
+  }
+
   test("q_ann_sq8: quantized cosine top-10 matches the exact baseline") {
     val dir = "/root/testdata/sf0.001"
     val exact = graft.SparkEntry.queries("q_ann_topk")(spark, dir)
