@@ -1614,6 +1614,97 @@ object EtlQueries {
         .orderBy("doc_id")
     },
 
+    // Unigram-rarity quality score: per-doc mean scaled inverse token
+    // frequency against the corpus unigram distribution — the exact-
+    // arithmetic stand-in for the LM-perplexity filter family (CCNet-
+    // style): a doc whose tokens are, on average, much rarer than the
+    // corpus norm is flagged. A true log-prob perplexity needs libm
+    // log (last-ulp engine-dependent); the inverse-frequency mean
+    // ranks the same tail and stays hash-exact: per-word tot/cnt is
+    // fixed-pointed to an integer so the per-doc sum is exact and
+    // order-independent. The unigram table is vocabulary-bounded and
+    // BROADCASTS; the per-doc aggregate combines map-side.
+    "q_token_rarity" -> QueryDef(
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+         |                                    x -> length(x) > 0)) AS word
+         |  FROM documents),
+         |c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM c),
+         |sif AS (
+         |  SELECT word, CAST(ROUND(tot / cnt * 1000000, 0) AS BIGINT) AS sif
+         |  FROM c, tot),
+         |d AS (
+         |  SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(s.sif) AS BIGINT) AS ssum
+         |  FROM w JOIN sif s USING (word) GROUP BY 1)
+         |SELECT doc_id, n AS n_tokens,
+         |  CAST(ssum AS DOUBLE) / n / 1000000 AS rarity,
+         |  CASE WHEN CAST(ssum AS DOUBLE) / n / 1000000 > 40 THEN 'rare'
+         |       ELSE 'common' END AS verdict
+         |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val words = docs(s, dir).select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
+      val c = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+      val tot = c.agg(sum("cnt").cast("double").as("tot"))
+      val sif = c.crossJoin(broadcast(tot))
+        .select(col("word"),
+          round(col("tot") / col("cnt") * 1000000, 0).cast("long").as("sif"))
+      val rarity = col("ssum").cast("double") / col("n") / 1000000
+      words.join(broadcast(sif), "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), sum("sif").as("ssum"))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          rarity.as("rarity"),
+          when(rarity > 40, "rare").otherwise("common").as("verdict"))
+        .orderBy("doc_id")
+    },
+
+    // End-to-end curation report: the whole batch pipeline — exact
+    // dedup (canonical = min doc_id per digest, read from the SAME
+    // memoized distinct-groups frame every dedup consumer shares) →
+    // quality gate (the q_text_quality rule, verbatim) → per-source
+    // token accounting and packed-sequence yield at the PackBudget.
+    // This is the one-query answer to "what does this crawl contribute
+    // to the training set": one corpus scan, one digest join, one
+    // per-source aggregate — no stage that wouldn't fuse at 100 TB.
+    "q_curate_e2e" -> QueryDef {
+      val stops = s"${occSql("' ' || d.text || ' '", " the ")} + ${occSql("' ' || d.text || ' '", " a ")}"
+      s"""WITH g AS (SELECT MIN(doc_id) AS rid, text FROM documents GROUP BY text),
+         |d AS (
+         |  SELECT d.doc_id, d.source, g.rid,
+         |    CAST(length(d.text) - length(replace(d.text, ' ', '')) + 1 AS BIGINT) AS toks,
+         |    $stops AS stops
+         |  FROM documents d JOIN g ON g.text = d.text),
+         |k AS (
+         |  SELECT source, toks,
+         |    CASE WHEN doc_id = rid AND toks >= 40 AND stops * 5 <= toks
+         |         THEN 1 ELSE 0 END AS keep
+         |  FROM d)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+         |  CAST(SUM(keep * toks) AS BIGINT) AS n_tokens,
+         |  CAST((SUM(keep * toks) + ${PackBudget - 1}) // $PackBudget AS BIGINT) AS n_seqs
+         |FROM k GROUP BY source ORDER BY source""".stripMargin
+    } { (s, dir) =>
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      val stops = occurrences(padded, " the ") + occurrences(padded, " a ")
+      val toks = tokenCount(col("text"))
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("source"), textKey.as("k"),
+          toks.as("toks"), stops.as("stops"))
+        .join(distinctGroups(s, dir).select("k", "rid"), "k")
+      d.select(col("source"), col("toks"),
+          when(col("doc_id") === col("rid") && col("toks") >= 40 &&
+            col("stops") * 5 <= col("toks"), 1L).otherwise(0L).as("keep"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("keep").as("n_kept"),
+          sum(col("keep") * col("toks")).as("n_tokens"))
+        .select(col("source"), col("n_docs"), col("n_kept"), col("n_tokens"),
+          TimeOpsFloorDiv(col("n_tokens") + (PackBudget - 1), PackBudget).as("n_seqs"))
+        .orderBy("source")
+    },
+
     // Incremental (cross-corpus) dedup: the decision a pipeline makes
     // when NEW crawl data arrives against an already-trained corpus —
     // never re-admit what the model has seen. "Seen" is the src0-src9

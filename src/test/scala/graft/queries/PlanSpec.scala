@@ -199,6 +199,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges <= 1, s"only the presentation orderBy may shuffle, got:\n$p")
   }
 
+  test("curation report is one digest join + one map-side-combined aggregate") {
+    val p = plan("q_curate_e2e")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the keep decision must stay equi-keyed on the digest, got:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "map-side combine")
+  }
+
   test("SQ8 ANN broadcasts the quantizer scale and the quantized query") {
     val p = plan("q_ann_sq8")
     assert(!p.contains("SortMergeJoin"),

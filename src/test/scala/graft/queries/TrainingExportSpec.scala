@@ -183,6 +183,35 @@ class TrainingExportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("B") == ((1L, 1000000L, 1.0 / 9.0, 111111L)))
   }
 
+  test("q_token_rarity: rarer-token docs score higher, exact fixed-point mean") {
+    val dir = writeDocs(Seq((1L, "a a a b"), (2L, "a a a a")))
+    // counts: a=7, b=1, tot=8; sif_a = round(8/7*1e6) = 1142857, sif_b = 8e6
+    val rows = graft.SparkEntry.queries("q_token_rarity")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows(1L)._1 == 4L)
+    assert(rows(1L)._2 == (3L * 1142857L + 8000000L).toDouble / 4 / 1000000)
+    assert(rows(2L)._2 == 1142857.0 / 1000000)
+    assert(rows(1L)._2 > rows(2L)._2, "the b-bearing doc is rarer on average")
+  }
+
+  test("q_curate_e2e: dedup + quality keeps flow into per-source token yield") {
+    val ss = spark
+    import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("e2edocs").toString
+    val good = (1 to 50).map(i => s"w$i").mkString(" ") // 50 tokens, passes
+    Seq((1L, good, "A"), (2L, good, "A"), // exact dup: only doc 1 counts
+        (3L, "too short", "A"),           // quality drop
+        (4L, good + " tail", "B"))        // distinct, passes (51 tokens)
+      .toDF("doc_id", "text", "source").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val rows = graft.SparkEntry.queries("q_curate_e2e")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // A: 3 docs in, 1 kept (the canonical copy), 50 tokens, 1 sequence
+    assert(rows("A") == ((3L, 1L, 50L, 1L)))
+    assert(rows("B") == ((1L, 1L, 51L, 1L)))
+  }
+
   test("q_ann_sq8: quantized cosine top-10 matches the exact baseline") {
     val dir = "/root/testdata/sf0.001"
     val exact = graft.SparkEntry.queries("q_ann_topk")(spark, dir)

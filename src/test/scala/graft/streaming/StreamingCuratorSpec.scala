@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming admission gate: exactly-once content admission across
+  * micro-batches, batch-identical quality verdicts, scrub-then-index
+  * dedup identity. */
+class StreamingCuratorSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("streaming-curator-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  // 50 tokens, no stopwords — passes the quality rule
+  private val good = (1 to 50).map(i => s"w$i").mkString(" ")
+  private val good2 = (1 to 50).map(i => s"v$i").mkString(" ")
+
+  test("duplicates are admitted once: within a batch, across batches, min-id canonical") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val ckpt = Files.createTempDirectory("curator-ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingCurator.curate(mem.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("curated")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    // batch 1: same content twice (ids 9, 3) + distinct content
+    mem.addData((9L, good), (3L, good), (5L, good2))
+    q.processAllAvailable()
+    // batch 2: the same content AGAIN from a later crawl
+    mem.addData((20L, good))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("curated").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    // min doc_id wins within the batch; the batch-2 re-arrival is absorbed
+    assert(rows.toSeq == Seq((3L, 50L), (5L, 50L)))
+  }
+
+  test("quality gate matches the batch rule; scrubbed PII forms one dedup identity") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val ckpt = Files.createTempDirectory("curator-ckpt2").toString
+    // two crawls of the same page differing ONLY in the embedded email:
+    // after scrubbing they are the same content and must dedup together
+    val page1 = good + " mail alice@example.com now"
+    val page2 = good + " mail bob@test.org now"
+    val short = "too short" // fails the >= 40 token rule
+    val stopheavy = Seq.fill(60)("the x").mkString(" ") // stops*5 > tokens
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingCurator.curate(mem.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("curated2")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    mem.addData((1L, page1), (2L, short), (3L, stopheavy))
+    q.processAllAvailable()
+    mem.addData((4L, page2))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("curated2").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == 1, s"only the first scrubbed page admits: ${rows.toSeq}")
+    assert(rows.head._1 == 1L)
+    assert(rows.head._2.contains("<EMAIL>") && !rows.head._2.contains("alice"))
+    // the stream's quality verdicts agree with the batch rule
+    assert(StreamingCurator.keepQuality(good))
+    assert(!StreamingCurator.keepQuality(short))
+    assert(!StreamingCurator.keepQuality(stopheavy))
+  }
+}
