@@ -1614,6 +1614,72 @@ object EtlQueries {
         .orderBy("doc_id")
     },
 
+    // Cross-document repeated-substring detection (the signal behind
+    // exact-substring dedup, Lee et al. 2021 "Deduplicating Training
+    // Data Makes Language Models Better"): every 32-token window is
+    // content-hashed and windows appearing in >= 2 distinct docs are
+    // reported. Span rows are linear in corpus tokens (position cap
+    // mirrors the shingle MaxPos bound); the aggregate is keyed by the
+    // 16-byte span hash with map-side combine — the heavy lifting a
+    // suffix-array dedup does with a global sort happens here as one
+    // hash aggregation, which is the shape that scales on a cluster.
+    "q_substring_dup" -> QueryDef(
+      s"""WITH wl AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '),
+         |                             x -> length(x) > 0) AS w
+         |  FROM documents),
+         |sp AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(w[CAST(i AS INTEGER):CAST(i + 31 AS INTEGER)], ' ')) AS h
+         |  FROM wl, generate_series(1, 512) AS g(i)
+         |  WHERE i <= len(w) - 31)
+         |SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+         |FROM sp GROUP BY h
+         |HAVING COUNT(DISTINCT doc_id) >= 2
+         |ORDER BY first_doc, h""".stripMargin) { (s, dir) =>
+      val spans = docs(s, dir)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
+        .filter(size(col("w")) >= 32)
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(1),
+            least(size(col("w")) - 31, lit(512)))).as("i"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", expr("slice(w, i, 32)")).cast("binary")).as("h"))
+      spans.groupBy("h")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_occ"), min("doc_id").as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("first_doc", "h")
+    },
+
+    // Per-label embedding centroids via exact fixed-point sums — the
+    // codebook/centroid-training step an IVF index or a k-means
+    // iteration runs at corpus scale: one explode, one (label, dim)
+    // aggregate with map-side combine, output bounded by
+    // labels × dims. Integer sums make the mean order-independent
+    // across partitions (the float-sum alternative is
+    // partition-order-dependent and can't hash-match).
+    "q_emb_centroid" -> QueryDef(
+      s"""WITH sc AS (
+         |  SELECT label, unnest(range(len(embedding))) AS i,
+         |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * $Scale, 0) AS BIGINT) AS v
+         |  FROM embeddings)
+         |SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
+         |  CAST(SUM(v) AS DOUBLE) / COUNT(*) / $Scale AS centroid
+         |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      emb(s, dir)
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("i", "f")))
+        .select(col("label"), col("i").cast("long").as("i"),
+          round(col("f").cast("double") * Scale, 0).cast("long").as("v"))
+        .groupBy("label", "i")
+        .agg((sum("v").cast("double") / count(lit(1)) / Scale).as("centroid"))
+        .orderBy("label", "i")
+    },
+
     // Unigram-rarity quality score: per-doc mean scaled inverse token
     // frequency against the corpus unigram distribution — the exact-
     // arithmetic stand-in for the LM-perplexity filter family (CCNet-

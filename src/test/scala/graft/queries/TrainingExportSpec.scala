@@ -212,6 +212,36 @@ class TrainingExportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("B") == ((1L, 1L, 51L, 1L)))
   }
 
+  test("q_substring_dup: cross-doc 32-token spans reported, intra-doc repeats are not") {
+    val run = (1 to 32).map(i => s"s$i").mkString(" ")
+    val other = (1 to 32).map(i => s"t$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, run + " x y z"),          // carries the shared run
+      (2L, "p q " + run),            // same run, different doc
+      (3L, other + " " + other)))    // 2 occurrences, ONE doc -> excluded
+    val rows = graft.SparkEntry.queries("q_substring_dup")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.exists { case (h, nd, _, fd) =>
+      h == md5hex(run) && nd == 2L && fd == 1L },
+      s"the shared exact run must be flagged: ${rows.toSeq}")
+    // no reported span belongs only to doc 3
+    assert(rows.forall(_._4 < 3L), s"intra-doc repetition must not report: ${rows.toSeq}")
+  }
+
+  test("q_emb_centroid: exact per-label per-dim means") {
+    val ss = spark
+    import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("centdocs").toString
+    Seq((0L, Seq(1.0f, 3.0f), 7), (1L, Seq(3.0f, 5.0f), 7),
+        (2L, Seq(10.0f, 0.0f), 8))
+      .toDF("vec_id", "embedding", "label").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val rows = graft.SparkEntry.queries("q_emb_centroid")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rows((7L, 0L)) == 2.0 && rows((7L, 1L)) == 4.0)
+    assert(rows((8L, 0L)) == 10.0 && rows((8L, 1L)) == 0.0)
+  }
+
   test("q_ann_sq8: quantized cosine top-10 matches the exact baseline") {
     val dir = "/root/testdata/sf0.001"
     val exact = graft.SparkEntry.queries("q_ann_topk")(spark, dir)
