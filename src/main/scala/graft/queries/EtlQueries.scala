@@ -82,9 +82,18 @@ object EtlQueries {
   private val VocabTopK = 64
   /** PII patterns kept to character classes only ([.] instead of \. )
     * so the SAME literal is a valid Java regex (Spark) and RE2 regex
-    * (DuckDB) with no escape-layer divergence. */
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
-  private val Ipv4Re = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+    * (DuckDB) with no escape-layer divergence. Shared with the
+    * streaming admission gate ([[graft.streaming.StreamingCurator]])
+    * so stream and batch scrub identically by construction. */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+  /** Quality-rule constants (q_text_quality / q_curate_e2e / the
+    * streaming gate): minimum token count, stopword patterns, and the
+    * stops·mult ≤ tokens bound — ONE definition so the batch and
+    * streaming verdicts cannot drift. */
+  private[graft] val QualityMinTokens = 40
+  private[graft] val QualityStopMult = 5
+  private[graft] val QualityStops = Seq(" the ", " a ")
 
   /** 2-universal MinHash lane arithmetic: lane_i = (a·h1 + b·h2 + c) mod
     * LaneP with (h1, h2) two 32-bit words of ONE md5 per shingle.
@@ -981,24 +990,26 @@ object EtlQueries {
 
     // Quality scoring: length/token/stopword features + a rule label.
     "q_text_quality" -> QueryDef {
-      val stops = s"${occSql("' ' || text || ' '", " the ")} + ${occSql("' ' || text || ' '", " a ")}"
+      val stops = QualityStops.map(p => occSql("' ' || text || ' '", p)).mkString(" + ")
       s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
          |  $tokenCountSql AS n_tokens,
          |  CAST($stops AS BIGINT) AS n_stop,
          |  CAST($stops AS DOUBLE) / $tokenCountSql AS stop_ratio,
-         |  CASE WHEN $tokenCountSql >= 40 AND ($stops) * 5 <= $tokenCountSql
+         |  CASE WHEN $tokenCountSql >= $QualityMinTokens
+         |        AND ($stops) * $QualityStopMult <= $tokenCountSql
          |       THEN 'keep' ELSE 'drop' END AS quality
          |FROM documents ORDER BY doc_id""".stripMargin
     } { (s, dir) =>
       val padded = concat(lit(" "), col("text"), lit(" "))
-      val stops = occurrences(padded, " the ") + occurrences(padded, " a ")
+      val stops = QualityStops.map(occurrences(padded, _)).reduce(_ + _)
       val toks = tokenCount(col("text"))
       docs(s, dir).select(col("doc_id"),
           length(col("text")).cast("long").as("n_chars"),
           toks.as("n_tokens"),
           stops.as("n_stop"),
           (stops.cast("double") / toks).as("stop_ratio"),
-          when(toks >= 40 && stops * 5 <= toks, "keep").otherwise("drop").as("quality"))
+          when(toks >= QualityMinTokens && stops * QualityStopMult <= toks,
+            "keep").otherwise("drop").as("quality"))
         .orderBy("doc_id")
     },
 
@@ -1383,23 +1394,35 @@ object EtlQueries {
 
     // BM25 keyword retrieval (Robertson-Spärck Jones): the quality-
     // ranking primitive a data pipeline uses to score documents against
-    // a probe query (e.g. "educational value" seed terms). idf is kept
-    // as the raw Robertson ratio (N - df + 0.5)/(df + 0.5) — a
-    // per-term monotone transform of the usual log form, so the
-    // ranking is identical while the arithmetic stays inside exact-
-    // rounded IEEE ops (no libm log whose last ulp may differ across
-    // engines). Term frequencies come from the replace-length trick —
-    // a pure SCAN, no tokenize/explode/shuffle; the corpus statistics
-    // (N, avgdl, df per term) reduce to ONE row that cross-joins back
-    // broadcast, so the whole query is scan → broadcast → project →
-    // top-k: at 100 TB it reads the corpus exactly twice (once for
-    // stats, once for scoring) and shuffles only the k winners.
+    // a probe query (e.g. "educational value" seed terms). idf is the
+    // raw Robertson ratio (N - df + 0.5)/(df + 0.5) rather than its
+    // log: per term this is a monotone (rank-preserving) function of
+    // df — always positive, like Lucene's shifted idf — but the
+    // MULTI-term sum is a different aggregate than log-idf BM25, so
+    // near-ties between docs matching different term subsets can order
+    // differently than textbook BM25 (a doc heavy in common probe
+    // terms is rewarded more). That is the deliberate trade for
+    // engine-exact arithmetic: every op here is exact-rounded IEEE
+    // (+,-,*,/), where libm log's last ulp is engine-dependent and
+    // would break the bit-level oracle. Term frequencies come from the
+    // replace-length trick — a pure SCAN, no tokenize/explode/shuffle;
+    // the corpus statistics (N, avgdl, df per term) reduce to ONE row
+    // that cross-joins back broadcast, so the whole query is scan →
+    // broadcast → project → top-k: at 100 TB it reads the corpus
+    // exactly twice (once for stats, once for scoring) and shuffles
+    // only the k winners.
     "q_bm25" -> QueryDef {
       val tfSql = Bm25Terms.zipWithIndex.map { case (t, i) =>
         s"    ${occSql("' ' || text || ' '", s" $t ")} AS tf$i" }.mkString(",\n")
+      // CAST(tf AS DOUBLE) everywhere tf meets a fractional literal:
+      // DuckDB types 2.2 as DECIMAL and BIGINT*DECIMAL stays exact
+      // decimal — a DIFFERENT number than Spark's fl(tf)·fl(2.2)
+      // double product (bit-divergent in ~1/3 of probed inputs).
+      // Forcing the operand to DOUBLE makes both engines evaluate the
+      // identical IEEE expression tree.
       val scoreSql = Bm25Terms.indices.map { i =>
-        s"(n - df$i + 0.5) / (df$i + 0.5) * (tf$i * 2.2) / " +
-          s"(tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))" }.mkString("\n  + ")
+        s"(n - df$i + 0.5) / (df$i + 0.5) * (CAST(tf$i AS DOUBLE) * 2.2) / " +
+          s"(CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))" }.mkString("\n  + ")
       val dfSql = Bm25Terms.indices.map { i =>
         s"    CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i" }
         .mkString(",\n")
@@ -1446,11 +1469,15 @@ object EtlQueries {
 
     // TF-IDF characteristic terms per source — the per-subcorpus
     // signature report a mixing pipeline reads when weighting sources.
-    // idf here is the raw #sources/df ratio (monotone ≡ log form, same
-    // exact-arithmetic rationale as q_bm25). tf aggregates with map-
-    // side combine keyed (source, term); df is vocabulary-bounded so
-    // its join side broadcasts; the rank window partitions by source —
-    // no single-partition stage anywhere.
+    // idf here is the SHIFTED ratio (#sources - df)/df: like log idf
+    // it is ZERO for corpus-wide terms — a stopword present in every
+    // source can never top a source's signature, which the raw
+    // #sources/df ratio got wrong (a high-tf universal term would
+    // outrank a source-exclusive one) — and it stays inside exact-
+    // rounded IEEE arithmetic, which libm log would not. tf aggregates
+    // with map-side combine keyed (source, term); df is vocabulary-
+    // bounded so its join side broadcasts; the rank window partitions
+    // by source — no single-partition stage anywhere.
     "q_tfidf_source" -> QueryDef(
       s"""WITH w AS (
          |  SELECT source, unnest(list_filter(string_split(text, ' '),
@@ -1462,9 +1489,9 @@ object EtlQueries {
          |ns AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS s FROM documents)
          |SELECT source, rank, word, tf, df, score FROM (
          |  SELECT tf.source, tf.word, tf.tf, df.df,
-         |    tf.tf * ns.s / df.df AS score,
+         |    tf.tf * (ns.s - df.df) / df.df AS score,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.source
-         |      ORDER BY tf.tf * ns.s / df.df DESC, tf.word ASC) AS BIGINT) AS rank
+         |      ORDER BY tf.tf * (ns.s - df.df) / df.df DESC, tf.word ASC) AS BIGINT) AS rank
          |  FROM tf JOIN df USING (word), ns)
          |WHERE rank <= 5
          |ORDER BY source, rank""".stripMargin) { (s, dir) =>
@@ -1473,10 +1500,11 @@ object EtlQueries {
       val tf = words.groupBy("source", "word").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
       val ns = docs(s, dir).agg(countDistinct("source").cast("double").as("s"))
+      val score = col("tf") * (col("s") - col("df")) / col("df")
       val rankW = Window.partitionBy("source")
-        .orderBy((col("tf") * col("s") / col("df")).desc, col("word").asc)
+        .orderBy(score.desc, col("word").asc)
       tf.join(broadcast(df), "word").crossJoin(broadcast(ns))
-        .withColumn("score", col("tf") * col("s") / col("df"))
+        .withColumn("score", score)
         .withColumn("rank", row_number().over(rankW).cast("long"))
         .filter(col("rank") <= 5)
         .select("source", "rank", "word", "tf", "df", "score")
@@ -1596,21 +1624,30 @@ object EtlQueries {
     // Java regex and an RE2 regex; the synthetic corpus is PII-free
     // (counts 0, digest = digest of the unchanged text) and
     // TrainingExportSpec proves the detection/redaction semantics on
-    // a fixture that does carry PII. Pure per-row scan — no shuffle.
+    // a fixture that does carry PII. n_ip is counted on the
+    // EMAIL-REDACTED text — the same text the IP replacement runs
+    // on — so counts and fingerprint always reconcile (an IPv4 inside
+    // a matched email is consumed by <EMAIL>, and is neither counted
+    // nor doubly redacted). Pure per-row scan — no shuffle.
     "q_pii_redact" -> QueryDef(
-      s"""SELECT doc_id,
+      s"""WITH r AS (
+         |  SELECT doc_id, text,
+         |    regexp_replace(text, '$EmailRe', '<EMAIL>', 'g') AS t1
+         |  FROM documents)
+         |SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_email,
-         |  CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ip,
-         |  md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
-         |      '$Ipv4Re', '<IP>', 'g')) AS redacted_fp
-         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      docs(s, dir).select(col("doc_id"),
+         |  CAST(len(regexp_extract_all(t1, '$Ipv4Re')) AS BIGINT) AS n_ip,
+         |  md5(regexp_replace(t1, '$Ipv4Re', '<IP>', 'g')) AS redacted_fp
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .withColumn("t1", regexp_replace(col("text"), EmailRe, "<EMAIL>"))
+        .select(col("doc_id"),
           size(expr(s"regexp_extract_all(text, '$EmailRe', 0)"))
             .cast("long").as("n_email"),
-          size(expr(s"regexp_extract_all(text, '$Ipv4Re', 0)"))
+          size(expr(s"regexp_extract_all(t1, '$Ipv4Re', 0)"))
             .cast("long").as("n_ip"),
-          md5(regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
-            Ipv4Re, "<IP>").cast("binary")).as("redacted_fp"))
+          md5(regexp_replace(col("t1"), Ipv4Re, "<IP>").cast("binary"))
+            .as("redacted_fp"))
         .orderBy("doc_id")
     },
 

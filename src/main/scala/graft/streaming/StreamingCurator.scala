@@ -4,10 +4,24 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.GroupStateTimeout
 
+import graft.queries.EtlQueries
+
 /** Streaming corpus curation: the dedup/quality/PII admission gate a
   * training-data pipeline runs ON INGEST, before anything lands in the
   * corpus store — the streaming counterpart of the batch operators
   * (`q_dedup_exact`/`q_dedup_keep`, `q_text_quality`, `q_pii_redact`).
+  *
+  * Ordering contract: the scrub runs FIRST, so the gate's dedup
+  * identity is the digest of the SCRUBBED text — a re-crawl of one
+  * page differing only in a rotating email/IP deduplicates to one
+  * admission. Because this gate runs before the store, the corpus the
+  * BATCH operators later scan contains only scrubbed text, and their
+  * raw-text digests coincide with the gate's identity by construction
+  * (the batch pipeline never sees un-scrubbed bytes). The regex
+  * patterns and quality-rule constants are the SAME vals the batch
+  * queries interpolate ([[EtlQueries.EmailRe]]/[[EtlQueries.Ipv4Re]],
+  * `QualityMinTokens`/`QualityStopMult`/`QualityStops`), so the two
+  * paths cannot drift independently.
   *
   * Scale shape: the dedup state is ONE tiny record per distinct
   * content digest (16-byte key + first-id + count), partitioned by the
@@ -15,7 +29,10 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   * the state lives in the state store (RocksDB-backed on a real
   * cluster) and each micro-batch shuffles once on the digest, the same
   * movement the batch pipeline pays. Quality + scrub are stateless
-  * per-row projections that fuse into the same stage.
+  * per-row projections that fuse into the same stage, and the
+  * per-digest fold is a single O(n)/O(1)-memory pass (a hot duplicate
+  * crawled millions of times in one micro-batch never buffers its
+  * copies).
   */
 object StreamingCurator {
 
@@ -29,8 +46,9 @@ object StreamingCurator {
   private[streaming] def tokenCountOf(text: String): Long =
     text.count(_ == ' ').toLong + 1
 
-  /** The batch quality rule (q_text_quality), verbatim: >= 40 tokens
-    * and stopword occurrences no more than a fifth of them. */
+  /** The batch quality rule (q_text_quality), from the SAME constants:
+    * >= QualityMinTokens tokens and stopword occurrences no more than
+    * 1/QualityStopMult of them. */
   private[streaming] def keepQuality(text: String): Boolean = {
     val padded = " " + text + " "
     // replace-length occurrence count — the IDENTICAL arithmetic the
@@ -39,29 +57,28 @@ object StreamingCurator {
     def occ(pat: String): Int =
       (padded.length - padded.replace(pat, "").length) / pat.length
     val toks = tokenCountOf(text)
-    val stops = occ(" the ") + occ(" a ")
-    toks >= 40 && stops * 5 <= toks
+    val stops = EtlQueries.QualityStops.map(occ).sum
+    toks >= EtlQueries.QualityMinTokens &&
+      stops * EtlQueries.QualityStopMult <= toks
   }
 
   /** Exact-dedup admission gate + quality filter + PII scrub over a
     * streaming source of (doc_id LONG, text STRING) rows.
     *
     * Emits each distinct (scrubbed, quality-passing) content exactly
-    * once — the FIRST arrival in stream order wins, duplicates across
-    * and within micro-batches are absorbed by per-digest state. The
-    * scrub runs BEFORE the digest so a re-crawl differing only in a
-    * rotating email/IP still deduplicates (the redacted form IS the
-    * content identity, matching the batch pipeline's
-    * scrub-then-index order).
+    * once — the FIRST arrival in stream order wins (min doc_id within
+    * a micro-batch, the batch pipeline's canonical tie-break),
+    * duplicates across and within micro-batches are absorbed by
+    * per-digest state.
     */
   def curate(source: DataFrame): Dataset[Admitted] = {
     val spark = source.sparkSession
     import spark.implicits._
     val scrubbed = source
       .select(col("doc_id").cast("long").as("doc_id"),
-        regexp_replace(regexp_replace(col("text"),
-            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"),
-          "([0-9]{1,3}[.]){3}[0-9]{1,3}", "<IP>").as("text"))
+        regexp_replace(
+          regexp_replace(col("text"), EtlQueries.EmailRe, "<EMAIL>"),
+          EtlQueries.Ipv4Re, "<IP>").as("text"))
       .select(col("doc_id"), col("text"),
         md5(col("text").cast("binary")).as("k"))
       .as[(Long, String, String)]
@@ -70,20 +87,24 @@ object StreamingCurator {
       .flatMapGroupsWithState[SeenDoc, Admitted](
         org.apache.spark.sql.streaming.OutputMode.Append,
         GroupStateTimeout.NoTimeout) { case (_, rows, state) =>
-        // micro-batch rows for one digest arrive unordered; the batch
-        // pipeline's tie-break (min doc_id = canonical) applies within
-        // the batch, stream order across batches
-        val sorted = rows.toSeq.sortBy(_._1)
-        val head = sorted.head
+        // single O(1)-memory pass: track the min-id row and the count —
+        // identical content shares one text, so keeping only the
+        // current minimum never drops information
+        var minId = Long.MaxValue
+        var minText: String = null
+        var n = 0L
+        rows.foreach { case (id, text, _) =>
+          if (id < minId) { minId = id; minText = text }
+          n += 1
+        }
         state.getOption match {
           case Some(seen) =>
-            state.update(SeenDoc(seen.firstId, seen.dupes + sorted.size))
+            state.update(SeenDoc(seen.firstId, seen.dupes + n))
             Iterator.empty
           case None =>
-            state.update(SeenDoc(head._1, (sorted.size - 1).toLong))
-            if (keepQuality(head._2))
-              Iterator.single(
-                Admitted(head._1, head._2, tokenCountOf(head._2)))
+            state.update(SeenDoc(minId, n - 1))
+            if (keepQuality(minText))
+              Iterator.single(Admitted(minId, minText, tokenCountOf(minText)))
             else Iterator.empty
         }
       }
