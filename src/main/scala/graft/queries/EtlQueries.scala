@@ -1676,18 +1676,29 @@ object EtlQueries {
          |FROM sp GROUP BY h
          |HAVING COUNT(DISTINCT doc_id) >= 2
          |ORDER BY first_doc, h""".stripMargin) { (s, dir) =>
-      val spans = docs(s, dir)
-        .select(col("doc_id"),
+      // factored over distinct content: spans are a pure function of
+      // the text, so each DISTINCT text is windowed once and its
+      // multiplicity nm rides along as a count — n_docs = Σ nm over
+      // groups containing the span (every member doc contains it),
+      // n_occ = Σ nm·(occurrences within the text), first_doc =
+      // min(rid) (rid IS the min member id). Identical output to the
+      // direct per-doc form the oracle computes; compute ∝ distinct
+      // content + output, so a duplicate-heavy corpus (the replica
+      // probe, the crawled-corpus norm) pays nothing for its copies.
+      val g = distinctGroups(s, dir)
+      val spans = g
+        .select(col("rid"), col("nm"),
           expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
         .filter(size(col("w")) >= 32)
-        .select(col("doc_id"), col("w"),
+        .select(col("rid"), col("nm"), col("w"),
           explode(sequence(lit(1),
             least(size(col("w")) - 31, lit(512)))).as("i"))
-        .select(col("doc_id"),
+        .select(col("rid"), col("nm"),
           md5(concat_ws(" ", expr("slice(w, i, 32)")).cast("binary")).as("h"))
-      spans.groupBy("h")
-        .agg(countDistinct("doc_id").as("n_docs"),
-          count(lit(1)).as("n_occ"), min("doc_id").as("first_doc"))
+      spans.groupBy("rid", "nm", "h").agg(count(lit(1)).as("c"))
+        .groupBy("h")
+        .agg(sum("nm").as("n_docs"),
+          sum(col("nm") * col("c")).as("n_occ"), min("rid").as("first_doc"))
         .filter(col("n_docs") >= 2)
         .orderBy("first_doc", "h")
     },
@@ -1746,21 +1757,32 @@ object EtlQueries {
          |  CASE WHEN CAST(ssum AS DOUBLE) / n / 1000000 > 40 THEN 'rare'
          |       ELSE 'common' END AS verdict
          |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val words = docs(s, dir).select(col("doc_id"),
+      // factored over distinct content twice: the unigram table counts
+      // each distinct text once with its multiplicity nm as a weight
+      // (Σ nm·occ ≡ the direct per-occurrence count — the model MUST
+      // see duplication, and does, without re-scanning the copies),
+      // and the per-doc score — a pure function of the text given the
+      // broadcast table — is computed once per distinct text and
+      // re-keyed by digest ([[perDistinctText]]).
+      val g = distinctGroups(s, dir)
+      val repWords = g.select(col("nm"),
         explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
-      val c = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+      val c = repWords.groupBy("word").agg(sum("nm").as("cnt"))
       val tot = c.agg(sum("cnt").cast("double").as("tot"))
       val sif = c.crossJoin(broadcast(tot))
         .select(col("word"),
           round(col("tot") / col("cnt") * 1000000, 0).cast("long").as("sif"))
       val rarity = col("ssum").cast("double") / col("n") / 1000000
-      words.join(broadcast(sif), "word")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n"), sum("sif").as("ssum"))
-        .select(col("doc_id"), col("n").as("n_tokens"),
-          rarity.as("rarity"),
-          when(rarity > 40, "rare").otherwise("common").as("verdict"))
-        .orderBy("doc_id")
+      perDistinctText(s, dir) { reps =>
+        reps.select(col("doc_id"),
+            explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
+          .join(broadcast(sif), "word")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n"), sum("sif").as("ssum"))
+          .select(col("doc_id"), col("n").as("n_tokens"),
+            rarity.as("rarity"),
+            when(rarity > 40, "rare").otherwise("common").as("verdict"))
+      }.orderBy("doc_id")
     },
 
     // End-to-end curation report: the whole batch pipeline — exact
