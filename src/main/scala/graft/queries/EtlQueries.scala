@@ -59,6 +59,24 @@ object EtlQueries {
   /** Embedding fixed-point scale: values ~[-1,1]; 1e6 keeps 64-dim dot
     * products far inside Long range while making sums order-independent. */
   private val Scale = 1000000L
+  /** Spherical k-means geometry for SemDeDup / IVF: cluster count,
+    * the within-cluster near-duplicate threshold (the same cosine bar
+    * the LSH dedup family uses), and the IVF probe fan-out. k is the
+    * 100 TB knob: cluster size ≈ N/k bounds the within-cluster
+    * pairwise stage, so k grows with the corpus (SemDeDup used 50k
+    * clusters over LAION) while assignment stays one projection over
+    * k plan-constant centroids. */
+  private val KMeansK = 8
+  /** SemDeDup prune bar. Must sit ABOVE the within-cluster background
+    * correlation: k-means groups vectors by direction, so cluster
+    * members correlate with the centroid and hence each other — at the
+    * LSH dedup family's 0.2 bar the prune removes 87% of this corpus
+    * (background, not duplication). 0.3 clears the baseline (measured
+    * within-cluster max 0.47, median ≪ 0.2) and prunes the genuinely
+    * redundant tail. */
+  private val SemDedupTau = 0.3
+  private val KmIvfProbes = 2
+  private val KmIvfTopK = 10
   /** Karp-Rabin rolling-hash base and modulus. */
   private val RollB = 131L
   private val RollM = 1000000007L
@@ -216,9 +234,9 @@ object EtlQueries {
     * trees for the JVM's life — then computes-if-absent for the live
     * one. The maps stay a handful of entries (one per live session ×
     * fixture), so the sweep is a few pointer checks. */
-  private def fixtureMemo(
-      map: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame],
-      s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
+  private def fixtureMemo[T](
+      map: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), T],
+      s: SparkSession, dir: String)(build: => T): T = {
     val it = map.keySet.iterator()
     while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     map.computeIfAbsent((s, dir), _ => build)
@@ -524,6 +542,82 @@ object EtlQueries {
           round(col("v") * 127 / col("gmax"), 0).cast("long").as("q"))
         .localCheckpoint()
     }
+
+  /** Trained spherical-k-means artifacts of the fixture's embeddings —
+    * the final QUANTIZED centroids after two fixed Lloyd passes
+    * (deterministic init: cluster = vec_id % k) and the converged
+    * (vec_id, cluster) assignment — memoized per (session, fixture) by
+    * the SQ8 argument: a coarse quantizer trains ONCE per corpus (at
+    * 100 TB the centroids and assignment persist as the index files)
+    * and every consumer (SemDeDup pruning, IVF probing) reads the
+    * trained artifacts instead of re-running the Lloyd passes. */
+  private val kmCentMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      Seq[graft.etl.KMeans.Centroid]]
+  private def kmeansCentroids(s: SparkSession, dir: String)
+      : Seq[graft.etl.KMeans.Centroid] =
+    fixtureMemo(kmCentMemo, s, dir) {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val c0 = graft.etl.KMeans.quantizedCentroids(
+        e.withColumn("cluster", col("vec_id") % KMeansK))
+      graft.etl.KMeans.quantizedCentroids(
+        e.withColumn("cluster", graft.etl.KMeans.assign(col("embedding"), c0)))
+    }
+  private val kmAssignMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def kmeansAssignments(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo(kmAssignMemo, s, dir) {
+      emb(s, dir).select(col("vec_id"),
+          graft.etl.KMeans.assign(col("embedding"), kmeansCentroids(s, dir))
+            .as("cluster"))
+        // two longs per row; read by SemDeDup and every IVF probe
+        .localCheckpoint()
+    }
+
+  /** DuckDB mirror of the two fixed Lloyd passes ([[kmeansCentroids]]):
+    * CTE chain sc→norms→a0→(c0,cn0,d0,s0,a1)→(c1,cn1,d1,s1,a2). cN
+    * carries the grid-quantized centroids (`round(sum(v)/n)` — exact
+    * integer sums, one IEEE division, SQL ROUND half-away like
+    * [[graft.functions.FixedPointDot.scale]]); sN the exact-arithmetic
+    * cosines; aN+1 the argmax via `ORDER BY cos DESC, cluster` —
+    * NaN-first under DuckDB's NaN-greatest order, exactly Spark's
+    * NaN-greatest struct `array_max` in [[graft.etl.KMeans.assign]]. */
+  private def kmeansSql: String = {
+    def pass(n: Int, prev: String) =
+      s"""c$n AS (
+         |  SELECT $prev.cluster, sc.i,
+         |    CAST(ROUND(CAST(SUM(sc.v) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS q
+         |  FROM sc JOIN $prev ON $prev.vec_id = sc.vec_id
+         |  GROUP BY $prev.cluster, sc.i),
+         |cn$n AS (SELECT cluster, SUM(q * q) AS cn FROM c$n GROUP BY cluster),
+         |d$n AS (
+         |  SELECT sc.vec_id, c$n.cluster, SUM(sc.v * c$n.q) AS dot
+         |  FROM sc JOIN c$n ON c$n.i = sc.i
+         |  GROUP BY sc.vec_id, c$n.cluster),
+         |s$n AS (
+         |  SELECT d$n.vec_id, d$n.cluster,
+         |    CAST(dot AS DOUBLE) /
+         |      (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cos
+         |  FROM d$n
+         |  JOIN norms ON norms.vec_id = d$n.vec_id
+         |  JOIN cn$n ON cn$n.cluster = d$n.cluster),
+         |a${n + 1} AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY cos DESC, cluster) AS rn
+         |    FROM s$n) t WHERE rn = 1)"""
+        .stripMargin
+    s"""sc AS (
+       |  SELECT vec_id, unnest(range(len(embedding))) AS i,
+       |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * $Scale, 0) AS BIGINT) AS v
+       |  FROM embeddings),
+       |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM sc GROUP BY vec_id),
+       |a0 AS (SELECT vec_id, vec_id % $KMeansK AS cluster FROM embeddings),
+       |${pass(0, "a0")},
+       |${pass(1, "a1")}"""
+      .stripMargin
+  }
 
   /** Banded hyperplane-signature candidates over `base`
     * (vec_id, embedding) + exact fixed-point cosine, one implementation
@@ -1409,6 +1503,124 @@ object EtlQueries {
               sqrt(fixedPointNormSq(col("qemb")).cast("double")))).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(5)
+    },
+
+    // SemDeDup (semantic dedup, Abbas et al. 2023 shape): spherical
+    // k-means coarse-clusters the embeddings, then near-duplicate
+    // pruning runs WITHIN each cluster only — the all-pairs cosine
+    // that is quadratic in the corpus becomes quadratic in a bounded
+    // cluster size (k is the scale knob). Complements the LSH dedup
+    // family: k-means groups by global geometry, so semantically-close
+    // pairs that land in different LSH buckets still meet; pairs split
+    // across cluster boundaries are the documented recall trade every
+    // SemDeDup deployment makes. Keep rule: a vector is dropped iff a
+    // SMALLER-id member of its cluster sits within the cosine bar
+    // (deterministic greedy keep-first; the oracle's NOT isnan guard
+    // documents that a degenerate NaN cosine could never mark a
+    // duplicate — the engine side rejects zero-norm vectors outright
+    // under ANSI division).
+    // Training (two Lloyd passes) is fixture-memoized like the SQ8
+    // codes; the oracle unrolls the identical passes in SQL.
+    "q_semdedup" -> QueryDef(
+      s"""WITH $kmeansSql,
+         |pairs AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b
+         |  FROM a2 x JOIN a2 y
+         |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+         |pd AS (
+         |  SELECT pairs.a, pairs.b, SUM(sa.v * sb.v) AS dot
+         |  FROM pairs
+         |  JOIN sc sa ON sa.vec_id = pairs.a
+         |  JOIN sc sb ON sb.vec_id = pairs.b AND sb.i = sa.i
+         |  GROUP BY pairs.a, pairs.b),
+         |pc AS (
+         |  SELECT pd.b,
+         |    CAST(dot AS DOUBLE) /
+         |      (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cos
+         |  FROM pd
+         |  JOIN norms na ON na.vec_id = pd.a
+         |  JOIN norms nb ON nb.vec_id = pd.b),
+         |dropped AS (
+         |  SELECT DISTINCT b FROM pc
+         |  WHERE cos >= $SemDedupTau AND NOT isnan(cos))
+         |SELECT a2.vec_id, a2.cluster,
+         |  a2.vec_id NOT IN (SELECT b FROM dropped) AS kept
+         |FROM a2 ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
+      val a = kmeansAssignments(s, dir)
+      val withE = a.join(emb(s, dir).select("vec_id", "embedding"), "vec_id")
+      val dropped = withE
+        .select(col("cluster"), col("vec_id").as("a"), col("embedding").as("ea"))
+        .join(withE.select(col("cluster"), col("vec_id").as("b"),
+          col("embedding").as("eb")), "cluster")
+        .filter(col("a") < col("b"))
+        .select(col("b"),
+          (fixedPointDot(col("ea"), col("eb")).cast("double") /
+            (sqrt(fixedPointNormSq(col("ea")).cast("double")) *
+              sqrt(fixedPointNormSq(col("eb")).cast("double")))).as("cos"))
+        .filter(col("cos") >= SemDedupTau && !isnan(col("cos")))
+        .select(col("b").as("vec_id")).distinct()
+        .withColumn("dropmark", lit(true))
+      a.join(dropped, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), col("cluster"),
+          col("dropmark").isNull.as("kept"))
+        .orderBy("vec_id")
+    },
+
+    // k-means IVF ANN — the real IVF structure (centroid lists, not
+    // hyperplane buckets): probe the query's nearest `KmIvfProbes`
+    // centroids, exact-rerank only their member lists. Candidate cost
+    // = probes/k of the corpus ON AVERAGE but adapts to geometry
+    // (dense regions get dense lists), vs the hyperplane variant's
+    // fixed bucket fractions. Reads the fixture-memoized trained
+    // centroids + assignment; probe selection stays in-frame (an
+    // 8-row sort), never a driver-side argmax over data.
+    "q_ann_kmivf" -> QueryDef(
+      s"""WITH $kmeansSql,
+         |probe AS (
+         |  SELECT cluster FROM (
+         |    SELECT cluster,
+         |      ROW_NUMBER() OVER (ORDER BY cos DESC, cluster) AS rn
+         |    FROM s1 WHERE vec_id = 0) t
+         |  WHERE rn <= $KmIvfProbes),
+         |cand AS (
+         |  SELECT a2.vec_id FROM a2
+         |  JOIN probe ON probe.cluster = a2.cluster
+         |  WHERE a2.vec_id <> 0),
+         |qv AS (SELECT i, v FROM sc WHERE vec_id = 0),
+         |cd AS (
+         |  SELECT sc.vec_id, SUM(sc.v * qv.v) AS dot
+         |  FROM sc JOIN qv ON qv.i = sc.i
+         |  WHERE sc.vec_id IN (SELECT vec_id FROM cand)
+         |  GROUP BY sc.vec_id),
+         |qn AS (SELECT nn AS qnn FROM norms WHERE vec_id = 0)
+         |SELECT cd.vec_id,
+         |  CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(qnn AS DOUBLE))) AS cos
+         |FROM cd JOIN norms ON norms.vec_id = cd.vec_id, qn
+         |ORDER BY cos DESC, cd.vec_id LIMIT $KmIvfTopK""".stripMargin) { (s, dir) =>
+      import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
+      val cents = kmeansCentroids(s, dir)
+      val qf = emb(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").as("qemb"))
+      val probe = qf.select(explode(array(cents.map(c =>
+          struct(graft.etl.KMeans.cosineTo(col("qemb"), c).as("cos"),
+            lit(c.id).as("cluster"))): _*)).as("p"))
+        .select(col("p.cos").as("cos"), col("p.cluster").as("cluster"))
+        .orderBy(col("cos").desc, col("cluster"))
+        .limit(KmIvfProbes)
+        .select("cluster")
+      kmeansAssignments(s, dir)
+        .join(broadcast(probe), "cluster")
+        .filter(col("vec_id") =!= 0)
+        .join(emb(s, dir).select("vec_id", "embedding"), "vec_id")
+        .crossJoin(broadcast(qf))
+        .select(col("vec_id"),
+          (fixedPointDot(col("embedding"), col("qemb")).cast("double") /
+            (sqrt(fixedPointNormSq(col("embedding")).cast("double")) *
+              sqrt(fixedPointNormSq(col("qemb")).cast("double")))).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(KmIvfTopK)
     },
 
     // ---- Retrieval, corpus statistics & training export ---------------

@@ -1,0 +1,147 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.FixedPointDot
+
+/** Adversarial checks of the deterministic spherical k-means
+  * ([[KMeans]]) and the queries built on it (q_semdedup, q_ann_kmivf):
+  * the quantization contract, NaN-greatest assignment semantics, and a
+  * full independent Scala re-derivation of assignment and the SemDeDup
+  * keep rule from raw data. */
+class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("kmeans-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def emb: DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** The model: exact integer-grid arithmetic mirroring the engine. */
+  private def scaleVec(v: Array[Float]): Array[Long] =
+    v.map(FixedPointDot.scale)
+  private def modelCos(a: Array[Long], b: Array[Long]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val na = a.map(x => x * x).sum
+    val nb = b.map(x => x * x).sum
+    dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  private def collectEmb(): Map[Long, Array[Float]] =
+    emb.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).toArray).toMap
+
+  test("quantizedCentroids: grid means of a hand-built assignment") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (0L, Array(0.5f, -0.25f)),
+      (0L, Array(0.25f, 0.25f)),
+      (3L, Array(-1.0f, 0.0000015f))
+    ).toDF("cluster", "embedding")
+    val cents = KMeans.quantizedCentroids(df).map(c => c.id -> c).toMap
+    assert(cents.keySet == Set(0L, 3L))
+    // cluster 0: mean of (500000, 250000) = 375000; (-250000, 250000) = 0
+    assert(scaleVec(cents(0L).coords).toSeq == Seq(375000L, 0L))
+    // cluster 3: single member; 0.0000015f scales to round(1.5)=2
+    assert(scaleVec(cents(3L).coords).toSeq == Seq(-1000000L, 2L))
+    assert(cents(3L).normSq == 1000000L * 1000000L + 4L)
+  }
+
+  test("assign: nearest centroid by exact cosine; exact ties take the smallest id") {
+    val sp = spark; import sp.implicits._
+    val cents = Seq(
+      KMeans.Centroid(2L, Array(1f, 0f), 1000000L * 1000000L),
+      KMeans.Centroid(5L, Array(0f, 1f), 1000000L * 1000000L))
+    val df = Seq(
+      (1L, Array(0.9f, 0.1f)),   // → 2
+      (2L, Array(-0.1f, 0.8f)),  // → 5
+      (3L, Array(0.5f, 0.5f))    // exactly equidistant → smallest id = 2
+    ).toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"),
+        KMeans.assign(col("embedding"), cents).as("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 5L, 3L -> 2L))
+  }
+
+  test("assign matches a brute-force exact-arithmetic model on the fixture") {
+    val vecs = collectEmb()
+    // train exactly as the queries do: two Lloyd passes from vec_id % 8
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val c0 = KMeans.quantizedCentroids(
+      e.withColumn("cluster", col("vec_id") % 8))
+    val c1 = KMeans.quantizedCentroids(
+      e.withColumn("cluster", KMeans.assign(col("embedding"), c0)))
+    val assigned = e.select(col("vec_id"),
+        KMeans.assign(col("embedding"), c1).as("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned.size == vecs.size)
+    val centScaled = c1.map(c => c.id -> scaleVec(c.coords))
+    assigned.foreach { case (vid, cl) =>
+      val sv = scaleVec(vecs(vid))
+      // model argmax: cos DESC (NaN greatest), id ASC
+      val best = centScaled.map { case (cid, cs) => (modelCos(sv, cs), cid) }
+        .minBy { case (cos, cid) =>
+          (if (cos.isNaN) Double.NegativeInfinity else -cos, cid)
+        }._2
+      assert(cl == best, s"vec $vid: engine=$cl model=$best")
+    }
+  }
+
+  test("q_semdedup keep rule re-derived independently from raw data") {
+    val out = graft.SparkEntry.queries("q_semdedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val vecs = collectEmb()
+    assert(out.length == vecs.size)
+    val cluster = out.map(t => t._1 -> t._2).toMap
+    out.foreach { case (vid, cl, kept) =>
+      val sv = scaleVec(vecs(vid))
+      val hasEarlierDup = vecs.keys.exists { other =>
+        other < vid && cluster(other) == cl && {
+          val cos = modelCos(scaleVec(vecs(other)), sv)
+          !cos.isNaN && cos >= 0.3
+        }
+      }
+      assert(kept == !hasEarlierDup, s"vec $vid kept=$kept")
+    }
+    // non-degenerate on the fixture: something kept AND something dropped
+    assert(out.exists(_._3) && out.exists(!_._3))
+  }
+
+  test("q_ann_kmivf: candidates only from probed clusters, scored like brute force") {
+    val out = graft.SparkEntry.queries("q_ann_kmivf")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(out.nonEmpty && out.length <= 10)
+    assert(out.map(_._2).toSeq.sliding(2).forall {
+      case Seq(a, b) => a >= b; case _ => true
+    })
+    val vecs = collectEmb()
+    val q = scaleVec(vecs(0L))
+    out.foreach { case (vid, cos) =>
+      assert(vid != 0L)
+      assert(cos == modelCos(scaleVec(vecs(vid)), q),
+        s"vec $vid rerank must equal the exact cosine")
+    }
+    // IVF is a subset ranking: every returned score is a true cosine,
+    // and the probe bound keeps candidates ≪ corpus (recall traded)
+    val semdedup = graft.SparkEntry.queries("q_semdedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = out.map { case (vid, _) => semdedup(vid) }.toSet
+    assert(probed.size <= 2, s"results span ${probed.size} clusters > probes")
+  }
+}

@@ -207,6 +207,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "map-side combine")
   }
 
+  test("SemDeDup pairs within clusters only — an equi-join on cluster, never all-pairs") {
+    val p = plan("q_semdedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"within-cluster pairing must be cluster-keyed, got:\n$p")
+  }
+
+  test("k-means IVF broadcasts the probe set and the query row; rerank stays top-k") {
+    val p = plan("q_ann_kmivf")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "probe clusters and query row are broadcast-joined")
+    assert(p.contains("TakeOrderedAndProject"), "rerank must stay top-k")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("SQ8 ANN broadcasts the quantizer scale and the quantized query") {
     val p = plan("q_ann_sq8")
     assert(!p.contains("SortMergeJoin"),
