@@ -1546,24 +1546,49 @@ object EtlQueries {
          |SELECT a2.vec_id, a2.cluster,
          |  a2.vec_id NOT IN (SELECT b FROM dropped) AS kept
          |FROM a2 ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      // Factored over DISTINCT embeddings (the oracle specifies the
+      // direct per-vector rule; this computes the identical booleans):
+      // assignment and pairwise cosines are pure functions of the
+      // embedding, so the within-cluster pairing runs over group REPS
+      // and per-member verdicts follow by algebra —
+      //   drop(v ∈ g) ⟺ (selfCos(g) ≥ τ ∧ v > rid_g)          [in-group
+      //     peer: rid_g < v and identical-vector cosine]
+      //       ∨ (min{rid_g' : repCos(g,g') ≥ τ, same cluster} < v)
+      //     [cross-group peer: g' has a member < v iff its min does]
+      // A duplicate-heavy corpus pays the quadratic-in-cluster-size
+      // stage once per DISTINCT vector (replica-invariant, like the
+      // rest of the dedup family); cluster size stays the k knob.
       import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
-      val a = kmeansAssignments(s, dir)
-      val withE = a.join(emb(s, dir).select("vec_id", "embedding"), "vec_id")
-      val dropped = withE
-        .select(col("cluster"), col("vec_id").as("a"), col("embedding").as("ea"))
-        .join(withE.select(col("cluster"), col("vec_id").as("b"),
+      val cents = kmeansCentroids(s, dir)
+      val g = embGroups(s, dir)
+      val reps = g.select(col("rid"), col("embedding"),
+        graft.etl.KMeans.assign(col("embedding"), cents).as("cluster"))
+      val selfCos = fixedPointDot(col("embedding"), col("embedding")).cast("double") /
+        (sqrt(fixedPointNormSq(col("embedding")).cast("double")) *
+          sqrt(fixedPointNormSq(col("embedding")).cast("double")))
+      val pairCos = fixedPointDot(col("ea"), col("eb")).cast("double") /
+        (sqrt(fixedPointNormSq(col("ea")).cast("double")) *
+          sqrt(fixedPointNormSq(col("eb")).cast("double")))
+      val adjMin = reps
+        .select(col("cluster"), col("rid").as("ra"), col("embedding").as("ea"))
+        .join(reps.select(col("cluster"), col("rid").as("rb"),
           col("embedding").as("eb")), "cluster")
-        .filter(col("a") < col("b"))
-        .select(col("b"),
-          (fixedPointDot(col("ea"), col("eb")).cast("double") /
-            (sqrt(fixedPointNormSq(col("ea")).cast("double")) *
-              sqrt(fixedPointNormSq(col("eb")).cast("double")))).as("cos"))
+        .filter(col("ra") =!= col("rb"))
+        .select(col("ra"), col("rb"), pairCos.as("cos"))
         .filter(col("cos") >= SemDedupTau && !isnan(col("cos")))
-        .select(col("b").as("vec_id")).distinct()
-        .withColumn("dropmark", lit(true))
-      a.join(dropped, Seq("vec_id"), "left_outer")
+        .groupBy("ra").agg(min("rb").as("adjmin"))
+        .withColumnRenamed("ra", "rid")
+      val flags = reps
+        .select(col("rid"), col("cluster"),
+          (selfCos >= SemDedupTau && !isnan(selfCos)).as("selfdup"))
+        .join(adjMin, Seq("rid"), "left_outer")
+      emb(s, dir).join(g.select("embedding", "rid"), "embedding")
+        .select(col("rid"), col("vec_id"))
+        .join(flags, "rid")
         .select(col("vec_id"), col("cluster"),
-          col("dropmark").isNull.as("kept"))
+          not((col("selfdup") && col("vec_id") > col("rid")) ||
+            (col("adjmin").isNotNull && col("adjmin") < col("vec_id")))
+            .as("kept"))
         .orderBy("vec_id")
     },
 
