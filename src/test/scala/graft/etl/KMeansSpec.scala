@@ -123,6 +123,49 @@ class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.exists(_._3) && out.exists(!_._3))
   }
 
+  test("q_semdedup factored algebra ≡ direct rule on a random DUPLICATE-heavy corpus") {
+    // the driver fixtures contain no bit-identical embeddings, so the
+    // factored form's in-group branch (selfdup ∧ id > rid) never fires
+    // there — this corpus makes every factoring branch carry weight
+    val sp = spark; import sp.implicits._
+    val seed = System.nanoTime()
+    info(s"seed=$seed")
+    val rnd = new scala.util.Random(seed)
+    val distinct = Array.fill(40)(Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    // duplicate multiplicities 1..4, shuffled ids so rids are non-trivial
+    val rows = rnd.shuffle(distinct.toSeq.flatMap(v =>
+      Seq.fill(1 + rnd.nextInt(4))(v))).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val dir = java.nio.file.Files.createTempDirectory("semdedup-prop").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    assert(rows.length > distinct.length, "corpus must contain duplicates")
+
+    val out = graft.SparkEntry.queries("q_semdedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == rows.length)
+    val vecs = rows.toMap
+    val cluster = out.map(t => t._1 -> t._2).toMap
+    // identical embeddings must co-cluster (assignment is a pure
+    // function of the vector)
+    rows.groupBy(_._2.toSeq).values.foreach { g =>
+      assert(g.map(r => cluster(r._1)).toSet.size == 1)
+    }
+    var inGroupDrops = 0
+    out.foreach { case (vid, cl, kept) =>
+      val sv = scaleVec(vecs(vid))
+      val dups = rows.filter { case (u, uv) =>
+        u < vid && cluster(u) == cl && {
+          val cos = modelCos(scaleVec(uv), sv)
+          !cos.isNaN && cos >= 0.3
+        }
+      }
+      assert(kept == dups.isEmpty, s"vec $vid kept=$kept (seed=$seed)")
+      if (dups.exists(_._2.toSeq == vecs(vid).toSeq)) inGroupDrops += 1
+    }
+    assert(inGroupDrops > 0, "duplicate groups must exercise the selfdup branch")
+  }
+
   test("q_ann_kmivf: candidates only from probed clusters, scored like brute force") {
     val out = graft.SparkEntry.queries("q_ann_kmivf")(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getDouble(1))
