@@ -98,6 +98,15 @@ object EtlQueries {
   private val PackShards = 16L
   /** Vocabulary coverage report depth (BPE vocab budget planning). */
   private val VocabTopK = 64
+  /** BPE merge-candidate report depth (the first merge-table step of
+    * tokenizer training) and the per-word pair-scan cap (pairs past
+    * position 64 of a pathological unbroken token carry no merge
+    * signal; the cap bounds the explode exactly like MaxPos does for
+    * shingles). */
+  private val BpeTopK = 32
+  private val MaxWordLen = 64
+  /** Length-distribution report: decile count per source. */
+  private val LenNtiles = 10
   /** PII patterns kept to character classes only ([.] instead of \. )
     * so the SAME literal is a valid Java regex (Spark) and RE2 regex
     * (DuckDB) with no escape-layer divergence. Shared with the
@@ -1843,6 +1852,80 @@ object EtlQueries {
         .select(col("rank"), col("word"), col("cnt"), col("cum_cnt"),
           (col("cum_cnt") / col("tot")).as("coverage"))
         .orderBy("rank")
+    },
+
+    // BPE tokenizer training, merge step 1: count adjacent character
+    // pairs across the corpus and rank the merge candidates — the
+    // primitive a BPE trainer iterates (each round merges the top pair
+    // and recounts). The corpus-sized pass is the word-frequency count
+    // (distinct-content-factored like q_vocab_coverage); the pair
+    // explode then runs over the DISTINCT VOCABULARY only — bounded by
+    // vocabulary size × word length, microscopic next to a 100 TB
+    // corpus — with each pair weighted by its word's corpus frequency.
+    // Exact integer counts; rank ties break on the pair string.
+    "q_bpe_merges" -> QueryDef(
+      s"""WITH w AS (
+         |  SELECT unnest(list_filter(string_split(text, ' '),
+         |                            x -> length(x) > 0)) AS word
+         |  FROM documents),
+         |c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+         |p AS (
+         |  SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, cnt
+         |  FROM c, generate_series(1, $MaxWordLen - 1) AS g(i)
+         |  WHERE i <= length(word) - 1),
+         |m AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS cnt FROM p GROUP BY 1),
+         |top AS (SELECT pair, cnt FROM m ORDER BY cnt DESC, pair ASC LIMIT $BpeTopK)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS BIGINT) AS rank,
+         |  pair, cnt
+         |FROM top ORDER BY rank""".stripMargin) { (s, dir) =>
+      val c = distinctGroups(s, dir).select(col("nm"),
+          explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
+        .groupBy("word").agg(sum("nm").as("cnt"))
+      // guard length ≥ 2 BEFORE the sequence: Spark's sequence(1, 0)
+      // yields a DESCENDING [1, 0], not the empty series DuckDB emits;
+      // the MaxWordLen cap matches the oracle's fixed series bound
+      val pairs = c.filter(length(col("word")) >= 2)
+        .select(col("word"), col("cnt"),
+          explode(sequence(lit(1),
+            least(length(col("word")) - 1, lit(MaxWordLen - 1)))).as("i"))
+        .select(expr("substring(word, i, 2)").as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum("cnt").as("cnt"))
+      val ord = Window.orderBy(col("cnt").desc, col("pair").asc)
+      pairs.orderBy(col("cnt").desc, col("pair").asc).limit(BpeTopK)
+        .withColumn("rank", row_number().over(ord).cast("long"))
+        .select("rank", "pair", "cnt").orderBy("rank")
+    },
+
+    // Per-source token-length decile table — the length-distribution
+    // report batch/packing planning reads (sequence budget sizing,
+    // truncation-rate estimates). NTILE over (toks, doc_id) is
+    // deterministic on both engines (same remainder-to-first-buckets
+    // rule, total order); all aggregates are exact integers. One
+    // shuffle (the per-source window sort) + one aggregate; at corpus
+    // scale an exact decile table per source is a sorted pass — the
+    // same cost profile as q_pack's shard windows.
+    "q_len_deciles" -> QueryDef(
+      s"""WITH d AS (
+         |  SELECT source, doc_id, $tokenCountSql AS toks FROM documents),
+         |n AS (
+         |  SELECT source, toks,
+         |    CAST(NTILE($LenNtiles) OVER (PARTITION BY source
+         |      ORDER BY toks, doc_id) AS BIGINT) AS decile
+         |  FROM d)
+         |SELECT source, decile, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(MIN(toks) AS BIGINT) AS min_toks,
+         |  CAST(MAX(toks) AS BIGINT) AS max_toks,
+         |  CAST(SUM(toks) AS BIGINT) AS sum_toks
+         |FROM n GROUP BY source, decile
+         |ORDER BY source, decile""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("source").orderBy(col("toks"), col("doc_id"))
+      docs(s, dir)
+        .select(col("source"), col("doc_id"), tokenCount(col("text")).as("toks"))
+        .withColumn("decile", ntile(LenNtiles).over(w).cast("long"))
+        .groupBy("source", "decile")
+        .agg(count(lit(1)).as("n"), min("toks").as("min_toks"),
+          max("toks").as("max_toks"), sum("toks").as("sum_toks"))
+        .orderBy("source", "decile")
     },
 
     // Context-window chunking: 256-char windows at stride 192 (64-char

@@ -207,6 +207,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "map-side combine")
   }
 
+  test("BPE merge counting: map-side-combined aggregates, top-K stays TakeOrdered") {
+    val p = plan("q_bpe_merges")
+    assert(p.contains("TakeOrderedAndProject"), "merge table must not global-sort")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "map-side combine")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
+  test("length deciles: one window sort per source partition, no joins") {
+    val p = plan("q_len_deciles")
+    assert(p.contains("Window"), "NTILE window present")
+    assert(!p.contains("Join"), s"report must stay join-free, got:\n$p")
+  }
+
   test("SemDeDup pairs within clusters only — an equi-join on cluster, never all-pairs") {
     val p = plan("q_semdedup")
     assert(!p.contains("CartesianProduct") &&

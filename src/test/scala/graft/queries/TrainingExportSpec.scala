@@ -41,6 +41,43 @@ class TrainingExportSpec extends AnyFunSuite with BeforeAndAfterAll {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("q_bpe_merges: pair counts weight by word frequency across duplicates") {
+    // words: aa×4 (duplicated doc), ab×2, b×1, aab×1
+    // pairs: "aa" = 4 (word aa) + 1 (aab) = 5; "ab" = 2 + 1 = 3; b none
+    val dir = writeDocs(Seq(
+      (1L, "aa ab aa"), (2L, "aa ab aa"), (3L, "b aab")))
+    val got = graft.SparkEntry.queries("q_bpe_merges")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, "aa", 5L), (2L, "ab", 3L)))
+  }
+
+  test("q_len_deciles: NTILE remainder-first sizing, exact integer stats") {
+    val ss = spark
+    import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("decdocs").toString
+    def toks(k: Int) = Seq.fill(k)("w").mkString(" ")
+    val rows =
+      (1 to 10).map(k => (k.toLong, toks(k), "ten")) ++
+        (1 to 25).map(k => (100L + k, toks(k), "quarter"))
+    rows.toDF("doc_id", "text", "source").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("q_len_deciles")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // 10 docs → one per decile, min=max=sum=k
+    (1 to 10).foreach(k =>
+      assert(got(("ten", k.toLong)) == ((1L, k.toLong, k.toLong, k.toLong))))
+    // 25 docs → sizes 3,3,3,3,3,2,2,2,2,2 (remainder to the first buckets)
+    val sizes = (1 to 10).map(d => got(("quarter", d.toLong))._1)
+    assert(sizes == Seq(3L, 3L, 3L, 3L, 3L, 2L, 2L, 2L, 2L, 2L))
+    // deciles partition the ordered lengths: 1-3, 4-6, ..., 16-17, ...
+    assert(got(("quarter", 1L)) == ((3L, 1L, 3L, 6L)))
+    assert(got(("quarter", 6L)) == ((2L, 16L, 17L, 33L)))
+    assert(got(("quarter", 10L)) == ((2L, 24L, 25L, 49L)))
+  }
+
   test("q_pii_redact: finds and scrubs emails and IPv4s; clean text untouched") {
     val dirty = "contact bob@example.com or 10.0.0.1 for details"
     val clean = "no personal data here at all"
