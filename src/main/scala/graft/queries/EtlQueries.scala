@@ -1809,6 +1809,54 @@ object EtlQueries {
         .orderBy("source", "rank")
     },
 
+    // N-gram diversity per source — distinct-trigram ratio, the
+    // standard template-and-boilerplate signal a mixing decision reads
+    // next to the repetition filters (a low ratio flags a source whose
+    // documents recombine the same phrases). Factored over distinct
+    // content like q_tfidf_source: trigrams explode once per distinct
+    // text; occurrence totals re-weight by the per-(rep, source)
+    // multiplicities (Σ m·c ≡ the direct count) while the distinct
+    // count is multiplicity-free by definition. Exact integers + one
+    // IEEE division.
+    "q_ngram_diversity" -> QueryDef(
+      s"""WITH wl AS (
+         |  SELECT source, list_filter(string_split(text, ' '),
+         |                             x -> length(x) > 0) AS w
+         |  FROM documents),
+         |base AS (SELECT source, len(w) AS n, w FROM wl),
+         |g AS (
+         |  SELECT source, unnest(list_transform(range(1, n - 1),
+         |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS gram
+         |  FROM base WHERE n >= 3),
+         |agg AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |    CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct
+         |  FROM g GROUP BY 1)
+         |SELECT source, n_grams, n_distinct,
+         |  CAST(n_distinct AS DOUBLE) / n_grams AS distinct_ratio
+         |FROM agg ORDER BY source""".stripMargin) { (s, dir) =>
+      val g = distinctGroups(s, dir)
+      val repGrams = g
+        .select(col("rid"),
+          expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
+        .select(col("rid"), size(col("w")).as("n"), col("w"))
+        .filter(col("n") >= 3)
+        .select(col("rid"), explode(expr(
+          "transform(sequence(0, n - 3), i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))"))
+          .as("gram"))
+        .groupBy("rid", "gram").agg(count(lit(1)).as("c"))
+      val srcMult = docs(s, dir).select(textKey.as("k"), col("source"))
+        .join(g.select("k", "rid"), "k")
+        .groupBy("rid", "source").agg(count(lit(1)).as("m"))
+      repGrams.join(srcMult, "rid")
+        .groupBy("source")
+        .agg(sum(col("m") * col("c")).as("n_grams"),
+          countDistinct("gram").as("n_distinct"))
+        .select(col("source"), col("n_grams"), col("n_distinct"),
+          (col("n_distinct").cast("double") / col("n_grams")).as("distinct_ratio"))
+        .orderBy("source")
+    },
+
     // Vocabulary coverage (Zipf report): top-K terms by corpus
     // frequency with the cumulative fraction of all token occurrences
     // they cover — the curve a BPE vocab-size decision reads. The

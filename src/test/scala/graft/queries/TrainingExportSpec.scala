@@ -78,6 +78,26 @@ class TrainingExportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(("quarter", 10L)) == ((2L, 24L, 25L, 49L)))
   }
 
+  test("q_ngram_diversity: duplicates weight totals but not the distinct count") {
+    val ss = spark
+    import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("divdocs").toString
+    Seq(
+      (1L, "a b c d", "tpl"),   // trigrams: "a b c", "b c d"
+      (2L, "a b c d", "tpl"),   // exact duplicate: +2 occurrences, +0 distinct
+      (3L, "a b c e", "tpl"),   // "a b c" again, "b c e" new
+      (4L, "x y z w", "fresh")  // all distinct
+    ).toDF("doc_id", "text", "source").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("q_ngram_diversity")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // tpl: 6 occurrences ("a b c"×3, "b c d"×2, "b c e"×1), 3 distinct
+    assert(got("tpl") == ((6L, 3L, 3.0 / 6)))
+    assert(got("fresh") == ((2L, 2L, 1.0)))
+  }
+
   test("q_pii_redact: finds and scrubs emails and IPv4s; clean text untouched") {
     val dirty = "contact bob@example.com or 10.0.0.1 for details"
     val clean = "no personal data here at all"
