@@ -50,7 +50,10 @@ object KMeans {
     * plan constants); empty clusters simply produce no centroid.
     * Every quantized coordinate is guarded to round-trip through
     * float exactly (|qc| < 2²³ — µs-scaled unit-ish embeddings are
-    * orders of magnitude inside the bound). */
+    * orders of magnitude inside the bound). Exactness of the mean
+    * also needs |Σ sv| < 2⁵³ per (cluster, dim) so the Long→Double
+    * cast is lossless: ~10⁹ unit-scaled members per cluster; beyond
+    * that, normalize inputs or split clusters (k is the knob). */
   def quantizedCentroids(assigned: DataFrame): Seq[Centroid] = {
     val rows = assigned
       .select(col("cluster"), posexplode(col("embedding")).as(Seq("i", "f")))

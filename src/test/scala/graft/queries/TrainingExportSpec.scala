@@ -58,7 +58,8 @@ class TrainingExportSpec extends AnyFunSuite with BeforeAndAfterAll {
     def toks(k: Int) = Seq.fill(k)("w").mkString(" ")
     val rows =
       (1 to 10).map(k => (k.toLong, toks(k), "ten")) ++
-        (1 to 25).map(k => (100L + k, toks(k), "quarter"))
+        (1 to 25).map(k => (100L + k, toks(k), "quarter")) ++
+        (1 to 3).map(k => (200L + k, toks(k), "tiny")) // fewer docs than tiles
     rows.toDF("doc_id", "text", "source").write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
     val got = graft.SparkEntry.queries("q_len_deciles")(spark, dir)
@@ -76,6 +77,10 @@ class TrainingExportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(("quarter", 1L)) == ((3L, 1L, 3L, 6L)))
     assert(got(("quarter", 6L)) == ((2L, 16L, 17L, 33L)))
     assert(got(("quarter", 10L)) == ((2L, 24L, 25L, 49L)))
+    // fewer docs than tiles: one row per occupied decile, 1..n only
+    (1 to 3).foreach(k =>
+      assert(got(("tiny", k.toLong)) == ((1L, k.toLong, k.toLong, k.toLong))))
+    assert(!got.contains(("tiny", 4L)))
   }
 
   test("q_ngram_diversity: duplicates weight totals but not the distinct count") {
