@@ -868,6 +868,57 @@ object EtlQueries {
         .orderBy("doc_id", "probe_id")
     },
 
+    // Cross-source overlap matrix — which sources copy from each
+    // other, the provenance audit that decides whether dedup must run
+    // ACROSS source boundaries before mixing. Shared-rare-gram counts
+    // per source pair over the SAME df-capped index q_contamination
+    // probes (one build, memoized): the pair join is keyed on the
+    // gram, and the df cap bounds each gram's fan-out to ≤ cap
+    // sources, so the matrix costs Σ_g df_g² ≤ cap · |vocab| — linear
+    // in the gram vocabulary, never sources × corpus. Overlap ratio =
+    // shared / min(|A|, |B|) (exact ints + one IEEE division).
+    "q_source_overlap" -> QueryDef(
+      s"""WITH tg AS (
+         |  SELECT DISTINCT text, substr(text, CAST(p AS INTEGER), 8) AS g
+         |  FROM documents, generate_series(1, $MaxPos, 2) AS s(p)
+         |  WHERE p <= length(text) - 7),
+         |rare AS (SELECT g FROM tg GROUP BY g HAVING COUNT(*) <= $ContamDfCap),
+         |sg AS (
+         |  SELECT DISTINCT d.source, t.g
+         |  FROM tg t JOIN rare ON rare.g = t.g
+         |  JOIN documents d ON d.text = t.text),
+         |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nv FROM sg GROUP BY source),
+         |ov AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(COUNT(*) AS BIGINT) AS shared
+         |  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+         |  GROUP BY a.source, b.source)
+         |SELECT ov.src_a, ov.src_b, ov.shared, za.nv AS na, zb.nv AS nb,
+         |  CAST(ov.shared AS DOUBLE) / LEAST(za.nv, zb.nv) AS overlap
+         |FROM ov
+         |JOIN sz za ON za.source = ov.src_a
+         |JOIN sz zb ON zb.source = ov.src_b
+         |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      val sg = contamPostings(s, dir)
+        .join(docs(s, dir).select(textKey.as("k"), col("source")).distinct(), "k")
+        .select("source", "g").distinct()
+        // sources × rare-gram vocab, three consumers below
+        .localCheckpoint()
+      val sz = sg.groupBy("source").agg(count(lit(1)).as("nv"))
+      sg.select(col("source").as("src_a"), col("g"))
+        .join(sg.select(col("source").as("src_b"), col("g")), "g")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
+        .join(broadcast(sz.select(col("source").as("src_a"),
+          col("nv").as("na"))), "src_a")
+        .join(broadcast(sz.select(col("source").as("src_b"),
+          col("nv").as("nb"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("shared"), col("na"), col("nb"),
+          (col("shared").cast("double") / least(col("na"), col("nb")))
+            .as("overlap"))
+        .orderBy("src_a", "src_b")
+    },
+
     // Stratified deterministic sampling — corpus mixing by language
     // with per-stratum rates (down-weight the dominant language), the
     // reproducible-sample primitive every training-data pipeline needs:

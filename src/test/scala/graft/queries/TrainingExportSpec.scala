@@ -103,6 +103,24 @@ class TrainingExportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("fresh") == ((2L, 2L, 1.0)))
   }
 
+  test("q_source_overlap: copied text links its sources; disjoint sources are absent") {
+    val ss = spark
+    import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ovdocs").toString
+    val t1 = "abcdefghijklmnop" // 5 rare grams (stride 2, p ≤ 9)
+    val t2 = "qrstuvwxyz012345"
+    val t3 = "ABCDEFGHIJKLMNOP"
+    Seq((1L, t1, "a"), (2L, t2, "a"), (3L, t1, "b"), (4L, t3, "c"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("q_source_overlap")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // only (a, b) share grams — the copied t1; c pairs with nobody
+    assert(got.toSeq == Seq(("a", "b", 5L, 10L, 5L, 1.0)))
+  }
+
   test("q_pii_redact: finds and scrubs emails and IPv4s; clean text untouched") {
     val dirty = "contact bob@example.com or 10.0.0.1 for details"
     val clean = "no personal data here at all"
