@@ -29,18 +29,14 @@ import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
   */
 object KMeans {
 
-  /** µs fixed-point scale — must match [[FixedPointDot.scale]]. */
-  val Scale = 1000000L
+  /** µs fixed-point scale — THE shared constant behind
+    * [[FixedPointDot.scale]]. */
+  val Scale: Long = FixedPointDot.Scale
 
   /** One centroid: cluster id, fixed-point-exact float coordinates
     * (scale-rounds back to the integer grid bit-for-bit), and the
     * exact integer squared norm Σ qc². */
   final case class Centroid(id: Long, coords: Array[Float], normSq: Long)
-
-  /** SQL ROUND(x, 0) semantics (half away from zero) — the same
-    * arithmetic as [[FixedPointDot.scale]]'s final step. */
-  private def roundHalf(v: Double): Long =
-    if (v >= 0) math.floor(v + 0.5).toLong else math.ceil(v - 0.5).toLong
 
   /** One Lloyd step's centroids from an assignment frame
     * (`cluster`, `embedding`): per (cluster, dim), the mean of the
@@ -66,7 +62,7 @@ object KMeans {
       val dim = rs.map(_.getInt(1)).max + 1
       val coords = new Array[Float](dim)
       rs.foreach { r =>
-        val q = roundHalf(r.getLong(2).toDouble / r.getLong(3))
+        val q = FixedPointDot.roundHalfAway(r.getLong(2).toDouble / r.getLong(3))
         val f = (q.toDouble / Scale).toFloat
         require(FixedPointDot.scale(f) == q,
           s"centroid coordinate $q exceeds the float-exact fixed-point range")

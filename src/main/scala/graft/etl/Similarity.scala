@@ -66,13 +66,9 @@ object Similarity {
       .reduce(_ + _).cast("long")
 
   /** Cosine of each row's `embedding` against one query vector. */
-  def cosine(df: DataFrame, query: Array[Float]): DataFrame = {
-    val q = typedlit(query)
+  def cosine(df: DataFrame, query: Array[Float]): DataFrame =
     df.withColumn("cos",
-      fixedPointDot(col("embedding"), q).cast("double") /
-        (sqrt(fixedPointNormSq(col("embedding")).cast("double")) *
-          sqrt(fixedPointNormSq(q).cast("double"))))
-  }
+      graft.functions.FixedPointOps.exactCosine(col("embedding"), typedlit(query)))
 
   /** Exact brute-force cosine top-k — the recall-1.0 baseline. */
   def cosineTopK(df: DataFrame, query: Array[Float], k: Int,

@@ -71,15 +71,21 @@ case class FixedPointDot(left: Expression, right: Expression)
 }
 
 object FixedPointDot {
-  /** µs fixed-point scaling of one float: exact float→double widening,
-    * then round half-AWAY-FROM-ZERO — SQL ROUND semantics (Math.round is
-    * half-toward-+inf, which differs on negative .5 values). v ± 0.5 is
-    * exact for |v| < 2^22·1e6-scale magnitudes, so this matches Spark's
-    * BigDecimal HALF_UP path bit-for-bit. */
-  def scale(x: Float): Long = {
-    val v = x.toDouble * 1000000.0
+  /** THE µs fixed-point scale factor — every scaled-integer embedding
+    * computation (this expression, the k-means quantizer, the SQL
+    * oracles' `* 1e6` literals) shares this one constant. */
+  val Scale = 1000000L
+
+  /** Round half-AWAY-FROM-ZERO — SQL ROUND semantics (Math.round is
+    * half-toward-+inf, which differs on negative .5 values). */
+  def roundHalfAway(v: Double): Long =
     if (v >= 0) Math.floor(v + 0.5).toLong else Math.ceil(v - 0.5).toLong
-  }
+
+  /** µs fixed-point scaling of one float: exact float→double widening,
+    * then [[roundHalfAway]]. v ± 0.5 is exact for |v| < 2^22·1e6-scale
+    * magnitudes, so this matches Spark's BigDecimal HALF_UP path
+    * bit-for-bit. */
+  def scale(x: Float): Long = roundHalfAway(x.toDouble * Scale)
 }
 
 object FixedPointOps {
@@ -90,6 +96,18 @@ object FixedPointOps {
 
   /** Exact fixed-point squared norm. */
   def fixedPointNormSq(a: Column): Column = fixedPointDot(a, a)
+
+  /** THE exact-arithmetic cosine tree every oracle-matched embedding
+    * query shares: integer dot and norms, then the one IEEE shape
+    * `CAST(dot) / (sqrt(CAST(nnA)) * sqrt(CAST(nnB)))` the DuckDB SQL
+    * mirrors evaluate — operand order and cast placement are part of
+    * the bit-parity contract, so they live in exactly one place. */
+  def exactCosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    fixedPointDot(a, b).cast("double") /
+      (sqrt(fixedPointNormSq(a).cast("double")) *
+        sqrt(fixedPointNormSq(b).cast("double")))
+  }
 
   /** Register `fixed_point_dot` for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -58,7 +58,7 @@ object EtlQueries {
   private val LangIdTrainMod = 8
   /** Embedding fixed-point scale: values ~[-1,1]; 1e6 keeps 64-dim dot
     * products far inside Long range while making sums order-independent. */
-  private val Scale = 1000000L
+  private val Scale = graft.functions.FixedPointDot.Scale
   /** Spherical k-means geometry for SemDeDup / IVF: cluster count,
     * the within-cluster near-duplicate threshold (the same cosine bar
     * the LSH dedup family uses), and the IVF probe fan-out. k is the
@@ -633,16 +633,14 @@ object EtlQueries {
     * for the pair and representative forms (SQL mirror:
     * [[embcosPairsSql]]). Emits (a, b, cos) above `threshold`. */
   private def cosinePairs(base: DataFrame, threshold: Double): DataFrame = {
-    import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
+    import graft.functions.FixedPointOps.{exactCosine, fixedPointDot, fixedPointNormSq}
     val cand = graft.etl.Similarity.candidatePairs(
       base.select("vec_id", "embedding"), bands = 2, bits = 8, dim = 64)
     cand
       .join(base.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
       .join(base.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
       .select(col("a"), col("b"),
-        (fixedPointDot(col("ea"), col("eb")).cast("double") /
-          (sqrt(fixedPointNormSq(col("ea")).cast("double")) *
-            sqrt(fixedPointNormSq(col("eb")).cast("double")))).as("cos"))
+        exactCosine(col("ea"), col("eb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -1384,15 +1382,13 @@ object EtlQueries {
       // native codegen'd fixed-point dot (graft.functions.FixedPointDot):
       // same arithmetic as the oracle's scaled-int unnest/join, one fused
       // loop per row instead of interpreted lambdas + array allocs
-      import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
+      import graft.functions.FixedPointOps.{exactCosine, fixedPointDot, fixedPointNormSq}
       val base = emb(s, dir)
       val q = base.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
       base.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
-          (fixedPointDot(col("embedding"), col("qemb")).cast("double") /
-            (sqrt(fixedPointNormSq(col("embedding")).cast("double")) *
-              sqrt(fixedPointNormSq(col("qemb")).cast("double")))).as("cos"))
+          exactCosine(col("embedding"), col("qemb")).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
     },
@@ -1439,16 +1435,13 @@ object EtlQueries {
       // ∝ distinct vectors + output (359 s → output-bound at the 100×
       // replica, SCALE.md). Keys are the raw array — codegen-hashed in
       // the exchange; see the note above replacing embKey.
-      import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
+      import graft.functions.FixedPointOps.{exactCosine, fixedPointDot, fixedPointNormSq}
       val g = embGroups(s, dir)
       val members = emb(s, dir).join(g, "embedding")
         .select(col("rid"), col("vec_id").as("id"))
       val repPairs = embCosPairs(s, dir)
       val selfCos = g.select(col("rid"),
-          (fixedPointDot(col("embedding"), col("embedding")).cast("double") /
-            (sqrt(fixedPointNormSq(col("embedding")).cast("double")) *
-              sqrt(fixedPointNormSq(col("embedding")).cast("double"))))
-            .as("cos"))
+          exactCosine(col("embedding"), col("embedding")).as("cos"))
         .filter(col("cos") >= 0.2)
       expandPairs(members, repPairs, selfCos).orderBy("a", "b")
     },
@@ -1549,7 +1542,7 @@ object EtlQueries {
          |  CAST(dot AS DOUBLE) / (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(qnn AS DOUBLE))) AS cos
          |FROM dots, qn WHERE vec_id <> 0
          |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin) { (s, dir) =>
-      import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
+      import graft.functions.FixedPointOps.{exactCosine, fixedPointDot, fixedPointNormSq}
       val base = emb(s, dir).withColumn("bucket",
         graft.etl.Similarity.hyperplaneBucket(col("embedding"), bits = 8, dim = 64))
       val qrow = base.filter(col("vec_id") === 0)
@@ -1558,9 +1551,7 @@ object EtlQueries {
         .crossJoin(broadcast(qrow))
         .filter(expr("bit_count(bucket ^ qbucket) <= 1"))
         .select(col("vec_id"),
-          (fixedPointDot(col("embedding"), col("qemb")).cast("double") /
-            (sqrt(fixedPointNormSq(col("embedding")).cast("double")) *
-              sqrt(fixedPointNormSq(col("qemb")).cast("double")))).as("cos"))
+          exactCosine(col("embedding"), col("qemb")).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(5)
     },
@@ -1618,17 +1609,13 @@ object EtlQueries {
       // A duplicate-heavy corpus pays the quadratic-in-cluster-size
       // stage once per DISTINCT vector (replica-invariant, like the
       // rest of the dedup family); cluster size stays the k knob.
-      import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
+      import graft.functions.FixedPointOps.{exactCosine, fixedPointDot, fixedPointNormSq}
       val cents = kmeansCentroids(s, dir)
       val g = embGroups(s, dir)
       val reps = g.select(col("rid"), col("embedding"),
         graft.etl.KMeans.assign(col("embedding"), cents).as("cluster"))
-      val selfCos = fixedPointDot(col("embedding"), col("embedding")).cast("double") /
-        (sqrt(fixedPointNormSq(col("embedding")).cast("double")) *
-          sqrt(fixedPointNormSq(col("embedding")).cast("double")))
-      val pairCos = fixedPointDot(col("ea"), col("eb")).cast("double") /
-        (sqrt(fixedPointNormSq(col("ea")).cast("double")) *
-          sqrt(fixedPointNormSq(col("eb")).cast("double")))
+      val selfCos = exactCosine(col("embedding"), col("embedding"))
+      val pairCos = exactCosine(col("ea"), col("eb"))
       val adjMin = reps
         .select(col("cluster"), col("rid").as("ra"), col("embedding").as("ea"))
         .join(reps.select(col("cluster"), col("rid").as("rb"),
@@ -1684,7 +1671,7 @@ object EtlQueries {
          |    (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(qnn AS DOUBLE))) AS cos
          |FROM cd JOIN norms ON norms.vec_id = cd.vec_id, qn
          |ORDER BY cos DESC, cd.vec_id LIMIT $KmIvfTopK""".stripMargin) { (s, dir) =>
-      import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
+      import graft.functions.FixedPointOps.{exactCosine, fixedPointDot, fixedPointNormSq}
       val cents = kmeansCentroids(s, dir)
       val qf = emb(s, dir).filter(col("vec_id") === 0)
         .select(col("embedding").as("qemb"))
@@ -1701,9 +1688,7 @@ object EtlQueries {
         .join(emb(s, dir).select("vec_id", "embedding"), "vec_id")
         .crossJoin(broadcast(qf))
         .select(col("vec_id"),
-          (fixedPointDot(col("embedding"), col("qemb")).cast("double") /
-            (sqrt(fixedPointNormSq(col("embedding")).cast("double")) *
-              sqrt(fixedPointNormSq(col("qemb")).cast("double")))).as("cos"))
+          exactCosine(col("embedding"), col("qemb")).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(KmIvfTopK)
     },

@@ -89,10 +89,12 @@ object Tables {
   def timeSlice(df: DataFrame, lo: Long, hi: Long): DataFrame =
     df.schema("ts_raw").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        // ns-typed raw column: ts ≥ time ≥ lo directly; upper bound is
-        // the µs-truncation superset (time < hi ⇒ ts < hi + 999)
+        // ns-typed raw column: `div` truncates toward zero, so for
+        // NEGATIVE ts the truncated `time` sits above ts — the strict
+        // raw-bound superset is symmetric: time ≥ lo ⇒ ts > lo - 1000,
+        // time < hi ⇒ ts < hi + 999
         df.filter(col("time") >= lo && col("time") < hi &&
-          col("ts_raw") >= lo && col("ts_raw") < hi + 999L)
+          col("ts_raw") >= lo - 999L && col("ts_raw") < hi + 999L)
       case _ =>
         df.filter(col("time") >= lo && col("time") < hi &&
           col("ts_raw") >= ntzLit(Math.floorDiv(lo, 1000L)) &&
