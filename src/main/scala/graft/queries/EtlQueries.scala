@@ -354,6 +354,27 @@ object EtlQueries {
       kGrams0.join(rare, Seq("g"), "left_semi").localCheckpoint()
     }
 
+  /** Word-trigram counts per distinct text — (rid, gram, c) — the
+    * n-gram table the diversity report (and any future LM-style
+    * statistic) reads; pure per-corpus, so memoized and materialized
+    * once like the other distinct-content frames. Corpus-token-sized
+    * but narrow (one row per distinct trigram per distinct text). */
+  private val triGramMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def repTriGrams(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo(triGramMemo, s, dir) {
+      distinctGroups(s, dir)
+        .select(col("rid"),
+          expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
+        .select(col("rid"), size(col("w")).as("n"), col("w"))
+        .filter(col("n") >= 3)
+        .select(col("rid"), explode(expr(
+          "transform(sequence(0, n - 3), i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))"))
+          .as("gram"))
+        .groupBy("rid", "gram").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+    }
+
   /** Plan-guardrail probe ([[graft.queries.PlanSpec]]): the banding
     * pipeline over an arbitrary (doc_id, text) frame, BYPASSING the
     * fixture memo — the memoized frames are materialized RDD scans, so
@@ -1871,20 +1892,10 @@ object EtlQueries {
          |SELECT source, n_grams, n_distinct,
          |  CAST(n_distinct AS DOUBLE) / n_grams AS distinct_ratio
          |FROM agg ORDER BY source""".stripMargin) { (s, dir) =>
-      val g = distinctGroups(s, dir)
-      val repGrams = g
-        .select(col("rid"),
-          expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
-        .select(col("rid"), size(col("w")).as("n"), col("w"))
-        .filter(col("n") >= 3)
-        .select(col("rid"), explode(expr(
-          "transform(sequence(0, n - 3), i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))"))
-          .as("gram"))
-        .groupBy("rid", "gram").agg(count(lit(1)).as("c"))
       val srcMult = docs(s, dir).select(textKey.as("k"), col("source"))
-        .join(g.select("k", "rid"), "k")
+        .join(distinctGroups(s, dir).select("k", "rid"), "k")
         .groupBy("rid", "source").agg(count(lit(1)).as("m"))
-      repGrams.join(srcMult, "rid")
+      repTriGrams(s, dir).join(srcMult, "rid")
         .groupBy("source")
         .agg(sum(col("m") * col("c")).as("n_grams"),
           countDistinct("gram").as("n_distinct"))
