@@ -2,14 +2,14 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{BtrdbQueries, EngineSqlQueries, EtlQueries, QueryDef, RelQueries}
+import graft.queries.{BtrdbQueries, DistillateQueries, EngineSqlQueries, EtlQueries, QueryDef, RelQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   private def all: Map[String, QueryDef] =
     BtrdbQueries.defs ++ RelQueries.defs ++ EtlQueries.defs ++
-      EngineSqlQueries.defs
+      EngineSqlQueries.defs ++ DistillateQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

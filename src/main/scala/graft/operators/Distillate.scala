@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Derived-stream ("distillate") transforms over the point log — the
+  * operator family the reference ecosystem computes as materialized
+  * distillate streams on top of BTrDB (the DISTIL pattern: a derived
+  * stream per input stream, recomputed over changed ranges; the engine
+  * here expresses each as one declarative pass so Catalyst schedules
+  * it as a single per-stream ordered window or one co-partitioned
+  * shuffle).
+  *
+  * Inputs are point frames with (sid LONG, time LONG ns, value DOUBLE).
+  * Every transform is deterministic: window orders break time ties by
+  * value, and all float arithmetic is a single shared expression shape
+  * so the DuckDB oracle evaluates the identical IEEE tree.
+  */
+object Distillate {
+
+  /** Per-stream ordered window. Ties on time are ordered by value so
+    * results are stable under any physical row order. */
+  private def seq(keys: Seq[String]) =
+    Window.partitionBy(keys.map(col): _*).orderBy(col("time"), col("value"))
+
+  /** Rate of change between consecutive points of each stream, in
+    * value-units per second: (v - v_prev) * 1e9 / (t - t_prev).
+    *
+    * Emits one row per point that HAS a predecessor. `rate` is NULL
+    * when the two points share a timestamp (duplicate-µs events —
+    * a 0-ns baseline has no defined slope). `rate_ctr` additionally
+    * treats a value DECREASE as a counter reset (the monotone-counter
+    * convention): NULL instead of a negative artifact spike.
+    *
+    * One shuffle (the per-sid window exchange); at cluster scale each
+    * stream's pass is a single ordered partition sweep — the same
+    * shape the reference's changed-range distillate recompute walks.
+    */
+  def rate(points: DataFrame, keys: Seq[String] = Seq("sid")): DataFrame = {
+    val w = seq(keys)
+    val dv = col("value") - lag("value", 1).over(w)
+    val dt = col("time") - lag("time", 1).over(w)
+    val r = dv * lit(1.0e9) / nullif(dt, lit(0L))
+    points
+      .select(keys.map(col) ++ Seq(col("time"), col("value"),
+        lag("time", 1).over(w).as("pt"), r.as("rate"),
+        when(dv < 0, lit(null)).otherwise(r).as("rate_ctr")): _*)
+      .filter(col("pt").isNotNull)
+      .drop("pt")
+  }
+
+  /** Inter-arrival gaps larger than `thresholdNs` per stream: emits
+    * (keys…, gap_start, gap_end, gap_ns) for each consecutive pair of
+    * points whose spacing exceeds the threshold — the data-outage /
+    * hole-report distillate. Same single-window shape as [[rate]]. */
+  def gaps(points: DataFrame, thresholdNs: Long,
+           keys: Seq[String] = Seq("sid")): DataFrame = {
+    val w = seq(keys)
+    points
+      .select(keys.map(col) ++ Seq(
+        lag("time", 1).over(w).as("gap_start"),
+        col("time").as("gap_end")): _*)
+      .filter(col("gap_start").isNotNull &&
+        col("gap_end") - col("gap_start") > thresholdNs)
+      .withColumn("gap_ns", col("gap_end") - col("gap_start"))
+  }
+
+  /** As-of alignment: for every left row, the most recent right row at
+    * or before its `time` (the reference ecosystem's align-to-driving-
+    * stream distillate step; SQL AS OF join).
+    *
+    * Distributed shape — NO global-order window and NO range join:
+    *  1. both sides bucket into `tileNs` time tiles;
+    *  2. the right side's per-tile LAST value (max (rtime, rvalue)
+    *     struct — value breaks timestamp ties deterministically) is a
+    *     tiny frame (one row per non-empty tile, data-independent
+    *     cardinality ≈ range/tileNs), whose running prefix BEFORE each
+    *     tile becomes the tile's carry-in;
+    *  3. left rows, right rows and (broadcast) carry-ins co-partition
+    *     on the tile for one within-tile ordered window; right rows
+    *     order before left rows at equal time (at-or-before includes
+    *     the same instant).
+    *
+    * One data-scale shuffle (the tile exchange); the only single-
+    * partition window runs over the tile-aggregate frame, which grows
+    * with the TIME RANGE, not the data volume. `tileNs` is the skew
+    * knob: smaller tiles spread hot ranges over more partitions.
+    *
+    * Left columns pass through; the matched right row arrives as
+    * (ref_time, ref_value), NULL before the first right point.
+    */
+  def asOf(left: DataFrame, right: DataFrame, tileNs: Long): DataFrame = {
+    val lcols = left.columns.toSeq
+    val tile = (col("time") / tileNs).cast("long").as("tile")
+
+    val l = left.select(col("*"), tile, lit(1).as("tag"),
+      col("time").as("rtime"), lit(null).cast("double").as("rvalue"))
+    val r = right.select(
+      Seq(tile, lit(0).as("tag"), col("time").as("rtime"),
+        col("value").as("rvalue")) ++
+        lcols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+
+    // Per-tile last right value, then the running prefix STRICTLY
+    // before each tile = the tile's carry-in. Tiles that exist only on
+    // the LEFT side must still receive a carry row, so the prefix runs
+    // over the union of both sides' tile ids. Both windows run over the
+    // tile-aggregate frame only (bounded by range/tileNs, not by rows).
+    val perTile = right
+      .groupBy((col("time") / tileNs).cast("long").as("tile"))
+      .agg(max(struct(col("time").as("rtime"), col("value").as("rvalue")))
+        .as("lastr"))
+    val tiles = l.select("tile").distinct()
+      .unionByName(perTile.select("tile")).distinct()
+    val carry = tiles
+      .join(perTile, Seq("tile"), "left_outer")
+      .select(col("tile"),
+        max("lastr").over(Window.orderBy("tile")
+          .rowsBetween(Window.unboundedPreceding, -1)).as("carry"))
+
+    // Within-tile ordered sweep: last right row at-or-before each row.
+    // Right rows (tag 0) sort before left rows (tag 1) at equal time.
+    val w = Window.partitionBy("tile")
+      .orderBy(col("rtime"), col("tag"), col("rvalue"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionByName(r)
+      .withColumn("seen",
+        last(when(col("tag") === 0, struct(col("rtime"), col("rvalue"))),
+          ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .join(broadcast(carry), Seq("tile"), "left_outer")
+      .withColumn("m", coalesce(col("seen"), col("carry")))
+      .select(lcols.map(col) ++ Seq(
+        col("m.rtime").as("ref_time"),
+        col("m.rvalue").as("ref_value")): _*)
+  }
+
+  /** Zero-order-hold resample: the stream's value held at each grid
+    * instant start, start+step, … (< end) — [[asOf]] with a generated
+    * grid as the left side. The grid is `spark.range`-born (size set by
+    * the query range, not the data), so the only data-scale work is the
+    * right side's tile pass. */
+  def resampleHold(points: DataFrame, start: Long, end: Long, step: Long,
+                   tileNs: Long): DataFrame = {
+    val spark = points.sparkSession
+    val n = Math.max(0L, Math.floorDiv(end - 1 - start, step) + 1)
+    val grid = spark.range(n).select((col("id") * step + start).as("time"))
+    asOf(grid, points, tileNs)
+  }
+}

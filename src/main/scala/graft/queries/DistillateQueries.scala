@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Distillate
+import graft.tables.Tables
+import graft.tables.Tables.{DayNs, T0}
+
+/** Derived-stream ("distillate") queries over the point log — the
+  * rate / gap / alignment family the reference ecosystem computes as
+  * DISTIL distillate streams on top of BTrDB. Each entry pairs the
+  * [[graft.operators.Distillate]] transform with a DuckDB oracle whose
+  * float arithmetic is the same IEEE expression tree (shared literal
+  * shapes; integer time math throughout).
+  */
+object DistillateQueries {
+
+  private val week1 = T0 + 7 * DayNs
+  private val week2 = T0 + 14 * DayNs
+  private val end28 = T0 + 28 * DayNs
+  /** Gap-report threshold: 2 h. At sf0.01 the per-stream median
+    * inter-arrival is ~22 min with a multi-hour tail, so the report is
+    * non-empty but far from all-pairs at every SF. */
+  private val GapNs = 7200000000000L
+  /** Resample grid: 6-hour zero-order-hold steps across the 28 days. */
+  private val StepNs = 21600000000000L
+  private val NGrid = (end28 - T0) / StepNs
+  /** As-of tile width (the skew knob): one day. */
+  private val TileNs = DayNs
+
+  private val P = s"WITH points AS (${Tables.pointsSql})"
+
+  /** The identical IEEE rate expression on both sides:
+    * (v − v_prev) · 1e9 / (t − t_prev), NULL on a 0-ns baseline. */
+  private val rateSql =
+    "(value - pv) * 1000000000.0 / NULLIF(time - pt, 0)"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Rate-of-change distillate: units/second between consecutive
+    // points; rate_ctr treats a decrease as a counter reset (NULL).
+    "q_rate" -> QueryDef(
+      s"""$P, s AS (
+         |  SELECT sid, time, value,
+         |    lag(time)  OVER w AS pt, lag(value) OVER w AS pv
+         |  FROM points WHERE sid = 2 AND time >= $week1 AND time < $week2
+         |  WINDOW w AS (PARTITION BY sid ORDER BY time, value))
+         |SELECT sid, time, value, $rateSql AS rate,
+         |  CASE WHEN value - pv < 0 THEN NULL ELSE $rateSql END AS rate_ctr
+         |FROM s WHERE pt IS NOT NULL ORDER BY time, value""".stripMargin) { (s, dir) =>
+      Distillate.rate(
+        Tables.timeSlice(Tables.points(s, dir), week1, week2)
+          .filter(col("sid") === 2)
+          .select("sid", "time", "value"))
+        .orderBy("time", "value")
+    },
+
+    // Gap report: inter-arrival holes > 2 h, every stream.
+    "q_gaps" -> QueryDef(
+      s"""$P, s AS (
+         |  SELECT sid,
+         |    lag(time) OVER (PARTITION BY sid ORDER BY time, value) AS gap_start,
+         |    time AS gap_end
+         |  FROM points)
+         |SELECT sid, gap_start, gap_end, gap_end - gap_start AS gap_ns
+         |FROM s WHERE gap_start IS NOT NULL AND gap_end - gap_start > $GapNs
+         |ORDER BY sid, gap_start""".stripMargin) { (s, dir) =>
+      Distillate.gaps(
+        Tables.points(s, dir).select("sid", "time", "value"), GapNs)
+        .orderBy("sid", "gap_start")
+    },
+
+    // As-of alignment: stream 2's most recent value at or before each
+    // stream-1 point of the second week (ties: right rows first, then
+    // larger value — both sides spell the same order).
+    "q_asof_align" -> QueryDef(
+      s"""$P, l AS (
+         |  SELECT time, value FROM points
+         |  WHERE sid = 1 AND time >= $week1 AND time < $week2),
+         |r AS (SELECT time, value FROM points WHERE sid = 2),
+         |u AS (
+         |  SELECT time, value, time AS otime, 1 AS tag FROM l
+         |  UNION ALL
+         |  SELECT time, value, time AS otime, 0 AS tag FROM r),
+         |s AS (
+         |  SELECT time, value, tag,
+         |    last_value(CASE WHEN tag = 0 THEN time  END IGNORE NULLS) OVER w AS ref_time,
+         |    last_value(CASE WHEN tag = 0 THEN value END IGNORE NULLS) OVER w AS ref_value
+         |  FROM u WINDOW w AS (
+         |    ORDER BY otime, tag, CASE WHEN tag = 0 THEN value END
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT time, value, ref_time, ref_value FROM s WHERE tag = 1
+         |ORDER BY time, value""".stripMargin) { (s, dir) =>
+      val pts = Tables.points(s, dir)
+      Distillate.asOf(
+        Tables.timeSlice(pts, week1, week2).filter(col("sid") === 1)
+          .select("time", "value"),
+        pts.filter(col("sid") === 2).select("time", "value"),
+        TileNs)
+        .orderBy("time", "value")
+    },
+
+    // Zero-order-hold resample of stream 3 onto a 6-hour grid.
+    "q_resample_hold" -> QueryDef(
+      s"""$P, g AS (
+         |  SELECT $T0 + $StepNs * i AS time FROM range(0, $NGrid) t(i)),
+         |r AS (SELECT time, value FROM points WHERE sid = 3),
+         |u AS (
+         |  SELECT time, time AS otime, 1 AS tag, NULL::DOUBLE AS value FROM g
+         |  UNION ALL
+         |  SELECT NULL, time AS otime, 0 AS tag, value FROM r),
+         |s AS (
+         |  SELECT time, tag,
+         |    last_value(CASE WHEN tag = 0 THEN otime END IGNORE NULLS) OVER w AS ref_time,
+         |    last_value(CASE WHEN tag = 0 THEN value END IGNORE NULLS) OVER w AS ref_value
+         |  FROM u WINDOW w AS (
+         |    ORDER BY otime, tag, CASE WHEN tag = 0 THEN value END
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT time, ref_time, ref_value FROM s WHERE tag = 1
+         |ORDER BY time""".stripMargin) { (s, dir) =>
+      Distillate.resampleHold(
+        Tables.points(s, dir).filter(col("sid") === 3)
+          .select("time", "value"),
+        T0, end28, StepNs, TileNs)
+        .orderBy("time")
+    },
+  )
+}

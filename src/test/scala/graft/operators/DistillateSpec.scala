@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed examples + adversarial edges for the distillate
+  * family: counter resets and duplicate timestamps in [[Distillate.rate]],
+  * threshold strictness in [[Distillate.gaps]], and — the part with the
+  * real failure modes — [[Distillate.asOf]] tile boundaries: a match in
+  * an earlier tile (carry-in), a left tile with NO right rows at all
+  * (the carry row must still exist), equal-timestamp at-or-before
+  * inclusion, and the before-any-right NULL. A brute-force random
+  * equivalence test pins the whole semantics against an O(n·m) model.
+  */
+class DistillateSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("distillate")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def pts(rows: (Long, Long, Double)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("sid", "time", "value")
+  }
+
+  test("rate: units/second, counter reset nulls rate_ctr, dup-ts nulls both") {
+    val df = Distillate.rate(pts(
+      (1L, 0L, 10.0),
+      (1L, 2000000000L, 15.0),  // +5 over 2 s  -> 2.5/s
+      (1L, 3000000000L, 3.0),   // -12 over 1 s -> rate -12, ctr NULL
+      (1L, 3000000000L, 4.0),   // dup ts       -> 0-ns baseline, both NULL
+      (2L, 1000000000L, 1.0),   // other stream: its first point emits nothing
+      (2L, 2000000000L, 2.0)))
+      .orderBy("sid", "time", "value")
+      .collect()
+    assert(df.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 2000000000L), (1L, 3000000000L), (1L, 3000000000L),
+        (2L, 2000000000L)))
+    assert(df(0).getDouble(3) === 2.5 && df(0).getDouble(4) === 2.5)
+    assert(df(1).getDouble(3) === -12.0 && df(1).isNullAt(4))
+    assert(df(2).isNullAt(3) && df(2).isNullAt(4))
+    assert(df(3).getDouble(3) === 1.0)
+  }
+
+  test("gaps: strictly-exceeds threshold, per-stream, reports the pair") {
+    val out = Distillate.gaps(pts(
+      (1L, 0L, 1.0),
+      (1L, 100L, 1.0),   // gap 100 == threshold -> NOT reported
+      (1L, 301L, 1.0),   // gap 201 -> reported
+      (2L, 0L, 1.0),
+      (2L, 500L, 1.0)),  // gap 500 -> reported
+      thresholdNs = 100L)
+      .orderBy("sid", "gap_start")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq === Seq((1L, 100L, 301L, 201L), (2L, 0L, 500L, 500L)))
+  }
+
+  test("asOf: same-tile match, carry across an EMPTY right tile, equal-ts" +
+    " inclusion, before-any-right NULL") {
+    val s = spark
+    import s.implicits._
+    // tile width 100: right rows only in tile 0; left rows probe tiles
+    // 0 (same-tile), 2 (carry across empty tile 1), and a pre-right NULL.
+    val left = Seq(5L, 40L, 250L, -10L).toDF("time")
+    val right = Seq((10L, 1.0), (40L, 2.0), (40L, 3.0)).toDF("time", "value")
+    val out = Distillate.asOf(left, right, tileNs = 100L)
+      .orderBy("time").collect()
+    // -10: before any right point -> NULLs
+    assert(out(0).getLong(0) === -10L && out(0).isNullAt(1) && out(0).isNullAt(2))
+    // 5: tile 0 but before t=10 -> still NULL (within-tile order, not carry)
+    assert(out(1).getLong(0) === 5L && out(1).isNullAt(1))
+    // 40: equal timestamp is INCLUDED; tie among right rows -> larger value
+    assert(out(2).getLong(0) === 40L && out(2).getLong(1) === 40L &&
+      out(2).getDouble(2) === 3.0)
+    // 250: tile 2, right tiles 1 and 2 empty -> carry-in from tile 0
+    assert(out(3).getLong(0) === 250L && out(3).getLong(1) === 40L &&
+      out(3).getDouble(2) === 3.0)
+  }
+
+  test("asOf: randomized equivalence vs the O(n*m) model across tile widths") {
+    val s = spark
+    import s.implicits._
+    val seed = 20260814L
+    info(s"seed = $seed")
+    val rnd = new scala.util.Random(seed)
+    val lt = Seq.fill(120)(rnd.nextLong(10000L) - 2000L)
+    val rt = Seq.fill(90)((rnd.nextLong(10000L) - 2000L, rnd.nextInt(50).toDouble))
+    val model: Map[Long, Option[(Long, Double)]] = lt.map { t =>
+      val cands = rt.filter(_._1 <= t)
+      t -> (if (cands.isEmpty) None else Some(cands.max))
+    }.toMap
+    for (tile <- Seq(7L, 100L, 1000L, 100000L)) {
+      val out = Distillate.asOf(
+        lt.toDF("time"), rt.toDF("time", "value"), tile)
+        .collect()
+      assert(out.length === lt.length, s"tile=$tile")
+      out.foreach { r =>
+        val got = if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2)))
+        assert(got === model(r.getLong(0)), s"tile=$tile t=${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("resampleHold: grid size from the range, held value, leading NULLs") {
+    val out = Distillate.resampleHold(
+      pts((1L, 25L, 7.0), (1L, 130L, 9.0)).select("time", "value"),
+      start = 0L, end = 200L, step = 50L, tileNs = 100L)
+      .orderBy("time").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L, 50L, 100L, 150L))
+    assert(out(0).isNullAt(2))
+    assert(out(1).getDouble(2) === 7.0)
+    assert(out(2).getDouble(2) === 7.0)
+    assert(out(3).getDouble(2) === 9.0)
+  }
+
+  test("resampleHold: empty grid when end <= start") {
+    val out = Distillate.resampleHold(
+      pts((1L, 0L, 1.0)).select("time", "value"),
+      start = 100L, end = 100L, step = 10L, tileNs = 100L)
+    assert(out.count() === 0L)
+  }
+}

@@ -242,4 +242,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
+
+  test("rate/gaps distillates are one per-stream window pass — no joins") {
+    for (q <- Seq("q_rate", "q_gaps")) {
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q: ordered window pass present")
+      assert(!p.contains("Join"), s"$q must stay join-free, got:\n$p")
+    }
+  }
+
+  test("as-of align: tile equi-joins + broadcast carry, never a range join") {
+    for (q <- Seq("q_asof_align", "q_resample_hold")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: the as-of must co-partition on tiles, got:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: the tile carry-in frame must broadcast, got:\n$p")
+    }
+  }
 }
