@@ -291,9 +291,20 @@ object EtlQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def corpusBandPairs(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(bandPairsMemo, s, dir) {
-      minhashBandPairs(distinctGroups(s, dir)
-        .select(col("rid").as("doc_id"), col("text")))
+      bandPairsFromSignatures(repSignatures(s, dir))
         .localCheckpoint()
+    }
+
+  /** The raw 16-lane signature matrix over the distinct-text reps,
+    * memoized per fixture: the candidate graph derives from it, and
+    * the LSH accuracy report reads the lanes themselves — one
+    * shingle-scan per corpus either way. */
+  private val sigMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def repSignatures(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo(sigMemo, s, dir) {
+      minhashSignatures(distinctGroups(s, dir)
+        .select(col("rid").as("doc_id"), col("text")))
     }
 
   /** Per-distinct-text language prediction — (k, pred) — Cavnar-
@@ -393,7 +404,16 @@ object EtlQueries {
     * representative forms (and mirrored term-for-term by
     * [[minhashPairsSql]]); a tuning change must touch exactly one
     * Spark pipeline and one SQL builder. */
-  private def minhashBandPairs(src: DataFrame): DataFrame = {
+  private def minhashBandPairs(src: DataFrame): DataFrame =
+    bandPairsFromSignatures(minhashSignatures(src))
+
+  /** The per-doc 16-lane MinHash signature matrix over `src`
+    * (doc_id, text) — the shingle explode + per-shingle md5 behind it
+    * is the most expensive scan of the dedup family, so the result is
+    * materialized (17 longs per distinct doc) for its consumers: the
+    * band self-join reads it twice, and the LSH accuracy report reads
+    * the raw lanes again. */
+  private def minhashSignatures(src: DataFrame): DataFrame = {
     val sh0 = shinglesOf(src, distinctShingles = false)
     val hs = sh0.select(col("doc_id"), md5(col("sh").cast("binary")).as("m"))
       .select(col("doc_id"),
@@ -402,12 +422,12 @@ object EtlQueries {
     val aggs = laneCoef.zipWithIndex.map { case ((a, b, c), i) =>
       min((col("h1") * a + col("h2") * b + c) % LaneP).as(s"l$i")
     }
-    // the signature matrix is tiny (17 longs per distinct doc) but its
-    // upstream — shingle explode + per-shingle md5 — is the most
-    // expensive scan of the pipeline, and the band self-join below
-    // consumes it TWICE; materialize it so both sides share one pass
-    val mh = hs.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    hs.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .localCheckpoint()
+  }
+
+  /** Band → bucket self-join over a signature matrix. */
+  private def bandPairsFromSignatures(mh: DataFrame): DataFrame = {
     val bandCols = (0 until NumHashes / RowsPerBand).map { g =>
       struct(lit(g).as("band"),
         col(s"l${4 * g}").as("k0"), col(s"l${4 * g + 1}").as("k1"),
@@ -1116,6 +1136,83 @@ object EtlQueries {
         .orderBy("a", "b")
     },
 
+    // LSH accuracy report: for every banded candidate pair, the
+    // MinHash ESTIMATE (equal lanes / 16) against the EXACT shingle-set
+    // Jaccard it estimates, with an integer milli-error — the
+    // measure-don't-guess loop for tuning lanes/bands/threshold at
+    // corpus scale. Reads the memoized signature matrix and candidate
+    // graph; adds only the shingle-set intersection of candidate reps
+    // (output-bounded). err_milli = |est − exact|·1000 truncated: the
+    // numerator is non-negative, so Spark's `div` (toward zero) and
+    // DuckDB's `//` (floor) agree.
+    "q_minhash_acc" -> QueryDef({
+      val nEqSql = (0 until NumHashes)
+        .map(i => s"CASE WHEN ma.l$i = mb.l$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH g AS (
+         |  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         |${minhashPairsSql("g")},
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.a, p.b, COUNT(*) AS nab
+         |  FROM pairs p
+         |  JOIN shingles x ON x.doc_id = p.a
+         |  JOIN shingles y ON y.doc_id = p.b AND y.sh = x.sh
+         |  GROUP BY p.a, p.b),
+         |eq AS (
+         |  SELECT p.a, p.b, $nEqSql AS n_eq
+         |  FROM pairs p JOIN mh ma ON ma.doc_id = p.a
+         |  JOIN mh mb ON mb.doc_id = p.b)
+         |SELECT e.a, e.b, CAST(e.n_eq AS BIGINT) AS n_eq,
+         |  CAST(COALESCE(i.nab, 0) AS BIGINT) AS jac_num,
+         |  CAST(sa.n + sb.n - COALESCE(i.nab, 0) AS BIGINT) AS jac_den,
+         |  CAST(abs(e.n_eq * (sa.n + sb.n - COALESCE(i.nab, 0))
+         |           - $NumHashes * COALESCE(i.nab, 0)) * 1000
+         |    // ($NumHashes * (sa.n + sb.n - COALESCE(i.nab, 0))) AS BIGINT)
+         |    AS err_milli
+         |FROM eq e
+         |LEFT JOIN inter i ON i.a = e.a AND i.b = e.b
+         |JOIN sizes sa ON sa.doc_id = e.a
+         |JOIN sizes sb ON sb.doc_id = e.b
+         |ORDER BY e.a, e.b""".stripMargin
+    }) { (s, dir) =>
+      val pairs = corpusBandPairs(s, dir)
+      val sig = repSignatures(s, dir)
+      val sa = sig.select(col("doc_id").as("a") +:
+        (0 until NumHashes).map(i => col(s"l$i").as(s"la$i")): _*)
+      val sb = sig.select(col("doc_id").as("b") +:
+        (0 until NumHashes).map(i => col(s"l$i").as(s"lb$i")): _*)
+      val nEq = (0 until NumHashes)
+        .map(i => when(col(s"la$i") === col(s"lb$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      // exact shingle-set sizes/intersection priced for candidate reps
+      // only (the same left-semi trim the corpus Jaccard uses)
+      val needed = pairs.select(col("a").as("doc_id"))
+        .unionByName(pairs.select(col("b").as("doc_id"))).distinct()
+      val sh = shinglesOf(distinctGroups(s, dir)
+          .select(col("rid").as("doc_id"), col("text"))
+          .join(needed, Seq("doc_id"), "left_semi"))
+        .localCheckpoint()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = pairs
+        .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+        .groupBy("a", "b").agg(count(lit(1)).as("nab"))
+      val uni = col("na") + col("nb") - col("nab")
+      pairs
+        .join(sa, "a").join(sb, "b")
+        .withColumn("n_eq", nEq)
+        .join(inter, Seq("a", "b"), "left_outer")
+        .na.fill(0L, Seq("nab"))
+        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .select(col("a"), col("b"), col("n_eq"),
+          col("nab").as("jac_num"), uni.as("jac_den"),
+          expr(s"abs(n_eq * (na + nb - nab) - $NumHashes * nab) * 1000" +
+            s" div ($NumHashes * (na + nb - nab))").as("err_milli"))
+        .orderBy("a", "b")
+    },
+
     // ---- Text analysis ------------------------------------------------
 
     // Language-ID: Cavnar-Trenkle character-trigram rank-order profiles
@@ -1366,6 +1463,59 @@ object EtlQueries {
             lit(":"),
             TimeOpsFloorDiv(length(col("text")), 64).cast("string")).cast("binary")).as("fp"))
         .orderBy("doc_id")
+    },
+
+    // Winnowing fingerprint selection (the MOSS scheme): per 8-char
+    // gram position a 32-bit hash; in every window of 8 consecutive
+    // gram hashes select the minimum, rightmost occurrence winning
+    // ties; the distinct selected set is the document's fingerprint
+    // sketch, with the guarantee that any shared substring of length
+    // ≥ w + k − 1 = 15 produces a shared selected hash. The rightmost
+    // tie rule is ENCODED IN THE KEY — min(h·4096 + (4096 − p)) picks
+    // the smallest hash and, among equals, the largest position — so
+    // one windowed MIN does the whole selection (no argmin self-join;
+    // at corpus scale a single per-doc ordered pass). Pure function of
+    // text → priced once per distinct text; the oracle computes the
+    // unfactored form, which re-keys to the same rows.
+    "q_winnow" -> QueryDef(
+      s"""WITH grams AS (
+         |  SELECT doc_id, g.p AS p,
+         |    CAST('0x' || substr(md5(substr(text, CAST(g.p AS INTEGER), 8)), 1, 8)
+         |      AS BIGINT) AS h
+         |  FROM documents, generate_series(1, $MaxPos) AS g(p)
+         |  WHERE g.p <= LEAST(length(text) - 7, $MaxPos)),
+         |wins AS (
+         |  SELECT doc_id, p,
+         |    MIN(h * 4096 + (4096 - p)) OVER (
+         |      PARTITION BY doc_id ORDER BY p
+         |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS sel
+         |  FROM grams),
+         |sel AS (SELECT DISTINCT doc_id, sel FROM wins WHERE p >= 8)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sel,
+         |  CAST(COUNT(DISTINCT sel // 4096) AS BIGINT) AS n_fp,
+         |  CAST(SUM(sel // 4096) AS BIGINT) AS fp_sum
+         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      perDistinctText(s, dir) { reps =>
+        reps
+          // < 8 grams (len < 15) can fill no window — absent, as in the
+          // oracle's p >= 8 guard
+          .filter(length(col("text")) >= 15)
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(1),
+              least(length(col("text")) - 7, lit(MaxPos)))).as("p"))
+          .select(col("doc_id"), col("p"),
+            conv(substring(md5(expr("substring(text, p, 8)").cast("binary")),
+              1, 8), 16, 10).cast("long").as("h"))
+          .withColumn("sel", min(col("h") * 4096L + (lit(4096L) - col("p")))
+            .over(W.partitionBy("doc_id").orderBy("p").rowsBetween(-7, 0)))
+          .filter(col("p") >= 8)
+          .select("doc_id", "sel").distinct()
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sel"),
+            countDistinct(expr("sel div 4096")).as("n_fp"),
+            sum(expr("sel div 4096")).as("fp_sum"))
+      }.orderBy("doc_id")
     },
 
     // ---- Embedding similarity ----------------------------------------

@@ -333,4 +333,73 @@ class TrainingExportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((exact & approx).size >= 8,
       s"SQ8 recall too low: exact=$exact approx=$approx")
   }
+
+  /** Textbook winnowing (Schleimer et al.): per window of 8 gram
+    * hashes select the min, rightmost tie winning; distinct (pos, h)
+    * selections. Independent of the query's key-encoding trick. */
+  private def winnowModel(text: String): Option[(Long, Long, Long)] = {
+    val n = math.min(text.length - 7, 2048)
+    if (n < 8) return None
+    val hs = (1 to n).map(p =>
+      java.lang.Long.parseLong(
+        md5hex(text.substring(p - 1, p + 7)).substring(0, 8), 16))
+    val sel = (8 to n).map { j =>
+      val win = (j - 7 to j).map(p => (hs(p - 1), p))
+      val minH = win.map(_._1).min
+      val p = win.filter(_._1 == minH).map(_._2).max
+      (p, hs(p - 1))
+    }.distinct
+    Some((sel.size.toLong, sel.map(_._2).distinct.size.toLong,
+      sel.map(_._2).sum))
+  }
+
+  test("q_winnow: equivalence with textbook winnowing on random docs") {
+    val seed = 42L
+    info(s"seed = $seed")
+    val rnd = new scala.util.Random(seed)
+    def randText(len: Int) = Seq.fill(len)("ab".charAt(rnd.nextInt(2))).mkString
+    val texts = Seq.tabulate(8)(i => randText(20 + rnd.nextInt(180))) ++
+      Seq(randText(14),          // 7 grams only: absent from the output
+          randText(10), "")      // too short / empty: absent
+    val docsSeq = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) } ++
+      Seq((100L, texts.head))    // duplicate content: same sketch, own row
+    val dir = writeDocs(docsSeq)
+    val got = graft.SparkEntry.queries("q_winnow")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val want = docsSeq.flatMap { case (id, t) => winnowModel(t).map(id -> _) }.toMap
+    assert(got === want)
+    assert(got.contains(100L) && got(100L) === got(1L), "dup doc re-keyed")
+    assert(!got.contains(9L) && !got.contains(10L) && !got.contains(11L))
+  }
+
+  test("q_minhash_acc: exact-Jaccard columns match a set model; error is the stated formula") {
+    val seed = 7L
+    info(s"seed = $seed")
+    val rnd = new scala.util.Random(seed)
+    val base = Seq.fill(300)("abcd".charAt(rnd.nextInt(4))).mkString
+    val near = base.updated(290, 'z').mkString  // tail edit: most lanes equal
+    val far = Seq.fill(300)("wxyz".charAt(rnd.nextInt(4))).mkString
+    val dir = writeDocs(Seq(
+      (1L, base), (2L, near), (3L, far), (4L, base)))  // 4 collapses into 1
+    def shingles(t: String): Set[String] =
+      (1 to math.min(t.length - 7, 2048) by 4).map(p => t.substring(p - 1, p + 7)).toSet
+    val rows = graft.SparkEntry.queries("q_minhash_acc")(spark, dir).collect()
+    assert(rows.nonEmpty, "the near-dup pair must band together")
+    val texts = Map(1L -> base, 2L -> near, 3L -> far)
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a < b && texts.contains(a) && texts.contains(b),
+        s"pair ($a,$b) must be over distinct-text reps")
+      val (sa, sb) = (shingles(texts(a)), shingles(texts(b)))
+      val (num, den) = ((sa & sb).size.toLong, (sa | sb).size.toLong)
+      assert(r.getLong(3) === num && r.getLong(4) === den, s"pair ($a,$b)")
+      val nEq = r.getLong(2)
+      assert(nEq >= 1 && nEq <= 16)
+      assert(r.getLong(5) ===
+        math.abs(nEq * den - 16 * num) * 1000 / (16 * den), s"pair ($a,$b)")
+    }
+    assert(rows.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "the engineered near-dup pair is a candidate")
+  }
 }
