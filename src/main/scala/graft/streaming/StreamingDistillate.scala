@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Streaming form of the distillate family
+  * ([[graft.operators.Distillate]]): rate-of-change and gap detection
+  * over a live point stream, state = ONE (time, value) pair per
+  * stream, carried across micro-batches with
+  * `flatMapGroupsWithState` — the live-monitoring shape of the
+  * reference ecosystem's DISTIL derived streams (there a distillate
+  * process re-derives changed ranges; here arrivals distill as they
+  * land).
+  *
+  * Contract (matches the batch operator exactly on in-order input):
+  * points are consumed in (time, value) order per stream — each
+  * micro-batch is sorted per stream in memory (bounded by the batch,
+  * not the stream), and a point ordering at or below the state's
+  * last-seen (time, value) is DROPPED as late, because its distillate
+  * row was already emitted against a different predecessor (the batch
+  * operator would have re-derived it; a stream cannot retract). On
+  * append-ordered input the emitted rows are bit-identical to
+  * [[graft.operators.Distillate.rate]] over the same prefix:
+  * rate = Δv·1e9/Δt, NULL on a 0-ns baseline (duplicate timestamp,
+  * larger value — kept, but no defined slope), rate_ctr additionally
+  * NULL on a value decrease (counter reset), and is_gap flags a
+  * baseline wider than `gapNs`.
+  */
+object StreamingDistillate {
+
+  /** Distilled row: one per accepted point that has a predecessor. */
+  final case class RatePoint(sid: Long, time: Long, value: Double,
+                             rate: Option[Double], rate_ctr: Option[Double],
+                             is_gap: Boolean)
+
+  /** Last accepted point per stream. */
+  final case class LastPoint(time: Long, value: Double)
+
+  /** `source` must stream (sid, time, value). Use with OutputMode
+    * Append (the helper [[attach]] wires a memory/console-style sink
+    * in specs). */
+  def rateStream(source: DataFrame, gapNs: Long): Dataset[RatePoint] = {
+    val spark = source.sparkSession
+    import spark.implicits._
+    source
+      .select(col("sid").cast("long"), col("time").cast("long"),
+        col("value").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastPoint, RatePoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (sid, rows, state) =>
+          val batch = rows.toSeq.map { case (_, t, v) => (t, v) }
+            .sorted // (time, value) lexicographic — the batch operator's order
+          var last = state.getOption
+          val out = Seq.newBuilder[RatePoint]
+          batch.foreach { case (t, v) =>
+            last match {
+              case Some(LastPoint(pt, pv))
+                  if t < pt || (t == pt && v <= pv) =>
+              // late or duplicate arrival: already distilled past it
+              case Some(LastPoint(pt, pv)) =>
+                val r = if (t == pt) None
+                        else Some((v - pv) * 1.0e9 / (t - pt))
+                out += RatePoint(sid, t, v, r,
+                  if (v - pv < 0) None else r, t - pt > gapNs)
+                last = Some(LastPoint(t, v))
+              case None =>
+                // first point of the stream: nothing to distill yet
+                last = Some(LastPoint(t, v))
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming rate/gap distillate: cross-batch pair bridging through
+  * the one-point state, late-arrival drops, counter resets, duplicate
+  * timestamps — and batch-equivalence: on append-ordered input the
+  * streamed rows must equal [[graft.operators.Distillate.rate]] over
+  * the same data, bit for bit. */
+class StreamingDistillateSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("streaming-distillate-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def run(name: String, gapNs: Long,
+                  batches: Seq[(Long, Long, Double)]*): Array[org.apache.spark.sql.Row] = {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[(Long, Long, Double)]
+    val out = StreamingDistillate.rateStream(
+      mem.toDF().toDF("sid", "time", "value"), gapNs)
+    val q = out.toDF().writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    spark.table(name).orderBy("sid", "time", "value").collect()
+  }
+
+  test("bridges pairs across micro-batches; flags gaps; resets null rate_ctr") {
+    val rows = run("sd1", gapNs = 5000000000L,
+      Seq((1L, 0L, 10.0), (1L, 1000000000L, 12.0)),
+      // next batch: first pair bridges batch 1's last point
+      Seq((1L, 2000000000L, 6.0),            // decrease -> ctr reset
+          (1L, 9000000000L, 7.0)),           // 7 s baseline -> gap
+      Seq((2L, 0L, 1.0)))                    // first point: no emission
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 1000000000L), (1L, 2000000000L), (1L, 9000000000L)))
+    assert(rows(0).getDouble(3) === 2.0 && !rows(0).getBoolean(5))
+    assert(rows(1).getDouble(3) === -6.0 && rows(1).isNullAt(4))
+    assert(rows(2).getDouble(3) === (1.0 * 1e9 / 7000000000L) &&
+      rows(2).getBoolean(5), "7 s > 5 s threshold flags a gap")
+  }
+
+  test("late arrivals drop; duplicate ts in order emits a null-rate row") {
+    val rows = run("sd2", gapNs = Long.MaxValue,
+      Seq((1L, 5000000000L, 1.0)),
+      Seq((1L, 2000000000L, 9.0),            // below state -> dropped
+          (1L, 5000000000L, 0.5),            // same ts, smaller value -> dropped
+          (1L, 5000000000L, 2.0),            // same ts, larger value -> kept, null rate
+          (1L, 6000000000L, 3.0)))
+    assert(rows.map(r => (r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq((5000000000L, 2.0), (6000000000L, 3.0)))
+    assert(rows(0).isNullAt(3) && rows(0).isNullAt(4))
+    assert(rows(1).getDouble(3) === 1.0)
+  }
+
+  test("append-ordered stream equals the batch operator bit-for-bit") {
+    val ss = spark
+    import ss.implicits._
+    val seed = 99L
+    info(s"seed = $seed")
+    val rnd = new scala.util.Random(seed)
+    var t = 0L
+    val data = Seq.fill(60) {
+      t += 1 + rnd.nextInt(2000000000)
+      (rnd.nextInt(3).toLong, t, (rnd.nextInt(400) - 200) / 10.0)
+    }
+    val streamed = run("sd3", gapNs = Long.MaxValue,
+      data.grouped(17).toSeq: _*)
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    val batch = graft.operators.Distillate.rate(
+      data.toDF("sid", "time", "value"))
+      .orderBy("sid", "time", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(streamed.toSeq === batch.toSeq)
+  }
+}
