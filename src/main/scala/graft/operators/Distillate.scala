@@ -135,6 +135,56 @@ object Distillate {
         col("m.rvalue").as("ref_value")): _*)
   }
 
+  /** Stream-correlation matrix: Pearson correlation between every pair
+    * of streams over their ALIGNED-WINDOW mean series — the
+    * find-related-feeds analytic the reference ecosystem runs over
+    * distillate streams (correlated phasor/voltage feeds). Windows of
+    * width 2^pw aligned to the epoch; a pair correlates over the
+    * windows where BOTH streams have data.
+    *
+    * Exactness: each window mean is quantized to floor(mean·100)
+    * (integer "mean cents" — floor of an exact-integer-over-count
+    * division, bit-identical in any engine), and all five Pearson
+    * accumulators are integer sums — order-independent — so the final
+    * double expression tree is the only float arithmetic and any two
+    * engines agree bit-for-bit. NULL for a pair where either series is
+    * constant (zero variance). Integer accumulators assume mean cents
+    * within ~±3e8 (|value| ≲ 3e6 — far beyond the fixture domain);
+    * off-grid values are NULL-skipped by [[StatOps.cents]].
+    *
+    * Scale shape: the aligned aggregation reduces the data to a
+    * (streams × windows) series frame BEFORE any pairing; the pair
+    * join is an equi-join on the window start (per-window fan-out =
+    * streams, the inherent k² of a correlation matrix), and the final
+    * per-pair reduce is a map-side-combined hash aggregate. */
+  def corrMatrix(points: DataFrame, pw: Int, start: Long, end: Long): DataFrame = {
+    val s = graft.core.TimeOps.alignDown(start, pw)
+    val e = graft.core.TimeOps.alignDown(end, pw)
+    val wm = points
+      .filter(col("time") >= s && col("time") < e)
+      .groupBy(col("sid"),
+        graft.core.TimeOps.clampTime(col("time"), pw).as("wstart"))
+      .agg(sum(StatOps.cents(col("value"))).as("sc"), count(lit(1)).as("cnt"))
+      .select(col("sid"), col("wstart"),
+        floor(col("sc").cast("double") / col("cnt")).cast("long").as("mq"))
+    val a = wm.select(col("sid").as("sa"), col("wstart"), col("mq").as("x"))
+    val b = wm.select(col("sid").as("sb"), col("wstart"), col("mq").as("y"))
+    val g = a.join(b, Seq("wstart")).filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val da = col("n") * col("sxx") - col("sx") * col("sx")
+    val db = col("n") * col("syy") - col("sy") * col("sy")
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    g.select(col("sa"), col("sb"), col("n").as("n_win"),
+      when(da === 0 || db === 0, lit(null))
+        .otherwise(num.cast("double") /
+          (sqrt(da.cast("double")) * sqrt(db.cast("double"))))
+        .as("corr_w"))
+  }
+
   /** Zero-order-hold resample: the stream's value held at each grid
     * instant start, start+step, … (< end) — [[asOf]] with a generated
     * grid as the left side. The grid is `spark.range`-born (size set by

@@ -27,6 +27,10 @@ object DistillateQueries {
   private val NGrid = (end28 - T0) / StepNs
   /** As-of tile width (the skew knob): one day. */
   private val TileNs = DayNs
+  /** Correlation-matrix window: 2^42 ns (~73 min) aligned windows. */
+  private val CorrPw = 42
+  private val cs42 = graft.core.TimeOps.alignDown(T0, CorrPw)
+  private val ce42 = graft.core.TimeOps.alignDown(end28, CorrPw)
 
   private val P = s"WITH points AS (${Tables.pointsSql})"
 
@@ -98,6 +102,37 @@ object DistillateQueries {
         pts.filter(col("sid") === 2).select("time", "value"),
         TileNs)
         .orderBy("time", "value")
+    },
+
+    // Stream-correlation matrix: Pearson correlation of every stream
+    // pair over cents-quantized aligned-window mean series. Integer
+    // accumulators; the final double tree is the only float math.
+    "q_stream_corr" -> QueryDef(
+      s"""$P, wm AS (
+         |  SELECT sid, (time >> $CorrPw) << $CorrPw AS wstart,
+         |    CAST(FLOOR(CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS DOUBLE)
+         |      / COUNT(*)) AS BIGINT) AS mq
+         |  FROM points WHERE time >= $cs42 AND time < $ce42
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT a.sid AS sa, b.sid AS sb, a.mq AS x, b.mq AS y
+         |  FROM wm a JOIN wm b ON a.wstart = b.wstart AND a.sid < b.sid),
+         |g AS (
+         |  SELECT sa, sb, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         |    SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+         |  FROM p GROUP BY sa, sb)
+         |SELECT sa, sb, CAST(n AS BIGINT) AS n_win,
+         |  CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN NULL
+         |       ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+         |         / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+         |            * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+         |  END AS corr_w
+         |FROM g ORDER BY sa, sb""".stripMargin) { (s, dir) =>
+      Distillate.corrMatrix(
+        Tables.timeSlice(Tables.points(s, dir), cs42, ce42)
+          .select("sid", "time", "value"),
+        CorrPw, T0, end28)
+        .orderBy("sa", "sb")
     },
 
     // Zero-order-hold resample of stream 3 onto a 6-hour grid.

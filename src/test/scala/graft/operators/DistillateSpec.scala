@@ -126,6 +126,47 @@ class DistillateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3).getDouble(2) === 9.0)
   }
 
+  test("corrMatrix: perfect +/- correlation, constant-series NULL, shared windows only") {
+    // pw=4 → 16-ns windows. Stream 1: means 1,2,3 in windows 0,1,2.
+    // Stream 2 = 2x (corr +1). Stream 3 = -x (corr -1). Stream 4
+    // constant (NULL vs anyone). Stream 5 only in windows 0,1 (n=2).
+    val out = Distillate.corrMatrix(pts(
+      (1L, 0L, 1.0), (1L, 16L, 2.0), (1L, 32L, 3.0),
+      (2L, 1L, 2.0), (2L, 17L, 4.0), (2L, 33L, 6.0),
+      (3L, 2L, -1.0), (3L, 18L, -2.0), (3L, 34L, -3.0),
+      (4L, 3L, 5.0), (4L, 19L, 5.0), (4L, 35L, 5.0),
+      (5L, 4L, 7.0), (5L, 20L, 9.0)),
+      pw = 4, start = 0L, end = 48L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // corr is DETERMINISTIC (integer accumulators; one double tree —
+    // the oracle hash-matches it) but sqrt(da)·sqrt(db) rounds the
+    // last ulp, so a perfect pair lands within 1e-12 of ±1, not at it
+    def near(v: Option[Double], want: Double) =
+      v.exists(x => math.abs(x - want) < 1e-12)
+    assert(out((1L, 2L))._1 === 3L && near(out((1L, 2L))._2, 1.0))
+    assert(out((1L, 3L))._1 === 3L && near(out((1L, 3L))._2, -1.0))
+    assert(out((1L, 4L))._2 === None, "constant series has no correlation")
+    assert(out((1L, 5L))._1 === 2L && near(out((1L, 5L))._2, 1.0),
+      "pairs over SHARED windows only")
+    assert(near(out((2L, 3L))._2, -1.0))
+    assert(out.size === 10)
+  }
+
+  test("corrMatrix: window-mean quantization is floor(mean*100), window-scoped") {
+    // one window, two points -> mean 1.005 -> floor(100.5) = 100 cents;
+    // second window mean -0.015 -> floor(-1.5) = -2: floor, not trunc
+    val out = Distillate.corrMatrix(pts(
+      (1L, 0L, 1.00), (1L, 1L, 1.01), (1L, 16L, -0.01), (1L, 17L, -0.02),
+      (2L, 2L, 1.0), (2L, 18L, 2.0)),
+      pw = 4, start = 0L, end = 32L)
+      .collect()
+    // corr over 2 windows is ±1 whenever both series move; stream 1
+    // moves DOWN (100 -> -2) while stream 2 moves UP -> corr -1
+    assert(out.length === 1)
+    assert(math.abs(out(0).getDouble(3) - (-1.0)) < 1e-12)
+  }
+
   test("resampleHold: empty grid when end <= start") {
     val out = Distillate.resampleHold(
       pts((1L, 0L, 1.0)).select("time", "value"),

@@ -251,6 +251,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("correlation matrix: aligned agg reduces BEFORE the pair join; no cartesian") {
+    val p = plan("q_stream_corr")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pairing must be an equi-join on the window start, got:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "window-mean and per-pair aggregates both map-side combine")
+  }
+
   test("as-of align: tile equi-joins + broadcast carry, never a range join") {
     for (q <- Seq("q_asof_align", "q_resample_hold")) {
       val p = plan(q)
