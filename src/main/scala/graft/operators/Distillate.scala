@@ -197,4 +197,44 @@ object Distillate {
     val grid = spark.range(n).select((col("id") * step + start).as("time"))
     asOf(grid, points, tileNs)
   }
+
+  /** Linear-interpolation resample: at each grid instant g the value
+    * v0 + (v1 − v0)·(g − t0)/(t1 − t0) between the last point at or
+    * before g and the FIRST point strictly after it; NULL strictly
+    * outside [first, last] (no extrapolation). A grid instant hitting
+    * a point exactly returns that point's value — including at the
+    * last point, where no strictly-after neighbor exists.
+    *
+    * Both neighbors come from the same tile-partitioned [[asOf]]: the
+    * strictly-after side runs it on the negated, parity-shifted axis
+    * t ↦ −2t (left probes at −(2g+1)), so "at-or-before" there is
+    * exactly "strictly-after" here and the tie rule (nearest time,
+    * then larger value) is preserved — no second operator to keep
+    * correct. Two tile shuffles + one grid-sized equi-join; still no
+    * range join, no data-sized single-partition window. */
+  def resampleLinear(points: DataFrame, start: Long, end: Long, step: Long,
+                     tileNs: Long): DataFrame = {
+    val spark = points.sparkSession
+    val n = Math.max(0L, Math.floorDiv(end - 1 - start, step) + 1)
+    val grid = spark.range(n).select((col("id") * step + start).as("time"))
+    val prev = asOf(grid, points, tileNs)
+      .select(col("time"), col("ref_time").as("t0"), col("ref_value").as("v0"))
+    val nxt = asOf(
+        grid.select(col("time").as("g"), (col("time") * -2 - 1).as("time")),
+        points.select((col("time") * -2).as("time"), col("value")),
+        tileNs)
+      .select(col("g").as("time"),
+        // −ref_time = 2t exactly (even → zero remainder), so `div`
+        // is exact for either sign of t
+        expr("(-ref_time) div 2").as("t1"), col("ref_value").as("v1"))
+    prev.join(nxt, Seq("time"))
+      .select(col("time"), col("t0").as("prev_time"), col("t1").as("next_time"),
+        // an exact hit returns the sample even at the LAST point,
+        // where no strictly-after neighbor exists
+        when(col("t0") === col("time"), col("v0"))
+          .when(col("t0").isNotNull && col("t1").isNotNull,
+            col("v0") + (col("v1") - col("v0")) * (col("time") - col("t0")) /
+              (col("t1") - col("t0")))
+          .as("v_lerp"))
+  }
 }

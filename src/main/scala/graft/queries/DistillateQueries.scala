@@ -135,6 +135,41 @@ object DistillateQueries {
         .orderBy("sa", "sb")
     },
 
+    // Linear-interpolation resample of stream 5 onto the 6-hour grid:
+    // value between the last point at-or-before and the first strictly
+    // after; NULL outside [first, last]. The shared IEEE tree is
+    // v0 + (v1 − v0)·(g − t0)/(t1 − t0) on both sides.
+    "q_resample_linear" -> QueryDef(
+      s"""$P, g AS (
+         |  SELECT $T0 + $StepNs * i AS time FROM range(0, $NGrid) t(i)),
+         |r AS (SELECT time, value FROM points WHERE sid = 5),
+         |u AS (
+         |  SELECT time, time AS otime, 1 AS tag, NULL::DOUBLE AS value FROM g
+         |  UNION ALL
+         |  SELECT NULL, time AS otime, 0 AS tag, value FROM r),
+         |s AS (
+         |  SELECT time, tag,
+         |    last_value(CASE WHEN tag = 0 THEN otime END IGNORE NULLS) OVER wp AS t0,
+         |    last_value(CASE WHEN tag = 0 THEN value END IGNORE NULLS) OVER wp AS v0,
+         |    first_value(CASE WHEN tag = 0 THEN otime END IGNORE NULLS) OVER wn AS t1,
+         |    first_value(CASE WHEN tag = 0 THEN value END IGNORE NULLS) OVER wn AS v1
+         |  FROM u WINDOW
+         |    wp AS (ORDER BY otime, tag, CASE WHEN tag = 0 THEN value END
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wn AS (ORDER BY otime, tag, CASE WHEN tag = 0 THEN -value END
+         |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+         |SELECT time, t0 AS prev_time, t1 AS next_time,
+         |  CASE WHEN t0 = time THEN v0
+         |       WHEN t0 IS NOT NULL AND t1 IS NOT NULL
+         |       THEN v0 + (v1 - v0) * (time - t0) / (t1 - t0) END AS v_lerp
+         |FROM s WHERE tag = 1 ORDER BY time""".stripMargin) { (s, dir) =>
+      Distillate.resampleLinear(
+        Tables.points(s, dir).filter(col("sid") === 5)
+          .select("time", "value"),
+        T0, end28, StepNs, TileNs)
+        .orderBy("time")
+    },
+
     // Zero-order-hold resample of stream 3 onto a 6-hour grid.
     "q_resample_hold" -> QueryDef(
       s"""$P, g AS (

@@ -167,6 +167,28 @@ class DistillateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(out(0).getDouble(3) - (-1.0)) < 1e-12)
   }
 
+  test("resampleLinear: midpoint, exact-hit, no extrapolation, dup-ts ties") {
+    val out = Distillate.resampleLinear(pts(
+      (1L, 100L, 10.0), (1L, 200L, 30.0),
+      (1L, 200L, 20.0),              // dup ts: larger value wins both sides
+      (1L, 1000L, 50.0)).select("time", "value"),
+      start = 0L, end = 1100L, step = 100L, tileNs = 300L)
+      .orderBy("time").collect()
+    val byT = out.map(r => r.getLong(0) ->
+      (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(byT(0L) === None, "before first point: no extrapolation")
+    assert(byT(100L) === Some(10.0), "exact hit returns the point value")
+    // between (200, 30) [max value at dup ts] and (1000, 50):
+    // g=600 -> 30 + 20 * 400/800 = 40
+    assert(byT(600L) === Some(40.0))
+    assert(byT(200L) === Some(30.0), "dup-ts: larger value is the anchor")
+    assert(byT(1000L) === Some(50.0))
+    assert(out.length === 11)
+    // prev/next anchors cross tile boundaries (tile 300 vs points at
+    // 100/200/1000): g=900 in tile 3 interpolates tile-0 -> tile-3
+    assert(byT(900L) === Some(30.0 + 20.0 * 700L / 800L))
+  }
+
   test("resampleHold: empty grid when end <= start") {
     val out = Distillate.resampleHold(
       pts((1L, 0L, 1.0)).select("time", "value"),

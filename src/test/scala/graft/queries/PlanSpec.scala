@@ -261,7 +261,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("as-of align: tile equi-joins + broadcast carry, never a range join") {
-    for (q <- Seq("q_asof_align", "q_resample_hold")) {
+    for (q <- Seq("q_asof_align", "q_resample_hold", "q_resample_linear")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"),
