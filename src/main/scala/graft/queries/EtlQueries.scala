@@ -386,6 +386,24 @@ object EtlQueries {
         .localCheckpoint()
     }
 
+  /** Per-distinct-text word counts — (rid, nm, word, c) — the unigram
+    * table every token-level consumer (tf-idf, vocab coverage, BPE
+    * merge counting, unigram rarity) previously re-derived with its
+    * own corpus-wide explode; pure per-corpus, so memoized and
+    * materialized once like the trigram frame. Corpus-token-sized but
+    * narrow; nm rides along so corpus totals (Σ nm·c) need no join
+    * back to the group frame. */
+  private val wordMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def repWordCounts(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo(wordMemo, s, dir) {
+      distinctGroups(s, dir)
+        .select(col("rid"), col("nm"),
+          explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
+        .groupBy("rid", "nm", "word").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+    }
+
   /** Plan-guardrail probe ([[graft.queries.PlanSpec]]): the banding
     * pipeline over an arbitrary (doc_id, text) frame, BYPASSING the
     * fixture memo — the memoized frames are materialized RDD scans, so
@@ -1988,16 +2006,15 @@ object EtlQueries {
          |WHERE rank <= 5
          |ORDER BY source, rank""".stripMargin) { (s, dir) =>
       // factored over distinct content: the tokenize/explode runs once
-      // per distinct text; per-(rep, source) multiplicities (tiny — a
+      // per distinct text (the SHARED memoized unigram frame —
+      // [[repWordCounts]]); per-(rep, source) multiplicities (tiny — a
       // crawled duplicate keeps its source) re-weight the per-rep word
       // counts into the exact per-source tf (tf = Σ m·c, an integer
       // sum equal to the direct per-occurrence count). The 100×
       // duplication replica measured 15.3 s direct; the factored form
       // explodes 1% of the rows.
       val g = distinctGroups(s, dir)
-      val repWords = g.select(col("rid"),
-          explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
-        .groupBy("rid", "word").agg(count(lit(1)).as("c"))
+      val repWords = repWordCounts(s, dir).select("rid", "word", "c")
       val srcMult = docs(s, dir).select(textKey.as("k"), col("source"))
         .join(g.select("k", "rid"), "k")
         .groupBy("rid", "source").agg(count(lit(1)).as("m"))
@@ -2079,13 +2096,12 @@ object EtlQueries {
          |SELECT rank, word, cnt, cum_cnt, cum_cnt / tot AS coverage
          |FROM r, tot ORDER BY rank""".stripMargin) { (s, dir) =>
       // factored over distinct content: the corpus frequency table is
-      // Σ nm·(occurrences within the distinct text) — an integer sum
+      // Σ nm·c over the SHARED memoized unigram frame — an integer sum
       // identical to the direct per-occurrence count — so the explode
-      // prices distinct content only (9.5 s direct at the 100×
-      // duplication replica).
-      val c = distinctGroups(s, dir).select(col("nm"),
-          explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
-        .groupBy("word").agg(sum("nm").as("cnt"))
+      // prices distinct content only, once per corpus (9.5 s direct at
+      // the 100× duplication replica).
+      val c = repWordCounts(s, dir)
+        .groupBy("word").agg(sum(col("nm") * col("c")).as("cnt"))
       val tot = c.agg(sum("cnt").cast("double").as("tot"))
       val top = c.orderBy(col("cnt").desc, col("word").asc).limit(VocabTopK)
       val ord = Window.orderBy(col("cnt").desc, col("word").asc)
@@ -2123,9 +2139,8 @@ object EtlQueries {
          |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS BIGINT) AS rank,
          |  pair, cnt
          |FROM top ORDER BY rank""".stripMargin) { (s, dir) =>
-      val c = distinctGroups(s, dir).select(col("nm"),
-          explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
-        .groupBy("word").agg(sum("nm").as("cnt"))
+      val c = repWordCounts(s, dir)
+        .groupBy("word").agg(sum(col("nm") * col("c")).as("cnt"))
       // guard length ≥ 2 BEFORE the sequence: Spark's sequence(1, 0)
       // yields a DESCENDING [1, 0], not the empty series DuckDB emits;
       // the MaxWordLen cap matches the oracle's fixed series bound
@@ -2386,21 +2401,22 @@ object EtlQueries {
       // and the per-doc score — a pure function of the text given the
       // broadcast table — is computed once per distinct text and
       // re-keyed by digest ([[perDistinctText]]).
-      val g = distinctGroups(s, dir)
-      val repWords = g.select(col("nm"),
-        explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
-      val c = repWords.groupBy("word").agg(sum("nm").as("cnt"))
+      val words = repWordCounts(s, dir)
+      val c = words.groupBy("word").agg(sum(col("nm") * col("c")).as("cnt"))
       val tot = c.agg(sum("cnt").cast("double").as("tot"))
       val sif = c.crossJoin(broadcast(tot))
         .select(col("word"),
           round(col("tot") / col("cnt") * 1000000, 0).cast("long").as("sif"))
       val rarity = col("ssum").cast("double") / col("n") / 1000000
-      perDistinctText(s, dir) { reps =>
-        reps.select(col("doc_id"),
-            explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
+      perDistinctText(s, dir) { _ =>
+        // the per-rep score derives from the same memoized unigram
+        // frame (n = Σ c, ssum = Σ sif·c — identical to the direct
+        // per-occurrence sums), so no second corpus explode exists
+        words
           .join(broadcast(sif), "word")
+          .select(col("rid").as("doc_id"), col("c"), col("sif"))
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n"), sum("sif").as("ssum"))
+          .agg(sum("c").as("n"), sum(col("sif") * col("c")).as("ssum"))
           .select(col("doc_id"), col("n").as("n_tokens"),
             rarity.as("rarity"),
             when(rarity > 40, "rare").otherwise("common").as("verdict"))
