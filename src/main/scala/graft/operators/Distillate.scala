@@ -91,8 +91,16 @@ object Distillate {
     * (ref_time, ref_value), NULL before the first right point.
     */
   def asOf(left: DataFrame, right: DataFrame, tileNs: Long): DataFrame = {
+    val reserved = Set("tile", "tag", "rtime", "rvalue", "seen", "carry", "m")
+    require(!left.columns.exists(reserved),
+      s"asOf left frame must not use the internal column names $reserved")
     val lcols = left.columns.toSeq
-    val tile = (col("time") / tileNs).cast("long").as("tile")
+    // the tile id is the tile's START, t − (t mod tileNs): pure int64
+    // arithmetic — raw ns exceed 2^53, so any division-based tile id
+    // (double quotient, or even floorDiv's divide-after-align) can
+    // round at the boundaries; the pmod form is exact for the whole
+    // signed domain and stays floor-aligned for negative times
+    val tile = (col("time") - pmod(col("time"), lit(tileNs))).as("tile")
 
     val l = left.select(col("*"), tile, lit(1).as("tag"),
       col("time").as("rtime"), lit(null).cast("double").as("rvalue"))
@@ -107,7 +115,7 @@ object Distillate {
     // over the union of both sides' tile ids. Both windows run over the
     // tile-aggregate frame only (bounded by range/tileNs, not by rows).
     val perTile = right
-      .groupBy((col("time") / tileNs).cast("long").as("tile"))
+      .groupBy((col("time") - pmod(col("time"), lit(tileNs))).as("tile"))
       .agg(max(struct(col("time").as("rtime"), col("value").as("rvalue")))
         .as("lastr"))
     val tiles = l.select("tile").distinct()
@@ -147,10 +155,15 @@ object Distillate {
     * division, bit-identical in any engine), and all five Pearson
     * accumulators are integer sums — order-independent — so the final
     * double expression tree is the only float arithmetic and any two
-    * engines agree bit-for-bit. NULL for a pair where either series is
-    * constant (zero variance). Integer accumulators assume mean cents
-    * within ~±3e8 (|value| ≲ 3e6 — far beyond the fixture domain);
-    * off-grid values are NULL-skipped by [[StatOps.cents]].
+    * engines agree bit-for-bit (casting the same exact integer to
+    * double rounds identically whatever the engine's wide-int type).
+    * NULL for a pair where either series is constant (zero variance).
+    * The accumulators are DECIMAL(38,0) on the Spark side (DuckDB sums
+    * BIGINT into HUGEINT on its own): a LONG n·Σx² wraps silently once
+    * n²·(mean cents)² exceeds 2^63 — at ~550 windows that is a mean of
+    * only ~±55k units, well inside real data. Values off the cents
+    * grid entirely (|v| > 9e16) are NULL-skipped by [[StatOps.cents]],
+    * the same domain rule as every cents aggregate.
     *
     * Scale shape: the aligned aggregation reduces the data to a
     * (streams × windows) series frame BEFORE any pairing; the pair
@@ -167,8 +180,11 @@ object Distillate {
       .agg(sum(StatOps.cents(col("value"))).as("sc"), count(lit(1)).as("cnt"))
       .select(col("sid"), col("wstart"),
         floor(col("sc").cast("double") / col("cnt")).cast("long").as("mq"))
-    val a = wm.select(col("sid").as("sa"), col("wstart"), col("mq").as("x"))
-    val b = wm.select(col("sid").as("sb"), col("wstart"), col("mq").as("y"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val a = wm.select(col("sid").as("sa"), col("wstart"),
+      col("mq").cast(dec).as("x"))
+    val b = wm.select(col("sid").as("sb"), col("wstart"),
+      col("mq").cast(dec).as("y"))
     val g = a.join(b, Seq("wstart")).filter(col("sa") < col("sb"))
       .groupBy("sa", "sb")
       .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
@@ -190,13 +206,20 @@ object Distillate {
     * grid as the left side. The grid is `spark.range`-born (size set by
     * the query range, not the data), so the only data-scale work is the
     * right side's tile pass. */
+  /** Number of grid instants start, start+step, … strictly below
+    * `end` — shared by both resamplers AND their oracle SQL (the
+    * query layer splices this value, so the two sides cannot drift). */
+  def gridSize(start: Long, end: Long, step: Long): Long =
+    Math.max(0L, Math.floorDiv(end - 1 - start, step) + 1)
+
+  private def gridOf(points: DataFrame, start: Long, end: Long,
+                     step: Long): DataFrame =
+    points.sparkSession.range(gridSize(start, end, step))
+      .select((col("id") * step + start).as("time"))
+
   def resampleHold(points: DataFrame, start: Long, end: Long, step: Long,
-                   tileNs: Long): DataFrame = {
-    val spark = points.sparkSession
-    val n = Math.max(0L, Math.floorDiv(end - 1 - start, step) + 1)
-    val grid = spark.range(n).select((col("id") * step + start).as("time"))
-    asOf(grid, points, tileNs)
-  }
+                   tileNs: Long): DataFrame =
+    asOf(gridOf(points, start, end, step), points, tileNs)
 
   /** Linear-interpolation resample: at each grid instant g the value
     * v0 + (v1 − v0)·(g − t0)/(t1 − t0) between the last point at or
@@ -214,9 +237,7 @@ object Distillate {
     * range join, no data-sized single-partition window. */
   def resampleLinear(points: DataFrame, start: Long, end: Long, step: Long,
                      tileNs: Long): DataFrame = {
-    val spark = points.sparkSession
-    val n = Math.max(0L, Math.floorDiv(end - 1 - start, step) + 1)
-    val grid = spark.range(n).select((col("id") * step + start).as("time"))
+    val grid = gridOf(points, start, end, step)
     val prev = asOf(grid, points, tileNs)
       .select(col("time"), col("ref_time").as("t0"), col("ref_value").as("v0"))
     val nxt = asOf(

@@ -22,9 +22,11 @@ object DistillateQueries {
     * inter-arrival is ~22 min with a multi-hour tail, so the report is
     * non-empty but far from all-pairs at every SF. */
   private val GapNs = 7200000000000L
-  /** Resample grid: 6-hour zero-order-hold steps across the 28 days. */
+  /** Resample grid: 6-hour zero-order-hold steps across the 28 days.
+    * NGrid comes from the operator's own grid-size formula so the
+    * oracle's generated series can never drift from the Spark grid. */
   private val StepNs = 21600000000000L
-  private val NGrid = (end28 - T0) / StepNs
+  private val NGrid = Distillate.gridSize(T0, end28, StepNs)
   /** As-of tile width (the skew knob): one day. */
   private val TileNs = DayNs
   /** Correlation-matrix window: 2^42 ns (~73 min) aligned windows. */

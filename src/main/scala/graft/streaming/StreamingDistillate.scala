@@ -58,8 +58,11 @@ object StreamingDistillate {
           batch.foreach { case (t, v) =>
             last match {
               case Some(LastPoint(pt, pv))
-                  if t < pt || (t == pt && v <= pv) =>
-              // late or duplicate arrival: already distilled past it
+                  if t < pt || (t == pt && v < pv) =>
+              // late arrival: already distilled past it. An EXACT
+              // duplicate (t == pt && v == pv) falls through to the
+              // emit branch — the batch operator emits a NULL-rate row
+              // for it, and bit-equality demands the stream does too
               case Some(LastPoint(pt, pv)) =>
                 val r = if (t == pt) None
                         else Some((v - pv) * 1.0e9 / (t - pt))

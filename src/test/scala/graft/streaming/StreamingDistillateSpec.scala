@@ -62,12 +62,15 @@ class StreamingDistillateSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((1L, 5000000000L, 1.0)),
       Seq((1L, 2000000000L, 9.0),            // below state -> dropped
           (1L, 5000000000L, 0.5),            // same ts, smaller value -> dropped
+          (1L, 5000000000L, 1.0),            // EXACT duplicate -> null-rate row
           (1L, 5000000000L, 2.0),            // same ts, larger value -> kept, null rate
           (1L, 6000000000L, 3.0)))
     assert(rows.map(r => (r.getLong(1), r.getDouble(2))).toSeq ===
-      Seq((5000000000L, 2.0), (6000000000L, 3.0)))
+      Seq((5000000000L, 1.0), (5000000000L, 2.0), (6000000000L, 3.0)),
+      "the exact duplicate emits (as in batch); the late rows do not")
     assert(rows(0).isNullAt(3) && rows(0).isNullAt(4))
-    assert(rows(1).getDouble(3) === 1.0)
+    assert(rows(1).isNullAt(3) && rows(1).isNullAt(4))
+    assert(rows(2).getDouble(3) === 1.0)
   }
 
   test("append-ordered stream equals the batch operator bit-for-bit") {
@@ -78,9 +81,14 @@ class StreamingDistillateSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rnd = new scala.util.Random(seed)
     var t = 0L
     val data = Seq.fill(60) {
-      t += 1 + rnd.nextInt(2000000000)
-      (rnd.nextInt(3).toLong, t, (rnd.nextInt(400) - 200) / 10.0)
-    }
+      // ~1 in 6 points repeats the previous timestamp so duplicate-ts
+      // (and occasionally exact-duplicate) rows exercise the NULL-rate
+      // path in BOTH engines of the equivalence; the global
+      // (time, value) sort below makes every per-sid subsequence
+      // append-ordered, which is the contract's precondition
+      if (rnd.nextInt(6) > 0) t += 1 + rnd.nextInt(2000000000)
+      (rnd.nextInt(3).toLong, t, (rnd.nextInt(8) - 4) / 10.0)
+    }.sortBy(r => (r._2, r._3))
     val streamed = run("sd3", gapNs = Long.MaxValue,
       data.grouped(17).toSeq: _*)
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
