@@ -106,6 +106,66 @@ object DistillateQueries {
         .orderBy("time", "value")
     },
 
+    // Seasonal (hour-of-day) profile per stream: the diurnal-shape
+    // report a telemetry pipeline derives from every feed (T0 is
+    // midnight UTC, so integer hour bucketing is exact: ns-epoch div
+    // hour, mod 24 — positive domain, trunc == floor on both sides).
+    "q_seasonal" -> QueryDef(
+      s"""$P SELECT sid, (time // 3600000000000) % 24 AS hour,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  MIN(value) AS vmin,
+         |  SUM(CAST(ROUND(value*100, 0) AS BIGINT)) / 100.0 / COUNT(*) AS vmean,
+         |  MAX(value) AS vmax
+         |FROM points GROUP BY 1, 2 ORDER BY sid, hour""".stripMargin) { (s, dir) =>
+      import graft.operators.StatOps
+      Tables.points(s, dir)
+        .groupBy(col("sid"), expr("(time div 3600000000000) % 24").as("hour"))
+        .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
+          StatOps.meanFromCents(sum(StatOps.cents(col("value"))),
+            count(lit(1))).as("vmean"),
+          max("value").as("vmax"))
+        .orderBy("sid", "hour")
+    },
+
+    // Anomaly report: points of stream 4 more than 2 sample standard
+    // deviations from the stream mean over the 28 days. All Pearson-
+    // style moments are exact integer cents sums; the z expression is
+    // the one shared double tree. One scan + a broadcast one-row
+    // stats frame — no shuffle of the points.
+    "q_zscore" -> QueryDef(
+      s"""$P, p AS (
+         |  SELECT time, value, CAST(ROUND(value*100, 0) AS BIGINT) AS c
+         |  FROM points WHERE sid = 4),
+         |st AS (
+         |  SELECT COUNT(*) AS n, SUM(c) AS s1, SUM(c*c) AS s2 FROM p)
+         |SELECT time, value,
+         |  (CAST(c*n - s1 AS DOUBLE) / n)
+         |    / sqrt(CAST(n*s2 - s1*s1 AS DOUBLE) / (n*(n-1))) AS z
+         |FROM p, st
+         |WHERE abs((CAST(c*n - s1 AS DOUBLE) / n)
+         |    / sqrt(CAST(n*s2 - s1*s1 AS DOUBLE) / (n*(n-1)))) > 2
+         |ORDER BY time, value""".stripMargin) { (s, dir) =>
+      import graft.operators.StatOps
+      // DECIMAL(38,0) moments: n·Σc² tops 2^63 already at sf0.1
+      // (~125k points × cents² ~2.4e9) — a long would overflow where
+      // DuckDB's HUGEINT stays exact; casting the same exact integer
+      // to double rounds identically from either width
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val p = Tables.points(s, dir).filter(col("sid") === 4)
+        .select(col("time"), col("value"),
+          StatOps.cents(col("value")).cast(dec).as("c"))
+      val st = p.agg(count(lit(1)).as("n"), sum("c").as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+      val z = ((col("c") * col("n") - col("s1")).cast("double") / col("n")) /
+        sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("n") * (col("n") - 1)))
+      p.crossJoin(broadcast(st))
+        .withColumn("z", z)
+        .filter(abs(col("z")) > 2)
+        .select("time", "value", "z")
+        .orderBy("time", "value")
+    },
+
     // Stream-correlation matrix: Pearson correlation of every stream
     // pair over cents-quantized aligned-window mean series. Integer
     // accumulators; the final double tree is the only float math.

@@ -976,6 +976,46 @@ object EtlQueries {
         .orderBy("src_a", "src_b")
     },
 
+    // Per-source duplication report: the mixing-decision statistic
+    // that tells a pipeline WHERE its duplication lives — per source,
+    // the exact-duplicate surplus (docs minus distinct texts) and the
+    // near-duplicate exposure (docs whose MinHash cluster has ≥ 2
+    // members corpus-wide). Reads the shared memoized distinct-group
+    // and cluster-assignment frames; adds two joins and one aggregate.
+    "q_dup_report" -> QueryDef(
+      s"""WITH RECURSIVE ${clusterCteSql},
+         |csz AS (
+         |  SELECT cluster, COUNT(*) AS csz FROM clusters GROUP BY cluster),
+         |j AS (
+         |  SELECT d.source, d.text, s.csz
+         |  FROM documents d
+         |  JOIN clusters c ON c.doc_id = d.doc_id
+         |  JOIN csz s ON s.cluster = c.cluster)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
+         |  CAST(SUM(CASE WHEN csz >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+         |  CAST(COUNT(*) - COUNT(DISTINCT text) AS DOUBLE) / COUNT(*) AS exact_ratio,
+         |  CAST(SUM(CASE WHEN csz >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         |    AS near_ratio
+         |FROM j GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val cl = dedupClusters(s, dir)
+      // cluster sizes are distinct-content-cardinality — co-partitioned
+      // equi-join, deliberately NOT broadcast (too big at corpus scale)
+      val csz = cl.groupBy("cluster").agg(count(lit(1)).as("csz"))
+      docs(s, dir).select(col("doc_id"), col("source"), textKey.as("k"))
+        .join(cl, "doc_id")
+        .join(csz, "cluster")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("k").as("n_distinct"),
+          sum(when(col("csz") >= 2, 1L).otherwise(0L)).as("n_neardup"))
+        .select(col("source"), col("n_docs"), col("n_distinct"), col("n_neardup"),
+          ((col("n_docs") - col("n_distinct")).cast("double") / col("n_docs"))
+            .as("exact_ratio"),
+          (col("n_neardup").cast("double") / col("n_docs")).as("near_ratio"))
+        .orderBy("source")
+    },
+
     // Stratified deterministic sampling — corpus mixing by language
     // with per-stratum rates (down-weight the dominant language), the
     // reproducible-sample primitive every training-data pipeline needs:

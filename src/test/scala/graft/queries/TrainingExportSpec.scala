@@ -353,6 +353,35 @@ class TrainingExportSpec extends AnyFunSuite with BeforeAndAfterAll {
       sel.map(_._2).sum))
   }
 
+  test("q_dup_report: exact surplus per source, near-dup exposure crosses sources") {
+    val ss = spark
+    import ss.implicits._
+    val seed = 11L
+    info(s"seed = $seed")
+    val rnd = new scala.util.Random(seed)
+    val a = Seq.fill(200)("abcd".charAt(rnd.nextInt(4))).mkString
+    val b = Seq.fill(200)("efgh".charAt(rnd.nextInt(4))).mkString
+    val c = Seq.fill(200)("ijkl".charAt(rnd.nextInt(4))).mkString
+    val cNear = c.updated(195, 'z').mkString       // bands with c
+    val d = Seq.fill(200)("mnop".charAt(rnd.nextInt(4))).mkString
+    val dir = java.nio.file.Files.createTempDirectory("dupdocs").toString
+    Seq(
+      (1L, a, "s1"), (2L, a, "s1"), (3L, b, "s1"),   // exact dup inside s1
+      (4L, c, "s2"), (5L, cNear, "s2"), (6L, d, "s2"), // near-dup pair in s2
+      (7L, a, "s2"))                                  // cross-source exact copy
+      .toDF("doc_id", "text", "source").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("q_dup_report")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // s1: 3 docs, 2 distinct texts; a's cluster spans docs 1,2,7 -> both
+    // s1 copies are near-dup-exposed
+    assert(got("s1") === ((3L, 2L, 2L)))
+    // s2: 4 docs, all texts distinct WITHIN s2 (exact surplus 0), but
+    // c/cNear band together and doc 7 joins a's cross-source cluster
+    assert(got("s2") === ((4L, 4L, 3L)))
+  }
+
   test("q_winnow: equivalence with textbook winnowing on random docs") {
     val seed = 42L
     info(s"seed = $seed")
