@@ -238,4 +238,75 @@ object Multimodal {
       .select(col("asset_id"), col("kind"), col("n_bytes"), col("checksum"),
         col("width"), col("height"), col("feature"))
       .orderBy("asset_id")
+
+  /** Nearest-neighbor downsample of an 8-bpp BMP by integer factor f:
+    * out(x, y) = in(x·f, y·f), output dims max(1, dim/f). Declared
+    * dims may exceed the payload's pixel data (the encoder's contract
+    * here); missing pixels read as 0, the same tolerance the feature
+    * reader applies. Returns a REAL re-encoded BMP. */
+  def resizeBmp(payload: Array[Byte], f: Int): Array[Byte] = {
+    require(f >= 1, s"resize factor must be >= 1, got $f")
+    val (w, h, off) = BmpCodec.decode(payload)
+    val ow = math.max(1, w / f)
+    val oh = math.max(1, h / f)
+    val out = new Array[Byte](ow * oh)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val idx = off + (y * f) * w + (x * f)
+        out(y * ow + x) = if (idx < payload.length) payload(idx) else 0
+        x += 1
+      }
+      y += 1
+    }
+    BmpCodec.encode(ow, oh, out)
+  }
+
+  /** Resize every image asset in place (audio passes through) — the
+    * thumbnail/down-resolution stage of a media pipeline, as the same
+    * per-partition codec-dispatch iterator as [[extractFeatures]]. */
+  def resizeAssets(assets: Dataset[Asset], f: Int): Dataset[Asset] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions(_.map { a =>
+      if (a.kind == "image/bmp") a.copy(payload = resizeBmp(a.payload, f))
+      else a
+    })
+  }
+
+  /** One sampled audio frame: byte count + unsigned-byte energy sum. */
+  final case class FrameEnergy(asset_id: Long, frame: Long, n: Long,
+                               energy: Long)
+
+  /** Audio frame sampling: split each WAV's PCM data into `frameLen`-
+    * byte frames (trailing partial kept) and keep every
+    * `sampleEvery`-th frame with its integer energy — the
+    * frame-subsample + per-frame-feature stage of an audio pipeline.
+    * The data region comes from a REAL RIFF chunk walk; non-audio
+    * assets contribute nothing. Narrow, no shuffle. */
+  def frameEnergies(assets: Dataset[Asset], frameLen: Int,
+                    sampleEvery: Int): Dataset[FrameEnergy] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      a.kind match {
+        case "audio/wav" =>
+          val info = WavCodec.decode(a.payload)
+          val frames = (info.dataLength + frameLen - 1) / frameLen
+          (0 until frames).iterator
+            .filter(_ % sampleEvery == 0)
+            .map { fi =>
+              val from = info.dataOffset + fi * frameLen
+              val to = math.min(info.dataOffset + info.dataLength,
+                from + frameLen)
+              var e = 0L
+              var i = from
+              while (i < to) { e += (a.payload(i) & 0xff); i += 1 }
+              FrameEnergy(a.asset_id, fi.toLong, (to - from).toLong, e)
+            }
+        case _ => Iterator.empty
+      }
+    })
+  }
 }

@@ -2660,6 +2660,31 @@ object EtlQueries {
     //        fmtsize(16) + pcm(1) + channels(1) + 2×Σbytes(rate=8000,
     //        byterate=8000) = 95 each → 1169 + Σbytes(riffsize=36+n).
     //   Dims: BMP (w, h); WAV (channels=1, samples=n).
+    // Audio frame sampling over the mixed-media column: every 2nd
+    // 64-byte PCM frame's unsigned-byte energy, via the REAL RIFF
+    // chunk walk ([[graft.etl.Multimodal.frameEnergies]]). The oracle
+    // recomputes from the source text (the WAV data region IS the
+    // UTF-8 text bytes — ASCII corpus, so ord() = the byte) — the
+    // decode path is proven against an independent byte model.
+    "q_media_frames" -> QueryDef(
+      s"""WITH a AS (
+         |  SELECT doc_id, text, length(text) AS n FROM documents
+         |  WHERE doc_id % 3 = 0),
+         |pos AS (
+         |  SELECT doc_id, (p - 1) // 64 AS frame,
+         |    ord(substr(text, CAST(p AS INTEGER), 1)) AS b
+         |  FROM a, generate_series(1, 2048) g(p) WHERE p <= n)
+         |SELECT doc_id AS asset_id, CAST(frame AS BIGINT) AS frame,
+         |  CAST(COUNT(*) AS BIGINT) AS n_bytes, CAST(SUM(b) AS BIGINT) AS energy
+         |FROM pos WHERE frame % 2 = 0
+         |GROUP BY doc_id, frame ORDER BY asset_id, frame""".stripMargin) { (s, dir) =>
+      graft.etl.Multimodal.frameEnergies(
+          graft.etl.Multimodal.assetsFromDocuments(docs(s, dir)),
+          frameLen = 64, sampleEvery = 2)
+        .toDF("asset_id", "frame", "n_bytes", "energy")
+        .orderBy("asset_id", "frame")
+    },
+
     "q_multimodal" -> QueryDef(
       s"""WITH b AS (
          |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),

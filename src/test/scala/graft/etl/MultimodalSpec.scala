@@ -80,4 +80,47 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feats(2).width == 1 && feats(2).height == 50) // (channels, samples)
     assert(feats(2).n_bytes == 44 + 50)
   }
+
+  test("resizeBmp: nearest-neighbor pixels, floor dims, zero-fill past data") {
+    // 4x4 image, pixel (x,y) = 10*y + x
+    val px = Array.tabulate(16)(i => (10 * (i / 4) + (i % 4)).toByte)
+    val bmp = Multimodal.BmpCodec.encode(4, 4, px)
+    val half = Multimodal.resizeBmp(bmp, 2)
+    val (w, h, off) = Multimodal.BmpCodec.decode(half)
+    assert(w == 2 && h == 2)
+    // out(x,y) = in(2x, 2y): 0, 2, 20, 22
+    assert(half.slice(off, off + 4).toSeq === Seq[Byte](0, 2, 20, 22))
+    // factor larger than the image floors to 1x1 (top-left pixel)
+    val (w1, h1, off1) = Multimodal.BmpCodec.decode(Multimodal.resizeBmp(bmp, 9))
+    assert(w1 == 1 && h1 == 1)
+    // declared dims exceeding the data: sampled pixels past the payload are 0
+    val short = Multimodal.BmpCodec.encode(4, 4, Array[Byte](1, 2, 3, 4))
+    val rs = Multimodal.resizeBmp(short, 2)
+    val (_, _, off2) = Multimodal.BmpCodec.decode(rs)
+    assert(rs.slice(off2, off2 + 4).toSeq === Seq[Byte](1, 3, 0, 0))
+  }
+
+  test("resizeAssets dispatches per kind; frameEnergies is an exact byte model") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "x" * 100, "web", 100L),           // BMP: w=37, h=2
+      (3L, "ab" * 80, "web", 160L))           // WAV: 160 data bytes
+      .toDF("doc_id", "text", "source", "n_chars")
+    val assets = Multimodal.assetsFromDocuments(docs)
+    val resized = Multimodal.resizeAssets(assets, 2)
+      .collect().sortBy(_.asset_id)
+    val (rw, rh, _) = Multimodal.BmpCodec.decode(resized(0).payload)
+    assert((rw, rh) == (18, 1), "37x2 halves to 18x1")
+    assert(resized(1).payload.toSeq == assets.collect()
+      .find(_.asset_id == 3L).get.payload.toSeq, "audio passes through")
+    // frames of 64 over 160 bytes: [64, 64, 32]; every 2nd -> frames 0, 2
+    val fe = Multimodal.frameEnergies(assets, 64, 2)
+      .collect().sortBy(f => (f.asset_id, f.frame))
+    val bytes = ("ab" * 80).getBytes("UTF-8").map(_ & 0xff)
+    assert(fe.map(f => (f.asset_id, f.frame, f.n)).toSeq ===
+      Seq((3L, 0L, 64L), (3L, 2L, 32L)))
+    assert(fe(0).energy === bytes.slice(0, 64).map(_.toLong).sum)
+    assert(fe(1).energy === bytes.slice(128, 160).map(_.toLong).sum)
+  }
 }
