@@ -37,6 +37,11 @@ object StreamingDistillate {
   /** Last accepted point per stream. */
   final case class LastPoint(time: Long, value: Double)
 
+  /** An event enriched with the latest reference value known when it
+    * was processed (NULL-free Option fields before any reference). */
+  final case class Enriched(sid: Long, time: Long, value: Double,
+                            ref_time: Option[Long], ref_value: Option[Double])
+
   /** `source` must stream (sid, time, value). Use with OutputMode
     * Append (the helper [[attach]] wires a memory/console-style sink
     * in specs). */
@@ -75,6 +80,51 @@ object StreamingDistillate {
             }
           }
           last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming as-of enrichment: every EVENT row (tag 1) is emitted
+    * with the most recent REFERENCE row (tag 0) at or before it, per
+    * stream — the live form of [[graft.operators.Distillate.asOf]],
+    * with state = one (time, value) reference per stream.
+    *
+    * `source` must stream (sid, time, value, tag). Within a batch,
+    * rows order by (time, tag, value) — references at an event's exact
+    * instant are visible to it, matching the batch operator. Across
+    * batches the state carries the newest reference seen so far; a
+    * reference arriving LATE (older than the state) only tightens
+    * nothing and is dropped, and events always enrich against the
+    * newest reference at-or-before them that has ARRIVED — on
+    * append-ordered input this equals the batch as-of; under reordering
+    * it is the standard latest-known-value enrichment (a stream cannot
+    * retroactively re-enrich emitted rows). */
+  def enrichStream(source: DataFrame): Dataset[Enriched] = {
+    val spark = source.sparkSession
+    import spark.implicits._
+    source
+      .select(col("sid").cast("long"), col("time").cast("long"),
+        col("value").cast("double"), col("tag").cast("int"))
+      .as[(Long, Long, Double, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastPoint, Enriched](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (sid, rows, state) =>
+          val batch = rows.toSeq.map { case (_, t, v, tag) => (t, tag, v) }
+            .sorted // (time, tag, value): refs before events at equal time
+          var ref = state.getOption
+          val out = Seq.newBuilder[Enriched]
+          batch.foreach {
+            case (t, 0, v) =>
+              // newer reference (ties: larger value, the batch rule)
+              if (!ref.exists(r => r.time > t || (r.time == t && r.value >= v)))
+                ref = Some(LastPoint(t, v))
+            case (t, _, v) =>
+              out += Enriched(sid, t, v,
+                ref.filter(_.time <= t).map(_.time),
+                ref.filter(_.time <= t).map(_.value))
+          }
+          ref.foreach(state.update)
           out.result().iterator
       }
   }

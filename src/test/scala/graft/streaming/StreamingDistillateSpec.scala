@@ -73,6 +73,72 @@ class StreamingDistillateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(2).getDouble(3) === 1.0)
   }
 
+  test("enrichStream: cross-batch reference carry, equal-instant visibility, late drops") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[(Long, Long, Double, Int)]
+    val out = StreamingDistillate.enrichStream(
+      mem.toDF().toDF("sid", "time", "value", "tag"))
+    val q = out.toDF().writeStream.format("memory").queryName("en1")
+      .outputMode("append").start()
+    // batch 1: event before any ref -> None; ref then event at the
+    // same instant -> visible
+    mem.addData((1L, 5L, 1.0, 1), (1L, 10L, 7.0, 0), (1L, 10L, 2.0, 1))
+    q.processAllAvailable()
+    // batch 2: event enriches against batch 1's carried ref; a LATE
+    // ref (t=8 < state 10) is dropped; another stream is independent
+    mem.addData((1L, 20L, 3.0, 1), (1L, 8L, 9.0, 0), (2L, 9L, 4.0, 1))
+    q.processAllAvailable()
+    // batch 3: newer ref replaces state; tie at equal time -> larger value
+    mem.addData((1L, 30L, 5.0, 0), (1L, 30L, 6.0, 0), (1L, 31L, 4.0, 1))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("en1").orderBy("sid", "time", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some((r.getLong(3), r.getDouble(4)))))
+    assert(rows.toSeq === Seq(
+      (1L, 5L, None),
+      (1L, 10L, Some((10L, 7.0))),
+      (1L, 20L, Some((10L, 7.0))),
+      (1L, 31L, Some((30L, 6.0))),
+      (2L, 9L, None)))
+  }
+
+  test("enrichStream on append-ordered input equals the batch as-of per stream") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val seed = 123L
+    info(s"seed = $seed")
+    val rnd = new scala.util.Random(seed)
+    var t = 0L
+    val data = Seq.fill(80) {
+      t += 1 + rnd.nextInt(100)
+      (rnd.nextInt(2).toLong, t, rnd.nextInt(50).toDouble, rnd.nextInt(2))
+    }
+    val mem = MemoryStream[(Long, Long, Double, Int)]
+    val q = StreamingDistillate.enrichStream(
+      mem.toDF().toDF("sid", "time", "value", "tag"))
+      .toDF().writeStream.format("memory").queryName("en2")
+      .outputMode("append").start()
+    data.grouped(23).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("en2").orderBy("sid", "time", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some((r.getLong(3), r.getDouble(4)))))
+    val batch = (0L to 1L).flatMap { sid =>
+      val left = data.filter(d => d._1 == sid && d._4 == 1)
+        .map(d => (d._2, d._3)).toDF("time", "value")
+      val right = data.filter(d => d._1 == sid && d._4 == 0)
+        .map(d => (d._2, d._3)).toDF("time", "value")
+      graft.operators.Distillate.asOf(left, right, tileNs = 64L)
+        .collect().map(r => (sid, r.getLong(0), r.getDouble(1),
+          if (r.isNullAt(2)) None else Some((r.getLong(2), r.getDouble(3)))))
+    }.sortBy(r => (r._1, r._2, r._3))
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("append-ordered stream equals the batch operator bit-for-bit") {
     val ss = spark
     import ss.implicits._
