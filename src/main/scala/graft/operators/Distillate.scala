@@ -201,6 +201,30 @@ object Distillate {
         .as("corr_w"))
   }
 
+  /** Exact p50/p95 per aligned 2^pw window — the percentile face of
+    * the stat-window family, with NO interpolation ambiguity: median =
+    * mean of the middle one-or-two CENTS values, p95 = the
+    * nearest-rank (ceil(0.95·n)) value; every selection is integer
+    * rank arithmetic over cents, the final /100.0 the only float step.
+    * One shuffle: the rank window and the per-window aggregate share
+    * the (sid, wstart) partitioning. */
+  def quantileWindows(points: DataFrame, pw: Int): DataFrame = {
+    val win = Window.partitionBy("sid", "wstart")
+    val b = points.select(col("sid"),
+      expr(s"(time >> $pw) << $pw").as("wstart"),
+      expr("CAST(ROUND(value*100, 0) AS BIGINT)").as("c"))
+    b.withColumn("rn", row_number().over(win.orderBy("c")))
+      .withColumn("n", count(lit(1)).over(win))
+      .groupBy("sid", "wstart")
+      .agg(max("n").as("nn"),
+        sum(when(col("rn") === expr("(n+1) div 2") ||
+          col("rn") === expr("(n+2) div 2"), col("c"))).as("mid"),
+        max(when(col("rn") === expr("(19*n + 19) div 20"), col("c"))).as("c95"))
+      .select(col("sid"), col("wstart"), col("nn").as("cnt"),
+        (col("mid") / (lit(2) - col("nn") % 2) / lit(100.0)).as("p50"),
+        (col("c95") / lit(100.0)).as("p95"))
+  }
+
   /** Zero-order-hold resample: the stream's value held at each grid
     * instant start, start+step, … (< end) — [[asOf]] with a generated
     * grid as the left side. The grid is `spark.range`-born (size set by

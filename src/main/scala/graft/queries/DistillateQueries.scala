@@ -106,6 +106,35 @@ object DistillateQueries {
         .orderBy("time", "value")
     },
 
+    // Quantile stat windows: exact p50/p95 per aligned 2^44 window —
+    // the percentile face of the stat-window family (BTrDB serves
+    // count/min/mean/max; a telemetry user asks for tail latency).
+    // NO interpolation ambiguity: median = mean of the middle one-or-
+    // two CENTS values, p95 = the nearest-rank (ceil(0.95 n)) value —
+    // every selection is integer rank arithmetic over the cents
+    // integers, the final /100.0 the only float step, so both engines
+    // agree bit-for-bit. One shuffle: the rank window and the
+    // per-window aggregate share the (sid, wstart) partitioning.
+    "q_quantile_windows" -> QueryDef(
+      s"""$P, b AS (
+         |  SELECT sid, (time >> 44) << 44 AS wstart,
+         |    CAST(ROUND(value*100, 0) AS BIGINT) AS c
+         |  FROM points),
+         |w AS (
+         |  SELECT sid, wstart, c,
+         |    ROW_NUMBER() OVER (PARTITION BY sid, wstart ORDER BY c) AS rn,
+         |    COUNT(*) OVER (PARTITION BY sid, wstart) AS n
+         |  FROM b)
+         |SELECT sid, wstart, CAST(MAX(n) AS BIGINT) AS cnt,
+         |  SUM(CASE WHEN rn = (n+1) // 2 OR rn = (n+2) // 2 THEN c END)
+         |    / (2 - MAX(n) % 2) / 100.0 AS p50,
+         |  MAX(CASE WHEN rn = (19*n + 19) // 20 THEN c END) / 100.0 AS p95
+         |FROM w GROUP BY sid, wstart ORDER BY sid, wstart""".stripMargin) { (s, dir) =>
+      Distillate.quantileWindows(
+        Tables.points(s, dir).select("sid", "time", "value"), 44)
+        .orderBy("sid", "wstart")
+    },
+
     // Seasonal (hour-of-day) profile per stream: the diurnal-shape
     // report a telemetry pipeline derives from every feed (T0 is
     // midnight UTC, so integer hour bucketing is exact: ns-epoch div

@@ -189,6 +189,27 @@ class DistillateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byT(900L) === Some(30.0 + 20.0 * 700L / 800L))
   }
 
+  test("quantileWindows: odd/even medians, nearest-rank p95, per-window scope") {
+    // pw=4 -> 16-ns windows. Window 0 of sid 1: values 1,2,3 (odd n:
+    // median 2, p95 = rank ceil(.95*3)=3 -> 3). Window 1: 1,2,3,10
+    // (even: median (2+3)/2 = 2.5, p95 rank 4 -> 10). Sid 2 independent.
+    val out = Distillate.quantileWindows(pts(
+      (1L, 0L, 1.0), (1L, 5L, 3.0), (1L, 9L, 2.0),
+      (1L, 16L, 10.0), (1L, 17L, 1.0), (1L, 18L, 2.0), (1L, 19L, 3.0),
+      (2L, 1L, 7.0)), pw = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out((1L, 0L)) === ((3L, 2.0, 3.0)))
+    assert(out((1L, 16L)) === ((4L, 2.5, 10.0)))
+    assert(out((2L, 0L)) === ((1L, 7.0, 7.0)), "n=1: both quantiles the point")
+    // 20-point window: p95 = rank ceil(.95*20) = 19 (not 20)
+    val big = Distillate.quantileWindows(
+      pts((1 to 20).map(i => (3L, i.toLong, i.toDouble)): _*), pw = 6)
+      .collect()
+    assert(big.head.getDouble(4) === 19.0)
+    assert(big.head.getDouble(3) === 10.5)
+  }
+
   test("resampleHold: empty grid when end <= start") {
     val out = Distillate.resampleHold(
       pts((1L, 0L, 1.0)).select("time", "value"),
