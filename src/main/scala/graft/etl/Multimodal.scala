@@ -287,13 +287,18 @@ object Multimodal {
     * assets contribute nothing. Narrow, no shuffle. */
   def frameEnergies(assets: Dataset[Asset], frameLen: Int,
                     sampleEvery: Int): Dataset[FrameEnergy] = {
+    require(frameLen >= 1 && sampleEvery >= 1,
+      s"frameLen/sampleEvery must be >= 1, got ($frameLen, $sampleEvery)")
     val spark = assets.sparkSession
     import spark.implicits._
     assets.mapPartitions(_.flatMap { a =>
       a.kind match {
         case "audio/wav" =>
           val info = WavCodec.decode(a.payload)
-          val frames = (info.dataLength + frameLen - 1) / frameLen
+          // long ceil-div: dataLength near Int.MaxValue must not wrap
+          // negative and silently drop the asset's frames
+          val frames =
+            ((info.dataLength.toLong + frameLen - 1) / frameLen).toInt
           (0 until frames).iterator
             .filter(_ % sampleEvery == 0)
             .map { fi =>

@@ -91,7 +91,8 @@ object Distillate {
     * (ref_time, ref_value), NULL before the first right point.
     */
   def asOf(left: DataFrame, right: DataFrame, tileNs: Long): DataFrame = {
-    val reserved = Set("tile", "tag", "rtime", "rvalue", "seen", "carry", "m")
+    val reserved = Set("tile", "tag", "rtime", "rvalue", "seen", "carry", "m",
+      "ref_time", "ref_value")
     require(!left.columns.exists(reserved),
       s"asOf left frame must not use the internal column names $reserved")
     val lcols = left.columns.toSeq
@@ -225,11 +226,6 @@ object Distillate {
         (col("c95") / lit(100.0)).as("p95"))
   }
 
-  /** Zero-order-hold resample: the stream's value held at each grid
-    * instant start, start+step, … (< end) — [[asOf]] with a generated
-    * grid as the left side. The grid is `spark.range`-born (size set by
-    * the query range, not the data), so the only data-scale work is the
-    * right side's tile pass. */
   /** Number of grid instants start, start+step, … strictly below
     * `end` — shared by both resamplers AND their oracle SQL (the
     * query layer splices this value, so the two sides cannot drift). */
@@ -241,6 +237,11 @@ object Distillate {
     points.sparkSession.range(gridSize(start, end, step))
       .select((col("id") * step + start).as("time"))
 
+  /** Zero-order-hold resample: the stream's value held at each grid
+    * instant start, start+step, … (< end) — [[asOf]] with a generated
+    * grid as the left side. The grid is `spark.range`-born (size set by
+    * the query range, not the data), so the only data-scale work is the
+    * right side's tile pass. */
   def resampleHold(points: DataFrame, start: Long, end: Long, step: Long,
                    tileNs: Long): DataFrame =
     asOf(gridOf(points, start, end, step), points, tileNs)

@@ -174,15 +174,18 @@ object DistillateQueries {
          |WHERE abs((CAST(c*n - s1 AS DOUBLE) / n)
          |    / sqrt(CAST(n*s2 - s1*s1 AS DOUBLE) / (n*(n-1)))) > 2
          |ORDER BY time, value""".stripMargin) { (s, dir) =>
-      import graft.operators.StatOps
       // DECIMAL(38,0) moments: n·Σc² tops 2^63 already at sf0.1
       // (~125k points × cents² ~2.4e9) — a long would overflow where
       // DuckDB's HUGEINT stays exact; casting the same exact integer
-      // to double rounds identically from either width
+      // to double rounds identically from either width. The cents
+      // expression is the oracle's UNGUARDED round+cast (both engines
+      // fail loudly past ±2^63 cents rather than this side silently
+      // NULL-skipping what the oracle counts — the numerator-only
+      // exclusion split StatOps.rawMean warns against).
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val p = Tables.points(s, dir).filter(col("sid") === 4)
         .select(col("time"), col("value"),
-          StatOps.cents(col("value")).cast(dec).as("c"))
+          expr("CAST(ROUND(value*100, 0) AS BIGINT)").cast(dec).as("c"))
       val st = p.agg(count(lit(1)).as("n"), sum("c").as("s1"),
         sum(col("c") * col("c")).as("s2"))
       val z = ((col("c") * col("n") - col("s1")).cast("double") / col("n")) /

@@ -2673,7 +2673,7 @@ object EtlQueries {
          |pos AS (
          |  SELECT doc_id, (p - 1) // 64 AS frame,
          |    ord(substr(text, CAST(p AS INTEGER), 1)) AS b
-         |  FROM a, generate_series(1, 2048) g(p) WHERE p <= n)
+         |  FROM a, generate_series(1, $MaxPos) g(p) WHERE p <= n)
          |SELECT doc_id AS asset_id, CAST(frame AS BIGINT) AS frame,
          |  CAST(COUNT(*) AS BIGINT) AS n_bytes, CAST(SUM(b) AS BIGINT) AS energy
          |FROM pos WHERE frame % 2 = 0

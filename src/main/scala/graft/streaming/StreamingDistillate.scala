@@ -92,13 +92,15 @@ object StreamingDistillate {
     * `source` must stream (sid, time, value, tag). Within a batch,
     * rows order by (time, tag, value) — references at an event's exact
     * instant are visible to it, matching the batch operator. Across
-    * batches the state carries the newest reference seen so far; a
-    * reference arriving LATE (older than the state) only tightens
-    * nothing and is dropped, and events always enrich against the
-    * newest reference at-or-before them that has ARRIVED — on
-    * append-ordered input this equals the batch as-of; under reordering
-    * it is the standard latest-known-value enrichment (a stream cannot
-    * retroactively re-enrich emitted rows). */
+    * batches the state carries the newest reference seen so far, and a
+    * reference arriving OUT OF ORDER (older than the state) is
+    * dropped — the single-record state keeps no history, so an event
+    * enriches against the newest IN-ORDER reference at-or-before it,
+    * not against every reference that ever arrived. On append-ordered
+    * input this equals the batch as-of; under reordering it is the
+    * standard latest-known-value enrichment (a stream cannot
+    * retroactively re-enrich emitted rows, nor resurrect a reference
+    * it superseded). */
   def enrichStream(source: DataFrame): Dataset[Enriched] = {
     val spark = source.sparkSession
     import spark.implicits._
