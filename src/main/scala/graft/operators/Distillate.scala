@@ -178,7 +178,9 @@ object Distillate {
       .filter(col("time") >= s && col("time") < e)
       .groupBy(col("sid"),
         graft.core.TimeOps.clampTime(col("time"), pw).as("wstart"))
-      .agg(sum(StatOps.cents(col("value"))).as("sc"), count(lit(1)).as("cnt"))
+      // centsSum, not a raw long sum: a window of near-domain cents
+      // overflows int64 (the StatOps.centsSum contract)
+      .agg(sum(StatOps.centsSum(col("value"))).as("sc"), count(lit(1)).as("cnt"))
       .select(col("sid"), col("wstart"),
         floor(col("sc").cast("double") / col("cnt")).cast("long").as("mq"))
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
