@@ -210,6 +210,77 @@ class DistillateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(big.head.getDouble(3) === 10.5)
   }
 
+  test("quantileWindows: randomized equivalence vs a direct quantile model") {
+    val s = spark
+    import s.implicits._
+    val seed = 20260814L
+    info(s"seed = $seed")
+    val rnd = new scala.util.Random(seed)
+    val data = Seq.fill(400)((rnd.nextInt(3).toLong,
+      rnd.nextLong(1 << 12), (rnd.nextInt(2000) - 1000) / 100.0 * 1.0))
+    val pw = 10 // 1024-ns windows over a 4096-ns domain
+    val out = Distillate.quantileWindows(data.toDF("sid", "time", "value"), pw)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val model = data.groupBy { case (sid, t, _) => (sid, (t >> pw) << pw) }
+      .map { case (k, rows) =>
+        val cs = rows.map(r => math.round(r._3 * 100)).sorted
+        val n = cs.length
+        val p50 =
+          if (n % 2 == 1) cs((n + 1) / 2 - 1) / 100.0
+          else (cs(n / 2 - 1) + cs(n / 2)) / 2.0 / 100.0
+        k -> ((n.toLong, p50, cs((19 * n + 19) / 20 - 1) / 100.0))
+      }
+    assert(out.keySet === model.keySet)
+    model.foreach { case (k, (n, p50, p95)) =>
+      val (gn, g50, g95) = out(k)
+      assert(gn === n, s"window $k count")
+      assert(math.abs(g50 - p50) < 1e-9, s"window $k p50: $g50 vs $p50")
+      assert(g95 === p95, s"window $k p95")
+    }
+  }
+
+  test("corrMatrix: randomized equivalence vs a direct Pearson model") {
+    val s = spark
+    import s.implicits._
+    val seed = 7L
+    info(s"seed = $seed")
+    val rnd = new scala.util.Random(seed)
+    val data = Seq.fill(300)((rnd.nextInt(4).toLong,
+      rnd.nextLong(1 << 10), (rnd.nextInt(400) - 200) / 10.0 * 1.0))
+    val pw = 6
+    val out = Distillate.corrMatrix(data.toDF("sid", "time", "value"),
+      pw, 0L, 1 << 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // model: floor(mean-cents) per (sid, window), Pearson over shared windows
+    val mq = data.groupBy { case (sid, t, _) => (sid, (t >> pw) << pw) }
+      .map { case ((sid, w), rows) =>
+        val cents = rows.map(r => math.round(r._3 * 100))
+        (sid, w) -> math.floorDiv(cents.sum, cents.size)
+      }
+    for (sa <- 0L to 3L; sb <- sa + 1 to 3L) {
+      val shared = mq.keySet.collect { case (s1, w) if s1 == sa &&
+        mq.contains((sb, w)) => w }.toSeq.sorted
+      if (shared.nonEmpty) {
+        val xs = shared.map(w => mq((sa, w)).toDouble)
+        val ys = shared.map(w => mq((sb, w)).toDouble)
+        val n = shared.size
+        val num = n * xs.lazyZip(ys).map(_ * _).sum - xs.sum * ys.sum
+        val da = n * xs.map(x => x * x).sum - xs.sum * xs.sum
+        val db = n * ys.map(y => y * y).sum - ys.sum * ys.sum
+        val want = if (da == 0 || db == 0) None
+                   else Some(num / (math.sqrt(da) * math.sqrt(db)))
+        (out((sa, sb)), want) match {
+          case (None, None) =>
+          case (Some(g), Some(w)) =>
+            assert(math.abs(g - w) < 1e-9, s"pair ($sa,$sb): $g vs $w")
+          case other => fail(s"pair ($sa,$sb): $other")
+        }
+      } else assert(!out.contains((sa, sb)))
+    }
+  }
+
   test("resampleHold: empty grid when end <= start") {
     val out = Distillate.resampleHold(
       pts((1L, 0L, 1.0)).select("time", "value"),
