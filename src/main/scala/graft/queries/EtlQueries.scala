@@ -386,6 +386,59 @@ object EtlQueries {
         .localCheckpoint()
     }
 
+  /** Winnowing fingerprint-index df cap and the shared-fingerprint
+    * report bar: a fingerprint hash present in more distinct texts
+    * than the cap is boilerplate (dominates the match join, carries no
+    * pair evidence — the ContamDfCap argument; this synthetic corpus
+    * recombines a small phrase pool, so its fingerprint df tail is far
+    * heavier than real prose and the cap sits low). Measured at
+    * sf0.01: cap 10 bounds the index to 6.4k rows and the join to 10k
+    * grouped pairs; bar 5 reports the top ~0.2%. */
+  private val WinnowDfCap = 10
+  private val WinnowMinShared = 5
+
+  /** DuckDB CTE chain for the winnowing selection (grams → windowed
+    * rightmost-min keys → distinct `sel(doc_id, sel)`), mirror of
+    * [[winnowKeysOf]]. Callers may retarget the source table by
+    * replacing `FROM documents`. */
+  private val winnowSelSql: String =
+    s"""grams AS (
+       |  SELECT doc_id, g.p AS p,
+       |    CAST('0x' || substr(md5(substr(text, CAST(g.p AS INTEGER), 8)), 1, 8)
+       |      AS BIGINT) AS h
+       |  FROM documents, generate_series(1, $MaxPos) AS g(p)
+       |  WHERE g.p <= LEAST(length(text) - 7, $MaxPos)),
+       |wins AS (
+       |  SELECT doc_id, p,
+       |    MIN(h * 4096 + (4096 - p)) OVER (
+       |      PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS sel
+       |  FROM grams),
+       |sel AS (SELECT DISTINCT doc_id, sel FROM wins WHERE p >= 8)""".stripMargin
+
+  /** The winnowing selection over (doc_id, text) rows: distinct
+    * (doc_id, sel) keys, sel = h·4096 + (4096 − p) — the rightmost-min
+    * tie rule encoded in the key so one windowed MIN does the whole
+    * selection. Shared by the per-doc sketch report and the match
+    * step. */
+  private def winnowKeysOf(reps: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    reps
+      // < 8 grams (len < 15) can fill no window — absent, as in the
+      // oracle's p >= 8 guard
+      .filter(length(col("text")) >= 15)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1),
+          least(length(col("text")) - 7, lit(MaxPos)))).as("p"))
+      .select(col("doc_id"), col("p"),
+        conv(substring(md5(expr("substring(text, p, 8)").cast("binary")),
+          1, 8), 16, 10).cast("long").as("h"))
+      .withColumn("sel", min(col("h") * 4096L + (lit(4096L) - col("p")))
+        .over(W.partitionBy("doc_id").orderBy("p").rowsBetween(-7, 0)))
+      .filter(col("p") >= 8)
+      .select("doc_id", "sel").distinct()
+  }
+
   /** Per-distinct-text word counts — (rid, nm, word, c) — the unigram
     * table every token-level consumer (tf-idf, vocab coverage, BPE
     * merge counting, unigram rarity) previously re-derived with its
@@ -1536,44 +1589,56 @@ object EtlQueries {
     // text → priced once per distinct text; the oracle computes the
     // unfactored form, which re-keys to the same rows.
     "q_winnow" -> QueryDef(
-      s"""WITH grams AS (
-         |  SELECT doc_id, g.p AS p,
-         |    CAST('0x' || substr(md5(substr(text, CAST(g.p AS INTEGER), 8)), 1, 8)
-         |      AS BIGINT) AS h
-         |  FROM documents, generate_series(1, $MaxPos) AS g(p)
-         |  WHERE g.p <= LEAST(length(text) - 7, $MaxPos)),
-         |wins AS (
-         |  SELECT doc_id, p,
-         |    MIN(h * 4096 + (4096 - p)) OVER (
-         |      PARTITION BY doc_id ORDER BY p
-         |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS sel
-         |  FROM grams),
-         |sel AS (SELECT DISTINCT doc_id, sel FROM wins WHERE p >= 8)
+      s"""WITH $winnowSelSql
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sel,
          |  CAST(COUNT(DISTINCT sel // 4096) AS BIGINT) AS n_fp,
          |  CAST(SUM(sel // 4096) AS BIGINT) AS fp_sum
          |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.{Window => W}
       perDistinctText(s, dir) { reps =>
-        reps
-          // < 8 grams (len < 15) can fill no window — absent, as in the
-          // oracle's p >= 8 guard
-          .filter(length(col("text")) >= 15)
-          .select(col("doc_id"), col("text"),
-            explode(sequence(lit(1),
-              least(length(col("text")) - 7, lit(MaxPos)))).as("p"))
-          .select(col("doc_id"), col("p"),
-            conv(substring(md5(expr("substring(text, p, 8)").cast("binary")),
-              1, 8), 16, 10).cast("long").as("h"))
-          .withColumn("sel", min(col("h") * 4096L + (lit(4096L) - col("p")))
-            .over(W.partitionBy("doc_id").orderBy("p").rowsBetween(-7, 0)))
-          .filter(col("p") >= 8)
-          .select("doc_id", "sel").distinct()
+        winnowKeysOf(reps)
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_sel"),
             countDistinct(expr("sel div 4096")).as("n_fp"),
             sum(expr("sel div 4096")).as("fp_sum"))
       }.orderBy("doc_id")
+    },
+
+    // Winnowing MATCH step (the rest of the MOSS scheme): candidate
+    // pairs = distinct texts sharing ≥ WinnowMinShared distinct
+    // selected fingerprints. The guarantee makes this the substring-overlap
+    // complement to MinHash banding: any shared run of ≥ 15 chars
+    // forces a shared fingerprint, so long verbatim overlaps are
+    // caught even when whole-document similarity is too low to band.
+    // The fingerprint index is df-capped (a hash in > $WinnowDfCap
+    // distinct texts is boilerplate — it dominates the join and
+    // carries no pair signal, the ContamDfCap argument) so the
+    // self-join is bounded by cap × index size. Rep-level report,
+    // like q_minhash_acc.
+    "q_winnow_pairs" -> QueryDef(
+      s"""WITH g0 AS (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         |${winnowSelSql.replace("FROM documents", "FROM g0")},
+         |fp AS (SELECT DISTINCT doc_id, sel // 4096 AS f FROM sel),
+         |keep AS (SELECT f FROM fp GROUP BY f HAVING COUNT(*) <= $WinnowDfCap),
+         |fk AS (SELECT fp.doc_id, fp.f FROM fp JOIN keep ON keep.f = fp.f)
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM fk a JOIN fk b ON a.f = b.f AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared
+         |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      val fp = winnowKeysOf(distinctGroups(s, dir)
+          .select(col("rid").as("doc_id"), col("text")))
+        .select(col("doc_id"), expr("sel div 4096").as("f")).distinct()
+        // consumed by the cap and both join sides
+        .localCheckpoint()
+      val keep = fp.groupBy("f").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= WinnowDfCap).select("f")
+      val fk = fp.join(keep, Seq("f"), "left_semi")
+      fk.select(col("doc_id").as("a"), col("f"))
+        .join(fk.select(col("doc_id").as("b"), col("f")), "f")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= WinnowMinShared)
+        .orderBy("a", "b")
     },
 
     // ---- Embedding similarity ----------------------------------------

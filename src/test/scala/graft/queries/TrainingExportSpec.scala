@@ -402,6 +402,28 @@ class TrainingExportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.contains(9L) && !got.contains(10L) && !got.contains(11L))
   }
 
+  test("q_winnow_pairs: a long verbatim overlap pairs docs that would never band") {
+    val seed = 5L
+    info(s"seed = $seed")
+    val rnd = new scala.util.Random(seed)
+    def rt(len: Int, ab: String) = Seq.fill(len)(ab.charAt(rnd.nextInt(ab.length))).mkString
+    // a 120-char quote embedded in two otherwise-unrelated 400-char docs:
+    // whole-doc similarity is low (banding would likely miss it) but the
+    // winnowing guarantee forces >= WinnowMinShared shared fingerprints
+    val quote = rt(120, "abcd")
+    val d1 = rt(200, "efgh") + quote + rt(80, "ijkl")
+    val d2 = rt(150, "mnop") + quote + rt(130, "qrst")
+    val lone = rt(400, "uvwx")
+    val dir = writeDocs(Seq((1L, d1), (2L, d2), (3L, lone)))
+    val got = graft.SparkEntry.queries("q_winnow_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet === Set((1L, 2L)),
+      s"only the quote pair reports, got $got")
+    // a 120-char run yields ~15 windows of selected fingerprints; well
+    // past the report bar
+    assert(got((1L, 2L)) >= 5L)
+  }
+
   test("q_minhash_acc: exact-Jaccard columns match a set model; error is the stated formula") {
     val seed = 7L
     info(s"seed = $seed")
