@@ -260,6 +260,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "window-mean and per-pair aggregates both map-side combine")
   }
 
+  test("winnowing match + dup report: equi-joins only, never all-pairs") {
+    for (q <- Seq("q_winnow_pairs", "q_dup_report")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must join on keys, got:\n$p")
+    }
+  }
+
+  test("z-score scan broadcasts the one-row stats frame; seasonal combines map-side") {
+    val z = plan("q_zscore")
+    assert(z.contains("BroadcastExchange") ||
+      z.contains("BroadcastNestedLoopJoin"),
+      s"the stats frame must broadcast, got:\n$z")
+    val se = plan("q_seasonal")
+    assert("HashAggregate".r.findAllIn(se).size >= 2,
+      "hour-of-day aggregate must partial-combine before the exchange")
+    assert(!se.contains("Join"), "seasonal profile is join-free")
+  }
+
   test("as-of align: tile equi-joins + broadcast carry, never a range join") {
     for (q <- Seq("q_asof_align", "q_resample_hold", "q_resample_linear")) {
       val p = plan(q)
