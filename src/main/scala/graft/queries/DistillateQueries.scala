@@ -147,10 +147,17 @@ object DistillateQueries {
          |  MAX(value) AS vmax
          |FROM points GROUP BY 1, 2 ORDER BY sid, hour""".stripMargin) { (s, dir) =>
       import graft.operators.StatOps
+      // Same UNGUARDED cents as q_zscore below (not StatOps.cents, whose
+      // NULL-skip would split numerator exclusion from the full COUNT(*)
+      // denominator the oracle uses), summed via a DECIMAL(38,0)
+      // accumulator so a window of legal near-domain values widens
+      // exactly where DuckDB's HUGEINT does instead of wrapping/throwing.
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       Tables.points(s, dir)
         .groupBy(col("sid"), expr("(time div 3600000000000) % 24").as("hour"))
         .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
-          StatOps.meanFromCents(sum(StatOps.cents(col("value"))),
+          StatOps.meanFromCents(
+            sum(expr("CAST(ROUND(value*100, 0) AS BIGINT)").cast(dec)),
             count(lit(1))).as("vmean"),
           max("value").as("vmax"))
         .orderBy("sid", "hour")

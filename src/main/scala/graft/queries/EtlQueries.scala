@@ -790,6 +790,26 @@ object EtlQueries {
        |  JOIN norms qa ON qa.vec_id = d.a JOIN norms qb ON qb.vec_id = d.b)"""
       .stripMargin
 
+  /** Force every per-(session, fixture) memo — the corpus-derived index
+    * frames a real pipeline materializes once at build time (distinct
+    * groups, MinHash signatures + band pairs, converged cluster
+    * assignments, language predictions, contamination postings,
+    * word/trigram tables, embedding groups/pairs/clusters, SQ8 codes,
+    * k-means artifacts). [[graft.Bench]] calls this in its settle phase
+    * and reports the cost as its own `memo_build` line, so per-query
+    * bench numbers measure STEADY-STATE plans instead of whichever
+    * query happens to touch a cold memo first (the attribution drift
+    * flagged in round 11). Builders are dependency-ordered; each memo's
+    * `localCheckpoint()` is eager, so invoking the accessor builds it. */
+  def prebuildMemos(s: SparkSession, dir: String): Unit = {
+    distinctGroups(s, dir); repSignatures(s, dir); corpusBandPairs(s, dir)
+    dedupClusters(s, dir); langPredictions(s, dir); contamPostings(s, dir)
+    repTriGrams(s, dir); repWordCounts(s, dir)
+    embGroups(s, dir); embCosPairs(s, dir); embClusters(s, dir)
+    sq8Codes(s, dir); kmeansCentroids(s, dir); kmeansAssignments(s, dir)
+    ()
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- Deduplication ------------------------------------------------
@@ -1052,8 +1072,11 @@ object EtlQueries {
          |    AS near_ratio
          |FROM j GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       val cl = dedupClusters(s, dir)
-      // cluster sizes are distinct-content-cardinality — co-partitioned
-      // equi-join, deliberately NOT broadcast (too big at corpus scale)
+      // cluster sizes are DOC-level member counts (dedupClusters emits one
+      // row per doc): a pure exact-duplicate group has csz >= 2 with no
+      // near-dup edge, so n_neardup counts docs whose content is shared,
+      // exactly or nearly. Co-partitioned equi-join, deliberately NOT
+      // broadcast (too big at corpus scale).
       val csz = cl.groupBy("cluster").agg(count(lit(1)).as("csz"))
       docs(s, dir).select(col("doc_id"), col("source"), textKey.as("k"))
         .join(cl, "doc_id")
@@ -2738,7 +2761,8 @@ object EtlQueries {
          |pos AS (
          |  SELECT doc_id, (p - 1) // 64 AS frame,
          |    ord(substr(text, CAST(p AS INTEGER), 1)) AS b
-         |  FROM a, generate_series(1, $MaxPos) g(p) WHERE p <= n)
+         |  FROM (SELECT doc_id, text,
+         |          unnest(generate_series(1, n)) AS p FROM a))
          |SELECT doc_id AS asset_id, CAST(frame AS BIGINT) AS frame,
          |  CAST(COUNT(*) AS BIGINT) AS n_bytes, CAST(SUM(b) AS BIGINT) AS energy
          |FROM pos WHERE frame % 2 = 0

@@ -123,4 +123,20 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fe(0).energy === bytes.slice(0, 64).map(_.toLong).sum)
     assert(fe(1).energy === bytes.slice(128, 160).map(_.toLong).sum)
   }
+
+  test("fixture precondition: audio-routed documents are pure ASCII") {
+    // q_media_frames' DuckDB oracle recomputes frame energies with
+    // ord(substr(text, p, 1)) — character indexing — while the engine
+    // walks the WAV data region BYTES. The two agree iff the fixture
+    // text is ASCII (1 byte per char, ord == byte). Guard that
+    // precondition here so a future non-ASCII fixture fails loudly in
+    // this suite instead of as a silent oracle divergence.
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") % 3 === 0)
+    val nonAscii = docs
+      .filter(octet_length(col("text")) =!= length(col("text")))
+      .count()
+    assert(nonAscii === 0L, "audio-routed fixture docs must be ASCII")
+  }
 }
