@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the incremental dedup store
+  * ([[graft.etl.DedupState]]): against a corpus directory, measure
+  *
+  *   1. `init_sec` — one-shot state build over the whole corpus (the
+  *      cost the store exists to never pay twice), and
+  *   2. `update_sec` — folding in a ~1% crawl batch incrementally.
+  *
+  * The claim under test is update cost ∝ batch: at the 100× replica the
+  * init grows ~linearly while the update stays near the 1× figure (its
+  * corpus-sided inputs are narrow persisted indexes, scanned not
+  * re-derived). Prints ONE JSON line. Usage:
+  * {{{
+  *   SPARK_GRAFT_SF_DIR=/tmp/sf001x100 sbt "runMain graft.DedupStateBench"
+  * }}}
+  */
+object DedupStateBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    // ~1% of docs as the incoming crawl batch, rest as the corpus
+    val batch = docs.filter(col("doc_id") % 101 === 0).localCheckpoint()
+    val corpus = docs.filter(col("doc_id") % 101 =!= 0).localCheckpoint()
+    val nCorpus = corpus.count()
+    val nBatch = batch.count()
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def freshRoot() = java.nio.file.Files
+      .createTempDirectory("dedup-state-bench-").toString
+
+    val bandsOf = graft.queries.EtlQueries.bandKeys _
+    // warmup: JIT + file cache on a throwaway store
+    new graft.etl.DedupState(spark, freshRoot(), bandsOf).update(batch)
+
+    val st = new graft.etl.DedupState(spark, freshRoot(), bandsOf)
+    val (_, initSec) = timed(st.update(corpus))
+    val (rep, updSec) = timed(st.update(batch))
+    // a second batch of genuinely NEW near-dup content (the batch's
+    // texts lightly edited): exercises the signature + pairing + CC
+    // path, not just the digest anti-join
+    val fresh = batch.select((col("doc_id") + 10000000L).as("doc_id"),
+      concat(lit("edited crawl revision: "), col("text")).as("text"))
+      .localCheckpoint()
+    val (rep2, updSec2) = timed(st.update(fresh))
+
+    println(s"""{"metric":"dedup_state","init_sec":$initSec,""" +
+      s""""update_sec":$updSec,"corpus_docs":$nCorpus,""" +
+      s""""batch_docs":$nBatch,"batch_new_distinct":${rep.nNewDistinct},""" +
+      s""""batch_band_rows":${rep.nBandRows},""" +
+      s""""batch_new_pairs":${rep.nNewPairs},""" +
+      s""""batch_relabeled":${rep.nRelabeled},""" +
+      s""""fresh_update_sec":$updSec2,""" +
+      s""""fresh_new_distinct":${rep2.nNewDistinct},""" +
+      s""""fresh_new_pairs":${rep2.nNewPairs},""" +
+      s""""fresh_relabeled":${rep2.nRelabeled},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,440 @@
+package graft.etl
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.storage.Store
+
+object DedupState {
+
+  /** Per-update accounting — the spec's cost-proportionality evidence.
+    * `nBandRows` is the number of signature rows COMPUTED this update:
+    * it must track the batch's new distinct content, never the corpus
+    * (re-MinHashing a 100 TB corpus per daily crawl is exactly what
+    * this store exists to avoid). */
+  final case class UpdateReport(
+      version: Long,
+      nBatchDocs: Long,
+      nBatchDistinct: Long,
+      nNewDistinct: Long,
+      nBandRows: Long,
+      nNewPairs: Long,
+      nDroppedBuckets: Long,
+      nRelabeled: Long)
+
+  private[etl] val MembersSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("k", StringType),
+    StructField("ver", LongType)))
+  private[etl] val GroupsSchema = StructType(Seq(
+    StructField("k", StringType), StructField("rid", LongType),
+    StructField("ver", LongType)))
+  private[etl] val BandsSchema = StructType(Seq(
+    StructField("rid", LongType), StructField("bkey", StringType)))
+  private[etl] val PairsSchema = StructType(Seq(
+    StructField("a", LongType), StructField("b", LongType),
+    StructField("bkey", StringType)))
+  private[etl] val DroppedSchema = StructType(Seq(
+    StructField("bkey", StringType)))
+  private[etl] val LabelsSchema = StructType(Seq(
+    StructField("rid", LongType), StructField("cluster", LongType),
+    StructField("ver", LongType)))
+}
+
+/** Versioned, persisted near-duplicate state with per-ingest-commit
+  * incremental maintenance — the dedup analog of the engine's pyramid
+  * fold (`Btrdb.maintainPyramid`: commit-touched ranges → fold only
+  * dirtied buckets). A daily crawl against a 100 TB corpus cannot
+  * re-MinHash the corpus; this store updates at cost proportional to
+  * the BATCH:
+  *
+  *   - exact-dup index (`groups`): the batch digest-groups itself, then
+  *     one anti-join against the persisted key index decides which
+  *     content is genuinely new. No text outside the batch is read —
+  *     the store's corpus-sided inputs are all narrow key/label frames.
+  *   - signatures (`bands`): computed ONLY for new distinct content, by
+  *     the same banding function as the one-shot pipeline (the caller
+  *     injects it — [[graft.queries.EtlQueries.bandKeys]] in
+  *     production), so bucket co-membership is identical.
+  *   - candidate pairs: new members join old members of the touched
+  *     buckets only (`left_semi` on the new batch's bucket keys prunes
+  *     the persisted band index before anything pairs); pair emission
+  *     is new×old + new×new, never old×old (those were emitted when
+  *     THEY were new — bucket co-membership is monotone).
+  *   - clustering: connected components run on the QUOTIENT graph
+  *     (existing cluster labels + new reps, edges = the batch's new
+  *     pairs mapped through current labels) — the fixpoint re-runs
+  *     over a graph proportional to the batch, and only members of
+  *     clusters whose label actually changes are rewritten (min-label
+  *     means the larger/older side of a merge usually keeps its label).
+  *
+  * Degenerate-bucket cap (`maxBucket`): a bucket whose TOTAL size
+  * crosses the cap is dropped — including retroactively: pairs it
+  * emitted in earlier versions are removed and the affected components
+  * (only those) are recomputed from the remaining live edges, so the
+  * incremental state equals a one-shot build with the same cap on any
+  * batch schedule. The cap is a store invariant (persisted in META);
+  * changing it would silently fork the edge-set semantics, so a
+  * mismatch throws.
+  *
+  * Storage layout (all Parquet + atomic pointer, via [[Store]] — the
+  * same Hadoop FileSystem crash-safety contract as the commit log):
+  * {{{
+  *   root/CURRENT            "cur base" — version pointer (atomic)
+  *   root/META               store invariants (banding cap)
+  *   root/v{N}/MANIFEST      row counts per table (skip-empty reads)
+  *   root/v{N}/members       (doc_id, k, ver)   batch docs → content key
+  *   root/v{N}/groups        (k, rid, ver)      new distinct content
+  *   root/v{N}/bands         (rid, bkey)        signatures of new reps
+  *   root/v{N}/pairs         (a, b, bkey)       new edges + provenance
+  *   root/v{N}/dropped       (bkey)             buckets newly over cap
+  *   root/v{N}/labels        (rid, cluster, ver) new + relabeled reps
+  * }}}
+  * A crash between data writes and the CURRENT flip leaves an orphan
+  * v{N} dir that readers never see; the retried update overwrites it.
+  * [[compact]] squashes all versions into one (and prunes dead pairs),
+  * bounding both the reader's union width and delta accumulation — the
+  * analog of the engine's segmented-archive fold.
+  *
+  * At 100 TB the narrow index frames (keys, bands, labels) are the
+  * honest linear-size component: updates SCAN them (never re-derive
+  * them), and the scans are prunable — the band index by bucketing on
+  * a bkey prefix, the key index by digest-range partitioning. Locally
+  * they are plain Parquet; the scan-not-recompute structure is what the
+  * spec asserts.
+  *
+  * Reference anchor: the reference maintains its stat tree incrementally
+  * per commit (/root/reference/qtree/qtree.go:436-468 SetChild relink);
+  * this class is that idea applied to the ETL dedup indexes.
+  */
+final class DedupState(
+    spark: SparkSession,
+    rootUri: String,
+    bandsOf: DataFrame => DataFrame,
+    maxBucket: Option[Long] = None) {
+
+  import DedupState._
+
+  private val store = new Store(rootUri, new Configuration())
+
+  // ---- version pointer & metadata ------------------------------------
+
+  /** (current version, base version) — base > 1 after a compact. */
+  private def pointer: (Long, Long) =
+    store.readString("CURRENT").map { s =>
+      val p = s.trim.split("\\s+")
+      (p(0).toLong, if (p.length > 1) p(1).toLong else 1L)
+    }.getOrElse((0L, 1L))
+
+  def currentVersion: Long = pointer._1
+
+  private def metaLine: String = s"maxBucket=${maxBucket.getOrElse(-1L)}"
+
+  private def checkOrWriteMeta(): Unit = store.readString("META") match {
+    case Some(m) =>
+      require(m.trim == metaLine,
+        s"DedupState at $rootUri was built with '${m.trim}', reopened with " +
+          s"'$metaLine' — the bucket cap is an edge-set invariant")
+    case None => store.writeAtomic("META", metaLine)
+  }
+
+  private val manifests =
+    scala.collection.mutable.Map.empty[Long, Map[String, Long]]
+  private def manifest(v: Long): Map[String, Long] =
+    manifests.getOrElseUpdate(v,
+      store.readString(s"v$v/MANIFEST").map(_.trim.split(",").collect {
+        case kv if kv.contains("=") =>
+          val Array(n, c) = kv.split("=", 2); n -> c.toLong
+      }.toMap).getOrElse(Map.empty))
+
+  private def emptyFrame(schema: StructType): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+
+  /** Union of a table's per-version deltas over [base, upTo]. */
+  private def tableFrame(name: String, schema: StructType,
+                         upTo: Long): DataFrame = {
+    val (_, base) = pointer
+    val paths = (base to upTo)
+      .filter(v => manifest(v).getOrElse(name, 0L) > 0)
+      .map(v => store.resolve(s"v$v/$name").toString)
+    if (paths.isEmpty) emptyFrame(schema)
+    else spark.read.schema(schema).parquet(paths: _*)
+  }
+
+  // ---- readers -------------------------------------------------------
+
+  /** Every ingested doc's content key, with the version that admitted
+    * it — (doc_id, k, ver). */
+  def members(upTo: Long = currentVersion): DataFrame =
+    tableFrame("members", MembersSchema, upTo)
+
+  /** The exact-dup index: one row per distinct content ever seen —
+    * (k, rid, ver); `ver` is the version that first saw it. */
+  def seenKeys(upTo: Long = currentVersion): DataFrame =
+    tableFrame("groups", GroupsSchema, upTo)
+
+  /** Persisted band signatures — (rid, bkey). Append-only. */
+  def bands(upTo: Long = currentVersion): DataFrame =
+    tableFrame("bands", BandsSchema, upTo)
+
+  /** Candidate edges with bucket provenance — (a, b, bkey). Includes
+    * edges whose bucket later died; [[liveEdges]] filters those. */
+  def pairs(upTo: Long = currentVersion): DataFrame =
+    tableFrame("pairs", PairsSchema, upTo)
+
+  /** Buckets dropped for crossing the cap — (bkey). */
+  def dropped(upTo: Long = currentVersion): DataFrame =
+    tableFrame("dropped", DroppedSchema, upTo)
+
+  /** Distinct live candidate edges (dead buckets' pairs excluded —
+    * an edge survives if ANY live bucket still justifies it). */
+  def liveEdges(upTo: Long = currentVersion): DataFrame =
+    pairs(upTo).join(dropped(upTo), Seq("bkey"), "left_anti")
+      .select("a", "b").distinct()
+
+  /** The CONVERGED cluster assignment per rep — (rid, cluster);
+    * the latest version's row wins per rid. */
+  def labels(upTo: Long = currentVersion): DataFrame =
+    tableFrame("labels", LabelsSchema, upTo)
+      .groupBy("rid")
+      .agg(max_by(col("cluster"), col("ver")).as("cluster"))
+
+  /** Every ingested doc's cluster — (doc_id, cluster, ver); `ver` is
+    * the doc's arrival version. Exact-duplicate members inherit their
+    * rep's component; singletons are their own. */
+  def docClusters(upTo: Long = currentVersion): DataFrame =
+    members(upTo)
+      .join(seenKeys(upTo).select("k", "rid"), "k")
+      .join(labels(upTo), Seq("rid"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("rid")).as("cluster"), col("ver"))
+
+  // ---- update --------------------------------------------------------
+
+  /** Ingest one batch — (doc_id LONG, text STRING) — and fold it into
+    * the state. Everything corpus-sized the update touches is a narrow
+    * persisted index (keys / bands / labels; pairs only when a bucket
+    * dies); the batch's text is the only text read. */
+  def update(batch: DataFrame): UpdateReport = {
+    checkOrWriteMeta()
+    val (cur, _) = pointer
+    val next = cur + 1
+
+    val b = batch.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("k"), col("text"))
+    val batchMembers = b.select("doc_id", "k").localCheckpoint()
+    val nBatchDocs = batchMembers.count()
+    // batch-internal digest grouping: rid = min doc_id of first arrival
+    val batchGroups = b.groupBy("k")
+      .agg(min("doc_id").as("rid"), min("text").as("text"))
+      .localCheckpoint()
+    val nBatchDistinct = batchGroups.count()
+    // one anti-join against the persisted key index finds new content
+    val newGroups = batchGroups
+      .join(seenKeys(cur).select("k"), Seq("k"), "left_anti")
+      .localCheckpoint()
+    val nNewDistinct = newGroups.count()
+
+    // signatures for NEW distinct content only
+    val newBands = bandsOf(newGroups.select(col("rid").as("doc_id"),
+        col("text")))
+      .select(col("doc_id").as("rid"), col("bkey"))
+      .localCheckpoint()
+    val nBandRows = newBands.count()
+
+    // old members of the touched buckets: semi-join prunes the band
+    // index to the batch's buckets before anything pairs
+    val touched = newBands.select("bkey").distinct()
+    val oldTouched = bands(cur)
+      .join(touched, Seq("bkey"), "left_semi")
+      .localCheckpoint()
+
+    // bucket-cap accounting on TOTAL (old + new) size
+    val prevDropped = dropped(cur)
+    val newlyDropped = maxBucket match {
+      case None => emptyFrame(DroppedSchema)
+      case Some(cap) =>
+        val oldSz = oldTouched.groupBy("bkey").agg(count(lit(1)).as("oldN"))
+        val newSz = newBands.groupBy("bkey").agg(count(lit(1)).as("newN"))
+        newSz.join(oldSz, Seq("bkey"), "left_outer")
+          .filter(col("newN") + coalesce(col("oldN"), lit(0L)) > cap)
+          .join(prevDropped, Seq("bkey"), "left_anti")
+          .select("bkey").localCheckpoint()
+    }
+    val nDroppedBuckets = newlyDropped.count()
+    val deadKeys = prevDropped.select("bkey")
+      .unionByName(newlyDropped).distinct()
+
+    // new candidate edges: new×old + new×new within live buckets
+    val liveNew = newBands.join(deadKeys, Seq("bkey"), "left_anti")
+    val liveOld = oldTouched.join(deadKeys, Seq("bkey"), "left_anti")
+    val crossPairs = liveNew.as("n")
+      .join(liveOld.as("o"), "bkey")
+      .select(least(col("n.rid"), col("o.rid")).as("a"),
+        greatest(col("n.rid"), col("o.rid")).as("b"), col("bkey"))
+    val selfPairs = liveNew.as("x")
+      .join(liveNew.as("y"), "bkey")
+      .filter(col("x.rid") < col("y.rid"))
+      .select(col("x.rid").as("a"), col("y.rid").as("b"), col("bkey"))
+    val newPairs = crossPairs.unionByName(selfPairs).localCheckpoint()
+    val nNewPairs = newPairs.count()
+    val newEdges = newPairs.select("a", "b").distinct()
+
+    val curLabels = labels(cur).localCheckpoint()
+
+    // ---- retroactive cap: recompute components that lose edges ----
+    val removed =
+      if (nDroppedBuckets == 0) emptyFrame(PairsSchema).select("a", "b")
+      else pairs(cur).join(newlyDropped, Seq("bkey"), "left_semi")
+        .select("a", "b").distinct().localCheckpoint()
+    val (labelsAfterRemoval, removalMembers) =
+      if (nDroppedBuckets == 0 || removed.isEmpty) (curLabels, None)
+      else {
+        val endpoints = removed.select(col("a").as("rid"))
+          .unionByName(removed.select(col("b").as("rid"))).distinct()
+        val affLabels = curLabels.join(endpoints, Seq("rid"), "left_semi")
+          .select("cluster").distinct()
+        val affMembers = curLabels
+          .join(affLabels, Seq("cluster"), "left_semi")
+          .select("rid", "cluster").localCheckpoint()
+        // remaining live edges of the affected components (an edge's
+        // endpoints share a component, so one-sided semi suffices)
+        val livePrior = pairs(cur).join(deadKeys, Seq("bkey"), "left_anti")
+          .select("a", "b").distinct()
+        val subEdges = livePrior
+          .join(affMembers.select(col("rid").as("a")), Seq("a"), "left_semi")
+        val recomp = Dedup.connectedComponents(subEdges)
+          .withColumnRenamed("id", "rid")
+          .withColumnRenamed("cluster", "newCluster")
+        val relabeled = affMembers.select("rid")
+          .join(recomp, Seq("rid"), "left_outer")
+          .select(col("rid"),
+            coalesce(col("newCluster"), col("rid")).as("cluster"))
+          .localCheckpoint()
+        val updated = curLabels
+          .join(affMembers.select("rid"), Seq("rid"), "left_anti")
+          .unionByName(relabeled)
+        (updated, Some((affMembers.select("rid"), relabeled)))
+      }
+
+    // ---- additions: CC on the quotient graph ----
+    val la = labelsAfterRemoval.select(col("rid").as("a"),
+      col("cluster").as("la"))
+    val lb = labelsAfterRemoval.select(col("rid").as("b"),
+      col("cluster").as("lb"))
+    val quotEdges0 = newEdges
+      .join(la, Seq("a"), "left_outer")
+      .join(lb, Seq("b"), "left_outer")
+      .select(coalesce(col("la"), col("a")).as("qa"),
+        coalesce(col("lb"), col("b")).as("qb"),
+        col("la").isNotNull.as("oa"), col("lb").isNotNull.as("ob"))
+      .localCheckpoint()
+    val quotEdges = quotEdges0.filter(col("qa") =!= col("qb"))
+      .select(col("qa").as("a"), col("qb").as("b"))
+    // quotient components: node ids are labels (= min rids of existing
+    // components) and new rep ids, so the min-label CC result is the
+    // global min rid of each merged component — the same label the
+    // one-shot pipeline assigns
+    val qcc = Dedup.connectedComponents(quotEdges)
+      .localCheckpoint()
+    val remap = qcc.select(col("id").as("node"), col("cluster").as("fin"))
+
+    def applyRemap(df: DataFrame): DataFrame = df
+      .join(broadcast(remap), df("cluster") === remap("node"), "left_outer")
+      .select(df("rid"), coalesce(col("fin"), df("cluster")).as("cluster"))
+
+    // new reps: quotient label, or themselves when edge-free
+    val newRepLabels =
+      applyRemap(newGroups.select(col("rid"), col("rid").as("cluster")))
+    // old labels merged into a smaller-rid component: rewrite members
+    val oldNodes = quotEdges0.filter(col("oa")).select(col("qa").as("node"))
+      .unionByName(quotEdges0.filter(col("ob")).select(col("qb").as("node")))
+      .distinct()
+    val changedOld = qcc
+      .join(oldNodes, qcc("id") === oldNodes("node"), "left_semi")
+      .filter(col("cluster") =!= col("id"))
+      .select(col("id").as("oldL"), col("cluster").as("newL"))
+    val mergedOldMembers = labelsAfterRemoval
+      .join(broadcast(changedOld),
+        labelsAfterRemoval("cluster") === changedOld("oldL"))
+      .select(col("rid"), col("newL").as("cluster"))
+    // removal-affected members: final label after any further merge
+    val removalFinal = removalMembers match {
+      case None => emptyFrame(LabelsSchema).select("rid", "cluster")
+      case Some((_, relabeled)) => applyRemap(relabeled)
+    }
+    val removalRids = removalMembers
+      .map(_._1).getOrElse(emptyFrame(LabelsSchema).select("rid"))
+    // one row per rid: removal-affected members are excluded from the
+    // merge rewrite (removalFinal already carries their final label)
+    val labelDeltas = newRepLabels
+      .unionByName(mergedOldMembers
+        .join(removalRids, Seq("rid"), "left_anti"))
+      .unionByName(removalFinal)
+      .localCheckpoint()
+    val nLabelRows = labelDeltas.count()
+    val nRelabeled = nLabelRows - nNewDistinct
+
+    // ---- persist: data dirs → MANIFEST → CURRENT (atomic flip) ----
+    val base = pointer._2
+    def writeDelta(name: String, df: DataFrame, n: Long): Long = {
+      if (n > 0)
+        df.write.mode("overwrite")
+          .parquet(store.resolve(s"v$next/$name").toString)
+      n
+    }
+    val counts = Seq(
+      "members" -> writeDelta("members",
+        batchMembers.withColumn("ver", lit(next)), nBatchDocs),
+      "groups" -> writeDelta("groups",
+        newGroups.select("k", "rid").withColumn("ver", lit(next)),
+        nNewDistinct),
+      "bands" -> writeDelta("bands", newBands, nBandRows),
+      "pairs" -> writeDelta("pairs", newPairs, nNewPairs),
+      "dropped" -> writeDelta("dropped", newlyDropped, nDroppedBuckets),
+      "labels" -> writeDelta("labels",
+        labelDeltas.withColumn("ver", lit(next)), nLabelRows))
+    store.writeAtomic(s"v$next/MANIFEST",
+      counts.map { case (n, c) => s"$n=$c" }.mkString(","))
+    manifests.remove(next)
+    store.writeAtomic("CURRENT", s"$next $base")
+
+    UpdateReport(next, nBatchDocs, nBatchDistinct, nNewDistinct,
+      nBandRows, nNewPairs, nDroppedBuckets, math.max(0L, nRelabeled))
+  }
+
+  /** Squash all versions into one full snapshot (pruning dead buckets'
+    * pairs) and advance the read base — bounds the reader's union
+    * width and the label-delta accumulation, like the engine's
+    * segmented-archive fold. Members/groups keep their original `ver`
+    * (arrival semantics); labels carry the snapshot version. */
+  def compact(): Long = {
+    val (cur, base) = pointer
+    if (cur == 0) return 0L
+    val next = cur + 1
+    val livePairs = pairs(cur)
+      .join(dropped(cur), Seq("bkey"), "left_anti").localCheckpoint()
+    val resolved = labels(cur)
+      .withColumn("ver", lit(next)).localCheckpoint()
+    val tables = Seq(
+      ("members", members(cur)), ("groups", seenKeys(cur)),
+      ("bands", bands(cur)), ("pairs", livePairs),
+      ("dropped", dropped(cur)), ("labels", resolved))
+    val counts = tables.map { case (name, df) =>
+      val chk = df.localCheckpoint()
+      val n = chk.count()
+      if (n > 0)
+        chk.write.mode("overwrite")
+          .parquet(store.resolve(s"v$next/$name").toString)
+      name -> n
+    }
+    store.writeAtomic(s"v$next/MANIFEST",
+      counts.map { case (n, c) => s"$n=$c" }.mkString(","))
+    manifests.remove(next)
+    store.writeAtomic("CURRENT", s"$next $next")
+    (base to cur).foreach(v => store.deleteRecursive(s"v$v"))
+    (base to cur).foreach(manifests.remove)
+    next
+  }
+}

@@ -1,0 +1,210 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The incremental dedup store's contract:
+  *
+  *   1. batch-schedule invariance — any split of a corpus into update
+  *      batches yields the SAME components as a one-shot build (labels
+  *      compared as partitions: rep ids depend on arrival order);
+  *   2. retroactive bucket-cap consistency — a bucket crossing the cap
+  *      mid-history drops its past pairs and only the affected
+  *      components recompute, landing on the one-shot-capped result;
+  *   3. cost proportionality — an update's signature work tracks the
+  *      batch's NEW distinct content, never the corpus;
+  *   4. durability mechanics — orphan version dirs are invisible,
+  *      compact preserves state and arrival versions.
+  */
+class DedupStateSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("dedup-state-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("dedup-state-spec-").toString
+
+  /** Label-independent view of a clustering: each doc keyed by the
+    * minimum content key of its cluster. Two states agree iff their
+    * partitions agree, whatever rep ids arrival order produced. */
+  private def partitionOf(st: DedupState): Set[(Long, String)] = {
+    val dc = st.docClusters()
+    val m = st.members().select(col("doc_id"), col("k"))
+    val rep = dc.join(m, "doc_id")
+      .groupBy("cluster").agg(min("k").as("ck"))
+    dc.join(rep, "cluster")
+      .select(col("doc_id"), col("ck"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+  }
+
+  /** Trivial surgical banding for cap tests: bucket = first 3 chars. */
+  private val prefixBands: DataFrame => DataFrame = docs =>
+    docs.select(col("doc_id"), substring(col("text"), 1, 3).as("bkey"))
+
+  private def fixtureDocs: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+  test("incremental batches equal one-shot (real MinHash banding)") {
+    val bandsOf = graft.queries.EtlQueries.bandKeys _
+    val d = fixtureDocs.localCheckpoint()
+
+    val oneShot = new DedupState(spark, tmpRoot(), bandsOf)
+    oneShot.update(d)
+
+    val incr = new DedupState(spark, tmpRoot(), bandsOf)
+    // doc_id % 3 order: first-seen rep ids deliberately differ from the
+    // global min, so the comparison would catch label-identity leaks
+    (0 to 2).foreach(i => incr.update(d.filter(col("doc_id") % 3 === i)))
+
+    assert(incr.currentVersion === 3L)
+    assert(partitionOf(incr) === partitionOf(oneShot))
+  }
+
+  test("bucket cap drops retroactively: components match one-shot") {
+    // bucket "AAA": 4 members at v1 (under cap 5) pair up; 3 more at v2
+    // push it to 7 > cap — the one-shot build emits NO pairs for it, so
+    // the incremental state must unwind v1's pairs and split the
+    // component back apart. Bucket "BBB" stays under cap throughout and
+    // must keep its pairs through the surgery.
+    def doc(i: Long, t: String) = (i, t)
+    val v1 = Seq(
+      doc(1, "AAA one"), doc(2, "AAA two"), doc(3, "AAA three"),
+      doc(4, "AAA four"), doc(10, "BBB ten"), doc(11, "BBB eleven"))
+    val v2 = Seq(
+      doc(5, "AAA five"), doc(6, "AAA six"), doc(7, "AAA seven"),
+      doc(12, "BBB twelve"))
+    val ss = spark; import ss.implicits._
+    val cap = Some(5L)
+
+    val incr = new DedupState(spark, tmpRoot(), prefixBands, cap)
+    val r1 = incr.update(v1.toDF("doc_id", "text"))
+    assert(r1.nNewPairs === (6L + 1L), "4-choose-2 in AAA + 1 in BBB")
+    val r2 = incr.update(v2.toDF("doc_id", "text"))
+    assert(r2.nDroppedBuckets === 1L, "AAA crossed the cap")
+    assert(r2.nRelabeled > 0L, "AAA members split back to singletons")
+
+    val oneShot = new DedupState(spark, tmpRoot(), prefixBands, cap)
+    oneShot.update((v1 ++ v2).toDF("doc_id", "text"))
+    assert(partitionOf(incr) === partitionOf(oneShot))
+
+    // the BBB component survived
+    val bbbClusters = incr.docClusters()
+      .filter(col("doc_id").isin(10L, 11L, 12L))
+      .select("cluster").distinct().count()
+    assert(bbbClusters === 1L)
+    // and AAA members are 7 singletons
+    val aaaClusters = incr.docClusters()
+      .filter(col("doc_id") <= 7L)
+      .select("cluster").distinct().count()
+    assert(aaaClusters === 7L)
+  }
+
+  test("cap mismatch on reopen throws (edge-set invariant)") {
+    val ss = spark; import ss.implicits._
+    val root = tmpRoot()
+    val st = new DedupState(spark, root, prefixBands, Some(5L))
+    st.update(Seq((1L, "AAA x")).toDF("doc_id", "text"))
+    val bad = new DedupState(spark, root, prefixBands, Some(9L))
+    val e = intercept[IllegalArgumentException] {
+      bad.update(Seq((2L, "AAA y")).toDF("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("bucket cap"))
+  }
+
+  test("update cost is proportional to the batch, not the corpus") {
+    val bandsOf = graft.queries.EtlQueries.bandKeys _
+    val d = fixtureDocs.localCheckpoint()
+    val corpusDistinct = d.select(md5(col("text").cast("binary"))).distinct().count()
+
+    val st = new DedupState(spark, tmpRoot(), bandsOf)
+    st.update(d)
+
+    // a crawl batch: 10 docs repeating existing content + 10 new docs
+    val ss = spark; import ss.implicits._
+    val dupTexts = d.orderBy("doc_id").limit(10).collect()
+      .zipWithIndex.map { case (r, i) => (900000L + i, r.getString(1)) }
+    val newTexts = (0 until 10).map(i =>
+      (910000L + i, s"genuinely new crawl document number $i " * 8))
+    val batch = (dupTexts ++ newTexts).toSeq.toDF("doc_id", "text")
+
+    val r = st.update(batch)
+    assert(r.nBatchDocs === 20L)
+    assert(r.nNewDistinct === 10L, "only the unseen texts are new")
+    // signature work = 4 band rows per NEW distinct text — the corpus
+    // (hundreds of distinct texts) is never re-signed
+    assert(r.nBandRows === 40L)
+    assert(r.nBandRows < corpusDistinct,
+      s"update signed ${r.nBandRows} rows; a rebuild would sign " +
+        s"${4 * corpusDistinct}")
+    // and the duplicate docs classify as seen content
+    val seenOfBatch = st.members().filter(col("ver") === 2)
+      .join(st.seenKeys().filter(col("ver") === 1).select("k"), "k")
+      .count()
+    assert(seenOfBatch === 10L)
+  }
+
+  test("orphan version dirs are invisible; the retried update overwrites") {
+    val ss = spark; import ss.implicits._
+    val root = tmpRoot()
+    val st = new DedupState(spark, root, prefixBands)
+    st.update(Seq((1L, "AAA x"), (2L, "AAA y")).toDF("doc_id", "text"))
+    // simulate a crash: v2 data written, CURRENT never flipped
+    Seq((99L, "ZZZ zz")).toDF("doc_id", "text")
+      .withColumn("k", md5(col("text").cast("binary")))
+      .withColumn("ver", lit(2L)).select("doc_id", "k", "ver")
+      .write.parquet(s"$root/v2/members")
+    assert(st.currentVersion === 1L)
+    assert(st.members().count() === 2L, "orphan rows are not read")
+    val r = st.update(Seq((3L, "AAA z")).toDF("doc_id", "text"))
+    assert(r.version === 2L)
+    assert(st.members().count() === 3L)
+    assert(st.members().filter(col("doc_id") === 99L).count() === 0L)
+  }
+
+  test("compact preserves components, arrival versions, and liveness") {
+    val ss = spark; import ss.implicits._
+    val v1 = Seq((1L, "AAA one"), (2L, "AAA two"), (3L, "AAA three"),
+      (4L, "AAA four"), (10L, "BBB ten"), (11L, "BBB eleven"))
+    val v2 = Seq((5L, "AAA five"), (6L, "AAA six"), (7L, "AAA seven"),
+      (12L, "BBB twelve"))
+    val st = new DedupState(spark, tmpRoot(), prefixBands, Some(5L))
+    st.update(v1.toDF("doc_id", "text"))
+    st.update(v2.toDF("doc_id", "text"))
+    val before = partitionOf(st)
+    val versBefore = st.members().select("doc_id", "ver").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val snap = st.compact()
+    assert(snap === 3L)
+    assert(partitionOf(st) === before)
+    val versAfter = st.members().select("doc_id", "ver").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(versAfter === versBefore, "arrival versions survive compaction")
+    // dead AAA pairs were pruned; BBB's live edge survived
+    assert(st.liveEdges().count() === st.pairs().select("a", "b").distinct().count())
+
+    // the store keeps working after compaction and still matches one-shot
+    val v3 = Seq((20L, "BBB twenty"), (21L, "CCC alone"))
+    st.update(v3.toDF("doc_id", "text"))
+    val oneShot = new DedupState(spark, tmpRoot(), prefixBands, Some(5L))
+    oneShot.update((v1 ++ v2 ++ v3).toDF("doc_id", "text"))
+    assert(partitionOf(st) === partitionOf(oneShot))
+  }
+}
