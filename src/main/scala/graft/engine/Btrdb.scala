@@ -1769,35 +1769,52 @@ class Btrdb(val spark: SparkSession, val root: String,
   }
 
   /** Windows: arbitrary width, end truncated to whole windows, empty
-    * windows emitted with zeros (/root/reference/quasar.go:306-346). */
+    * windows emitted with zeros (/root/reference/quasar.go:306-346).
+    *
+    * `depth` carries the reference's EXACT depth-cap arithmetic
+    * (/root/reference/qtree/qtree.go:1064-1176, closed form derived in
+    * [[StatOps.windowsDepth]]): attribution buckets of 2^c ns
+    * (c = [[StatOps.depthBucketPw]] — the reference's 56/-6 node
+    * ladder) land wholly in the window containing their start, and the
+    * bucket containing `start` itself is dropped (the walk reaches it
+    * inactive and the capped branch activates without accumulating).
+    * Served from the deepest pyramid level <= c when the rollup is
+    * current (rollup rows compose exactly into 2^c buckets), else
+    * recomputed from raw points — identical results either way. */
   def windows(uuid: String, start: Long, end: Long, width: Long,
               version: Long = TimeConsts.LatestGeneration,
               depth: Int = 0): DataFrame = {
     val e = TimeOps.truncateEnd(start, end, width)
     val n = (e - start) / width
-    // `depth` (reference /root/reference/quasar.go:306-346): below
-    // pointwidth `depth` a whole 2^depth bucket is attributed to the
-    // window holding its START — approximate boundaries, exact counts,
-    // in exchange for reading the rollup instead of raw points. depth=0
-    // is exact. Emulated here by sourcing from the pyramid level ≤ depth
-    // when one exists and the stream has no merge-on-read debt.
     val sid = sidOf(uuid)
-    val level = pyramidLevels.filter(_ <= depth).sorted.lastOption
+    val c = if (depth <= 0) 0 else StatOps.depthBucketPw(depth)
+    val u = 1L << c
+    // depth-capped scan bounds: skip the dropped straddler bucket and
+    // keep the last contributing bucket's tail past `e`
+    val (lo, hi) =
+      if (depth <= 0) (start, e)
+      else (TimeOps.alignDown(start, c) + u, TimeOps.alignDown(e - 1, c) + u)
+    val bucketStart: Column => Column =
+      t => if (depth <= 0) t else TimeOps.clampTime(t, c)
+    val level = pyramidLevels.filter(l => depth > 0 && l <= c)
+      .sorted.lastOption
       .filter(l => pyramidHas(l) &&
         version == TimeConsts.LatestGeneration && minorOf(sid) == 0 &&
         !hasDeleteDebt(sid) && pyramidCurrent(sid))
     val agg0 = level match {
       case Some(l) =>
         pyramidRead(s"pyramid/pw=$l")
-          .filter(pyramidSlice(sid, start, e) &&
-            col("wstart") >= start && col("wstart") < e)
-          .groupBy(TimeOps.windowIndex(col("wstart"), start, width).as("i"))
+          .filter(pyramidSlice(sid, lo, hi) &&
+            col("wstart") >= lo && col("wstart") < hi)
+          .groupBy(TimeOps.windowIndex(bucketStart(col("wstart")),
+            start, width).as("i"))
           .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
             StatOps.rollupMean.as("vmean"),
             max("vmax").as("vmax"))
       case None =>
-        readable(uuid, version, start, e)
-          .groupBy(TimeOps.windowIndex(col("time"), start, width).as("i"))
+        readable(uuid, version, lo, hi)
+          .groupBy(TimeOps.windowIndex(bucketStart(col("time")),
+            start, width).as("i"))
           .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
             StatOps.rawMean(col("value")).as("vmean"),
             max("value").as("vmax"))

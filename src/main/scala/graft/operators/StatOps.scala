@@ -120,6 +120,80 @@ object StatOps {
         coalesce(col("vmax"), lit(0.0)).as("vmax"))
   }
 
+  /** The reference's tree-bucket ladder: node pointwidths descend from
+    * ROOTPW=56 in PWFACTOR=6 steps, clamping at 0
+    * (/root/reference/qtree/qtree_utils.go:14-22,272-278). The
+    * depth-capped Windows walk descends while the CHILD pointwidth is
+    * still >= depth, so its attribution unit is the first ladder value
+    * BELOW depth (never depth itself unless depth-1 is on the ladder). */
+  private val BucketLadder = Seq(50, 44, 38, 32, 26, 20, 14, 8, 2, 0)
+  def depthBucketPw(depth: Int): Int =
+    BucketLadder.find(_ < depth).getOrElse(0)
+
+  /** Windows with the reference's depth cap — EXACT semantics of the
+    * sequential walk in /root/reference/qtree/qtree.go:1064-1176, not an
+    * approximation. Below the cap the walk cannot split tree buckets;
+    * the observable result collapses to a closed form (validated against
+    * a literal walk simulation in WindowsDepthSpec):
+    *
+    *   - attribution buckets are 2^c ns wide, c = [[depthBucketPw]];
+    *   - every non-empty bucket's stats land WHOLLY in the window
+    *     containing the bucket's START. (Induction on the walk state:
+    *     a bucket crossing its window's end closes that window and
+    *     forces the next bucket's start past the boundary, and hole
+    *     emission fast-forwards the open window to the next bucket's
+    *     start — so the open window always catches up to exactly
+    *     floor((bucketStart-start)/width) before accumulating.)
+    *   - the bucket CONTAINING `start` is dropped entirely: the walk
+    *     reaches it inactive, and the capped branch activates without
+    *     accumulating (qtree.go:1122-1126). Its points appear in no
+    *     window — a reference quirk preserved deliberately;
+    *   - end truncates to whole windows, empty windows emit zeros, and
+    *     the final window keeps a straddling bucket's tail past `end`
+    *     (whole-bucket attribution), all exactly as at depth 0.
+    *
+    * One DELIBERATE divergence: the reference's hole/straddle paths
+    * check Done AFTER advancing the boundary (qtree.go:1135-1137,
+    * 1167-1170) while its leaf path checks before — so the reference
+    * suppresses the final window whenever the second-to-last closes
+    * via a hole or a capped straddle, contradicting its own "holes
+    * emitted as blank records" contract (qtree.go:1063-1065). We emit
+    * every window of the truncated range uniformly (SURVEY "Known
+    * divergences").
+    *
+    * Counts are exact, boundaries approximate — the trade the reference
+    * makes so a depth-capped query reads O(windows) rollup rows instead
+    * of raw points. The scan range [bucketAfter(start), bucketOf(end))
+    * prunes both the dropped straddler and all pre-start data at the
+    * parquet filter, so the plan stays one pushed-filter scan + one
+    * aggregate, identical in shape to depth 0.
+    */
+  def windowsDepth(points: DataFrame, sid: Long, start: Long, end: Long,
+                   width: Long, depth: Int): DataFrame = {
+    if (depth <= 0) return windows(points, sid, start, end, width)
+    val spark = points.sparkSession
+    val e = TimeOps.truncateEnd(start, end, width)
+    val n = (e - start) / width
+    val c = depthBucketPw(depth)
+    val u = 1L << c
+    val lo = TimeOps.alignDown(start, c) + u  // first kept bucket
+    val hi = TimeOps.alignDown(e - 1, c) + u  // end of last kept bucket
+    val agg = points
+      .filter(col("sid") === sid && col("time") >= lo && col("time") < hi)
+      .groupBy(TimeOps.windowIndex(TimeOps.clampTime(col("time"), c),
+        start, width).as("i"))
+      .agg(statAgg(col("value")).head, statAgg(col("value")).tail: _*)
+    spark.range(n).toDF("i")
+      .join(agg, Seq("i"), "left_outer")
+      .select(
+        col("i"),
+        (col("i") * width + start).as("wstart"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        coalesce(col("vmin"), lit(0.0)).as("vmin"),
+        coalesce(col("vmean"), lit(0.0)).as("vmean"),
+        coalesce(col("vmax"), lit(0.0)).as("vmax"))
+  }
+
   /** Nearest (reference /root/reference/quasar.go:359-391): forward = first
     * point with t >= T (inclusive); backward = last point with t < T
     * (exclusive). Ties on time broken by value for determinism (the

@@ -96,6 +96,36 @@ object BtrdbQueries {
         T0, winEnd, DayNs).orderBy("i")
     },
 
+    // A4 — Windows with the reference's depth cap, EXACT arithmetic
+    // (qtree.go:1064-1176 via the StatOps.windowsDepth closed form):
+    // depth=46 caps attribution at ladder pw 44 (~4.9 h buckets inside
+    // 1-day windows), so whole 2^44 buckets land in the window holding
+    // their start, the bucket containing T0 is dropped (activation
+    // quirk), and the final window keeps its straddler's tail past the
+    // truncated end. Counts exact, boundaries approximate — the
+    // reference's rollup-speed trade, reproduced bit-for-bit.
+    "q_windows_depth" -> QueryDef({
+      val c = StatOps.depthBucketPw(46)   // = 44
+      val u = 1L << c
+      val e = TimeOps.truncateEnd(T0, winEnd, DayNs)
+      val lo = TimeOps.alignDown(T0, c) + u
+      val hi = TimeOps.alignDown(e - 1, c) + u
+      s"""$P, agg AS (
+         |  SELECT ((((time >> $c) << $c) - $T0) // $DayNs) AS i,
+         |    COUNT(*) AS cnt, MIN(value) AS vmin,
+         |    ${meanSql()} AS vmean, MAX(value) AS vmax
+         |  FROM points WHERE sid = 5 AND time >= $lo AND time < $hi
+         |  GROUP BY 1)
+         |SELECT g.i AS i, g.i * $DayNs + $T0 AS wstart,
+         |  CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt, COALESCE(vmin, 0.0) AS vmin,
+         |  COALESCE(vmean, 0.0) AS vmean, COALESCE(vmax, 0.0) AS vmax
+         |FROM generate_series(0, 44) AS g(i) LEFT JOIN agg ON agg.i = g.i
+         |ORDER BY 1""".stripMargin
+    }) { (s, dir) =>
+      StatOps.windowsDepth(Tables.points(s, dir), 5,
+        T0, winEnd, DayNs, depth = 46).orderBy("i")
+    },
+
     // W1 — Nearest forward: first point with t >= T (inclusive).
     "q_nearest_fwd" -> QueryDef(
       s"""$P SELECT time, value FROM points WHERE sid = 2 AND time >= $nearT

@@ -268,24 +268,29 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("windows depth knob: approximate bucketing from the pyramid, exact counts") {
+  test("windows depth knob: reference-exact bucket attribution from the pyramid") {
     val uuid = "u-depth"
     db.createStream(uuid, "test/depth", Map("t" -> "d"))
     insertPoints(uuid, (0L until 4096L).map(t => (t, 1.0)))
     db.flush(uuid)
-    // width 1000 (not a power of two); depth=8 sources pyramid pw=6
-    // (spec engine maintains Seq(6, 10)): buckets of 64 attributed to the
-    // window holding their start — counts conserved, boundaries coarse
+    // width 1000 (not a power of two); depth=9 caps attribution at the
+    // reference node ladder's pw=8 (buckets of 256, qtree.go:1064-1176)
+    // and sources pyramid pw=6 (spec engine maintains Seq(6, 10)):
+    // whole buckets land in the window holding their start
     val exact = db.windows(uuid, 0, 4000, 1000).collect()
-    val approx = db.windows(uuid, 0, 4000, 1000, depth = 8).collect()
+    val approx = db.windows(uuid, 0, 4000, 1000, depth = 9).collect()
     assert(approx.length == exact.length)
-    // whole buckets are attributed by their start: interior counts are
-    // redistributed across boundaries, and the bucket straddling `end`
-    // (3968..4031) contributes its tail — 4032 = 63 windows of 64 + tail
     assert(exact.map(_.getLong(2)).sum == 4000)
-    assert(approx.map(_.getLong(2)).sum == 4032)
-    // bucket 960..1023 straddles the w0/w1 boundary → attributed to w0
-    assert(approx(0).getLong(2) == 1024 && exact(0).getLong(2) == 1000)
+    // the bucket containing start=0 ([0,256)) is DROPPED — the walk
+    // reaches it inactive and the capped branch activates without
+    // accumulating — and the bucket straddling end ([3840,4096))
+    // contributes its tail past the truncated end: 4096 - 256 = 3840
+    assert(approx.map(_.getLong(2)).sum == 3840)
+    // w0 [0,1000) = buckets starting at 256/512/768 → points 256..1023
+    // (768 of them — [768,1024) straddles the boundary but belongs to
+    // the window holding its start); w1 = buckets 1024..1792 → 1024
+    assert(approx(0).getLong(2) == 768 && exact(0).getLong(2) == 1000)
+    assert(approx(1).getLong(2) == 1024)
   }
 
   test("time-range reads prune tbucket partitions (scan cost ∝ range, not table)") {

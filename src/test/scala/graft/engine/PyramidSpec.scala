@@ -272,16 +272,17 @@ class PyramidSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.spark.sql.types.DecimalType(38, 0),
       s"migrated vsc must be decimal, got ${migrated.schema("vsc").dataType}")
     assert(migrated.filter(col("ccnt").isNull).count() == 0)
-    // the mixed window [96, 112): 16 legacy 2.0-points + the off-domain
-    // value — ccnt (16) < cnt (17) ⇒ exact IEEE degrade, never a
-    // null-skipped cents sum over the full count
-    val w = db.windows(uuid, 96L, 112L, 16L, depth = 4)
+    // the mixed pw=4 window [96, 112): 16 legacy 2.0-points + the
+    // off-domain value — ccnt (16) < cnt (17) ⇒ exact IEEE degrade,
+    // never a null-skipped cents sum over the full count (pyramid-served
+    // read of the migrated rollup)
+    val w = db.alignedWindows(uuid, 96L, 112L, 4)
       .filter(col("cnt") > 0).head()
     assert(w.getAs[Long]("cnt") == 17L)
     assert(w.getAs[Double]("vmean") == (16 * 2.0 + 1.0e17) / 17,
       s"expected IEEE-degraded mean, got ${w.getAs[Double]("vmean")}")
     // an untouched all-legacy window still serves the exact cents mean
-    val w2 = db.windows(uuid, 512L, 528L, 16L, depth = 4)
+    val w2 = db.alignedWindows(uuid, 512L, 528L, 4)
       .filter(col("cnt") > 0).head()
     assert(w2.getAs[Long]("cnt") == 16L && w2.getAs[Double]("vmean") == 2.0)
     db.close()

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Validates [[StatOps.windowsDepth]]'s closed form against a LITERAL
+  * simulation of the reference's depth-capped window walk
+  * (/root/reference/qtree/qtree.go:1064-1176). The simulator mirrors the
+  * walk's control flow over the sequence of attribution buckets — the
+  * dyadic tiling of absent subtrees between data buckets reduces the
+  * tree's hole handling to "emit windows while the boundary is at or
+  * before the next data bucket's start", which the simulator replays
+  * hole by hole. The closed form under test:
+  *   window(bucket) = floor((bucketStart - start) / width),
+  *   bucket containing `start` dropped, end truncated, zeros for holes.
+  */
+class WindowsDepthSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("windows-depth-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private case class B(bs: Long, cnt: Long, vmin: Double, vmax: Double,
+                       total: Double)
+  private case class W(i: Long, cnt: Long, vmin: Double, vmean: Double,
+                       vmax: Double)
+
+  /** Literal replay of the walk's state machine over ordered non-empty
+    * attribution buckets of width `u`: Active/Time/nxtstart as in
+    * WindowContext, whole-bucket accumulation, immediate emit on
+    * boundary crossing, multi-window hole emission, the inactive
+    * capped-branch activation that drops the straddler, Done when the
+    * post-emit boundary reaches `end`. */
+  private def simulate(buckets: Seq[B], start: Long, end: Long,
+                       width: Long, u: Long): Seq[W] = {
+    val e = end - ((end - start) % width)
+    val out = scala.collection.mutable.ArrayBuffer.empty[W]
+    var time = start
+    var nxtstart = start
+    var active = false
+    var done = false
+    var (cnt, vmin, vmax, total) = (0L, 0.0, 0.0, 0.0)
+    def add(b: B): Unit = {
+      if (b.cnt > 0) {
+        if (cnt == 0 || b.vmin < vmin) vmin = b.vmin
+        if (cnt == 0 || b.vmax > vmax) vmax = b.vmax
+      }
+      total += b.total; cnt += b.cnt
+    }
+    def emit(): Unit = {
+      out += W((time - start) / width, cnt, if (cnt == 0) 0.0 else vmin,
+        if (cnt == 0) 0.0 else total / cnt, if (cnt == 0) 0.0 else vmax)
+      active = true; cnt = 0; vmin = 0.0; vmax = 0.0; total = 0.0
+      time += width
+      if (nxtstart >= e) done = true else nxtstart += width
+    }
+    // holes: emit windows while the boundary is at or before `to`
+    def hole(to: Long): Unit = {
+      if (!active && to > nxtstart) { time = nxtstart; active = true
+        nxtstart += width }
+      while (!done && active && nxtstart <= to) emit()
+    }
+    for (b <- buckets if !done) {
+      val be = b.bs + u
+      if (be <= nxtstart) {
+        // wholly inside the open window (or before the range if inactive)
+        if (active) { add(b); if (be == nxtstart) emit() }
+      } else {
+        hole(b.bs) // absent tiles between previous bucket and this one
+        if (!done) {
+          if (be <= nxtstart) { // hole advance swallowed the straddle
+            if (active) { add(b); if (be == nxtstart) emit() }
+          } else if (!active) { // capped straddler reached inactive: DROP
+            active = true; nxtstart += width
+          } else { // straddles the open window's end: attribute + close
+            add(b); emit()
+          }
+        }
+      }
+    }
+    if (!done) hole(Long.MaxValue) // trailing absent subtrees
+    out.toSeq
+  }
+
+  // depth=3 -> ladder pw 2 -> attribution buckets of 4 ns: small enough
+  // that random cases hit every branch (drop, multi-window holes,
+  // boundary-crossing emits, tail straddle, all-empty ranges)
+  private val U = 4L
+  private val Depth = 3
+
+  test("closed form equals the literal reference walk (randomized)") {
+    val ss = spark; import ss.implicits._
+    val seed = 12L
+    info(s"seed = $seed")
+    val rnd = new scala.util.Random(seed)
+    var checked = 0
+    for (_ <- 0 until 120) {
+      val width = 1L + rnd.nextInt(200)
+      val start = (rnd.nextInt(601) - 300).toLong
+      val span = width + rnd.nextInt((width * 11).toInt + 1)
+      val end = start + span
+      val pts = List.fill(rnd.nextInt(61)) {
+        val t = start - 2 * U - width +
+          rnd.nextLong(span + 4 * U + width)
+        (t, (rnd.nextInt(199) - 99) / 4.0)
+      }
+      val e = end - ((end - start) % width)
+      if (e > start) {
+        checked += 1
+        val n = (e - start) / width
+        val buckets = pts.groupBy { case (t, _) => Math.floorDiv(t, U) * U }
+          .toSeq.sortBy(_._1)
+          .map { case (bs, ps) =>
+            B(bs, ps.size, ps.map(_._2).min, ps.map(_._2).max,
+              ps.map(_._2).sum) }
+        val expByI = simulate(buckets, start, end, width, U)
+          .filter(w => w.i >= 0 && w.i < n)
+          .map(w => w.i -> w).toMap
+        val expected = (0L until n).map(i =>
+          expByI.getOrElse(i, W(i, 0, 0.0, 0.0, 0.0)))
+
+        val df = pts.toDF("time", "value").withColumn("sid", lit(1L))
+        val got = StatOps.windowsDepth(df, 1L, start, end, width, Depth)
+          .orderBy("i").collect()
+          .map(r => W(r.getLong(0), r.getLong(2), r.getDouble(3),
+            r.getDouble(4), r.getDouble(5)))
+
+        assert(got.length == expected.length)
+        got.zip(expected).foreach { case (g, x) =>
+          assert(g.i == x.i && g.cnt == x.cnt,
+            s"window ${g.i}: got cnt ${g.cnt}, walk says ${x.cnt} " +
+              s"(start=$start end=$end width=$width pts=$pts)")
+          assert(g.vmin == x.vmin && g.vmax == x.vmax)
+          assert(math.abs(g.vmean - x.vmean) < 1e-9)
+        }
+      }
+    }
+    assert(checked > 100)
+  }
+
+  test("worked example: drop, redistribution, tail — all three quirks") {
+    val ss = spark; import ss.implicits._
+    // buckets of 4 (depth=3 -> ladder pw 2), windows of 10 from t=2:
+    //   bucket [0,4)   contains start=2  -> DROPPED (activation quirk)
+    //   bucket [4,8)   -> window 0 ([2,12))
+    //   bucket [8,12)  straddles 12      -> window 0 entirely
+    //   bucket [20,24) -> window 1 ([12,22)) though 22,23 lie past it
+    //   window 2 ([22,32)) empty: its only data went to window 1
+    val pts = Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L, 11L, 20L, 21L, 22L, 23L)
+      .map(t => (t, t.toDouble))
+    val df = pts.toDF("time", "value").withColumn("sid", lit(1L))
+    val got = StatOps.windowsDepth(df, 1L, 2L, 34L, 10L, depth = 3)
+      .orderBy("i").collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(4L, 4L, 0L))
+    assert(got(0).getDouble(3) == 4.0 && got(0).getDouble(5) == 11.0)
+    assert(got(1).getDouble(3) == 20.0 && got(1).getDouble(5) == 23.0)
+  }
+
+  test("depthBucketPw follows the reference 56/-6 node ladder") {
+    assert(StatOps.depthBucketPw(46) == 44)
+    assert(StatOps.depthBucketPw(44) == 38)
+    assert(StatOps.depthBucketPw(51) == 50)
+    assert(StatOps.depthBucketPw(63) == 50)
+    assert(StatOps.depthBucketPw(8) == 2)
+    assert(StatOps.depthBucketPw(3) == 2)
+    assert(StatOps.depthBucketPw(2) == 0)
+    assert(StatOps.depthBucketPw(1) == 0)
+  }
+}
