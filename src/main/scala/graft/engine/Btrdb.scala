@@ -2053,13 +2053,25 @@ class Btrdb(val spark: SparkSession, val root: String,
     merged.toDF(display: _*).orderBy("time")
   }
 
-  /** RFC3339-render an aligned frame's ns `time` column at µs precision
-    * — the reference's CSV time format
-    * (/root/reference/grpcinterface/serve.go:975), shared by the CSV
-    * file sink and the wire GenerateCSV RPC. */
+  /** RFC3339-render an aligned frame's ns `time` column at FULL ns
+    * precision for the CSV file sink. The reference's human column
+    * (`time.Unix(0, ns).Format(time.RFC3339)`,
+    * /root/reference/grpcinterface/serve.go:975) is second-precision
+    * because Go's RFC3339 layout carries no fractional second — the
+    * exact ns ride in a separate numeric column (the wire shim
+    * reproduces that layout verbatim, [[graft.wire.BtrdbWire]]). The
+    * FILE sink has only this one time column, so it must not lose
+    * digits: seconds render through the catalyst formatter and the ns
+    * fraction is appended as exact integer arithmetic (a Spark
+    * timestamp is µs — formatting alone cannot show ns). Round-trips
+    * ns-exactly: parse = epochSecond(prefix)·1e9 + fraction. */
   def csvTimeRendered(aligned: DataFrame): DataFrame =
-    aligned.withColumn("time", date_format(
-      timestamp_micros(expr("time div 1000")), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"))
+    aligned.withColumn("time", concat(
+      date_format(timestamp_seconds(
+        TimeOps.floorDiv(col("time"), 1000000000L)), "yyyy-MM-dd'T'HH:mm:ss"),
+      lit("."), lpad(pmod(col("time"), lit(1000000000L)).cast("string"),
+        9, "0"),
+      lit("Z")))
 
   def generateCsv(uuids: Seq[String], labels: Seq[String],
                   start: Long, end: Long, outPath: String,

@@ -77,6 +77,10 @@ object EtlQueries {
   private val SemDedupTau = 0.3
   private val KmIvfProbes = 2
   private val KmIvfTopK = 10
+  // recall report: every 97th vector probes the index; candidate
+  // recall of the exact top-RecallK measured at nprobe in {1, 2, 4}
+  private val RecallQueryMod = 97
+  private val RecallK = 10
   /** Karp-Rabin rolling-hash base and modulus. */
   private val RollB = 131L
   private val RollM = 1000000007L
@@ -2054,6 +2058,89 @@ object EtlQueries {
           exactCosine(col("embedding"), col("qemb")).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(KmIvfTopK)
+    },
+
+    // IVF recall report — the measure-don't-guess loop for the k-means
+    // coarse quantizer (the analog of q_minhash_acc for banding): for a
+    // deterministic probe set of query vectors, what fraction of the
+    // EXACT cosine top-10 lives inside the nprobe nearest centroids'
+    // cells, per nprobe? This is candidate recall — the rerank is exact
+    // cosine, so reachability is the only loss an IVF probe introduces.
+    // Ground truth (|queries| brute passes) is an EVAL-ONLY cost: the
+    // serving path stays q_ann_kmivf's probe-then-rerank. Shares the
+    // memoized centroids/assignments with every other IVF consumer.
+    "q_ann_recall" -> QueryDef(
+      s"""WITH $kmeansSql,
+         |qs AS (SELECT vec_id AS qid FROM embeddings
+         |       WHERE vec_id % $RecallQueryMod = 0),
+         |cr AS (
+         |  SELECT s1.vec_id AS qid, s1.cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY s1.vec_id
+         |      ORDER BY cos DESC, cluster) AS crn
+         |  FROM s1 JOIN qs ON qs.qid = s1.vec_id),
+         |qd AS (
+         |  SELECT q.vec_id AS qid, sc.vec_id, SUM(sc.v * q.v) AS dot
+         |  FROM sc JOIN sc q ON q.i = sc.i
+         |  JOIN qs ON qs.qid = q.vec_id
+         |  WHERE sc.vec_id <> q.vec_id
+         |  GROUP BY q.vec_id, sc.vec_id),
+         |gt AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qd.qid, qd.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qd.qid ORDER BY
+         |        CAST(dot AS DOUBLE) / (sqrt(CAST(n1.nn AS DOUBLE))
+         |          * sqrt(CAST(n2.nn AS DOUBLE))) DESC, qd.vec_id) AS rn
+         |    FROM qd
+         |    JOIN norms n1 ON n1.vec_id = qd.qid
+         |    JOIN norms n2 ON n2.vec_id = qd.vec_id) t
+         |  WHERE rn <= $RecallK),
+         |np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+         |hit AS (
+         |  SELECT np.nprobe,
+         |    CASE WHEN cr.crn <= np.nprobe THEN 1 ELSE 0 END AS hit
+         |  FROM gt
+         |  JOIN a2 ON a2.vec_id = gt.vec_id
+         |  JOIN cr ON cr.qid = gt.qid AND cr.cluster = a2.cluster
+         |  CROSS JOIN np)
+         |SELECT CAST(nprobe AS BIGINT) AS nprobe,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(hit) AS BIGINT) AS hits,
+         |  CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall
+         |FROM hit GROUP BY nprobe ORDER BY nprobe""".stripMargin) { (s, dir) =>
+      import graft.functions.FixedPointOps.exactCosine
+      import s.implicits._
+      val cents = kmeansCentroids(s, dir)
+      val qs = emb(s, dir).filter(col("vec_id") % RecallQueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      // centroid rank per query: K centroids broadcast as literals
+      val cr = qs.select(col("qid"), explode(array(cents.map(c =>
+          struct(graft.etl.KMeans.cosineTo(col("qemb"), c).as("cos"),
+            lit(c.id).as("cluster"))): _*)).as("p"))
+        .select(col("qid"), col("p.cluster").as("cluster"),
+          col("p.cos").as("cos"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("cluster"))))
+        .select("qid", "cluster", "crn")
+      // exact ground truth per query (broadcast the tiny query frame)
+      val gt = emb(s, dir).select(col("vec_id"), col("embedding"))
+        .join(broadcast(qs), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          exactCosine(col("embedding"), col("qemb")).as("cos"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rn") <= RecallK)
+        .select("qid", "vec_id")
+      val np = Seq(1L, 2L, 4L).toDF("nprobe")
+      gt.join(kmeansAssignments(s, dir), "vec_id")
+        .join(cr, Seq("qid", "cluster"))
+        .crossJoin(broadcast(np))
+        .select(col("nprobe"),
+          when(col("crn") <= col("nprobe"), 1L).otherwise(0L).as("hit"))
+        .groupBy("nprobe")
+        .agg(count(lit(1)).as("n_pairs"), sum("hit").as("hits"))
+        .select(col("nprobe"), col("n_pairs"), col("hits"),
+          (col("hits").cast("double") / col("n_pairs")).as("recall"))
+        .orderBy("nprobe")
     },
 
     // ---- Retrieval, corpus statistics & training export ---------------

@@ -413,8 +413,28 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     db.generateCsv(Seq(ua, ub), Seq("a", "b"), 0, 10000, dir)
     val lines = spark.read.option("header", "true").csv(dir).collect()
     assert(lines.length == 3)
-    assert(lines(0).getString(0).startsWith("1970-01-01T00:00:00.000001"))
+    // ns-exact rendering: all nine fractional digits survive and the
+    // value round-trips to the original ns Long
+    assert(lines(0).getString(0) == "1970-01-01T00:00:00.000001000Z")
+    val parsed = java.time.Instant.parse(lines(0).getString(0))
+    assert(parsed.getEpochSecond * 1000000000L + parsed.getNano == 1000L)
     assert(lines(0).getString(1) == "10.0" && lines(0).getString(2) == null)
+  }
+
+  test("csvTimeRendered is ns-exact across sub-second digits and negatives") {
+    val ss = spark
+    import ss.implicits._
+    val times = Seq(1L, 999999999L, 1500000001L, 1234567891234567891L,
+      -1L, -1500000001L)
+    val df = times.toDF("time")
+    val rendered = db.csvTimeRendered(df).collect().map(_.getString(0))
+    times.zip(rendered).foreach { case (ns, s) =>
+      val p = java.time.Instant.parse(s)
+      assert(p.getEpochSecond * 1000000000L + p.getNano == ns,
+        s"$ns rendered as $s")
+    }
+    assert(rendered(3) == "2009-02-13T23:31:31.234567891Z")
+    assert(rendered(4) == "1969-12-31T23:59:59.999999999Z")
   }
 
   test("generateCsv aligned: four stat columns per stream (reference layout)") {

@@ -334,6 +334,23 @@ class TrainingExportSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"SQ8 recall too low: exact=$exact approx=$approx")
   }
 
+  test("q_ann_recall: candidate recall is a counting model, monotone in nprobe") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q_ann_recall")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    // every probe set evaluates the same ground truth: |queries| x 10
+    // pairs, so n_pairs is constant and a multiple of RecallK
+    assert(rows.map(_._2).distinct.length == 1 && rows.head._2 % 10 == 0)
+    // probing MORE cells can only reach MORE of the truth: hits (and
+    // recall) must be non-decreasing in nprobe, and recall = hits/pairs
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3, s"recall not monotone: $a -> $b") }
+    rows.foreach { case (_, n, h, r) =>
+      assert(h <= n && math.abs(r - h.toDouble / n) < 1e-15) }
+  }
+
   /** Textbook winnowing (Schleimer et al.): per window of 8 gram
     * hashes select the min, rightmost tie winning; distinct (pos, h)
     * selections. Independent of the query's key-encoding trick. */
