@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{TimeConsts, TimeOps}
@@ -68,6 +69,7 @@ class Btrdb(val spark: SparkSession, val root: String,
             pyramidLevels: Seq[Int] = Seq(30, 36, 42, 48),
             pyramidWBucketPw: Int = 54,
             commitRangePw: Int = 36,
+            quantileLevel: Option[Int] = None,
             lockRoot: Boolean = true,
             lockStaleMillis: Long = 120000L,
             admission: Admission = Admission.default) {
@@ -75,6 +77,10 @@ class Btrdb(val spark: SparkSession, val root: String,
 
   require(pyramidLevels.isEmpty || pyramidWBucketPw >= pyramidLevels.max,
     "pyramid window-bucket width must be at least the coarsest level")
+  require(quantileLevel.forall(q => pyramidLevels.nonEmpty &&
+      q <= pyramidWBucketPw && q <= pyramidLevels.max),
+    "quantile histogram level needs the stat pyramid's maintenance " +
+      "machinery (watermark, touched ranges) and must fit the wbucket")
 
   spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -598,6 +604,7 @@ class Btrdb(val spark: SparkSession, val root: String,
   }
   private def invalidatePyramidPresence(): Unit = synchronized {
     pyramidPresent.clear()
+    qhistPresentMemo = None
   }
 
   private def seedCommitState(): Unit = synchronized {
@@ -960,8 +967,17 @@ class Btrdb(val spark: SparkSession, val root: String,
     appendCommit(sid, v, "insert", st.tmin, st.tmax, st.n, st.ranges,
       consumedBatches, grid = st.offGrid == 0L, compacted = asCompacted)
     // INSERT path: the batch's partial aggregates fold into the existing
-    // rollup rows — no point-log rescan, no second batch pass
-    maintainPyramid(sid, st.ranges, foldPartials = Some(partials), v)
+    // rollup rows — no point-log rescan, no second batch pass (the
+    // quantile histogram, when enabled, is the one extra batch pass:
+    // its key is (window, cents value), not expressible in the stat
+    // partials' (window) groupBy)
+    val qPartials = quantileLevel.map { q =>
+      batch.groupBy(TimeOps.clampTime(col("time"), q).as("wstart"),
+          StatOps.cents(col("value")).as("c"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+    maintainPyramid(sid, st.ranges, foldPartials = Some(partials), v,
+      foldQhist = qPartials)
     v
   }
 
@@ -1659,6 +1675,84 @@ class Btrdb(val spark: SparkSession, val root: String,
     parts.reduce(_ unionByName _).orderBy("sid", "wstart")
   }
 
+  /** Pyramid-served EXACT per-window quantiles: p50 (mean of the middle
+    * one-or-two cents values) and p95 (nearest rank, ceil) over aligned
+    * 2^pw windows — [[graft.operators.Distillate.quantileWindows]]'s
+    * semantics answered from the persisted per-window cents HISTOGRAM
+    * (`qhist/`, maintained per commit when `quantileLevel` is set)
+    * instead of a raw scan. Histogram rows compose to any pw >= the
+    * histogram level by summing counts, and rank selection over
+    * cumulative counts is exactly row-level nearest-rank (ties share a
+    * cents value). A stream with merge-on-read debt, delete debt, or a
+    * stale watermark computes the SAME histogram from the live point
+    * view in one scan — identical results either way. Windows holding
+    * any off-cents-grid value (NULL `c` rows) serve NULL quantiles
+    * rather than wrong ones. */
+  def quantileWindowsBulk(uuids: Seq[String], start: Long, end: Long,
+                          pw: Int): DataFrame = {
+    val q = quantileLevel.getOrElse(throw new IllegalStateException(
+      "quantile rollup not enabled on this engine (quantileLevel)"))
+    require(pw >= q, s"window pw=$pw must be at least histogram level $q")
+    require(uuids.nonEmpty, "quantileWindowsBulk needs at least one stream")
+    val s = TimeOps.alignDown(start, pw)
+    val e = TimeOps.alignDown(end, pw)
+    val sids = uuids.map(sidOf)
+    seedCommitState()
+    val (pyrSids, rawSids) = sids.partition(sid =>
+      qhistHas && !hasDeleteDebt(sid) && minorOf(sid) == 0 &&
+        pyramidCurrent(sid))
+    val parts = Seq(
+      if (pyrSids.isEmpty) None else Some {
+        spark.read.parquet(path("qhist"))
+          .filter(col("sid").isin(pyrSids: _*) &&
+            col("sbucket").isin(pyrSids.map(_ % sBuckets).distinct: _*) &&
+            col("wbucket") >= (s >> pyramidWBucketPw) &&
+            col("wbucket") <= ((e - 1) >> pyramidWBucketPw) &&
+            col("wstart") >= s && col("wstart") < e)
+          .groupBy(col("sid"), TimeOps.clampTime(col("wstart"), pw).as("wstart"),
+            col("c"))
+          .agg(sum("cnt").as("hc"))
+      },
+      if (rawSids.isEmpty) None else Some {
+        // one live-view scan for every raw-path stream (see
+        // alignedWindowsBulk) aggregated to the same histogram shape
+        rawSids.map(sid => readable(uuidBySid(sid), TimeConsts.LatestGeneration, s, e)
+            .withColumn("sid", lit(sid)))
+          .reduce(_ unionByName _)
+          .groupBy(col("sid"), TimeOps.clampTime(col("time"), pw).as("wstart"),
+            StatOps.cents(col("value")).as("c"))
+          .agg(count(lit(1)).as("hc"))
+      }).flatten
+    val hist = parts.reduce(_ unionByName _)
+    val totals = hist.groupBy("sid", "wstart")
+      .agg(sum("hc").as("ntot"),
+        coalesce(sum(when(col("c").isNull, col("hc"))), lit(0L)).as("nbad"))
+    val cum = hist.filter(col("c").isNotNull)
+      .withColumn("cum", sum("hc").over(
+        Window.partitionBy("sid", "wstart").orderBy("c")))
+    def atRank(r: Column): Column =
+      max(when(col("cum") - col("hc") < r && r <= col("cum"), col("c")))
+    val ranked = cum.join(totals, Seq("sid", "wstart"))
+      .groupBy("sid", "wstart")
+      .agg(atRank(expr("(ntot + 1) div 2")).as("c1"),
+        atRank(expr("(ntot + 2) div 2")).as("c2"),
+        atRank(expr("(19 * ntot + 19) div 20")).as("c95"))
+    // left join: a window whose every value is off-grid has no ranked
+    // rows but must still surface (with NULL quantiles), like any
+    // other non-empty window
+    totals.join(ranked, Seq("sid", "wstart"), "left_outer")
+      .select(col("sid"), col("wstart"), col("ntot").as("cnt"),
+        when(col("nbad") === 0, (col("c1") + col("c2")) / lit(200.0)).as("p50"),
+        when(col("nbad") === 0, col("c95") / lit(100.0)).as("p95"))
+      .orderBy("sid", "wstart")
+  }
+
+  /** Single-stream [[quantileWindowsBulk]]. */
+  def quantileWindows(uuid: String, start: Long, end: Long,
+                      pw: Int): DataFrame =
+    quantileWindowsBulk(Seq(uuid), start, end, pw)
+      .drop("sid")
+
   // ---- SQL surface -----------------------------------------------------
 
   /** Latest-version merged point set over EVERY live stream —
@@ -2193,7 +2287,8 @@ class Btrdb(val spark: SparkSession, val root: String,
 
   private def maintainPyramid(sid: Long, touched: Seq[(Long, Long)],
                               foldPartials: Option[DataFrame],
-                              commitVersion: Long): Unit = {
+                              commitVersion: Long,
+                              foldQhist: Option[DataFrame] = None): Unit = {
     // self-heal BEFORE the new fold: recompute (idempotent) the ranges
     // of commits between the watermark and this one, so a crashed
     // earlier fold can never be masked by this commit's stamp. The
@@ -2204,14 +2299,15 @@ class Btrdb(val spark: SparkSession, val root: String,
     val missed = missedFoldRanges(sid, commitVersion)
     if (missed.nonEmpty)
       maintainPyramidInner(sid, missed, None, recomputeAt = commitVersion - 1)
-    maintainPyramidInner(sid, touched, foldPartials)
+    maintainPyramidInner(sid, touched, foldPartials, foldQhist = foldQhist)
     if (pyramidLevels.nonEmpty) stampPyramidWatermark(sid, commitVersion)
   }
 
   private def maintainPyramidInner(sid: Long, touched: Seq[(Long, Long)],
                                    foldPartials: Option[DataFrame],
                                    recomputeAt: Long =
-                                     TimeConsts.LatestGeneration): Unit = {
+                                     TimeConsts.LatestGeneration,
+                                   foldQhist: Option[DataFrame] = None): Unit = {
     if (pyramidLevels.isEmpty || touched.isEmpty) return
     ensurePyramidLayout()
     val sorted = pyramidLevels.sorted
@@ -2340,6 +2436,77 @@ class Btrdb(val spark: SparkSession, val root: String,
     }
     release()
     baseFresh.unpersist()
+
+    // ---- quantile histogram rollup (opt-in) ----------------------------
+    // Per-window VALUE HISTOGRAMS at 2^quantileLevel: (sid, wstart, c,
+    // cnt) with c the exact cents integer (NULL marks off-grid values —
+    // a window holding any serves NULL quantiles rather than wrong
+    // ones). Counts compose additively per (sid, wstart, c), so the
+    // INSERT path folds the batch's histogram partials with zero
+    // point-log rescan (the one extra cost is a second aggregation pass
+    // over the batch at commit time); DELETE/heal recompute the dirtied
+    // ranges from the (anti-filtered, version-pinned) point log exactly
+    // like the stat path. Same crash-safety: covered by the shared
+    // pyramid watermark stamped after this call.
+    quantileLevel.foreach { q =>
+      val qcols = Seq("sid", "wstart", "c", "cnt")
+      val qFresh = (foldQhist match {
+          case Some(p) => p
+          case None =>
+            val uuid = uuidBySid(sid)
+            ranges.map { case (lo, hi) =>
+              pointsAt(uuid, recomputeAt, lo, hi)
+            }.reduce(_ unionByName _)
+              .groupBy(TimeOps.clampTime(col("time"), q).as("wstart"),
+                StatOps.cents(col("value")).as("c"))
+              .agg(count(lit(1)).as("cnt"))
+        })
+        .withColumn("sid", lit(sid))
+        .select(qcols.map(col): _*)
+      val qExisting =
+        if (!hasParquet("qhist")) qFresh.limit(0)
+        else spark.read.parquet(path("qhist"))
+          .filter(col("sbucket") === sb && col("wbucket").isin(wbuckets: _*))
+          .select(qcols.map(col): _*)
+      val qFold = foldQhist.isDefined
+      val (qMerged, qRelease) = checkpointReleasable(
+        (if (qFold)
+          // fold: batch partials combine with existing histogram rows
+          qExisting.unionByName(qFresh)
+            .groupBy("sid", "wstart", "c")
+            .agg(sum("cnt").as("cnt"))
+            .select(qcols.map(col): _*)
+        else
+          // recompute: this stream's in-range rows are REPLACED
+          qExisting.filter(!(col("sid") === sid && inRange(col("wstart"))))
+            .unionByName(qFresh))
+        .withColumn("sbucket", lit(sb))
+        .withColumn("wbucket", shiftright(col("wstart"), pyramidWBucketPw)))
+      qMerged
+        .repartition(col("sbucket"), col("wbucket"))
+        .sortWithinPartitions("sid", "wstart", "c")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("sbucket", "wbucket")
+        .parquet(path("qhist"))
+      if (!qFold) {
+        val qPresent = qMerged.select("wbucket").distinct().collect()
+          .map(_.getLong(0)).toSet
+        for (wb <- wbuckets if !qPresent(wb))
+          deleteDir(s"qhist/sbucket=$sb/wbucket=$wb")
+      }
+      synchronized { qhistPresentMemo = Some(true) }
+      qRelease()
+    }
+  }
+
+  /** Presence memo for the quantile histogram table — quantile queries
+    * must not issue a filesystem listing per call (the zero-listings
+    * hot-path contract). */
+  private var qhistPresentMemo: Option[Boolean] = None
+  private def qhistHas: Boolean = synchronized {
+    qhistPresentMemo.getOrElse {
+      val p = hasParquet("qhist"); qhistPresentMemo = Some(p); p
+    }
   }
 
   /** Rollup layout generation stamped at `pyramid/_layout` (underscore

@@ -44,6 +44,7 @@ object EngineSqlQueries {
     * phase, BEFORE any warmup or timing. */
   private val roots = TrieMap[(SparkSession, String), String]()
   private val fedRoots = TrieMap[(SparkSession, String), String]()
+  private val engines = TrieMap[(SparkSession, String), Btrdb]()
 
   /** Build the engine fixture roots for `dir` now (idempotent). Bench
     * invokes this in its fixture phase so that no engine ingest runs
@@ -130,7 +131,10 @@ object EngineSqlQueries {
 
   private def viewPrefix(spark: SparkSession, dir: String): String =
     roots.getOrElseUpdate((spark, dir), {
-      val db = new Btrdb(spark, newRoot(spark, dir, ""))
+      // quantileLevel: the per-window cents-histogram rollup, so
+      // q_quantile_pyr can gate the O(windows) quantile serve path
+      val db = new Btrdb(spark, newRoot(spark, dir, ""),
+        quantileLevel = Some(42))
       val sids = db.createStreams((0 until Tables.NumSids).map(k =>
         (s"sql-u$k", "sql/events", Map("sid" -> k.toString))))
       require(sids == (0L until Tables.NumSids.toLong),
@@ -141,8 +145,16 @@ object EngineSqlQueries {
       db.flushAll(maxAgeMillis = 0)
       val prefix = viewName(spark, dir, "sql")
       db.registerViews(prefix)
+      engines.put((spark, dir), db)
       prefix
     })
+
+  /** The ingested fixture ENGINE (building it if needed) — for queries
+    * that exercise engine methods with no SQL-view surface. */
+  private def engine(spark: SparkSession, dir: String): Btrdb = {
+    viewPrefix(spark, dir)
+    engines((spark, dir))
+  }
 
   /** A two-writer federation over the SAME fixture: every stream exists
     * in both roots (so local sids line up with the fixture's global sid
@@ -244,6 +256,40 @@ object EngineSqlQueries {
         "federated pyramid substitution did not fire; scans=" +
           s"${graft.plans.PlanChecks.scanRootPaths(df)}\n" +
           df.queryExecution.optimizedPlan.toString())
+      df
+    },
+
+    // Pyramid-served EXACT quantiles: p50/p95 per aligned 2^44 window
+    // for every stream, answered from the persisted per-window cents
+    // HISTOGRAM (`qhist`, maintained per ingest commit) — REQUIRED to
+    // never touch the point log, the property that makes a
+    // p50-per-window query O(windows · distinct cents) instead of a
+    // full raw scan at 100 TB. The oracle recomputes the same
+    // nearest-rank quantiles from raw rows, so a hash match proves the
+    // histogram fold is exact, not merely the plan shape.
+    "q_quantile_pyr" -> QueryDef(
+      s"""$P, b AS (
+         |  SELECT sid, (time >> $pw) << $pw AS wstart,
+         |    CAST(ROUND(value*100, 0) AS BIGINT) AS c
+         |  FROM points),
+         |w AS (
+         |  SELECT sid, wstart, c,
+         |    ROW_NUMBER() OVER (PARTITION BY sid, wstart ORDER BY c) AS rn,
+         |    COUNT(*) OVER (PARTITION BY sid, wstart) AS n
+         |  FROM b)
+         |SELECT sid, wstart, CAST(MAX(n) AS BIGINT) AS cnt,
+         |  SUM(CASE WHEN rn = (n+1) // 2 OR rn = (n+2) // 2 THEN c END)
+         |    / (2 - MAX(n) % 2) / 100.0 AS p50,
+         |  MAX(CASE WHEN rn = (19*n + 19) // 20 THEN c END) / 100.0 AS p95
+         |FROM w GROUP BY sid, wstart
+         |ORDER BY sid, wstart""".stripMargin) { (s, dir) =>
+      val db = engine(s, dir)
+      val df = db.quantileWindowsBulk(
+        (0 until Tables.NumSids).map(k => s"sql-u$k"),
+        Tables.T0, Tables.T0 + 40 * Tables.DayNs, pw)
+      val scans = graft.plans.PlanChecks.scanRootPaths(df)
+      require(scans.nonEmpty && scans.forall(_.contains("/qhist")),
+        s"quantiles not served from the histogram rollup; scans=$scans")
       df
     })
 }

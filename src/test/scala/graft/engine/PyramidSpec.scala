@@ -495,4 +495,80 @@ class PyramidSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total == 768L, "generation 2's fold was recomputed, not masked")
     db3.close()
   }
+
+  /** Quantile-histogram engine with the same tiny geometry; histogram
+    * buckets at pw=4 so pw=8 windows compose from 16 buckets. */
+  private def mkQDb(): Btrdb = {
+    val dir = Files.createTempDirectory("qspec").toString
+    new Btrdb(spark, dir, sBuckets = 4, tBucketPw = 12,
+      bufferCommitThreshold = 1 << 20,
+      pyramidLevels = Seq(4, 8), pyramidWBucketPw = 12, commitRangePw = 8,
+      quantileLevel = Some(4))
+  }
+
+  test("quantile rollup: per-commit fold serves exact p50/p95 from qhist only") {
+    import org.apache.spark.sql.functions.col
+    val db = mkQDb()
+    val uuid = "u-q"
+    db.createStream(uuid, "pyr/q", Map("t" -> "q"))
+    // two commits fold additively into the same windows; values chosen
+    // so p50 needs the two-middle-values mean and p95 the ceil rank
+    insertPts(db, uuid, (0L until 256L).map(t => (t, (t % 16).toDouble)))
+    db.flush(uuid)
+    insertPts(db, uuid, (0L until 256L).map(t => (t, (t % 16 + 0.25))))
+    db.flush(uuid)
+    val served = db.quantileWindows(uuid, 0L, 512L, 8)
+    val scans = graft.plans.PlanChecks.scanRootPaths(served)
+    assert(scans.nonEmpty && scans.forall(_.contains("/qhist")),
+      s"must serve from the histogram, scans=$scans")
+    val rows = served.collect()
+    assert(rows.length == 1, "one pw=8 window")
+    assert(rows(0).getAs[Long]("cnt") == 512L)
+    // per window: values 0,0.25,1,1.25,..,15.25 each x16; 512 values →
+    // p50 = mean of ranks 256,257 = (7.25+8.0)/2; p95 = rank 487 → 15.0
+    assert(rows(0).getAs[Double]("p50") == (7.25 + 8.0) / 2)
+    assert(rows(0).getAs[Double]("p95") == 15.0)
+    // merge-on-read debt (staged rows) falls back to the live view and
+    // returns the SAME answer, then the flush restores qhist serving
+    insertPts(db, uuid, Seq((10L, 100.0)))
+    val staged = db.quantileWindows(uuid, 0L, 512L, 8)
+    val stagedScans = graft.plans.PlanChecks.scanRootPaths(staged)
+    assert(!stagedScans.forall(_.contains("/qhist")),
+      s"debt must force the live view; scans=$stagedScans")
+    assert(staged.head().getAs[Long]("cnt") == 513L)
+    db.flush(uuid)
+    val refreshed = db.quantileWindows(uuid, 0L, 512L, 8)
+    assert(graft.plans.PlanChecks.scanRootPaths(refreshed)
+      .forall(_.contains("/qhist")))
+    assert(refreshed.head().getAs[Long]("cnt") == 513L)
+    // n=513 → p95 rank (19·513+19) div 20 = 488, still in the 15.0
+    // block; the folded 100.0 sits at rank 513
+    assert(refreshed.head().getAs[Double]("p95") == 15.0)
+    db.close()
+  }
+
+  test("quantile rollup: delete recomputes dirtied windows; off-grid serves NULL") {
+    import org.apache.spark.sql.functions.col
+    val db = mkQDb()
+    val uuid = "u-qd"
+    db.createStream(uuid, "pyr/qd", Map("t" -> "q"))
+    insertPts(db, uuid, (0L until 512L).map(t => (t, (t % 8).toDouble)))
+    db.flush(uuid)
+    db.deleteRange(uuid, 256L, 512L)
+    val afterDel = db.quantileWindows(uuid, 0L, 512L, 8).collect()
+    assert(afterDel.length == 1 && afterDel(0).getAs[Long]("cnt") == 256L,
+      "window [256,512) drained; [0,256) recomputed")
+    assert(afterDel(0).getAs[Double]("p50") == 3.5)
+    // an off-cents-grid value (no representable cents integer) marks
+    // its window: quantiles serve NULL there, not a wrong number
+    insertPts(db, uuid, Seq((300L, 1.0e17)))
+    db.flush(uuid)
+    val rows = db.quantileWindows(uuid, 0L, 512L, 8)
+      .orderBy("wstart").collect()
+    assert(rows.length == 2)
+    assert(!rows(0).isNullAt(2) && rows(0).getAs[Double]("p50") == 3.5)
+    assert(rows(1).getAs[Long]("cnt") == 1L && rows(1).isNullAt(2) &&
+      rows(1).isNullAt(3), "off-grid window serves NULL quantiles")
+    db.close()
+  }
 }
