@@ -70,42 +70,82 @@ object StreamingCurator {
     * a micro-batch, the batch pipeline's canonical tie-break),
     * duplicates across and within micro-batches are absorbed by
     * per-digest state.
+    *
+    * State bound (`ttlMs`): without a TTL the seen-set grows with
+    * distinct content forever — fine for a bounded backfill, unusable
+    * for an always-on gate at crawl scale. With `ttlMs = Some(t)` the
+    * source must carry a WATERMARKED `ts` timestamp column
+    * (`source.withWatermark("ts", …)` before calling) and a digest
+    * unseen for `t` of event time is EVICTED (event-time timeout,
+    * extended on every arrival — a hot duplicate stays pinned). The
+    * dedup horizon is then exactly `t`: a re-crawl after eviction
+    * re-admits, and state size is bounded by the distinct content
+    * arriving per TTL window, not the corpus. The infinite-horizon
+    * exact-dup index lives in the persisted batch store
+    * ([[graft.etl.DedupState]]) — the production split is a bounded
+    * streaming gate in front of a versioned on-disk index.
     */
-  def curate(source: DataFrame): Dataset[Admitted] = {
+  def curate(source: DataFrame, ttlMs: Option[Long] = None): Dataset[Admitted] = {
     val spark = source.sparkSession
     import spark.implicits._
-    val scrubbed = source
+    val withTs =
+      if (ttlMs.isDefined) {
+        require(source.columns.contains("ts"),
+          "event-time TTL needs a watermarked `ts` timestamp column")
+        // `ts` passes through UNTOUCHED: even a no-op cast would mint a
+        // fresh attribute and strip the caller's watermark tag
+        source.select(col("doc_id"), col("text"), col("ts"))
+      } else source.select(col("doc_id"), col("text"),
+        lit(new java.sql.Timestamp(0)).as("ts"))
+    val scrubbed = withTs
       .select(col("doc_id").cast("long").as("doc_id"),
         regexp_replace(
           regexp_replace(col("text"), EtlQueries.EmailRe, "<EMAIL>"),
-          EtlQueries.Ipv4Re, "<IP>").as("text"))
+          EtlQueries.Ipv4Re, "<IP>").as("text"),
+        col("ts"))
       .select(col("doc_id"), col("text"),
-        md5(col("text").cast("binary")).as("k"))
-      .as[(Long, String, String)]
+        md5(col("text").cast("binary")).as("k"), col("ts"))
+      .as[(Long, String, String, java.sql.Timestamp)]
+    val timeoutConf =
+      if (ttlMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     scrubbed
       .groupByKey(_._3)
       .flatMapGroupsWithState[SeenDoc, Admitted](
         org.apache.spark.sql.streaming.OutputMode.Append,
-        GroupStateTimeout.NoTimeout) { case (_, rows, state) =>
-        // single O(1)-memory pass: track the min-id row and the count —
-        // identical content shares one text, so keeping only the
-        // current minimum never drops information
-        var minId = Long.MaxValue
-        var minText: String = null
-        var n = 0L
-        rows.foreach { case (id, text, _) =>
-          if (id < minId) { minId = id; minText = text }
-          n += 1
-        }
-        state.getOption match {
-          case Some(seen) =>
-            state.update(SeenDoc(seen.firstId, seen.dupes + n))
-            Iterator.empty
-          case None =>
-            state.update(SeenDoc(minId, n - 1))
-            if (keepQuality(minText))
-              Iterator.single(Admitted(minId, minText, tokenCountOf(minText)))
-            else Iterator.empty
+        timeoutConf) { case (_, rows, state) =>
+        if (ttlMs.isDefined && state.hasTimedOut) {
+          // unseen for a full TTL of event time: forget the digest
+          state.remove()
+          Iterator.empty
+        } else {
+          // single O(1)-memory pass: track the min-id row and the count —
+          // identical content shares one text, so keeping only the
+          // current minimum never drops information
+          var minId = Long.MaxValue
+          var minText: String = null
+          var maxTs = Long.MinValue
+          var n = 0L
+          rows.foreach { case (id, text, _, ts) =>
+            if (id < minId) { minId = id; minText = text }
+            if (ts != null && ts.getTime > maxTs) maxTs = ts.getTime
+            n += 1
+          }
+          val out = state.getOption match {
+            case Some(seen) =>
+              state.update(SeenDoc(seen.firstId, seen.dupes + n))
+              Iterator.empty[Admitted]
+            case None =>
+              state.update(SeenDoc(minId, n - 1))
+              if (keepQuality(minText))
+                Iterator.single(Admitted(minId, minText, tokenCountOf(minText)))
+              else Iterator.empty[Admitted]
+          }
+          // sliding eviction deadline: every arrival extends it; the
+          // timestamp must sit past the current watermark to register
+          ttlMs.foreach(t => state.setTimeoutTimestamp(
+            math.max(maxTs + t, state.getCurrentWatermarkMs() + 1)))
+          out
         }
       }
   }

@@ -83,4 +83,39 @@ class StreamingCuratorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!StreamingCurator.keepQuality(short))
     assert(!StreamingCurator.keepQuality(stopheavy))
   }
+
+  test("event-time TTL bounds the seen-set: eviction, pinning, re-admission") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ckpt = Files.createTempDirectory("curator-ckpt3").toString
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = StreamingCurator.curate(
+      mem.toDF().toDF("doc_id", "text", "ts")
+        .withWatermark("ts", "0 seconds"),
+      ttlMs = Some(10000L))
+    val q = out.writeStream.format("memory").queryName("curated3")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    // t=1: first crawl admits; t=2: duplicate absorbed AND extends
+    // the digest's eviction deadline to t=12
+    mem.addData((1L, good, ts(1))); q.processAllAvailable()
+    mem.addData((2L, good, ts(2))); q.processAllAvailable()
+    // t=60: unrelated content pushes the watermark far past t=12 …
+    mem.addData((50L, good2, ts(60))); q.processAllAvailable()
+    // … so this batch first processes `good`'s timeout (evicts it)
+    mem.addData((60L, good2, ts(61))); q.processAllAvailable()
+    // t=62: the SAME content re-arrives after eviction → re-admitted
+    // (the TTL is the dedup horizon; the infinite horizon belongs to
+    // the persisted batch DedupState index)
+    mem.addData((70L, good, ts(62))); q.processAllAvailable()
+    val state = q.lastProgress.stateOperators(0).numRowsTotal
+    q.stop()
+    val ids = spark.table("curated3").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 50L, 70L),
+      s"expected re-admission after eviction, got ${ids.toSeq}")
+    // the evicted digest is gone from the store: only good2's record
+    // and good's re-admitted record remain
+    assert(state == 2L, s"state rows: $state")
+  }
 }
