@@ -48,7 +48,7 @@ object BtrdbWire {
       new java.util.UUID(bb.getLong, bb.getLong).toString
     } else new String(b, UTF_8)
 
-  private[wire] def uuidBytes(s: String): Array[Byte] =
+  private[graft] def uuidBytes(s: String): Array[Byte] =
     try {
       val u = java.util.UUID.fromString(s)
       val bb = java.nio.ByteBuffer.allocate(16)
