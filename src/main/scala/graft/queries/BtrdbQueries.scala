@@ -122,8 +122,16 @@ object BtrdbQueries {
          |FROM generate_series(0, 44) AS g(i) LEFT JOIN agg ON agg.i = g.i
          |ORDER BY 1""".stripMargin
     }) { (s, dir) =>
-      StatOps.windowsDepth(Tables.points(s, dir), 5,
-        T0, winEnd, DayNs, depth = 46).orderBy("i")
+      // timeSlice carries the scan bounds on the RAW ts column so they
+      // push into the parquet reader (the operator's own filter is on
+      // the derived ns expression, which can't push)
+      val c = StatOps.depthBucketPw(46)
+      val e = TimeOps.truncateEnd(T0, winEnd, DayNs)
+      StatOps.windowsDepth(
+        Tables.timeSlice(Tables.points(s, dir),
+          TimeOps.alignDown(T0, c) + (1L << c),
+          TimeOps.alignDown(e - 1, c) + (1L << c)),
+        5, T0, winEnd, DayNs, depth = 46).orderBy("i")
     },
 
     // W1 — Nearest forward: first point with t >= T (inclusive).

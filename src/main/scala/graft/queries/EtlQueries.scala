@@ -77,9 +77,14 @@ object EtlQueries {
   private val SemDedupTau = 0.3
   private val KmIvfProbes = 2
   private val KmIvfTopK = 10
-  // recall report: every 97th vector probes the index; candidate
-  // recall of the exact top-RecallK measured at nprobe in {1, 2, 4}
+  // recall report: every 97th vector probes the index, capped at a
+  // FIXED query budget — the eval's brute-force ground truth costs
+  // |queries| × corpus, so the probe set must not scale with the
+  // corpus (uncapped, the 100× replica ran 500 ground-truth passes:
+  // 112 s where the capped set holds the eval at a constant ~16).
+  // Candidate recall of the exact top-RecallK at nprobe in {1, 2, 4}.
   private val RecallQueryMod = 97
+  private val RecallQueryCap = 97L * 16
   private val RecallK = 10
   /** Karp-Rabin rolling-hash base and modulus. */
   private val RollB = 131L
@@ -2072,7 +2077,8 @@ object EtlQueries {
     "q_ann_recall" -> QueryDef(
       s"""WITH $kmeansSql,
          |qs AS (SELECT vec_id AS qid FROM embeddings
-         |       WHERE vec_id % $RecallQueryMod = 0),
+         |       WHERE vec_id % $RecallQueryMod = 0
+         |         AND vec_id < $RecallQueryCap),
          |cr AS (
          |  SELECT s1.vec_id AS qid, s1.cluster,
          |    ROW_NUMBER() OVER (PARTITION BY s1.vec_id
@@ -2110,7 +2116,9 @@ object EtlQueries {
       import graft.functions.FixedPointOps.exactCosine
       import s.implicits._
       val cents = kmeansCentroids(s, dir)
-      val qs = emb(s, dir).filter(col("vec_id") % RecallQueryMod === 0)
+      val qs = emb(s, dir)
+        .filter(col("vec_id") % RecallQueryMod === 0 &&
+          col("vec_id") < RecallQueryCap)
         .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
       // centroid rank per query: K centroids broadcast as literals
       val cr = qs.select(col("qid"), explode(array(cents.map(c =>

@@ -290,4 +290,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$q: the tile carry-in frame must broadcast, got:\n$p")
     }
   }
+
+  test("depth-capped windows: one pushed-filter scan, no join for the attribution") {
+    val p = plan("q_windows_depth")
+    // the scan bounds (dropped straddler excluded) reach the reader
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(ts"),
+      s"depth window scan bounds must push down, got:\n$p")
+    // bucket→window attribution is pure column arithmetic: the only
+    // join is the empty-window materialization against spark.range
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"attribution must not shuffle-join, got:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "window stats must partial-combine before the exchange")
+  }
+
+  test("ann recall: ground truth broadcasts the query frame; no cartesian blowup") {
+    val p = plan("q_ann_recall")
+    assert(!p.contains("CartesianProduct"),
+      s"recall eval must broadcast the tiny probe/np frames, got:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"the query set and nprobe frames must broadcast, got:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"every join side here is broadcastable, got:\n$p")
+  }
 }
