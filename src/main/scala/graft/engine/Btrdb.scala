@@ -1374,6 +1374,27 @@ class Btrdb(val spark: SparkSession, val root: String,
       releasePyr()
       invalidatePyramidPresence()
     }
+    if (hasParquet("qhist")) {
+      // the quantile histogram holds the stream's VALUE DISTRIBUTION —
+      // obliterate's removal contract covers it exactly like the point
+      // log and the stat rollup
+      val (qDf, releaseQ) = checkpointReleasable(
+        spark.read.parquet(path("qhist"))
+          .filter(col("sbucket").isin(buckets: _*)))
+      val keptQ = qDf.filter(!col("sid").isin(active: _*))
+      keptQ.repartition(col("sbucket"), col("wbucket"))
+        .sortWithinPartitions("sid", "wstart", "c")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("sbucket", "wbucket")
+        .parquet(path("qhist"))
+      def qparts(df: DataFrame) = df
+        .select(col("sbucket").cast("long"), col("wbucket").cast("long"))
+        .distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      qparts(qDf).diff(qparts(keptQ)).foreach { case (sb, wb) =>
+        deleteDir(s"qhist/sbucket=$sb/wbucket=$wb") }
+      releaseQ()
+    }
     active.foreach { sid =>
       gcCommitFiles(sid, Long.MaxValue)
       deleteDir(s"staging/sid=$sid")

@@ -571,4 +571,27 @@ class PyramidSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(1).isNullAt(3), "off-grid window serves NULL quantiles")
     db.close()
   }
+
+  test("quantile rollup: purgeObliterated removes the stream's histogram rows") {
+    import org.apache.spark.sql.functions.col
+    val db = mkQDb()
+    db.createStream("u-qp-a", "pyr/qp", Map("s" -> "a"))
+    db.createStream("u-qp-b", "pyr/qp", Map("s" -> "b"))
+    val sidA = db.sidOf("u-qp-a")
+    insertPts(db, "u-qp-a", (0L until 256L).map(t => (t, 1.0)))
+    db.flush("u-qp-a")
+    insertPts(db, "u-qp-b", (0L until 256L).map(t => (t, 2.0)))
+    db.flush("u-qp-b")
+    db.obliterate("u-qp-a")
+    db.purgeObliterated()
+    // the histogram holds the stream's value distribution: obliterate's
+    // removal contract must cover it like the point log and the rollup
+    val qhist = spark.read.parquet(s"${db.root}/qhist")
+    assert(qhist.filter(col("sid") === sidA).count() == 0,
+      "purged stream's histogram rows must be gone from disk")
+    // survivor still serves from the histogram
+    val w = db.quantileWindows("u-qp-b", 0L, 256L, 8).head()
+    assert(w.getAs[Long]("cnt") == 256L && w.getAs[Double]("p50") == 2.0)
+    db.close()
+  }
 }
