@@ -81,7 +81,7 @@ object DedupState {
   * Storage layout (all Parquet + atomic pointer, via [[Store]] — the
   * same Hadoop FileSystem crash-safety contract as the commit log):
   * {{{
-  *   root/CURRENT            "cur base" — version pointer (atomic)
+  *   root/CURRENT            "cur base [scope seq]" — pointer (atomic)
   *   root/META               store invariants (banding cap)
   *   root/v{N}/MANIFEST      row counts per table (skip-empty reads)
   *   root/v{N}/members       (doc_id, k, ver)   batch docs → content key
@@ -120,14 +120,23 @@ final class DedupState(
 
   // ---- version pointer & metadata ------------------------------------
 
-  /** (current version, base version) — base > 1 after a compact. */
-  private def pointer: (Long, Long) =
+  /** (current version, base version, last idempotency key) — base > 1
+    * after a compact. The key is (scope, seq): seq numbers are only
+    * comparable within one scope (a streaming sink's checkpoint), so a
+    * NEW checkpoint against an existing store starts a new scope
+    * instead of colliding with the old sequence. */
+  private def pointer: (Long, Long, Option[(String, Long)]) =
     store.readString("CURRENT").map { s =>
       val p = s.trim.split("\\s+")
-      (p(0).toLong, if (p.length > 1) p(1).toLong else 1L)
-    }.getOrElse((0L, 1L))
+      (p(0).toLong, if (p.length > 1) p(1).toLong else 1L,
+        if (p.length > 3) Some((p(2), p(3).toLong)) else None)
+    }.getOrElse((0L, 1L, None))
 
   def currentVersion: Long = pointer._1
+
+  /** The last (scope, seq) idempotency key applied by a keyed
+    * [[update]], if any. */
+  def lastAppliedKey: Option[(String, Long)] = pointer._3
 
   private def metaLine: String = s"maxBucket=${maxBucket.getOrElse(-1L)}"
 
@@ -154,7 +163,7 @@ final class DedupState(
   /** Union of a table's per-version deltas over [base, upTo]. */
   private def tableFrame(name: String, schema: StructType,
                          upTo: Long): DataFrame = {
-    val (_, base) = pointer
+    val (_, base, _) = pointer
     val paths = (base to upTo)
       .filter(v => manifest(v).getOrElse(name, 0L) > 0)
       .map(v => store.resolve(s"v$v/$name").toString)
@@ -216,9 +225,27 @@ final class DedupState(
     * the state. Everything corpus-sized the update touches is a narrow
     * persisted index (keys / bands / labels; pairs only when a bucket
     * dies); the batch's text is the only text read. */
-  def update(batch: DataFrame): UpdateReport = {
+  def update(batch: DataFrame): UpdateReport =
+    update(batch, idempotencyKey = None).get
+
+  /** Keyed [[update]] for exactly-once sinks (Structured Streaming
+    * `foreachBatch` replays a micro-batch after a crash): a batch whose
+    * (scope, seq) key has seq <= the last applied seq OF THE SAME SCOPE
+    * is SKIPPED (returns None) — the key rides the atomic CURRENT flip,
+    * so a crash between data writes and the flip replays into an orphan
+    * version dir and the retry lands cleanly. seq must be monotone per
+    * scope (a checkpoint's batchId is); a different scope (a new
+    * checkpoint) always applies and starts a fresh sequence. Scopes
+    * must not contain whitespace. */
+  def update(batch: DataFrame,
+             idempotencyKey: Option[(String, Long)]): Option[UpdateReport] = {
     checkOrWriteMeta()
-    val (cur, _) = pointer
+    val (cur, _, lastKey) = pointer
+    (idempotencyKey, lastKey) match {
+      case (Some((sc, seq)), Some((lsc, lseq))) if sc == lsc && seq <= lseq =>
+        return None
+      case _ => ()
+    }
     val next = cur + 1
 
     val b = batch.select(col("doc_id"),
@@ -398,10 +425,12 @@ final class DedupState(
     store.writeAtomic(s"v$next/MANIFEST",
       counts.map { case (n, c) => s"$n=$c" }.mkString(","))
     manifests.remove(next)
-    store.writeAtomic("CURRENT", s"$next $base")
+    val keyTail = idempotencyKey.orElse(lastKey)
+      .map { case (sc, seq) => s" $sc $seq" }.getOrElse("")
+    store.writeAtomic("CURRENT", s"$next $base$keyTail")
 
-    UpdateReport(next, nBatchDocs, nBatchDistinct, nNewDistinct,
-      nBandRows, nNewPairs, nDroppedBuckets, math.max(0L, nRelabeled))
+    Some(UpdateReport(next, nBatchDocs, nBatchDistinct, nNewDistinct,
+      nBandRows, nNewPairs, nDroppedBuckets, math.max(0L, nRelabeled)))
   }
 
   /** Squash all versions into one full snapshot (pruning dead buckets'
@@ -410,7 +439,7 @@ final class DedupState(
     * segmented-archive fold. Members/groups keep their original `ver`
     * (arrival semantics); labels carry the snapshot version. */
   def compact(): Long = {
-    val (cur, base) = pointer
+    val (cur, base, lastKey) = pointer
     if (cur == 0) return 0L
     val next = cur + 1
     val livePairs = pairs(cur)
@@ -432,7 +461,8 @@ final class DedupState(
     store.writeAtomic(s"v$next/MANIFEST",
       counts.map { case (n, c) => s"$n=$c" }.mkString(","))
     manifests.remove(next)
-    store.writeAtomic("CURRENT", s"$next $next")
+    val keyTail = lastKey.map { case (sc, seq) => s" $sc $seq" }.getOrElse("")
+    store.writeAtomic("CURRENT", s"$next $next$keyTail")
     (base to cur).foreach(v => store.deleteRecursive(s"v$v"))
     (base to cur).foreach(manifests.remove)
     next

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.etl.DedupState
+
+/** The production handoff the curator + dedup-state pair exists for:
+  * a BOUNDED streaming admission gate ([[StreamingCurator.curate]],
+  * TTL-evicted seen-set) in front of the INFINITE-horizon persisted
+  * index ([[graft.etl.DedupState]]), folded forward one micro-batch at
+  * a time.
+  *
+  * Exactly-once: `foreachBatch` may replay a micro-batch after a crash
+  * (its guarantee is at-least-once), so every fold passes the batchId
+  * as the store's idempotency key — a replayed batch is skipped at the
+  * store's atomic CURRENT pointer, never double-counted. The store's
+  * own crash contract covers the other half: a failure between the
+  * fold's data writes and the pointer flip leaves an orphan version
+  * dir that the retry overwrites.
+  *
+  * Cost shape per micro-batch = the store's update contract: signature
+  * work ∝ the batch's new distinct content, index scans semi-join-
+  * pruned to the batch's buckets, quotient-graph clustering. The gate
+  * in front has already absorbed intra-TTL duplicates, so the fold
+  * mostly sees genuinely new content.
+  */
+object StreamingDedupIndex {
+
+  /** Wire a curated stream into a dedup store: returns the started
+    * query. `curated` is [[StreamingCurator.curate]]'s output (or any
+    * streaming Dataset with doc_id/text columns). */
+  def indexStream(curated: DataFrame, state: DedupState,
+                  checkpoint: String): StreamingQuery =
+    writer(curated, state, checkpoint)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  private[streaming] def writer(curated: DataFrame, state: DedupState,
+                                checkpoint: String): DataStreamWriter[Row] = {
+    // batchIds restart at 0 per checkpoint: scope the idempotency key
+    // by the checkpoint identity so a NEW checkpoint against an
+    // existing store starts a fresh sequence instead of colliding
+    val scope = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(checkpoint) & 0xffffffffL)
+    curated
+      .select("doc_id", "text")
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // empty micro-batches fold nothing and must not churn version
+        // dirs; skipping them is idempotency-safe (no data, no effect)
+        if (!batch.isEmpty) {
+          state.update(batch, idempotencyKey = Some((scope, batchId)))
+          ()
+        }
+      }
+  }
+}

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.DedupState
+
+/** The curator → persisted-index handoff: a stream folded through
+  * `foreachBatch` lands in the SAME state a one-shot batch build
+  * produces, and replayed micro-batches (at-least-once delivery) are
+  * absorbed by the store's idempotency key. */
+class StreamingDedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("streaming-dedup-index-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val prefixBands: DataFrame => DataFrame = docs =>
+    docs.select(col("doc_id"), substring(col("text"), 1, 3).as("bkey"))
+
+  private def partitionOf(st: DedupState): Set[(Long, String)] = {
+    val dc = st.docClusters()
+    val m = st.members().select(col("doc_id"), col("k"))
+    val rep = dc.join(m, "doc_id").groupBy("cluster").agg(min("k").as("ck"))
+    dc.join(rep, "cluster").select(col("doc_id"), col("ck"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+  }
+
+  test("streamed folds equal the one-shot build; state survives restart") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val root = Files.createTempDirectory("sdi-state-").toString
+    val ckpt = Files.createTempDirectory("sdi-ckpt-").toString
+    val state = new DedupState(spark, root, prefixBands)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingDedupIndex.indexStream(
+      mem.toDF().toDF("doc_id", "text"), state, ckpt)
+    mem.addData((1L, "AAA one"), (2L, "AAA two"))
+    q.processAllAvailable()
+    mem.addData((3L, "AAA three"), (10L, "BBB ten"))
+    q.processAllAvailable()
+    q.stop()
+
+    val oneShot = new DedupState(spark,
+      Files.createTempDirectory("sdi-oneshot-").toString, prefixBands)
+    oneShot.update(Seq((1L, "AAA one"), (2L, "AAA two"),
+      (3L, "AAA three"), (10L, "BBB ten")).toDF("doc_id", "text"))
+    assert(partitionOf(state) === partitionOf(oneShot))
+
+    // a new query (fresh source/checkpoint — MemoryStream cannot
+    // resume a foreign checkpoint) folds into the SAME persisted
+    // store and continues where the last query left off; the key is
+    // scoped by checkpoint, so the new query's batch 0 applies
+    // instead of colliding with the old sequence
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = StreamingDedupIndex.indexStream(
+      mem2.toDF().toDF("doc_id", "text"), state,
+      Files.createTempDirectory("sdi-ckpt2-").toString)
+    mem2.addData((11L, "BBB eleven"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(state.docClusters().count() === 5L)
+    assert(state.docClusters()
+      .filter(col("doc_id").isin(10L, 11L))
+      .select("cluster").distinct().count() === 1L,
+      "post-restart fold joins the existing BBB component")
+  }
+
+  test("a replayed micro-batch is skipped at the idempotency key") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("sdi-replay-").toString
+    val state = new DedupState(spark, root, prefixBands)
+    val batch = Seq((1L, "AAA one"), (2L, "AAA two")).toDF("doc_id", "text")
+    assert(state.update(batch, idempotencyKey = Some(("ck1", 0L))).isDefined)
+    val before = state.currentVersion
+    // foreachBatch redelivers batch 0 after a simulated sink crash
+    assert(state.update(batch, idempotencyKey = Some(("ck1", 0L))).isEmpty,
+      "replay must be skipped, not double-counted")
+    assert(state.currentVersion === before)
+    assert(state.members().count() === 2L)
+    assert(state.lastAppliedKey === Some(("ck1", 0L)))
+    // the next batch applies normally
+    assert(state.update(Seq((3L, "CCC three")).toDF("doc_id", "text"),
+      idempotencyKey = Some(("ck1", 1L))).isDefined)
+    assert(state.members().count() === 3L)
+    // a DIFFERENT scope (new checkpoint) restarts its own sequence:
+    // its batch 0 must apply, not be mistaken for a replay
+    assert(state.update(Seq((4L, "DDD four")).toDF("doc_id", "text"),
+      idempotencyKey = Some(("ck2", 0L))).isDefined)
+    assert(state.members().count() === 4L)
+    assert(state.lastAppliedKey === Some(("ck2", 0L)))
+  }
+}
