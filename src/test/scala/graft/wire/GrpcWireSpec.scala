@@ -320,6 +320,46 @@ class GrpcWireSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(x => (x.getLong(0), x.getLong(1))).toSeq
     assert(got.result() == expected)
 
+    // depth-capped windows carry the reference-exact semantics through
+    // the wire: proto field 6, ladder-bucket attribution, and the
+    // activation-drop of the bucket containing `start`
+    val dreq = new PbWriter
+    dreq.bytes(1, BtrdbWire.uuidBytes(uuid))
+    dreq.sfixed64(2, 0L); dreq.sfixed64(3, 630L)
+    dreq.uint64(5, 90L)
+    dreq.uint64(6, 3L) // depth=3 -> 4ns attribution buckets
+    val (ddres, _) = call("Windows", dreq)
+    val depthGot = Seq.newBuilder[(Long, Long, Double)]
+    ddres.foreach { m =>
+      assert(statOf(m).isEmpty)
+      val r = new PbReader(m)
+      while (r.hasNext) r.readTag() match {
+        case (4, _) =>
+          val p = r.lenReader()
+          var t = 0L; var n = 0L; var mn = 0.0
+          while (p.hasNext) p.readTag() match {
+            case (1, _) => t = p.fixed64()
+            case (2, _) => mn = p.double()
+            case (5, _) => n = p.fixed64()
+            case (_, w) => p.skip(w)
+          }
+          depthGot += ((t, n, mn))
+        case (_, w) => r.skip(w)
+      }
+    }
+    val depthExpected = db.windows(uuid, 0L, 630L, 90L, depth = 3)
+      .select("wstart", "cnt", "vmin").collect()
+      .map(x => (x.getLong(1 - 1), x.getLong(1), x.getDouble(2))).toSeq
+    assert(depthGot.result() == depthExpected)
+    // the depth cap observably changed the result on the wire: the
+    // bucket [0,4) containing start is dropped (window 0's min rises
+    // from the t=0 point's value to t=10's) even though the end-tail
+    // quirk keeps the total count equal here
+    assert(depthGot.result().head._3 == 1.5 && expected.head._1 == 0L)
+    assert(depthGot.result().map(_._2) != expected.map(_._2) ||
+      depthGot.result().head._3 != 0.0,
+      "depth routing must change the windows result")
+
     // delete a range over the wire, then verify over the wire
     val del = new PbWriter
     del.bytes(1, BtrdbWire.uuidBytes(uuid))
