@@ -45,6 +45,7 @@ object EngineSqlQueries {
   private val roots = TrieMap[(SparkSession, String), String]()
   private val fedRoots = TrieMap[(SparkSession, String), String]()
   private val engines = TrieMap[(SparkSession, String), Btrdb]()
+  private val fedEngines = TrieMap[(SparkSession, String), Seq[Btrdb]]()
 
   /** Build the engine fixture roots for `dir` now (idempotent). Bench
     * invokes this in its fixture phase so that no engine ingest runs
@@ -166,7 +167,7 @@ object EngineSqlQueries {
     fedRoots.getOrElseUpdate((spark, dir), {
       val half = Tables.NumSids / 2
       val members = Seq("_f0", "_f1").map(s =>
-        new Btrdb(spark, newRoot(spark, dir, s)))
+        new Btrdb(spark, newRoot(spark, dir, s), quantileLevel = Some(42)))
       members.foreach { db =>
         val sids = db.createStreams((0 until Tables.NumSids).map(k =>
           (s"sqlfed-u$k", "sql/events", Map("sid" -> k.toString))))
@@ -180,8 +181,14 @@ object EngineSqlQueries {
       val prefix = viewName(spark, dir, "fed")
       Federation.registerViews(spark, prefix,
         members.zipWithIndex.map { case (e, i) => (s"e$i", e) })
+      fedEngines.put((spark, dir), members)
       prefix
     })
+
+  private def fedMembers(spark: SparkSession, dir: String): Seq[Btrdb] = {
+    fedPrefix(spark, dir)
+    fedEngines((spark, dir))
+  }
 
   private val P = s"WITH points AS (${Tables.pointsSql})"
   private val pw = 44
@@ -290,6 +297,44 @@ object EngineSqlQueries {
       val scans = graft.plans.PlanChecks.scanRootPaths(df)
       require(scans.nonEmpty && scans.forall(_.contains("/qhist")),
         s"quantiles not served from the histogram rollup; scans=$scans")
+      df
+    },
+
+    // The SAME quantile shape against the two-writer federation: each
+    // member serves ITS streams' windows from its own qhist and the
+    // results union — the disjoint-write placement means a non-owner
+    // member contributes nothing for a stream, so the federated answer
+    // is the members' histogram reads stitched together, never a
+    // cross-root point scan. Oracle identical to q_quantile_pyr (the
+    // fixture is the same whole corpus), so a hash match proves the
+    // per-member histograms compose exactly across roots.
+    "q_quantile_fed" -> QueryDef(
+      s"""$P, b AS (
+         |  SELECT sid, (time >> $pw) << $pw AS wstart,
+         |    CAST(ROUND(value*100, 0) AS BIGINT) AS c
+         |  FROM points),
+         |w AS (
+         |  SELECT sid, wstart, c,
+         |    ROW_NUMBER() OVER (PARTITION BY sid, wstart ORDER BY c) AS rn,
+         |    COUNT(*) OVER (PARTITION BY sid, wstart) AS n
+         |  FROM b)
+         |SELECT sid, wstart, CAST(MAX(n) AS BIGINT) AS cnt,
+         |  SUM(CASE WHEN rn = (n+1) // 2 OR rn = (n+2) // 2 THEN c END)
+         |    / (2 - MAX(n) % 2) / 100.0 AS p50,
+         |  MAX(CASE WHEN rn = (19*n + 19) // 20 THEN c END) / 100.0 AS p95
+         |FROM w GROUP BY sid, wstart
+         |ORDER BY sid, wstart""".stripMargin) { (s, dir) =>
+      val members = fedMembers(s, dir)
+      val uuids = (0 until Tables.NumSids).map(k => s"sqlfed-u$k")
+      val df = members.map(_.quantileWindowsBulk(uuids,
+          Tables.T0, Tables.T0 + 40 * Tables.DayNs, pw))
+        .reduce(_ unionByName _)
+        // a non-owner member emits nothing for a stream, so the union
+        // is disjoint; re-sort across members
+        .orderBy("sid", "wstart")
+      val scans = graft.plans.PlanChecks.scanRootPaths(df)
+      require(scans.nonEmpty && scans.forall(_.contains("/qhist")),
+        s"federated quantiles must read only member qhists; scans=$scans")
       df
     })
 }
