@@ -5,15 +5,20 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line.
   *
-  * Three phases, strictly ordered:
+  * Four phases, strictly ordered:
   *   1. FIXTURE — every one-time build cost (the engine-SQL queries
   *      ingest the fixture into a real Btrdb root) runs first, followed
   *      by a GC + settle. Ingest inside the warmup/timed passes leaves
   *      residual JVM/executor state (context-cleaner churn, GC debt)
   *      that inflated UNRELATED query times up to 54× in BENCH_r05.
-  *   2. WARMUP — one untimed pass per query (JIT + file cache: the
+  *   2. MEMO — the per-corpus memo frames (dedup signatures, cluster
+  *      assignments, postings, SQ8 codes, the incremental dedup
+  *      store) build and are TIMED AS THEIR OWN `memo_build` line:
+  *      charging them to whichever query touched a cold memo first
+  *      made per-query numbers non-comparable round-over-round.
+  *   3. WARMUP — one untimed pass per query (JIT + file cache: the
   *      steady state a long-lived cluster actually runs at).
-  *   3. TIMED — one timed pass; a failing query records `-1` in
+  *   4. TIMED — one timed pass; a failing query records `-1` in
   *      `queries` AND its message in `errors` (never a silent time).
   */
 object Bench {

@@ -112,7 +112,10 @@ final class DedupState(
     spark: SparkSession,
     rootUri: String,
     bandsOf: DataFrame => DataFrame,
-    maxBucket: Option[Long] = None) {
+    maxBucket: Option[Long] = None,
+    autoCompactEvery: Int = 0) {
+
+  require(autoCompactEvery >= 0, "autoCompactEvery must be >= 0 (0 = off)")
 
   import DedupState._
 
@@ -137,6 +140,13 @@ final class DedupState(
   /** The last (scope, seq) idempotency key applied by a keyed
     * [[update]], if any. */
   def lastAppliedKey: Option[(String, Long)] = pointer._3
+
+  /** Number of version dirs a reader currently unions — bounded by
+    * `autoCompactEvery` when set. */
+  def liveVersionSpan: Long = {
+    val (cur, base, _) = pointer
+    if (cur == 0) 0L else cur - base + 1
+  }
 
   private def metaLine: String = s"maxBucket=${maxBucket.getOrElse(-1L)}"
 
@@ -428,6 +438,12 @@ final class DedupState(
     val keyTail = idempotencyKey.orElse(lastKey)
       .map { case (sc, seq) => s" $sc $seq" }.getOrElse("")
     store.writeAtomic("CURRENT", s"$next $base$keyTail")
+    // bounded maintenance: once the reader's delta-union spans the
+    // threshold, squash — the same self-maintenance cadence the
+    // engine's segmented archive runs on. Runs AFTER the flip, so a
+    // crash mid-compact costs nothing (the next update retries it).
+    if (autoCompactEvery > 0 && next - base + 1 >= autoCompactEvery)
+      compact()
 
     Some(UpdateReport(next, nBatchDocs, nBatchDistinct, nNewDistinct,
       nBandRows, nNewPairs, nDroppedBuckets, math.max(0L, nRelabeled)))

@@ -636,9 +636,15 @@ object EtlQueries {
   private def incrDedupState(s: SparkSession, dir: String)
       : graft.etl.DedupState =
     fixtureMemo(dedupStateMemo, s, dir) {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-dedup-state-").toString
-      val st = new graft.etl.DedupState(s, root, bandKeys)
+      val rootDir = java.nio.file.Files
+        .createTempDirectory("graft-dedup-state-")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(rootDir).iterator().asScala.toList
+            .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: Exception => () }))
+      val st = new graft.etl.DedupState(s, rootDir.toString, bandKeys)
       val d = docs(s, dir).select(col("doc_id"), col("text"),
         expr("CAST(substr(source, 4, 8) AS INT)").as("sn"))
       st.update(d.filter(col("sn") < 10).select("doc_id", "text"))

@@ -178,6 +178,24 @@ class DedupStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.members().filter(col("doc_id") === 99L).count() === 0L)
   }
 
+  test("auto-compaction bounds the delta-union width without changing state") {
+    val ss = spark; import ss.implicits._
+    val incr = new DedupState(spark, tmpRoot(), prefixBands,
+      autoCompactEvery = 3)
+    val batches = (0 until 7).map(i =>
+      Seq((i * 10L, s"AA$i x$i"), (i * 10L + 1, s"AA$i y$i")))
+    batches.foreach(b => incr.update(b.toDF("doc_id", "text")))
+    // every 3rd version squashes: the live window never exceeds the
+    // threshold, yet the state equals a never-compacted build
+    val plain = new DedupState(spark, tmpRoot(), prefixBands)
+    batches.foreach(b => plain.update(b.toDF("doc_id", "text")))
+    assert(partitionOf(incr) === partitionOf(plain))
+    assert(incr.members().count() === 14L)
+    assert(incr.liveVersionSpan <= 3,
+      s"reader union must stay bounded, span=${incr.liveVersionSpan}")
+    assert(plain.liveVersionSpan === 7L)
+  }
+
   test("compact preserves components, arrival versions, and liveness") {
     val ss = spark; import ss.implicits._
     val v1 = Seq((1L, "AAA one"), (2L, "AAA two"), (3L, "AAA three"),
