@@ -40,6 +40,17 @@ object DedupState {
   private[etl] val LabelsSchema = StructType(Seq(
     StructField("rid", LongType), StructField("cluster", LongType),
     StructField("ver", LongType)))
+
+  /** Checkpoint-and-track: update/compact materialize many small
+    * frames; tracking them lets the caller unpersist after the write
+    * lands, so a long-lived ingest daemon doesn't accumulate blocks
+    * (the engine's checkpointReleasable discipline). */
+  private[etl] implicit class Tracked(private val df: DataFrame)
+      extends AnyVal {
+    def cpInto(bag: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
+      val c = df.localCheckpoint(); bag += c; c
+    }
+  }
 }
 
 /** Versioned, persisted near-duplicate state with per-ingest-commit
@@ -257,27 +268,28 @@ final class DedupState(
       case _ => ()
     }
     val next = cur + 1
+    val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
     val b = batch.select(col("doc_id"),
       md5(col("text").cast("binary")).as("k"), col("text"))
-    val batchMembers = b.select("doc_id", "k").localCheckpoint()
+    val batchMembers = b.select("doc_id", "k").cpInto(cps)
     val nBatchDocs = batchMembers.count()
     // batch-internal digest grouping: rid = min doc_id of first arrival
     val batchGroups = b.groupBy("k")
       .agg(min("doc_id").as("rid"), min("text").as("text"))
-      .localCheckpoint()
+      .cpInto(cps)
     val nBatchDistinct = batchGroups.count()
     // one anti-join against the persisted key index finds new content
     val newGroups = batchGroups
       .join(seenKeys(cur).select("k"), Seq("k"), "left_anti")
-      .localCheckpoint()
+      .cpInto(cps)
     val nNewDistinct = newGroups.count()
 
     // signatures for NEW distinct content only
     val newBands = bandsOf(newGroups.select(col("rid").as("doc_id"),
         col("text")))
       .select(col("doc_id").as("rid"), col("bkey"))
-      .localCheckpoint()
+      .cpInto(cps)
     val nBandRows = newBands.count()
 
     // old members of the touched buckets: semi-join prunes the band
@@ -285,7 +297,7 @@ final class DedupState(
     val touched = newBands.select("bkey").distinct()
     val oldTouched = bands(cur)
       .join(touched, Seq("bkey"), "left_semi")
-      .localCheckpoint()
+      .cpInto(cps)
 
     // bucket-cap accounting on TOTAL (old + new) size
     val prevDropped = dropped(cur)
@@ -297,7 +309,7 @@ final class DedupState(
         newSz.join(oldSz, Seq("bkey"), "left_outer")
           .filter(col("newN") + coalesce(col("oldN"), lit(0L)) > cap)
           .join(prevDropped, Seq("bkey"), "left_anti")
-          .select("bkey").localCheckpoint()
+          .select("bkey").cpInto(cps)
     }
     val nDroppedBuckets = newlyDropped.count()
     val deadKeys = prevDropped.select("bkey")
@@ -314,17 +326,17 @@ final class DedupState(
       .join(liveNew.as("y"), "bkey")
       .filter(col("x.rid") < col("y.rid"))
       .select(col("x.rid").as("a"), col("y.rid").as("b"), col("bkey"))
-    val newPairs = crossPairs.unionByName(selfPairs).localCheckpoint()
+    val newPairs = crossPairs.unionByName(selfPairs).cpInto(cps)
     val nNewPairs = newPairs.count()
     val newEdges = newPairs.select("a", "b").distinct()
 
-    val curLabels = labels(cur).localCheckpoint()
+    val curLabels = labels(cur).cpInto(cps)
 
     // ---- retroactive cap: recompute components that lose edges ----
     val removed =
       if (nDroppedBuckets == 0) emptyFrame(PairsSchema).select("a", "b")
       else pairs(cur).join(newlyDropped, Seq("bkey"), "left_semi")
-        .select("a", "b").distinct().localCheckpoint()
+        .select("a", "b").distinct().cpInto(cps)
     val (labelsAfterRemoval, removalMembers) =
       if (nDroppedBuckets == 0 || removed.isEmpty) (curLabels, None)
       else {
@@ -334,7 +346,7 @@ final class DedupState(
           .select("cluster").distinct()
         val affMembers = curLabels
           .join(affLabels, Seq("cluster"), "left_semi")
-          .select("rid", "cluster").localCheckpoint()
+          .select("rid", "cluster").cpInto(cps)
         // remaining live edges of the affected components (an edge's
         // endpoints share a component, so one-sided semi suffices)
         val livePrior = pairs(cur).join(deadKeys, Seq("bkey"), "left_anti")
@@ -348,7 +360,7 @@ final class DedupState(
           .join(recomp, Seq("rid"), "left_outer")
           .select(col("rid"),
             coalesce(col("newCluster"), col("rid")).as("cluster"))
-          .localCheckpoint()
+          .cpInto(cps)
         val updated = curLabels
           .join(affMembers.select("rid"), Seq("rid"), "left_anti")
           .unionByName(relabeled)
@@ -366,7 +378,7 @@ final class DedupState(
       .select(coalesce(col("la"), col("a")).as("qa"),
         coalesce(col("lb"), col("b")).as("qb"),
         col("la").isNotNull.as("oa"), col("lb").isNotNull.as("ob"))
-      .localCheckpoint()
+      .cpInto(cps)
     val quotEdges = quotEdges0.filter(col("qa") =!= col("qb"))
       .select(col("qa").as("a"), col("qb").as("b"))
     // quotient components: node ids are labels (= min rids of existing
@@ -374,7 +386,7 @@ final class DedupState(
     // global min rid of each merged component — the same label the
     // one-shot pipeline assigns
     val qcc = Dedup.connectedComponents(quotEdges)
-      .localCheckpoint()
+      .cpInto(cps)
     val remap = qcc.select(col("id").as("node"), col("cluster").as("fin"))
 
     def applyRemap(df: DataFrame): DataFrame = df
@@ -409,7 +421,7 @@ final class DedupState(
       .unionByName(mergedOldMembers
         .join(removalRids, Seq("rid"), "left_anti"))
       .unionByName(removalFinal)
-      .localCheckpoint()
+      .cpInto(cps)
     val nLabelRows = labelDeltas.count()
     val nRelabeled = nLabelRows - nNewDistinct
 
@@ -438,6 +450,7 @@ final class DedupState(
     val keyTail = idempotencyKey.orElse(lastKey)
       .map { case (sc, seq) => s" $sc $seq" }.getOrElse("")
     store.writeAtomic("CURRENT", s"$next $base$keyTail")
+    cps.foreach(_.unpersist())
     // bounded maintenance: once the reader's delta-union spans the
     // threshold, squash — the same self-maintenance cadence the
     // engine's segmented archive runs on. Runs AFTER the flip, so a
@@ -458,16 +471,17 @@ final class DedupState(
     val (cur, base, lastKey) = pointer
     if (cur == 0) return 0L
     val next = cur + 1
+    val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val livePairs = pairs(cur)
-      .join(dropped(cur), Seq("bkey"), "left_anti").localCheckpoint()
+      .join(dropped(cur), Seq("bkey"), "left_anti").cpInto(cps)
     val resolved = labels(cur)
-      .withColumn("ver", lit(next)).localCheckpoint()
+      .withColumn("ver", lit(next)).cpInto(cps)
     val tables = Seq(
       ("members", members(cur)), ("groups", seenKeys(cur)),
       ("bands", bands(cur)), ("pairs", livePairs),
       ("dropped", dropped(cur)), ("labels", resolved))
     val counts = tables.map { case (name, df) =>
-      val chk = df.localCheckpoint()
+      val chk = df.cpInto(cps)
       val n = chk.count()
       if (n > 0)
         chk.write.mode("overwrite")
@@ -479,6 +493,7 @@ final class DedupState(
     manifests.remove(next)
     val keyTail = lastKey.map { case (sc, seq) => s" $sc $seq" }.getOrElse("")
     store.writeAtomic("CURRENT", s"$next $next$keyTail")
+    cps.foreach(_.unpersist())
     (base to cur).foreach(v => store.deleteRecursive(s"v$v"))
     (base to cur).foreach(manifests.remove)
     next

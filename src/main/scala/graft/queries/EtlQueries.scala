@@ -2782,12 +2782,15 @@ object EtlQueries {
       // 2 = the incoming batch; labels are the post-update (full)
       // components, exactly the oracle's one-shot clustering
       val m = st.members()
+      // no checkpoint: the seen-clusters branch and the main branch
+      // share identical subplans, so Catalyst reuses the exchange; a
+      // per-call checkpoint would leak one block per invocation in a
+      // long-lived daemon
       val dcl = m
         .join(st.seenKeys().select("k", "rid"), "k")
         .join(st.labels(), Seq("rid"), "left_outer")
         .select(m("doc_id"), m("k"),
           coalesce(col("cluster"), col("rid")).as("cluster"), m("ver"))
-        .localCheckpoint()
       val seenK = st.seenKeys().filter(col("ver") === 1)
         .select("k").withColumn("seen_exact", lit(1))
       val seenClusters = dcl.filter(col("ver") === 1)
