@@ -66,6 +66,30 @@ object Distillate {
       .withColumn("gap_ns", col("gap_end") - col("gap_start"))
   }
 
+  /** Threshold-crossing events per stream: each point where the value
+    * crosses `threshold` relative to the previous point — `dir` = "up"
+    * (value ≥ T, previous < T) or "down" (value < T, previous ≥ T) —
+    * the DISTIL ecosystem's canonical event-detection distillate (the
+    * voltage-sag / frequency-excursion detectors the reference's
+    * analytics layer runs on every feed). Pure comparisons on the
+    * shared (time, value) order — no float arithmetic, so both engines
+    * agree bit-for-bit; the first point of a stream has no predecessor
+    * and emits nothing. Same single ordered window pass as [[rate]]. */
+  def crossings(points: DataFrame, threshold: Double,
+                keys: Seq[String] = Seq("sid")): DataFrame = {
+    val w = seq(keys)
+    val pv = lag("value", 1).over(w)
+    points
+      .select(keys.map(col) ++ Seq(col("time"), col("value"),
+        pv.as("pv")): _*)
+      .filter(col("pv").isNotNull &&
+        ((col("value") >= threshold && col("pv") < threshold) ||
+          (col("value") < threshold && col("pv") >= threshold)))
+      .withColumn("dir",
+        when(col("value") >= threshold, "up").otherwise("down"))
+      .drop("pv")
+  }
+
   /** As-of alignment: for every left row, the most recent right row at
     * or before its `time` (the reference ecosystem's align-to-driving-
     * stream distillate step; SQL AS OF join).

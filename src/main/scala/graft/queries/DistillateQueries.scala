@@ -41,7 +41,34 @@ object DistillateQueries {
   private val rateSql =
     "(value - pv) * 1000000000.0 / NULLIF(time - pt, 0)"
 
+  /** Crossing-detector threshold: well above the ~34 median and well
+    * below the ~320 max of every stream's values, so both directions
+    * fire throughout the range at every SF. */
+  private val CrossT = 100.0
+
   val defs: Map[String, QueryDef] = Map(
+
+    // Event detection: threshold crossings of stream 6 — the DISTIL
+    // sag/excursion-detector distillate. Pure comparisons against the
+    // shared (time, value) order; no float arithmetic to diverge.
+    "q_threshold_events" -> QueryDef(
+      s"""$P, s AS (
+         |  SELECT time, value, lag(value) OVER w AS pv
+         |  FROM points WHERE sid = 6
+         |  WINDOW w AS (ORDER BY time, value))
+         |SELECT time, value,
+         |  CASE WHEN value >= $CrossT THEN 'up' ELSE 'down' END AS dir
+         |FROM s
+         |WHERE pv IS NOT NULL AND
+         |  ((value >= $CrossT AND pv < $CrossT) OR
+         |   (value < $CrossT AND pv >= $CrossT))
+         |ORDER BY time, value""".stripMargin) { (s, dir) =>
+      Distillate.crossings(
+        Tables.points(s, dir).filter(col("sid") === 6)
+          .select("sid", "time", "value"), CrossT)
+        .select("time", "value", "dir")
+        .orderBy("time", "value")
+    },
 
     // Rate-of-change distillate: units/second between consecutive
     // points; rate_ctr treats a decrease as a counter reset (NULL).

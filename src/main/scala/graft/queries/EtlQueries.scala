@@ -1153,6 +1153,40 @@ object EtlQueries {
         .orderBy("source")
     },
 
+    // SOFT dedup: instead of dropping near-duplicates, weight each doc
+    // by the inverse of its cluster's size (the "count each content
+    // once" correction from the dedup literature — repeated content
+    // contributes one document's worth of gradient split across its
+    // copies). Weights are integer MICRO-docs (1e6 div csz) so the
+    // per-source sum is an exact order-independent integer — a double
+    // 1/csz sum would be partition-order dependent. Reads the shared
+    // memoized cluster assignment; one broadcast-free equi-join chain.
+    "q_softdedup_weights" -> QueryDef(
+      s"""WITH RECURSIVE $clusterCteSql,
+         |csz AS (
+         |  SELECT cluster, COUNT(*) AS csz FROM clusters GROUP BY cluster)
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(1000000 // s.csz) AS BIGINT) AS eff_microdocs,
+         |  CAST(SUM(1000000 // s.csz) AS DOUBLE) / (COUNT(*) * 1000000)
+         |    AS eff_ratio
+         |FROM documents d
+         |JOIN clusters c ON c.doc_id = d.doc_id
+         |JOIN csz s ON s.cluster = c.cluster
+         |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+      val cl = dedupClusters(s, dir)
+      val csz = cl.groupBy("cluster").agg(count(lit(1)).as("csz"))
+      docs(s, dir).select(col("doc_id"), col("source"))
+        .join(cl, "doc_id")
+        .join(csz, "cluster")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("1000000 div csz")).as("eff_microdocs"))
+        .select(col("source"), col("n_docs"), col("eff_microdocs"),
+          (col("eff_microdocs").cast("double") /
+            (col("n_docs") * lit(1000000L))).as("eff_ratio"))
+        .orderBy("source")
+    },
+
     // Stratified deterministic sampling — corpus mixing by language
     // with per-stratum rates (down-weight the dominant language), the
     // reproducible-sample primitive every training-data pipeline needs:

@@ -287,4 +287,21 @@ class DistillateSpec extends AnyFunSuite with BeforeAndAfterAll {
       start = 100L, end = 100L, step = 10L, tileNs = 100L)
     assert(out.count() === 0L)
   }
+
+  test("crossings: boundary value counts as the high side; first point silent") {
+    val df = Distillate.crossings(pts(
+      (1L, 0L, 200.0),   // first point: no predecessor, never an event
+      (1L, 10L, 50.0),   // 200 -> 50: down
+      (1L, 20L, 100.0),  // 50 -> 100: exactly T counts as >= T: up
+      (1L, 30L, 150.0),  // stays high: no event
+      (1L, 40L, 99.0),   // 150 -> 99: down
+      (2L, 50L, 500.0)), // other stream's first point: silent
+      threshold = 100.0)
+    val got = df.orderBy("time").collect()
+      .map(r => (r.getAs[Long]("time"), r.getAs[String]("dir")))
+    assert(got.toSeq == Seq((10L, "down"), (20L, "up"), (40L, "down")))
+    // per-stream windows: stream 2's lone point must not inherit
+    // stream 1's last value as its predecessor
+    assert(!got.map(_._1).contains(50L))
+  }
 }
