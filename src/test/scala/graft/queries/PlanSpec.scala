@@ -304,6 +304,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "window stats must partial-combine before the exchange")
   }
 
+  test("threshold crossings are one join-free ordered window pass") {
+    val p = plan("q_threshold_events")
+    assert(!p.contains("Join"), s"event detection must not join, got:\n$p")
+    assert(p.contains("Window"), "lag window expected")
+  }
+
+  test("softdedup weights: equi-join chain, no cartesian, map-side combine") {
+    val p = plan("q_softdedup_weights")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"cluster-size join must be equi-keyed, got:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "per-source sums must partial-combine before the exchange")
+  }
+
   test("ann recall: ground truth broadcasts the query frame; no cartesian blowup") {
     val p = plan("q_ann_recall")
     assert(!p.contains("CartesianProduct"),
