@@ -84,6 +84,53 @@ object StreamingDistillate {
       }
   }
 
+  /** A detected threshold crossing. */
+  final case class Crossing(sid: Long, time: Long, value: Double,
+                            dir: String)
+
+  /** Streaming threshold-crossing detection — the live form of
+    * [[graft.operators.Distillate.crossings]] (the DISTIL
+    * sag/excursion detector, which in production runs AT INGEST so
+    * alarms fire in stream time, not at the next batch pass). Same
+    * one-(time, value)-record state and late-drop contract as
+    * [[rateStream]]; on append-ordered input the emitted events are
+    * exactly the batch operator's (pure comparisons — nothing to
+    * drift). */
+  def crossingsStream(source: DataFrame,
+                      threshold: Double): Dataset[Crossing] = {
+    val spark = source.sparkSession
+    import spark.implicits._
+    source
+      .select(col("sid").cast("long"), col("time").cast("long"),
+        col("value").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastPoint, Crossing](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (sid, rows, state) =>
+          val batch = rows.toSeq.map { case (_, t, v) => (t, v) }.sorted
+          var last = state.getOption
+          val out = Seq.newBuilder[Crossing]
+          batch.foreach { case (t, v) =>
+            last match {
+              case Some(LastPoint(pt, pv))
+                  if t < pt || (t == pt && v < pv) =>
+              // late: the detector already moved past this instant
+              case Some(LastPoint(_, pv)) =>
+                if (v >= threshold && pv < threshold)
+                  out += Crossing(sid, t, v, "up")
+                else if (v < threshold && pv >= threshold)
+                  out += Crossing(sid, t, v, "down")
+                last = Some(LastPoint(t, v))
+              case None =>
+                last = Some(LastPoint(t, v))
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming as-of enrichment: every EVENT row (tag 1) is emitted
     * with the most recent REFERENCE row (tag 0) at or before it, per
     * stream — the live form of [[graft.operators.Distillate.asOf]],

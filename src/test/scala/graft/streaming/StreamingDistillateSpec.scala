@@ -173,4 +173,47 @@ class StreamingDistillateSpec extends AnyFunSuite with BeforeAndAfterAll {
     def ms(xs: Iterable[Any]) = xs.groupBy(identity).map { case (k, v) => (k, v.size) }
     assert(ms(streamed.toSeq) === ms(batch.toSeq))
   }
+
+  test("crossingsStream: cross-batch bridging, late drops, batch equivalence") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[(Long, Long, Double)]
+    val out = StreamingDistillate.crossingsStream(
+      mem.toDF().toDF("sid", "time", "value"), threshold = 100.0)
+    val q = out.toDF().writeStream.format("memory").queryName("sdc")
+      .outputMode("append").start()
+    // batch 1 ends below threshold; batch 2's first point crosses UP
+    // against batch 1's carried state
+    mem.addData((1L, 0L, 50.0), (1L, 10L, 80.0)); q.processAllAvailable()
+    mem.addData((1L, 20L, 120.0), (1L, 30L, 90.0)); q.processAllAvailable()
+    // late point (before the state's last instant): dropped, no event
+    mem.addData((1L, 5L, 500.0)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sdc").orderBy("time").collect()
+      .map(r => (r.getLong(1), r.getString(3)))
+    assert(got.toSeq == Seq((20L, "up"), (30L, "down")))
+
+    // randomized append-ordered stream equals the batch operator
+    val rnd = new scala.util.Random(7L)
+    val data = (0 until 300).map(i =>
+      (1L + rnd.nextInt(3), i * 10L, rnd.nextInt(200).toDouble))
+    val mem2 = MemoryStream[(Long, Long, Double)]
+    val out2 = StreamingDistillate.crossingsStream(
+      mem2.toDF().toDF("sid", "time", "value"), threshold = 100.0)
+    val q2 = out2.toDF().writeStream.format("memory").queryName("sdc2")
+      .outputMode("append").start()
+    data.grouped(23).foreach { b => mem2.addData(b: _*); q2.processAllAvailable() }
+    q2.stop()
+    val streamed = spark.table("sdc2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val batch = graft.operators.Distillate.crossings(
+        data.toDF("sid", "time", "value"), 100.0)
+      .collect()
+      .map(r => (r.getAs[Long]("sid"), r.getAs[Long]("time"),
+        r.getAs[Double]("value"), r.getAs[String]("dir")))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(streamed == batch)
+  }
 }
