@@ -572,6 +572,51 @@ class PyramidSpec extends AnyFunSuite with BeforeAndAfterAll {
     db.close()
   }
 
+  test("quantile rollup: a crashed qhist fold is stale under the watermark and heals") {
+    import org.apache.spark.sql.functions.col
+    val db = mkQDb()
+    val uuid = "u-qwm"
+    db.createStream(uuid, "pyr/qwm", Map("t" -> "q"))
+    insertPts(db, uuid, (0L until 256L).map(t => (t, 1.0)))
+    db.flush(uuid)
+    val root = db.root
+    val sid = db.sidOf(uuid)
+    val pyrDir = Paths.get(root, "pyramid")
+    val qDir = Paths.get(root, "qhist")
+    val snapP = Paths.get(root, "pyr_snap"); copyTree(pyrDir, snapP)
+    val snapQ = Paths.get(root, "qhist_snap"); copyTree(qDir, snapQ)
+
+    insertPts(db, uuid, (256L until 512L).map(t => (t, 3.0)))
+    db.flush(uuid)
+    db.close()
+    // crash: generation 2's stat + histogram folds (and stamp) lost
+    rmTree(pyrDir); copyTree(snapP, pyrDir)
+    rmTree(qDir); copyTree(snapQ, qDir)
+
+    val db2 = new Btrdb(spark, root, sBuckets = 4, tBucketPw = 12,
+      bufferCommitThreshold = 1 << 20,
+      pyramidLevels = Seq(4, 8), pyramidWBucketPw = 12, commitRangePw = 8,
+      quantileLevel = Some(4))
+    // the shared watermark gates qhist serving too: quantiles fall back
+    // to the live view and stay exact, never reading the stale store
+    val stale = db2.quantileWindows(uuid, 0L, 512L, 8)
+    assert(!graft.plans.PlanChecks.scanRootPaths(stale)
+      .forall(_.contains("/qhist")), "stale histogram must not serve")
+    val rows = stale.orderBy("wstart").collect()
+    assert(rows.map(_.getAs[Long]("cnt")).toSeq == Seq(256L, 256L))
+    assert(rows(1).getAs[Double]("p50") == 3.0)
+    // repair recomputes BOTH rollups under the one watermark
+    assert(db2.repairPyramid(uuid))
+    val healed = db2.quantileWindows(uuid, 0L, 512L, 8)
+    assert(graft.plans.PlanChecks.scanRootPaths(healed)
+      .forall(_.contains("/qhist")), "healed histogram serves again")
+    val hr = healed.orderBy("wstart").collect()
+    assert(hr.map(_.getAs[Long]("cnt")).toSeq == Seq(256L, 256L))
+    assert(hr(0).getAs[Double]("p50") == 1.0 &&
+      hr(1).getAs[Double]("p50") == 3.0)
+    db2.close()
+  }
+
   test("quantile rollup: purgeObliterated removes the stream's histogram rows") {
     import org.apache.spark.sql.functions.col
     val db = mkQDb()
