@@ -291,6 +291,19 @@ class BtrdbSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the window holding its start); w1 = buckets 1024..1792 → 1024
     assert(approx(0).getLong(2) == 768 && exact(0).getLong(2) == 1000)
     assert(approx(1).getLong(2) == 1024)
+    // a version-pinned read takes the RAW path (the pyramid only serves
+    // latest-generation queries) and must agree with the rollup-served
+    // result column for column — the compose-from-rollup arithmetic is
+    // exactly the closed form over points
+    val vmaj = db.version(uuid)._1
+    val raw = db.windows(uuid, 0, 4000, 1000, version = vmaj, depth = 9)
+      .collect()
+    assert(raw.length == approx.length)
+    approx.zip(raw).foreach { case (a, r) =>
+      assert(a.getLong(1) == r.getLong(1) && a.getLong(2) == r.getLong(2))
+      assert(a.getDouble(3) == r.getDouble(3) &&
+        a.getDouble(4) == r.getDouble(4) && a.getDouble(5) == r.getDouble(5))
+    }
   }
 
   test("time-range reads prune tbucket partitions (scan cost ∝ range, not table)") {
