@@ -62,6 +62,14 @@ object DedupStateBench {
       .localCheckpoint()
     val (rep2, updSec2) = timed(st.update(fresh))
 
+    // same probe for the decontamination index (the second application
+    // of the versioned-store pattern): init over the corpus, then fold
+    // the fresh near-dup batch in at batch cost
+    val cst = new graft.etl.ContamState(spark, freshRoot(),
+      graft.queries.EtlQueries.contamGrams, dfCap = 10L)
+    val (_, cInitSec) = timed(cst.update(corpus))
+    val (crep, cUpdSec) = timed(cst.update(fresh))
+
     println(s"""{"metric":"dedup_state","init_sec":$initSec,""" +
       s""""update_sec":$updSec,"corpus_docs":$nCorpus,""" +
       s""""batch_docs":$nBatch,"batch_new_distinct":${rep.nNewDistinct},""" +
@@ -71,7 +79,9 @@ object DedupStateBench {
       s""""fresh_update_sec":$updSec2,""" +
       s""""fresh_new_distinct":${rep2.nNewDistinct},""" +
       s""""fresh_new_pairs":${rep2.nNewPairs},""" +
-      s""""fresh_relabeled":${rep2.nRelabeled},"sf":"$sfDir"}""")
+      s""""fresh_relabeled":${rep2.nRelabeled},""" +
+      s""""contam_init_sec":$cInitSec,"contam_update_sec":$cUpdSec,""" +
+      s""""contam_fresh_grams":${crep.nGramRows},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,202 @@
+package graft.etl
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.storage.Store
+
+object ContamState {
+
+  /** Per-update accounting: gram work must track the batch's NEW
+    * distinct content, never the corpus. */
+  final case class UpdateReport(
+      version: Long,
+      nBatchDocs: Long,
+      nNewDistinct: Long,
+      nGramRows: Long,
+      nNewlyCapped: Long)
+
+  private[etl] val TextsSchema = StructType(Seq(
+    StructField("k", StringType), StructField("ver", LongType)))
+  private[etl] val PostingsSchema = StructType(Seq(
+    StructField("k", StringType), StructField("g", StringType)))
+  private[etl] val CappedSchema = StructType(Seq(
+    StructField("g", StringType)))
+}
+
+/** Versioned, persisted DECONTAMINATION index with per-ingest-batch
+  * incremental maintenance — the second application of the
+  * [[DedupState]] pattern (versioned parquet deltas under an atomic
+  * CURRENT pointer, update cost ∝ the batch): an eval-suite
+  * contamination probe reads a PERSISTED rare-gram postings index; a
+  * daily crawl appends its postings without re-shingling the corpus.
+  *
+  *   - postings are extracted ONLY for new distinct content (one
+  *     anti-join against the persisted key index decides newness);
+  *   - the document-frequency cap is RETROACTIVE, like DedupState's
+  *     bucket cap: a gram whose total df crosses `dfCap` stops
+  *     carrying contamination evidence, INCLUDING the postings it
+  *     contributed in earlier versions — [[livePostings]] anti-joins
+  *     the capped set, so the incremental store equals a one-shot
+  *     df-capped build on any batch schedule. Cap checks count only
+  *     the batch's TOUCHED grams (semi-join-pruned index scan), and
+  *     df growth is monotone, so a capped gram stays capped.
+  *
+  * `gramsOf` maps (k, text) rows to distinct (k, g) postings — inject
+  * [[graft.queries.EtlQueries.contamGrams]] so the store's extraction
+  * is character-identical to the one-shot pipeline and its oracle.
+  * `dfCap` persists in META; a mismatched reopen throws (it is an
+  * evidence-semantics invariant, like DedupState's bucket cap).
+  */
+final class ContamState(
+    spark: SparkSession,
+    rootUri: String,
+    gramsOf: DataFrame => DataFrame,
+    dfCap: Long) {
+
+  import ContamState._
+  import DedupState.Tracked
+
+  private val store = new Store(rootUri, new Configuration())
+
+  private def pointer: (Long, Long) =
+    store.readString("CURRENT").map { s =>
+      val p = s.trim.split("\\s+")
+      (p(0).toLong, if (p.length > 1) p(1).toLong else 1L)
+    }.getOrElse((0L, 1L))
+
+  def currentVersion: Long = pointer._1
+
+  private def metaLine: String = s"dfCap=$dfCap"
+  private def checkOrWriteMeta(): Unit = store.readString("META") match {
+    case Some(m) =>
+      require(m.trim == metaLine,
+        s"ContamState at $rootUri was built with '${m.trim}', reopened " +
+          s"with '$metaLine' — the df cap is an evidence-set invariant")
+    case None => store.writeAtomic("META", metaLine)
+  }
+
+  private val manifests =
+    scala.collection.mutable.Map.empty[Long, Map[String, Long]]
+  private def manifest(v: Long): Map[String, Long] =
+    manifests.getOrElseUpdate(v,
+      store.readString(s"v$v/MANIFEST").map(_.trim.split(",").collect {
+        case kv if kv.contains("=") =>
+          val Array(n, c) = kv.split("=", 2); n -> c.toLong
+      }.toMap).getOrElse(Map.empty))
+
+  private def emptyFrame(schema: StructType): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+
+  private def tableFrame(name: String, schema: StructType,
+                         upTo: Long): DataFrame = {
+    val (_, base) = pointer
+    val paths = (base to upTo)
+      .filter(v => manifest(v).getOrElse(name, 0L) > 0)
+      .map(v => store.resolve(s"v$v/$name").toString)
+    if (paths.isEmpty) emptyFrame(schema)
+    else spark.read.schema(schema).parquet(paths: _*)
+  }
+
+  /** Distinct content ever indexed — (k, ver). */
+  def seenKeys(upTo: Long = currentVersion): DataFrame =
+    tableFrame("texts", TextsSchema, upTo)
+
+  /** ALL postings, including those of since-capped grams. */
+  def postings(upTo: Long = currentVersion): DataFrame =
+    tableFrame("postings", PostingsSchema, upTo)
+
+  /** Grams over the df cap — boilerplate, no contamination evidence. */
+  def capped(upTo: Long = currentVersion): DataFrame =
+    tableFrame("capped", CappedSchema, upTo)
+
+  /** The live evidence index: postings of under-cap grams only —
+    * exactly a one-shot df-capped build over everything ever seen. */
+  def livePostings(upTo: Long = currentVersion): DataFrame =
+    postings(upTo).join(capped(upTo), Seq("g"), "left_anti")
+
+  /** Fold one batch — (doc_id LONG, text STRING) — into the index. */
+  def update(batch: DataFrame): UpdateReport = {
+    checkOrWriteMeta()
+    val (cur, base) = pointer
+    val next = cur + 1
+    val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+    val b = batch.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("k"), col("text"))
+    val nBatchDocs = b.count()
+    val newTexts = b.groupBy("k").agg(min("text").as("text"))
+      .join(seenKeys(cur).select("k"), Seq("k"), "left_anti")
+      .cpInto(cps)
+    val nNewDistinct = newTexts.count()
+
+    // postings for NEW distinct content only
+    val newPost = gramsOf(newTexts.select("k", "text")).cpInto(cps)
+    val nGramRows = newPost.count()
+
+    // df accounting on the TOUCHED grams only: old postings semi-join
+    // the batch's gram set, then total = old + new per gram
+    val touched = newPost.select("g").distinct()
+    val oldCnt = postings(cur)
+      .join(touched, Seq("g"), "left_semi")
+      .groupBy("g").agg(count(lit(1)).as("oldN"))
+    val newCnt = newPost.groupBy("g").agg(count(lit(1)).as("newN"))
+    val newlyCapped = newCnt
+      .join(oldCnt, Seq("g"), "left_outer")
+      .filter(col("newN") + coalesce(col("oldN"), lit(0L)) > dfCap)
+      .join(capped(cur), Seq("g"), "left_anti")
+      .select("g").cpInto(cps)
+    val nNewlyCapped = newlyCapped.count()
+
+    def writeDelta(name: String, df: DataFrame, n: Long): Long = {
+      if (n > 0)
+        df.write.mode("overwrite")
+          .parquet(store.resolve(s"v$next/$name").toString)
+      n
+    }
+    val counts = Seq(
+      "texts" -> writeDelta("texts",
+        newTexts.select("k").withColumn("ver", lit(next)), nNewDistinct),
+      "postings" -> writeDelta("postings", newPost.select("k", "g"),
+        nGramRows),
+      "capped" -> writeDelta("capped", newlyCapped, nNewlyCapped))
+    store.writeAtomic(s"v$next/MANIFEST",
+      counts.map { case (n, c) => s"$n=$c" }.mkString(","))
+    manifests.remove(next)
+    store.writeAtomic("CURRENT", s"$next $base")
+    cps.foreach(_.unpersist())
+
+    UpdateReport(next, nBatchDocs, nNewDistinct, nGramRows, nNewlyCapped)
+  }
+
+  /** Squash versions into one snapshot, pruning capped grams' postings
+    * (they can never un-cap — df is monotone), and advance the base. */
+  def compact(): Long = {
+    val (cur, base) = pointer
+    if (cur == 0) return 0L
+    val next = cur + 1
+    val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val tables = Seq(
+      ("texts", seenKeys(cur)),
+      ("postings", livePostings(cur)),
+      ("capped", capped(cur)))
+    val counts = tables.map { case (name, df) =>
+      val chk = df.cpInto(cps)
+      val n = chk.count()
+      if (n > 0)
+        chk.write.mode("overwrite")
+          .parquet(store.resolve(s"v$next/$name").toString)
+      name -> n
+    }
+    store.writeAtomic(s"v$next/MANIFEST",
+      counts.map { case (n, c) => s"$n=$c" }.mkString(","))
+    manifests.remove(next)
+    store.writeAtomic("CURRENT", s"$next $next")
+    cps.foreach(_.unpersist())
+    (base to cur).foreach(v => store.deleteRecursive(s"v$v"))
+    (base to cur).foreach(manifests.remove)
+    next
+  }
+}

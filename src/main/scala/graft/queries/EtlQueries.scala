@@ -359,19 +359,55 @@ object EtlQueries {
     * common drop out (no rare-gram denominator), as they should. */
   private val contamPostingsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  /** The decontamination gram extraction over (k, text) rows: distinct
+    * (k, g) with g the strided 8-grams of the first MaxPos positions —
+    * shared verbatim by the memoized index, its DuckDB oracle shape,
+    * and the INCREMENTAL store ([[graft.etl.ContamState]]), so the
+    * three can never drift. */
+  private[graft] def contamGrams(texts: DataFrame): DataFrame =
+    texts.filter(length(col("text")) >= 8)
+      .select(col("k"), col("text"),
+        explode(sequence(lit(1),
+          least(length(col("text")) - 7, lit(MaxPos)), lit(2))).as("p"))
+      .select(col("k"), expr("substring(text, p, 8)").as("g"))
+      .distinct()
+
+  /** The PERSISTED incremental decontamination index for the fixture
+    * ([[graft.etl.ContamState]]), built in three doc_id-striped batches
+    * — any split lands on the same live postings (split-invariance is
+    * the store's contract), and at 100 TB a crawl batch appends its
+    * postings at batch cost instead of re-shingling the corpus. */
+  private val contamStateMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      graft.etl.ContamState]
+  private def incrContamState(s: SparkSession, dir: String)
+      : graft.etl.ContamState =
+    fixtureMemo(contamStateMemo, s, dir) {
+      val rootDir = java.nio.file.Files
+        .createTempDirectory("graft-contam-state-")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(rootDir).iterator().asScala.toList
+            .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: Exception => () }))
+      val st = new graft.etl.ContamState(s, rootDir.toString,
+        contamGrams, ContamDfCap)
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      (0 to 2).foreach(i => st.update(d.filter(col("doc_id") % 3 === i)))
+      st
+    }
+
+  /** The shared in-session frame is now a READ of the persisted
+    * incremental index — one build serves the contamination probe, the
+    * source-overlap matrix, and the cross-session storage story. The
+    * (k, g) set is identical to the old one-shot derivation: the store
+    * uses the same [[contamGrams]] extraction and its retroactive df
+    * cap equals a one-shot capped build on any batch schedule
+    * (ContamStateSpec). */
   private def contamPostings(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(contamPostingsMemo, s, dir) {
-      val kGrams0 = distinctGroups(s, dir)
-        .filter(length(col("text")) >= 8)
-        .select(col("k"), col("text"),
-          explode(sequence(lit(1),
-            least(length(col("text")) - 7, lit(MaxPos)), lit(2))).as("p"))
-        .select(col("k"), expr("substring(text, p, 8)").as("g"))
-        .distinct()
-        .localCheckpoint()
-      val rare = kGrams0.groupBy("g").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= ContamDfCap).select("g")
-      kGrams0.join(rare, Seq("g"), "left_semi").localCheckpoint()
+      incrContamState(s, dir).livePostings().localCheckpoint()
     }
 
   /** Word-trigram counts per distinct text — (rid, gram, c) — the
