@@ -150,6 +150,47 @@ class WindowsDepthSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(checked > 100)
   }
 
+  test("closed form holds at a second ladder width (u=256, depth=9)") {
+    val ss = spark; import ss.implicits._
+    val u = 256L
+    val seed = 9L
+    info(s"seed = $seed")
+    val rnd = new scala.util.Random(seed)
+    for (_ <- 0 until 25) {
+      val width = 100L + rnd.nextInt(2000)
+      val start = (rnd.nextInt(2001) - 1000).toLong
+      val end = start + width * (1 + rnd.nextInt(8))
+      val pts = List.fill(rnd.nextInt(80)) {
+        val t = start - 2 * u + rnd.nextLong(end - start + 4 * u)
+        (t, (rnd.nextInt(199) - 99) / 4.0)
+      }
+      val e = end - ((end - start) % width)
+      if (e > start) {
+        val n = (e - start) / width
+        val buckets = pts.groupBy { case (t, _) => Math.floorDiv(t, u) * u }
+          .toSeq.sortBy(_._1)
+          .map { case (bs, ps) =>
+            B(bs, ps.size, ps.map(_._2).min, ps.map(_._2).max,
+              ps.map(_._2).sum) }
+        val expByI = simulate(buckets, start, end, width, u)
+          .filter(w => w.i >= 0 && w.i < n).map(w => w.i -> w).toMap
+        val expected = (0L until n).map(i =>
+          expByI.getOrElse(i, W(i, 0, 0.0, 0.0, 0.0)))
+        val df = pts.toDF("time", "value").withColumn("sid", lit(1L))
+        val got = StatOps.windowsDepth(df, 1L, start, end, width, 9)
+          .orderBy("i").collect()
+          .map(r => W(r.getLong(0), r.getLong(2), r.getDouble(3),
+            r.getDouble(4), r.getDouble(5)))
+        assert(got.length == expected.length)
+        got.zip(expected).foreach { case (g, x) =>
+          assert(g.i == x.i && g.cnt == x.cnt && g.vmin == x.vmin &&
+            g.vmax == x.vmax && math.abs(g.vmean - x.vmean) < 1e-9,
+            s"window ${g.i} (start=$start end=$end width=$width)")
+        }
+      }
+    }
+  }
+
   test("worked example: drop, redistribution, tail — all three quirks") {
     val ss = spark; import ss.implicits._
     // buckets of 4 (depth=3 -> ladder pw 2), windows of 10 from t=2:
