@@ -47,6 +47,11 @@ object ContamState {
   * `gramsOf` maps (k, text) rows to distinct (k, g) postings — inject
   * [[graft.queries.EtlQueries.contamGrams]] so the store's extraction
   * is character-identical to the one-shot pipeline and its oracle.
+  * Single-writer contract: updates assume one writer per store root
+  * (the engine ingest path is single-writer per root already); readers
+  * are always safe — they resolve through the atomic pointer and see
+  * either the old or the new version, never a partial.
+  *
   * `dfCap` persists in META; a mismatched reopen throws (it is an
   * evidence-semantics invariant, like DedupState's bucket cap).
   */

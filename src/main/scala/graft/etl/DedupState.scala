@@ -115,6 +115,11 @@ object DedupState {
   * they are plain Parquet; the scan-not-recompute structure is what the
   * spec asserts.
   *
+  * Single-writer contract: updates assume one writer per store root
+  * (the engine ingest path is single-writer per root already); readers
+  * are always safe — they resolve through the atomic pointer and see
+  * either the old or the new version, never a partial.
+  *
   * Reference anchor: the reference maintains its stat tree incrementally
   * per commit (/root/reference/qtree/qtree.go:436-468 SetChild relink);
   * this class is that idea applied to the ETL dedup indexes.
