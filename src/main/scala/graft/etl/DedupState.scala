@@ -118,7 +118,10 @@ object DedupState {
   * Single-writer contract: updates assume one writer per store root
   * (the engine ingest path is single-writer per root already); readers
   * are always safe — they resolve through the atomic pointer and see
-  * either the old or the new version, never a partial.
+  * either the old or the new version, never a partial. `doc_id` is the
+  * document identity and must be GLOBALLY unique across batches — rep
+  * ids are doc ids, and the quotient-graph argument (old labels and
+  * new rep ids never collide as nodes) rests on that uniqueness.
   *
   * Reference anchor: the reference maintains its stat tree incrementally
   * per commit (/root/reference/qtree/qtree.go:436-468 SetChild relink);
