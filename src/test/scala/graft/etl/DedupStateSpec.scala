@@ -116,6 +116,24 @@ class DedupStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(aaaClusters === 7L)
   }
 
+  test("bucket cap with REAL MinHash banding: batched equals one-shot") {
+    // the fixture corpus recombines a small phrase pool, so real LSH
+    // buckets grow well past a tiny cap as batches accumulate — the
+    // retroactive surgery must track the one-shot capped build through
+    // genuine signature collisions, not only the surgical prefix bands
+    val bandsOf = graft.queries.EtlQueries.bandKeys _
+    val d = fixtureDocs.localCheckpoint()
+    val cap = Some(2L)
+    val incr = new DedupState(spark, tmpRoot(), bandsOf, cap)
+    (0 to 2).foreach(i => incr.update(d.filter(col("doc_id") % 3 === i)))
+    val oneShot = new DedupState(spark, tmpRoot(), bandsOf, cap)
+    oneShot.update(d)
+    assert(partitionOf(incr) === partitionOf(oneShot))
+    // the cap genuinely fired across batch boundaries
+    assert(incr.dropped().count() > 0,
+      "fixture LSH buckets must cross cap=2 for this test to bite")
+  }
+
   test("cap mismatch on reopen throws (edge-set invariant)") {
     val ss = spark; import ss.implicits._
     val root = tmpRoot()
