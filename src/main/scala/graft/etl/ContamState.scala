@@ -1,13 +1,23 @@
 package graft.etl
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.storage.Store
 
 object ContamState {
+
+  /** Postings partition by a HASH bucket of the gram (`gp`): grams are
+    * arbitrary text slices, unfit for partition directory names, where
+    * a bounded integer bucket is always clean — the same reasoning as
+    * [[DedupState.bandBucket]]. 64 buckets: the postings index is the
+    * corpus-sided table; the texts index partitions by digest prefix
+    * like DedupState's key index. */
+  private[etl] val GramBuckets = 64
+  private[etl] def gramBucket(c: Column): Column =
+    pmod(xxhash64(c), lit(GramBuckets)).cast("int")
 
   /** Per-update accounting: gram work must track the batch's NEW
     * distinct content, never the corpus. */
@@ -54,12 +64,24 @@ object ContamState {
   *
   * `dfCap` persists in META; a mismatched reopen throws (it is an
   * evidence-semantics invariant, like DedupState's bucket cap).
+  *
+  * Physical layout: the texts index partitions by digest prefix
+  * (`kp=` dirs) and the postings index by gram hash bucket (`gp=`
+  * dirs), and [[update]]'s two corpus-sided scans (the newness
+  * anti-join, the df-accounting semi-join) filter to the batch's
+  * partition values first — a daily batch reads the partitions it
+  * touches, not the corpus (StatePartitionSpec). `autoCompactEvery`
+  * bounds the reader's delta-union width by self-compacting after the
+  * flip, exactly as in [[DedupState]].
   */
 final class ContamState(
     spark: SparkSession,
     rootUri: String,
     gramsOf: DataFrame => DataFrame,
-    dfCap: Long) {
+    dfCap: Long,
+    autoCompactEvery: Int = 0) {
+
+  require(autoCompactEvery >= 0, "autoCompactEvery must be >= 0 (0 = off)")
 
   import ContamState._
   import DedupState.Tracked
@@ -73,6 +95,13 @@ final class ContamState(
     }.getOrElse((0L, 1L))
 
   def currentVersion: Long = pointer._1
+
+  /** Number of version dirs a reader currently unions — bounded by
+    * `autoCompactEvery` when set. */
+  def liveVersionSpan: Long = {
+    val (cur, base) = pointer
+    if (cur == 0) 0L else cur - base + 1
+  }
 
   private def metaLine: String = s"dfCap=$dfCap"
   private def checkOrWriteMeta(): Unit = store.readString("META") match {
@@ -95,14 +124,71 @@ final class ContamState(
   private def emptyFrame(schema: StructType): DataFrame =
     spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
 
-  private def tableFrame(name: String, schema: StructType,
-                         upTo: Long): DataFrame = {
+  /** Physical partition column per table: the texts (key) index by
+    * digest prefix, the postings index by gram hash bucket. `capped`
+    * stays flat (tiny). */
+  private val partitionField: Map[String, (StructField, Column)] = Map(
+    "texts" -> ((StructField("kp", StringType),
+      DedupState.keyPrefix(col("k")))),
+    "postings" -> ((StructField("gp", IntegerType), gramBucket(col("g")))))
+
+  private def diskFrame(name: String, schema: StructType,
+                        upTo: Long): DataFrame = {
+    val full = partitionField.get(name)
+      .map(f => StructType(schema.fields :+ f._1)).getOrElse(schema)
     val (_, base) = pointer
     val paths = (base to upTo)
       .filter(v => manifest(v).getOrElse(name, 0L) > 0)
       .map(v => store.resolve(s"v$v/$name").toString)
-    if (paths.isEmpty) emptyFrame(schema)
-    else spark.read.schema(schema).parquet(paths: _*)
+    if (paths.isEmpty) emptyFrame(full)
+    // one read per version dir, unioned: a single multi-path read
+    // trips partition discovery ("conflicting directory structures" —
+    // the version dirs share no partitioned base), while per-dir reads
+    // each discover their own kp=/bp= dirs and Catalyst pushes
+    // partition filters through the Union into every child scan
+    else paths.map(p => spark.read.schema(full).parquet(p))
+      .reduce(_.unionByName(_))
+  }
+
+  private def tableFrame(name: String, schema: StructType,
+                         upTo: Long): DataFrame = {
+    val df = diskFrame(name, schema, upTo)
+    partitionField.get(name).map(f => df.drop(f._1.name)).getOrElse(df)
+  }
+
+  // pruned index scans for the update path (StatePartitionSpec asserts
+  // files-read ∝ touched partitions — the DedupState contract)
+
+  private[etl] def seenKeysTouching(prefixes: Seq[String],
+                                    upTo: Long): DataFrame =
+    diskFrame("texts", TextsSchema, upTo)
+      .filter(col("kp").isin(prefixes: _*)).drop("kp")
+
+  private[etl] def postingsTouching(buckets: Seq[Int],
+                                    upTo: Long): DataFrame =
+    diskFrame("postings", PostingsSchema, upTo)
+      .filter(col("gp").isin(buckets: _*)).drop("gp")
+
+  private def partitionValues[T](df: DataFrame, c: Column): Seq[T] =
+    df.select(c.as("p")).distinct().collect()
+      .toSeq.map(_.getAs[T]("p"))
+
+  /** Write one table of version `next` — partitioned tables land one
+    * file per partition dir per delta (see [[DedupState]]). */
+  private def writeTable(next: Long, name: String, df: DataFrame,
+                         n: Long): Long = {
+    if (n > 0) {
+      val target = store.resolve(s"v$next/$name").toString
+      partitionField.get(name) match {
+        case Some((f, expr)) =>
+          df.withColumn(f.name, expr)
+            .repartition(col(f.name))
+            .write.mode("overwrite").partitionBy(f.name).parquet(target)
+        case None =>
+          df.write.mode("overwrite").parquet(target)
+      }
+    }
+    n
   }
 
   /** Distinct content ever indexed — (k, ver). */
@@ -132,8 +218,13 @@ final class ContamState(
     val b = batch.select(col("doc_id"),
       md5(col("text").cast("binary")).as("k"), col("text"))
     val nBatchDocs = b.count()
-    val newTexts = b.groupBy("k").agg(min("text").as("text"))
-      .join(seenKeys(cur).select("k"), Seq("k"), "left_anti")
+    // the key-index scan prunes to the batch's digest-prefix partitions
+    val batchTexts = b.groupBy("k").agg(min("text").as("text")).cpInto(cps)
+    val batchPrefixes =
+      partitionValues[String](batchTexts, DedupState.keyPrefix(col("k")))
+    val newTexts = batchTexts
+      .join(seenKeysTouching(batchPrefixes, cur).select("k"),
+        Seq("k"), "left_anti")
       .cpInto(cps)
     val nNewDistinct = newTexts.count()
 
@@ -141,10 +232,12 @@ final class ContamState(
     val newPost = gramsOf(newTexts.select("k", "text")).cpInto(cps)
     val nGramRows = newPost.count()
 
-    // df accounting on the TOUCHED grams only: old postings semi-join
-    // the batch's gram set, then total = old + new per gram
-    val touched = newPost.select("g").distinct()
-    val oldCnt = postings(cur)
+    // df accounting on the TOUCHED grams only: the postings-index scan
+    // prunes to the touched gram-bucket partitions, then the semi-join
+    // prunes to the exact grams
+    val touched = newPost.select("g").distinct().cpInto(cps)
+    val touchedBuckets = partitionValues[Int](touched, gramBucket(col("g")))
+    val oldCnt = postingsTouching(touchedBuckets, cur)
       .join(touched, Seq("g"), "left_semi")
       .groupBy("g").agg(count(lit(1)).as("oldN"))
     val newCnt = newPost.groupBy("g").agg(count(lit(1)).as("newN"))
@@ -155,23 +248,22 @@ final class ContamState(
       .select("g").cpInto(cps)
     val nNewlyCapped = newlyCapped.count()
 
-    def writeDelta(name: String, df: DataFrame, n: Long): Long = {
-      if (n > 0)
-        df.write.mode("overwrite")
-          .parquet(store.resolve(s"v$next/$name").toString)
-      n
-    }
     val counts = Seq(
-      "texts" -> writeDelta("texts",
+      "texts" -> writeTable(next, "texts",
         newTexts.select("k").withColumn("ver", lit(next)), nNewDistinct),
-      "postings" -> writeDelta("postings", newPost.select("k", "g"),
+      "postings" -> writeTable(next, "postings", newPost.select("k", "g"),
         nGramRows),
-      "capped" -> writeDelta("capped", newlyCapped, nNewlyCapped))
+      "capped" -> writeTable(next, "capped", newlyCapped, nNewlyCapped))
     store.writeAtomic(s"v$next/MANIFEST",
       counts.map { case (n, c) => s"$n=$c" }.mkString(","))
     manifests.remove(next)
     store.writeAtomic("CURRENT", s"$next $base")
     cps.foreach(_.unpersist())
+    // bounded maintenance, mirroring DedupState: once the reader's
+    // delta-union spans the threshold, squash. Runs AFTER the flip, so
+    // a crash mid-compact costs nothing (the next update retries it).
+    if (autoCompactEvery > 0 && next - base + 1 >= autoCompactEvery)
+      compact()
 
     UpdateReport(next, nBatchDocs, nNewDistinct, nGramRows, nNewlyCapped)
   }
@@ -189,11 +281,7 @@ final class ContamState(
       ("capped", capped(cur)))
     val counts = tables.map { case (name, df) =>
       val chk = df.cpInto(cps)
-      val n = chk.count()
-      if (n > 0)
-        chk.write.mode("overwrite")
-          .parquet(store.resolve(s"v$next/$name").toString)
-      name -> n
+      name -> writeTable(next, name, chk, chk.count())
     }
     store.writeAtomic(s"v$next/MANIFEST",
       counts.map { case (n, c) => s"$n=$c" }.mkString(","))

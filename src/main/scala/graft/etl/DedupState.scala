@@ -1,13 +1,29 @@
 package graft.etl
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.storage.Store
 
 object DedupState {
+
+  /** Physical-layout knobs. The key index partitions by the first two
+    * hex chars of the md5 digest (`kp`, 256 uniform values — the
+    * digest is computed by [[DedupState.update]] itself, so the value
+    * set is guaranteed hex); the band and pair indexes partition by a
+    * HASH bucket of `bkey` (`bp`), because `bkey` is caller-supplied
+    * (the injected banding function) and arbitrary strings make unsafe
+    * partition directory names where a bounded integer bucket is
+    * always clean. Both are deterministic functions of the join key,
+    * which is all pruning needs: a batch row can only match index rows
+    * in its own partition, so filtering the index scan to the batch's
+    * partition values is exact. */
+  private[etl] val BandBuckets = 256
+  private[etl] def keyPrefix(c: Column): Column = substring(c, 1, 2)
+  private[etl] def bandBucket(c: Column): Column =
+    pmod(xxhash64(c), lit(BandBuckets)).cast("int")
 
   /** Per-update accounting — the spec's cost-proportionality evidence.
     * `nBandRows` is the number of signature rows COMPUTED this update:
@@ -96,9 +112,12 @@ object DedupState {
   *   root/META               store invariants (banding cap)
   *   root/v{N}/MANIFEST      row counts per table (skip-empty reads)
   *   root/v{N}/members       (doc_id, k, ver)   batch docs → content key
-  *   root/v{N}/groups        (k, rid, ver)      new distinct content
-  *   root/v{N}/bands         (rid, bkey)        signatures of new reps
-  *   root/v{N}/pairs         (a, b, bkey)       new edges + provenance
+  *   root/v{N}/groups/kp=…   (k, rid, ver)      new distinct content,
+  *                                              partitioned by digest prefix
+  *   root/v{N}/bands/bp=…    (rid, bkey)        signatures of new reps,
+  *                                              partitioned by bkey bucket
+  *   root/v{N}/pairs/bp=…    (a, b, bkey)       new edges + provenance,
+  *                                              partitioned by bkey bucket
   *   root/v{N}/dropped       (bkey)             buckets newly over cap
   *   root/v{N}/labels        (rid, cluster, ver) new + relabeled reps
   * }}}
@@ -110,10 +129,16 @@ object DedupState {
   *
   * At 100 TB the narrow index frames (keys, bands, labels) are the
   * honest linear-size component: updates SCAN them (never re-derive
-  * them), and the scans are prunable — the band index by bucketing on
-  * a bkey prefix, the key index by digest-range partitioning. Locally
-  * they are plain Parquet; the scan-not-recompute structure is what the
-  * spec asserts.
+  * them), and the scans PRUNE — the key index is physically
+  * partitioned by digest prefix (`kp=` dirs, 256 uniform hex values)
+  * and the band/pair indexes by a bkey hash bucket (`bp=` dirs), and
+  * every corpus-sided join in [[update]] filters its index scan to the
+  * batch's partition values first, so a daily batch reads the
+  * partitions it touches, not the corpus (StatePartitionSpec asserts
+  * files-read ∝ touched partitions). The label frame is the one
+  * deliberate full read: the merge rewrite needs arbitrary members of
+  * changed clusters, and its per-endpoint lookups are semi-pruned to
+  * the batch's edge endpoints before joining.
   *
   * Single-writer contract: updates assume one writer per store root
   * (the engine ingest path is single-writer per root already); readers
@@ -189,15 +214,92 @@ final class DedupState(
   private def emptyFrame(schema: StructType): DataFrame =
     spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
 
-  /** Union of a table's per-version deltas over [base, upTo]. */
-  private def tableFrame(name: String, schema: StructType,
-                         upTo: Long): DataFrame = {
+  /** Physical partition column per table (directory-level, so index
+    * scans prune to a batch's partitions): the key index by digest
+    * prefix, the band/pair indexes by bkey hash bucket. `members` and
+    * `labels` stay flat — updates never probe members, and the label
+    * frame is read whole (the quotient fold needs arbitrary labels). */
+  private val partitionField: Map[String, (StructField, Column)] = Map(
+    "groups" -> ((StructField("kp", StringType), keyPrefix(col("k")))),
+    "bands" -> ((StructField("bp", IntegerType), bandBucket(col("bkey")))),
+    "pairs" -> ((StructField("bp", IntegerType), bandBucket(col("bkey")))))
+
+  /** Union of a table's per-version deltas over [base, upTo], WITH the
+    * table's partition column when it has one (each version dir is a
+    * partition-discovery base path, so `kp=`/`bp=` resolve across the
+    * whole delta union). */
+  private def diskFrame(name: String, schema: StructType,
+                        upTo: Long): DataFrame = {
+    val full = partitionField.get(name)
+      .map(f => StructType(schema.fields :+ f._1)).getOrElse(schema)
     val (_, base, _) = pointer
     val paths = (base to upTo)
       .filter(v => manifest(v).getOrElse(name, 0L) > 0)
       .map(v => store.resolve(s"v$v/$name").toString)
-    if (paths.isEmpty) emptyFrame(schema)
-    else spark.read.schema(schema).parquet(paths: _*)
+    if (paths.isEmpty) emptyFrame(full)
+    // one read per version dir, unioned: a single multi-path read
+    // trips partition discovery ("conflicting directory structures" —
+    // the version dirs share no partitioned base), while per-dir reads
+    // each discover their own kp=/bp= dirs and Catalyst pushes
+    // partition filters through the Union into every child scan
+    else paths.map(p => spark.read.schema(full).parquet(p))
+      .reduce(_.unionByName(_))
+  }
+
+  /** [[diskFrame]] with the partition column dropped — the logical
+    * schema every reader and the update math see. */
+  private def tableFrame(name: String, schema: StructType,
+                         upTo: Long): DataFrame = {
+    val df = diskFrame(name, schema, upTo)
+    partitionField.get(name).map(f => df.drop(f._1.name)).getOrElse(df)
+  }
+
+  // ---- pruned index scans (the update path's corpus-sided reads) ----
+  // Each returns the logical schema but filters the DISK frame on its
+  // partition column first, so the parquet scan's partitionFilters
+  // prune to the batch's partitions — the 100 TB contract: a daily
+  // batch reads the index partitions it touches, not the corpus.
+  // StatePartitionSpec asserts files-read ∝ touched partitions.
+
+  private[etl] def seenKeysTouching(prefixes: Seq[String],
+                                    upTo: Long): DataFrame =
+    diskFrame("groups", GroupsSchema, upTo)
+      .filter(col("kp").isin(prefixes: _*)).drop("kp")
+
+  private[etl] def bandsTouching(buckets: Seq[Int], upTo: Long): DataFrame =
+    diskFrame("bands", BandsSchema, upTo)
+      .filter(col("bp").isin(buckets: _*)).drop("bp")
+
+  private[etl] def pairsTouching(buckets: Seq[Int], upTo: Long): DataFrame =
+    diskFrame("pairs", PairsSchema, upTo)
+      .filter(col("bp").isin(buckets: _*)).drop("bp")
+
+  /** The distinct partition values of `c` over `df` — driver-side but
+    * BOUNDED by the partition-value domain (≤ 256), like the engine's
+    * other bounded-bucket collects. */
+  private def partitionValues[T](df: DataFrame, c: Column): Seq[T] =
+    df.select(c.as("p")).distinct().collect()
+      .toSeq.map(_.getAs[T]("p"))
+
+  /** Write one table of version `next`: partitioned tables gain their
+    * partition column and repartition BY it first, so each of the
+    * ≤ 256 partition dirs lands as one file per delta instead of one
+    * per writing task (a delta's file count stays ∝ its partition
+    * count, not the writer's parallelism). */
+  private def writeTable(next: Long, name: String, df: DataFrame,
+                         n: Long): Long = {
+    if (n > 0) {
+      val target = store.resolve(s"v$next/$name").toString
+      partitionField.get(name) match {
+        case Some((f, expr)) =>
+          df.withColumn(f.name, expr)
+            .repartition(col(f.name))
+            .write.mode("overwrite").partitionBy(f.name).parquet(target)
+        case None =>
+          df.write.mode("overwrite").parquet(target)
+      }
+    }
+    n
   }
 
   // ---- readers -------------------------------------------------------
@@ -287,9 +389,13 @@ final class DedupState(
       .agg(min("doc_id").as("rid"), min("text").as("text"))
       .cpInto(cps)
     val nBatchDistinct = batchGroups.count()
-    // one anti-join against the persisted key index finds new content
+    // one anti-join against the persisted key index finds new content;
+    // the index scan prunes to the batch's digest-prefix partitions
+    val batchPrefixes =
+      partitionValues[String](batchGroups, keyPrefix(col("k")))
     val newGroups = batchGroups
-      .join(seenKeys(cur).select("k"), Seq("k"), "left_anti")
+      .join(seenKeysTouching(batchPrefixes, cur).select("k"),
+        Seq("k"), "left_anti")
       .cpInto(cps)
     val nNewDistinct = newGroups.count()
 
@@ -300,10 +406,12 @@ final class DedupState(
       .cpInto(cps)
     val nBandRows = newBands.count()
 
-    // old members of the touched buckets: semi-join prunes the band
-    // index to the batch's buckets before anything pairs
-    val touched = newBands.select("bkey").distinct()
-    val oldTouched = bands(cur)
+    // old members of the touched buckets: the band-index scan prunes
+    // to the touched bkey-bucket partitions, then the semi-join prunes
+    // to the exact buckets before anything pairs
+    val touched = newBands.select("bkey").distinct().cpInto(cps)
+    val touchedBuckets = partitionValues[Int](touched, bandBucket(col("bkey")))
+    val oldTouched = bandsTouching(touchedBuckets, cur)
       .join(touched, Seq("bkey"), "left_semi")
       .cpInto(cps)
 
@@ -341,9 +449,12 @@ final class DedupState(
     val curLabels = labels(cur).cpInto(cps)
 
     // ---- retroactive cap: recompute components that lose edges ----
+    // the pair-index scan prunes to the dying buckets' partitions
     val removed =
       if (nDroppedBuckets == 0) emptyFrame(PairsSchema).select("a", "b")
-      else pairs(cur).join(newlyDropped, Seq("bkey"), "left_semi")
+      else pairsTouching(
+          partitionValues[Int](newlyDropped, bandBucket(col("bkey"))), cur)
+        .join(newlyDropped, Seq("bkey"), "left_semi")
         .select("a", "b").distinct().cpInto(cps)
     val (labelsAfterRemoval, removalMembers) =
       if (nDroppedBuckets == 0 || removed.isEmpty) (curLabels, None)
@@ -376,9 +487,18 @@ final class DedupState(
       }
 
     // ---- additions: CC on the quotient graph ----
-    val la = labelsAfterRemoval.select(col("rid").as("a"),
+    // label lookups only ever hit the new edges' endpoints: semi-prune
+    // the (corpus-sized) label frame to them first, so the la/lb
+    // left-outer joins run against a batch-sized (broadcastable) side
+    // instead of shuffling the full label frame twice
+    val endpointRids = newEdges.select(col("a").as("rid"))
+      .unionByName(newEdges.select(col("b").as("rid"))).distinct()
+    val endpointLabels = labelsAfterRemoval
+      .join(endpointRids, Seq("rid"), "left_semi")
+      .cpInto(cps)
+    val la = endpointLabels.select(col("rid").as("a"),
       col("cluster").as("la"))
-    val lb = labelsAfterRemoval.select(col("rid").as("b"),
+    val lb = endpointLabels.select(col("rid").as("b"),
       col("cluster").as("lb"))
     val quotEdges0 = newEdges
       .join(la, Seq("a"), "left_outer")
@@ -435,12 +555,8 @@ final class DedupState(
 
     // ---- persist: data dirs → MANIFEST → CURRENT (atomic flip) ----
     val base = pointer._2
-    def writeDelta(name: String, df: DataFrame, n: Long): Long = {
-      if (n > 0)
-        df.write.mode("overwrite")
-          .parquet(store.resolve(s"v$next/$name").toString)
-      n
-    }
+    def writeDelta(name: String, df: DataFrame, n: Long): Long =
+      writeTable(next, name, df, n)
     val counts = Seq(
       "members" -> writeDelta("members",
         batchMembers.withColumn("ver", lit(next)), nBatchDocs),
@@ -490,11 +606,7 @@ final class DedupState(
       ("dropped", dropped(cur)), ("labels", resolved))
     val counts = tables.map { case (name, df) =>
       val chk = df.cpInto(cps)
-      val n = chk.count()
-      if (n > 0)
-        chk.write.mode("overwrite")
-          .parquet(store.resolve(s"v$next/$name").toString)
-      name -> n
+      name -> writeTable(next, name, chk, chk.count())
     }
     store.writeAtomic(s"v$next/MANIFEST",
       counts.map { case (n, c) => s"$n=$c" }.mkString(","))
