@@ -18,8 +18,15 @@ import org.apache.spark.sql.SparkSession
   *      made per-query numbers non-comparable round-over-round.
   *   3. WARMUP — one untimed pass per query (JIT + file cache: the
   *      steady state a long-lived cluster actually runs at).
-  *   4. TIMED — one timed pass; a failing query records `-1` in
-  *      `queries` AND its message in `errors` (never a silent time).
+  *   4. TIMED — THREE timed passes per query, reporting the MEDIAN: a
+  *      one-sample protocol made per-query lines swing up to 13× with
+  *      external host load (BENCH_r12 adjudication), which defeats the
+  *      round-over-round comparison the bench exists for. The median of
+  *      three absorbs a single loaded pass; the JSON also records the
+  *      host's 1-minute `loadavg` at start and end so a residually
+  *      noisy line can be read against the machine's state. A failing
+  *      query records `-1` in `queries` AND its message in `errors`
+  *      (never a silent time).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -68,14 +75,29 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
-    // ---- phase 3: timed ----
-    val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(e.toString.take(300)) }
-      val sec = if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0
-      (name, sec, err)
+    // ---- phase 3: timed — median of 3 PASS-MAJOR sweeps ----
+    // Pass-major (sweep all queries, three times) rather than
+    // query-major: a host-load spike then hits each query in at most
+    // one of its three samples, and the median discards it.
+    def loadavg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadavg
+    val samples = (1 to 3).map { _ =>
+      queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable => Some(e.toString.take(300)) }
+        val sec = if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0
+        (name, sec, err)
+      }
+    }
+    val loadEnd = loadavg
+    val results = queries.map { case (name, _) =>
+      val runs = samples.map(_.find(_._1 == name).get)
+      val ok = runs.map(_._2).filter(_ >= 0).sorted
+      val sec = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+      (name, sec, runs.flatMap(_._3).headOption)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -92,7 +114,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""memo_build":$memoSec,""" +
+      s""""memo_build":$memoSec,"passes":3,""" +
+      s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
       s""""queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
