@@ -1378,6 +1378,7 @@ class Btrdb(val spark: SparkSession, val root: String,
       // the quantile histogram holds the stream's VALUE DISTRIBUTION —
       // obliterate's removal contract covers it exactly like the point
       // log and the stat rollup
+      ensureQhistLayout()
       val (qDf, releaseQ) = checkpointReleasable(
         spark.read.parquet(path("qhist"))
           .filter(col("sbucket").isin(buckets: _*)))
@@ -2470,6 +2471,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     // like the stat path. Same crash-safety: covered by the shared
     // pyramid watermark stamped after this call.
     quantileLevel.foreach { q =>
+      ensureQhistLayout()
       val qcols = Seq("sid", "wstart", "c", "cnt")
       val qFresh = (foldQhist match {
           case Some(p) => p
@@ -2566,6 +2568,34 @@ class Btrdb(val spark: SparkSession, val root: String,
       release()
     }
     store.writeAtomic("pyramid/_layout", PyramidLayoutVersion)
+  }
+
+  /** Quantile-histogram layout generation, stamped at `qhist/_layout`
+    * (underscore prefix — invisible to parquet listings) — the same
+    * mixed-generation guard the stat pyramid carries
+    * ([[ensurePyramidLayout]]). "1" = the original (sid, wstart, c,
+    * cnt) + sbucket/wbucket layout. Any future histogram schema change
+    * MUST bump this and add its normalize-and-rewrite migration in
+    * [[ensureQhistLayout]] BEFORE changing the write path, so
+    * current-layout files never land beside legacy ones (single-footer
+    * schema inference cannot represent a mixed table — the exact
+    * failure ensurePyramidLayout exists to prevent). */
+  private val QhistLayoutVersion = "1"
+
+  /** Called before ANY qhist write. "1" is the first generation, so an
+    * unstamped existing table IS generation 1 and migration is the
+    * stamp alone; a table stamped with a DIFFERENT generation (a root
+    * written by newer code) fails loudly rather than letting this
+    * build append its layout into it. */
+  private def ensureQhistLayout(): Unit = {
+    store.readString("qhist/_layout") match {
+      case Some(v) if v.trim == QhistLayoutVersion => ()
+      case Some(v) => throw new IllegalStateException(
+        s"qhist at ${path("qhist")} has layout generation '${v.trim}'; " +
+          s"this build writes generation '$QhistLayoutVersion' — " +
+          "refusing to mix layouts in one table")
+      case None => store.writeAtomic("qhist/_layout", QhistLayoutVersion)
+    }
   }
 
   /** Pyramid reader normalizing rollup rows written before the `ccnt`

@@ -180,10 +180,16 @@ final class ContamState(
     if (n > 0) {
       val target = store.resolve(s"v$next/$name").toString
       partitionField.get(name) match {
-        case Some((f, expr)) =>
+        case Some((f, expr)) if n >= DedupState.PartitionMinRows =>
           df.withColumn(f.name, expr)
             .repartition(col(f.name))
             .write.mode("overwrite").partitionBy(f.name).parquet(target)
+        case Some((f, expr)) =>
+          // batch-sized delta: ONE flat file with the partition column
+          // as data (see [[DedupState.PartitionMinRows]]) — the pruned
+          // readers' filter applies to the data column identically
+          df.withColumn(f.name, expr).coalesce(1)
+            .write.mode("overwrite").parquet(target)
         case None =>
           df.write.mode("overwrite").parquet(target)
       }

@@ -25,6 +25,17 @@ object DedupState {
   private[etl] def bandBucket(c: Column): Column =
     pmod(xxhash64(c), lit(BandBuckets)).cast("int")
 
+  /** Writes at or above this row count land physically partitioned;
+    * smaller deltas write ONE flat file carrying the partition column
+    * as data (the LSM shape: partitioned base, flat batch-sized
+    * deltas). Fanning a 500-row micro-batch delta into 256 near-empty
+    * partition dirs is the small-files failure mode — measured 4.5×
+    * on the 100× fresh-fold probe — while reading a flat batch-sized
+    * delta whole is ∝ batch by definition. The corpus-sized tables
+    * (init builds, compacted snapshots) cross the threshold and land
+    * partitioned, which is where pruning pays. */
+  private[etl] val PartitionMinRows = 8192L
+
   /** Per-update accounting — the spec's cost-proportionality evidence.
     * `nBandRows` is the number of signature rows COMPUTED this update:
     * it must track the batch's new distinct content, never the corpus
@@ -291,10 +302,16 @@ final class DedupState(
     if (n > 0) {
       val target = store.resolve(s"v$next/$name").toString
       partitionField.get(name) match {
-        case Some((f, expr)) =>
+        case Some((f, expr)) if n >= DedupState.PartitionMinRows =>
           df.withColumn(f.name, expr)
             .repartition(col(f.name))
             .write.mode("overwrite").partitionBy(f.name).parquet(target)
+        case Some((f, expr)) =>
+          // batch-sized delta: ONE flat file with the partition column
+          // as data (see [[DedupState.PartitionMinRows]]) — the pruned
+          // readers' filter applies to the data column identically
+          df.withColumn(f.name, expr).coalesce(1)
+            .write.mode("overwrite").parquet(target)
         case None =>
           df.write.mode("overwrite").parquet(target)
       }

@@ -639,4 +639,35 @@ class PyramidSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w.getAs[Long]("cnt") == 256L && w.getAs[Double]("p50") == 2.0)
     db.close()
   }
+  test("qhist layout stamp: legacy roots stamp on first write, foreign generations refuse") {
+    import org.apache.spark.sql.functions.col
+    val db = mkQDb()
+    val uuid = "u-qstamp"
+    db.createStream(uuid, "pyr/qstamp", Map("t" -> "q"))
+    insertPts(db, uuid, (0L until 256L).map(t => (t, (t % 16).toDouble)))
+    db.flush(uuid)
+    val stamp = Paths.get(s"${db.root}/qhist/_layout".stripPrefix("file:"))
+    assert(Files.exists(stamp), "first qhist write must stamp the layout")
+    // a pre-stamp root (same generation, written before the marker
+    // existed): delete the stamp — the next maintenance re-stamps and
+    // the histogram keeps serving the same answers
+    Files.delete(stamp)
+    insertPts(db, uuid, (0L until 256L).map(t => (t, t % 16 + 0.25)))
+    db.flush(uuid)
+    assert(Files.exists(stamp), "maintenance must restore the stamp")
+    val rows = db.quantileWindows(uuid, 0L, 512L, 8).collect()
+    assert(rows.length == 1 && rows(0).getAs[Long]("cnt") == 512L)
+    assert(rows(0).getAs[Double]("p50") == (7.25 + 8.0) / 2)
+    // a root stamped by a FUTURE generation must refuse to mix rather
+    // than append this build's files into it (single-footer schema
+    // inference cannot represent a mixed table)
+    // (drop the local-FS checksum sidecar — this raw write simulates a
+    // stamp written by other code, not a corruption)
+    Files.deleteIfExists(stamp.getParent.resolve("._layout.crc"))
+    Files.write(stamp, "99".getBytes("UTF-8"))
+    insertPts(db, uuid, Seq((5L, 1.0)))
+    val e = intercept[IllegalStateException](db.flush(uuid))
+    assert(e.getMessage.contains("layout generation"))
+    db.close()
+  }
 }

@@ -80,6 +80,14 @@ class StatePartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
 
+  /** A corpus big enough to cross [[DedupState.PartitionMinRows]], so
+    * its init build lands physically partitioned (distinct synthetic
+    * texts: doc_id digest strings). */
+  private def bigDocs(n: Long): DataFrame =
+    spark.range(0, n).select(col("id").as("doc_id"),
+      concat(md5(col("id").cast("string")),
+        md5((col("id") + 1000000L).cast("string"))).as("text"))
+
   private def partDirs(root: java.nio.file.Path, rel: String,
                        prefix: String): Seq[String] = {
     val d = root.resolve(rel).toFile
@@ -87,36 +95,42 @@ class StatePartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     else d.listFiles().toSeq.map(_.getName).filter(_.startsWith(prefix))
   }
 
-  test("DedupState deltas land partitioned: kp= key dirs, bp= band/pair dirs") {
+  test("corpus-sized writes land partitioned; batch-sized deltas stay flat") {
     val root = tmpRoot("statepart-layout-")
     val st = new DedupState(spark, root.toString, prefixBands)
-    val d = fixtureDocs.localCheckpoint()
-    st.update(d.filter(col("doc_id") % 2 === 0))
-    st.update(d.filter(col("doc_id") % 2 === 1))
+    st.update(bigDocs(12000).localCheckpoint()) // > PartitionMinRows
+    st.update(bigDocs(12050).filter(col("doc_id") >= 12000)
+      .localCheckpoint()) // 50-row delta
 
     val kpDirs = partDirs(root, "v1/groups", "kp=")
     val bpDirs = partDirs(root, "v1/bands", "bp=")
-    val ppDirs = partDirs(root, "v1/pairs", "bp=")
-    assert(kpDirs.size > 30,
-      s"expected many digest-prefix dirs, got ${kpDirs.size}")
-    assert(bpDirs.nonEmpty && ppDirs.nonEmpty)
+    assert(kpDirs.size > 200,
+      s"expected ~256 digest-prefix dirs, got ${kpDirs.size}")
+    assert(bpDirs.nonEmpty)
     // one file per partition dir per delta (repartition-by-partition-
     // column before write), not one per writer task
     val filesInFirst = root.resolve(s"v1/groups/${kpDirs.head}").toFile
       .listFiles().count(_.getName.endsWith(".parquet"))
     assert(filesInFirst === 1)
+    // the small delta wrote ONE flat file, not 256 near-empty dirs
+    // (the 100x fresh-fold probe measured that fan-out at 4.5x)
+    assert(partDirs(root, "v2/groups", "kp=").isEmpty)
+    val v2Files = root.resolve("v2/groups").toFile
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(v2Files === 1)
 
     // the reader sees the logical schema (partition column dropped)
+    // across the mixed partitioned+flat history
     assert(st.seenKeys().columns.toSeq === Seq("k", "rid", "ver"))
     assert(st.bands().columns.toSeq === Seq("rid", "bkey"))
+    assert(st.seenKeys().count() === 12050L)
   }
 
   test("DedupState pruned scans read only the touched partitions, exactly") {
     val root = tmpRoot("statepart-prune-")
     val st = new DedupState(spark, root.toString, prefixBands)
-    val d = fixtureDocs.localCheckpoint()
-    st.update(d.filter(col("doc_id") % 2 === 0))
-    st.update(d.filter(col("doc_id") % 2 === 1))
+    st.update(bigDocs(12000).localCheckpoint())
+    st.update(bigDocs(24000).filter(col("doc_id") >= 12000).localCheckpoint())
     val cur = st.currentVersion
 
     // --- key index: one digest prefix out of ~256 ---
@@ -125,8 +139,8 @@ class StatePartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getString(0)
     val pruned = st.seenKeysTouching(Seq(somePrefix), cur)
     val (kRead, kTotal) = filesReadVsTotal(pruned)
-    assert(kTotal > 60, s"layout degenerate: only $kTotal key files")
-    assert(kRead <= 2L, // ≤ 1 file per delta for one prefix
+    assert(kTotal > 400, s"layout degenerate: only $kTotal key files")
+    assert(kRead <= 2L, // ≤ 1 file per partitioned delta for one prefix
       s"key scan read $kRead of $kTotal files for one prefix")
     assert(scans(pruned).forall(_.partitionFilters.nonEmpty),
       "key-index scan carries no partition filters")
@@ -162,13 +176,14 @@ class StatePartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
         .select(col("k"), expr("substring(text, p, 8)").as("g"))
         .distinct()
     val st = new ContamState(spark, root.toString, grams, dfCap = 64L)
-    val d = fixtureDocs.localCheckpoint()
-    st.update(d.filter(col("doc_id") % 2 === 0))
-    st.update(d.filter(col("doc_id") % 2 === 1))
+    st.update(bigDocs(9000).localCheckpoint())
+    st.update(bigDocs(9050).filter(col("doc_id") >= 9000).localCheckpoint())
     val cur = st.currentVersion
 
-    assert(partDirs(root, "v1/texts", "kp=").size > 30)
+    assert(partDirs(root, "v1/texts", "kp=").size > 200)
     assert(partDirs(root, "v1/postings", "gp=").size > 30)
+    // the small second delta stayed flat
+    assert(partDirs(root, "v2/texts", "kp=").isEmpty)
 
     val allBuckets = st.postings()
       .select(ContamState.gramBucket(col("g")).as("gp")).distinct()
@@ -177,9 +192,13 @@ class StatePartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pruned = st.postingsTouching(some, cur)
     val (read, total) = filesReadVsTotal(pruned)
     assert(total > 30, s"layout degenerate: only $total posting files")
-    assert(read <= 2L * some.size,
+    // <= 1 partitioned file per bucket + the one flat delta file
+    assert(read <= some.size + 1L,
       s"postings scan read $read of $total files for ${some.size} buckets")
-    assert(scans(pruned).forall(_.partitionFilters.nonEmpty))
+    // every PARTITIONED scan prunes at the directory level; the flat
+    // batch-sized delta carries the same predicate as a data filter
+    assert(scans(pruned).filter(_.relation.partitionSchema.nonEmpty)
+      .forall(_.partitionFilters.nonEmpty))
     val expect = st.postings()
       .filter(ContamState.gramBucket(col("g")).isin(some: _*)).count()
     assert(pruned.count() === expect)
