@@ -1896,15 +1896,34 @@ class Btrdb(val spark: SparkSession, val root: String,
     * inactive and the capped branch activates without accumulating).
     * Served from the deepest pyramid level <= c when the rollup is
     * current (rollup rows compose exactly into 2^c buckets), else
-    * recomputed from raw points — identical results either way. */
+    * recomputed from raw points — identical results either way.
+    *
+    * `strictFinalWindow` opts into the reference's final-window
+    * suppression ([[StatOps.strictDropsFinal]] — the post-advance Done
+    * quirk) for byte-for-byte migration diffs; the default emits every
+    * window of the truncated range uniformly. The probe reads the
+    * merge-on-read view, so it is version- and staging-correct. */
   def windows(uuid: String, start: Long, end: Long, width: Long,
               version: Long = TimeConsts.LatestGeneration,
-              depth: Int = 0): DataFrame = {
+              depth: Int = 0,
+              strictFinalWindow: Boolean = false): DataFrame = {
     val e = TimeOps.truncateEnd(start, end, width)
-    val n = (e - start) / width
     val sid = sidOf(uuid)
     val c = if (depth <= 0) 0 else StatOps.depthBucketPw(depth)
     val u = 1L << c
+    val n0 = (e - start) / width
+    val n =
+      if (strictFinalWindow && StatOps.strictDropsFinal(start, end, width,
+          depth, { b =>
+            // depth 0: ANY point at or past the boundary protects (the
+            // reference's leaf walk crosses boundaries up to the whole
+            // tree's extent, not just the query range)
+            val (plo, phi) =
+              if (depth <= 0) (b, TimeConsts.MaximumTime) else (b - u, b)
+            !readable(uuid, version, plo, phi).isEmpty
+          }))
+        n0 - 1
+      else n0
     // depth-capped scan bounds: skip the dropped straddler bucket and
     // keep the last contributing bucket's tail past `e`
     val (lo, hi) =

@@ -101,10 +101,16 @@ object StatOps {
     * window count depends only on the query range, not the data size.
     */
   def windows(points: DataFrame, sid: Long, start: Long, end: Long,
-              width: Long): DataFrame = {
+              width: Long, strictFinalWindow: Boolean = false): DataFrame = {
     val spark = points.sparkSession
     val e = TimeOps.truncateEnd(start, end, width)
-    val n = (e - start) / width
+    val n0 = (e - start) / width
+    val n =
+      if (strictFinalWindow && strictDropsFinal(start, end, width, 0,
+          b => !points.filter(col("sid") === sid && col("time") >= b)
+            .isEmpty))
+        n0 - 1
+      else n0
     val agg = points
       .filter(col("sid") === sid && col("time") >= start && col("time") < e)
       .groupBy(TimeOps.windowIndex(col("time"), start, width).as("i"))
@@ -130,6 +136,50 @@ object StatOps {
   def depthBucketPw(depth: Int): Int =
     BucketLadder.find(_ < depth).getOrElse(0)
 
+  /** STRICT-REFERENCE final-window rule, shared by the depth-capped
+    * closed form and the engine's Windows surface: the reference's
+    * core walk checks Done AFTER advancing the boundary in its hole
+    * and capped-straddle paths (/root/reference/qtree/qtree.go:
+    * 1135-1137, 1167-1170) but BEFORE advancing in its exact-fit and
+    * leaf paths — so with an ALIGNED end, the walk terminates upon
+    * emitting the second-to-last window via a hole or capped straddle
+    * and the final window is never emitted. The final window survives
+    * only when the boundary `B = e - width` is crossed by the
+    * pre-advance machinery:
+    *
+    *   - depth > 0: a NON-EMPTY attribution tile ends exactly at `B`
+    *     (requires `B` tile-aligned and `u <= width` — a wider tile
+    *     straddles an earlier boundary and is consumed there) and that
+    *     tile is not the dropped start straddler (`start < B - u`).
+    *     Any tile at or past `B` is preceded by the hole loop crossing
+    *     `B` first, which suppresses.
+    *   - depth = 0: any point with `time >= B` exists — the leaf loop
+    *     emits every boundary up to that point's window pre-advance
+    *     (qtree.go:1206-1217), protecting the final window; with no
+    *     such point the trailing core hole crosses `B` post-advance.
+    *
+    * `tileEndsAtOrPastB` answers "does the protecting datum exist" for
+    * the caller's data source (a pushed-filter limit-1 probe).
+    * Validated against the strict literal-walk simulation in
+    * WindowsDepthSpec. Non-aligned ends and n <= 1 never suppress
+    * (Done then first fires at or after the final window's own
+    * emission). */
+  def strictDropsFinal(start: Long, end: Long, width: Long, depth: Int,
+                       protectingDatum: Long => Boolean): Boolean = {
+    val e = TimeOps.truncateEnd(start, end, width)
+    val n = (e - start) / width
+    if (n < 2 || (end - start) % width != 0) return false
+    val b = e - width
+    val protected_ =
+      if (depth <= 0) protectingDatum(b)
+      else {
+        val u = 1L << depthBucketPw(depth)
+        u <= width && Math.floorMod(b, u) == 0 && start < b - u &&
+          protectingDatum(b)
+      }
+    !protected_
+  }
+
   /** Windows with the reference's depth cap — EXACT semantics of the
     * sequential walk in /root/reference/qtree/qtree.go:1064-1176, not an
     * approximation. Below the cap the walk cannot split tree buckets;
@@ -152,14 +202,17 @@ object StatOps {
     *     the final window keeps a straddling bucket's tail past `end`
     *     (whole-bucket attribution), all exactly as at depth 0.
     *
-    * One DELIBERATE divergence: the reference's hole/straddle paths
-    * check Done AFTER advancing the boundary (qtree.go:1135-1137,
+    * One DELIBERATE default divergence: the reference's hole/straddle
+    * paths check Done AFTER advancing the boundary (qtree.go:1135-1137,
     * 1167-1170) while its leaf path checks before — so the reference
     * suppresses the final window whenever the second-to-last closes
     * via a hole or a capped straddle, contradicting its own "holes
     * emitted as blank records" contract (qtree.go:1063-1065). We emit
     * every window of the truncated range uniformly (SURVEY "Known
-    * divergences").
+    * divergences"); `strictFinalWindow = true` reproduces the
+    * reference's suppression byte-for-byte ([[strictDropsFinal]] — one
+    * extra limit-1 probe scan) so a migration diff against a live
+    * reference cluster comes back clean.
     *
     * Counts are exact, boundaries approximate — the trade the reference
     * makes so a depth-capped query reads O(windows) rollup rows instead
@@ -169,13 +222,21 @@ object StatOps {
     * aggregate, identical in shape to depth 0.
     */
   def windowsDepth(points: DataFrame, sid: Long, start: Long, end: Long,
-                   width: Long, depth: Int): DataFrame = {
-    if (depth <= 0) return windows(points, sid, start, end, width)
+                   width: Long, depth: Int,
+                   strictFinalWindow: Boolean = false): DataFrame = {
+    if (depth <= 0)
+      return windows(points, sid, start, end, width, strictFinalWindow)
     val spark = points.sparkSession
     val e = TimeOps.truncateEnd(start, end, width)
-    val n = (e - start) / width
     val c = depthBucketPw(depth)
     val u = 1L << c
+    val n0 = (e - start) / width
+    val n =
+      if (strictFinalWindow && strictDropsFinal(start, end, width, depth,
+          b => !points.filter(col("sid") === sid &&
+            col("time") >= b - u && col("time") < b).isEmpty))
+        n0 - 1
+      else n0
     val lo = TimeOps.alignDown(start, c) + u  // first kept bucket
     val hi = TimeOps.alignDown(e - 1, c) + u  // end of last kept bucket
     val agg = points
