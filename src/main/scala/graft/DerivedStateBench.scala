@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the generic derived-content store
+  * ([[graft.etl.DerivedState]]): for the heaviest memo family (the
+  * unigram word table) and a trained family (SQ8 codes), measure
+  *
+  *   1. `*_init_sec` — one-shot feed of the whole corpus (the cost the
+  *      store exists to never pay twice; for SQ8 this includes the
+  *      scale training), and
+  *   2. `*_fold_sec` — folding a fresh ~1% batch in incrementally.
+  *
+  * The claim under test is fold cost ∝ batch: at the 100× replica the
+  * fold stays near the 1× figure while the corpus-sided key index has
+  * grown 100× (it is scanned bucket-pruned, never re-derived). Prints
+  * ONE JSON line. Usage:
+  * {{{
+  *   SPARK_GRAFT_SF_DIR=/tmp/sf001x100 sbt "runMain graft.DerivedStateBench"
+  * }}}
+  */
+object DerivedStateBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def freshRoot() = java.nio.file.Files
+      .createTempDirectory("derived-state-bench-").toString
+
+    // ---- word table over documents ----
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("k"),
+        col("text")).localCheckpoint()
+    val batch = docs.filter(col("doc_id") % 101 === 0).localCheckpoint()
+    val corpus = docs.filter(col("doc_id") % 101 =!= 0).localCheckpoint()
+    val fresh = batch.select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(lit("edited crawl revision: "), col("text")).as("text"))
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("k"),
+        col("text")).localCheckpoint()
+    val wordDerive: (DataFrame, DataFrame) => DataFrame = (rows, _) =>
+      rows.select(col("k"),
+          explode(expr("filter(split(text, ' '), x -> length(x) > 0)"))
+            .as("word"))
+        .groupBy("k", "word").agg(count(lit(1)).as("c"))
+    // warmup: JIT + file cache on a throwaway store
+    new graft.etl.DerivedState(spark, freshRoot(), "words", "k", wordDerive)
+      .update(batch)
+    val wst = new graft.etl.DerivedState(spark, freshRoot(), "words", "k",
+      wordDerive)
+    val (_, wInit) = timed(wst.update(corpus))
+    val (wRep, wFold) = timed(wst.update(fresh))
+
+    // ---- SQ8 codes over embeddings (trained family) ----
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val eBatch = emb.filter(col("vec_id") % 101 === 0).localCheckpoint()
+    val eCorpus = emb.filter(col("vec_id") % 101 =!= 0).localCheckpoint()
+    val sc: DataFrame => DataFrame = e => e
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "f")))
+      .select(col("vec_id"), col("i"), col("f").cast("double").as("v"))
+    val trainer: DataFrame => DataFrame = c =>
+      sc(c).agg(max(abs(col("v"))).as("gmax"))
+    val sq8Derive: (DataFrame, DataFrame) => DataFrame = (rows, gm) =>
+      sc(rows).crossJoin(broadcast(gm))
+        .select(col("vec_id"), col("i"),
+          round(col("v") * 127 / col("gmax"), 0).cast("long").as("q"))
+    val sst = new graft.etl.DerivedState(spark, freshRoot(), "sq8",
+      "vec_id", sq8Derive, Some(trainer))
+    val (_, sInit) = timed { sst.train(eCorpus); sst.update(eCorpus) }
+    val (sRep, sFold) = timed(sst.update(eBatch))
+
+    println(s"""{"metric":"derived_state","word_init_sec":$wInit,""" +
+      s""""word_fold_sec":$wFold,""" +
+      s""""word_fold_new_keys":${wRep.nNewKeys},""" +
+      s""""word_fold_rows":${wRep.nDerivedRows},""" +
+      s""""sq8_init_sec":$sInit,"sq8_fold_sec":$sFold,""" +
+      s""""sq8_fold_new_keys":${sRep.nNewKeys},""" +
+      s""""sq8_fold_rows":${sRep.nDerivedRows},""" +
+      s""""corpus_docs":${corpus.count()},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

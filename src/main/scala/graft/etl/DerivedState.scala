@@ -1,0 +1,328 @@
+package graft.etl
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, IntegerType, StructField, StructType}
+
+import graft.storage.Store
+
+object DerivedState {
+
+  /** Per-update accounting: derivation work must track the batch's NEW
+    * keys, never the corpus. */
+  final case class UpdateReport(
+      version: Long,
+      nBatchRows: Long,
+      nNewKeys: Long,
+      nDerivedRows: Long)
+
+  /** Key index hash-bucket fan-out (works for string digests and long
+    * vec ids alike — see [[DedupState.bandBucket]] for why hash
+    * buckets beat raw-value partition dirs for caller-typed keys). */
+  private[etl] val KeyBuckets = 256
+  private[etl] def keyBucket(c: Column): Column =
+    pmod(xxhash64(c), lit(KeyBuckets)).cast("int")
+}
+
+/** Versioned, persisted DERIVED-CONTENT store — the third (and
+  * generic) application of the [[DedupState]] pattern (parquet deltas
+  * under an atomic CURRENT pointer, update cost ∝ the batch), covering
+  * every memo family that is a PURE FUNCTION of per-key content:
+  * word/trigram tables, language predictions, SQ8 codes, k-means
+  * assignments. A daily crawl appends its new keys' derived rows; the
+  * corpus's existing rows are never recomputed.
+  *
+  *   - `deriveOf(newRows, artifacts)` maps the batch's genuinely-new
+  *     keyed rows to their derived rows (one anti-join against the
+  *     persisted key index decides newness, pruned to the batch's
+  *     key-bucket partitions exactly as in DedupState);
+  *   - `trainOf` (optional) produces the TRAINED ARTIFACTS the
+  *     derivation depends on — language-ID profiles, a quantizer's
+  *     scale, k-means centroids. Artifacts train on an explicit
+  *     cadence via [[train]], which RESETS the derived state: rows
+  *     derived under the old artifacts are invalid by definition, so a
+  *     retrain drops them and the caller re-feeds content (this is
+  *     exactly how a production quantizer/classifier retrains — a new
+  *     index generation, not an in-place patch). Between retrains,
+  *     derivation against the FROZEN artifacts is a pure per-key
+  *     function, so any batch schedule lands on the same store as a
+  *     one-shot build (DerivedStateSpec proves schedule invariance).
+  *   - pure-append families pass no `trainOf` and never train;
+  *     `deriveOf` receives an empty artifact frame.
+  *
+  * `fingerprint` names the derivation (function + its constants) and
+  * persists in META: reopening a store with a different derivation
+  * would silently fork row semantics, so a mismatch throws — the
+  * [[DedupState]] bucket-cap argument.
+  *
+  * Storage layout (all via [[Store]], same crash-safety contract):
+  * {{{
+  *   root/CURRENT              "cur base" — pointer (atomic)
+  *   root/META                 fingerprint
+  *   root/schema/{keys,derived}.json   frame schemas (empty-read support)
+  *   root/v{N}/MANIFEST        row counts per table
+  *   root/v{N}/keys[/kb=…]     (key, ver)    new keys, hash-bucketed
+  *   root/v{N}/derived         caller schema  new keys' derived rows
+  *   root/v{N}/artifacts       caller schema  only at train versions
+  * }}}
+  * Keys follow the [[DedupState.PartitionMinRows]] rule: corpus-sized
+  * writes (train, compact) land partitioned for the pruned anti-join,
+  * batch-sized deltas stay flat. Derived deltas are never probed by
+  * updates (pure append), so they stay flat at any size. A crash
+  * before the CURRENT flip leaves an invisible orphan dir; the retried
+  * call overwrites it. [[compact]] squashes deltas (carrying the
+  * artifacts forward) and bounds the reader's union width;
+  * `autoCompactEvery` runs it on the DedupState cadence.
+  *
+  * Single-writer per root; readers always resolve through the atomic
+  * pointer.
+  */
+final class DerivedState(
+    spark: SparkSession,
+    rootUri: String,
+    fingerprint: String,
+    keyCol: String,
+    deriveOf: (DataFrame, DataFrame) => DataFrame,
+    trainOf: Option[DataFrame => DataFrame] = None,
+    autoCompactEvery: Int = 0) {
+
+  require(autoCompactEvery >= 0, "autoCompactEvery must be >= 0 (0 = off)")
+
+  import DerivedState._
+  import DedupState.Tracked
+
+  private val store = new Store(rootUri, new Configuration())
+
+  private def pointer: (Long, Long) =
+    store.readString("CURRENT").map { s =>
+      val p = s.trim.split("\\s+")
+      (p(0).toLong, if (p.length > 1) p(1).toLong else 1L)
+    }.getOrElse((0L, 1L))
+
+  def currentVersion: Long = pointer._1
+
+  /** Number of version dirs a reader currently unions. */
+  def liveVersionSpan: Long = {
+    val (cur, base) = pointer
+    if (cur == 0) 0L else cur - base + 1
+  }
+
+  private def checkOrWriteMeta(): Unit = store.readString("META") match {
+    case Some(m) =>
+      require(m.trim == fingerprint.trim,
+        s"DerivedState at $rootUri was built by '${m.trim}', reopened by " +
+          s"'${fingerprint.trim}' — the derivation is a row-semantics " +
+          "invariant")
+    case None => store.writeAtomic("META", fingerprint.trim)
+  }
+
+  private val manifests =
+    scala.collection.mutable.Map.empty[Long, Map[String, Long]]
+  private def manifest(v: Long): Map[String, Long] =
+    manifests.getOrElseUpdate(v,
+      store.readString(s"v$v/MANIFEST").map(_.trim.split(",").collect {
+        case kv if kv.contains("=") =>
+          val Array(n, c) = kv.split("=", 2); n -> c.toLong
+      }.toMap).getOrElse(Map.empty))
+
+  // ---- schema persistence (dynamic caller schemas, empty-safe reads) --
+
+  private def rememberSchema(name: String, df: DataFrame): Unit =
+    if (!store.exists(s"schema/$name.json"))
+      store.writeAtomic(s"schema/$name.json", df.schema.json)
+
+  private def storedSchema(name: String): Option[StructType] =
+    store.readString(s"schema/$name.json")
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+
+  private def emptyFrame(schema: StructType): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+
+  private def tableUnion(name: String, upTo: Long,
+                         schema: StructType): DataFrame = {
+    val (_, base) = pointer
+    val paths = (base to upTo)
+      .filter(v => manifest(v).getOrElse(name, 0L) > 0)
+      .map(v => store.resolve(s"v$v/$name").toString)
+    if (paths.isEmpty) emptyFrame(schema)
+    else paths.map(p => spark.read.schema(schema).parquet(p))
+      .reduce(_.unionByName(_))
+  }
+
+  // ---- readers -------------------------------------------------------
+
+  /** Every key ever derived — (key, ver). */
+  def keys(upTo: Long = currentVersion): DataFrame = {
+    val schema = storedSchema("keys").getOrElse(
+      throw new IllegalStateException(s"empty DerivedState at $rootUri"))
+    tableUnion("keys", upTo, schema).drop("kb")
+  }
+
+  /** The derived table: one generation's rows for every key ever fed
+    * through [[train]]/[[update]]. */
+  def derived(upTo: Long = currentVersion): DataFrame = {
+    val schema = storedSchema("derived").getOrElse(
+      throw new IllegalStateException(s"empty DerivedState at $rootUri"))
+    tableUnion("derived", upTo, schema)
+  }
+
+  /** The current trained artifacts (at the base version — [[train]]
+    * resets the base). Empty 0-column frame when untrained. */
+  def artifacts(): DataFrame = {
+    val (_, base) = pointer
+    if (manifest(base).getOrElse("artifacts", 0L) > 0)
+      spark.read.parquet(store.resolve(s"v$base/artifacts").toString)
+    else spark.emptyDataFrame
+  }
+
+  /** Pruned key-index scan (the update path's corpus-sided read —
+    * StatePartitionSpec's files-read ∝ touched-partitions contract). */
+  private[etl] def keysTouching(buckets: Seq[Int], upTo: Long): DataFrame = {
+    val schema = storedSchema("keys") match {
+      case Some(sc) => sc
+      case None => return spark.emptyDataFrame
+    }
+    tableUnion("keys", upTo, schema)
+      .filter(col("kb").isin(buckets: _*)).drop("kb")
+  }
+
+  private def keysDiskSchema(keyed: DataFrame): StructType =
+    StructType(Seq(keyed.schema(keyCol), StructField("ver",
+      org.apache.spark.sql.types.LongType),
+      StructField("kb", IntegerType)))
+
+  private def writeKeys(next: Long, keyFrame: DataFrame, n: Long): Long = {
+    if (n > 0) {
+      val target = store.resolve(s"v$next/keys").toString
+      val withB = keyFrame.withColumn("kb", keyBucket(col(keyCol)))
+      rememberSchema("keys", withB)
+      if (n >= DedupState.PartitionMinRows)
+        withB.repartition(col("kb"))
+          .write.mode("overwrite").partitionBy("kb").parquet(target)
+      else withB.coalesce(1).write.mode("overwrite").parquet(target)
+    }
+    n
+  }
+
+  private def writeFlat(next: Long, name: String, df: DataFrame,
+                        n: Long): Long = {
+    if (n > 0) {
+      if (name == "derived") rememberSchema(name, df)
+      df.write.mode("overwrite")
+        .parquet(store.resolve(s"v$next/$name").toString)
+    }
+    n
+  }
+
+  private def finishVersion(next: Long, base: Long,
+                            counts: Seq[(String, Long)]): Unit = {
+    store.writeAtomic(s"v$next/MANIFEST",
+      counts.map { case (n, c) => s"$n=$c" }.mkString(","))
+    manifests.remove(next)
+    store.writeAtomic("CURRENT", s"$next $base")
+  }
+
+  // ---- train (artifact generation boundary) --------------------------
+
+  /** Train the artifacts on `corpus` and RESET the derived state (rows
+    * derived under the previous artifacts are a dead generation):
+    * version dirs before the new base become invisible and are
+    * reclaimed. The caller re-feeds content through [[update]] —
+    * batched or one-shot, both land on the same store. */
+  def train(corpus: DataFrame): Long = {
+    val t = trainOf.getOrElse(throw new IllegalStateException(
+      s"DerivedState at $rootUri has no trainer (pure-append store)"))
+    checkOrWriteMeta()
+    val (cur, base) = pointer
+    val next = cur + 1
+    val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val arts = t(corpus).cpInto(cps)
+    val nArts = arts.count()
+    require(nArts > 0, "trainOf produced an empty artifact frame")
+    arts.write.mode("overwrite")
+      .parquet(store.resolve(s"v$next/artifacts").toString)
+    finishVersion(next, next, Seq("artifacts" -> nArts))
+    cps.foreach(_.unpersist())
+    if (cur > 0) {
+      (base to cur).foreach(v => store.deleteRecursive(s"v$v"))
+      (base to cur).foreach(manifests.remove)
+    }
+    next
+  }
+
+  // ---- update --------------------------------------------------------
+
+  /** Fold one batch of keyed rows into the store: rows whose key the
+    * index already holds are skipped (one bucket-pruned anti-join);
+    * the rest derive against the frozen artifacts and append. */
+  def update(batch: DataFrame): UpdateReport = {
+    checkOrWriteMeta()
+    require(trainOf.isEmpty || currentVersion > 0,
+      s"DerivedState at $rootUri requires train() before update()")
+    val (cur, base) = pointer
+    val next = cur + 1
+    val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+    val keyed = batch.dropDuplicates(keyCol).cpInto(cps)
+    val nBatchRows = keyed.count()
+    val buckets = keyed.select(keyBucket(col(keyCol)).as("b")).distinct()
+      .collect().toSeq.map(_.getInt(0))
+    // a store with no keys yet (fresh, or freshly retrained) has no
+    // persisted key schema — the prior-key side is empty by definition
+    val priorKeys =
+      if (storedSchema("keys").isEmpty) keyed.select(keyCol).limit(0)
+      else keysTouching(buckets, cur).select(keyCol)
+    val newRows = keyed
+      .join(priorKeys, Seq(keyCol), "left_anti")
+      .cpInto(cps)
+    val nNewKeys = newRows.count()
+
+    val (nDerived, derivedDf) =
+      if (nNewKeys == 0) (0L, None)
+      else {
+        val d = deriveOf(newRows, artifacts()).cpInto(cps)
+        (d.count(), Some(d))
+      }
+
+    val counts = Seq(
+      "keys" -> writeKeys(next,
+        newRows.select(keyCol).withColumn("ver", lit(next)), nNewKeys),
+      "derived" -> derivedDf.map(writeFlat(next, "derived", _, nDerived))
+        .getOrElse(0L))
+    finishVersion(next, base, counts)
+    cps.foreach(_.unpersist())
+    if (autoCompactEvery > 0 && next - base + 1 >= autoCompactEvery)
+      compact()
+
+    UpdateReport(next, nBatchRows, nNewKeys, nDerived)
+  }
+
+  /** Squash all delta versions into one (carrying the artifacts
+    * forward) and advance the base. */
+  def compact(): Long = {
+    val (cur, base) = pointer
+    if (cur == 0) return 0L
+    val next = cur + 1
+    val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val k = keys(cur).cpInto(cps)
+    val d = derived(cur).cpInto(cps)
+    val nArts =
+      if (manifest(base).getOrElse("artifacts", 0L) > 0) {
+        val a = artifacts().cpInto(cps)
+        val n = a.count()
+        a.write.mode("overwrite")
+          .parquet(store.resolve(s"v$next/artifacts").toString)
+        n
+      } else 0L
+    val counts = Seq(
+      "keys" -> writeKeys(next, k, k.count()),
+      "derived" -> writeFlat(next, "derived", d, d.count()),
+      "artifacts" -> nArts)
+    finishVersion(next, next, counts)
+    cps.foreach(_.unpersist())
+    (base to cur).foreach(v => store.deleteRecursive(s"v$v"))
+    (base to cur).foreach(manifests.remove)
+    next
+  }
+}

@@ -74,6 +74,35 @@ object KMeans {
     }
   }
 
+  /** Trained centroids as a persistable frame — (cluster, i, q) with q
+    * the µs-grid integer coordinate. Lossless by construction:
+    * [[quantizedCentroids]] guards every coordinate to round-trip
+    * float↔grid exactly, so [[centroidsFromRows]] rebuilds the same
+    * centroids bit-for-bit. This is the artifact form a
+    * [[DerivedState]]-backed index persists across sessions. */
+  def centroidRows(spark: org.apache.spark.sql.SparkSession,
+                   cents: Seq[Centroid]): DataFrame = {
+    import spark.implicits._
+    cents.flatMap(c => c.coords.zipWithIndex.map { case (f, i) =>
+      (c.id, i, FixedPointDot.scale(f))
+    }).toDF("cluster", "i", "q")
+  }
+
+  /** Inverse of [[centroidRows]] — collect is bounded by k·dim (the
+    * centroids are plan constants by design). */
+  def centroidsFromRows(df: DataFrame): Seq[Centroid] = {
+    val rows = df.select("cluster", "i", "q").collect()
+    rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (cid, rs) =>
+      val dim = rs.map(_.getInt(1)).max + 1
+      val coords = new Array[Float](dim)
+      rs.foreach(r => coords(r.getInt(1)) =
+        (r.getLong(2).toDouble / Scale).toFloat)
+      Centroid(cid, coords, coords.map { f =>
+        val q = FixedPointDot.scale(f); q * q
+      }.sum)
+    }
+  }
+
   /** Exact-arithmetic cosine of `emb` against one quantized centroid:
     * integer dot over the fixed-point grid, then the same
     * `CAST(dot) / (sqrt(CAST(nn)) * sqrt(CAST(cn)))` IEEE tree the SQL

@@ -260,6 +260,20 @@ object EtlQueries {
     map.computeIfAbsent((s, dir), _ => build)
   }
 
+  /** Session-lifetime temp root for a fixture's PERSISTED store (the
+    * stores are durable by design; the fixture roots are not), removed
+    * at JVM exit. */
+  private def tempStateRoot(prefix: String): String = {
+    val rootDir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(rootDir).iterator().asScala.toList
+          .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Exception => () }))
+    rootDir.toString
+  }
+
   /** Distinct-text groups of the fixture corpus — (k, rid, nm, text)
     * with rid = min doc_id, nm = multiplicity — memoized per
     * (session, fixture) and materialized once: EVERY dedup consumer
@@ -324,26 +338,52 @@ object EtlQueries {
     * labels. Tiny (digest + code per distinct text). */
   private val langPredMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private def langPredictions(s: SparkSession, dir: String): DataFrame =
-    fixtureMemo(langPredMemo, s, dir) {
+  /** The PERSISTED incremental language-prediction store
+    * ([[graft.etl.DerivedState]]): profiles TRAIN once per corpus on
+    * the deterministic doc_id-mod sample (the artifact generation);
+    * every distinct text classifies ONCE against the frozen profiles
+    * — a pure per-key function, so the fixture's three doc_id-striped
+    * batches land on exactly the one-shot prediction set (the
+    * DerivedStateSpec schedule-invariance contract) and a daily crawl
+    * classifies its new content at batch cost. */
+  private val langStateMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      graft.etl.DerivedState]
+  private def langPredState(s: SparkSession, dir: String)
+      : graft.etl.DerivedState =
+    fixtureMemo(langStateMemo, s, dir) {
+      val trainer: DataFrame => DataFrame = corpus => {
+        val sample = corpus.filter(col("doc_id") % LangIdTrainMod === 0)
+          .groupBy("k", "lang")
+          .agg(count(lit(1)).as("w"), min("text").as("text"))
+        graft.etl.LangId.profilesWeighted(
+          graft.etl.LangId.trigrams(sample, "text", LangIdMaxPos)
+            .select("lang", "g", "w"),
+          LangIdTopK)
+      }
+      // classification keys by the content digest directly (classify
+      // is id-agnostic); texts matching no profile gram get no row,
+      // exactly as in the one-shot form (callers COALESCE)
+      val derive: (DataFrame, DataFrame) => DataFrame = (rows, prof) =>
+        graft.etl.LangId.classify(
+            graft.etl.LangId.trigrams(
+              rows.select(col("k").as("doc_id"), col("text")),
+              "text", LangIdMaxPos),
+            prof, LangIdTopK)
+          .select(col("doc_id").as("k"), col("pred"))
+      val st = new graft.etl.DerivedState(s,
+        tempStateRoot("graft-langpred-state-"),
+        s"langpred:topk=$LangIdTopK:mod=$LangIdTrainMod:maxpos=$LangIdMaxPos",
+        "k", derive, Some(trainer))
       val d = docs(s, dir).filter(length(col("text")) >= 3)
         .select(col("doc_id"), col("lang"), textKey.as("k"), col("text"))
-      val sample = d.filter(col("doc_id") % LangIdTrainMod === 0)
-        .groupBy("k", "lang")
-        .agg(count(lit(1)).as("w"), min("text").as("text"))
-      val prof = graft.etl.LangId.profilesWeighted(
-        graft.etl.LangId.trigrams(sample, "text", LangIdMaxPos)
-          .select("lang", "g", "w"),
-        LangIdTopK)
-      val reps = d.groupBy("k")
-        .agg(min("doc_id").as("doc_id"), min("text").as("text"))
-      graft.etl.LangId.classify(
-          graft.etl.LangId.trigrams(
-            reps.select("doc_id", "text"), "text", LangIdMaxPos),
-          prof, LangIdTopK)
-        .join(reps.select("doc_id", "k"), "doc_id")
-        .select(col("k"), col("pred"))
-        .localCheckpoint()
+      st.train(d)
+      (0 to 2).foreach(i => st.update(d.filter(col("doc_id") % 3 === i)))
+      st
+    }
+  private def langPredictions(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo(langPredMemo, s, dir) {
+      langPredState(s, dir).derived().localCheckpoint()
     }
 
   /** Rare-8-gram postings per distinct text — (k, g), document-
@@ -417,17 +457,39 @@ object EtlQueries {
     * but narrow (one row per distinct trigram per distinct text). */
   private val triGramMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  /** The PERSISTED trigram store: rows key by the content digest (a
+    * pure per-content derivation — rep ids and multiplicities are
+    * CORPUS facts that shift as duplicates arrive, so they attach at
+    * read time from [[distinctGroups]], never in the store). A daily
+    * crawl appends its new content's trigrams at batch cost. */
+  private val triStateMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      graft.etl.DerivedState]
+  private def triGramState(s: SparkSession, dir: String)
+      : graft.etl.DerivedState =
+    fixtureMemo(triStateMemo, s, dir) {
+      val derive: (DataFrame, DataFrame) => DataFrame = (rows, _) =>
+        rows
+          .select(col("k"),
+            expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
+          .select(col("k"), size(col("w")).as("n"), col("w"))
+          .filter(col("n") >= 3)
+          .select(col("k"), explode(expr(
+            "transform(sequence(0, n - 3), i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))"))
+            .as("gram"))
+          .groupBy("k", "gram").agg(count(lit(1)).as("c"))
+      val st = new graft.etl.DerivedState(s,
+        tempStateRoot("graft-trigram-state-"),
+        "trigrams:ws-split:n=3", "k", derive)
+      val d = docs(s, dir).select(col("doc_id"), textKey.as("k"), col("text"))
+      (0 to 2).foreach(i => st.update(d.filter(col("doc_id") % 3 === i)))
+      st
+    }
   private def repTriGrams(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(triGramMemo, s, dir) {
-      distinctGroups(s, dir)
-        .select(col("rid"),
-          expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
-        .select(col("rid"), size(col("w")).as("n"), col("w"))
-        .filter(col("n") >= 3)
-        .select(col("rid"), explode(expr(
-          "transform(sequence(0, n - 3), i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))"))
-          .as("gram"))
-        .groupBy("rid", "gram").agg(count(lit(1)).as("c"))
+      triGramState(s, dir).derived()
+        .join(distinctGroups(s, dir).select("k", "rid"), "k")
+        .select("rid", "gram", "c")
         .localCheckpoint()
     }
 
@@ -493,12 +555,33 @@ object EtlQueries {
     * back to the group frame. */
   private val wordMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  /** The PERSISTED unigram store — the [[triGramState]] argument
+    * verbatim: (k, word, c) is pure per-content; rid and nm attach at
+    * read time from [[distinctGroups]]. */
+  private val wordStateMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      graft.etl.DerivedState]
+  private def wordState(s: SparkSession, dir: String)
+      : graft.etl.DerivedState =
+    fixtureMemo(wordStateMemo, s, dir) {
+      val derive: (DataFrame, DataFrame) => DataFrame = (rows, _) =>
+        rows
+          .select(col("k"),
+            explode(expr("filter(split(text, ' '), x -> length(x) > 0)"))
+              .as("word"))
+          .groupBy("k", "word").agg(count(lit(1)).as("c"))
+      val st = new graft.etl.DerivedState(s,
+        tempStateRoot("graft-word-state-"),
+        "words:ws-split", "k", derive)
+      val d = docs(s, dir).select(col("doc_id"), textKey.as("k"), col("text"))
+      (0 to 2).foreach(i => st.update(d.filter(col("doc_id") % 3 === i)))
+      st
+    }
   private def repWordCounts(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(wordMemo, s, dir) {
-      distinctGroups(s, dir)
-        .select(col("rid"), col("nm"),
-          explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
-        .groupBy("rid", "nm", "word").agg(count(lit(1)).as("c"))
+      wordState(s, dir).derived()
+        .join(distinctGroups(s, dir).select("k", "rid", "nm"), "k")
+        .select("rid", "nm", "word", "c")
         .localCheckpoint()
     }
 
@@ -748,16 +831,37 @@ object EtlQueries {
     * the dominant cost of q_ann_sq8 at the 100× replica. */
   private val sq8Memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  /** The PERSISTED SQ8 code store: the scale (gmax) TRAINS once per
+    * corpus as the store's artifact; new vectors encode against the
+    * frozen scale at batch cost — a production quantizer's exact
+    * retrain cadence ([[graft.etl.DerivedState.train]] starts a new
+    * index generation when the scale must move). */
+  private val sq8StateMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      graft.etl.DerivedState]
+  private def scaledComponents(e: DataFrame): DataFrame = e
+    .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "f")))
+    .select(col("vec_id"), col("i"), col("f").cast("double").as("v"))
+  private def sq8State(s: SparkSession, dir: String)
+      : graft.etl.DerivedState =
+    fixtureMemo(sq8StateMemo, s, dir) {
+      val trainer: DataFrame => DataFrame = corpus =>
+        scaledComponents(corpus).agg(max(abs(col("v"))).as("gmax"))
+      val derive: (DataFrame, DataFrame) => DataFrame = (rows, gm) =>
+        scaledComponents(rows).crossJoin(broadcast(gm))
+          .select(col("vec_id"), col("i"),
+            round(col("v") * 127 / col("gmax"), 0).cast("long").as("q"))
+      val st = new graft.etl.DerivedState(s,
+        tempStateRoot("graft-sq8-state-"),
+        "sq8:sym-int8:gmax", "vec_id", derive, Some(trainer))
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      st.train(e)
+      (0 to 2).foreach(i => st.update(e.filter(col("vec_id") % 3 === i)))
+      st
+    }
   private def sq8Codes(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(sq8Memo, s, dir) {
-      val sc = emb(s, dir)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "f")))
-        .select(col("vec_id"), col("i"), col("f").cast("double").as("v"))
-      val gm = sc.agg(max(abs(col("v"))).as("gmax"))
-      sc.crossJoin(broadcast(gm))
-        .select(col("vec_id"), col("i"),
-          round(col("v") * 127 / col("gmax"), 0).cast("long").as("q"))
-        .localCheckpoint()
+      sq8State(s, dir).derived().localCheckpoint()
     }
 
   /** Trained spherical-k-means artifacts of the fixture's embeddings —
@@ -771,24 +875,52 @@ object EtlQueries {
   private val kmCentMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       Seq[graft.etl.KMeans.Centroid]]
+  /** The PERSISTED k-means index store: the two fixed Lloyd passes
+    * TRAIN the centroids once per corpus (the store's artifact, saved
+    * losslessly via [[graft.etl.KMeans.centroidRows]]); new vectors
+    * assign against the frozen centroids at batch cost. Re-clustering
+    * is an explicit [[graft.etl.DerivedState.train]] — a new index
+    * generation, exactly how a production IVF coarse quantizer
+    * retrains. */
+  private val kmStateMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      graft.etl.DerivedState]
+  private def kmState(s: SparkSession, dir: String)
+      : graft.etl.DerivedState =
+    fixtureMemo(kmStateMemo, s, dir) {
+      val trainer: DataFrame => DataFrame = corpus => {
+        val c0 = graft.etl.KMeans.quantizedCentroids(
+          corpus.withColumn("cluster", col("vec_id") % KMeansK))
+        val c1 = graft.etl.KMeans.quantizedCentroids(
+          corpus.withColumn("cluster",
+            graft.etl.KMeans.assign(col("embedding"), c0)))
+        graft.etl.KMeans.centroidRows(s, c1)
+      }
+      val derive: (DataFrame, DataFrame) => DataFrame = (rows, arts) => {
+        val cents = graft.etl.KMeans.centroidsFromRows(arts)
+        rows.select(col("vec_id"),
+          graft.etl.KMeans.assign(col("embedding"), cents).as("cluster"))
+      }
+      val st = new graft.etl.DerivedState(s,
+        tempStateRoot("graft-km-state-"),
+        s"kmeans:k=$KMeansK:lloyd=2:init=mod", "vec_id", derive,
+        Some(trainer))
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      st.train(e)
+      (0 to 2).foreach(i => st.update(e.filter(col("vec_id") % 3 === i)))
+      st
+    }
   private def kmeansCentroids(s: SparkSession, dir: String)
       : Seq[graft.etl.KMeans.Centroid] =
     fixtureMemo(kmCentMemo, s, dir) {
-      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val c0 = graft.etl.KMeans.quantizedCentroids(
-        e.withColumn("cluster", col("vec_id") % KMeansK))
-      graft.etl.KMeans.quantizedCentroids(
-        e.withColumn("cluster", graft.etl.KMeans.assign(col("embedding"), c0)))
+      graft.etl.KMeans.centroidsFromRows(kmState(s, dir).artifacts())
     }
   private val kmAssignMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def kmeansAssignments(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(kmAssignMemo, s, dir) {
-      emb(s, dir).select(col("vec_id"),
-          graft.etl.KMeans.assign(col("embedding"), kmeansCentroids(s, dir))
-            .as("cluster"))
-        // two longs per row; read by SemDeDup and every IVF probe
-        .localCheckpoint()
+      // two longs per row; read by SemDeDup and every IVF probe
+      kmState(s, dir).derived().localCheckpoint()
     }
 
   /** DuckDB mirror of the two fixed Lloyd passes ([[kmeansCentroids]]):

@@ -1,0 +1,160 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The generic derived-content store's contract
+  * ([[graft.etl.DerivedState]]):
+  *
+  *   1. batch-schedule invariance — any split of a corpus into update
+  *      batches yields the SAME derived table as a one-shot feed (the
+  *      derivation is a pure per-key function; for trained stores,
+  *      pure against the FROZEN artifacts);
+  *   2. cost proportionality — an update's derivation work tracks the
+  *      batch's NEW keys, never the corpus;
+  *   3. retrain semantics — train() starts a new artifact generation
+  *      and resets the derived state (rows derived under dead
+  *      artifacts never survive);
+  *   4. durability mechanics — compact preserves state and carries
+  *      artifacts, the version span stays bounded under
+  *      autoCompactEvery, and a mismatched derivation fingerprint
+  *      refuses to open the store.
+  */
+class DerivedStateSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("derived-state-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("derived-state-spec-").toString
+
+  private def fixtureDocs: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("k"),
+        col("text"))
+
+  /** Pure-append derivation: per-key word counts. */
+  private val wordDerive: (DataFrame, DataFrame) => DataFrame = (rows, _) =>
+    rows.select(col("k"),
+        explode(expr("filter(split(text, ' '), x -> length(x) > 0)"))
+          .as("word"))
+      .groupBy("k", "word").agg(count(lit(1)).as("c"))
+
+  private def derivedSet(st: DerivedState): Set[(String, String, Long)] =
+    st.derived().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+  test("pure-append: any batch schedule equals the one-shot feed") {
+    val d = fixtureDocs.localCheckpoint()
+    val oneShot = new DerivedState(spark, tmpRoot(), "words", "k", wordDerive)
+    oneShot.update(d)
+    val incr = new DerivedState(spark, tmpRoot(), "words", "k", wordDerive)
+    val reports = (0 to 2).map(i =>
+      incr.update(d.filter(col("doc_id") % 3 === i)))
+    assert(incr.currentVersion === 3L)
+    assert(derivedSet(incr) === derivedSet(oneShot))
+    // cost ∝ batch: a replayed batch derives NOTHING
+    val replay = incr.update(d.filter(col("doc_id") % 3 === 0))
+    assert(replay.nNewKeys === 0L && replay.nDerivedRows === 0L)
+    // duplicate content across batches derived exactly once
+    assert(reports.map(_.nNewKeys).sum ===
+      d.select("k").distinct().count())
+  }
+
+  test("trained store: frozen artifacts make batched == one-shot") {
+    val d = fixtureDocs.localCheckpoint()
+    // artifact = the corpus's max text length; derivation scores each
+    // key against it — any artifact drift across batches would show
+    val trainer: DataFrame => DataFrame = corpus =>
+      corpus.agg(max(length(col("text"))).as("maxlen"))
+    val derive: (DataFrame, DataFrame) => DataFrame = (rows, art) =>
+      rows.crossJoin(broadcast(art))
+        .select(col("k"), (length(col("text")) * lit(1000L) /
+          col("maxlen")).as("score"))
+    val one = new DerivedState(spark, tmpRoot(), "score", "k", derive,
+      Some(trainer))
+    one.train(d)
+    one.update(d)
+    val incr = new DerivedState(spark, tmpRoot(), "score", "k", derive,
+      Some(trainer))
+    // update before train must refuse — there is nothing to derive against
+    val e = intercept[IllegalArgumentException](incr.update(d))
+    assert(e.getMessage.contains("train"))
+    incr.train(d)
+    (0 to 2).foreach(i => incr.update(d.filter(col("doc_id") % 3 === i)))
+    def set(st: DerivedState) = st.derived().collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(set(incr) === set(one))
+    assert(incr.artifacts().head().getInt(0) ===
+      one.artifacts().head().getInt(0))
+  }
+
+  test("retrain resets the derived generation and reclaims old versions") {
+    val d = fixtureDocs.localCheckpoint()
+    val half = d.filter(col("doc_id") % 2 === 0).localCheckpoint()
+    val trainer: DataFrame => DataFrame = corpus =>
+      corpus.agg(max(length(col("text"))).as("maxlen"))
+    val derive: (DataFrame, DataFrame) => DataFrame = (rows, art) =>
+      rows.crossJoin(broadcast(art))
+        .select(col("k"), (length(col("text")) * lit(1000L) /
+          col("maxlen")).as("score"))
+    val root = tmpRoot()
+    val st = new DerivedState(spark, root, "score", "k", derive,
+      Some(trainer))
+    st.train(half)      // generation 1: scale from half the corpus
+    st.update(half)
+    val gen1 = st.derived().count()
+    assert(gen1 > 0)
+    st.train(d)         // generation 2: new scale — old rows are dead
+    assert(st.derived().count() === 0L,
+      "retrain must drop rows derived under the old artifacts")
+    st.update(d)
+    // generation 2 equals a fresh one-shot build on the full corpus
+    val fresh = new DerivedState(spark, tmpRoot(), "score", "k", derive,
+      Some(trainer))
+    fresh.train(d); fresh.update(d)
+    def set(s2: DerivedState) = s2.derived().collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(set(st) === set(fresh))
+    // old generation's version dirs are gone from disk
+    val vDirs = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("v")).toSet
+    assert(!vDirs.contains("v1") && !vDirs.contains("v2"))
+  }
+
+  test("fingerprint is an open invariant; compact preserves; span bounded") {
+    val d = fixtureDocs.localCheckpoint()
+    val root = tmpRoot()
+    val st = new DerivedState(spark, root, "words:v1", "k", wordDerive,
+      autoCompactEvery = 3)
+    (0 to 4).foreach { i =>
+      st.update(d.filter(col("doc_id") % 5 === i))
+      assert(st.liveVersionSpan <= 3,
+        s"span ${st.liveVersionSpan} after update $i")
+    }
+    val before = derivedSet(st)
+    st.compact()
+    assert(derivedSet(st) === before)
+    assert(st.liveVersionSpan === 1L)
+    // a different derivation must refuse the same root
+    val e = intercept[IllegalArgumentException](
+      new DerivedState(spark, root, "words:v2", "k", wordDerive).update(d))
+    assert(e.getMessage.contains("row-semantics"))
+  }
+}
