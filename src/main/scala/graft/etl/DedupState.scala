@@ -68,6 +68,82 @@ object DedupState {
     StructField("rid", LongType), StructField("cluster", LongType),
     StructField("ver", LongType)))
 
+  /** CORPUS-WIDE clusters across FEDERATION MEMBERS — the dedup analog
+    * of the engine's federated pyramid serving: each member root runs
+    * its own single-writer [[DedupState]] over the documents it
+    * ingests, and this merge step computes the clusters a SINGLE store
+    * over the union corpus would produce. Returns (doc_id, cluster).
+    *
+    * The single-store edge set reconstructs exactly from member state:
+    *
+    *   - within-member candidate edges are each member's persisted
+    *     `pairs` (bucket co-membership is a pure function of content,
+    *     so member-local pairing loses nothing);
+    *   - CROSS-member candidates are bucket co-memberships spanning
+    *     members: the unioned band index self-joins on `bkey` across
+    *     member tags (bounded by the global bucket cap, like every
+    *     pairing here);
+    *   - identical content ingested by several members carries one rep
+    *     PER member — star edges link each rep to the global min-rid
+    *     rep per content key, exactly collapsing what a single store
+    *     never splits;
+    *   - the bucket cap applies to the GLOBAL bucket size (member
+    *     drops are subsumed: a member-dropped bucket's global size is
+    *     at least its member size, so it is globally dropped too), and
+    *     edges justified only by globally-dropped buckets die — the
+    *     same retroactive rule [[DedupState.update]] applies within
+    *     one store. All members must share the cap (META invariant).
+    *
+    * Cost: one CC over the global candidate-edge set — ∝ corpus
+    * edges, NOT ∝ a batch. This is the rare topology-level step (run
+    * at member migration / corpus-wide report time), not the ingest
+    * path; day-to-day folds stay per-member at batch cost.
+    * FederatedDedupSpec proves the two-member merge equals a
+    * single-store build, capped and uncapped. */
+  def federatedDocClusters(states: Seq[DedupState]): DataFrame = {
+    require(states.nonEmpty, "federation needs at least one member")
+    val caps = states.map(_.bucketCap).distinct
+    require(caps.size == 1,
+      s"members disagree on the bucket cap ($caps) — the cap is an " +
+        "edge-set invariant, federated or not")
+    val bandsAll = states.zipWithIndex.map { case (st, m) =>
+        st.bands().withColumn("m", lit(m)) }
+      .reduce(_ unionByName _)
+    val pairsAll = states.map(_.pairs()).reduce(_ unionByName _)
+    val groupsAll = states.map(_.seenKeys().select("k", "rid"))
+      .reduce(_ unionByName _)
+    val membersAll = states.map(_.members().select("doc_id", "k"))
+      .reduce(_ unionByName _)
+    val globalDropped = caps.head match {
+      case None => bandsAll.select("bkey").limit(0)
+      case Some(cap) => bandsAll.groupBy("bkey")
+        .agg(count(lit(1)).as("n")).filter(col("n") > cap).select("bkey")
+    }
+    val liveBands = bandsAll.join(globalDropped, Seq("bkey"), "left_anti")
+    val crossPairs = liveBands.as("x")
+      .join(liveBands.as("y"), "bkey")
+      .filter(col("x.m") < col("y.m"))
+      .select(least(col("x.rid"), col("y.rid")).as("a"),
+        greatest(col("x.rid"), col("y.rid")).as("b"))
+      .filter(col("a") =!= col("b"))
+    val liveMemberPairs = pairsAll
+      .join(globalDropped, Seq("bkey"), "left_anti").select("a", "b")
+    // one canonical rep per content key; star edges collapse the
+    // per-member reps of identical content
+    val canon = groupsAll.groupBy("k").agg(min("rid").as("crid"))
+    val sameKey = groupsAll.join(canon, "k")
+      .filter(col("rid") =!= col("crid"))
+      .select(col("crid").as("a"), col("rid").as("b"))
+    val edges = liveMemberPairs.unionByName(crossPairs)
+      .unionByName(sameKey).distinct()
+    val cc = Dedup.connectedComponents(edges)
+      .withColumnRenamed("id", "crid")
+    membersAll.join(canon, "k")
+      .join(cc, Seq("crid"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("crid")).as("cluster"))
+  }
+
   /** Checkpoint-and-track: update/compact materialize many small
     * frames; tracking them lets the caller unpersist after the write
     * lands, so a long-lived ingest daemon doesn't accumulate blocks
@@ -191,6 +267,10 @@ final class DedupState(
     }.getOrElse((0L, 1L, None))
 
   def currentVersion: Long = pointer._1
+
+  /** The store's bucket-cap invariant — federation merges require all
+    * members to agree ([[DedupState.federatedDocClusters]]). */
+  def bucketCap: Option[Long] = maxBucket
 
   /** The last (scope, seq) idempotency key applied by a keyed
     * [[update]], if any. */

@@ -1,0 +1,124 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The federated dedup-state contract
+  * ([[DedupState.federatedDocClusters]]): per-member single-writer
+  * stores merge into exactly the clusters a SINGLE store over the
+  * union corpus produces —
+  *
+  *   1. with real MinHash banding and content duplicated ACROSS
+  *      members (per-member reps of identical content must collapse);
+  *   2. under the bucket cap applied to the GLOBAL bucket size: a
+  *      bucket under the cap in every member but over it combined
+  *      must drop, with its member-local pairs retroactively dead;
+  *   3. cap disagreement between members refuses to merge.
+  */
+class FederatedDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("federated-dedup-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("fed-dedup-spec-").toString
+
+  private def fixtureDocs: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+  /** Label-independent view of a clustering frame (doc_id, cluster):
+    * each doc keyed by the min content key of its cluster — the
+    * DedupStateSpec comparison, generalized to a frame. */
+  private def partitionOf(clusters: DataFrame, docs: DataFrame)
+      : Set[(Long, String)] = {
+    val keyed = clusters.join(
+      docs.select(col("doc_id"), md5(col("text").cast("binary")).as("k")),
+      "doc_id")
+    val rep = keyed.groupBy("cluster").agg(min("k").as("ck"))
+    keyed.join(rep, "cluster")
+      .select(col("doc_id"), col("ck"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+  }
+
+  private def singleStorePartition(d: DataFrame,
+                                   bandsOf: DataFrame => DataFrame,
+                                   cap: Option[Long]): Set[(Long, String)] = {
+    val one = new DedupState(spark, tmpRoot(), bandsOf, cap)
+    one.update(d)
+    partitionOf(one.docClusters().select("doc_id", "cluster"), d)
+  }
+
+  test("two members equal one store (real MinHash, cross-member dups)") {
+    val bandsOf = graft.queries.EtlQueries.bandKeys _
+    val base = fixtureDocs.localCheckpoint()
+    // duplicate a slice of member A's content into member B under new
+    // doc ids: the same content now has a rep in BOTH members
+    val dupes = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val d = base.unionByName(dupes).localCheckpoint()
+
+    val a = new DedupState(spark, tmpRoot(), bandsOf)
+    val b = new DedupState(spark, tmpRoot(), bandsOf)
+    a.update(d.filter(col("doc_id") % 2 === 0))
+    b.update(d.filter(col("doc_id") % 2 === 1))
+
+    val fed = DedupState.federatedDocClusters(Seq(a, b))
+    assert(partitionOf(fed, d) === singleStorePartition(d, bandsOf, None))
+  }
+
+  test("global bucket cap: under-cap members combine over the cap") {
+    // surgical banding (bucket = first 3 chars) and a corpus where one
+    // bucket holds 3 docs per member — cap 4 passes each member alone
+    // but the global 6 crosses it, so the merge must drop the bucket
+    // and its member-local pairs retroactively
+    val prefixBands: DataFrame => DataFrame = docs =>
+      docs.select(col("doc_id"), substring(col("text"), 1, 3).as("bkey"))
+    val ss = spark; import ss.implicits._
+    val hot = (0L until 6L).map(i => (i, s"HOTbucket member doc $i"))
+    val cold = (10L until 20L).map(i => (i, s"c${i}_unique content $i"))
+    val d = (hot ++ cold).toDF("doc_id", "text").localCheckpoint()
+
+    val cap = Some(4L)
+    val a = new DedupState(spark, tmpRoot(), prefixBands, cap)
+    val b = new DedupState(spark, tmpRoot(), prefixBands, cap)
+    a.update(d.filter(col("doc_id") % 2 === 0))
+    b.update(d.filter(col("doc_id") % 2 === 1))
+    // each member saw 3 HOT docs: under its local cap, so pairs exist
+    assert(a.liveEdges().count() > 0 && b.liveEdges().count() > 0)
+
+    val fed = DedupState.federatedDocClusters(Seq(a, b))
+    val expect = singleStorePartition(d, prefixBands, cap)
+    assert(partitionOf(fed, d) === expect)
+    // and the single-store build really did cap the bucket: every HOT
+    // doc is its own singleton cluster
+    val hotClusters = partitionOf(fed, d).filter(_._1 < 6L).map(_._2)
+    assert(hotClusters.size === 6, "capped bucket must not cluster")
+  }
+
+  test("cap disagreement refuses to merge") {
+    val prefixBands: DataFrame => DataFrame = docs =>
+      docs.select(col("doc_id"), substring(col("text"), 1, 3).as("bkey"))
+    val a = new DedupState(spark, tmpRoot(), prefixBands, Some(4L))
+    val b = new DedupState(spark, tmpRoot(), prefixBands, Some(8L))
+    val e = intercept[IllegalArgumentException](
+      DedupState.federatedDocClusters(Seq(a, b)))
+    assert(e.getMessage.contains("cap"))
+  }
+}
