@@ -585,6 +585,27 @@ object EtlQueries {
         .localCheckpoint()
     }
 
+  /** FEDERATED dedup clusters of the fixture corpus: two member
+    * [[graft.etl.DedupState]]s split by doc_id parity (so identical
+    * content lands reps in BOTH members — the star-edge collapse is
+    * exercised), merged by [[graft.etl.DedupState.federatedDocClusters]].
+    * The merge must equal the one-shot full-corpus clustering, which is
+    * exactly what the q_dedup_fed oracle checks. */
+  private val fedClustersMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def fedDocClusters(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo(fedClustersMemo, s, dir) {
+      val bandsOf = bandKeys _
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val a = new graft.etl.DedupState(s,
+        tempStateRoot("graft-fed-member-a-"), bandsOf)
+      val b = new graft.etl.DedupState(s,
+        tempStateRoot("graft-fed-member-b-"), bandsOf)
+      a.update(d.filter(col("doc_id") % 2 === 0))
+      b.update(d.filter(col("doc_id") % 2 === 1))
+      graft.etl.DedupState.federatedDocClusters(Seq(a, b)).localCheckpoint()
+    }
+
   /** Plan-guardrail probe ([[graft.queries.PlanSpec]]): the banding
     * pipeline over an arbitrary (doc_id, text) frame, BYPASSING the
     * fixture memo — the memoized frames are materialized RDD scans, so
@@ -1035,7 +1056,7 @@ object EtlQueries {
     repTriGrams(s, dir); repWordCounts(s, dir)
     embGroups(s, dir); embCosPairs(s, dir); embClusters(s, dir)
     sq8Codes(s, dir); kmeansCentroids(s, dir); kmeansAssignments(s, dir)
-    incrDedupState(s, dir)
+    incrDedupState(s, dir); fedDocClusters(s, dir)
     ()
   }
 
@@ -3005,6 +3026,27 @@ object EtlQueries {
           when(col("seen_exact").isNotNull, "dup_exact")
             .when(col("seen_near").isNotNull, "dup_near")
             .otherwise("new").as("verdict"))
+        .orderBy("doc_id")
+    },
+
+    // FEDERATED dedup: corpus-wide cluster sizes computed from TWO
+    // member stores (doc_id-parity split, so identical content has a
+    // rep in both members) merged by DedupState.federatedDocClusters.
+    // The oracle derives the same sizes from the one-shot full-corpus
+    // clustering — the merge must be indistinguishable from a single
+    // store over the union corpus. Output is label-independent
+    // (per-doc cluster size), so it cannot pass by accident of label
+    // arithmetic.
+    "q_dedup_fed" -> QueryDef(
+      s"""WITH RECURSIVE $clusterCteSql
+         |SELECT d.doc_id,
+         |  CAST(COUNT(*) OVER (PARTITION BY c.cluster) AS BIGINT) AS csize
+         |FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val fc = fedDocClusters(s, dir)
+      val sizes = fc.groupBy("cluster").agg(count(lit(1)).as("csize"))
+      fc.join(sizes, "cluster")
+        .select(col("doc_id"), col("csize"))
         .orderBy("doc_id")
     },
 
