@@ -101,6 +101,21 @@ object DedupState {
     * FederatedDedupSpec proves the two-member merge equals a
     * single-store build, capped and uncapped. */
   def federatedDocClusters(states: Seq[DedupState]): DataFrame = {
+    val (edges, canon, membersAll) = federatedGraph(states)
+    val cc = Dedup.connectedComponents(edges)
+      .withColumnRenamed("id", "crid")
+    membersAll.join(canon, "k")
+      .join(cc, Seq("crid"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("crid")).as("cluster"))
+  }
+
+  /** The merge's declarative half, separable so FederatedDedupSpec can
+    * assert its PLAN (every join equi-keyed on bkey/k — no cartesian
+    * anywhere, the 100 TB guardrail): (global live candidate edges,
+    * canonical rep per content key, all member docs). */
+  private[etl] def federatedGraph(states: Seq[DedupState])
+      : (DataFrame, DataFrame, DataFrame) = {
     require(states.nonEmpty, "federation needs at least one member")
     val caps = states.map(_.bucketCap).distinct
     require(caps.size == 1,
@@ -136,12 +151,7 @@ object DedupState {
       .select(col("crid").as("a"), col("rid").as("b"))
     val edges = liveMemberPairs.unionByName(crossPairs)
       .unionByName(sameKey).distinct()
-    val cc = Dedup.connectedComponents(edges)
-      .withColumnRenamed("id", "crid")
-    membersAll.join(canon, "k")
-      .join(cc, Seq("crid"), "left_outer")
-      .select(col("doc_id"),
-        coalesce(col("cluster"), col("crid")).as("cluster"))
+    (edges, canon, membersAll)
   }
 
   /** Checkpoint-and-track: update/compact materialize many small

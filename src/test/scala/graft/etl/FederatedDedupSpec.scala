@@ -112,6 +112,24 @@ class FederatedDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hotClusters.size === 6, "capped bucket must not cluster")
   }
 
+  test("merge plan guardrail: every join equi-keyed, no cartesian") {
+    val prefixBands: DataFrame => DataFrame = docs =>
+      docs.select(col("doc_id"), substring(col("text"), 1, 3).as("bkey"))
+    val d = fixtureDocs.limit(60).localCheckpoint()
+    val a = new DedupState(spark, tmpRoot(), prefixBands, Some(8L))
+    val b = new DedupState(spark, tmpRoot(), prefixBands, Some(8L))
+    a.update(d.filter(col("doc_id") % 2 === 0))
+    b.update(d.filter(col("doc_id") % 2 === 1))
+    val (edges, canon, members) = DedupState.federatedGraph(Seq(a, b))
+    for ((name, df) <- Seq(("edges", edges), ("canon", canon),
+        ("members", members))) {
+      val p = df.queryExecution.executedPlan.toString()
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"federated $name must stay equi-keyed on bkey/k, got:\n$p")
+    }
+  }
+
   test("cap disagreement refuses to merge") {
     val prefixBands: DataFrame => DataFrame = docs =>
       docs.select(col("doc_id"), substring(col("text"), 1, 3).as("bkey"))
