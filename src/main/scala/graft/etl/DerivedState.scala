@@ -94,17 +94,26 @@ final class DerivedState(
 
   private val store = new Store(rootUri, new Configuration())
 
-  private def pointer: (Long, Long) =
+  /** (current version, base version, last idempotency key) — the
+    * [[DedupState]] pointer format: the (scope, seq) key rides the
+    * atomic CURRENT flip so a crashed foreachBatch replay lands
+    * cleanly (see [[update]]'s keyed form). */
+  private def pointer: (Long, Long, Option[(String, Long)]) =
     store.readString("CURRENT").map { s =>
       val p = s.trim.split("\\s+")
-      (p(0).toLong, if (p.length > 1) p(1).toLong else 1L)
-    }.getOrElse((0L, 1L))
+      (p(0).toLong, if (p.length > 1) p(1).toLong else 1L,
+        if (p.length > 3) Some((p(2), p(3).toLong)) else None)
+    }.getOrElse((0L, 1L, None))
 
   def currentVersion: Long = pointer._1
 
+  /** The last (scope, seq) idempotency key applied by a keyed
+    * [[update]], if any. */
+  def lastAppliedKey: Option[(String, Long)] = pointer._3
+
   /** Number of version dirs a reader currently unions. */
   def liveVersionSpan: Long = {
-    val (cur, base) = pointer
+    val (cur, base, _) = pointer
     if (cur == 0) 0L else cur - base + 1
   }
 
@@ -141,7 +150,7 @@ final class DerivedState(
 
   private def tableUnion(name: String, upTo: Long,
                          schema: StructType): DataFrame = {
-    val (_, base) = pointer
+    val (_, base, _) = pointer
     val paths = (base to upTo)
       .filter(v => manifest(v).getOrElse(name, 0L) > 0)
       .map(v => store.resolve(s"v$v/$name").toString)
@@ -170,7 +179,7 @@ final class DerivedState(
   /** The current trained artifacts (at the base version — [[train]]
     * resets the base). Empty 0-column frame when untrained. */
   def artifacts(): DataFrame = {
-    val (_, base) = pointer
+    val (_, base, _) = pointer
     if (manifest(base).getOrElse("artifacts", 0L) > 0)
       spark.read.parquet(store.resolve(s"v$base/artifacts").toString)
     else spark.emptyDataFrame
@@ -216,11 +225,13 @@ final class DerivedState(
   }
 
   private def finishVersion(next: Long, base: Long,
-                            counts: Seq[(String, Long)]): Unit = {
+                            counts: Seq[(String, Long)],
+                            key: Option[(String, Long)]): Unit = {
     store.writeAtomic(s"v$next/MANIFEST",
       counts.map { case (n, c) => s"$n=$c" }.mkString(","))
     manifests.remove(next)
-    store.writeAtomic("CURRENT", s"$next $base")
+    val keyTail = key.map { case (sc, seq) => s" $sc $seq" }.getOrElse("")
+    store.writeAtomic("CURRENT", s"$next $base$keyTail")
   }
 
   // ---- train (artifact generation boundary) --------------------------
@@ -234,7 +245,7 @@ final class DerivedState(
     val t = trainOf.getOrElse(throw new IllegalStateException(
       s"DerivedState at $rootUri has no trainer (pure-append store)"))
     checkOrWriteMeta()
-    val (cur, base) = pointer
+    val (cur, base, lastKey) = pointer
     val next = cur + 1
     val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val arts = t(corpus).cpInto(cps)
@@ -242,7 +253,7 @@ final class DerivedState(
     require(nArts > 0, "trainOf produced an empty artifact frame")
     arts.write.mode("overwrite")
       .parquet(store.resolve(s"v$next/artifacts").toString)
-    finishVersion(next, next, Seq("artifacts" -> nArts))
+    finishVersion(next, next, Seq("artifacts" -> nArts), lastKey)
     cps.foreach(_.unpersist())
     if (cur > 0) {
       (base to cur).foreach(v => store.deleteRecursive(s"v$v"))
@@ -256,11 +267,27 @@ final class DerivedState(
   /** Fold one batch of keyed rows into the store: rows whose key the
     * index already holds are skipped (one bucket-pruned anti-join);
     * the rest derive against the frozen artifacts and append. */
-  def update(batch: DataFrame): UpdateReport = {
+  def update(batch: DataFrame): UpdateReport =
+    update(batch, idempotencyKey = None).get
+
+  /** Keyed [[update]] for exactly-once sinks (Structured Streaming
+    * `foreachBatch` replays a micro-batch after a crash) — the
+    * [[DedupState]] contract verbatim: a batch whose (scope, seq) key
+    * has seq <= the last applied seq OF THE SAME SCOPE is SKIPPED
+    * (returns None); the key rides the atomic CURRENT flip. seq must
+    * be monotone per scope (a checkpoint's batchId is); scopes must
+    * not contain whitespace. */
+  def update(batch: DataFrame,
+             idempotencyKey: Option[(String, Long)]): Option[UpdateReport] = {
     checkOrWriteMeta()
     require(trainOf.isEmpty || currentVersion > 0,
       s"DerivedState at $rootUri requires train() before update()")
-    val (cur, base) = pointer
+    val (cur, base, lastKey) = pointer
+    (idempotencyKey, lastKey) match {
+      case (Some((sc, seq)), Some((lsc, lseq))) if sc == lsc && seq <= lseq =>
+        return None
+      case _ => ()
+    }
     val next = cur + 1
     val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
@@ -290,18 +317,18 @@ final class DerivedState(
         newRows.select(keyCol).withColumn("ver", lit(next)), nNewKeys),
       "derived" -> derivedDf.map(writeFlat(next, "derived", _, nDerived))
         .getOrElse(0L))
-    finishVersion(next, base, counts)
+    finishVersion(next, base, counts, idempotencyKey.orElse(lastKey))
     cps.foreach(_.unpersist())
     if (autoCompactEvery > 0 && next - base + 1 >= autoCompactEvery)
       compact()
 
-    UpdateReport(next, nBatchRows, nNewKeys, nDerived)
+    Some(UpdateReport(next, nBatchRows, nNewKeys, nDerived))
   }
 
   /** Squash all delta versions into one (carrying the artifacts
     * forward) and advance the base. */
   def compact(): Long = {
-    val (cur, base) = pointer
+    val (cur, base, lastKey) = pointer
     if (cur == 0) return 0L
     val next = cur + 1
     val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -319,7 +346,7 @@ final class DerivedState(
       "keys" -> writeKeys(next, k, k.count()),
       "derived" -> writeFlat(next, "derived", d, d.count()),
       "artifacts" -> nArts)
-    finishVersion(next, next, counts)
+    finishVersion(next, next, counts, lastKey)
     cps.foreach(_.unpersist())
     (base to cur).foreach(v => store.deleteRecursive(s"v$v"))
     (base to cur).foreach(manifests.remove)

@@ -138,6 +138,25 @@ class DerivedStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!vDirs.contains("v1") && !vDirs.contains("v2"))
   }
 
+  test("keyed updates skip replays within a scope, apply across scopes") {
+    val d = fixtureDocs.localCheckpoint()
+    val st = new DerivedState(spark, tmpRoot(), "words", "k", wordDerive)
+    val b0 = d.filter(col("doc_id") % 3 === 0)
+    val b1 = d.filter(col("doc_id") % 3 === 1)
+    assert(st.update(b0, Some(("cp1", 0L))).isDefined)
+    // a crashed foreachBatch replays the same (scope, seq): skipped
+    assert(st.update(b0, Some(("cp1", 0L))).isEmpty)
+    assert(st.lastAppliedKey === Some(("cp1", 0L)))
+    assert(st.update(b1, Some(("cp1", 1L))).isDefined)
+    // a NEW checkpoint (different scope) always applies
+    assert(st.update(b1, Some(("cp2", 0L))).isDefined)
+    // state equals the unkeyed two-batch build (the cp2 replay of b1
+    // found no new keys — idempotent content-wise too)
+    val plain = new DerivedState(spark, tmpRoot(), "words", "k", wordDerive)
+    plain.update(b0); plain.update(b1)
+    assert(derivedSet(st) === derivedSet(plain))
+  }
+
   test("fingerprint is an open invariant; compact preserves; span bounded") {
     val d = fixtureDocs.localCheckpoint()
     val root = tmpRoot()
