@@ -19,6 +19,43 @@ object ContamState {
   private[etl] def gramBucket(c: Column): Column =
     pmod(xxhash64(c), lit(GramBuckets)).cast("int")
 
+  /** CORPUS-WIDE live evidence across FEDERATION MEMBERS — the
+    * decontamination analog of [[DedupState.federatedDocClusters]]:
+    * each member root indexes the documents it ingests; the merge
+    * reconstructs exactly the live postings a SINGLE store over the
+    * union corpus would hold. Returns (k, g).
+    *
+    * Distinct-content semantics are per-CORPUS: content indexed by
+    * several members contributes its postings once (the union
+    * de-duplicates on (k, g) — postings are distinct per content by
+    * construction), and the df cap applies to the GLOBAL document
+    * frequency counted over DISTINCT content (member caps are
+    * subsumed: global df ≥ member df, so a member-capped gram is
+    * globally capped too, and its postings union carries the evidence
+    * until the global cap retires it). All members must share the cap
+    * (META invariant). Cost ∝ the unioned index — the rare
+    * topology-level step, like the dedup merge.
+    * FederatedDedupSpec proves two-member == single-store. */
+  def federatedLivePostings(states: Seq[ContamState]): DataFrame = {
+    require(states.nonEmpty, "federation needs at least one member")
+    val caps = states.map(_.cap).distinct
+    require(caps.size == 1,
+      s"members disagree on the df cap ($caps) — the cap is an " +
+        "evidence-set invariant, federated or not")
+    val postAll = states.map(_.postings().select("k", "g"))
+      .reduce(_ unionByName _).distinct()
+    // a member-capped gram stays globally capped even when the member
+    // has COMPACTED (compaction prunes capped postings, so the global
+    // df recount would undercount it) — union the member verdicts in
+    val memberCapped = states.map(_.capped().select("g"))
+      .reduce(_ unionByName _)
+    val globalCapped = postAll.groupBy("g")
+      .agg(count(lit(1)).as("df")).filter(col("df") > caps.head)
+      .select("g")
+      .unionByName(memberCapped).distinct()
+    postAll.join(globalCapped, Seq("g"), "left_anti")
+  }
+
   /** Per-update accounting: gram work must track the batch's NEW
     * distinct content, never the corpus. */
   final case class UpdateReport(
@@ -95,6 +132,10 @@ final class ContamState(
     }.getOrElse((0L, 1L))
 
   def currentVersion: Long = pointer._1
+
+  /** The store's df-cap invariant — federation merges require all
+    * members to agree ([[ContamState.federatedLivePostings]]). */
+  def cap: Long = dfCap
 
   /** Number of version dirs a reader currently unions — bounded by
     * `autoCompactEvery` when set. */

@@ -130,6 +130,45 @@ class FederatedDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("federated contamination: two members equal one store, compaction-safe") {
+    val grams: DataFrame => DataFrame = texts =>
+      texts.filter(length(col("text")) >= 8)
+        .select(col("k"), col("text"),
+          explode(sequence(lit(1), least(length(col("text")) - 7, lit(64)),
+            lit(8))).as("p"))
+        .select(col("k"), expr("substring(text, p, 8)").as("g"))
+        .distinct()
+    // duplicate a slice across members so shared content counts once,
+    // and use a low cap so some grams cross it only GLOBALLY
+    val base = fixtureDocs.localCheckpoint()
+    val dupes = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val d = base.unionByName(dupes).localCheckpoint()
+    val cap = 8L
+
+    val one = new ContamState(spark, tmpRoot(), grams, cap)
+    one.update(d)
+    val want = one.livePostings().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+
+    val a = new ContamState(spark, tmpRoot(), grams, cap)
+    val b = new ContamState(spark, tmpRoot(), grams, cap)
+    a.update(d.filter(col("doc_id") % 2 === 0))
+    b.update(d.filter(col("doc_id") % 2 === 1))
+    def fedSet = ContamState.federatedLivePostings(Seq(a, b)).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fedSet === want)
+    // compaction prunes a member's capped postings; the merge must
+    // still retire those grams globally instead of recounting them low
+    a.compact()
+    assert(fedSet === want)
+    // cap disagreement refuses
+    val c = new ContamState(spark, tmpRoot(), grams, cap + 1)
+    val e = intercept[IllegalArgumentException](
+      ContamState.federatedLivePostings(Seq(a, c)))
+    assert(e.getMessage.contains("cap"))
+  }
+
   test("cap disagreement refuses to merge") {
     val prefixBands: DataFrame => DataFrame = docs =>
       docs.select(col("doc_id"), substring(col("text"), 1, 3).as("bkey"))

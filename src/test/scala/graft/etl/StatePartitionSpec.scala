@@ -204,6 +204,33 @@ class StatePartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.count() === expect)
   }
 
+  test("DerivedState key index prunes to the batch's buckets") {
+    val root = tmpRoot("statepart-derived-")
+    val derive: (DataFrame, DataFrame) => DataFrame = (rows, _) =>
+      rows.select(col("k"), length(col("text")).as("len"))
+    val st = new DerivedState(spark, root.toString, "len", "k", derive)
+    val d = bigDocs(12000).localCheckpoint()
+      .select(md5(col("text").cast("binary")).as("k"), col("text"))
+    st.update(d)
+    st.update(bigDocs(12050).filter(col("doc_id") >= 12000)
+      .select(md5(col("text").cast("binary")).as("k"), col("text")))
+
+    assert(partDirs(root, "v1/keys", "kb=").size > 200)
+    assert(partDirs(root, "v2/keys", "kb=").isEmpty) // flat small delta
+    val allBuckets = st.keys()
+      .select(DerivedState.keyBucket(col("k")).as("kb")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val some = allBuckets.take(2)
+    val pruned = st.keysTouching(some, st.currentVersion)
+    val (read, total) = filesReadVsTotal(pruned)
+    assert(total > 200, s"layout degenerate: only $total key files")
+    assert(read <= some.size + 1L,
+      s"key scan read $read of $total files for ${some.size} buckets")
+    val expect = st.keys()
+      .filter(DerivedState.keyBucket(col("k")).isin(some: _*)).count()
+    assert(pruned.count() === expect)
+  }
+
   test("ContamState self-compacts on cadence: version span stays bounded") {
     val root = tmpRoot("statepart-autocompact-")
     val grams: DataFrame => DataFrame = texts =>
