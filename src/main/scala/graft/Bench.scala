@@ -63,8 +63,10 @@ object Bench {
     // charging them to whichever query touches a cold memo first made
     // per-query numbers non-comparable round-over-round (BENCH_r11).
     val memoT0 = System.nanoTime()
+    var memoParts: Seq[(String, Double)] = Nil
     val memoErr =
-      try { graft.queries.EtlQueries.prebuildMemos(spark, sfDir); None }
+      try { memoParts = graft.queries.EtlQueries.prebuildMemos(spark, sfDir)
+        None }
       catch { case e: Throwable => Some(e.toString) }
     val memoSec = (System.nanoTime() - memoT0) / 1e9
     System.gc()
@@ -113,8 +115,10 @@ object Bench {
       .map { case (k, e) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val memos = memoParts.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""memo_build":$memoSec,"passes":3,""" +
+      s""""memo_build":$memoSec,"memo_parts":$memos,"passes":3,""" +
       s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
       s""""queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()

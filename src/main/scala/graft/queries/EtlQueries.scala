@@ -1085,14 +1085,117 @@ object EtlQueries {
     * query happens to touch a cold memo first (the attribution drift
     * flagged in round 11). Builders are dependency-ordered; each memo's
     * `localCheckpoint()` is eager, so invoking the accessor builds it. */
-  def prebuildMemos(s: SparkSession, dir: String): Unit = {
-    distinctGroups(s, dir); repSignatures(s, dir); corpusBandPairs(s, dir)
-    dedupClusters(s, dir); langPredictions(s, dir); contamPostings(s, dir)
-    repTriGrams(s, dir); repWordCounts(s, dir)
-    embGroups(s, dir); embCosPairs(s, dir); embClusters(s, dir)
-    sq8Codes(s, dir); kmeansCentroids(s, dir); kmeansAssignments(s, dir)
-    incrDedupState(s, dir); fedDocClusters(s, dir); winnowSelSet(s, dir)
-    ()
+  /** The contamination probe's oracle SQL — shared verbatim by the
+    * single-store (`q_contamination`) and federated (`q_contam_fed`)
+    * forms: the federated merge must be evidence-indistinguishable
+    * from one store over the union corpus. */
+  private def contaminationSql: String =
+    s"""WITH grams AS (
+       |  SELECT DISTINCT doc_id, substr(text, CAST(p AS INTEGER), 8) AS g
+       |  FROM documents, generate_series(1, $MaxPos, 2) AS s(p)
+       |  WHERE p <= length(text) - 7),
+       |tg AS (
+       |  SELECT DISTINCT text, substr(text, CAST(p AS INTEGER), 8) AS g
+       |  FROM documents, generate_series(1, $MaxPos, 2) AS s(p)
+       |  WHERE p <= length(text) - 7),
+       |rare AS (SELECT g FROM tg GROUP BY g HAVING COUNT(*) <= $ContamDfCap),
+       |rg AS (SELECT doc_id, grams.g FROM grams JOIN rare ON rare.g = grams.g),
+       |probe AS (SELECT doc_id, g FROM rg WHERE doc_id % 97 = 0),
+       |psz AS (SELECT doc_id, COUNT(*) AS np FROM probe GROUP BY doc_id),
+       |hits AS (
+       |  SELECT c.doc_id, p.doc_id AS probe_id, COUNT(*) AS shared
+       |  FROM rg c JOIN probe p ON p.g = c.g AND c.doc_id % 97 <> 0
+       |  GROUP BY c.doc_id, p.doc_id)
+       |SELECT h.doc_id, h.probe_id, CAST(h.shared AS BIGINT) AS shared,
+       |  CAST(s.np AS BIGINT) AS np
+       |FROM hits h JOIN psz s ON s.doc_id = h.probe_id
+       |WHERE h.shared * 20 >= s.np * 3
+       |ORDER BY h.doc_id, h.probe_id""".stripMargin
+
+  /** The contamination probe over an arbitrary live-postings index
+    * (k, g) — the downstream shared by both query forms. */
+  private def contaminationReport(s: SparkSession, dir: String,
+                                  kGrams: DataFrame): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), textKey.as("k"))
+    val isProbe = pmod(col("doc_id"), lit(97)) === 0
+    val probeM = d.filter(isProbe)
+      .select(col("k").as("kp"), col("doc_id").as("probe_id"))
+    val corpusM = d.filter(!isProbe)
+      .select(col("k").as("kc"), col("doc_id"))
+    // The probe relation is an eval suite by construction (thousands
+    // of docs, low-millions of rare-gram postings); when its ACTUAL
+    // posting count is small, BROADCAST it so the corpus postings
+    // are never sort-merge-shuffled against a KB-scale table — at
+    // 100 TB that shuffle would move the whole corpus gram set for
+    // nothing. The probe frame is materialized once (both the
+    // containment join and the denominator read it; an un-pinned
+    // broadcast would re-derive the whole gram pipeline through the
+    // driver per consumer), so the posting count that gates the
+    // broadcast is a free scan of its blocks.
+    val probeGrams = kGrams
+      .join(probeM.select(col("kp").as("k")).distinct(), Seq("k"), "left_semi")
+      .withColumnRenamed("k", "kp")
+      .localCheckpoint()
+    def probeSide(df: DataFrame): DataFrame =
+      if (probeGrams.count() <= ContamBroadcastMaxPostings) broadcast(df)
+      else df
+    val corpusGrams = kGrams
+      .join(corpusM.select(col("kc").as("k")).distinct(), Seq("k"), "left_semi")
+      .withColumnRenamed("k", "kc")
+    val np = probeGrams.groupBy("kp").agg(count(lit(1)).as("np"))
+    val hitsK = corpusGrams.join(probeSide(probeGrams), "g")
+      .groupBy("kc", "kp").agg(count(lit(1)).as("shared"))
+      .join(probeSide(np), "kp")
+      .filter(col("shared") * 20 >= col("np") * 3)
+    hitsK.join(corpusM, "kc").join(probeM, "kp")
+      .select(col("doc_id"), col("probe_id"), col("shared"), col("np"))
+      .orderBy("doc_id", "probe_id")
+  }
+
+  /** Two member decontamination indexes (doc_id-parity split) merged
+    * by [[graft.etl.ContamState.federatedLivePostings]]. */
+  private val fedContamMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def fedContamPostings(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo(fedContamMemo, s, dir) {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val a = new graft.etl.ContamState(s,
+        tempStateRoot("graft-fedcontam-a-"), contamGrams, ContamDfCap)
+      val b = new graft.etl.ContamState(s,
+        tempStateRoot("graft-fedcontam-b-"), contamGrams, ContamDfCap)
+      a.update(d.filter(col("doc_id") % 2 === 0))
+      b.update(d.filter(col("doc_id") % 2 === 1))
+      graft.etl.ContamState.federatedLivePostings(Seq(a, b))
+        .localCheckpoint()
+    }
+
+  /** Build every fixture memo / persisted store, returning per-family
+    * wall times so the bench can attribute the one-time index-build
+    * cost line by line (round-over-round comparability — the single
+    * `memo_build` total hid which family grew). Order matters only
+    * for attribution: a family's time covers what IT adds on top of
+    * the memos built before it. */
+  def prebuildMemos(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def t(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      f
+      out += name -> (System.nanoTime() - t0) / 1e9
+    }
+    t("groups") { distinctGroups(s, dir) }
+    t("minhash") { repSignatures(s, dir); corpusBandPairs(s, dir)
+      dedupClusters(s, dir) }
+    t("langpred") { langPredictions(s, dir) }
+    t("contam") { contamPostings(s, dir) }
+    t("ngrams") { repTriGrams(s, dir); repWordCounts(s, dir) }
+    t("embed") { embGroups(s, dir); embCosPairs(s, dir); embClusters(s, dir) }
+    t("sq8") { sq8Codes(s, dir) }
+    t("kmeans") { kmeansCentroids(s, dir); kmeansAssignments(s, dir) }
+    t("dedup_store") { incrDedupState(s, dir) }
+    t("fed_dedup") { fedDocClusters(s, dir) }
+    t("winnow") { winnowSelSet(s, dir) }
+    t("fed_contam") { fedContamPostings(s, dir) }
+    out.toSeq
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -1224,64 +1327,19 @@ object EtlQueries {
     // relation (eval suites are thousands of docs), and top-frequency
     // "stopword" grams would be dropped before the join to bound key
     // skew — the fixture's gram distribution doesn't need it.
-    "q_contamination" -> QueryDef(
-      s"""WITH grams AS (
-         |  SELECT DISTINCT doc_id, substr(text, CAST(p AS INTEGER), 8) AS g
-         |  FROM documents, generate_series(1, $MaxPos, 2) AS s(p)
-         |  WHERE p <= length(text) - 7),
-         |tg AS (
-         |  SELECT DISTINCT text, substr(text, CAST(p AS INTEGER), 8) AS g
-         |  FROM documents, generate_series(1, $MaxPos, 2) AS s(p)
-         |  WHERE p <= length(text) - 7),
-         |rare AS (SELECT g FROM tg GROUP BY g HAVING COUNT(*) <= $ContamDfCap),
-         |rg AS (SELECT doc_id, grams.g FROM grams JOIN rare ON rare.g = grams.g),
-         |probe AS (SELECT doc_id, g FROM rg WHERE doc_id % 97 = 0),
-         |psz AS (SELECT doc_id, COUNT(*) AS np FROM probe GROUP BY doc_id),
-         |hits AS (
-         |  SELECT c.doc_id, p.doc_id AS probe_id, COUNT(*) AS shared
-         |  FROM rg c JOIN probe p ON p.g = c.g AND c.doc_id % 97 <> 0
-         |  GROUP BY c.doc_id, p.doc_id)
-         |SELECT h.doc_id, h.probe_id, CAST(h.shared AS BIGINT) AS shared,
-         |  CAST(s.np AS BIGINT) AS np
-         |FROM hits h JOIN psz s ON s.doc_id = h.probe_id
-         |WHERE h.shared * 20 >= s.np * 3
-         |ORDER BY h.doc_id, h.probe_id""".stripMargin) { (s, dir) =>
-      val d = docs(s, dir).select(col("doc_id"), textKey.as("k"))
-      val isProbe = pmod(col("doc_id"), lit(97)) === 0
-      val probeM = d.filter(isProbe)
-        .select(col("k").as("kp"), col("doc_id").as("probe_id"))
-      val corpusM = d.filter(!isProbe)
-        .select(col("k").as("kc"), col("doc_id"))
-      val kGrams = contamPostings(s, dir)
-      // The probe relation is an eval suite by construction (thousands
-      // of docs, low-millions of rare-gram postings); when its ACTUAL
-      // posting count is small, BROADCAST it so the corpus postings
-      // are never sort-merge-shuffled against a KB-scale table — at
-      // 100 TB that shuffle would move the whole corpus gram set for
-      // nothing. The probe frame is materialized once (both the
-      // containment join and the denominator read it; an un-pinned
-      // broadcast would re-derive the whole gram pipeline through the
-      // driver per consumer), so the posting count that gates the
-      // broadcast is a free scan of its blocks.
-      val probeGrams = kGrams
-        .join(probeM.select(col("kp").as("k")).distinct(), Seq("k"), "left_semi")
-        .withColumnRenamed("k", "kp")
-        .localCheckpoint()
-      def probeSide(df: DataFrame): DataFrame =
-        if (probeGrams.count() <= ContamBroadcastMaxPostings) broadcast(df)
-        else df
-      val corpusGrams = kGrams
-        .join(corpusM.select(col("kc").as("k")).distinct(), Seq("k"), "left_semi")
-        .withColumnRenamed("k", "kc")
-      val np = probeGrams.groupBy("kp").agg(count(lit(1)).as("np"))
-      val hitsK = corpusGrams.join(probeSide(probeGrams), "g")
-        .groupBy("kc", "kp").agg(count(lit(1)).as("shared"))
-        .join(probeSide(np), "kp")
-        .filter(col("shared") * 20 >= col("np") * 3)
-      hitsK.join(corpusM, "kc").join(probeM, "kp")
-        .select(col("doc_id"), col("probe_id"), col("shared"), col("np"))
-        .orderBy("doc_id", "probe_id")
+    "q_contamination" -> QueryDef(contaminationSql) { (s, dir) =>
+      contaminationReport(s, dir, contamPostings(s, dir))
     },
+
+    // FEDERATED contamination: the same probe report computed from TWO
+    // member decontamination indexes (doc_id-parity split) merged by
+    // ContamState.federatedLivePostings — the merge must serve the
+    // exact evidence a single store over the union corpus holds, so
+    // the oracle is q_contamination's, VERBATIM.
+    "q_contam_fed" -> QueryDef(contaminationSql) { (s, dir) =>
+      contaminationReport(s, dir, fedContamPostings(s, dir))
+    },
+
 
     // Cross-source overlap matrix — which sources copy from each
     // other, the provenance audit that decides whether dedup must run
