@@ -24,9 +24,13 @@ import org.apache.spark.sql.SparkSession
   *      round-over-round comparison the bench exists for. The median of
   *      three absorbs a single loaded pass; the JSON also records the
   *      host's 1-minute `loadavg` at start and end so a residually
-  *      noisy line can be read against the machine's state. A failing
-  *      query records `-1` in `queries` AND its message in `errors`
-  *      (never a silent time).
+  *      noisy line can be read against the machine's state. A query
+  *      failing in EVERY pass records `-1` in `queries` and its first
+  *      message in `errors`; a transiently failing query records the
+  *      LOWER median of its successful passes (never the upward bias
+  *      of a loaded survivor pair) AND its error message — presence in
+  *      `errors` with a positive time means "flaky this run", not
+  *      "wrong".
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -98,7 +102,9 @@ object Bench {
     val results = queries.map { case (name, _) =>
       val runs = samples.map(_.find(_._1 == name).get)
       val ok = runs.map(_._2).filter(_ >= 0).sorted
-      val sec = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+      // lower median: with 2 surviving samples the larger one is the
+      // loaded pass more often than not
+      val sec = if (ok.isEmpty) -1.0 else ok((ok.size - 1) / 2)
       (name, sec, runs.flatMap(_._3).headOption)
     }
     def jstr(s: String): String =

@@ -129,9 +129,18 @@ object DedupState {
       .reduce(_ unionByName _)
     val membersAll = states.map(_.members().select("doc_id", "k"))
       .reduce(_ unionByName _)
+    // the cap counts DISTINCT CONTENT per bucket, as a single store
+    // does (band rows are per distinct content there): content
+    // ingested by several members carries one band row PER MEMBER REP,
+    // so the raw row count would inflate shared buckets and drop
+    // buckets a single store keeps — dedupe through the content key
+    // before counting
     val globalDropped = caps.head match {
       case None => bandsAll.select("bkey").limit(0)
-      case Some(cap) => bandsAll.groupBy("bkey")
+      case Some(cap) => bandsAll
+        .join(groupsAll.select("rid", "k"), "rid")
+        .select("bkey", "k").distinct()
+        .groupBy("bkey")
         .agg(count(lit(1)).as("n")).filter(col("n") > cap).select("bkey")
     }
     val liveBands = bandsAll.join(globalDropped, Seq("bkey"), "left_anti")

@@ -196,11 +196,6 @@ final class DerivedState(
       .filter(col("kb").isin(buckets: _*)).drop("kb")
   }
 
-  private def keysDiskSchema(keyed: DataFrame): StructType =
-    StructType(Seq(keyed.schema(keyCol), StructField("ver",
-      org.apache.spark.sql.types.LongType),
-      StructField("kb", IntegerType)))
-
   private def writeKeys(next: Long, keyFrame: DataFrame, n: Long): Long = {
     if (n > 0) {
       val target = store.resolve(s"v$next/keys").toString
@@ -332,8 +327,11 @@ final class DerivedState(
     if (cur == 0) return 0L
     val next = cur + 1
     val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val k = keys(cur).cpInto(cps)
-    val d = derived(cur).cpInto(cps)
+    // a table whose schema file was never written has never held a row
+    // (empty batches / rowless derivations / train-only stores) — a
+    // legitimate state compact must squash through, not throw on
+    val kOpt = storedSchema("keys").map(_ => keys(cur).cpInto(cps))
+    val dOpt = storedSchema("derived").map(_ => derived(cur).cpInto(cps))
     val nArts =
       if (manifest(base).getOrElse("artifacts", 0L) > 0) {
         val a = artifacts().cpInto(cps)
@@ -343,8 +341,9 @@ final class DerivedState(
         n
       } else 0L
     val counts = Seq(
-      "keys" -> writeKeys(next, k, k.count()),
-      "derived" -> writeFlat(next, "derived", d, d.count()),
+      "keys" -> kOpt.map(k => writeKeys(next, k, k.count())).getOrElse(0L),
+      "derived" -> dOpt.map(d => writeFlat(next, "derived", d, d.count()))
+        .getOrElse(0L),
       "artifacts" -> nArts)
     finishVersion(next, next, counts, lastKey)
     cps.foreach(_.unpersist())

@@ -138,6 +138,32 @@ class DerivedStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!vDirs.contains("v1") && !vDirs.contains("v2"))
   }
 
+  test("compact survives rowless stores: empty batches, train-only") {
+    val ss = spark; import ss.implicits._
+    // (a) pure-append store whose updates all land empty batches:
+    // versions advance, the autoCompact trigger fires, nothing throws
+    val st = new DerivedState(spark, tmpRoot(), "words", "k", wordDerive,
+      autoCompactEvery = 2)
+    val empty = Seq.empty[(String, String)].toDF("k", "text")
+    st.update(empty); st.update(empty); st.update(empty)
+    assert(st.liveVersionSpan <= 2)
+    // (b) trained store compacted before any content arrives: the
+    // artifacts must carry through the squash
+    val trainer: DataFrame => DataFrame = corpus =>
+      corpus.agg(max(length(col("text"))).as("maxlen"))
+    val derive: (DataFrame, DataFrame) => DataFrame = (rows, art) =>
+      rows.crossJoin(broadcast(art))
+        .select(col("k"), (length(col("text")) * lit(1000L) /
+          col("maxlen")).as("score"))
+    val t = new DerivedState(spark, tmpRoot(), "score", "k", derive,
+      Some(trainer))
+    t.train(fixtureDocs.limit(50).localCheckpoint())
+    t.compact()
+    assert(t.artifacts().count() === 1L)
+    t.update(fixtureDocs.limit(20).localCheckpoint())
+    assert(t.derived().count() > 0)
+  }
+
   test("keyed updates skip replays within a scope, apply across scopes") {
     val d = fixtureDocs.localCheckpoint()
     val st = new DerivedState(spark, tmpRoot(), "words", "k", wordDerive)

@@ -112,6 +112,32 @@ class FederatedDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hotClusters.size === 6, "capped bucket must not cluster")
   }
 
+  test("cap counts distinct content, not per-member reps") {
+    // content shared ACROSS members carries one band row per member
+    // rep; the cap must count it ONCE (single-store semantics: band
+    // rows are per distinct content). Here the bucket holds 4 distinct
+    // contents = exactly the cap, but 5 member reps — a raw row count
+    // would drop it and split the cluster a single store builds.
+    val prefixBands: DataFrame => DataFrame = docs =>
+      docs.select(col("doc_id"), substring(col("text"), 1, 3).as("bkey"))
+    val ss = spark; import ss.implicits._
+    val d = Seq(
+      (0L, "HOT shared content"), (1L, "HOT shared content"), // A and B
+      (2L, "HOT second"), (3L, "HOT third"), (4L, "HOT fourth"),
+      (10L, "c10 unique"), (11L, "c11 unique"))
+      .toDF("doc_id", "text").localCheckpoint()
+    val cap = Some(4L)
+    val a = new DedupState(spark, tmpRoot(), prefixBands, cap)
+    val b = new DedupState(spark, tmpRoot(), prefixBands, cap)
+    a.update(d.filter(col("doc_id") % 2 === 0))
+    b.update(d.filter(col("doc_id") % 2 === 1))
+    val fed = DedupState.federatedDocClusters(Seq(a, b))
+    assert(partitionOf(fed, d) === singleStorePartition(d, prefixBands, cap))
+    // the live bucket really did cluster: all 5 HOT docs together
+    val hotKeys = partitionOf(fed, d).filter(_._1 < 5L).map(_._2)
+    assert(hotKeys.size === 1, s"under-cap bucket must cluster, got $hotKeys")
+  }
+
   test("merge plan guardrail: every join equi-keyed, no cartesian") {
     val prefixBands: DataFrame => DataFrame = docs =>
       docs.select(col("doc_id"), substring(col("text"), 1, 3).as("bkey"))
