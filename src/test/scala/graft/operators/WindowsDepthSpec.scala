@@ -279,6 +279,68 @@ class WindowsDepthSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"coverage: $suppressedN suppressed, $keptN kept")
   }
 
+  test("strict suppression holds at the second ladder width (u=256, depth=9)") {
+    val ss = spark; import ss.implicits._
+    val u = 256L
+    val seed = 21L
+    info(s"seed = $seed")
+    val rnd = new scala.util.Random(seed)
+    var suppressedN = 0
+    var keptN = 0
+    for (i <- 0 until 60) {
+      // half the cases use u-aligned geometry (width a multiple of u,
+      // start on the u grid) so the exact-fit protection path — a tile
+      // ending exactly at the final boundary — actually occurs; free
+      // geometry makes that boundary u-aligned with chance 1/u only.
+      // Widths straddle u so both branches of the u<=width condition
+      // in strictDropsFinal are exercised.
+      val aligned = i % 2 == 0
+      val width =
+        if (aligned) u * (1 + rnd.nextInt(2))
+        else 64L + rnd.nextInt(512)
+      val start =
+        if (aligned) u * (rnd.nextInt(9) - 4)
+        else (rnd.nextInt(2001) - 1000).toLong
+      val end = start + width * (2 + rnd.nextInt(6)) +
+        (if (rnd.nextInt(4) == 0) rnd.nextInt(width.toInt) else 0)
+      val pts = List.fill(rnd.nextInt(60)) {
+        val t = start - 2 * u + rnd.nextLong(end - start + 4 * u)
+        (t, (rnd.nextInt(199) - 99) / 4.0)
+      }
+      val e = end - ((end - start) % width)
+      if (e > start) {
+        val n = (e - start) / width
+        val buckets = pts.groupBy { case (t, _) => Math.floorDiv(t, u) * u }
+          .toSeq.sortBy(_._1)
+          .map { case (bs, ps) =>
+            B(bs, ps.size, ps.map(_._2).min, ps.map(_._2).max,
+              ps.map(_._2).sum) }
+        val byI = simulate(buckets, start, end, width, u, strict = true)
+          .filter(w => w.i >= 0 && w.i < n).map(w => w.i -> w).toMap
+        val hasFinal = byI.contains(n - 1)
+        if (hasFinal) keptN += 1 else suppressedN += 1
+        val m = if (hasFinal) n else n - 1
+        val expected = (0L until m).map(i =>
+          byI.getOrElse(i, W(i, 0, 0.0, 0.0, 0.0)))
+        val df = pts.toDF("time", "value").withColumn("sid", lit(1L))
+        val got = StatOps.windowsDepth(df, 1L, start, end, width, 9,
+            strictFinalWindow = true)
+          .orderBy("i").collect()
+          .map(r => W(r.getLong(0), r.getLong(2), r.getDouble(3),
+            r.getDouble(4), r.getDouble(5)))
+        assert(got.length == expected.length,
+          s"row count (start=$start end=$end width=$width pts=$pts)")
+        got.zip(expected).foreach { case (g, x) =>
+          assert(g.i == x.i && g.cnt == x.cnt && g.vmin == x.vmin &&
+            g.vmax == x.vmax && math.abs(g.vmean - x.vmean) < 1e-9,
+            s"window ${g.i} (start=$start end=$end width=$width pts=$pts)")
+        }
+      }
+    }
+    assert(suppressedN >= 5 && keptN >= 5,
+      s"coverage: $suppressedN suppressed, $keptN kept")
+  }
+
   test("strict final window at depth 0: hole suppresses, boundary datum protects") {
     val ss = spark; import ss.implicits._
     val df = Seq((1L, 1.0), (2L, 2.0)).toDF("time", "value")
