@@ -581,6 +581,62 @@ object EtlQueries {
         .localCheckpoint()
     }
 
+  /** The PERSISTED 32-token span-hash store: (k, h, c) per distinct
+    * text, h = md5 of each 32-token window (capped at 512 positions),
+    * c = occurrences within the text — pure per-content, so it appends
+    * at batch cost like the winnow store; corpus facts (rid, nm)
+    * attach at read time. */
+  private val spanStateMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      graft.etl.DerivedState]
+  private def spanState(s: SparkSession, dir: String)
+      : graft.etl.DerivedState =
+    fixtureMemo(spanStateMemo, s, dir) {
+      val derive: (DataFrame, DataFrame) => DataFrame = (rows, _) =>
+        rows
+          .select(col("k"),
+            expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
+          .filter(size(col("w")) >= 32)
+          .select(col("k"), col("w"),
+            explode(sequence(lit(1),
+              least(size(col("w")) - 31, lit(512)))).as("i"))
+          .select(col("k"),
+            md5(concat_ws(" ", expr("slice(w, i, 32)")).cast("binary"))
+              .as("h"))
+          .groupBy("k", "h").agg(count(lit(1)).as("c"))
+      val st = new graft.etl.DerivedState(s,
+        tempStateRoot("graft-span-state-"),
+        "spans:w32:cap512", "k", derive)
+      val d = docs(s, dir).select(col("doc_id"), textKey.as("k"), col("text"))
+      (0 to 2).foreach(i => st.update(d.filter(col("doc_id") % 3 === i)))
+      st
+    }
+
+  /** The PERSISTED char-4-gram store: distinct (k, g) per distinct
+    * text (stride 2, MaxPos cap) — the exact-Jaccard side of the LSH
+    * pipeline re-shingled its candidate docs per session; old
+    * candidates' gram sets are now read, never re-derived. */
+  private val gram4StateMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      graft.etl.DerivedState]
+  private def gram4State(s: SparkSession, dir: String)
+      : graft.etl.DerivedState =
+    fixtureMemo(gram4StateMemo, s, dir) {
+      val derive: (DataFrame, DataFrame) => DataFrame = (rows, _) =>
+        rows.filter(length(col("text")) >= 4)
+          .select(col("k"), col("text"),
+            explode(sequence(lit(1),
+              least(length(col("text")) - 3, lit(MaxPos)), lit(2))).as("p"))
+          .select(col("k"), expr("substring(text, p, 4)").as("g"))
+          .distinct()
+      val st = new graft.etl.DerivedState(s,
+        tempStateRoot("graft-gram4-state-"),
+        s"gram4:stride2:maxpos=$MaxPos", "k", derive)
+      val d = docs(s, dir).select(col("doc_id"), textKey.as("k"), col("text"))
+      (0 to 2).foreach(i => st.update(d.filter(col("doc_id") % 3 === i)))
+      st
+    }
+
   /** Per-distinct-text word counts — (rid, nm, word, c) — the unigram
     * table every token-level consumer (tf-idf, vocab coverage, BPE
     * merge counting, unigram rarity) previously re-derived with its
@@ -1194,6 +1250,8 @@ object EtlQueries {
     t("dedup_store") { incrDedupState(s, dir) }
     t("fed_dedup") { fedDocClusters(s, dir) }
     t("winnow") { winnowSelSet(s, dir) }
+    t("spans") { spanState(s, dir) }
+    t("gram4") { gram4State(s, dir) }
     t("fed_contam") { fedContamPostings(s, dir) }
     out.toSeq
   }
@@ -1610,16 +1668,14 @@ object EtlQueries {
         .unionByName(repPairs.select(col("b").as("doc_id")))
         .unionByName(g.filter(col("nm") >= 2).select(col("rid").as("doc_id")))
         .distinct()
-      val grams = reps.join(needed, Seq("doc_id"), "left_semi")
-        .filter(length(col("text")) >= 4)
-        .select(col("doc_id"), col("text"),
-          // position cap mirrors the oracle's generate_series(1, MaxPos)
-          // — without it a > MaxPos+3-char doc grows extra Spark-side
-          // grams the SQL never scans
-          explode(sequence(lit(1),
-            least(length(col("text")) - 3, lit(MaxPos)), lit(2))).as("p"))
-        .select(col("doc_id"), expr("substring(text, p, 4)").as("g"))
-        .distinct()
+      // gram sets come from the PERSISTED store ([[gram4State]]),
+      // semi-pruned to docs that can reach the output — old
+      // candidates' grams are read, never re-shingled
+      val grams = gram4State(s, dir).derived()
+        .join(g.select("k", "rid")
+          .join(needed.withColumnRenamed("doc_id", "rid"),
+            Seq("rid"), "left_semi"), "k")
+        .select(col("rid").as("doc_id"), col("g"))
         // consumed three times (sizes + both sides of the intersection
         // join); bounded by candidate count × ≤ MaxPos/2 grams
         .localCheckpoint()
@@ -2914,17 +2970,11 @@ object EtlQueries {
       // direct per-doc form the oracle computes; compute ∝ distinct
       // content + output, so a duplicate-heavy corpus (the replica
       // probe, the crawled-corpus norm) pays nothing for its copies.
-      val g = distinctGroups(s, dir)
-      val spans = g
-        .select(col("rid"), col("nm"),
-          expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
-        .filter(size(col("w")) >= 32)
-        .select(col("rid"), col("nm"), col("w"),
-          explode(sequence(lit(1),
-            least(size(col("w")) - 31, lit(512)))).as("i"))
-        .select(col("rid"), col("nm"),
-          md5(concat_ws(" ", expr("slice(w, i, 32)")).cast("binary")).as("h"))
-      spans.groupBy("rid", "nm", "h").agg(count(lit(1)).as("c"))
+      // reads the PERSISTED span store ([[spanState]]: (k, h, c) per
+      // distinct text) — the 32-token windowing is priced once per
+      // content key, ever; rid/nm attach at read
+      spanState(s, dir).derived()
+        .join(distinctGroups(s, dir).select("k", "rid", "nm"), "k")
         .groupBy("h")
         .agg(sum("nm").as("n_docs"),
           sum(col("nm") * col("c")).as("n_occ"), min("rid").as("first_doc"))
