@@ -138,6 +138,32 @@ class DerivedStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!vDirs.contains("v1") && !vDirs.contains("v2"))
   }
 
+  test("an orphan version dir is invisible; the retried update overwrites it") {
+    val ss = spark; import ss.implicits._
+    val root = tmpRoot()
+    val st = new DerivedState(spark, root, "words", "k", wordDerive)
+    val d = fixtureDocs.localCheckpoint()
+    val b0 = d.filter(col("doc_id") % 3 === 0)
+    val b1 = d.filter(col("doc_id") % 3 =!= 0)
+    st.update(b0)
+    val afterB0 = derivedSet(st)
+    // simulate a crash AFTER v2's data writes but BEFORE the CURRENT
+    // flip: junk data + manifest land at v2, the pointer still says 1
+    Seq(("junk", "junk", 99L)).toDF("k", "word", "c").coalesce(1)
+      .write.parquet(s"$root/v2/derived")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/v2/MANIFEST"),
+      "keys=1,derived=1".getBytes("UTF-8"))
+    // readers resolve through the pointer: the orphan is invisible
+    assert(derivedSet(st) === afterB0)
+    // the retried batch lands AS v2, overwriting the orphan cleanly
+    st.update(b1)
+    val oneShot = new DerivedState(spark, tmpRoot(), "words", "k", wordDerive)
+    oneShot.update(d)
+    assert(derivedSet(st) === derivedSet(oneShot))
+    assert(!derivedSet(st).exists(_._1 == "junk"))
+  }
+
   test("compact survives rowless stores: empty batches, train-only") {
     val ss = spark; import ss.implicits._
     // (a) pure-append store whose updates all land empty batches:
