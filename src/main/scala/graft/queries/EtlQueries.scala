@@ -274,6 +274,26 @@ object EtlQueries {
     rootDir.toString
   }
 
+  /** Shared builder for the PURE-APPEND content stores (trigrams,
+    * words, winnow selections, span hashes, 4-gram sets): one
+    * [[graft.etl.DerivedState]] per family, fed the MEMOIZED
+    * distinct-content frame in three rid-striped batches — re-scanning
+    * raw docs would re-digest and re-dedupe per store build, and the
+    * batch split exercises the store's schedule invariance on every
+    * fixture. `derive` sees (rid, k, text) rows keyed by `k`. */
+  private def contentStore(
+      memo: java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+        graft.etl.DerivedState],
+      s: SparkSession, dir: String, prefix: String, fingerprint: String,
+      derive: (DataFrame, DataFrame) => DataFrame): graft.etl.DerivedState =
+    fixtureMemo(memo, s, dir) {
+      val st = new graft.etl.DerivedState(s, tempStateRoot(prefix),
+        fingerprint, "k", derive)
+      val d = distinctGroups(s, dir).select("rid", "k", "text")
+      (0 to 2).foreach(i => st.update(d.filter(col("rid") % 3 === i)))
+      st
+    }
+
   /** Distinct-text groups of the fixture corpus — (k, rid, nm, text)
     * with rid = min doc_id, nm = multiplicity — memoized per
     * (session, fixture) and materialized once: EVERY dedup consumer
@@ -467,8 +487,8 @@ object EtlQueries {
       graft.etl.DerivedState]
   private def triGramState(s: SparkSession, dir: String)
       : graft.etl.DerivedState =
-    fixtureMemo(triStateMemo, s, dir) {
-      val derive: (DataFrame, DataFrame) => DataFrame = (rows, _) =>
+    contentStore(triStateMemo, s, dir, "graft-trigram-state-",
+      "trigrams:ws-split:n=3", (rows, _) =>
         rows
           .select(col("k"),
             expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
@@ -477,14 +497,7 @@ object EtlQueries {
           .select(col("k"), explode(expr(
             "transform(sequence(0, n - 3), i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))"))
             .as("gram"))
-          .groupBy("k", "gram").agg(count(lit(1)).as("c"))
-      val st = new graft.etl.DerivedState(s,
-        tempStateRoot("graft-trigram-state-"),
-        "trigrams:ws-split:n=3", "k", derive)
-      val d = docs(s, dir).select(col("doc_id"), textKey.as("k"), col("text"))
-      (0 to 2).foreach(i => st.update(d.filter(col("doc_id") % 3 === i)))
-      st
-    }
+          .groupBy("k", "gram").agg(count(lit(1)).as("c")))
   private def repTriGrams(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(triGramMemo, s, dir) {
       triGramState(s, dir).derived()
@@ -558,17 +571,10 @@ object EtlQueries {
       graft.etl.DerivedState]
   private def winnowState(s: SparkSession, dir: String)
       : graft.etl.DerivedState =
-    fixtureMemo(winnowStateMemo, s, dir) {
-      val derive: (DataFrame, DataFrame) => DataFrame = (rows, _) =>
+    contentStore(winnowStateMemo, s, dir, "graft-winnow-state-",
+      s"winnow:w8:k8:maxpos=$MaxPos", (rows, _) =>
         winnowKeysOf(rows.select(col("k").as("doc_id"), col("text")))
-          .select(col("doc_id").as("k"), col("sel"))
-      val st = new graft.etl.DerivedState(s,
-        tempStateRoot("graft-winnow-state-"),
-        s"winnow:w8:k8:maxpos=$MaxPos", "k", derive)
-      val d = docs(s, dir).select(col("doc_id"), textKey.as("k"), col("text"))
-      (0 to 2).foreach(i => st.update(d.filter(col("doc_id") % 3 === i)))
-      st
-    }
+          .select(col("doc_id").as("k"), col("sel")))
   /** The winnow selections re-keyed to rep ids — (doc_id = rid, sel) —
     * shared by the sketch report and the match step. */
   private val winnowSelMemo =
@@ -591,8 +597,8 @@ object EtlQueries {
       graft.etl.DerivedState]
   private def spanState(s: SparkSession, dir: String)
       : graft.etl.DerivedState =
-    fixtureMemo(spanStateMemo, s, dir) {
-      val derive: (DataFrame, DataFrame) => DataFrame = (rows, _) =>
+    contentStore(spanStateMemo, s, dir, "graft-span-state-",
+      "spans:w32:cap512", (rows, _) =>
         rows
           .select(col("k"),
             expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
@@ -603,14 +609,7 @@ object EtlQueries {
           .select(col("k"),
             md5(concat_ws(" ", expr("slice(w, i, 32)")).cast("binary"))
               .as("h"))
-          .groupBy("k", "h").agg(count(lit(1)).as("c"))
-      val st = new graft.etl.DerivedState(s,
-        tempStateRoot("graft-span-state-"),
-        "spans:w32:cap512", "k", derive)
-      val d = docs(s, dir).select(col("doc_id"), textKey.as("k"), col("text"))
-      (0 to 2).foreach(i => st.update(d.filter(col("doc_id") % 3 === i)))
-      st
-    }
+          .groupBy("k", "h").agg(count(lit(1)).as("c")))
 
   /** The PERSISTED char-4-gram store: distinct (k, g) per distinct
     * text (stride 2, MaxPos cap) — the exact-Jaccard side of the LSH
@@ -621,21 +620,14 @@ object EtlQueries {
       graft.etl.DerivedState]
   private def gram4State(s: SparkSession, dir: String)
       : graft.etl.DerivedState =
-    fixtureMemo(gram4StateMemo, s, dir) {
-      val derive: (DataFrame, DataFrame) => DataFrame = (rows, _) =>
+    contentStore(gram4StateMemo, s, dir, "graft-gram4-state-",
+      s"gram4:stride2:maxpos=$MaxPos", (rows, _) =>
         rows.filter(length(col("text")) >= 4)
           .select(col("k"), col("text"),
             explode(sequence(lit(1),
               least(length(col("text")) - 3, lit(MaxPos)), lit(2))).as("p"))
           .select(col("k"), expr("substring(text, p, 4)").as("g"))
-          .distinct()
-      val st = new graft.etl.DerivedState(s,
-        tempStateRoot("graft-gram4-state-"),
-        s"gram4:stride2:maxpos=$MaxPos", "k", derive)
-      val d = docs(s, dir).select(col("doc_id"), textKey.as("k"), col("text"))
-      (0 to 2).foreach(i => st.update(d.filter(col("doc_id") % 3 === i)))
-      st
-    }
+          .distinct())
 
   /** Per-distinct-text word counts — (rid, nm, word, c) — the unigram
     * table every token-level consumer (tf-idf, vocab coverage, BPE
@@ -654,20 +646,13 @@ object EtlQueries {
       graft.etl.DerivedState]
   private def wordState(s: SparkSession, dir: String)
       : graft.etl.DerivedState =
-    fixtureMemo(wordStateMemo, s, dir) {
-      val derive: (DataFrame, DataFrame) => DataFrame = (rows, _) =>
+    contentStore(wordStateMemo, s, dir, "graft-word-state-",
+      "words:ws-split", (rows, _) =>
         rows
           .select(col("k"),
             explode(expr("filter(split(text, ' '), x -> length(x) > 0)"))
               .as("word"))
-          .groupBy("k", "word").agg(count(lit(1)).as("c"))
-      val st = new graft.etl.DerivedState(s,
-        tempStateRoot("graft-word-state-"),
-        "words:ws-split", "k", derive)
-      val d = docs(s, dir).select(col("doc_id"), textKey.as("k"), col("text"))
-      (0 to 2).foreach(i => st.update(d.filter(col("doc_id") % 3 === i)))
-      st
-    }
+          .groupBy("k", "word").agg(count(lit(1)).as("c")))
   private def repWordCounts(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(wordMemo, s, dir) {
       wordState(s, dir).derived()
