@@ -40,7 +40,9 @@ object DedupState {
     * `nBandRows` is the number of signature rows COMPUTED this update:
     * it must track the batch's new distinct content, never the corpus
     * (re-MinHashing a 100 TB corpus per daily crawl is exactly what
-    * this store exists to avoid). */
+    * this store exists to avoid). `nGramRows` is the gram-feature rows
+    * computed when the store carries pair-level similarity attributes
+    * ([[DedupState]]'s `gramsOf`) — same proportionality contract. */
   final case class UpdateReport(
       version: Long,
       nBatchDocs: Long,
@@ -49,7 +51,8 @@ object DedupState {
       nBandRows: Long,
       nNewPairs: Long,
       nDroppedBuckets: Long,
-      nRelabeled: Long)
+      nRelabeled: Long,
+      nGramRows: Long = 0L)
 
   private[etl] val MembersSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("k", StringType),
@@ -61,7 +64,13 @@ object DedupState {
     StructField("rid", LongType), StructField("bkey", StringType)))
   private[etl] val PairsSchema = StructType(Seq(
     StructField("a", LongType), StructField("b", LongType),
-    StructField("bkey", StringType)))
+    StructField("bkey", StringType),
+    StructField("jac_num", LongType), StructField("jac_den", LongType)))
+  private[etl] val FeatsSchema = StructType(Seq(
+    StructField("rid", LongType), StructField("g", StringType)))
+  private[etl] val FSizesSchema = StructType(Seq(
+    StructField("rid", LongType), StructField("n", LongType),
+    StructField("nb", LongType)))
   private[etl] val DroppedSchema = StructType(Seq(
     StructField("bkey", StringType)))
   private[etl] val LabelsSchema = StructType(Seq(
@@ -93,6 +102,17 @@ object DedupState {
     *     edges justified only by globally-dropped buckets die — the
     *     same retroactive rule [[DedupState.update]] applies within
     *     one store. All members must share the cap (META invariant).
+    *
+    * INVARIANT: `doc_id` must be GLOBALLY unique across federation
+    * members (the single-store contract, federated): the merge joins
+    * band/group rows on `rid` (a doc_id) and builds star edges from the
+    * per-content min rid, so a doc_id claimed by two members — worse,
+    * for DIFFERENT content — would silently corrupt the edge and canon
+    * graphs. The merge refuses when it can SEE a violation (one doc_id
+    * mapped to two content keys across members); same-content
+    * collisions are indistinguishable from legitimate shared ingest and
+    * remain the deployment's responsibility (the engine's federation
+    * assigns members disjoint ownership — `Federation.ownerOf`).
     *
     * Cost: one CC over the global candidate-edge set — ∝ corpus
     * edges, NOT ∝ a batch. This is the rare topology-level step (run
@@ -129,6 +149,18 @@ object DedupState {
       .reduce(_ unionByName _)
     val membersAll = states.map(_.members().select("doc_id", "k"))
       .reduce(_ unionByName _)
+    // the globally-unique-doc_id invariant (see scaladoc): refuse when a
+    // doc_id maps to two content keys across members — a silent graph
+    // corruption otherwise. One narrow aggregation over the id/key
+    // frame; this merge is a topology-time step, so the check is cheap
+    // relative to the CC it guards.
+    val conflicts = membersAll.groupBy("doc_id")
+      .agg(countDistinct("k").as("nk")).filter(col("nk") > 1)
+      .limit(1).collect()
+    require(conflicts.isEmpty,
+      s"doc_id ${conflicts.head.getLong(0)} carries different content in " +
+        "different federation members — doc_ids must be globally unique " +
+        "across members")
     // the cap counts DISTINCT CONTENT per bucket, as a single store
     // does (band rows are per distinct content there): content
     // ingested by several members carries one band row PER MEMBER REP,
@@ -222,11 +254,35 @@ object DedupState {
   *                                              partitioned by digest prefix
   *   root/v{N}/bands/bp=…    (rid, bkey)        signatures of new reps,
   *                                              partitioned by bkey bucket
-  *   root/v{N}/pairs/bp=…    (a, b, bkey)       new edges + provenance,
+  *   root/v{N}/pairs/bp=…    (a, b, bkey,       new edges + provenance
+  *                            jac_num, jac_den)  + pair similarity,
   *                                              partitioned by bkey bucket
   *   root/v{N}/dropped       (bkey)             buckets newly over cap
   *   root/v{N}/labels        (rid, cluster, ver) new + relabeled reps
+  *   root/v{N}/feats/bp=…    (rid, g)           gram features of new reps
+  *                                              (only with `gramsOf`),
+  *                                              partitioned by rid bucket
+  *   root/v{N}/fsizes        (rid, n, nb)       gram-set size + band-row
+  *                                              count per new rep
   * }}}
+  *
+  * Pair-level similarity (`gramsOf`, optional): when the caller supplies
+  * a gram-feature function — (doc_id, text) → distinct (doc_id, g) rows,
+  * e.g. the char-4-gram shingling of the n-gram-Jaccard pipeline — every
+  * emitted pair is persisted WITH its exact Jaccard fraction
+  * (jac_num = |A∩B|, jac_den = |A∪B|) computed at pair-emission time.
+  * This is the right place to price it: the Jaccard is a pure function
+  * of the two contents, pairs are emitted exactly once (new×old +
+  * new×new; bucket co-membership is monotone), and pairs die
+  * retroactively with capped buckets — so the attributes fold and die
+  * with their rows, and a corpus-wide similarity report becomes a READ
+  * of the pair index instead of a per-session re-shingle + intersect of
+  * every candidate. The gram features themselves persist per NEW rep
+  * (the feats index, rid-bucket partitioned so the pair step's
+  * old-endpoint reads prune like every other index probe here), and the
+  * per-rep set size persists in fsizes for consumers that need |A|
+  * without re-counting (identical-content pairs have J = n/n by
+  * construction).
   * A crash between data writes and the CURRENT flip leaves an orphan
   * v{N} dir that readers never see; the retried update overwrites it.
   * [[compact]] squashes all versions into one (and prunes dead pairs),
@@ -263,7 +319,8 @@ final class DedupState(
     rootUri: String,
     bandsOf: DataFrame => DataFrame,
     maxBucket: Option[Long] = None,
-    autoCompactEvery: Int = 0) {
+    autoCompactEvery: Int = 0,
+    gramsOf: Option[DataFrame => DataFrame] = None) {
 
   require(autoCompactEvery >= 0, "autoCompactEvery must be >= 0 (0 = off)")
 
@@ -302,13 +359,15 @@ final class DedupState(
     if (cur == 0) 0L else cur - base + 1
   }
 
-  private def metaLine: String = s"maxBucket=${maxBucket.getOrElse(-1L)}"
+  private def metaLine: String =
+    s"maxBucket=${maxBucket.getOrElse(-1L)},grams=${gramsOf.isDefined}"
 
   private def checkOrWriteMeta(): Unit = store.readString("META") match {
     case Some(m) =>
       require(m.trim == metaLine,
         s"DedupState at $rootUri was built with '${m.trim}', reopened with " +
-          s"'$metaLine' — the bucket cap is an edge-set invariant")
+          s"'$metaLine' — the bucket cap and gram attribution are edge-set " +
+          "invariants")
     case None => store.writeAtomic("META", metaLine)
   }
 
@@ -332,7 +391,10 @@ final class DedupState(
   private val partitionField: Map[String, (StructField, Column)] = Map(
     "groups" -> ((StructField("kp", StringType), keyPrefix(col("k")))),
     "bands" -> ((StructField("bp", IntegerType), bandBucket(col("bkey")))),
-    "pairs" -> ((StructField("bp", IntegerType), bandBucket(col("bkey")))))
+    "pairs" -> ((StructField("bp", IntegerType), bandBucket(col("bkey")))),
+    // feats are probed by REP id (the pair step's old-endpoint read),
+    // so they bucket on rid — same hash-bucket rationale as bkey
+    "feats" -> ((StructField("bp", IntegerType), bandBucket(col("rid")))))
 
   /** Union of a table's per-version deltas over [base, upTo], WITH the
     * table's partition column when it has one (each version dir is a
@@ -382,6 +444,10 @@ final class DedupState(
 
   private[etl] def pairsTouching(buckets: Seq[Int], upTo: Long): DataFrame =
     diskFrame("pairs", PairsSchema, upTo)
+      .filter(col("bp").isin(buckets: _*)).drop("bp")
+
+  private[etl] def featsTouching(buckets: Seq[Int], upTo: Long): DataFrame =
+    diskFrame("feats", FeatsSchema, upTo)
       .filter(col("bp").isin(buckets: _*)).drop("bp")
 
   /** The distinct partition values of `c` over `df` — driver-side but
@@ -434,10 +500,30 @@ final class DedupState(
   def bands(upTo: Long = currentVersion): DataFrame =
     tableFrame("bands", BandsSchema, upTo)
 
-  /** Candidate edges with bucket provenance — (a, b, bkey). Includes
+  /** Candidate edges with bucket provenance and (when the store carries
+    * `gramsOf`) their exact Jaccard fraction — (a, b, bkey, jac_num,
+    * jac_den); jac columns are null in attribute-less stores. Includes
     * edges whose bucket later died; [[liveEdges]] filters those. */
   def pairs(upTo: Long = currentVersion): DataFrame =
     tableFrame("pairs", PairsSchema, upTo)
+
+  /** Persisted gram features per rep — (rid, g). Only populated when
+    * the store was built with `gramsOf`. */
+  def feats(upTo: Long = currentVersion): DataFrame =
+    tableFrame("feats", FeatsSchema, upTo)
+
+  /** Per-rep summary — (rid, n = gram-set size, nb = band rows): reps
+    * whose `gramsOf` AND `bandsOf` both emitted nothing are absent. */
+  def featSizes(upTo: Long = currentVersion): DataFrame =
+    tableFrame("fsizes", FSizesSchema, upTo)
+
+  /** Distinct LIVE pairs with their stored similarity — (a, b, jac_num,
+    * jac_den): the corpus near-duplicate report served as a READ of the
+    * pair index (the jac columns are a pure function of (a, b), so the
+    * per-bucket provenance rows collapse losslessly). */
+  def livePairStats(upTo: Long = currentVersion): DataFrame =
+    pairs(upTo).join(dropped(upTo), Seq("bkey"), "left_anti")
+      .select("a", "b", "jac_num", "jac_den").distinct()
 
   /** Buckets dropped for crossing the cap — (bkey). */
   def dropped(upTo: Long = currentVersion): DataFrame =
@@ -522,6 +608,28 @@ final class DedupState(
       .cpInto(cps)
     val nBandRows = newBands.count()
 
+    // gram features for NEW distinct content only (when the store
+    // carries pair attributes) — the same ∝-batch contract as bands
+    val newFeats = gramsOf.map { gf =>
+      gf(newGroups.select(col("rid").as("doc_id"), col("text")))
+        .select(col("doc_id").as("rid"), col("g")).cpInto(cps)
+    }
+    val nGramRows = newFeats.map(_.count()).getOrElse(0L)
+    // per-rep summary row: gram-set size + band-row count — `nb` lets
+    // consumers ask "did this rep band at all?" (the intra-pair gate of
+    // the expansion) without touching the band index, whose
+    // corpus-sized partitioned layout is priced for PRUNED probes, not
+    // full-index distincts
+    val newSizes = newFeats.map { f =>
+      f.groupBy("rid").agg(count(lit(1)).as("n"))
+        .join(newBands.groupBy("rid").agg(count(lit(1)).as("nb")),
+          Seq("rid"), "full_outer")
+        .select(col("rid"), coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("nb"), lit(0L)).as("nb"))
+        .cpInto(cps)
+    }
+    val nSizeRows = newSizes.map(_.count()).getOrElse(0L)
+
     // old members of the touched buckets: the band-index scan prunes
     // to the touched bkey-bucket partitions, then the semi-join prunes
     // to the exact buckets before anything pairs
@@ -558,7 +666,45 @@ final class DedupState(
       .join(liveNew.as("y"), "bkey")
       .filter(col("x.rid") < col("y.rid"))
       .select(col("x.rid").as("a"), col("y.rid").as("b"), col("bkey"))
-    val newPairs = crossPairs.unionByName(selfPairs).cpInto(cps)
+    val rawPairs = crossPairs.unionByName(selfPairs)
+    // pair-emission-time similarity: exact Jaccard of the two
+    // endpoints' gram sets, priced ONCE per pair ever (pairs are
+    // monotone; dying buckets take their pair rows — and the stored
+    // attributes — with them). Endpoint-bounded: old endpoints' gram
+    // sets come from the feats index pruned to the endpoints' rid
+    // buckets, never the corpus.
+    val newPairs = (newFeats match {
+      case None => rawPairs
+        .withColumn("jac_num", lit(null).cast("long"))
+        .withColumn("jac_den", lit(null).cast("long"))
+      case Some(nf) =>
+        val ab = rawPairs.select("a", "b").distinct()
+        val endpoints = ab.select(col("a").as("rid"))
+          .unionByName(ab.select(col("b").as("rid"))).distinct().cpInto(cps)
+        val epFeats = nf.join(endpoints, Seq("rid"), "left_semi")
+          .unionByName(featsTouching(
+              partitionValues[Int](endpoints, bandBucket(col("rid"))), cur)
+            .join(endpoints, Seq("rid"), "left_semi"))
+          .cpInto(cps)
+        val szs = epFeats.groupBy("rid").agg(count(lit(1)).as("n"))
+        val inter = ab
+          .join(epFeats.select(col("rid").as("a"), col("g")), "a")
+          .join(epFeats.select(col("rid").as("b"), col("g")), Seq("b", "g"))
+          .groupBy("a", "b").agg(count(lit(1)).as("nab"))
+        // outer joins: an endpoint whose gramsOf emitted nothing (too
+        // short) still keeps its pair row, with a (0, n) or (0, 0) jac
+        val jac = ab
+          .join(inter, Seq("a", "b"), "left_outer")
+          .join(szs.select(col("rid").as("a"), col("n").as("na")),
+            Seq("a"), "left_outer")
+          .join(szs.select(col("rid").as("b"), col("n").as("nb")),
+            Seq("b"), "left_outer")
+          .select(col("a"), col("b"),
+            coalesce(col("nab"), lit(0L)).as("jac_num"),
+            (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L))
+              - coalesce(col("nab"), lit(0L))).as("jac_den"))
+        rawPairs.join(jac, Seq("a", "b"), "left_outer")
+    }).cpInto(cps)
     val nNewPairs = newPairs.count()
     val newEdges = newPairs.select("a", "b").distinct()
 
@@ -680,6 +826,10 @@ final class DedupState(
         newGroups.select("k", "rid").withColumn("ver", lit(next)),
         nNewDistinct),
       "bands" -> writeDelta("bands", newBands, nBandRows),
+      "feats" -> newFeats.map(writeDelta("feats", _, nGramRows))
+        .getOrElse(0L),
+      "fsizes" -> newSizes.map(writeDelta("fsizes", _, nSizeRows))
+        .getOrElse(0L),
       "pairs" -> writeDelta("pairs", newPairs, nNewPairs),
       "dropped" -> writeDelta("dropped", newlyDropped, nDroppedBuckets),
       "labels" -> writeDelta("labels",
@@ -699,7 +849,8 @@ final class DedupState(
       compact()
 
     Some(UpdateReport(next, nBatchDocs, nBatchDistinct, nNewDistinct,
-      nBandRows, nNewPairs, nDroppedBuckets, math.max(0L, nRelabeled)))
+      nBandRows, nNewPairs, nDroppedBuckets, math.max(0L, nRelabeled),
+      nGramRows))
   }
 
   /** Squash all versions into one full snapshot (pruning dead buckets'
@@ -718,7 +869,8 @@ final class DedupState(
       .withColumn("ver", lit(next)).cpInto(cps)
     val tables = Seq(
       ("members", members(cur)), ("groups", seenKeys(cur)),
-      ("bands", bands(cur)), ("pairs", livePairs),
+      ("bands", bands(cur)), ("feats", feats(cur)),
+      ("fsizes", featSizes(cur)), ("pairs", livePairs),
       ("dropped", dropped(cur)), ("labels", resolved))
     val counts = tables.map { case (name, df) =>
       val chk = df.cpInto(cps)

