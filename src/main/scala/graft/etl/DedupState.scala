@@ -845,10 +845,15 @@ final class DedupState(
     // threshold, squash — the same self-maintenance cadence the
     // engine's segmented archive runs on. Runs AFTER the flip, so a
     // crash mid-compact costs nothing (the next update retries it).
-    if (autoCompactEvery > 0 && next - base + 1 >= autoCompactEvery)
-      compact()
+    // Report the POST-compact version in that case: compact advances
+    // the base past `next`, so a caller using report.version as an
+    // upTo bound would otherwise read an empty union of deleted dirs.
+    val finalVersion =
+      if (autoCompactEvery > 0 && next - base + 1 >= autoCompactEvery)
+        compact()
+      else next
 
-    Some(UpdateReport(next, nBatchDocs, nBatchDistinct, nNewDistinct,
+    Some(UpdateReport(finalVersion, nBatchDocs, nBatchDistinct, nNewDistinct,
       nBandRows, nNewPairs, nDroppedBuckets, math.max(0L, nRelabeled),
       nGramRows))
   }
@@ -884,6 +889,20 @@ final class DedupState(
     cps.foreach(_.unpersist())
     (base to cur).foreach(v => store.deleteRecursive(s"v$v"))
     (base to cur).foreach(manifests.remove)
+    sweepOrphans(next)
     next
   }
+
+  /** Reclaim version dirs stranded BELOW the read base (a crash between
+    * a compact's CURRENT flip and its delete loop orphans them
+    * permanently otherwise — invisible by the pointer contract, so the
+    * sweep is always safe). One root listing per compact. */
+  private def sweepOrphans(base: Long): Unit =
+    store.listNames("").foreach { name =>
+      if (name.length > 1 && name.head == 'v' && name.tail.forall(_.isDigit)
+          && name.tail.toLong < base) {
+        store.deleteRecursive(name)
+        manifests.remove(name.tail.toLong)
+      }
+    }
 }

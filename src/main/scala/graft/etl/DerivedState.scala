@@ -254,6 +254,7 @@ final class DerivedState(
       (base to cur).foreach(v => store.deleteRecursive(s"v$v"))
       (base to cur).foreach(manifests.remove)
     }
+    sweepOrphans(next)
     next
   }
 
@@ -314,10 +315,16 @@ final class DerivedState(
         .getOrElse(0L))
     finishVersion(next, base, counts, idempotencyKey.orElse(lastKey))
     cps.foreach(_.unpersist())
-    if (autoCompactEvery > 0 && next - base + 1 >= autoCompactEvery)
-      compact()
+    // report the POST-compact version when auto-compaction fires:
+    // compact() advances the base past `next`, so a caller using
+    // report.version as an upTo bound would otherwise read an empty
+    // union of deleted dirs
+    val finalVersion =
+      if (autoCompactEvery > 0 && next - base + 1 >= autoCompactEvery)
+        compact()
+      else next
 
-    Some(UpdateReport(next, nBatchRows, nNewKeys, nDerived))
+    Some(UpdateReport(finalVersion, nBatchRows, nNewKeys, nDerived))
   }
 
   /** Squash all delta versions into one (carrying the artifacts
@@ -349,6 +356,22 @@ final class DerivedState(
     cps.foreach(_.unpersist())
     (base to cur).foreach(v => store.deleteRecursive(s"v$v"))
     (base to cur).foreach(manifests.remove)
+    sweepOrphans(next)
     next
   }
+
+  /** Reclaim version dirs stranded BELOW the read base: a crash between
+    * a train/compact's CURRENT flip and its delete loop orphans the old
+    * v{base..cur} dirs permanently — later compacts only reclaim from
+    * the already-advanced base. Dirs below the base are invisible by
+    * the pointer contract, so sweeping them is always safe; one root
+    * listing per compact. */
+  private def sweepOrphans(base: Long): Unit =
+    store.listNames("").foreach { name =>
+      if (name.length > 1 && name.head == 'v' && name.tail.forall(_.isDigit)
+          && name.tail.toLong < base) {
+        store.deleteRecursive(name)
+        manifests.remove(name.tail.toLong)
+      }
+    }
 }

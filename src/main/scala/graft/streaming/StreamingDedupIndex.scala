@@ -28,6 +28,20 @@ import graft.etl.DedupState
   */
 object StreamingDedupIndex {
 
+  /** The idempotency SCOPE of a checkpoint identity: a 128-bit md5 hex
+    * of the checkpoint string. Scope strings ride the store's CURRENT
+    * pointer (whitespace-delimited), so the raw path can't be used
+    * verbatim; a 32-bit hash (the earlier choice) makes a collision
+    * between two checkpoints that ever feed the same store merely
+    * unlikely, and a collision would cross their seq comparisons and
+    * silently SKIP real micro-batches — at 128 bits it is negligible
+    * at any fleet size, the md5-as-identity bar the content keys
+    * already rely on. */
+  private[streaming] def scopeOf(checkpoint: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
   /** Wire a curated stream into a dedup store: returns the started
     * query. `curated` is [[StreamingCurator.curate]]'s output (or any
     * streaming Dataset with doc_id/text columns). */
@@ -42,8 +56,7 @@ object StreamingDedupIndex {
     // batchIds restart at 0 per checkpoint: scope the idempotency key
     // by the checkpoint identity so a NEW checkpoint against an
     // existing store starts a fresh sequence instead of colliding
-    val scope = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(checkpoint) & 0xffffffffL)
+    val scope = scopeOf(checkpoint)
     curated
       .select("doc_id", "text")
       .writeStream

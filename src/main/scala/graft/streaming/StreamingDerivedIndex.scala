@@ -39,9 +39,9 @@ object StreamingDerivedIndex {
   private[streaming] def writer(keyed: DataFrame, state: DerivedState,
                                 checkpoint: String): DataStreamWriter[Row] = {
     // batchIds restart at 0 per checkpoint: scope the idempotency key
-    // by the checkpoint identity (the StreamingDedupIndex rule)
-    val scope = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(checkpoint) & 0xffffffffL)
+    // by the checkpoint identity (the [[StreamingDedupIndex.scopeOf]]
+    // rule — 128-bit digest, collisions negligible)
+    val scope = StreamingDedupIndex.scopeOf(checkpoint)
     keyed
       .writeStream
       .outputMode("append")

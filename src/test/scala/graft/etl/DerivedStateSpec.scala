@@ -209,6 +209,40 @@ class DerivedStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(derivedSet(st) === derivedSet(plain))
   }
 
+  test("update reports the POST-compact version when auto-compaction fires") {
+    val d = fixtureDocs.localCheckpoint()
+    val st = new DerivedState(spark, tmpRoot(), "words", "k", wordDerive,
+      autoCompactEvery = 2)
+    st.update(d.filter(col("doc_id") % 2 === 0))
+    // this update triggers the compact (span reaches 2): the report
+    // must carry a version the READERS can use as an upTo bound
+    val r = st.update(d.filter(col("doc_id") % 2 === 1))
+    assert(r.version === st.currentVersion,
+      "report.version must be usable as keys()/derived() upTo")
+    assert(st.keys(r.version).count() > 0)
+    assert(st.derived(r.version).count() > 0)
+  }
+
+  test("compact sweeps version dirs orphaned below the base") {
+    val ss = spark; import ss.implicits._
+    val root = tmpRoot()
+    val st = new DerivedState(spark, root, "words", "k", wordDerive)
+    val d = fixtureDocs.localCheckpoint()
+    st.update(d.filter(col("doc_id") % 2 === 0))
+    st.update(d.filter(col("doc_id") % 2 === 1))
+    st.compact()
+    // simulate the crash window of a PRIOR compact: a stranded dir
+    // below the read base that the interrupted delete loop never
+    // reclaimed (invisible to readers, permanently leaked otherwise)
+    Seq(("zzz", "zzz", 1L)).toDF("k", "word", "c").coalesce(1)
+      .write.parquet(s"$root/v1/derived")
+    val before = derivedSet(st)
+    st.compact()
+    assert(derivedSet(st) === before)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/v1")),
+      "the sweep must reclaim dirs below the base")
+  }
+
   test("fingerprint is an open invariant; compact preserves; span bounded") {
     val d = fixtureDocs.localCheckpoint()
     val root = tmpRoot()
