@@ -23,6 +23,36 @@ object DerivedState {
   private[etl] val KeyBuckets = 256
   private[etl] def keyBucket(c: Column): Column =
     pmod(xxhash64(c), lit(KeyBuckets)).cast("int")
+
+  /** FEDERATED derived rows across members — the DerivedState analog of
+    * [[DedupState.federatedDocClusters]], with the contract the trained
+    * families NEED and the append families get for free: rows derived
+    * under DIFFERENT trained artifacts (two members each running their
+    * own `train()` — different quantizer scales, different centroid
+    * sets, different language profiles) are mutually incomparable, and
+    * nothing in the row values says so. The derivation fingerprint
+    * checks the FUNCTION and its constants; the artifact digest checks
+    * the trained VALUES — this merge refuses unless both agree across
+    * every member (train-once-distribute via [[DerivedState.adopt]] is
+    * how members come to agree). Pure-append members all carry
+    * digest = None and merge freely. Keys must be disjoint across
+    * members (the engine federation's disjoint-ownership contract —
+    * `Federation.ownerOf`); the union preserves whatever duplicates a
+    * violation would create, so a downstream dedupe-or-assert can see
+    * them. */
+  def federatedDerived(states: Seq[DerivedState]): DataFrame = {
+    require(states.nonEmpty, "federation needs at least one member")
+    val fps = states.map(_.derivationFingerprint).distinct
+    require(fps.size == 1,
+      s"members run different derivations ($fps) — row semantics differ")
+    val digests = states.map(_.artifactDigest).distinct
+    require(digests.size == 1,
+      s"members derive under DIFFERENT trained artifacts ($digests) — " +
+        "their rows are mutually incomparable (different quantizers/" +
+        "profiles/centroids). Train one member and let the others " +
+        "adopt() its frozen artifacts, then re-derive.")
+    states.map(_.derived()).reduce(_ unionByName _)
+  }
 }
 
 /** Versioned, persisted DERIVED-CONTENT store — the third (and
@@ -65,6 +95,8 @@ object DerivedState {
   *   root/v{N}/keys[/kb=…]     (key, ver)    new keys, hash-bucketed
   *   root/v{N}/derived         caller schema  new keys' derived rows
   *   root/v{N}/artifacts       caller schema  only at train versions
+  *   root/v{N}/ARTDIGEST       md5 of the artifact rows (train/adopt),
+  *                             the federation-merge compatibility key
   * }}}
   * Keys follow the [[DedupState.PartitionMinRows]] rule: corpus-sized
   * writes (train, compact) land partitioned for the pruned anti-join,
@@ -185,6 +217,32 @@ final class DerivedState(
     else spark.emptyDataFrame
   }
 
+  /** The derivation identity this store was built with — compared by
+    * the federated merge before unioning member rows. */
+  def derivationFingerprint: String = fingerprint.trim
+
+  /** Content digest of the current trained artifacts (None when
+    * untrained / pure-append): 128-bit, order-independent, persisted
+    * beside the artifact frame at train/adopt time and carried through
+    * compaction. Two members whose derived rows may be merged MUST
+    * agree on it ([[DerivedState.federatedDerived]]). */
+  def artifactDigest: Option[String] = {
+    val (_, base, _) = pointer
+    store.readString(s"v$base/ARTDIGEST").map(_.trim)
+  }
+
+  /** Canonical content digest of an artifact frame: md5 over the
+    * sorted JSON rendering of its rows. Artifact frames are small by
+    * contract (they broadcast into every derivation), so the collect
+    * is bounded; JSON field order follows the schema and parquet
+    * round-trips every stored value losslessly, so the digest is
+    * stable across write/read/adopt hops. */
+  private def digestOf(arts: DataFrame): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    arts.toJSON.collect().sorted.foreach(r => md.update(r.getBytes("UTF-8")))
+    md.digest().map(b => f"$b%02x").mkString
+  }
+
   /** Pruned key-index scan (the update path's corpus-sided read —
     * StatePartitionSpec's files-read ∝ touched-partitions contract). */
   private[etl] def keysTouching(buckets: Seq[Int], upTo: Long): DataFrame = {
@@ -240,16 +298,56 @@ final class DerivedState(
     val t = trainOf.getOrElse(throw new IllegalStateException(
       s"DerivedState at $rootUri has no trainer (pure-append store)"))
     checkOrWriteMeta()
-    val (cur, base, lastKey) = pointer
-    val next = cur + 1
     val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val arts = t(corpus).cpInto(cps)
+    val v = installArtifacts(arts, expectDigest = None)
+    cps.foreach(_.unpersist())
+    v
+  }
+
+  /** TRAIN-ONCE-DISTRIBUTE: install another member's frozen artifact
+    * frame as this store's new generation — the federation contract
+    * for trained families ([[DerivedState.federatedDerived]] refuses to
+    * merge members whose artifact digests differ; this is how members
+    * come to agree: ONE member trains, every other adopts). Same reset
+    * semantics as [[train]] — rows derived under the previous artifacts
+    * are a dead generation; the caller re-feeds content. The installed
+    * frame's digest is recomputed after the copy and must equal the
+    * source's persisted digest (an end-to-end lossless-copy check), and
+    * both stores must run the same derivation. */
+  def adopt(from: DerivedState): Long = {
+    require(trainOf.isDefined,
+      s"DerivedState at $rootUri is pure-append — nothing to adopt")
+    require(from.derivationFingerprint == derivationFingerprint,
+      s"cannot adopt artifacts across derivations " +
+        s"('${from.derivationFingerprint}' into '$derivationFingerprint')")
+    val theirs = from.artifactDigest.getOrElse(throw new IllegalStateException(
+      "source DerivedState has no trained artifacts to adopt"))
+    checkOrWriteMeta()
+    val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val arts = from.artifacts().cpInto(cps)
+    val v = installArtifacts(arts, expectDigest = Some(theirs))
+    cps.foreach(_.unpersist())
+    v
+  }
+
+  /** Shared generation-reset install for [[train]]/[[adopt]]: writes
+    * the artifact frame + its digest as the new base version, drops
+    * every prior version dir, sweeps orphans. */
+  private def installArtifacts(arts: DataFrame,
+                               expectDigest: Option[String]): Long = {
+    val (cur, base, lastKey) = pointer
+    val next = cur + 1
     val nArts = arts.count()
     require(nArts > 0, "trainOf produced an empty artifact frame")
+    val digest = digestOf(arts)
+    expectDigest.foreach(d => require(d == digest,
+      s"adopted artifact frame digests to $digest, source says $d — " +
+        "the copy is not the source's trained state"))
     arts.write.mode("overwrite")
       .parquet(store.resolve(s"v$next/artifacts").toString)
+    store.writeAtomic(s"v$next/ARTDIGEST", digest)
     finishVersion(next, next, Seq("artifacts" -> nArts), lastKey)
-    cps.foreach(_.unpersist())
     if (cur > 0) {
       (base to cur).foreach(v => store.deleteRecursive(s"v$v"))
       (base to cur).foreach(manifests.remove)
@@ -345,6 +443,9 @@ final class DerivedState(
         val n = a.count()
         a.write.mode("overwrite")
           .parquet(store.resolve(s"v$next/artifacts").toString)
+        // the digest identifies the trained VALUES, which a lossless
+        // squash preserves — carry it with the frame
+        artifactDigest.foreach(d => store.writeAtomic(s"v$next/ARTDIGEST", d))
         n
       } else 0L
     val counts = Seq(

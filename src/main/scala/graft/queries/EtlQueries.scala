@@ -982,18 +982,20 @@ object EtlQueries {
   private def scaledComponents(e: DataFrame): DataFrame = e
     .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "f")))
     .select(col("vec_id"), col("i"), col("f").cast("double").as("v"))
+  private val sq8Trainer: DataFrame => DataFrame = corpus =>
+    scaledComponents(corpus).agg(max(abs(col("v"))).as("gmax"))
+  private val sq8Derive: (DataFrame, DataFrame) => DataFrame = (rows, gm) =>
+    scaledComponents(rows).crossJoin(broadcast(gm))
+      .select(col("vec_id"), col("i"),
+        round(col("v") * 127 / col("gmax"), 0).cast("long").as("q"))
+  private def newSq8State(s: SparkSession, prefix: String)
+      : graft.etl.DerivedState =
+    new graft.etl.DerivedState(s, tempStateRoot(prefix),
+      "sq8:sym-int8:gmax", "vec_id", sq8Derive, Some(sq8Trainer))
   private def sq8State(s: SparkSession, dir: String)
       : graft.etl.DerivedState =
     fixtureMemo(sq8StateMemo, s, dir) {
-      val trainer: DataFrame => DataFrame = corpus =>
-        scaledComponents(corpus).agg(max(abs(col("v"))).as("gmax"))
-      val derive: (DataFrame, DataFrame) => DataFrame = (rows, gm) =>
-        scaledComponents(rows).crossJoin(broadcast(gm))
-          .select(col("vec_id"), col("i"),
-            round(col("v") * 127 / col("gmax"), 0).cast("long").as("q"))
-      val st = new graft.etl.DerivedState(s,
-        tempStateRoot("graft-sq8-state-"),
-        "sq8:sym-int8:gmax", "vec_id", derive, Some(trainer))
+      val st = newSq8State(s, "graft-sq8-state-")
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
       st.train(e)
       (0 to 2).foreach(i => st.update(e.filter(col("vec_id") % 3 === i)))
@@ -1002,6 +1004,31 @@ object EtlQueries {
   private def sq8Codes(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(sq8Memo, s, dir) {
       sq8State(s, dir).derived().localCheckpoint()
+    }
+
+  /** FEDERATED SQ8 codes: two member stores (vec_id-parity split) under
+    * ONE quantizer — the trainer member (a) trains the scale on the
+    * union corpus sample (here the full embedding set, so the merged
+    * index is evidence-indistinguishable from the single store); member
+    * (b) ADOPTS the frozen artifact frame
+    * ([[graft.etl.DerivedState.adopt]]: digest-verified copy, new
+    * generation); each encodes only the vectors it owns. The merge
+    * ([[graft.etl.DerivedState.federatedDerived]]) REFUSES mismatched
+    * artifact digests — the contract that makes a federated q_ann_sq8
+    * answerable at all: codes quantized under different scales are
+    * mutually incomparable numbers. */
+  private val fedSq8Memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def fedSq8Codes(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo(fedSq8Memo, s, dir) {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val a = newSq8State(s, "graft-fedsq8-a-")
+      val b = newSq8State(s, "graft-fedsq8-b-")
+      a.train(e)
+      b.adopt(a)
+      a.update(e.filter(col("vec_id") % 2 === 0))
+      b.update(e.filter(col("vec_id") % 2 === 1))
+      graft.etl.DerivedState.federatedDerived(Seq(a, b)).localCheckpoint()
     }
 
   /** Trained spherical-k-means artifacts of the fixture's embeddings —
@@ -1274,6 +1301,7 @@ object EtlQueries {
     t("ngrams") { repTriGrams(s, dir); repWordCounts(s, dir) }
     t("embed") { embGroups(s, dir); embCosPairs(s, dir); embClusters(s, dir) }
     t("sq8") { sq8Codes(s, dir) }
+    t("fed_sq8") { fedSq8Codes(s, dir) }
     t("kmeans") { kmeansCentroids(s, dir); kmeansAssignments(s, dir) }
     t("dedup_store") { incrDedupState(s, dir) }
     t("fed_dedup") { fedDocClusters(s, dir) }
@@ -3248,41 +3276,22 @@ object EtlQueries {
     // trained scale (one scalar) and the quantized query broadcast to
     // every executor, and the corpus side never shuffles until the
     // final top-k.
-    "q_ann_sq8" -> QueryDef(
-      s"""WITH sc AS (
-         |  SELECT vec_id, unnest(range(len(embedding))) AS i,
-         |    CAST(unnest(embedding) AS DOUBLE) AS v
-         |  FROM embeddings),
-         |gm AS (SELECT MAX(ABS(v)) AS gmax FROM sc),
-         |q8 AS (
-         |  SELECT vec_id, i, CAST(ROUND(v * 127 / gmax, 0) AS BIGINT) AS q
-         |  FROM sc, gm),
-         |qv AS (SELECT i, q AS qq FROM q8 WHERE vec_id = 0),
-         |dots AS (
-         |  SELECT q8.vec_id, SUM(q8.q * qv.qq) AS adot, SUM(q8.q * q8.q) AS nn
-         |  FROM q8 JOIN qv ON q8.i = qv.i GROUP BY q8.vec_id),
-         |qn AS (SELECT nn AS qnn FROM dots WHERE vec_id = 0)
-         |SELECT vec_id,
-         |  CAST(adot AS DOUBLE) /
-         |    (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(qnn AS DOUBLE))) AS acos
-         |FROM dots, qn WHERE vec_id <> 0
-         |ORDER BY acos DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+    "q_ann_sq8" -> QueryDef(sq8OracleSql) { (s, dir) =>
       // reads the memoized trained codes ([[sq8Codes]]) — the index is
       // encoded once per corpus; each query is a compressed-domain scan
-      val q8 = sq8Codes(s, dir)
-      val qv = q8.filter(col("vec_id") === 0).select(col("i"), col("q").as("qq"))
-      val dots = q8.join(broadcast(qv), "i")
-        .groupBy("vec_id")
-        .agg(sum(col("q") * col("qq")).as("adot"), sum(col("q") * col("q")).as("nn"))
-      val qn = dots.filter(col("vec_id") === 0).select(col("nn").as("qnn"))
-      dots.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(qn))
-        .select(col("vec_id"),
-          (col("adot").cast("double") /
-            (sqrt(col("nn").cast("double")) * sqrt(col("qnn").cast("double"))))
-            .as("acos"))
-        .orderBy(col("acos").desc, col("vec_id"))
-        .limit(10)
+      sq8TopK(sq8Codes(s, dir))
+    },
+
+    // The FEDERATED form of the same query: member stores encode their
+    // own vectors under ONE adopted quantizer ([[fedSq8Codes]] — the
+    // train-once-distribute artifact contract), and the merged
+    // compressed-domain top-k must equal the single-store answer, which
+    // is exactly what serving this under q_ann_sq8's oracle VERBATIM
+    // proves. The plan is the single-store plan over a two-member
+    // union — broadcast query vector, map-side partial aggregation,
+    // TakeOrdered top-k; nothing about the merge adds a shuffle.
+    "q_ann_sq8_fed" -> QueryDef(sq8OracleSql) { (s, dir) =>
+      sq8TopK(fedSq8Codes(s, dir))
     },
 
     // ---- Multimodal ---------------------------------------------------
@@ -3352,6 +3361,50 @@ object EtlQueries {
          |FROM d ORDER BY asset_id""".stripMargin) { (s, dir) =>
       graft.etl.Multimodal.features(s, dir).drop("feature")
     })
+
+  /** The SQ8 oracle — shared VERBATIM by the single-store
+    * (`q_ann_sq8`) and federated (`q_ann_sq8_fed`) forms: a federated
+    * index under one adopted quantizer must be evidence-
+    * indistinguishable from the single store. */
+  private def sq8OracleSql: String =
+    s"""WITH sc AS (
+       |  SELECT vec_id, unnest(range(len(embedding))) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings),
+       |gm AS (SELECT MAX(ABS(v)) AS gmax FROM sc),
+       |q8 AS (
+       |  SELECT vec_id, i, CAST(ROUND(v * 127 / gmax, 0) AS BIGINT) AS q
+       |  FROM sc, gm),
+       |qv AS (SELECT i, q AS qq FROM q8 WHERE vec_id = 0),
+       |dots AS (
+       |  SELECT q8.vec_id, SUM(q8.q * qv.qq) AS adot, SUM(q8.q * q8.q) AS nn
+       |  FROM q8 JOIN qv ON q8.i = qv.i GROUP BY q8.vec_id),
+       |qn AS (SELECT nn AS qnn FROM dots WHERE vec_id = 0)
+       |SELECT vec_id,
+       |  CAST(adot AS DOUBLE) /
+       |    (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(qnn AS DOUBLE))) AS acos
+       |FROM dots, qn WHERE vec_id <> 0
+       |ORDER BY acos DESC, vec_id LIMIT 10""".stripMargin
+
+  /** The SQ8 compressed-domain top-k over a code frame (vec_id, i, q):
+    * broadcast quantized query vector, exact int64 dot/norm sums
+    * (order-independent), quantized-cosine rank. */
+  private def sq8TopK(q8: DataFrame): DataFrame = {
+    val qv = q8.filter(col("vec_id") === 0).select(col("i"), col("q").as("qq"))
+    val dots = q8.join(broadcast(qv), "i")
+      .groupBy("vec_id")
+      .agg(sum(col("q") * col("qq")).as("adot"),
+        sum(col("q") * col("q")).as("nn"))
+    val qn = dots.filter(col("vec_id") === 0).select(col("nn").as("qnn"))
+    dots.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qn))
+      .select(col("vec_id"),
+        (col("adot").cast("double") /
+          (sqrt(col("nn").cast("double")) * sqrt(col("qnn").cast("double"))))
+          .as("acos"))
+      .orderBy(col("acos").desc, col("vec_id"))
+      .limit(10)
+  }
 
   /** Character shingles (ShingleLen-grams at ShingleStride), optionally
     * distinct per doc. Duplicate-insensitive consumers (minhash MIN) skip

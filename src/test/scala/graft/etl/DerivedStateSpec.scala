@@ -138,6 +138,61 @@ class DerivedStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!vDirs.contains("v1") && !vDirs.contains("v2"))
   }
 
+  test("adopt = train-once-distribute; federatedDerived refuses " +
+      "independently-trained members") {
+    val d = fixtureDocs.localCheckpoint()
+    val trainer: DataFrame => DataFrame = corpus =>
+      corpus.agg(max(length(col("text"))).as("maxlen"))
+    val derive: (DataFrame, DataFrame) => DataFrame = (rows, art) =>
+      rows.crossJoin(broadcast(art))
+        .select(col("k"), (length(col("text")) * lit(1000L) /
+          col("maxlen")).as("score"))
+    def mk() = new DerivedState(spark, tmpRoot(), "score", "k", derive,
+      Some(trainer))
+    val a = mk(); val b = mk()
+    a.train(d)
+    b.adopt(a)
+    // the adopted artifact frame is the trainer's, digest-verified
+    assert(b.artifactDigest === a.artifactDigest)
+    assert(b.artifactDigest.isDefined)
+    assert(b.artifacts().head().getInt(0) === a.artifacts().head().getInt(0))
+    // members derive their own (disjoint) halves; the merge equals a
+    // single store fed the whole corpus under the same artifacts
+    a.update(d.filter(col("doc_id") % 2 === 0))
+    b.update(d.filter(col("doc_id") % 2 === 1))
+    val merged = DerivedState.federatedDerived(Seq(a, b)).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    val one = mk(); one.train(d); one.update(d)
+    assert(merged === one.derived().collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet)
+
+    // an independently-trained member is INCOMPARABLE: its quantizing
+    // artifact differs (trained on half the corpus), and the merge
+    // must refuse rather than silently union incompatible codes
+    val c = mk()
+    // a truncated training corpus guarantees a different maxlen artifact
+    c.train(d.withColumn("text", substring(col("text"), 1, 10)))
+    assert(c.artifactDigest !== a.artifactDigest,
+      "fixture must produce genuinely different artifacts")
+    val e = intercept[IllegalArgumentException](
+      DerivedState.federatedDerived(Seq(a, c)))
+    assert(e.getMessage.contains("adopt"))
+    // adopting across derivations refuses too
+    val alien = new DerivedState(spark, tmpRoot(), "score:v2", "k",
+      derive, Some(trainer))
+    val e2 = intercept[IllegalArgumentException](alien.adopt(a))
+    assert(e2.getMessage.contains("derivation"))
+    // adopt() is a generation reset: rows derived under c's own
+    // artifacts die when it adopts the shared ones
+    assert(c.update(d.filter(col("doc_id") % 2 === 1)).nDerivedRows > 0)
+    c.adopt(a)
+    assert(c.derived().count() === 0L,
+      "adopt must drop rows derived under the replaced artifacts")
+    c.update(d.filter(col("doc_id") % 2 === 1))
+    assert(DerivedState.federatedDerived(Seq(a, c)).count() ===
+      one.derived().count())
+  }
+
   test("an orphan version dir is invisible; the retried update overwrites it") {
     val ss = spark; import ss.implicits._
     val root = tmpRoot()
