@@ -94,14 +94,16 @@ object Service {
     * bounded staleness window (one poll interval) is the Spark-native
     * equivalent. Returns the started daemon thread. */
   def autoRefresh(engines: Seq[Btrdb], register: () => Unit,
-                  intervalMs: Long): Thread = {
+                  intervalMs: Long,
+                  extraEpoch: () => Seq[String] = () => Nil): Thread = {
     val t = new Thread(() => {
-      var last = engines.map(epochOf)
+      def epoch() = (engines.map(epochOf), extraEpoch())
+      var last = epoch()
       var running = true
       while (running) {
         try {
           Thread.sleep(intervalMs)
-          val now = engines.map(epochOf)
+          val now = epoch()
           if (now != last) {
             engines.foreach { e =>
               e.refreshCatalog(); e.refreshCommits(); e.refreshStaging()
@@ -152,7 +154,7 @@ object Service {
     // several: the federated union surface (engine-tagged), plus each
     // member's own views under <prefix>_<i> for member-scoped queries
     // with the substitution still available per member.
-    val (engines, register): (Seq[Btrdb], () => Unit) = roots match {
+    val (engines, registerEngines): (Seq[Btrdb], () => Unit) = roots match {
       case Seq(root) =>
         val e = new Btrdb(spark, root, lockRoot = false)
         (Seq(e), () => e.registerViews(prefix))
@@ -166,16 +168,36 @@ object Service {
             members.map(m => (m._1, m._2)))
         })
     }
+    // the ETL/curation stores' SQL surface (graft.etl.EtlViews):
+    // point the daemon at persisted DedupState/ContamState roots and
+    // their cluster / dup-report / pair-similarity / contamination
+    // views register read-only beside the telemetry views
+    val dedupRoot = sys.env.get("SPARK_GRAFT_ETL_DEDUP").filter(_.nonEmpty)
+    val contamRoot = sys.env.get("SPARK_GRAFT_ETL_CONTAM").filter(_.nonEmpty)
+    val register: () => Unit = () => {
+      registerEngines()
+      dedupRoot.foreach(r =>
+        graft.etl.EtlViews.registerDedupViews(spark, prefix, r))
+      contamRoot.foreach(r =>
+        graft.etl.EtlViews.registerContamViews(spark, prefix, r))
+    }
     register()
     // track external writers: re-register when any root's state moves
-    // (0 disables)
+    // — engine roots by catalog/commit/staging fingerprint, store
+    // roots by their CURRENT pointer (0 disables)
     val refreshMs = sys.env.get("SPARK_GRAFT_REFRESH_MS").map(_.toLong)
       .getOrElse(5000L)
-    if (refreshMs > 0) autoRefresh(engines, register, refreshMs)
+    if (refreshMs > 0) autoRefresh(engines, register, refreshMs,
+      () => (dedupRoot.toSeq ++ contamRoot.toSeq)
+        .map(graft.etl.EtlViews.epochOf))
     start(spark)
+    val etlViews = dedupRoot.map(_ =>
+        s",${prefix}_clusters,${prefix}_dup_report,${prefix}_dup_pairs")
+      .getOrElse("") +
+      contamRoot.map(_ => s",${prefix}_contamination").getOrElse("")
     // scalastyle:off println
     println(s"""{"service":"thrift-jdbc","port":$port,"roots":${roots.size},""" +
-      s""""views":"${prefix}_points,${prefix}_catalog"}""")
+      s""""views":"${prefix}_points,${prefix}_catalog$etlViews"}""")
     // scalastyle:on println
     // the server's non-daemon threads keep the JVM alive; park main
     Thread.currentThread.join()

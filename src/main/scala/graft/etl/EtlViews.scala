@@ -1,0 +1,111 @@
+package graft.etl
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.storage.Store
+
+/** SQL-daemon surface for the persisted ETL/curation stores — the same
+  * move the engine views made for telemetry (`Btrdb.registerViews`) and
+  * the pyramid got in the thrift daemon: the dedup and decontamination
+  * states already live on disk as versioned parquet under an atomic
+  * pointer, so an analyst at a stock JDBC client should be able to ask
+  * "which cluster is this doc in", "how duplicated is the corpus",
+  * "what near-duplicate pairs exist and how similar are they", "which
+  * rare grams carry contamination evidence" as plain SQL — without the
+  * session-bound Scala API the pipeline itself uses.
+  *
+  * All views are READ-ONLY by construction: the handles are opened with
+  * refusing ingest functions (updates go through the single writer per
+  * store root; readers resolve through the atomic CURRENT pointer and
+  * are always safe). Like every registered temp view, a view captures
+  * its file listing at registration — `graft.Service`'s auto-refresh
+  * re-registers when a store's pointer moves, the same bounded-staleness
+  * contract the engine views run under.
+  */
+object EtlViews {
+
+  private def refuse: DataFrame => DataFrame =
+    _ => throw new UnsupportedOperationException(
+      "read-only ETL view handle — updates go through the store's " +
+        "single ingest writer")
+
+  private def metaOf(rootUri: String, what: String): Map[String, String] = {
+    val store = new Store(rootUri, new Configuration())
+    val meta = store.readString("META").getOrElse(
+      throw new IllegalStateException(s"no $what at $rootUri (missing META)"))
+    meta.trim.split(",").collect {
+      case e if e.contains("=") =>
+        val Array(k, v) = e.split("=", 2); k -> v
+    }.toMap
+  }
+
+  /** Open a [[DedupState]] root for reading: the bucket cap (an
+    * edge-set invariant the READERS need — live-edge filtering) comes
+    * from the store's own META, so the handle can never disagree with
+    * the writer's semantics. */
+  def openDedup(spark: SparkSession, rootUri: String): DedupState = {
+    val kv = metaOf(rootUri, "DedupState")
+    val cap = kv.get("maxBucket").map(_.toLong).filter(_ >= 0)
+    val grams = kv.get("grams").exists(_.toBoolean)
+    new DedupState(spark, rootUri, refuse, cap,
+      gramsOf = if (grams) Some(refuse) else None)
+  }
+
+  /** Open a [[ContamState]] root for reading (df cap from META). */
+  def openContam(spark: SparkSession, rootUri: String): ContamState = {
+    val kv = metaOf(rootUri, "ContamState")
+    val cap = kv.get("dfCap").map(_.toLong).getOrElse(
+      throw new IllegalStateException(s"ContamState META at $rootUri " +
+        "carries no dfCap"))
+    new ContamState(spark, rootUri, refuse, cap)
+  }
+
+  /** Register the dedup store's query surface:
+    *   - `<prefix>_clusters`   (doc_id, cluster, is_canonical, ver) —
+    *     every ingested doc's converged near-duplicate cluster; the
+    *     canonical doc is the one whose id labels the cluster (min rep
+    *     id of the component, the keep-selection every dedup consumer
+    *     uses);
+    *   - `<prefix>_dup_report` (cluster, n_docs, n_distinct) — per-
+    *     cluster duplication accounting (docs vs distinct contents);
+    *   - `<prefix>_dup_pairs`  (a, b, jac_num, jac_den) — live
+    *     candidate pairs with their stored exact Jaccard (null in
+    *     stores built without gram attribution).
+    */
+  def registerDedupViews(spark: SparkSession, prefix: String,
+                         rootUri: String): Unit = {
+    val st = openDedup(spark, rootUri)
+    val dc = st.docClusters()
+    dc.withColumn("is_canonical", col("doc_id") === col("cluster"))
+      .createOrReplaceTempView(s"${prefix}_clusters")
+    dc.join(st.members().select("doc_id", "k"), "doc_id")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("k").as("n_distinct"))
+      .createOrReplaceTempView(s"${prefix}_dup_report")
+    st.livePairStats()
+      .createOrReplaceTempView(s"${prefix}_dup_pairs")
+  }
+
+  /** Register the decontamination store's query surface:
+    *   - `<prefix>_contamination` (k, g) — the LIVE rare-gram postings
+    *     index (df-capped evidence; join a probe's grams against it);
+    *   - `<prefix>_contam_capped` (g) — grams retired by the df cap.
+    * Rows are keyed by content digest `k` (the store's distinct-content
+    * contract); the dedup views carry the doc_id → k mapping when both
+    * stores serve one corpus. */
+  def registerContamViews(spark: SparkSession, prefix: String,
+                          rootUri: String): Unit = {
+    val st = openContam(spark, rootUri)
+    st.livePostings().createOrReplaceTempView(s"${prefix}_contamination")
+    st.capped().createOrReplaceTempView(s"${prefix}_contam_capped")
+  }
+
+  /** One epoch string per store root — `graft.Service`'s poller
+    * fingerprint: the CURRENT pointer names the exact visible version,
+    * so any fold/compact moves it. */
+  def epochOf(rootUri: String): String =
+    new Store(rootUri, new Configuration())
+      .readString("CURRENT").getOrElse("").trim
+}

@@ -212,6 +212,71 @@ class ServiceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ETL store views serve cluster/dup/contamination state over JDBC") {
+    val ss = spark; import ss.implicits._
+    // a small persisted dedup store with REAL MinHash banding + 4-gram
+    // pair similarity, and a contamination index beside it — the
+    // curation state a pipeline's writer maintains, served read-only
+    val dedupRoot = java.nio.file.Files
+      .createTempDirectory("svcetl-dedup").toString
+    val contamRoot = java.nio.file.Files
+      .createTempDirectory("svcetl-contam").toString
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .localCheckpoint()
+    val writerD = new graft.etl.DedupState(spark, dedupRoot,
+      graft.queries.EtlQueries.bandKeys,
+      gramsOf = Some(graft.queries.EtlQueries.gram4Of))
+    writerD.update(docs)
+    val writerC = new graft.etl.ContamState(spark, contamRoot,
+      graft.queries.EtlQueries.contamGrams, dfCap = 5L)
+    writerC.update(docs)
+    graft.etl.EtlViews.registerDedupViews(spark, "etl", dedupRoot)
+    graft.etl.EtlViews.registerContamViews(spark, "etl", contamRoot)
+    val conn = connect()
+    try {
+      val st = conn.createStatement()
+      // cluster sizes over the wire match the store's own reader
+      val rs = st.executeQuery(
+        """SELECT cluster, count(*) AS n FROM etl_clusters
+          |GROUP BY cluster ORDER BY n DESC, cluster LIMIT 5""".stripMargin)
+      val wire = Iterator.continually(rs)
+        .takeWhile(_.next()).map(r => (r.getLong(1), r.getLong(2))).toSeq
+      val truth = writerD.docClusters().groupBy("cluster")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .orderBy(org.apache.spark.sql.functions.col("n").desc,
+          org.apache.spark.sql.functions.col("cluster"))
+        .limit(5).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(wire === truth)
+      // every cluster names exactly one canonical doc, and it is the
+      // doc whose id labels the cluster
+      val rs2 = st.executeQuery(
+        """SELECT count(*) AS bad FROM (
+          |  SELECT cluster, sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS c
+          |  FROM etl_clusters GROUP BY cluster) t WHERE c <> 1""".stripMargin)
+      assert(rs2.next() && rs2.getLong(1) === 0L)
+      // the dup report aggregates the same assignment
+      val rs3 = st.executeQuery(
+        "SELECT sum(n_docs) AS nd FROM etl_dup_report")
+      assert(rs3.next() && rs3.getLong(1) === docs.count())
+      // pair similarities are present and sane (num <= den)
+      val rs4 = st.executeQuery(
+        """SELECT count(*) AS n,
+          |  sum(CASE WHEN jac_num > jac_den THEN 1 ELSE 0 END) AS bad
+          |FROM etl_dup_pairs""".stripMargin)
+      assert(rs4.next() && rs4.getLong("n") > 0L && rs4.getLong("bad") === 0L)
+      // contamination postings resolve and respect the df cap
+      val rs5 = st.executeQuery(
+        """SELECT max(df) AS mx FROM (
+          |  SELECT g, count(*) AS df FROM etl_contamination GROUP BY g) t"""
+          .stripMargin)
+      assert(rs5.next() && rs5.getLong(1) <= 5L)
+    } finally conn.close()
+  }
+
   test("a saturated query pool sheds JDBC statements with [426]") {
     // a deliberately slow view: every partition sleeps, so the first
     // statement reliably HOLDS its query-pool permit while the second
