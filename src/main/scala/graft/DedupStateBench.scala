@@ -70,6 +70,27 @@ object DedupStateBench {
     val (_, cInitSec) = timed(cst.update(corpus))
     val (crep, cUpdSec) = timed(cst.update(fresh))
 
+    // FEDERATED merges (the topology-time steps — member migration /
+    // corpus-wide reports, NOT the ingest path): two member stores over
+    // a parity split of the corpus, then the global merge. Cost is
+    // documented ∝ corpus edges (dedup) / unioned index (contam), so
+    // at the 100× replica these lines grow ~linearly — the probe pins
+    // the constant and catches any accidental super-linearity.
+    val ma = new graft.etl.DedupState(spark, freshRoot(), bandsOf)
+    val mb = new graft.etl.DedupState(spark, freshRoot(), bandsOf)
+    ma.update(corpus.filter(col("doc_id") % 2 === 0))
+    mb.update(corpus.filter(col("doc_id") % 2 === 1))
+    val (fedDocs, fedSec) = timed(
+      graft.etl.DedupState.federatedDocClusters(Seq(ma, mb)).count())
+    val ca = new graft.etl.ContamState(spark, freshRoot(),
+      graft.queries.EtlQueries.contamGrams, dfCap = 10L)
+    val cb = new graft.etl.ContamState(spark, freshRoot(),
+      graft.queries.EtlQueries.contamGrams, dfCap = 10L)
+    ca.update(corpus.filter(col("doc_id") % 2 === 0))
+    cb.update(corpus.filter(col("doc_id") % 2 === 1))
+    val (fedPosts, fedPostSec) = timed(
+      graft.etl.ContamState.federatedLivePostings(Seq(ca, cb)).count())
+
     println(s"""{"metric":"dedup_state","init_sec":$initSec,""" +
       s""""update_sec":$updSec,"corpus_docs":$nCorpus,""" +
       s""""batch_docs":$nBatch,"batch_new_distinct":${rep.nNewDistinct},""" +
@@ -81,7 +102,10 @@ object DedupStateBench {
       s""""fresh_new_pairs":${rep2.nNewPairs},""" +
       s""""fresh_relabeled":${rep2.nRelabeled},""" +
       s""""contam_init_sec":$cInitSec,"contam_update_sec":$cUpdSec,""" +
-      s""""contam_fresh_grams":${crep.nGramRows},"sf":"$sfDir"}""")
+      s""""contam_fresh_grams":${crep.nGramRows},""" +
+      s""""fed_merge_sec":$fedSec,"fed_merge_docs":$fedDocs,""" +
+      s""""fed_postings_sec":$fedPostSec,"fed_postings":$fedPosts,""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -260,6 +260,21 @@ object EtlQueries {
     map.computeIfAbsent((s, dir), _ => build)
   }
 
+  /** Run two independent fixture-build steps CONCURRENTLY (two member
+    * stores over disjoint roots, two independent updates): Spark
+    * schedules jobs from both threads onto the same executor pool, so
+    * the wall cost of a federation fixture is ~the slower member, not
+    * the sum — exactly how a real two-member topology builds. Only for
+    * steps with no ordering dependency. */
+  private def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future(fa)
+    val f2 = Future(fb)
+    (Await.result(f1, scala.concurrent.duration.Duration.Inf),
+      Await.result(f2, scala.concurrent.duration.Duration.Inf))
+  }
+
   /** Session-lifetime temp root for a fixture's PERSISTED store (the
     * stores are durable by design; the fixture roots are not), removed
     * at JVM exit. */
@@ -275,12 +290,14 @@ object EtlQueries {
   }
 
   /** Shared builder for the PURE-APPEND content stores (trigrams,
-    * words, winnow selections, span hashes, 4-gram sets): one
+    * words, winnow selections, span hashes): one
     * [[graft.etl.DerivedState]] per family, fed the MEMOIZED
-    * distinct-content frame in three rid-striped batches — re-scanning
+    * distinct-content frame in two rid-striped batches — re-scanning
     * raw docs would re-digest and re-dedupe per store build, and the
-    * batch split exercises the store's schedule invariance on every
-    * fixture. `derive` sees (rid, k, text) rows keyed by `k`. */
+    * batch split keeps the incremental fold path exercised on every
+    * fixture (full schedule invariance is DerivedStateSpec's job; the
+    * fixture pays for two folds, not a spec's worth). `derive` sees
+    * (rid, k, text) rows keyed by `k`. */
   private def contentStore(
       memo: java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
         graft.etl.DerivedState],
@@ -290,7 +307,7 @@ object EtlQueries {
       val st = new graft.etl.DerivedState(s, tempStateRoot(prefix),
         fingerprint, "k", derive)
       val d = distinctGroups(s, dir).select("rid", "k", "text")
-      (0 to 2).foreach(i => st.update(d.filter(col("rid") % 3 === i)))
+      (0 to 1).foreach(i => st.update(d.filter(col("rid") % 2 === i)))
       st
     }
 
@@ -362,7 +379,7 @@ object EtlQueries {
     * ([[graft.etl.DerivedState]]): profiles TRAIN once per corpus on
     * the deterministic doc_id-mod sample (the artifact generation);
     * every distinct text classifies ONCE against the frozen profiles
-    * — a pure per-key function, so the fixture's three doc_id-striped
+    * — a pure per-key function, so the fixture's two doc_id-striped
     * batches land on exactly the one-shot prediction set (the
     * DerivedStateSpec schedule-invariance contract) and a daily crawl
     * classifies its new content at batch cost. */
@@ -398,7 +415,7 @@ object EtlQueries {
       val d = docs(s, dir).filter(length(col("text")) >= 3)
         .select(col("doc_id"), col("lang"), textKey.as("k"), col("text"))
       st.train(d)
-      (0 to 2).foreach(i => st.update(d.filter(col("doc_id") % 3 === i)))
+      (0 to 1).foreach(i => st.update(d.filter(col("doc_id") % 2 === i)))
       st
     }
   private def langPredictions(s: SparkSession, dir: String): DataFrame =
@@ -433,7 +450,7 @@ object EtlQueries {
       .distinct()
 
   /** The PERSISTED incremental decontamination index for the fixture
-    * ([[graft.etl.ContamState]]), built in three doc_id-striped batches
+    * ([[graft.etl.ContamState]]), built in two doc_id-striped batches
     * — any split lands on the same live postings (split-invariance is
     * the store's contract), and at 100 TB a crawl batch appends its
     * postings at batch cost instead of re-shingling the corpus. */
@@ -454,7 +471,7 @@ object EtlQueries {
       val st = new graft.etl.ContamState(s, rootDir.toString,
         contamGrams, ContamDfCap)
       val d = docs(s, dir).select(col("doc_id"), col("text"))
-      (0 to 2).foreach(i => st.update(d.filter(col("doc_id") % 3 === i)))
+      (0 to 1).foreach(i => st.update(d.filter(col("doc_id") % 2 === i)))
       st
     }
 
@@ -666,8 +683,9 @@ object EtlQueries {
         tempStateRoot("graft-fed-member-a-"), bandsOf)
       val b = new graft.etl.DedupState(s,
         tempStateRoot("graft-fed-member-b-"), bandsOf)
-      a.update(d.filter(col("doc_id") % 2 === 0))
-      b.update(d.filter(col("doc_id") % 2 === 1))
+      inParallel(
+        a.update(d.filter(col("doc_id") % 2 === 0)),
+        b.update(d.filter(col("doc_id") % 2 === 1)))
       graft.etl.DedupState.federatedDocClusters(Seq(a, b)).localCheckpoint()
     }
 
@@ -998,7 +1016,7 @@ object EtlQueries {
       val st = newSq8State(s, "graft-sq8-state-")
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
       st.train(e)
-      (0 to 2).foreach(i => st.update(e.filter(col("vec_id") % 3 === i)))
+      (0 to 1).foreach(i => st.update(e.filter(col("vec_id") % 2 === i)))
       st
     }
   private def sq8Codes(s: SparkSession, dir: String): DataFrame =
@@ -1026,8 +1044,9 @@ object EtlQueries {
       val b = newSq8State(s, "graft-fedsq8-b-")
       a.train(e)
       b.adopt(a)
-      a.update(e.filter(col("vec_id") % 2 === 0))
-      b.update(e.filter(col("vec_id") % 2 === 1))
+      inParallel(
+        a.update(e.filter(col("vec_id") % 2 === 0)),
+        b.update(e.filter(col("vec_id") % 2 === 1)))
       graft.etl.DerivedState.federatedDerived(Seq(a, b)).localCheckpoint()
     }
 
@@ -1074,7 +1093,7 @@ object EtlQueries {
         Some(trainer))
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
       st.train(e)
-      (0 to 2).foreach(i => st.update(e.filter(col("vec_id") % 3 === i)))
+      (0 to 1).foreach(i => st.update(e.filter(col("vec_id") % 2 === i)))
       st
     }
   private def kmeansCentroids(s: SparkSession, dir: String)
@@ -1274,8 +1293,9 @@ object EtlQueries {
         tempStateRoot("graft-fedcontam-a-"), contamGrams, ContamDfCap)
       val b = new graft.etl.ContamState(s,
         tempStateRoot("graft-fedcontam-b-"), contamGrams, ContamDfCap)
-      a.update(d.filter(col("doc_id") % 2 === 0))
-      b.update(d.filter(col("doc_id") % 2 === 1))
+      inParallel(
+        a.update(d.filter(col("doc_id") % 2 === 0)),
+        b.update(d.filter(col("doc_id") % 2 === 1)))
       graft.etl.ContamState.federatedLivePostings(Seq(a, b))
         .localCheckpoint()
     }
@@ -1295,10 +1315,10 @@ object EtlQueries {
     }
     t("groups") { distinctGroups(s, dir) }
     t("minhash") { repSignatures(s, dir); corpusBandPairs(s, dir)
-      dedupClusters(s, dir) }
+      dedupClusters(s, dir); repBandKeys(s, dir) }
     t("langpred") { langPredictions(s, dir) }
     t("contam") { contamPostings(s, dir) }
-    t("ngrams") { repTriGrams(s, dir); repWordCounts(s, dir) }
+    t("ngrams") { inParallel(repTriGrams(s, dir), repWordCounts(s, dir)) }
     t("embed") { embGroups(s, dir); embCosPairs(s, dir); embClusters(s, dir) }
     t("sq8") { sq8Codes(s, dir) }
     t("fed_sq8") { fedSq8Codes(s, dir) }
