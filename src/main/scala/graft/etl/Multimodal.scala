@@ -99,6 +99,197 @@ object Multimodal {
       byteFeature(payload, from)
   }
 
+  /** Minimal PNG (8-bit grayscale) encoder/decoder in pure JVM — the
+    * third registered codec, and the first with a COMPRESSED payload:
+    * scanlines are filtered (all five PNG filter types implemented on
+    * both sides) and wrapped in a zlib stream inside IDAT; every chunk
+    * carries its real CRC-32, verified on decode.
+    *
+    * The decoder is fully general for gray8: `java.util.zip.Inflater`
+    * (any valid zlib stream, however compressed) + the Paeth/Average/
+    * Up/Sub/None unfilter pass. The encoder writes the zlib stream as
+    * STORED (uncompressed) deflate blocks by hand — byte-for-byte
+    * deterministic, so a verification oracle can recompute the exact
+    * container size arithmetically (8 sig + 25 IHDR + 12+z IDAT +
+    * 12 IEND, z = 6 + 5·ceil(raw/65535) + raw, raw = h·(w+1)); a real
+    * pipeline would swap Deflater in at that one call and nothing else
+    * changes. PNG spec layout per the public libpng documentation. */
+  object PngCodec {
+    private val Signature: Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def crcOf(typeAndData: Array[Byte]): Int = {
+      val c = new java.util.zip.CRC32()
+      c.update(typeAndData)
+      c.getValue.toInt
+    }
+
+    private def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val buf = ByteBuffer.allocate(12 + data.length)
+        .order(ByteOrder.BIG_ENDIAN)
+      buf.putInt(data.length)
+      val td = tag.getBytes("US-ASCII") ++ data
+      buf.put(td)
+      buf.putInt(crcOf(td))
+      buf.array()
+    }
+
+    /** zlib stream of `raw` as stored deflate blocks: 2-byte header
+      * (0x78 0x01), blocks of ≤ 65535 bytes (1-byte BFINAL/BTYPE +
+      * LEN + NLEN little-endian + data), 4-byte big-endian Adler-32. */
+    private def zlibStored(raw: Array[Byte]): Array[Byte] = {
+      val nBlocks = math.max(1, (raw.length + 65534) / 65535)
+      val out = ByteBuffer.allocate(6 + 5 * nBlocks + raw.length)
+      out.put(0x78.toByte).put(0x01.toByte)
+      var off = 0
+      var b = 0
+      while (b < nBlocks) {
+        val len = math.min(65535, raw.length - off)
+        out.put(if (b == nBlocks - 1) 1.toByte else 0.toByte)
+        out.put((len & 0xff).toByte).put(((len >> 8) & 0xff).toByte)
+        out.put((~len & 0xff).toByte).put(((~len >> 8) & 0xff).toByte)
+        out.put(raw, off, len)
+        off += len
+        b += 1
+      }
+      val ad = new java.util.zip.Adler32()
+      ad.update(raw)
+      out.order(ByteOrder.BIG_ENDIAN).putInt(ad.getValue.toInt)
+      out.array()
+    }
+
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    /** Encode gray8 pixels (row-major, length w·h) with one filter
+      * type applied to every scanline (0 = None … 4 = Paeth; the
+      * decoder handles any mix). */
+    def encode(width: Int, height: Int, pixels: Array[Byte],
+               filterType: Int = 0): Array[Byte] = {
+      require(width >= 1 && height >= 1, s"bad dims ${width}x$height")
+      require(pixels.length == width * height,
+        s"gray8 needs w*h=${width * height} pixels, got ${pixels.length}")
+      require(filterType >= 0 && filterType <= 4,
+        s"unknown PNG filter $filterType")
+      val raw = new Array[Byte](height * (1 + width))
+      var y = 0
+      while (y < height) {
+        raw(y * (1 + width)) = filterType.toByte
+        var x = 0
+        while (x < width) {
+          val cur = pixels(y * width + x) & 0xff
+          val left = if (x > 0) pixels(y * width + x - 1) & 0xff else 0
+          val up = if (y > 0) pixels((y - 1) * width + x) & 0xff else 0
+          val ul = if (x > 0 && y > 0) pixels((y - 1) * width + x - 1) & 0xff
+            else 0
+          val filtered = filterType match {
+            case 0 => cur
+            case 1 => cur - left
+            case 2 => cur - up
+            case 3 => cur - (left + up) / 2
+            case 4 => cur - paeth(left, up, ul)
+          }
+          raw(y * (1 + width) + 1 + x) = (filtered & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+        .putInt(width).putInt(height)
+        .put(8.toByte)  // bit depth
+        .put(0.toByte)  // color type = grayscale
+        .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+        .array()
+      Signature ++ chunk("IHDR", ihdr) ++
+        chunk("IDAT", zlibStored(raw)) ++ chunk("IEND", Array.emptyByteArray)
+    }
+
+    /** Decode a gray8 PNG: signature check, chunk walk with CRC
+      * verification, IDAT concatenation, REAL zlib inflate, and the
+      * full five-filter unfilter pass. Returns (width, height,
+      * pixels row-major). Throws on anything malformed — decode
+      * failures must surface, not pass through as zeros. */
+    def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(payload.length >= Signature.length + 12 &&
+        payload.take(8).sameElements(Signature),
+        s"not a PNG payload (${payload.length} bytes)")
+      val buf = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
+      var pos = 8
+      var width = -1; var height = -1
+      var idat = Array.emptyByteArray
+      var done = false
+      while (!done && pos + 12 <= payload.length) {
+        val len = buf.getInt(pos)
+        val tag = new String(payload, pos + 4, 4, "US-ASCII")
+        require(len >= 0 && pos + 12 + len <= payload.length,
+          s"truncated PNG chunk '$tag' at $pos")
+        val stored = buf.getInt(pos + 8 + len)
+        val actual = crcOf(java.util.Arrays.copyOfRange(
+          payload, pos + 4, pos + 8 + len))
+        require(stored == actual,
+          s"PNG chunk '$tag' CRC mismatch (corrupt payload)")
+        tag match {
+          case "IHDR" =>
+            require(len == 13, s"IHDR must be 13 bytes, got $len")
+            width = buf.getInt(pos + 8)
+            height = buf.getInt(pos + 12)
+            require(buf.get(pos + 16) == 8 && buf.get(pos + 17) == 0,
+              "unsupported PNG (8-bit grayscale only)")
+            require(buf.get(pos + 18) == 0 && buf.get(pos + 20) == 0,
+              "unsupported PNG compression/interlace")
+          case "IDAT" => idat = idat ++
+            java.util.Arrays.copyOfRange(payload, pos + 8, pos + 8 + len)
+          case "IEND" => done = true
+          case _ => () // ancillary chunks (tEXt, pHYs, ...) skip
+        }
+        pos += 12 + len
+      }
+      require(width > 0 && height > 0 && idat.nonEmpty,
+        "PNG payload missing IHDR/IDAT")
+      val raw = new Array[Byte](height * (1 + width))
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        require(n > 0 || inf.finished(), "stalled PNG zlib stream")
+        got += n
+      }
+      inf.end()
+      require(got == raw.length,
+        s"PNG scanline data truncated: $got of ${raw.length} bytes")
+      val out = new Array[Byte](width * height)
+      var y = 0
+      while (y < height) {
+        val ft = raw(y * (1 + width)) & 0xff
+        var x = 0
+        while (x < width) {
+          val f = raw(y * (1 + width) + 1 + x) & 0xff
+          val left = if (x > 0) out(y * width + x - 1) & 0xff else 0
+          val up = if (y > 0) out((y - 1) * width + x) & 0xff else 0
+          val ul = if (x > 0 && y > 0) out((y - 1) * width + x - 1) & 0xff
+            else 0
+          val v = ft match {
+            case 0 => f
+            case 1 => f + left
+            case 2 => f + up
+            case 3 => f + (left + up) / 2
+            case 4 => f + paeth(left, up, ul)
+            case other =>
+              throw new IllegalArgumentException(s"unknown PNG filter $other")
+          }
+          out(y * width + x) = (v & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      (width, height, out)
+    }
+  }
+
   /** Minimal RIFF/WAVE PCM encoder/decoder in pure JVM. The decoder
     * WALKS the chunk list (every chunk is tag + LE size + body) to
     * locate `fmt ` and `data` wherever they sit — the real contract of
@@ -172,10 +363,12 @@ object Multimodal {
 
   /** Wrap the documents table as a MIXED-FORMAT media-asset table: docs
     * with `doc_id % 3 == 0` carry their utf-8 bytes as 8-bit mono PCM
-    * samples of a real WAV, the rest as pixel data of a real BMP whose
-    * dimensions derive from the text length (width = 1 + n%64,
-    * height = 1 + n/64). In production the payload + kind columns come
-    * from the lakehouse as-is; only this adapter is test-specific. */
+    * samples of a real WAV; `% 3 == 1` as gray8 pixels of a real PNG
+    * (width = 1 + n%64, height = ceil(n/width), zero-padded to the
+    * pixel grid, filtered + zlib-wrapped + CRC'd); the rest as pixel
+    * data of a real BMP (width = 1 + n%64, height = 1 + n/64). In
+    * production the payload + kind columns come from the lakehouse
+    * as-is; only this adapter is test-specific. */
   def assetsFromDocuments(docs: DataFrame): Dataset[Asset] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -185,13 +378,21 @@ object Multimodal {
       .as[(Long, String, String, Long)]
       .map { case (id, text, source, nChars) =>
         val bytes = text.getBytes("UTF-8")
-        if (id % 3 == 0)
-          Asset(id, "audio/wav",
-            WavCodec.encode(8000, 1, 8, bytes), source, nChars)
-        else
-          Asset(id, "image/bmp",
-            BmpCodec.encode(1 + bytes.length % 64,
-              1 + bytes.length / 64, bytes), source, nChars)
+        id % 3 match {
+          case 0 =>
+            Asset(id, "audio/wav",
+              WavCodec.encode(8000, 1, 8, bytes), source, nChars)
+          case 1 =>
+            val w = 1 + bytes.length % 64
+            val h = math.max(1, (bytes.length + w - 1) / w)
+            Asset(id, "image/png",
+              PngCodec.encode(w, h,
+                java.util.Arrays.copyOf(bytes, w * h)), source, nChars)
+          case _ =>
+            Asset(id, "image/bmp",
+              BmpCodec.encode(1 + bytes.length % 64,
+                1 + bytes.length / 64, bytes), source, nChars)
+        }
       }
   }
 
@@ -200,27 +401,40 @@ object Multimodal {
     * shape in Scala form), dispatching each row on its MIME kind.
     * Narrow — no shuffle; parallelism is the upstream partitioning.
     * Dims come from a REAL parse of the binary container (BMP header /
-    * RIFF chunk walk); the checksum folds the first 32 payload bytes.
-    * An unknown kind throws — silently skipping rows would under-count
-    * the corpus. */
+    * RIFF chunk walk / PNG chunk walk + inflate); the checksum folds
+    * the first 32 bytes of the DECODED content region — pixels after
+    * the BMP offset, PCM samples after the RIFF data tag, and for PNG
+    * the pixels the inflate + unfilter pass actually produced, so a
+    * verification oracle recomputing content bytes independently
+    * proves every decode path end to end. An unknown kind throws —
+    * silently skipping rows would under-count the corpus. */
   def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.mapPartitions { it =>
       // (real codecs would initialize native resources here, once)
+      def sum32(bytes: Array[Byte], from: Int, len: Int): Long = {
+        var acc = 0L
+        val lim = math.min(from + math.min(32, len), bytes.length)
+        var i = from
+        while (i < lim) { acc += (bytes(i) & 0xff); i += 1 }
+        acc
+      }
       it.map { a =>
-        var checksum = 0L
-        val lim = math.min(32, a.payload.length)
-        var i = 0
-        while (i < lim) { checksum += (a.payload(i) & 0xff); i += 1 }
         a.kind match {
           case "image/bmp" =>
             val (w, h, offset) = BmpCodec.decode(a.payload)
-            AssetFeatures(a.asset_id, a.kind, a.payload.length, checksum,
+            AssetFeatures(a.asset_id, a.kind, a.payload.length,
+              sum32(a.payload, offset, a.payload.length - offset),
               w, h, byteFeature(a.payload, offset))
+          case "image/png" =>
+            val (w, h, pixels) = PngCodec.decode(a.payload)
+            AssetFeatures(a.asset_id, a.kind, a.payload.length,
+              sum32(pixels, 0, pixels.length), w, h, byteFeature(pixels, 0))
           case "audio/wav" =>
             val w = WavCodec.decode(a.payload)
-            AssetFeatures(a.asset_id, a.kind, a.payload.length, checksum,
+            AssetFeatures(a.asset_id, a.kind, a.payload.length,
+              sum32(a.payload, w.dataOffset, w.dataLength),
               w.channels, w.dataLength, byteFeature(a.payload, w.dataOffset))
           case k =>
             throw new IllegalArgumentException(s"no codec for kind '$k'")

@@ -3316,21 +3316,6 @@ object EtlQueries {
 
     // ---- Multimodal ---------------------------------------------------
 
-    // MIXED-FORMAT binary-payload batch decode: docs with
-    // doc_id % 3 = 0 carry their bytes as 8-bit mono PCM inside a REAL
-    // WAV (44-byte RIFF header, decoded by a genuine chunk walk), the
-    // rest as pixel data of a REAL BMP (54-byte LE header) — and the
-    // Spark side dispatches per row on the MIME kind
-    // (graft.etl.Multimodal), parsing each container for its dims and
-    // checksumming the first 32 payload bytes. The oracle recomputes
-    // those fields arithmetically from the known layouts:
-    //   BMP: 'B'+'M' + LE-bytes(filesize=54+n) + bytes(offset=54) +
-    //        bytes(hdrsize=40) + bytes(w) + bytes(h) + planes(1) +
-    //        bpp(8) = 246 + Σbytes(54+n) + Σbytes(w) + Σbytes(h);
-    //   WAV: ascii(RIFF)+ascii(WAVE)+ascii('fmt ') = 961, +
-    //        fmtsize(16) + pcm(1) + channels(1) + 2×Σbytes(rate=8000,
-    //        byterate=8000) = 95 each → 1169 + Σbytes(riffsize=36+n).
-    //   Dims: BMP (w, h); WAV (channels=1, samples=n).
     // Audio frame sampling over the mixed-media column: every 2nd
     // 64-byte PCM frame's unsigned-byte energy, via the REAL RIFF
     // chunk walk ([[graft.etl.Multimodal.frameEnergies]]). The oracle
@@ -3357,28 +3342,48 @@ object EtlQueries {
         .orderBy("asset_id", "frame")
     },
 
+    // Mixed THREE-format decode (WAV / PNG / BMP by doc_id % 3), each
+    // a REAL container walk — and for PNG a real zlib inflate + the
+    // five-filter unfilter pass. The oracle recomputes every field
+    // arithmetically from the known layouts:
+    //   n_bytes — WAV 44+n; BMP 54+n; PNG 57 + zlen with
+    //     zlen = 6 + 5·ceil(raw/65535) + raw, raw = h·(w+1) (stored
+    //     deflate blocks are byte-deterministic, which is why the
+    //     encoder writes them — the decoder inflates ANY valid zlib);
+    //   checksum — the first 32 bytes of the DECODED content region,
+    //     which for every format IS the document's utf-8 bytes (ASCII
+    //     corpus, so ord() = the byte): the oracle derives it from the
+    //     source text having never seen a container, so a hash match
+    //     proves each decode path end to end;
+    //   dims — BMP (w, 1+n/64); PNG (w, ceil(n/w)); WAV (1, n).
     "q_multimodal" -> QueryDef(
       s"""WITH b AS (
-         |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+         |  SELECT doc_id, text, octet_length(encode(text)) AS n
+         |  FROM documents),
          |d AS (
-         |  SELECT doc_id, n, 1 + n % 64 AS w, 1 + n // 64 AS h,
-         |         54 + n AS fs, 36 + n AS rs FROM b)
-         |SELECT doc_id AS asset_id,
-         |  CASE WHEN doc_id % 3 = 0 THEN 'audio/wav'
+         |  SELECT doc_id, text, n, 1 + n % 64 AS w, 1 + n // 64 AS hb,
+         |         (n + (1 + n % 64) - 1) // (1 + n % 64) AS hp FROM b),
+         |cs AS (
+         |  SELECT doc_id,
+         |    SUM(ord(substr(text, CAST(p AS INTEGER), 1))) AS checksum
+         |  FROM d, generate_series(1, 32) s(p) WHERE p <= n
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id AS asset_id,
+         |  CASE WHEN d.doc_id % 3 = 0 THEN 'audio/wav'
+         |       WHEN d.doc_id % 3 = 1 THEN 'image/png'
          |       ELSE 'image/bmp' END AS kind,
-         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 44 + n
+         |  CAST(CASE WHEN d.doc_id % 3 = 0 THEN 44 + n
+         |       WHEN d.doc_id % 3 = 1 THEN 57 + 6
+         |         + 5 * ((hp * (w + 1) + 65534) // 65535) + hp * (w + 1)
          |       ELSE 54 + n END AS BIGINT) AS n_bytes,
-         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1169
-         |    + rs % 256 + (rs // 256) % 256
-         |    + (rs // 65536) % 256 + (rs // 16777216) % 256
-         |  ELSE 246
-         |    + fs % 256 + (fs // 256) % 256
-         |    + (fs // 65536) % 256 + (fs // 16777216) % 256
-         |    + w % 256 + (w // 256) % 256
-         |    + h % 256 + (h // 256) % 256 END AS BIGINT) AS checksum,
-         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE w END AS INTEGER) AS width,
-         |  CAST(CASE WHEN doc_id % 3 = 0 THEN n ELSE h END AS INTEGER) AS height
-         |FROM d ORDER BY asset_id""".stripMargin) { (s, dir) =>
+         |  CAST(cs.checksum AS BIGINT) AS checksum,
+         |  CAST(CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE w END AS INTEGER)
+         |    AS width,
+         |  CAST(CASE WHEN d.doc_id % 3 = 0 THEN n
+         |       WHEN d.doc_id % 3 = 1 THEN hp
+         |       ELSE hb END AS INTEGER) AS height
+         |FROM d JOIN cs ON cs.doc_id = d.doc_id
+         |ORDER BY asset_id""".stripMargin) { (s, dir) =>
       graft.etl.Multimodal.features(s, dir).drop("feature")
     })
 

@@ -62,23 +62,83 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("documents -> mixed BMP/WAV assets -> features: per-kind dispatch") {
+  test("PNG codec: pixel-exact round-trip under all five filter types") {
+    // deliberately non-smooth pixels so every filter produces wild
+    // (mod-256 wrapping) residuals — the unfilter pass must invert all
+    val w = 23; val h = 7
+    val px = Array.tabulate(w * h)(i => ((i * 37 + (i * i) % 251) & 0xff).toByte)
+    (0 to 4).foreach { ft =>
+      val png = Multimodal.PngCodec.encode(w, h, px, filterType = ft)
+      val (dw, dh, out) = Multimodal.PngCodec.decode(png)
+      assert(dw == w && dh == h, s"dims under filter $ft")
+      assert(out.sameElements(px), s"pixels must round-trip under filter $ft")
+    }
+    // the declared stored-block arithmetic the oracle relies on:
+    // 8 sig + 25 IHDR + 12+zlen IDAT + 12 IEND, zlen = 6 + 5 + raw
+    val png0 = Multimodal.PngCodec.encode(w, h, px)
+    assert(png0.length == 57 + 6 + 5 + h * (w + 1))
+    // a REAL compressed zlib stream (java Deflater, not stored blocks)
+    // must decode identically — the decoder is general, the stored
+    // encoder is just the deterministic-size choice
+    val raw = new Array[Byte](h * (1 + w))
+    (0 until h).foreach { y =>
+      raw(y * (1 + w)) = 0
+      System.arraycopy(px, y * w, raw, y * (1 + w) + 1, w)
+    }
+    val defl = new java.util.zip.Deflater(9)
+    defl.setInput(raw); defl.finish()
+    val zbuf = new Array[Byte](raw.length + 64)
+    val zlen = defl.deflate(zbuf); defl.end()
+    val sig = png0.take(8)
+    val ihdrChunk = png0.slice(8, 8 + 25)
+    def mkChunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val td = tag.getBytes("US-ASCII") ++ data
+      val crc = new java.util.zip.CRC32(); crc.update(td)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(td).putInt(crc.getValue.toInt).array()
+    }
+    val compressed = sig ++ ihdrChunk ++
+      mkChunk("IDAT", zbuf.take(zlen)) ++
+      mkChunk("IEND", Array.emptyByteArray)
+    val (cw, ch, cpx) = Multimodal.PngCodec.decode(compressed)
+    assert(cw == w && ch == h && cpx.sameElements(px))
+    // corruption must fail loudly at the CRC, not decode garbage
+    val corrupt = png0.clone()
+    corrupt(40) = (corrupt(40) ^ 0x5a).toByte
+    val e = intercept[IllegalArgumentException](
+      Multimodal.PngCodec.decode(corrupt))
+    assert(e.getMessage.contains("CRC"))
+    intercept[IllegalArgumentException](
+      Multimodal.PngCodec.decode("not a png at all".getBytes("UTF-8")))
+  }
+
+  test("documents -> mixed WAV/PNG/BMP assets -> features: per-kind dispatch") {
     val ss = spark
     import ss.implicits._
     val docs = Seq(
-      (1L, "a" * 130, "web", 130L),
-      (2L, "", "web", 0L), // empty text → 1x1 BMP, header only
-      (3L, "b" * 50, "web", 50L)) // doc_id % 3 == 0 → WAV
+      (1L, "a" * 130, "web", 130L), // doc_id % 3 == 1 → PNG
+      (2L, "", "web", 0L),          // empty text → 1x1 BMP, header only
+      (3L, "b" * 50, "web", 50L),   // doc_id % 3 == 0 → WAV
+      (5L, "c" * 130, "web", 130L)) // doc_id % 3 == 2 → BMP
       .toDF("doc_id", "text", "source", "n_chars")
     val feats = Multimodal.extractFeatures(Multimodal.assetsFromDocuments(docs))
       .collect().sortBy(_.asset_id)
-    assert(feats(0).kind == "image/bmp")
-    assert(feats(0).width == 1 + 130 % 64 && feats(0).height == 1 + 130 / 64)
-    assert(feats(0).n_bytes == 54 + 130)
+    assert(feats(0).kind == "image/png")
+    val pw = 1 + 130 % 64 // = 3
+    val ph = (130 + pw - 1) / pw
+    assert(feats(0).width == pw && feats(0).height == ph)
+    assert(feats(0).n_bytes == 57 + 6 + 5 + ph * (pw + 1))
+    // checksum = first 32 DECODED pixels = the text bytes
+    assert(feats(0).checksum == 32L * 'a'.toLong)
     assert(feats(1).width == 1 && feats(1).height == 1 && feats(1).n_bytes == 54)
     assert(feats(2).kind == "audio/wav")
     assert(feats(2).width == 1 && feats(2).height == 50) // (channels, samples)
     assert(feats(2).n_bytes == 44 + 50)
+    assert(feats(2).checksum == 32L * 'b'.toLong)
+    assert(feats(3).kind == "image/bmp")
+    assert(feats(3).width == 1 + 130 % 64 && feats(3).height == 1 + 130 / 64)
+    assert(feats(3).n_bytes == 54 + 130)
+    assert(feats(3).checksum == 32L * 'c'.toLong)
   }
 
   test("resizeBmp: nearest-neighbor pixels, floor dims, zero-fill past data") {
@@ -104,7 +164,7 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ss = spark
     import ss.implicits._
     val docs = Seq(
-      (1L, "x" * 100, "web", 100L),           // BMP: w=37, h=2
+      (2L, "x" * 100, "web", 100L),           // doc_id % 3 == 2 → BMP: w=37, h=2
       (3L, "ab" * 80, "web", 160L))           // WAV: 160 data bytes
       .toDF("doc_id", "text", "source", "n_chars")
     val assets = Multimodal.assetsFromDocuments(docs)
@@ -124,19 +184,20 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fe(1).energy === bytes.slice(128, 160).map(_.toLong).sum)
   }
 
-  test("fixture precondition: audio-routed documents are pure ASCII") {
-    // q_media_frames' DuckDB oracle recomputes frame energies with
-    // ord(substr(text, p, 1)) — character indexing — while the engine
-    // walks the WAV data region BYTES. The two agree iff the fixture
-    // text is ASCII (1 byte per char, ord == byte). Guard that
-    // precondition here so a future non-ASCII fixture fails loudly in
-    // this suite instead of as a silent oracle divergence.
+  test("fixture precondition: multimodal-routed documents are pure ASCII") {
+    // the q_media_frames and q_multimodal DuckDB oracles recompute
+    // content-region values with ord(substr(text, p, 1)) — character
+    // indexing — while the engine walks BYTES (WAV data region, BMP
+    // pixels, decoded PNG pixels). The two agree iff the fixture text
+    // is ASCII (1 byte per char, ord == byte). Guard that precondition
+    // here so a future non-ASCII fixture fails loudly in this suite
+    // instead of as a silent oracle divergence. Since the checksum now
+    // covers every kind, EVERY doc must satisfy it.
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .filter(col("doc_id") % 3 === 0)
     val nonAscii = docs
       .filter(octet_length(col("text")) =!= length(col("text")))
       .count()
-    assert(nonAscii === 0L, "audio-routed fixture docs must be ASCII")
+    assert(nonAscii === 0L, "multimodal fixture docs must be ASCII")
   }
 }
