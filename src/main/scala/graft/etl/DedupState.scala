@@ -67,7 +67,8 @@ object DedupState {
     StructField("bkey", StringType),
     StructField("jac_num", LongType), StructField("jac_den", LongType)))
   private[etl] val FeatsSchema = StructType(Seq(
-    StructField("rid", LongType), StructField("g", StringType)))
+    StructField("rid", LongType), StructField("g", StringType),
+    StructField("w", LongType)))
   private[etl] val FSizesSchema = StructType(Seq(
     StructField("rid", LongType), StructField("n", LongType),
     StructField("nb", LongType)))
@@ -91,7 +92,12 @@ object DedupState {
     *   - CROSS-member candidates are bucket co-memberships spanning
     *     members: the unioned band index self-joins on `bkey` across
     *     member tags (bounded by the global bucket cap, like every
-    *     pairing here);
+    *     pairing here). In a THRESHOLDED store (`pairKeep`) candidacy
+    *     is not admission: cross-member candidates are scored from the
+    *     members' feats indexes with the same stored-attribute algebra
+    *     as [[update]] and pass the same predicate — members must
+    *     agree on the predicate (META-style parity check), exactly as
+    *     they must agree on the cap;
     *   - identical content ingested by several members carries one rep
     *     PER member — star edges link each rep to the global min-rid
     *     rep per content key, exactly collapsing what a single store
@@ -141,6 +147,18 @@ object DedupState {
     require(caps.size == 1,
       s"members disagree on the bucket cap ($caps) — the cap is an " +
         "edge-set invariant, federated or not")
+    // pair-ADMISSION parity: in a thresholded store (pairKeep set) a
+    // band bucket is only CANDIDACY — the predicate over the computed
+    // pair attributes decides edges. Members must agree on what an
+    // edge is before their edge sets can be unioned, and the merge
+    // must apply the same predicate to its cross-member pairs (below).
+    val keeps = states.map(_.pairKeepSql).distinct
+    require(keeps.size == 1,
+      s"members disagree on the pair-admission predicate ($keeps) — " +
+        "admission is an edge-set invariant, federated or not")
+    require(keeps.head.isEmpty || states.forall(_.hasGrams),
+      "pair admission needs the members' feats indexes to score " +
+        "cross-member pairs — every member must carry gramsOf")
     val bandsAll = states.zipWithIndex.map { case (st, m) =>
         st.bands().withColumn("m", lit(m)) }
       .reduce(_ unionByName _)
@@ -176,12 +194,49 @@ object DedupState {
         .agg(count(lit(1)).as("n")).filter(col("n") > cap).select("bkey")
     }
     val liveBands = bandsAll.join(globalDropped, Seq("bkey"), "left_anti")
-    val crossPairs = liveBands.as("x")
+    val crossRaw = liveBands.as("x")
       .join(liveBands.as("y"), "bkey")
       .filter(col("x.m") < col("y.m"))
       .select(least(col("x.rid"), col("y.rid")).as("a"),
         greatest(col("x.rid"), col("y.rid")).as("b"))
       .filter(col("a") =!= col("b"))
+    // cross-member pairs through the same admission gate a member's own
+    // pairs passed at fold time: score each distinct candidate from the
+    // members' feats indexes (rids are globally unique, so each
+    // endpoint's features live in exactly one member) with the stored-
+    // attribute algebra of [[update]] — nab = Σ wa·wb, n = Σ w² — and
+    // keep what the predicate admits. Without a predicate, candidacy IS
+    // admission (the MinHash contract) and no scoring happens.
+    val crossPairs = states.head.pairKeepColumn match {
+      case None => crossRaw
+      case Some(keep) =>
+        val cands = crossRaw.distinct()
+        val featsAll = states.map(_.feats()).reduce(_ unionByName _)
+        val eps = cands.select(col("a").as("rid"))
+          .unionByName(cands.select(col("b").as("rid"))).distinct()
+        val epFeats = featsAll.join(eps, Seq("rid"), "left_semi")
+        val szs = epFeats.groupBy("rid")
+          .agg(sum(col("w") * col("w")).as("n"))
+        val inter = cands
+          .join(epFeats.select(col("rid").as("a"), col("g"),
+            col("w").as("wa")), "a")
+          .join(epFeats.select(col("rid").as("b"), col("g"),
+            col("w").as("wb")), Seq("b", "g"))
+          .groupBy("a", "b").agg(sum(col("wa") * col("wb")).as("nab"))
+        cands
+          .join(inter, Seq("a", "b"), "left_outer")
+          .join(szs.select(col("rid").as("a"), col("n").as("na")),
+            Seq("a"), "left_outer")
+          .join(szs.select(col("rid").as("b"), col("n").as("nb")),
+            Seq("b"), "left_outer")
+          .select(col("a"), col("b"),
+            coalesce(col("nab"), lit(0L)).as("jac_num"),
+            (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L))
+              - coalesce(col("nab"), lit(0L))).as("jac_den"),
+            coalesce(col("na"), lit(0L)).as("na"),
+            coalesce(col("nb"), lit(0L)).as("nb"))
+          .filter(keep).select("a", "b")
+    }
     val liveMemberPairs = pairsAll
       .join(globalDropped, Seq("bkey"), "left_anti").select("a", "b")
     // one canonical rep per content key; star edges collapse the
@@ -259,9 +314,10 @@ object DedupState {
   *                                              partitioned by bkey bucket
   *   root/v{N}/dropped       (bkey)             buckets newly over cap
   *   root/v{N}/labels        (rid, cluster, ver) new + relabeled reps
-  *   root/v{N}/feats/bp=…    (rid, g)           gram features of new reps
-  *                                              (only with `gramsOf`),
-  *                                              partitioned by rid bucket
+  *   root/v{N}/feats/bp=…    (rid, g, w)        weighted gram features of
+  *                                              new reps (only with
+  *                                              `gramsOf`), partitioned
+  *                                              by rid bucket
   *   root/v{N}/fsizes        (rid, n, nb)       gram-set size + band-row
   *                                              count per new rep
   * }}}
@@ -280,9 +336,26 @@ object DedupState {
   * every candidate. The gram features themselves persist per NEW rep
   * (the feats index, rid-bucket partitioned so the pair step's
   * old-endpoint reads prune like every other index probe here), and the
-  * per-rep set size persists in fsizes for consumers that need |A|
-  * without re-counting (identical-content pairs have J = n/n by
-  * construction).
+  * per-rep size n = Σw² persists in fsizes for consumers that need |A|
+  * (or a squared norm) without re-counting (identical-content pairs
+  * have J = n/n by construction).
+  *
+  * Content genericity (`contentCol` / `keyOf` / weighted features /
+  * `pairKeep`): nothing in the store's machinery is text-specific —
+  * the content column may be any orderable type (e.g. an ARRAY<FLOAT>
+  * embedding), `keyOf` supplies its 128-bit identity digest, and a
+  * gram feature row may carry an integer weight `w` (omitted = 1), in
+  * which case the stored pair score Σ wa·wb generalizes from
+  * set-intersection size to an exact integer dot product — fixed-point
+  * vector components keyed by dimension make the stored attribute the
+  * exact-cosine numerator, with the denominators' squared norms in
+  * fsizes. `pairKeep` is an optional pair-ADMISSION predicate over the
+  * computed attributes (e.g. a cosine threshold): pure per-content and
+  * therefore monotone, so the persisted edge set — and the clustering
+  * built on it — equals a one-shot thresholded build on any batch
+  * schedule. This one mechanism serves both the text near-dup family
+  * (MinHash bands + 4-gram Jaccard) and the embedding near-dup family
+  * (hyperplane bands + thresholded exact cosine).
   * A crash between data writes and the CURRENT flip leaves an orphan
   * v{N} dir that readers never see; the retried update overwrites it.
   * [[compact]] squashes all versions into one (and prunes dead pairs),
@@ -320,11 +393,28 @@ final class DedupState(
     bandsOf: DataFrame => DataFrame,
     maxBucket: Option[Long] = None,
     autoCompactEvery: Int = 0,
-    gramsOf: Option[DataFrame => DataFrame] = None) {
+    gramsOf: Option[DataFrame => DataFrame] = None,
+    contentCol: String = "text",
+    keyOf: Column => Column = c => md5(c.cast("binary")),
+    pairKeep: Option[Column] = None) {
 
   require(autoCompactEvery >= 0, "autoCompactEvery must be >= 0 (0 = off)")
+  require(pairKeep.isEmpty || gramsOf.isDefined,
+    "pairKeep admits pairs on their computed attributes — it requires " +
+      "gramsOf (the attribute source); without it the predicate would be " +
+      "silently ignored")
 
   import DedupState._
+
+  /** The pair-admission predicate's canonical rendering (Column
+    * toString = the column node's SQL-ish text, deterministic for a
+    * given expression tree) — the META identity (edge-set invariant on
+    * reopen) and the federation parity check
+    * ([[DedupState.federatedGraph]]: members must agree on what an
+    * edge IS before their edge sets can be unioned). */
+  private[etl] val pairKeepSql: Option[String] = pairKeep.map(_.toString)
+  private[etl] def pairKeepColumn: Option[Column] = pairKeep
+  private[etl] def hasGrams: Boolean = gramsOf.isDefined
 
   private val store = new Store(rootUri, new Configuration())
 
@@ -359,15 +449,20 @@ final class DedupState(
     if (cur == 0) 0L else cur - base + 1
   }
 
+  // keep= renders the admission predicate's SQL (edge-set identity:
+  // reopening a thresholded store with a different — or no — predicate
+  // would silently change what an edge is); compared as a whole line,
+  // so the SQL needs no escaping
   private def metaLine: String =
-    s"maxBucket=${maxBucket.getOrElse(-1L)},grams=${gramsOf.isDefined}"
+    s"maxBucket=${maxBucket.getOrElse(-1L)},grams=${gramsOf.isDefined}" +
+      s",keep=${pairKeepSql.getOrElse("-")}"
 
   private def checkOrWriteMeta(): Unit = store.readString("META") match {
     case Some(m) =>
       require(m.trim == metaLine,
         s"DedupState at $rootUri was built with '${m.trim}', reopened with " +
-          s"'$metaLine' — the bucket cap and gram attribution are edge-set " +
-          "invariants")
+          s"'$metaLine' — the bucket cap, gram attribution and pair " +
+          "admission are edge-set invariants")
     case None => store.writeAtomic("META", metaLine)
   }
 
@@ -512,8 +607,10 @@ final class DedupState(
   def feats(upTo: Long = currentVersion): DataFrame =
     tableFrame("feats", FeatsSchema, upTo)
 
-  /** Per-rep summary — (rid, n = gram-set size, nb = band rows): reps
-    * whose `gramsOf` AND `bandsOf` both emitted nothing are absent. */
+  /** Per-rep summary — (rid, n = Σw² — set size for unweighted
+    * features, squared fixed-point norm for weighted ones — and
+    * nb = band rows): reps whose `gramsOf` AND `bandsOf` both emitted
+    * nothing are absent. */
   def featSizes(upTo: Long = currentVersion): DataFrame =
     tableFrame("fsizes", FSizesSchema, upTo)
 
@@ -583,7 +680,7 @@ final class DedupState(
     val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
     val b = batch.select(col("doc_id"),
-      md5(col("text").cast("binary")).as("k"), col("text"))
+      keyOf(col(contentCol)).as("k"), col(contentCol).as("text"))
     val batchMembers = b.select("doc_id", "k").cpInto(cps)
     val nBatchDocs = batchMembers.count()
     // batch-internal digest grouping: rid = min doc_id of first arrival
@@ -609,10 +706,17 @@ final class DedupState(
     val nBandRows = newBands.count()
 
     // gram features for NEW distinct content only (when the store
-    // carries pair attributes) — the same ∝-batch contract as bands
+    // carries pair attributes) — the same ∝-batch contract as bands.
+    // A feature row is (g, w): unweighted (set) features omit `w` and
+    // get w = 1, making the pair score Σ wa·wb the set-intersection
+    // size; weighted features (e.g. fixed-point vector components
+    // keyed by dimension) make it an exact integer dot product.
     val newFeats = gramsOf.map { gf =>
-      gf(newGroups.select(col("rid").as("doc_id"), col("text")))
-        .select(col("doc_id").as("rid"), col("g")).cpInto(cps)
+      val out = gf(newGroups.select(col("rid").as("doc_id"), col("text")))
+      val weighted =
+        if (out.columns.contains("w")) out else out.withColumn("w", lit(1L))
+      weighted.select(col("doc_id").as("rid"), col("g"),
+        col("w").cast("long").as("w")).cpInto(cps)
     }
     val nGramRows = newFeats.map(_.count()).getOrElse(0L)
     // per-rep summary row: gram-set size + band-row count — `nb` lets
@@ -620,8 +724,11 @@ final class DedupState(
     // the expansion) without touching the band index, whose
     // corpus-sized partitioned layout is priced for PRUNED probes, not
     // full-index distincts
+    // n = Σ w² — the set SIZE for unweighted features (w = 1) and the
+    // squared fixed-point NORM for weighted ones; one definition
+    // serves both the Jaccard denominator and the cosine denominator
     val newSizes = newFeats.map { f =>
-      f.groupBy("rid").agg(count(lit(1)).as("n"))
+      f.groupBy("rid").agg(sum(col("w") * col("w")).as("n"))
         .join(newBands.groupBy("rid").agg(count(lit(1)).as("nb")),
           Seq("rid"), "full_outer")
         .select(col("rid"), coalesce(col("n"), lit(0L)).as("n"),
@@ -686,11 +793,13 @@ final class DedupState(
               partitionValues[Int](endpoints, bandBucket(col("rid"))), cur)
             .join(endpoints, Seq("rid"), "left_semi"))
           .cpInto(cps)
-        val szs = epFeats.groupBy("rid").agg(count(lit(1)).as("n"))
+        val szs = epFeats.groupBy("rid").agg(sum(col("w") * col("w")).as("n"))
         val inter = ab
-          .join(epFeats.select(col("rid").as("a"), col("g")), "a")
-          .join(epFeats.select(col("rid").as("b"), col("g")), Seq("b", "g"))
-          .groupBy("a", "b").agg(count(lit(1)).as("nab"))
+          .join(epFeats.select(col("rid").as("a"), col("g"),
+            col("w").as("wa")), "a")
+          .join(epFeats.select(col("rid").as("b"), col("g"),
+            col("w").as("wb")), Seq("b", "g"))
+          .groupBy("a", "b").agg(sum(col("wa") * col("wb")).as("nab"))
         // outer joins: an endpoint whose gramsOf emitted nothing (too
         // short) still keeps its pair row, with a (0, n) or (0, 0) jac
         val jac = ab
@@ -702,8 +811,23 @@ final class DedupState(
           .select(col("a"), col("b"),
             coalesce(col("nab"), lit(0L)).as("jac_num"),
             (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L))
-              - coalesce(col("nab"), lit(0L))).as("jac_den"))
-        rawPairs.join(jac, Seq("a", "b"), "left_outer")
+              - coalesce(col("nab"), lit(0L))).as("jac_den"),
+            coalesce(col("na"), lit(0L)).as("na"),
+            coalesce(col("nb"), lit(0L)).as("nb"))
+        pairKeep match {
+          // pair-ADMISSION predicate over (jac_num, jac_den, na, nb):
+          // a pure content function (e.g. a cosine threshold over the
+          // stored dot + norms), so admission is monotone like bucket
+          // co-membership — a rejected pair is rejected on any batch
+          // schedule, and the persisted edge set (hence the
+          // clustering) equals the one-shot thresholded build
+          case Some(keep) =>
+            rawPairs.join(jac.filter(keep).select("a", "b", "jac_num",
+              "jac_den"), Seq("a", "b"))
+          case None =>
+            rawPairs.join(jac.select("a", "b", "jac_num", "jac_den"),
+              Seq("a", "b"), "left_outer")
+        }
     }).cpInto(cps)
     val nNewPairs = newPairs.count()
     val newEdges = newPairs.select("a", "b").distinct()

@@ -941,17 +941,127 @@ object EtlQueries {
         .localCheckpoint()
     }
 
+  /** Hyperplane band keys over (doc_id, text = ARRAY<FLOAT>) — bkey =
+    * band index + full 8-bit signature, so bucket co-membership is
+    * EXACTLY co-membership in a (band, sig) bucket of
+    * [[graft.etl.Similarity.candidatePairs]] (bands = 2, bits = 8,
+    * dim = 64 — the q_dedup_embcos tuning). */
+  private def embedBandsOf(src: DataFrame): DataFrame =
+    (0 until 2).map(g => src.select(col("doc_id"),
+        concat_ws(":", lit(g), graft.etl.Similarity
+          .hyperplaneBucket(col("text"), bits = 8, dim = 64, band = g))
+          .as("bkey")))
+      .reduce(_ unionByName _)
+
+  /** WEIGHTED feature rows of an embedding — (doc_id, g = dimension,
+    * w = µs-fixed-point component, the exact
+    * [[graft.functions.FixedPointDot.scale]] rounding): the stored
+    * pair score Σ wa·wb is then bit-for-bit the fixed-point dot
+    * product every oracle-matched cosine shares. */
+  private def embedGramsOf(src: DataFrame): DataFrame =
+    src.select(col("doc_id"), posexplode(col("text")).as(Seq("i", "f")))
+      .select(col("doc_id"), col("i").cast("string").as("g"),
+        round(col("f").cast("double") * Scale, 0).cast("long").as("w"))
+
+  /** The exact-cosine tree over the STORED pair attributes — the
+    * [[graft.functions.FixedPointOps.exactCosine]] shape (cast and
+    * operand placement are the bit-parity contract) with the dot from
+    * the pair row and the squared norms from fsizes. */
+  private def storedCos: Column =
+    col("jac_num").cast("double") /
+      (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+
+  /** The PERSISTED embedding near-duplicate store — the
+    * [[incrDedupState]] pattern applied to the embedding family via
+    * [[graft.etl.DedupState]]'s content genericity: hyperplane band
+    * keys, fixed-point components as weighted features (the stored
+    * pair attribute IS the exact dot product), and a cosine-threshold
+    * pair-ADMISSION predicate, so the persisted edge set and the
+    * clustering equal the one-shot thresholded build on any batch
+    * schedule. */
+  private val embedStateMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      graft.etl.DedupState]
+  /** One embedding near-dup store with the family's edge-set identity
+    * (bands, weighted grams, content key, admission threshold) — the
+    * single-store fixture and both federation members MUST construct
+    * through here: the META/parity checks make a drifted copy refuse,
+    * but the identity itself should exist once. */
+  private def newEmbedStore(s: SparkSession, prefix: String)
+      : graft.etl.DedupState =
+    new graft.etl.DedupState(s, tempStateRoot(prefix),
+      bandsOf = embedBandsOf,
+      gramsOf = Some(embedGramsOf),
+      contentCol = "embedding",
+      // 128-bit content identity for an array column: digest the
+      // deterministic per-component rendering (codegen'd casts, no
+      // JSON library in the loop); paid once per NEW distinct
+      // vector at store-build time — the priced index work, unlike
+      // the per-query digesting the raw-array grouping lesson in
+      // [[textKey]]'s note forbids
+      keyOf = c => md5(concat_ws(",",
+        transform(c, x => x.cast("string"))).cast("binary")),
+      pairKeep = Some(storedCos >= 0.2))
+  private def embedState(s: SparkSession, dir: String)
+      : graft.etl.DedupState =
+    fixtureMemo(embedStateMemo, s, dir) {
+      val st = newEmbedStore(s, "graft-embed-state-")
+      // ONE fold: batch-schedule invariance is the specs' job
+      // (DedupStateSpec's weighted two-batch test, FederatedDedupSpec's
+      // parity members), and a DedupState update has a fixed multi-job
+      // cost the memo line shouldn't pay twice. First-arrival rep ids
+      // in a single whole-corpus batch are the GLOBAL min vec_id per
+      // distinct embedding — the same reps [[embGroups]] and every
+      // oracle use.
+      st.update(emb(s, dir).select(col("vec_id").as("doc_id"),
+        col("embedding")))
+      st
+    }
+
+  /** FEDERATED embedding near-dup clusters: two member stores split by
+    * vec_id PARITY (identical embeddings then land reps in BOTH
+    * members, exercising the star-edge collapse AND the cross-member
+    * admission scoring — parallel vectors straddle the parity split),
+    * merged by [[graft.etl.DedupState.federatedDocClusters]], which
+    * scores cross-member candidates from the members' feats indexes
+    * and applies the members' shared cosine threshold. Must equal the
+    * one-shot thresholded clustering — `q_embcos_fed` serves it under
+    * [[embcosClusterOracleSql]] VERBATIM. */
+  private val fedEmbClustersMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def fedEmbClusters(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo(fedEmbClustersMemo, s, dir) {
+      val e = emb(s, dir).select(col("vec_id").as("doc_id"),
+        col("embedding"))
+      val a = newEmbedStore(s, "graft-fed-emb-a-")
+      val b = newEmbedStore(s, "graft-fed-emb-b-")
+      inParallel(
+        a.update(e.filter(col("doc_id") % 2 === 0)),
+        b.update(e.filter(col("doc_id") % 2 === 1)))
+      graft.etl.DedupState.federatedDocClusters(Seq(a, b))
+        .localCheckpoint()
+    }
+
   /** The banded-hyperplane candidate graph over the distinct-embedding
     * reps, exact-cosine-reranked and thresholded — (a, b, cos) —
     * memoized per fixture by the same argument as
     * [[corpusBandPairs]]: one candidate graph, every cosine-dedup
-    * consumer reads it. Output-bounded (surviving pairs), tiny. */
+    * consumer reads it. Since round 14 this is a READ of the persisted
+    * [[embedState]] pair index: the dot is the stored pair attribute,
+    * the norms come from fsizes, the threshold was applied at pair
+    * admission — no banding, reranking or vector arithmetic happens at
+    * query time (the round-13 "every memo family persists" sweep
+    * finally reaches the embedding family). Output-bounded, tiny. */
   private val embPairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def embCosPairs(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(embPairsMemo, s, dir) {
-      cosinePairs(embGroups(s, dir)
-        .select(col("rid").as("vec_id"), col("embedding")), threshold = 0.2)
+      val st = embedState(s, dir)
+      val sz = st.featSizes()
+      st.livePairStats()
+        .join(sz.select(col("rid").as("a"), col("n").as("na")), "a")
+        .join(sz.select(col("rid").as("b"), col("n").as("nb")), "b")
+        .select(col("a"), col("b"), storedCos.as("cos"))
         .localCheckpoint()
     }
 
@@ -968,14 +1078,14 @@ object EtlQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def embClusters(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(embClusterMemo, s, dir) {
-      val cc = graft.etl.Dedup.connectedComponents(
-          embCosPairs(s, dir).select("a", "b"))
-        .withColumnRenamed("id", "rid")
-      emb(s, dir).join(embGroups(s, dir), "embedding")
-        .select(col("rid"), col("vec_id").as("id"))
-        .join(cc, Seq("rid"), "left_outer")
-        .select(col("id").as("vec_id"),
-          coalesce(col("cluster"), col("rid")).as("cluster"))
+      // the CONVERGED assignment is the store's label index (the CC
+      // fixpoint ran incrementally at fold time over the admitted —
+      // thresholded — edges); reading it replaces the per-session
+      // connectedComponents run entirely. Store rep ids are the global
+      // min vec_ids (range-batched fixture), so labels match the
+      // oracle's min-reachable-vec_id semantics.
+      embedState(s, dir).docClusters()
+        .select(col("doc_id").as("vec_id"), col("cluster"))
         // corpus-sized but two longs per row; every consumer reads it
         .localCheckpoint()
     }
@@ -1204,6 +1314,36 @@ object EtlQueries {
        |  JOIN norms qa ON qa.vec_id = d.a JOIN norms qb ON qb.vec_id = d.b)"""
       .stripMargin
 
+  /** The embedding-clustering oracle — shared verbatim by the
+    * single-store (`q_embcos_cluster`) and federated (`q_embcos_fed`)
+    * forms, the [[contaminationSql]] pattern: a federated merge is
+    * proven by being evidence-indistinguishable from one store over
+    * the union corpus, labels included (the merge's canonical rep per
+    * content is the global min rid, and CC labels are min-reachable —
+    * both exactly the single-store definitions). */
+  private def embcosClusterOracleSql: String =
+    s"""WITH RECURSIVE g AS (
+       |  SELECT MIN(vec_id) AS vec_id, embedding
+       |  FROM embeddings GROUP BY embedding),
+       |${embcosPairsSql("g")},
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM cpairs WHERE cos >= 0.2
+       |  UNION SELECT b AS src, a AS dst FROM cpairs WHERE cos >= 0.2),
+       |cc(id, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, c.lbl FROM edges e JOIN cc c ON c.id = e.dst),
+       |repc AS (SELECT id, MIN(lbl) AS cluster FROM cc GROUP BY id),
+       |rep AS (
+       |  SELECT e.vec_id, g.vec_id AS rid
+       |  FROM embeddings e JOIN g ON g.embedding = e.embedding),
+       |clusters AS (
+       |  SELECT r.vec_id, COALESCE(c.cluster, r.rid) AS cluster
+       |  FROM rep r LEFT JOIN repc c ON c.id = r.rid)
+       |SELECT vec_id, cluster,
+       |  CAST(vec_id = cluster AS BIGINT) AS is_canonical
+       |FROM clusters ORDER BY vec_id""".stripMargin
+
   /** Force every per-(session, fixture) memo — the corpus-derived index
     * frames a real pipeline materializes once at build time (distinct
     * groups, MinHash signatures + band pairs, converged cluster
@@ -1319,7 +1459,8 @@ object EtlQueries {
     t("langpred") { langPredictions(s, dir) }
     t("contam") { contamPostings(s, dir) }
     t("ngrams") { inParallel(repTriGrams(s, dir), repWordCounts(s, dir)) }
-    t("embed") { embGroups(s, dir); embCosPairs(s, dir); embClusters(s, dir) }
+    t("embed") { embGroups(s, dir); embedState(s, dir)
+      embCosPairs(s, dir); embClusters(s, dir) }
     t("sq8") { sq8Codes(s, dir) }
     t("fed_sq8") { fedSq8Codes(s, dir) }
     t("kmeans") { kmeansCentroids(s, dir); kmeansAssignments(s, dir) }
@@ -1328,6 +1469,7 @@ object EtlQueries {
     t("winnow") { winnowSelSet(s, dir) }
     t("spans") { spanState(s, dir) }
     t("fed_contam") { fedContamPostings(s, dir) }
+    t("fed_embed") { fedEmbClusters(s, dir) }
     out.toSeq
   }
 
@@ -2284,29 +2426,26 @@ object EtlQueries {
     // vectors in no surviving pair are their own singleton. Reads the
     // fixture-memoized groups + candidate graph; the oracle reproduces
     // the fixpoint with a recursive CTE over the same banded pipeline.
-    "q_embcos_cluster" -> QueryDef(
-      s"""WITH RECURSIVE g AS (
-         |  SELECT MIN(vec_id) AS vec_id, embedding
-         |  FROM embeddings GROUP BY embedding),
-         |${embcosPairsSql("g")},
-         |edges AS (
-         |  SELECT a AS src, b AS dst FROM cpairs WHERE cos >= 0.2
-         |  UNION SELECT b AS src, a AS dst FROM cpairs WHERE cos >= 0.2),
-         |cc(id, lbl) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, c.lbl FROM edges e JOIN cc c ON c.id = e.dst),
-         |repc AS (SELECT id, MIN(lbl) AS cluster FROM cc GROUP BY id),
-         |rep AS (
-         |  SELECT e.vec_id, g.vec_id AS rid
-         |  FROM embeddings e JOIN g ON g.embedding = e.embedding),
-         |clusters AS (
-         |  SELECT r.vec_id, COALESCE(c.cluster, r.rid) AS cluster
-         |  FROM rep r LEFT JOIN repc c ON c.id = r.rid)
-         |SELECT vec_id, cluster,
-         |  CAST(vec_id = cluster AS BIGINT) AS is_canonical
-         |FROM clusters ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    "q_embcos_cluster" -> QueryDef(embcosClusterOracleSql) { (s, dir) =>
       embClusters(s, dir)
+        .withColumn("is_canonical",
+          (col("vec_id") === col("cluster")).cast("long"))
+        .orderBy("vec_id")
+    },
+
+    // The FEDERATED form: two member stores (vec_id parity split),
+    // merged with cross-member pairs scored from the members' feats
+    // indexes through the shared cosine-threshold admission predicate
+    // ([[fedEmbClusters]]). Served under q_embcos_cluster's oracle
+    // VERBATIM — labels included — because the merge's canonical rep
+    // (global min rid per content) and CC labels (min reachable) are
+    // exactly the single-store definitions. This is the thresholded
+    // counterpart of q_dedup_fed: there, bucket co-membership IS the
+    // edge; here the merge must also reproduce the admission decision
+    // across members.
+    "q_embcos_fed" -> QueryDef(embcosClusterOracleSql) { (s, dir) =>
+      fedEmbClusters(s, dir)
+        .select(col("doc_id").as("vec_id"), col("cluster"))
         .withColumn("is_canonical",
           (col("vec_id") === col("cluster")).cast("long"))
         .orderBy("vec_id")

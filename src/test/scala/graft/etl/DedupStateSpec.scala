@@ -211,6 +211,49 @@ class DedupStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!live.head.isNullAt(2) && !live.head.isNullAt(3))
   }
 
+  test("weighted features + pair admission: the stored score is the exact" +
+      " fixed-point dot; the threshold gates edges AND clustering") {
+    val ss = spark; import ss.implicits._
+    // three 2-d vectors in one shared band bucket: (1,2) parallel
+    // (cos = 1), 3 orthogonal to both (cos = 0) — only (1,2) may pass
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)))
+    val bandsOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      src => src.select(col("doc_id"), lit("one").as("bkey"))
+    val gramsOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      src => src
+        .select(col("doc_id"), posexplode(col("text")).as(Seq("i", "f")))
+        .select(col("doc_id"), col("i").cast("string").as("g"),
+          round(col("f").cast("double") * 1000000L, 0).cast("long").as("w"))
+    val keep = (col("jac_num").cast("double") /
+      (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))) >= 0.5
+    val st = new DedupState(spark, tmpRoot(), bandsOf,
+      gramsOf = Some(gramsOf), contentCol = "embedding",
+      keyOf = c => md5(concat_ws(",",
+        transform(c, x => x.cast("string"))).cast("binary")),
+      pairKeep = Some(keep))
+    val d = vecs.toDF("doc_id", "embedding")
+    st.update(d.filter(col("doc_id") <= 2))
+    st.update(d.filter(col("doc_id") > 2)) // new×old pairing path
+    // only the parallel pair is ADMITTED, with the exact integer dot
+    val pairs = st.livePairStats().collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getLong(0) === 1L && pairs.head.getLong(1) === 2L)
+    assert(pairs.head.getLong(2) === 2L * 1000000L * 1000000L)
+    // fsizes carry the squared fixed-point norms
+    val norms = st.featSizes().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(norms(1L) === 1000000L * 1000000L)
+    assert(norms(2L) === 4L * 1000000L * 1000000L)
+    // the clustering follows the ADMITTED edge set, not the bucket:
+    // {1,2} share a component, 3 is a singleton despite co-banding
+    val dc = st.docClusters().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dc(1L) === dc(2L))
+    assert(dc(3L) !== dc(1L))
+  }
+
   test("gram-attribution mismatch on reopen throws (META invariant)") {
     val ss = spark; import ss.implicits._
     val root = tmpRoot()

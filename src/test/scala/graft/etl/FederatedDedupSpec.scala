@@ -195,6 +195,73 @@ class FederatedDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("cap"))
   }
 
+  test("thresholded store: cross-member pairs pass the shared admission gate") {
+    // the embedding-family shape: weighted features (fixed-point
+    // vector components), a cosine-threshold pair-ADMISSION predicate
+    // — in such a store band co-membership is only CANDIDACY, so the
+    // merge must SCORE cross-member candidates from the members'
+    // feats indexes and apply the same predicate, not admit them on
+    // co-banding as the MinHash merge does
+    val ss = spark; import ss.implicits._
+    // one shared band bucket = every pair is a candidate; parity split
+    // puts 1,3 in member B and 2,4 in member A; (1,2,4) are parallel
+    // (cos = 1 across members, 4 duplicates 1's content exactly) and 3
+    // is orthogonal to all (cos = 0 — candidate, must be rejected)
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(1.0f, 0.0f)))
+    val bandsOf: DataFrame => DataFrame =
+      src => src.select(col("doc_id"), lit("one").as("bkey"))
+    val gramsOf: DataFrame => DataFrame =
+      src => src
+        .select(col("doc_id"), posexplode(col("text")).as(Seq("i", "f")))
+        .select(col("doc_id"), col("i").cast("string").as("g"),
+          round(col("f").cast("double") * 1000000L, 0).cast("long").as("w"))
+    val keep = (col("jac_num").cast("double") /
+      (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))) >= 0.5
+    def mkStore() = new DedupState(spark, tmpRoot(), bandsOf,
+      gramsOf = Some(gramsOf), contentCol = "embedding",
+      keyOf = c => md5(concat_ws(",",
+        transform(c, x => x.cast("string"))).cast("binary")),
+      pairKeep = Some(keep))
+    val d = vecs.toDF("doc_id", "embedding").localCheckpoint()
+
+    def partition(clusters: DataFrame): Set[Set[Long]] = clusters
+      .groupBy("cluster").agg(collect_set("doc_id").as("ds"))
+      .collect().map(_.getSeq[Long](1).toSet).toSet
+
+    val one = mkStore(); one.update(d)
+    val want = partition(one.docClusters().select("doc_id", "cluster"))
+
+    val a = mkStore(); val b = mkStore()
+    a.update(d.filter(col("doc_id") % 2 === 0))
+    b.update(d.filter(col("doc_id") % 2 === 1))
+    val fed = DedupState.federatedDocClusters(Seq(a, b))
+    assert(partition(fed) === want)
+    // and concretely: the parallel trio clusters across the split, the
+    // orthogonal co-banded candidate stays a singleton
+    assert(want === Set(Set(1L, 2L, 4L), Set(3L)))
+  }
+
+  test("pair-admission disagreement refuses to merge") {
+    val bandsOf: DataFrame => DataFrame =
+      src => src.select(col("doc_id"), lit("one").as("bkey"))
+    val gramsOf: DataFrame => DataFrame =
+      src => src.select(col("doc_id"), col("text").as("g"), lit(1L).as("w"))
+    def mk(thr: Double) = new DedupState(spark, tmpRoot(), bandsOf,
+      gramsOf = Some(gramsOf),
+      pairKeep = Some(col("jac_num").cast("double") >= thr))
+    val e = intercept[IllegalArgumentException](
+      DedupState.federatedDocClusters(Seq(mk(0.5), mk(0.6))))
+    assert(e.getMessage.contains("admission"))
+    // and a predicate without the attribute source refuses at
+    // construction — it would otherwise be silently ignored
+    val e2 = intercept[IllegalArgumentException](
+      new DedupState(spark, tmpRoot(), bandsOf,
+        pairKeep = Some(col("jac_num") >= 1L)))
+    assert(e2.getMessage.contains("gramsOf"))
+  }
+
   test("cap disagreement refuses to merge") {
     val prefixBands: DataFrame => DataFrame = docs =>
       docs.select(col("doc_id"), substring(col("text"), 1, 3).as("bkey"))
