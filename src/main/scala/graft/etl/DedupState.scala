@@ -20,6 +20,13 @@ object DedupState {
     * which is all pruning needs: a batch row can only match index rows
     * in its own partition, so filtering the index scan to the batch's
     * partition values is exact. */
+  /** 128-bit identity digest of a pair-admission predicate — see
+    * `pairKeepId`. */
+  private[etl] def keepId(keep: Column): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(keep.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   private[etl] val BandBuckets = 256
   private[etl] def keyPrefix(c: Column): Column = substring(c, 1, 2)
   private[etl] def bandBucket(c: Column): Column =
@@ -152,13 +159,25 @@ object DedupState {
     // pair attributes decides edges. Members must agree on what an
     // edge is before their edge sets can be unioned, and the merge
     // must apply the same predicate to its cross-member pairs (below).
-    val keeps = states.map(_.pairKeepSql).distinct
+    // Parity checks the ON-DISK identity (storedKeepId), so a
+    // read-only handle opened without the predicate cannot pass a
+    // thresholded store off as unthresholded — but such a handle has
+    // no usable Column to score with, so it refuses here too.
+    // (A set predicate implies every member carries gramsOf — the
+    // constructor owns that invariant.)
+    val keeps = states.map(_.storedKeepId).distinct
     require(keeps.size == 1,
       s"members disagree on the pair-admission predicate ($keeps) — " +
         "admission is an edge-set invariant, federated or not")
-    require(keeps.head.isEmpty || states.forall(_.hasGrams),
-      "pair admission needs the members' feats indexes to score " +
-        "cross-member pairs — every member must carry gramsOf")
+    val keepCol = keeps.head.map { id =>
+      val cols = states.flatMap(_.pairKeepColumn)
+      require(cols.size == states.size,
+        s"a thresholded member (admission $id) was opened WITHOUT its " +
+          "admission predicate — the merge must score cross-member " +
+          "candidates with it; reopen the member handle with the " +
+          "predicate (EtlViews.openDedup(root, pairKeep = Some(...)))")
+      cols.head
+    }
     val bandsAll = states.zipWithIndex.map { case (st, m) =>
         st.bands().withColumn("m", lit(m)) }
       .reduce(_ unionByName _)
@@ -207,35 +226,23 @@ object DedupState {
     // attribute algebra of [[update]] — nab = Σ wa·wb, n = Σ w² — and
     // keep what the predicate admits. Without a predicate, candidacy IS
     // admission (the MinHash contract) and no scoring happens.
-    val crossPairs = states.head.pairKeepColumn match {
+    val crossPairs = keepCol match {
       case None => crossRaw
       case Some(keep) =>
         val cands = crossRaw.distinct()
-        val featsAll = states.map(_.feats()).reduce(_ unionByName _)
         val eps = cands.select(col("a").as("rid"))
           .unionByName(cands.select(col("b").as("rid"))).distinct()
-        val epFeats = featsAll.join(eps, Seq("rid"), "left_semi")
-        val szs = epFeats.groupBy("rid")
-          .agg(sum(col("w") * col("w")).as("n"))
-        val inter = cands
-          .join(epFeats.select(col("rid").as("a"), col("g"),
-            col("w").as("wa")), "a")
-          .join(epFeats.select(col("rid").as("b"), col("g"),
-            col("w").as("wb")), Seq("b", "g"))
-          .groupBy("a", "b").agg(sum(col("wa") * col("wb")).as("nab"))
-        cands
-          .join(inter, Seq("a", "b"), "left_outer")
-          .join(szs.select(col("rid").as("a"), col("n").as("na")),
-            Seq("a"), "left_outer")
-          .join(szs.select(col("rid").as("b"), col("n").as("nb")),
-            Seq("b"), "left_outer")
-          .select(col("a"), col("b"),
-            coalesce(col("nab"), lit(0L)).as("jac_num"),
-            (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L))
-              - coalesce(col("nab"), lit(0L))).as("jac_den"),
-            coalesce(col("na"), lit(0L)).as("na"),
-            coalesce(col("nb"), lit(0L)).as("nb"))
-          .filter(keep).select("a", "b")
+        // pruned probes, not full-index reads: the endpoints' rid
+        // buckets (≤ 256 values, driver-bounded) filter each member's
+        // feats scan to the partitions the candidates touch — the
+        // update path's featsTouching contract, applied at merge time
+        val buckets =
+          states.head.partitionValues[Int](eps, bandBucket(col("rid")))
+        val epFeats = states
+          .map(st => st.featsTouching(buckets, st.currentVersion))
+          .reduce(_ unionByName _)
+          .join(eps, Seq("rid"), "left_semi")
+        pairAttributes(cands, epFeats).filter(keep).select("a", "b")
     }
     val liveMemberPairs = pairsAll
       .join(globalDropped, Seq("bkey"), "left_anti").select("a", "b")
@@ -248,6 +255,42 @@ object DedupState {
     val edges = liveMemberPairs.unionByName(crossPairs)
       .unionByName(sameKey).distinct()
     (edges, canon, membersAll)
+  }
+
+  /** The stored-attribute algebra — the ONE copy of the bit-parity
+    * contract shared by the fold path ([[DedupState.update]]'s
+    * pair-emission scoring) and the federated merge's cross-member
+    * admission scoring: for candidate pairs `ab` (a, b — distinct) and
+    * endpoint features `epFeats` (rid, g, w), returns
+    * (a, b, jac_num = Σ wa·wb, jac_den = na + nb − nab, na = Σ wa²,
+    * nb = Σ wb²) — set-intersection/union sizes for unweighted
+    * features (w = 1), exact fixed-point dot and squared norms for
+    * weighted ones. Outer joins: an endpoint whose gramsOf emitted
+    * nothing (too short) keeps its pair row with a (0, n) or (0, 0)
+    * attribute. A single definition, because any divergence between
+    * fold-time and merge-time scoring silently forks admission
+    * semantics and breaks the federated == one-shot contract. */
+  private[etl] def pairAttributes(ab: DataFrame,
+                                  epFeats: DataFrame): DataFrame = {
+    val szs = epFeats.groupBy("rid").agg(sum(col("w") * col("w")).as("n"))
+    val inter = ab
+      .join(epFeats.select(col("rid").as("a"), col("g"),
+        col("w").as("wa")), "a")
+      .join(epFeats.select(col("rid").as("b"), col("g"),
+        col("w").as("wb")), Seq("b", "g"))
+      .groupBy("a", "b").agg(sum(col("wa") * col("wb")).as("nab"))
+    ab
+      .join(inter, Seq("a", "b"), "left_outer")
+      .join(szs.select(col("rid").as("a"), col("n").as("na")),
+        Seq("a"), "left_outer")
+      .join(szs.select(col("rid").as("b"), col("n").as("nb")),
+        Seq("b"), "left_outer")
+      .select(col("a"), col("b"),
+        coalesce(col("nab"), lit(0L)).as("jac_num"),
+        (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L))
+          - coalesce(col("nab"), lit(0L))).as("jac_den"),
+        coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
   }
 
   /** Checkpoint-and-track: update/compact materialize many small
@@ -406,15 +449,31 @@ final class DedupState(
 
   import DedupState._
 
-  /** The pair-admission predicate's canonical rendering (Column
-    * toString = the column node's SQL-ish text, deterministic for a
-    * given expression tree) — the META identity (edge-set invariant on
-    * reopen) and the federation parity check
+  /** The pair-admission predicate's identity: a 128-bit md5 hex of the
+    * Column's canonical rendering (toString = the column node's
+    * SQL-ish text, deterministic for a given expression tree). A
+    * DIGEST rather than the raw text because it rides the
+    * comma-separated META line (predicate SQL may contain commas) —
+    * identity comparison is all the two consumers need: the META
+    * edge-set invariant on reopen, and the federation parity check
     * ([[DedupState.federatedGraph]]: members must agree on what an
     * edge IS before their edge sets can be unioned). */
-  private[etl] val pairKeepSql: Option[String] = pairKeep.map(_.toString)
+  private[etl] val pairKeepId: Option[String] = pairKeep.map(DedupState.keepId)
   private[etl] def pairKeepColumn: Option[Column] = pairKeep
   private[etl] def hasGrams: Boolean = gramsOf.isDefined
+
+  /** The admission identity this handle is accountable to: the one
+    * recorded on disk (META `keep=`) when the store exists — a
+    * read-only handle opened WITHOUT the predicate still knows the
+    * store is thresholded — falling back to the declared predicate for
+    * a store that has not written META yet. [[DedupState
+    * .federatedGraph]] checks parity on THIS (and separately requires
+    * the usable Column), so a view handle cannot launder a thresholded
+    * store through a merge as if it were unthresholded. */
+  private[etl] def storedKeepId: Option[String] =
+    store.readString("META").map(_.trim.split(",").collectFirst {
+      case e if e.startsWith("keep=") && e != "keep=-" => e.drop(5)
+    }).getOrElse(pairKeepId)
 
   private val store = new Store(rootUri, new Configuration())
 
@@ -449,18 +508,23 @@ final class DedupState(
     if (cur == 0) 0L else cur - base + 1
   }
 
-  // keep= renders the admission predicate's SQL (edge-set identity:
-  // reopening a thresholded store with a different — or no — predicate
-  // would silently change what an edge is); compared as a whole line,
-  // so the SQL needs no escaping
+  // keep= carries the admission predicate's 128-bit identity digest
+  // (edge-set invariant: reopening a thresholded store with a
+  // different — or no — predicate would silently change what an edge
+  // is); hex, so the comma-separated META format stays parseable
   private def metaLine: String =
     s"maxBucket=${maxBucket.getOrElse(-1L)},grams=${gramsOf.isDefined}" +
-      s",keep=${pairKeepSql.getOrElse("-")}"
+      s",keep=${pairKeepId.getOrElse("-")}"
 
   private def checkOrWriteMeta(): Unit = store.readString("META") match {
     case Some(m) =>
-      require(m.trim == metaLine,
-        s"DedupState at $rootUri was built with '${m.trim}', reopened with " +
+      // back-compat: a store written before the keep= field existed
+      // could not have carried an admission predicate — normalize its
+      // META to keep=- instead of refusing every further update
+      val stored =
+        if (m.trim.contains(",keep=")) m.trim else m.trim + ",keep=-"
+      require(stored == metaLine,
+        s"DedupState at $rootUri was built with '$stored', reopened with " +
           s"'$metaLine' — the bucket cap, gram attribution and pair " +
           "admission are edge-set invariants")
     case None => store.writeAtomic("META", metaLine)
@@ -544,6 +608,9 @@ final class DedupState(
   private[etl] def featsTouching(buckets: Seq[Int], upTo: Long): DataFrame =
     diskFrame("feats", FeatsSchema, upTo)
       .filter(col("bp").isin(buckets: _*)).drop("bp")
+      // feats written before the weight column existed read w = null;
+      // they were unweighted sets by construction, so w = 1 exactly
+      .withColumn("w", coalesce(col("w"), lit(1L)))
 
   /** The distinct partition values of `c` over `df` — driver-side but
     * BOUNDED by the partition-value domain (≤ 256), like the engine's
@@ -602,10 +669,13 @@ final class DedupState(
   def pairs(upTo: Long = currentVersion): DataFrame =
     tableFrame("pairs", PairsSchema, upTo)
 
-  /** Persisted gram features per rep — (rid, g). Only populated when
-    * the store was built with `gramsOf`. */
+  /** Persisted gram features per rep — (rid, g, w): unweighted (set)
+    * features carry w = 1, weighted ones (e.g. fixed-point vector
+    * components) their integer weight. Only populated when the store
+    * was built with `gramsOf`; pre-weight-column files read w = 1. */
   def feats(upTo: Long = currentVersion): DataFrame =
     tableFrame("feats", FeatsSchema, upTo)
+      .withColumn("w", coalesce(col("w"), lit(1L)))
 
   /** Per-rep summary — (rid, n = Σw² — set size for unweighted
     * features, squared fixed-point norm for weighted ones — and
@@ -793,27 +863,7 @@ final class DedupState(
               partitionValues[Int](endpoints, bandBucket(col("rid"))), cur)
             .join(endpoints, Seq("rid"), "left_semi"))
           .cpInto(cps)
-        val szs = epFeats.groupBy("rid").agg(sum(col("w") * col("w")).as("n"))
-        val inter = ab
-          .join(epFeats.select(col("rid").as("a"), col("g"),
-            col("w").as("wa")), "a")
-          .join(epFeats.select(col("rid").as("b"), col("g"),
-            col("w").as("wb")), Seq("b", "g"))
-          .groupBy("a", "b").agg(sum(col("wa") * col("wb")).as("nab"))
-        // outer joins: an endpoint whose gramsOf emitted nothing (too
-        // short) still keeps its pair row, with a (0, n) or (0, 0) jac
-        val jac = ab
-          .join(inter, Seq("a", "b"), "left_outer")
-          .join(szs.select(col("rid").as("a"), col("n").as("na")),
-            Seq("a"), "left_outer")
-          .join(szs.select(col("rid").as("b"), col("n").as("nb")),
-            Seq("b"), "left_outer")
-          .select(col("a"), col("b"),
-            coalesce(col("nab"), lit(0L)).as("jac_num"),
-            (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L))
-              - coalesce(col("nab"), lit(0L))).as("jac_den"),
-            coalesce(col("na"), lit(0L)).as("na"),
-            coalesce(col("nb"), lit(0L)).as("nb"))
+        val jac = pairAttributes(ab, epFeats)
         pairKeep match {
           // pair-ADMISSION predicate over (jac_num, jac_den, na, nb):
           // a pure content function (e.g. a cosine threshold over the

@@ -1,7 +1,7 @@
 package graft.etl
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.storage.Store
@@ -44,13 +44,34 @@ object EtlViews {
   /** Open a [[DedupState]] root for reading: the bucket cap (an
     * edge-set invariant the READERS need — live-edge filtering) comes
     * from the store's own META, so the handle can never disagree with
-    * the writer's semantics. */
-  def openDedup(spark: SparkSession, rootUri: String): DedupState = {
+    * the writer's semantics.
+    *
+    * A THRESHOLDED store (META `keep=` ≠ `-`) records its
+    * pair-admission identity. Views never evaluate the predicate
+    * (stored pairs are already admission-filtered), so opening without
+    * it is fine for reading — but such a handle refuses to enter a
+    * federated merge (the merge must SCORE cross-member candidates
+    * with the predicate; `DedupState.federatedGraph` checks the
+    * on-disk identity, so the handle cannot pass the store off as
+    * unthresholded). To merge, supply `pairKeep` — digest-checked here
+    * against META, so a WRONG predicate refuses at open instead of
+    * silently changing what an edge is. */
+  def openDedup(spark: SparkSession, rootUri: String,
+                pairKeep: Option[Column] = None): DedupState = {
     val kv = metaOf(rootUri, "DedupState")
     val cap = kv.get("maxBucket").map(_.toLong).filter(_ >= 0)
     val grams = kv.get("grams").exists(_.toBoolean)
+    val storedKeep = kv.get("keep").filter(_ != "-")
+    pairKeep.map(DedupState.keepId).foreach { id =>
+      require(storedKeep.contains(id),
+        s"DedupState at $rootUri records pair-admission identity " +
+          s"${storedKeep.getOrElse("-")} but the handle supplied $id — " +
+          "the predicate is an edge-set invariant; open with the " +
+          "store's own or with none (read-only views)")
+    }
     new DedupState(spark, rootUri, refuse, cap,
-      gramsOf = if (grams) Some(refuse) else None)
+      gramsOf = if (grams) Some(refuse) else None,
+      pairKeep = pairKeep)
   }
 
   /** Open a [[ContamState]] root for reading (df cap from META). */

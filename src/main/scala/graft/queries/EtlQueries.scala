@@ -998,9 +998,14 @@ object EtlQueries {
       // JSON library in the loop); paid once per NEW distinct
       // vector at store-build time — the priced index work, unlike
       // the per-query digesting the raw-array grouping lesson in
-      // [[textKey]]'s note forbids
+      // [[textKey]]'s note forbids. Per-element null marker because
+      // concat_ws SKIPS nulls — without it [1.0, null] and [1.0]
+      // would collide to one content key and the store would silently
+      // merge distinct vectors (the rendering must partition arrays
+      // exactly as the raw-array GROUP BY every oracle uses does)
       keyOf = c => md5(concat_ws(",",
-        transform(c, x => x.cast("string"))).cast("binary")),
+        transform(c, x => coalesce(x.cast("string"), lit("∅"))))
+        .cast("binary")),
       pairKeep = Some(storedCos >= 0.2))
   private def embedState(s: SparkSession, dir: String)
       : graft.etl.DedupState =

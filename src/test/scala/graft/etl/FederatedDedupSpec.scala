@@ -243,6 +243,54 @@ class FederatedDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want === Set(Set(1L, 2L, 4L), Set(3L)))
   }
 
+  test("thresholded read handles: views open bare, merges demand the predicate") {
+    val ss = spark; import ss.implicits._
+    val bandsOf: DataFrame => DataFrame =
+      src => src.select(col("doc_id"), lit("one").as("bkey"))
+    val gramsOf: DataFrame => DataFrame =
+      src => src
+        .select(col("doc_id"), posexplode(col("text")).as(Seq("i", "f")))
+        .select(col("doc_id"), col("i").cast("string").as("g"),
+          round(col("f").cast("double") * 1000000L, 0).cast("long").as("w"))
+    val keep = (col("jac_num").cast("double") /
+      (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))) >= 0.5
+    val (rootA, rootB) = (tmpRoot(), tmpRoot())
+    def mk(root: String) = new DedupState(spark, root, bandsOf,
+      gramsOf = Some(gramsOf), contentCol = "embedding",
+      keyOf = c => md5(concat_ws(",",
+        transform(c, x => x.cast("string"))).cast("binary")),
+      pairKeep = Some(keep))
+    val d = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(1.0f, 0.0f)))
+      .toDF("doc_id", "embedding").localCheckpoint()
+    mk(rootA).update(d.filter(col("doc_id") % 2 === 0))
+    mk(rootB).update(d.filter(col("doc_id") % 2 === 1))
+
+    // a bare read handle serves views (stored rows are already
+    // admission-filtered) …
+    val bare = EtlViews.openDedup(spark, rootA)
+    assert(bare.livePairStats().count() >= 0)
+    // … but cannot enter a merge: the on-disk identity says the store
+    // is thresholded and the handle has no predicate to score with
+    val e = intercept[IllegalArgumentException](
+      DedupState.federatedDocClusters(Seq(
+        bare, EtlViews.openDedup(spark, rootB))))
+    assert(e.getMessage.contains("WITHOUT its"))
+    // a WRONG predicate refuses at open
+    val e2 = intercept[IllegalArgumentException](
+      EtlViews.openDedup(spark, rootA,
+        pairKeep = Some(col("jac_num") >= 9L)))
+    assert(e2.getMessage.contains("edge-set invariant"))
+    // the store's own predicate opens AND merges — equal to one store
+    val fedHandles = DedupState.federatedDocClusters(Seq(
+      EtlViews.openDedup(spark, rootA, pairKeep = Some(keep)),
+      EtlViews.openDedup(spark, rootB, pairKeep = Some(keep))))
+    val sizes = fedHandles.groupBy("cluster")
+      .agg(collect_set("doc_id").as("ds"))
+      .collect().map(_.getSeq[Long](1).toSet).toSet
+    assert(sizes === Set(Set(1L, 2L, 4L), Set(3L)))
+  }
+
   test("pair-admission disagreement refuses to merge") {
     val bandsOf: DataFrame => DataFrame =
       src => src.select(col("doc_id"), lit("one").as("bkey"))
