@@ -143,17 +143,110 @@ object DedupState {
         coalesce(col("cluster"), col("crid")).as("cluster"))
   }
 
+  /** FEDERATED near-duplicate pair report — the [[DedupState
+    * .livePairStats]] of the union corpus, reconstructed from member
+    * state in CANONICAL rid space (the global min rid per content
+    * key — the rep ids a single store over the union would use):
+    * (a, b, jac_num, jac_den), a < b, distinct. Member pairs carry
+    * their fold-time attributes; cross-member candidates are scored
+    * here with the same algebra ([[pairAttributes]]) and — in a
+    * thresholded store — pass the shared admission predicate.
+    * Same-content pairs collapse to self under the canonical mapping
+    * and are dropped, exactly as a single store never pairs a content
+    * with itself. Attributes are pure content functions, so the
+    * member/cross duplicates of one canonical pair agree and the
+    * final distinct is lossless. Topology-time cost, like
+    * [[federatedDocClusters]]. */
+  def federatedLivePairStats(states: Seq[DedupState]): DataFrame = {
+    val p = federatedParts(states)
+    val cross = p.keepCol match {
+      case Some(keep) => p.crossScored().filter(keep)
+      case None =>
+        // an attribute-carrying store computes jac for every admitted
+        // pair at fold time — the merge owes its cross pairs the same;
+        // attribute-less stores store null jac, and get null here
+        if (states.head.hasGrams) p.crossScored()
+        else p.crossRaw.distinct()
+          .withColumn("jac_num", lit(null).cast("long"))
+          .withColumn("jac_den", lit(null).cast("long"))
+    }
+    val m = p.groupsAll.join(p.canon, "k").select(col("rid"), col("crid"))
+    p.liveMemberPairs
+      .unionByName(cross.select("a", "b", "jac_num", "jac_den"))
+      .join(m.select(col("rid").as("a"), col("crid").as("ca")), "a")
+      .join(m.select(col("rid").as("b"), col("crid").as("cb")), "b")
+      .filter(col("ca") =!= col("cb"))
+      .select(least(col("ca"), col("cb")).as("a"),
+        greatest(col("ca"), col("cb")).as("b"),
+        col("jac_num"), col("jac_den"))
+      .distinct()
+  }
+
+  /** FEDERATED per-rep feature summary in canonical rid space — the
+    * [[DedupState.featSizes]] of the union corpus: (rid, n, nb).
+    * n = Σw² and the band-row count are pure content functions, so the
+    * per-member rows of shared content agree and collapse under
+    * distinct. */
+  def federatedFeatSizes(states: Seq[DedupState]): DataFrame = {
+    require(states.nonEmpty, "federation needs at least one member")
+    val groupsAll = states.map(_.seenKeys().select("k", "rid"))
+      .reduce(_ unionByName _)
+    val canon = groupsAll.groupBy("k").agg(min("rid").as("crid"))
+    val m = groupsAll.join(canon, "k").select(col("rid"), col("crid"))
+    states.map(_.featSizes()).reduce(_ unionByName _)
+      .join(m, "rid")
+      .select(col("crid").as("rid"), col("n"), col("nb"))
+      .distinct()
+  }
+
   /** The merge's declarative half, separable so FederatedDedupSpec can
     * assert its PLAN (every join equi-keyed on bkey/k — no cartesian
     * anywhere, the 100 TB guardrail): (global live candidate edges,
     * canonical rep per content key, all member docs). */
   private[etl] def federatedGraph(states: Seq[DedupState])
       : (DataFrame, DataFrame, DataFrame) = {
+    val p = federatedParts(states)
+    // cross-member pairs through the same admission gate a member's
+    // own pairs passed at fold time; without a predicate, candidacy IS
+    // admission (the MinHash contract) and no scoring happens
+    val crossAdmitted = p.keepCol match {
+      case None => p.crossRaw
+      case Some(keep) => p.crossScored().filter(keep).select("a", "b")
+    }
+    val edges = p.liveMemberPairs.select("a", "b")
+      .unionByName(crossAdmitted)
+      .unionByName(p.sameKey).distinct()
+    (edges, p.canon, p.membersAll)
+  }
+
+  /** The declarative pieces every federated reader shares — parity
+    * checks, the global bucket cap, live member/cross pairs, the
+    * canonical-rep frames. `crossScored` is a thunk because building
+    * it collects the candidates' partition values (a bounded driver
+    * job the attribute-less graph path should not pay). */
+  private final case class FedParts(
+      keepCol: Option[Column],
+      liveMemberPairs: DataFrame,
+      crossRaw: DataFrame,
+      crossScored: () => DataFrame,
+      sameKey: DataFrame,
+      canon: DataFrame,
+      membersAll: DataFrame,
+      groupsAll: DataFrame)
+
+  private def federatedParts(states: Seq[DedupState]): FedParts = {
     require(states.nonEmpty, "federation needs at least one member")
     val caps = states.map(_.bucketCap).distinct
     require(caps.size == 1,
       s"members disagree on the bucket cap ($caps) — the cap is an " +
         "edge-set invariant, federated or not")
+    // gram-attribution parity: pair attributes are part of the pair
+    // rows' meaning — a mixed federation would emit half-null,
+    // half-scored reports
+    val grams = states.map(_.hasGrams).distinct
+    require(grams.size == 1,
+      "members disagree on gram attribution — attribute semantics are " +
+        "a pair-row invariant, federated or not")
     // pair-ADMISSION parity: in a thresholded store (pairKeep set) a
     // band bucket is only CANDIDACY — the predicate over the computed
     // pair attributes decides edges. Members must agree on what an
@@ -219,42 +312,37 @@ object DedupState {
       .select(least(col("x.rid"), col("y.rid")).as("a"),
         greatest(col("x.rid"), col("y.rid")).as("b"))
       .filter(col("a") =!= col("b"))
-    // cross-member pairs through the same admission gate a member's own
-    // pairs passed at fold time: score each distinct candidate from the
-    // members' feats indexes (rids are globally unique, so each
-    // endpoint's features live in exactly one member) with the stored-
-    // attribute algebra of [[update]] — nab = Σ wa·wb, n = Σ w² — and
-    // keep what the predicate admits. Without a predicate, candidacy IS
-    // admission (the MinHash contract) and no scoring happens.
-    val crossPairs = keepCol match {
-      case None => crossRaw
-      case Some(keep) =>
-        val cands = crossRaw.distinct()
-        val eps = cands.select(col("a").as("rid"))
-          .unionByName(cands.select(col("b").as("rid"))).distinct()
-        // pruned probes, not full-index reads: the endpoints' rid
-        // buckets (≤ 256 values, driver-bounded) filter each member's
-        // feats scan to the partitions the candidates touch — the
-        // update path's featsTouching contract, applied at merge time
-        val buckets =
-          states.head.partitionValues[Int](eps, bandBucket(col("rid")))
-        val epFeats = states
-          .map(st => st.featsTouching(buckets, st.currentVersion))
-          .reduce(_ unionByName _)
-          .join(eps, Seq("rid"), "left_semi")
-        pairAttributes(cands, epFeats).filter(keep).select("a", "b")
+    // score distinct cross-member candidates from the members' feats
+    // indexes (rids are globally unique, so each endpoint's features
+    // live in exactly one member) with the stored-attribute algebra of
+    // [[update]] — nab = Σ wa·wb, n = Σ w²
+    val crossScored = () => {
+      val cands = crossRaw.distinct()
+      val eps = cands.select(col("a").as("rid"))
+        .unionByName(cands.select(col("b").as("rid"))).distinct()
+      // pruned probes, not full-index reads: the endpoints' rid
+      // buckets (≤ 256 values, driver-bounded) filter each member's
+      // feats scan to the partitions the candidates touch — the
+      // update path's featsTouching contract, applied at merge time
+      val buckets =
+        states.head.partitionValues[Int](eps, bandBucket(col("rid")))
+      val epFeats = states
+        .map(st => st.featsTouching(buckets, st.currentVersion))
+        .reduce(_ unionByName _)
+        .join(eps, Seq("rid"), "left_semi")
+      pairAttributes(cands, epFeats)
     }
     val liveMemberPairs = pairsAll
-      .join(globalDropped, Seq("bkey"), "left_anti").select("a", "b")
+      .join(globalDropped, Seq("bkey"), "left_anti")
+      .select("a", "b", "jac_num", "jac_den")
     // one canonical rep per content key; star edges collapse the
     // per-member reps of identical content
     val canon = groupsAll.groupBy("k").agg(min("rid").as("crid"))
     val sameKey = groupsAll.join(canon, "k")
       .filter(col("rid") =!= col("crid"))
       .select(col("crid").as("a"), col("rid").as("b"))
-    val edges = liveMemberPairs.unionByName(crossPairs)
-      .unionByName(sameKey).distinct()
-    (edges, canon, membersAll)
+    FedParts(keepCol, liveMemberPairs, crossRaw, crossScored,
+      sameKey, canon, membersAll, groupsAll)
   }
 
   /** The stored-attribute algebra — the ONE copy of the bit-parity

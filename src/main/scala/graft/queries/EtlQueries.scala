@@ -1023,19 +1023,17 @@ object EtlQueries {
       st
     }
 
-  /** FEDERATED embedding near-dup clusters: two member stores split by
-    * vec_id PARITY (identical embeddings then land reps in BOTH
-    * members, exercising the star-edge collapse AND the cross-member
-    * admission scoring — parallel vectors straddle the parity split),
-    * merged by [[graft.etl.DedupState.federatedDocClusters]], which
-    * scores cross-member candidates from the members' feats indexes
-    * and applies the members' shared cosine threshold. Must equal the
-    * one-shot thresholded clustering — `q_embcos_fed` serves it under
-    * [[embcosClusterOracleSql]] VERBATIM. */
-  private val fedEmbClustersMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private def fedEmbClusters(s: SparkSession, dir: String): DataFrame =
-    fixtureMemo(fedEmbClustersMemo, s, dir) {
+  /** The FEDERATED embedding member stores: vec_id PARITY split
+    * (identical embeddings then land reps in BOTH members, exercising
+    * the star-edge collapse AND the cross-member admission scoring —
+    * parallel vectors straddle the parity split). Built once; both
+    * federated readers (clusters + pair report) derive from them. */
+  private val fedEmbMembersMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (graft.etl.DedupState, graft.etl.DedupState)]
+  private def fedEmbMembers(s: SparkSession, dir: String)
+      : (graft.etl.DedupState, graft.etl.DedupState) =
+    fixtureMemo(fedEmbMembersMemo, s, dir) {
       val e = emb(s, dir).select(col("vec_id").as("doc_id"),
         col("embedding"))
       val a = newEmbedStore(s, "graft-fed-emb-a-")
@@ -1043,7 +1041,58 @@ object EtlQueries {
       inParallel(
         a.update(e.filter(col("doc_id") % 2 === 0)),
         b.update(e.filter(col("doc_id") % 2 === 1)))
-      graft.etl.DedupState.federatedDocClusters(Seq(a, b))
+      (a, b)
+    }
+
+  /** FEDERATED embedding near-dup clusters: connected components over
+    * the CANONICAL pair set [[fedEmbCosPairs]] serves (the quotient
+    * graph — per-member reps of identical content are already
+    * collapsed onto their canonical rid there, so the star edges of
+    * [[graft.etl.DedupState.federatedDocClusters]] are internalized
+    * and one merged pair frame feeds BOTH federated readers, the way
+    * the single store's pair and label indexes share one fold). CC
+    * labels are min-reachable and canonical rids are global min rids,
+    * so labels equal the one-shot thresholded clustering's — which
+    * `q_embcos_fed` serving [[embcosClusterOracleSql]] VERBATIM
+    * proves. (FederatedDedupSpec covers the unquotiented
+    * `federatedDocClusters` on a thresholded store directly.) */
+  private val fedEmbClustersMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def fedEmbClusters(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo(fedEmbClustersMemo, s, dir) {
+      val (a, b) = fedEmbMembers(s, dir)
+      val cc = graft.etl.Dedup.connectedComponents(
+          fedEmbCosPairs(s, dir).select("a", "b"))
+        .withColumnRenamed("id", "crid")
+      val groupsAll = Seq(a, b).map(_.seenKeys().select("k", "rid"))
+        .reduce(_ unionByName _)
+      val canon = groupsAll.groupBy("k").agg(min("rid").as("crid"))
+      val membersAll = Seq(a, b).map(_.members().select("doc_id", "k"))
+        .reduce(_ unionByName _)
+      membersAll.join(canon, "k")
+        .join(cc, Seq("crid"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("crid")).as("cluster"))
+        .localCheckpoint()
+    }
+
+  /** FEDERATED embedding near-dup PAIR REPORT — (a, b, cos) in
+    * canonical rid space: the stored dots from
+    * [[graft.etl.DedupState.federatedLivePairStats]] over the squared
+    * norms from [[graft.etl.DedupState.federatedFeatSizes]], the same
+    * [[storedCos]] tree the single-store read uses. Must equal
+    * [[embCosPairs]] row-for-row — `q_dedup_embcos_fed` serves it
+    * under q_dedup_embcos's oracle VERBATIM. */
+  private val fedEmbPairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def fedEmbCosPairs(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo(fedEmbPairsMemo, s, dir) {
+      val (a, b) = fedEmbMembers(s, dir)
+      val sz = graft.etl.DedupState.federatedFeatSizes(Seq(a, b))
+      graft.etl.DedupState.federatedLivePairStats(Seq(a, b))
+        .join(sz.select(col("rid").as("a"), col("n").as("na")), "a")
+        .join(sz.select(col("rid").as("b"), col("n").as("nb")), "b")
+        .select(col("a"), col("b"), storedCos.as("cos"))
         .localCheckpoint()
     }
 
@@ -1319,6 +1368,16 @@ object EtlQueries {
        |  JOIN norms qa ON qa.vec_id = d.a JOIN norms qb ON qb.vec_id = d.b)"""
       .stripMargin
 
+  /** The embedding pair-report oracle — shared verbatim by the
+    * single-store (`q_dedup_embcos`) and federated
+    * (`q_dedup_embcos_fed`) forms: the federated pair report must be
+    * evidence-indistinguishable from one store over the union corpus,
+    * exact cosines included. */
+  private def embcosPairsOracleSql: String =
+    s"""WITH ${embcosPairsSql("embeddings")}
+       |SELECT a, b, cos FROM cpairs WHERE cos >= 0.2
+       |ORDER BY a, b""".stripMargin
+
   /** The embedding-clustering oracle — shared verbatim by the
     * single-store (`q_embcos_cluster`) and federated (`q_embcos_fed`)
     * forms, the [[contaminationSql]] pattern: a federated merge is
@@ -1474,7 +1533,7 @@ object EtlQueries {
     t("winnow") { winnowSelSet(s, dir) }
     t("spans") { spanState(s, dir) }
     t("fed_contam") { fedContamPostings(s, dir) }
-    t("fed_embed") { fedEmbClusters(s, dir) }
+    t("fed_embed") { fedEmbClusters(s, dir); fedEmbCosPairs(s, dir) }
     out.toSeq
   }
 
@@ -2367,10 +2426,7 @@ object EtlQueries {
     // pairs, exact fixed-point cosine reranks, keep pairs above
     // threshold. Candidate volume scales as Σ bucket², tuned by bits
     // (SCALE.md) — never all-pairs.
-    "q_dedup_embcos" -> QueryDef(
-      s"""WITH ${embcosPairsSql("embeddings")}
-         |SELECT a, b, cos FROM cpairs WHERE cos >= 0.2
-         |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    "q_dedup_embcos" -> QueryDef(embcosPairsOracleSql) { (s, dir) =>
       // Same factoring as q_dedup_minhash: signatures and cosines are
       // pure functions of the embedding, so LSH + rerank run on
       // distinct vectors and the full pair set expands afterwards —
@@ -2393,6 +2449,27 @@ object EtlQueries {
           exactCosine(col("embedding"), col("embedding")).as("cos"))
         .filter(col("cos") >= 0.2)
       expandPairs(members, repPairs, selfCos).orderBy("a", "b")
+    },
+
+    // The FEDERATED form of the pair report: the rep-level pairs come
+    // from the merged member stores ([[fedEmbCosPairs]] — member pair
+    // attributes + cross-member candidates scored through the shared
+    // admission threshold, mapped to canonical rep ids), and must
+    // expand to exactly the rows the single-store report produces —
+    // which serving q_dedup_embcos's oracle VERBATIM proves. The
+    // expansion frames (membership, self-cosines) are pure corpus
+    // functions shared with the single-store form; the federated
+    // evidence is the pair set and its stored-dot cosines.
+    "q_dedup_embcos_fed" -> QueryDef(embcosPairsOracleSql) { (s, dir) =>
+      import graft.functions.FixedPointOps.exactCosine
+      val g = embGroups(s, dir)
+      val members = emb(s, dir).join(g, "embedding")
+        .select(col("rid"), col("vec_id").as("id"))
+      val selfCos = g.select(col("rid"),
+          exactCosine(col("embedding"), col("embedding")).as("cos"))
+        .filter(col("cos") >= 0.2)
+      expandPairs(members, fedEmbCosPairs(s, dir), selfCos)
+        .orderBy("a", "b")
     },
 
     // The duplicate-heavy-corpus form of embedding dedup: collapse

@@ -243,6 +243,44 @@ class FederatedDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want === Set(Set(1L, 2L, 4L), Set(3L)))
   }
 
+  test("federated pair report equals one store (gram-attributed, cross-member scoring)") {
+    // the UNthresholded gram-attributed shape (the text 4-gram store):
+    // member pairs carry fold-time Jaccard, cross-member candidates
+    // must be scored at merge time with the same algebra, and the
+    // canonical mapping must collapse shared-content reps without
+    // pairing a content with itself
+    val bandsOf = graft.queries.EtlQueries.bandKeys _
+    val gramsOf = graft.queries.EtlQueries.gram4Of _
+    val base = fixtureDocs.localCheckpoint()
+    val dupes = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val d = base.unionByName(dupes).localCheckpoint()
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    val one = new DedupState(spark, tmpRoot(), bandsOf,
+      gramsOf = Some(gramsOf))
+    one.update(d)
+    val want = rows(one.livePairStats())
+    assert(want.nonEmpty, "fixture must produce candidate pairs")
+
+    val a = new DedupState(spark, tmpRoot(), bandsOf,
+      gramsOf = Some(gramsOf))
+    val b = new DedupState(spark, tmpRoot(), bandsOf,
+      gramsOf = Some(gramsOf))
+    a.update(d.filter(col("doc_id") % 2 === 0))
+    b.update(d.filter(col("doc_id") % 2 === 1))
+    assert(rows(DedupState.federatedLivePairStats(Seq(a, b))) === want)
+    // and the canonical feature summary matches the one-shot store's
+    val szOne = one.featSizes().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val szFed = DedupState.federatedFeatSizes(Seq(a, b)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(szFed === szOne)
+  }
+
   test("thresholded read handles: views open bare, merges demand the predicate") {
     val ss = spark; import ss.implicits._
     val bandsOf: DataFrame => DataFrame =
