@@ -546,6 +546,11 @@ final class DedupState(
     * edge-set invariant on reopen, and the federation parity check
     * ([[DedupState.federatedGraph]]: members must agree on what an
     * edge IS before their edge sets can be unioned). */
+  /** The content column [[update]] reads from its batches — streaming
+    * sinks project their micro-batches to (doc_id, this) instead of
+    * assuming the text shape. */
+  private[graft] def contentColumn: String = contentCol
+
   private[etl] val pairKeepId: Option[String] = pairKeep.map(DedupState.keepId)
   private[etl] def pairKeepColumn: Option[Column] = pairKeep
   private[etl] def hasGrams: Boolean = gramsOf.isDefined

@@ -44,7 +44,9 @@ object StreamingDedupIndex {
 
   /** Wire a curated stream into a dedup store: returns the started
     * query. `curated` is [[StreamingCurator.curate]]'s output (or any
-    * streaming Dataset with doc_id/text columns). */
+    * streaming Dataset carrying doc_id and the store's content column
+    * — `text` for the text family, an embedding array for a
+    * content-generic store). */
   def indexStream(curated: DataFrame, state: DedupState,
                   checkpoint: String): StreamingQuery =
     writer(curated, state, checkpoint)
@@ -58,7 +60,9 @@ object StreamingDedupIndex {
     // existing store starts a fresh sequence instead of colliding
     val scope = scopeOf(checkpoint)
     curated
-      .select("doc_id", "text")
+      // project to the store's OWN content column: the generalized
+      // store may key on an embedding array rather than text
+      .select("doc_id", state.contentColumn)
       .writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(0L))

@@ -83,6 +83,59 @@ class StreamingDedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "post-restart fold joins the existing BBB component")
   }
 
+  test("a content-generic (embedding) store takes streamed folds") {
+    // the generalized store keys on an ARRAY column with weighted
+    // features and a cosine admission threshold — the sink must
+    // project the stream to the store's OWN content column, and the
+    // streamed result must equal the one-shot thresholded build
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val bandsOf: DataFrame => DataFrame =
+      src => src.select(col("doc_id"), lit("one").as("bkey"))
+    val gramsOf: DataFrame => DataFrame =
+      src => src
+        .select(col("doc_id"), posexplode(col("text")).as(Seq("i", "f")))
+        .select(col("doc_id"), col("i").cast("string").as("g"),
+          round(col("f").cast("double") * 1000000L, 0).cast("long").as("w"))
+    val keep = (col("jac_num").cast("double") /
+      (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))) >= 0.5
+    def mk() = new DedupState(spark,
+      Files.createTempDirectory("sdi-emb-").toString, bandsOf,
+      gramsOf = Some(gramsOf), contentCol = "embedding",
+      keyOf = c => md5(concat_ws(",",
+        transform(c, x => coalesce(x.cast("string"), lit("∅"))))
+        .cast("binary")),
+      pairKeep = Some(keep))
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(1.0f, 0.0f)))
+
+    val state = mk()
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingDedupIndex.indexStream(
+      mem.toDF().toDF("doc_id", "embedding"), state,
+      Files.createTempDirectory("sdi-emb-ckpt-").toString)
+    mem.addData(vecs.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(vecs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val oneShot = mk()
+    oneShot.update(vecs.toDF("doc_id", "embedding"))
+    def partition(st: DedupState): Set[Set[Long]] = st.docClusters()
+      .groupBy("cluster").agg(collect_set("doc_id").as("ds"))
+      .collect().map(_.getSeq[Long](1).toSet).toSet
+    assert(partition(state) === partition(oneShot))
+    assert(partition(state) === Set(Set(1L, 2L, 4L), Set(3L)))
+    // and the stored pair attributes match (exact dot across batches)
+    def stats(st: DedupState) = st.livePairStats().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(stats(state) === stats(oneShot))
+  }
+
   test("a replayed micro-batch is skipped at the idempotency key") {
     val ss = spark
     import ss.implicits._
