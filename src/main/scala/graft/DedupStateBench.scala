@@ -90,6 +90,17 @@ object DedupStateBench {
     cb.update(corpus.filter(col("doc_id") % 2 === 1))
     val (fedPosts, fedPostSec) = timed(
       graft.etl.ContamState.federatedLivePostings(Seq(ca, cb)).count())
+    // federated PAIR REPORT over gram-attributed members (cross-member
+    // candidates scored at merge time through the pruned feats probes
+    // — the round-14 reader); same linear-in-corpus-edges contract
+    val ga = new graft.etl.DedupState(spark, freshRoot(), bandsOf,
+      gramsOf = Some(graft.queries.EtlQueries.gram4Of _))
+    val gb = new graft.etl.DedupState(spark, freshRoot(), bandsOf,
+      gramsOf = Some(graft.queries.EtlQueries.gram4Of _))
+    ga.update(corpus.filter(col("doc_id") % 2 === 0))
+    gb.update(corpus.filter(col("doc_id") % 2 === 1))
+    val (fedPairs, fedPairSec) = timed(
+      graft.etl.DedupState.federatedLivePairStats(Seq(ga, gb)).count())
 
     println(s"""{"metric":"dedup_state","init_sec":$initSec,""" +
       s""""update_sec":$updSec,"corpus_docs":$nCorpus,""" +
@@ -105,6 +116,7 @@ object DedupStateBench {
       s""""contam_fresh_grams":${crep.nGramRows},""" +
       s""""fed_merge_sec":$fedSec,"fed_merge_docs":$fedDocs,""" +
       s""""fed_postings_sec":$fedPostSec,"fed_postings":$fedPosts,""" +
+      s""""fed_pairstats_sec":$fedPairSec,"fed_pairstats":$fedPairs,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }
