@@ -91,9 +91,13 @@ object EtlViews {
     *     uses);
     *   - `<prefix>_dup_report` (cluster, n_docs, n_distinct) — per-
     *     cluster duplication accounting (docs vs distinct contents);
-    *   - `<prefix>_dup_pairs`  (a, b, jac_num, jac_den) — live
-    *     candidate pairs with their stored exact Jaccard (null in
-    *     stores built without gram attribution).
+    *   - `<prefix>_dup_pairs`  (a, b, jac_num, jac_den, na, nb) — live
+    *     candidate pairs with their stored exact similarity
+    *     attributes: Jaccard = jac_num/jac_den for set features,
+    *     cosine = jac_num / (sqrt(na)·sqrt(nb)) for weighted
+    *     (embedding) stores where jac_num is the exact fixed-point dot
+    *     and na/nb the squared norms (all null in stores built without
+    *     gram attribution).
     */
   def registerDedupViews(spark: SparkSession, prefix: String,
                          rootUri: String): Unit = {
@@ -105,7 +109,13 @@ object EtlViews {
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_docs"), countDistinct("k").as("n_distinct"))
       .createOrReplaceTempView(s"${prefix}_dup_report")
+    val sz = st.featSizes()
     st.livePairStats()
+      .join(sz.select(col("rid").as("a"), col("n").as("na")),
+        Seq("a"), "left_outer")
+      .join(sz.select(col("rid").as("b"), col("n").as("nb")),
+        Seq("b"), "left_outer")
+      .select("a", "b", "jac_num", "jac_den", "na", "nb")
       .createOrReplaceTempView(s"${prefix}_dup_pairs")
   }
 

@@ -277,6 +277,56 @@ class ServiceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally conn.close()
   }
 
+  test("a thresholded embedding store serves its curation views over JDBC") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("svcetl-emb").toString
+    val keep = (col("jac_num").cast("double") /
+      (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))) >= 0.2
+    // the content-generic store: embeddings keyed by digest, fixed-point
+    // components as weighted features, cosine-threshold admission; a
+    // sign-of-first-component banding keeps the fixture's candidate
+    // volume bounded while exercising real multi-bucket pruning
+    val writer = new graft.etl.DedupState(spark, root,
+      bandsOf = src => src.select(col("doc_id"),
+        (element_at(col("text"), 1) >= 0f).cast("string").as("bkey")),
+      gramsOf = Some(src => src
+        .select(col("doc_id"), posexplode(col("text")).as(Seq("i", "f")))
+        .select(col("doc_id"), col("i").cast("string").as("g"),
+          round(col("f").cast("double") * 1000000L, 0).cast("long").as("w"))),
+      contentCol = "embedding",
+      keyOf = c => md5(concat_ws(",",
+        transform(c, x => coalesce(x.cast("string"), lit("∅"))))
+        .cast("binary")),
+      pairKeep = Some(keep))
+    writer.update(spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .localCheckpoint())
+    // views register from a BARE read handle — admission already
+    // happened at fold time, so the handle needs no predicate
+    graft.etl.EtlViews.registerDedupViews(spark, "emb", root)
+    val conn = connect()
+    try {
+      val st = conn.createStatement()
+      // every stored pair clears the admission threshold, recomputed
+      // in SQL from the stored dot + squared norms (sqrt as doubles —
+      // na*nb would overflow int64 at the µs fixed-point scale)
+      val rs = st.executeQuery(
+        """SELECT count(*) AS n,
+          |  sum(CASE WHEN CAST(jac_num AS DOUBLE) /
+          |    (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) < 0.2
+          |    THEN 1 ELSE 0 END) AS bad
+          |FROM emb_dup_pairs""".stripMargin)
+      assert(rs.next() && rs.getLong("n") > 0L && rs.getLong("bad") === 0L)
+      // cluster sizes over the wire match the store's own reader
+      val rs2 = st.executeQuery(
+        "SELECT count(DISTINCT cluster) AS nc FROM emb_clusters")
+      assert(rs2.next() && rs2.getLong(1) ===
+        writer.docClusters().select("cluster").distinct().count())
+    } finally conn.close()
+  }
+
   test("a saturated query pool sheds JDBC statements with [426]") {
     // a deliberately slow view: every partition sleeps, so the first
     // statement reliably HOLDS its query-pool permit while the second
