@@ -384,13 +384,17 @@ object DedupState {
   /** Checkpoint-and-track: update/compact materialize many small
     * frames; tracking them lets the caller unpersist after the write
     * lands, so a long-lived ingest daemon doesn't accumulate blocks
-    * (the engine's checkpointReleasable discipline). */
+    * (the engine's checkpointReleasable discipline). Appends
+    * synchronize on the bag: independent stages of [[DedupState
+    * .update]] materialize CONCURRENTLY (the fold's fixed cost is
+    * job-launch latency, not data). */
   private[etl] implicit class Tracked(private val df: DataFrame)
       extends AnyVal {
     def cpInto(bag: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
-      val c = df.localCheckpoint(); bag += c; c
+      val c = df.localCheckpoint(); bag.synchronized { bag += c }; c
     }
   }
+
 }
 
 /** Versioned, persisted near-duplicate state with per-ingest-commit
@@ -861,27 +865,49 @@ final class DedupState(
       .cpInto(cps)
     val nNewDistinct = newGroups.count()
 
-    // signatures for NEW distinct content only
-    val newBands = bandsOf(newGroups.select(col("rid").as("doc_id"),
-        col("text")))
-      .select(col("doc_id").as("rid"), col("bkey"))
-      .cpInto(cps)
-    val nBandRows = newBands.count()
+    // The fold's fixed cost is JOB-LAUNCH LATENCY, not data (a ~1%
+    // crawl batch materializes ~20 checkpoint/count/write jobs over a
+    // few thousand rows), so independent stages materialize
+    // CONCURRENTLY: bands ∥ gram features ∥ the label-index read, then
+    // the per-rep summary ∥ the old-bucket probe. Spark job submission
+    // is thread-safe; a Future failure rethrows into the fold, whose
+    // orphan-version crash contract already covers a mid-update abort.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
 
+    // signatures for NEW distinct content only
+    val fBands = Future {
+      val nb = bandsOf(newGroups.select(col("rid").as("doc_id"),
+          col("text")))
+        .select(col("doc_id").as("rid"), col("bkey"))
+        .cpInto(cps)
+      (nb, nb.count())
+    }
     // gram features for NEW distinct content only (when the store
     // carries pair attributes) — the same ∝-batch contract as bands.
     // A feature row is (g, w): unweighted (set) features omit `w` and
     // get w = 1, making the pair score Σ wa·wb the set-intersection
     // size; weighted features (e.g. fixed-point vector components
     // keyed by dimension) make it an exact integer dot product.
-    val newFeats = gramsOf.map { gf =>
-      val out = gf(newGroups.select(col("rid").as("doc_id"), col("text")))
-      val weighted =
-        if (out.columns.contains("w")) out else out.withColumn("w", lit(1L))
-      weighted.select(col("doc_id").as("rid"), col("g"),
-        col("w").cast("long").as("w")).cpInto(cps)
+    val fFeats = Future {
+      gramsOf.map { gf =>
+        val out = gf(newGroups.select(col("rid").as("doc_id"), col("text")))
+        val weighted =
+          if (out.columns.contains("w")) out else out.withColumn("w", lit(1L))
+        val f = weighted.select(col("doc_id").as("rid"), col("g"),
+          col("w").cast("long").as("w")).cpInto(cps)
+        (f, f.count())
+      }
     }
-    val nGramRows = newFeats.map(_.count()).getOrElse(0L)
+    // the label-index read is batch-independent — overlap it with the
+    // signature work; it is consumed after the pair step
+    val fLabels = Future { labels(cur).cpInto(cps) }
+    val (newBands, nBandRows) = Await.result(fBands, Duration.Inf)
+    val newFeatsN = Await.result(fFeats, Duration.Inf)
+    val newFeats = newFeatsN.map(_._1)
+    val nGramRows = newFeatsN.map(_._2).getOrElse(0L)
+
     // per-rep summary row: gram-set size + band-row count — `nb` lets
     // consumers ask "did this rep band at all?" (the intra-pair gate of
     // the expansion) without touching the band index, whose
@@ -890,24 +916,31 @@ final class DedupState(
     // n = Σ w² — the set SIZE for unweighted features (w = 1) and the
     // squared fixed-point NORM for weighted ones; one definition
     // serves both the Jaccard denominator and the cosine denominator
-    val newSizes = newFeats.map { f =>
-      f.groupBy("rid").agg(sum(col("w") * col("w")).as("n"))
-        .join(newBands.groupBy("rid").agg(count(lit(1)).as("nb")),
-          Seq("rid"), "full_outer")
-        .select(col("rid"), coalesce(col("n"), lit(0L)).as("n"),
-          coalesce(col("nb"), lit(0L)).as("nb"))
-        .cpInto(cps)
+    val fSizes = Future {
+      newFeats.map { f =>
+        val sz = f.groupBy("rid").agg(sum(col("w") * col("w")).as("n"))
+          .join(newBands.groupBy("rid").agg(count(lit(1)).as("nb")),
+            Seq("rid"), "full_outer")
+          .select(col("rid"), coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("nb"), lit(0L)).as("nb"))
+          .cpInto(cps)
+        (sz, sz.count())
+      }
     }
-    val nSizeRows = newSizes.map(_.count()).getOrElse(0L)
-
     // old members of the touched buckets: the band-index scan prunes
     // to the touched bkey-bucket partitions, then the semi-join prunes
     // to the exact buckets before anything pairs
-    val touched = newBands.select("bkey").distinct().cpInto(cps)
-    val touchedBuckets = partitionValues[Int](touched, bandBucket(col("bkey")))
-    val oldTouched = bandsTouching(touchedBuckets, cur)
-      .join(touched, Seq("bkey"), "left_semi")
-      .cpInto(cps)
+    val fOld = Future {
+      val t = newBands.select("bkey").distinct().cpInto(cps)
+      val buckets = partitionValues[Int](t, bandBucket(col("bkey")))
+      (t, bandsTouching(buckets, cur)
+        .join(t, Seq("bkey"), "left_semi")
+        .cpInto(cps))
+    }
+    val newSizesN = Await.result(fSizes, Duration.Inf)
+    val newSizes = newSizesN.map(_._1)
+    val nSizeRows = newSizesN.map(_._2).getOrElse(0L)
+    val (touched, oldTouched) = Await.result(fOld, Duration.Inf)
 
     // bucket-cap accounting on TOTAL (old + new) size
     val prevDropped = dropped(cur)
@@ -975,7 +1008,8 @@ final class DedupState(
     val nNewPairs = newPairs.count()
     val newEdges = newPairs.select("a", "b").distinct()
 
-    val curLabels = labels(cur).cpInto(cps)
+    // materialized concurrently with the signature stage above
+    val curLabels = Await.result(fLabels, Duration.Inf)
 
     // ---- retroactive cap: recompute components that lose edges ----
     // the pair-index scan prunes to the dying buckets' partitions
@@ -1083,24 +1117,31 @@ final class DedupState(
     val nRelabeled = nLabelRows - nNewDistinct
 
     // ---- persist: data dirs → MANIFEST → CURRENT (atomic flip) ----
+    // the eight table writes are independent (checkpointed inputs,
+    // disjoint target dirs) and land CONCURRENTLY; the MANIFEST and
+    // the pointer flip wait for all of them — a crash mid-writes
+    // leaves an orphan v{next} the retry overwrites, exactly as with
+    // sequential writes
     val base = pointer._2
-    def writeDelta(name: String, df: DataFrame, n: Long): Long =
-      writeTable(next, name, df, n)
-    val counts = Seq(
-      "members" -> writeDelta("members",
+    def writeDelta(name: String, df: DataFrame, n: Long)
+        : Future[(String, Long)] =
+      Future(name -> writeTable(next, name, df, n))
+    val counts = Await.result(Future.sequence(Seq(
+      writeDelta("members",
         batchMembers.withColumn("ver", lit(next)), nBatchDocs),
-      "groups" -> writeDelta("groups",
+      writeDelta("groups",
         newGroups.select("k", "rid").withColumn("ver", lit(next)),
         nNewDistinct),
-      "bands" -> writeDelta("bands", newBands, nBandRows),
-      "feats" -> newFeats.map(writeDelta("feats", _, nGramRows))
-        .getOrElse(0L),
-      "fsizes" -> newSizes.map(writeDelta("fsizes", _, nSizeRows))
-        .getOrElse(0L),
-      "pairs" -> writeDelta("pairs", newPairs, nNewPairs),
-      "dropped" -> writeDelta("dropped", newlyDropped, nDroppedBuckets),
-      "labels" -> writeDelta("labels",
-        labelDeltas.withColumn("ver", lit(next)), nLabelRows))
+      writeDelta("bands", newBands, nBandRows),
+      newFeats.map(writeDelta("feats", _, nGramRows))
+        .getOrElse(Future("feats" -> 0L)),
+      newSizes.map(writeDelta("fsizes", _, nSizeRows))
+        .getOrElse(Future("fsizes" -> 0L)),
+      writeDelta("pairs", newPairs, nNewPairs),
+      writeDelta("dropped", newlyDropped, nDroppedBuckets),
+      writeDelta("labels",
+        labelDeltas.withColumn("ver", lit(next)), nLabelRows))),
+      Duration.Inf)
     store.writeAtomic(s"v$next/MANIFEST",
       counts.map { case (n, c) => s"$n=$c" }.mkString(","))
     manifests.remove(next)
