@@ -295,12 +295,21 @@ final class ContamState(
       .select("g").cpInto(cps)
     val nNewlyCapped = newlyCapped.count()
 
-    val counts = Seq(
-      "texts" -> writeTable(next, "texts",
-        newTexts.select("k").withColumn("ver", lit(next)), nNewDistinct),
-      "postings" -> writeTable(next, "postings", newPost.select("k", "g"),
-        nGramRows),
-      "capped" -> writeTable(next, "capped", newlyCapped, nNewlyCapped))
+    // the three delta writes are independent (checkpointed inputs,
+    // disjoint dirs) and land concurrently; MANIFEST and the pointer
+    // flip wait for all — the orphan-version crash contract holds
+    val counts = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(Seq(
+        Future("texts" -> writeTable(next, "texts",
+          newTexts.select("k").withColumn("ver", lit(next)), nNewDistinct)),
+        Future("postings" -> writeTable(next, "postings",
+          newPost.select("k", "g"), nGramRows)),
+        Future("capped" -> writeTable(next, "capped", newlyCapped,
+          nNewlyCapped)))), Duration.Inf)
+    }
     store.writeAtomic(s"v$next/MANIFEST",
       counts.map { case (n, c) => s"$n=$c" }.mkString(","))
     manifests.remove(next)
