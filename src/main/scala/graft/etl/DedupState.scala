@@ -1185,9 +1185,19 @@ final class DedupState(
       ("bands", bands(cur)), ("feats", feats(cur)),
       ("fsizes", featSizes(cur)), ("pairs", livePairs),
       ("dropped", dropped(cur)), ("labels", resolved))
-    val counts = tables.map { case (name, df) =>
-      val chk = df.cpInto(cps)
-      name -> writeTable(next, name, chk, chk.count())
+    // the eight squash writes are independent (disjoint target dirs)
+    // and land concurrently — compact runs INSIDE the fold at the
+    // auto-compact cadence, so its wall-clock is fold tail latency
+    val counts = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(tables.map { case (name, df) =>
+        Future {
+          val chk = df.cpInto(cps)
+          name -> writeTable(next, name, chk, chk.count())
+        }
+      }), Duration.Inf)
     }
     store.writeAtomic(s"v$next/MANIFEST",
       counts.map { case (n, c) => s"$n=$c" }.mkString(","))
