@@ -153,8 +153,10 @@ final class ContamState(
     case None => store.writeAtomic("META", metaLine)
   }
 
+  // concurrent for the same reason as DedupState's: plan construction
+  // may happen on stage-future threads
   private val manifests =
-    scala.collection.mutable.Map.empty[Long, Map[String, Long]]
+    scala.collection.concurrent.TrieMap.empty[Long, Map[String, Long]]
   private def manifest(v: Long): Map[String, Long] =
     manifests.getOrElseUpdate(v,
       store.readString(s"v$v/MANIFEST").map(_.trim.split(",").collect {
@@ -297,18 +299,27 @@ final class ContamState(
 
     // the three delta writes are independent (checkpointed inputs,
     // disjoint dirs) and land concurrently; MANIFEST and the pointer
-    // flip wait for all — the orphan-version crash contract holds
+    // flip wait for all — the orphan-version crash contract holds. On
+    // failure, wait the siblings out and release checkpoints before
+    // rethrowing (nothing runs detached into a retry).
     val counts = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(Future.sequence(Seq(
+      val fs = Seq(
         Future("texts" -> writeTable(next, "texts",
           newTexts.select("k").withColumn("ver", lit(next)), nNewDistinct)),
         Future("postings" -> writeTable(next, "postings",
           newPost.select("k", "g"), nGramRows)),
         Future("capped" -> writeTable(next, "capped", newlyCapped,
-          nNewlyCapped)))), Duration.Inf)
+          nNewlyCapped)))
+      try Await.result(Future.sequence(fs), Duration.Inf)
+      catch { case t: Throwable =>
+        fs.foreach(f => scala.util.Try(Await.result(f, Duration.Inf)))
+        cps.synchronized(cps.toList)
+          .foreach(c => scala.util.Try(c.unpersist()))
+        throw t
+      }
     }
     store.writeAtomic(s"v$next/MANIFEST",
       counts.map { case (n, c) => s"$n=$c" }.mkString(","))

@@ -157,15 +157,44 @@ object DedupState {
     * member/cross duplicates of one canonical pair agree and the
     * final distinct is lossless. Topology-time cost, like
     * [[federatedDocClusters]]. */
-  def federatedLivePairStats(states: Seq[DedupState]): DataFrame = {
+  def federatedLivePairStats(states: Seq[DedupState]): DataFrame =
+    pairStatsFrom(federatedParts(states))
+
+  /** FEDERATED per-rep feature summary in canonical rid space — the
+    * [[DedupState.featSizes]] of the union corpus: (rid, n, nb).
+    * n = Σw² and the band-row count are pure content functions, so the
+    * per-member rows of shared content agree and collapse under
+    * distinct. Built on the same [[federatedParts]] pass as the other
+    * readers, so the federation guards (cap/grams/admission parity,
+    * globally-unique doc_id) apply here identically. */
+  def federatedFeatSizes(states: Seq[DedupState]): DataFrame =
+    featSizesFrom(states, federatedParts(states))
+
+  /** The combined federated pair REPORT — (a, b, jac_num, jac_den,
+    * na, nb), the `<prefix>_dup_pairs` view shape: pair stats and the
+    * endpoints' feature summaries from ONE [[federatedParts]] pass
+    * (one parity/conflict check; the canonical-rep aggregation
+    * appears once per side in a single plan, where Spark's exchange
+    * reuse dedupes it — two separate reader calls cannot share). */
+  def federatedPairReport(states: Seq[DedupState]): DataFrame = {
     val p = federatedParts(states)
+    val sz = featSizesFrom(states, p)
+    pairStatsFrom(p)
+      .join(sz.select(col("rid").as("a"), col("n").as("na")),
+        Seq("a"), "left_outer")
+      .join(sz.select(col("rid").as("b"), col("n").as("nb")),
+        Seq("b"), "left_outer")
+      .select("a", "b", "jac_num", "jac_den", "na", "nb")
+  }
+
+  private def pairStatsFrom(p: FedParts): DataFrame = {
     val cross = p.keepCol match {
       case Some(keep) => p.crossScored().filter(keep)
       case None =>
         // an attribute-carrying store computes jac for every admitted
         // pair at fold time — the merge owes its cross pairs the same;
         // attribute-less stores store null jac, and get null here
-        if (states.head.hasGrams) p.crossScored()
+        if (p.grams) p.crossScored()
         else p.crossRaw.distinct()
           .withColumn("jac_num", lit(null).cast("long"))
           .withColumn("jac_den", lit(null).cast("long"))
@@ -182,17 +211,9 @@ object DedupState {
       .distinct()
   }
 
-  /** FEDERATED per-rep feature summary in canonical rid space — the
-    * [[DedupState.featSizes]] of the union corpus: (rid, n, nb).
-    * n = Σw² and the band-row count are pure content functions, so the
-    * per-member rows of shared content agree and collapse under
-    * distinct. */
-  def federatedFeatSizes(states: Seq[DedupState]): DataFrame = {
-    require(states.nonEmpty, "federation needs at least one member")
-    val groupsAll = states.map(_.seenKeys().select("k", "rid"))
-      .reduce(_ unionByName _)
-    val canon = groupsAll.groupBy("k").agg(min("rid").as("crid"))
-    val m = groupsAll.join(canon, "k").select(col("rid"), col("crid"))
+  private def featSizesFrom(states: Seq[DedupState],
+                            p: FedParts): DataFrame = {
+    val m = p.groupsAll.join(p.canon, "k").select(col("rid"), col("crid"))
     states.map(_.featSizes()).reduce(_ unionByName _)
       .join(m, "rid")
       .select(col("crid").as("rid"), col("n"), col("nb"))
@@ -226,6 +247,7 @@ object DedupState {
     * job the attribute-less graph path should not pay). */
   private final case class FedParts(
       keepCol: Option[Column],
+      grams: Boolean,
       liveMemberPairs: DataFrame,
       crossRaw: DataFrame,
       crossScored: () => DataFrame,
@@ -341,7 +363,7 @@ object DedupState {
     val sameKey = groupsAll.join(canon, "k")
       .filter(col("rid") =!= col("crid"))
       .select(col("crid").as("a"), col("rid").as("b"))
-    FedParts(keepCol, liveMemberPairs, crossRaw, crossScored,
+    FedParts(keepCol, grams.head, liveMemberPairs, crossRaw, crossScored,
       sameKey, canon, membersAll, groupsAll)
   }
 
@@ -541,6 +563,11 @@ final class DedupState(
 
   import DedupState._
 
+  /** The content column [[update]] reads from its batches — streaming
+    * sinks project their micro-batches to (doc_id, this) instead of
+    * assuming the text shape. */
+  private[graft] def contentColumn: String = contentCol
+
   /** The pair-admission predicate's identity: a 128-bit md5 hex of the
     * Column's canonical rendering (toString = the column node's
     * SQL-ish text, deterministic for a given expression tree). A
@@ -550,11 +577,6 @@ final class DedupState(
     * edge-set invariant on reopen, and the federation parity check
     * ([[DedupState.federatedGraph]]: members must agree on what an
     * edge IS before their edge sets can be unioned). */
-  /** The content column [[update]] reads from its batches — streaming
-    * sinks project their micro-batches to (doc_id, this) instead of
-    * assuming the text shape. */
-  private[graft] def contentColumn: String = contentCol
-
   private[etl] val pairKeepId: Option[String] = pairKeep.map(DedupState.keepId)
   private[etl] def pairKeepColumn: Option[Column] = pairKeep
   private[etl] def hasGrams: Boolean = gramsOf.isDefined
@@ -627,8 +649,12 @@ final class DedupState(
     case None => store.writeAtomic("META", metaLine)
   }
 
+  // concurrent: the fold's stage futures construct index-read PLANS
+  // (diskFrame → manifest) on executor-context threads while the main
+  // thread does the same — a TrieMap makes the cache race-free (a
+  // doubly-evaluated read inserts the same value, harmlessly)
   private val manifests =
-    scala.collection.mutable.Map.empty[Long, Map[String, Long]]
+    scala.collection.concurrent.TrieMap.empty[Long, Map[String, Long]]
   private def manifest(v: Long): Map[String, Long] =
     manifests.getOrElseUpdate(v,
       store.readString(s"v$v/MANIFEST").map(_.trim.split(",").collect {
@@ -870,14 +896,30 @@ final class DedupState(
     // few thousand rows), so independent stages materialize
     // CONCURRENTLY: bands ∥ gram features ∥ the label-index read, then
     // the per-rep summary ∥ the old-bucket probe. Spark job submission
-    // is thread-safe; a Future failure rethrows into the fold, whose
-    // orphan-version crash contract already covers a mid-update abort.
+    // is thread-safe. A failure ANYWHERE in the fold must not leave
+    // sibling stages running detached into a streaming retry of the
+    // same store: every stage registers in `pending`, and the failure
+    // path waits them out (suppressing their own errors), releases the
+    // checkpoints, and rethrows — the orphan-version crash contract
+    // then covers the aborted version dir as usual.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    val pending = scala.collection.mutable.ArrayBuffer.empty[Future[_]]
+    def stage[T](f: => T): Future[T] = {
+      val x = Future(f); pending.synchronized { pending += x }; x
+    }
+    def drain(t: Throwable): Nothing = {
+      pending.synchronized(pending.toList)
+        .foreach(p => scala.util.Try(Await.result(p, Duration.Inf)))
+      cps.synchronized(cps.toList)
+        .foreach(c => scala.util.Try(c.unpersist()))
+      throw t
+    }
+    try {
 
     // signatures for NEW distinct content only
-    val fBands = Future {
+    val fBands = stage {
       val nb = bandsOf(newGroups.select(col("rid").as("doc_id"),
           col("text")))
         .select(col("doc_id").as("rid"), col("bkey"))
@@ -890,7 +932,7 @@ final class DedupState(
     // get w = 1, making the pair score Σ wa·wb the set-intersection
     // size; weighted features (e.g. fixed-point vector components
     // keyed by dimension) make it an exact integer dot product.
-    val fFeats = Future {
+    val fFeats = stage {
       gramsOf.map { gf =>
         val out = gf(newGroups.select(col("rid").as("doc_id"), col("text")))
         val weighted =
@@ -902,7 +944,7 @@ final class DedupState(
     }
     // the label-index read is batch-independent — overlap it with the
     // signature work; it is consumed after the pair step
-    val fLabels = Future { labels(cur).cpInto(cps) }
+    val fLabels = stage { labels(cur).cpInto(cps) }
     val (newBands, nBandRows) = Await.result(fBands, Duration.Inf)
     val newFeatsN = Await.result(fFeats, Duration.Inf)
     val newFeats = newFeatsN.map(_._1)
@@ -916,7 +958,7 @@ final class DedupState(
     // n = Σ w² — the set SIZE for unweighted features (w = 1) and the
     // squared fixed-point NORM for weighted ones; one definition
     // serves both the Jaccard denominator and the cosine denominator
-    val fSizes = Future {
+    val fSizes = stage {
       newFeats.map { f =>
         val sz = f.groupBy("rid").agg(sum(col("w") * col("w")).as("n"))
           .join(newBands.groupBy("rid").agg(count(lit(1)).as("nb")),
@@ -930,17 +972,17 @@ final class DedupState(
     // old members of the touched buckets: the band-index scan prunes
     // to the touched bkey-bucket partitions, then the semi-join prunes
     // to the exact buckets before anything pairs
-    val fOld = Future {
+    val fOld = stage {
       val t = newBands.select("bkey").distinct().cpInto(cps)
       val buckets = partitionValues[Int](t, bandBucket(col("bkey")))
-      (t, bandsTouching(buckets, cur)
+      bandsTouching(buckets, cur)
         .join(t, Seq("bkey"), "left_semi")
-        .cpInto(cps))
+        .cpInto(cps)
     }
     val newSizesN = Await.result(fSizes, Duration.Inf)
     val newSizes = newSizesN.map(_._1)
     val nSizeRows = newSizesN.map(_._2).getOrElse(0L)
-    val (touched, oldTouched) = Await.result(fOld, Duration.Inf)
+    val oldTouched = Await.result(fOld, Duration.Inf)
 
     // bucket-cap accounting on TOTAL (old + new) size
     val prevDropped = dropped(cur)
@@ -1125,7 +1167,7 @@ final class DedupState(
     val base = pointer._2
     def writeDelta(name: String, df: DataFrame, n: Long)
         : Future[(String, Long)] =
-      Future(name -> writeTable(next, name, df, n))
+      stage(name -> writeTable(next, name, df, n))
     val counts = Await.result(Future.sequence(Seq(
       writeDelta("members",
         batchMembers.withColumn("ver", lit(next)), nBatchDocs),
@@ -1164,6 +1206,8 @@ final class DedupState(
     Some(UpdateReport(finalVersion, nBatchDocs, nBatchDistinct, nNewDistinct,
       nBandRows, nNewPairs, nDroppedBuckets, math.max(0L, nRelabeled),
       nGramRows))
+
+    } catch { case t: Throwable => drain(t) }
   }
 
   /** Squash all versions into one full snapshot (pruning dead buckets'
@@ -1187,17 +1231,27 @@ final class DedupState(
       ("dropped", dropped(cur)), ("labels", resolved))
     // the eight squash writes are independent (disjoint target dirs)
     // and land concurrently — compact runs INSIDE the fold at the
-    // auto-compact cadence, so its wall-clock is fold tail latency
+    // auto-compact cadence, so its wall-clock is fold tail latency.
+    // On failure, wait the sibling writes out (suppressed) and release
+    // the checkpoints before rethrowing — nothing may run detached
+    // into a retry (the orphan v{next} dir is then overwritten).
     val counts = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(Future.sequence(tables.map { case (name, df) =>
+      val fs = tables.map { case (name, df) =>
         Future {
           val chk = df.cpInto(cps)
           name -> writeTable(next, name, chk, chk.count())
         }
-      }), Duration.Inf)
+      }
+      try Await.result(Future.sequence(fs), Duration.Inf)
+      catch { case t: Throwable =>
+        fs.foreach(f => scala.util.Try(Await.result(f, Duration.Inf)))
+        cps.synchronized(cps.toList)
+          .foreach(c => scala.util.Try(c.unpersist()))
+        throw t
+      }
     }
     store.writeAtomic(s"v$next/MANIFEST",
       counts.map { case (n, c) => s"$n=$c" }.mkString(","))

@@ -1077,9 +1077,10 @@ object EtlQueries {
     }
 
   /** FEDERATED embedding near-dup PAIR REPORT — (a, b, cos) in
-    * canonical rid space: the stored dots from
-    * [[graft.etl.DedupState.federatedLivePairStats]] over the squared
-    * norms from [[graft.etl.DedupState.federatedFeatSizes]], the same
+    * canonical rid space: the stored dots over the squared norms from
+    * ONE [[graft.etl.DedupState.federatedPairReport]] pass (pair
+    * stats + endpoint summaries share a single parity/conflict check
+    * and canonical-rep derivation), composed with the same
     * [[storedCos]] tree the single-store read uses. Must equal
     * [[embCosPairs]] row-for-row — `q_dedup_embcos_fed` serves it
     * under q_dedup_embcos's oracle VERBATIM. */
@@ -1088,10 +1089,7 @@ object EtlQueries {
   private def fedEmbCosPairs(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(fedEmbPairsMemo, s, dir) {
       val (a, b) = fedEmbMembers(s, dir)
-      val sz = graft.etl.DedupState.federatedFeatSizes(Seq(a, b))
-      graft.etl.DedupState.federatedLivePairStats(Seq(a, b))
-        .join(sz.select(col("rid").as("a"), col("n").as("na")), "a")
-        .join(sz.select(col("rid").as("b"), col("n").as("nb")), "b")
+      graft.etl.DedupState.federatedPairReport(Seq(a, b))
         .select(col("a"), col("b"), storedCos.as("cos"))
         .localCheckpoint()
     }

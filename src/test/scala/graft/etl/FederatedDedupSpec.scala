@@ -340,6 +340,11 @@ class FederatedDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[IllegalArgumentException](
       DedupState.federatedDocClusters(Seq(mk(0.5), mk(0.6))))
     assert(e.getMessage.contains("admission"))
+    // every federated reader shares the parity/conflict guards — the
+    // feature-summary reader refuses the same mismatch
+    val eFs = intercept[IllegalArgumentException](
+      DedupState.federatedFeatSizes(Seq(mk(0.5), mk(0.6))))
+    assert(eFs.getMessage.contains("admission"))
     // and a predicate without the attribute source refuses at
     // construction — it would otherwise be silently ignored
     val e2 = intercept[IllegalArgumentException](
