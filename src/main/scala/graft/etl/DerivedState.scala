@@ -158,8 +158,10 @@ final class DerivedState(
     case None => store.writeAtomic("META", fingerprint.trim)
   }
 
+  // concurrent for the same reason as DedupState's: the fold overlaps
+  // a write future with main-thread plan construction
   private val manifests =
-    scala.collection.mutable.Map.empty[Long, Map[String, Long]]
+    scala.collection.concurrent.TrieMap.empty[Long, Map[String, Long]]
   private def manifest(v: Long): Map[String, Long] =
     manifests.getOrElseUpdate(v,
       store.readString(s"v$v/MANIFEST").map(_.trim.split(",").collect {
@@ -399,16 +401,32 @@ final class DerivedState(
       .cpInto(cps)
     val nNewKeys = newRows.count()
 
+    // the key-index write only needs newRows — it lands concurrently
+    // with the derivation (the fold's expensive half); the MANIFEST
+    // and pointer flip wait for both. On a derivation failure the
+    // write is waited out (suppressed) and checkpoints released before
+    // rethrowing — the orphan v{next} dir is overwritten on retry.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fKeys = Future(writeKeys(next,
+      newRows.select(keyCol).withColumn("ver", lit(next)), nNewKeys))
     val (nDerived, derivedDf) =
-      if (nNewKeys == 0) (0L, None)
-      else {
-        val d = deriveOf(newRows, artifacts()).cpInto(cps)
-        (d.count(), Some(d))
+      try {
+        if (nNewKeys == 0) (0L, None)
+        else {
+          val d = deriveOf(newRows, artifacts()).cpInto(cps)
+          (d.count(), Some(d))
+        }
+      } catch { case t: Throwable =>
+        scala.util.Try(Await.result(fKeys, Duration.Inf))
+        cps.synchronized(cps.toList)
+          .foreach(c => scala.util.Try(c.unpersist()))
+        throw t
       }
 
     val counts = Seq(
-      "keys" -> writeKeys(next,
-        newRows.select(keyCol).withColumn("ver", lit(next)), nNewKeys),
+      "keys" -> Await.result(fKeys, Duration.Inf),
       "derived" -> derivedDf.map(writeFlat(next, "derived", _, nDerived))
         .getOrElse(0L))
     finishVersion(next, base, counts, idempotencyKey.orElse(lastKey))
