@@ -815,6 +815,18 @@ final class DedupState(
     pairs(upTo).join(dropped(upTo), Seq("bkey"), "left_anti")
       .select("a", "b", "jac_num", "jac_den").distinct()
 
+  /** Live co-occupancy MULTIPLICITY per pair — (a, b, n_shared): how
+    * many LIVE buckets justify the edge. For a store whose banding
+    * emits one bucket per content feature (e.g. winnow fingerprints),
+    * this is exactly |shared features with df ≤ cap| — each live
+    * (a, b, bkey) provenance row was emitted once (a pair enters a
+    * bucket only when its later endpoint arrives) and dies with its
+    * bucket, so the count folds incrementally and un-counts
+    * retroactively with the cap, like every edge here. */
+  def livePairCounts(upTo: Long = currentVersion): DataFrame =
+    pairs(upTo).join(dropped(upTo), Seq("bkey"), "left_anti")
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+
   /** Buckets dropped for crossing the cap — (bkey). */
   def dropped(upTo: Long = currentVersion): DataFrame =
     tableFrame("dropped", DroppedSchema, upTo)

@@ -254,6 +254,34 @@ class DedupStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dc(3L) !== dc(1L))
   }
 
+  test("livePairCounts: co-occupancy multiplicity folds and un-counts" +
+      " with the cap (the winnow-match contract)") {
+    val ss = spark; import ss.implicits._
+    // one bucket per word; d1/d2 share {x, y}, d3 shares only {x}
+    val wordBands: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      src => src.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("bkey"))
+    val d = Seq((1L, "x y z"), (2L, "x y w"), (3L, "x q r"))
+      .toDF("doc_id", "text").localCheckpoint()
+    def counts(st: DedupState): Map[(Long, Long), Long] =
+      st.livePairCounts().collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+
+    // incremental: x is live at the first fold (df 2 = cap), crosses
+    // the cap when d3 arrives — (1,2)'s x-row must un-count, leaving
+    // the y co-occupancy; (1,3)/(2,3) were only ever justified by the
+    // dead bucket and must be absent
+    val st = new DedupState(spark, tmpRoot(), wordBands, Some(2L))
+    st.update(d.filter(col("doc_id") <= 2))
+    assert(counts(st) === Map((1L, 2L) -> 2L))
+    st.update(d.filter(col("doc_id") === 3))
+    assert(counts(st) === Map((1L, 2L) -> 1L))
+    // one-shot equals the incremental fold
+    val one = new DedupState(spark, tmpRoot(), wordBands, Some(2L))
+    one.update(d)
+    assert(counts(one) === counts(st))
+  }
+
   test("gram-attribution mismatch on reopen throws (META invariant)") {
     val ss = spark; import ss.implicits._
     val root = tmpRoot()
