@@ -812,8 +812,13 @@ final class DedupState(
     * pair index (the jac columns are a pure function of (a, b), so the
     * per-bucket provenance rows collapse losslessly). */
   def livePairStats(upTo: Long = currentVersion): DataFrame =
-    pairs(upTo).join(dropped(upTo), Seq("bkey"), "left_anti")
+    livePairs(upTo)
       .select("a", "b", "jac_num", "jac_den").distinct()
+
+  /** Pair provenance rows whose bucket is still live — the one
+    * dead-bucket filter every pair reader builds on. */
+  private def livePairs(upTo: Long): DataFrame =
+    pairs(upTo).join(dropped(upTo), Seq("bkey"), "left_anti")
 
   /** Live co-occupancy MULTIPLICITY per pair — (a, b, n_shared): how
     * many LIVE buckets justify the edge. For a store whose banding
@@ -824,7 +829,7 @@ final class DedupState(
     * bucket, so the count folds incrementally and un-counts
     * retroactively with the cap, like every edge here. */
   def livePairCounts(upTo: Long = currentVersion): DataFrame =
-    pairs(upTo).join(dropped(upTo), Seq("bkey"), "left_anti")
+    livePairs(upTo)
       .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
 
   /** Buckets dropped for crossing the cap — (bkey). */
@@ -834,7 +839,7 @@ final class DedupState(
   /** Distinct live candidate edges (dead buckets' pairs excluded —
     * an edge survives if ANY live bucket still justifies it). */
   def liveEdges(upTo: Long = currentVersion): DataFrame =
-    pairs(upTo).join(dropped(upTo), Seq("bkey"), "left_anti")
+    livePairs(upTo)
       .select("a", "b").distinct()
 
   /** The CONVERGED cluster assignment per rep — (rid, cluster);

@@ -403,32 +403,40 @@ final class DerivedState(
 
     // the key-index write only needs newRows — it lands concurrently
     // with the derivation (the fold's expensive half); the MANIFEST
-    // and pointer flip wait for both. On a derivation failure the
-    // write is waited out (suppressed) and checkpoints released before
-    // rethrowing — the orphan v{next} dir is overwritten on retry.
+    // and pointer flip wait for both. ANY failure from here to the
+    // counts waits the write out (suppressed), releases checkpoints,
+    // and — on a store that had no committed keys yet — removes the
+    // schema sentinel the eager write minted, so the empty-store
+    // contract (`keys()` throws) survives a failed first fold; the
+    // orphan v{next} dir is invisible (no MANIFEST) and overwritten
+    // on retry.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    val hadKeys = storedSchema("keys").nonEmpty
     val fKeys = Future(writeKeys(next,
       newRows.select(keyCol).withColumn("ver", lit(next)), nNewKeys))
-    val (nDerived, derivedDf) =
+    def failCleanup(t: Throwable): Nothing = {
+      scala.util.Try(Await.result(fKeys, Duration.Inf))
+      if (!hadKeys)
+        scala.util.Try(store.deleteRecursive("schema/keys.json"))
+      cps.synchronized(cps.toList)
+        .foreach(c => scala.util.Try(c.unpersist()))
+      throw t
+    }
+    val (counts, nDerived) =
       try {
-        if (nNewKeys == 0) (0L, None)
-        else {
-          val d = deriveOf(newRows, artifacts()).cpInto(cps)
-          (d.count(), Some(d))
-        }
-      } catch { case t: Throwable =>
-        scala.util.Try(Await.result(fKeys, Duration.Inf))
-        cps.synchronized(cps.toList)
-          .foreach(c => scala.util.Try(c.unpersist()))
-        throw t
-      }
-
-    val counts = Seq(
-      "keys" -> Await.result(fKeys, Duration.Inf),
-      "derived" -> derivedDf.map(writeFlat(next, "derived", _, nDerived))
-        .getOrElse(0L))
+        val (n, derivedDf) =
+          if (nNewKeys == 0) (0L, None)
+          else {
+            val d = deriveOf(newRows, artifacts()).cpInto(cps)
+            (d.count(), Some(d))
+          }
+        (Seq(
+          "keys" -> Await.result(fKeys, Duration.Inf),
+          "derived" -> derivedDf.map(writeFlat(next, "derived", _, n))
+            .getOrElse(0L)), n)
+      } catch { case t: Throwable => failCleanup(t) }
     finishVersion(next, base, counts, idempotencyKey.orElse(lastKey))
     cps.foreach(_.unpersist())
     // report the POST-compact version when auto-compaction fires:
