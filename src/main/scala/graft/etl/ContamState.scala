@@ -216,6 +216,55 @@ final class ContamState(
     df.select(c.as("p")).distinct().collect()
       .toSeq.map(_.getAs[T]("p"))
 
+  // ---- member-delta reads (the federated merge's fold inputs) --------
+  // the [[DedupState.membersDelta]] contract: direct version-dir reads
+  // (∝ the delta) while the dirs are live, exact fallbacks after a
+  // compact squashed them.
+
+  /** This store's root URI — the federation store's member identity. */
+  private[etl] def root: String = rootUri
+
+  private def deltaDirs(name: String, schema: StructType,
+                        from: Long, upTo: Long): Option[DataFrame] = {
+    val (_, base) = pointer
+    if (base > from + 1 && from < upTo) None
+    else {
+      val full = partitionField.get(name)
+        .map(f => StructType(schema.fields :+ f._1)).getOrElse(schema)
+      val paths = (from + 1 to upTo)
+        .filter(v => manifest(v).getOrElse(name, 0L) > 0)
+        .map(v => store.resolve(s"v$v/$name").toString)
+      val df =
+        if (paths.isEmpty) emptyFrame(full)
+        else paths.map(p => spark.read.schema(full).parquet(p))
+          .reduce(_.unionByName(_))
+      Some(partitionField.get(name).map(f => df.drop(f._1.name)).getOrElse(df))
+    }
+  }
+
+  /** Distinct content first indexed in (from, upTo] — ver-exact even
+    * after a compact (texts keep their arrival version). */
+  private[etl] def textsDelta(from: Long, upTo: Long): DataFrame =
+    deltaDirs("texts", TextsSchema, from, upTo)
+      .getOrElse(seenKeys(upTo).filter(col("ver") > from))
+
+  /** Postings extracted in (from, upTo] — a content's postings land at
+    * its arrival version, so the compact fallback semi-joins the
+    * postings index to the delta keys (full narrow-index scan; exact
+    * minus capped grams' rows the compact pruned, which the federated
+    * merge retires through the capped verdicts anyway). */
+  private[etl] def postingsDelta(from: Long, upTo: Long): DataFrame =
+    deltaDirs("postings", PostingsSchema, from, upTo)
+      .getOrElse(postings(upTo).join(
+        textsDelta(from, upTo).select("k"), Seq("k"), "left_semi"))
+
+  /** Grams the member capped in (from, upTo]. Compact fallback: the
+    * FULL capped set — a safe overapproximation (tiny by construction;
+    * the federated merge anti-joins its own already-known set). */
+  private[etl] def cappedDelta(from: Long, upTo: Long): DataFrame =
+    deltaDirs("capped", CappedSchema, from, upTo)
+      .getOrElse(capped(upTo))
+
   /** Write one table of version `next` — partitioned tables land one
     * file per partition dir per delta (see [[DedupState]]). */
   private def writeTable(next: Long, name: String, df: DataFrame,

@@ -256,28 +256,36 @@ object DedupState {
       membersAll: DataFrame,
       groupsAll: DataFrame)
 
-  private def federatedParts(states: Seq[DedupState]): FedParts = {
+  /** The federation parity contract — (bucket cap, gram attribution,
+    * usable admission predicate), shared by the one-shot merge readers
+    * ([[federatedParts]]) and the incremental federation store
+    * ([[FedDedupState]]), so "what may merge" has exactly one
+    * definition:
+    *
+    *   - the bucket cap is an edge-set invariant (META), so members
+    *     must agree on it before their edge sets can be unioned;
+    *   - gram attribution is a pair-row invariant: a mixed federation
+    *     would emit half-null, half-scored reports;
+    *   - pair ADMISSION: in a thresholded store (pairKeep set) a band
+    *     bucket is only CANDIDACY — the predicate over the computed
+    *     pair attributes decides edges, so members must agree on it AND
+    *     the merge must hold a usable Column to score its cross-member
+    *     candidates with. Parity checks the ON-DISK identity
+    *     (storedKeepId), so a read-only handle opened without the
+    *     predicate cannot pass a thresholded store off as
+    *     unthresholded — but such a handle has no usable Column to
+    *     score with, so it refuses here too. */
+  private[etl] def memberParity(states: Seq[DedupState])
+      : (Option[Long], Boolean, Option[Column]) = {
     require(states.nonEmpty, "federation needs at least one member")
     val caps = states.map(_.bucketCap).distinct
     require(caps.size == 1,
       s"members disagree on the bucket cap ($caps) — the cap is an " +
         "edge-set invariant, federated or not")
-    // gram-attribution parity: pair attributes are part of the pair
-    // rows' meaning — a mixed federation would emit half-null,
-    // half-scored reports
     val grams = states.map(_.hasGrams).distinct
     require(grams.size == 1,
       "members disagree on gram attribution — attribute semantics are " +
         "a pair-row invariant, federated or not")
-    // pair-ADMISSION parity: in a thresholded store (pairKeep set) a
-    // band bucket is only CANDIDACY — the predicate over the computed
-    // pair attributes decides edges. Members must agree on what an
-    // edge is before their edge sets can be unioned, and the merge
-    // must apply the same predicate to its cross-member pairs (below).
-    // Parity checks the ON-DISK identity (storedKeepId), so a
-    // read-only handle opened without the predicate cannot pass a
-    // thresholded store off as unthresholded — but such a handle has
-    // no usable Column to score with, so it refuses here too.
     // (A set predicate implies every member carries gramsOf — the
     // constructor owns that invariant.)
     val keeps = states.map(_.storedKeepId).distinct
@@ -293,6 +301,11 @@ object DedupState {
           "predicate (EtlViews.openDedup(root, pairKeep = Some(...)))")
       cols.head
     }
+    (caps.head, grams.head, keepCol)
+  }
+
+  private def federatedParts(states: Seq[DedupState]): FedParts = {
+    val (cap, gramsHead, keepCol) = memberParity(states)
     val bandsAll = states.zipWithIndex.map { case (st, m) =>
         st.bands().withColumn("m", lit(m)) }
       .reduce(_ unionByName _)
@@ -319,7 +332,7 @@ object DedupState {
     // so the raw row count would inflate shared buckets and drop
     // buckets a single store keeps — dedupe through the content key
     // before counting
-    val globalDropped = caps.head match {
+    val globalDropped = cap match {
       case None => bandsAll.select("bkey").limit(0)
       case Some(cap) => bandsAll
         .join(groupsAll.select("rid", "k"), "rid")
@@ -363,7 +376,7 @@ object DedupState {
     val sameKey = groupsAll.join(canon, "k")
       .filter(col("rid") =!= col("crid"))
       .select(col("crid").as("a"), col("rid").as("b"))
-    FedParts(keepCol, grams.head, liveMemberPairs, crossRaw, crossScored,
+    FedParts(keepCol, gramsHead, liveMemberPairs, crossRaw, crossScored,
       sameKey, canon, membersAll, groupsAll)
   }
 
@@ -401,6 +414,134 @@ object DedupState {
           - coalesce(col("nab"), lit(0L))).as("jac_den"),
         coalesce(col("na"), lit(0L)).as("na"),
         coalesce(col("nb"), lit(0L)).as("nb"))
+  }
+
+  /** The ONE copy of the incremental label-fold algebra — shared by the
+    * single-store fold ([[DedupState.update]]) and the federated merge
+    * fold ([[FedDedupState.fold]]), because any divergence between the
+    * two silently forks clustering semantics and breaks the
+    * federated == one-shot contract (the [[pairAttributes]] argument,
+    * applied to the CC fold).
+    *
+    * Given the converged pre-fold labels, this fold's new distinct
+    * edges and first-seen node ids, and the (distinct) edges dying this
+    * fold under a retroactive cap, returns the LABEL DELTAS — one
+    * (rid, cluster) row per node whose label is new or changed,
+    * checkpointed into `cps`:
+    *
+    *   - removal: components losing an edge are recomputed from the
+    *     remaining live edges — only those components; `livePriorEdges`
+    *     (every still-live pre-fold edge) is evaluated lazily and
+    *     semi-pruned to them;
+    *   - additions: connected components on the QUOTIENT graph
+    *     (existing cluster labels + new node ids as nodes, new edges
+    *     mapped through current labels), so the fixpoint runs over a
+    *     graph proportional to the fold, and min-label CC keeps the
+    *     global min-rid labeling the one-shot pipeline assigns. */
+  private[etl] def foldLabels(
+      curLabels: DataFrame,
+      newEdges: DataFrame,
+      newRepIds: DataFrame,
+      removed: DataFrame,
+      hasRemovals: Boolean,
+      livePriorEdges: => DataFrame,
+      cps: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
+    def emptyLabels: DataFrame = curLabels.sparkSession
+      .createDataFrame(java.util.Collections.emptyList[Row](), LabelsSchema)
+
+    // ---- retroactive removal: recompute components that lose edges ----
+    val (labelsAfterRemoval, removalMembers) =
+      if (!hasRemovals || removed.isEmpty) (curLabels, None)
+      else {
+        val endpoints = removed.select(col("a").as("rid"))
+          .unionByName(removed.select(col("b").as("rid"))).distinct()
+        val affLabels = curLabels.join(endpoints, Seq("rid"), "left_semi")
+          .select("cluster").distinct()
+        val affMembers = curLabels
+          .join(affLabels, Seq("cluster"), "left_semi")
+          .select("rid", "cluster").cpInto(cps)
+        // remaining live edges of the affected components (an edge's
+        // endpoints share a component, so one-sided semi suffices)
+        val subEdges = livePriorEdges
+          .join(affMembers.select(col("rid").as("a")), Seq("a"), "left_semi")
+        val recomp = Dedup.connectedComponents(subEdges)
+          .withColumnRenamed("id", "rid")
+          .withColumnRenamed("cluster", "newCluster")
+        val relabeled = affMembers.select("rid")
+          .join(recomp, Seq("rid"), "left_outer")
+          .select(col("rid"),
+            coalesce(col("newCluster"), col("rid")).as("cluster"))
+          .cpInto(cps)
+        val updated = curLabels
+          .join(affMembers.select("rid"), Seq("rid"), "left_anti")
+          .unionByName(relabeled)
+        (updated, Some((affMembers.select("rid"), relabeled)))
+      }
+
+    // ---- additions: CC on the quotient graph ----
+    // label lookups only ever hit the new edges' endpoints: semi-prune
+    // the (corpus-sized) label frame to them first, so the la/lb
+    // left-outer joins run against a fold-sized (broadcastable) side
+    // instead of shuffling the full label frame twice
+    val endpointRids = newEdges.select(col("a").as("rid"))
+      .unionByName(newEdges.select(col("b").as("rid"))).distinct()
+    val endpointLabels = labelsAfterRemoval
+      .join(endpointRids, Seq("rid"), "left_semi")
+      .cpInto(cps)
+    val la = endpointLabels.select(col("rid").as("a"),
+      col("cluster").as("la"))
+    val lb = endpointLabels.select(col("rid").as("b"),
+      col("cluster").as("lb"))
+    val quotEdges0 = newEdges
+      .join(la, Seq("a"), "left_outer")
+      .join(lb, Seq("b"), "left_outer")
+      .select(coalesce(col("la"), col("a")).as("qa"),
+        coalesce(col("lb"), col("b")).as("qb"),
+        col("la").isNotNull.as("oa"), col("lb").isNotNull.as("ob"))
+      .cpInto(cps)
+    val quotEdges = quotEdges0.filter(col("qa") =!= col("qb"))
+      .select(col("qa").as("a"), col("qb").as("b"))
+    // quotient components: node ids are labels (= min rids of existing
+    // components) and new node ids, so the min-label CC result is the
+    // global min rid of each merged component — the same label the
+    // one-shot pipeline assigns
+    val qcc = Dedup.connectedComponents(quotEdges)
+      .cpInto(cps)
+    val remap = qcc.select(col("id").as("node"), col("cluster").as("fin"))
+
+    def applyRemap(df: DataFrame): DataFrame = df
+      .join(broadcast(remap), df("cluster") === remap("node"), "left_outer")
+      .select(df("rid"), coalesce(col("fin"), df("cluster")).as("cluster"))
+
+    // new nodes: quotient label, or themselves when edge-free
+    val newRepLabels =
+      applyRemap(newRepIds.select(col("rid"), col("rid").as("cluster")))
+    // old labels merged into a smaller-rid component: rewrite members
+    val oldNodes = quotEdges0.filter(col("oa")).select(col("qa").as("node"))
+      .unionByName(quotEdges0.filter(col("ob")).select(col("qb").as("node")))
+      .distinct()
+    val changedOld = qcc
+      .join(oldNodes, qcc("id") === oldNodes("node"), "left_semi")
+      .filter(col("cluster") =!= col("id"))
+      .select(col("id").as("oldL"), col("cluster").as("newL"))
+    val mergedOldMembers = labelsAfterRemoval
+      .join(broadcast(changedOld),
+        labelsAfterRemoval("cluster") === changedOld("oldL"))
+      .select(col("rid"), col("newL").as("cluster"))
+    // removal-affected members: final label after any further merge
+    val removalFinal = removalMembers match {
+      case None => emptyLabels.select("rid", "cluster")
+      case Some((_, relabeled)) => applyRemap(relabeled)
+    }
+    val removalRids = removalMembers
+      .map(_._1).getOrElse(emptyLabels.select("rid"))
+    // one row per rid: removal-affected members are excluded from the
+    // merge rewrite (removalFinal already carries their final label)
+    newRepLabels
+      .unionByName(mergedOldMembers
+        .join(removalRids, Seq("rid"), "left_anti"))
+      .unionByName(removalFinal)
+      .cpInto(cps)
   }
 
   /** Checkpoint-and-track: update/compact materialize many small
@@ -742,6 +883,75 @@ final class DedupState(
     df.select(c.as("p")).distinct().collect()
       .toSeq.map(_.getAs[T]("p"))
 
+  // ---- member-delta reads (the federated merge's fold inputs) --------
+  // Rows a table gained in versions (from, upTo] — what [[FedDedupState
+  // .fold]] folds per member at MEMBER-BATCH cost. While every delta
+  // version dir is still live (the member has not compacted past
+  // `from`), this is a direct read of exactly those dirs, ∝ the delta
+  // by construction; after a compact squashed them, each table falls
+  // back to an exact reconstruction documented at its reader.
+
+  /** This store's root URI — the federation store's member identity
+    * ([[FedDedupState]] keys its per-member fold watermarks by it). */
+  private[etl] def root: String = rootUri
+
+  private def deltaDirs(name: String, schema: StructType,
+                        from: Long, upTo: Long): Option[DataFrame] = {
+    val (_, base, _) = pointer
+    if (base > from + 1 && from < upTo) None
+    else {
+      val full = partitionField.get(name)
+        .map(f => StructType(schema.fields :+ f._1)).getOrElse(schema)
+      val paths = (from + 1 to upTo)
+        .filter(v => manifest(v).getOrElse(name, 0L) > 0)
+        .map(v => store.resolve(s"v$v/$name").toString)
+      val df =
+        if (paths.isEmpty) emptyFrame(full)
+        else paths.map(p => spark.read.schema(full).parquet(p))
+          .reduce(_.unionByName(_))
+      Some(partitionField.get(name).map(f => df.drop(f._1.name)).getOrElse(df))
+    }
+  }
+
+  /** Doc rows admitted in (from, upTo] — ver-exact even after a
+    * compact (members keep their arrival version through the squash). */
+  private[etl] def membersDelta(from: Long, upTo: Long): DataFrame =
+    deltaDirs("members", MembersSchema, from, upTo)
+      .getOrElse(members(upTo).filter(col("ver") > from))
+
+  /** Distinct content first seen in (from, upTo] — same ver-exact
+    * compact fallback as [[membersDelta]]. */
+  private[etl] def groupsDelta(from: Long, upTo: Long): DataFrame =
+    deltaDirs("groups", GroupsSchema, from, upTo)
+      .getOrElse(seenKeys(upTo).filter(col("ver") > from))
+
+  /** Band rows of reps first seen in (from, upTo]. Compact fallback:
+    * the band index semi-joined to the delta reps — a full scan of the
+    * narrow band index (the price of losing the version dirs), exact
+    * because a rep's band rows are written once, at its arrival
+    * version. */
+  private[etl] def bandsDelta(from: Long, upTo: Long): DataFrame =
+    deltaDirs("bands", BandsSchema, from, upTo)
+      .getOrElse(bands(upTo).join(
+        groupsDelta(from, upTo).select("rid"), Seq("rid"), "left_semi"))
+
+  /** Pair rows emitted in (from, upTo]. Compact fallback: a pair lands
+    * at the version of its LATER endpoint (emission happens when that
+    * endpoint arrives), so rows with either endpoint's arrival version
+    * > `from` reconstruct the delta exactly — minus pairs the compact
+    * already pruned as dead, which the federated merge excludes anyway
+    * (a member-dead bucket is globally dead: member size ≤ global
+    * size). */
+  private[etl] def pairsDelta(from: Long, upTo: Long): DataFrame =
+    deltaDirs("pairs", PairsSchema, from, upTo).getOrElse {
+      val newRids = groupsDelta(from, upTo).select("rid")
+      pairs(upTo)
+        .join(newRids.withColumnRenamed("rid", "a"), Seq("a"), "left_semi")
+        .unionByName(pairs(upTo)
+          .join(newRids.withColumnRenamed("rid", "b"), Seq("b"), "left_semi"))
+        .distinct()
+    }
+
   /** Write one table of version `next`: partitioned tables gain their
     * partition column and repartition BY it first, so each of the
     * ≤ 256 partition dirs lands as one file per delta instead of one
@@ -1070,7 +1280,7 @@ final class DedupState(
     // materialized concurrently with the signature stage above
     val curLabels = Await.result(fLabels, Duration.Inf)
 
-    // ---- retroactive cap: recompute components that lose edges ----
+    // ---- retroactive cap + additions: the shared label fold ----
     // the pair-index scan prunes to the dying buckets' partitions
     val removed =
       if (nDroppedBuckets == 0) emptyFrame(PairsSchema).select("a", "b")
@@ -1078,100 +1288,12 @@ final class DedupState(
           partitionValues[Int](newlyDropped, bandBucket(col("bkey"))), cur)
         .join(newlyDropped, Seq("bkey"), "left_semi")
         .select("a", "b").distinct().cpInto(cps)
-    val (labelsAfterRemoval, removalMembers) =
-      if (nDroppedBuckets == 0 || removed.isEmpty) (curLabels, None)
-      else {
-        val endpoints = removed.select(col("a").as("rid"))
-          .unionByName(removed.select(col("b").as("rid"))).distinct()
-        val affLabels = curLabels.join(endpoints, Seq("rid"), "left_semi")
-          .select("cluster").distinct()
-        val affMembers = curLabels
-          .join(affLabels, Seq("cluster"), "left_semi")
-          .select("rid", "cluster").cpInto(cps)
-        // remaining live edges of the affected components (an edge's
-        // endpoints share a component, so one-sided semi suffices)
-        val livePrior = pairs(cur).join(deadKeys, Seq("bkey"), "left_anti")
-          .select("a", "b").distinct()
-        val subEdges = livePrior
-          .join(affMembers.select(col("rid").as("a")), Seq("a"), "left_semi")
-        val recomp = Dedup.connectedComponents(subEdges)
-          .withColumnRenamed("id", "rid")
-          .withColumnRenamed("cluster", "newCluster")
-        val relabeled = affMembers.select("rid")
-          .join(recomp, Seq("rid"), "left_outer")
-          .select(col("rid"),
-            coalesce(col("newCluster"), col("rid")).as("cluster"))
-          .cpInto(cps)
-        val updated = curLabels
-          .join(affMembers.select("rid"), Seq("rid"), "left_anti")
-          .unionByName(relabeled)
-        (updated, Some((affMembers.select("rid"), relabeled)))
-      }
-
-    // ---- additions: CC on the quotient graph ----
-    // label lookups only ever hit the new edges' endpoints: semi-prune
-    // the (corpus-sized) label frame to them first, so the la/lb
-    // left-outer joins run against a batch-sized (broadcastable) side
-    // instead of shuffling the full label frame twice
-    val endpointRids = newEdges.select(col("a").as("rid"))
-      .unionByName(newEdges.select(col("b").as("rid"))).distinct()
-    val endpointLabels = labelsAfterRemoval
-      .join(endpointRids, Seq("rid"), "left_semi")
-      .cpInto(cps)
-    val la = endpointLabels.select(col("rid").as("a"),
-      col("cluster").as("la"))
-    val lb = endpointLabels.select(col("rid").as("b"),
-      col("cluster").as("lb"))
-    val quotEdges0 = newEdges
-      .join(la, Seq("a"), "left_outer")
-      .join(lb, Seq("b"), "left_outer")
-      .select(coalesce(col("la"), col("a")).as("qa"),
-        coalesce(col("lb"), col("b")).as("qb"),
-        col("la").isNotNull.as("oa"), col("lb").isNotNull.as("ob"))
-      .cpInto(cps)
-    val quotEdges = quotEdges0.filter(col("qa") =!= col("qb"))
-      .select(col("qa").as("a"), col("qb").as("b"))
-    // quotient components: node ids are labels (= min rids of existing
-    // components) and new rep ids, so the min-label CC result is the
-    // global min rid of each merged component — the same label the
-    // one-shot pipeline assigns
-    val qcc = Dedup.connectedComponents(quotEdges)
-      .cpInto(cps)
-    val remap = qcc.select(col("id").as("node"), col("cluster").as("fin"))
-
-    def applyRemap(df: DataFrame): DataFrame = df
-      .join(broadcast(remap), df("cluster") === remap("node"), "left_outer")
-      .select(df("rid"), coalesce(col("fin"), df("cluster")).as("cluster"))
-
-    // new reps: quotient label, or themselves when edge-free
-    val newRepLabels =
-      applyRemap(newGroups.select(col("rid"), col("rid").as("cluster")))
-    // old labels merged into a smaller-rid component: rewrite members
-    val oldNodes = quotEdges0.filter(col("oa")).select(col("qa").as("node"))
-      .unionByName(quotEdges0.filter(col("ob")).select(col("qb").as("node")))
-      .distinct()
-    val changedOld = qcc
-      .join(oldNodes, qcc("id") === oldNodes("node"), "left_semi")
-      .filter(col("cluster") =!= col("id"))
-      .select(col("id").as("oldL"), col("cluster").as("newL"))
-    val mergedOldMembers = labelsAfterRemoval
-      .join(broadcast(changedOld),
-        labelsAfterRemoval("cluster") === changedOld("oldL"))
-      .select(col("rid"), col("newL").as("cluster"))
-    // removal-affected members: final label after any further merge
-    val removalFinal = removalMembers match {
-      case None => emptyFrame(LabelsSchema).select("rid", "cluster")
-      case Some((_, relabeled)) => applyRemap(relabeled)
-    }
-    val removalRids = removalMembers
-      .map(_._1).getOrElse(emptyFrame(LabelsSchema).select("rid"))
-    // one row per rid: removal-affected members are excluded from the
-    // merge rewrite (removalFinal already carries their final label)
-    val labelDeltas = newRepLabels
-      .unionByName(mergedOldMembers
-        .join(removalRids, Seq("rid"), "left_anti"))
-      .unionByName(removalFinal)
-      .cpInto(cps)
+    val labelDeltas = DedupState.foldLabels(
+      curLabels, newEdges, newGroups.select("rid"),
+      removed, hasRemovals = nDroppedBuckets > 0,
+      livePriorEdges = pairs(cur).join(deadKeys, Seq("bkey"), "left_anti")
+        .select("a", "b").distinct(),
+      cps = cps)
     val nLabelRows = labelDeltas.count()
     val nRelabeled = nLabelRows - nNewDistinct
 

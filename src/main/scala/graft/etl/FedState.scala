@@ -1,0 +1,716 @@
+package graft.etl
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.storage.Store
+
+/** Shared plumbing of the INCREMENTAL FEDERATION stores
+  * ([[FedDedupState]], [[FedContamState]]): the same versioned-parquet
+  * layout as the member stores — per-version delta dirs under an atomic
+  * CURRENT pointer, per-version MANIFEST row counts, physical partition
+  * columns on the corpus-sided tables — plus the federation-specific
+  * pointer payload: ONE FOLD WATERMARK PER MEMBER ("cur w0 w1 …",
+  * member order fixed by META), so a fold knows exactly which member
+  * versions it has already absorbed and a replay after a crash between
+  * data writes and the flip re-folds the same member deltas into an
+  * orphan dir the retry overwrites — the member stores' idempotency
+  * contract, carried by the watermarks instead of a (scope, seq) key.
+  *
+  * No compact yet: the federation folds at member-batch cadence at
+  * most, so the version-union width grows far slower than the member
+  * stores' (which self-compact); a squash is mechanical when needed
+  * (same shape as [[DedupState.compact]]) and is documented roadmap.
+  */
+private[etl] abstract class FedStoreBase(
+    protected val spark: SparkSession, rootUri: String) {
+
+  protected val store = new Store(rootUri, new Configuration())
+
+  /** The federation store's root — its identity for views/daemons. */
+  def root: String = rootUri
+
+  /** 128-bit identity of a member root URI — member-list entries in
+    * META (root URIs may contain commas; digests never do). */
+  protected def memberId(memberRoot: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(memberRoot.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  // ---- version pointer: "cur w0 w1 …" ---------------------------------
+
+  protected def pointer: (Long, Seq[Long]) =
+    store.readString("CURRENT").map { s =>
+      val p = s.trim.split("\\s+")
+      (p(0).toLong, p.drop(1).toSeq.map(_.toLong))
+    }.getOrElse((0L, Seq.empty))
+
+  def currentVersion: Long = pointer._1
+
+  /** Per-member fold watermarks (member versions already absorbed),
+    * zero-filled before the first fold. */
+  protected def watermarks(nMembers: Int): Seq[Long] = {
+    val (_, ws) = pointer
+    if (ws.isEmpty) Seq.fill(nMembers)(0L)
+    else {
+      require(ws.size == nMembers,
+        s"federation store at $rootUri tracks ${ws.size} member " +
+          s"watermarks but was opened with $nMembers members — " +
+          "membership is fixed at store creation")
+      ws
+    }
+  }
+
+  // ---- per-version tables (the DedupState layout, shared) -------------
+
+  protected def partitionField: Map[String, (StructField, Column)]
+
+  private val manifests =
+    scala.collection.concurrent.TrieMap.empty[Long, Map[String, Long]]
+  private def manifest(v: Long): Map[String, Long] =
+    manifests.getOrElseUpdate(v,
+      store.readString(s"v$v/MANIFEST").map(_.trim.split(",").collect {
+        case kv if kv.contains("=") =>
+          val Array(n, c) = kv.split("=", 2); n -> c.toLong
+      }.toMap).getOrElse(Map.empty))
+
+  protected def emptyFrame(schema: StructType): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+
+  /** Union of a table's per-version deltas over [1, upTo] — one read
+    * per version dir (multi-path partition discovery conflicts; see
+    * [[DedupState]]'s diskFrame for the full rationale). */
+  protected def diskFrame(name: String, schema: StructType,
+                          upTo: Long): DataFrame = {
+    val full = partitionField.get(name)
+      .map(f => StructType(schema.fields :+ f._1)).getOrElse(schema)
+    val paths = (1L to upTo)
+      .filter(v => manifest(v).getOrElse(name, 0L) > 0)
+      .map(v => store.resolve(s"v$v/$name").toString)
+    if (paths.isEmpty) emptyFrame(full)
+    else paths.map(p => spark.read.schema(full).parquet(p))
+      .reduce(_.unionByName(_))
+  }
+
+  protected def tableFrame(name: String, schema: StructType,
+                           upTo: Long): DataFrame = {
+    val df = diskFrame(name, schema, upTo)
+    partitionField.get(name).map(f => df.drop(f._1.name)).getOrElse(df)
+  }
+
+  /** Write one table of version `next` — partitioned when large, one
+    * flat file carrying the partition column as data when batch-sized
+    * (the member stores' LSM shape, same threshold). */
+  protected def writeTable(next: Long, name: String, df: DataFrame,
+                           n: Long): Long = {
+    if (n > 0) {
+      val target = store.resolve(s"v$next/$name").toString
+      partitionField.get(name) match {
+        case Some((f, expr)) if n >= DedupState.PartitionMinRows =>
+          df.withColumn(f.name, expr)
+            .repartition(col(f.name))
+            .write.mode("overwrite").partitionBy(f.name).parquet(target)
+        case Some((f, expr)) =>
+          df.withColumn(f.name, expr).coalesce(1)
+            .write.mode("overwrite").parquet(target)
+        case None =>
+          df.write.mode("overwrite").parquet(target)
+      }
+    }
+    n
+  }
+
+  /** Flip to version `next` with the given member watermarks: data
+    * dirs → MANIFEST → CURRENT, the crash contract of every store
+    * here (an orphan v{next} is invisible and overwritten on retry). */
+  protected def flip(next: Long, counts: Seq[(String, Long)],
+                     wms: Seq[Long]): Unit = {
+    store.writeAtomic(s"v$next/MANIFEST",
+      counts.map { case (n, c) => s"$n=$c" }.mkString(","))
+    manifests.remove(next)
+    store.writeAtomic("CURRENT", (next +: wms).mkString(" "))
+  }
+
+  protected def checkOrWriteMeta(metaLine: String): Unit =
+    store.readString("META") match {
+      case Some(m) => require(m.trim == metaLine,
+        s"federation store at $rootUri was built with '${m.trim}', " +
+          s"reopened with '$metaLine' — membership and edge-set " +
+          "invariants are fixed at store creation")
+      case None => store.writeAtomic("META", metaLine)
+    }
+
+  /** Distinct partition values of `c` over `df` — driver-side but
+    * bounded by the partition-value domain (≤ 256). */
+  protected def partitionValues[T](df: DataFrame, c: Column): Seq[T] =
+    df.select(c.as("p")).distinct().collect()
+      .toSeq.map(_.getAs[T]("p"))
+}
+
+object FedDedupState {
+
+  /** Per-fold accounting: every count must track the MEMBER DELTAS,
+    * never the federation corpus — the federated analog of
+    * [[DedupState.UpdateReport]]'s proportionality contract. */
+  final case class FoldReport(
+      version: Long,
+      memberVersions: Seq[Long],
+      nNewReps: Long,
+      nStarEdges: Long,
+      nNewPairs: Long,
+      nDroppedBuckets: Long,
+      nLabelRows: Long)
+
+  private[etl] val FBandsSchema = StructType(Seq(
+    StructField("bkey", StringType), StructField("k", StringType),
+    StructField("rid", LongType), StructField("m", IntegerType)))
+  private[etl] val FStarsSchema = StructType(Seq(
+    StructField("a", LongType), StructField("b", LongType)))
+}
+
+/** The INCREMENTAL federated dedup merge — a versioned store that folds
+  * MEMBER DELTAS at member-batch cost, retiring the one repeating
+  * ∝-corpus job the one-shot readers ([[DedupState.federatedDocClusters]]
+  * / [[DedupState.federatedLivePairStats]] / [[DedupState
+  * .federatedPairReport]]) pay per invocation: a JDBC view refreshing
+  * the federation's `_clusters`/`_dup_pairs` no longer rebuilds the
+  * cross-member candidate graph and re-runs CC over the corpus — it
+  * reads converged labels this store folded incrementally, exactly as
+  * the single-store views read [[DedupState]]'s.
+  *
+  * The reads serve the one-shot merges' results VERBATIM on any fold
+  * schedule, because every ingredient of the federated edge set is
+  * monotone-with-retroactive-death — the same shape [[DedupState
+  * .update]] folds within one store:
+  *
+  *   - WITHIN-member admitted pairs arrive as member pair-index deltas
+  *     (emitted once ever, at the later endpoint's arrival, attributes
+  *     computed at emission);
+  *   - CROSS-member candidacy is bucket co-membership, monotone: a
+  *     cross pair becomes visible exactly when its later endpoint's
+  *     band rows arrive in some member delta, so folding delta bands
+  *     against the accumulated federation band index (pruned to the
+  *     delta's bkey-bucket partitions) emits each cross pair once.
+  *     Admission re-scores candidates from member feats probes through
+  *     the SHARED predicate ([[DedupState.pairAttributes]] — candidacy
+  *     ≠ admission in a thresholded store);
+  *   - the GLOBAL bucket cap counts distinct CONTENT per bucket
+  *     (member reps of shared content collapse through `k` before
+  *     counting — the single-store unit), grows monotonically, and
+  *     kills pair provenance rows retroactively, exactly like the
+  *     member-local cap;
+  *   - same-content reps across members link by STAR edges to the
+  *     content's first-known federation rep — any spanning tree of a
+  *     content's reps yields the same connectivity, so later canon
+  *     changes (a smaller rid arriving late) need no edge rewrites;
+  *   - labels fold through the ONE shared quotient-graph algebra
+  *     ([[DedupState.foldLabels]]): min-label CC over nodes that are
+  *     labels-or-new-rids keeps the global-min-rid labeling the
+  *     one-shot pipeline assigns, and removal recomputes only the
+  *     components that lost an edge — here from live pairs AND star
+  *     edges (stars never die: content never leaves a member).
+  *
+  * Member deltas are read from the members' version dirs directly
+  * (∝ the delta) while those dirs are live, with exact documented
+  * fallbacks after a member compact ([[DedupState.membersDelta]] ff.).
+  * Parity (cap / gram attribution / admission identity) is the same
+  * contract as the one-shot merge ([[DedupState.memberParity]]) plus
+  * a fixed member list in META; watermarks make replays idempotent.
+  *
+  * The globally-unique doc_id refusal is ∝ delta against the flat
+  * federation members index — a narrow (doc_id, k) scan; deployments
+  * whose federation assigns members disjoint id ranges (the reference's
+  * ownership contract, `Federation.ownerOf`) can disable it
+  * (`verifyDocIds = false`) since the invariant holds by construction.
+  *
+  * Reference anchor: the reference federates per-collection trees
+  * behind one API (/root/reference/grpcinterface/interface.go) — this
+  * store is that idea applied to the cross-member dedup graph, with
+  * the incremental fold the reference's commit model implies.
+  */
+final class FedDedupState(
+    sparkSession: SparkSession,
+    rootUri: String,
+    members: Seq[DedupState],
+    verifyDocIds: Boolean = true)
+  extends FedStoreBase(sparkSession, rootUri) {
+
+  import DedupState.{MembersSchema, GroupsSchema, PairsSchema,
+    DroppedSchema, LabelsSchema, keyPrefix, bandBucket, Tracked}
+  import FedDedupState._
+
+  // the one-shot merge's parity contract, verified at open
+  private val (cap, grams, keepCol) = DedupState.memberParity(members)
+
+  private def metaLine: String =
+    s"cap=${cap.getOrElse(-1L)},grams=$grams" +
+      s",keep=${members.head.storedKeepId.getOrElse("-")}" +
+      s",members=${members.map(st => memberId(st.root)).mkString(":")}"
+
+  protected val partitionField: Map[String, (StructField, Column)] = Map(
+    "fgroups" -> ((StructField("kp", StringType), keyPrefix(col("k")))),
+    "fbands" -> ((StructField("bp", IntegerType), bandBucket(col("bkey")))),
+    "fpairs" -> ((StructField("bp", IntegerType), bandBucket(col("bkey")))))
+
+  // ---- readers ---------------------------------------------------------
+
+  /** All member docs — (doc_id, k, ver); ver = the fold that absorbed
+    * them. */
+  def fedMembers(upTo: Long = currentVersion): DataFrame =
+    tableFrame("fmembers", MembersSchema, upTo)
+
+  /** Every member rep ever absorbed — (k, rid, ver). A content key
+    * ingested by several members carries one row PER member rep. */
+  def fedGroups(upTo: Long = currentVersion): DataFrame =
+    tableFrame("fgroups", GroupsSchema, upTo)
+
+  /** The canonical federation rep per content key — (k, crid), the
+    * global min rid, exactly the rep a single store over the union
+    * corpus would keep. Derived (min is a fold-free read), so a
+    * smaller rid arriving late updates canon with no rewrite. */
+  def canon(upTo: Long = currentVersion): DataFrame =
+    fedGroups(upTo).groupBy("k").agg(min("rid").as("crid"))
+
+  private def fedBands(upTo: Long): DataFrame =
+    tableFrame("fbands", FBandsSchema, upTo)
+
+  private def fedBandsTouching(buckets: Seq[Int], upTo: Long): DataFrame =
+    diskFrame("fbands", FBandsSchema, upTo)
+      .filter(col("bp").isin(buckets: _*)).drop("bp")
+
+  private def fedPairs(upTo: Long): DataFrame =
+    tableFrame("fpairs", PairsSchema, upTo)
+
+  private def fedPairsTouching(buckets: Seq[Int], upTo: Long): DataFrame =
+    diskFrame("fpairs", PairsSchema, upTo)
+      .filter(col("bp").isin(buckets: _*)).drop("bp")
+
+  private def fedGroupsTouching(prefixes: Seq[String],
+                                upTo: Long): DataFrame =
+    diskFrame("fgroups", GroupsSchema, upTo)
+      .filter(col("kp").isin(prefixes: _*)).drop("kp")
+
+  private def stars(upTo: Long): DataFrame =
+    tableFrame("fstars", FStarsSchema, upTo)
+
+  def dropped(upTo: Long = currentVersion): DataFrame =
+    tableFrame("fdropped", DroppedSchema, upTo)
+
+  /** Converged federation labels per member rep — (rid, cluster);
+    * latest fold's row wins, like the member stores' label reader. */
+  def labels(upTo: Long = currentVersion): DataFrame =
+    tableFrame("flabels", LabelsSchema, upTo)
+      .groupBy("rid")
+      .agg(max_by(col("cluster"), col("ver")).as("cluster"))
+
+  /** Corpus-wide clusters across federation members — (doc_id,
+    * cluster): [[DedupState.federatedDocClusters]]'s result served as
+    * a READ of the persisted fold (no candidate graph, no CC). */
+  def docClusters(upTo: Long = currentVersion): DataFrame =
+    fedMembers(upTo).join(canon(upTo), "k")
+      .join(labels(upTo).withColumnRenamed("rid", "crid"),
+        Seq("crid"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("crid")).as("cluster"))
+
+  /** The federated near-duplicate pair report in CANONICAL rid space —
+    * (a, b, jac_num, jac_den), a < b, distinct: [[DedupState
+    * .federatedLivePairStats]]'s result as a read of the persisted
+    * pair index (same-content pairs collapse to self and drop, the
+    * attribute columns are pure content functions so duplicates of a
+    * canonical pair agree and the distinct is lossless). */
+  def livePairStats(upTo: Long = currentVersion): DataFrame = {
+    val m = fedGroups(upTo).join(canon(upTo), "k")
+      .select(col("rid"), col("crid"))
+    fedPairs(upTo).join(dropped(upTo), Seq("bkey"), "left_anti")
+      .select("a", "b", "jac_num", "jac_den")
+      .join(m.select(col("rid").as("a"), col("crid").as("ca")), "a")
+      .join(m.select(col("rid").as("b"), col("crid").as("cb")), "b")
+      .filter(col("ca") =!= col("cb"))
+      .select(least(col("ca"), col("cb")).as("a"),
+        greatest(col("ca"), col("cb")).as("b"),
+        col("jac_num"), col("jac_den"))
+      .distinct()
+  }
+
+  /** Canonical per-rep feature summary — (rid, n, nb), [[DedupState
+    * .federatedFeatSizes]]'s result: sizes are pure content functions,
+    * read from the members' fsizes tables (narrow, one row per rep)
+    * through the persisted canon map. */
+  def featSizes(upTo: Long = currentVersion): DataFrame = {
+    val m = fedGroups(upTo).join(canon(upTo), "k")
+      .select(col("rid"), col("crid"))
+    members.map(_.featSizes()).reduce(_ unionByName _)
+      .join(m, "rid")
+      .select(col("crid").as("rid"), col("n"), col("nb"))
+      .distinct()
+  }
+
+  /** The combined pair report — (a, b, jac_num, jac_den, na, nb), the
+    * `_dup_pairs` view shape ([[DedupState.federatedPairReport]]). */
+  def pairReport(upTo: Long = currentVersion): DataFrame = {
+    val sz = featSizes(upTo)
+    livePairStats(upTo)
+      .join(sz.select(col("rid").as("a"), col("n").as("na")),
+        Seq("a"), "left_outer")
+      .join(sz.select(col("rid").as("b"), col("n").as("nb")),
+        Seq("b"), "left_outer")
+      .select("a", "b", "jac_num", "jac_den", "na", "nb")
+  }
+
+  // ---- fold ------------------------------------------------------------
+
+  /** Fold every member's unabsorbed versions into the federation state.
+    * Cost ∝ the member deltas (pruned probes against the federation's
+    * own partitioned indexes; the quotient label fold); no-op (None)
+    * when every member is already absorbed. */
+  def fold(): Option[FoldReport] = {
+    checkOrWriteMeta(metaLine)
+    val (cur, _) = pointer
+    val wms = watermarks(members.size)
+    // pin each member's version NOW: members are independent writers,
+    // and the fold must absorb a consistent (wm, pinned] window even
+    // if a member flips mid-fold
+    val pinned = members.map(_.currentVersion)
+    if (wms.zip(pinned).forall { case (w, v) => w >= v }) return None
+    val next = cur + 1
+    val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      val deltas = members.zipWithIndex.zip(wms).zip(pinned).collect {
+        case (((st, m), wm), v) if v > wm => (st, m, wm, v)
+      }
+
+      // ---- member deltas, tagged by member index ----
+      val dGroups = deltas.map { case (st, m, wm, v) =>
+          st.groupsDelta(wm, v).select("k", "rid").withColumn("m", lit(m)) }
+        .reduce(_ unionByName _).cpInto(cps)
+      val nNewReps = dGroups.count()
+      val dMembers = deltas.map { case (st, _, wm, v) =>
+          st.membersDelta(wm, v).select("doc_id", "k") }
+        .reduce(_ unionByName _).cpInto(cps)
+      val nNewDocs = dMembers.count()
+
+      // ---- globally-unique doc_id refusal (see class doc) ----
+      if (verifyDocIds && nNewDocs > 0) {
+        val knownHit = fedMembers(cur).select("doc_id", "k")
+          .join(dMembers.select("doc_id"), Seq("doc_id"), "left_semi")
+        val conflicts = dMembers.select("doc_id", "k").unionByName(knownHit)
+          .groupBy("doc_id").agg(countDistinct("k").as("nk"))
+          .filter(col("nk") > 1).limit(1).collect()
+        require(conflicts.isEmpty,
+          s"doc_id ${conflicts.head.getLong(0)} carries different " +
+            "content in different federation members — doc_ids must be " +
+            "globally unique across members")
+      }
+
+      // ---- federation band rows of the delta: (bkey, k, rid, m) ----
+      // bands are written per NEW member rep, so the rid join against
+      // the delta groups is total
+      val newFBands = deltas.map { case (st, m, wm, v) =>
+          st.bandsDelta(wm, v).withColumn("m", lit(m)) }
+        .reduce(_ unionByName _)
+        .select("rid", "bkey", "m")
+        .join(dGroups.select("rid", "k"), "rid")
+        .select("bkey", "k", "rid", "m")
+        .cpInto(cps)
+
+      // ---- global bucket cap: distinct CONTENT per bucket ----
+      // the accumulated index is probed only at the delta's bkey-bucket
+      // partitions; member reps of shared content collapse through `k`
+      // before counting (the single-store counting unit — raw rows
+      // would inflate shared buckets)
+      val touched = newFBands.select("bkey").distinct().cpInto(cps)
+      val buckets = partitionValues[Int](touched, bandBucket(col("bkey")))
+      val oldTouched = fedBandsTouching(buckets, cur)
+        .join(touched, Seq("bkey"), "left_semi")
+        .cpInto(cps)
+      val prevDropped = dropped(cur)
+      val newlyDropped = cap match {
+        case None => emptyFrame(DroppedSchema)
+        case Some(c) =>
+          val oldK = oldTouched.select("bkey", "k").distinct()
+          val newK = newFBands.select("bkey", "k").distinct()
+            .join(oldK, Seq("bkey", "k"), "left_anti")
+          val oldSz = oldK.groupBy("bkey").agg(count(lit(1)).as("oldN"))
+          newK.groupBy("bkey").agg(count(lit(1)).as("newN"))
+            .join(oldSz, Seq("bkey"), "left_outer")
+            .filter(col("newN") + coalesce(col("oldN"), lit(0L)) > c)
+            .join(prevDropped, Seq("bkey"), "left_anti")
+            .select("bkey").cpInto(cps)
+      }
+      val nDroppedBuckets = newlyDropped.count()
+      val deadKeys = prevDropped.select("bkey")
+        .unionByName(newlyDropped).distinct()
+
+      // ---- cross-member candidates: delta × accumulated, live ----
+      // within-member pairs arrive pre-admitted from the member delta;
+      // only DIFFERENT-member co-bucketing pairs here (x.m ≠ y.m),
+      // normalized + distinct so delta×delta pairs emit once
+      val liveNew = newFBands.join(deadKeys, Seq("bkey"), "left_anti")
+      val liveAll = oldTouched.join(deadKeys, Seq("bkey"), "left_anti")
+        .unionByName(liveNew)
+      val crossCand = liveNew.as("x")
+        .join(liveAll.as("y"), "bkey")
+        .filter(col("x.m") =!= col("y.m"))
+        .select(least(col("x.rid"), col("y.rid")).as("a"),
+          greatest(col("x.rid"), col("y.rid")).as("b"), col("bkey"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .cpInto(cps)
+
+      // ---- cross admission: score from member feats, shared algebra --
+      val crossRows: DataFrame =
+        if (!grams)
+          crossCand.withColumn("jac_num", lit(null).cast("long"))
+            .withColumn("jac_den", lit(null).cast("long"))
+        else {
+          val ab = crossCand.select("a", "b").distinct()
+          val eps = ab.select(col("a").as("rid"))
+            .unionByName(ab.select(col("b").as("rid"))).distinct()
+            .cpInto(cps)
+          val epBuckets = partitionValues[Int](eps, bandBucket(col("rid")))
+          // ALL members, not just the folding ones: a candidate's old
+          // endpoint may belong to a member with no delta this fold,
+          // and its features live only in that member's feats index
+          val epFeats = members.map(st =>
+              st.featsTouching(epBuckets, st.currentVersion))
+            .reduce(_ unionByName _)
+            .join(eps, Seq("rid"), "left_semi")
+          val scored = DedupState.pairAttributes(ab, epFeats)
+          val admitted = keepCol match {
+            case Some(keep) => scored.filter(keep)
+            case None => scored
+          }
+          crossCand.join(
+            admitted.select("a", "b", "jac_num", "jac_den"), Seq("a", "b"))
+        }
+
+      // ---- new pair provenance rows: member deltas + cross, live ----
+      val dPairs = deltas.map { case (st, _, wm, v) => st.pairsDelta(wm, v) }
+        .reduce(_ unionByName _)
+        .join(deadKeys, Seq("bkey"), "left_anti")
+      val newPairRows = dPairs
+        .select("a", "b", "bkey", "jac_num", "jac_den")
+        .unionByName(crossRows.select("a", "b", "bkey",
+          "jac_num", "jac_den"))
+        .cpInto(cps)
+      val nNewPairs = newPairRows.count()
+
+      // ---- star edges: each delta rep links to its content's anchor --
+      // anchor = the content's first-known federation rep (existing min
+      // if known, else the delta's min) — any spanning tree of a
+      // content's reps gives the same connectivity, so a smaller rid
+      // arriving LATE still connects (to the old anchor) and canon
+      // (a derived min) moves with no edge rewrites
+      val prefixes = partitionValues[String](dGroups, keyPrefix(col("k")))
+      val knownMin = fedGroupsTouching(prefixes, cur)
+        .join(dGroups.select("k"), Seq("k"), "left_semi")
+        .groupBy("k").agg(min("rid").as("kmin"))
+      val anchors = dGroups.groupBy("k").agg(min("rid").as("dmin"))
+        .join(knownMin, Seq("k"), "left_outer")
+        .select(col("k"), coalesce(col("kmin"), col("dmin")).as("anchor"))
+      val starEdges = dGroups.join(anchors, "k")
+        .filter(col("rid") =!= col("anchor"))
+        .select(least(col("rid"), col("anchor")).as("a"),
+          greatest(col("rid"), col("anchor")).as("b"))
+        .cpInto(cps)
+      val nStarEdges = starEdges.count()
+
+      // ---- labels: the ONE shared quotient fold ----
+      val newEdges = newPairRows.select("a", "b")
+        .unionByName(starEdges).distinct()
+      val removed =
+        if (nDroppedBuckets == 0)
+          emptyFrame(PairsSchema).select("a", "b")
+        else fedPairsTouching(
+            partitionValues[Int](newlyDropped, bandBucket(col("bkey"))), cur)
+          .join(newlyDropped, Seq("bkey"), "left_semi")
+          .select("a", "b").distinct().cpInto(cps)
+      val curLabels = labels(cur).cpInto(cps)
+      val labelDeltas = DedupState.foldLabels(
+        curLabels, newEdges, dGroups.select("rid"),
+        removed, hasRemovals = nDroppedBuckets > 0,
+        // stars never die (content never leaves a member), so the
+        // removal recompute must see them alongside the live pairs
+        livePriorEdges = fedPairs(cur)
+          .join(deadKeys, Seq("bkey"), "left_anti")
+          .select("a", "b").distinct()
+          .unionByName(stars(cur)),
+        cps = cps)
+      val nLabelRows = labelDeltas.count()
+
+      // ---- persist: data dirs → MANIFEST → CURRENT ----
+      val counts = Seq(
+        "fmembers" -> writeTable(next, "fmembers",
+          dMembers.withColumn("ver", lit(next)), nNewDocs),
+        "fgroups" -> writeTable(next, "fgroups",
+          dGroups.select("k", "rid").withColumn("ver", lit(next)),
+          nNewReps),
+        "fbands" -> writeTable(next, "fbands", newFBands,
+          newFBands.count()),
+        "fpairs" -> writeTable(next, "fpairs", newPairRows, nNewPairs),
+        "fstars" -> writeTable(next, "fstars", starEdges, nStarEdges),
+        "fdropped" -> writeTable(next, "fdropped", newlyDropped,
+          nDroppedBuckets),
+        "flabels" -> writeTable(next, "flabels",
+          labelDeltas.withColumn("ver", lit(next)), nLabelRows))
+      flip(next, counts, pinned)
+      Some(FoldReport(next, pinned, nNewReps, nStarEdges, nNewPairs,
+        nDroppedBuckets, nLabelRows))
+    } finally cps.foreach(c => scala.util.Try(c.unpersist()))
+  }
+}
+
+object FedContamState {
+
+  /** Per-fold accounting — ∝ the member deltas. */
+  final case class FoldReport(
+      version: Long,
+      memberVersions: Seq[Long],
+      nNewKeys: Long,
+      nNewPostings: Long,
+      nNewlyCapped: Long)
+}
+
+/** The INCREMENTAL federated decontamination merge — [[ContamState
+  * .federatedLivePostings]] as a versioned store folding member deltas,
+  * the [[FedDedupState]] pattern applied to the (simpler) postings
+  * shape: no pairing and no CC, just
+  *
+  *   - distinct-content postings: a content key contributes its
+  *     postings ONCE federation-wide (first member to deliver it;
+  *     gramsOf is a pure content function, so any member's rows are
+  *     the same rows) — later members' copies of a known key fold to
+  *     nothing;
+  *   - the global df cap, counted over distinct content and MONOTONE:
+  *     a gram's federation df only grows, so a capped verdict is
+  *     permanent and the fold only ever checks the delta's touched
+  *     grams (pruned probe of the accumulated postings index);
+  *   - member capped verdicts union in (member df ≤ global df, so a
+  *     member-capped gram is globally capped — and the verdict must
+  *     survive member compaction, which prunes the member's postings).
+  *
+  * Reads serve the one-shot merge VERBATIM on any fold schedule:
+  * live postings = accumulated postings minus capped grams, exactly
+  * the member stores' read shape. */
+final class FedContamState(
+    sparkSession: SparkSession,
+    rootUri: String,
+    members: Seq[ContamState])
+  extends FedStoreBase(sparkSession, rootUri) {
+
+  import ContamState.{TextsSchema, PostingsSchema, CappedSchema, gramBucket}
+  import DedupState.{keyPrefix, Tracked}
+  import FedContamState._
+
+  private val caps = members.map(_.cap).distinct
+  require(members.nonEmpty, "federation needs at least one member")
+  require(caps.size == 1,
+    s"members disagree on the df cap ($caps) — the cap is an " +
+      "evidence-set invariant, federated or not")
+  private val dfCap = caps.head
+
+  private def metaLine: String =
+    s"dfCap=$dfCap,members=${members.map(st => memberId(st.root))
+      .mkString(":")}"
+
+  protected val partitionField: Map[String, (StructField, Column)] = Map(
+    "ftexts" -> ((StructField("kp", StringType), keyPrefix(col("k")))),
+    "fposts" -> ((StructField("gp", IntegerType), gramBucket(col("g")))))
+
+  /** Distinct content keys absorbed federation-wide — (k, ver). */
+  def fedKeys(upTo: Long = currentVersion): DataFrame =
+    tableFrame("ftexts", TextsSchema, upTo)
+
+  private def fedKeysTouching(prefixes: Seq[String],
+                              upTo: Long): DataFrame =
+    diskFrame("ftexts", TextsSchema, upTo)
+      .filter(col("kp").isin(prefixes: _*)).drop("kp")
+
+  /** Accumulated distinct postings — (k, g), including rows of grams
+    * that later capped ([[livePostings]] filters those, the member
+    * stores' read shape). */
+  def postings(upTo: Long = currentVersion): DataFrame =
+    tableFrame("fposts", PostingsSchema, upTo)
+
+  private def postingsTouching(buckets: Seq[Int], upTo: Long): DataFrame =
+    diskFrame("fposts", PostingsSchema, upTo)
+      .filter(col("gp").isin(buckets: _*)).drop("gp")
+
+  /** Grams whose federation df crossed the cap — (g); monotone. */
+  def capped(upTo: Long = currentVersion): DataFrame =
+    tableFrame("fcapped", CappedSchema, upTo)
+
+  /** The federation's LIVE contamination evidence — (k, g):
+    * [[ContamState.federatedLivePostings]]'s result as a read. */
+  def livePostings(upTo: Long = currentVersion): DataFrame =
+    postings(upTo).join(capped(upTo), Seq("g"), "left_anti")
+
+  /** Fold every member's unabsorbed versions — cost ∝ the deltas. */
+  def fold(): Option[FoldReport] = {
+    checkOrWriteMeta(metaLine)
+    val (cur, _) = pointer
+    val wms = watermarks(members.size)
+    val pinned = members.map(_.currentVersion)
+    if (wms.zip(pinned).forall { case (w, v) => w >= v }) return None
+    val next = cur + 1
+    val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      val deltas = members.zip(wms).zip(pinned).collect {
+        case ((st, wm), v) if v > wm => (st, wm, v)
+      }
+      val dTexts = deltas.map { case (st, wm, v) =>
+          st.textsDelta(wm, v).select("k") }
+        .reduce(_ unionByName _).distinct().cpInto(cps)
+      // new-to-federation content: one pruned anti-join, like the
+      // member stores' newness check
+      val prefixes = partitionValues[String](dTexts, keyPrefix(col("k")))
+      val newKeys = dTexts
+        .join(fedKeysTouching(prefixes, cur).select("k"),
+          Seq("k"), "left_anti")
+        .cpInto(cps)
+      val nNewKeys = newKeys.count()
+      // postings of the new keys only (a known key's rows are already
+      // absorbed — distinct-content semantics), distinct across the
+      // members delivering the same new key this fold
+      val dPosts = deltas.map { case (st, wm, v) =>
+          st.postingsDelta(wm, v).select("k", "g") }
+        .reduce(_ unionByName _)
+        .join(newKeys, Seq("k"), "left_semi")
+        .distinct()
+        .cpInto(cps)
+      val nNewPostings = dPosts.count()
+      // df accounting over the delta's TOUCHED grams (pruned probe)
+      val gBuckets = partitionValues[Int](dPosts, gramBucket(col("g")))
+      val oldCounts = postingsTouching(gBuckets, cur)
+        .join(dPosts.select("g").distinct(), Seq("g"), "left_semi")
+        .groupBy("g").agg(count(lit(1)).as("oldN"))
+      val prevCapped = capped(cur)
+      val newlyOver = dPosts.groupBy("g").agg(count(lit(1)).as("newN"))
+        .join(oldCounts, Seq("g"), "left_outer")
+        .filter(col("newN") + coalesce(col("oldN"), lit(0L)) > dfCap)
+        .select("g")
+      // member verdicts union in: a member-capped gram is globally
+      // capped (member df ≤ global df) even when the member compacted
+      // its postings away
+      val dCapped = deltas.map { case (st, wm, v) =>
+          st.cappedDelta(wm, v).select("g") }
+        .reduce(_ unionByName _)
+      val newlyCapped = newlyOver.unionByName(dCapped).distinct()
+        .join(prevCapped, Seq("g"), "left_anti")
+        .cpInto(cps)
+      val nNewlyCapped = newlyCapped.count()
+
+      val counts = Seq(
+        "ftexts" -> writeTable(next, "ftexts",
+          newKeys.withColumn("ver", lit(next)), nNewKeys),
+        "fposts" -> writeTable(next, "fposts", dPosts, nNewPostings),
+        "fcapped" -> writeTable(next, "fcapped", newlyCapped,
+          nNewlyCapped))
+      flip(next, counts, pinned)
+      Some(FoldReport(next, pinned, nNewKeys, nNewPostings, nNewlyCapped))
+    } finally cps.foreach(c => scala.util.Try(c.unpersist()))
+  }
+}
