@@ -102,6 +102,23 @@ object DedupStateBench {
     val (fedPairs, fedPairSec) = timed(
       graft.etl.DedupState.federatedLivePairStats(Seq(ga, gb)).count())
 
+    // INCREMENTAL federation stores: the same merges as versioned
+    // stores folding MEMBER DELTAS ([[graft.etl.FedDedupState]] /
+    // [[graft.etl.FedContamState]]). The first fold absorbs the whole
+    // corpus (the topology-time cost, paid once); the DELTA fold after
+    // a member ingests the ~1% crawl batch must stay near the
+    // single-store update figure — ∝ the member delta, never corpus
+    // edges — the line that retires the per-refresh cost the one-shot
+    // readers above pay on every invocation.
+    val fedSt = new graft.etl.FedDedupState(spark, freshRoot(), Seq(ma, mb))
+    val (_, fedInitSec) = timed(fedSt.fold())
+    ma.update(batch)
+    val (fedRep, fedFoldSec) = timed(fedSt.fold())
+    val cFed = new graft.etl.FedContamState(spark, freshRoot(), Seq(ca, cb))
+    val (_, cFedInitSec) = timed(cFed.fold())
+    ca.update(batch)
+    val (_, cFedFoldSec) = timed(cFed.fold())
+
     println(s"""{"metric":"dedup_state","init_sec":$initSec,""" +
       s""""update_sec":$updSec,"corpus_docs":$nCorpus,""" +
       s""""batch_docs":$nBatch,"batch_new_distinct":${rep.nNewDistinct},""" +
@@ -117,6 +134,12 @@ object DedupStateBench {
       s""""fed_merge_sec":$fedSec,"fed_merge_docs":$fedDocs,""" +
       s""""fed_postings_sec":$fedPostSec,"fed_postings":$fedPosts,""" +
       s""""fed_pairstats_sec":$fedPairSec,"fed_pairstats":$fedPairs,""" +
+      s""""fed_store_init_sec":$fedInitSec,""" +
+      s""""fed_store_fold_sec":$fedFoldSec,""" +
+      s""""fed_store_fold_reps":${fedRep.map(_.nNewReps).getOrElse(0L)},""" +
+      s""""fed_store_fold_pairs":${fedRep.map(_.nNewPairs).getOrElse(0L)},""" +
+      s""""fed_contam_init_sec":$cFedInitSec,""" +
+      s""""fed_contam_fold_sec":$cFedFoldSec,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

@@ -707,9 +707,13 @@ object EtlQueries {
   /** FEDERATED dedup clusters of the fixture corpus: two member
     * [[graft.etl.DedupState]]s split by doc_id parity (so identical
     * content lands reps in BOTH members — the star-edge collapse is
-    * exercised), merged by [[graft.etl.DedupState.federatedDocClusters]].
-    * The merge must equal the one-shot full-corpus clustering, which is
-    * exactly what the q_dedup_fed oracle checks. */
+    * exercised), folded into a PERSISTED incremental federation store
+    * ([[graft.etl.FedDedupState]]) and served as a read of its
+    * converged labels — the production shape, where a JDBC view
+    * refresh reads the fold instead of re-running the ∝-corpus merge.
+    * Must equal the one-shot full-corpus clustering, which is exactly
+    * what the q_dedup_fed oracle checks (FedStateSpec pins the
+    * store == one-shot-merge equivalence on staged schedules). */
   private val fedClustersMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def fedDocClusters(s: SparkSession, dir: String): DataFrame =
@@ -723,7 +727,10 @@ object EtlQueries {
       inParallel(
         a.update(d.filter(col("doc_id") % 2 === 0)),
         b.update(d.filter(col("doc_id") % 2 === 1)))
-      graft.etl.DedupState.federatedDocClusters(Seq(a, b)).localCheckpoint()
+      val fed = new graft.etl.FedDedupState(s,
+        tempStateRoot("graft-fed-merge-"), Seq(a, b))
+      fed.fold()
+      fed.docClusters().localCheckpoint()
     }
 
   /** Plan-guardrail probe ([[graft.queries.PlanSpec]]): the banding
@@ -1081,52 +1088,50 @@ object EtlQueries {
       (a, b)
     }
 
-  /** FEDERATED embedding near-dup clusters: connected components over
-    * the CANONICAL pair set [[fedEmbCosPairs]] serves (the quotient
-    * graph — per-member reps of identical content are already
-    * collapsed onto their canonical rid there, so the star edges of
-    * [[graft.etl.DedupState.federatedDocClusters]] are internalized
-    * and one merged pair frame feeds BOTH federated readers, the way
-    * the single store's pair and label indexes share one fold). CC
-    * labels are min-reachable and canonical rids are global min rids,
-    * so labels equal the one-shot thresholded clustering's — which
+  /** The PERSISTED federation store over the embedding members — built
+    * (one fold) once per fixture; BOTH federated embedding readers
+    * (clusters + pair report) are reads of it, the way the single
+    * store's pair and label indexes share one fold. */
+  private val fedEmbStoreMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      graft.etl.FedDedupState]
+  private def fedEmbStore(s: SparkSession, dir: String)
+      : graft.etl.FedDedupState =
+    fixtureMemo(fedEmbStoreMemo, s, dir) {
+      val (a, b) = fedEmbMembers(s, dir)
+      val fed = new graft.etl.FedDedupState(s,
+        tempStateRoot("graft-fed-emb-merge-"), Seq(a, b))
+      fed.fold()
+      fed
+    }
+
+  /** FEDERATED embedding near-dup clusters — a read of the persisted
+    * federation store's converged labels ([[fedEmbStore]]). The store's
+    * min-label quotient fold over member pairs + star edges +
+    * admission-scored cross-member pairs assigns the global-min-rid
+    * labels the one-shot thresholded clustering does — which
     * `q_embcos_fed` serving [[embcosClusterOracleSql]] VERBATIM
-    * proves. (FederatedDedupSpec covers the unquotiented
-    * `federatedDocClusters` on a thresholded store directly.) */
+    * proves (FedStateSpec pins store == one-shot on staged
+    * schedules; FederatedDedupSpec covers the one-shot merge itself). */
   private val fedEmbClustersMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def fedEmbClusters(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(fedEmbClustersMemo, s, dir) {
-      val (a, b) = fedEmbMembers(s, dir)
-      val cc = graft.etl.Dedup.connectedComponents(
-          fedEmbCosPairs(s, dir).select("a", "b"))
-        .withColumnRenamed("id", "crid")
-      val groupsAll = Seq(a, b).map(_.seenKeys().select("k", "rid"))
-        .reduce(_ unionByName _)
-      val canon = groupsAll.groupBy("k").agg(min("rid").as("crid"))
-      val membersAll = Seq(a, b).map(_.members().select("doc_id", "k"))
-        .reduce(_ unionByName _)
-      membersAll.join(canon, "k")
-        .join(cc, Seq("crid"), "left_outer")
-        .select(col("doc_id"),
-          coalesce(col("cluster"), col("crid")).as("cluster"))
-        .localCheckpoint()
+      fedEmbStore(s, dir).docClusters().localCheckpoint()
     }
 
   /** FEDERATED embedding near-dup PAIR REPORT — (a, b, cos) in
-    * canonical rid space: the stored dots over the squared norms from
-    * ONE [[graft.etl.DedupState.federatedPairReport]] pass (pair
-    * stats + endpoint summaries share a single parity/conflict check
-    * and canonical-rep derivation), composed with the same
-    * [[storedCos]] tree the single-store read uses. Must equal
-    * [[embCosPairs]] row-for-row — `q_dedup_embcos_fed` serves it
-    * under q_dedup_embcos's oracle VERBATIM. */
+    * canonical rid space: the persisted federation store's pair
+    * report (stored dots over the squared norms, admission applied at
+    * fold time), composed with the same [[storedCos]] tree the
+    * single-store read uses. Must equal [[embCosPairs]] row-for-row —
+    * `q_dedup_embcos_fed` serves it under q_dedup_embcos's oracle
+    * VERBATIM. */
   private val fedEmbPairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def fedEmbCosPairs(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(fedEmbPairsMemo, s, dir) {
-      val (a, b) = fedEmbMembers(s, dir)
-      graft.etl.DedupState.federatedPairReport(Seq(a, b))
+      fedEmbStore(s, dir).pairReport()
         .select(col("a"), col("b"), storedCos.as("cos"))
         .localCheckpoint()
     }
@@ -1521,8 +1526,12 @@ object EtlQueries {
       .orderBy("doc_id", "probe_id")
   }
 
-  /** Two member decontamination indexes (doc_id-parity split) merged
-    * by [[graft.etl.ContamState.federatedLivePostings]]. */
+  /** Two member decontamination indexes (doc_id-parity split) folded
+    * into a PERSISTED incremental federation store
+    * ([[graft.etl.FedContamState]]) and served as a read of its live
+    * postings — the production shape; FedStateSpec pins the
+    * store == one-shot [[graft.etl.ContamState.federatedLivePostings]]
+    * equivalence on staged schedules. */
   private val fedContamMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def fedContamPostings(s: SparkSession, dir: String): DataFrame =
@@ -1535,8 +1544,10 @@ object EtlQueries {
       inParallel(
         a.update(d.filter(col("doc_id") % 2 === 0)),
         b.update(d.filter(col("doc_id") % 2 === 1)))
-      graft.etl.ContamState.federatedLivePostings(Seq(a, b))
-        .localCheckpoint()
+      val fed = new graft.etl.FedContamState(s,
+        tempStateRoot("graft-fedcontam-merge-"), Seq(a, b))
+      fed.fold()
+      fed.livePostings().localCheckpoint()
     }
 
   /** Build every fixture memo / persisted store, returning per-family
