@@ -169,17 +169,58 @@ object Service {
         })
     }
     // the ETL/curation stores' SQL surface (graft.etl.EtlViews):
-    // point the daemon at persisted DedupState/ContamState roots and
-    // their cluster / dup-report / pair-similarity / contamination
-    // views register read-only beside the telemetry views
+    // point the daemon at persisted store roots and their views
+    // register read-only beside the telemetry views —
+    //   SPARK_GRAFT_ETL_DEDUP / _CONTAM: single-store roots
+    //     (cluster / dup-report / pair-similarity / contamination);
+    //   SPARK_GRAFT_ETL_FED_DEDUP / _FED_CONTAM: incremental
+    //     FEDERATION store roots — the SAME view surface over the
+    //     cross-member folded state (member handles reconstruct from
+    //     the store's MEMBERS file);
+    //   SPARK_GRAFT_ETL_DERIVED: comma-separated `family=root` pairs
+    //     (e.g. `lang=/store/lang,codes=/store/sq8,cells=/store/km`) —
+    //     each DerivedState family registers its derived table as
+    //     `<prefix>_<family>`, so language / quantizer-code / semantic-
+    //     cell / span / vocabulary lookups are a JDBC query, and a NEW
+    //     family is an env entry, not a code change.
     val dedupRoot = sys.env.get("SPARK_GRAFT_ETL_DEDUP").filter(_.nonEmpty)
     val contamRoot = sys.env.get("SPARK_GRAFT_ETL_CONTAM").filter(_.nonEmpty)
+    val fedDedupRoot =
+      sys.env.get("SPARK_GRAFT_ETL_FED_DEDUP").filter(_.nonEmpty)
+    val fedContamRoot =
+      sys.env.get("SPARK_GRAFT_ETL_FED_CONTAM").filter(_.nonEmpty)
+    val derivedSpecs: Seq[(String, String)] =
+      sys.env.get("SPARK_GRAFT_ETL_DERIVED").filter(_.nonEmpty)
+        .map(_.split(",").toSeq.collect {
+          case e if e.contains("=") =>
+            val Array(n, r) = e.split("=", 2); (n.trim, r.trim)
+        }).getOrElse(Seq.empty)
+    // a store root whose writer has not produced META/CURRENT yet must
+    // not kill the daemon at startup: log, skip, and let the refresh
+    // poller re-attempt once the store exists (its epoch moves "" → v1)
+    def tolerably(what: String)(f: => Unit): Unit =
+      try f catch {
+        case e: Exception =>
+          // scalastyle:off println
+          System.err.println(s"[graft.Service] $what not registrable " +
+            s"yet (${e.getMessage}); the refresh poller will retry")
+          // scalastyle:on println
+      }
     val register: () => Unit = () => {
       registerEngines()
-      dedupRoot.foreach(r =>
-        graft.etl.EtlViews.registerDedupViews(spark, prefix, r))
-      contamRoot.foreach(r =>
-        graft.etl.EtlViews.registerContamViews(spark, prefix, r))
+      dedupRoot.foreach(r => tolerably(s"dedup views at $r")(
+        graft.etl.EtlViews.registerDedupViews(spark, prefix, r)))
+      contamRoot.foreach(r => tolerably(s"contam views at $r")(
+        graft.etl.EtlViews.registerContamViews(spark, prefix, r)))
+      fedDedupRoot.foreach(r => tolerably(s"federated dedup views at $r")(
+        graft.etl.EtlViews.registerFedDedupViews(spark, prefix, r)))
+      fedContamRoot.foreach(r => tolerably(s"federated contam views at $r")(
+        graft.etl.EtlViews.registerFedContamViews(spark, prefix, r)))
+      derivedSpecs.foreach { case (name, r) =>
+        tolerably(s"derived view $name at $r")(
+          graft.etl.EtlViews.registerDerivedView(spark,
+            s"${prefix}_$name", r))
+      }
     }
     register()
     // track external writers: re-register when any root's state moves
@@ -187,14 +228,17 @@ object Service {
     // roots by their CURRENT pointer (0 disables)
     val refreshMs = sys.env.get("SPARK_GRAFT_REFRESH_MS").map(_.toLong)
       .getOrElse(5000L)
+    val storeRoots = dedupRoot.toSeq ++ contamRoot.toSeq ++
+      fedDedupRoot.toSeq ++ fedContamRoot.toSeq ++ derivedSpecs.map(_._2)
     if (refreshMs > 0) autoRefresh(engines, register, refreshMs,
-      () => (dedupRoot.toSeq ++ contamRoot.toSeq)
-        .map(graft.etl.EtlViews.epochOf))
+      () => storeRoots.map(graft.etl.EtlViews.epochOf))
     start(spark)
-    val etlViews = dedupRoot.map(_ =>
+    val etlViews = (dedupRoot.orElse(fedDedupRoot)).map(_ =>
         s",${prefix}_clusters,${prefix}_dup_report,${prefix}_dup_pairs")
       .getOrElse("") +
-      contamRoot.map(_ => s",${prefix}_contamination").getOrElse("")
+      (contamRoot.orElse(fedContamRoot))
+        .map(_ => s",${prefix}_contamination").getOrElse("") +
+      derivedSpecs.map { case (n, _) => s",${prefix}_$n" }.mkString
     // scalastyle:off println
     println(s"""{"service":"thrift-jdbc","port":$port,"roots":${roots.size},""" +
       s""""views":"${prefix}_points,${prefix}_catalog$etlViews"}""")

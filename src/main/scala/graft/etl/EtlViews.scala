@@ -102,22 +102,104 @@ object EtlViews {
   def registerDedupViews(spark: SparkSession, prefix: String,
                          rootUri: String): Unit = {
     val st = openDedup(spark, rootUri)
-    val dc = st.docClusters()
-    dc.withColumn("is_canonical", col("doc_id") === col("cluster"))
-      .createOrReplaceTempView(s"${prefix}_clusters")
-    dc.join(st.members().select("doc_id", "k"), "doc_id")
-      .groupBy("cluster")
-      .agg(count(lit(1)).as("n_docs"), countDistinct("k").as("n_distinct"))
-      .createOrReplaceTempView(s"${prefix}_dup_report")
     val sz = st.featSizes()
-    st.livePairStats()
+    val report = st.livePairStats()
       .join(sz.select(col("rid").as("a"), col("n").as("na")),
         Seq("a"), "left_outer")
       .join(sz.select(col("rid").as("b"), col("n").as("nb")),
         Seq("b"), "left_outer")
       .select("a", "b", "jac_num", "jac_den", "na", "nb")
-      .createOrReplaceTempView(s"${prefix}_dup_pairs")
+    registerClusterSurface(prefix, st.docClusters(),
+      st.members().select("doc_id", "k"), report)
   }
+
+  /** The three dedup views, shared by the single-store and FEDERATION
+    * registrations — one definition of the surface, two sources. Both
+    * sources serve (doc_id, cluster, ver). */
+  private def registerClusterSurface(prefix: String, docClusters: DataFrame,
+                                     memberKeys: DataFrame,
+                                     pairReport: DataFrame): Unit = {
+    docClusters
+      .withColumn("is_canonical", col("doc_id") === col("cluster"))
+      .select("doc_id", "cluster", "is_canonical", "ver")
+      .createOrReplaceTempView(s"${prefix}_clusters")
+    docClusters.select("doc_id", "cluster").join(memberKeys, "doc_id")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("k").as("n_distinct"))
+      .createOrReplaceTempView(s"${prefix}_dup_report")
+    pairReport.createOrReplaceTempView(s"${prefix}_dup_pairs")
+  }
+
+  private def memberRootsOf(rootUri: String): Seq[String] = {
+    val store = new Store(rootUri, new Configuration())
+    store.readString("MEMBERS").getOrElse(
+      throw new IllegalStateException(
+        s"no federation store at $rootUri (missing MEMBERS)"))
+      .trim.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Open a [[FedDedupState]] root for reading: member read handles
+    * reconstruct from the store's MEMBERS file (bare — stored rows are
+    * already admission-filtered, and a read handle never folds, so the
+    * lazy parity/predicate demands of [[FedDedupState.fold]] are never
+    * forced). */
+  def openFedDedup(spark: SparkSession, rootUri: String): FedDedupState =
+    new FedDedupState(spark, rootUri,
+      memberRootsOf(rootUri).map(openDedup(spark, _)))
+
+  /** Open a [[FedContamState]] root for reading (member handles from
+    * MEMBERS, each with its own META df cap). */
+  def openFedContam(spark: SparkSession, rootUri: String): FedContamState =
+    new FedContamState(spark, rootUri,
+      memberRootsOf(rootUri).map(openContam(spark, _)))
+
+  /** Register the FEDERATION dedup store's query surface — the same
+    * three views as [[registerDedupViews]], over the INCREMENTALLY
+    * folded cross-member state: a view refresh reads converged labels
+    * and the persisted pair index instead of re-running the ∝-corpus
+    * merge ([[DedupState.federatedDocClusters]]) per refresh. */
+  def registerFedDedupViews(spark: SparkSession, prefix: String,
+                            rootUri: String): Unit = {
+    val fed = openFedDedup(spark, rootUri)
+    registerClusterSurface(prefix, fed.docClusters(),
+      fed.fedMembers().select("doc_id", "k"), fed.pairReport())
+  }
+
+  /** Register the FEDERATION contamination store's query surface —
+    * the [[registerContamViews]] shape over the folded global
+    * postings. */
+  def registerFedContamViews(spark: SparkSession, prefix: String,
+                             rootUri: String): Unit = {
+    val fed = openFedContam(spark, rootUri)
+    fed.livePostings().createOrReplaceTempView(s"${prefix}_contamination")
+    fed.capped().createOrReplaceTempView(s"${prefix}_contam_capped")
+  }
+
+  /** Open a [[DerivedState]] root for reading: the derivation
+    * fingerprint comes from the store's own META (a read handle never
+    * derives, so the function itself is a refusing stub — same
+    * read-only contract as [[openDedup]]). */
+  def openDerived(spark: SparkSession, rootUri: String): DerivedState = {
+    val store = new Store(rootUri, new Configuration())
+    val fp = store.readString("META").getOrElse(
+      throw new IllegalStateException(
+        s"no DerivedState at $rootUri (missing META)")).trim
+    new DerivedState(spark, rootUri, fp, keyCol = "k",
+      deriveOf = (_, _) => throw new UnsupportedOperationException(
+        "read-only derived view handle — updates go through the " +
+          "store's single ingest writer"))
+  }
+
+  /** Register ONE derived-family view: the store's derived table under
+    * `viewName`, read-only. Covers every [[DerivedState]] family —
+    * language predictions (`…_lang`), SQ8 codes (`…_codes`), k-means
+    * assignments (`…_cells`), winnow selections / span hashes
+    * (`…_spans`), word/trigram tables (`…_vocab`) — the daemon maps
+    * family names to roots (`graft.Service`'s SPARK_GRAFT_ETL_DERIVED),
+    * so a new family is an env entry, not a code change. */
+  def registerDerivedView(spark: SparkSession, viewName: String,
+                          rootUri: String): Unit =
+    openDerived(spark, rootUri).derived().createOrReplaceTempView(viewName)
 
   /** Register the decontamination store's query surface:
     *   - `<prefix>_contamination` (k, g) — the LIVE rare-gram postings

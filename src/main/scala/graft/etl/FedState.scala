@@ -142,6 +142,14 @@ private[etl] abstract class FedStoreBase(
       case None => store.writeAtomic("META", metaLine)
     }
 
+  /** Persist the member ROOT URIs (one per line) beside META, so a
+    * daemon can reconstruct read handles from the store root alone
+    * ([[EtlViews]]); META's member digests stay the identity check,
+    * this file is the directory. */
+  protected def writeMembersFile(roots: Seq[String]): Unit =
+    if (!store.exists("MEMBERS"))
+      store.writeAtomic("MEMBERS", roots.mkString("\n"))
+
   /** Distinct partition values of `c` over `df` — driver-side but
     * bounded by the partition-value domain (≤ 256). */
   protected def partitionValues[T](df: DataFrame, c: Column): Seq[T] =
@@ -241,13 +249,19 @@ final class FedDedupState(
     DroppedSchema, LabelsSchema, keyPrefix, bandBucket, Tracked}
   import FedDedupState._
 
-  // the one-shot merge's parity contract, verified at open
-  private val (cap, grams, keepCol) = DedupState.memberParity(members)
+  // the one-shot merge's parity contract — LAZY, so a read-only handle
+  // over bare member handles (the JDBC view surface, where stored rows
+  // are already admission-filtered) can serve reads; fold() forces it,
+  // exactly the single-store rule ("views open bare, merges demand the
+  // predicate")
+  private lazy val parity = DedupState.memberParity(members)
 
-  private def metaLine: String =
+  private def metaLine: String = {
+    val (cap, grams, _) = parity
     s"cap=${cap.getOrElse(-1L)},grams=$grams" +
       s",keep=${members.head.storedKeepId.getOrElse("-")}" +
       s",members=${members.map(st => memberId(st.root)).mkString(":")}"
+  }
 
   protected val partitionField: Map[String, (StructField, Column)] = Map(
     "fgroups" -> ((StructField("kp", StringType), keyPrefix(col("k")))),
@@ -306,14 +320,15 @@ final class FedDedupState(
       .agg(max_by(col("cluster"), col("ver")).as("cluster"))
 
   /** Corpus-wide clusters across federation members — (doc_id,
-    * cluster): [[DedupState.federatedDocClusters]]'s result served as
-    * a READ of the persisted fold (no candidate graph, no CC). */
+    * cluster, ver): [[DedupState.federatedDocClusters]]'s result served
+    * as a READ of the persisted fold (no candidate graph, no CC); `ver`
+    * is the fold that absorbed the doc, the single-store analog. */
   def docClusters(upTo: Long = currentVersion): DataFrame =
     fedMembers(upTo).join(canon(upTo), "k")
       .join(labels(upTo).withColumnRenamed("rid", "crid"),
         Seq("crid"), "left_outer")
       .select(col("doc_id"),
-        coalesce(col("cluster"), col("crid")).as("cluster"))
+        coalesce(col("cluster"), col("crid")).as("cluster"), col("ver"))
 
   /** The federated near-duplicate pair report in CANONICAL rid space —
     * (a, b, jac_num, jac_den), a < b, distinct: [[DedupState
@@ -367,7 +382,9 @@ final class FedDedupState(
     * own partitioned indexes; the quotient label fold); no-op (None)
     * when every member is already absorbed. */
   def fold(): Option[FoldReport] = {
+    val (cap, grams, keepCol) = parity
     checkOrWriteMeta(metaLine)
+    writeMembersFile(members.map(_.root))
     val (cur, _) = pointer
     val wms = watermarks(members.size)
     // pin each member's version NOW: members are independent writers,
@@ -651,6 +668,7 @@ final class FedContamState(
   /** Fold every member's unabsorbed versions — cost ∝ the deltas. */
   def fold(): Option[FoldReport] = {
     checkOrWriteMeta(metaLine)
+    writeMembersFile(members.map(_.root))
     val (cur, _) = pointer
     val wms = watermarks(members.size)
     val pinned = members.map(_.currentVersion)

@@ -327,6 +327,108 @@ class ServiceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally conn.close()
   }
 
+  test("derived-family views serve per-content lookups over JDBC") {
+    import org.apache.spark.sql.functions._
+    // a pure-append DerivedState family (the lang/codes/cells/spans/
+    // vocab shape): the daemon maps family names to roots
+    // (SPARK_GRAFT_ETL_DERIVED `lang=/root`), each registering its
+    // derived table as <prefix>_<family> — here the registration call
+    // itself, over a store the writer just folded
+    val root = java.nio.file.Files
+      .createTempDirectory("svcetl-derived").toString
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(md5(col("text").cast("binary")).as("k"), col("text"))
+      .dropDuplicates("k").localCheckpoint()
+    val writer = new graft.etl.DerivedState(spark, root,
+      fingerprint = "svc-lang:len-rule", keyCol = "k",
+      deriveOf = (rows, _) => rows.select(col("k"),
+        when(length(col("text")) >= 80, "long")
+          .otherwise("short").as("lang")))
+    writer.update(docs)
+    graft.etl.EtlViews.registerDerivedView(spark, "etl_lang", root)
+    val conn = connect()
+    try {
+      val st = conn.createStatement()
+      // the JDBC view matches the store's own reader, row for row
+      val rs = st.executeQuery(
+        "SELECT lang, count(*) AS n FROM etl_lang GROUP BY lang ORDER BY lang")
+      val wire = Iterator.continually(rs)
+        .takeWhile(_.next()).map(r => (r.getString(1), r.getLong(2))).toSeq
+      val truth = writer.derived().groupBy("lang")
+        .agg(count(lit(1)).as("n")).orderBy("lang")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(wire === truth && wire.map(_._2).sum === docs.count())
+    } finally conn.close()
+  }
+
+  test("federation store views serve the folded cross-member surface over JDBC") {
+    import org.apache.spark.sql.functions._
+    // two member dedup stores + the incremental federation store; the
+    // daemon-side registration reconstructs member read handles from
+    // the store's MEMBERS file (openFedDedup) — a JDBC view refresh
+    // reads the persisted fold, never the one-shot merge
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val a = new graft.etl.DedupState(spark, tmp("svcfed-a"),
+      graft.queries.EtlQueries.bandKeys,
+      gramsOf = Some(graft.queries.EtlQueries.gram4Of))
+    val b = new graft.etl.DedupState(spark, tmp("svcfed-b"),
+      graft.queries.EtlQueries.bandKeys,
+      gramsOf = Some(graft.queries.EtlQueries.gram4Of))
+    a.update(docs.filter(col("doc_id") % 2 === 0))
+    b.update(docs.filter(col("doc_id") % 2 === 1))
+    val fedRoot = tmp("svcfed-merge")
+    val fed = new graft.etl.FedDedupState(spark, fedRoot, Seq(a, b))
+    fed.fold()
+    graft.etl.EtlViews.registerFedDedupViews(spark, "fed", fedRoot)
+    // the contamination federation beside it
+    val ca = new graft.etl.ContamState(spark, tmp("svcfedc-a"),
+      graft.queries.EtlQueries.contamGrams, dfCap = 5L)
+    val cb = new graft.etl.ContamState(spark, tmp("svcfedc-b"),
+      graft.queries.EtlQueries.contamGrams, dfCap = 5L)
+    ca.update(docs.filter(col("doc_id") % 2 === 0))
+    cb.update(docs.filter(col("doc_id") % 2 === 1))
+    val fedCRoot = tmp("svcfedc-merge")
+    new graft.etl.FedContamState(spark, fedCRoot, Seq(ca, cb)).fold()
+    graft.etl.EtlViews.registerFedContamViews(spark, "fed", fedCRoot)
+    val conn = connect()
+    try {
+      val st = conn.createStatement()
+      // cluster sizes over the wire match the federation store's reader
+      val rs = st.executeQuery(
+        """SELECT cluster, count(*) AS n FROM fed_clusters
+          |GROUP BY cluster ORDER BY n DESC, cluster LIMIT 5""".stripMargin)
+      val wire = Iterator.continually(rs)
+        .takeWhile(_.next()).map(r => (r.getLong(1), r.getLong(2))).toSeq
+      val truth = fed.docClusters().groupBy("cluster")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("cluster"))
+        .limit(5).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(wire === truth)
+      // every doc of the union corpus appears exactly once
+      val rs2 = st.executeQuery(
+        "SELECT count(*) AS n, count(DISTINCT doc_id) AS d FROM fed_clusters")
+      assert(rs2.next() && rs2.getLong("n") === docs.count() &&
+        rs2.getLong("d") === docs.count())
+      // pair attributes are present and sane in canonical rid space
+      val rs3 = st.executeQuery(
+        """SELECT count(*) AS n,
+          |  sum(CASE WHEN jac_num > jac_den THEN 1 ELSE 0 END) AS bad
+          |FROM fed_dup_pairs""".stripMargin)
+      assert(rs3.next() && rs3.getLong("n") > 0L && rs3.getLong("bad") === 0L)
+      // the federated contamination evidence respects the global cap
+      val rs4 = st.executeQuery(
+        """SELECT max(df) AS mx FROM (
+          |  SELECT g, count(*) AS df FROM fed_contamination GROUP BY g) t"""
+          .stripMargin)
+      assert(rs4.next() && rs4.getLong(1) <= 5L)
+    } finally conn.close()
+  }
+
   test("a saturated query pool sheds JDBC statements with [426]") {
     // a deliberately slow view: every partition sleeps, so the first
     // statement reliably HOLDS its query-pool permit while the second

@@ -244,10 +244,11 @@ class FedStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[IllegalArgumentException](
       new FedDedupState(spark, root, Seq(a, c)).fold())
     assert(e.getMessage.contains("membership"))
-    // cap parity refuses at open, like the one-shot merge
+    // cap parity refuses at fold (parity is lazy so read-only handles
+    // can serve views over bare members — the single-store view rule)
     val capped = new DedupState(spark, tmpRoot(), prefixBands, Some(4L))
     val e2 = intercept[IllegalArgumentException](
-      new FedDedupState(spark, tmpRoot(), Seq(a, capped)))
+      new FedDedupState(spark, tmpRoot(), Seq(a, capped)).fold())
     assert(e2.getMessage.contains("cap"))
     // a doc_id claiming DIFFERENT content in two members refuses
     b.update(Seq((1L, "bravo other")).toDF("doc_id", "text"))
