@@ -61,6 +61,25 @@ class FactoredEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def words(t: String): Seq[String] = t.split(" ").filter(_.nonEmpty).toSeq
 
+  test("winnow banding from the selection store equals the from-text scan") {
+    import org.apache.spark.sql.functions.col
+    // the winnow-match store's banding is a content-key LOOKUP against
+    // the persisted selection store; it must equal re-winnowing the
+    // text — including docs too short to fill a window (no selections,
+    // no bands, either path)
+    val rnd = new scala.util.Random(seed)
+    val corpus = randomCorpus(rnd, 60)
+    val dir = writeCorpus(corpus)
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val fromText = rows(EtlQueries.winnowBandsOf(src))
+    val fromStore = rows(EtlQueries.winnowStoreBandsOf(spark, dir)(src))
+    assert(fromText.nonEmpty, "corpus must produce winnow fingerprints")
+    assert(fromStore === fromText, s"seed $seed")
+  }
+
   test("vocab coverage counts equal brute force under heavy duplication") {
     val rnd = new scala.util.Random(seed)
     for (round <- 1 to 3) {
