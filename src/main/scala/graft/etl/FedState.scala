@@ -249,6 +249,12 @@ final class FedDedupState(
     DroppedSchema, LabelsSchema, keyPrefix, bandBucket, Tracked}
   import FedDedupState._
 
+  /** The member handles this federation store folds (fixture/daemon
+    * callers fold members and the federation under one orchestration —
+    * the store exposes its members so they need not be threaded
+    * separately). */
+  def memberStores: Seq[DedupState] = members
+
   // the one-shot merge's parity contract — LAZY, so a read-only handle
   // over bare member handles (the JDBC view surface, where stored rows
   // are already admission-filtered) can serve reads; fold() forces it,
@@ -621,6 +627,9 @@ final class FedContamState(
   import ContamState.{TextsSchema, PostingsSchema, CappedSchema, gramBucket}
   import DedupState.{keyPrefix, Tracked}
   import FedContamState._
+
+  /** The member handles this federation store folds. */
+  def memberStores: Seq[ContamState] = members
 
   private val caps = members.map(_.cap).distinct
   require(members.nonEmpty, "federation needs at least one member")

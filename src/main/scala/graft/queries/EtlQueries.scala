@@ -289,6 +289,136 @@ object EtlQueries {
     rootDir.toString
   }
 
+  // ---- cross-invocation store reuse -----------------------------------
+  // The persisted stores are versioned + fingerprinted BY DESIGN — a
+  // production pipeline builds each index once per corpus and every
+  // later session reads it. The fixture layer now does the same: a
+  // store family's root lives under the scratch dir keyed by
+  // (epoch, family, semantics, corpus-content digest), a FIXTURE_DONE
+  // marker (written only after the FULL build sequence — folds, train,
+  // adopt, federation fold — lands) gates reuse, and a second JVM
+  // invocation on the same corpus reopens instead of rebuilding
+  // (bench memo_build collapses to reads; the first build is still
+  // honestly attributed in memo_parts). SPARK_GRAFT_STORE_REUSE=0
+  // disables (every invocation pays the build, the pre-r15 behavior).
+
+  /** Bump on ANY change to store-building semantics that the stores'
+    * own META would not catch (banding/gram/derivation functions,
+    * fixture batch composition) — the epoch is part of every durable
+    * identity, so roots built by older code are never reused. */
+  private val FixtureEpoch = "r15a"
+
+  private val corpusDigestMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  /** Content identity of the fixture corpus: a digest over the input
+    * parquet files' (name, length, mtime) — regenerated testdata gets
+    * a new digest and therefore fresh store roots. */
+  private def corpusDigest(s: SparkSession, dir: String): String =
+    fixtureMemo(corpusDigestMemo, s, dir) {
+      val conf = s.sessionState.newHadoopConf()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Seq("documents.parquet", "embeddings.parquet").foreach { t =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) {
+          val sts =
+            if (fs.getFileStatus(p).isDirectory)
+              fs.listStatus(p).sortBy(_.getPath.getName)
+            else Array(fs.getFileStatus(p))
+          sts.foreach(st => md.update(
+            s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}\n"
+              .getBytes("UTF-8")))
+        }
+      }
+      md.digest().map("%02x".format(_)).mkString
+    }
+
+  private def storeScratch: String =
+    sys.env.get("SPARK_GRAFT_SCRATCH").filter(_.nonEmpty)
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+
+  private def reuseEnabled: Boolean =
+    !sys.env.get("SPARK_GRAFT_STORE_REUSE").contains("0")
+
+  /** Age bound for durable fixture roots: anything whose DONE marker
+    * (or build lock) is this old belongs to a corpus/epoch no current
+    * run uses — one sweep per build keeps the scratch bounded without
+    * ever touching a sibling run's live roots (different corpora in
+    * flight have different tags and FRESH markers). */
+  private val StaleRootMillis = 24L * 3600 * 1000
+
+  /** Build-once-reuse-forever wrapper for a fixture's persisted store
+    * family: `open` constructs the handle(s) against the durable root
+    * (sub-stores go under `<root>/...`), `build` runs the full fold/
+    * train sequence — skipped entirely when a completed build of the
+    * same identity already sits there. Falls back to a private temp
+    * root when reuse is disabled or another LIVE process is mid-build
+    * on the same root (never fight a concurrent builder; losing a
+    * fixture rebuild is cheaper than corrupting a single-writer
+    * store). */
+  private def durableStore[T](s: SparkSession, dir: String, family: String,
+                              semantics: String)(open: String => T)
+                             (build: T => Unit): T = {
+    def privately(): T = {
+      val t = open(tempStateRoot(s"graft-$family-"))
+      build(t)
+      t
+    }
+    if (!reuseEnabled) return privately()
+    val identity =
+      s"$FixtureEpoch|$family|$semantics|${corpusDigest(s, dir)}"
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(identity.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val scratch = storeScratch
+    val rootName = s"graft_etl_store_${family}_$tag"
+    val root = s"$scratch/$rootName"
+    val store = new graft.storage.Store(root, conf)
+    try {
+      // stale-root sweep: old corpora / old epochs, age-gated so live
+      // sibling runs (fresh markers) are never touched
+      val scratchStore = new graft.storage.Store(scratch, conf)
+      scratchStore.listNames("")
+        .filter(n => n.startsWith("graft_etl_store_") && n != rootName)
+        .foreach { n =>
+          val seen = Seq("FIXTURE_DONE", "BUILD_LOCK").flatMap(f =>
+            scratchStore.modificationTime(s"$n/$f"))
+          if (seen.nonEmpty &&
+              seen.forall(m =>
+                System.currentTimeMillis() - m > StaleRootMillis))
+            try scratchStore.deleteRecursive(n)
+            catch { case _: Exception => () }
+        }
+    } catch { case _: Exception => () }
+    if (store.readString("FIXTURE_DONE").exists(_.trim == identity))
+      return open(root) // completed build of this exact identity: reuse
+    // claim the root; a live concurrent builder wins and we build
+    // privately — a dead one's leftovers are swept and reclaimed
+    val claim = s"${ProcessHandle.current().pid()}"
+    val owned = store.writeExclusive("BUILD_LOCK", claim) || {
+      val alive = store.readString("BUILD_LOCK").exists(p =>
+        scala.util.Try(ProcessHandle.of(p.trim.toLong).isPresent)
+          .getOrElse(true))
+      if (alive) false
+      else {
+        try store.deleteRecursive("") catch { case _: Exception => () }
+        store.writeExclusive("BUILD_LOCK", claim)
+      }
+    }
+    if (!owned) return privately()
+    try {
+      // a half-built root (crashed earlier run) restarts clean
+      store.listNames("").filter(_ != "BUILD_LOCK")
+        .foreach(n => try store.deleteRecursive(n)
+          catch { case _: Exception => () })
+      val t = open(root)
+      build(t)
+      store.writeAtomic("FIXTURE_DONE", identity)
+      t
+    } finally store.delete("BUILD_LOCK")
+  }
+
   /** Shared builder for the PURE-APPEND content stores (trigrams,
     * words, winnow selections, span hashes): one
     * [[graft.etl.DerivedState]] per family, fed the MEMOIZED
@@ -301,14 +431,14 @@ object EtlQueries {
   private def contentStore(
       memo: java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
         graft.etl.DerivedState],
-      s: SparkSession, dir: String, prefix: String, fingerprint: String,
+      s: SparkSession, dir: String, family: String, fingerprint: String,
       derive: (DataFrame, DataFrame) => DataFrame): graft.etl.DerivedState =
     fixtureMemo(memo, s, dir) {
-      val st = new graft.etl.DerivedState(s, tempStateRoot(prefix),
-        fingerprint, "k", derive)
-      val d = distinctGroups(s, dir).select("rid", "k", "text")
-      (0 to 1).foreach(i => st.update(d.filter(col("rid") % 2 === i)))
-      st
+      durableStore(s, dir, family, fingerprint)(root =>
+        new graft.etl.DerivedState(s, root, fingerprint, "k", derive)) { st =>
+        val d = distinctGroups(s, dir).select("rid", "k", "text")
+        (0 to 1).foreach(i => st.update(d.filter(col("rid") % 2 === i)))
+      }
     }
 
   /** Distinct-text groups of the fixture corpus — (k, rid, nm, text)
@@ -408,15 +538,16 @@ object EtlQueries {
               "text", LangIdMaxPos),
             prof, LangIdTopK)
           .select(col("doc_id").as("k"), col("pred"))
-      val st = new graft.etl.DerivedState(s,
-        tempStateRoot("graft-langpred-state-"),
-        s"langpred:topk=$LangIdTopK:mod=$LangIdTrainMod:maxpos=$LangIdMaxPos",
-        "k", derive, Some(trainer))
-      val d = docs(s, dir).filter(length(col("text")) >= 3)
-        .select(col("doc_id"), col("lang"), textKey.as("k"), col("text"))
-      st.train(d)
-      (0 to 1).foreach(i => st.update(d.filter(col("doc_id") % 2 === i)))
-      st
+      val fp =
+        s"langpred:topk=$LangIdTopK:mod=$LangIdTrainMod:maxpos=$LangIdMaxPos"
+      durableStore(s, dir, "langpred", fp)(root =>
+        new graft.etl.DerivedState(s, root, fp, "k", derive,
+          Some(trainer))) { st =>
+        val d = docs(s, dir).filter(length(col("text")) >= 3)
+          .select(col("doc_id"), col("lang"), textKey.as("k"), col("text"))
+        st.train(d)
+        (0 to 1).foreach(i => st.update(d.filter(col("doc_id") % 2 === i)))
+      }
     }
   private def langPredictions(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(langPredMemo, s, dir) {
@@ -460,19 +591,11 @@ object EtlQueries {
   private def incrContamState(s: SparkSession, dir: String)
       : graft.etl.ContamState =
     fixtureMemo(contamStateMemo, s, dir) {
-      val rootDir = java.nio.file.Files
-        .createTempDirectory("graft-contam-state-")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(rootDir).iterator().asScala.toList
-            .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-        } catch { case _: Exception => () }))
-      val st = new graft.etl.ContamState(s, rootDir.toString,
-        contamGrams, ContamDfCap)
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      (0 to 1).foreach(i => st.update(d.filter(col("doc_id") % 2 === i)))
-      st
+      durableStore(s, dir, "contam", s"contam:g8:cap=$ContamDfCap")(root =>
+        new graft.etl.ContamState(s, root, contamGrams, ContamDfCap)) { st =>
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        (0 to 1).foreach(i => st.update(d.filter(col("doc_id") % 2 === i)))
+      }
     }
 
   /** The shared in-session frame is now a READ of the persisted
@@ -504,7 +627,7 @@ object EtlQueries {
       graft.etl.DerivedState]
   private def triGramState(s: SparkSession, dir: String)
       : graft.etl.DerivedState =
-    contentStore(triStateMemo, s, dir, "graft-trigram-state-",
+    contentStore(triStateMemo, s, dir, "trigrams",
       "trigrams:ws-split:n=3", (rows, _) =>
         rows
           .select(col("k"),
@@ -588,7 +711,7 @@ object EtlQueries {
       graft.etl.DerivedState]
   private def winnowState(s: SparkSession, dir: String)
       : graft.etl.DerivedState =
-    contentStore(winnowStateMemo, s, dir, "graft-winnow-state-",
+    contentStore(winnowStateMemo, s, dir, "winnow",
       s"winnow:w8:k8:maxpos=$MaxPos", (rows, _) =>
         winnowKeysOf(rows.select(col("k").as("doc_id"), col("text")))
           .select(col("doc_id").as("k"), col("sel")))
@@ -640,12 +763,13 @@ object EtlQueries {
   private def winnowPairState(s: SparkSession, dir: String)
       : graft.etl.DedupState =
     fixtureMemo(winnowPairStateMemo, s, dir) {
-      val st = new graft.etl.DedupState(s,
-        tempStateRoot("graft-winnow-pairs-"),
-        bandsOf = winnowStoreBandsOf(s, dir),
-        maxBucket = Some(WinnowDfCap.toLong))
-      st.update(docs(s, dir).select(col("doc_id"), col("text")))
-      st
+      durableStore(s, dir, "winnow_pairs",
+        s"winnow:w8:k8:cap=$WinnowDfCap")(root =>
+        new graft.etl.DedupState(s, root,
+          bandsOf = winnowStoreBandsOf(s, dir),
+          maxBucket = Some(WinnowDfCap.toLong))) { st =>
+        st.update(docs(s, dir).select(col("doc_id"), col("text")))
+      }
     }
 
   /** The winnow selections re-keyed to rep ids — (doc_id = rid, sel) —
@@ -670,7 +794,7 @@ object EtlQueries {
       graft.etl.DerivedState]
   private def spanState(s: SparkSession, dir: String)
       : graft.etl.DerivedState =
-    contentStore(spanStateMemo, s, dir, "graft-span-state-",
+    contentStore(spanStateMemo, s, dir, "spans",
       "spans:w32:cap512", (rows, _) =>
         rows
           .select(col("k"),
@@ -708,7 +832,7 @@ object EtlQueries {
       graft.etl.DerivedState]
   private def wordState(s: SparkSession, dir: String)
       : graft.etl.DerivedState =
-    contentStore(wordStateMemo, s, dir, "graft-word-state-",
+    contentStore(wordStateMemo, s, dir, "words",
       "words:ws-split", (rows, _) =>
         rows
           .select(col("k"),
@@ -737,18 +861,20 @@ object EtlQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def fedDocClusters(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(fedClustersMemo, s, dir) {
-      val bandsOf = fixtureBandsOf(s, dir)
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val a = new graft.etl.DedupState(s,
-        tempStateRoot("graft-fed-member-a-"), bandsOf)
-      val b = new graft.etl.DedupState(s,
-        tempStateRoot("graft-fed-member-b-"), bandsOf)
-      inParallel(
-        a.update(d.filter(col("doc_id") % 2 === 0)),
-        b.update(d.filter(col("doc_id") % 2 === 1)))
-      val fed = new graft.etl.FedDedupState(s,
-        tempStateRoot("graft-fed-merge-"), Seq(a, b))
-      fed.fold()
+      val fed = durableStore(s, dir, "fed_dedup", "minhash16x4:parity") {
+        root =>
+          val bandsOf = fixtureBandsOf(s, dir)
+          val a = new graft.etl.DedupState(s, s"$root/a", bandsOf)
+          val b = new graft.etl.DedupState(s, s"$root/b", bandsOf)
+          new graft.etl.FedDedupState(s, s"$root/merge", Seq(a, b))
+      } { fed =>
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        val Seq(a, b) = fed.memberStores
+        inParallel(
+          a.update(d.filter(col("doc_id") % 2 === 0)),
+          b.update(d.filter(col("doc_id") % 2 === 1)))
+        fed.fold()
+      }
       fed.docClusters().localCheckpoint()
     }
 
@@ -970,26 +1096,19 @@ object EtlQueries {
   private[graft] def incrDedupState(s: SparkSession, dir: String)
       : graft.etl.DedupState =
     fixtureMemo(dedupStateMemo, s, dir) {
-      val rootDir = java.nio.file.Files
-        .createTempDirectory("graft-dedup-state-")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(rootDir).iterator().asScala.toList
-            .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-        } catch { case _: Exception => () }))
       // lookup banding ([[fixtureBandsOf]] — the memoized signature
       // index, zero re-shingling) + gram features: the store persists
       // every candidate pair WITH its exact 4-gram Jaccard, so the
       // corpus similarity report (q_ngram_jaccard_lsh) is a read of
       // the pair index
-      val st = new graft.etl.DedupState(s, rootDir.toString,
-        fixtureBandsOf(s, dir), gramsOf = Some(gram4Of))
-      val d = docs(s, dir).select(col("doc_id"), col("text"),
-        expr("CAST(substr(source, 4, 8) AS INT)").as("sn"))
-      st.update(d.filter(col("sn") < 10).select("doc_id", "text"))
-      st.update(d.filter(col("sn") >= 10).select("doc_id", "text"))
-      st
+      durableStore(s, dir, "dedup", "minhash16x4:gram4")(root =>
+        new graft.etl.DedupState(s, root,
+          fixtureBandsOf(s, dir), gramsOf = Some(gram4Of))) { st =>
+        val d = docs(s, dir).select(col("doc_id"), col("text"),
+          expr("CAST(substr(source, 4, 8) AS INT)").as("sn"))
+        st.update(d.filter(col("sn") < 10).select("doc_id", "text"))
+        st.update(d.filter(col("sn") >= 10).select("doc_id", "text"))
+      }
     }
 
   /** Distinct-embedding groups — (embedding, rid = min vec_id, n) —
@@ -1050,9 +1169,9 @@ object EtlQueries {
     * single-store fixture and both federation members MUST construct
     * through here: the META/parity checks make a drifted copy refuse,
     * but the identity itself should exist once. */
-  private def newEmbedStore(s: SparkSession, prefix: String)
+  private def newEmbedStore(s: SparkSession, root: String)
       : graft.etl.DedupState =
-    new graft.etl.DedupState(s, tempStateRoot(prefix),
+    new graft.etl.DedupState(s, root,
       bandsOf = embedBandsOf,
       gramsOf = Some(embedGramsOf),
       contentCol = "embedding",
@@ -1073,7 +1192,6 @@ object EtlQueries {
   private def embedState(s: SparkSession, dir: String)
       : graft.etl.DedupState =
     fixtureMemo(embedStateMemo, s, dir) {
-      val st = newEmbedStore(s, "graft-embed-state-")
       // ONE fold: batch-schedule invariance is the specs' job
       // (DedupStateSpec's weighted two-batch test, FederatedDedupSpec's
       // parity members), and a DedupState update has a fixed multi-job
@@ -1081,47 +1199,41 @@ object EtlQueries {
       // in a single whole-corpus batch are the GLOBAL min vec_id per
       // distinct embedding — the same reps [[embGroups]] and every
       // oracle use.
-      st.update(emb(s, dir).select(col("vec_id").as("doc_id"),
-        col("embedding")))
-      st
+      durableStore(s, dir, "embed", "hyperplane2x8:cos0.2")(
+        root => newEmbedStore(s, root)) { st =>
+        st.update(emb(s, dir).select(col("vec_id").as("doc_id"),
+          col("embedding")))
+      }
     }
 
-  /** The FEDERATED embedding member stores: vec_id PARITY split
-    * (identical embeddings then land reps in BOTH members, exercising
-    * the star-edge collapse AND the cross-member admission scoring —
-    * parallel vectors straddle the parity split). Built once; both
-    * federated readers (clusters + pair report) derive from them. */
-  private val fedEmbMembersMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      (graft.etl.DedupState, graft.etl.DedupState)]
-  private def fedEmbMembers(s: SparkSession, dir: String)
-      : (graft.etl.DedupState, graft.etl.DedupState) =
-    fixtureMemo(fedEmbMembersMemo, s, dir) {
-      val e = emb(s, dir).select(col("vec_id").as("doc_id"),
-        col("embedding"))
-      val a = newEmbedStore(s, "graft-fed-emb-a-")
-      val b = newEmbedStore(s, "graft-fed-emb-b-")
-      inParallel(
-        a.update(e.filter(col("doc_id") % 2 === 0)),
-        b.update(e.filter(col("doc_id") % 2 === 1)))
-      (a, b)
-    }
-
-  /** The PERSISTED federation store over the embedding members — built
-    * (one fold) once per fixture; BOTH federated embedding readers
-    * (clusters + pair report) are reads of it, the way the single
-    * store's pair and label indexes share one fold. */
+  /** The PERSISTED federation store over the embedding members — two
+    * member stores on a vec_id PARITY split (identical embeddings land
+    * reps in BOTH members, exercising the star-edge collapse AND the
+    * cross-member admission scoring — parallel vectors straddle the
+    * split), folded into one [[graft.etl.FedDedupState]] under a
+    * shared durable root; BOTH federated embedding readers (clusters +
+    * pair report) are reads of it, the way the single store's pair and
+    * label indexes share one fold. */
   private val fedEmbStoreMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       graft.etl.FedDedupState]
   private def fedEmbStore(s: SparkSession, dir: String)
       : graft.etl.FedDedupState =
     fixtureMemo(fedEmbStoreMemo, s, dir) {
-      val (a, b) = fedEmbMembers(s, dir)
-      val fed = new graft.etl.FedDedupState(s,
-        tempStateRoot("graft-fed-emb-merge-"), Seq(a, b))
-      fed.fold()
-      fed
+      durableStore(s, dir, "fed_embed", "hyperplane2x8:cos0.2:parity") {
+        root =>
+          val a = newEmbedStore(s, s"$root/a")
+          val b = newEmbedStore(s, s"$root/b")
+          new graft.etl.FedDedupState(s, s"$root/merge", Seq(a, b))
+      } { fed =>
+        val e = emb(s, dir).select(col("vec_id").as("doc_id"),
+          col("embedding"))
+        val Seq(a, b) = fed.memberStores
+        inParallel(
+          a.update(e.filter(col("doc_id") % 2 === 0)),
+          b.update(e.filter(col("doc_id") % 2 === 1)))
+        fed.fold()
+      }
     }
 
   /** FEDERATED embedding near-dup clusters — a read of the persisted
@@ -1229,18 +1341,19 @@ object EtlQueries {
     scaledComponents(rows).crossJoin(broadcast(gm))
       .select(col("vec_id"), col("i"),
         round(col("v") * 127 / col("gmax"), 0).cast("long").as("q"))
-  private def newSq8State(s: SparkSession, prefix: String)
+  private def newSq8State(s: SparkSession, root: String)
       : graft.etl.DerivedState =
-    new graft.etl.DerivedState(s, tempStateRoot(prefix),
+    new graft.etl.DerivedState(s, root,
       "sq8:sym-int8:gmax", "vec_id", sq8Derive, Some(sq8Trainer))
   private def sq8State(s: SparkSession, dir: String)
       : graft.etl.DerivedState =
     fixtureMemo(sq8StateMemo, s, dir) {
-      val st = newSq8State(s, "graft-sq8-state-")
-      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      st.train(e)
-      (0 to 1).foreach(i => st.update(e.filter(col("vec_id") % 2 === i)))
-      st
+      durableStore(s, dir, "sq8", "sq8:sym-int8:gmax")(
+        root => newSq8State(s, root)) { st =>
+        val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+        st.train(e)
+        (0 to 1).foreach(i => st.update(e.filter(col("vec_id") % 2 === i)))
+      }
     }
   private def sq8Codes(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(sq8Memo, s, dir) {
@@ -1262,14 +1375,17 @@ object EtlQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def fedSq8Codes(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(fedSq8Memo, s, dir) {
-      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val a = newSq8State(s, "graft-fedsq8-a-")
-      val b = newSq8State(s, "graft-fedsq8-b-")
-      a.train(e)
-      b.adopt(a)
-      inParallel(
-        a.update(e.filter(col("vec_id") % 2 === 0)),
-        b.update(e.filter(col("vec_id") % 2 === 1)))
+      val (a, b) = durableStore(s, dir, "fed_sq8",
+        "sq8:sym-int8:gmax:adopt") { root =>
+        (newSq8State(s, s"$root/a"), newSq8State(s, s"$root/b"))
+      } { case (a, b) =>
+        val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+        a.train(e)
+        b.adopt(a)
+        inParallel(
+          a.update(e.filter(col("vec_id") % 2 === 0)),
+          b.update(e.filter(col("vec_id") % 2 === 1)))
+      }
       graft.etl.DerivedState.federatedDerived(Seq(a, b)).localCheckpoint()
     }
 
@@ -1310,14 +1426,14 @@ object EtlQueries {
         rows.select(col("vec_id"),
           graft.etl.KMeans.assign(col("embedding"), cents).as("cluster"))
       }
-      val st = new graft.etl.DerivedState(s,
-        tempStateRoot("graft-km-state-"),
-        s"kmeans:k=$KMeansK:lloyd=2:init=mod", "vec_id", derive,
-        Some(trainer))
-      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      st.train(e)
-      (0 to 1).foreach(i => st.update(e.filter(col("vec_id") % 2 === i)))
-      st
+      val fp = s"kmeans:k=$KMeansK:lloyd=2:init=mod"
+      durableStore(s, dir, "kmeans", fp)(root =>
+        new graft.etl.DerivedState(s, root, fp, "vec_id", derive,
+          Some(trainer))) { st =>
+        val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+        st.train(e)
+        (0 to 1).foreach(i => st.update(e.filter(col("vec_id") % 2 === i)))
+      }
     }
   private def kmeansCentroids(s: SparkSession, dir: String)
       : Seq[graft.etl.KMeans.Centroid] =
@@ -1555,17 +1671,21 @@ object EtlQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def fedContamPostings(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(fedContamMemo, s, dir) {
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val a = new graft.etl.ContamState(s,
-        tempStateRoot("graft-fedcontam-a-"), contamGrams, ContamDfCap)
-      val b = new graft.etl.ContamState(s,
-        tempStateRoot("graft-fedcontam-b-"), contamGrams, ContamDfCap)
-      inParallel(
-        a.update(d.filter(col("doc_id") % 2 === 0)),
-        b.update(d.filter(col("doc_id") % 2 === 1)))
-      val fed = new graft.etl.FedContamState(s,
-        tempStateRoot("graft-fedcontam-merge-"), Seq(a, b))
-      fed.fold()
+      val fed = durableStore(s, dir, "fed_contam",
+        s"contam:g8:cap=$ContamDfCap:parity") { root =>
+        val a = new graft.etl.ContamState(s, s"$root/a", contamGrams,
+          ContamDfCap)
+        val b = new graft.etl.ContamState(s, s"$root/b", contamGrams,
+          ContamDfCap)
+        new graft.etl.FedContamState(s, s"$root/merge", Seq(a, b))
+      } { fed =>
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        val Seq(a, b) = fed.memberStores
+        inParallel(
+          a.update(d.filter(col("doc_id") % 2 === 0)),
+          b.update(d.filter(col("doc_id") % 2 === 1)))
+        fed.fold()
+      }
       fed.livePostings().localCheckpoint()
     }
 
