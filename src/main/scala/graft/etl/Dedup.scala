@@ -102,6 +102,12 @@ object Dedup {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct().localCheckpoint()
+    // edge-free fold (a batch with no candidate pairs — the common
+    // fresh-content case): the min-label fixpoint over zero nodes is
+    // empty by definition; skip the init/iterate jobs entirely
+    if (edges.isEmpty)
+      return edges.select(col("src").as("id"), col("src").as("cluster"))
+        .limit(0)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id")).localCheckpoint()
     var converged = false

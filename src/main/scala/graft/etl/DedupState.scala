@@ -449,6 +449,16 @@ object DedupState {
     def emptyLabels: DataFrame = curLabels.sparkSession
       .createDataFrame(java.util.Collections.emptyList[Row](), LabelsSchema)
 
+    // EDGE-FREE fast path (the common fresh-content fold: no candidate
+    // pairs, no dying buckets): every new rep is its own singleton and
+    // no existing label can change — skip the quotient machinery's
+    // checkpoint/CC jobs entirely. One cheap emptiness probe over the
+    // (checkpointed) pair frame buys ~4 jobs off the fold's critical
+    // path whenever it hits.
+    if (!hasRemovals && newEdges.isEmpty)
+      return newRepIds.select(col("rid"), col("rid").as("cluster"))
+        .cpInto(cps)
+
     // ---- retroactive removal: recompute components that lose edges ----
     val (labelsAfterRemoval, removalMembers) =
       if (!hasRemovals || removed.isEmpty) (curLabels, None)
@@ -542,6 +552,22 @@ object DedupState {
         .join(removalRids, Seq("rid"), "left_anti"))
       .unionByName(removalFinal)
       .cpInto(cps)
+  }
+
+  /** ONE Spark job counting several already-materialized frames: the
+    * fold's per-frame `.count()` calls were pure job-launch latency
+    * (~10 sequential jobs over a few thousand checkpointed rows), so
+    * the report/write counts batch into a single union-count. Inputs
+    * MUST be checkpointed — a lazy frame would recompute inside the
+    * union. */
+  private[etl] def countAll(dfs: Seq[DataFrame]): Seq[Long] = {
+    if (dfs.isEmpty) return Seq.empty
+    val u = dfs.zipWithIndex
+      .map { case (d, i) => d.select(lit(i).as("i")) }
+      .reduce(_ unionByName _)
+    val m = u.groupBy("i").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    dfs.indices.map(i => m.getOrElse(i, 0L))
   }
 
   /** Checkpoint-and-track: update/compact materialize many small
@@ -1102,12 +1128,10 @@ final class DedupState(
     val b = batch.select(col("doc_id"),
       keyOf(col(contentCol)).as("k"), col(contentCol).as("text"))
     val batchMembers = b.select("doc_id", "k").cpInto(cps)
-    val nBatchDocs = batchMembers.count()
     // batch-internal digest grouping: rid = min doc_id of first arrival
     val batchGroups = b.groupBy("k")
       .agg(min("doc_id").as("rid"), min("text").as("text"))
       .cpInto(cps)
-    val nBatchDistinct = batchGroups.count()
     // one anti-join against the persisted key index finds new content;
     // the index scan prunes to the batch's digest-prefix partitions
     val batchPrefixes =
@@ -1116,7 +1140,9 @@ final class DedupState(
       .join(seenKeysTouching(batchPrefixes, cur).select("k"),
         Seq("k"), "left_anti")
       .cpInto(cps)
-    val nNewDistinct = newGroups.count()
+    // report/write row counts batch into ONE job after the last frame
+    // materializes (DedupState.countAll) — per-frame .count() calls
+    // were a fold-latency tax, not data cost
 
     // The fold's fixed cost is JOB-LAUNCH LATENCY, not data (a ~1%
     // crawl batch materializes ~20 checkpoint/count/write jobs over a
@@ -1147,11 +1173,9 @@ final class DedupState(
 
     // signatures for NEW distinct content only
     val fBands = stage {
-      val nb = bandsOf(newGroups.select(col("rid").as("doc_id"),
-          col("text")))
+      bandsOf(newGroups.select(col("rid").as("doc_id"), col("text")))
         .select(col("doc_id").as("rid"), col("bkey"))
         .cpInto(cps)
-      (nb, nb.count())
     }
     // gram features for NEW distinct content only (when the store
     // carries pair attributes) — the same ∝-batch contract as bands.
@@ -1164,18 +1188,15 @@ final class DedupState(
         val out = gf(newGroups.select(col("rid").as("doc_id"), col("text")))
         val weighted =
           if (out.columns.contains("w")) out else out.withColumn("w", lit(1L))
-        val f = weighted.select(col("doc_id").as("rid"), col("g"),
+        weighted.select(col("doc_id").as("rid"), col("g"),
           col("w").cast("long").as("w")).cpInto(cps)
-        (f, f.count())
       }
     }
     // the label-index read is batch-independent — overlap it with the
     // signature work; it is consumed after the pair step
     val fLabels = stage { labels(cur).cpInto(cps) }
-    val (newBands, nBandRows) = Await.result(fBands, Duration.Inf)
-    val newFeatsN = Await.result(fFeats, Duration.Inf)
-    val newFeats = newFeatsN.map(_._1)
-    val nGramRows = newFeatsN.map(_._2).getOrElse(0L)
+    val newBands = Await.result(fBands, Duration.Inf)
+    val newFeats = Await.result(fFeats, Duration.Inf)
 
     // per-rep summary row: gram-set size + band-row count — `nb` lets
     // consumers ask "did this rep band at all?" (the intra-pair gate of
@@ -1187,28 +1208,28 @@ final class DedupState(
     // serves both the Jaccard denominator and the cosine denominator
     val fSizes = stage {
       newFeats.map { f =>
-        val sz = f.groupBy("rid").agg(sum(col("w") * col("w")).as("n"))
+        f.groupBy("rid").agg(sum(col("w") * col("w")).as("n"))
           .join(newBands.groupBy("rid").agg(count(lit(1)).as("nb")),
             Seq("rid"), "full_outer")
           .select(col("rid"), coalesce(col("n"), lit(0L)).as("n"),
             coalesce(col("nb"), lit(0L)).as("nb"))
           .cpInto(cps)
-        (sz, sz.count())
       }
     }
     // old members of the touched buckets: the band-index scan prunes
     // to the touched bkey-bucket partitions, then the semi-join prunes
     // to the exact buckets before anything pairs
     val fOld = stage {
-      val t = newBands.select("bkey").distinct().cpInto(cps)
+      // newBands is checkpointed — the distinct over it is cheap to
+      // evaluate twice (collect + semi-join build side), and skipping
+      // its own checkpoint saves a job on the fold's critical path
+      val t = newBands.select("bkey").distinct()
       val buckets = partitionValues[Int](t, bandBucket(col("bkey")))
       bandsTouching(buckets, cur)
         .join(t, Seq("bkey"), "left_semi")
         .cpInto(cps)
     }
-    val newSizesN = Await.result(fSizes, Duration.Inf)
-    val newSizes = newSizesN.map(_._1)
-    val nSizeRows = newSizesN.map(_._2).getOrElse(0L)
+    val newSizes = Await.result(fSizes, Duration.Inf)
     val oldTouched = Await.result(fOld, Duration.Inf)
 
     // bucket-cap accounting on TOTAL (old + new) size
@@ -1223,7 +1244,8 @@ final class DedupState(
           .join(prevDropped, Seq("bkey"), "left_anti")
           .select("bkey").cpInto(cps)
     }
-    val nDroppedBuckets = newlyDropped.count()
+    val nDroppedBuckets =
+      if (maxBucket.isEmpty) 0L else newlyDropped.count()
     val deadKeys = prevDropped.select("bkey")
       .unionByName(newlyDropped).distinct()
 
@@ -1274,7 +1296,6 @@ final class DedupState(
               Seq("a", "b"), "left_outer")
         }
     }).cpInto(cps)
-    val nNewPairs = newPairs.count()
     val newEdges = newPairs.select("a", "b").distinct()
 
     // materialized concurrently with the signature stage above
@@ -1294,7 +1315,18 @@ final class DedupState(
       livePriorEdges = pairs(cur).join(deadKeys, Seq("bkey"), "left_anti")
         .select("a", "b").distinct(),
       cps = cps)
-    val nLabelRows = labelDeltas.count()
+
+    // every report/write count in ONE job, now that the last frame is
+    // materialized (see DedupState.countAll)
+    val it = DedupState.countAll(
+      Seq(batchMembers, batchGroups, newGroups, newBands) ++
+        newFeats.toSeq ++ newSizes.toSeq ++
+        Seq(newPairs, labelDeltas)).iterator
+    val nBatchDocs = it.next(); val nBatchDistinct = it.next()
+    val nNewDistinct = it.next(); val nBandRows = it.next()
+    val nGramRows = if (newFeats.isDefined) it.next() else 0L
+    val nSizeRows = if (newSizes.isDefined) it.next() else 0L
+    val nNewPairs = it.next(); val nLabelRows = it.next()
     val nRelabeled = nLabelRows - nNewDistinct
 
     // ---- persist: data dirs → MANIFEST → CURRENT (atomic flip) ----

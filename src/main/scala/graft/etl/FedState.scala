@@ -409,14 +409,12 @@ final class FedDedupState(
       val dGroups = deltas.map { case (st, m, wm, v) =>
           st.groupsDelta(wm, v).select("k", "rid").withColumn("m", lit(m)) }
         .reduce(_ unionByName _).cpInto(cps)
-      val nNewReps = dGroups.count()
       val dMembers = deltas.map { case (st, _, wm, v) =>
           st.membersDelta(wm, v).select("doc_id", "k") }
         .reduce(_ unionByName _).cpInto(cps)
-      val nNewDocs = dMembers.count()
 
       // ---- globally-unique doc_id refusal (see class doc) ----
-      if (verifyDocIds && nNewDocs > 0) {
+      if (verifyDocIds) {
         val knownHit = fedMembers(cur).select("doc_id", "k")
           .join(dMembers.select("doc_id"), Seq("doc_id"), "left_semi")
         val conflicts = dMembers.select("doc_id", "k").unionByName(knownHit)
@@ -519,7 +517,6 @@ final class FedDedupState(
         .unionByName(crossRows.select("a", "b", "bkey",
           "jac_num", "jac_den"))
         .cpInto(cps)
-      val nNewPairs = newPairRows.count()
 
       // ---- star edges: each delta rep links to its content's anchor --
       // anchor = the content's first-known federation rep (existing min
@@ -539,7 +536,6 @@ final class FedDedupState(
         .select(least(col("rid"), col("anchor")).as("a"),
           greatest(col("rid"), col("anchor")).as("b"))
         .cpInto(cps)
-      val nStarEdges = starEdges.count()
 
       // ---- labels: the ONE shared quotient fold ----
       val newEdges = newPairRows.select("a", "b")
@@ -562,7 +558,11 @@ final class FedDedupState(
           .select("a", "b").distinct()
           .unionByName(stars(cur)),
         cps = cps)
-      val nLabelRows = labelDeltas.count()
+
+      // every report/write count in ONE job ([[DedupState.countAll]])
+      val Seq(nNewDocs, nNewReps, nFBands, nNewPairs, nStarEdges,
+        nLabelRows) = DedupState.countAll(Seq(
+        dMembers, dGroups, newFBands, newPairRows, starEdges, labelDeltas))
 
       // ---- persist: data dirs → MANIFEST → CURRENT ----
       val counts = Seq(
@@ -571,8 +571,7 @@ final class FedDedupState(
         "fgroups" -> writeTable(next, "fgroups",
           dGroups.select("k", "rid").withColumn("ver", lit(next)),
           nNewReps),
-        "fbands" -> writeTable(next, "fbands", newFBands,
-          newFBands.count()),
+        "fbands" -> writeTable(next, "fbands", newFBands, nFBands),
         "fpairs" -> writeTable(next, "fpairs", newPairRows, nNewPairs),
         "fstars" -> writeTable(next, "fstars", starEdges, nStarEdges),
         "fdropped" -> writeTable(next, "fdropped", newlyDropped,
