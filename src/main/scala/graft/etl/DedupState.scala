@@ -23,8 +23,14 @@ object DedupState {
   /** 128-bit identity digest of a pair-admission predicate — see
     * `pairKeepId`. */
   private[etl] def keepId(keep: Column): String =
+    keepIdOf(keep.toString)
+
+  /** Digest of an EXPLICIT admission-identity string (the
+    * Spark-version-stable form a long-lived store pins at creation —
+    * `DedupState(..., keepIdentity = Some("cos>=0.2:v1"))`). */
+  private[etl] def keepIdOf(identity: String): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(keep.toString.getBytes("UTF-8"))
+      .digest(identity.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
   private[etl] val BandBuckets = 256
@@ -402,6 +408,15 @@ object DedupState {
       .join(epFeats.select(col("rid").as("b"), col("g"),
         col("w").as("wb")), Seq("b", "g"))
       .groupBy("a", "b").agg(sum(col("wa") * col("wb")).as("nab"))
+    // a DEGENERATE pair (both endpoints emitted no features — possible
+    // only for bandsOf/gramsOf combinations where banding does not
+    // imply grams) carries NULL attributes rather than (0, 0): a 0/0
+    // row would divide-by-zero in ratio consumers and pass >=-style
+    // admission predicates as a "perfect" match, where null correctly
+    // evaluates the predicate to null (rejected) and reads as
+    // attribute-less
+    val den = coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L)) -
+      coalesce(col("nab"), lit(0L))
     ab
       .join(inter, Seq("a", "b"), "left_outer")
       .join(szs.select(col("rid").as("a"), col("n").as("na")),
@@ -409,9 +424,8 @@ object DedupState {
       .join(szs.select(col("rid").as("b"), col("n").as("nb")),
         Seq("b"), "left_outer")
       .select(col("a"), col("b"),
-        coalesce(col("nab"), lit(0L)).as("jac_num"),
-        (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L))
-          - coalesce(col("nab"), lit(0L))).as("jac_den"),
+        when(den > 0, coalesce(col("nab"), lit(0L))).as("jac_num"),
+        when(den > 0, den).as("jac_den"),
         coalesce(col("na"), lit(0L)).as("na"),
         coalesce(col("nb"), lit(0L)).as("nb"))
   }
@@ -720,13 +734,17 @@ final class DedupState(
     gramsOf: Option[DataFrame => DataFrame] = None,
     contentCol: String = "text",
     keyOf: Column => Column = c => md5(c.cast("binary")),
-    pairKeep: Option[Column] = None) {
+    pairKeep: Option[Column] = None,
+    keepIdentity: Option[String] = None) {
 
   require(autoCompactEvery >= 0, "autoCompactEvery must be >= 0 (0 = off)")
   require(pairKeep.isEmpty || gramsOf.isDefined,
     "pairKeep admits pairs on their computed attributes — it requires " +
       "gramsOf (the attribute source); without it the predicate would be " +
       "silently ignored")
+  require(keepIdentity.isEmpty || pairKeep.isDefined,
+    "keepIdentity names a pair-admission predicate — supply pairKeep " +
+      "with it (an identity without the predicate admits nothing)")
 
   import DedupState._
 
@@ -736,15 +754,22 @@ final class DedupState(
   private[graft] def contentColumn: String = contentCol
 
   /** The pair-admission predicate's identity: a 128-bit md5 hex of the
-    * Column's canonical rendering (toString = the column node's
-    * SQL-ish text, deterministic for a given expression tree). A
-    * DIGEST rather than the raw text because it rides the
-    * comma-separated META line (predicate SQL may contain commas) —
-    * identity comparison is all the two consumers need: the META
-    * edge-set invariant on reopen, and the federation parity check
+    * caller-supplied `keepIdentity` string when given, else of the
+    * Column's rendering (toString = the column node's SQL-ish text,
+    * deterministic for a given expression tree WITHIN one Spark
+    * version — a Spark upgrade may render the same logical predicate
+    * differently and permanently refuse reopen/merge, which is why
+    * long-lived deployments should pin an EXPLICIT identity string at
+    * store creation and keep passing it). A DIGEST rather than the raw
+    * text because it rides the comma-separated META line (predicate
+    * SQL and identity strings may contain commas) — identity
+    * comparison is all the two consumers need: the META edge-set
+    * invariant on reopen, and the federation parity check
     * ([[DedupState.federatedGraph]]: members must agree on what an
     * edge IS before their edge sets can be unioned). */
-  private[etl] val pairKeepId: Option[String] = pairKeep.map(DedupState.keepId)
+  private[etl] val pairKeepId: Option[String] =
+    keepIdentity.map(id => DedupState.keepIdOf(id))
+      .orElse(pairKeep.map(DedupState.keepId))
   private[etl] def pairKeepColumn: Option[Column] = pairKeep
   private[etl] def hasGrams: Boolean = gramsOf.isDefined
 

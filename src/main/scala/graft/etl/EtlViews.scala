@@ -57,12 +57,14 @@ object EtlViews {
     * against META, so a WRONG predicate refuses at open instead of
     * silently changing what an edge is. */
   def openDedup(spark: SparkSession, rootUri: String,
-                pairKeep: Option[Column] = None): DedupState = {
+                pairKeep: Option[Column] = None,
+                keepIdentity: Option[String] = None): DedupState = {
     val kv = metaOf(rootUri, "DedupState")
     val cap = kv.get("maxBucket").map(_.toLong).filter(_ >= 0)
     val grams = kv.get("grams").exists(_.toBoolean)
     val storedKeep = kv.get("keep").filter(_ != "-")
-    pairKeep.map(DedupState.keepId).foreach { id =>
+    keepIdentity.map(DedupState.keepIdOf)
+      .orElse(pairKeep.map(DedupState.keepId)).foreach { id =>
       require(storedKeep.contains(id),
         s"DedupState at $rootUri records pair-admission identity " +
           s"${storedKeep.getOrElse("-")} but the handle supplied $id — " +
@@ -71,7 +73,7 @@ object EtlViews {
     }
     new DedupState(spark, rootUri, refuse, cap,
       gramsOf = if (grams) Some(refuse) else None,
-      pairKeep = pairKeep)
+      pairKeep = pairKeep, keepIdentity = keepIdentity)
   }
 
   /** Open a [[ContamState]] root for reading (df cap from META). */

@@ -3762,8 +3762,12 @@ object EtlQueries {
          |  SELECT doc_id, text, octet_length(encode(text)) AS n
          |  FROM documents),
          |d AS (
+         |  -- GREATEST(1, …) mirrors the adapter's height clamp: an
+         |  -- EMPTY document still encodes as a valid 1×1 zero-pixel
+         |  -- PNG (ceil(0/w) = 0 is not a legal image height)
          |  SELECT doc_id, text, n, 1 + n % 64 AS w, 1 + n // 64 AS hb,
-         |         (n + (1 + n % 64) - 1) // (1 + n % 64) AS hp FROM b),
+         |         GREATEST(1, (n + (1 + n % 64) - 1) // (1 + n % 64))
+         |           AS hp FROM b),
          |cs AS (
          |  SELECT doc_id,
          |    SUM(ord(substr(text, CAST(p AS INTEGER), 1))) AS checksum
@@ -3777,13 +3781,15 @@ object EtlQueries {
          |       WHEN d.doc_id % 3 = 1 THEN 57 + 6
          |         + 5 * ((hp * (w + 1) + 65534) // 65535) + hp * (w + 1)
          |       ELSE 54 + n END AS BIGINT) AS n_bytes,
-         |  CAST(cs.checksum AS BIGINT) AS checksum,
+         |  -- LEFT join + COALESCE: an empty doc has no byte rows but
+         |  -- is still a corpus asset (checksum of no content = 0)
+         |  CAST(COALESCE(cs.checksum, 0) AS BIGINT) AS checksum,
          |  CAST(CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE w END AS INTEGER)
          |    AS width,
          |  CAST(CASE WHEN d.doc_id % 3 = 0 THEN n
          |       WHEN d.doc_id % 3 = 1 THEN hp
          |       ELSE hb END AS INTEGER) AS height
-         |FROM d JOIN cs ON cs.doc_id = d.doc_id
+         |FROM d LEFT JOIN cs ON cs.doc_id = d.doc_id
          |ORDER BY asset_id""".stripMargin) { (s, dir) =>
       graft.etl.Multimodal.features(s, dir).drop("feature")
     })

@@ -42,6 +42,24 @@ object StreamingDedupIndex {
       .digest(checkpoint.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
 
+  /** The pre-md5 32-bit scope rendering — recognized for UPGRADE
+    * CONTINUITY only: a store whose CURRENT pointer still carries this
+    * checkpoint's legacy scope keeps that scope (same sequence, higher
+    * seqs skip correctly) instead of starting a fresh one, which would
+    * re-ingest once any micro-batch that was committed to the store
+    * but not yet to the streaming checkpoint at upgrade time. */
+  private[streaming] def legacyScopeOf(checkpoint: String): String =
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(checkpoint) & 0xffffffffL)
+
+  /** The scope a fold should key under: the stored key's scope when it
+    * is this checkpoint's legacy rendering, else the md5 scope. */
+  private[streaming] def scopeFor(checkpoint: String,
+                                  last: Option[(String, Long)]): String = {
+    val legacy = legacyScopeOf(checkpoint)
+    if (last.exists(_._1 == legacy)) legacy else scopeOf(checkpoint)
+  }
+
   /** Wire a curated stream into a dedup store: returns the started
     * query. `curated` is [[StreamingCurator.curate]]'s output (or any
     * streaming Dataset carrying doc_id and the store's content column
@@ -58,7 +76,8 @@ object StreamingDedupIndex {
     // batchIds restart at 0 per checkpoint: scope the idempotency key
     // by the checkpoint identity so a NEW checkpoint against an
     // existing store starts a fresh sequence instead of colliding
-    val scope = scopeOf(checkpoint)
+    // (legacy-scope continuity: see [[scopeFor]])
+    val scope = scopeFor(checkpoint, state.lastAppliedKey)
     curated
       // project to the store's OWN content column: the generalized
       // store may key on an embedding array rather than text

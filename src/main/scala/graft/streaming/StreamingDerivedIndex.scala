@@ -40,8 +40,10 @@ object StreamingDerivedIndex {
                                 checkpoint: String): DataStreamWriter[Row] = {
     // batchIds restart at 0 per checkpoint: scope the idempotency key
     // by the checkpoint identity (the [[StreamingDedupIndex.scopeOf]]
-    // rule — 128-bit digest, collisions negligible)
-    val scope = StreamingDedupIndex.scopeOf(checkpoint)
+    // rule — 128-bit digest, collisions negligible; legacy-scope
+    // continuity on upgrade via [[StreamingDedupIndex.scopeFor]])
+    val scope = StreamingDedupIndex.scopeFor(checkpoint,
+      state.lastAppliedKey)
     keyed
       .writeStream
       .outputMode("append")

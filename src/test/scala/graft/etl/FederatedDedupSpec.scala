@@ -329,6 +329,43 @@ class FederatedDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sizes === Set(Set(1L, 2L, 4L), Set(3L)))
   }
 
+  test("explicit admission identity: reopen independent of Column rendering") {
+    val ss = spark; import ss.implicits._
+    // Column.toString is deterministic within one Spark version but
+    // not ACROSS versions — a long-lived store pins an explicit
+    // keepIdentity at creation, and any later handle carrying the same
+    // identity opens regardless of how its predicate tree renders
+    val bandsOf: DataFrame => DataFrame =
+      src => src.select(col("doc_id"), lit("one").as("bkey"))
+    val gramsOf: DataFrame => DataFrame =
+      src => src.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("g")).distinct()
+    val id = Some("share-a-word:v1")
+    val root = tmpRoot()
+    val st = new DedupState(spark, root, bandsOf, gramsOf = Some(gramsOf),
+      pairKeep = Some(col("jac_num") >= 1L), keepIdentity = id)
+    st.update(Seq((1L, "alpha beta"), (3L, "beta gamma"),
+      (5L, "zeta")).toDF("doc_id", "text"))
+    val want = st.livePairStats().collect().map(_.toString).toSet
+    assert(want.nonEmpty)
+    // same semantics, DIFFERENT expression tree: the identity governs
+    val reopened = EtlViews.openDedup(spark, root,
+      pairKeep = Some(!(col("jac_num") < 1L)), keepIdentity = id)
+    assert(reopened.livePairStats().collect()
+      .map(_.toString).toSet === want)
+    // a wrong identity refuses at open
+    val e = intercept[IllegalArgumentException](
+      EtlViews.openDedup(spark, root,
+        pairKeep = Some(col("jac_num") >= 1L),
+        keepIdentity = Some("other:v2")))
+    assert(e.getMessage.contains("edge-set invariant"))
+    // an identity without its predicate refuses at construction
+    val e2 = intercept[IllegalArgumentException](
+      new DedupState(spark, tmpRoot(), bandsOf, gramsOf = Some(gramsOf),
+        keepIdentity = id))
+    assert(e2.getMessage.contains("keepIdentity"))
+  }
+
   test("pair-admission disagreement refuses to merge") {
     val bandsOf: DataFrame => DataFrame =
       src => src.select(col("doc_id"), lit("one").as("bkey"))

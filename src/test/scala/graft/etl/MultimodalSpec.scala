@@ -141,6 +141,29 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feats(3).checksum == 32L * 'c'.toLong)
   }
 
+  test("empty documents still encode as valid assets (PNG clamps to 1x1)") {
+    val ss = spark
+    import ss.implicits._
+    // ceil(0/w) = 0 is not a legal PNG height: the adapter clamps to a
+    // 1x1 zero pixel, and the q_multimodal oracle mirrors the clamp
+    // (GREATEST(1, …) + COALESCE(checksum, 0)) — this pins the Spark
+    // side of that contract on every format branch
+    val docs = Seq(
+      (0L, "", "web", 0L),  // WAV: empty data region
+      (4L, "", "web", 0L))  // doc_id % 3 == 1 → PNG, clamped 1x1
+      .toDF("doc_id", "text", "source", "n_chars")
+    val feats = Multimodal.extractFeatures(
+        Multimodal.assetsFromDocuments(docs))
+      .collect().sortBy(_.asset_id)
+    assert(feats(0).kind == "audio/wav" && feats(0).n_bytes == 44 &&
+      feats(0).width == 1 && feats(0).height == 0 &&
+      feats(0).checksum == 0L)
+    assert(feats(1).kind == "image/png" && feats(1).width == 1 &&
+      feats(1).height == 1 && feats(1).checksum == 0L)
+    // 57 container bytes + zlib(6 + 5·ceil(raw/65535) + raw), raw = 2
+    assert(feats(1).n_bytes == 57 + 6 + 5 + 2)
+  }
+
   test("resizeBmp: nearest-neighbor pixels, floor dims, zero-fill past data") {
     // 4x4 image, pixel (x,y) = 10*y + x
     val px = Array.tabulate(16)(i => (10 * (i / 4) + (i % 4)).toByte)

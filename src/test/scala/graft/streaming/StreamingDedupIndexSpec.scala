@@ -161,4 +161,19 @@ class StreamingDedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state.members().count() === 4L)
     assert(state.lastAppliedKey === Some(("ck2", 0L)))
   }
+
+  test("scope upgrade continuity: a store on the legacy 32-bit scope " +
+      "keeps its sequence") {
+    val cp = "/ckpts/curated-stream-7"
+    val legacy = StreamingDedupIndex.legacyScopeOf(cp)
+    val modern = StreamingDedupIndex.scopeOf(cp)
+    // a store whose CURRENT still carries THIS checkpoint's pre-md5
+    // scope keeps it (same sequence → committed-but-unacked replays
+    // skip); anything else — fresh store, another checkpoint's key —
+    // gets the md5 scope
+    assert(StreamingDedupIndex.scopeFor(cp, Some((legacy, 7L))) === legacy)
+    assert(StreamingDedupIndex.scopeFor(cp, Some((modern, 7L))) === modern)
+    assert(StreamingDedupIndex.scopeFor(cp, Some(("other", 7L))) === modern)
+    assert(StreamingDedupIndex.scopeFor(cp, None) === modern)
+  }
 }
