@@ -11,13 +11,18 @@ import org.apache.spark.sql.functions._
   * dispatches on the row's MIME kind over a codec registry — the
   * mapInPandas shape where one partition iterator serves every format.
   *
-  * Two real codecs are registered:
+  * Four real codecs are registered:
   *   - [[BmpCodec]]: BITMAPFILEHEADER + BITMAPINFOHEADER, little-endian,
   *     8 bpp — a genuine binary header parser (magic check, LE field
   *     extraction), not a stub;
   *   - [[WavCodec]]: RIFF/WAVE PCM — a genuine RIFF chunk WALK (fmt
   *     fields read where the chunk list puts them, not at fixed
-  *     offsets), the shape any container format needs.
+  *     offsets), the shape any container format needs;
+  *   - [[PngCodec]]: full gray8 PNG — CRC-verified chunk walk, real
+  *     zlib inflate, all five scanline filters;
+  *   - [[JpegCodec]]: baseline-sequential grayscale JPEG — marker
+  *     segments, canonical Huffman entropy decode, byte-stuffing,
+  *     restart resync, dequant + zigzag + full 2-D IDCT.
   *
   * The only simplified piece is the feature extractor, which projects
   * payload bytes instead of running a learned embedding model (none
@@ -290,6 +295,388 @@ object Multimodal {
     }
   }
 
+  /** Baseline-sequential JPEG (ITU-T T.81), 8-bit grayscale, single
+    * component — the fourth registered codec and the first with
+    * ENTROPY-CODED payloads: real marker-segment parsing (DQT / SOF0 /
+    * DHT / DRI / SOS), canonical Huffman decoding from the stored
+    * BITS/HUFFVAL tables, byte-stuffing removal, restart-marker
+    * resync, dequantization through the stored table, zigzag
+    * de-serialization and a full 2-D IDCT with level shift — the
+    * decoder handles ANY baseline grayscale scan (AC coefficients,
+    * ZRL runs, arbitrary quant tables, any restart interval),
+    * pixel-verified against the JDK's own ImageIO decoder in
+    * MultimodalSpec.
+    *
+    * The ENCODER writes the deterministic subset the verification
+    * oracle needs (the PngCodec stored-deflate argument, applied to
+    * entropy coding): every 8×8 block is CONSTANT gray — a DC-only
+    * spectrum, which a flat quantization table and exact-integer DC
+    * (8·(v−128), a multiple of 8) round-trip losslessly through ANY
+    * conforming IDCT — coded with the standard Annex-K Huffman tables
+    * and a restart interval of 1, so each block's code is
+    * byte-aligned, its byte cost is a pure function of its gray value
+    * (1 byte at diff 0, 2 otherwise in the adapter's ±8 gray domain),
+    * and the container size is closed-form arithmetic. The emitted
+    * scan bytes are provably stuffing-free in that domain (max 1-run
+    * < 8; the encoder throws if a 0xFF ever appears rather than emit
+    * an unaccounted stuffing byte). A real pipeline swaps a full DCT
+    * encoder in at that one call; the decoder — the side a training
+    * pipeline actually exercises — does not care. */
+  object JpegCodec {
+    // standard luminance Huffman tables (T.81 Annex K.3), written to
+    // every container and used by the general decoder path
+    private val DcBits =
+      Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    private val DcVals = Array.tabulate(12)(i => i)
+    private val AcBits =
+      Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+    private val AcVals = Array(
+      0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+      0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+      0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+      0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+      0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+      0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+      0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+      0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+      0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+      0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+      0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+      0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+      0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+      0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+      0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+    /** Zigzag scan order: ZigZag(k) = natural index of the k-th
+      * transmitted coefficient. */
+    private val ZigZag = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+    /** Canonical Huffman codes from a BITS table: (code, length) per
+      * value index, in HUFFVAL order. */
+    private def canonicalCodes(bits: Array[Int]): Array[(Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var code = 0
+      var len = 1
+      while (len <= 16) {
+        var i = 0
+        while (i < bits(len - 1)) { out += ((code, len)); code += 1; i += 1 }
+        code <<= 1
+        len += 1
+      }
+      out.toArray
+    }
+
+    private val DcCodes = canonicalCodes(DcBits) // index = category
+    private val AcEob = { // EOB is AC value 0x00's code
+      val codes = canonicalCodes(AcBits)
+      codes(AcVals.indexOf(0x00))
+    }
+
+    private def segment(marker: Int, body: Array[Byte]): Array[Byte] = {
+      val buf = ByteBuffer.allocate(4 + body.length)
+      buf.put(0xff.toByte).put(marker.toByte)
+      buf.putShort((body.length + 2).toShort)
+      buf.put(body)
+      buf.array()
+    }
+
+    /** Container bytes before the entropy-coded data, for the given
+      * pixel dims — fixed layout, so the verification oracle's size
+      * arithmetic has one constant to carry. */
+    val HeaderSize: Int = 2 + 69 + 13 + 33 + 183 + 6 + 10
+
+    /** Encode a grid of CONSTANT 8×8 blocks: `blockGrays(r·w + c)` is
+      * the gray value of block (r, c); pixel dims = (8·w, 8·h). */
+    def encode(wBlocks: Int, hBlocks: Int,
+               blockGrays: Array[Byte]): Array[Byte] = {
+      require(wBlocks >= 1 && hBlocks >= 1,
+        s"bad block grid ${wBlocks}x$hBlocks")
+      require(blockGrays.length == wBlocks * hBlocks,
+        s"need ${wBlocks * hBlocks} block grays, got ${blockGrays.length}")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0xff); out.write(0xd8) // SOI
+      // DQT: precision 0, id 0, flat table (quant = 1 everywhere) —
+      // the lossless-roundtrip half of the DC-only design
+      out.write(segment(0xdb, (Array(0) ++ Array.fill(64)(1))
+        .map(_.toByte)))
+      // SOF0: 8-bit precision, dims, one component (id 1, 1x1, table 0)
+      val h = 8 * hBlocks; val w = 8 * wBlocks
+      out.write(segment(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff,
+        1, 1, 0x11, 0).map(_.toByte)))
+      // DHT: standard DC (class 0, id 0) and AC (class 1, id 0) tables
+      out.write(segment(0xc4,
+        (Array(0x00) ++ DcBits ++ DcVals).map(_.toByte)))
+      out.write(segment(0xc4,
+        (Array(0x10) ++ AcBits ++ AcVals).map(_.toByte)))
+      // DRI: restart interval 1 — every MCU is byte-aligned and DC
+      // prediction resets, making per-block byte cost self-contained
+      out.write(segment(0xdd, Array(0, 1).map(_.toByte)))
+      // SOS: one component, DC table 0 / AC table 0, spectral 0..63
+      out.write(segment(0xda, Array(1, 1, 0x00, 0, 63, 0).map(_.toByte)))
+      // entropy-coded data: per block huff(cat) + diff bits + EOB,
+      // zero-padded to the byte (the restart structure byte-aligns —
+      // a decoder resyncs at the marker and never reads pad bits)
+      val m = wBlocks * hBlocks
+      var i = 0
+      while (i < m) {
+        var acc = 0L
+        var nbits = 0
+        def put(code: Int, len: Int): Unit = {
+          acc = (acc << len) | (code & ((1L << len) - 1)); nbits += len
+        }
+        val diff = 8 * ((blockGrays(i) & 0xff) - 128) // DC pred reset = 0
+        val cat = if (diff == 0) 0 else 64 - java.lang.Long
+          .numberOfLeadingZeros(math.abs(diff).toLong).toInt
+        val (code, len) = DcCodes(cat)
+        put(code, len)
+        if (cat > 0) // negative diffs code as diff - 1 in `cat` bits
+          put(if (diff > 0) diff else diff - 1, cat)
+        put(AcEob._1, AcEob._2)
+        val nBytes = (nbits + 7) / 8
+        acc <<= (8 * nBytes - nbits) // zero fill bits
+        var b = nBytes - 1
+        while (b >= 0) {
+          val v = ((acc >> (8 * b)) & 0xff).toInt
+          require(v != 0xff,
+            "entropy byte 0xFF would need stuffing — outside the " +
+              "encoder's deterministic gray domain")
+          out.write(v)
+          b -= 1
+        }
+        if (i < m - 1) { out.write(0xff); out.write(0xd0 + (i % 8)) }
+        i += 1
+      }
+      out.write(0xff); out.write(0xd9) // EOI
+      out.toByteArray
+    }
+
+    /** Canonical Huffman DECODE tables: per code length, (first code,
+      * first value index); values in HUFFVAL order. */
+    private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+      private val minCode = new Array[Int](17)
+      private val maxCode = new Array[Int](17) // -1 = no codes
+      private val valPtr = new Array[Int](17)
+      locally {
+        var code = 0
+        var k = 0
+        var len = 1
+        while (len <= 16) {
+          if (bits(len - 1) == 0) maxCode(len) = -1
+          else {
+            valPtr(len) = k
+            minCode(len) = code
+            code += bits(len - 1); k += bits(len - 1)
+            maxCode(len) = code - 1
+          }
+          code <<= 1
+          len += 1
+        }
+      }
+      def decode(in: BitReader): Int = {
+        var code = in.bit()
+        var len = 1
+        while (len < 16 && (maxCode(len) < 0 || code > maxCode(len))) {
+          code = (code << 1) | in.bit()
+          len += 1
+        }
+        require(maxCode(len) >= 0 && code <= maxCode(len),
+          "invalid JPEG Huffman code")
+        vals(valPtr(len) + code - minCode(len))
+      }
+    }
+
+    /** Entropy-segment bit reader: removes 0xFF00 stuffing, stops at
+      * any other marker (the caller consumes restart markers). */
+    private final class BitReader(data: Array[Byte], var pos: Int) {
+      private var acc = 0
+      private var nbits = 0
+      def bit(): Int = {
+        if (nbits == 0) {
+          require(pos < data.length, "truncated JPEG scan")
+          var b = data(pos) & 0xff
+          pos += 1
+          if (b == 0xff) {
+            val nxt = if (pos < data.length) data(pos) & 0xff else -1
+            require(nxt == 0x00,
+              "hit a marker inside an entropy segment")
+            pos += 1
+            b = 0xff
+          }
+          acc = b; nbits = 8
+        }
+        nbits -= 1
+        (acc >> nbits) & 1
+      }
+      def receive(n: Int): Int = {
+        var v = 0
+        var i = 0
+        while (i < n) { v = (v << 1) | bit(); i += 1 }
+        v
+      }
+      def align(): Unit = nbits = 0
+    }
+
+    private def extend(v: Int, t: Int): Int =
+      if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+    /** Decode a baseline grayscale JPEG: (width, height, pixels
+      * row-major). Fully general for single-component scans — any
+      * quant table, AC coefficients, ZRL runs, any restart interval.
+      * Throws on anything malformed or unsupported (progressive,
+      * multi-component), never passes zeros through. */
+    def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(payload.length >= 4 && (payload(0) & 0xff) == 0xff &&
+        (payload(1) & 0xff) == 0xd8,
+        s"not a JPEG payload (${payload.length} bytes)")
+      var pos = 2
+      var width = -1; var height = -1
+      var qtSel = 0
+      val quant = scala.collection.mutable.Map.empty[Int, Array[Int]]
+      val dcTables = scala.collection.mutable.Map.empty[Int, HuffTable]
+      val acTables = scala.collection.mutable.Map.empty[Int, HuffTable]
+      var restartInterval = 0
+      var dcSel = 0; var acSel = 0
+      var scanAt = -1
+      while (scanAt < 0) {
+        require(pos + 4 <= payload.length, "truncated JPEG markers")
+        require((payload(pos) & 0xff) == 0xff,
+          s"expected a marker at $pos")
+        val marker = payload(pos + 1) & 0xff
+        val len = ((payload(pos + 2) & 0xff) << 8) | (payload(pos + 3) & 0xff)
+        val body = pos + 4
+        marker match {
+          case 0xdb => // DQT (possibly several tables per segment)
+            var p = body
+            while (p < pos + 2 + len) {
+              val pq = (payload(p) & 0xff) >> 4
+              val tq = payload(p) & 0x0f
+              require(pq == 0, "unsupported 16-bit quant table")
+              quant(tq) = Array.tabulate(64)(i => payload(p + 1 + i) & 0xff)
+              p += 65
+            }
+          case 0xc0 => // SOF0 (baseline)
+            require((payload(body) & 0xff) == 8, "unsupported precision")
+            height = ((payload(body + 1) & 0xff) << 8) |
+              (payload(body + 2) & 0xff)
+            width = ((payload(body + 3) & 0xff) << 8) |
+              (payload(body + 4) & 0xff)
+            require((payload(body + 5) & 0xff) == 1,
+              "grayscale decoder: expected exactly one component")
+            require((payload(body + 7) & 0xff) == 0x11,
+              "unsupported subsampling")
+            qtSel = payload(body + 8) & 0x0f
+          case 0xc4 => // DHT (possibly several tables per segment)
+            var p = body
+            while (p < pos + 2 + len) {
+              val tc = (payload(p) & 0xff) >> 4
+              val th = payload(p) & 0x0f
+              val bits = Array.tabulate(16)(i => payload(p + 1 + i) & 0xff)
+              val n = bits.sum
+              val vals = Array.tabulate(n)(i => payload(p + 17 + i) & 0xff)
+              val t = new HuffTable(bits, vals)
+              if (tc == 0) dcTables(th) = t else acTables(th) = t
+              p += 17 + n
+            }
+          case 0xdd => // DRI
+            restartInterval = ((payload(body) & 0xff) << 8) |
+              (payload(body + 1) & 0xff)
+          case 0xda => // SOS
+            require((payload(body) & 0xff) == 1,
+              "grayscale decoder: expected a one-component scan")
+            dcSel = (payload(body + 2) & 0xff) >> 4
+            acSel = payload(body + 2) & 0x0f
+            scanAt = pos + 2 + len
+          case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
+            throw new IllegalArgumentException(
+              f"unsupported JPEG coding process (SOF$m%02x — baseline only)")
+          case _ => () // APPn / COM / anything ancillary: skip
+        }
+        if (scanAt < 0) pos += 2 + len
+      }
+      require(width > 0 && height > 0, "JPEG payload missing SOF0")
+      val qt = quant.getOrElse(qtSel,
+        throw new IllegalArgumentException("missing quant table"))
+      val dcT = dcTables.getOrElse(dcSel,
+        throw new IllegalArgumentException("missing DC Huffman table"))
+      val acT = acTables.getOrElse(acSel,
+        throw new IllegalArgumentException("missing AC Huffman table"))
+      val wB = (width + 7) / 8
+      val hB = (height + 7) / 8
+      val out = new Array[Byte](width * height)
+      val in = new BitReader(payload, scanAt)
+      val coef = new Array[Int](64)
+      // precomputed cosine basis: idct(x,u) = cos((2x+1)·u·π/16)
+      val cosT = Array.tabulate(8, 8)((x, u) =>
+        math.cos((2 * x + 1) * u * math.Pi / 16.0))
+      var pred = 0
+      var mcu = 0
+      val mcus = wB * hB
+      while (mcu < mcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          in.align()
+          require(in.pos + 2 <= payload.length &&
+            (payload(in.pos) & 0xff) == 0xff &&
+            (payload(in.pos + 1) & 0xff) ==
+              0xd0 + ((mcu / restartInterval - 1) % 8),
+            s"expected restart marker before MCU $mcu")
+          in.pos += 2
+          pred = 0
+        }
+        java.util.Arrays.fill(coef, 0)
+        val t = dcT.decode(in)
+        pred += extend(in.receive(t), t)
+        coef(0) = pred * qt(0)
+        var k = 1
+        var eob = false
+        while (!eob && k <= 63) {
+          val rs = acT.decode(in)
+          if (rs == 0x00) eob = true
+          else if (rs == 0xf0) k += 16
+          else {
+            k += (rs >> 4)
+            require(k <= 63, "AC run past the block")
+            coef(ZigZag(k)) = extend(in.receive(rs & 15), rs & 15) * qt(k)
+            k += 1
+          }
+        }
+        // 2-D IDCT + level shift, cropped to the image rectangle
+        val bx = (mcu % wB) * 8
+        val by = (mcu / wB) * 8
+        var y = 0
+        while (y < 8 && by + y < height) {
+          var x = 0
+          while (x < 8 && bx + x < width) {
+            var s = 0.0
+            var u = 0
+            while (u < 8) {
+              var v = 0
+              while (v < 8) {
+                val c = coef(v * 8 + u)
+                if (c != 0) {
+                  val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+                  val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+                  s += cu * cv * c * cosT(x)(u) * cosT(y)(v) / 4.0
+                }
+                v += 1
+              }
+              u += 1
+            }
+            val px = math.max(0, math.min(255, math.round(s + 128).toInt))
+            out((by + y) * width + bx + x) = px.toByte
+            x += 1
+          }
+          y += 1
+        }
+        mcu += 1
+      }
+      (width, height, out)
+    }
+  }
+
   /** Minimal RIFF/WAVE PCM encoder/decoder in pure JVM. The decoder
     * WALKS the chunk list (every chunk is tag + LE size + body) to
     * locate `fmt ` and `data` wherever they sit — the real contract of
@@ -362,13 +749,16 @@ object Multimodal {
   }
 
   /** Wrap the documents table as a MIXED-FORMAT media-asset table: docs
-    * with `doc_id % 3 == 0` carry their utf-8 bytes as 8-bit mono PCM
-    * samples of a real WAV; `% 3 == 1` as gray8 pixels of a real PNG
+    * with `doc_id % 4 == 0` carry their utf-8 bytes as 8-bit mono PCM
+    * samples of a real WAV; `% 4 == 1` as gray8 pixels of a real PNG
     * (width = 1 + n%64, height = ceil(n/width), zero-padded to the
-    * pixel grid, filtered + zlib-wrapped + CRC'd); the rest as pixel
-    * data of a real BMP (width = 1 + n%64, height = 1 + n/64). In
-    * production the payload + kind columns come from the lakehouse
-    * as-is; only this adapter is test-specific. */
+    * pixel grid, filtered + zlib-wrapped + CRC'd); `% 4 == 2` as a
+    * real baseline JPEG whose 8×8 blocks each carry one text byte
+    * mapped into the ±8 gray domain (gray = 120 + b%16 — the DC-only
+    * lossless-roundtrip design, block grid = the PNG w×h grid); the
+    * rest as pixel data of a real BMP (width = 1 + n%64,
+    * height = 1 + n/64). In production the payload + kind columns come
+    * from the lakehouse as-is; only this adapter is test-specific. */
   def assetsFromDocuments(docs: DataFrame): Dataset[Asset] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -378,20 +768,28 @@ object Multimodal {
       .as[(Long, String, String, Long)]
       .map { case (id, text, source, nChars) =>
         val bytes = text.getBytes("UTF-8")
-        id % 3 match {
+        def gridW = 1 + bytes.length % 64
+        def gridH = math.max(1, (bytes.length + gridW - 1) / gridW)
+        id % 4 match {
           case 0 =>
             Asset(id, "audio/wav",
               WavCodec.encode(8000, 1, 8, bytes), source, nChars)
           case 1 =>
-            val w = 1 + bytes.length % 64
-            val h = math.max(1, (bytes.length + w - 1) / w)
             Asset(id, "image/png",
-              PngCodec.encode(w, h,
-                java.util.Arrays.copyOf(bytes, w * h)), source, nChars)
+              PngCodec.encode(gridW, gridH,
+                java.util.Arrays.copyOf(bytes, gridW * gridH)),
+              source, nChars)
+          case 2 =>
+            val grays = Array.tabulate(gridW * gridH) { i =>
+              val b = if (i < bytes.length) bytes(i) & 0xff else 0
+              (120 + b % 16).toByte
+            }
+            Asset(id, "image/jpeg",
+              JpegCodec.encode(gridW, gridH, grays), source, nChars)
           case _ =>
             Asset(id, "image/bmp",
-              BmpCodec.encode(1 + bytes.length % 64,
-                1 + bytes.length / 64, bytes), source, nChars)
+              BmpCodec.encode(gridW, 1 + bytes.length / 64, bytes),
+              source, nChars)
         }
       }
   }
@@ -401,13 +799,14 @@ object Multimodal {
     * shape in Scala form), dispatching each row on its MIME kind.
     * Narrow — no shuffle; parallelism is the upstream partitioning.
     * Dims come from a REAL parse of the binary container (BMP header /
-    * RIFF chunk walk / PNG chunk walk + inflate); the checksum folds
-    * the first 32 bytes of the DECODED content region — pixels after
-    * the BMP offset, PCM samples after the RIFF data tag, and for PNG
-    * the pixels the inflate + unfilter pass actually produced, so a
-    * verification oracle recomputing content bytes independently
-    * proves every decode path end to end. An unknown kind throws —
-    * silently skipping rows would under-count the corpus. */
+    * RIFF chunk walk / PNG chunk walk + inflate / JPEG marker walk +
+    * entropy decode + IDCT); the checksum folds the first 32 bytes of
+    * the DECODED content region — pixels after the BMP offset, PCM
+    * samples after the RIFF data tag, and for PNG/JPEG the pixels the
+    * decode pass actually produced, so a verification oracle
+    * recomputing content bytes independently proves every decode path
+    * end to end. An unknown kind throws — silently skipping rows
+    * would under-count the corpus. */
   def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     val spark = assets.sparkSession
     import spark.implicits._
@@ -429,6 +828,10 @@ object Multimodal {
               w, h, byteFeature(a.payload, offset))
           case "image/png" =>
             val (w, h, pixels) = PngCodec.decode(a.payload)
+            AssetFeatures(a.asset_id, a.kind, a.payload.length,
+              sum32(pixels, 0, pixels.length), w, h, byteFeature(pixels, 0))
+          case "image/jpeg" =>
+            val (w, h, pixels) = JpegCodec.decode(a.payload)
             AssetFeatures(a.asset_id, a.kind, a.payload.length,
               sum32(pixels, 0, pixels.length), w, h, byteFeature(pixels, 0))
           case "audio/wav" =>

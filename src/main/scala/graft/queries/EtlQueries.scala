@@ -3726,7 +3726,7 @@ object EtlQueries {
     "q_media_frames" -> QueryDef(
       s"""WITH a AS (
          |  SELECT doc_id, text, length(text) AS n FROM documents
-         |  WHERE doc_id % 3 = 0),
+         |  WHERE doc_id % 4 = 0),
          |pos AS (
          |  SELECT doc_id, (p - 1) // 64 AS frame,
          |    ord(substr(text, CAST(p AS INTEGER), 1)) AS b
@@ -3743,28 +3743,37 @@ object EtlQueries {
         .orderBy("asset_id", "frame")
     },
 
-    // Mixed THREE-format decode (WAV / PNG / BMP by doc_id % 3), each
-    // a REAL container walk — and for PNG a real zlib inflate + the
-    // five-filter unfilter pass. The oracle recomputes every field
-    // arithmetically from the known layouts:
+    // Mixed FOUR-format decode (WAV / PNG / JPEG / BMP by doc_id % 4),
+    // each a REAL container walk — PNG a real zlib inflate + the
+    // five-filter unfilter pass, JPEG a real baseline entropy decode
+    // (Huffman + restart resync + dequant + IDCT). The oracle
+    // recomputes every field arithmetically from the known layouts:
     //   n_bytes — WAV 44+n; BMP 54+n; PNG 57 + zlen with
     //     zlen = 6 + 5·ceil(raw/65535) + raw, raw = h·(w+1) (stored
     //     deflate blocks are byte-deterministic, which is why the
     //     encoder writes them — the decoder inflates ANY valid zlib);
-    //   checksum — the first 32 bytes of the DECODED content region,
-    //     which for every format IS the document's utf-8 bytes (ASCII
-    //     corpus, so ord() = the byte): the oracle derives it from the
-    //     source text having never seen a container, so a hash match
-    //     proves each decode path end to end;
-    //   dims — BMP (w, 1+n/64); PNG (w, ceil(n/w)); WAV (1, n).
+    //     JPEG 316 header + per-block byte-aligned DC-only codes
+    //     (restart interval 1): 1 byte for a zero diff (text byte
+    //     % 16 = 8), 2 otherwise, + 2·(blocks−1) restart markers
+    //     + 2 EOI ⟹ 316 + 4·blocks − |{i ≤ n : ord%16 = 8}|;
+    //   checksum — the first 32 bytes of the DECODED content region:
+    //     the document's utf-8 bytes for WAV/PNG/BMP (ASCII corpus, so
+    //     ord() = the byte), and for JPEG the first 32 PIXELS — each
+    //     8×8 block constant at gray 120 + byte%16, so the sum is
+    //     arithmetic over the first four block columns. The oracle
+    //     derives all of it from the source text having never seen a
+    //     container, so a hash match proves each decode path — incl.
+    //     the DCT round-trip — end to end;
+    //   dims — BMP (w, 1+n/64); PNG (w, ceil(n/w)); JPEG pixel dims
+    //     (8w, 8·ceil(n/w)); WAV (1, n).
     "q_multimodal" -> QueryDef(
       s"""WITH b AS (
          |  SELECT doc_id, text, octet_length(encode(text)) AS n
          |  FROM documents),
          |d AS (
          |  -- GREATEST(1, …) mirrors the adapter's height clamp: an
-         |  -- EMPTY document still encodes as a valid 1×1 zero-pixel
-         |  -- PNG (ceil(0/w) = 0 is not a legal image height)
+         |  -- EMPTY document still encodes as a valid 1×1-block image
+         |  -- (ceil(0/w) = 0 is not a legal height)
          |  SELECT doc_id, text, n, 1 + n % 64 AS w, 1 + n // 64 AS hb,
          |         GREATEST(1, (n + (1 + n % 64) - 1) // (1 + n % 64))
          |           AS hp FROM b),
@@ -3772,24 +3781,47 @@ object EtlQueries {
          |  SELECT doc_id,
          |    SUM(ord(substr(text, CAST(p AS INTEGER), 1))) AS checksum
          |  FROM d, generate_series(1, 32) s(p) WHERE p <= n
-         |  GROUP BY doc_id)
+         |  GROUP BY doc_id),
+         |j8 AS (
+         |  SELECT doc_id,
+         |    SUM(CASE WHEN ord(substr(text, CAST(p AS INTEGER), 1))
+         |      % 16 = 8 THEN 1 ELSE 0 END) AS cnt8
+         |  FROM (SELECT doc_id, text, unnest(generate_series(1, n)) AS p
+         |        FROM d) t
+         |  GROUP BY doc_id),
+         |jcs AS (
+         |  SELECT d.doc_id,
+         |    SUM(120 + CASE WHEN 1 + ((p - 1) % (8 * w)) // 8 <= n
+         |      THEN ord(substr(text,
+         |        CAST(1 + ((p - 1) % (8 * w)) // 8 AS INTEGER), 1)) % 16
+         |      ELSE 0 END) AS checksum
+         |  FROM d, generate_series(1, 32) s(p)
+         |  GROUP BY d.doc_id)
          |SELECT d.doc_id AS asset_id,
-         |  CASE WHEN d.doc_id % 3 = 0 THEN 'audio/wav'
-         |       WHEN d.doc_id % 3 = 1 THEN 'image/png'
+         |  CASE WHEN d.doc_id % 4 = 0 THEN 'audio/wav'
+         |       WHEN d.doc_id % 4 = 1 THEN 'image/png'
+         |       WHEN d.doc_id % 4 = 2 THEN 'image/jpeg'
          |       ELSE 'image/bmp' END AS kind,
-         |  CAST(CASE WHEN d.doc_id % 3 = 0 THEN 44 + n
-         |       WHEN d.doc_id % 3 = 1 THEN 57 + 6
+         |  CAST(CASE WHEN d.doc_id % 4 = 0 THEN 44 + n
+         |       WHEN d.doc_id % 4 = 1 THEN 57 + 6
          |         + 5 * ((hp * (w + 1) + 65534) // 65535) + hp * (w + 1)
+         |       WHEN d.doc_id % 4 = 2 THEN 316 + 4 * w * hp
+         |         - COALESCE(j8.cnt8, 0)
          |       ELSE 54 + n END AS BIGINT) AS n_bytes,
-         |  -- LEFT join + COALESCE: an empty doc has no byte rows but
+         |  -- LEFT joins + COALESCE: an empty doc has no byte rows but
          |  -- is still a corpus asset (checksum of no content = 0)
-         |  CAST(COALESCE(cs.checksum, 0) AS BIGINT) AS checksum,
-         |  CAST(CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE w END AS INTEGER)
-         |    AS width,
-         |  CAST(CASE WHEN d.doc_id % 3 = 0 THEN n
-         |       WHEN d.doc_id % 3 = 1 THEN hp
+         |  CAST(CASE WHEN d.doc_id % 4 = 2 THEN jcs.checksum
+         |       ELSE COALESCE(cs.checksum, 0) END AS BIGINT) AS checksum,
+         |  CAST(CASE WHEN d.doc_id % 4 = 0 THEN 1
+         |       WHEN d.doc_id % 4 = 2 THEN 8 * w
+         |       ELSE w END AS INTEGER) AS width,
+         |  CAST(CASE WHEN d.doc_id % 4 = 0 THEN n
+         |       WHEN d.doc_id % 4 = 1 THEN hp
+         |       WHEN d.doc_id % 4 = 2 THEN 8 * hp
          |       ELSE hb END AS INTEGER) AS height
          |FROM d LEFT JOIN cs ON cs.doc_id = d.doc_id
+         |       LEFT JOIN j8 ON j8.doc_id = d.doc_id
+         |       LEFT JOIN jcs ON jcs.doc_id = d.doc_id
          |ORDER BY asset_id""".stripMargin) { (s, dir) =>
       graft.etl.Multimodal.features(s, dir).drop("feature")
     })

@@ -112,45 +112,53 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       Multimodal.PngCodec.decode("not a png at all".getBytes("UTF-8")))
   }
 
-  test("documents -> mixed WAV/PNG/BMP assets -> features: per-kind dispatch") {
+  test("documents -> mixed WAV/PNG/JPEG/BMP assets -> features: per-kind dispatch") {
     val ss = spark
     import ss.implicits._
     val docs = Seq(
-      (1L, "a" * 130, "web", 130L), // doc_id % 3 == 1 → PNG
-      (2L, "", "web", 0L),          // empty text → 1x1 BMP, header only
-      (3L, "b" * 50, "web", 50L),   // doc_id % 3 == 0 → WAV
-      (5L, "c" * 130, "web", 130L)) // doc_id % 3 == 2 → BMP
+      (1L, "a" * 130, "web", 130L), // doc_id % 4 == 1 → PNG
+      (2L, "b" * 130, "web", 130L), // doc_id % 4 == 2 → JPEG
+      (4L, "c" * 50, "web", 50L),   // doc_id % 4 == 0 → WAV
+      (7L, "d" * 130, "web", 130L)) // doc_id % 4 == 3 → BMP
       .toDF("doc_id", "text", "source", "n_chars")
     val feats = Multimodal.extractFeatures(Multimodal.assetsFromDocuments(docs))
       .collect().sortBy(_.asset_id)
-    assert(feats(0).kind == "image/png")
     val pw = 1 + 130 % 64 // = 3
     val ph = (130 + pw - 1) / pw
+    assert(feats(0).kind == "image/png")
     assert(feats(0).width == pw && feats(0).height == ph)
     assert(feats(0).n_bytes == 57 + 6 + 5 + ph * (pw + 1))
     // checksum = first 32 DECODED pixels = the text bytes
     assert(feats(0).checksum == 32L * 'a'.toLong)
-    assert(feats(1).width == 1 && feats(1).height == 1 && feats(1).n_bytes == 54)
+    assert(feats(1).kind == "image/jpeg")
+    // pixel dims = 8x the block grid; every block constant at
+    // gray 120 + byte%16 — exact through the flat-quant DCT roundtrip
+    assert(feats(1).width == 8 * pw && feats(1).height == 8 * ph)
+    // all 130 bytes are 'b' (0x62, %16 = 2, nonzero diff → 2 bytes
+    // each; pad blocks too): 316 + 4·blocks − 0
+    assert(feats(1).n_bytes == 316 + 4L * pw * ph)
+    assert(feats(1).checksum == 32L * (120 + 'b'.toLong % 16))
     assert(feats(2).kind == "audio/wav")
     assert(feats(2).width == 1 && feats(2).height == 50) // (channels, samples)
     assert(feats(2).n_bytes == 44 + 50)
-    assert(feats(2).checksum == 32L * 'b'.toLong)
+    assert(feats(2).checksum == 32L * 'c'.toLong)
     assert(feats(3).kind == "image/bmp")
     assert(feats(3).width == 1 + 130 % 64 && feats(3).height == 1 + 130 / 64)
     assert(feats(3).n_bytes == 54 + 130)
-    assert(feats(3).checksum == 32L * 'c'.toLong)
+    assert(feats(3).checksum == 32L * 'd'.toLong)
   }
 
-  test("empty documents still encode as valid assets (PNG clamps to 1x1)") {
+  test("empty documents still encode as valid assets (images clamp to one block)") {
     val ss = spark
     import ss.implicits._
-    // ceil(0/w) = 0 is not a legal PNG height: the adapter clamps to a
-    // 1x1 zero pixel, and the q_multimodal oracle mirrors the clamp
-    // (GREATEST(1, …) + COALESCE(checksum, 0)) — this pins the Spark
-    // side of that contract on every format branch
+    // ceil(0/w) = 0 is not a legal image height: the adapter clamps to
+    // one 1x1-pixel PNG / one 8x8 JPEG block, and the q_multimodal
+    // oracle mirrors the clamp (GREATEST(1, …) + COALESCE/jcs joins) —
+    // this pins the Spark side of that contract on every format branch
     val docs = Seq(
       (0L, "", "web", 0L),  // WAV: empty data region
-      (4L, "", "web", 0L))  // doc_id % 3 == 1 → PNG, clamped 1x1
+      (5L, "", "web", 0L),  // doc_id % 4 == 1 → PNG, clamped 1x1
+      (6L, "", "web", 0L))  // doc_id % 4 == 2 → JPEG, one pad block
       .toDF("doc_id", "text", "source", "n_chars")
     val feats = Multimodal.extractFeatures(
         Multimodal.assetsFromDocuments(docs))
@@ -162,6 +170,75 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       feats(1).height == 1 && feats(1).checksum == 0L)
     // 57 container bytes + zlib(6 + 5·ceil(raw/65535) + raw), raw = 2
     assert(feats(1).n_bytes == 57 + 6 + 5 + 2)
+    // JPEG: one 8x8 block of pad gray 120 (byte 0 → diff -64, 2 code
+    // bytes, no restart markers): 316 + 4·1 − 0; checksum = 32·120
+    assert(feats(2).kind == "image/jpeg" && feats(2).width == 8 &&
+      feats(2).height == 8 && feats(2).n_bytes == 316 + 4 &&
+      feats(2).checksum == 32L * 120)
+  }
+
+  test("JPEG codec: DC-only blocks round-trip exactly; ImageIO agrees " +
+      "pixel-for-pixel; general baseline scans decode") {
+    // 1. the deterministic fixture shape: every 8x8 block constant —
+    //    our decode must reproduce each gray exactly (flat quant +
+    //    DC multiple of 8 → mathematically lossless)
+    val grays = Array.tabulate(12)(i => (120 + (i * 7) % 16).toByte)
+    val jpg = Multimodal.JpegCodec.encode(4, 3, grays)
+    val (w, h, px) = Multimodal.JpegCodec.decode(jpg)
+    assert(w == 32 && h == 24)
+    for (by <- 0 until 3; bx <- 0 until 4; y <- 0 until 8; x <- 0 until 8)
+      assert(px((by * 8 + y) * 32 + bx * 8 + x) == grays(by * 4 + bx),
+        s"block ($bx,$by) pixel ($x,$y)")
+    // 2. the JDK's OWN JPEG decoder (an independent implementation)
+    //    reads our container and produces the same pixels — container
+    //    validity end to end: markers, tables, restart cadence, codes
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpg))
+    assert(ref != null, "ImageIO rejected the encoded JPEG")
+    assert(ref.getWidth == 32 && ref.getHeight == 24)
+    for (y <- 0 until 24; x <- 0 until 32)
+      assert((ref.getRaster.getSample(x, y, 0) & 0xff) ==
+        (px(y * 32 + x) & 0xff), s"ImageIO disagrees at ($x,$y)")
+    // 3. the general baseline path: ImageIO ENCODES an arbitrary
+    //    gradient (real AC coefficients, real quant tables, no
+    //    restarts) and our decoder reads it — IDCT precision is
+    //    implementation-defined by the spec, so general scans are
+    //    checked to ±1 of ImageIO's own decode of the same bytes
+    val img = new java.awt.image.BufferedImage(24, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 24)
+      img.getRaster.setSample(x, y, 0, (x * 10 + y * 3) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val bytes = bos.toByteArray
+    val (gw, gh, gpx) = Multimodal.JpegCodec.decode(bytes)
+    assert(gw == 24 && gh == 16)
+    val again = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val ours = gpx(y * 24 + x) & 0xff
+      val theirs = again.getRaster.getSample(x, y, 0) & 0xff
+      assert(math.abs(ours - theirs) <= 1,
+        s"general decode off by >1 at ($x,$y): $ours vs $theirs")
+    }
+    // 4. corrupt containers surface, never pass through as zeros
+    intercept[IllegalArgumentException](
+      Multimodal.JpegCodec.decode("not a jpeg".getBytes("UTF-8")))
+  }
+
+  test("JPEG fixture scan bytes are stuffing-free over the whole byte domain") {
+    // the oracle's closed-form size arithmetic assumes no 0xFF ever
+    // appears in the entropy segment; prove it for every byte value a
+    // document could route into a block (the encoder also throws if
+    // one would be emitted)
+    val grays = Array.tabulate(256)(b => (120 + b % 16).toByte)
+    val jpg = Multimodal.JpegCodec.encode(16, 16, grays)
+    val (_, _, px) = Multimodal.JpegCodec.decode(jpg)
+    for (i <- 0 until 256)
+      assert(px((i / 16 * 8) * 128 + (i % 16) * 8) == grays(i))
+    // size arithmetic: all 256 grays here have diff 0 only when
+    // b%16 == 8 → 16 one-byte blocks, 240 two-byte blocks
+    assert(jpg.length == 316 + 4 * 256 - 16)
   }
 
   test("resizeBmp: nearest-neighbor pixels, floor dims, zero-fill past data") {
@@ -187,8 +264,8 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ss = spark
     import ss.implicits._
     val docs = Seq(
-      (2L, "x" * 100, "web", 100L),           // doc_id % 3 == 2 → BMP: w=37, h=2
-      (3L, "ab" * 80, "web", 160L))           // WAV: 160 data bytes
+      (3L, "x" * 100, "web", 100L),           // doc_id % 4 == 3 → BMP: w=37, h=2
+      (4L, "ab" * 80, "web", 160L))           // doc_id % 4 == 0 → WAV: 160 bytes
       .toDF("doc_id", "text", "source", "n_chars")
     val assets = Multimodal.assetsFromDocuments(docs)
     val resized = Multimodal.resizeAssets(assets, 2)
@@ -196,13 +273,13 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (rw, rh, _) = Multimodal.BmpCodec.decode(resized(0).payload)
     assert((rw, rh) == (18, 1), "37x2 halves to 18x1")
     assert(resized(1).payload.toSeq == assets.collect()
-      .find(_.asset_id == 3L).get.payload.toSeq, "audio passes through")
+      .find(_.asset_id == 4L).get.payload.toSeq, "audio passes through")
     // frames of 64 over 160 bytes: [64, 64, 32]; every 2nd -> frames 0, 2
     val fe = Multimodal.frameEnergies(assets, 64, 2)
       .collect().sortBy(f => (f.asset_id, f.frame))
     val bytes = ("ab" * 80).getBytes("UTF-8").map(_ & 0xff)
     assert(fe.map(f => (f.asset_id, f.frame, f.n)).toSeq ===
-      Seq((3L, 0L, 64L), (3L, 2L, 32L)))
+      Seq((4L, 0L, 64L), (4L, 2L, 32L)))
     assert(fe(0).energy === bytes.slice(0, 64).map(_.toLong).sum)
     assert(fe(1).energy === bytes.slice(128, 160).map(_.toLong).sum)
   }
