@@ -631,6 +631,7 @@ object Multimodal {
         pred += extend(in.receive(t), t)
         coef(0) = pred * qt(0)
         var k = 1
+        var nAc = 0
         var eob = false
         while (!eob && k <= 63) {
           val rs = acT.decode(in)
@@ -640,36 +641,54 @@ object Multimodal {
             k += (rs >> 4)
             require(k <= 63, "AC run past the block")
             coef(ZigZag(k)) = extend(in.receive(rs & 15), rs & 15) * qt(k)
+            nAc += 1
             k += 1
           }
         }
-        // 2-D IDCT + level shift, cropped to the image rectangle
         val bx = (mcu % wB) * 8
         val by = (mcu / wB) * 8
-        var y = 0
-        while (y < 8 && by + y < height) {
-          var x = 0
-          while (x < 8 && bx + x < width) {
-            var s = 0.0
-            var u = 0
-            while (u < 8) {
-              var v = 0
-              while (v < 8) {
-                val c = coef(v * 8 + u)
-                if (c != 0) {
-                  val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
-                  val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
-                  s += cu * cv * c * cosT(x)(u) * cosT(y)(v) / 4.0
-                }
-                v += 1
-              }
-              u += 1
+        if (nAc == 0) {
+          // DC-only block (the deterministic-encoder shape, and common
+          // in smooth regions generally): the IDCT of a lone DC is the
+          // constant DC/8 — skip the 64×64 basis loop per block
+          val px = math.max(0, math.min(255,
+            math.round(coef(0) / 8.0 + 128).toInt)).toByte
+          var y = 0
+          while (y < 8 && by + y < height) {
+            var x = 0
+            while (x < 8 && bx + x < width) {
+              out((by + y) * width + bx + x) = px
+              x += 1
             }
-            val px = math.max(0, math.min(255, math.round(s + 128).toInt))
-            out((by + y) * width + bx + x) = px.toByte
-            x += 1
+            y += 1
           }
-          y += 1
+        } else {
+          // 2-D IDCT + level shift, cropped to the image rectangle
+          var y = 0
+          while (y < 8 && by + y < height) {
+            var x = 0
+            while (x < 8 && bx + x < width) {
+              var s = 0.0
+              var u = 0
+              while (u < 8) {
+                var v = 0
+                while (v < 8) {
+                  val c = coef(v * 8 + u)
+                  if (c != 0) {
+                    val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+                    val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+                    s += cu * cv * c * cosT(x)(u) * cosT(y)(v) / 4.0
+                  }
+                  v += 1
+                }
+                u += 1
+              }
+              val px = math.max(0, math.min(255, math.round(s + 128).toInt))
+              out((by + y) * width + bx + x) = px.toByte
+              x += 1
+            }
+            y += 1
+          }
         }
         mcu += 1
       }
