@@ -195,27 +195,45 @@ object Service {
           case e if e.contains("=") =>
             val Array(n, r) = e.split("=", 2); (n.trim, r.trim)
         }).getOrElse(Seq.empty)
-    // a store root whose writer has not produced META/CURRENT yet must
-    // not kill the daemon at startup: log, skip, and let the refresh
-    // poller re-attempt once the store exists (its epoch moves "" → v1)
+    // a store root whose writer has not produced META/CURRENT yet (or a
+    // member root that is transiently unreachable) must not kill the
+    // daemon at startup: log, skip, and flag the failure so the refresh
+    // poller re-attempts on its NEXT tick — a failed registration marks
+    // the epoch fingerprint dirty, because waiting for the store's own
+    // epoch to move would never retry against an existing quiescent
+    // store whose first attempt failed for an unrelated reason
+    val registrationIncomplete =
+      new java.util.concurrent.atomic.AtomicBoolean(false)
     def tolerably(what: String)(f: => Unit): Unit =
       try f catch {
         case e: Exception =>
+          registrationIncomplete.set(true)
           // scalastyle:off println
           System.err.println(s"[graft.Service] $what not registrable " +
             s"yet (${e.getMessage}); the refresh poller will retry")
           // scalastyle:on println
       }
+    // a single-store root AND a federation root of the same family may
+    // serve together: the federation's views then register under
+    // `<prefix>_fed_*` instead of silently clobbering the single
+    // store's identically-named surface (last-registered-wins is a temp
+    // view property; the daemon must not hide one source behind it)
+    val fedDedupPrefix =
+      if (dedupRoot.isDefined) s"${prefix}_fed" else prefix
+    val fedContamPrefix =
+      if (contamRoot.isDefined) s"${prefix}_fed" else prefix
     val register: () => Unit = () => {
+      registrationIncomplete.set(false)
       registerEngines()
       dedupRoot.foreach(r => tolerably(s"dedup views at $r")(
         graft.etl.EtlViews.registerDedupViews(spark, prefix, r)))
       contamRoot.foreach(r => tolerably(s"contam views at $r")(
         graft.etl.EtlViews.registerContamViews(spark, prefix, r)))
       fedDedupRoot.foreach(r => tolerably(s"federated dedup views at $r")(
-        graft.etl.EtlViews.registerFedDedupViews(spark, prefix, r)))
+        graft.etl.EtlViews.registerFedDedupViews(spark, fedDedupPrefix, r)))
       fedContamRoot.foreach(r => tolerably(s"federated contam views at $r")(
-        graft.etl.EtlViews.registerFedContamViews(spark, prefix, r)))
+        graft.etl.EtlViews.registerFedContamViews(spark,
+          fedContamPrefix, r)))
       derivedSpecs.foreach { case (name, r) =>
         tolerably(s"derived view $name at $r")(
           graft.etl.EtlViews.registerDerivedView(spark,
@@ -225,19 +243,27 @@ object Service {
     register()
     // track external writers: re-register when any root's state moves
     // — engine roots by catalog/commit/staging fingerprint, store
-    // roots by their CURRENT pointer (0 disables)
+    // roots by their CURRENT pointer (0 disables); an incomplete
+    // registration appends a fresh nonce so the fingerprint differs
+    // every tick until a register() pass completes cleanly
     val refreshMs = sys.env.get("SPARK_GRAFT_REFRESH_MS").map(_.toLong)
       .getOrElse(5000L)
     val storeRoots = dedupRoot.toSeq ++ contamRoot.toSeq ++
       fedDedupRoot.toSeq ++ fedContamRoot.toSeq ++ derivedSpecs.map(_._2)
     if (refreshMs > 0) autoRefresh(engines, register, refreshMs,
-      () => storeRoots.map(graft.etl.EtlViews.epochOf))
+      () => storeRoots.map(graft.etl.EtlViews.epochOf) ++
+        (if (registrationIncomplete.get())
+          Seq(s"retry-${System.nanoTime()}") else Seq.empty))
     start(spark)
-    val etlViews = (dedupRoot.orElse(fedDedupRoot)).map(_ =>
+    val etlViews = dedupRoot.map(_ =>
         s",${prefix}_clusters,${prefix}_dup_report,${prefix}_dup_pairs")
       .getOrElse("") +
-      (contamRoot.orElse(fedContamRoot))
-        .map(_ => s",${prefix}_contamination").getOrElse("") +
+      fedDedupRoot.map(_ => s",${fedDedupPrefix}_clusters," +
+        s"${fedDedupPrefix}_dup_report,${fedDedupPrefix}_dup_pairs")
+        .getOrElse("") +
+      contamRoot.map(_ => s",${prefix}_contamination").getOrElse("") +
+      fedContamRoot.map(_ => s",${fedContamPrefix}_contamination")
+        .getOrElse("") +
       derivedSpecs.map { case (n, _) => s",${prefix}_$n" }.mkString
     // scalastyle:off println
     println(s"""{"service":"thrift-jdbc","port":$port,"roots":${roots.size},""" +

@@ -227,7 +227,11 @@ final class ContamState(
   private def deltaDirs(name: String, schema: StructType,
                         from: Long, upTo: Long): Option[DataFrame] = {
     val (_, base) = pointer
-    if (base > from + 1 && from < upTo) None
+    // fallback whenever the window reaches back past the compact
+    // squash at `base` — including from == base - 1, where the squash
+    // IS the window (see [[DedupState]]'s deltaDirs: direct-reading it
+    // would re-absorb the full corpus as a "delta")
+    if (base > 1 && from < base && from < upTo) None
     else {
       val full = partitionField.get(name)
         .map(f => StructType(schema.fields :+ f._1)).getOrElse(schema)

@@ -949,7 +949,13 @@ final class DedupState(
   private def deltaDirs(name: String, schema: StructType,
                         from: Long, upTo: Long): Option[DataFrame] = {
     val (_, base, _) = pointer
-    if (base > from + 1 && from < upTo) None
+    // the window direct-reads version dirs ONLY when every dir in
+    // (from, upTo] is a true delta: a compact's squash dir sits at
+    // `base` (whenever base > 1) and holds the FULL corpus, so any
+    // window reaching back past it — INCLUDING from == base - 1, where
+    // the squash itself is the window — must take the exact fallback
+    // or the caller would re-absorb the whole corpus as a "delta"
+    if (base > 1 && from < base && from < upTo) None
     else {
       val full = partitionField.get(name)
         .map(f => StructType(schema.fields :+ f._1)).getOrElse(schema)

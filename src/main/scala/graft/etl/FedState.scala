@@ -23,6 +23,15 @@ import graft.storage.Store
   * most, so the version-union width grows far slower than the member
   * stores' (which self-compact); a squash is mechanical when needed
   * (same shape as [[DedupState.compact]]) and is documented roadmap.
+  *
+  * KNOWN DEBT: this base is the third copy of the versioned-dir read/
+  * write machinery ([[DedupState]] and [[ContamState]] each carry
+  * their own, predating it), and the member-side deltaDirs readers are
+  * twinned across those two classes. Folding all three onto one shared
+  * versioned-store base is a mechanical refactor deferred because it
+  * rewrites the two most battle-tested files in the store layer; until
+  * then, window/boundary fixes must land in every copy (the round-15
+  * compact-boundary fix did — grep `from < base`).
   */
 private[etl] abstract class FedStoreBase(
     protected val spark: SparkSession, rootUri: String) {

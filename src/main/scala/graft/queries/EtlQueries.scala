@@ -391,8 +391,14 @@ object EtlQueries {
             catch { case _: Exception => () }
         }
     } catch { case _: Exception => () }
-    if (store.readString("FIXTURE_DONE").exists(_.trim == identity))
+    if (store.readString("FIXTURE_DONE").exists(_.trim == identity)) {
+      // refresh the marker's mtime BEFORE opening: the age-gated sweep
+      // reads mtimes, so a root reused daily must never look idle to a
+      // sibling run while this one holds live readers over its files
+      try store.rewrite("FIXTURE_DONE", identity)
+      catch { case _: Exception => () }
       return open(root) // completed build of this exact identity: reuse
+    }
     // claim the root; a live concurrent builder wins and we build
     // privately — a dead one's leftovers are swept and reclaimed
     val claim = s"${ProcessHandle.current().pid()}"

@@ -229,6 +229,64 @@ class FedStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotReport === wantReport)
   }
 
+  test("a member compact while the federation is caught up folds to " +
+      "nothing new (squash dir is not a delta)") {
+    val ss = spark; import ss.implicits._
+    val prefixBands: DataFrame => DataFrame = docs =>
+      docs.select(col("doc_id"), substring(col("text"), 1, 3).as("bkey"))
+    val a = new DedupState(spark, tmpRoot(), prefixBands)
+    val b = new DedupState(spark, tmpRoot(), prefixBands)
+    val fed = new FedDedupState(spark, tmpRoot(), Seq(a, b))
+    a.update(Seq((1L, "HOT one"), (3L, "HOT two")).toDF("doc_id", "text"))
+    b.update(Seq((2L, "HOT three"), (4L, "c4 other"))
+      .toDF("doc_id", "text"))
+    fed.fold()
+    val before = fed.docClusters().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the compact ADVANCES the member's version, so the federation sees
+    // an unabsorbed window — but that window is the full-corpus squash,
+    // which the delta readers must reconstruct as the EMPTY delta (the
+    // exact ver-keyed fallbacks), never direct-read as new rows
+    a.compact()
+    val rep = fed.fold()
+    assert(rep.isDefined, "the version moved, so a fold happens")
+    assert(rep.get.nNewReps === 0 && rep.get.nNewPairs === 0 &&
+      rep.get.nStarEdges === 0,
+      s"a squash must fold to nothing new, got $rep")
+    val after = fed.docClusters().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === before, "no doc may be re-absorbed")
+    assert(fed.docClusters().count() === before.size.toLong,
+      "exactly one row per doc — a squash re-read would duplicate")
+    // a real post-compact batch still folds at batch cost on top
+    a.update(Seq((5L, "HOT four")).toDF("doc_id", "text"))
+    assert(fed.fold().get.nNewReps === 1)
+    assert(partitionOf(fed.docClusters(),
+        Seq((1L, "HOT one"), (2L, "HOT three"), (3L, "HOT two"),
+          (4L, "c4 other"), (5L, "HOT four")).toDF("doc_id", "text")) ===
+      partitionOf(DedupState.federatedDocClusters(Seq(a, b)),
+        Seq((1L, "HOT one"), (2L, "HOT three"), (3L, "HOT two"),
+          (4L, "c4 other"), (5L, "HOT four")).toDF("doc_id", "text")))
+    // the contamination analog: a caught-up member compact folds to
+    // nothing new there too
+    val grams: DataFrame => DataFrame = texts =>
+      texts.select(col("k"), col("text").as("g"))
+    val ca = new ContamState(spark, tmpRoot(), grams, dfCap = 5L)
+    val cb = new ContamState(spark, tmpRoot(), grams, dfCap = 5L)
+    val cfed = new FedContamState(spark, tmpRoot(), Seq(ca, cb))
+    ca.update(Seq((1L, "alpha"), (3L, "beta")).toDF("doc_id", "text"))
+    cb.update(Seq((2L, "gamma")).toDF("doc_id", "text"))
+    cfed.fold()
+    val postsBefore = cfed.livePostings().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    ca.compact()
+    val crep = cfed.fold()
+    assert(crep.isDefined && crep.get.nNewKeys === 0 &&
+      crep.get.nNewPostings === 0, s"squash fold must be empty, got $crep")
+    assert(cfed.livePostings().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet === postsBefore)
+  }
+
   test("membership, parity and doc_id guards") {
     val prefixBands: DataFrame => DataFrame = docs =>
       docs.select(col("doc_id"), substring(col("text"), 1, 3).as("bkey"))

@@ -237,8 +237,10 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (i <- 0 until 256)
       assert(px((i / 16 * 8) * 128 + (i % 16) * 8) == grays(i))
     // size arithmetic: all 256 grays here have diff 0 only when
-    // b%16 == 8 → 16 one-byte blocks, 240 two-byte blocks
-    assert(jpg.length == 316 + 4 * 256 - 16)
+    // b%16 == 8 → 16 one-byte blocks, 240 two-byte blocks (the
+    // q_multimodal oracle's constant is HeaderSize, pinned here)
+    assert(Multimodal.JpegCodec.HeaderSize == 316)
+    assert(jpg.length == Multimodal.JpegCodec.HeaderSize + 4 * 256 - 16)
   }
 
   test("resizeBmp: nearest-neighbor pixels, floor dims, zero-fill past data") {

@@ -53,7 +53,8 @@ def main(src: str, dst: str, factor: int) -> None:
         f"""COPY (
           SELECT doc_id + i*{D} AS doc_id,
                  (CASE {rot_case} END) || ' ~r' || i AS text,
-                 lang, source, n_chars + 4 AS n_chars
+                 lang, source,
+                 n_chars + 3 + length(CAST(i AS VARCHAR)) AS n_chars
           FROM '{src}/documents.parquet', reps
         ) TO '{dst}/documents.parquet' (FORMAT PARQUET, COMPRESSION ZSTD)"""
     )
