@@ -19,10 +19,11 @@ import graft.storage.Store
   * orphan dir the retry overwrites — the member stores' idempotency
   * contract, carried by the watermarks instead of a (scope, seq) key.
   *
-  * No compact yet: the federation folds at member-batch cadence at
-  * most, so the version-union width grows far slower than the member
-  * stores' (which self-compact); a squash is mechanical when needed
-  * (same shape as [[DedupState.compact]]) and is documented roadmap.
+  * [[FedDedupState.compact]] / [[FedContamState.compact]] squash the
+  * delta dirs into one snapshot (pruning dead pairs / capped postings)
+  * and advance the read base — the [[DedupState.compact]] shape, run
+  * on the `autoCompactEvery` cadence when set, so a streaming-cadence
+  * federation bounds its reader's union width like the member stores.
   *
   * KNOWN DEBT: this base is the third copy of the versioned-dir read/
   * write machinery ([[DedupState]] and [[ContamState]] each carry
@@ -48,20 +49,27 @@ private[etl] abstract class FedStoreBase(
       .digest(memberRoot.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
-  // ---- version pointer: "cur w0 w1 …" ---------------------------------
+  // ---- version pointer: "cur base w0 w1 …" ----------------------------
 
-  protected def pointer: (Long, Seq[Long]) =
+  protected def pointer: (Long, Long, Seq[Long]) =
     store.readString("CURRENT").map { s =>
       val p = s.trim.split("\\s+")
-      (p(0).toLong, p.drop(1).toSeq.map(_.toLong))
-    }.getOrElse((0L, Seq.empty))
+      (p(0).toLong, p(1).toLong, p.drop(2).toSeq.map(_.toLong))
+    }.getOrElse((0L, 1L, Seq.empty))
 
   def currentVersion: Long = pointer._1
+
+  /** Number of version dirs a reader currently unions — bounded by
+    * `autoCompactEvery` when set. */
+  def liveVersionSpan: Long = {
+    val (cur, base, _) = pointer
+    if (cur == 0) 0L else cur - base + 1
+  }
 
   /** Per-member fold watermarks (member versions already absorbed),
     * zero-filled before the first fold. */
   protected def watermarks(nMembers: Int): Seq[Long] = {
-    val (_, ws) = pointer
+    val (_, _, ws) = pointer
     if (ws.isEmpty) Seq.fill(nMembers)(0L)
     else {
       require(ws.size == nMembers,
@@ -88,14 +96,15 @@ private[etl] abstract class FedStoreBase(
   protected def emptyFrame(schema: StructType): DataFrame =
     spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
 
-  /** Union of a table's per-version deltas over [1, upTo] — one read
-    * per version dir (multi-path partition discovery conflicts; see
-    * [[DedupState]]'s diskFrame for the full rationale). */
+  /** Union of a table's per-version deltas over [base, upTo] — one
+    * read per version dir (multi-path partition discovery conflicts;
+    * see [[DedupState]]'s diskFrame for the full rationale). */
   protected def diskFrame(name: String, schema: StructType,
                           upTo: Long): DataFrame = {
     val full = partitionField.get(name)
       .map(f => StructType(schema.fields :+ f._1)).getOrElse(schema)
-    val paths = (1L to upTo)
+    val (_, base, _) = pointer
+    val paths = (base to upTo)
       .filter(v => manifest(v).getOrElse(name, 0L) > 0)
       .map(v => store.resolve(s"v$v/$name").toString)
     if (paths.isEmpty) emptyFrame(full)
@@ -131,16 +140,32 @@ private[etl] abstract class FedStoreBase(
     n
   }
 
-  /** Flip to version `next` with the given member watermarks: data
-    * dirs → MANIFEST → CURRENT, the crash contract of every store
-    * here (an orphan v{next} is invisible and overwritten on retry). */
-  protected def flip(next: Long, counts: Seq[(String, Long)],
+  /** Flip to version `next` with the given read base and member
+    * watermarks: data dirs → MANIFEST → CURRENT, the crash contract of
+    * every store here (an orphan v{next} is invisible and overwritten
+    * on retry). */
+  protected def flip(next: Long, base: Long, counts: Seq[(String, Long)],
                      wms: Seq[Long]): Unit = {
     store.writeAtomic(s"v$next/MANIFEST",
       counts.map { case (n, c) => s"$n=$c" }.mkString(","))
     manifests.remove(next)
-    store.writeAtomic("CURRENT", (next +: wms).mkString(" "))
+    store.writeAtomic("CURRENT", (Seq(next, base) ++ wms).mkString(" "))
   }
+
+  protected def dropManifest(v: Long): Unit = manifests.remove(v)
+
+  /** Reclaim version dirs stranded BELOW the read base (the
+    * [[DedupState]] sweep: a crash between a compact's flip and its
+    * delete loop orphans them; invisible by the pointer contract, so
+    * always safe). */
+  protected def sweepOrphans(base: Long): Unit =
+    store.listNames("").foreach { name =>
+      if (name.length > 1 && name.head == 'v' && name.tail.forall(_.isDigit)
+          && name.tail.toLong < base) {
+        store.deleteRecursive(name)
+        manifests.remove(name.tail.toLong)
+      }
+    }
 
   protected def checkOrWriteMeta(metaLine: String): Unit =
     store.readString("META") match {
@@ -251,8 +276,11 @@ final class FedDedupState(
     sparkSession: SparkSession,
     rootUri: String,
     members: Seq[DedupState],
-    verifyDocIds: Boolean = true)
+    verifyDocIds: Boolean = true,
+    autoCompactEvery: Int = 0)
   extends FedStoreBase(sparkSession, rootUri) {
+
+  require(autoCompactEvery >= 0, "autoCompactEvery must be >= 0 (0 = off)")
 
   import DedupState.{MembersSchema, GroupsSchema, PairsSchema,
     DroppedSchema, LabelsSchema, keyPrefix, bandBucket, Tracked}
@@ -400,7 +428,7 @@ final class FedDedupState(
     val (cap, grams, keepCol) = parity
     checkOrWriteMeta(metaLine)
     writeMembersFile(members.map(_.root))
-    val (cur, _) = pointer
+    val (cur, base, _) = pointer
     val wms = watermarks(members.size)
     // pin each member's version NOW: members are independent writers,
     // and the fold must absorb a consistent (wm, pinned] window even
@@ -587,10 +615,64 @@ final class FedDedupState(
           nDroppedBuckets),
         "flabels" -> writeTable(next, "flabels",
           labelDeltas.withColumn("ver", lit(next)), nLabelRows))
-      flip(next, counts, pinned)
-      Some(FoldReport(next, pinned, nNewReps, nStarEdges, nNewPairs,
-        nDroppedBuckets, nLabelRows))
+      flip(next, base, counts, pinned)
+      // bounded maintenance on the member-store cadence: squash once
+      // the reader's union spans the threshold (post-flip, so a crash
+      // mid-compact costs nothing — the next fold retries it)
+      val finalVersion =
+        if (autoCompactEvery > 0 && next - base + 1 >= autoCompactEvery)
+          compact()
+        else next
+      Some(FoldReport(finalVersion, pinned, nNewReps, nStarEdges,
+        nNewPairs, nDroppedBuckets, nLabelRows))
     } finally cps.foreach(c => scala.util.Try(c.unpersist()))
+  }
+
+  /** Squash all fold versions into one snapshot (pruning dead buckets'
+    * pair rows) and advance the read base — [[DedupState.compact]] for
+    * the federation: bounds the reader's union width and the
+    * label-delta accumulation for streaming-cadence folds. Members,
+    * groups and the watermarks keep their meaning (arrival versions
+    * survive; the squash is invisible to the fold contract). */
+  def compact(): Long = {
+    import DedupState.Tracked
+    val (cur, base, wms) = pointer
+    if (cur == 0) return 0L
+    val next = cur + 1
+    val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val livePairRows = fedPairs(cur)
+      .join(dropped(cur), Seq("bkey"), "left_anti").cpInto(cps)
+    val resolved = labels(cur)
+      .withColumn("ver", lit(next)).cpInto(cps)
+    val tables = Seq(
+      ("fmembers", fedMembers(cur)), ("fgroups", fedGroups(cur)),
+      ("fbands", fedBands(cur)), ("fpairs", livePairRows),
+      ("fstars", stars(cur)), ("fdropped", dropped(cur)),
+      ("flabels", resolved))
+    val counts = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fs = tables.map { case (name, df) =>
+        Future {
+          val chk = df.cpInto(cps)
+          name -> writeTable(next, name, chk, chk.count())
+        }
+      }
+      try Await.result(Future.sequence(fs), Duration.Inf)
+      catch { case t: Throwable =>
+        fs.foreach(f => scala.util.Try(Await.result(f, Duration.Inf)))
+        cps.synchronized(cps.toList)
+          .foreach(c => scala.util.Try(c.unpersist()))
+        throw t
+      }
+    }
+    flip(next, next, counts, wms)
+    cps.foreach(_.unpersist())
+    (base to cur).foreach(v => store.deleteRecursive(s"v$v"))
+    (base to cur).foreach(dropManifest)
+    sweepOrphans(next)
+    next
   }
 }
 
@@ -629,8 +711,11 @@ object FedContamState {
 final class FedContamState(
     sparkSession: SparkSession,
     rootUri: String,
-    members: Seq[ContamState])
+    members: Seq[ContamState],
+    autoCompactEvery: Int = 0)
   extends FedStoreBase(sparkSession, rootUri) {
+
+  require(autoCompactEvery >= 0, "autoCompactEvery must be >= 0 (0 = off)")
 
   import ContamState.{TextsSchema, PostingsSchema, CappedSchema, gramBucket}
   import DedupState.{keyPrefix, Tracked}
@@ -686,7 +771,7 @@ final class FedContamState(
   def fold(): Option[FoldReport] = {
     checkOrWriteMeta(metaLine)
     writeMembersFile(members.map(_.root))
-    val (cur, _) = pointer
+    val (cur, base, _) = pointer
     val wms = watermarks(members.size)
     val pinned = members.map(_.currentVersion)
     if (wms.zip(pinned).forall { case (w, v) => w >= v }) return None
@@ -744,8 +829,40 @@ final class FedContamState(
         "fposts" -> writeTable(next, "fposts", dPosts, nNewPostings),
         "fcapped" -> writeTable(next, "fcapped", newlyCapped,
           nNewlyCapped))
-      flip(next, counts, pinned)
-      Some(FoldReport(next, pinned, nNewKeys, nNewPostings, nNewlyCapped))
+      flip(next, base, counts, pinned)
+      val finalVersion =
+        if (autoCompactEvery > 0 && next - base + 1 >= autoCompactEvery)
+          compact()
+        else next
+      Some(FoldReport(finalVersion, pinned, nNewKeys, nNewPostings,
+        nNewlyCapped))
     } finally cps.foreach(c => scala.util.Try(c.unpersist()))
+  }
+
+  /** Squash all fold versions into one snapshot and advance the read
+    * base. Capped grams' postings prune (their verdicts persist in
+    * fcapped, exactly the member stores' compact semantics — the df
+    * accounting never needs a capped gram's rows again because capped
+    * is monotone). */
+  def compact(): Long = {
+    import DedupState.Tracked
+    val (cur, base, wms) = pointer
+    if (cur == 0) return 0L
+    val next = cur + 1
+    val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val live = livePostings(cur).cpInto(cps)
+    val tables = Seq(
+      ("ftexts", fedKeys(cur)), ("fposts", live),
+      ("fcapped", capped(cur)))
+    val counts = tables.map { case (name, df) =>
+      val chk = df.cpInto(cps)
+      name -> writeTable(next, name, chk, chk.count())
+    }
+    flip(next, next, counts, wms)
+    cps.foreach(_.unpersist())
+    (base to cur).foreach(v => store.deleteRecursive(s"v$v"))
+    (base to cur).foreach(dropManifest)
+    sweepOrphans(next)
+    next
   }
 }

@@ -306,7 +306,7 @@ object EtlQueries {
     * own META would not catch (banding/gram/derivation functions,
     * fixture batch composition) — the epoch is part of every durable
     * identity, so roots built by older code are never reused. */
-  private val FixtureEpoch = "r15a"
+  private val FixtureEpoch = "r15b" // r15b: fed CURRENT gained a base
 
   private val corpusDigestMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]

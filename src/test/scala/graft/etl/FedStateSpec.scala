@@ -93,6 +93,23 @@ class FedStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     val once = new FedDedupState(spark, tmpRoot(), Seq(a, b))
     once.fold()
     assert(partitionOf(once.docClusters(), d) === want)
+
+    // the federation's own compact: reads unchanged, span bounded,
+    // later member folds land on the squashed base
+    val span = fed.liveVersionSpan
+    assert(span >= 3L)
+    fed.compact()
+    assert(fed.liveVersionSpan === 1L)
+    assert(partitionOf(fed.docClusters(), d) === want)
+    assert(fed.fold().isEmpty, "compact must not disturb the watermarks")
+    val extra = d.limit(0).sparkSession
+      .createDataFrame(Seq((9999991L, "post compact fed doc")))
+      .toDF("doc_id", "text")
+    a.update(extra)
+    assert(fed.fold().isDefined)
+    assert(partitionOf(fed.docClusters(), d.unionByName(extra)) ===
+      partitionOf(DedupState.federatedDocClusters(Seq(a, b)),
+        d.unionByName(extra)))
   }
 
   test("retroactive global cap: pairs admitted in earlier folds die " +
@@ -346,8 +363,14 @@ class FedStateSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     def rows(df: DataFrame): Set[(String, String)] = df.collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
-    assert(rows(fed.livePostings()) ===
-      rows(ContamState.federatedLivePostings(Seq(a, b))))
+    val want = rows(ContamState.federatedLivePostings(Seq(a, b)))
+    assert(rows(fed.livePostings()) === want)
+    // the federation's own compact: live evidence unchanged (capped
+    // grams' postings prune, their verdicts persist), span bounded
+    fed.compact()
+    assert(fed.liveVersionSpan === 1L)
+    assert(rows(fed.livePostings()) === want)
+    assert(fed.fold().isEmpty)
     // cap disagreement refuses at open
     val cOther = new ContamState(spark, tmpRoot(), grams, cap + 1)
     val e = intercept[IllegalArgumentException](
