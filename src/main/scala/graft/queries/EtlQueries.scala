@@ -491,16 +491,34 @@ object EtlQueries {
         .localCheckpoint()
     }
 
-  /** The raw 16-lane signature matrix over the distinct-text reps,
-    * memoized per fixture: the candidate graph derives from it, and
-    * the LSH accuracy report reads the lanes themselves — one
-    * shingle-scan per corpus either way. */
+  /** The PERSISTED 16-lane MinHash signature store: (k, l0..l15) per
+    * distinct content — the most expensive pure-per-content scan of
+    * the dedup family (shingle explode + per-shingle md5), priced once
+    * per content key EVER like every other derived family; the
+    * candidate graph, the banding lookups and the LSH accuracy report
+    * all read the stored lanes. Rep ids are corpus facts and attach at
+    * read time from [[distinctGroups]]. */
+  private val sigStateMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      graft.etl.DerivedState]
+  private def sigState(s: SparkSession, dir: String)
+      : graft.etl.DerivedState =
+    contentStore(sigStateMemo, s, dir, "signatures",
+      s"minhash:lanes=$NumHashes:lcg", (rows, _) =>
+        minhashSignatures(rows.select(col("k").as("doc_id"), col("text")))
+          .withColumnRenamed("doc_id", "k"))
+
+  /** The raw signature matrix over the distinct-text reps — a READ of
+    * the signature store, memoized per session for its many consumers. */
   private val sigMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def repSignatures(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(sigMemo, s, dir) {
-      minhashSignatures(distinctGroups(s, dir)
-        .select(col("rid").as("doc_id"), col("text")))
+      val lanes = (0 until NumHashes).map(i => col(s"l$i"))
+      sigState(s, dir).derived()
+        .join(distinctGroups(s, dir).select("k", "rid"), "k")
+        .select(col("rid").as("doc_id") +: lanes: _*)
+        .localCheckpoint()
     }
 
   /** Per-distinct-text language prediction — (k, pred) — Cavnar-
