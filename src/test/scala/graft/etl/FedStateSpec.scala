@@ -304,6 +304,32 @@ class FedStateSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getString(0), r.getString(1))).toSet === postsBefore)
   }
 
+  test("store-read plan guardrail: every federation read stays equi-keyed") {
+    val bandsOf = graft.queries.EtlQueries.bandKeys _
+    val d = fixtureDocs.limit(80).localCheckpoint()
+    val a = new DedupState(spark, tmpRoot(), bandsOf,
+      gramsOf = Some(graft.queries.EtlQueries.gram4Of))
+    val b = new DedupState(spark, tmpRoot(), bandsOf,
+      gramsOf = Some(graft.queries.EtlQueries.gram4Of))
+    a.update(d.filter(col("doc_id") % 2 === 0))
+    b.update(d.filter(col("doc_id") % 2 === 1))
+    val fed = new FedDedupState(spark, tmpRoot(), Seq(a, b))
+    fed.fold()
+    // the 100 TB guardrail: labels/canon/pair reads join on rid/k/crid
+    // only — a cartesian or nested-loop join anywhere here would scale
+    // as corpus², and nothing in the fixture sizes would catch it
+    for ((name, df) <- Seq(
+        ("docClusters", fed.docClusters()),
+        ("livePairStats", fed.livePairStats()),
+        ("pairReport", fed.pairReport()),
+        ("featSizes", fed.featSizes()))) {
+      val p = df.queryExecution.executedPlan.toString()
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"federation store read $name must stay equi-keyed, got:\n$p")
+    }
+  }
+
   test("membership, parity and doc_id guards") {
     val prefixBands: DataFrame => DataFrame = docs =>
       docs.select(col("doc_id"), substring(col("text"), 1, 3).as("bkey"))
