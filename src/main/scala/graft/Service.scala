@@ -204,13 +204,20 @@ object Service {
     // store whose first attempt failed for an unrelated reason
     val registrationIncomplete =
       new java.util.concurrent.atomic.AtomicBoolean(false)
+    // bounded: a PERMANENTLY bad root (typo'd path) must not make the
+    // poller re-register the whole surface every tick forever — after
+    // the budget, retries stop until some store's epoch genuinely
+    // moves (which re-runs register() and refills nothing: the budget
+    // is per-daemon, deliberately)
+    val retryBudget = new java.util.concurrent.atomic.AtomicInteger(120)
     def tolerably(what: String)(f: => Unit): Unit =
       try f catch {
         case e: Exception =>
           registrationIncomplete.set(true)
           // scalastyle:off println
           System.err.println(s"[graft.Service] $what not registrable " +
-            s"yet (${e.getMessage}); the refresh poller will retry")
+            s"yet (${e.getMessage}); the refresh poller will retry " +
+            s"(${retryBudget.get()} ticks left)")
           // scalastyle:on println
       }
     // a single-store root AND a federation root of the same family may
@@ -252,7 +259,8 @@ object Service {
       fedDedupRoot.toSeq ++ fedContamRoot.toSeq ++ derivedSpecs.map(_._2)
     if (refreshMs > 0) autoRefresh(engines, register, refreshMs,
       () => storeRoots.map(graft.etl.EtlViews.epochOf) ++
-        (if (registrationIncomplete.get())
+        (if (registrationIncomplete.get() &&
+            retryBudget.getAndDecrement() > 0)
           Seq(s"retry-${System.nanoTime()}") else Seq.empty))
     start(spark)
     val etlViews = dedupRoot.map(_ =>

@@ -1422,10 +1422,12 @@ final class DedupState(
     if (cur == 0) return 0L
     val next = cur + 1
     val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // lazy: each table takes its one checkpoint inside its write
+    // future below — a definition-site checkpoint would materialize
+    // the pair and label frames twice per compact
     val livePairs = pairs(cur)
-      .join(dropped(cur), Seq("bkey"), "left_anti").cpInto(cps)
-    val resolved = labels(cur)
-      .withColumn("ver", lit(next)).cpInto(cps)
+      .join(dropped(cur), Seq("bkey"), "left_anti")
+    val resolved = labels(cur).withColumn("ver", lit(next))
     val tables = Seq(
       ("members", members(cur)), ("groups", seenKeys(cur)),
       ("bands", bands(cur)), ("feats", feats(cur)),

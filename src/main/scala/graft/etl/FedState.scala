@@ -54,7 +54,16 @@ private[etl] abstract class FedStoreBase(
   protected def pointer: (Long, Long, Seq[Long]) =
     store.readString("CURRENT").map { s =>
       val p = s.trim.split("\\s+")
-      (p(0).toLong, p(1).toLong, p.drop(2).toSeq.map(_.toLong))
+      require(p.length >= 2, s"malformed federation CURRENT '$s'")
+      val (cur, base) = (p(0).toLong, p(1).toLong)
+      // format sanity: base ∈ [1, cur] always — a token stream that
+      // violates it (e.g. a pre-base-format pointer whose first
+      // watermark lands in the base slot) must fail LOUDLY here, not
+      // misparse into empty reads or a corpus re-absorption
+      require(base >= 1 && base <= cur,
+        s"federation CURRENT '$s' at $rootUri does not parse as " +
+          "'cur base w0 w1 …' — refusing rather than misreading")
+      (cur, base, p.drop(2).toSeq.map(_.toLong))
     }.getOrElse((0L, 1L, Seq.empty))
 
   def currentVersion: Long = pointer._1
@@ -640,10 +649,12 @@ final class FedDedupState(
     if (cur == 0) return 0L
     val next = cur + 1
     val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // lazy here — each table takes its ONE checkpoint inside its write
+    // future below (a definition-site checkpoint would materialize the
+    // largest frames twice)
     val livePairRows = fedPairs(cur)
-      .join(dropped(cur), Seq("bkey"), "left_anti").cpInto(cps)
-    val resolved = labels(cur)
-      .withColumn("ver", lit(next)).cpInto(cps)
+      .join(dropped(cur), Seq("bkey"), "left_anti")
+    val resolved = labels(cur).withColumn("ver", lit(next))
     val tables = Seq(
       ("fmembers", fedMembers(cur)), ("fgroups", fedGroups(cur)),
       ("fbands", fedBands(cur)), ("fpairs", livePairRows),
@@ -850,14 +861,20 @@ final class FedContamState(
     if (cur == 0) return 0L
     val next = cur + 1
     val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val live = livePostings(cur).cpInto(cps)
     val tables = Seq(
-      ("ftexts", fedKeys(cur)), ("fposts", live),
+      ("ftexts", fedKeys(cur)), ("fposts", livePostings(cur)),
       ("fcapped", capped(cur)))
-    val counts = tables.map { case (name, df) =>
-      val chk = df.cpInto(cps)
-      name -> writeTable(next, name, chk, chk.count())
-    }
+    val counts =
+      try tables.map { case (name, df) =>
+        val chk = df.cpInto(cps)
+        name -> writeTable(next, name, chk, chk.count())
+      } catch { case t: Throwable =>
+        // release the checkpoints taken so far — a retrying daemon
+        // must not accumulate orphaned blocks (the orphan v{next} dir
+        // is invisible and overwritten on retry, as everywhere here)
+        cps.foreach(c => scala.util.Try(c.unpersist()))
+        throw t
+      }
     flip(next, next, counts, wms)
     cps.foreach(_.unpersist())
     (base to cur).foreach(v => store.deleteRecursive(s"v$v"))

@@ -394,8 +394,11 @@ object EtlQueries {
     if (store.readString("FIXTURE_DONE").exists(_.trim == identity)) {
       // refresh the marker's mtime BEFORE opening: the age-gated sweep
       // reads mtimes, so a root reused daily must never look idle to a
-      // sibling run while this one holds live readers over its files
-      try store.rewrite("FIXTURE_DONE", identity)
+      // sibling run while this one holds live readers over its files.
+      // ATOMIC (tmp + rename): a truncate-then-write would open a
+      // window where a concurrent run reads a partial marker, claims
+      // the root, and rebuilds it out from under this run's readers
+      try store.writeAtomic("FIXTURE_DONE", identity)
       catch { case _: Exception => () }
       return open(root) // completed build of this exact identity: reuse
     }
