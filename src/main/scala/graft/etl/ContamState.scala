@@ -116,135 +116,53 @@ final class ContamState(
     rootUri: String,
     gramsOf: DataFrame => DataFrame,
     dfCap: Long,
-    autoCompactEvery: Int = 0) {
+    autoCompactEvery: Int = 0)
+  extends VersionedStore(spark, rootUri) {
 
   require(autoCompactEvery >= 0, "autoCompactEvery must be >= 0 (0 = off)")
 
   import ContamState._
   import DedupState.Tracked
 
-  private val store = new Store(rootUri, new Configuration())
-
-  private def pointer: (Long, Long) =
-    store.readString("CURRENT").map { s =>
-      val p = s.trim.split("\\s+")
-      (p(0).toLong, if (p.length > 1) p(1).toLong else 1L)
-    }.getOrElse((0L, 1L))
-
-  def currentVersion: Long = pointer._1
+  private def pointer: (Long, Long) = {
+    val (cur, base, _) = pointerParts
+    (cur, base)
+  }
 
   /** The store's df-cap invariant — federation merges require all
     * members to agree ([[ContamState.federatedLivePostings]]). */
   def cap: Long = dfCap
 
-  /** Number of version dirs a reader currently unions — bounded by
-    * `autoCompactEvery` when set. */
-  def liveVersionSpan: Long = {
-    val (cur, base) = pointer
-    if (cur == 0) 0L else cur - base + 1
-  }
-
   private def metaLine: String = s"dfCap=$dfCap"
-  private def checkOrWriteMeta(): Unit = store.readString("META") match {
-    case Some(m) =>
-      require(m.trim == metaLine,
-        s"ContamState at $rootUri was built with '${m.trim}', reopened " +
-          s"with '$metaLine' — the df cap is an evidence-set invariant")
-    case None => store.writeAtomic("META", metaLine)
-  }
-
-  // concurrent for the same reason as DedupState's: plan construction
-  // may happen on stage-future threads
-  private val manifests =
-    scala.collection.concurrent.TrieMap.empty[Long, Map[String, Long]]
-  private def manifest(v: Long): Map[String, Long] =
-    manifests.getOrElseUpdate(v,
-      store.readString(s"v$v/MANIFEST").map(_.trim.split(",").collect {
-        case kv if kv.contains("=") =>
-          val Array(n, c) = kv.split("=", 2); n -> c.toLong
-      }.toMap).getOrElse(Map.empty))
-
-  private def emptyFrame(schema: StructType): DataFrame =
-    spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+  private def checkMeta(): Unit =
+    checkOrWriteMeta(metaLine)((stored, line) =>
+      s"ContamState at $rootUri was built with '$stored', reopened " +
+        s"with '$line' — the df cap is an evidence-set invariant")
 
   /** Physical partition column per table: the texts (key) index by
     * digest prefix, the postings index by gram hash bucket. `capped`
     * stays flat (tiny). */
-  private val partitionField: Map[String, (StructField, Column)] = Map(
+  protected val partitionField: Map[String, (StructField, Column)] = Map(
     "texts" -> ((StructField("kp", StringType),
       DedupState.keyPrefix(col("k")))),
     "postings" -> ((StructField("gp", IntegerType), gramBucket(col("g")))))
-
-  private def diskFrame(name: String, schema: StructType,
-                        upTo: Long): DataFrame = {
-    val full = partitionField.get(name)
-      .map(f => StructType(schema.fields :+ f._1)).getOrElse(schema)
-    val (_, base) = pointer
-    val paths = (base to upTo)
-      .filter(v => manifest(v).getOrElse(name, 0L) > 0)
-      .map(v => store.resolve(s"v$v/$name").toString)
-    if (paths.isEmpty) emptyFrame(full)
-    // one read per version dir, unioned: a single multi-path read
-    // trips partition discovery ("conflicting directory structures" —
-    // the version dirs share no partitioned base), while per-dir reads
-    // each discover their own kp=/bp= dirs and Catalyst pushes
-    // partition filters through the Union into every child scan
-    else paths.map(p => spark.read.schema(full).parquet(p))
-      .reduce(_.unionByName(_))
-  }
-
-  private def tableFrame(name: String, schema: StructType,
-                         upTo: Long): DataFrame = {
-    val df = diskFrame(name, schema, upTo)
-    partitionField.get(name).map(f => df.drop(f._1.name)).getOrElse(df)
-  }
 
   // pruned index scans for the update path (StatePartitionSpec asserts
   // files-read ∝ touched partitions — the DedupState contract)
 
   private[etl] def seenKeysTouching(prefixes: Seq[String],
                                     upTo: Long): DataFrame =
-    diskFrame("texts", TextsSchema, upTo)
-      .filter(col("kp").isin(prefixes: _*)).drop("kp")
+    touching("texts", TextsSchema, prefixes, upTo)
 
   private[etl] def postingsTouching(buckets: Seq[Int],
                                     upTo: Long): DataFrame =
-    diskFrame("postings", PostingsSchema, upTo)
-      .filter(col("gp").isin(buckets: _*)).drop("gp")
-
-  private def partitionValues[T](df: DataFrame, c: Column): Seq[T] =
-    df.select(c.as("p")).distinct().collect()
-      .toSeq.map(_.getAs[T]("p"))
+    touching("postings", PostingsSchema, buckets, upTo)
 
   // ---- member-delta reads (the federated merge's fold inputs) --------
   // the [[DedupState.membersDelta]] contract: direct version-dir reads
   // (∝ the delta) while the dirs are live, exact fallbacks after a
-  // compact squashed them.
-
-  /** This store's root URI — the federation store's member identity. */
-  private[etl] def root: String = rootUri
-
-  private def deltaDirs(name: String, schema: StructType,
-                        from: Long, upTo: Long): Option[DataFrame] = {
-    val (_, base) = pointer
-    // fallback whenever the window reaches back past the compact
-    // squash at `base` — including from == base - 1, where the squash
-    // IS the window (see [[DedupState]]'s deltaDirs: direct-reading it
-    // would re-absorb the full corpus as a "delta")
-    if (base > 1 && from < base && from < upTo) None
-    else {
-      val full = partitionField.get(name)
-        .map(f => StructType(schema.fields :+ f._1)).getOrElse(schema)
-      val paths = (from + 1 to upTo)
-        .filter(v => manifest(v).getOrElse(name, 0L) > 0)
-        .map(v => store.resolve(s"v$v/$name").toString)
-      val df =
-        if (paths.isEmpty) emptyFrame(full)
-        else paths.map(p => spark.read.schema(full).parquet(p))
-          .reduce(_.unionByName(_))
-      Some(partitionField.get(name).map(f => df.drop(f._1.name)).getOrElse(df))
-    }
-  }
+  // compact squashed them ([[VersionedStore.deltaDirs]] owns the
+  // window/boundary rules — one copy).
 
   /** Distinct content first indexed in (from, upTo] — ver-exact even
     * after a compact (texts keep their arrival version). */
@@ -269,30 +187,6 @@ final class ContamState(
     deltaDirs("capped", CappedSchema, from, upTo)
       .getOrElse(capped(upTo))
 
-  /** Write one table of version `next` — partitioned tables land one
-    * file per partition dir per delta (see [[DedupState]]). */
-  private def writeTable(next: Long, name: String, df: DataFrame,
-                         n: Long): Long = {
-    if (n > 0) {
-      val target = store.resolve(s"v$next/$name").toString
-      partitionField.get(name) match {
-        case Some((f, expr)) if n >= DedupState.PartitionMinRows =>
-          df.withColumn(f.name, expr)
-            .repartition(col(f.name))
-            .write.mode("overwrite").partitionBy(f.name).parquet(target)
-        case Some((f, expr)) =>
-          // batch-sized delta: ONE flat file with the partition column
-          // as data (see [[DedupState.PartitionMinRows]]) — the pruned
-          // readers' filter applies to the data column identically
-          df.withColumn(f.name, expr).coalesce(1)
-            .write.mode("overwrite").parquet(target)
-        case None =>
-          df.write.mode("overwrite").parquet(target)
-      }
-    }
-    n
-  }
-
   /** Distinct content ever indexed — (k, ver). */
   def seenKeys(upTo: Long = currentVersion): DataFrame =
     tableFrame("texts", TextsSchema, upTo)
@@ -312,7 +206,7 @@ final class ContamState(
 
   /** Fold one batch — (doc_id LONG, text STRING) — into the index. */
   def update(batch: DataFrame): UpdateReport = {
-    checkOrWriteMeta()
+    checkMeta()
     val (cur, base) = pointer
     val next = cur + 1
     val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -374,10 +268,7 @@ final class ContamState(
         throw t
       }
     }
-    store.writeAtomic(s"v$next/MANIFEST",
-      counts.map { case (n, c) => s"$n=$c" }.mkString(","))
-    manifests.remove(next)
-    store.writeAtomic("CURRENT", s"$next $base")
+    flipPointer(next, base, counts, Seq.empty)
     cps.foreach(_.unpersist())
     // bounded maintenance, mirroring DedupState: once the reader's
     // delta-union spans the threshold, squash. Runs AFTER the flip, so
@@ -403,13 +294,9 @@ final class ContamState(
       val chk = df.cpInto(cps)
       name -> writeTable(next, name, chk, chk.count())
     }
-    store.writeAtomic(s"v$next/MANIFEST",
-      counts.map { case (n, c) => s"$n=$c" }.mkString(","))
-    manifests.remove(next)
-    store.writeAtomic("CURRENT", s"$next $next")
+    flipPointer(next, next, counts, Seq.empty)
     cps.foreach(_.unpersist())
-    (base to cur).foreach(v => store.deleteRecursive(s"v$v"))
-    (base to cur).foreach(manifests.remove)
+    dropVersions(base, cur, next)
     next
   }
 }

@@ -735,7 +735,8 @@ final class DedupState(
     contentCol: String = "text",
     keyOf: Column => Column = c => md5(c.cast("binary")),
     pairKeep: Option[Column] = None,
-    keepIdentity: Option[String] = None) {
+    keepIdentity: Option[String] = None)
+  extends VersionedStore(spark, rootUri) {
 
   require(autoCompactEvery >= 0, "autoCompactEvery must be >= 0 (0 = off)")
   require(pairKeep.isEmpty || gramsOf.isDefined,
@@ -786,23 +787,19 @@ final class DedupState(
       case e if e.startsWith("keep=") && e != "keep=-" => e.drop(5)
     }).getOrElse(pairKeepId)
 
-  private val store = new Store(rootUri, new Configuration())
-
   // ---- version pointer & metadata ------------------------------------
 
   /** (current version, base version, last idempotency key) — base > 1
     * after a compact. The key is (scope, seq): seq numbers are only
     * comparable within one scope (a streaming sink's checkpoint), so a
     * NEW checkpoint against an existing store starts a new scope
-    * instead of colliding with the old sequence. */
-  private def pointer: (Long, Long, Option[(String, Long)]) =
-    store.readString("CURRENT").map { s =>
-      val p = s.trim.split("\\s+")
-      (p(0).toLong, if (p.length > 1) p(1).toLong else 1L,
-        if (p.length > 3) Some((p(2), p(3).toLong)) else None)
-    }.getOrElse((0L, 1L, None))
-
-  def currentVersion: Long = pointer._1
+    * instead of colliding with the old sequence; it rides the shared
+    * pointer's tail tokens ([[VersionedStore.pointerParts]]). */
+  private def pointer: (Long, Long, Option[(String, Long)]) = {
+    val (cur, base, tail) = pointerParts
+    (cur, base,
+      if (tail.length > 1) Some((tail(0), tail(1).toLong)) else None)
+  }
 
   /** The store's bucket-cap invariant — federation merges require all
     * members to agree ([[DedupState.federatedDocClusters]]). */
@@ -812,13 +809,6 @@ final class DedupState(
     * [[update]], if any. */
   def lastAppliedKey: Option[(String, Long)] = pointer._3
 
-  /** Number of version dirs a reader currently unions — bounded by
-    * `autoCompactEvery` when set. */
-  def liveVersionSpan: Long = {
-    val (cur, base, _) = pointer
-    if (cur == 0) 0L else cur - base + 1
-  }
-
   // keep= carries the admission predicate's 128-bit identity digest
   // (edge-set invariant: reopening a thresholded store with a
   // different — or no — predicate would silently change what an edge
@@ -827,42 +817,23 @@ final class DedupState(
     s"maxBucket=${maxBucket.getOrElse(-1L)},grams=${gramsOf.isDefined}" +
       s",keep=${pairKeepId.getOrElse("-")}"
 
-  private def checkOrWriteMeta(): Unit = store.readString("META") match {
-    case Some(m) =>
-      // back-compat: a store written before the keep= field existed
-      // could not have carried an admission predicate — normalize its
-      // META to keep=- instead of refusing every further update
-      val stored =
-        if (m.trim.contains(",keep=")) m.trim else m.trim + ",keep=-"
-      require(stored == metaLine,
+  private def checkMeta(): Unit =
+    // back-compat: a store written before the keep= field existed
+    // could not have carried an admission predicate — normalize its
+    // META to keep=- instead of refusing every further update
+    checkOrWriteMeta(metaLine,
+      m => if (m.contains(",keep=")) m else m + ",keep=-")(
+      (stored, line) =>
         s"DedupState at $rootUri was built with '$stored', reopened with " +
-          s"'$metaLine' — the bucket cap, gram attribution and pair " +
+          s"'$line' — the bucket cap, gram attribution and pair " +
           "admission are edge-set invariants")
-    case None => store.writeAtomic("META", metaLine)
-  }
-
-  // concurrent: the fold's stage futures construct index-read PLANS
-  // (diskFrame → manifest) on executor-context threads while the main
-  // thread does the same — a TrieMap makes the cache race-free (a
-  // doubly-evaluated read inserts the same value, harmlessly)
-  private val manifests =
-    scala.collection.concurrent.TrieMap.empty[Long, Map[String, Long]]
-  private def manifest(v: Long): Map[String, Long] =
-    manifests.getOrElseUpdate(v,
-      store.readString(s"v$v/MANIFEST").map(_.trim.split(",").collect {
-        case kv if kv.contains("=") =>
-          val Array(n, c) = kv.split("=", 2); n -> c.toLong
-      }.toMap).getOrElse(Map.empty))
-
-  private def emptyFrame(schema: StructType): DataFrame =
-    spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
 
   /** Physical partition column per table (directory-level, so index
     * scans prune to a batch's partitions): the key index by digest
     * prefix, the band/pair indexes by bkey hash bucket. `members` and
     * `labels` stay flat — updates never probe members, and the label
     * frame is read whole (the quotient fold needs arbitrary labels). */
-  private val partitionField: Map[String, (StructField, Column)] = Map(
+  protected val partitionField: Map[String, (StructField, Column)] = Map(
     "groups" -> ((StructField("kp", StringType), keyPrefix(col("k")))),
     "bands" -> ((StructField("bp", IntegerType), bandBucket(col("bkey")))),
     "pairs" -> ((StructField("bp", IntegerType), bandBucket(col("bkey")))),
@@ -870,69 +841,26 @@ final class DedupState(
     // so they bucket on rid — same hash-bucket rationale as bkey
     "feats" -> ((StructField("bp", IntegerType), bandBucket(col("rid")))))
 
-  /** Union of a table's per-version deltas over [base, upTo], WITH the
-    * table's partition column when it has one (each version dir is a
-    * partition-discovery base path, so `kp=`/`bp=` resolve across the
-    * whole delta union). */
-  private def diskFrame(name: String, schema: StructType,
-                        upTo: Long): DataFrame = {
-    val full = partitionField.get(name)
-      .map(f => StructType(schema.fields :+ f._1)).getOrElse(schema)
-    val (_, base, _) = pointer
-    val paths = (base to upTo)
-      .filter(v => manifest(v).getOrElse(name, 0L) > 0)
-      .map(v => store.resolve(s"v$v/$name").toString)
-    if (paths.isEmpty) emptyFrame(full)
-    // one read per version dir, unioned: a single multi-path read
-    // trips partition discovery ("conflicting directory structures" —
-    // the version dirs share no partitioned base), while per-dir reads
-    // each discover their own kp=/bp= dirs and Catalyst pushes
-    // partition filters through the Union into every child scan
-    else paths.map(p => spark.read.schema(full).parquet(p))
-      .reduce(_.unionByName(_))
-  }
-
-  /** [[diskFrame]] with the partition column dropped — the logical
-    * schema every reader and the update math see. */
-  private def tableFrame(name: String, schema: StructType,
-                         upTo: Long): DataFrame = {
-    val df = diskFrame(name, schema, upTo)
-    partitionField.get(name).map(f => df.drop(f._1.name)).getOrElse(df)
-  }
-
   // ---- pruned index scans (the update path's corpus-sided reads) ----
-  // Each returns the logical schema but filters the DISK frame on its
-  // partition column first, so the parquet scan's partitionFilters
-  // prune to the batch's partitions — the 100 TB contract: a daily
-  // batch reads the index partitions it touches, not the corpus.
-  // StatePartitionSpec asserts files-read ∝ touched partitions.
+  // Thin names over [[VersionedStore.touching]]: the logical schema,
+  // disk frame filtered on its partition column first (pruned scans —
+  // StatePartitionSpec asserts files-read ∝ touched partitions).
 
   private[etl] def seenKeysTouching(prefixes: Seq[String],
                                     upTo: Long): DataFrame =
-    diskFrame("groups", GroupsSchema, upTo)
-      .filter(col("kp").isin(prefixes: _*)).drop("kp")
+    touching("groups", GroupsSchema, prefixes, upTo)
 
   private[etl] def bandsTouching(buckets: Seq[Int], upTo: Long): DataFrame =
-    diskFrame("bands", BandsSchema, upTo)
-      .filter(col("bp").isin(buckets: _*)).drop("bp")
+    touching("bands", BandsSchema, buckets, upTo)
 
   private[etl] def pairsTouching(buckets: Seq[Int], upTo: Long): DataFrame =
-    diskFrame("pairs", PairsSchema, upTo)
-      .filter(col("bp").isin(buckets: _*)).drop("bp")
+    touching("pairs", PairsSchema, buckets, upTo)
 
   private[etl] def featsTouching(buckets: Seq[Int], upTo: Long): DataFrame =
-    diskFrame("feats", FeatsSchema, upTo)
-      .filter(col("bp").isin(buckets: _*)).drop("bp")
+    touching("feats", FeatsSchema, buckets, upTo)
       // feats written before the weight column existed read w = null;
       // they were unweighted sets by construction, so w = 1 exactly
       .withColumn("w", coalesce(col("w"), lit(1L)))
-
-  /** The distinct partition values of `c` over `df` — driver-side but
-    * BOUNDED by the partition-value domain (≤ 256), like the engine's
-    * other bounded-bucket collects. */
-  private def partitionValues[T](df: DataFrame, c: Column): Seq[T] =
-    df.select(c.as("p")).distinct().collect()
-      .toSeq.map(_.getAs[T]("p"))
 
   // ---- member-delta reads (the federated merge's fold inputs) --------
   // Rows a table gained in versions (from, upTo] — what [[FedDedupState
@@ -941,34 +869,6 @@ final class DedupState(
   // `from`), this is a direct read of exactly those dirs, ∝ the delta
   // by construction; after a compact squashed them, each table falls
   // back to an exact reconstruction documented at its reader.
-
-  /** This store's root URI — the federation store's member identity
-    * ([[FedDedupState]] keys its per-member fold watermarks by it). */
-  private[etl] def root: String = rootUri
-
-  private def deltaDirs(name: String, schema: StructType,
-                        from: Long, upTo: Long): Option[DataFrame] = {
-    val (_, base, _) = pointer
-    // the window direct-reads version dirs ONLY when every dir in
-    // (from, upTo] is a true delta: a compact's squash dir sits at
-    // `base` (whenever base > 1) and holds the FULL corpus, so any
-    // window reaching back past it — INCLUDING from == base - 1, where
-    // the squash itself is the window — must take the exact fallback
-    // or the caller would re-absorb the whole corpus as a "delta"
-    if (base > 1 && from < base && from < upTo) None
-    else {
-      val full = partitionField.get(name)
-        .map(f => StructType(schema.fields :+ f._1)).getOrElse(schema)
-      val paths = (from + 1 to upTo)
-        .filter(v => manifest(v).getOrElse(name, 0L) > 0)
-        .map(v => store.resolve(s"v$v/$name").toString)
-      val df =
-        if (paths.isEmpty) emptyFrame(full)
-        else paths.map(p => spark.read.schema(full).parquet(p))
-          .reduce(_.unionByName(_))
-      Some(partitionField.get(name).map(f => df.drop(f._1.name)).getOrElse(df))
-    }
-  }
 
   /** Doc rows admitted in (from, upTo] — ver-exact even after a
     * compact (members keep their arrival version through the squash). */
@@ -1008,33 +908,6 @@ final class DedupState(
           .join(newRids.withColumnRenamed("rid", "b"), Seq("b"), "left_semi"))
         .distinct()
     }
-
-  /** Write one table of version `next`: partitioned tables gain their
-    * partition column and repartition BY it first, so each of the
-    * ≤ 256 partition dirs lands as one file per delta instead of one
-    * per writing task (a delta's file count stays ∝ its partition
-    * count, not the writer's parallelism). */
-  private def writeTable(next: Long, name: String, df: DataFrame,
-                         n: Long): Long = {
-    if (n > 0) {
-      val target = store.resolve(s"v$next/$name").toString
-      partitionField.get(name) match {
-        case Some((f, expr)) if n >= DedupState.PartitionMinRows =>
-          df.withColumn(f.name, expr)
-            .repartition(col(f.name))
-            .write.mode("overwrite").partitionBy(f.name).parquet(target)
-        case Some((f, expr)) =>
-          // batch-sized delta: ONE flat file with the partition column
-          // as data (see [[DedupState.PartitionMinRows]]) — the pruned
-          // readers' filter applies to the data column identically
-          df.withColumn(f.name, expr).coalesce(1)
-            .write.mode("overwrite").parquet(target)
-        case None =>
-          df.write.mode("overwrite").parquet(target)
-      }
-    }
-    n
-  }
 
   // ---- readers -------------------------------------------------------
 
@@ -1146,7 +1019,7 @@ final class DedupState(
     * must not contain whitespace. */
   def update(batch: DataFrame,
              idempotencyKey: Option[(String, Long)]): Option[UpdateReport] = {
-    checkOrWriteMeta()
+    checkMeta()
     val (cur, _, lastKey) = pointer
     (idempotencyKey, lastKey) match {
       case (Some((sc, seq)), Some((lsc, lseq))) if sc == lsc && seq <= lseq =>
@@ -1386,12 +1259,9 @@ final class DedupState(
       writeDelta("labels",
         labelDeltas.withColumn("ver", lit(next)), nLabelRows))),
       Duration.Inf)
-    store.writeAtomic(s"v$next/MANIFEST",
-      counts.map { case (n, c) => s"$n=$c" }.mkString(","))
-    manifests.remove(next)
     val keyTail = idempotencyKey.orElse(lastKey)
-      .map { case (sc, seq) => s" $sc $seq" }.getOrElse("")
-    store.writeAtomic("CURRENT", s"$next $base$keyTail")
+      .map { case (sc, seq) => Seq(sc, seq.toString) }.getOrElse(Seq.empty)
+    flipPointer(next, base, counts, keyTail)
     cps.foreach(_.unpersist())
     // bounded maintenance: once the reader's delta-union spans the
     // threshold, squash — the same self-maintenance cadence the
@@ -1457,28 +1327,11 @@ final class DedupState(
         throw t
       }
     }
-    store.writeAtomic(s"v$next/MANIFEST",
-      counts.map { case (n, c) => s"$n=$c" }.mkString(","))
-    manifests.remove(next)
-    val keyTail = lastKey.map { case (sc, seq) => s" $sc $seq" }.getOrElse("")
-    store.writeAtomic("CURRENT", s"$next $next$keyTail")
+    val keyTail = lastKey
+      .map { case (sc, seq) => Seq(sc, seq.toString) }.getOrElse(Seq.empty)
+    flipPointer(next, next, counts, keyTail)
     cps.foreach(_.unpersist())
-    (base to cur).foreach(v => store.deleteRecursive(s"v$v"))
-    (base to cur).foreach(manifests.remove)
-    sweepOrphans(next)
+    dropVersions(base, cur, next)
     next
   }
-
-  /** Reclaim version dirs stranded BELOW the read base (a crash between
-    * a compact's CURRENT flip and its delete loop orphans them
-    * permanently otherwise — invisible by the pointer contract, so the
-    * sweep is always safe). One root listing per compact. */
-  private def sweepOrphans(base: Long): Unit =
-    store.listNames("").foreach { name =>
-      if (name.length > 1 && name.head == 'v' && name.tail.forall(_.isDigit)
-          && name.tail.toLong < base) {
-        store.deleteRecursive(name)
-        manifests.remove(name.tail.toLong)
-      }
-    }
 }

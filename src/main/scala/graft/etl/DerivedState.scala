@@ -117,57 +117,39 @@ final class DerivedState(
     keyCol: String,
     deriveOf: (DataFrame, DataFrame) => DataFrame,
     trainOf: Option[DataFrame => DataFrame] = None,
-    autoCompactEvery: Int = 0) {
+    autoCompactEvery: Int = 0)
+  extends VersionedStore(spark, rootUri) {
 
   require(autoCompactEvery >= 0, "autoCompactEvery must be >= 0 (0 = off)")
 
   import DerivedState._
   import DedupState.Tracked
 
-  private val store = new Store(rootUri, new Configuration())
-
   /** (current version, base version, last idempotency key) — the
     * [[DedupState]] pointer format: the (scope, seq) key rides the
     * atomic CURRENT flip so a crashed foreachBatch replay lands
     * cleanly (see [[update]]'s keyed form). */
-  private def pointer: (Long, Long, Option[(String, Long)]) =
-    store.readString("CURRENT").map { s =>
-      val p = s.trim.split("\\s+")
-      (p(0).toLong, if (p.length > 1) p(1).toLong else 1L,
-        if (p.length > 3) Some((p(2), p(3).toLong)) else None)
-    }.getOrElse((0L, 1L, None))
-
-  def currentVersion: Long = pointer._1
+  private def pointer: (Long, Long, Option[(String, Long)]) = {
+    val (cur, base, tail) = pointerParts
+    (cur, base,
+      if (tail.length > 1) Some((tail(0), tail(1).toLong)) else None)
+  }
 
   /** The last (scope, seq) idempotency key applied by a keyed
     * [[update]], if any. */
   def lastAppliedKey: Option[(String, Long)] = pointer._3
 
-  /** Number of version dirs a reader currently unions. */
-  def liveVersionSpan: Long = {
-    val (cur, base, _) = pointer
-    if (cur == 0) 0L else cur - base + 1
-  }
+  private def checkMeta(): Unit =
+    checkOrWriteMeta(fingerprint.trim)((stored, line) =>
+      s"DerivedState at $rootUri was built by '$stored', reopened by " +
+        s"'$line' — the derivation is a row-semantics invariant")
 
-  private def checkOrWriteMeta(): Unit = store.readString("META") match {
-    case Some(m) =>
-      require(m.trim == fingerprint.trim,
-        s"DerivedState at $rootUri was built by '${m.trim}', reopened by " +
-          s"'${fingerprint.trim}' — the derivation is a row-semantics " +
-          "invariant")
-    case None => store.writeAtomic("META", fingerprint.trim)
-  }
-
-  // concurrent for the same reason as DedupState's: the fold overlaps
-  // a write future with main-thread plan construction
-  private val manifests =
-    scala.collection.concurrent.TrieMap.empty[Long, Map[String, Long]]
-  private def manifest(v: Long): Map[String, Long] =
-    manifests.getOrElseUpdate(v,
-      store.readString(s"v$v/MANIFEST").map(_.trim.split(",").collect {
-        case kv if kv.contains("=") =>
-          val Array(n, c) = kv.split("=", 2); n -> c.toLong
-      }.toMap).getOrElse(Map.empty))
+  /** The caller's schemas are dynamic (persisted as JSON beside the
+    * data — see rememberSchema), so the writes here bypass the base's
+    * static-schema writeTable; the key index still partitions by hash
+    * bucket (`kb`), declared for the shared machinery's benefit. */
+  protected val partitionField: Map[String, (StructField, Column)] = Map(
+    "keys" -> ((StructField("kb", IntegerType), keyBucket(col(keyCol)))))
 
   // ---- schema persistence (dynamic caller schemas, empty-safe reads) --
 
@@ -179,18 +161,10 @@ final class DerivedState(
     store.readString(s"schema/$name.json")
       .map(DataType.fromJson(_).asInstanceOf[StructType])
 
-  private def emptyFrame(schema: StructType): DataFrame =
-    spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-
   private def tableUnion(name: String, upTo: Long,
                          schema: StructType): DataFrame = {
     val (_, base, _) = pointer
-    val paths = (base to upTo)
-      .filter(v => manifest(v).getOrElse(name, 0L) > 0)
-      .map(v => store.resolve(s"v$v/$name").toString)
-    if (paths.isEmpty) emptyFrame(schema)
-    else paths.map(p => spark.read.schema(schema).parquet(p))
-      .reduce(_.unionByName(_))
+    unionReadAs(name, schema, base to upTo)
   }
 
   // ---- readers -------------------------------------------------------
@@ -281,13 +255,9 @@ final class DerivedState(
 
   private def finishVersion(next: Long, base: Long,
                             counts: Seq[(String, Long)],
-                            key: Option[(String, Long)]): Unit = {
-    store.writeAtomic(s"v$next/MANIFEST",
-      counts.map { case (n, c) => s"$n=$c" }.mkString(","))
-    manifests.remove(next)
-    val keyTail = key.map { case (sc, seq) => s" $sc $seq" }.getOrElse("")
-    store.writeAtomic("CURRENT", s"$next $base$keyTail")
-  }
+                            key: Option[(String, Long)]): Unit =
+    flipPointer(next, base, counts,
+      key.map { case (sc, seq) => Seq(sc, seq.toString) }.getOrElse(Seq.empty))
 
   // ---- train (artifact generation boundary) --------------------------
 
@@ -299,7 +269,7 @@ final class DerivedState(
   def train(corpus: DataFrame): Long = {
     val t = trainOf.getOrElse(throw new IllegalStateException(
       s"DerivedState at $rootUri has no trainer (pure-append store)"))
-    checkOrWriteMeta()
+    checkMeta()
     val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val arts = t(corpus).cpInto(cps)
     val v = installArtifacts(arts, expectDigest = None)
@@ -325,7 +295,7 @@ final class DerivedState(
         s"('${from.derivationFingerprint}' into '$derivationFingerprint')")
     val theirs = from.artifactDigest.getOrElse(throw new IllegalStateException(
       "source DerivedState has no trained artifacts to adopt"))
-    checkOrWriteMeta()
+    checkMeta()
     val cps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val arts = from.artifacts().cpInto(cps)
     val v = installArtifacts(arts, expectDigest = Some(theirs))
@@ -350,11 +320,7 @@ final class DerivedState(
       .parquet(store.resolve(s"v$next/artifacts").toString)
     store.writeAtomic(s"v$next/ARTDIGEST", digest)
     finishVersion(next, next, Seq("artifacts" -> nArts), lastKey)
-    if (cur > 0) {
-      (base to cur).foreach(v => store.deleteRecursive(s"v$v"))
-      (base to cur).foreach(manifests.remove)
-    }
-    sweepOrphans(next)
+    dropVersions(base, cur, next)
     next
   }
 
@@ -375,7 +341,7 @@ final class DerivedState(
     * not contain whitespace. */
   def update(batch: DataFrame,
              idempotencyKey: Option[(String, Long)]): Option[UpdateReport] = {
-    checkOrWriteMeta()
+    checkMeta()
     require(trainOf.isEmpty || currentVersion > 0,
       s"DerivedState at $rootUri requires train() before update()")
     val (cur, base, lastKey) = pointer
@@ -481,24 +447,7 @@ final class DerivedState(
       "artifacts" -> nArts)
     finishVersion(next, next, counts, lastKey)
     cps.foreach(_.unpersist())
-    (base to cur).foreach(v => store.deleteRecursive(s"v$v"))
-    (base to cur).foreach(manifests.remove)
-    sweepOrphans(next)
+    dropVersions(base, cur, next)
     next
   }
-
-  /** Reclaim version dirs stranded BELOW the read base: a crash between
-    * a train/compact's CURRENT flip and its delete loop orphans the old
-    * v{base..cur} dirs permanently — later compacts only reclaim from
-    * the already-advanced base. Dirs below the base are invisible by
-    * the pointer contract, so sweeping them is always safe; one root
-    * listing per compact. */
-  private def sweepOrphans(base: Long): Unit =
-    store.listNames("").foreach { name =>
-      if (name.length > 1 && name.head == 'v' && name.tail.forall(_.isDigit)
-          && name.tail.toLong < base) {
-        store.deleteRecursive(name)
-        manifests.remove(name.tail.toLong)
-      }
-    }
 }

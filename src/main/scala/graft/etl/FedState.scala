@@ -8,11 +8,9 @@ import org.apache.spark.sql.types._
 import graft.storage.Store
 
 /** Shared plumbing of the INCREMENTAL FEDERATION stores
-  * ([[FedDedupState]], [[FedContamState]]): the same versioned-parquet
-  * layout as the member stores — per-version delta dirs under an atomic
-  * CURRENT pointer, per-version MANIFEST row counts, physical partition
-  * columns on the corpus-sided tables — plus the federation-specific
-  * pointer payload: ONE FOLD WATERMARK PER MEMBER ("cur w0 w1 …",
+  * ([[FedDedupState]], [[FedContamState]]) on top of the one
+  * [[VersionedStore]] machinery: the federation-specific pointer
+  * payload is ONE FOLD WATERMARK PER MEMBER ("cur base w0 w1 …",
   * member order fixed by META), so a fold knows exactly which member
   * versions it has already absorbed and a replay after a crash between
   * data writes and the flip re-folds the same member deltas into an
@@ -24,23 +22,10 @@ import graft.storage.Store
   * and advance the read base — the [[DedupState.compact]] shape, run
   * on the `autoCompactEvery` cadence when set, so a streaming-cadence
   * federation bounds its reader's union width like the member stores.
-  *
-  * KNOWN DEBT: this base is the third copy of the versioned-dir read/
-  * write machinery ([[DedupState]] and [[ContamState]] each carry
-  * their own, predating it), and the member-side deltaDirs readers are
-  * twinned across those two classes. Folding all three onto one shared
-  * versioned-store base is a mechanical refactor deferred because it
-  * rewrites the two most battle-tested files in the store layer; until
-  * then, window/boundary fixes must land in every copy (the round-15
-  * compact-boundary fix did — grep `from < base`).
   */
 private[etl] abstract class FedStoreBase(
-    protected val spark: SparkSession, rootUri: String) {
-
-  protected val store = new Store(rootUri, new Configuration())
-
-  /** The federation store's root — its identity for views/daemons. */
-  def root: String = rootUri
+    sparkSession: SparkSession, rootUri: String)
+  extends VersionedStore(sparkSession, rootUri) {
 
   /** 128-bit identity of a member root URI — member-list entries in
     * META (root URIs may contain commas; digests never do). */
@@ -51,28 +36,22 @@ private[etl] abstract class FedStoreBase(
 
   // ---- version pointer: "cur base w0 w1 …" ----------------------------
 
-  protected def pointer: (Long, Long, Seq[Long]) =
-    store.readString("CURRENT").map { s =>
-      val p = s.trim.split("\\s+")
-      require(p.length >= 2, s"malformed federation CURRENT '$s'")
-      val (cur, base) = (p(0).toLong, p(1).toLong)
-      // format sanity: base ∈ [1, cur] always — a token stream that
-      // violates it (e.g. a pre-base-format pointer whose first
-      // watermark lands in the base slot) must fail LOUDLY here, not
-      // misparse into empty reads or a corpus re-absorption
-      require(base >= 1 && base <= cur,
-        s"federation CURRENT '$s' at $rootUri does not parse as " +
-          "'cur base w0 w1 …' — refusing rather than misreading")
-      (cur, base, p.drop(2).toSeq.map(_.toLong))
-    }.getOrElse((0L, 1L, Seq.empty))
+  /** Format sanity on EVERY parse: base ∈ [1, cur] always — a token
+    * stream that violates it (e.g. a pre-base-format pointer whose
+    * first watermark lands in the base slot) must fail LOUDLY here,
+    * not misparse into empty reads or a corpus re-absorption. */
+  protected override def validatePointer(p: Seq[String]): Unit = {
+    val s = p.mkString(" ")
+    require(p.length >= 2, s"malformed federation CURRENT '$s'")
+    val (cur, base) = (p(0).toLong, p(1).toLong)
+    require(base >= 1 && base <= cur,
+      s"federation CURRENT '$s' at $rootUri does not parse as " +
+        "'cur base w0 w1 …' — refusing rather than misreading")
+  }
 
-  def currentVersion: Long = pointer._1
-
-  /** Number of version dirs a reader currently unions — bounded by
-    * `autoCompactEvery` when set. */
-  def liveVersionSpan: Long = {
-    val (cur, base, _) = pointer
-    if (cur == 0) 0L else cur - base + 1
+  protected def pointer: (Long, Long, Seq[Long]) = {
+    val (cur, base, tail) = pointerParts
+    (cur, base, tail.map(_.toLong))
   }
 
   /** Per-member fold watermarks (member versions already absorbed),
@@ -89,101 +68,17 @@ private[etl] abstract class FedStoreBase(
     }
   }
 
-  // ---- per-version tables (the DedupState layout, shared) -------------
-
-  protected def partitionField: Map[String, (StructField, Column)]
-
-  private val manifests =
-    scala.collection.concurrent.TrieMap.empty[Long, Map[String, Long]]
-  private def manifest(v: Long): Map[String, Long] =
-    manifests.getOrElseUpdate(v,
-      store.readString(s"v$v/MANIFEST").map(_.trim.split(",").collect {
-        case kv if kv.contains("=") =>
-          val Array(n, c) = kv.split("=", 2); n -> c.toLong
-      }.toMap).getOrElse(Map.empty))
-
-  protected def emptyFrame(schema: StructType): DataFrame =
-    spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-
-  /** Union of a table's per-version deltas over [base, upTo] — one
-    * read per version dir (multi-path partition discovery conflicts;
-    * see [[DedupState]]'s diskFrame for the full rationale). */
-  protected def diskFrame(name: String, schema: StructType,
-                          upTo: Long): DataFrame = {
-    val full = partitionField.get(name)
-      .map(f => StructType(schema.fields :+ f._1)).getOrElse(schema)
-    val (_, base, _) = pointer
-    val paths = (base to upTo)
-      .filter(v => manifest(v).getOrElse(name, 0L) > 0)
-      .map(v => store.resolve(s"v$v/$name").toString)
-    if (paths.isEmpty) emptyFrame(full)
-    else paths.map(p => spark.read.schema(full).parquet(p))
-      .reduce(_.unionByName(_))
-  }
-
-  protected def tableFrame(name: String, schema: StructType,
-                           upTo: Long): DataFrame = {
-    val df = diskFrame(name, schema, upTo)
-    partitionField.get(name).map(f => df.drop(f._1.name)).getOrElse(df)
-  }
-
-  /** Write one table of version `next` — partitioned when large, one
-    * flat file carrying the partition column as data when batch-sized
-    * (the member stores' LSM shape, same threshold). */
-  protected def writeTable(next: Long, name: String, df: DataFrame,
-                           n: Long): Long = {
-    if (n > 0) {
-      val target = store.resolve(s"v$next/$name").toString
-      partitionField.get(name) match {
-        case Some((f, expr)) if n >= DedupState.PartitionMinRows =>
-          df.withColumn(f.name, expr)
-            .repartition(col(f.name))
-            .write.mode("overwrite").partitionBy(f.name).parquet(target)
-        case Some((f, expr)) =>
-          df.withColumn(f.name, expr).coalesce(1)
-            .write.mode("overwrite").parquet(target)
-        case None =>
-          df.write.mode("overwrite").parquet(target)
-      }
-    }
-    n
-  }
-
-  /** Flip to version `next` with the given read base and member
-    * watermarks: data dirs → MANIFEST → CURRENT, the crash contract of
-    * every store here (an orphan v{next} is invisible and overwritten
-    * on retry). */
+  /** [[VersionedStore.flipPointer]] with the watermarks as the pointer
+    * tail. */
   protected def flip(next: Long, base: Long, counts: Seq[(String, Long)],
-                     wms: Seq[Long]): Unit = {
-    store.writeAtomic(s"v$next/MANIFEST",
-      counts.map { case (n, c) => s"$n=$c" }.mkString(","))
-    manifests.remove(next)
-    store.writeAtomic("CURRENT", (Seq(next, base) ++ wms).mkString(" "))
-  }
+                     wms: Seq[Long]): Unit =
+    flipPointer(next, base, counts, wms.map(_.toString))
 
-  protected def dropManifest(v: Long): Unit = manifests.remove(v)
-
-  /** Reclaim version dirs stranded BELOW the read base (the
-    * [[DedupState]] sweep: a crash between a compact's flip and its
-    * delete loop orphans them; invisible by the pointer contract, so
-    * always safe). */
-  protected def sweepOrphans(base: Long): Unit =
-    store.listNames("").foreach { name =>
-      if (name.length > 1 && name.head == 'v' && name.tail.forall(_.isDigit)
-          && name.tail.toLong < base) {
-        store.deleteRecursive(name)
-        manifests.remove(name.tail.toLong)
-      }
-    }
-
-  protected def checkOrWriteMeta(metaLine: String): Unit =
-    store.readString("META") match {
-      case Some(m) => require(m.trim == metaLine,
-        s"federation store at $rootUri was built with '${m.trim}', " +
-          s"reopened with '$metaLine' — membership and edge-set " +
-          "invariants are fixed at store creation")
-      case None => store.writeAtomic("META", metaLine)
-    }
+  protected def checkFedMeta(metaLine: String): Unit =
+    checkOrWriteMeta(metaLine)((stored, line) =>
+      s"federation store at $rootUri was built with '$stored', " +
+        s"reopened with '$line' — membership and edge-set " +
+        "invariants are fixed at store creation")
 
   /** Persist the member ROOT URIs (one per line) beside META, so a
     * daemon can reconstruct read handles from the store root alone
@@ -192,12 +87,6 @@ private[etl] abstract class FedStoreBase(
   protected def writeMembersFile(roots: Seq[String]): Unit =
     if (!store.exists("MEMBERS"))
       store.writeAtomic("MEMBERS", roots.mkString("\n"))
-
-  /** Distinct partition values of `c` over `df` — driver-side but
-    * bounded by the partition-value domain (≤ 256). */
-  protected def partitionValues[T](df: DataFrame, c: Column): Seq[T] =
-    df.select(c.as("p")).distinct().collect()
-      .toSeq.map(_.getAs[T]("p"))
 }
 
 object FedDedupState {
@@ -402,6 +291,33 @@ final class FedDedupState(
       .distinct()
   }
 
+  /** Live co-occupancy MULTIPLICITY per CANONICAL pair — (a, b,
+    * n_shared): the federated [[DedupState.livePairCounts]], the
+    * winnow-match read. A single store over the union corpus holds ONE
+    * live provenance row per (pair, bucket); here the same co-occupancy
+    * may arrive several times — one member pair row per member holding
+    * both contents, plus cross rows between every rep combination — so
+    * the count is over DISTINCT (canonical a, canonical b, bkey)
+    * triples, which is exactly the single-store row set: banding is
+    * pure content, so every member rep of a content occupies the same
+    * buckets, and the canonical mapping collapses the rep multiplicity
+    * the federation introduced. Same-content pairs collapse to self
+    * and drop; dead buckets' rows are excluded (retroactive cap),
+    * exactly the member-store read. */
+  def livePairCounts(upTo: Long = currentVersion): DataFrame = {
+    val m = fedGroups(upTo).join(canon(upTo), "k")
+      .select(col("rid"), col("crid"))
+    fedPairs(upTo).join(dropped(upTo), Seq("bkey"), "left_anti")
+      .select("a", "b", "bkey")
+      .join(m.select(col("rid").as("a"), col("crid").as("ca")), "a")
+      .join(m.select(col("rid").as("b"), col("crid").as("cb")), "b")
+      .filter(col("ca") =!= col("cb"))
+      .select(least(col("ca"), col("cb")).as("a"),
+        greatest(col("ca"), col("cb")).as("b"), col("bkey"))
+      .distinct()
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Canonical per-rep feature summary — (rid, n, nb), [[DedupState
     * .federatedFeatSizes]]'s result: sizes are pure content functions,
     * read from the members' fsizes tables (narrow, one row per rep)
@@ -435,7 +351,7 @@ final class FedDedupState(
     * when every member is already absorbed. */
   def fold(): Option[FoldReport] = {
     val (cap, grams, keepCol) = parity
-    checkOrWriteMeta(metaLine)
+    checkFedMeta(metaLine)
     writeMembersFile(members.map(_.root))
     val (cur, base, _) = pointer
     val wms = watermarks(members.size)
@@ -680,9 +596,7 @@ final class FedDedupState(
     }
     flip(next, next, counts, wms)
     cps.foreach(_.unpersist())
-    (base to cur).foreach(v => store.deleteRecursive(s"v$v"))
-    (base to cur).foreach(dropManifest)
-    sweepOrphans(next)
+    dropVersions(base, cur, next)
     next
   }
 }
@@ -780,7 +694,7 @@ final class FedContamState(
 
   /** Fold every member's unabsorbed versions — cost ∝ the deltas. */
   def fold(): Option[FoldReport] = {
-    checkOrWriteMeta(metaLine)
+    checkFedMeta(metaLine)
     writeMembersFile(members.map(_.root))
     val (cur, base, _) = pointer
     val wms = watermarks(members.size)
@@ -877,9 +791,7 @@ final class FedContamState(
       }
     flip(next, next, counts, wms)
     cps.foreach(_.unpersist())
-    (base to cur).foreach(v => store.deleteRecursive(s"v$v"))
-    (base to cur).foreach(dropManifest)
-    sweepOrphans(next)
+    dropVersions(base, cur, next)
     next
   }
 }

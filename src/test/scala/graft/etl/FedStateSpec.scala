@@ -304,6 +304,87 @@ class FedStateSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getString(0), r.getString(1))).toSet === postsBefore)
   }
 
+  test("winnow-match family: staged folds serve the single-store pair " +
+      "counts (livePairCounts over canonical rids, global df cap)") {
+    val ss = spark; import ss.implicits._
+    // one bucket per content FEATURE (the winnow-fingerprint shape:
+    // bkey = fingerprint), so livePairCounts = |shared under-cap
+    // features| — 3-char word features here
+    val wordBands: DataFrame => DataFrame = docs =>
+      docs.select(col("doc_id"),
+          explode(expr("filter(split(text, ' '), x -> length(x) > 0)"))
+            .as("bkey"))
+        .distinct()
+    val cap = Some(3L)
+    val d = Seq(
+      (1L, "aa bb cc dd"), (2L, "aa bb cc ee"), (3L, "bb cc ff"),
+      (4L, "aa gg"), (5L, "gg hh"), (6L, "hh ii jj"),
+      // shared content across members (star collapse + rep dup rows)
+      (7L, "aa bb cc dd"), (8L, "bb cc ff"))
+      .toDF("doc_id", "text").localCheckpoint()
+    // parity split puts the content of docs 1/7 and 3/8 in BOTH members
+    val a = new DedupState(spark, tmpRoot(), wordBands, cap)
+    val b = new DedupState(spark, tmpRoot(), wordBands, cap)
+    val fed = new FedDedupState(spark, tmpRoot(), Seq(a, b))
+    // staged: "aa" has df 3 (contents 1,2,4) after stage 1+2 and the
+    // cap is 3 — a later fold must NOT have over-counted, and "bb"/"cc"
+    // (df 3 of contents 1,2,3) stay live though 5 member reps band them
+    a.update(d.filter(col("doc_id") % 2 === 1 && col("doc_id") <= 4))
+    fed.fold()
+    b.update(d.filter(col("doc_id") % 2 === 0 && col("doc_id") <= 4))
+    a.update(d.filter(col("doc_id") % 2 === 1 && col("doc_id") > 4))
+    fed.fold()
+    b.update(d.filter(col("doc_id") % 2 === 0 && col("doc_id") > 4))
+    fed.fold()
+    assert(fed.fold().isEmpty)
+    // the comparator: ONE store over the union corpus — its rep ids
+    // are the global min doc_id per content, i.e. the canonical rids
+    val one = new DedupState(spark, tmpRoot(), wordBands, cap)
+    one.update(d)
+    def counts(df: DataFrame): Set[(Long, Long, Long)] = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = counts(one.livePairCounts())
+    assert(want.nonEmpty, "fixture must produce shared-feature pairs")
+    assert(counts(fed.livePairCounts()) === want)
+    // and survives the federation's own compact
+    fed.compact()
+    assert(counts(fed.livePairCounts()) === want)
+  }
+
+  test("mid-fold member compact guard: a delta window entirely below " +
+      "the compacted base fails loudly instead of folding nothing") {
+    val ss = spark; import ss.implicits._
+    val prefixBands: DataFrame => DataFrame = docs =>
+      docs.select(col("doc_id"), substring(col("text"), 1, 3).as("bkey"))
+    val st = new DedupState(spark, tmpRoot(), prefixBands)
+    st.update(Seq((1L, "one alpha")).toDF("doc_id", "text"))
+    st.update(Seq((2L, "two beta")).toDF("doc_id", "text"))
+    st.update(Seq((3L, "three gamma")).toDF("doc_id", "text"))
+    // a federation fold pins upTo = 3 here, then the member compacts:
+    // base becomes 4, so the fallback's [base, upTo] union would be
+    // EMPTY — a silent all-zero "delta" that advances the watermark
+    // past rows it never absorbed. The reader must throw for a retry.
+    st.compact()
+    for (read <- Seq[(Long, Long) => org.apache.spark.sql.DataFrame](
+        st.membersDelta, st.groupsDelta, st.bandsDelta, st.pairsDelta)) {
+      val e = intercept[IllegalArgumentException](read(1L, 3L))
+      assert(e.getMessage.contains("compacted past"),
+        s"expected the loud mid-fold-compact refusal, got: ${e.getMessage}")
+    }
+    // a window that reaches the squash still reads (the exact fallback)
+    assert(st.membersDelta(1L, st.currentVersion).count() === 2L)
+    // the contamination twins share the one deltaDirs copy — prove the
+    // guard holds there too
+    val grams: DataFrame => DataFrame = texts =>
+      texts.select(col("k"), col("text").as("g"))
+    val ct = new ContamState(spark, tmpRoot(), grams, dfCap = 5L)
+    ct.update(Seq((1L, "alpha")).toDF("doc_id", "text"))
+    ct.update(Seq((2L, "beta")).toDF("doc_id", "text"))
+    ct.compact()
+    val e = intercept[IllegalArgumentException](ct.textsDelta(0L, 1L))
+    assert(e.getMessage.contains("compacted past"))
+  }
+
   test("store-read plan guardrail: every federation read stays equi-keyed") {
     val bandsOf = graft.queries.EtlQueries.bandKeys _
     val d = fixtureDocs.limit(80).localCheckpoint()
