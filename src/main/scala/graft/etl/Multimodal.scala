@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   *     offsets), the shape any container format needs;
   *   - [[PngCodec]]: full gray8 PNG — CRC-verified chunk walk, real
   *     zlib inflate, all five scanline filters;
-  *   - [[JpegCodec]]: baseline-sequential grayscale JPEG — marker
-  *     segments, canonical Huffman entropy decode, byte-stuffing,
-  *     restart resync, dequant + zigzag + full 2-D IDCT.
+  *   - [[JpegCodec]]: baseline-sequential JPEG, grayscale AND
+  *     3-component YCbCr (4:4:4 / 4:2:2 / 4:2:0 — the dominant crawl
+  *     shapes) — marker segments, canonical Huffman entropy decode,
+  *     byte-stuffing, restart resync, dequant + zigzag + full 2-D
+  *     IDCT, triangle chroma upsampling, libjpeg fixed-point
+  *     YCbCr→RGB.
   *
   * The only simplified piece is the feature extractor, which projects
   * payload bytes instead of running a learned embedding model (none
@@ -454,6 +457,80 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** Container bytes before the entropy-coded data of a COLOR
+      * (3-component 4:4:4) container: the gray layout + 6 bytes of SOF
+      * component entries + 4 of SOS selectors (SOF body 15 → 19-byte
+      * segment; SOS body 10 → 14). */
+    val HeaderSizeColor: Int = 2 + 69 + 19 + 33 + 183 + 6 + 14
+
+    /** Encode a grid of CONSTANT 8×8 YCbCr blocks, 4:4:4 (one block
+      * per component per MCU): `yGrays(r·w + c)` is the luma of block
+      * (r, c); `cb`/`cr` are the image-wide chroma values. Same
+      * deterministic design as [[encode]] — flat quant, DRI = 1, DC
+      * multiples of 8 — so the pixel roundtrip is exact and the byte
+      * cost closed-form (the q_multimodal oracle's arithmetic). */
+    def encodeColor(wBlocks: Int, hBlocks: Int, yGrays: Array[Byte],
+                    cb: Int, cr: Int): Array[Byte] = {
+      require(wBlocks >= 1 && hBlocks >= 1,
+        s"bad block grid ${wBlocks}x$hBlocks")
+      require(yGrays.length == wBlocks * hBlocks,
+        s"need ${wBlocks * hBlocks} block lumas, got ${yGrays.length}")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0xff); out.write(0xd8) // SOI
+      out.write(segment(0xdb, (Array(0) ++ Array.fill(64)(1))
+        .map(_.toByte)))
+      // SOF0: three components (YCbCr by convention), all 1×1 (4:4:4),
+      // one shared flat quant table
+      val h = 8 * hBlocks; val w = 8 * wBlocks
+      out.write(segment(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff,
+        3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0).map(_.toByte)))
+      out.write(segment(0xc4,
+        (Array(0x00) ++ DcBits ++ DcVals).map(_.toByte)))
+      out.write(segment(0xc4,
+        (Array(0x10) ++ AcBits ++ AcVals).map(_.toByte)))
+      out.write(segment(0xdd, Array(0, 1).map(_.toByte)))
+      // SOS: all three components on the shared DC/AC tables
+      out.write(segment(0xda,
+        Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0).map(_.toByte)))
+      val m = wBlocks * hBlocks
+      var i = 0
+      while (i < m) {
+        var acc = 0L
+        var nbits = 0
+        def put(code: Int, len: Int): Unit = {
+          acc = (acc << len) | (code & ((1L << len) - 1)); nbits += len
+        }
+        def putDc(value: Int): Unit = {
+          val diff = 8 * (value - 128) // DC pred reset per MCU (DRI 1)
+          val cat = if (diff == 0) 0 else 64 - java.lang.Long
+            .numberOfLeadingZeros(math.abs(diff).toLong).toInt
+          val (code, len) = DcCodes(cat)
+          put(code, len)
+          if (cat > 0)
+            put(if (diff > 0) diff else diff - 1, cat)
+          put(AcEob._1, AcEob._2)
+        }
+        putDc(yGrays(i) & 0xff)
+        putDc(cb)
+        putDc(cr)
+        val nBytes = (nbits + 7) / 8
+        acc <<= (8 * nBytes - nbits)
+        var b = nBytes - 1
+        while (b >= 0) {
+          val v = ((acc >> (8 * b)) & 0xff).toInt
+          require(v != 0xff,
+            "entropy byte 0xFF would need stuffing — outside the " +
+              "encoder's deterministic domain")
+          out.write(v)
+          b -= 1
+        }
+        if (i < m - 1) { out.write(0xff); out.write(0xd0 + (i % 8)) }
+        i += 1
+      }
+      out.write(0xff); out.write(0xd9) // EOI
+      out.toByteArray
+    }
+
     /** Canonical Huffman DECODE tables: per code length, (first code,
       * first value index); values in HUFFVAL order. */
     private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
@@ -528,24 +605,46 @@ object Multimodal {
       * quant table, AC coefficients, ZRL runs, any restart interval.
       * Throws on anything malformed or unsupported (progressive,
       * multi-component), never passes zeros through. */
+    /** One frame component's header state: sampling factors, quant
+      * selector, and (from SOS) entropy-table selectors. */
+    private final class Comp(val id: Int, val h: Int, val v: Int,
+                             val tq: Int) {
+      var dcSel: Int = 0
+      var acSel: Int = 0
+    }
+
     def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
       require(payload.length >= 4 && (payload(0) & 0xff) == 0xff &&
         (payload(1) & 0xff) == 0xd8,
         s"not a JPEG payload (${payload.length} bytes)")
       var pos = 2
       var width = -1; var height = -1
-      var qtSel = 0
+      var comps: Array[Comp] = null
       val quant = scala.collection.mutable.Map.empty[Int, Array[Int]]
       val dcTables = scala.collection.mutable.Map.empty[Int, HuffTable]
       val acTables = scala.collection.mutable.Map.empty[Int, HuffTable]
       var restartInterval = 0
-      var dcSel = 0; var acSel = 0
       var scanAt = -1
       while (scanAt < 0) {
-        require(pos + 4 <= payload.length, "truncated JPEG markers")
+        require(pos + 2 <= payload.length, "truncated JPEG markers")
         require((payload(pos) & 0xff) == 0xff,
           s"expected a marker at $pos")
+        // runs of 0xff are LEGAL FILL before a marker id (ITU T.81
+        // B.1.1.2) — consume them, or the fill byte would be read as
+        // the id and the following id as a length high byte
+        while (pos + 1 < payload.length && (payload(pos + 1) & 0xff) == 0xff)
+          pos += 1
+        require(pos + 2 <= payload.length, "truncated JPEG markers")
         val marker = payload(pos + 1) & 0xff
+        // length-less markers: TEM (0x01) and RSTn (0xd0–0xd7) carry
+        // no segment — fabricating a "length" from the next two bytes
+        // mis-skips the stream into a confusing downstream failure.
+        // An EOI before any SOS means the stream has no scan: say so.
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+          pos += 2
+        } else {
+        require(marker != 0xd9, "JPEG ended (EOI) before any SOS scan")
+        require(pos + 4 <= payload.length, "truncated JPEG markers")
         val len = ((payload(pos + 2) & 0xff) << 8) | (payload(pos + 3) & 0xff)
         val body = pos + 4
         marker match {
@@ -564,11 +663,23 @@ object Multimodal {
               (payload(body + 2) & 0xff)
             width = ((payload(body + 3) & 0xff) << 8) |
               (payload(body + 4) & 0xff)
-            require((payload(body + 5) & 0xff) == 1,
-              "grayscale decoder: expected exactly one component")
-            require((payload(body + 7) & 0xff) == 0x11,
-              "unsupported subsampling")
-            qtSel = payload(body + 8) & 0x0f
+            val nf = payload(body + 5) & 0xff
+            require(nf == 1 || nf == 3,
+              s"unsupported component count $nf (grayscale or YCbCr)")
+            comps = Array.tabulate(nf) { c =>
+              val o = body + 6 + 3 * c
+              val hv = payload(o + 1) & 0xff
+              new Comp(payload(o) & 0xff, hv >> 4, hv & 0x0f,
+                payload(o + 2) & 0x0f)
+            }
+            // sampling factors 1 or 2 cover the crawl-dominant shapes:
+            // 4:4:4 (1,1,1), 4:2:2 (Y 2×1), 4:2:0 (Y 2×2)
+            comps.foreach(c => require(
+              c.h >= 1 && c.h <= 2 && c.v >= 1 && c.v <= 2,
+              s"unsupported sampling factor ${c.h}x${c.v}"))
+            if (nf == 1)
+              require(comps(0).h == 1 && comps(0).v == 1,
+                "unsupported subsampling")
           case 0xc4 => // DHT (possibly several tables per segment)
             var p = body
             while (p < pos + 2 + len) {
@@ -585,10 +696,22 @@ object Multimodal {
             restartInterval = ((payload(body) & 0xff) << 8) |
               (payload(body + 1) & 0xff)
           case 0xda => // SOS
-            require((payload(body) & 0xff) == 1,
-              "grayscale decoder: expected a one-component scan")
-            dcSel = (payload(body + 2) & 0xff) >> 4
-            acSel = payload(body + 2) & 0x0f
+            require(comps != null, "SOS before SOF0")
+            val ns = payload(body) & 0xff
+            require(ns == comps.length,
+              "baseline single-scan decoder: the scan must interleave " +
+                s"all ${comps.length} frame components, got $ns")
+            var i = 0
+            while (i < ns) {
+              val cid = payload(body + 1 + 2 * i) & 0xff
+              val sel = payload(body + 2 + 2 * i) & 0xff
+              val c = comps.find(_.id == cid).getOrElse(
+                throw new IllegalArgumentException(
+                  s"SOS names unknown component $cid"))
+              c.dcSel = sel >> 4
+              c.acSel = sel & 0x0f
+              i += 1
+            }
             scanAt = pos + 2 + len
           case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
             throw new IllegalArgumentException(
@@ -596,25 +719,31 @@ object Multimodal {
           case _ => () // APPn / COM / anything ancillary: skip
         }
         if (scanAt < 0) pos += 2 + len
+        }
       }
       require(width > 0 && height > 0, "JPEG payload missing SOF0")
-      val qt = quant.getOrElse(qtSel,
-        throw new IllegalArgumentException("missing quant table"))
-      val dcT = dcTables.getOrElse(dcSel,
-        throw new IllegalArgumentException("missing DC Huffman table"))
-      val acT = acTables.getOrElse(acSel,
-        throw new IllegalArgumentException("missing AC Huffman table"))
-      val wB = (width + 7) / 8
-      val hB = (height + 7) / 8
-      val out = new Array[Byte](width * height)
+      val hmax = comps.map(_.h).max
+      val vmax = comps.map(_.v).max
+      val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+      val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+      // per-component PADDED plane (whole MCU grid; cropped at assembly)
+      val planeW = comps.map(c => mcusX * c.h * 8)
+      val planes = comps.zipWithIndex.map { case (c, i) =>
+        new Array[Byte](planeW(i) * mcusY * c.v * 8) }
+      val qts = comps.map(c => quant.getOrElse(c.tq,
+        throw new IllegalArgumentException("missing quant table")))
+      val dcTs = comps.map(c => dcTables.getOrElse(c.dcSel,
+        throw new IllegalArgumentException("missing DC Huffman table")))
+      val acTs = comps.map(c => acTables.getOrElse(c.acSel,
+        throw new IllegalArgumentException("missing AC Huffman table")))
       val in = new BitReader(payload, scanAt)
       val coef = new Array[Int](64)
       // precomputed cosine basis: idct(x,u) = cos((2x+1)·u·π/16)
       val cosT = Array.tabulate(8, 8)((x, u) =>
         math.cos((2 * x + 1) * u * math.Pi / 16.0))
-      var pred = 0
+      val preds = new Array[Int](comps.length)
       var mcu = 0
-      val mcus = wB * hB
+      val mcus = mcusX * mcusY
       while (mcu < mcus) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           in.align()
@@ -624,75 +753,196 @@ object Multimodal {
               0xd0 + ((mcu / restartInterval - 1) % 8),
             s"expected restart marker before MCU $mcu")
           in.pos += 2
-          pred = 0
+          java.util.Arrays.fill(preds, 0)
         }
-        java.util.Arrays.fill(coef, 0)
-        val t = dcT.decode(in)
-        pred += extend(in.receive(t), t)
-        coef(0) = pred * qt(0)
-        var k = 1
-        var nAc = 0
-        var eob = false
-        while (!eob && k <= 63) {
-          val rs = acT.decode(in)
-          if (rs == 0x00) eob = true
-          else if (rs == 0xf0) k += 16
-          else {
-            k += (rs >> 4)
-            require(k <= 63, "AC run past the block")
-            coef(ZigZag(k)) = extend(in.receive(rs & 15), rs & 15) * qt(k)
-            nAc += 1
-            k += 1
-          }
-        }
-        val bx = (mcu % wB) * 8
-        val by = (mcu / wB) * 8
-        if (nAc == 0) {
-          // DC-only block (the deterministic-encoder shape, and common
-          // in smooth regions generally): the IDCT of a lone DC is the
-          // constant DC/8 — skip the 64×64 basis loop per block
-          val px = math.max(0, math.min(255,
-            math.round(coef(0) / 8.0 + 128).toInt)).toByte
-          var y = 0
-          while (y < 8 && by + y < height) {
-            var x = 0
-            while (x < 8 && bx + x < width) {
-              out((by + y) * width + bx + x) = px
-              x += 1
-            }
-            y += 1
-          }
-        } else {
-          // 2-D IDCT + level shift, cropped to the image rectangle
-          var y = 0
-          while (y < 8 && by + y < height) {
-            var x = 0
-            while (x < 8 && bx + x < width) {
-              var s = 0.0
-              var u = 0
-              while (u < 8) {
-                var v = 0
-                while (v < 8) {
-                  val c = coef(v * 8 + u)
-                  if (c != 0) {
-                    val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
-                    val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
-                    s += cu * cv * c * cosT(x)(u) * cosT(y)(v) / 4.0
-                  }
-                  v += 1
+        var ci = 0
+        while (ci < comps.length) {
+          val c = comps(ci)
+          val qt = qts(ci); val dcT = dcTs(ci); val acT = acTs(ci)
+          val pw = planeW(ci)
+          val plane = planes(ci)
+          var bv = 0
+          while (bv < c.v) {
+            var bh = 0
+            while (bh < c.h) {
+              java.util.Arrays.fill(coef, 0)
+              val t = dcT.decode(in)
+              preds(ci) += extend(in.receive(t), t)
+              coef(0) = preds(ci) * qt(0)
+              var k = 1
+              var nAc = 0
+              var eob = false
+              while (!eob && k <= 63) {
+                val rs = acT.decode(in)
+                if (rs == 0x00) eob = true
+                else if (rs == 0xf0) k += 16
+                else {
+                  k += (rs >> 4)
+                  require(k <= 63, "AC run past the block")
+                  coef(ZigZag(k)) =
+                    extend(in.receive(rs & 15), rs & 15) * qt(k)
+                  nAc += 1
+                  k += 1
                 }
-                u += 1
               }
-              val px = math.max(0, math.min(255, math.round(s + 128).toInt))
-              out((by + y) * width + bx + x) = px.toByte
-              x += 1
+              val bx = ((mcu % mcusX) * c.h + bh) * 8
+              val by = ((mcu / mcusX) * c.v + bv) * 8
+              if (nAc == 0) {
+                // DC-only block (the deterministic-encoder shape, and
+                // common in smooth regions generally): the IDCT of a
+                // lone DC is the constant DC/8 — skip the basis loop
+                val px = math.max(0, math.min(255,
+                  math.round(coef(0) / 8.0 + 128).toInt)).toByte
+                var y = 0
+                while (y < 8) {
+                  java.util.Arrays.fill(plane, (by + y) * pw + bx,
+                    (by + y) * pw + bx + 8, px)
+                  y += 1
+                }
+              } else {
+                // 2-D IDCT + level shift into the padded plane
+                var y = 0
+                while (y < 8) {
+                  var x = 0
+                  while (x < 8) {
+                    var s = 0.0
+                    var u = 0
+                    while (u < 8) {
+                      var v = 0
+                      while (v < 8) {
+                        val cc = coef(v * 8 + u)
+                        if (cc != 0) {
+                          val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+                          val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+                          s += cu * cv * cc * cosT(x)(u) * cosT(y)(v) / 4.0
+                        }
+                        v += 1
+                      }
+                      u += 1
+                    }
+                    val px =
+                      math.max(0, math.min(255, math.round(s + 128).toInt))
+                    plane((by + y) * pw + bx + x) = px.toByte
+                    x += 1
+                  }
+                  y += 1
+                }
+              }
+              bh += 1
             }
-            y += 1
+            bv += 1
           }
+          ci += 1
         }
         mcu += 1
       }
-      (width, height, out)
+      if (comps.length == 1) {
+        // crop the padded plane to the image rectangle
+        val out = new Array[Byte](width * height)
+        var y = 0
+        while (y < height) {
+          System.arraycopy(planes(0), y * planeW(0), out, y * width, width)
+          y += 1
+        }
+        (width, height, out)
+      } else {
+        // YCbCr: upsample each component to full resolution, then the
+        // libjpeg fixed-point color convert — interleaved RGB out
+        val full = comps.indices.map { i =>
+          upsampled(planes(i), planeW(i), comps(i), hmax, vmax,
+            width, height)
+        }
+        val (yp, cbp, crp) = (full(0), full(1), full(2))
+        val out = new Array[Byte](3 * width * height)
+        var p = 0
+        val n = width * height
+        while (p < n) {
+          val y = yp(p) & 0xff
+          val cb = cbp(p) & 0xff
+          val cr = crp(p) & 0xff
+          out(3 * p) = clamp8(y + CrR(cr))
+          out(3 * p + 1) = clamp8(y + ((CbG(cb) + CrG(cr)) >> 16))
+          out(3 * p + 2) = clamp8(y + CbB(cb))
+          p += 1
+        }
+        (width, height, out)
+      }
+    }
+
+    // ---- chroma upsampling + color conversion (decode support) -------
+
+    private def clamp8(v: Int): Byte =
+      math.max(0, math.min(255, v)).toByte
+
+    // libjpeg's fixed-point YCbCr→RGB constants (SCALEBITS = 16):
+    // matching its rounding makes this decoder pixel-agree with an
+    // ImageIO referee on DC-exact containers, not just "close"
+    private def fix(x: Double): Int = (x * 65536 + 0.5).toInt
+    private val CrR = Array.tabulate(256)(i =>
+      (fix(1.40200) * (i - 128) + 32768) >> 16)
+    private val CbB = Array.tabulate(256)(i =>
+      (fix(1.77200) * (i - 128) + 32768) >> 16)
+    private val CrG = Array.tabulate(256)(i => -fix(0.71414) * (i - 128))
+    private val CbG = Array.tabulate(256)(i =>
+      -fix(0.34414) * (i - 128) + 32768)
+
+    /** Expand one component's PADDED plane to the full image rectangle.
+      * Full-resolution components crop; subsampled ones expand by
+      * triangle (weighted 3:1) interpolation — the libjpeg "fancy
+      * upsampling" shape, which real decoders apply to 4:2:0/4:2:2 —
+      * run as a vertical pass then a horizontal pass. */
+    private def upsampled(plane: Array[Byte], pw: Int, c: Comp,
+                          hmax: Int, vmax: Int,
+                          width: Int, height: Int): Array[Byte] = {
+      // actual sample dims of this component (T.81 A.1.1)
+      val sw = (width * c.h + hmax - 1) / hmax
+      val sh = (height * c.v + vmax - 1) / vmax
+      // vertical expand (×2) or crop
+      val vh = if (c.v == vmax) height else math.min(height, 2 * sh)
+      val vArr = new Array[Byte](sw * vh)
+      var y = 0
+      while (y < vh) {
+        if (c.v == vmax) {
+          var x = 0
+          while (x < sw) { vArr(y * sw + x) = plane(y * pw + x); x += 1 }
+        } else {
+          val near = y / 2
+          val far0 = if (y % 2 == 0) near - 1 else near + 1
+          val far = math.max(0, math.min(sh - 1, far0))
+          val bias = if (y % 2 == 0) 1 else 2
+          var x = 0
+          while (x < sw) {
+            vArr(y * sw + x) = ((3 * (plane(near * pw + x) & 0xff) +
+              (plane(far * pw + x) & 0xff) + bias) >> 2).toByte
+            x += 1
+          }
+        }
+        y += 1
+      }
+      if (c.h == hmax && vh == height) return vArr
+      // horizontal expand (×2), then edge-replicate to the rectangle
+      val out = new Array[Byte](width * height)
+      y = 0
+      while (y < height) {
+        val sy = math.min(y, vh - 1)
+        var x = 0
+        while (x < width) {
+          val v =
+            if (c.h == hmax) vArr(sy * sw + math.min(x, sw - 1)) & 0xff
+            else {
+              val near = math.min(x / 2, sw - 1)
+              val far0 = if (x % 2 == 0) near - 1 else near + 1
+              val far = math.max(0, math.min(sw - 1, far0))
+              val bias = if (x % 2 == 0) 1 else 2
+              (3 * (vArr(sy * sw + near) & 0xff) +
+                (vArr(sy * sw + far) & 0xff) + bias) >> 2
+            }
+          out(y * width + x) = v.toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
     }
   }
 
@@ -776,8 +1026,14 @@ object Multimodal {
     * mapped into the ±8 gray domain (gray = 120 + b%16 — the DC-only
     * lossless-roundtrip design, block grid = the PNG w×h grid); the
     * rest as pixel data of a real BMP (width = 1 + n%64,
-    * height = 1 + n/64). In production the payload + kind columns come
-    * from the lakehouse as-is; only this adapter is test-specific. */
+    * height = 1 + n/64). The JPEG class splits on doc_id % 8: `% 8
+    * == 2` stays grayscale, `% 8 == 6` encodes a COLOR (3-component
+    * YCbCr 4:4:4) container — luma per block as in the gray design,
+    * image-wide chroma (cb, cr) = (132, 124), whose fixed-point RGB
+    * offsets (−6, +1, +7) keep every channel in range for the ±8 luma
+    * domain (no clamping → closed-form oracle). In production the
+    * payload + kind columns come from the lakehouse as-is; only this
+    * adapter is test-specific. */
   def assetsFromDocuments(docs: DataFrame): Dataset[Asset] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -804,7 +1060,9 @@ object Multimodal {
               (120 + b % 16).toByte
             }
             Asset(id, "image/jpeg",
-              JpegCodec.encode(gridW, gridH, grays), source, nChars)
+              if (id % 8 == 2) JpegCodec.encode(gridW, gridH, grays)
+              else JpegCodec.encodeColor(gridW, gridH, grays, 132, 124),
+              source, nChars)
           case _ =>
             Asset(id, "image/bmp",
               BmpCodec.encode(gridW, 1 + bytes.length / 64, bytes),

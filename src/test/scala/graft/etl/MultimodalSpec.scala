@@ -158,7 +158,8 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = Seq(
       (0L, "", "web", 0L),  // WAV: empty data region
       (5L, "", "web", 0L),  // doc_id % 4 == 1 → PNG, clamped 1x1
-      (6L, "", "web", 0L))  // doc_id % 4 == 2 → JPEG, one pad block
+      (6L, "", "web", 0L),  // doc_id % 8 == 6 → COLOR JPEG, one block
+      (10L, "", "web", 0L)) // doc_id % 8 == 2 → gray JPEG, one block
       .toDF("doc_id", "text", "source", "n_chars")
     val feats = Multimodal.extractFeatures(
         Multimodal.assetsFromDocuments(docs))
@@ -170,11 +171,17 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       feats(1).height == 1 && feats(1).checksum == 0L)
     // 57 container bytes + zlib(6 + 5·ceil(raw/65535) + raw), raw = 2
     assert(feats(1).n_bytes == 57 + 6 + 5 + 2)
-    // JPEG: one 8x8 block of pad gray 120 (byte 0 → diff -64, 2 code
-    // bytes, no restart markers): 316 + 4·1 − 0; checksum = 32·120
+    // COLOR JPEG (id 6): one 8x8 block of pad luma 120, chroma
+    // (132, 124) → per-pixel RGB (114, 121, 127); 6 entropy bytes + 2
+    // EOI; checksum = 10·(114+121+127) + 114 + 121 (32 RGB bytes)
     assert(feats(2).kind == "image/jpeg" && feats(2).width == 8 &&
-      feats(2).height == 8 && feats(2).n_bytes == 316 + 4 &&
-      feats(2).checksum == 32L * 120)
+      feats(2).height == 8 && feats(2).n_bytes == 326 + 8 &&
+      feats(2).checksum == 10L * (114 + 121 + 127) + 114 + 121)
+    // gray JPEG (id 10): one block of pad gray 120 (byte 0 → diff
+    // -64, 2 code bytes, no restart markers): 316 + 4·1 − 0
+    assert(feats(3).kind == "image/jpeg" && feats(3).width == 8 &&
+      feats(3).height == 8 && feats(3).n_bytes == 316 + 4 &&
+      feats(3).checksum == 32L * 120)
   }
 
   test("JPEG codec: DC-only blocks round-trip exactly; ImageIO agrees " +
@@ -224,6 +231,77 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 4. corrupt containers surface, never pass through as zeros
     intercept[IllegalArgumentException](
       Multimodal.JpegCodec.decode("not a jpeg".getBytes("UTF-8")))
+  }
+
+  test("COLOR JPEG: 4:4:4 DC-only containers round-trip exactly, " +
+      "ImageIO agrees pixel-for-pixel, and 4:2:0 ImageIO scans decode") {
+    // 1. our own container: per-block luma + image-wide chroma
+    //    (132, 124) → fixed-point RGB offsets (-6, +1, +7), exact
+    val lumas = Array.tabulate(12)(i => (120 + (i * 7) % 16).toByte)
+    val jpg = Multimodal.JpegCodec.encodeColor(4, 3, lumas, 132, 124)
+    val (w, h, px) = Multimodal.JpegCodec.decode(jpg)
+    assert(w == 32 && h == 24)
+    assert(px.length == 3 * 32 * 24, "color decode is interleaved RGB")
+    for (by <- 0 until 3; bx <- 0 until 4; y <- 0 until 8; x <- 0 until 8) {
+      val p = (by * 8 + y) * 32 + bx * 8 + x
+      val yv = lumas(by * 4 + bx) & 0xff
+      assert((px(3 * p) & 0xff) == yv - 6 &&
+        (px(3 * p + 1) & 0xff) == yv + 1 &&
+        (px(3 * p + 2) & 0xff) == yv + 7,
+        s"block ($bx,$by) pixel ($x,$y)")
+    }
+    // 2. the JDK's decoder agrees pixel-for-pixel on our container
+    //    (same libjpeg fixed-point color convert)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpg))
+    assert(ref != null, "ImageIO rejected the color JPEG")
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val rgb = ref.getRGB(x, y)
+      val p = y * 32 + x
+      assert(((rgb >> 16) & 0xff) == (px(3 * p) & 0xff) &&
+        ((rgb >> 8) & 0xff) == (px(3 * p + 1) & 0xff) &&
+        (rgb & 0xff) == (px(3 * p + 2) & 0xff),
+        s"ImageIO disagrees at ($x,$y)")
+    }
+    // 3. the general path: ImageIO ENCODES a color gradient (YCbCr,
+    //    subsampled chroma — the dominant crawl shape) and our decoder
+    //    reads it; IDCT + chroma-upsampling rounding are
+    //    implementation-defined, so compare to ImageIO's own decode
+    //    of the same bytes within a small tolerance
+    val img = new java.awt.image.BufferedImage(24, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 24)
+      img.setRGB(x, y, ((x * 8) << 16) | ((y * 8) << 8) | 128)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val bytes = bos.toByteArray
+    val (gw, gh, gpx) = Multimodal.JpegCodec.decode(bytes)
+    assert(gw == 24 && gh == 16)
+    assert(gpx.length == 3 * 24 * 16)
+    val again = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until 16; x <- 0 until 24; c <- 0 until 3) {
+      val rgb = again.getRGB(x, y)
+      val theirs = (rgb >> (16 - 8 * c)) & 0xff
+      val ours = gpx(3 * (y * 24 + x) + c) & 0xff
+      assert(math.abs(ours - theirs) <= 4,
+        s"color decode off by >4 at ($x,$y,$c): $ours vs $theirs")
+    }
+  }
+
+  test("COLOR JPEG fixture bytes are stuffing-free over the byte domain " +
+      "(the oracle's closed-form size arithmetic)") {
+    val lumas = Array.tabulate(256)(b => (120 + b % 16).toByte)
+    val jpg = Multimodal.JpegCodec.encodeColor(16, 16, lumas, 132, 124)
+    val (_, _, px) = Multimodal.JpegCodec.decode(jpg)
+    for (i <- 0 until 256) {
+      val p = (i / 16 * 8) * 128 + (i % 16) * 8
+      assert((px(3 * p) & 0xff) == (lumas(i) & 0xff) - 6)
+    }
+    // size arithmetic: per MCU 5 bytes when ord%16 in 5..11 (112 of
+    // 256) else 6, + 2·255 restart markers + 2 EOI
+    assert(Multimodal.JpegCodec.HeaderSizeColor == 326)
+    assert(jpg.length == 326 + 8 * 256 - 112)
   }
 
   test("JPEG fixture scan bytes are stuffing-free over the whole byte domain") {

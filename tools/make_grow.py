@@ -49,6 +49,20 @@ def main(src: str, dst: str, factor: int) -> None:
         for i in range(factor)
     )
 
+    # Edge docs appended past the grown id range: EMPTY and 1-byte
+    # texts at four consecutive ids each, so every doc_id%4 media
+    # format (WAV/PNG/JPEG/BMP) sees the zero-/one-byte container, plus
+    # the 64-char grid boundary (w wraps to 1). These exist so the
+    # degenerate-content paths (height clamps, empty checksum regions,
+    # zero-selection winnows) OCCUR in a tested corpus instead of
+    # staying latent.
+    edge_texts = ["", "a", "x" * 63, "y" * 64, "z" * 65]
+    edge_rows = ", ".join(
+        f"({j}, '{t}')"
+        for j, t in enumerate(
+            t for t in edge_texts for _ in range(4)
+        )
+    )
     con.execute(
         f"""COPY (
           SELECT doc_id + i*{D} AS doc_id,
@@ -56,6 +70,11 @@ def main(src: str, dst: str, factor: int) -> None:
                  lang, source,
                  n_chars + 3 + length(CAST(i AS VARCHAR)) AS n_chars
           FROM '{src}/documents.parquet', reps
+          UNION ALL
+          SELECT {factor * D} + j AS doc_id, text,
+                 'en' AS lang, 'edge' AS source,
+                 length(text) AS n_chars
+          FROM (VALUES {edge_rows}) edge(j, text)
         ) TO '{dst}/documents.parquet' (FORMAT PARQUET, COMPRESSION ZSTD)"""
     )
     con.execute(
