@@ -114,19 +114,36 @@ object Bench {
         case c if c < ' ' => " "
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
-      .mkString("{", ",", "}")
-    val errs = (results.collect { case (k, _, Some(e)) => k -> e } ++
-        fixtureErr.map("fixture" -> _) ++ memoErr.map("memo_build" -> _))
-      .map { case (k, e) => jstr(k) + ":" + jstr(e) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val memos = memoParts.map { case (k, v) => jstr(k) + ":" + v }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""memo_build":$memoSec,"memo_parts":$memos,"passes":3,""" +
-      s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
-      s""""queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // The PRINTED line must survive a bounded tail capture of the sbt
+    // output (BENCH_r15 lost 28 of 94 query timings to a ~4 KB tail
+    // window cutting the line's HEAD): timings print rounded to the
+    // millisecond — ample for second-scale comparisons and less than
+    // half the width of a full double — and the full-precision JSON
+    // lands in a sibling FILE whose path rides in the line.
+    def ms(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(v))
+    def render(num: Double => String): String = {
+      val qs = results.map { case (k, v, _) => jstr(k) + ":" + num(v) }
+        .mkString("{", ",", "}")
+      val errs = (results.collect { case (k, _, Some(e)) => k -> e } ++
+          fixtureErr.map("fixture" -> _) ++ memoErr.map("memo_build" -> _))
+        .map { case (k, e) => jstr(k) + ":" + jstr(e) }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val memos = memoParts.map { case (k, v) => jstr(k) + ":" + num(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+        s""""memo_build":${num(memoSec)},"memo_parts":$memos,"passes":3,""" +
+        s""""loadavg_start":${num(loadStart)},"loadavg_end":${num(loadEnd)},""" +
+        s""""queries":$qs,"errors":$errs,"sf":"$sfDir",""" +
+        s""""full":"/tmp/graft_bench_full.json"}"""
+    }
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/graft_bench_full.json"),
+      render(_.toString).getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(render(ms))
     spark.stop()
   }
 }

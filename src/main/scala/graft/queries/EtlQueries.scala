@@ -306,7 +306,7 @@ object EtlQueries {
     * own META would not catch (banding/gram/derivation functions,
     * fixture batch composition) — the epoch is part of every durable
     * identity, so roots built by older code are never reused. */
-  private val FixtureEpoch = "r15b" // r15b: fed CURRENT gained a base
+  private val FixtureEpoch = "r16a" // r16a: embed admission id pinned
 
   private val corpusDigestMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
@@ -347,6 +347,46 @@ object EtlQueries {
     * flight have different tags and FRESH markers). */
   private val StaleRootMillis = 24L * 3600 * 1000
 
+  /** Roots THIS process holds open (reused or built), with their root
+    * URI + identity: the sweep skips them unconditionally, and a
+    * daemon refresher re-touches their DONE markers well inside the
+    * age bound — so a session outliving [[StaleRootMillis]] (a
+    * long-lived daemon holding readers over a reused root) never has
+    * its roots aged out under it by a SIBLING run's sweep, whose only
+    * liveness signal is the marker mtime. */
+  private val liveRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def registerLiveRoot(rootName: String, rootUri: String,
+                               identity: String): Unit = {
+    liveRoots.put(rootName, (rootUri, identity))
+    rootRefresher
+  }
+  private lazy val rootRefresher: Thread = {
+    val t = new Thread(() => {
+      while (true) {
+        Thread.sleep(StaleRootMillis / 4)
+        liveRoots.forEach { (_, v) =>
+          val (uri, identity) = v
+          try new graft.storage.Store(uri,
+              new org.apache.hadoop.conf.Configuration())
+            .writeAtomic("FIXTURE_DONE", identity)
+          catch { case _: Exception => () }
+        }
+      }
+    }, "graft-fixture-root-refresher")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  /** Host identity for the build-lock claim: pids are host-local, so
+    * on a SHARED scratch (NFS/object store) liveness may only be
+    * judged for claims from this host — a foreign host's claim is
+    * presumed live. */
+  private val hostId: String =
+    scala.util.Try(java.net.InetAddress.getLocalHost.getHostName)
+      .getOrElse("unknown-host")
+
   /** Build-once-reuse-forever wrapper for a fixture's persisted store
     * family: `open` constructs the handle(s) against the durable root
     * (sub-stores go under `<root>/...`), `build` runs the full fold/
@@ -380,7 +420,8 @@ object EtlQueries {
       // sibling runs (fresh markers) are never touched
       val scratchStore = new graft.storage.Store(scratch, conf)
       scratchStore.listNames("")
-        .filter(n => n.startsWith("graft_etl_store_") && n != rootName)
+        .filter(n => n.startsWith("graft_etl_store_") && n != rootName &&
+          !liveRoots.containsKey(n))
         .foreach { n =>
           val seen = Seq("FIXTURE_DONE", "BUILD_LOCK").flatMap(f =>
             scratchStore.modificationTime(s"$n/$f"))
@@ -400,15 +441,27 @@ object EtlQueries {
       // the root, and rebuilds it out from under this run's readers
       try store.writeAtomic("FIXTURE_DONE", identity)
       catch { case _: Exception => () }
+      registerLiveRoot(rootName, root, identity)
       return open(root) // completed build of this exact identity: reuse
     }
     // claim the root; a live concurrent builder wins and we build
-    // privately — a dead one's leftovers are swept and reclaimed
-    val claim = s"${ProcessHandle.current().pid()}"
-    val owned = store.writeExclusive("BUILD_LOCK", claim) || {
-      val alive = store.readString("BUILD_LOCK").exists(p =>
+    // privately — a dead one's leftovers are swept and reclaimed.
+    // The claim carries the HOST: pids are host-local, so on a shared
+    // scratch a claim from another host must be presumed live (a
+    // foreign builder mid-build would otherwise be judged dead by a
+    // pid probe here and have its root deleted out from under it).
+    val claim = s"$hostId:${ProcessHandle.current().pid()}"
+    def claimantAlive(p: String): Boolean = p.trim.split(":", 2) match {
+      case Array(h, pid) if h == hostId =>
+        scala.util.Try(ProcessHandle.of(pid.toLong).isPresent)
+          .getOrElse(true)
+      case Array(_, _) => true // foreign host: unknowable, presume live
+      case _ => // pre-host-format claim (bare pid): host-local by era
         scala.util.Try(ProcessHandle.of(p.trim.toLong).isPresent)
-          .getOrElse(true))
+          .getOrElse(true)
+    }
+    val owned = store.writeExclusive("BUILD_LOCK", claim) || {
+      val alive = store.readString("BUILD_LOCK").exists(claimantAlive)
       if (alive) false
       else {
         try store.deleteRecursive("") catch { case _: Exception => () }
@@ -424,6 +477,7 @@ object EtlQueries {
       val t = open(root)
       build(t)
       store.writeAtomic("FIXTURE_DONE", identity)
+      registerLiveRoot(rootName, root, identity)
       t
     } finally store.delete("BUILD_LOCK")
   }
@@ -796,6 +850,42 @@ object EtlQueries {
           bandsOf = winnowStoreBandsOf(s, dir),
           maxBucket = Some(WinnowDfCap.toLong))) { st =>
         st.update(docs(s, dir).select(col("doc_id"), col("text")))
+      }
+    }
+
+  /** The FEDERATED winnow-match store: two member match stores
+    * (doc_id-parity split — identical content lands reps in BOTH
+    * members, exercising the canonical-rid collapse) folded into one
+    * [[graft.etl.FedDedupState]], third banding family on the one
+    * federation mechanism (MinHash text bands, hyperplane embedding
+    * bands, winnow fingerprints). The read is
+    * [[graft.etl.FedDedupState.livePairCounts]]: distinct (canonical
+    * pair, fingerprint) provenance — exactly the single match store's
+    * n_shared, which is what `q_winnow_fed` serving the q_winnow_pairs
+    * oracle VERBATIM proves (FedStateSpec pins staged folds ==
+    * one-shot on the winnow family). Banding is fed from the shared
+    * winnow SELECTION store, so the per-position hash scan is still
+    * priced once per distinct text across all three stores. */
+  private val winnowFedStateMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      graft.etl.FedDedupState]
+  private def winnowFedState(s: SparkSession, dir: String)
+      : graft.etl.FedDedupState =
+    fixtureMemo(winnowFedStateMemo, s, dir) {
+      durableStore(s, dir, "fed_winnow",
+        s"winnow:w8:k8:cap=$WinnowDfCap:parity") { root =>
+        def member(sub: String) = new graft.etl.DedupState(s, s"$root/$sub",
+          bandsOf = winnowStoreBandsOf(s, dir),
+          maxBucket = Some(WinnowDfCap.toLong))
+        new graft.etl.FedDedupState(s, s"$root/merge",
+          Seq(member("a"), member("b")))
+      } { fed =>
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        val Seq(a, b) = fed.memberStores
+        inParallel(
+          a.update(d.filter(col("doc_id") % 2 === 0)),
+          b.update(d.filter(col("doc_id") % 2 === 1)))
+        fed.fold()
       }
     }
 
@@ -1215,7 +1305,14 @@ object EtlQueries {
       keyOf = c => md5(concat_ws(",",
         transform(c, x => coalesce(x.cast("string"), lit("∅"))))
         .cast("binary")),
-      pairKeep = Some(storedCos >= 0.2))
+      pairKeep = Some(storedCos >= 0.2),
+      // PINNED admission identity: the default digests the Column's
+      // RENDERING (Column.toString), which a Spark upgrade may change
+      // for the same logical predicate — permanently refusing to
+      // reopen a long-lived store. The explicit string is the
+      // Spark-version-stable name of this predicate; bump its version
+      // suffix if the THRESHOLD or formula ever changes.
+      keepIdentity = Some("embcos:jac/sqrt(na*nb)>=0.2:v1"))
   private def embedState(s: SparkSession, dir: String)
       : graft.etl.DedupState =
     fixtureMemo(embedStateMemo, s, dir) {
@@ -1744,6 +1841,7 @@ object EtlQueries {
     t("fed_dedup") { fedDocClusters(s, dir) }
     t("winnow") { winnowSelSet(s, dir) }
     t("winnow_pairs") { winnowPairState(s, dir) }
+    t("fed_winnow") { winnowFedState(s, dir) }
     t("spans") { spanState(s, dir) }
     t("fed_contam") { fedContamPostings(s, dir) }
     t("fed_embed") { fedEmbClusters(s, dir); fedEmbCosPairs(s, dir) }
@@ -2558,6 +2656,30 @@ object EtlQueries {
       // at fold time, its live provenance rows are the match counts —
       // no fingerprint index scan or self-join at query time
       winnowPairState(s, dir).livePairCounts()
+        .filter(col("n_shared") >= WinnowMinShared)
+        .orderBy("a", "b")
+    },
+
+    // FEDERATED winnowing match: the same report served from a
+    // TWO-MEMBER federation store (doc_id-parity split, identical
+    // content repped in both members) — q_winnow_pairs' oracle
+    // VERBATIM, because the federation's distinct (canonical pair,
+    // fingerprint) provenance rows are exactly the rows one store over
+    // the union corpus holds (banding is pure content; the global df
+    // cap counts distinct content). Third banding family proven on the
+    // incremental federation mechanism.
+    "q_winnow_fed" -> QueryDef(
+      s"""WITH g0 AS (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         |${winnowSelSql.replace("FROM documents", "FROM g0")},
+         |fp AS (SELECT DISTINCT doc_id, sel // 4096 AS f FROM sel),
+         |keep AS (SELECT f FROM fp GROUP BY f HAVING COUNT(*) <= $WinnowDfCap),
+         |fk AS (SELECT fp.doc_id, fp.f FROM fp JOIN keep ON keep.f = fp.f)
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM fk a JOIN fk b ON a.f = b.f AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared
+         |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      winnowFedState(s, dir).livePairCounts()
         .filter(col("n_shared") >= WinnowMinShared)
         .orderBy("a", "b")
     },
@@ -3770,10 +3892,12 @@ object EtlQueries {
         .orderBy("asset_id", "frame")
     },
 
-    // Mixed FOUR-format decode (WAV / PNG / JPEG / BMP by doc_id % 4),
-    // each a REAL container walk — PNG a real zlib inflate + the
-    // five-filter unfilter pass, JPEG a real baseline entropy decode
-    // (Huffman + restart resync + dequant + IDCT). The oracle
+    // Mixed FOUR-format decode (WAV / PNG / JPEG / BMP by doc_id % 4;
+    // the JPEG class splits % 8 into GRAYSCALE and COLOR 3-component
+    // YCbCr 4:4:4 containers), each a REAL container walk — PNG a real
+    // zlib inflate + the five-filter unfilter pass, JPEG a real
+    // baseline entropy decode (Huffman + restart resync + dequant +
+    // IDCT, fixed-point YCbCr→RGB on the color branch). The oracle
     // recomputes every field arithmetically from the known layouts:
     //   n_bytes — WAV 44+n; BMP 54+n; PNG 57 + zlen with
     //     zlen = 6 + 5·ceil(raw/65535) + raw, raw = h·(w+1) (stored
@@ -3816,6 +3940,16 @@ object EtlQueries {
          |  FROM (SELECT doc_id, text, unnest(generate_series(1, n)) AS p
          |        FROM d) t
          |  GROUP BY doc_id),
+         |jm AS (
+         |  -- COLOR JPEG (doc_id % 8 = 6) byte cost: per-MCU 5 bytes
+         |  -- when the luma diff category is small (ord%16 in 5..11,
+         |  -- |d| <= 3) else 6 — chroma adds a fixed 28 bits/MCU
+         |  SELECT doc_id,
+         |    SUM(CASE WHEN ord(substr(text, CAST(p AS INTEGER), 1))
+         |      % 16 BETWEEN 5 AND 11 THEN 1 ELSE 0 END) AS cntm
+         |  FROM (SELECT doc_id, text, unnest(generate_series(1, n)) AS p
+         |        FROM d) t
+         |  GROUP BY doc_id),
          |jcs AS (
          |  SELECT d.doc_id,
          |    SUM(120 + CASE WHEN 1 + ((p - 1) % (8 * w)) // 8 <= n
@@ -3823,6 +3957,20 @@ object EtlQueries {
          |        CAST(1 + ((p - 1) % (8 * w)) // 8 AS INTEGER), 1)) % 16
          |      ELSE 0 END) AS checksum
          |  FROM d, generate_series(1, 32) s(p)
+         |  GROUP BY d.doc_id),
+         |jcsc AS (
+         |  -- color checksum: first 32 INTERLEAVED RGB bytes — byte j
+         |  -- is channel (j-1)%3 of pixel 1+(j-1)//3, and the chroma
+         |  -- constants (132, 124) land fixed RGB offsets (-6, +1, +7)
+         |  -- on the block's luma with no clamping in the ±8 domain
+         |  SELECT d.doc_id,
+         |    SUM(120 + CASE WHEN 1 + (((j - 1) // 3) % (8 * w)) // 8 <= n
+         |      THEN ord(substr(text,
+         |        CAST(1 + (((j - 1) // 3) % (8 * w)) // 8 AS INTEGER), 1)) % 16
+         |      ELSE 0 END
+         |      + CASE (j - 1) % 3 WHEN 0 THEN -6 WHEN 1 THEN 1
+         |        ELSE 7 END) AS checksum
+         |  FROM d, generate_series(1, 32) s(j)
          |  GROUP BY d.doc_id)
          |SELECT d.doc_id AS asset_id,
          |  CASE WHEN d.doc_id % 4 = 0 THEN 'audio/wav'
@@ -3832,12 +3980,15 @@ object EtlQueries {
          |  CAST(CASE WHEN d.doc_id % 4 = 0 THEN 44 + n
          |       WHEN d.doc_id % 4 = 1 THEN 57 + 6
          |         + 5 * ((hp * (w + 1) + 65534) // 65535) + hp * (w + 1)
-         |       WHEN d.doc_id % 4 = 2 THEN 316 + 4 * w * hp
+         |       WHEN d.doc_id % 8 = 2 THEN 316 + 4 * w * hp
          |         - COALESCE(j8.cnt8, 0)
+         |       WHEN d.doc_id % 8 = 6 THEN 326 + 8 * w * hp
+         |         - COALESCE(jm.cntm, 0)
          |       ELSE 54 + n END AS BIGINT) AS n_bytes,
          |  -- LEFT joins + COALESCE: an empty doc has no byte rows but
          |  -- is still a corpus asset (checksum of no content = 0)
-         |  CAST(CASE WHEN d.doc_id % 4 = 2 THEN jcs.checksum
+         |  CAST(CASE WHEN d.doc_id % 8 = 2 THEN jcs.checksum
+         |       WHEN d.doc_id % 8 = 6 THEN jcsc.checksum
          |       ELSE COALESCE(cs.checksum, 0) END AS BIGINT) AS checksum,
          |  CAST(CASE WHEN d.doc_id % 4 = 0 THEN 1
          |       WHEN d.doc_id % 4 = 2 THEN 8 * w
@@ -3848,7 +3999,9 @@ object EtlQueries {
          |       ELSE hb END AS INTEGER) AS height
          |FROM d LEFT JOIN cs ON cs.doc_id = d.doc_id
          |       LEFT JOIN j8 ON j8.doc_id = d.doc_id
+         |       LEFT JOIN jm ON jm.doc_id = d.doc_id
          |       LEFT JOIN jcs ON jcs.doc_id = d.doc_id
+         |       LEFT JOIN jcsc ON jcsc.doc_id = d.doc_id
          |ORDER BY asset_id""".stripMargin) { (s, dir) =>
       graft.etl.Multimodal.features(s, dir).drop("feature")
     })

@@ -295,6 +295,35 @@ class DedupStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("gram attribution"))
   }
 
+  test("pinned keepIdentity survives a predicate-rendering change " +
+      "(Spark-upgrade reopen); a dropped identity still refuses") {
+    val ss = spark; import ss.implicits._
+    val root = tmpRoot()
+    val gramsOf: DataFrame => DataFrame = src => src
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("g"))
+      .distinct()
+    def mk(keep: org.apache.spark.sql.Column) =
+      new DedupState(spark, root, prefixBands, gramsOf = Some(gramsOf),
+        pairKeep = Some(keep), keepIdentity = Some("spec:jac-pos:v1"))
+    val st = mk(col("jac_num") > 0)
+    st.update(Seq((1L, "AAA xxxx")).toDF("doc_id", "text"))
+    // the same logical predicate under a DIFFERENT rendering (the
+    // simulated Spark-upgrade toString drift): the pinned identity —
+    // not the Column text — is what META compares, so reopen works
+    val drifted = mk(lit(0) < col("jac_num"))
+    assert(drifted.update(Seq((2L, "AAA xxxx yyyy"))
+      .toDF("doc_id", "text")).nNewDistinct === 1L)
+    // reopening WITHOUT the identity falls back to the rendering
+    // digest, which cannot match the pinned one — refuse, never
+    // silently fork admission semantics
+    val bare = new DedupState(spark, root, prefixBands,
+      gramsOf = Some(gramsOf), pairKeep = Some(col("jac_num") > 0))
+    val e = intercept[IllegalArgumentException] {
+      bare.update(Seq((3L, "AAA zzzz")).toDF("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("admission"))
+  }
+
   test("cap mismatch on reopen throws (edge-set invariant)") {
     val ss = spark; import ss.implicits._
     val root = tmpRoot()
