@@ -123,7 +123,7 @@ object Bench {
     def ms(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f",
         Double.box(v))
-    def render(num: Double => String): String = {
+    def render(num: Double => String, fullPath: Option[String]): String = {
       val qs = results.map { case (k, v, _) => jstr(k) + ":" + num(v) }
         .mkString("{", ",", "}")
       val errs = (results.collect { case (k, _, Some(e)) => k -> e } ++
@@ -136,14 +136,20 @@ object Bench {
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
         s""""memo_build":${num(memoSec)},"memo_parts":$memos,"passes":3,""" +
         s""""loadavg_start":${num(loadStart)},"loadavg_end":${num(loadEnd)},""" +
-        s""""queries":$qs,"errors":$errs,"sf":"$sfDir",""" +
-        s""""full":"/tmp/graft_bench_full.json"}"""
+        s""""queries":$qs,"errors":$errs,"sf":"$sfDir"""" +
+        fullPath.map(p => s""","full":${jstr(p)}""").getOrElse("") + "}"
     }
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/tmp/graft_bench_full.json"),
-      render(_.toString).getBytes("UTF-8"))
-    catch { case _: Throwable => () }
-    println(render(ms))
+    // a fresh per-run file (never a fixed path a concurrent or later
+    // run would clobber); the "full" pointer is only advertised when
+    // the write actually landed
+    val fullPath =
+      try {
+        val f = java.io.File.createTempFile("graft_bench_full_", ".json")
+        java.nio.file.Files.write(f.toPath,
+          render(_.toString, None).getBytes("UTF-8"))
+        Some(f.getAbsolutePath)
+      } catch { case _: Throwable => None }
+    println(render(ms, fullPath))
     spark.stop()
   }
 }

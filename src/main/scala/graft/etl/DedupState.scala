@@ -794,12 +794,8 @@ final class DedupState(
     * comparable within one scope (a streaming sink's checkpoint), so a
     * NEW checkpoint against an existing store starts a new scope
     * instead of colliding with the old sequence; it rides the shared
-    * pointer's tail tokens ([[VersionedStore.pointerParts]]). */
-  private def pointer: (Long, Long, Option[(String, Long)]) = {
-    val (cur, base, tail) = pointerParts
-    (cur, base,
-      if (tail.length > 1) Some((tail(0), tail(1).toLong)) else None)
-  }
+    * pointer's tail tokens ([[VersionedStore.keyedPointer]]). */
+  private def pointer: (Long, Long, Option[(String, Long)]) = keyedPointer
 
   /** The store's bucket-cap invariant — federation merges require all
     * members to agree ([[DedupState.federatedDocClusters]]). */
@@ -1259,9 +1255,7 @@ final class DedupState(
       writeDelta("labels",
         labelDeltas.withColumn("ver", lit(next)), nLabelRows))),
       Duration.Inf)
-    val keyTail = idempotencyKey.orElse(lastKey)
-      .map { case (sc, seq) => Seq(sc, seq.toString) }.getOrElse(Seq.empty)
-    flipPointer(next, base, counts, keyTail)
+    flipPointer(next, base, counts, keyTail(idempotencyKey.orElse(lastKey)))
     cps.foreach(_.unpersist())
     // bounded maintenance: once the reader's delta-union spans the
     // threshold, squash — the same self-maintenance cadence the
@@ -1327,9 +1321,7 @@ final class DedupState(
         throw t
       }
     }
-    val keyTail = lastKey
-      .map { case (sc, seq) => Seq(sc, seq.toString) }.getOrElse(Seq.empty)
-    flipPointer(next, next, counts, keyTail)
+    flipPointer(next, next, counts, keyTail(lastKey))
     cps.foreach(_.unpersist())
     dropVersions(base, cur, next)
     next

@@ -128,12 +128,9 @@ final class DerivedState(
   /** (current version, base version, last idempotency key) — the
     * [[DedupState]] pointer format: the (scope, seq) key rides the
     * atomic CURRENT flip so a crashed foreachBatch replay lands
-    * cleanly (see [[update]]'s keyed form). */
-  private def pointer: (Long, Long, Option[(String, Long)]) = {
-    val (cur, base, tail) = pointerParts
-    (cur, base,
-      if (tail.length > 1) Some((tail(0), tail(1).toLong)) else None)
-  }
+    * cleanly (see [[update]]'s keyed form). One shared tail parse:
+    * [[VersionedStore.keyedPointer]]. */
+  private def pointer: (Long, Long, Option[(String, Long)]) = keyedPointer
 
   /** The last (scope, seq) idempotency key applied by a keyed
     * [[update]], if any. */
@@ -256,8 +253,7 @@ final class DerivedState(
   private def finishVersion(next: Long, base: Long,
                             counts: Seq[(String, Long)],
                             key: Option[(String, Long)]): Unit =
-    flipPointer(next, base, counts,
-      key.map { case (sc, seq) => Seq(sc, seq.toString) }.getOrElse(Seq.empty))
+    flipPointer(next, base, counts, keyTail(key))
 
   // ---- train (artifact generation boundary) --------------------------
 

@@ -495,10 +495,25 @@ object Multimodal {
       val m = wBlocks * hBlocks
       var i = 0
       while (i < m) {
+        // streaming bit packer: an MCU's three DC+EOB codes can run
+        // to 3 × 24 = 72 bits (category 11 lumas/chromas are legal
+        // inputs), which overflows a single 64-bit accumulator — emit
+        // whole bytes as they fill, so the live tail never exceeds 31
+        // bits before an append
         var acc = 0L
         var nbits = 0
+        def emit(v: Int): Unit = {
+          require(v != 0xff,
+            "entropy byte 0xFF would need stuffing — outside the " +
+              "encoder's deterministic domain")
+          out.write(v)
+        }
         def put(code: Int, len: Int): Unit = {
           acc = (acc << len) | (code & ((1L << len) - 1)); nbits += len
+          while (nbits >= 8) {
+            emit(((acc >> (nbits - 8)) & 0xff).toInt)
+            nbits -= 8
+          }
         }
         def putDc(value: Int): Unit = {
           val diff = 8 * (value - 128) // DC pred reset per MCU (DRI 1)
@@ -513,17 +528,8 @@ object Multimodal {
         putDc(yGrays(i) & 0xff)
         putDc(cb)
         putDc(cr)
-        val nBytes = (nbits + 7) / 8
-        acc <<= (8 * nBytes - nbits)
-        var b = nBytes - 1
-        while (b >= 0) {
-          val v = ((acc >> (8 * b)) & 0xff).toInt
-          require(v != 0xff,
-            "entropy byte 0xFF would need stuffing — outside the " +
-              "encoder's deterministic domain")
-          out.write(v)
-          b -= 1
-        }
+        if (nbits > 0) // zero-pad the MCU tail to the byte
+          emit((((acc << (8 - nbits)) & 0xff)).toInt)
         if (i < m - 1) { out.write(0xff); out.write(0xd0 + (i % 8)) }
         i += 1
       }
@@ -705,11 +711,16 @@ object Multimodal {
             while (i < ns) {
               val cid = payload(body + 1 + 2 * i) & 0xff
               val sel = payload(body + 2 + 2 * i) & 0xff
-              val c = comps.find(_.id == cid).getOrElse(
-                throw new IllegalArgumentException(
-                  s"SOS names unknown component $cid"))
-              c.dcSel = sel >> 4
-              c.acSel = sel & 0x0f
+              // T.81 B.2.3: scan components appear in FRAME-HEADER
+              // order. The MCU loop consumes entropy blocks in SOF
+              // order, so a reordered (or duplicated) SOS list would
+              // silently apply tables and predictors to the wrong
+              // components — refuse rather than misdecode.
+              require(comps(i).id == cid,
+                s"SOS component order (#$i = $cid) does not match the " +
+                  s"frame header (#$i = ${comps(i).id}) — T.81 B.2.3")
+              comps(i).dcSel = sel >> 4
+              comps(i).acSel = sel & 0x0f
               i += 1
             }
             scanAt = pos + 2 + len

@@ -76,6 +76,19 @@ private[etl] abstract class VersionedStore(
 
   def currentVersion: Long = pointerParts._1
 
+  /** [[pointerParts]] with the tail read as the (scope, seq)
+    * idempotency key the keyed-update stores ride there — ONE parse of
+    * that tail contract (a format change lands here, not per store). */
+  protected final def keyedPointer: (Long, Long, Option[(String, Long)]) = {
+    val (cur, base, tail) = pointerParts
+    (cur, base,
+      if (tail.length > 1) Some((tail(0), tail(1).toLong)) else None)
+  }
+
+  /** The (scope, seq) tail rendered back to pointer tokens. */
+  protected final def keyTail(key: Option[(String, Long)]): Seq[String] =
+    key.map { case (sc, seq) => Seq(sc, seq.toString) }.getOrElse(Seq.empty)
+
   /** Number of version dirs a reader currently unions — bounded by the
     * subclass's `autoCompactEvery` cadence when set. */
   def liveVersionSpan: Long = {

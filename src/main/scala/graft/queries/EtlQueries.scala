@@ -382,10 +382,30 @@ object EtlQueries {
   /** Host identity for the build-lock claim: pids are host-local, so
     * on a SHARED scratch (NFS/object store) liveness may only be
     * judged for claims from this host — a foreign host's claim is
-    * presumed live. */
-  private val hostId: String =
-    scala.util.Try(java.net.InetAddress.getLocalHost.getHostName)
-      .getOrElse("unknown-host")
+    * presumed live. The hostname alone can COLLIDE (two misconfigured
+    * machines both reporting "localhost" would pid-probe each other's
+    * claims and re-open the delete-a-live-builder hole), so the id
+    * mixes in the machine's MAC set; when no distinguishing identity
+    * exists at all, the sentinel makes [[claimantAlive]] presume every
+    * claim live (never probe on a possibly-shared name). */
+  private val hostId: String = {
+    val name = scala.util.Try(
+      java.net.InetAddress.getLocalHost.getHostName).getOrElse("")
+    val macs = scala.util.Try {
+      import scala.jdk.CollectionConverters._
+      java.net.NetworkInterface.getNetworkInterfaces.asScala
+        .flatMap(i => Option(i.getHardwareAddress))
+        .map(_.map("%02x".format(_)).mkString)
+        .toSeq.sorted.mkString(",")
+    }.getOrElse("")
+    if (name.isEmpty && macs.isEmpty) "unknown-host"
+    else {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$name|$macs".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      s"$name-$digest"
+    }
+  }
 
   /** Build-once-reuse-forever wrapper for a fixture's persisted store
     * family: `open` constructs the handle(s) against the durable root
@@ -452,10 +472,12 @@ object EtlQueries {
     // pid probe here and have its root deleted out from under it).
     val claim = s"$hostId:${ProcessHandle.current().pid()}"
     def claimantAlive(p: String): Boolean = p.trim.split(":", 2) match {
-      case Array(h, pid) if h == hostId =>
+      case Array(h, pid) if h == hostId && h != "unknown-host" =>
         scala.util.Try(ProcessHandle.of(pid.toLong).isPresent)
           .getOrElse(true)
-      case Array(_, _) => true // foreign host: unknowable, presume live
+      // foreign host — or a sentinel name two identity-less machines
+      // could share: unknowable, presume live
+      case Array(_, _) => true
       case _ => // pre-host-format claim (bare pid): host-local by era
         scala.util.Try(ProcessHandle.of(p.trim.toLong).isPresent)
           .getOrElse(true)

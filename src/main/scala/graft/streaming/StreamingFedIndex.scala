@@ -25,17 +25,24 @@ import graft.etl.FedDedupState
   * (the fold reads whatever member versions lie beyond the
   * watermarks, whenever it runs).
   *
-  * Single-writer discipline: the federation store is one-writer like
-  * every store here, and several member streams tick concurrently, so
-  * folds serialize on the store handle (a JVM-local lock — the same
-  * deployment shape as the member sinks: one process owns a store's
-  * writes). `foldEvery` trades federation freshness against fold
-  * latency: 1 = fold after every member micro-batch (freshest); N
-  * folds after every Nth micro-batch ACROSS the member streams, with
-  * the skipped ticks' deltas absorbed by the next fold (watermarks
-  * make the batching exact, never lossy). A deployment draining its
-  * streams should run one final `fed.fold()` at shutdown to absorb
-  * any post-last-tick member versions.
+  * Single-writer discipline AND fold/update isolation: the federation
+  * store is one-writer like every store here, and several member
+  * streams tick concurrently — worse, a member's own `update` may
+  * auto-compact, moving its read base and DELETING version dirs while
+  * a concurrent federation fold holds a pinned version (the fold would
+  * die on the mid-fold-compact guard or a vanished dir, and Spark
+  * terminates the streaming query). A read/write lock closes the race
+  * at the only place that owns both sides: member updates take the
+  * READ side (members are independent writers — they stay parallel
+  * with each other), the federation fold takes the WRITE side, so a
+  * fold's pinned member versions cannot be compacted out from under it
+  * and folds serialize with each other. `foldEvery` trades federation
+  * freshness against fold latency: 1 = fold after every member
+  * micro-batch (freshest); N folds after every Nth micro-batch ACROSS
+  * the member streams, with the skipped ticks' deltas absorbed by the
+  * next fold (watermarks make the batching exact, never lossy). A
+  * deployment draining its streams should run one final `fed.fold()`
+  * at shutdown to absorb any post-last-tick member versions.
   */
 object StreamingFedIndex {
 
@@ -51,6 +58,7 @@ object StreamingFedIndex {
       s"got ${curatedByMember.size} member streams for a federation of " +
         s"${fed.memberStores.size} members — stream i feeds member i")
     val ticks = new AtomicLong(0L)
+    val rw = new java.util.concurrent.locks.ReentrantReadWriteLock()
     curatedByMember.zip(fed.memberStores).map {
       case ((curated, checkpoint), member) =>
         val scope =
@@ -66,9 +74,17 @@ object StreamingFedIndex {
             // version dirs (the member-sink rule); they don't tick the
             // federation cadence either — an idle stream costs nothing
             if (!batch.isEmpty) {
-              member.update(batch, idempotencyKey = Some((scope, batchId)))
-              if (ticks.incrementAndGet() % foldEvery == 0)
-                fed.synchronized { fed.fold(); () }
+              // read side: member updates (and any auto-compact inside
+              // them) run in parallel with each other but never while
+              // a federation fold holds pinned member versions
+              rw.readLock().lock()
+              try member.update(batch, idempotencyKey = Some((scope, batchId)))
+              finally rw.readLock().unlock()
+              if (ticks.incrementAndGet() % foldEvery == 0) {
+                rw.writeLock().lock()
+                try { fed.fold(); () }
+                finally rw.writeLock().unlock()
+              }
             }
           }
           .start()

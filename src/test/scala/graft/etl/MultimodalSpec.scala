@@ -302,6 +302,24 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 256) else 6, + 2·255 restart markers + 2 EOI
     assert(Multimodal.JpegCodec.HeaderSizeColor == 326)
     assert(jpg.length == 326 + 8 * 256 - 112)
+    // a WIDE MCU (3 × 22 = 66 code bits — more than one 64-bit
+    // accumulator holds) must still encode correctly: the packer
+    // streams bytes as they fill instead of collecting the whole MCU
+    val wide = Multimodal.JpegCodec.encodeColor(1, 2,
+      Array(200.toByte, 200.toByte), 200, 200)
+    assert(wide.length == 326 + 2 * 9 + 2 + 2) // 9 entropy B/MCU + RST + EOI
+    val (ww, wh, wpx) = Multimodal.JpegCodec.decode(wide)
+    assert(ww == 8 && wh == 16)
+    val wref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(wide))
+    for (y <- 0 until 16; x <- 0 until 8) {
+      val rgb = wref.getRGB(x, y)
+      val p = y * 8 + x
+      assert(((rgb >> 16) & 0xff) == (wpx(3 * p) & 0xff) &&
+        ((rgb >> 8) & 0xff) == (wpx(3 * p + 1) & 0xff) &&
+        (rgb & 0xff) == (wpx(3 * p + 2) & 0xff),
+        s"wide-MCU container disagrees with ImageIO at ($x,$y)")
+    }
   }
 
   test("JPEG fixture scan bytes are stuffing-free over the whole byte domain") {

@@ -50,8 +50,10 @@ def main(src: str, dst: str, factor: int) -> None:
     )
 
     # Edge docs appended past the grown id range: EMPTY and 1-byte
-    # texts at four consecutive ids each, so every doc_id%4 media
-    # format (WAV/PNG/JPEG/BMP) sees the zero-/one-byte container, plus
+    # texts at EIGHT consecutive ids each — the media routing is
+    # doc_id % 8 (WAV/PNG/gray-JPEG/BMP at % 4, and the JPEG class
+    # splits % 8 into gray vs COLOR), so eight ids per text guarantee
+    # every container variant sees the zero-/one-byte payload — plus
     # the 64-char grid boundary (w wraps to 1). These exist so the
     # degenerate-content paths (height clamps, empty checksum regions,
     # zero-selection winnows) OCCUR in a tested corpus instead of
@@ -60,7 +62,7 @@ def main(src: str, dst: str, factor: int) -> None:
     edge_rows = ", ".join(
         f"({j}, '{t}')"
         for j, t in enumerate(
-            t for t in edge_texts for _ in range(4)
+            t for t in edge_texts for _ in range(8)
         )
     )
     con.execute(
