@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.SparkSession
+
+import graft.engine.{Btrdb, Federation}
+import graft.etl.EtlViews
+import graft.storage.Store
+
+/** Operator console — the analog of the reference's admin CLI plugin
+  * (/root/reference/cliplugin/plugin.go:25-40: cluster info, member
+  * maintenance) for this engine's deployment shape: every maintenance
+  * operation the Scala API exposes (stream compaction, pyramid repair,
+  * obliterate purge, federation migration, ETL-store compaction)
+  * becomes one `runMain` away instead of an sbt console session.
+  *
+  * `sbt "runMain graft.AdminCli <command> [args…]"`, one JSON result
+  * line per command (the bench/verify convention):
+  *
+  * {{{
+  *   info <engineRoot> [collectionPrefix]   catalog + version summary
+  *   stream <engineRoot> <uuid>             descriptor + versions
+  *   compact <engineRoot> <uuid>            squash the commit archive
+  *   repair <engineRoot> <uuid>             verify/heal the stat pyramid
+  *   purge <engineRoot>                     reclaim obliterated streams
+  *   migrate <fromRoot> <toRoot> <uuid>     move a stream between members
+  *   store-status <storeRoot>               versioned ETL store summary
+  *                                          (pointer/META/manifests —
+  *                                          no Spark session)
+  *   store-compact <kind> <storeRoot>       squash an ETL store;
+  *                                          kind = dedup|contam|
+  *                                          fed-dedup|fed-contam|derived
+  * }}}
+  *
+  * Locking: read-only commands attach without the engine lock (the
+  * daemon's convention); mutating engine commands take it, so a
+  * concurrent writer refuses loudly rather than corrupting. The ETL
+  * store compactions run under the stores' single-writer contract —
+  * quiesce the ingest writer first, exactly as for any other
+  * maintenance window. Engine roots open at the deployment's default
+  * geometry (the daemon's convention — `graft.Service` does the same).
+  */
+object AdminCli {
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    } + "\""
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-admin")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Pure-metadata store summary: works on ANY versioned store root
+    * (dedup/contam/derived/federation) because they share the ONE
+    * layout contract (CURRENT "cur base tail…", META, per-version
+    * MANIFEST) — no Spark session, safe against live writers (readers
+    * resolve through the atomic pointer). */
+  private def storeStatus(rootUri: String): String = {
+    val store = new Store(rootUri, new Configuration())
+    val cur = store.readString("CURRENT").map(_.trim).getOrElse("")
+    val meta = store.readString("META").map(_.trim).getOrElse("")
+    val members = store.readString("MEMBERS").map(_.trim.split("\n").length)
+    val p = cur.split("\\s+").filter(_.nonEmpty)
+    val (curV, baseV) =
+      if (p.length >= 2) (p(0), p(1))
+      else if (p.length == 1) (p(0), "1") else ("0", "1")
+    val manifests =
+      if (p.isEmpty) Seq.empty
+      else (baseV.toLong to curV.toLong).flatMap(v =>
+        store.readString(s"v$v/MANIFEST").map(m => v -> m.trim))
+    val mjson = manifests.map { case (v, m) =>
+      s""""v$v":${jstr(m)}""" }.mkString("{", ",", "}")
+    s"""{"root":${jstr(rootUri)},"current":${jstr(cur)},""" +
+      s""""version":$curV,"base":$baseV,"live_versions":${manifests.size},""" +
+      s""""meta":${jstr(meta)}""" +
+      members.map(n => s""","members":$n""").getOrElse("") +
+      s""","manifests":$mjson}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    var created: Option[SparkSession] = None
+    def sparkOf(): SparkSession = created.getOrElse {
+      val s = session(); created = Some(s); s
+    }
+    try println(run(args, sparkOf _))
+    finally created.foreach(_.stop())
+  }
+
+  /** Command dispatch, session-injected so a host (spec, daemon) can
+    * run commands against its own SparkSession without this object
+    * stopping it. */
+  private[graft] def run(args: Array[String],
+                         sparkOf: () => SparkSession): String = {
+    require(args.nonEmpty, "usage: AdminCli <command> [args…] — " +
+      "info|stream|compact|repair|purge|migrate|store-status|store-compact")
+    args(0) match {
+      case "store-status" =>
+        storeStatus(args(1))
+
+      case "store-compact" =>
+        val (kind, root) = (args(1), args(2))
+        val spark = sparkOf()
+        locally {
+          val v = kind match {
+            case "dedup" => EtlViews.openDedup(spark, root).compact()
+            case "contam" => EtlViews.openContam(spark, root).compact()
+            case "fed-dedup" => EtlViews.openFedDedup(spark, root).compact()
+            case "fed-contam" => EtlViews.openFedContam(spark, root).compact()
+            case "derived" => EtlViews.openDerived(spark, root).compact()
+            case k => throw new IllegalArgumentException(
+              s"unknown store kind '$k' (dedup|contam|fed-dedup|" +
+                "fed-contam|derived)")
+          }
+          s"""{"op":"store-compact","kind":${jstr(kind)},""" +
+            s""""root":${jstr(root)},"version":$v}"""
+        }
+
+      case "info" =>
+        val spark = sparkOf()
+        locally {
+          val db = new Btrdb(spark, args(1), lockRoot = false)
+          val prefix = args.lift(2).getOrElse("")
+          val i = db.engineInfo()
+          val cols = db.listCollections(prefix).collect()
+            .map(r => jstr(r.getString(0))).mkString("[", ",", "]")
+          val streams = db.lookupStreams(prefix)
+            .select("collection", "uuid").collect()
+            .map(r => s"""{"collection":${jstr(r.getString(0))},""" +
+              s""""uuid":${jstr(r.getString(1))}}""")
+            .mkString("[", ",", "]")
+          s"""{"op":"info","build":${jstr(i.build)},""" +
+            s""""healthy":${i.healthy},"streams":${i.streamCount},""" +
+            s""""points":${i.pointCount},"collections":$cols,""" +
+            s""""stream_list":$streams}"""
+        }
+
+      case "stream" =>
+        val spark = sparkOf()
+        locally {
+          val db = new Btrdb(spark, args(1), lockRoot = false)
+          val (d, maj, minor) = db.streamInfo(args(2))
+          s"""{"op":"stream","uuid":${jstr(d.uuid)},""" +
+            s""""collection":${jstr(d.collection)},"sid":${d.sid},""" +
+            s""""major":$maj,"minor":$minor,""" +
+            s""""annotation_version":${d.annotationVersion}}"""
+        }
+
+      case "compact" =>
+        val spark = sparkOf()
+        locally {
+          val db = new Btrdb(spark, args(1))
+          try {
+            val v = db.compact(args(2))
+            s"""{"op":"compact","uuid":${jstr(args(2))},"version":$v}"""
+          } finally db.close()
+        }
+
+      case "repair" =>
+        val spark = sparkOf()
+        locally {
+          val db = new Btrdb(spark, args(1))
+          try {
+            val healed = db.repairPyramid(args(2))
+            s"""{"op":"repair","uuid":${jstr(args(2))},"healed":$healed}"""
+          } finally db.close()
+        }
+
+      case "purge" =>
+        val spark = sparkOf()
+        locally {
+          val db = new Btrdb(spark, args(1))
+          try {
+            val sids = db.purgeObliterated()
+            s"""{"op":"purge","purged_sids":${sids.mkString("[", ",", "]")}}"""
+          } finally db.close()
+        }
+
+      case "migrate" =>
+        val spark = sparkOf()
+        locally {
+          val from = new Btrdb(spark, args(1))
+          try {
+            val to = new Btrdb(spark, args(2))
+            try {
+              val r = Federation.migrate(args(3), from, to)
+              s"""{"op":"migrate","uuid":${jstr(r.uuid)},""" +
+                s""""from_sid":${r.fromSid},"to_sid":${r.toSid},""" +
+                s""""points":${r.npoints},"major":${r.major}}"""
+            } finally to.close()
+          } finally from.close()
+        }
+
+      case c => throw new IllegalArgumentException(
+        s"unknown command '$c' — info|stream|compact|repair|purge|" +
+          "migrate|store-status|store-compact")
+    }
+  }
+}
