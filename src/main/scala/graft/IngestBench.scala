@@ -9,11 +9,21 @@ import graft.engine.Btrdb
   * N points, pushes them through insert→flush (validation, staging,
   * commit, pyramid maintenance) and then times a full raw scan and an
   * aligned stat query. Prints one JSON line.
-  * `sbt "runMain graft.IngestBench [nPoints]"`.
+  * `sbt "runMain graft.IngestBench [nPoints] [wBucketPw]"`.
+  *
+  * `wBucketPw` is the pyramid wbucket geometry (default: the engine's
+  * 2^54 ns). The incremental fold rewrites whole (pw, sbucket, wbucket)
+  * rollup partition dirs, so per-commit cost is bounded by the rollup
+  * rows per wbucket — for this synthetic 1 MHz stream the default
+  * width puts the WHOLE stream's rollup in one wbucket and the bound
+  * degenerates to O(total). An operator sizes the knob to cadence
+  * (here 2^36 ns ≈ 69 s → ≤ 2^16 level-20 rows per dir); the soak
+  * measures both geometries.
   */
 object IngestBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val wPw = args.lift(1).map(_.toInt).getOrElse(54)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -25,7 +35,7 @@ object IngestBench {
     spark.sparkContext.setLogLevel("WARN")
     val root = java.nio.file.Files.createTempDirectory("ingest-bench").toString
     val db = new Btrdb(spark, root, sBuckets = 8, tBucketPw = 44,
-      pyramidLevels = Seq(20, 30))
+      pyramidLevels = Seq(20, 30), pyramidWBucketPw = wPw)
     db.createStream("bench-uuid", "bench/ingest", Map("kind" -> "synthetic"))
 
     // synthetic stream: 1 point/µs with a noisy sine value
@@ -54,13 +64,15 @@ object IngestBench {
     val commits = 8
     val step = 131072L
     val t3 = System.nanoTime()
-    (0 until commits).foreach { i =>
+    val steadyEach = (0 until commits).map { i =>
+      val tc = System.nanoTime()
       val lo = n + i * step
       val pts = spark.range(lo, lo + step).select(
         (col("id") * 1000L).as("time"),
         (sin(col("id") / 1e5) * 100).as("value"))
       db.insert("bench-uuid", pts)
       db.flush("bench-uuid")
+      (System.nanoTime() - tc) / 1e9
     }
     val tSteady = (System.nanoTime() - t3) / 1e9
 
@@ -68,17 +80,20 @@ object IngestBench {
     // range, folding into existing rollup rows — must cost the same as
     // appends (the incremental-pyramid guarantee), not O(rollup).
     val t4 = System.nanoTime()
-    (0 until commits).foreach { i =>
+    val backfillEach = (0 until commits).map { i =>
+      val tc = System.nanoTime()
       val lo = (n / commits) * i
       val pts = spark.range(lo, lo + step).select(
         (col("id") * 1000L + 500L).as("time"), // interleaves existing µs grid
         (sin(col("id") / 1e5) * 50).as("value"))
       db.insert("bench-uuid", pts)
       db.flush("bench-uuid")
+      (System.nanoTime() - tc) / 1e9
     }
     val tBackfill = (System.nanoTime() - t4) / 1e9
 
-    println(f"""{"points":$n,"ingest_s":$tIngest%.3f,"ingest_pts_per_s":${(n / tIngest).toLong},"scan_s":$tScan%.3f,"scan_pts_per_s":${(scanned / tScan).toLong},"stat_s":$tStat%.3f,"stat_windows":$wins,"steady_commits":$commits,"steady_commit_s":${tSteady / commits}%.3f,"steady_pts_per_s":${(commits * step / tSteady).toLong},"backfill_commit_s":${tBackfill / commits}%.3f}""")
+    def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    println(f"""{"points":$n,"wbucket_pw":$wPw,"ingest_s":$tIngest%.3f,"ingest_pts_per_s":${(n / tIngest).toLong},"scan_s":$tScan%.3f,"scan_pts_per_s":${(scanned / tScan).toLong},"stat_s":$tStat%.3f,"stat_windows":$wins,"steady_commits":$commits,"steady_commit_s":${tSteady / commits}%.3f,"steady_pts_per_s":${(commits * step / tSteady).toLong},"steady_each_s":${arr(steadyEach)},"backfill_commit_s":${tBackfill / commits}%.3f,"backfill_each_s":${arr(backfillEach)}}""")
     spark.stop()
   }
 }
