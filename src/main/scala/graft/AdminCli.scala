@@ -3,8 +3,9 @@ package graft
 import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.SparkSession
 
+import graft.core.Jsons
 import graft.engine.{Btrdb, Federation}
-import graft.etl.EtlViews
+import graft.etl.{EtlViews, VersionedStore}
 import graft.storage.Store
 
 /** Operator console — the analog of the reference's admin CLI plugin
@@ -42,13 +43,7 @@ import graft.storage.Store
   */
 object AdminCli {
 
-  private def jstr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => " "
-      case c => c.toString
-    } + "\""
+  private def jstr(s: String): String = Jsons.str(s)
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -73,13 +68,14 @@ object AdminCli {
     val cur = store.readString("CURRENT").map(_.trim).getOrElse("")
     val meta = store.readString("META").map(_.trim).getOrElse("")
     val members = store.readString("MEMBERS").map(_.trim.split("\n").length)
-    val p = cur.split("\\s+").filter(_.nonEmpty)
-    val (curV, baseV) =
-      if (p.length >= 2) (p(0), p(1))
-      else if (p.length == 1) (p(0), "1") else ("0", "1")
+    val p = cur.split("\\s+").filter(_.nonEmpty).toSeq
+    // the stores' OWN pointer rules (one parse, VersionedStore's)
+    val (curV, baseV, _) =
+      if (p.isEmpty) (0L, 1L, Seq.empty[String])
+      else VersionedStore.parsePointer(p)
     val manifests =
-      if (p.isEmpty) Seq.empty
-      else (baseV.toLong to curV.toLong).flatMap(v =>
+      if (curV == 0) Seq.empty
+      else (baseV to curV).flatMap(v =>
         store.readString(s"v$v/MANIFEST").map(m => v -> m.trim))
     val mjson = manifests.map { case (v, m) =>
       s""""v$v":${jstr(m)}""" }.mkString("{", ",", "}")

@@ -107,13 +107,7 @@ object Bench {
       val sec = if (ok.isEmpty) -1.0 else ok((ok.size - 1) / 2)
       (name, sec, runs.flatMap(_._3).headOption)
     }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => " "
-        case c => c.toString
-      } + "\""
+    def jstr(s: String): String = graft.core.Jsons.str(s)
     // The PRINTED line must survive a bounded tail capture of the sbt
     // output (BENCH_r15 lost 28 of 94 query timings to a ~4 KB tail
     // window cutting the line's HEAD): timings print rounded to the

@@ -42,6 +42,19 @@ import graft.storage.Store
   * round-15 compact-boundary fix did) — `grep 'from < base'` now hits
   * exactly this file.
   */
+private[graft] object VersionedStore {
+  /** The ONE lenient parse of a CURRENT pointer's tokens — (current
+    * version, read base, tail): base defaults to 1 for a
+    * pre-base-format pointer ("cur" only). Exposed (spark-free) so
+    * metadata-only consumers (the admin console's store-status) read
+    * the pointer through the same rules as the stores themselves
+    * instead of re-implementing them. */
+  private[graft] def parsePointer(
+      tokens: Seq[String]): (Long, Long, Seq[String]) =
+    (tokens(0).toLong,
+      if (tokens.length > 1) tokens(1).toLong else 1L, tokens.drop(2))
+}
+
 private[etl] abstract class VersionedStore(
     protected val spark: SparkSession,
     protected val rootUri: String) {
@@ -66,13 +79,12 @@ private[etl] abstract class VersionedStore(
     * accepts anything the lenient parse below handles. */
   protected def validatePointer(tokens: Seq[String]): Unit = ()
 
-  /** (current version, read base, tail tokens) — base defaults to 1
-    * for a pre-base-format pointer ("cur" only), (0, 1, empty) for a
-    * store with no pointer yet. */
+  /** (current version, read base, tail tokens) — the companion's
+    * [[VersionedStore.parsePointer]] rules; (0, 1, empty) for a store
+    * with no pointer yet. */
   protected final def pointerParts: (Long, Long, Seq[String]) =
-    pointerRaw.map { p =>
-      (p(0).toLong, if (p.length > 1) p(1).toLong else 1L, p.drop(2))
-    }.getOrElse((0L, 1L, Seq.empty))
+    pointerRaw.map(VersionedStore.parsePointer)
+      .getOrElse((0L, 1L, Seq.empty))
 
   def currentVersion: Long = pointerParts._1
 

@@ -379,16 +379,45 @@ object EtlQueries {
     t
   }
 
+  /** A per-host random token persisted on the machine-LOCAL temp
+    * filesystem: the distinguishing identity when hostname + MAC set
+    * are ambiguous — two misconfigured machines can share a hostname,
+    * and an unprivileged JVM (the common container shape) often cannot
+    * read hardware addresses AT ALL, leaving the MAC set empty on both
+    * sides of a shared scratch. Two hosts can never share the token
+    * (it lives outside the shared scratch); JVMs on the SAME host
+    * (same tmpdir) read the same token, which keeps dead-builder
+    * reclamation working where it is sound. Creation races lose to
+    * the first writer (move without REPLACE_EXISTING) and re-read it;
+    * a token mismatch between same-host JVMs (distinct tmpdirs) only
+    * means claims are presumed live — the safe direction. */
+  private lazy val hostToken: String = scala.util.Try {
+    val dir = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val p = dir.resolve("graft_host_token")
+    if (!java.nio.file.Files.exists(p)) {
+      val tmp = java.nio.file.Files.createTempFile(
+        dir, "graft_host_token", ".tmp")
+      java.nio.file.Files.write(tmp,
+        java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+      try java.nio.file.Files.move(tmp, p)
+      catch { case _: java.io.IOException =>
+        java.nio.file.Files.deleteIfExists(tmp) }
+    }
+    new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+  }.getOrElse("")
+
   /** Host identity for the build-lock claim: pids are host-local, so
     * on a SHARED scratch (NFS/object store) liveness may only be
     * judged for claims from this host — a foreign host's claim is
     * presumed live. The hostname alone can COLLIDE (two misconfigured
     * machines both reporting "localhost" would pid-probe each other's
-    * claims and re-open the delete-a-live-builder hole), so the id
-    * mixes in the machine's MAC set; when no distinguishing identity
-    * exists at all, the sentinel makes [[claimantAlive]] presume every
-    * claim live (never probe on a possibly-shared name). */
-  private val hostId: String = {
+    * claims and re-open the delete-a-live-builder hole), so the name
+    * is never a probe basis by itself: the id must carry a MAC set or
+    * the per-host [[hostToken]] to count as distinguishing. With
+    * neither, the sentinel makes [[claimantAlive]] presume every claim
+    * live (never probe on a possibly-shared name). */
+  private[queries] lazy val hostId: String = {
     val name = scala.util.Try(
       java.net.InetAddress.getLocalHost.getHostName).getOrElse("")
     val macs = scala.util.Try {
@@ -398,14 +427,32 @@ object EtlQueries {
         .map(_.map("%02x".format(_)).mkString)
         .toSeq.sorted.mkString(",")
     }.getOrElse("")
-    if (name.isEmpty && macs.isEmpty) "unknown-host"
+    if (macs.isEmpty && hostToken.isEmpty) "unknown-host"
     else {
       val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$name|$macs".getBytes("UTF-8"))
+        .digest(s"$name|$macs|$hostToken".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(8)
       s"$name-$digest"
     }
   }
+
+  /** Is the writer of a BUILD_LOCK claim still alive? Probe-able ONLY
+    * when the claim provably came from THIS host (same distinguishing
+    * [[hostId]]): pids are host-local, so a foreign host's claim, a
+    * sentinel identity two identity-less machines could share, and a
+    * claim whose format we cannot attribute to a host at all (the
+    * pre-host bare-pid format — old and new code can coexist on a
+    * shared scratch, so "host-local by era" does not hold) are ALL
+    * presumed live. Un-reclaimed dead claims age out through the
+    * stale-root sweep; deleting a live builder's root cannot be
+    * undone. */
+  private[queries] def claimantAlive(p: String): Boolean =
+    p.trim.split(":", 2) match {
+      case Array(h, pid) if h == hostId && h != "unknown-host" =>
+        scala.util.Try(ProcessHandle.of(pid.toLong).isPresent)
+          .getOrElse(true)
+      case _ => true
+    }
 
   /** Build-once-reuse-forever wrapper for a fixture's persisted store
     * family: `open` constructs the handle(s) against the durable root
@@ -471,17 +518,6 @@ object EtlQueries {
     // foreign builder mid-build would otherwise be judged dead by a
     // pid probe here and have its root deleted out from under it).
     val claim = s"$hostId:${ProcessHandle.current().pid()}"
-    def claimantAlive(p: String): Boolean = p.trim.split(":", 2) match {
-      case Array(h, pid) if h == hostId && h != "unknown-host" =>
-        scala.util.Try(ProcessHandle.of(pid.toLong).isPresent)
-          .getOrElse(true)
-      // foreign host — or a sentinel name two identity-less machines
-      // could share: unknowable, presume live
-      case Array(_, _) => true
-      case _ => // pre-host-format claim (bare pid): host-local by era
-        scala.util.Try(ProcessHandle.of(p.trim.toLong).isPresent)
-          .getOrElse(true)
-    }
     val owned = store.writeExclusive("BUILD_LOCK", claim) || {
       val alive = store.readString("BUILD_LOCK").exists(claimantAlive)
       if (alive) false
