@@ -119,6 +119,26 @@ object DedupStateBench {
     ca.update(batch)
     val (_, cFedFoldSec) = timed(cFed.fold())
 
+    // WINNOW-MATCH federation (the third banding family, round 16):
+    // member match stores band on winnow fingerprints (from-text here;
+    // the fixture path feeds them from the shared selection store —
+    // same banding rows, so the fold-cost shape is identical), folded
+    // into one FedDedupState, then the livePairCounts read that serves
+    // q_winnow_fed. Same contracts under test: init ∝ corpus ONCE,
+    // delta fold ∝ the member batch, the read ∝ live pairs.
+    val winBands = graft.queries.EtlQueries.winnowBandsOf _
+    val wa = new graft.etl.DedupState(spark, freshRoot(), winBands,
+      maxBucket = Some(10L))
+    val wb = new graft.etl.DedupState(spark, freshRoot(), winBands,
+      maxBucket = Some(10L))
+    wa.update(corpus.filter(col("doc_id") % 2 === 0))
+    wb.update(corpus.filter(col("doc_id") % 2 === 1))
+    val wFed = new graft.etl.FedDedupState(spark, freshRoot(), Seq(wa, wb))
+    val (_, wInitSec) = timed(wFed.fold())
+    wa.update(fresh)
+    val (_, wFoldSec) = timed(wFed.fold())
+    val (wPairs, wReadSec) = timed(wFed.livePairCounts().count())
+
     println(s"""{"metric":"dedup_state","init_sec":$initSec,""" +
       s""""update_sec":$updSec,"corpus_docs":$nCorpus,""" +
       s""""batch_docs":$nBatch,"batch_new_distinct":${rep.nNewDistinct},""" +
@@ -140,6 +160,10 @@ object DedupStateBench {
       s""""fed_store_fold_pairs":${fedRep.map(_.nNewPairs).getOrElse(0L)},""" +
       s""""fed_contam_init_sec":$cFedInitSec,""" +
       s""""fed_contam_fold_sec":$cFedFoldSec,""" +
+      s""""fed_winnow_init_sec":$wInitSec,""" +
+      s""""fed_winnow_fold_sec":$wFoldSec,""" +
+      s""""fed_winnow_read_sec":$wReadSec,""" +
+      s""""fed_winnow_pairs":$wPairs,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

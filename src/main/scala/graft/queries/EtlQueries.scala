@@ -860,7 +860,7 @@ object EtlQueries {
     * match step can live in a [[graft.etl.DedupState]] with the df cap
     * as the store's bucket cap. The FROM-TEXT definition — specs pin
     * [[winnowStoreBandsOf]] against it. */
-  private[queries] def winnowBandsOf(src: DataFrame): DataFrame =
+  private[graft] def winnowBandsOf(src: DataFrame): DataFrame =
     winnowKeysOf(src)
       .select(col("doc_id"),
         expr("sel div 4096").cast("string").as("bkey"))
