@@ -31,7 +31,17 @@ import graft.storage.Store
   *   store-compact <kind> <storeRoot>       squash an ETL store;
   *                                          kind = dedup|contam|
   *                                          fed-dedup|fed-contam|derived
+  *   store-fold <kind> <storeRoot>          fold a federation store's
+  *                                          unabsorbed member deltas;
+  *                                          kind = fed-dedup|fed-contam
   * }}}
+  *
+  * `store-fold` serves deployments without a streaming fold cadence
+  * ([[graft.streaming.StreamingFedIndex]]); member handles
+  * reconstruct from the store's MEMBERS file. THRESHOLDED federations
+  * (a pair-admission predicate in META) refuse the console fold by
+  * construction — the predicate is a Column only the owning pipeline
+  * can supply — and must fold where they were built.
   *
   * Locking: read-only commands attach without the engine lock (the
   * daemon's convention); mutating engine commands take it, so a
@@ -101,7 +111,8 @@ object AdminCli {
   private[graft] def run(args: Array[String],
                          sparkOf: () => SparkSession): String = {
     require(args.nonEmpty, "usage: AdminCli <command> [args…] — " +
-      "info|stream|compact|repair|purge|migrate|store-status|store-compact")
+      "info|stream|compact|repair|purge|migrate|store-status|" +
+      "store-compact|store-fold")
     args(0) match {
       case "store-status" =>
         storeStatus(args(1))
@@ -122,6 +133,32 @@ object AdminCli {
           }
           s"""{"op":"store-compact","kind":${jstr(kind)},""" +
             s""""root":${jstr(root)},"version":$v}"""
+        }
+
+      case "store-fold" =>
+        val (kind, root) = (args(1), args(2))
+        val spark = sparkOf()
+        locally {
+          // fold-on-demand for deployments without a streaming cadence
+          // (StreamingFedIndex): absorb every member's unabsorbed
+          // versions now; a no-op (every member already absorbed)
+          // reports folded=false rather than burning a version
+          val r = kind match {
+            case "fed-dedup" =>
+              EtlViews.openFedDedup(spark, root).fold()
+                .map(r => (r.version, s""""new_reps":${r.nNewReps},""" +
+                  s""""new_pairs":${r.nNewPairs}"""))
+            case "fed-contam" =>
+              EtlViews.openFedContam(spark, root).fold()
+                .map(r => (r.version, s""""new_keys":${r.nNewKeys},""" +
+                  s""""new_postings":${r.nNewPostings}"""))
+            case k => throw new IllegalArgumentException(
+              s"unknown federation store kind '$k' (fed-dedup|fed-contam)")
+          }
+          s"""{"op":"store-fold","kind":${jstr(kind)},""" +
+            s""""root":${jstr(root)},"folded":${r.isDefined}""" +
+            r.map { case (v, stats) => s""","version":$v,$stats""" }
+              .getOrElse("") + "}"
         }
 
       case "info" =>
@@ -201,7 +238,7 @@ object AdminCli {
 
       case c => throw new IllegalArgumentException(
         s"unknown command '$c' — info|stream|compact|repair|purge|" +
-          "migrate|store-status|store-compact")
+          "migrate|store-status|store-compact|store-fold")
     }
   }
 }

@@ -102,4 +102,37 @@ class AdminCliSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](run("store-compact", "nope", root))
     intercept[IllegalArgumentException](run("frobnicate"))
   }
+
+  test("store-fold: console-driven federation fold over member deltas") {
+    val ss = spark; import ss.implicits._
+    val prefixBands: DataFrame => DataFrame = docs =>
+      docs.select(col("doc_id"), substring(col("text"), 1, 3).as("bkey"))
+    def member() = new DedupState(spark,
+      Files.createTempDirectory("admin-cli-fedm-").toString, prefixBands)
+    val (a, b) = (member(), member())
+    a.update(Seq((1L, "AAA one"), (2L, "AAA two")).toDF("doc_id", "text"))
+    b.update(Seq((3L, "AAA three")).toDF("doc_id", "text"))
+    val fedRoot = Files.createTempDirectory("admin-cli-fed-").toString
+    // the pipeline creates the store (first fold writes MEMBERS) …
+    new graft.etl.FedDedupState(spark, fedRoot, Seq(a, b)).fold()
+
+    // … and the console folds later member deltas on demand
+    a.update(Seq((4L, "AAA four")).toDF("doc_id", "text"))
+    val out = run("store-fold", "fed-dedup", fedRoot)
+    assert(out.contains(""""op":"store-fold"""") &&
+      out.contains(""""folded":true""") &&
+      out.contains(""""version":2"""), out)
+    // cross-member pairs visible through a fresh read handle
+    val fed = graft.etl.EtlViews.openFedDedup(spark, fedRoot)
+    assert(fed.livePairCounts().count() > 0)
+
+    // nothing unabsorbed → reports folded:false, burns no version
+    val noop = run("store-fold", "fed-dedup", fedRoot)
+    assert(noop.contains(""""folded":false""") &&
+      !noop.contains(""""version":"""), noop)
+    assert(graft.etl.EtlViews.openFedDedup(spark, fedRoot)
+      .currentVersion === 2L)
+
+    intercept[IllegalArgumentException](run("store-fold", "dedup", fedRoot))
+  }
 }
