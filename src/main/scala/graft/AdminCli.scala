@@ -75,25 +75,42 @@ object AdminCli {
     * resolve through the atomic pointer). */
   private def storeStatus(rootUri: String): String = {
     val store = new Store(rootUri, new Configuration())
+    val metaOpt = store.readString("META").map(_.trim)
+    // a typo'd path must error, not print a healthy-looking empty
+    // store — every versioned store writes META at creation (the same
+    // refusal EtlViews.metaOf makes)
+    require(metaOpt.isDefined,
+      s"no versioned store at $rootUri (missing META)")
+    val meta = metaOpt.get
     val cur = store.readString("CURRENT").map(_.trim).getOrElse("")
-    val meta = store.readString("META").map(_.trim).getOrElse("")
     val members = store.readString("MEMBERS").map(_.trim.split("\n").length)
     val p = cur.split("\\s+").filter(_.nonEmpty).toSeq
-    // the stores' OWN pointer rules (one parse, VersionedStore's)
-    val (curV, baseV, _) =
+    // the stores' OWN pointer rules (one parse, VersionedStore's) plus
+    // the universal invariant every subclass's validatePointer implies
+    // (numeric tokens, base ∈ [1, cur]); a corrupt pointer must flag,
+    // not print confidently wrong numbers
+    val parsed = scala.util.Try {
       if (p.isEmpty) (0L, 1L, Seq.empty[String])
       else VersionedStore.parsePointer(p)
-    val manifests =
-      if (curV == 0) Seq.empty
-      else (baseV to curV).flatMap(v =>
-        store.readString(s"v$v/MANIFEST").map(m => v -> m.trim))
-    val mjson = manifests.map { case (v, m) =>
-      s""""v$v":${jstr(m)}""" }.mkString("{", ",", "}")
-    s"""{"root":${jstr(rootUri)},"current":${jstr(cur)},""" +
-      s""""version":$curV,"base":$baseV,"live_versions":${manifests.size},""" +
-      s""""meta":${jstr(meta)}""" +
-      members.map(n => s""","members":$n""").getOrElse("") +
-      s""","manifests":$mjson}"""
+    }.toOption.filter { case (c, b, _) => b >= 1 && (c == 0 || b <= c) }
+    parsed match {
+      case None =>
+        s"""{"root":${jstr(rootUri)},"current":${jstr(cur)},""" +
+          s""""pointer_ok":false,"meta":${jstr(meta)}}"""
+      case Some((curV, baseV, _)) =>
+        val manifests =
+          if (curV == 0) Seq.empty
+          else (baseV to curV).flatMap(v =>
+            store.readString(s"v$v/MANIFEST").map(m => v -> m.trim))
+        val mjson = manifests.map { case (v, m) =>
+          s""""v$v":${jstr(m)}""" }.mkString("{", ",", "}")
+        s"""{"root":${jstr(rootUri)},"current":${jstr(cur)},""" +
+          s""""pointer_ok":true,""" +
+          s""""version":$curV,"base":$baseV,"live_versions":${manifests.size},""" +
+          s""""meta":${jstr(meta)}""" +
+          members.map(n => s""","members":$n""").getOrElse("") +
+          s""","manifests":$mjson}"""
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -113,6 +130,15 @@ object AdminCli {
     require(args.nonEmpty, "usage: AdminCli <command> [args…] — " +
       "info|stream|compact|repair|purge|migrate|store-status|" +
       "store-compact|store-fold")
+    // arity up front: a forgotten operand must die on the usage line,
+    // not on an index error after a SparkSession spun up and a
+    // mutating command already took the engine lock
+    val arity = Map("info" -> 1, "stream" -> 2, "compact" -> 2,
+      "repair" -> 2, "purge" -> 1, "migrate" -> 3,
+      "store-status" -> 1, "store-compact" -> 2, "store-fold" -> 2)
+    arity.get(args(0)).foreach(n => require(args.length > n,
+      s"'${args(0)}' takes $n operand(s), got ${args.length - 1} — " +
+        "see the AdminCli doc"))
     args(0) match {
       case "store-status" =>
         storeStatus(args(1))
@@ -164,7 +190,7 @@ object AdminCli {
       case "info" =>
         val spark = sparkOf()
         locally {
-          val db = new Btrdb(spark, args(1), lockRoot = false)
+          val db = Btrdb.attach(spark, args(1), lockRoot = false)
           val prefix = args.lift(2).getOrElse("")
           val i = db.engineInfo()
           val cols = db.listCollections(prefix).collect()
@@ -183,7 +209,7 @@ object AdminCli {
       case "stream" =>
         val spark = sparkOf()
         locally {
-          val db = new Btrdb(spark, args(1), lockRoot = false)
+          val db = Btrdb.attach(spark, args(1), lockRoot = false)
           val (d, maj, minor) = db.streamInfo(args(2))
           s"""{"op":"stream","uuid":${jstr(d.uuid)},""" +
             s""""collection":${jstr(d.collection)},"sid":${d.sid},""" +
@@ -194,7 +220,7 @@ object AdminCli {
       case "compact" =>
         val spark = sparkOf()
         locally {
-          val db = new Btrdb(spark, args(1))
+          val db = Btrdb.attach(spark, args(1))
           try {
             val v = db.compact(args(2))
             s"""{"op":"compact","uuid":${jstr(args(2))},"version":$v}"""
@@ -204,7 +230,7 @@ object AdminCli {
       case "repair" =>
         val spark = sparkOf()
         locally {
-          val db = new Btrdb(spark, args(1))
+          val db = Btrdb.attach(spark, args(1))
           try {
             val healed = db.repairPyramid(args(2))
             s"""{"op":"repair","uuid":${jstr(args(2))},"healed":$healed}"""
@@ -214,7 +240,7 @@ object AdminCli {
       case "purge" =>
         val spark = sparkOf()
         locally {
-          val db = new Btrdb(spark, args(1))
+          val db = Btrdb.attach(spark, args(1))
           try {
             val sids = db.purgeObliterated()
             s"""{"op":"purge","purged_sids":${sids.mkString("[", ",", "]")}}"""
@@ -224,9 +250,9 @@ object AdminCli {
       case "migrate" =>
         val spark = sparkOf()
         locally {
-          val from = new Btrdb(spark, args(1))
+          val from = Btrdb.attach(spark, args(1))
           try {
-            val to = new Btrdb(spark, args(2))
+            val to = Btrdb.attach(spark, args(2))
             try {
               val r = Federation.migrate(args(3), from, to)
               s"""{"op":"migrate","uuid":${jstr(r.uuid)},""" +

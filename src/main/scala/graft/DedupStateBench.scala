@@ -127,10 +127,11 @@ object DedupStateBench {
     // q_winnow_fed. Same contracts under test: init ∝ corpus ONCE,
     // delta fold ∝ the member batch, the read ∝ live pairs.
     val winBands = graft.queries.EtlQueries.winnowBandsOf _
+    val winCap = Some(graft.queries.EtlQueries.WinnowDfCap.toLong)
     val wa = new graft.etl.DedupState(spark, freshRoot(), winBands,
-      maxBucket = Some(10L))
+      maxBucket = winCap)
     val wb = new graft.etl.DedupState(spark, freshRoot(), winBands,
-      maxBucket = Some(10L))
+      maxBucket = winCap)
     wa.update(corpus.filter(col("doc_id") % 2 === 0))
     wb.update(corpus.filter(col("doc_id") % 2 === 1))
     val wFed = new graft.etl.FedDedupState(spark, freshRoot(), Seq(wa, wb))

@@ -156,11 +156,11 @@ object Service {
     // with the substitution still available per member.
     val (engines, registerEngines): (Seq[Btrdb], () => Unit) = roots match {
       case Seq(root) =>
-        val e = new Btrdb(spark, root, lockRoot = false)
+        val e = Btrdb.attach(spark, root, lockRoot = false)
         (Seq(e), () => e.registerViews(prefix))
       case many =>
         val members = many.zipWithIndex.map { case (r, i) =>
-          (s"e$i", new Btrdb(spark, r, lockRoot = false), s"${prefix}_$i")
+          (s"e$i", Btrdb.attach(spark, r, lockRoot = false), s"${prefix}_$i")
         }
         (members.map(_._2), () => {
           members.foreach { case (_, e, p) => e.registerViews(p) }

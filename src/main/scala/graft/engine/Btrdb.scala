@@ -94,6 +94,29 @@ class Btrdb(val spark: SparkSession, val root: String,
   private def path(part: String) = s"$root/$part"
   private def exists(part: String) = store.exists(part)
 
+  // ---- persisted layout geometry --------------------------------------
+  //
+  // sBuckets / tBucketPw / pyramid geometry are properties of the DATA
+  // LAYOUT, not of the handle: a handle opened with the wrong geometry
+  // reads the wrong partition dirs (silently missing points), and a
+  // mutating op corrupts — compact would find nothing under the wrong
+  // sbucket, write a superseding "0 points" commit record and gc the
+  // real per-commit files. The first locking writer stamps the root's
+  // geometry; EVERY later open (read-only included) validates against
+  // it before touching data. External tools (console, daemon) open via
+  // [[Btrdb.attach]], which reads the stamp instead of guessing.
+  private val geometryLine = Btrdb.renderGeometry(
+    sBuckets, tBucketPw, pyramidLevels, pyramidWBucketPw, quantileLevel)
+  store.readString(GeometryFile).map(_.trim).foreach { g =>
+    if (g != geometryLine)
+      throw new IllegalArgumentException(
+        s"engine root $root was built with geometry [$g] but this " +
+          s"handle was constructed with [$geometryLine]; a mismatched " +
+          "open reads the wrong partition dirs and a mutating op would " +
+          "corrupt — use Btrdb.attach(spark, root) to open at the " +
+          "persisted geometry")
+  }
+
   // ---- single-writer root lock ---------------------------------------
   //
   // The engine assumes ONE writer per root (the reference holds
@@ -109,28 +132,38 @@ class Btrdb(val spark: SparkSession, val root: String,
   // the staging-only streaming appender are NOT gated — the lock guards
   // the commit-log/catalog writer.
   private val lockToken = java.util.UUID.randomUUID().toString
+  // the lock body carries the holder's OWN staleness window so a later
+  // claimant judges liveness by the holder's heartbeat cadence, not its
+  // own: a short-windowed console must not steal the lock from a live
+  // writer configured with a longer window (heartbeat = window/4).
+  private def lockBody = s"$lockToken $lockStaleMillis"
   @volatile private var lockHeld = false
   private var heartbeat: java.util.concurrent.ScheduledExecutorService = null
 
   if (lockRoot) {
-    if (!store.writeExclusive(LockFile, lockToken)) {
+    if (!store.writeExclusive(LockFile, lockBody)) {
+      val declared = store.readString(LockFile)
+        .flatMap(_.trim.split("\\s+").lift(1))
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .getOrElse(0L)
+      val staleAfter = math.max(declared, lockStaleMillis)
       val stale = store.modificationTime(LockFile)
-        .forall(m => System.currentTimeMillis() - m > lockStaleMillis)
+        .forall(m => System.currentTimeMillis() - m > staleAfter)
       if (stale) store.delete(LockFile)
-      if (!stale || !store.writeExclusive(LockFile, lockToken))
+      if (!stale || !store.writeExclusive(LockFile, lockBody))
         throw new IllegalStateException(
           s"engine root $root is locked by another live writer " +
             s"(${store.readString(LockFile).getOrElse("?")}); single-writer " +
             "contract — close() the other engine, or delete " +
             s"$root/$LockFile if it is a crash leftover older than " +
-            s"$lockStaleMillis ms")
+            s"$staleAfter ms")
     }
     lockHeld = true
     heartbeat = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
       r => { val t = new Thread(r, s"btrdb-lock-heartbeat"); t.setDaemon(true); t })
     val period = math.max(lockStaleMillis / 4, 250L)
     heartbeat.scheduleAtFixedRate(
-      () => if (lockHeld) store.rewrite(LockFile, lockToken),
+      () => if (lockHeld) store.rewrite(LockFile, lockBody),
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     // watermark enablement marker, written BEFORE any commit this
     // writer can make: under the marker, a stream with commits but no
@@ -139,6 +172,10 @@ class Btrdb(val spark: SparkSession, val root: String,
     // as current (see pyramidCurrent)
     if (pyramidLevels.nonEmpty && !exists(WmEnabledMarker))
       store.writeAtomic(WmEnabledMarker, "1")
+    // stamp the root's layout geometry (validated above when present;
+    // a pre-stamp root is stamped by its first locking writer, whose
+    // args ARE the layout — the single-writer lock serializes this)
+    if (!exists(GeometryFile)) store.writeAtomic(GeometryFile, geometryLine)
   }
 
   /** Release the root lock and drop cached state. The engine must not
@@ -148,7 +185,8 @@ class Btrdb(val spark: SparkSession, val root: String,
     if (lockHeld) {
       // only remove a lock we still own (a stale takeover may have
       // replaced it while we were paused)
-      if (store.readString(LockFile).map(_.trim).contains(lockToken))
+      if (store.readString(LockFile).map(_.trim.split("\\s+").head)
+          .contains(lockToken))
         store.delete(LockFile)
       lockHeld = false
     }
@@ -2692,6 +2730,55 @@ final case class StreamDescInfo(
 object Btrdb {
   /** Advisory single-writer lock file at the engine root. */
   val LockFile = "engine.lock"
+  /** Persisted layout geometry at the engine root — stamped by the
+    * first locking writer, validated by every open (see the
+    * constructor's geometry block), read by [[attach]]. */
+  val GeometryFile = "GEOMETRY"
+
+  /** The ONE rendering of the layout-critical geometry (the knobs that
+    * decide WHERE data lives on disk — partition dirs, rollup levels,
+    * qhist presence). Behavioral knobs (buffer threshold, commit-range
+    * granularity, lock cadence, admission) are per-handle and absent:
+    * commit records are self-describing in those. */
+  private[graft] def renderGeometry(sBuckets: Int, tBucketPw: Int,
+      pyramidLevels: Seq[Int], pyramidWBucketPw: Int,
+      quantileLevel: Option[Int]): String =
+    s"sb=$sBuckets tb=$tBucketPw pl=" +
+      (if (pyramidLevels.isEmpty) "-" else pyramidLevels.mkString(",")) +
+      s" wb=$pyramidWBucketPw ql=${quantileLevel.fold("-")(_.toString)}"
+
+  /** Open an engine root at its PERSISTED geometry (the `GEOMETRY`
+    * stamp its first locking writer wrote) — the safe open for any
+    * tool that did not create the root (console, daemon, federation
+    * member lists): constructor defaults would silently read the wrong
+    * partition dirs on a non-default root, and a mutating op would
+    * corrupt. A legacy root with no stamp opens at the engine
+    * defaults, exactly as before stamps existed. */
+  def attach(spark: SparkSession, root: String,
+      lockRoot: Boolean = true,
+      lockStaleMillis: Long = 120000L,
+      bufferCommitThreshold: Long = 32768L,
+      commitRangePw: Int = 36,
+      admission: Admission = Admission.default): Btrdb = {
+    val store = new Store(root, spark.sessionState.newHadoopConf())
+    val g = store.readString(GeometryFile).map(_.trim)
+    def field(key: String): Option[String] =
+      g.flatMap(_.split("\\s+").collectFirst {
+        case t if t.startsWith(s"$key=") => t.drop(key.length + 1) })
+    new Btrdb(spark, root,
+      sBuckets = field("sb").map(_.toInt).getOrElse(64),
+      tBucketPw = field("tb").map(_.toInt).getOrElse(48),
+      bufferCommitThreshold = bufferCommitThreshold,
+      pyramidLevels = field("pl").map {
+        case "-" => Seq.empty[Int]
+        case s => s.split(",").toSeq.map(_.toInt)
+      }.getOrElse(Seq(30, 36, 42, 48)),
+      pyramidWBucketPw = field("wb").map(_.toInt).getOrElse(54),
+      commitRangePw = commitRangePw,
+      quantileLevel = field("ql").filter(_ != "-").map(_.toInt),
+      lockRoot = lockRoot, lockStaleMillis = lockStaleMillis,
+      admission = admission)
+  }
   /** Pyramid-watermark enablement marker (see `pyramidCurrent`). */
   val WmEnabledMarker = "pyramid/_wm_enabled"
   /** Heal-range bound: beyond this many crash-unfolded ranges the heal

@@ -392,14 +392,26 @@ object EtlQueries {
     * a token mismatch between same-host JVMs (distinct tmpdirs) only
     * means claims are presumed live — the safe direction. */
   private lazy val hostToken: String = scala.util.Try {
-    val dir = java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    // /dev/shm first: tmpfs is machine-local BY CONSTRUCTION, where
+    // java.io.tmpdir can itself be pointed at shared storage (a common
+    // CI shape: -Djava.io.tmpdir on the NFS workspace) — a shared token
+    // would fabricate a same-host identity across machines and re-open
+    // the delete-a-live-builder hole the token exists to close
+    val dir = Seq(java.nio.file.Paths.get("/dev/shm"),
+        java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp")))
+      .find(d => java.nio.file.Files.isDirectory(d) &&
+        java.nio.file.Files.isWritable(d)).get
     val p = dir.resolve("graft_host_token")
     if (!java.nio.file.Files.exists(p)) {
       val tmp = java.nio.file.Files.createTempFile(
         dir, "graft_host_token", ".tmp")
       java.nio.file.Files.write(tmp,
         java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+      // world-readable (createTempFile defaults to 0600): other users'
+      // JVMs on this host must READ the same token or same-host
+      // reclamation silently splits by user
+      scala.util.Try(java.nio.file.Files.setPosixFilePermissions(tmp,
+        java.nio.file.attribute.PosixFilePermissions.fromString("rw-r--r--")))
       try java.nio.file.Files.move(tmp, p)
       catch { case _: java.io.IOException =>
         java.nio.file.Files.deleteIfExists(tmp) }
@@ -793,7 +805,7 @@ object EtlQueries {
     * heavier than real prose and the cap sits low). Measured at
     * sf0.01: cap 10 bounds the index to 6.4k rows and the join to 10k
     * grouped pairs; bar 5 reports the top ~0.2%. */
-  private val WinnowDfCap = 10
+  private[graft] val WinnowDfCap = 10
   private val WinnowMinShared = 5
 
   /** DuckDB CTE chain for the winnowing selection (grams → windowed

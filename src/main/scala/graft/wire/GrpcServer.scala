@@ -262,7 +262,7 @@ object GrpcServer {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val engine = new Btrdb(spark, args(0))
+    val engine = Btrdb.attach(spark, args(0))
     val bound = new GrpcServer(engine, port).start()
     // scalastyle:off println
     println(s"""{"service":"grpc","port":$bound,"proto":"grpcinterface.BTrDB"}""")

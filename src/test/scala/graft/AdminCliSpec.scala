@@ -37,37 +37,57 @@ class AdminCliSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("engine commands: info, stream, compact, repair, purge") {
     val ss = spark; import ss.implicits._
     val root = Files.createTempDirectory("admin-cli-engine-").toString
-    val db = new Btrdb(spark, root, sBuckets = 4, tBucketPw = 44,
-      pyramidLevels = Seq(20, 30), lockRoot = false)
-    db.createStream("admin-uuid", "ops/a", Map("unit" -> "v"))
-    val pts = (0L until 4096L).map(i => (i * 1000L, i.toDouble))
+    // NON-default geometry, exercised where it bites: the stream under
+    // maintenance has sid ≥ sBuckets (sid%4 ≠ sid%64) and timestamps
+    // where tbucket(pw=44) ≠ tbucket(pw=48) — a console opening at
+    // constructor defaults instead of the root's GEOMETRY stamp would
+    // compact the WRONG sbucket dir (finding nothing, superseding the
+    // real history with a 0-point record); the reads-unchanged assert
+    // below is the regression gate for exactly that
+    val writer = new Btrdb(spark, root, sBuckets = 4, tBucketPw = 44,
+      pyramidLevels = Seq(20, 30))
+    (0 until 5).foreach(k =>
+      writer.createStream(s"admin-uuid-$k", "ops/a", Map("k" -> k.toString)))
+    val uuid = "admin-uuid-4" // sid 4: 4%4=0 but 4%64=4
+    val base = 1L << 50
+    val pts = (0L until 4096L).map(i => (base + i * 1000L, i.toDouble))
       .toDF("time", "value")
-    db.insert("admin-uuid", pts)
-    db.flush("admin-uuid")
-    db.insert("admin-uuid",
-      Seq((5000000L, 1.0)).toDF("time", "value"))
-    db.flush("admin-uuid")
+    writer.insert(uuid, pts)
+    writer.flush(uuid)
+    writer.insert(uuid, Seq((base + 5000000L, 1.0)).toDF("time", "value"))
+    writer.flush(uuid)
+    // a data-bearing stream to obliterate: purge only reclaims sids
+    // that actually hold committed/staged points
+    writer.insert("admin-uuid-0", Seq((base, 7.0)).toDF("time", "value"))
+    writer.flush("admin-uuid-0")
+    writer.obliterate("admin-uuid-0") // reclaimed by the purge below
 
+    // read-only commands attach (at the persisted geometry) while the
+    // writer still holds the root lock
     val info = run("info", root)
     assert(info.contains(""""op":"info"""") &&
-      info.contains(""""streams":1""") &&
+      info.contains(""""streams":4""") &&
       info.contains(""""ops/a""""), info)
-    val si = run("stream", root, "admin-uuid")
-    assert(si.contains(""""uuid":"admin-uuid"""") &&
+    val si = run("stream", root, uuid)
+    assert(si.contains(s""""uuid":"$uuid"""") &&
       si.contains(""""major":2"""), si)
-    // compact squashes the commit archive; reads unchanged
-    val before = db.rawValues("admin-uuid", 0, Long.MaxValue / 2).count()
-    val c = run("compact", root, "admin-uuid")
+
+    // mutating commands take the lock: quiesce the writer first
+    val before = writer.rawValues(uuid, 0, Long.MaxValue / 2).count()
+    writer.close()
+    val c = run("compact", root, uuid)
     assert(c.contains(""""op":"compact""""), c)
-    db.refreshCommits()
-    assert(db.rawValues("admin-uuid", 0, Long.MaxValue / 2).count()
-      === before)
-    val rep = run("repair", root, "admin-uuid")
+    val reader = Btrdb.attach(spark, root, lockRoot = false)
+    assert(reader.rawValues(uuid, 0, Long.MaxValue / 2).count() === before)
+    val rep = run("repair", root, uuid)
     assert(rep.contains(""""op":"repair"""), rep)
-    // purge after obliterate reclaims the stream's data
-    db.obliterate("admin-uuid")
+    // purge reclaims the obliterated stream (sid 0)
     val purged = run("purge", root)
-    assert(purged.contains(""""purged_sids":["""), purged)
+    assert(purged.contains(""""purged_sids":[0]"""), purged)
+
+    // a forgotten operand dies on the usage line, not an index error
+    val e = intercept[IllegalArgumentException](run("compact", root))
+    assert(e.getMessage.contains("operand"), e.getMessage)
   }
 
   test("store commands: status and compaction over a real dedup root") {

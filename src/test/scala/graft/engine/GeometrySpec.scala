@@ -1,0 +1,102 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.storage.Store
+
+/** The persisted layout geometry (`GEOMETRY` stamp) and the lock file's
+  * declared staleness window — the two root-level contracts that keep a
+  * FOREIGN tool (console, daemon, a second deployment binary) from
+  * corrupting a root it did not create: geometry decides WHERE data
+  * lives (sbucket/tbucket dirs, rollup levels), so a mismatched open
+  * must refuse before it can read the wrong dirs or compact history
+  * away; the lock's declared window keeps a short-windowed claimant
+  * from stealing a live writer's lock. */
+class GeometrySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("geometry-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("first locking writer stamps; mismatched opens refuse; attach reads the stamp") {
+    val ss = spark; import ss.implicits._
+    val root = Files.createTempDirectory("geom-").toString
+    val writer = new Btrdb(spark, root, sBuckets = 4, tBucketPw = 44,
+      pyramidLevels = Seq(20, 30), quantileLevel = Some(20))
+    val st = new Store(root, spark.sessionState.newHadoopConf())
+    assert(st.readString(Btrdb.GeometryFile).map(_.trim)
+      .contains("sb=4 tb=44 pl=20,30 wb=54 ql=20"))
+
+    writer.createStream("geom-uuid", "geo/a", Map.empty)
+    val base = 1L << 50 // tbucket(44) ≠ tbucket(48): pw matters
+    writer.insert("geom-uuid",
+      (0L until 512L).map(i => (base + i * 1000L, i.toDouble))
+        .toDF("time", "value"))
+    writer.flush("geom-uuid")
+
+    // a DEFAULT-geometry open — what a console guessing constructor
+    // defaults would do — refuses loudly, read-only included
+    val e = intercept[IllegalArgumentException] {
+      new Btrdb(spark, root, lockRoot = false)
+    }
+    assert(e.getMessage.contains("geometry"), e.getMessage)
+
+    // attach opens at the persisted geometry and reads the real data
+    val reader = Btrdb.attach(spark, root, lockRoot = false)
+    assert(reader.rawValues("geom-uuid", 0, Long.MaxValue / 2).count()
+      === 512L)
+
+    // a legacy root (stamp removed) still opens at explicit args, and
+    // the next locking writer re-stamps it
+    writer.close()
+    st.delete(Btrdb.GeometryFile)
+    val legacy = new Btrdb(spark, root, sBuckets = 4, tBucketPw = 44,
+      pyramidLevels = Seq(20, 30), quantileLevel = Some(20))
+    assert(st.readString(Btrdb.GeometryFile).map(_.trim)
+      .contains("sb=4 tb=44 pl=20,30 wb=54 ql=20"))
+    legacy.close()
+  }
+
+  test("lock staleness is judged by the HOLDER's declared window, not the claimant's") {
+    val root = Files.createTempDirectory("geomlock-").toString
+    val st = new Store(root, spark.sessionState.newHadoopConf())
+    // a (simulated crashed) holder that declared a LONG window: a
+    // claimant with a short default must honor the declaration and
+    // refuse — its 100ms opinion cannot steal a 1h-heartbeat writer's
+    // lock mtime'd 200ms ago
+    st.writeAtomic(Btrdb.LockFile, "holder-token 3600000")
+    Thread.sleep(200)
+    val e = intercept[IllegalStateException] {
+      new Btrdb(spark, root, lockStaleMillis = 100L)
+    }
+    assert(e.getMessage.contains("locked by another live writer"),
+      e.getMessage)
+
+    // a legacy bare-token lock (no declared window) falls back to the
+    // claimant's window — the pre-declaration behavior
+    st.delete(Btrdb.LockFile)
+    st.writeAtomic(Btrdb.LockFile, "crashed-owner")
+    Thread.sleep(200)
+    val taken = new Btrdb(spark, root, lockStaleMillis = 100L)
+    val body = st.readString(Btrdb.LockFile).get.trim
+    // the new holder's body carries ITS declared window for the next
+    // claimant to honor
+    assert(body != "crashed-owner" && body.endsWith(" 100"), body)
+    taken.close()
+  }
+}

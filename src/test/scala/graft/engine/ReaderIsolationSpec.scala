@@ -54,7 +54,8 @@ class ReaderIsolationSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // a second WRITER fails fast; a READER attaches freely
     intercept[IllegalStateException] {
-      new Btrdb(spark, root, sBuckets = 4, tBucketPw = 12)
+      new Btrdb(spark, root, sBuckets = 4, tBucketPw = 12,
+        pyramidLevels = Seq(4, 8), pyramidWBucketPw = 12)
     }
     val reader = new Btrdb(spark, root, sBuckets = 4, tBucketPw = 12,
       bufferCommitThreshold = 1L, pyramidLevels = Seq(4, 8),
