@@ -606,11 +606,6 @@ object Multimodal {
     private def extend(v: Int, t: Int): Int =
       if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
 
-    /** Decode a baseline grayscale JPEG: (width, height, pixels
-      * row-major). Fully general for single-component scans — any
-      * quant table, AC coefficients, ZRL runs, any restart interval.
-      * Throws on anything malformed or unsupported (progressive,
-      * multi-component), never passes zeros through. */
     /** One frame component's header state: sampling factors, quant
       * selector, and (from SOS) entropy-table selectors. */
     private final class Comp(val id: Int, val h: Int, val v: Int,
@@ -626,6 +621,7 @@ object Multimodal {
       var pos = 2
       var width = -1; var height = -1
       var comps: Array[Comp] = null
+      var progressive = false
       val quant = scala.collection.mutable.Map.empty[Int, Array[Int]]
       val dcTables = scala.collection.mutable.Map.empty[Int, HuffTable]
       val acTables = scala.collection.mutable.Map.empty[Int, HuffTable]
@@ -663,7 +659,8 @@ object Multimodal {
               quant(tq) = Array.tabulate(64)(i => payload(p + 1 + i) & 0xff)
               p += 65
             }
-          case 0xc0 => // SOF0 (baseline)
+          case 0xc0 | 0xc2 => // SOF0 (baseline) / SOF2 (progressive)
+            progressive = marker == 0xc2
             require((payload(body) & 0xff) == 8, "unsupported precision")
             height = ((payload(body + 1) & 0xff) << 8) |
               (payload(body + 2) & 0xff)
@@ -701,7 +698,12 @@ object Multimodal {
           case 0xdd => // DRI
             restartInterval = ((payload(body) & 0xff) << 8) |
               (payload(body + 1) & 0xff)
-          case 0xda => // SOS
+          case 0xda if progressive => // first scan of a progressive frame
+            require(comps != null, "SOS before SOF")
+            // the progressive path owns this SOS and every later scan:
+            // record its marker position and leave the walk
+            scanAt = pos
+          case 0xda => // SOS (baseline: the one and only scan)
             require(comps != null, "SOS before SOF0")
             val ns = payload(body) & 0xff
             require(ns == comps.length,
@@ -726,13 +728,17 @@ object Multimodal {
             scanAt = pos + 2 + len
           case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
             throw new IllegalArgumentException(
-              f"unsupported JPEG coding process (SOF$m%02x — baseline only)")
+              f"unsupported JPEG coding process (SOF$m%02x — baseline " +
+                "and progressive Huffman only)")
           case _ => () // APPn / COM / anything ancillary: skip
         }
         if (scanAt < 0) pos += 2 + len
         }
       }
-      require(width > 0 && height > 0, "JPEG payload missing SOF0")
+      require(width > 0 && height > 0, "JPEG payload missing SOF")
+      if (progressive)
+        return decodeProgressive(payload, scanAt, width, height, comps,
+          quant, dcTables, acTables, restartInterval)
       val hmax = comps.map(_.h).max
       val vmax = comps.map(_.v).max
       val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
@@ -749,9 +755,6 @@ object Multimodal {
         throw new IllegalArgumentException("missing AC Huffman table")))
       val in = new BitReader(payload, scanAt)
       val coef = new Array[Int](64)
-      // precomputed cosine basis: idct(x,u) = cos((2x+1)·u·π/16)
-      val cosT = Array.tabulate(8, 8)((x, u) =>
-        math.cos((2 * x + 1) * u * math.Pi / 16.0))
       val preds = new Array[Int](comps.length)
       var mcu = 0
       val mcus = mcusX * mcusY
@@ -798,47 +801,7 @@ object Multimodal {
               }
               val bx = ((mcu % mcusX) * c.h + bh) * 8
               val by = ((mcu / mcusX) * c.v + bv) * 8
-              if (nAc == 0) {
-                // DC-only block (the deterministic-encoder shape, and
-                // common in smooth regions generally): the IDCT of a
-                // lone DC is the constant DC/8 — skip the basis loop
-                val px = math.max(0, math.min(255,
-                  math.round(coef(0) / 8.0 + 128).toInt)).toByte
-                var y = 0
-                while (y < 8) {
-                  java.util.Arrays.fill(plane, (by + y) * pw + bx,
-                    (by + y) * pw + bx + 8, px)
-                  y += 1
-                }
-              } else {
-                // 2-D IDCT + level shift into the padded plane
-                var y = 0
-                while (y < 8) {
-                  var x = 0
-                  while (x < 8) {
-                    var s = 0.0
-                    var u = 0
-                    while (u < 8) {
-                      var v = 0
-                      while (v < 8) {
-                        val cc = coef(v * 8 + u)
-                        if (cc != 0) {
-                          val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
-                          val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
-                          s += cu * cv * cc * cosT(x)(u) * cosT(y)(v) / 4.0
-                        }
-                        v += 1
-                      }
-                      u += 1
-                    }
-                    val px =
-                      math.max(0, math.min(255, math.round(s + 128).toInt))
-                    plane((by + y) * pw + bx + x) = px.toByte
-                    x += 1
-                  }
-                  y += 1
-                }
-              }
+              idctBlock(coef, nAc == 0, plane, pw, bx, by)
               bh += 1
             }
             bv += 1
@@ -847,6 +810,65 @@ object Multimodal {
         }
         mcu += 1
       }
+      assemble(width, height, comps, planes, planeW, hmax, vmax)
+    }
+
+    /** 2-D IDCT + level shift of one block of DEQUANTIZED natural-order
+      * coefficients into the padded plane — with the DC-only fast path
+      * (the deterministic-encoder shape, and common in smooth regions
+      * generally): the IDCT of a lone DC is the constant DC/8. */
+    private def idctBlock(coef: Array[Int], dcOnly: Boolean,
+        plane: Array[Byte], pw: Int, bx: Int, by: Int): Unit = {
+      if (dcOnly) {
+        val px = math.max(0, math.min(255,
+          math.round(coef(0) / 8.0 + 128).toInt)).toByte
+        var y = 0
+        while (y < 8) {
+          java.util.Arrays.fill(plane, (by + y) * pw + bx,
+            (by + y) * pw + bx + 8, px)
+          y += 1
+        }
+      } else {
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            var s = 0.0
+            var u = 0
+            while (u < 8) {
+              var v = 0
+              while (v < 8) {
+                val cc = coef(v * 8 + u)
+                if (cc != 0) {
+                  val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+                  val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+                  s += cu * cv * cc * CosT(x)(u) * CosT(y)(v) / 4.0
+                }
+                v += 1
+              }
+              u += 1
+            }
+            val px =
+              math.max(0, math.min(255, math.round(s + 128).toInt))
+            plane((by + y) * pw + bx + x) = px.toByte
+            x += 1
+          }
+          y += 1
+        }
+      }
+    }
+
+    // precomputed cosine basis: idct(x,u) = cos((2x+1)·u·π/16)
+    private val CosT = Array.tabulate(8, 8)((x, u) =>
+      math.cos((2 * x + 1) * u * math.Pi / 16.0))
+
+    /** Decoded planes → the output pixel array: gray crops the padded
+      * plane; YCbCr upsamples each component to full resolution then
+      * applies the libjpeg fixed-point color convert (interleaved RGB
+      * out). Shared by the baseline and progressive paths. */
+    private def assemble(width: Int, height: Int, comps: Array[Comp],
+        planes: Array[Array[Byte]], planeW: Array[Int],
+        hmax: Int, vmax: Int): (Int, Int, Array[Byte]) = {
       if (comps.length == 1) {
         // crop the padded plane to the image rectangle
         val out = new Array[Byte](width * height)
@@ -857,8 +879,6 @@ object Multimodal {
         }
         (width, height, out)
       } else {
-        // YCbCr: upsample each component to full resolution, then the
-        // libjpeg fixed-point color convert — interleaved RGB out
         val full = comps.indices.map { i =>
           upsampled(planes(i), planeW(i), comps(i), hmax, vmax,
             width, height)
@@ -878,6 +898,324 @@ object Multimodal {
         }
         (width, height, out)
       }
+    }
+
+    // ---- progressive (SOF2) decoding ----------------------------------
+    //
+    // T.81 Annex G, Huffman coding: coefficients accumulate across
+    // SCANS — DC first/refine (interleaved or not), AC first/refine
+    // (single-component by construction), spectral selection (Ss..Se),
+    // successive approximation (Ah/Al), EOB runs, restart resync —
+    // then ONE dequant+IDCT pass renders the final image. This is the
+    // dominant shape of real crawled JPEGs after baseline; the scan
+    // algebra below follows the spec's G.1.2 (the same algorithm the
+    // IJG reference decoder implements), verified pixel-for-pixel in
+    // MultimodalSpec against ImageIO decoding the SAME ImageIO-encoded
+    // progressive containers, gray and 4:2:0 color.
+
+    /** Decode a progressive frame from its first SOS marker: walks the
+      * scan/table markers to EOI, accumulating coefficients, then
+      * renders. `sosPos` points at the 0xFFDA of the first scan. */
+    private def decodeProgressive(payload: Array[Byte], sosPos: Int,
+        width: Int, height: Int, comps: Array[Comp],
+        quant: scala.collection.mutable.Map[Int, Array[Int]],
+        dcTables: scala.collection.mutable.Map[Int, HuffTable],
+        acTables: scala.collection.mutable.Map[Int, HuffTable],
+        dri0: Int): (Int, Int, Array[Byte]) = {
+      val hmax = comps.map(_.h).max
+      val vmax = comps.map(_.v).max
+      val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+      val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+      val bwFull = comps.map(c => mcusX * c.h) // padded block grid
+      val bhFull = comps.map(c => mcusY * c.v)
+      // NON-interleaved scan geometry (T.81 A.2.2): ceil over the
+      // component's OWN sample dims, not the padded MCU grid
+      val cbw = comps.map(c => ((width * c.h + hmax - 1) / hmax + 7) / 8)
+      val cbh = comps.map(c => ((height * c.v + vmax - 1) / vmax + 7) / 8)
+      val coefs = comps.indices.map(i =>
+        new Array[Int](bwFull(i) * bhFull(i) * 64)).toArray
+      var restartInterval = dri0
+      var pos = sosPos
+      var done = false
+      while (!done) {
+        require(pos + 2 <= payload.length, "truncated JPEG markers")
+        require((payload(pos) & 0xff) == 0xff, s"expected a marker at $pos")
+        while (pos + 1 < payload.length && (payload(pos + 1) & 0xff) == 0xff)
+          pos += 1
+        require(pos + 2 <= payload.length, "truncated JPEG markers")
+        val marker = payload(pos + 1) & 0xff
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) pos += 2
+        else if (marker == 0xd9) done = true
+        else {
+          require(pos + 4 <= payload.length, "truncated JPEG markers")
+          val len = ((payload(pos + 2) & 0xff) << 8) |
+            (payload(pos + 3) & 0xff)
+          val body = pos + 4
+          marker match {
+            case 0xda =>
+              val ns = payload(body) & 0xff
+              require(ns >= 1 && ns <= comps.length,
+                s"bad scan component count $ns")
+              val scomps = Array.tabulate(ns) { i =>
+                val cid = payload(body + 1 + 2 * i) & 0xff
+                val sel = payload(body + 2 + 2 * i) & 0xff
+                val ci = comps.indexWhere(_.id == cid)
+                require(ci >= 0, s"scan names unknown component $cid")
+                comps(ci).dcSel = sel >> 4
+                comps(ci).acSel = sel & 0x0f
+                ci
+              }
+              val ss = payload(body + 1 + 2 * ns) & 0xff
+              val se = payload(body + 2 + 2 * ns) & 0xff
+              val a = payload(body + 3 + 2 * ns) & 0xff
+              pos = decodeProgScan(payload, pos + 2 + len, comps, scomps,
+                coefs, ss, se, a >> 4, a & 15, restartInterval,
+                dcTables, acTables, mcusX, mcusY, bwFull, cbw, cbh)
+            case 0xc4 => // DHT: tables may be (re)defined between scans
+              var p = body
+              while (p < pos + 2 + len) {
+                val tc = (payload(p) & 0xff) >> 4
+                val th = payload(p) & 0x0f
+                val bits = Array.tabulate(16)(i => payload(p + 1 + i) & 0xff)
+                val n = bits.sum
+                val vals = Array.tabulate(n)(i => payload(p + 17 + i) & 0xff)
+                val t = new HuffTable(bits, vals)
+                if (tc == 0) dcTables(th) = t else acTables(th) = t
+                p += 17 + n
+              }
+            case 0xdb => // DQT between scans (legal, rare)
+              var p = body
+              while (p < pos + 2 + len) {
+                val pq = (payload(p) & 0xff) >> 4
+                val tq = payload(p) & 0x0f
+                require(pq == 0, "unsupported 16-bit quant table")
+                quant(tq) = Array.tabulate(64)(i => payload(p + 1 + i) & 0xff)
+                p += 65
+              }
+            case 0xdd => // DRI: the interval may change between scans
+              restartInterval = ((payload(body) & 0xff) << 8) |
+                (payload(body + 1) & 0xff)
+            case m if m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
+              throw new IllegalArgumentException(
+                f"second SOF marker (SOF$m%02x) inside a frame")
+            case _ => () // APPn / COM / DNL: skip
+          }
+          if (marker != 0xda) pos += 2 + len
+        }
+      }
+      // one dequant + IDCT pass over the accumulated coefficients
+      val planeW = comps.map(c => mcusX * c.h * 8)
+      val planes = comps.zipWithIndex.map { case (c, i) =>
+        new Array[Byte](planeW(i) * mcusY * c.v * 8) }
+      val block = new Array[Int](64)
+      comps.indices.foreach { i =>
+        val qt = quant.getOrElse(comps(i).tq,
+          throw new IllegalArgumentException("missing quant table"))
+        val qtNat = new Array[Int](64) // zigzag-stored → natural order
+        var k = 0
+        while (k < 64) { qtNat(ZigZag(k)) = qt(k); k += 1 }
+        val arr = coefs(i)
+        val bw = bwFull(i)
+        var b = 0
+        val nb = bw * bhFull(i)
+        while (b < nb) {
+          val off = b * 64
+          var dcOnly = true
+          var j = 0
+          while (j < 64) {
+            val v = arr(off + j)
+            block(j) = v * qtNat(j)
+            if (j > 0 && v != 0) dcOnly = false
+            j += 1
+          }
+          idctBlock(block, dcOnly, planes(i), planeW(i),
+            (b % bw) * 8, (b / bw) * 8)
+          b += 1
+        }
+      }
+      assemble(width, height, comps, planes, planeW, hmax, vmax)
+    }
+
+    /** Decode ONE progressive scan's entropy data into the coefficient
+      * arrays; returns the position of the next marker. */
+    private def decodeProgScan(payload: Array[Byte], dataStart: Int,
+        comps: Array[Comp], scomps: Array[Int],
+        coefs: Array[Array[Int]], ss: Int, se: Int, ah: Int, al: Int,
+        ri: Int,
+        dcTables: scala.collection.mutable.Map[Int, HuffTable],
+        acTables: scala.collection.mutable.Map[Int, HuffTable],
+        mcusX: Int, mcusY: Int, bwFull: Array[Int],
+        cbw: Array[Int], cbh: Array[Int]): Int = {
+      require(ss <= se && se <= 63, s"bad spectral band $ss..$se")
+      require(ss == 0 || scomps.length == 1,
+        "progressive AC scans are single-component (T.81 G.1.1.1.1)")
+      val interleaved = scomps.length > 1
+      val dcTs = scomps.map(ci =>
+        if (ss == 0 && ah == 0)
+          dcTables.getOrElse(comps(ci).dcSel,
+            throw new IllegalArgumentException("missing DC Huffman table"))
+        else null)
+      val acT =
+        if (ss > 0)
+          acTables.getOrElse(comps(scomps(0)).acSel,
+            throw new IllegalArgumentException("missing AC Huffman table"))
+        else null
+      val in = new BitReader(payload, dataStart)
+      val preds = new Array[Int](scomps.length)
+      var eobrun = 0
+      val mcus =
+        if (interleaved) mcusX * mcusY
+        else cbw(scomps(0)) * cbh(scomps(0))
+      var mcu = 0
+      while (mcu < mcus) {
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+          in.align()
+          require(in.pos + 2 <= payload.length &&
+            (payload(in.pos) & 0xff) == 0xff &&
+            (payload(in.pos + 1) & 0xff) ==
+              0xd0 + ((mcu / ri - 1) % 8),
+            s"expected restart marker before MCU $mcu")
+          in.pos += 2
+          java.util.Arrays.fill(preds, 0)
+          eobrun = 0
+        }
+        if (ss == 0) {
+          var si = 0
+          while (si < scomps.length) {
+            val ci = scomps(si)
+            val c = comps(ci)
+            if (interleaved) {
+              var bv = 0
+              while (bv < c.v) {
+                var bh = 0
+                while (bh < c.h) {
+                  val off = (((mcu / mcusX) * c.v + bv) * bwFull(ci) +
+                    (mcu % mcusX) * c.h + bh) * 64
+                  decodeDc(in, dcTs(si), coefs(ci), off, preds, si, ah, al)
+                  bh += 1
+                }
+                bv += 1
+              }
+            } else {
+              val off = ((mcu / cbw(ci)) * bwFull(ci) + (mcu % cbw(ci))) * 64
+              decodeDc(in, dcTs(si), coefs(ci), off, preds, si, ah, al)
+            }
+            si += 1
+          }
+        } else {
+          val ci = scomps(0)
+          val off = ((mcu / cbw(ci)) * bwFull(ci) + (mcu % cbw(ci))) * 64
+          eobrun =
+            if (ah == 0) acFirst(in, acT, coefs(ci), off, ss, se, al, eobrun)
+            else acRefine(in, acT, coefs(ci), off, ss, se, al, eobrun)
+        }
+        mcu += 1
+      }
+      in.align()
+      in.pos
+    }
+
+    /** One block's DC in a progressive DC scan: first pass decodes the
+      * Huffman-coded difference (shifted by Al); a refinement pass is
+      * one appended bit per block. */
+    private def decodeDc(in: BitReader, dcT: HuffTable, coefs: Array[Int],
+        off: Int, preds: Array[Int], si: Int, ah: Int, al: Int): Unit = {
+      if (ah == 0) {
+        val t = dcT.decode(in)
+        preds(si) += extend(in.receive(t), t)
+        coefs(off) = preds(si) << al
+      } else if (in.bit() == 1) coefs(off) |= (1 << al)
+    }
+
+    /** One block of an AC FIRST scan (Ah = 0): run/size pairs over the
+      * band, EOB-run accounting across blocks. Returns the EOB run
+      * remaining AFTER this block. */
+    private def acFirst(in: BitReader, acT: HuffTable, coefs: Array[Int],
+        off: Int, ss: Int, se: Int, al: Int, eobrun0: Int): Int = {
+      var eobrun = eobrun0
+      if (eobrun > 0) return eobrun - 1
+      var k = ss
+      while (k <= se) {
+        val rs = acT.decode(in)
+        val r = rs >> 4
+        val s = rs & 15
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << r) - 1 // current block ends here
+            if (r > 0) eobrun += in.receive(r)
+            return eobrun
+          }
+        } else {
+          k += r
+          require(k <= se, "AC run past the band")
+          coefs(off + ZigZag(k)) = extend(in.receive(s), s) << al
+          k += 1
+        }
+      }
+      eobrun
+    }
+
+    /** One block of an AC REFINEMENT scan (Ah > 0) — T.81 G.1.2.3: a
+      * correction bit is read at every already-nonzero coefficient the
+      * scan passes; new coefficients appear with magnitude 1 at the
+      * current bit position; an EOB run corrects the remaining nonzero
+      * coefficients of every block it spans. Returns the EOB run
+      * remaining AFTER this block. */
+    private def acRefine(in: BitReader, acT: HuffTable, coefs: Array[Int],
+        off: Int, ss: Int, se: Int, al: Int, eobrun0: Int): Int = {
+      var eobrun = eobrun0
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var k = ss
+      if (eobrun == 0) {
+        var brk = false
+        while (!brk && k <= se) {
+          val rs = acT.decode(in)
+          var r = rs >> 4
+          var s = rs & 15
+          if (s != 0) {
+            require(s == 1, "invalid AC refinement magnitude")
+            s = if (in.bit() == 1) p1 else m1
+          } else if (r != 15) {
+            eobrun = 1 << r // INCLUDES the current block's tail
+            if (r > 0) eobrun += in.receive(r)
+            brk = true
+          }
+          if (!brk) {
+            // advance over r zero-HISTORY positions (16 for ZRL),
+            // correcting every nonzero one passed; stop AT the
+            // insertion slot
+            var placed = false
+            while (!placed && k <= se) {
+              val z = off + ZigZag(k)
+              if (coefs(z) != 0) {
+                if (in.bit() == 1 && (coefs(z) & p1) == 0)
+                  coefs(z) += (if (coefs(z) >= 0) p1 else m1)
+                k += 1
+              } else if (r == 0) placed = true
+              else { r -= 1; k += 1 }
+            }
+            if (s != 0) {
+              require(k <= se, "AC refinement insert past the band")
+              coefs(off + ZigZag(k)) = s
+            }
+            k += 1
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // EOB-run tail: correct the remaining nonzero coefficients of
+        // this block (from wherever the loop stopped)
+        while (k <= se) {
+          val z = off + ZigZag(k)
+          if (coefs(z) != 0 && in.bit() == 1 && (coefs(z) & p1) == 0)
+            coefs(z) += (if (coefs(z) >= 0) p1 else m1)
+          k += 1
+        }
+        eobrun -= 1
+      }
+      eobrun
     }
 
     // ---- chroma upsampling + color conversion (decode support) -------

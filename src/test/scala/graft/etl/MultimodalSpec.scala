@@ -382,6 +382,76 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fe(1).energy === bytes.slice(128, 160).map(_.toLong).sum)
   }
 
+  test("PROGRESSIVE JPEG: ImageIO-encoded multi-scan frames decode, " +
+      "gray and 4:2:0 color, odd dims") {
+    // ImageIO writes the IJG standard progression (spectral selection
+    // + successive approximation: DC first/refine, AC first/refine,
+    // EOB runs) — the dominant shape of real crawled JPEGs after
+    // baseline. Our decoder accumulates coefficients across scans and
+    // renders once; the referee is ImageIO's OWN decode of the same
+    // bytes, so the comparison isolates our scan algebra from
+    // implementation-defined IDCT/upsampling rounding.
+    def encodeProgressive(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    def countMarkers(bytes: Array[Byte], m: Int): Int =
+      (0 until bytes.length - 1).count(i =>
+        (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == m)
+
+    // gray, odd dims (41×23: the last block row/column is partial)
+    val gimg = new java.awt.image.BufferedImage(41, 23,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 23; x <- 0 until 41)
+      gimg.getRaster.setSample(x, y, 0, (x * 11 + y * 5) % 256)
+    val gbytes = encodeProgressive(gimg)
+    assert(countMarkers(gbytes, 0xc2) == 1, "expected a SOF2 frame")
+    assert(countMarkers(gbytes, 0xda) >= 3, "expected multiple scans")
+    val (gw, gh, gpx) = Multimodal.JpegCodec.decode(gbytes)
+    assert(gw == 41 && gh == 23)
+    val gref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gbytes))
+    for (y <- 0 until 23; x <- 0 until 41) {
+      val ours = gpx(y * 41 + x) & 0xff
+      val theirs = gref.getRaster.getSample(x, y, 0) & 0xff
+      assert(math.abs(ours - theirs) <= 1,
+        s"progressive gray off by >1 at ($x,$y): $ours vs $theirs")
+    }
+
+    // 4:2:0 color, odd dims (45×29: luma padded grid 6×4 blocks but
+    // non-interleaved AC scans cover only ceil(45/8)×ceil(29/8) = 6×4
+    // vs chroma ceil(23/8)×ceil(15/8) = 3×2 — exercises the padded vs
+    // component-dim block geometries)
+    val cimg = new java.awt.image.BufferedImage(45, 29,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 29; x <- 0 until 45)
+      cimg.setRGB(x, y, ((x * 5 + 16) << 16) | ((y * 7 + 32) << 8) |
+        ((x * 2 + y * 3 + 64) & 0xff))
+    val cbytes = encodeProgressive(cimg)
+    assert(countMarkers(cbytes, 0xc2) == 1, "expected a SOF2 frame")
+    assert(countMarkers(cbytes, 0xda) >= 4, "expected multiple scans")
+    val (cw, ch, cpx) = Multimodal.JpegCodec.decode(cbytes)
+    assert(cw == 45 && ch == 29)
+    assert(cpx.length == 3 * 45 * 29)
+    val cref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(cbytes))
+    for (y <- 0 until 29; x <- 0 until 45; c <- 0 until 3) {
+      val rgb = cref.getRGB(x, y)
+      val theirs = (rgb >> (16 - 8 * c)) & 0xff
+      val ours = cpx(3 * (y * 45 + x) + c) & 0xff
+      assert(math.abs(ours - theirs) <= 4,
+        s"progressive color off by >4 at ($x,$y,$c): $ours vs $theirs")
+    }
+  }
+
   test("fixture precondition: multimodal-routed documents are pure ASCII") {
     // the q_media_frames and q_multimodal DuckDB oracles recompute
     // content-region values with ord(substr(text, p, 1)) — character
