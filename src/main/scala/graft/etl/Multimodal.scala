@@ -457,6 +457,103 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** Fixed byte overhead of the deterministic PROGRESSIVE gray
+      * container — everything except the DC-scan block codes
+      * (2·blocks − cntSmall: with no EOB nibble in a DC scan, a block
+      * is ONE byte whenever its DC category ≤ 5, i.e. text byte
+      * % 16 ∈ 5..11 — |gray−128| ≤ 3 — and two otherwise), the
+      * restart markers (2·(blocks−1)) and the EOB-run bytes
+      * (⌈blocks/31⌉): SOI 2 + DQT 69 + SOF2 13 + DHT(DC) 33 +
+      * DRI(1) 6 + SOS(DC) 10 + DHT(EOB-run AC) 36 + DRI(0) 6 +
+      * SOS(AC) 10 + EOI 2, minus the 2 the restart term over-counts
+      * ⟹ size = 185 + 4·blocks − cntSmall + ⌈blocks/31⌉. */
+    val SizeProgConst: Int = 2 + 69 + 13 + 33 + 6 + 10 + 36 + 6 + 10 + 2 - 2
+
+    /** Encode the deterministic block grid as a PROGRESSIVE (SOF2)
+      * container: scan 1 codes every block's DC (restart interval 1 —
+      * byte-aligned, prediction reset, so each block costs 1 byte when
+      * its category ≤ 5 — no EOB nibble in a DC scan — and 2
+      * otherwise); scan
+      * 2 covers the whole AC band with chunked EOB runs under a custom
+      * 15-symbol table (every code 4 bits). Chunks are sized 16..31 so
+      * each consumes EXACTLY one byte of the continuous bitstream (a
+      * 4-bit code + 4 appended bits); only a final sub-16 chunk is
+      * zero-padded, which is legal trailing pad before the EOI. No
+      * entropy byte can reach 0xFF (DC bytes: the baseline argument;
+      * EOB bytes: the 4-bit code ≤ 0b0100 prefix), so the container
+      * size is closed-form: [[SizeProgConst]] + 4·blocks − cnt8 +
+      * ⌈blocks/31⌉. Decoded pixels are IDENTICAL to [[encode]]'s. */
+    def encodeProgressiveGray(wBlocks: Int, hBlocks: Int,
+        blockGrays: Array[Byte]): Array[Byte] = {
+      require(wBlocks >= 1 && hBlocks >= 1,
+        s"bad block grid ${wBlocks}x$hBlocks")
+      require(blockGrays.length == wBlocks * hBlocks,
+        s"need ${wBlocks * hBlocks} block grays, got ${blockGrays.length}")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0xff); out.write(0xd8) // SOI
+      out.write(segment(0xdb, (Array(0) ++ Array.fill(64)(1))
+        .map(_.toByte)))
+      // SOF2: progressive, 8-bit, one component (id 1, 1x1, table 0)
+      val h = 8 * hBlocks; val w = 8 * wBlocks
+      out.write(segment(0xc2, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff,
+        1, 1, 0x11, 0).map(_.toByte)))
+      out.write(segment(0xc4,
+        (Array(0x00) ++ DcBits ++ DcVals).map(_.toByte)))
+      out.write(segment(0xdd, Array(0, 1).map(_.toByte))) // DRI 1
+      // scan 1: DC only (Ss = Se = 0), no successive approximation
+      out.write(segment(0xda, Array(1, 1, 0x00, 0, 0, 0).map(_.toByte)))
+      val m = wBlocks * hBlocks
+      var i = 0
+      while (i < m) {
+        var acc = 0L
+        var nbits = 0
+        def put(code: Int, len: Int): Unit = {
+          acc = (acc << len) | (code & ((1L << len) - 1)); nbits += len
+        }
+        val diff = 8 * ((blockGrays(i) & 0xff) - 128) // pred reset = 0
+        val cat = if (diff == 0) 0 else 64 - java.lang.Long
+          .numberOfLeadingZeros(math.abs(diff).toLong).toInt
+        val (code, len) = DcCodes(cat)
+        put(code, len)
+        if (cat > 0)
+          put(if (diff > 0) diff else diff - 1, cat)
+        val nBytes = (nbits + 7) / 8
+        acc <<= (8 * nBytes - nbits)
+        var b = nBytes - 1
+        while (b >= 0) {
+          val v = ((acc >> (8 * b)) & 0xff).toInt
+          require(v != 0xff,
+            "entropy byte 0xFF would need stuffing — outside the " +
+              "encoder's deterministic gray domain")
+          out.write(v)
+          b -= 1
+        }
+        if (i < m - 1) { out.write(0xff); out.write(0xd0 + (i % 8)) }
+        i += 1
+      }
+      // between scans: a custom AC table with ONLY the 15 EOB-run
+      // symbols (r<<4, r = 0..14), each a 4-bit code (canonical codes
+      // 0..14; the all-ones 4-bit word stays reserved, as T.81 wants)
+      out.write(segment(0xc4, (Array(0x10) ++
+        Array(0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
+        Array.tabulate(15)(r => r << 4)).map(_.toByte)))
+      out.write(segment(0xdd, Array(0, 0).map(_.toByte))) // DRI 0
+      // scan 2: the whole AC band (Ss=1, Se=63) of every block is
+      // zero — pure EOB runs
+      out.write(segment(0xda, Array(1, 1, 0x00, 1, 63, 0).map(_.toByte)))
+      var rem = m
+      while (rem > 0) {
+        val c = math.min(rem, 31)
+        val r = 31 - Integer.numberOfLeadingZeros(c) // floor(log2 c)
+        val bits = 4 + r
+        // code r (4 bits) + (c − 2^r) in r appended bits, left-packed
+        out.write(((r << r) | (c - (1 << r))) << (8 - bits))
+        rem -= c
+      }
+      out.write(0xff); out.write(0xd9) // EOI
+      out.toByteArray
+    }
+
     /** Container bytes before the entropy-coded data of a COLOR
       * (3-component 4:4:4) container: the gray layout + 6 bytes of SOF
       * component entries + 4 of SOS selectors (SOF body 15 → 19-byte
@@ -1375,14 +1472,17 @@ object Multimodal {
     * mapped into the ±8 gray domain (gray = 120 + b%16 — the DC-only
     * lossless-roundtrip design, block grid = the PNG w×h grid); the
     * rest as pixel data of a real BMP (width = 1 + n%64,
-    * height = 1 + n/64). The JPEG class splits on doc_id % 8: `% 8
-    * == 2` stays grayscale, `% 8 == 6` encodes a COLOR (3-component
-    * YCbCr 4:4:4) container — luma per block as in the gray design,
-    * image-wide chroma (cb, cr) = (132, 124), whose fixed-point RGB
-    * offsets (−6, +1, +7) keep every channel in range for the ±8 luma
-    * domain (no clamping → closed-form oracle). In production the
-    * payload + kind columns come from the lakehouse as-is; only this
-    * adapter is test-specific. */
+    * height = 1 + n/64). The JPEG class splits on doc_id % 16:
+    * `% 16 == 2` stays baseline grayscale, `% 16 == 10` encodes the
+    * SAME gray grid as a PROGRESSIVE (SOF2) container — a DC scan
+    * then an EOB-run AC scan, identical decoded pixels, closed-form
+    * size — and `% 8 == 6` encodes a COLOR (3-component YCbCr 4:4:4)
+    * container — luma per block as in the gray design, image-wide
+    * chroma (cb, cr) = (132, 124), whose fixed-point RGB offsets
+    * (−6, +1, +7) keep every channel in range for the ±8 luma domain
+    * (no clamping → closed-form oracle). In production the payload +
+    * kind columns come from the lakehouse as-is; only this adapter is
+    * test-specific. */
   def assetsFromDocuments(docs: DataFrame): Dataset[Asset] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -1409,7 +1509,9 @@ object Multimodal {
               (120 + b % 16).toByte
             }
             Asset(id, "image/jpeg",
-              if (id % 8 == 2) JpegCodec.encode(gridW, gridH, grays)
+              if (id % 16 == 10)
+                JpegCodec.encodeProgressiveGray(gridW, gridH, grays)
+              else if (id % 8 == 2) JpegCodec.encode(gridW, gridH, grays)
               else JpegCodec.encodeColor(gridW, gridH, grays, 132, 124),
               source, nChars)
           case _ =>

@@ -3963,16 +3963,24 @@ object EtlQueries {
     },
 
     // Mixed FOUR-format decode (WAV / PNG / JPEG / BMP by doc_id % 4;
-    // the JPEG class splits % 8 into GRAYSCALE and COLOR 3-component
-    // YCbCr 4:4:4 containers), each a REAL container walk — PNG a real
-    // zlib inflate + the five-filter unfilter pass, JPEG a real
-    // baseline entropy decode (Huffman + restart resync + dequant +
-    // IDCT, fixed-point YCbCr→RGB on the color branch). The oracle
-    // recomputes every field arithmetically from the known layouts:
+    // the JPEG class splits % 16 into BASELINE GRAYSCALE (2),
+    // PROGRESSIVE grayscale (10 — a real SOF2 multi-scan frame: DC
+    // scan + EOB-run AC scan, decoded by accumulating coefficients
+    // across scans) and COLOR 3-component YCbCr 4:4:4 (6, 14)
+    // containers), each a REAL container walk — PNG a real zlib
+    // inflate + the five-filter unfilter pass, JPEG a real entropy
+    // decode (Huffman + restart resync + dequant + IDCT, fixed-point
+    // YCbCr→RGB on the color branch). The oracle recomputes every
+    // field arithmetically from the known layouts:
     //   n_bytes — WAV 44+n; BMP 54+n; PNG 57 + zlen with
     //     zlen = 6 + 5·ceil(raw/65535) + raw, raw = h·(w+1) (stored
     //     deflate blocks are byte-deterministic, which is why the
     //     encoder writes them — the decoder inflates ANY valid zlib);
+    //     PROGRESSIVE JPEG 185 const + per-block DC cost (1 byte when
+    //     ord%16 in 5..11 — no EOB nibble in a DC scan — else 2) +
+    //     ceil(blocks/31) one-byte EOB-run chunks (the whole AC band
+    //     is zero; Multimodal.JpegCodec.SizeProgConst pins the
+    //     constant);
     //     JPEG 316 header + per-block byte-aligned DC-only codes
     //     (restart interval 1): 1 byte for a zero diff (text byte
     //     % 16 = 8), 2 otherwise, + 2·(blocks−1) restart markers
@@ -4050,6 +4058,11 @@ object EtlQueries {
          |  CAST(CASE WHEN d.doc_id % 4 = 0 THEN 44 + n
          |       WHEN d.doc_id % 4 = 1 THEN 57 + 6
          |         + 5 * ((hp * (w + 1) + 65534) // 65535) + hp * (w + 1)
+         |       -- progressive gray: no EOB nibble in a DC scan, so a
+         |       -- block is ONE byte whenever ord%16 in 5..11 (the same
+         |       -- cntm the color branch counts), plus the EOB-run bytes
+         |       WHEN d.doc_id % 16 = 10 THEN 185 + 4 * w * hp
+         |         - COALESCE(jm.cntm, 0) + (w * hp + 30) // 31
          |       WHEN d.doc_id % 8 = 2 THEN 316 + 4 * w * hp
          |         - COALESCE(j8.cnt8, 0)
          |       WHEN d.doc_id % 8 = 6 THEN 326 + 8 * w * hp

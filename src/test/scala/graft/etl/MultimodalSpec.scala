@@ -159,7 +159,8 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0L, "", "web", 0L),  // WAV: empty data region
       (5L, "", "web", 0L),  // doc_id % 4 == 1 → PNG, clamped 1x1
       (6L, "", "web", 0L),  // doc_id % 8 == 6 → COLOR JPEG, one block
-      (10L, "", "web", 0L)) // doc_id % 8 == 2 → gray JPEG, one block
+      (10L, "", "web", 0L), // doc_id % 16 == 10 → PROGRESSIVE JPEG
+      (18L, "", "web", 0L)) // doc_id % 16 == 2 → baseline gray JPEG
       .toDF("doc_id", "text", "source", "n_chars")
     val feats = Multimodal.extractFeatures(
         Multimodal.assetsFromDocuments(docs))
@@ -177,11 +178,17 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feats(2).kind == "image/jpeg" && feats(2).width == 8 &&
       feats(2).height == 8 && feats(2).n_bytes == 326 + 8 &&
       feats(2).checksum == 10L * (114 + 121 + 127) + 114 + 121)
-    // gray JPEG (id 10): one block of pad gray 120 (byte 0 → diff
-    // -64, 2 code bytes, no restart markers): 316 + 4·1 − 0
+    // PROGRESSIVE JPEG (id 10): one block of pad gray 120 (byte 0 →
+    // diff −64, 2 DC bytes, no restarts) + 1 EOB-run byte:
+    // 185 + 4·1 − 0 + ceil(1/31)
     assert(feats(3).kind == "image/jpeg" && feats(3).width == 8 &&
-      feats(3).height == 8 && feats(3).n_bytes == 316 + 4 &&
+      feats(3).height == 8 && feats(3).n_bytes == 185 + 4 + 1 &&
       feats(3).checksum == 32L * 120)
+    // baseline gray JPEG (id 18): one block of pad gray 120 (byte 0 →
+    // diff -64, 2 code bytes, no restart markers): 316 + 4·1 − 0
+    assert(feats(4).kind == "image/jpeg" && feats(4).width == 8 &&
+      feats(4).height == 8 && feats(4).n_bytes == 316 + 4 &&
+      feats(4).checksum == 32L * 120)
   }
 
   test("JPEG codec: DC-only blocks round-trip exactly; ImageIO agrees " +
@@ -380,6 +387,45 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((4L, 0L, 64L), (4L, 2L, 32L)))
     assert(fe(0).energy === bytes.slice(0, 64).map(_.toLong).sum)
     assert(fe(1).energy === bytes.slice(128, 160).map(_.toLong).sum)
+  }
+
+  test("PROGRESSIVE JPEG fixture containers: exact pixel roundtrip, " +
+      "ImageIO agrees, closed-form size over the whole byte domain") {
+    // 1. the deterministic fixture shape as a SOF2 container: decoded
+    //    pixels must equal the baseline encoder's exactly (same DC-only
+    //    blocks through the same flat-quant roundtrip)
+    val grays = Array.tabulate(256)(b => (120 + b % 16).toByte)
+    val jpg = Multimodal.JpegCodec.encodeProgressiveGray(16, 16, grays)
+    val (w, h, px) = Multimodal.JpegCodec.decode(jpg)
+    assert(w == 128 && h == 128)
+    for (i <- 0 until 256)
+      assert(px((i / 16 * 8) * 128 + (i % 16) * 8) == grays(i))
+    // 2. closed-form size: with no EOB nibble in a DC scan a block is
+    //    ONE byte whenever its category ≤ 5 (byte %16 in 5..11 — 112
+    //    of 256), else two; + 2·255 restarts + ceil(256/31) EOB-run
+    //    bytes — the q_multimodal oracle's arithmetic
+    assert(Multimodal.JpegCodec.SizeProgConst == 185)
+    assert(jpg.length == 185 + 4 * 256 - 112 + (256 + 30) / 31)
+    // 3. the JDK's decoder (an independent progressive implementation)
+    //    agrees pixel-for-pixel on our container
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpg))
+    assert(ref != null, "ImageIO rejected the progressive JPEG")
+    assert(ref.getWidth == 128 && ref.getHeight == 128)
+    for (y <- 0 until 128; x <- 0 until 128)
+      assert((ref.getRaster.getSample(x, y, 0) & 0xff) ==
+        (px(y * 128 + x) & 0xff), s"ImageIO disagrees at ($x,$y)")
+    // 4. chunk-boundary block counts: 31 (one full run), 32 (31+1),
+    //    47 (31+16: the trailing chunk is itself byte-exact), 1
+    for (m <- Seq(1, 15, 16, 31, 32, 47, 62, 63)) {
+      val g = Array.tabulate(m)(i => (120 + (i * 3) % 16).toByte)
+      val j = Multimodal.JpegCodec.encodeProgressiveGray(m, 1, g)
+      val (mw, mh, mpx) = Multimodal.JpegCodec.decode(j)
+      assert(mw == 8 * m && mh == 8)
+      for (i <- 0 until m) assert(mpx(i * 8) == g(i), s"m=$m block $i")
+      val cntSmall = g.count(b => math.abs((b & 0xff) - 128) <= 3)
+      assert(j.length == 185 + 4 * m - cntSmall + (m + 30) / 31, s"m=$m")
+    }
   }
 
   test("PROGRESSIVE JPEG: ImageIO-encoded multi-scan frames decode, " +
