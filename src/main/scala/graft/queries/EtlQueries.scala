@@ -705,6 +705,84 @@ object EtlQueries {
       langPredState(s, dir).derived().localCheckpoint()
     }
 
+  // --- character-trigram LM quality score (CCNet-shaped) --------------
+
+  /** Fixed-point scale of the LM conditional ratio: r(g3) =
+    * ⌊2^20 · c3(g3) / c2(prefix)⌋ — exact integer arithmetic end to
+    * end (no libm), so the per-doc SUM is an order-independent integer
+    * and the DuckDB oracle reproduces the engine's model bit-for-bit. */
+  private val LmScale = 1L << 20
+  /** Per-doc scored-position bound: LM filtering reads a prefix; the
+    * bound keeps per-doc explode work O(1) at any document length. */
+  private val LmMaxPos = 512
+
+  /** The LM position walk over (k, text): the trigram at p and its
+    * bigram prefix, positions 1..min(len−2, LmMaxPos), stride 1 (the
+    * conditional CHAIN, unlike the strided contamination grams) —
+    * shared by the model trainer, the derived scorer and (in SQL
+    * shape) the q_lm_score oracle, so the three can never drift. */
+  private def lmPositions(texts: DataFrame): DataFrame =
+    texts.filter(length(col("text")) >= 3)
+      .select(col("k"), col("text"),
+        explode(sequence(lit(1),
+          least(length(col("text")) - 2, lit(LmMaxPos)), lit(1))).as("p"))
+      .select(col("k"),
+        expr("substring(text, p, 3)").as("g3"),
+        expr("substring(text, p, 2)").as("g2"))
+
+  private val lmStateMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      graft.etl.DerivedState]
+  private val lmScoreMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  /** LM model + per-content scores as a DERIVED-CONTENT store (the
+    * CCNet shape: score every document under a corpus LM, filter the
+    * tail): the trigram conditional table TRAINS once per corpus —
+    * counts weighted by content multiplicity, so the model sees
+    * duplication without re-scanning the copies — and every distinct
+    * text scores ONCE against the frozen model, a pure per-key
+    * function: batch schedule cannot change a score, and a daily crawl
+    * scores its new content at batch cost. The model is BROADCASTABLE
+    * BY CONSTRUCTION at any corpus size: distinct char-trigram rows
+    * are bounded by alphabet³, not by corpus bytes. */
+  private def lmScoreState(s: SparkSession, dir: String)
+      : graft.etl.DerivedState =
+    fixtureMemo(lmStateMemo, s, dir) {
+      val trainer: DataFrame => DataFrame = corpus => {
+        val w = corpus.groupBy("k")
+          .agg(count(lit(1)).as("w"), min("text").as("text"))
+        val pos = lmPositions(w.select(col("k"), col("text")))
+          .join(w.select("k", "w"), "k")
+        val c3 = pos.groupBy("g3").agg(sum("w").as("c3"))
+        val c2 = pos.groupBy("g2").agg(sum("w").as("c2"))
+        c3.select(col("g3"), expr("substring(g3, 1, 2)").as("g2"),
+            col("c3"))
+          .join(c2, "g2")
+          .select(col("g3"), expr(s"(c3 * ${LmScale}L) div c2").as("r"))
+      }
+      val derive: (DataFrame, DataFrame) => DataFrame = (rows, model) =>
+        lmPositions(rows.select(col("k"), col("text")))
+          .groupBy("k", "g3").agg(count(lit(1)).as("m"))
+          .join(broadcast(model), Seq("g3"), "left_outer")
+          .groupBy("k")
+          .agg(sum(col("m")).as("n_pos"),
+            sum(coalesce(col("r"), lit(0L)) * col("m")).as("lm_fp"))
+      val fp = s"lm3:maxpos=$LmMaxPos:scale=$LmScale"
+      durableStore(s, dir, "lm3", fp)(root =>
+        new graft.etl.DerivedState(s, root, fp, "k", derive,
+          Some(trainer))) { st =>
+        val d = docs(s, dir).filter(length(col("text")) >= 3)
+          .select(col("doc_id"), textKey.as("k"), col("text"))
+        st.train(d)
+        (0 to 1).foreach(i => st.update(d.filter(col("doc_id") % 2 === i)))
+      }
+    }
+  private def lmScores(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo(lmScoreMemo, s, dir) {
+      lmScoreState(s, dir).derived().localCheckpoint()
+    }
+
   /** Rare-8-gram postings per distinct text — (k, g), document-
     * frequency-capped — the decontamination index a pipeline builds
     * ONCE per corpus and probes with every eval suite; memoized per
@@ -1900,6 +1978,7 @@ object EtlQueries {
     t("minhash") { repSignatures(s, dir); corpusBandPairs(s, dir)
       dedupClusters(s, dir); repBandKeys(s, dir) }
     t("langpred") { langPredictions(s, dir) }
+    t("lm3") { lmScores(s, dir) }
     t("contam") { contamPostings(s, dir) }
     t("ngrams") { inParallel(repTriGrams(s, dir), repWordCounts(s, dir)) }
     t("embed") { embGroups(s, dir); embedState(s, dir)
@@ -3734,6 +3813,45 @@ object EtlQueries {
             rarity.as("rarity"),
             when(rarity > 40, "rare").otherwise("common").as("verdict"))
       }.orderBy("doc_id")
+    },
+
+    // CCNet-shaped LM quality score: a character-trigram conditional
+    // model over the corpus (occurrence counts — the store trains on
+    // content weighted by multiplicity, identically), scored as the
+    // FIXED-POINT sum Σ ⌊2^20·c3(tri)/c2(prefix)⌋ over each doc's
+    // first LmMaxPos trigram positions — exact integer arithmetic end
+    // to end, so the oracle reproduces the engine's model and scores
+    // bit-for-bit (no libm anywhere). Served from the persisted
+    // derived store: the model trains once per corpus, every distinct
+    // text scores once against the frozen model, and the model join
+    // is broadcastable BY CONSTRUCTION (distinct char trigrams are
+    // bounded by alphabet³, not corpus bytes).
+    "q_lm_score" -> QueryDef(
+      s"""WITH pos AS (
+         |  SELECT doc_id, substr(text, CAST(p AS INTEGER), 3) AS g3
+         |  FROM (SELECT doc_id, text,
+         |          unnest(generate_series(1,
+         |            LEAST(length(text) - 2, $LmMaxPos))) AS p
+         |        FROM documents WHERE length(text) >= 3) t),
+         |c3 AS (SELECT g3, CAST(COUNT(*) AS BIGINT) AS c3
+         |       FROM pos GROUP BY 1),
+         |c2 AS (SELECT substr(g3, 1, 2) AS g2, CAST(COUNT(*) AS BIGINT) AS c2
+         |       FROM pos GROUP BY 1),
+         |model AS (
+         |  SELECT c3.g3, (c3.c3 * $LmScale) // c2.c2 AS r
+         |  FROM c3 JOIN c2 ON c2.g2 = substr(c3.g3, 1, 2))
+         |SELECT pos.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pos,
+         |  CAST(SUM(m.r) AS BIGINT) AS lm_fp,
+         |  CAST(SUM(m.r) // COUNT(*) AS BIGINT) AS avg_fp
+         |FROM pos JOIN model m USING (g3)
+         |GROUP BY pos.doc_id ORDER BY pos.doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir).filter(length(col("text")) >= 3)
+        .select(col("doc_id"), textKey.as("k"))
+        .join(lmScores(s, dir), "k")
+        .select(col("doc_id"), col("n_pos"), col("lm_fp"),
+          expr("lm_fp div n_pos").as("avg_fp"))
+        .orderBy("doc_id")
     },
 
     // End-to-end curation report: the whole batch pipeline — exact

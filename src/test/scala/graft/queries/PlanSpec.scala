@@ -227,6 +227,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"within-cluster pairing must be cluster-keyed, got:\n$p")
   }
 
+  test("LM score is a store read joined on content digest — no corpus explode at query time") {
+    val p = plan("q_lm_score")
+    // the trigram explode + model join ran ONCE into the derived
+    // store; the query plan is docs ⋈ scores on the digest, nothing
+    // quadratic and no re-derivation
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"digest equi-join only, got:\n$p")
+    assert(!p.toLowerCase.contains("generate"),
+      s"no per-query trigram explode — scores come from the store:\n$p")
+  }
+
   test("k-means IVF broadcasts the probe set and the query row; rerank stays top-k") {
     val p = plan("q_ann_kmivf")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
