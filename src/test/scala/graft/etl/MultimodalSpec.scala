@@ -498,6 +498,65 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("PROGRESSIVE JPEG: randomized cross-validation against ImageIO " +
+      "over sizes, content and gray/color") {
+    // seeded sweep: random pixel content (worst case for scan algebra
+    // — every AC band populated, refinement bits everywhere), random
+    // dims including partial edge blocks, gray and color. ImageIO
+    // decodes its own encoding as the referee; tolerances as in the
+    // fixed cases (IDCT/upsampling rounding is implementation-defined)
+    val rnd = new scala.util.Random(0xc2c2)
+    def encodeProgressive(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    for (round <- 0 until 6) {
+      val w = 8 + rnd.nextInt(72)
+      val h = 8 + rnd.nextInt(56)
+      val color = round % 2 == 1
+      val img = new java.awt.image.BufferedImage(w, h,
+        if (color) java.awt.image.BufferedImage.TYPE_INT_RGB
+        else java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w) {
+        if (color) img.setRGB(x, y, rnd.nextInt(1 << 24))
+        else img.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+      }
+      val bytes = encodeProgressive(img)
+      val (dw, dh, px) = Multimodal.JpegCodec.decode(bytes)
+      assert(dw == w && dh == h, s"round $round dims")
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      var worst = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        if (color) {
+          val rgb = ref.getRGB(x, y)
+          for (c <- 0 until 3) {
+            val d = math.abs(((rgb >> (16 - 8 * c)) & 0xff) -
+              (px(3 * (y * w + x) + c) & 0xff))
+            worst = math.max(worst, d)
+          }
+        } else {
+          val d = math.abs((ref.getRaster.getSample(x, y, 0) & 0xff) -
+            (px(y * w + x) & 0xff))
+          worst = math.max(worst, d)
+        }
+      }
+      // random full-spectrum content: allow a slightly wider envelope
+      // than the smooth gradients (chroma upsampling at block edges of
+      // noise is the worst case for implementation-defined rounding)
+      assert(worst <= (if (color) 8 else 2),
+        s"round $round ($w x $h, color=$color): worst pixel delta $worst")
+    }
+  }
+
   test("fixture precondition: multimodal-routed documents are pure ASCII") {
     // the q_media_frames and q_multimodal DuckDB oracles recompute
     // content-region values with ord(substr(text, p, 1)) — character
