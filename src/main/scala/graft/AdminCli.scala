@@ -75,13 +75,13 @@ object AdminCli {
     * resolve through the atomic pointer). */
   private def storeStatus(rootUri: String): String = {
     val store = new Store(rootUri, new Configuration())
-    val metaOpt = store.readString("META").map(_.trim)
     // a typo'd path must error, not print a healthy-looking empty
-    // store — every versioned store writes META at creation (the same
-    // refusal EtlViews.metaOf makes)
-    require(metaOpt.isDefined,
-      s"no versioned store at $rootUri (missing META)")
-    val meta = metaOpt.get
+    // store — but META is written on FIRST USE (update/fold), not at
+    // construction, so a created-but-never-folded root is a real
+    // (empty) store and must status as one: the existence check is on
+    // the root itself
+    require(store.exists(""), s"no such store root: $rootUri")
+    val meta = store.readString("META").map(_.trim).getOrElse("")
     val cur = store.readString("CURRENT").map(_.trim).getOrElse("")
     val members = store.readString("MEMBERS").map(_.trim.split("\n").length)
     val p = cur.split("\\s+").filter(_.nonEmpty).toSeq

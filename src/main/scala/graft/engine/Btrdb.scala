@@ -132,11 +132,18 @@ class Btrdb(val spark: SparkSession, val root: String,
   // the staging-only streaming appender are NOT gated — the lock guards
   // the commit-log/catalog writer.
   private val lockToken = java.util.UUID.randomUUID().toString
-  // the lock body carries the holder's OWN staleness window so a later
-  // claimant judges liveness by the holder's heartbeat cadence, not its
-  // own: a short-windowed console must not steal the lock from a live
-  // writer configured with a longer window (heartbeat = window/4).
-  private def lockBody = s"$lockToken $lockStaleMillis"
+  // heartbeat cadence: a beat every window/4, floored at 250 ms — so
+  // the EFFECTIVE staleness window is never tighter than 4 beats,
+  // whatever the configured value
+  private val lockBeatMillis = math.max(lockStaleMillis / 4, 250L)
+  private val lockWindowMillis = math.max(lockStaleMillis, 4 * lockBeatMillis)
+  // the lock body carries the holder's EFFECTIVE window (covering the
+  // real beat cadence, not the raw configured value — a sub-second
+  // configuration would otherwise declare a window its own heartbeat
+  // cannot keep) so a later claimant judges liveness by the holder's
+  // cadence, not its own: a short-windowed console must not steal the
+  // lock from a live writer heartbeating on a longer cadence.
+  private def lockBody = s"$lockToken $lockWindowMillis"
   @volatile private var lockHeld = false
   private var heartbeat: java.util.concurrent.ScheduledExecutorService = null
 
@@ -149,7 +156,14 @@ class Btrdb(val spark: SparkSession, val root: String,
       val staleAfter = math.max(declared, lockStaleMillis)
       val stale = store.modificationTime(LockFile)
         .forall(m => System.currentTimeMillis() - m > staleAfter)
-      if (stale) store.delete(LockFile)
+      if (stale) {
+        // re-check right before the delete: a racing claimant that
+        // already won the takeover has refreshed the mtime by now, and
+        // we must not delete ITS fresh lock
+        val still = store.modificationTime(LockFile)
+          .forall(m => System.currentTimeMillis() - m > staleAfter)
+        if (still) store.delete(LockFile)
+      }
       if (!stale || !store.writeExclusive(LockFile, lockBody))
         throw new IllegalStateException(
           s"engine root $root is locked by another live writer " +
@@ -157,14 +171,37 @@ class Btrdb(val spark: SparkSession, val root: String,
             "contract — close() the other engine, or delete " +
             s"$root/$LockFile if it is a crash leftover older than " +
             s"$staleAfter ms")
+      // the takeover (delete + create) is not atomic: a second claimant
+      // racing this one may have deleted OUR fresh lock and created its
+      // own — settle, then verify ownership before proceeding
+      Thread.sleep(50L)
+      if (!store.readString(LockFile).map(_.trim).contains(lockBody))
+        throw new IllegalStateException(
+          s"lost the stale-lock takeover race on $root to " +
+            s"${store.readString(LockFile).getOrElse("?")}")
     }
     lockHeld = true
     heartbeat = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
       r => { val t = new Thread(r, s"btrdb-lock-heartbeat"); t.setDaemon(true); t })
-    val period = math.max(lockStaleMillis / 4, 250L)
     heartbeat.scheduleAtFixedRate(
-      () => if (lockHeld) store.rewrite(LockFile, lockBody),
-      period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+      () => if (lockHeld) {
+        // best-effort guards, both load-bearing: (a) verify ownership
+        // before rewriting — a holder paused past its window (GC, VM
+        // suspend, NFS hang) may have been legitimately evicted, and an
+        // unconditional rewrite would clobber the new owner's lock and
+        // put two writers on the root (close() carries the same guard);
+        // (b) never let an exception escape the task — a thrown
+        // scheduled task is silently CANCELLED by the executor, the
+        // mtime stops advancing, and a LIVE writer becomes stealable
+        // after one transient I/O blip.
+        try {
+          if (store.readString(LockFile).map(_.trim).contains(lockBody))
+            store.rewrite(LockFile, lockBody)
+          else lockHeld = false // evicted while paused: stand down
+        } catch { case _: Exception => () } // transient: retry next beat
+      },
+      lockBeatMillis, lockBeatMillis,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
     // watermark enablement marker, written BEFORE any commit this
     // writer can make: under the marker, a stream with commits but no
     // per-sid watermark file is a CRASHED FIRST FOLD (stale), not a
@@ -2762,6 +2799,22 @@ object Btrdb {
       admission: Admission = Admission.default): Btrdb = {
     val store = new Store(root, spark.sessionState.newHadoopConf())
     val g = store.readString(GeometryFile).map(_.trim)
+    // an UNSTAMPED root that already holds engine state is a legacy
+    // root of UNKNOWN geometry: attaching at guessed defaults would be
+    // exactly the wrong-geometry corruption this API exists to
+    // prevent — and a locking attach would then STAMP the guess,
+    // poisoning the root for its rightful writer permanently. Refuse;
+    // the owner opens it once with its true constructor args (which
+    // stamps), after which attach works. A root with no engine state
+    // is a fresh create: defaults become the truth when this handle
+    // stamps as the first writer.
+    if (g.isEmpty && (store.exists("catalog_CURRENT") ||
+        store.exists("catalog") || store.exists("commits")))
+      throw new IllegalArgumentException(
+        s"engine root $root predates geometry stamps: its layout " +
+          "geometry is unknown, so attach refuses rather than guess — " +
+          "open it once with its explicit constructor args (the " +
+          "locking writer stamps GEOMETRY), then attach freely")
     def field(key: String): Option[String] =
       g.flatMap(_.split("\\s+").collectFirst {
         case t if t.startsWith(s"$key=") => t.drop(key.length + 1) })

@@ -61,10 +61,18 @@ class GeometrySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(reader.rawValues("geom-uuid", 0, Long.MaxValue / 2).count()
       === 512L)
 
-    // a legacy root (stamp removed) still opens at explicit args, and
-    // the next locking writer re-stamps it
+    // a legacy root (stamp removed) REFUSES attach — guessing defaults
+    // is the corruption this API prevents, and a locking attach would
+    // stamp the guess, poisoning the root for its rightful writer…
     writer.close()
     st.delete(Btrdb.GeometryFile)
+    val legacyErr = intercept[IllegalArgumentException] {
+      Btrdb.attach(spark, root, lockRoot = false)
+    }
+    assert(legacyErr.getMessage.contains("predates geometry stamps"),
+      legacyErr.getMessage)
+    // …but still opens at explicit args, and the next locking writer
+    // re-stamps it (after which attach works again)
     val legacy = new Btrdb(spark, root, sBuckets = 4, tBucketPw = 44,
       pyramidLevels = Seq(20, 30), quantileLevel = Some(20))
     assert(st.readString(Btrdb.GeometryFile).map(_.trim)
@@ -94,9 +102,10 @@ class GeometrySpec extends AnyFunSuite with BeforeAndAfterAll {
     Thread.sleep(200)
     val taken = new Btrdb(spark, root, lockStaleMillis = 100L)
     val body = st.readString(Btrdb.LockFile).get.trim
-    // the new holder's body carries ITS declared window for the next
-    // claimant to honor
-    assert(body != "crashed-owner" && body.endsWith(" 100"), body)
+    // the new holder's body declares its EFFECTIVE window — at least
+    // 4 heartbeats (4 × the 250 ms beat floor here), never the raw
+    // sub-second configuration its own cadence could not keep
+    assert(body != "crashed-owner" && body.endsWith(" 1000"), body)
     taken.close()
   }
 }

@@ -389,6 +389,22 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fe(1).energy === bytes.slice(128, 160).map(_.toLong).sum)
   }
 
+  /** ImageIO's progressive writer (the IJG standard progression) —
+    * shared by every progressive cross-validation test. */
+  private def encodeProgressive(
+      img: java.awt.image.BufferedImage): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
   test("PROGRESSIVE JPEG fixture containers: exact pixel roundtrip, " +
       "ImageIO agrees, closed-form size over the whole byte domain") {
     // 1. the deterministic fixture shape as a SOF2 container: decoded
@@ -437,18 +453,6 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // renders once; the referee is ImageIO's OWN decode of the same
     // bytes, so the comparison isolates our scan algebra from
     // implementation-defined IDCT/upsampling rounding.
-    def encodeProgressive(img: java.awt.image.BufferedImage): Array[Byte] = {
-      val writer = javax.imageio.ImageIO
-        .getImageWritersByFormatName("jpg").next()
-      val param = writer.getDefaultWriteParam
-      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
-      val bos = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-      writer.setOutput(ios)
-      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-      ios.close(); writer.dispose()
-      bos.toByteArray
-    }
     def countMarkers(bytes: Array[Byte], m: Int): Int =
       (0 until bytes.length - 1).count(i =>
         (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == m)
@@ -506,18 +510,6 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // decodes its own encoding as the referee; tolerances as in the
     // fixed cases (IDCT/upsampling rounding is implementation-defined)
     val rnd = new scala.util.Random(0xc2c2)
-    def encodeProgressive(img: java.awt.image.BufferedImage): Array[Byte] = {
-      val writer = javax.imageio.ImageIO
-        .getImageWritersByFormatName("jpg").next()
-      val param = writer.getDefaultWriteParam
-      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
-      val bos = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-      writer.setOutput(ios)
-      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-      ios.close(); writer.dispose()
-      bos.toByteArray
-    }
     for (round <- 0 until 6) {
       val w = 8 + rnd.nextInt(72)
       val h = 8 + rnd.nextInt(56)
