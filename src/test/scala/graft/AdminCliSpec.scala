@@ -121,6 +121,17 @@ class AdminCliSpec extends AnyFunSuite with BeforeAndAfterAll {
     // unknown commands/kinds refuse loudly
     intercept[IllegalArgumentException](run("store-compact", "nope", root))
     intercept[IllegalArgumentException](run("frobnicate"))
+
+    // a created-but-never-folded root statuses as an EMPTY store
+    // (META arrives on first use, not at construction) — only a
+    // nonexistent path is an error
+    val fresh = Files.createTempDirectory("admin-cli-fresh-").toString
+    val empty = run("store-status", fresh)
+    assert(empty.contains(""""version":0""") &&
+      empty.contains(""""pointer_ok":true"""), empty)
+    val e = intercept[IllegalArgumentException](
+      run("store-status", fresh + "/nope"))
+    assert(e.getMessage.contains("no such store root"), e.getMessage)
   }
 
   test("store-fold: console-driven federation fold over member deltas") {
