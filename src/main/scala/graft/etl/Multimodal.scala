@@ -763,6 +763,13 @@ object Multimodal {
               (payload(body + 2) & 0xff)
             width = ((payload(body + 3) & 0xff) << 8) |
               (payload(body + 4) & 0xff)
+            // the decoder buffers whole planes per row: a hostile or
+            // oversized header must refuse loudly, not OOM an executor
+            // mid-scan (2^26 px ≈ a 67-Mpixel frame)
+            require(width.toLong * height <= (1L << 26),
+              s"JPEG dims ${width}x$height exceed the in-row decode " +
+                "bound (2^26 pixels) — route oversized assets to a " +
+                "dedicated decoder")
             val nf = payload(body + 5) & 0xff
             require(nf == 1 || nf == 3,
               s"unsupported component count $nf (grayscale or YCbCr)")
@@ -1029,6 +1036,15 @@ object Multimodal {
       // component's OWN sample dims, not the padded MCU grid
       val cbw = comps.map(c => ((width * c.h + hmax - 1) / hmax + 7) / 8)
       val cbh = comps.map(c => ((height * c.v + vmax - 1) / vmax + 7) / 8)
+      // a progressive frame needs its FULL coefficient planes resident
+      // (64 ints/block, accumulated across scans) — tighter bound than
+      // the pixel planes: 2^24 ints = 64 MB ≈ a 16-Mpixel gray /
+      // 10-Mpixel 4:2:0 frame, comfortably past crawl-typical photos
+      require(comps.indices.map(i =>
+          bwFull(i).toLong * bhFull(i) * 64).sum <= (1L << 24),
+        s"progressive frame ${width}x$height exceeds the coefficient-" +
+          "buffer bound (2^24 ints) — route oversized assets to a " +
+          "dedicated decoder")
       val coefs = comps.indices.map(i =>
         new Array[Int](bwFull(i) * bhFull(i) * 64)).toArray
       var restartInterval = dri0

@@ -238,6 +238,17 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 4. corrupt containers surface, never pass through as zeros
     intercept[IllegalArgumentException](
       Multimodal.JpegCodec.decode("not a jpeg".getBytes("UTF-8")))
+    // 5. a hostile header claiming absurd dims refuses BEFORE any
+    //    plane allocation, instead of OOMing the executor: splice
+    //    65504x65504 into a valid container's SOF dims
+    val huge = jpg.clone()
+    // SOF0 body starts after SOI(2)+DQT(69)+marker(2)+len(2)+prec(1)
+    val sof = 2 + 69 + 4 + 1
+    huge(sof) = 0xff.toByte; huge(sof + 1) = 0xe0.toByte     // height
+    huge(sof + 2) = 0xff.toByte; huge(sof + 3) = 0xe0.toByte // width
+    val big = intercept[IllegalArgumentException](
+      Multimodal.JpegCodec.decode(huge))
+    assert(big.getMessage.contains("decode bound"), big.getMessage)
   }
 
   test("COLOR JPEG: 4:4:4 DC-only containers round-trip exactly, " +
