@@ -200,9 +200,12 @@ object AdminCli {
             .map(r => s"""{"collection":${jstr(r.getString(0))},""" +
               s""""uuid":${jstr(r.getString(1))}}""")
             .mkString("[", ",", "]")
+          val geom = db.store.readString(Btrdb.GeometryFile)
+            .map(_.trim).getOrElse("")
           s"""{"op":"info","build":${jstr(i.build)},""" +
             s""""healthy":${i.healthy},"streams":${i.streamCount},""" +
-            s""""points":${i.pointCount},"collections":$cols,""" +
+            s""""points":${i.pointCount},"geometry":${jstr(geom)},""" +
+            s""""collections":$cols,""" +
             s""""stream_list":$streams}"""
         }
 

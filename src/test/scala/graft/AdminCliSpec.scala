@@ -67,6 +67,7 @@ class AdminCliSpec extends AnyFunSuite with BeforeAndAfterAll {
     val info = run("info", root)
     assert(info.contains(""""op":"info"""") &&
       info.contains(""""streams":4""") &&
+      info.contains(""""geometry":"sb=4 tb=44 pl=20,30 wb=54 ql=-"""") &&
       info.contains(""""ops/a""""), info)
     val si = run("stream", root, uuid)
     assert(si.contains(s""""uuid":"$uuid"""") &&
