@@ -83,6 +83,16 @@ object DerivedStateBench {
     val (_, sInit) = timed { sst.train(eCorpus); sst.update(eCorpus) }
     val (sRep, sFold) = timed(sst.update(eBatch))
 
+    // ---- LM trigram conditional score (trained family, round 16):
+    // same trainer/derive as the q_lm_score fixture path, so the
+    // fold-cost shape here IS the shipped family's
+    val lmTrainer = graft.queries.EtlQueries.lmTrainer
+    val lmDerive = graft.queries.EtlQueries.lmDerive
+    val lst = new graft.etl.DerivedState(spark, freshRoot(), "lm3", "k",
+      lmDerive, Some(lmTrainer))
+    val (_, lInit) = timed { lst.train(corpus); lst.update(corpus) }
+    val (lRep, lFold) = timed(lst.update(fresh))
+
     println(s"""{"metric":"derived_state","word_init_sec":$wInit,""" +
       s""""word_fold_sec":$wFold,""" +
       s""""word_fold_new_keys":${wRep.nNewKeys},""" +
@@ -90,6 +100,9 @@ object DerivedStateBench {
       s""""sq8_init_sec":$sInit,"sq8_fold_sec":$sFold,""" +
       s""""sq8_fold_new_keys":${sRep.nNewKeys},""" +
       s""""sq8_fold_rows":${sRep.nDerivedRows},""" +
+      s""""lm_init_sec":$lInit,"lm_fold_sec":$lFold,""" +
+      s""""lm_fold_new_keys":${lRep.nNewKeys},""" +
+      s""""lm_fold_rows":${lRep.nDerivedRows},""" +
       s""""corpus_docs":${corpus.count()},"sf":"$sfDir"}""")
     spark.stop()
   }

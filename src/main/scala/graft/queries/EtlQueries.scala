@@ -746,32 +746,39 @@ object EtlQueries {
     * scores its new content at batch cost. The model is BROADCASTABLE
     * BY CONSTRUCTION at any corpus size: distinct char-trigram rows
     * are bounded by alphabet³, not by corpus bytes. */
+  /** The lm3 family's trainer: the trigram conditional table, counts
+    * weighted by content multiplicity. Shared by the fixture store and
+    * DerivedStateBench so the bench measures the SHIPPED semantics. */
+  private[graft] val lmTrainer: DataFrame => DataFrame = corpus => {
+    val w = corpus.groupBy("k")
+      .agg(count(lit(1)).as("w"), min("text").as("text"))
+    val pos = lmPositions(w.select(col("k"), col("text")))
+      .join(w.select("k", "w"), "k")
+    val c3 = pos.groupBy("g3").agg(sum("w").as("c3"))
+    val c2 = pos.groupBy("g2").agg(sum("w").as("c2"))
+    c3.select(col("g3"), expr("substring(g3, 1, 2)").as("g2"),
+        col("c3"))
+      .join(c2, "g2")
+      .select(col("g3"), expr(s"(c3 * ${LmScale}L) div c2").as("r"))
+  }
+
+  /** The lm3 family's per-key scorer against the frozen model. */
+  private[graft] val lmDerive: (DataFrame, DataFrame) => DataFrame =
+    (rows, model) =>
+      lmPositions(rows.select(col("k"), col("text")))
+        .groupBy("k", "g3").agg(count(lit(1)).as("m"))
+        .join(broadcast(model), Seq("g3"), "left_outer")
+        .groupBy("k")
+        .agg(sum(col("m")).as("n_pos"),
+          sum(coalesce(col("r"), lit(0L)) * col("m")).as("lm_fp"))
+
   private def lmScoreState(s: SparkSession, dir: String)
       : graft.etl.DerivedState =
     fixtureMemo(lmStateMemo, s, dir) {
-      val trainer: DataFrame => DataFrame = corpus => {
-        val w = corpus.groupBy("k")
-          .agg(count(lit(1)).as("w"), min("text").as("text"))
-        val pos = lmPositions(w.select(col("k"), col("text")))
-          .join(w.select("k", "w"), "k")
-        val c3 = pos.groupBy("g3").agg(sum("w").as("c3"))
-        val c2 = pos.groupBy("g2").agg(sum("w").as("c2"))
-        c3.select(col("g3"), expr("substring(g3, 1, 2)").as("g2"),
-            col("c3"))
-          .join(c2, "g2")
-          .select(col("g3"), expr(s"(c3 * ${LmScale}L) div c2").as("r"))
-      }
-      val derive: (DataFrame, DataFrame) => DataFrame = (rows, model) =>
-        lmPositions(rows.select(col("k"), col("text")))
-          .groupBy("k", "g3").agg(count(lit(1)).as("m"))
-          .join(broadcast(model), Seq("g3"), "left_outer")
-          .groupBy("k")
-          .agg(sum(col("m")).as("n_pos"),
-            sum(coalesce(col("r"), lit(0L)) * col("m")).as("lm_fp"))
       val fp = s"lm3:maxpos=$LmMaxPos:scale=$LmScale"
       durableStore(s, dir, "lm3", fp)(root =>
-        new graft.etl.DerivedState(s, root, fp, "k", derive,
-          Some(trainer))) { st =>
+        new graft.etl.DerivedState(s, root, fp, "k", lmDerive,
+          Some(lmTrainer))) { st =>
         val d = docs(s, dir).filter(length(col("text")) >= 3)
           .select(col("doc_id"), textKey.as("k"), col("text"))
         st.train(d)
