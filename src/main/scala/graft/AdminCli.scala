@@ -19,12 +19,44 @@ import graft.storage.Store
   * line per command (the bench/verify convention):
   *
   * {{{
-  *   info <engineRoot> [collectionPrefix]   catalog + version summary
+  *   info <engineRoot> [collectionPrefix] [streamCursor] [pageSize]
+  *                                          catalog + version summary;
+  *                                          stream list capped at 10k
+  *                                          rows per call (the
+  *                                          reference's listing bound,
+  *                                          metaprovider.go:24; an
+  *                                          explicit pageSize clamps
+  *                                          TO that cap, never past
+  *                                          it) — a truncated page
+  *                                          reports `stream_cursor`,
+  *                                          pass it back for the next
+  *                                          page
   *   stream <engineRoot> <uuid>             descriptor + versions
   *   compact <engineRoot> <uuid>            squash the commit archive
   *   repair <engineRoot> <uuid>             verify/heal the stat pyramid
   *   purge <engineRoot>                     reclaim obliterated streams
   *   migrate <fromRoot> <toRoot> <uuid>     move a stream between members
+  *   stamp-geometry <engineRoot> <sb> <tb> <pl> <wb> <ql>
+  *                                          migrate a pre-stamp (legacy)
+  *                                          root: open it ONCE at the
+  *                                          operator-supplied layout
+  *                                          geometry, which stamps the
+  *                                          root's GEOMETRY file —
+  *                                          after which every tool can
+  *                                          `attach`. pl = comma-
+  *                                          separated pyramid levels or
+  *                                          `-` (none); ql = quantile
+  *                                          level or `-`. The operands
+  *                                          are the constructor args
+  *                                          the root was BUILT with —
+  *                                          a wrong guess here is the
+  *                                          wrong-geometry corruption
+  *                                          attach refuses, so copy
+  *                                          them from the owning
+  *                                          pipeline's configuration.
+  *                                          Idempotent on an already-
+  *                                          stamped root with matching
+  *                                          args; refuses on mismatch.
   *   store-status <storeRoot>               versioned ETL store summary
   *                                          (pointer/META/manifests —
   *                                          no Spark session)
@@ -52,6 +84,10 @@ import graft.storage.Store
   * geometry (the daemon's convention — `graft.Service` does the same).
   */
 object AdminCli {
+
+  /** Per-page bound on the console's stream listing — the reference's
+    * MaximumListLimit (metaprovider.go:24). */
+  private[graft] val StreamListCap = 10000
 
   private def jstr(s: String): String = Jsons.str(s)
 
@@ -129,13 +165,14 @@ object AdminCli {
                          sparkOf: () => SparkSession): String = {
     require(args.nonEmpty, "usage: AdminCli <command> [args…] — " +
       "info|stream|compact|repair|purge|migrate|store-status|" +
-      "store-compact|store-fold")
+      "store-compact|store-fold|stamp-geometry")
     // arity up front: a forgotten operand must die on the usage line,
     // not on an index error after a SparkSession spun up and a
     // mutating command already took the engine lock
     val arity = Map("info" -> 1, "stream" -> 2, "compact" -> 2,
       "repair" -> 2, "purge" -> 1, "migrate" -> 3,
-      "store-status" -> 1, "store-compact" -> 2, "store-fold" -> 2)
+      "store-status" -> 1, "store-compact" -> 2, "store-fold" -> 2,
+      "stamp-geometry" -> 6)
     arity.get(args(0)).foreach(n => require(args.length > n,
       s"'${args(0)}' takes $n operand(s), got ${args.length - 1} — " +
         "see the AdminCli doc"))
@@ -190,23 +227,47 @@ object AdminCli {
       case "info" =>
         val spark = sparkOf()
         locally {
+          import org.apache.spark.sql.functions.col
           val db = Btrdb.attach(spark, args(1), lockRoot = false)
           val prefix = args.lift(2).getOrElse("")
           val i = db.engineInfo()
+          // listCollections is already capped at 10k by its own contract
           val cols = db.listCollections(prefix).collect()
             .map(r => jstr(r.getString(0))).mkString("[", ",", "]")
-          val streams = db.lookupStreams(prefix)
-            .select("collection", "uuid").collect()
+          // The stream listing is PAGED, never a full-catalog collect: a
+          // million-stream root must not OOM the console driver. The
+          // reference bounds the analogous listing at 10k
+          // (/root/reference/internal/mprovider/metaprovider.go:24); the
+          // cursor is the page's last uuid (unique, totally ordered), so
+          // `info root prefix <cursor>` resumes exactly after it.
+          val cursor = args.lift(3).getOrElse("")
+          val cap = args.lift(4)
+            .map(v => v.toIntOption.filter(_ > 0)
+              .getOrElse(throw new IllegalArgumentException(
+                s"pageSize must be a positive integer, got '$v'")))
+            .fold(StreamListCap)(math.min(_, StreamListCap))
+          val page = db.lookupStreams(prefix)
+            .select("collection", "uuid")
+            .filter(col("uuid") > cursor)
+            .orderBy("uuid")
+            .limit(cap + 1)
+            .collect()
+          val rows = page.take(cap)
+          val streams = rows
             .map(r => s"""{"collection":${jstr(r.getString(0))},""" +
               s""""uuid":${jstr(r.getString(1))}}""")
             .mkString("[", ",", "]")
+          val nextCursor =
+            if (page.length > cap)
+              s""","stream_cursor":${jstr(rows.last.getString(1))}"""
+            else ""
           val geom = db.store.readString(Btrdb.GeometryFile)
             .map(_.trim).getOrElse("")
           s"""{"op":"info","build":${jstr(i.build)},""" +
             s""""healthy":${i.healthy},"streams":${i.streamCount},""" +
             s""""points":${i.pointCount},"geometry":${jstr(geom)},""" +
             s""""collections":$cols,""" +
-            s""""stream_list":$streams}"""
+            s""""stream_list":$streams$nextCursor}"""
         }
 
       case "stream" =>
@@ -265,9 +326,49 @@ object AdminCli {
           } finally from.close()
         }
 
+      case "stamp-geometry" =>
+        // The in-product migration path for roots that predate geometry
+        // stamps: Btrdb.attach refuses them (guessed defaults on a
+        // non-default root silently read the wrong partition dirs), and
+        // before this command the only remediation was writing custom
+        // code with explicit constructor args. Here the operator
+        // supplies those args and the locking open stamps the root —
+        // the constructor itself validates against any existing stamp,
+        // so a re-run with matching args is idempotent and a mismatch
+        // refuses loudly instead of re-stamping.
+        val root = args(1)
+        def geomArg(v: String, what: String): Int =
+          v.toIntOption.getOrElse(throw new IllegalArgumentException(
+            s"$what must be an integer, got '$v'"))
+        val sb = geomArg(args(2), "sBuckets")
+        val tb = geomArg(args(3), "tBucketPw")
+        val pl = args(4) match {
+          case "-" => Seq.empty[Int]
+          case s => s.split(",").toSeq.map(geomArg(_, "pyramid level"))
+        }
+        val wb = geomArg(args(5), "pyramidWBucketPw")
+        val ql = args(6) match {
+          case "-" => None
+          case s => Some(geomArg(s, "quantileLevel"))
+        }
+        val spark = sparkOf()
+        locally {
+          val store = new Store(root, spark.sessionState.newHadoopConf())
+          val preStamped = store.readString(Btrdb.GeometryFile).isDefined
+          val db = new Btrdb(spark, root, sBuckets = sb, tBucketPw = tb,
+            pyramidLevels = pl, pyramidWBucketPw = wb, quantileLevel = ql,
+            lockRoot = true)
+          try {
+            val geom = db.store.readString(Btrdb.GeometryFile)
+              .map(_.trim).getOrElse("")
+            s"""{"op":"stamp-geometry","root":${jstr(root)},""" +
+              s""""geometry":${jstr(geom)},"stamped":${!preStamped}}"""
+          } finally db.close()
+        }
+
       case c => throw new IllegalArgumentException(
         s"unknown command '$c' — info|stream|compact|repair|purge|" +
-          "migrate|store-status|store-compact|store-fold")
+          "migrate|store-status|store-compact|store-fold|stamp-geometry")
     }
   }
 }

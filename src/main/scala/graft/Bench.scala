@@ -117,7 +117,8 @@ object Bench {
     def ms(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f",
         Double.box(v))
-    def render(num: Double => String, fullPath: Option[String]): String = {
+    def render(num: Double => String, fullPath: Option[String],
+               withMemoParts: Boolean): String = {
       val qs = results.map { case (k, v, _) => jstr(k) + ":" + num(v) }
         .mkString("{", ",", "}")
       val errs = (results.collect { case (k, _, Some(e)) => k -> e } ++
@@ -128,22 +129,34 @@ object Bench {
       val memos = memoParts.map { case (k, v) => jstr(k) + ":" + num(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-        s""""memo_build":${num(memoSec)},"memo_parts":$memos,"passes":3,""" +
+        s""""memo_build":${num(memoSec)},""" +
+        (if (withMemoParts) s""""memo_parts":$memos,""" else "") +
+        s""""passes":3,""" +
         s""""loadavg_start":${num(loadStart)},"loadavg_end":${num(loadEnd)},""" +
         s""""queries":$qs,"errors":$errs,"sf":"$sfDir"""" +
         fullPath.map(p => s""","full":${jstr(p)}""").getOrElse("") + "}"
     }
-    // a fresh per-run file (never a fixed path a concurrent or later
-    // run would clobber); the "full" pointer is only advertised when
-    // the write actually landed
+    // The durable record lives in a FILE IN THE REPOSITORY (the driver
+    // commits the working tree at round end), not /tmp: BENCH_r16's
+    // complete JSON evaporated with the host because only its /tmp path
+    // rode in the truncation-prone printed line. A fixed repo-relative
+    // name is safe here — one bench run per checkout at a time, and each
+    // round's run overwrites with that round's numbers.
+    val fullJson = render(_.toString, None, withMemoParts = true)
     val fullPath =
-      try {
-        val f = java.io.File.createTempFile("graft_bench_full_", ".json")
-        java.nio.file.Files.write(f.toPath,
-          render(_.toString, None).getBytes("UTF-8"))
-        Some(f.getAbsolutePath)
-      } catch { case _: Throwable => None }
-    println(render(ms, fullPath))
+      (Seq(new java.io.File("bench_full.json")).map(_.getAbsoluteFile) ++
+          scala.util.Try(java.io.File.createTempFile(
+            "graft_bench_full_", ".json")).toOption)
+        .flatMap { f =>
+          try { java.nio.file.Files.write(f.toPath,
+            fullJson.getBytes("UTF-8")); Some(f.getAbsolutePath) }
+          catch { case _: Throwable => None }
+        }.headOption
+    // The printed line must parse whole out of a bounded (~4 KB) tail
+    // capture that cuts the line's HEAD: timings at millisecond
+    // precision and memo_parts elided (they are in the repo file) keep
+    // the line comfortably inside the window.
+    println(render(ms, fullPath, withMemoParts = false))
     spark.stop()
   }
 }

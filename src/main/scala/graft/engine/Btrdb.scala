@@ -145,7 +145,22 @@ class Btrdb(val spark: SparkSession, val root: String,
   // lock from a live writer heartbeating on a longer cadence.
   private def lockBody = s"$lockToken $lockWindowMillis"
   @volatile private var lockHeld = false
+  // Set when the heartbeat discovers this writer was EVICTED (paused
+  // past its staleness window — GC, VM suspend, NFS hang — and another
+  // claimant took the lock over). An evicted handle must not keep
+  // mutating: the new owner may already be writing, and two concurrent
+  // writers on one root is the exact state the lock exists to prevent.
+  // Mutations funnel through writeCommitFile/overwriteCatalog, both of
+  // which check this and throw.
+  @volatile private var lockEvicted = false
   private var heartbeat: java.util.concurrent.ScheduledExecutorService = null
+
+  private def requireWriterLive(): Unit =
+    if (lockEvicted) throw new IllegalStateException(
+      s"engine root $root: this writer's lock was evicted (the process " +
+        "paused past the staleness window and another claimant took " +
+        "over) — mutations are refused to keep the root single-writer; " +
+        "open a fresh handle once the other writer is closed")
 
   if (lockRoot) {
     if (!store.writeExclusive(LockFile, lockBody)) {
@@ -171,14 +186,26 @@ class Btrdb(val spark: SparkSession, val root: String,
             "contract — close() the other engine, or delete " +
             s"$root/$LockFile if it is a crash leftover older than " +
             s"$staleAfter ms")
-      // the takeover (delete + create) is not atomic: a second claimant
+      // The takeover (delete + create) is not atomic: a second claimant
       // racing this one may have deleted OUR fresh lock and created its
-      // own — settle, then verify ownership before proceeding
-      Thread.sleep(50L)
-      if (!store.readString(LockFile).map(_.trim).contains(lockBody))
-        throw new IllegalStateException(
-          s"lost the stale-lock takeover race on $root to " +
-            s"${store.readString(LockFile).getOrElse("?")}")
+      // own — settle, then verify ownership, TWICE. The settle scales
+      // with the configured staleness window (floor 50 ms, cap 1 s)
+      // rather than hard-coding one store's propagation latency, and
+      // the second, longer round catches delayed visibility (coarse
+      // mtime resolution, object-store read-after-delete lag) that a
+      // single short settle can miss. Still best-effort on stores
+      // without atomic conditional create — see writeExclusive's note
+      // and SCALE.md "Storage atomicity": on an eventually-consistent
+      // object store, prefer deleting a crash-leftover lock by hand
+      // over relying on automatic takeover racing another claimant.
+      val settle = math.min(math.max(lockStaleMillis / 1000, 50L), 1000L)
+      (1 to 2).foreach { round =>
+        Thread.sleep(settle * round)
+        if (!store.readString(LockFile).map(_.trim).contains(lockBody))
+          throw new IllegalStateException(
+            s"lost the stale-lock takeover race on $root to " +
+              s"${store.readString(LockFile).getOrElse("?")}")
+      }
     }
     lockHeld = true
     heartbeat = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
@@ -197,7 +224,16 @@ class Btrdb(val spark: SparkSession, val root: String,
         try {
           if (store.readString(LockFile).map(_.trim).contains(lockBody))
             store.rewrite(LockFile, lockBody)
-          else lockHeld = false // evicted while paused: stand down
+          else {
+            // evicted while paused: stand down AND poison the handle —
+            // the new owner may already be writing, so silently
+            // continuing as a writer would put two writers on the root
+            lockHeld = false
+            lockEvicted = true
+            System.err.println(s"[graft] engine root $root: writer lock " +
+              "evicted while this process was paused — another claimant " +
+              "took over; this handle now refuses mutations")
+          }
         } catch { case _: Exception => () } // transient: retry next beat
       },
       lockBeatMillis, lockBeatMillis,
@@ -544,6 +580,7 @@ class Btrdb(val spark: SparkSession, val root: String,
     * between move and cleanup leaves only an orphan directory. */
   private def overwriteCatalog(rows: Array[(String, Long, String,
       Map[String, String], Map[String, String], Long, Boolean)]): Unit = {
+    requireWriterLive()
     val df = spark.createDataFrame(rows.toSeq)
       .toDF("uuid", "sid", "collection", "tags", "annotations",
         "annotationVersion", "tombstoned")
@@ -1539,8 +1576,10 @@ class Btrdb(val spark: SparkSession, val root: String,
 
   /** Write one commit file; the store's atomic publish (rename on HDFS/
     * local, single PUT on object stores) is the visibility point. */
-  private def writeCommitFile(name: String, json: String): Unit =
+  private def writeCommitFile(name: String, json: String): Unit = {
+    requireWriterLive()
     store.writeAtomic(s"commits/$name", json)
+  }
 
   /** Roll loose per-commit files into a CLOSED archive segment when the
     * commit directory holds more than `maxFiles` of them — over an
@@ -2813,8 +2852,10 @@ object Btrdb {
       throw new IllegalArgumentException(
         s"engine root $root predates geometry stamps: its layout " +
           "geometry is unknown, so attach refuses rather than guess — " +
-          "open it once with its explicit constructor args (the " +
-          "locking writer stamps GEOMETRY), then attach freely")
+          "run `AdminCli stamp-geometry <root> <sb> <tb> <pl> <wb> " +
+          "<ql>` with the constructor args the root was built with " +
+          "(or open it once with those explicit args; the locking " +
+          "writer stamps GEOMETRY), then attach freely")
     def field(key: String): Option[String] =
       g.flatMap(_.split("\\s+").collectFirst {
         case t if t.startsWith(s"$key=") => t.drop(key.length + 1) })

@@ -671,6 +671,18 @@ object Multimodal {
 
     /** Entropy-segment bit reader: removes 0xFF00 stuffing, stops at
       * any other marker (the caller consumes restart markers). */
+    /** Consume legal 0xFF fill bytes before a marker id (ITU T.81
+      * B.1.1.2) at a byte-aligned position — the same walk the header
+      * and between-scans marker loops do; without it a conformant file
+      * padding before a restart marker reads the fill byte as the
+      * marker id and rejects. Stops with `pos` on the marker's 0xFF
+      * (the byte BEFORE the id). */
+    private def skipFillBytes(in: BitReader, payload: Array[Byte]): Unit =
+      while (in.pos + 1 < payload.length &&
+          (payload(in.pos) & 0xff) == 0xff &&
+          (payload(in.pos + 1) & 0xff) == 0xff)
+        in.pos += 1
+
     private final class BitReader(data: Array[Byte], var pos: Int) {
       private var acc = 0
       private var nbits = 0
@@ -865,6 +877,7 @@ object Multimodal {
       while (mcu < mcus) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           in.align()
+          skipFillBytes(in, payload)
           require(in.pos + 2 <= payload.length &&
             (payload(in.pos) & 0xff) == 0xff &&
             (payload(in.pos + 1) & 0xff) ==
@@ -1183,6 +1196,7 @@ object Multimodal {
       while (mcu < mcus) {
         if (ri > 0 && mcu > 0 && mcu % ri == 0) {
           in.align()
+          skipFillBytes(in, payload)
           require(in.pos + 2 <= payload.length &&
             (payload(in.pos) & 0xff) == 0xff &&
             (payload(in.pos + 1) & 0xff) ==

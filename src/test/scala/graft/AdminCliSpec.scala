@@ -91,6 +91,81 @@ class AdminCliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("operand"), e.getMessage)
   }
 
+  test("info pages the stream listing: bounded output + cursor continuation") {
+    val root = Files.createTempDirectory("admin-cli-page-").toString
+    val writer = new Btrdb(spark, root)
+    (0 until 7).foreach(k =>
+      writer.createStream(f"pg-uuid-$k%02d", "pg/a", Map("k" -> k.toString)))
+    writer.close()
+
+    // a page-size operand pages the listing exactly as the 10k cap
+    // would on a >10k catalog: the console must never collect a
+    // million-stream root into one JSON line
+    def uuidsOf(json: String): Seq[String] =
+      """"uuid":"(pg-uuid-\d+)"""".r.findAllMatchIn(json)
+        .map(_.group(1)).toSeq
+    def cursorOf(json: String): Option[String] =
+      """"stream_cursor":"([^"]+)"""".r.findFirstMatchIn(json)
+        .map(_.group(1))
+    val p1 = run("info", root, "", "", "3")
+    assert(uuidsOf(p1).size === 3 && cursorOf(p1).isDefined, p1)
+    val p2 = run("info", root, "", cursorOf(p1).get, "3")
+    assert(uuidsOf(p2).size === 3 && cursorOf(p2).isDefined, p2)
+    val p3 = run("info", root, "", cursorOf(p2).get, "3")
+    assert(uuidsOf(p3).size === 1 && cursorOf(p3).isEmpty, p3)
+    // the pages tile the catalog exactly: no overlap, no loss
+    assert((uuidsOf(p1) ++ uuidsOf(p2) ++ uuidsOf(p3)).sorted ===
+      (0 until 7).map(k => f"pg-uuid-$k%02d"))
+    // an un-paged call on a small catalog lists everything, no cursor
+    val all = run("info", root)
+    assert(uuidsOf(all).size === 7 && cursorOf(all).isEmpty, all)
+    // garbage page size dies loudly, not as a silent full collect
+    intercept[IllegalArgumentException](run("info", root, "", "", "zero"))
+  }
+
+  test("stamp-geometry: in-product migration for a pre-stamp root") {
+    val ss = spark; import ss.implicits._
+    val root = Files.createTempDirectory("admin-cli-stamp-").toString
+    val writer = new Btrdb(spark, root, sBuckets = 4, tBucketPw = 44,
+      pyramidLevels = Seq(20, 30))
+    writer.createStream("stamp-uuid", "st/a", Map.empty)
+    val base = 1L << 50
+    writer.insert("stamp-uuid",
+      (0L until 256L).map(i => (base + i * 1000L, i.toDouble))
+        .toDF("time", "value"))
+    writer.flush("stamp-uuid")
+    writer.close()
+    // simulate a root written before geometry stamps existed
+    val st = new graft.storage.Store(root, spark.sessionState.newHadoopConf())
+    st.delete(Btrdb.GeometryFile)
+    val refuse = intercept[IllegalArgumentException](
+      Btrdb.attach(spark, root, lockRoot = false))
+    assert(refuse.getMessage.contains("stamp-geometry"), refuse.getMessage)
+
+    // the operator supplies the constructor args the root was built
+    // with; the locking open stamps, after which attach works
+    val out = run("stamp-geometry", root, "4", "44", "20,30", "54", "-")
+    assert(out.contains(""""stamped":true""") &&
+      out.contains(""""geometry":"sb=4 tb=44 pl=20,30 wb=54 ql=-""""), out)
+    val reader = Btrdb.attach(spark, root, lockRoot = false)
+    assert(reader.rawValues("stamp-uuid", 0, Long.MaxValue / 2).count()
+      === 256L)
+
+    // idempotent on a stamped root with matching args …
+    val again = run("stamp-geometry", root, "4", "44", "20,30", "54", "-")
+    assert(again.contains(""""stamped":false"""), again)
+    // … and a WRONG guess refuses instead of re-stamping: that guess
+    // is exactly the wrong-geometry corruption attach exists to stop
+    val bad = intercept[IllegalArgumentException](
+      run("stamp-geometry", root, "8", "48", "20,30", "54", "-"))
+    assert(bad.getMessage.contains("geometry"), bad.getMessage)
+    assert(st.readString(Btrdb.GeometryFile).map(_.trim)
+      .contains("sb=4 tb=44 pl=20,30 wb=54 ql=-"))
+    // malformed operands die on parse, before any session/lock work
+    intercept[IllegalArgumentException](
+      run("stamp-geometry", root, "x", "44", "20,30", "54", "-"))
+  }
+
   test("store commands: status and compaction over a real dedup root") {
     val ss = spark; import ss.implicits._
     val prefixBands: DataFrame => DataFrame = docs =>

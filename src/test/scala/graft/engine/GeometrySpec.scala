@@ -80,6 +80,32 @@ class GeometrySpec extends AnyFunSuite with BeforeAndAfterAll {
     legacy.close()
   }
 
+  test("an evicted writer's handle is poisoned for mutations") {
+    val root = Files.createTempDirectory("geomevict-").toString
+    val db = new Btrdb(spark, root, lockStaleMillis = 1000L) // 250ms beat
+    db.createStream("evict-uuid", "ev/a", Map.empty)
+    val st = new Store(root, spark.sessionState.newHadoopConf())
+    // simulate eviction: this writer paused past its window and another
+    // claimant took the lock over (replaced body = foreign owner)
+    st.rewrite(Btrdb.LockFile, "usurper-token 1000")
+    // the heartbeat notices within a beat and must POISON the handle:
+    // an evicted-but-running writer silently mutating alongside the new
+    // owner is the two-writer state the lock exists to prevent. Poll
+    // (the beat is a scheduled task; a loaded host may delay it).
+    val deadline = System.currentTimeMillis() + 10000
+    var poisoned: Option[IllegalStateException] = None
+    while (poisoned.isEmpty && System.currentTimeMillis() < deadline) {
+      try { db.obliterate("evict-uuid"); Thread.sleep(100) }
+      catch { case e: IllegalStateException => poisoned = Some(e) }
+    }
+    assert(poisoned.exists(_.getMessage.contains("evicted")),
+      s"handle kept mutating for 10s after eviction: $poisoned")
+    // close() must not delete the new owner's lock
+    db.close()
+    assert(st.readString(Btrdb.LockFile).map(_.trim)
+      .contains("usurper-token 1000"))
+  }
+
   test("lock staleness is judged by the HOLDER's declared window, not the claimant's") {
     val root = Files.createTempDirectory("geomlock-").toString
     val st = new Store(root, spark.sessionState.newHadoopConf())

@@ -357,6 +357,39 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(jpg.length == Multimodal.JpegCodec.HeaderSize + 4 * 256 - 16)
   }
 
+  test("0xFF fill bytes before restart markers decode (T.81 B.1.1.2), " +
+      "baseline and progressive") {
+    // a conformant encoder may pad any marker — restart markers
+    // included — with runs of 0xFF fill bytes; the marker walks in the
+    // header and between scans already consume them, and the restart
+    // resync must too. Insert a fill byte before EVERY RSTn (0xFF
+    // 0xD0..0xD7 appears nowhere else in these containers: entropy
+    // 0xFF would be stuffed 0xFF00, and no header marker is in that
+    // range) and require pixel-identical decodes.
+    def padRestarts(jpg: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < jpg.length) {
+        val b = jpg(i) & 0xff
+        if (b == 0xff && i + 1 < jpg.length &&
+            (jpg(i + 1) & 0xff) >= 0xd0 && (jpg(i + 1) & 0xff) <= 0xd7)
+          out.write(0xff) // fill, then the marker's own 0xFF follows
+        out.write(b)
+        i += 1
+      }
+      out.toByteArray
+    }
+    val grays = Array.tabulate(256)(b => (120 + b % 16).toByte)
+    for (jpg <- Seq(Multimodal.JpegCodec.encode(16, 16, grays),
+        Multimodal.JpegCodec.encodeProgressiveGray(16, 16, grays))) {
+      val padded = padRestarts(jpg)
+      assert(padded.length > jpg.length, "fixture must contain restarts")
+      val (w0, h0, px0) = Multimodal.JpegCodec.decode(jpg)
+      val (w1, h1, px1) = Multimodal.JpegCodec.decode(padded)
+      assert((w1, h1) == (w0, h0) && px1.toSeq == px0.toSeq)
+    }
+  }
+
   test("resizeBmp: nearest-neighbor pixels, floor dims, zero-fill past data") {
     // 4x4 image, pixel (x,y) = 10*y + x
     val px = Array.tabulate(16)(i => (10 * (i / 4) + (i % 4)).toByte)
