@@ -46,6 +46,30 @@ object Multimodal {
                                  checksum: Long, width: Int, height: Int,
                                  feature: Array[Float])
 
+  /** One asset's decode outcome under the QUARANTINING path
+    * ([[decodeAll]]): either the features (ok = true) or a tagged
+    * reject (ok = false, `error_class` ∈ oversize | unknown-kind |
+    * decode-error, `error` the codec's message). Never a silent skip —
+    * every input row is exactly one output row, so
+    * |features| + |rejects| = |corpus| by construction. */
+  final case class AssetDecodeRow(
+      asset_id: Long, kind: String, n_bytes: Long, ok: Boolean,
+      checksum: Option[Long], width: Option[Int], height: Option[Int],
+      feature: Option[Array[Float]],
+      error_class: Option[String], error: Option[String])
+
+  /** A container whose DECLARED geometry exceeds the full decoder's
+    * allocation bounds (refused before any buffer is sized — a hostile
+    * header must not OOM an executor). Distinct from a malformed
+    * container: the asset may be perfectly valid, just too large for a
+    * whole-plane decode — route it to [[JpegCodec.decodeDcScaled]]. */
+  final class OversizeException(msg: String)
+    extends IllegalArgumentException(msg)
+
+  /** No codec is registered for the row's MIME kind. */
+  final class UnknownKindException(msg: String)
+    extends IllegalArgumentException(msg)
+
   val FeatureDim = 8
 
   /** Deterministic payload-byte projection standing in for a learned
@@ -723,7 +747,41 @@ object Multimodal {
       var acSel: Int = 0
     }
 
+    /** Everything the marker walk learns before the first scan's
+      * entropy data: frame geometry, components, tables, restart
+      * cadence, and where the scan starts. */
+    private final class FrameHeader(
+        val width: Int, val height: Int, val comps: Array[Comp],
+        val progressive: Boolean,
+        val quant: scala.collection.mutable.Map[Int, Array[Int]],
+        val dcTables: scala.collection.mutable.Map[Int, HuffTable],
+        val acTables: scala.collection.mutable.Map[Int, HuffTable],
+        val restartInterval: Int, val scanAt: Int)
+
     def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      // the FULL decoder buffers whole pixel planes per row: a hostile
+      // or oversized header must refuse loudly at parse time, not OOM
+      // an executor mid-scan (2^26 px ≈ a 67-Mpixel frame); oversized-
+      // but-valid frames decode at 1/8 scale via [[decodeDcScaled]]
+      val hdr = parseHeader(payload, maxPixels = 1L << 26)
+      val width = hdr.width; val height = hdr.height
+      val comps = hdr.comps
+      val quant = hdr.quant
+      val dcTables = hdr.dcTables; val acTables = hdr.acTables
+      val restartInterval = hdr.restartInterval
+      val scanAt = hdr.scanAt
+      if (hdr.progressive)
+        return decodeProgressive(payload, scanAt, width, height, comps,
+          quant, dcTables, acTables, restartInterval)
+      decodeBaseline(payload, hdr)
+    }
+
+    /** The shared marker walk up to (and including) the first SOS:
+      * refuses frames whose declared pixel count exceeds `maxPixels`
+      * with the `oversize` class (the caller chooses the bound its
+      * buffering can honor). */
+    private def parseHeader(payload: Array[Byte],
+        maxPixels: Long): FrameHeader = {
       require(payload.length >= 4 && (payload(0) & 0xff) == 0xff &&
         (payload(1) & 0xff) == 0xd8,
         s"not a JPEG payload (${payload.length} bytes)")
@@ -775,13 +833,12 @@ object Multimodal {
               (payload(body + 2) & 0xff)
             width = ((payload(body + 3) & 0xff) << 8) |
               (payload(body + 4) & 0xff)
-            // the decoder buffers whole planes per row: a hostile or
-            // oversized header must refuse loudly, not OOM an executor
-            // mid-scan (2^26 px ≈ a 67-Mpixel frame)
-            require(width.toLong * height <= (1L << 26),
-              s"JPEG dims ${width}x$height exceed the in-row decode " +
-                "bound (2^26 pixels) — route oversized assets to a " +
-                "dedicated decoder")
+            if (width.toLong * height > maxPixels)
+              throw new OversizeException(
+                s"JPEG dims ${width}x$height exceed the in-row decode " +
+                  s"bound ($maxPixels pixels) — use " +
+                  "JpegCodec.decodeDcScaled for a bounded-memory " +
+                  "1/8-scale decode")
             val nf = payload(body + 5) & 0xff
             require(nf == 1 || nf == 3,
               s"unsupported component count $nf (grayscale or YCbCr)")
@@ -852,9 +909,19 @@ object Multimodal {
         }
       }
       require(width > 0 && height > 0, "JPEG payload missing SOF")
-      if (progressive)
-        return decodeProgressive(payload, scanAt, width, height, comps,
-          quant, dcTables, acTables, restartInterval)
+      new FrameHeader(width, height, comps, progressive, quant,
+        dcTables, acTables, restartInterval, scanAt)
+    }
+
+    /** Full decode of a baseline (SOF0) frame from its parsed header. */
+    private def decodeBaseline(payload: Array[Byte],
+        hdr: FrameHeader): (Int, Int, Array[Byte]) = {
+      val width = hdr.width; val height = hdr.height
+      val comps = hdr.comps
+      val quant = hdr.quant
+      val dcTables = hdr.dcTables; val acTables = hdr.acTables
+      val restartInterval = hdr.restartInterval
+      val scanAt = hdr.scanAt
       val hmax = comps.map(_.h).max
       val vmax = comps.map(_.v).max
       val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
@@ -928,6 +995,320 @@ object Multimodal {
         mcu += 1
       }
       assemble(width, height, comps, planes, planeW, hmax, vmax)
+    }
+
+    /** 1/8-scale decode reading ONLY the DC coefficients — the
+      * bounded-memory path for frames past [[decode]]'s full-plane
+      * allocation bounds (thumbnail/feature extraction at crawl scale).
+      * One output pixel per 8×8 block; since every AC basis function
+      * has zero mean, the DC-only pixel IS the block's mean (up to the
+      * codec's rounding), so this is a true box-downscale, not an
+      * approximation of one. Memory is proportional to the BLOCK grid
+      * (bytes per block, not 64 ints + pixels): a 2^26-px frame that
+      * the full decoder refuses needs just 2^20 block bytes here.
+      * Baseline scans Huffman-walk the AC coefficients to stay in sync
+      * but store none; progressive AC scans are skipped bytewise (DC
+      * first + refinement scans are decoded exactly, so successive-
+      * approximation frames render their final DC precision).
+      * Output shape matches [[decode]]: (ceil(w/8), ceil(h/8)) with
+      * gray bytes or interleaved RGB; subsampled chroma replicates at
+      * block scale (nearest) — triangle filtering is meaningless at
+      * 1/8 resolution. Still bounded: a frame past 2^24 BLOCKS
+      * (a gigapixel) refuses loudly. */
+    def decodeDcScaled(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      // dims are 16-bit, so width·height ≤ 2^32 always fits the parse
+      // bound here; the DC path's own bound is on blocks below
+      val hdr = parseHeader(payload, maxPixels = Long.MaxValue)
+      val width = hdr.width; val height = hdr.height
+      val comps = hdr.comps
+      val hmax = comps.map(_.h).max
+      val vmax = comps.map(_.v).max
+      val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+      val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+      val bwFull = comps.map(c => mcusX * c.h)
+      val bhFull = comps.map(c => mcusY * c.v)
+      if (comps.indices.map(i => bwFull(i).toLong * bhFull(i)).sum >
+          (1L << 24))
+        throw new OversizeException(
+          s"JPEG dims ${width}x$height exceed even the DC-scaled " +
+            "decode bound (2^24 blocks ≈ a gigapixel frame)")
+      // per-component DC coefficient grid, one int per block
+      val dc = comps.indices.map(i =>
+        new Array[Int](bwFull(i) * bhFull(i))).toArray
+      if (hdr.progressive) {
+        // walk the scans as decodeProgressive does, but decode ONLY
+        // ss == 0 scans (DC first + refinements); AC scans advance by
+        // a byte scan for the next marker — no entropy decode at all
+        var restartInterval = hdr.restartInterval
+        val quant = hdr.quant
+        val dcTables = hdr.dcTables
+        val cbw = comps.map(c => ((width * c.h + hmax - 1) / hmax + 7) / 8)
+        val cbh = comps.map(c => ((height * c.v + vmax - 1) / vmax + 7) / 8)
+        var pos = hdr.scanAt
+        var done = false
+        while (!done) {
+          require(pos + 2 <= payload.length, "truncated JPEG markers")
+          require((payload(pos) & 0xff) == 0xff, s"expected a marker at $pos")
+          while (pos + 1 < payload.length &&
+              (payload(pos + 1) & 0xff) == 0xff)
+            pos += 1
+          require(pos + 2 <= payload.length, "truncated JPEG markers")
+          val marker = payload(pos + 1) & 0xff
+          if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) pos += 2
+          else if (marker == 0xd9) done = true
+          else {
+            require(pos + 4 <= payload.length, "truncated JPEG markers")
+            val len = ((payload(pos + 2) & 0xff) << 8) |
+              (payload(pos + 3) & 0xff)
+            val body = pos + 4
+            marker match {
+              case 0xda =>
+                val ns = payload(body) & 0xff
+                require(ns >= 1 && ns <= comps.length,
+                  s"bad scan component count $ns")
+                val scomps = Array.tabulate(ns) { i =>
+                  val cid = payload(body + 1 + 2 * i) & 0xff
+                  val sel = payload(body + 2 + 2 * i) & 0xff
+                  val ci = comps.indexWhere(_.id == cid)
+                  require(ci >= 0, s"scan names unknown component $cid")
+                  comps(ci).dcSel = sel >> 4
+                  comps(ci).acSel = sel & 0x0f
+                  ci
+                }
+                val ss = payload(body + 1 + 2 * ns) & 0xff
+                val a = payload(body + 3 + 2 * ns) & 0xff
+                pos =
+                  if (ss == 0)
+                    decodeProgDcScan(payload, pos + 2 + len, comps, scomps,
+                      dc, a >> 4, a & 15, restartInterval, dcTables,
+                      mcusX, mcusY, bwFull, cbw, cbh)
+                  else skipEntropy(payload, pos + 2 + len)
+              case 0xc4 => // DHT between scans
+                var p = body
+                while (p < pos + 2 + len) {
+                  val tc = (payload(p) & 0xff) >> 4
+                  val th = payload(p) & 0x0f
+                  val bits = Array.tabulate(16)(i => payload(p + 1 + i) & 0xff)
+                  val n = bits.sum
+                  val vals = Array.tabulate(n)(i => payload(p + 17 + i) & 0xff)
+                  val t = new HuffTable(bits, vals)
+                  if (tc == 0) dcTables(th) = t else hdr.acTables(th) = t
+                  p += 17 + n
+                }
+              case 0xdb => // DQT between scans
+                var p = body
+                while (p < pos + 2 + len) {
+                  val pq = (payload(p) & 0xff) >> 4
+                  val tq = payload(p) & 0x0f
+                  require(pq == 0, "unsupported 16-bit quant table")
+                  quant(tq) = Array.tabulate(64)(i => payload(p + 1 + i) & 0xff)
+                  p += 65
+                }
+              case 0xdd =>
+                restartInterval = ((payload(body) & 0xff) << 8) |
+                  (payload(body + 1) & 0xff)
+              case m if m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
+                throw new IllegalArgumentException(
+                  f"second SOF marker (SOF$m%02x) inside a frame")
+              case _ => ()
+            }
+            if (marker != 0xda) pos += 2 + len
+          }
+        }
+      } else {
+        // baseline: one interleaved scan; decode each block's DC,
+        // Huffman-walk its AC run/size pairs to stay in sync, store none
+        comps.foreach(c => require(hdr.quant.contains(c.tq),
+          "missing quant table"))
+        val dcTs = comps.map(c => hdr.dcTables.getOrElse(c.dcSel,
+          throw new IllegalArgumentException("missing DC Huffman table")))
+        val acTs = comps.map(c => hdr.acTables.getOrElse(c.acSel,
+          throw new IllegalArgumentException("missing AC Huffman table")))
+        val restartInterval = hdr.restartInterval
+        val in = new BitReader(payload, hdr.scanAt)
+        val preds = new Array[Int](comps.length)
+        var mcu = 0
+        val mcus = mcusX * mcusY
+        while (mcu < mcus) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            in.align()
+            skipFillBytes(in, payload)
+            require(in.pos + 2 <= payload.length &&
+              (payload(in.pos) & 0xff) == 0xff &&
+              (payload(in.pos + 1) & 0xff) ==
+                0xd0 + ((mcu / restartInterval - 1) % 8),
+              s"expected restart marker before MCU $mcu")
+            in.pos += 2
+            java.util.Arrays.fill(preds, 0)
+          }
+          var ci = 0
+          while (ci < comps.length) {
+            val c = comps(ci)
+            var bv = 0
+            while (bv < c.v) {
+              var bh = 0
+              while (bh < c.h) {
+                val t = dcTs(ci).decode(in)
+                preds(ci) += extend(in.receive(t), t)
+                dc(ci)(((mcu / mcusX) * c.v + bv) * bwFull(ci) +
+                  (mcu % mcusX) * c.h + bh) = preds(ci)
+                var k = 1
+                var eob = false
+                while (!eob && k <= 63) {
+                  val rs = acTs(ci).decode(in)
+                  if (rs == 0x00) eob = true
+                  else if (rs == 0xf0) k += 16
+                  else {
+                    k += (rs >> 4)
+                    require(k <= 63, "AC run past the block")
+                    in.receive(rs & 15) // discard: DC-only render
+                    k += 1
+                  }
+                }
+                bh += 1
+              }
+              bv += 1
+            }
+            ci += 1
+          }
+          mcu += 1
+        }
+      }
+      // render: one pixel per block — clamp(round(DC·q0/8) + 128),
+      // exactly the full decoder's DC-only IDCT value
+      val w8 = (width + 7) / 8
+      val h8 = (height + 7) / 8
+      val planes = comps.indices.map { i =>
+        val q0 = hdr.quant.getOrElse(comps(i).tq,
+          throw new IllegalArgumentException("missing quant table"))(0)
+        val arr = dc(i)
+        val out = new Array[Byte](arr.length)
+        var b = 0
+        while (b < arr.length) {
+          out(b) = math.max(0, math.min(255,
+            math.round(arr(b) * q0 / 8.0 + 128).toInt)).toByte
+          b += 1
+        }
+        out
+      }
+      if (comps.length == 1) {
+        val out = new Array[Byte](w8 * h8)
+        var y = 0
+        while (y < h8) {
+          System.arraycopy(planes(0), y * bwFull(0), out, y * w8, w8)
+          y += 1
+        }
+        (w8, h8, out)
+      } else {
+        // chroma replicates at block scale: output block (x, y) reads
+        // chroma block (x·ch/hmax, y·cv/vmax)
+        val out = new Array[Byte](3 * w8 * h8)
+        var y = 0
+        while (y < h8) {
+          var x = 0
+          while (x < w8) {
+            val lum = planes(0)(y * bwFull(0) + x) & 0xff
+            val cb = planes(1)((y * comps(1).v / vmax) * bwFull(1) +
+              x * comps(1).h / hmax) & 0xff
+            val cr = planes(2)((y * comps(2).v / vmax) * bwFull(2) +
+              x * comps(2).h / hmax) & 0xff
+            val p = y * w8 + x
+            out(3 * p) = clamp8(lum + CrR(cr))
+            out(3 * p + 1) = clamp8(lum + ((CbG(cb) + CrG(cr)) >> 16))
+            out(3 * p + 2) = clamp8(lum + CbB(cb))
+            x += 1
+          }
+          y += 1
+        }
+        (w8, h8, out)
+      }
+    }
+
+    /** Advance over one scan's entropy data WITHOUT decoding it:
+      * returns the position of the next true marker (stuffed 0xFF00
+      * and restart markers are part of the data and skipped). The
+      * DC-scaled path uses this to hop over progressive AC scans. */
+    private def skipEntropy(payload: Array[Byte], from: Int): Int = {
+      var i = from
+      while (i + 1 < payload.length) {
+        if ((payload(i) & 0xff) == 0xff) {
+          val n = payload(i + 1) & 0xff
+          if (n != 0x00 && !(n >= 0xd0 && n <= 0xd7)) return i
+          i += 2
+        } else i += 1
+      }
+      throw new IllegalArgumentException(
+        "truncated JPEG scan (no trailing marker)")
+    }
+
+    /** One progressive DC scan (first or refinement) into the
+      * one-int-per-block grid — [[decodeProgScan]]'s ss == 0 branch
+      * with block-index addressing. Returns the next marker position. */
+    private def decodeProgDcScan(payload: Array[Byte], dataStart: Int,
+        comps: Array[Comp], scomps: Array[Int], dc: Array[Array[Int]],
+        ah: Int, al: Int, ri: Int,
+        dcTables: scala.collection.mutable.Map[Int, HuffTable],
+        mcusX: Int, mcusY: Int, bwFull: Array[Int],
+        cbw: Array[Int], cbh: Array[Int]): Int = {
+      val interleaved = scomps.length > 1
+      val dcTs = scomps.map(ci =>
+        if (ah == 0)
+          dcTables.getOrElse(comps(ci).dcSel,
+            throw new IllegalArgumentException("missing DC Huffman table"))
+        else null)
+      val in = new BitReader(payload, dataStart)
+      val preds = new Array[Int](scomps.length)
+      val mcus =
+        if (interleaved) mcusX * mcusY
+        else cbw(scomps(0)) * cbh(scomps(0))
+      var mcu = 0
+      while (mcu < mcus) {
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+          in.align()
+          skipFillBytes(in, payload)
+          require(in.pos + 2 <= payload.length &&
+            (payload(in.pos) & 0xff) == 0xff &&
+            (payload(in.pos + 1) & 0xff) == 0xd0 + ((mcu / ri - 1) % 8),
+            s"expected restart marker before MCU $mcu")
+          in.pos += 2
+          java.util.Arrays.fill(preds, 0)
+        }
+        var si = 0
+        while (si < scomps.length) {
+          val ci = scomps(si)
+          val c = comps(ci)
+          if (interleaved) {
+            var bv = 0
+            while (bv < c.v) {
+              var bh = 0
+              while (bh < c.h) {
+                val off = ((mcu / mcusX) * c.v + bv) * bwFull(ci) +
+                  (mcu % mcusX) * c.h + bh
+                dcValue(in, dcTs(si), dc(ci), off, preds, si, ah, al)
+                bh += 1
+              }
+              bv += 1
+            }
+          } else {
+            val off = (mcu / cbw(ci)) * bwFull(ci) + (mcu % cbw(ci))
+            dcValue(in, dcTs(si), dc(ci), off, preds, si, ah, al)
+          }
+          si += 1
+        }
+        mcu += 1
+      }
+      in.align()
+      in.pos
+    }
+
+    /** [[decodeDc]] against a one-int-per-block grid. */
+    private def dcValue(in: BitReader, dcT: HuffTable, dc: Array[Int],
+        off: Int, preds: Array[Int], si: Int, ah: Int, al: Int): Unit = {
+      if (ah == 0) {
+        val t = dcT.decode(in)
+        preds(si) += extend(in.receive(t), t)
+        dc(off) = preds(si) << al
+      } else if (in.bit() == 1) dc(off) |= (1 << al)
     }
 
     /** 2-D IDCT + level shift of one block of DEQUANTIZED natural-order
@@ -1053,11 +1434,12 @@ object Multimodal {
       // (64 ints/block, accumulated across scans) — tighter bound than
       // the pixel planes: 2^24 ints = 64 MB ≈ a 16-Mpixel gray /
       // 10-Mpixel 4:2:0 frame, comfortably past crawl-typical photos
-      require(comps.indices.map(i =>
-          bwFull(i).toLong * bhFull(i) * 64).sum <= (1L << 24),
-        s"progressive frame ${width}x$height exceeds the coefficient-" +
-          "buffer bound (2^24 ints) — route oversized assets to a " +
-          "dedicated decoder")
+      if (comps.indices.map(i =>
+          bwFull(i).toLong * bhFull(i) * 64).sum > (1L << 24))
+        throw new OversizeException(
+          s"progressive frame ${width}x$height exceeds the coefficient-" +
+            "buffer bound (2^24 ints) — use JpegCodec.decodeDcScaled " +
+            "for a bounded-memory 1/8-scale decode")
       val coefs = comps.indices.map(i =>
         new Array[Int](bwFull(i) * bhFull(i) * 64)).toArray
       var restartInterval = dri0
@@ -1552,6 +1934,55 @@ object Multimodal {
       }
   }
 
+  /** Doc-id residues (mod 32) whose containers [[assetsWithEdgeCases]]
+    * TRUNCATES to [[CorruptTruncLen]] bytes — one per kind class
+    * (4 → WAV, 9 → PNG, 18 → baseline-gray JPEG, 27 → BMP), so every
+    * codec's malformed-container path is exercised by any corpus whose
+    * doc_ids cover the residues. */
+  val CorruptResidues: Set[Long] = Set(4L, 9L, 18L, 27L)
+  val CorruptTruncLen = 10
+  /** Residue (mod 32) that becomes [[HostileDimsJpeg]] — a structurally
+    * valid JPEG prefix DECLARING 16384×8192 px (2^27 > the 2^26 full-
+    * decode bound), refused as `oversize` before any allocation. */
+  val OversizeResidue = 26L
+
+  /** A minimal JPEG whose SOF0 declares 16384×8192 (2^27 pixels): the
+    * full decoder must refuse it at header-parse time — BEFORE sizing
+    * any plane buffer — with the `oversize` class. 15 bytes: SOI +
+    * SOF0(len 11: precision 8, dims, 1 component id 1 sampling 1×1
+    * quant 0). Deterministic, so the reject row (kind, n_bytes, class)
+    * is oracle-computable. */
+  val HostileDimsJpeg: Array[Byte] = Array(
+    0xff, 0xd8,             // SOI
+    0xff, 0xc0, 0x00, 0x0b, // SOF0, length 11
+    8,                      // precision
+    0x20, 0x00,             // height 8192
+    0x40, 0x00,             // width 16384
+    1, 1, 0x11, 0           // 1 component: id 1, 1x1, quant table 0
+  ).map(_.toByte)
+
+  /** [[assetsFromDocuments]] plus the crawl-reality edge classes a
+    * quarantine gate must be measured against: a deterministic subset
+    * of containers arrives CORRUPT (truncated mid-header — residues
+    * [[CorruptResidues]] mod 32) or OVERSIZED ([[OversizeResidue]],
+    * declared dims past the full decoder's allocation bound). Keyed on
+    * doc_id residues so every corpus — the driver's sf tables and the
+    * grown SCALE corpora alike — contains them without a separate
+    * fixture; the oracle recomputes the exact reject set from the same
+    * arithmetic. */
+  def assetsWithEdgeCases(docs: DataFrame): Dataset[Asset] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    assetsFromDocuments(docs).map { a =>
+      if (CorruptResidues(a.asset_id % 32))
+        a.copy(payload = java.util.Arrays.copyOf(a.payload,
+          math.min(CorruptTruncLen, a.payload.length)))
+      else if (a.asset_id % 32 == OversizeResidue)
+        a.copy(payload = HostileDimsJpeg)
+      else a
+    }
+  }
+
   /** Batch decode over a mixed-format column: per-partition iterator
     * (one codec-registry init per partition, the mapInPandas batch
     * shape in Scala form), dispatching each row on its MIME kind.
@@ -1570,37 +2001,84 @@ object Multimodal {
     import spark.implicits._
     assets.mapPartitions { it =>
       // (real codecs would initialize native resources here, once)
-      def sum32(bytes: Array[Byte], from: Int, len: Int): Long = {
-        var acc = 0L
-        val lim = math.min(from + math.min(32, len), bytes.length)
-        var i = from
-        while (i < lim) { acc += (bytes(i) & 0xff); i += 1 }
-        acc
-      }
+      it.map(decodeOne)
+    }
+  }
+
+  /** The quarantining decode — the entry point a crawl-scale pipeline
+    * uses. Same per-partition dispatch as [[extractFeatures]], but a
+    * row whose container fails to decode becomes a TAGGED REJECT ROW
+    * (asset_id, kind, error class, codec message) instead of an
+    * exception: at 100 TB one truncated JPEG in a billion-row corpus
+    * must not kill the job through the stage-retry loop (the reference
+    * scopes failures to the request the same way — per-request bte
+    * error codes, /root/reference/quasar.go:83-95, bte/errors.go —
+    * never node death). The rejects are FIRST-CLASS OUTPUT, never a
+    * silent skip: every input row is exactly one output row, so the
+    * corpus count is conserved and the reject tally is auditable.
+    * Error taxonomy: `oversize` (valid-but-too-large declared
+    * geometry — recover via [[JpegCodec.decodeDcScaled]]),
+    * `unknown-kind` (no codec registered), `decode-error` (malformed
+    * or truncated container). Only per-row decode failures are
+    * quarantined — a fatal JVM error (OOM, ICE) still propagates. */
+  def decodeAll(assets: Dataset[Asset]): Dataset[AssetDecodeRow] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
       it.map { a =>
-        a.kind match {
-          case "image/bmp" =>
-            val (w, h, offset) = BmpCodec.decode(a.payload)
-            AssetFeatures(a.asset_id, a.kind, a.payload.length,
-              sum32(a.payload, offset, a.payload.length - offset),
-              w, h, byteFeature(a.payload, offset))
-          case "image/png" =>
-            val (w, h, pixels) = PngCodec.decode(a.payload)
-            AssetFeatures(a.asset_id, a.kind, a.payload.length,
-              sum32(pixels, 0, pixels.length), w, h, byteFeature(pixels, 0))
-          case "image/jpeg" =>
-            val (w, h, pixels) = JpegCodec.decode(a.payload)
-            AssetFeatures(a.asset_id, a.kind, a.payload.length,
-              sum32(pixels, 0, pixels.length), w, h, byteFeature(pixels, 0))
-          case "audio/wav" =>
-            val w = WavCodec.decode(a.payload)
-            AssetFeatures(a.asset_id, a.kind, a.payload.length,
-              sum32(a.payload, w.dataOffset, w.dataLength),
-              w.channels, w.dataLength, byteFeature(a.payload, w.dataOffset))
-          case k =>
-            throw new IllegalArgumentException(s"no codec for kind '$k'")
+        try {
+          val f = decodeOne(a)
+          AssetDecodeRow(f.asset_id, f.kind, f.n_bytes, ok = true,
+            Some(f.checksum), Some(f.width), Some(f.height),
+            Some(f.feature), None, None)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            val cls = e match {
+              case _: OversizeException => "oversize"
+              case _: UnknownKindException => "unknown-kind"
+              case _ => "decode-error"
+            }
+            AssetDecodeRow(a.asset_id, a.kind, a.payload.length,
+              ok = false, None, None, None, None,
+              Some(cls), Some(Option(e.getMessage).getOrElse(e.toString)))
         }
       }
+    }
+  }
+
+  /** One asset through its codec — the strict form: throws on any
+    * malformed container. [[extractFeatures]] uses it directly (a
+    * curated fixture corpus must fail loudly); [[decodeAll]] wraps it
+    * per row into the quarantine contract. */
+  private def decodeOne(a: Asset): AssetFeatures = {
+    def sum32(bytes: Array[Byte], from: Int, len: Int): Long = {
+      var acc = 0L
+      val lim = math.min(from + math.min(32, len), bytes.length)
+      var i = from
+      while (i < lim) { acc += (bytes(i) & 0xff); i += 1 }
+      acc
+    }
+    a.kind match {
+      case "image/bmp" =>
+        val (w, h, offset) = BmpCodec.decode(a.payload)
+        AssetFeatures(a.asset_id, a.kind, a.payload.length,
+          sum32(a.payload, offset, a.payload.length - offset),
+          w, h, byteFeature(a.payload, offset))
+      case "image/png" =>
+        val (w, h, pixels) = PngCodec.decode(a.payload)
+        AssetFeatures(a.asset_id, a.kind, a.payload.length,
+          sum32(pixels, 0, pixels.length), w, h, byteFeature(pixels, 0))
+      case "image/jpeg" =>
+        val (w, h, pixels) = JpegCodec.decode(a.payload)
+        AssetFeatures(a.asset_id, a.kind, a.payload.length,
+          sum32(pixels, 0, pixels.length), w, h, byteFeature(pixels, 0))
+      case "audio/wav" =>
+        val w = WavCodec.decode(a.payload)
+        AssetFeatures(a.asset_id, a.kind, a.payload.length,
+          sum32(a.payload, w.dataOffset, w.dataLength),
+          w.channels, w.dataLength, byteFeature(a.payload, w.dataOffset))
+      case k =>
+        throw new UnknownKindException(s"no codec for kind '$k'")
     }
   }
 

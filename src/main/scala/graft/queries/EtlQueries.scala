@@ -4212,6 +4212,40 @@ object EtlQueries {
          |       LEFT JOIN jcsc ON jcsc.doc_id = d.doc_id
          |ORDER BY asset_id""".stripMargin) { (s, dir) =>
       graft.etl.Multimodal.features(s, dir).drop("feature")
+    },
+
+    // Corrupt-asset QUARANTINE over the mixed-media column: a
+    // deterministic subset of containers arrives broken (truncated to
+    // 10 bytes mid-header — one residue per codec class, doc_id % 32
+    // ∈ {4 WAV, 9 PNG, 18 JPEG, 27 BMP}) or oversized (% 32 = 26: a
+    // 15-byte JPEG declaring 2^27 px, past the full decoder's 2^26
+    // allocation bound). [[graft.etl.Multimodal.decodeAll]] must
+    // SURVIVE the whole corpus — at crawl scale one truncated JPEG
+    // must not kill the job through stage retries — and emit exactly
+    // one tagged reject row per broken container, never a silent
+    // skip. The hash gate proves both directions at once: a codec
+    // that falsely rejects a clean container adds a row; weak
+    // validation that "decodes" a truncated one loses a row.
+    "q_multimodal_rejects" -> QueryDef(
+      s"""SELECT doc_id AS asset_id,
+         |  CASE WHEN doc_id % 4 = 0 THEN 'audio/wav'
+         |       WHEN doc_id % 4 = 1 THEN 'image/png'
+         |       WHEN doc_id % 4 = 2 THEN 'image/jpeg'
+         |       ELSE 'image/bmp' END AS kind,
+         |  CAST(CASE WHEN doc_id % 32 = 26 THEN 15 ELSE 10 END
+         |    AS BIGINT) AS n_bytes,
+         |  CASE WHEN doc_id % 32 = 26 THEN 'oversize'
+         |       ELSE 'decode-error' END AS error_class
+         |FROM documents
+         |WHERE doc_id % 32 IN (4, 9, 18, 26, 27)
+         |ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      graft.etl.Multimodal.decodeAll(
+          graft.etl.Multimodal.assetsWithEdgeCases(docs(s, dir)))
+        .toDF()
+        .filter(!col("ok"))
+        .select(col("asset_id"), col("kind"), col("n_bytes"),
+          col("error_class"))
+        .orderBy("asset_id")
     })
 
   /** The SQ8 oracle — shared VERBATIM by the single-store

@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -357,6 +358,65 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(jpg.length == Multimodal.JpegCodec.HeaderSize + 4 * 256 - 16)
   }
 
+  test("corrupt-asset quarantine: decodeAll survives broken containers " +
+      "with exact reject accounting; the strict path still throws") {
+    val ss = spark
+    import ss.implicits._
+    // one full residue cycle: ids 0..63 cover every codec class twice,
+    // every corrupt residue {4,9,18,27} twice and the oversize residue
+    // (26) twice
+    val docs = (0L until 64L)
+      .map(id => (id, "q" * (20 + id.toInt % 7), "web", (20 + id % 7)))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val rows = Multimodal.decodeAll(Multimodal.assetsWithEdgeCases(docs))
+      .collect().sortBy(_.asset_id)
+    // count conservation: every input row is exactly one output row
+    assert(rows.length === 64)
+    val expectReject = (0L until 64L).filter(id =>
+      Multimodal.CorruptResidues(id % 32) ||
+        id % 32 == Multimodal.OversizeResidue).toSet
+    assert(rows.filterNot(_.ok).map(_.asset_id).toSet === expectReject)
+    // reject tagging: class + bytes are exact, the codec message rides
+    rows.filterNot(_.ok).foreach { r =>
+      if (r.asset_id % 32 == Multimodal.OversizeResidue) {
+        assert(r.error_class === Some("oversize"))
+        assert(r.n_bytes === Multimodal.HostileDimsJpeg.length.toLong)
+        // the refusal routes the operator at the bounded-memory path
+        assert(r.error.exists(_.contains("decodeDcScaled")), r.error)
+      } else {
+        assert(r.error_class === Some("decode-error"))
+        assert(r.n_bytes === Multimodal.CorruptTruncLen.toLong)
+      }
+      assert(r.checksum.isEmpty && r.feature.isEmpty)
+    }
+    // surviving rows decode IDENTICALLY to the strict path on the
+    // clean subset — quarantine must not perturb good containers
+    val strict = Multimodal.extractFeatures(Multimodal.assetsFromDocuments(
+        docs.filter(!col("doc_id").isin(expectReject.toSeq: _*))))
+      .collect().sortBy(_.asset_id)
+    val okRows = rows.filter(_.ok)
+    assert(okRows.map(_.asset_id).toSeq === strict.map(_.asset_id).toSeq)
+    okRows.zip(strict).foreach { case (r, f) =>
+      assert(r.checksum === Some(f.checksum) &&
+        r.width === Some(f.width) && r.height === Some(f.height) &&
+        r.n_bytes === f.n_bytes)
+    }
+    // a clean corpus quarantines NOTHING (no false rejects)
+    assert(Multimodal.decodeAll(Multimodal.assetsFromDocuments(docs))
+      .filter(r => !r.ok).count() === 0L)
+    // an unknown kind is a tagged reject in the quarantine path …
+    val alien = Multimodal.decodeAll(
+      Seq(Multimodal.Asset(1L, "video/av1", Array[Byte](1, 2), "web", 2L))
+        .toDS()).collect()
+    assert(alien.head.error_class === Some("unknown-kind"))
+    // … and still THROWS on the strict path (a curated fixture corpus
+    // must fail loudly, never under-count)
+    val e = intercept[org.apache.spark.SparkException](
+      Multimodal.extractFeatures(Multimodal.assetsWithEdgeCases(docs))
+        .count())
+    assert(e.getMessage != null)
+  }
+
   test("0xFF fill bytes before restart markers decode (T.81 B.1.1.2), " +
       "baseline and progressive") {
     // a conformant encoder may pad any marker — restart markers
@@ -387,6 +447,69 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       val (w0, h0, px0) = Multimodal.JpegCodec.decode(jpg)
       val (w1, h1, px1) = Multimodal.JpegCodec.decode(padded)
       assert((w1, h1) == (w0, h0) && px1.toSeq == px0.toSeq)
+    }
+  }
+
+  test("decodeDcScaled: pixel-exact 1/8-scale decode, and the oversize " +
+      "path routes through it") {
+    // 1. small containers: on flat (DC-only) blocks the 1/8-scale
+    //    pixel IS the block value — exact on every container class
+    val grays = Array.tabulate(12)(b => (120 + (b * 7) % 16).toByte)
+    val gray = Multimodal.JpegCodec.encode(4, 3, grays)
+    val (gw, gh, gpx) = Multimodal.JpegCodec.decodeDcScaled(gray)
+    assert((gw, gh) == (4, 3) && gpx.toSeq === grays.toSeq)
+    val prog = Multimodal.JpegCodec.encodeProgressiveGray(4, 3, grays)
+    val (pw, ph, ppx) = Multimodal.JpegCodec.decodeDcScaled(prog)
+    assert((pw, ph) == (4, 3) && ppx.toSeq === grays.toSeq)
+    // color 4:4:4: scaled RGB triplet == the full decode's block-corner
+    // pixel (blocks are flat, chroma constant)
+    val color = Multimodal.JpegCodec.encodeColor(4, 3, grays, 132, 124)
+    val (_, _, full) = Multimodal.JpegCodec.decode(color)
+    val (cw, chh, cpx) = Multimodal.JpegCodec.decodeDcScaled(color)
+    assert((cw, chh) == (4, 3))
+    for (y <- 0 until 3; x <- 0 until 4; ch <- 0 until 3)
+      assert(cpx(3 * (y * 4 + x) + ch) ==
+        full(3 * ((8 * y) * 32 + 8 * x) + ch))
+
+    // 2. a frame past the full decoder's 2^26-px bound (16384×8192 =
+    //    2^27): decode refuses with the oversize class POINTING AT the
+    //    DC path, and the DC path decodes it pixel-exactly in
+    //    block-proportional memory — baseline and progressive
+    val bigGrays = Array.tabulate(2048 * 1024)(b => (120 + b % 16).toByte)
+    for (big <- Seq(Multimodal.JpegCodec.encode(2048, 1024, bigGrays),
+        Multimodal.JpegCodec.encodeProgressiveGray(2048, 1024, bigGrays))) {
+      val e = intercept[Multimodal.OversizeException](
+        Multimodal.JpegCodec.decode(big))
+      assert(e.getMessage.contains("decodeDcScaled"), e.getMessage)
+      val (bw, bh, bpx) = Multimodal.JpegCodec.decodeDcScaled(big)
+      assert((bw, bh) == (2048, 1024))
+      assert(java.util.Arrays.equals(bpx, bigGrays))
+    }
+
+    // 3. an ImageIO progressive frame (the IJG standard progression:
+    //    DC first at Al=1 + DC REFINEMENT at Ah=1 — the successive-
+    //    approximation path — plus AC scans the DC decode skips
+    //    bytewise): each scaled pixel must equal its block's mean in
+    //    the full decode up to per-pixel rounding (AC bases have zero
+    //    mean, so DC/8 IS the block mean of the reconstruction)
+    val img = new java.awt.image.BufferedImage(64, 48,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 48; x <- 0 until 64) {
+      val v = 40 + (x * 3 + y * 5) % 160
+      img.getRaster.setSample(x, y, 0, v)
+    }
+    val jio = encodeProgressive(img)
+    val (fw, fh, fpx) = Multimodal.JpegCodec.decode(jio)
+    val (sw, sh, spx) = Multimodal.JpegCodec.decodeDcScaled(jio)
+    assert((sw, sh) == (8, 6) && (fw, fh) == (64, 48))
+    for (by <- 0 until 6; bx <- 0 until 8) {
+      var sum = 0.0
+      for (y <- 0 until 8; x <- 0 until 8)
+        sum += (fpx((8 * by + y) * 64 + 8 * bx + x) & 0xff)
+      val mean = sum / 64.0
+      val dcv = spx(by * 8 + bx) & 0xff
+      assert(math.abs(mean - dcv) <= 2.0,
+        s"block ($bx,$by): full-decode mean $mean vs DC-scaled $dcv")
     }
   }
 

@@ -50,19 +50,22 @@ def main(src: str, dst: str, factor: int) -> None:
     )
 
     # Edge docs appended past the grown id range: EMPTY and 1-byte
-    # texts at EIGHT consecutive ids each — the media routing is
+    # texts at THIRTY-TWO consecutive ids each — the media routing is
     # doc_id % 8 (WAV/PNG/gray-JPEG/BMP at % 4, and the JPEG class
-    # splits % 8 into gray vs COLOR), so eight ids per text guarantee
-    # every container variant sees the zero-/one-byte payload — plus
-    # the 64-char grid boundary (w wraps to 1). These exist so the
-    # degenerate-content paths (height clamps, empty checksum regions,
-    # zero-selection winnows) OCCUR in a tested corpus instead of
-    # staying latent.
+    # splits % 8 into gray vs COLOR), and the QUARANTINE edge classes
+    # are doc_id % 32 (Multimodal.assetsWithEdgeCases truncates
+    # residues {4,9,18,27} mid-header and swaps 26 for a hostile-dims
+    # oversize JPEG), so 32 ids per text guarantee every container
+    # variant AND every corrupt/oversized class sees the zero-/one-byte
+    # payload — plus the 64-char grid boundary (w wraps to 1). These
+    # exist so the degenerate-content paths (height clamps, empty
+    # checksum regions, zero-selection winnows, truncated-container
+    # rejects) OCCUR in a tested corpus instead of staying latent.
     edge_texts = ["", "a", "x" * 63, "y" * 64, "z" * 65]
     edge_rows = ", ".join(
         f"({j}, '{t}')"
         for j, t in enumerate(
-            t for t in edge_texts for _ in range(8)
+            t for t in edge_texts for _ in range(32)
         )
     )
     con.execute(
