@@ -263,9 +263,11 @@ object AdminCli {
             else ""
           val geom = db.store.readString(Btrdb.GeometryFile)
             .map(_.trim).getOrElse("")
+          val warns = i.warnings.map(jstr).mkString("[", ",", "]")
           s"""{"op":"info","build":${jstr(i.build)},""" +
             s""""healthy":${i.healthy},"streams":${i.streamCount},""" +
             s""""points":${i.pointCount},"geometry":${jstr(geom)},""" +
+            s""""warnings":$warns,""" +
             s""""collections":$cols,""" +
             s""""stream_list":$streams$nextCursor}"""
         }

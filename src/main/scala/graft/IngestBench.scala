@@ -19,11 +19,18 @@ import graft.engine.Btrdb
   * degenerates to O(total). An operator sizes the knob to cadence
   * (here 2^36 ns ≈ 69 s → ≤ 2^16 level-20 rows per dir); the soak
   * measures both geometries.
+  *
+  * `alarmBytes` (arg 3) overrides the engine's wbucket-degeneracy
+  * alarm threshold (Btrdb.wbucketAlarmBytes) for the run; the JSON's
+  * `wbucket_alarms` line records what the detection saw — at the
+  * degenerate geometry the alarm must fire before cadence visibly
+  * bends.
   */
 object IngestBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
     val wPw = args.lift(1).map(_.toInt).getOrElse(54)
+    args.lift(2).foreach(b => sys.props("graft.wbucket.alarm.bytes") = b)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -93,7 +100,9 @@ object IngestBench {
     val tBackfill = (System.nanoTime() - t4) / 1e9
 
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-    println(f"""{"points":$n,"wbucket_pw":$wPw,"ingest_s":$tIngest%.3f,"ingest_pts_per_s":${(n / tIngest).toLong},"scan_s":$tScan%.3f,"scan_pts_per_s":${(scanned / tScan).toLong},"stat_s":$tStat%.3f,"stat_windows":$wins,"steady_commits":$commits,"steady_commit_s":${tSteady / commits}%.3f,"steady_pts_per_s":${(commits * step / tSteady).toLong},"steady_each_s":${arr(steadyEach)},"backfill_commit_s":${tBackfill / commits}%.3f,"backfill_each_s":${arr(backfillEach)}}""")
+    val warns = db.engineInfo().warnings
+    val warnsJson = warns.map(graft.core.Jsons.str).mkString("[", ",", "]")
+    println(f"""{"points":$n,"wbucket_pw":$wPw,"ingest_s":$tIngest%.3f,"ingest_pts_per_s":${(n / tIngest).toLong},"scan_s":$tScan%.3f,"scan_pts_per_s":${(scanned / tScan).toLong},"stat_s":$tStat%.3f,"stat_windows":$wins,"steady_commits":$commits,"steady_commit_s":${tSteady / commits}%.3f,"steady_pts_per_s":${(commits * step / tSteady).toLong},"steady_each_s":${arr(steadyEach)},"backfill_commit_s":${tBackfill / commits}%.3f,"backfill_each_s":${arr(backfillEach)},"wbucket_alarms":${warns.size},"wbucket_alarm_list":$warnsJson}""")
     spark.stop()
   }
 }

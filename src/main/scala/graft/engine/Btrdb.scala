@@ -105,6 +105,17 @@ class Btrdb(val spark: SparkSession, val root: String,
   // geometry; EVERY later open (read-only included) validates against
   // it before touching data. External tools (console, daemon) open via
   // [[Btrdb.attach]], which reads the stamp instead of guessing.
+  //
+  // Sizing pyramidWBucketPw at root creation: the incremental fold
+  // rewrites whole (pw, sbucket, wbucket) rollup dirs, so keep the
+  // expected finest-level rows per wbucket — 2^(wb − min(pyramidLevels))
+  // × stream duty cycle — at or under ~10⁶, or steady commit cost bends
+  // from O(batch) toward O(total rollup) as the stream grows (the
+  // 1 B-point soak's 1.66 s → 5.2 s, SCALE.md "wbucket geometry"). The
+  // engine detects the degeneracy at fold time and surfaces it via
+  // engineInfo().warnings + stderr (see Btrdb.wbucketAlarmBytes), but
+  // the FIX is this knob, and it is stamped — re-creating the root is
+  // the remediation, which is why it must be sized here, not retrofit.
   private val geometryLine = Btrdb.renderGeometry(
     sBuckets, tBucketPw, pyramidLevels, pyramidWBucketPw, quantileLevel)
   store.readString(GeometryFile).map(_.trim).foreach { g =>
@@ -846,14 +857,52 @@ class Btrdb(val spark: SparkSession, val root: String,
     * unconditionally true and the member list is empty — the analog of a
     * 1-node healthy cluster. `pointCount` totals committed insert
     * generations (deletes are anti-filters, not decrements). */
+  // wbucket-geometry alarms raised at fold time: PERSISTED as one
+  // `_`-prefixed marker file per degenerate rollup dir (Spark's reader
+  // ignores underscore paths, same convention as the watermark marker)
+  // so a console `attach` in another process sees them via
+  // engineInfo(); stderr once per dir per handle. Bounded: one marker
+  // per degenerate partition dir, and a degenerate geometry
+  // concentrates rollup in FEW dirs by definition. A later fold that
+  // finds the dir back under the bound clears its marker.
+  private val wbucketAlarmsSeen =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def alarmMarker(dir: String): String =
+    s"${Btrdb.WBucketAlarmDir}/${dir.stripPrefix("pyramid/")
+      .replace('/', '-')}"
+  private def recordWBucketAlarm(dir: String, bytes: Long): Unit = {
+    store.writeAtomic(alarmMarker(dir), s"$bytes $dir")
+    if (wbucketAlarmsSeen.add(dir))
+      System.err.println(s"[graft] engine root $root: rollup partition " +
+        s"$dir holds $bytes bytes (> ${Btrdb.wbucketAlarmBytes}): " +
+        "pyramidWBucketPw is too wide for this stream's density, so " +
+        "every commit rewrites this whole dir (O(total rollup), not " +
+        "O(batch)) — size the wbucket to cadence at root creation " +
+        "(see Btrdb.wbucketAlarmBytes)")
+  }
+  private def clearWBucketAlarm(dir: String): Unit =
+    if (wbucketAlarmsSeen.remove(dir) || exists(alarmMarker(dir)))
+      store.delete(alarmMarker(dir))
+
   def engineInfo(): EngineInfo = {
     val live = catalog.filter(!col("tombstoned")).count()
     val pts = commits.filter(col("kind") === "insert")
       .agg(coalesce(sum("npoints"), lit(0L))).head().getLong(0)
+    val warns =
+      if (!exists(Btrdb.WBucketAlarmDir)) Nil
+      else store.listNames(Btrdb.WBucketAlarmDir).sorted.map { name =>
+        val body = store.readString(s"${Btrdb.WBucketAlarmDir}/$name")
+          .map(_.trim).getOrElse("?")
+        body.split(" ", 2) match {
+          case Array(b, d) =>
+            s"wbucket-degenerate: $d ${b}B > ${Btrdb.wbucketAlarmBytes}B"
+          case _ => s"wbucket-degenerate: $body"
+        }
+      }
     EngineInfo(majorVersion = 4, minorVersion = 15,
       build = "graft-spark (btrdb-surface 4.15)", healthy = true,
       streamCount = live, pointCount = pts,
-      pools = admission.gauges)
+      pools = admission.gauges, warnings = warns)
   }
 
   /** (major, minor) version of a stream: major = last committed
@@ -2598,6 +2647,23 @@ class Btrdb(val spark: SparkSession, val root: String,
       // the fold path wrote ≥1 fresh row into every level
       sorted.foreach(pyramidPresent(_) = true)
     }
+    // ---- wbucket-geometry degeneracy alarm -----------------------------
+    // Fold cost is proportional to the BYTES in the rewritten partition
+    // dirs, so a dense stream under a too-wide pyramidWBucketPw bends
+    // steady commit cost from O(batch) to O(total rollup) — nothing
+    // about any single fold is WRONG, which is why this surfaces as an
+    // operator alarm (handle state + stderr, once per dir) rather than
+    // an error. Driver-side listing of only the just-written dirs:
+    // metadata-scale, no extra Spark job on the commit path.
+    if (Btrdb.wbucketAlarmBytes > 0) {
+      lazy val alarmsDirExists = exists(Btrdb.WBucketAlarmDir)
+      for (pw <- sorted; wb <- wbuckets) {
+        val dir = s"pyramid/pw=$pw/sbucket=$sb/wbucket=$wb"
+        val bytes = store.dirBytes(dir)
+        if (bytes > Btrdb.wbucketAlarmBytes) recordWBucketAlarm(dir, bytes)
+        else if (alarmsDirExists) clearWBucketAlarm(dir)
+      }
+    }
     release()
     baseFresh.unpersist()
 
@@ -2796,7 +2862,10 @@ final case class CommitRecord(sid: Long, version: Long, kind: String,
 final case class EngineInfo(
     majorVersion: Int, minorVersion: Int, build: String,
     healthy: Boolean, streamCount: Long, pointCount: Long,
-    pools: Map[String, PoolGauge] = Map.empty)
+    pools: Map[String, PoolGauge] = Map.empty,
+    /** Operational alarms (e.g. wbucket-geometry degeneracy) — the
+      * engine still answers correctly, but an operator should act. */
+    warnings: Seq[String] = Nil)
 
 final case class StreamDescInfo(
     uuid: String, sid: Long, collection: String,
@@ -2873,6 +2942,27 @@ object Btrdb {
       lockRoot = lockRoot, lockStaleMillis = lockStaleMillis,
       admission = admission)
   }
+  /** Per-dir byte bound above which a rewritten rollup partition
+    * raises the wbucket-geometry alarm (see maintainPyramidInner).
+    * The incremental fold rewrites whole (pw, sbucket, wbucket) dirs,
+    * so a dir this large makes EVERY commit pay a ≥60× write
+    * amplification over a 131k-point batch — the degeneracy the
+    * 1 B-point soak measured as 1.66 s → 5.2 s steady commits at the
+    * default pw=54 on a 1 MHz stream (SCALE.md "wbucket geometry").
+    * 8 MiB ≈ 10⁶ rollup rows at observed parquet encodings. Override
+    * with -Dgraft.wbucket.alarm.bytes=N (0 disables); the fix is
+    * sizing `pyramidWBucketPw` to stream cadence at root creation:
+    * expected finest-level rows per wbucket = 2^(wb − min(pl)) ×
+    * stream density, keep it ≲ 10⁶. */
+  def wbucketAlarmBytes: Long =
+    sys.props.get("graft.wbucket.alarm.bytes").flatMap(_.toLongOption)
+      .getOrElse(8L << 20)
+
+  /** Persisted wbucket-degeneracy alarm markers (one underscore-
+    * prefixed file per degenerate rollup dir — invisible to the
+    * parquet reader, visible to every attach). */
+  val WBucketAlarmDir = "pyramid/_alarms"
+
   /** Pyramid-watermark enablement marker (see `pyramidCurrent`). */
   val WmEnabledMarker = "pyramid/_wm_enabled"
   /** Heal-range bound: beyond this many crash-unfolded ranges the heal

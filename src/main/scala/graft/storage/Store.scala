@@ -88,6 +88,21 @@ final class Store(rootUri: String, conf: Configuration) {
     }
   }
 
+  /** Total bytes of the files under `part` (recursive) — 0 when the
+    * directory is absent. Driver-side metadata listing; callers use it
+    * on partition dirs they just wrote, which are metadata-scale. */
+  def dirBytes(part: String): Long = {
+    listingOps.incrementAndGet()
+    val p = resolve(part)
+    if (!fs.exists(p)) 0L
+    else {
+      val it = fs.listFiles(p, true)
+      var bytes = 0L
+      while (it.hasNext) bytes += it.next().getLen
+      bytes
+    }
+  }
+
   def deleteRecursive(part: String): Unit = {
     val p = resolve(part)
     if (fs.exists(p)) fs.delete(p, true)

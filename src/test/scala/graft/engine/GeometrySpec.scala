@@ -80,6 +80,42 @@ class GeometrySpec extends AnyFunSuite with BeforeAndAfterAll {
     legacy.close()
   }
 
+  test("wbucket-geometry degeneracy is detected at fold time and surfaced") {
+    val ss = spark; import ss.implicits._
+    val root = Files.createTempDirectory("geomwb-").toString
+    // pw=54 over a dense 1-µs stream: the whole rollup packs into ONE
+    // wbucket dir — the degenerate shape the 1 B soak measured. A tiny
+    // alarm threshold reproduces the detection without soak-scale data.
+    sys.props("graft.wbucket.alarm.bytes") = "512"
+    try {
+      val db = new Btrdb(spark, root, sBuckets = 4,
+        pyramidLevels = Seq(20, 30), pyramidWBucketPw = 54)
+      db.createStream("wb-uuid", "wb/a", Map.empty)
+      db.insert("wb-uuid",
+        (0L until 200000L).map(i => (i * 1000L, i.toDouble))
+          .toDF("time", "value"))
+      db.flush("wb-uuid")
+      val warns = db.engineInfo().warnings
+      assert(warns.nonEmpty, "degenerate wbucket must raise the alarm")
+      assert(warns.exists(w => w.contains("wbucket-degenerate") &&
+        w.contains("pyramid/pw=20")), warns)
+      // the console surfaces it on the info line
+      val info = graft.AdminCli.run(Array("info", root), () => spark)
+      assert(info.contains("wbucket-degenerate"), info)
+      db.close()
+    } finally sys.props -= "graft.wbucket.alarm.bytes"
+
+    // at the DEFAULT threshold the same root raises nothing — the
+    // alarm marks genuine degeneracy, not every healthy fold
+    val db2 = Btrdb.attach(spark, root)
+    db2.insert("wb-uuid",
+      (200000L until 210000L).map(i => (i * 1000L, i.toDouble))
+        .toDF("time", "value"))
+    db2.flush("wb-uuid")
+    assert(db2.engineInfo().warnings.isEmpty)
+    db2.close()
+  }
+
   test("an evicted writer's handle is poisoned for mutations") {
     val root = Files.createTempDirectory("geomevict-").toString
     val db = new Btrdb(spark, root, lockStaleMillis = 1000L) // 250ms beat
