@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Multimodal queries: mixed-container decode, frame sampling,
+  * and the corrupt-asset quarantine.
+  *
+  * One slice of [[EtlQueries.defs]] — the registry, fixtures, memo
+  * machinery and shared helpers all live on [[EtlQueries]]; this trait
+  * only contributes its family's `QueryDef` entries (split per the
+  * round-16 review: one 4.3k-line file hides boundary bugs). */
+private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
+
+  private[queries] lazy val mediaDefs: Map[String, QueryDef] = Map(
+
+    // ---- Multimodal ---------------------------------------------------
+
+    // Audio frame sampling over the mixed-media column: every 2nd
+    // 64-byte PCM frame's unsigned-byte energy, via the REAL RIFF
+    // chunk walk ([[graft.etl.Multimodal.frameEnergies]]). The oracle
+    // recomputes from the source text (the WAV data region IS the
+    // UTF-8 text bytes — ASCII corpus, so ord() = the byte) — the
+    // decode path is proven against an independent byte model.
+    "q_media_frames" -> QueryDef(
+      s"""WITH a AS (
+         |  SELECT doc_id, text, length(text) AS n FROM documents
+         |  WHERE doc_id % 4 = 0),
+         |pos AS (
+         |  SELECT doc_id, (p - 1) // 64 AS frame,
+         |    ord(substr(text, CAST(p AS INTEGER), 1)) AS b
+         |  FROM (SELECT doc_id, text,
+         |          unnest(generate_series(1, n)) AS p FROM a))
+         |SELECT doc_id AS asset_id, CAST(frame AS BIGINT) AS frame,
+         |  CAST(COUNT(*) AS BIGINT) AS n_bytes, CAST(SUM(b) AS BIGINT) AS energy
+         |FROM pos WHERE frame % 2 = 0
+         |GROUP BY doc_id, frame ORDER BY asset_id, frame""".stripMargin) { (s, dir) =>
+      graft.etl.Multimodal.frameEnergies(
+          graft.etl.Multimodal.assetsFromDocuments(docs(s, dir)),
+          frameLen = 64, sampleEvery = 2)
+        .toDF("asset_id", "frame", "n_bytes", "energy")
+        .orderBy("asset_id", "frame")
+    },
+
+    // Mixed FOUR-format decode (WAV / PNG / JPEG / BMP by doc_id % 4;
+    // the JPEG class splits % 16 into BASELINE GRAYSCALE (2),
+    // PROGRESSIVE grayscale (10 — a real SOF2 multi-scan frame: DC
+    // scan + EOB-run AC scan, decoded by accumulating coefficients
+    // across scans) and COLOR 3-component YCbCr 4:4:4 (6, 14)
+    // containers), each a REAL container walk — PNG a real zlib
+    // inflate + the five-filter unfilter pass, JPEG a real entropy
+    // decode (Huffman + restart resync + dequant + IDCT, fixed-point
+    // YCbCr→RGB on the color branch). The oracle recomputes every
+    // field arithmetically from the known layouts:
+    //   n_bytes — WAV 44+n; BMP 54+n; PNG 57 + zlen with
+    //     zlen = 6 + 5·ceil(raw/65535) + raw, raw = h·(w+1) (stored
+    //     deflate blocks are byte-deterministic, which is why the
+    //     encoder writes them — the decoder inflates ANY valid zlib);
+    //     PROGRESSIVE JPEG 185 const + per-block DC cost (1 byte when
+    //     ord%16 in 5..11 — no EOB nibble in a DC scan — else 2) +
+    //     ceil(blocks/31) one-byte EOB-run chunks (the whole AC band
+    //     is zero; Multimodal.JpegCodec.SizeProgConst pins the
+    //     constant);
+    //     JPEG 316 header + per-block byte-aligned DC-only codes
+    //     (restart interval 1): 1 byte for a zero diff (text byte
+    //     % 16 = 8), 2 otherwise, + 2·(blocks−1) restart markers
+    //     + 2 EOI ⟹ 316 + 4·blocks − |{i ≤ n : ord%16 = 8}|;
+    //   checksum — the first 32 bytes of the DECODED content region:
+    //     the document's utf-8 bytes for WAV/PNG/BMP (ASCII corpus, so
+    //     ord() = the byte), and for JPEG the first 32 PIXELS — each
+    //     8×8 block constant at gray 120 + byte%16, so the sum is
+    //     arithmetic over the first four block columns. The oracle
+    //     derives all of it from the source text having never seen a
+    //     container, so a hash match proves each decode path — incl.
+    //     the DCT round-trip — end to end;
+    //   dims — BMP (w, 1+n/64); PNG (w, ceil(n/w)); JPEG pixel dims
+    //     (8w, 8·ceil(n/w)); WAV (1, n).
+    "q_multimodal" -> QueryDef(
+      s"""WITH b AS (
+         |  SELECT doc_id, text, octet_length(encode(text)) AS n
+         |  FROM documents),
+         |d AS (
+         |  -- GREATEST(1, …) mirrors the adapter's height clamp: an
+         |  -- EMPTY document still encodes as a valid 1×1-block image
+         |  -- (ceil(0/w) = 0 is not a legal height)
+         |  SELECT doc_id, text, n, 1 + n % 64 AS w, 1 + n // 64 AS hb,
+         |         GREATEST(1, (n + (1 + n % 64) - 1) // (1 + n % 64))
+         |           AS hp FROM b),
+         |cs AS (
+         |  SELECT doc_id,
+         |    SUM(ord(substr(text, CAST(p AS INTEGER), 1))) AS checksum
+         |  FROM d, generate_series(1, 32) s(p) WHERE p <= n
+         |  GROUP BY doc_id),
+         |j8 AS (
+         |  SELECT doc_id,
+         |    SUM(CASE WHEN ord(substr(text, CAST(p AS INTEGER), 1))
+         |      % 16 = 8 THEN 1 ELSE 0 END) AS cnt8
+         |  FROM (SELECT doc_id, text, unnest(generate_series(1, n)) AS p
+         |        FROM d) t
+         |  GROUP BY doc_id),
+         |jm AS (
+         |  -- COLOR JPEG (doc_id % 8 = 6) byte cost: per-MCU 5 bytes
+         |  -- when the luma diff category is small (ord%16 in 5..11,
+         |  -- |d| <= 3) else 6 — chroma adds a fixed 28 bits/MCU
+         |  SELECT doc_id,
+         |    SUM(CASE WHEN ord(substr(text, CAST(p AS INTEGER), 1))
+         |      % 16 BETWEEN 5 AND 11 THEN 1 ELSE 0 END) AS cntm
+         |  FROM (SELECT doc_id, text, unnest(generate_series(1, n)) AS p
+         |        FROM d) t
+         |  GROUP BY doc_id),
+         |jcs AS (
+         |  SELECT d.doc_id,
+         |    SUM(120 + CASE WHEN 1 + ((p - 1) % (8 * w)) // 8 <= n
+         |      THEN ord(substr(text,
+         |        CAST(1 + ((p - 1) % (8 * w)) // 8 AS INTEGER), 1)) % 16
+         |      ELSE 0 END) AS checksum
+         |  FROM d, generate_series(1, 32) s(p)
+         |  GROUP BY d.doc_id),
+         |jcsc AS (
+         |  -- color checksum: first 32 INTERLEAVED RGB bytes — byte j
+         |  -- is channel (j-1)%3 of pixel 1+(j-1)//3, and the chroma
+         |  -- constants (132, 124) land fixed RGB offsets (-6, +1, +7)
+         |  -- on the block's luma with no clamping in the ±8 domain
+         |  SELECT d.doc_id,
+         |    SUM(120 + CASE WHEN 1 + (((j - 1) // 3) % (8 * w)) // 8 <= n
+         |      THEN ord(substr(text,
+         |        CAST(1 + (((j - 1) // 3) % (8 * w)) // 8 AS INTEGER), 1)) % 16
+         |      ELSE 0 END
+         |      + CASE (j - 1) % 3 WHEN 0 THEN -6 WHEN 1 THEN 1
+         |        ELSE 7 END) AS checksum
+         |  FROM d, generate_series(1, 32) s(j)
+         |  GROUP BY d.doc_id)
+         |SELECT d.doc_id AS asset_id,
+         |  CASE WHEN d.doc_id % 4 = 0 THEN 'audio/wav'
+         |       WHEN d.doc_id % 4 = 1 THEN 'image/png'
+         |       WHEN d.doc_id % 4 = 2 THEN 'image/jpeg'
+         |       ELSE 'image/bmp' END AS kind,
+         |  CAST(CASE WHEN d.doc_id % 4 = 0 THEN 44 + n
+         |       WHEN d.doc_id % 4 = 1 THEN 57 + 6
+         |         + 5 * ((hp * (w + 1) + 65534) // 65535) + hp * (w + 1)
+         |       -- progressive gray: no EOB nibble in a DC scan, so a
+         |       -- block is ONE byte whenever ord%16 in 5..11 (the same
+         |       -- cntm the color branch counts), plus the EOB-run bytes
+         |       WHEN d.doc_id % 16 = 10 THEN 185 + 4 * w * hp
+         |         - COALESCE(jm.cntm, 0) + (w * hp + 30) // 31
+         |       WHEN d.doc_id % 8 = 2 THEN 316 + 4 * w * hp
+         |         - COALESCE(j8.cnt8, 0)
+         |       WHEN d.doc_id % 8 = 6 THEN 326 + 8 * w * hp
+         |         - COALESCE(jm.cntm, 0)
+         |       ELSE 54 + n END AS BIGINT) AS n_bytes,
+         |  -- LEFT joins + COALESCE: an empty doc has no byte rows but
+         |  -- is still a corpus asset (checksum of no content = 0)
+         |  CAST(CASE WHEN d.doc_id % 8 = 2 THEN jcs.checksum
+         |       WHEN d.doc_id % 8 = 6 THEN jcsc.checksum
+         |       ELSE COALESCE(cs.checksum, 0) END AS BIGINT) AS checksum,
+         |  CAST(CASE WHEN d.doc_id % 4 = 0 THEN 1
+         |       WHEN d.doc_id % 4 = 2 THEN 8 * w
+         |       ELSE w END AS INTEGER) AS width,
+         |  CAST(CASE WHEN d.doc_id % 4 = 0 THEN n
+         |       WHEN d.doc_id % 4 = 1 THEN hp
+         |       WHEN d.doc_id % 4 = 2 THEN 8 * hp
+         |       ELSE hb END AS INTEGER) AS height
+         |FROM d LEFT JOIN cs ON cs.doc_id = d.doc_id
+         |       LEFT JOIN j8 ON j8.doc_id = d.doc_id
+         |       LEFT JOIN jm ON jm.doc_id = d.doc_id
+         |       LEFT JOIN jcs ON jcs.doc_id = d.doc_id
+         |       LEFT JOIN jcsc ON jcsc.doc_id = d.doc_id
+         |ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      graft.etl.Multimodal.features(s, dir).drop("feature")
+    },
+
+    // Corrupt-asset QUARANTINE over the mixed-media column: a
+    // deterministic subset of containers arrives broken (truncated to
+    // 10 bytes mid-header — one residue per codec class, doc_id % 32
+    // ∈ {4 WAV, 9 PNG, 18 JPEG, 27 BMP}) or oversized (% 32 = 26: a
+    // 15-byte JPEG declaring 2^27 px, past the full decoder's 2^26
+    // allocation bound). [[graft.etl.Multimodal.decodeAll]] must
+    // SURVIVE the whole corpus — at crawl scale one truncated JPEG
+    // must not kill the job through stage retries — and emit exactly
+    // one tagged reject row per broken container, never a silent
+    // skip. The hash gate proves both directions at once: a codec
+    // that falsely rejects a clean container adds a row; weak
+    // validation that "decodes" a truncated one loses a row.
+    "q_multimodal_rejects" -> QueryDef(
+      s"""SELECT doc_id AS asset_id,
+         |  CASE WHEN doc_id % 4 = 0 THEN 'audio/wav'
+         |       WHEN doc_id % 4 = 1 THEN 'image/png'
+         |       WHEN doc_id % 4 = 2 THEN 'image/jpeg'
+         |       ELSE 'image/bmp' END AS kind,
+         |  CAST(CASE WHEN doc_id % 32 = 26 THEN 15 ELSE 10 END
+         |    AS BIGINT) AS n_bytes,
+         |  CASE WHEN doc_id % 32 = 26 THEN 'oversize'
+         |       ELSE 'decode-error' END AS error_class
+         |FROM documents
+         |WHERE doc_id % 32 IN (4, 9, 18, 26, 27)
+         |ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      graft.etl.Multimodal.decodeAll(
+          graft.etl.Multimodal.assetsWithEdgeCases(docs(s, dir)))
+        .toDF()
+        .filter(!col("ok"))
+        .select(col("asset_id"), col("kind"), col("n_bytes"),
+          col("error_class"))
+        .orderBy("asset_id")
+    }
+  )
+}
