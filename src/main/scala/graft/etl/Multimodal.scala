@@ -1908,7 +1908,14 @@ object Multimodal {
         def gridH = math.max(1, (bytes.length + gridW - 1) / gridW)
         id % 4 match {
           case 0 =>
-            Asset(id, "audio/wav",
+            // one residue of the audio class carries COMPRESSED audio:
+            // real crawls are overwhelmingly compressed, and the FLAC
+            // container exercises a genuinely different decode shape
+            // (bit-level frames, CRCs, MD5 self-check) than RIFF
+            if (id % 32 == FlacResidue)
+              Asset(id, "audio/flac",
+                FlacCodec.encode(8000, bytes), source, nChars)
+            else Asset(id, "audio/wav",
               WavCodec.encode(8000, 1, 8, bytes), source, nChars)
           case 1 =>
             Asset(id, "image/png",
@@ -1941,6 +1948,9 @@ object Multimodal {
     * doc_ids cover the residues. */
   val CorruptResidues: Set[Long] = Set(4L, 9L, 18L, 27L)
   val CorruptTruncLen = 10
+  /** Residue (mod 32) of the audio class that encodes as FLAC instead
+    * of WAV — see [[assetsFromDocuments]]. */
+  val FlacResidue = 20L
   /** Residue (mod 32) that becomes [[HostileDimsJpeg]] — a structurally
     * valid JPEG prefix DECLARING 16384×8192 px (2^27 > the 2^26 full-
     * decode bound), refused as `oversize` before any allocation. */
@@ -2077,6 +2087,18 @@ object Multimodal {
         AssetFeatures(a.asset_id, a.kind, a.payload.length,
           sum32(a.payload, w.dataOffset, w.dataLength),
           w.channels, w.dataLength, byteFeature(a.payload, w.dataOffset))
+      case "audio/flac" =>
+        // the content region is the DECODED sample stream (the codec
+        // verifies it against STREAMINFO's MD5), so the checksum and
+        // feature read decompressed audio, not container bytes — the
+        // same decoded-content contract as PNG/JPEG
+        val f = FlacCodec.decode(a.payload)
+        val sb = new Array[Byte](f.samples.length)
+        var i = 0
+        while (i < sb.length) { sb(i) = f.samples(i).toByte; i += 1 }
+        AssetFeatures(a.asset_id, a.kind, a.payload.length,
+          sum32(sb, 0, sb.length), f.channels, f.totalSamples.toInt,
+          byteFeature(sb, 0))
       case k =>
         throw new UnknownKindException(s"no codec for kind '$k'")
     }
@@ -2161,6 +2183,24 @@ object Multimodal {
               var e = 0L
               var i = from
               while (i < to) { e += (a.payload(i) & 0xff); i += 1 }
+              FrameEnergy(a.asset_id, fi.toLong, (to - from).toLong, e)
+            }
+        case "audio/flac" =>
+          // frame over the DECODED sample stream: lossless decode makes
+          // the energies identical to the same content's WAV form, so
+          // the q_media_frames oracle covers both audio containers with
+          // one byte model
+          val f = FlacCodec.decode(a.payload)
+          val total = f.samples.length
+          val frames = (total + frameLen - 1) / frameLen
+          (0 until frames).iterator
+            .filter(_ % sampleEvery == 0)
+            .map { fi =>
+              val from = fi * frameLen
+              val to = math.min(total, from + frameLen)
+              var e = 0L
+              var i = from
+              while (i < to) { e += (f.samples(i) & 0xff); i += 1 }
               FrameEnergy(a.asset_id, fi.toLong, (to - from).toLong, e)
             }
         case _ => Iterator.empty

@@ -134,11 +134,18 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
          |  FROM d, generate_series(1, 32) s(j)
          |  GROUP BY d.doc_id)
          |SELECT d.doc_id AS asset_id,
-         |  CASE WHEN d.doc_id % 4 = 0 THEN 'audio/wav'
+         |  CASE WHEN d.doc_id % 32 = 20 THEN 'audio/flac'
+         |       WHEN d.doc_id % 4 = 0 THEN 'audio/wav'
          |       WHEN d.doc_id % 4 = 1 THEN 'image/png'
          |       WHEN d.doc_id % 4 = 2 THEN 'image/jpeg'
          |       ELSE 'image/bmp' END AS kind,
-         |  CAST(CASE WHEN d.doc_id % 4 = 0 THEN 44 + n
+         |  -- FLAC (audio residue 20): 42-byte stream head + 11 bytes
+         |  -- per frame (sync/codes/number/blocksize/CRC8 + VERBATIM
+         |  -- subframe header + CRC16) + the samples themselves —
+         |  -- FlacCodec's closed form, ceil(n/4096) frames
+         |  CAST(CASE WHEN d.doc_id % 32 = 20
+         |         THEN 42 + 11 * ((n + 4095) // 4096) + n
+         |       WHEN d.doc_id % 4 = 0 THEN 44 + n
          |       WHEN d.doc_id % 4 = 1 THEN 57 + 6
          |         + 5 * ((hp * (w + 1) + 65534) // 65535) + hp * (w + 1)
          |       -- progressive gray: no EOB nibble in a DC scan, so a

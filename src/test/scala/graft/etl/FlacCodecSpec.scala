@@ -1,0 +1,165 @@
+package graft.etl
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[FlacCodec]]: the deterministic VERBATIM encoder round-trips with
+  * its closed-form size, and the decoder handles the general shapes
+  * (CONSTANT / FIXED + Rice residuals, multi-byte headers, CRC and MD5
+  * refusal) a crawl would present. FLAC's STREAMINFO carries the MD5
+  * of the unencoded samples, so every successful decode here is
+  * self-verified against the spec's own integrity signature — the
+  * referee role ImageIO plays for the JPEG family. */
+class FlacCodecSpec extends AnyFunSuite {
+
+  test("encoder round-trip: samples, closed-form size, STREAMINFO, MD5") {
+    val data = "flac verbatim fixture content, ascii only".getBytes("UTF-8")
+    val flac = FlacCodec.encode(8000, data)
+    assert(flac.length ==
+      FlacCodec.HeaderSize + FlacCodec.FrameOverhead + data.length)
+    val f = FlacCodec.decode(flac)
+    assert(f.sampleRate == 8000 && f.channels == 1 && f.bps == 8)
+    assert(f.totalSamples == data.length)
+    assert(f.samples.toSeq == data.map(_.toInt).toSeq)
+
+    // multi-frame: 10000 samples span ceil(10000/4096) = 3 frames
+    val big = Array.tabulate(10000)(i => (32 + i % 90).toByte)
+    val bigFlac = FlacCodec.encode(8000, big)
+    assert(bigFlac.length ==
+      FlacCodec.HeaderSize + 3 * FlacCodec.FrameOverhead + big.length)
+    val bf = FlacCodec.decode(bigFlac)
+    assert(bf.samples.toSeq == big.map(_.toInt).toSeq)
+
+    // empty stream: header only, zero frames
+    val empty = FlacCodec.encode(8000, Array.emptyByteArray)
+    assert(empty.length == FlacCodec.HeaderSize)
+    assert(FlacCodec.decode(empty).totalSamples == 0L)
+
+    // non-ASCII input refuses (a byte >= 128 would flip sign silently)
+    intercept[IllegalArgumentException](
+      FlacCodec.encode(8000, Array[Byte](-1)))
+  }
+
+  test("corruption fails loudly at the right layer: CRC-8, CRC-16, MD5") {
+    val data = "integrity check content".getBytes("UTF-8")
+    val flac = FlacCodec.encode(8000, data)
+    // frame header byte (the blocksize field) → CRC-8
+    val h = flac.clone()
+    h(FlacCodec.HeaderSize + 5) = (h(FlacCodec.HeaderSize + 5) ^ 1).toByte
+    val e8 = intercept[IllegalArgumentException](FlacCodec.decode(h))
+    assert(e8.getMessage.contains("CRC-8"), e8.getMessage)
+    // sample byte → CRC-16 (caught before the MD5 layer)
+    val b = flac.clone()
+    b(FlacCodec.HeaderSize + 9 + 3) = (b(FlacCodec.HeaderSize + 9 + 3) ^ 1).toByte
+    val e16 = intercept[IllegalArgumentException](FlacCodec.decode(b))
+    assert(e16.getMessage.contains("CRC-16"), e16.getMessage)
+    // MD5 signature byte → the decode itself succeeds frame-wise but
+    // the stream-level integrity referee refuses
+    val m = flac.clone()
+    m(8 + 18) = (m(8 + 18) ^ 1).toByte
+    val em = intercept[IllegalArgumentException](FlacCodec.decode(m))
+    assert(em.getMessage.contains("MD5"), em.getMessage)
+    // an all-zero signature means "not computed" and skips the check
+    val z = flac.clone()
+    java.util.Arrays.fill(z, 8 + 18, 8 + 34, 0.toByte)
+    assert(FlacCodec.decode(z).samples.toSeq == data.map(_.toInt).toSeq)
+    // truncation dies loudly
+    intercept[IllegalArgumentException](
+      FlacCodec.decode(java.util.Arrays.copyOf(flac, flac.length - 4)))
+    intercept[IllegalArgumentException](
+      FlacCodec.decode("not flac at all".getBytes("UTF-8")))
+  }
+
+  /** Bit-level writer for hand-built frames (test-side only). */
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var n = 0
+    def put(v: Int, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1)
+        n += 1
+        if (n == 8) { out.write(acc); acc = 0; n = 0 }
+        i -= 1
+      }
+    }
+    def align(): Unit = while (n != 0) put(0, 1)
+    def bytes: Array[Byte] = { align(); out.toByteArray }
+  }
+
+  /** Build a one-frame mono 8-bit stream whose subframe the caller
+    * writes; STREAMINFO md5 covers `samples` so the decode is
+    * self-verified. */
+  private def handStream(samples: Array[Int])(
+      writeSubframe: BitWriter => Unit): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    out.write(0x80); out.write(0); out.write(0); out.write(34)
+    val si = new Array[Byte](34)
+    si(0) = 0x10; si(1) = 0; si(2) = 0x10; si(3) = 0 // min/max bs 4096
+    val packed = (8000L << 44) | (7L << 36) | samples.length.toLong
+    (0 until 8).foreach(b => si(10 + b) = (packed >> (56 - 8 * b)).toByte)
+    val raw = samples.map(_.toByte)
+    System.arraycopy(
+      java.security.MessageDigest.getInstance("MD5").digest(raw), 0, si, 18, 16)
+    out.write(si)
+    val hdr = new java.io.ByteArrayOutputStream()
+    hdr.write(0xff); hdr.write(0xf8); hdr.write(0x70); hdr.write(0x02)
+    hdr.write(0) // frame 0
+    hdr.write((samples.length - 1) >> 8); hdr.write((samples.length - 1) & 0xff)
+    val hb = hdr.toByteArray
+    hdr.write(FlacCodec.crc8(hb, 0, hb.length))
+    val frame = new java.io.ByteArrayOutputStream()
+    frame.write(hdr.toByteArray)
+    val bw = new BitWriter
+    writeSubframe(bw)
+    frame.write(bw.bytes)
+    val fb = frame.toByteArray
+    val c16 = FlacCodec.crc16(fb, 0, fb.length)
+    out.write(fb)
+    out.write(c16 >> 8); out.write(c16 & 0xff)
+    out.toByteArray
+  }
+
+  test("general decode: CONSTANT and FIXED+Rice subframes, hand-built, " +
+      "MD5-refereed") {
+    // CONSTANT: 64 samples all 77
+    val const = Array.fill(64)(77)
+    val cs = handStream(const) { bw =>
+      bw.put(0, 1); bw.put(0, 6); bw.put(0, 1) // subframe: CONSTANT
+      bw.put(77, 8)
+    }
+    assert(FlacCodec.decode(cs).samples.toSeq == const.toSeq)
+
+    // FIXED order 2 over a quadratic-ish ramp: residuals are small and
+    // Rice-code with param 2; one partition (order 0)
+    val n = 32
+    val samples = Array.tabulate(n)(i => 10 + i + (i * i) % 3)
+    val cooked = samples.clone()
+    // residual r(i) = s(i) - 2 s(i-1) + s(i-2)
+    val resid = (2 until n).map(i =>
+      cooked(i) - 2 * cooked(i - 1) + cooked(i - 2))
+    val fs = handStream(samples) { bw =>
+      bw.put(0, 1); bw.put(10, 6); bw.put(0, 1) // FIXED order 2
+      bw.put(samples(0), 8); bw.put(samples(1), 8) // warmup
+      bw.put(0, 2)  // residual method: 4-bit Rice
+      bw.put(0, 4)  // partition order 0
+      bw.put(2, 4)  // rice param 2
+      resid.foreach { r =>
+        val u = (r << 1) ^ (r >> 31) // zigzag
+        val q = u >>> 2
+        var i = 0
+        while (i < q) { bw.put(0, 1); i += 1 }
+        bw.put(1, 1)
+        bw.put(u & 3, 2)
+      }
+    }
+    assert(FlacCodec.decode(fs).samples.toSeq == samples.toSeq)
+
+    // unsupported shapes refuse loudly, not misdecode: LPC subframe
+    val lpc = handStream(const) { bw =>
+      bw.put(0, 1); bw.put(32, 6); bw.put(0, 1); bw.put(0, 8) }
+    val e = intercept[IllegalArgumentException](FlacCodec.decode(lpc))
+    assert(e.getMessage.contains("LPC"), e.getMessage)
+  }
+}
