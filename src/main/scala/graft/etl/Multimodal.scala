@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * dispatches on the row's MIME kind over a codec registry — the
   * mapInPandas shape where one partition iterator serves every format.
   *
-  * Four real codecs are registered:
+  * Five real codecs are registered:
   *   - [[BmpCodec]]: BITMAPFILEHEADER + BITMAPINFOHEADER, little-endian,
   *     8 bpp — a genuine binary header parser (magic check, LE field
   *     extraction), not a stub;
@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
   *     shapes) — marker segments, canonical Huffman entropy decode,
   *     byte-stuffing, restart resync, dequant + zigzag + full 2-D
   *     IDCT, triangle chroma upsampling, libjpeg fixed-point
-  *     YCbCr→RGB.
+  *     YCbCr→RGB;
+  *   - [[FlacCodec]] (its own file): bit-level compressed-lossless
+  *     audio — Rice-coded FIXED subframes, CRC-8/CRC-16, and the
+  *     STREAMINFO MD5 self-check of the decoded samples.
   *
   * The only simplified piece is the feature extractor, which projects
   * payload bytes instead of running a learned embedding model (none
@@ -2146,7 +2149,22 @@ object Multimodal {
     import spark.implicits._
     assets.mapPartitions(_.map { a =>
       if (a.kind == "image/bmp") a.copy(payload = resizeBmp(a.payload, f))
-      else a
+      else if (a.kind == "image/jpeg" && f % 8 == 0) {
+        // Thumbnail through the DC grid: 1/8 scale without ever
+        // materializing the full pixel planes (works on frames the
+        // full decoder refuses as oversized), then nearest-neighbor
+        // the remaining factor; the output is a real BMP — the
+        // registry's raster interchange format. Gray frames only:
+        // a color DC thumbnail would need an RGB raster format this
+        // registry doesn't carry, so color JPEGs pass through, as do
+        // factors that don't land on the 8-pixel block grid.
+        val (w, h, px) = JpegCodec.decodeDcScaled(a.payload)
+        if (px.length == w * h) {
+          val bmp = BmpCodec.encode(w, h, px)
+          a.copy(kind = "image/bmp",
+            payload = if (f == 8) bmp else resizeBmp(bmp, f / 8))
+        } else a
+      } else a
     })
   }
 

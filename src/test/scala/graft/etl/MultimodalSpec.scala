@@ -536,16 +536,36 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ss = spark
     import ss.implicits._
     val docs = Seq(
+      (2L, "b" * 100, "web", 100L),           // doc_id % 4 == 2 → gray JPEG
       (3L, "x" * 100, "web", 100L),           // doc_id % 4 == 3 → BMP: w=37, h=2
       (4L, "ab" * 80, "web", 160L))           // doc_id % 4 == 0 → WAV: 160 bytes
       .toDF("doc_id", "text", "source", "n_chars")
     val assets = Multimodal.assetsFromDocuments(docs)
     val resized = Multimodal.resizeAssets(assets, 2)
       .collect().sortBy(_.asset_id)
-    val (rw, rh, _) = Multimodal.BmpCodec.decode(resized(0).payload)
+    val (rw, rh, _) = Multimodal.BmpCodec.decode(resized(1).payload)
     assert((rw, rh) == (18, 1), "37x2 halves to 18x1")
-    assert(resized(1).payload.toSeq == assets.collect()
+    assert(resized(2).payload.toSeq == assets.collect()
       .find(_.asset_id == 4L).get.payload.toSeq, "audio passes through")
+    assert(resized(0).kind == "image/jpeg" && resized(0).payload.toSeq ==
+      assets.collect().find(_.asset_id == 2L).get.payload.toSeq,
+      "factor 2 is off the 8-px block grid: JPEG passes through")
+    // factor 8: the JPEG thumbnails through the DC grid into a REAL
+    // BMP — one pixel per block, exact on DC-only containers
+    val thumb = Multimodal.resizeAssets(assets, 8)
+      .collect().sortBy(_.asset_id).head
+    assert(thumb.kind == "image/bmp")
+    val (tw, th, toff) = Multimodal.BmpCodec.decode(thumb.payload)
+    val (jw, jh) = (1 + 100 % 64, (100 + 36) / 37) // 37x3 blocks
+    assert((tw, th) == (jw, jh), s"got ${(tw, th)}")
+    val expected = Multimodal.JpegCodec.decodeDcScaled(
+      assets.collect().find(_.asset_id == 2L).get.payload)._3
+    assert(thumb.payload.slice(toff, toff + tw * th).toSeq == expected.toSeq)
+    // factor 16: DC grid then nearest-neighbor halving
+    val t16 = Multimodal.resizeAssets(assets, 16)
+      .collect().sortBy(_.asset_id).head
+    val (sw, sh, _) = Multimodal.BmpCodec.decode(t16.payload)
+    assert((sw, sh) == (jw / 2, 1), s"got ${(sw, sh)}")
     // frames of 64 over 160 bytes: [64, 64, 32]; every 2nd -> frames 0, 2
     val fe = Multimodal.frameEnergies(assets, 64, 2)
       .collect().sortBy(f => (f.asset_id, f.frame))
