@@ -7,17 +7,18 @@ package graft.etl
   * (RFC 9639 / xiph.org); reference behavior analog: opaque payloads
   * with per-request validation, never node death.
   *
-  * DECODER (general within its declared scope): "fLaC" magic, metadata
-  * block walk (STREAMINFO parsed, others skipped), per-frame bit-level
-  * decode — 14-bit sync, blocking strategy, blocksize/sample-rate
-  * codes (incl. end-of-header 8/16-bit forms), channel assignments
-  * 0–7 (independent channels; stereo decorrelation modes refuse
-  * loudly), sample sizes 8/12/16/20/24, UTF-8-coded frame number,
-  * CRC-8 header check, subframes CONSTANT / VERBATIM / FIXED orders
-  * 0–4 (Rice-coded residual, 4- and 5-bit parameter methods, escape
-  * partitions, partition orders), wasted-bits unpacking, CRC-16 frame
-  * check — then an MD5 check of the DECODED samples against
-  * STREAMINFO's signature. That final check is the built-in referee:
+  * DECODER (general): "fLaC" magic, metadata block walk (STREAMINFO
+  * parsed, others skipped), per-frame bit-level decode — 14-bit sync,
+  * blocking strategy, blocksize/sample-rate codes (incl. end-of-header
+  * 8/16-bit forms), channel assignments 0–10 (independent channels AND
+  * left-side / right-side / mid-side stereo decorrelation with the
+  * side channel's extra sample bit), sample sizes 8/12/16/20/24,
+  * UTF-8-coded frame number, CRC-8 header check, subframes CONSTANT /
+  * VERBATIM / FIXED orders 0–4 / LPC orders 1–32 (quantized
+  * coefficients, 64-bit prediction accumulator; Rice-coded residual
+  * with 4- and 5-bit parameter methods, escape partitions, partition
+  * orders), wasted-bits unpacking, CRC-16 frame check — then an MD5
+  * check of the DECODED samples against STREAMINFO's signature. That final check is the built-in referee:
   * any conformant file carries the MD5 of its unencoded audio, so a
   * successful decode is self-verifying end to end without an external
   * decoder in the container.
@@ -258,11 +259,12 @@ object FlacCodec {
         case 15 => throw new IllegalArgumentException("invalid sample-rate code")
         case _ => 0 // from table/STREAMINFO; value not needed to decode
       }
-      require(chCode <= 7,
-        s"stereo-decorrelation channel assignment $chCode not supported " +
-          "(independent channels only)")
-      require(chCode + 1 == channels,
-        s"frame channel count ${chCode + 1} != STREAMINFO $channels")
+      // channel assignment: 0–7 independent (count = code + 1);
+      // 8/9/10 = left-side / right-side / mid-side stereo decorrelation
+      require(chCode <= 10, s"reserved channel assignment $chCode")
+      val frameChannels = if (chCode <= 7) chCode + 1 else 2
+      require(frameChannels == channels,
+        s"frame channel count $frameChannels != STREAMINFO $channels")
       val frameBps = ssCode match {
         case 0 => bps
         case 1 => 8
@@ -282,14 +284,21 @@ object FlacCodec {
       val n = math.min(blockSize.toLong, totalSamples - got).toInt
       require(n == blockSize || got + blockSize >= totalSamples,
         "short block before the final frame")
-      // subframes, one per channel
+      // subframes, one per channel; under stereo decorrelation the
+      // SIDE channel (ch 1 for left/mid-side, ch 0 for right-side)
+      // carries one extra bit of sample depth (spec 9.2.2)
+      val chans = new Array[Array[Int]](channels)
       var ch = 0
       while (ch < channels) {
+        val sideBit =
+          if ((chCode == 8 || chCode == 10) && ch == 1) 1
+          else if (chCode == 9 && ch == 0) 1
+          else 0
         require(in.bit() == 0, "subframe header pad bit set")
         val typ = in.bits(6)
         val wastedFlag = in.bit()
         val wasted = if (wastedFlag == 1) in.unary() + 1 else 0
-        val effBps = bps - wasted
+        val effBps = bps + sideBit - wasted
         val samples = new Array[Int](blockSize)
         typ match {
           case 0 => // CONSTANT
@@ -304,8 +313,33 @@ object FlacCodec {
             while (i < order) { samples(i) = in.signedBits(effBps); i += 1 }
             decodeResidual(in, samples, order, blockSize)
             restoreFixed(samples, order, blockSize)
-          case t if t >= 32 => throw new IllegalArgumentException(
-            "LPC subframes not supported by this decoder")
+          case t if t >= 32 => // LPC, order 1..32
+            val order = t - 31
+            var i = 0
+            while (i < order) { samples(i) = in.signedBits(effBps); i += 1 }
+            val precM1 = in.bits(4)
+            require(precM1 != 15, "invalid LPC coefficient precision")
+            val prec = precM1 + 1
+            val shift = in.signedBits(5)
+            require(shift >= 0, "negative LPC shift is reserved")
+            val coefs = new Array[Int](order)
+            i = 0
+            while (i < order) { coefs(i) = in.signedBits(prec); i += 1 }
+            decodeResidual(in, samples, order, blockSize)
+            // s(i) = (Σ_j c(j)·s(i-1-j)) >> shift, + residual — the
+            // accumulator is 64-bit (24-bit samples × 15-bit coefs ×
+            // order 32 overflows 32 bits)
+            i = order
+            while (i < blockSize) {
+              var acc = 0L
+              var j = 0
+              while (j < order) {
+                acc += coefs(j).toLong * samples(i - 1 - j)
+                j += 1
+              }
+              samples(i) += (acc >> shift).toInt
+              i += 1
+            }
           case t => throw new IllegalArgumentException(
             s"reserved subframe type $t")
         }
@@ -313,9 +347,37 @@ object FlacCodec {
           var i = 0
           while (i < blockSize) { samples(i) <<= wasted; i += 1 }
         }
+        chans(ch) = samples
+        ch += 1
+      }
+      // undo stereo decorrelation (spec 4.2: side = left − right;
+      // mid drops side's low bit, restored from side's parity)
+      chCode match {
+        case 8 => // left/side → right = left − side
+          var i = 0
+          while (i < blockSize) {
+            chans(1)(i) = chans(0)(i) - chans(1)(i); i += 1 }
+        case 9 => // side/right → left = right + side
+          var i = 0
+          while (i < blockSize) {
+            val side = chans(0)(i)
+            chans(0)(i) = chans(1)(i) + side; i += 1 }
+        case 10 => // mid/side
+          var i = 0
+          while (i < blockSize) {
+            val side = chans(1)(i)
+            val mid2 = (chans(0)(i) << 1) | (side & 1)
+            chans(0)(i) = (mid2 + side) >> 1
+            chans(1)(i) = (mid2 - side) >> 1
+            i += 1
+          }
+        case _ => ()
+      }
+      ch = 0
+      while (ch < channels) {
         var i = 0
         while (i < n) {
-          out((got.toInt + i) * channels + ch) = samples(i)
+          out((got.toInt + i) * channels + ch) = chans(ch)(i)
           i += 1
         }
         ch += 1

@@ -87,26 +87,34 @@ class FlacCodecSpec extends AnyFunSuite {
     def bytes: Array[Byte] = { align(); out.toByteArray }
   }
 
-  /** Build a one-frame mono 8-bit stream whose subframe the caller
-    * writes; STREAMINFO md5 covers `samples` so the decode is
-    * self-verified. */
-  private def handStream(samples: Array[Int])(
+  /** Build a one-frame 8-bit stream whose subframe bits the caller
+    * writes; `samples` is the CHANNEL-INTERLEAVED expected output, and
+    * STREAMINFO's md5 covers it, so every decode here is self-verified
+    * by the spec's own integrity signature. `chCode` is the frame's
+    * channel-assignment nibble (0 mono, 1 independent stereo, 8/9/10
+    * decorrelated stereo). */
+  private def handStream(samples: Array[Int], chCode: Int = 0,
+      channels: Int = 1)(
       writeSubframe: BitWriter => Unit): Array[Byte] = {
+    require(samples.length % channels == 0)
+    val total = samples.length / channels
     val out = new java.io.ByteArrayOutputStream()
     out.write("fLaC".getBytes("US-ASCII"))
     out.write(0x80); out.write(0); out.write(0); out.write(34)
     val si = new Array[Byte](34)
     si(0) = 0x10; si(1) = 0; si(2) = 0x10; si(3) = 0 // min/max bs 4096
-    val packed = (8000L << 44) | (7L << 36) | samples.length.toLong
+    val packed = (8000L << 44) | ((channels - 1).toLong << 41) |
+      (7L << 36) | total.toLong
     (0 until 8).foreach(b => si(10 + b) = (packed >> (56 - 8 * b)).toByte)
     val raw = samples.map(_.toByte)
     System.arraycopy(
       java.security.MessageDigest.getInstance("MD5").digest(raw), 0, si, 18, 16)
     out.write(si)
     val hdr = new java.io.ByteArrayOutputStream()
-    hdr.write(0xff); hdr.write(0xf8); hdr.write(0x70); hdr.write(0x02)
+    hdr.write(0xff); hdr.write(0xf8); hdr.write(0x70)
+    hdr.write((chCode << 4) | 0x02) // sample size 0b001 (8), reserved 0
     hdr.write(0) // frame 0
-    hdr.write((samples.length - 1) >> 8); hdr.write((samples.length - 1) & 0xff)
+    hdr.write((total - 1) >> 8); hdr.write((total - 1) & 0xff)
     val hb = hdr.toByteArray
     hdr.write(FlacCodec.crc8(hb, 0, hb.length))
     val frame = new java.io.ByteArrayOutputStream()
@@ -156,10 +164,83 @@ class FlacCodecSpec extends AnyFunSuite {
     }
     assert(FlacCodec.decode(fs).samples.toSeq == samples.toSeq)
 
-    // unsupported shapes refuse loudly, not misdecode: LPC subframe
-    val lpc = handStream(const) { bw =>
-      bw.put(0, 1); bw.put(32, 6); bw.put(0, 1); bw.put(0, 8) }
-    val e = intercept[IllegalArgumentException](FlacCodec.decode(lpc))
-    assert(e.getMessage.contains("LPC"), e.getMessage)
+    // reserved subframe types refuse loudly, not misdecode
+    val bad = handStream(const) { bw =>
+      bw.put(0, 1); bw.put(2, 6); bw.put(0, 1); bw.put(0, 8) }
+    val e = intercept[IllegalArgumentException](FlacCodec.decode(bad))
+    assert(e.getMessage.contains("reserved subframe"), e.getMessage)
+  }
+
+  test("LPC subframes: quantized-coefficient prediction under the MD5 " +
+      "referee") {
+    // order-1 LPC with c0 = 2, shift = 1: prediction = s(i-1) exactly,
+    // so residuals are first differences — decoded against the stream's
+    // own MD5 signature
+    val n = 24
+    val samples = Array.tabulate(n)(i => 15 + 3 * i - (i % 5))
+    val resid = (1 until n).map(i => samples(i) - samples(i - 1))
+    val ls = handStream(samples) { bw =>
+      bw.put(0, 1); bw.put(32, 6); bw.put(0, 1) // LPC order 1 (0b100000)
+      bw.put(samples(0), 8)                     // warmup
+      bw.put(3, 4)                              // coefficient precision 4
+      bw.put(1, 5)                              // shift 1
+      bw.put(2, 4)                              // c0 = 2
+      bw.put(0, 2); bw.put(0, 4); bw.put(3, 4)  // rice4, porder 0, param 3
+      resid.foreach { r =>
+        val u = (r << 1) ^ (r >> 31)
+        var i = 0
+        while (i < (u >>> 3)) { bw.put(0, 1); i += 1 }
+        bw.put(1, 1)
+        bw.put(u & 7, 3)
+      }
+    }
+    assert(FlacCodec.decode(ls).samples.toSeq == samples.toSeq)
+    // negative shift is reserved — refuse
+    val neg = handStream(samples) { bw =>
+      bw.put(0, 1); bw.put(32, 6); bw.put(0, 1)
+      bw.put(samples(0), 8); bw.put(3, 4); bw.put(0x1f, 5) // shift = -1
+      bw.put(2, 4); bw.put(0, 2); bw.put(0, 4); bw.put(3, 4)
+    }
+    val e = intercept[IllegalArgumentException](FlacCodec.decode(neg))
+    assert(e.getMessage.contains("shift"), e.getMessage)
+  }
+
+  test("stereo decorrelation: left-side, right-side, mid-side (incl. " +
+      "the side channel's extra bit and mid's parity restore)") {
+    val m = 16
+    val left = Array.tabulate(m)(i => 40 + 2 * i)
+    // make left − right odd somewhere so mid-side exercises the
+    // parity-restore path (mid drops the sum's low bit)
+    val right = Array.tabulate(m)(i => 25 + i)
+    val inter = Array.tabulate(2 * m)(i =>
+      if (i % 2 == 0) left(i / 2) else right(i / 2))
+    def verbatim(bw: BitWriter, xs: Array[Int], bits: Int): Unit = {
+      bw.put(0, 1); bw.put(1, 6); bw.put(0, 1) // VERBATIM
+      xs.foreach(v => bw.put(v & ((1 << bits) - 1), bits))
+    }
+    // left-side (chCode 8): ch1 = side = left − right, 9 bits
+    val lsStream = handStream(inter, chCode = 8, channels = 2) { bw =>
+      verbatim(bw, left, 8)
+      verbatim(bw, left.zip(right).map { case (l, r) => l - r }, 9)
+    }
+    assert(FlacCodec.decode(lsStream).samples.toSeq == inter.toSeq)
+    // right-side (chCode 9): ch0 = side (9 bits), ch1 = right
+    val rsStream = handStream(inter, chCode = 9, channels = 2) { bw =>
+      verbatim(bw, left.zip(right).map { case (l, r) => l - r }, 9)
+      verbatim(bw, right, 8)
+    }
+    assert(FlacCodec.decode(rsStream).samples.toSeq == inter.toSeq)
+    // mid-side (chCode 10): ch0 = (l+r)>>1 (8 bits), ch1 = side (9)
+    val msStream = handStream(inter, chCode = 10, channels = 2) { bw =>
+      verbatim(bw, left.zip(right).map { case (l, r) => (l + r) >> 1 }, 8)
+      verbatim(bw, left.zip(right).map { case (l, r) => l - r }, 9)
+    }
+    assert(FlacCodec.decode(msStream).samples.toSeq == inter.toSeq)
+    // independent stereo (chCode 1) still round-trips
+    val indStream = handStream(inter, chCode = 1, channels = 2) { bw =>
+      verbatim(bw, left, 8)
+      verbatim(bw, right, 8)
+    }
+    assert(FlacCodec.decode(indStream).samples.toSeq == inter.toSeq)
   }
 }
