@@ -2725,6 +2725,19 @@ class Btrdb(val spark: SparkSession, val root: String,
         for (wb <- wbuckets if !qPresent(wb))
           deleteDir(s"qhist/sbucket=$sb/wbucket=$wb")
       }
+      // the qhist table shares the wbucket geometry and the whole-dir
+      // rewrite shape, so it degenerates exactly like the stat rollup
+      // (worse, even: histogram rows scale with value cardinality) —
+      // same alarm, same markers
+      if (Btrdb.wbucketAlarmBytes > 0) {
+        lazy val alarmsDirExists = exists(Btrdb.WBucketAlarmDir)
+        for (wb <- wbuckets) {
+          val dir = s"qhist/sbucket=$sb/wbucket=$wb"
+          val bytes = store.dirBytes(dir)
+          if (bytes > Btrdb.wbucketAlarmBytes) recordWBucketAlarm(dir, bytes)
+          else if (alarmsDirExists) clearWBucketAlarm(dir)
+        }
+      }
       synchronized { qhistPresentMemo = Some(true) }
       qRelease()
     }

@@ -89,7 +89,8 @@ class GeometrySpec extends AnyFunSuite with BeforeAndAfterAll {
     sys.props("graft.wbucket.alarm.bytes") = "512"
     try {
       val db = new Btrdb(spark, root, sBuckets = 4,
-        pyramidLevels = Seq(20, 30), pyramidWBucketPw = 54)
+        pyramidLevels = Seq(20, 30), pyramidWBucketPw = 54,
+        quantileLevel = Some(20))
       db.createStream("wb-uuid", "wb/a", Map.empty)
       db.insert("wb-uuid",
         (0L until 200000L).map(i => (i * 1000L, i.toDouble))
@@ -99,6 +100,8 @@ class GeometrySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(warns.nonEmpty, "degenerate wbucket must raise the alarm")
       assert(warns.exists(w => w.contains("wbucket-degenerate") &&
         w.contains("pyramid/pw=20")), warns)
+      // the quantile-histogram table shares the geometry and alarms too
+      assert(warns.exists(_.contains("qhist/sbucket=")), warns)
       // the console surfaces it on the info line
       val info = graft.AdminCli.run(Array("info", root), () => spark)
       assert(info.contains("wbucket-degenerate"), info)

@@ -171,6 +171,65 @@ class FlacCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reserved subframe"), e.getMessage)
   }
 
+  test("metadata walk skips foreign blocks; 16-bit samples round-trip " +
+      "with a multi-byte MD5") {
+    // splice PADDING (type 1) + a VORBIS_COMMENT-shaped block (type 4)
+    // between STREAMINFO and the frames: the walk must skip both and
+    // still find the audio
+    val data = "metadata walk fixture".getBytes("UTF-8")
+    val flac = FlacCodec.encode(8000, data)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(flac, 0, 8)
+    out.write(flac, 8, 34)
+    val spliced = out.toByteArray
+    spliced(4) = 0x00 // STREAMINFO no longer the last metadata block
+    out.reset()
+    out.write(spliced)
+    out.write(0x01); out.write(0); out.write(0); out.write(4) // PADDING
+    out.write(Array[Byte](0, 0, 0, 0))
+    out.write(0x84); out.write(0); out.write(0); out.write(3) // last: type 4
+    out.write("abc".getBytes("US-ASCII"))
+    out.write(flac, 42, flac.length - 42)
+    val f = FlacCodec.decode(out.toByteArray)
+    assert(f.samples.toSeq == data.map(_.toInt).toSeq)
+
+    // 16-bit mono VERBATIM frame, hand-built: samples beyond the 8-bit
+    // domain (incl. negatives), MD5 over little-endian 2-byte samples
+    val s16 = Array(1000, -2000, 31000, -32000, 0, 517, -1, 12345,
+      -12345, 255, -256, 99, 7, -7, 2, -2)
+    val bld = new java.io.ByteArrayOutputStream()
+    bld.write("fLaC".getBytes("US-ASCII"))
+    bld.write(0x80); bld.write(0); bld.write(0); bld.write(34)
+    val si = new Array[Byte](34)
+    si(0) = 0x10; si(2) = 0x10
+    val packed = (8000L << 44) | (15L << 36) | s16.length.toLong
+    (0 until 8).foreach(b => si(10 + b) = (packed >> (56 - 8 * b)).toByte)
+    val raw = new Array[Byte](2 * s16.length)
+    s16.indices.foreach { i =>
+      raw(2 * i) = s16(i).toByte; raw(2 * i + 1) = (s16(i) >> 8).toByte }
+    System.arraycopy(
+      java.security.MessageDigest.getInstance("MD5").digest(raw), 0, si, 18, 16)
+    bld.write(si)
+    val hdr = new java.io.ByteArrayOutputStream()
+    hdr.write(0xff); hdr.write(0xf8); hdr.write(0x70)
+    hdr.write(0x08) // mono, sample-size code 0b100 (16 bits)
+    hdr.write(0)
+    hdr.write((s16.length - 1) >> 8); hdr.write((s16.length - 1) & 0xff)
+    val hb = hdr.toByteArray
+    hdr.write(FlacCodec.crc8(hb, 0, hb.length))
+    val frame = new java.io.ByteArrayOutputStream()
+    frame.write(hdr.toByteArray)
+    val bw = new BitWriter
+    bw.put(0, 1); bw.put(1, 6); bw.put(0, 1) // VERBATIM
+    s16.foreach(v => bw.put(v & 0xffff, 16))
+    frame.write(bw.bytes)
+    val fb = frame.toByteArray
+    val c16 = FlacCodec.crc16(fb, 0, fb.length)
+    bld.write(fb); bld.write(c16 >> 8); bld.write(c16 & 0xff)
+    val f16 = FlacCodec.decode(bld.toByteArray)
+    assert(f16.bps == 16 && f16.samples.toSeq == s16.toSeq)
+  }
+
   test("LPC subframes: quantized-coefficient prediction under the MD5 " +
       "referee") {
     // order-1 LPC with c0 = 2, shift = 1: prediction = s(i-1) exactly,
