@@ -264,6 +264,76 @@ class FlacCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("shift"), e.getMessage)
   }
 
+  test("randomized FIXED/Rice fuzz: random orders, partition orders, " +
+      "parameter methods and escapes, every trial MD5-refereed") {
+    val seed = System.nanoTime()
+    info(s"fuzz seed: $seed")
+    val rnd = new scala.util.Random(seed)
+    def bitLen(v: Int): Int = 32 - Integer.numberOfLeadingZeros(v)
+    (1 to 30).foreach { trial =>
+      // smooth-ish 8-bit signal so FIXED predictors leave small
+      // residuals (the realistic shape; VERBATIM covers the rest)
+      val total = 16 + rnd.nextInt(6) * 16 // multiple of 16 → clean porders
+      val samples = new Array[Int](total)
+      var v = rnd.nextInt(100) - 50
+      samples.indices.foreach { i =>
+        v = math.max(-120, math.min(120, v + rnd.nextInt(9) - 4))
+        samples(i) = v
+      }
+      val order = rnd.nextInt(5)
+      val coefs = Seq(Seq(), Seq(1), Seq(2, -1), Seq(3, -3, 1),
+        Seq(4, -6, 4, -1))(order)
+      val resid = (order until total).map(i =>
+        samples(i) - coefs.zipWithIndex.map { case (c, j) =>
+          c * samples(i - 1 - j) }.sum).toArray
+      // partition order: random p with 2^p | total and first partition
+      // still holding ≥ 0 residuals after the warmup
+      val pMax = Integer.numberOfTrailingZeros(total)
+      val pOrder = (0 to math.min(pMax, 3)).filter(p =>
+        (total >> p) > order)(rnd.nextInt(
+          (0 to math.min(pMax, 3)).count(p => (total >> p) > order)))
+      val parts = 1 << pOrder
+      val method = rnd.nextInt(2) // 4- or 5-bit rice parameters
+      val pbits = if (method == 0) 4 else 5
+      val escapeCode = (1 << pbits) - 1
+      val stream = handStream(samples) { bw =>
+        bw.put(0, 1); bw.put(8 + order, 6); bw.put(0, 1) // FIXED
+        (0 until order).foreach(i => bw.put(samples(i) & 0xff, 8))
+        bw.put(method, 2)
+        bw.put(pOrder, 4)
+        var idx = 0
+        (0 until parts).foreach { p =>
+          val count = (total >> pOrder) - (if (p == 0) order else 0)
+          val rs = resid.slice(idx, idx + count)
+          idx += count
+          if (rnd.nextInt(5) == 0) {
+            // escape partition: residuals raw as signed `raw`-bit ints
+            val raw = math.max(1, rs.map(r =>
+              bitLen(math.abs(r)) + 1).foldLeft(1)(math.max))
+            bw.put(escapeCode, pbits)
+            bw.put(raw, 5)
+            rs.foreach(r => bw.put(r & ((1 << raw) - 1), raw))
+          } else {
+            val maxU = rs.map(r => (r << 1) ^ (r >> 31)).foldLeft(0)(math.max)
+            val k = math.min(math.max(0, bitLen(maxU) - 4), escapeCode - 1)
+            bw.put(k, pbits)
+            rs.foreach { r =>
+              val u = (r << 1) ^ (r >> 31)
+              var q = u >>> k
+              while (q > 0) { bw.put(0, 1); q -= 1 }
+              bw.put(1, 1)
+              if (k > 0) bw.put(u & ((1 << k) - 1), k)
+            }
+          }
+        }
+      }
+      val got = FlacCodec.decode(stream).samples.toSeq
+      assert(got == samples.toSeq,
+        s"trial $trial (seed $seed, order $order, porder $pOrder, " +
+          s"method $method) diverged")
+    }
+  }
+
   test("stereo decorrelation: left-side, right-side, mid-side (incl. " +
       "the side channel's extra bit and mid's parity restore)") {
     val m = 16
