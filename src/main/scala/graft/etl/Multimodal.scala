@@ -2168,6 +2168,35 @@ object Multimodal {
     })
   }
 
+  /** One DC-grid thumbnail's metadata: 1/8-scale dims + the checksum
+    * of its first 32 thumbnail bytes (gray pixels, or interleaved RGB
+    * for color frames). */
+  final case class ThumbInfo(asset_id: Long, width: Int, height: Int,
+                             checksum: Long)
+
+  /** Thumbnail every JPEG through [[JpegCodec.decodeDcScaled]] — the
+    * block-grid decode that never materializes full pixel planes — and
+    * report dims + a decoded-content checksum. Non-JPEG kinds
+    * contribute nothing (thumbnailing rasters is [[resizeAssets]]'s
+    * job; audio has no thumbnail). Narrow, no shuffle; this is the
+    * oracle surface for the DC path: on the fixture containers every
+    * output field is closed-form from the source text. */
+  def dcThumbnails(assets: Dataset[Asset]): Dataset[ThumbInfo] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      if (a.kind != "image/jpeg") Iterator.empty
+      else {
+        val (w, h, px) = JpegCodec.decodeDcScaled(a.payload)
+        var acc = 0L
+        var i = 0
+        val lim = math.min(32, px.length)
+        while (i < lim) { acc += (px(i) & 0xff); i += 1 }
+        Iterator.single(ThumbInfo(a.asset_id, w, h, acc))
+      }
+    })
+  }
+
   /** One sampled audio frame: byte count + unsigned-byte energy sum. */
   final case class FrameEnergy(asset_id: Long, frame: Long, n: Long,
                                energy: Long)

@@ -179,6 +179,56 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
       graft.etl.Multimodal.features(s, dir).drop("feature")
     },
 
+    // DC-grid THUMBNAILS: every JPEG-class container (baseline gray,
+    // progressive, color YCbCr) through decodeDcScaled — one pixel per
+    // 8×8 block, no full pixel planes. The oracle recomputes dims and
+    // the first-32-byte checksum arithmetically: at 1/8 scale pixel p
+    // IS block p, whose value is 120 + ord(text[p]) % 16 (pad blocks
+    // 120); color thumbs interleave RGB with the fixed chroma offsets
+    // (−6, +1, +7). This is the ORACLE gate for the bounded-memory
+    // oversize path — the same decode the specs prove pixel-exact on
+    // 2^27-px frames.
+    "q_media_thumbs" -> QueryDef(
+      s"""WITH b AS (
+         |  SELECT doc_id, text, octet_length(encode(text)) AS n
+         |  FROM documents WHERE doc_id % 4 = 2),
+         |d AS (
+         |  SELECT doc_id, text, n, 1 + n % 64 AS w,
+         |    GREATEST(1, (n + (1 + n % 64) - 1) // (1 + n % 64)) AS hp
+         |  FROM b),
+         |g AS (
+         |  SELECT d.doc_id,
+         |    SUM(120 + CASE WHEN p <= n
+         |      THEN ord(substr(text, CAST(p AS INTEGER), 1)) % 16
+         |      ELSE 0 END) AS checksum
+         |  FROM d, generate_series(1, 32) s(p)
+         |  WHERE d.doc_id % 8 != 6 AND p <= w * hp
+         |  GROUP BY d.doc_id),
+         |c AS (
+         |  SELECT d.doc_id,
+         |    SUM(120 + CASE WHEN 1 + (j - 1) // 3 <= n
+         |      THEN ord(substr(text,
+         |        CAST(1 + (j - 1) // 3 AS INTEGER), 1)) % 16
+         |      ELSE 0 END
+         |      + CASE (j - 1) % 3 WHEN 0 THEN -6 WHEN 1 THEN 1
+         |        ELSE 7 END) AS checksum
+         |  FROM d, generate_series(1, 32) s(j)
+         |  WHERE d.doc_id % 8 = 6 AND j <= 3 * w * hp
+         |  GROUP BY d.doc_id)
+         |SELECT d.doc_id AS asset_id, CAST(w AS INTEGER) AS width,
+         |  CAST(hp AS INTEGER) AS height,
+         |  CAST(COALESCE(g.checksum, c.checksum) AS BIGINT) AS checksum
+         |FROM d LEFT JOIN g ON g.doc_id = d.doc_id
+         |       LEFT JOIN c ON c.doc_id = d.doc_id
+         |ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      graft.etl.Multimodal.dcThumbnails(
+          graft.etl.Multimodal.assetsFromDocuments(docs(s, dir)))
+        .toDF()
+        .select(col("asset_id"), col("width"), col("height"),
+          col("checksum"))
+        .orderBy("asset_id")
+    },
+
     // Corrupt-asset QUARANTINE over the mixed-media column: a
     // deterministic subset of containers arrives broken (truncated to
     // 10 bytes mid-header — one residue per codec class, doc_id % 32
