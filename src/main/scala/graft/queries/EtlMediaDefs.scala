@@ -179,6 +179,53 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
       graft.etl.Multimodal.features(s, dir).drop("feature")
     },
 
+    // FORMAT-INVARIANT media dedup: the same audio content shipped as
+    // WAV by one crawl and FLAC by another is ONE asset, and no
+    // byte-level dedup can see that — the canonical key must be the
+    // DECODED sample stream. Every audio container decodes to PCM
+    // (RIFF data walk / full FLAC frame decode) and groups by the
+    // MD5 of that stream; the group row CARRIES the digest. The
+    // oracle computes md5(text) — decoded PCM == the UTF-8 text bytes
+    // for both lossless codecs — so the hash gate pins EVERY DECODED
+    // BYTE of every audio asset (q_multimodal's checksum covers only
+    // the first 32) across both container formats in one grouping.
+    // Singleton groups are kept deliberately: the fixture corpus has
+    // no exact-duplicate texts at small SFs, and an output filtered
+    // to dup groups would hash-match while verifying nothing.
+    "q_media_dup" -> QueryDef(
+      s"""SELECT md5(text) AS digest, MIN(doc_id) AS rep_asset,
+         |  CAST(COUNT(*) AS BIGINT) AS n_assets,
+         |  CAST(COUNT(DISTINCT doc_id % 32 = 20) AS BIGINT) AS n_formats
+         |FROM documents WHERE doc_id % 4 = 0
+         |GROUP BY text
+         |ORDER BY rep_asset""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      graft.etl.Multimodal.assetsFromDocuments(docs(s, dir))
+        .filter((a: graft.etl.Multimodal.Asset) =>
+          a.kind == "audio/wav" || a.kind == "audio/flac")
+        .map { a =>
+          val pcm = a.kind match {
+            case "audio/wav" =>
+              val w = graft.etl.Multimodal.WavCodec.decode(a.payload)
+              java.util.Arrays.copyOfRange(a.payload, w.dataOffset,
+                w.dataOffset + w.dataLength)
+            case _ =>
+              graft.etl.FlacCodec.decode(a.payload).samples.map(_.toByte)
+          }
+          (a.asset_id,
+            String.format("%032x", new java.math.BigInteger(1,
+              java.security.MessageDigest.getInstance("MD5").digest(pcm))),
+            if (a.kind == "audio/flac") 1 else 0)
+        }
+        .toDF("asset_id", "digest", "is_flac")
+        .groupBy("digest")
+        .agg(min("asset_id").as("rep_asset"),
+          count(lit(1)).as("n_assets"),
+          countDistinct("is_flac").as("n_formats"))
+        .select("digest", "rep_asset", "n_assets", "n_formats")
+        .orderBy("rep_asset")
+    },
+
     // DC-grid THUMBNAILS: every JPEG-class container (baseline gray,
     // progressive, color YCbCr) through decodeDcScaled — one pixel per
     // 8×8 block, no full pixel planes. The oracle recomputes dims and
