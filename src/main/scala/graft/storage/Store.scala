@@ -184,7 +184,13 @@ final class Store(rootUri: String, conf: Configuration) {
 
   /** Create-no-overwrite: true iff this call created the file (the
     * advisory-lock primitive). On rename-atomic stores this is exact;
-    * on object stores it is best-effort (see SCALE.md). */
+    * on object stores it is best-effort (see SCALE.md). The stale-lock
+    * TAKEOVER built on it (delete + create, Btrdb's lock block) is
+    * additionally exposed to delayed visibility and coarse mtime
+    * resolution on such stores — the claimant settles and re-verifies
+    * twice, scaled to the staleness window, but on an eventually-
+    * consistent store prefer deleting a crash-leftover lock by hand
+    * over racing another automatic claimant. */
   def writeExclusive(part: String, content: String): Boolean =
     try { writeAtomic(part, content, overwrite = false); true }
     catch {
