@@ -242,11 +242,19 @@ object Multimodal {
         chunk("IDAT", zlibStored(raw)) ++ chunk("IEND", Array.emptyByteArray)
     }
 
-    /** Decode a gray8 PNG: signature check, chunk walk with CRC
+    /** Decode an 8-bit-depth PNG of ANY color type — grayscale (0),
+      * RGB (2), palette (3, mapped through PLTE to interleaved RGB),
+      * gray+alpha (4), RGBA (6): signature check, chunk walk with CRC
       * verification, IDAT concatenation, REAL zlib inflate, and the
-      * full five-filter unfilter pass. Returns (width, height,
-      * pixels row-major). Throws on anything malformed — decode
-      * failures must surface, not pass through as zeros. */
+      * five-filter unfilter pass at the color type's bytes-per-pixel
+      * (the `left` reference is `bpp` bytes back — what makes the
+      * same five filters correct for every channel count). Returns
+      * (width, height, pixels row-major, channel-interleaved — 1, 2,
+      * 3 or 4 bytes per pixel by color type; palette output is 3).
+      * Adam7 interlace and 16-bit depth refuse loudly; a tRNS palette
+      * alpha is not materialized (ancillary). Throws on anything
+      * malformed — decode failures must surface, not pass through as
+      * zeros. */
     def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
       require(payload.length >= Signature.length + 12 &&
         payload.take(8).sameElements(Signature),
@@ -254,6 +262,8 @@ object Multimodal {
       val buf = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
       var pos = 8
       var width = -1; var height = -1
+      var colorType = -1
+      var plte = Array.emptyByteArray
       var idat = Array.emptyByteArray
       var done = false
       while (!done && pos + 12 <= payload.length) {
@@ -271,20 +281,39 @@ object Multimodal {
             require(len == 13, s"IHDR must be 13 bytes, got $len")
             width = buf.getInt(pos + 8)
             height = buf.getInt(pos + 12)
-            require(buf.get(pos + 16) == 8 && buf.get(pos + 17) == 0,
-              "unsupported PNG (8-bit grayscale only)")
-            require(buf.get(pos + 18) == 0 && buf.get(pos + 20) == 0,
-              "unsupported PNG compression/interlace")
+            require(buf.get(pos + 16) == 8,
+              "unsupported PNG bit depth (8 only)")
+            colorType = buf.get(pos + 17) & 0xff
+            require(Set(0, 2, 3, 4, 6).contains(colorType),
+              s"reserved PNG color type $colorType")
+            require(buf.get(pos + 18) == 0 && buf.get(pos + 19) == 0,
+              "unsupported PNG compression/filter method")
+            require(buf.get(pos + 20) == 0,
+              "Adam7-interlaced PNG not supported")
+            require(width.toLong * height <= (1L << 26),
+              s"PNG dims ${width}x$height exceed the in-row decode " +
+                "bound (2^26 pixels)")
+          case "PLTE" =>
+            require(len % 3 == 0 && len <= 3 * 256, s"bad PLTE length $len")
+            plte = java.util.Arrays.copyOfRange(payload, pos + 8, pos + 8 + len)
           case "IDAT" => idat = idat ++
             java.util.Arrays.copyOfRange(payload, pos + 8, pos + 8 + len)
           case "IEND" => done = true
-          case _ => () // ancillary chunks (tEXt, pHYs, ...) skip
+          case _ => () // ancillary chunks (tEXt, pHYs, tRNS, ...) skip
         }
         pos += 12 + len
       }
       require(width > 0 && height > 0 && idat.nonEmpty,
         "PNG payload missing IHDR/IDAT")
-      val raw = new Array[Byte](height * (1 + width))
+      // bytes per pixel in the CODED stream (palette codes indices)
+      val bpp = colorType match {
+        case 0 | 3 => 1
+        case 2 => 3
+        case 4 => 2
+        case 6 => 4
+      }
+      val stride = width * bpp
+      val raw = new Array[Byte](height * (1 + stride))
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat)
       var got = 0
@@ -296,16 +325,16 @@ object Multimodal {
       inf.end()
       require(got == raw.length,
         s"PNG scanline data truncated: $got of ${raw.length} bytes")
-      val out = new Array[Byte](width * height)
+      val out = new Array[Byte](stride * height)
       var y = 0
       while (y < height) {
-        val ft = raw(y * (1 + width)) & 0xff
-        var x = 0
-        while (x < width) {
-          val f = raw(y * (1 + width) + 1 + x) & 0xff
-          val left = if (x > 0) out(y * width + x - 1) & 0xff else 0
-          val up = if (y > 0) out((y - 1) * width + x) & 0xff else 0
-          val ul = if (x > 0 && y > 0) out((y - 1) * width + x - 1) & 0xff
+        val ft = raw(y * (1 + stride)) & 0xff
+        var i = 0
+        while (i < stride) {
+          val f = raw(y * (1 + stride) + 1 + i) & 0xff
+          val left = if (i >= bpp) out(y * stride + i - bpp) & 0xff else 0
+          val up = if (y > 0) out((y - 1) * stride + i) & 0xff else 0
+          val ul = if (y > 0 && i >= bpp) out((y - 1) * stride + i - bpp) & 0xff
             else 0
           val v = ft match {
             case 0 => f
@@ -316,12 +345,28 @@ object Multimodal {
             case other =>
               throw new IllegalArgumentException(s"unknown PNG filter $other")
           }
-          out(y * width + x) = (v & 0xff).toByte
-          x += 1
+          out(y * stride + i) = (v & 0xff).toByte
+          i += 1
         }
         y += 1
       }
-      (width, height, out)
+      if (colorType != 3) (width, height, out)
+      else {
+        // palette indices → interleaved RGB through PLTE
+        require(plte.nonEmpty, "palette PNG without a PLTE chunk")
+        val n = plte.length / 3
+        val rgb = new Array[Byte](3 * width * height)
+        var p = 0
+        while (p < width * height) {
+          val idx = out(p) & 0xff
+          require(idx < n, s"palette index $idx past PLTE size $n")
+          rgb(3 * p) = plte(3 * idx)
+          rgb(3 * p + 1) = plte(3 * idx + 1)
+          rgb(3 * p + 2) = plte(3 * idx + 2)
+          p += 1
+        }
+        (width, height, rgb)
+      }
     }
   }
 

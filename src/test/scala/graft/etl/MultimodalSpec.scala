@@ -113,6 +113,109 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       Multimodal.PngCodec.decode("not a png at all".getBytes("UTF-8")))
   }
 
+  test("COLOR PNG: RGB, RGBA, palette and gray+alpha decode pixel-exact; " +
+      "interlace and 16-bit refuse") {
+    def viaImageIO(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // RGB (color type 2) — ImageIO-encoded, compared per channel
+    val rgbImg = new java.awt.image.BufferedImage(23, 9,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 9; x <- 0 until 23)
+      rgbImg.setRGB(x, y, ((x * 11) % 256 << 16) | ((y * 29) % 256 << 8) |
+        ((x * 7 + y * 13) % 256))
+    val (rw, rh, rpx) = Multimodal.PngCodec.decode(viaImageIO(rgbImg))
+    assert((rw, rh) == (23, 9) && rpx.length == 3 * 23 * 9)
+    for (y <- 0 until 9; x <- 0 until 23) {
+      val argb = rgbImg.getRGB(x, y)
+      val p = 3 * (y * 23 + x)
+      assert((rpx(p) & 0xff) == ((argb >> 16) & 0xff) &&
+        (rpx(p + 1) & 0xff) == ((argb >> 8) & 0xff) &&
+        (rpx(p + 2) & 0xff) == (argb & 0xff), s"RGB mismatch at ($x,$y)")
+    }
+    // RGBA (color type 6) — alpha carried through
+    val argbImg = new java.awt.image.BufferedImage(11, 7,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 7; x <- 0 until 11)
+      argbImg.setRGB(x, y, ((50 + x * 17) % 256) << 24 |
+        ((x * 19) % 256) << 16 | ((y * 31) % 256) << 8 | ((x + y) % 256))
+    val (aw, ah, apx) = Multimodal.PngCodec.decode(viaImageIO(argbImg))
+    assert((aw, ah) == (11, 7) && apx.length == 4 * 11 * 7)
+    for (y <- 0 until 7; x <- 0 until 11) {
+      val argb = argbImg.getRGB(x, y)
+      val p = 4 * (y * 11 + x)
+      assert((apx(p) & 0xff) == ((argb >> 16) & 0xff) &&
+        (apx(p + 1) & 0xff) == ((argb >> 8) & 0xff) &&
+        (apx(p + 2) & 0xff) == (argb & 0xff) &&
+        (apx(p + 3) & 0xff) == ((argb >> 24) & 0xff),
+        s"RGBA mismatch at ($x,$y)")
+    }
+    // palette (color type 3): indices map through PLTE to RGB
+    val palImg = new java.awt.image.BufferedImage(13, 5,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 5; x <- 0 until 13)
+      palImg.setRGB(x, y, ((x * 37) % 256) << 16 | ((y * 53) % 256) << 8)
+    val (pw, ph, ppx) = Multimodal.PngCodec.decode(viaImageIO(palImg))
+    assert((pw, ph) == (13, 5) && ppx.length == 3 * 13 * 5)
+    for (y <- 0 until 5; x <- 0 until 13) {
+      val argb = palImg.getRGB(x, y) // already palette-quantized
+      val p = 3 * (y * 13 + x)
+      assert((ppx(p) & 0xff) == ((argb >> 16) & 0xff) &&
+        (ppx(p + 1) & 0xff) == ((argb >> 8) & 0xff) &&
+        (ppx(p + 2) & 0xff) == (argb & 0xff), s"palette mismatch at ($x,$y)")
+    }
+
+    // gray+alpha (color type 4) — hand-built (ImageIO writes gray as
+    // type 0); filter 1 rows exercise the bpp=2 left reference
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val td = tag.getBytes("US-ASCII") ++ data
+      val crc = new java.util.zip.CRC32(); crc.update(td)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(td).putInt(crc.getValue.toInt).array()
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    val (gw, gh) = (6, 3)
+    val ga = Array.tabulate(gw * gh * 2)(i =>
+      ((i * 23 + 7) % 256).toByte) // interleaved G,A
+    val rawGa = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until gh) {
+      val ft = if (y % 2 == 0) 0 else 1
+      rawGa.write(ft)
+      for (i <- 0 until gw * 2) {
+        val cur = ga(y * gw * 2 + i) & 0xff
+        val left = if (ft == 1 && i >= 2) ga(y * gw * 2 + i - 2) & 0xff else 0
+        rawGa.write((cur - (if (ft == 1) left else 0)) & 0xff)
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(rawGa.toByteArray); defl.finish()
+    val zbuf = new Array[Byte](1024)
+    val zlen = defl.deflate(zbuf); defl.end()
+    def ihdrOf(depth: Int, ct: Int, interlace: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(13).putInt(gw).putInt(gh)
+        .put(depth.toByte).put(ct.toByte)
+        .put(0.toByte).put(0.toByte).put(interlace.toByte).array()
+    val gaPng = sig ++ chunk("IHDR", ihdrOf(8, 4, 0)) ++
+      chunk("IDAT", zbuf.take(zlen)) ++ chunk("IEND", Array.emptyByteArray)
+    val (ggw, ggh, gpx2) = Multimodal.PngCodec.decode(gaPng)
+    assert((ggw, ggh) == (gw, gh) && gpx2.toSeq == ga.toSeq)
+
+    // Adam7 and 16-bit depth refuse loudly instead of misdecoding
+    val inter = sig ++ chunk("IHDR", ihdrOf(8, 4, 1)) ++
+      chunk("IDAT", zbuf.take(zlen)) ++ chunk("IEND", Array.emptyByteArray)
+    val ei = intercept[IllegalArgumentException](
+      Multimodal.PngCodec.decode(inter))
+    assert(ei.getMessage.contains("Adam7"), ei.getMessage)
+    val deep = sig ++ chunk("IHDR", ihdrOf(16, 0, 0)) ++
+      chunk("IDAT", zbuf.take(zlen)) ++ chunk("IEND", Array.emptyByteArray)
+    val ed = intercept[IllegalArgumentException](
+      Multimodal.PngCodec.decode(deep))
+    assert(ed.getMessage.contains("bit depth"), ed.getMessage)
+  }
+
   test("documents -> mixed WAV/PNG/JPEG/BMP assets -> features: per-kind dispatch") {
     val ss = spark
     import ss.implicits._
