@@ -92,32 +92,66 @@ object Multimodal {
     * consistent; readers that require a palette would prepend one at
     * the same offsets). */
   object BmpCodec {
+    /** BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40). */
     val HeaderSize = 54
+    /** Grayscale palette for the 8-bpp encoder: 256 BGRA entries. */
+    val PaletteSize = 256 * 4
+    /** Pixel-data offset of an encoder-produced container. */
+    val PixelOffset = HeaderSize + PaletteSize
     val FeatureDim = Multimodal.FeatureDim
 
+    /** Row stride of a bpp-bits scanline padded to 4 bytes (the BMP
+      * spec's alignment — every conformant reader assumes it). */
+    def stride(width: Int, bpp: Int): Int = ((width * (bpp / 8) + 3) / 4) * 4
+
+    /** Encode gray pixels (row-major TOP-DOWN, length ≤ w·h — missing
+      * trailing pixels encode as 0, the adapter's short-data contract)
+      * as a CONFORMANT 8-bpp BMP: identity grayscale palette, rows
+      * stored bottom-up and padded to 4 bytes — the shape every
+      * real-world reader (ImageIO included, see MultimodalSpec's
+      * cross-check) expects. Closed-form size: 1078 + h·stride(w). */
     def encode(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
-      val buf = ByteBuffer.allocate(HeaderSize + pixels.length)
+      require(width >= 1 && height >= 1, s"bad dims ${width}x$height")
+      val rowBytes = stride(width, 8)
+      val imageSize = height * rowBytes
+      val buf = ByteBuffer.allocate(PixelOffset + imageSize)
         .order(ByteOrder.LITTLE_ENDIAN)
       buf.put('B'.toByte).put('M'.toByte)
-      buf.putInt(HeaderSize + pixels.length) // file size
+      buf.putInt(PixelOffset + imageSize)    // file size
       buf.putInt(0)                          // reserved
-      buf.putInt(HeaderSize)                 // pixel-data offset
+      buf.putInt(PixelOffset)                // pixel-data offset
       buf.putInt(40)                         // BITMAPINFOHEADER size
       buf.putInt(width)
-      buf.putInt(height)
+      buf.putInt(height)                     // positive = bottom-up
       buf.putShort(1)                        // planes
       buf.putShort(8)                        // bits per pixel
       buf.putInt(0)                          // compression = BI_RGB
-      buf.putInt(pixels.length)              // image size
-      buf.putInt(0).putInt(0)                // x/y pixels-per-meter
-      buf.putInt(0).putInt(0)                // colors used / important
-      buf.put(pixels)
+      buf.putInt(imageSize)
+      buf.putInt(2835).putInt(2835)          // 72 dpi in px/m
+      buf.putInt(256).putInt(0)              // colors used / important
+      var c = 0
+      while (c < 256) { // identity grayscale palette, BGRA
+        buf.put(c.toByte).put(c.toByte).put(c.toByte).put(0.toByte)
+        c += 1
+      }
+      var y = height - 1 // bottom-up storage
+      while (y >= 0) {
+        var x = 0
+        while (x < rowBytes) {
+          val idx = y * width + x
+          buf.put(if (x < width && idx < pixels.length) pixels(idx)
+            else 0.toByte)
+          x += 1
+        }
+        y -= 1
+      }
       buf.array()
     }
 
-    /** Parse the header: returns (width, height, pixelOffset). Throws on
-      * a payload that isn't a BMP — decode failures must surface, not
-      * pass through as zeros. */
+    /** Parse the header: returns (width, height, pixelOffset) — height
+      * as STORED (negative = top-down). Throws on a payload that isn't
+      * a BMP — decode failures must surface, not pass through as
+      * zeros. */
     def decode(payload: Array[Byte]): (Int, Int, Int) = {
       require(payload.length >= HeaderSize &&
         payload(0) == 'B'.toByte && payload(1) == 'M'.toByte,
@@ -127,6 +161,52 @@ object Multimodal {
       val width = buf.getInt(18)
       val height = buf.getInt(22)
       (width, height, offset)
+    }
+
+    /** Decode pixel content to a NORMALIZED top-down row-major array:
+      * 8-bpp frames return their index bytes (1 B/px — for an
+      * identity-grayscale palette, the gray values; the palette is not
+      * materialized, indices ARE the content for dedup/feature
+      * purposes), 24/32-bpp BI_RGB frames return interleaved RGB
+      * (3 B/px, BGR(X) order swapped). Handles bottom-up AND top-down
+      * (negative height) storage and 4-byte row padding; pixels the
+      * payload doesn't cover read as 0 (the fixture's declared-dims
+      * tolerance). Returns (width, height, bytes). */
+    def decodePixels(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val (w, hRaw, off) = decode(payload)
+      val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+      val bpp = buf.getShort(28).toInt
+      val compression = buf.getInt(30)
+      require(compression == 0, s"unsupported BMP compression $compression")
+      require(bpp == 8 || bpp == 24 || bpp == 32,
+        s"unsupported BMP bit depth $bpp")
+      val h = math.abs(hRaw)
+      val topDown = hRaw < 0
+      require(w >= 1 && h >= 1, s"bad BMP dims ${w}x$hRaw")
+      require(w.toLong * h <= (1L << 26),
+        s"BMP dims ${w}x$h exceed the in-row decode bound (2^26 pixels)")
+      val rowBytes = stride(w, bpp)
+      val outBpp = if (bpp == 8) 1 else 3
+      val out = new Array[Byte](w * h * outBpp)
+      def at(i: Int): Int = if (i < payload.length) payload(i) & 0xff else 0
+      var y = 0
+      while (y < h) {
+        val srcRow = off + (if (topDown) y else h - 1 - y) * rowBytes
+        var x = 0
+        while (x < w) {
+          if (bpp == 8) out(y * w + x) = at(srcRow + x).toByte
+          else {
+            val s = srcRow + x * (bpp / 8)
+            val p = (y * w + x) * 3
+            out(p) = at(s + 2).toByte     // R (stored BGR)
+            out(p + 1) = at(s + 1).toByte // G
+            out(p + 2) = at(s).toByte     // B
+          }
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, out)
     }
 
     /** Back-compat alias of [[Multimodal.byteFeature]]. */
@@ -1982,8 +2062,11 @@ object Multimodal {
               else JpegCodec.encodeColor(gridW, gridH, grays, 132, 124),
               source, nChars)
           case _ =>
+            // same height clamp as PNG: the conformant container must
+            // HOLD every byte (ceil(n/w) rows), unlike the legacy
+            // shape whose declared dims undershot the payload
             Asset(id, "image/bmp",
-              BmpCodec.encode(gridW, 1 + bytes.length / 64, bytes),
+              BmpCodec.encode(gridW, gridH, bytes),
               source, nChars)
         }
       }
@@ -2118,10 +2201,13 @@ object Multimodal {
     }
     a.kind match {
       case "image/bmp" =>
-        val (w, h, offset) = BmpCodec.decode(a.payload)
+        // normalized DECODED content (top-down, unpadded, palette
+        // indexes or interleaved RGB) — the same decoded-content
+        // contract as PNG/JPEG, and invariant to the container's
+        // bottom-up storage and row padding
+        val (w, h, px) = BmpCodec.decodePixels(a.payload)
         AssetFeatures(a.asset_id, a.kind, a.payload.length,
-          sum32(a.payload, offset, a.payload.length - offset),
-          w, h, byteFeature(a.payload, offset))
+          sum32(px, 0, px.length), w, h, byteFeature(px, 0))
       case "image/png" =>
         val (w, h, pixels) = PngCodec.decode(a.payload)
         AssetFeatures(a.asset_id, a.kind, a.payload.length,
@@ -2169,7 +2255,13 @@ object Multimodal {
     * reader applies. Returns a REAL re-encoded BMP. */
   def resizeBmp(payload: Array[Byte], f: Int): Array[Byte] = {
     require(f >= 1, s"resize factor must be >= 1, got $f")
-    val (w, h, off) = BmpCodec.decode(payload)
+    // sample the NORMALIZED decoded grid (top-down, unpadded), so the
+    // container's bottom-up storage and row padding can't skew the
+    // sampling lattice; 8-bpp frames only (a color resize would need
+    // an RGB re-encoder this registry doesn't carry)
+    val (w, h, px) = BmpCodec.decodePixels(payload)
+    require(px.length == w * h,
+      "resizeBmp handles 8-bpp frames (color BMPs pass through upstream)")
     val ow = math.max(1, w / f)
     val oh = math.max(1, h / f)
     val out = new Array[Byte](ow * oh)
@@ -2177,8 +2269,7 @@ object Multimodal {
     while (y < oh) {
       var x = 0
       while (x < ow) {
-        val idx = off + (y * f) * w + (x * f)
-        out(y * ow + x) = if (idx < payload.length) payload(idx) else 0
+        out(y * ow + x) = px((y * f) * w + (x * f))
         x += 1
       }
       y += 1

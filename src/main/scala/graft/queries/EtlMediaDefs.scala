@@ -55,7 +55,11 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
     // decode (Huffman + restart resync + dequant + IDCT, fixed-point
     // YCbCr→RGB on the color branch). The oracle recomputes every
     // field arithmetically from the known layouts:
-    //   n_bytes — WAV 44+n; BMP 54+n; PNG 57 + zlen with
+    //   n_bytes — WAV 44+n; BMP 1078 (headers + 256-entry grayscale
+    //     palette) + hb rows at the 4-byte-aligned stride (the
+    //     CONFORMANT container shape: bottom-up padded rows, which is
+    //     why the oracle checksum is over DECODED top-down pixels);
+    //     PNG 57 + zlen with
     //     zlen = 6 + 5·ceil(raw/65535) + raw, raw = h·(w+1) (stored
     //     deflate blocks are byte-deterministic, which is why the
     //     encoder writes them — the decoder inflates ANY valid zlib);
@@ -76,7 +80,7 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
     //     derives all of it from the source text having never seen a
     //     container, so a hash match proves each decode path — incl.
     //     the DCT round-trip — end to end;
-    //   dims — BMP (w, 1+n/64); PNG (w, ceil(n/w)); JPEG pixel dims
+    //   dims — BMP (w, ceil(n/w)); PNG (w, ceil(n/w)); JPEG pixel dims
     //     (8w, 8·ceil(n/w)); WAV (1, n).
     "q_multimodal" -> QueryDef(
       s"""WITH b AS (
@@ -86,7 +90,7 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
          |  -- GREATEST(1, …) mirrors the adapter's height clamp: an
          |  -- EMPTY document still encodes as a valid 1×1-block image
          |  -- (ceil(0/w) = 0 is not a legal height)
-         |  SELECT doc_id, text, n, 1 + n % 64 AS w, 1 + n // 64 AS hb,
+         |  SELECT doc_id, text, n, 1 + n % 64 AS w,
          |         GREATEST(1, (n + (1 + n % 64) - 1) // (1 + n % 64))
          |           AS hp FROM b),
          |cs AS (
@@ -157,7 +161,8 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
          |         - COALESCE(j8.cnt8, 0)
          |       WHEN d.doc_id % 8 = 6 THEN 326 + 8 * w * hp
          |         - COALESCE(jm.cntm, 0)
-         |       ELSE 54 + n END AS BIGINT) AS n_bytes,
+         |       ELSE 1078 + hp *
+         |         ((((1 + n % 64) + 3) // 4) * 4) END AS BIGINT) AS n_bytes,
          |  -- LEFT joins + COALESCE: an empty doc has no byte rows but
          |  -- is still a corpus asset (checksum of no content = 0)
          |  CAST(CASE WHEN d.doc_id % 8 = 2 THEN jcs.checksum
@@ -169,7 +174,7 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
          |  CAST(CASE WHEN d.doc_id % 4 = 0 THEN n
          |       WHEN d.doc_id % 4 = 1 THEN hp
          |       WHEN d.doc_id % 4 = 2 THEN 8 * hp
-         |       ELSE hb END AS INTEGER) AS height
+         |       ELSE hp END AS INTEGER) AS height
          |FROM d LEFT JOIN cs ON cs.doc_id = d.doc_id
          |       LEFT JOIN j8 ON j8.doc_id = d.doc_id
          |       LEFT JOIN jm ON jm.doc_id = d.doc_id

@@ -21,15 +21,49 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("BMP codec round-trips dimensions through a real LE header") {
-    val pixels = "hello multimodal world".getBytes("UTF-8")
+  test("BMP codec: conformant container (palette, bottom-up padded rows), " +
+      "normalized decode, ImageIO cross-validation both directions") {
+    val pixels = "hello multimodal world".getBytes("UTF-8") // 22 < 17*3
     val bmp = Multimodal.BmpCodec.encode(17, 3, pixels)
-    assert(bmp.length == 54 + pixels.length)
+    // closed form: 54 headers + 1024 palette + 3 rows at stride 20
+    assert(Multimodal.BmpCodec.stride(17, 8) == 20)
+    assert(bmp.length == 1078 + 3 * 20)
     assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
     val (w, h, off) = Multimodal.BmpCodec.decode(bmp)
-    assert(w == 17 && h == 3 && off == 54)
-    // pixel data preserved after the header
-    assert(bmp.slice(54, 54 + pixels.length).sameElements(pixels))
+    assert(w == 17 && h == 3 && off == 1078)
+    // normalized decode: top-down pixels, zero-filled past the data
+    val (dw, dh, dpx) = Multimodal.BmpCodec.decodePixels(bmp)
+    assert((dw, dh) == (17, 3) && dpx.length == 51)
+    assert(dpx.take(22).sameElements(pixels) && dpx.drop(22).forall(_ == 0))
+    // the JDK's own BMP reader agrees pixel-for-pixel — proof the
+    // container (palette + bottom-up + padding) is CONFORMANT, not
+    // merely self-consistent
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    assert(img.getWidth == 17 && img.getHeight == 3)
+    // raw raster samples, not getRGB: ImageIO recognizes the identity
+    // grayscale palette, converts to TYPE_BYTE_GRAY, and getRGB would
+    // then pass samples through ICC gray→sRGB gamma
+    for (y <- 0 until 3; x <- 0 until 17)
+      assert(img.getRaster.getSample(x, y, 0) == (dpx(y * 17 + x) & 0xff),
+        s"ImageIO disagrees at ($x,$y)")
+    // and our decoder reads the JDK's own 24-bpp BMPs (bottom-up,
+    // padded, BGR) pixel-for-pixel
+    val cimg = new java.awt.image.BufferedImage(7, 5,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 5; x <- 0 until 7)
+      cimg.setRGB(x, y, ((x * 41) % 256) << 16 | ((y * 59) % 256) << 8 |
+        ((x + 3 * y) % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(cimg, "bmp", bos)
+    val (cw, chh, cpx) = Multimodal.BmpCodec.decodePixels(bos.toByteArray)
+    assert((cw, chh) == (7, 5) && cpx.length == 3 * 35)
+    for (y <- 0 until 5; x <- 0 until 7) {
+      val argb = cimg.getRGB(x, y)
+      val p = 3 * (y * 7 + x)
+      assert((cpx(p) & 0xff) == ((argb >> 16) & 0xff) &&
+        (cpx(p + 1) & 0xff) == ((argb >> 8) & 0xff) &&
+        (cpx(p + 2) & 0xff) == (argb & 0xff), s"24-bpp mismatch at ($x,$y)")
+    }
     // a non-BMP payload must fail loudly, not decode as zeros
     intercept[IllegalArgumentException] {
       Multimodal.BmpCodec.decode("not an image".getBytes("UTF-8"))
@@ -247,8 +281,10 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feats(2).n_bytes == 44 + 50)
     assert(feats(2).checksum == 32L * 'c'.toLong)
     assert(feats(3).kind == "image/bmp")
-    assert(feats(3).width == 1 + 130 % 64 && feats(3).height == 1 + 130 / 64)
-    assert(feats(3).n_bytes == 54 + 130)
+    // same height clamp as PNG: every byte held (ceil(130/3) = 44 rows)
+    assert(feats(3).width == pw && feats(3).height == ph)
+    // conformant container: headers + palette + ph rows at stride 4
+    assert(feats(3).n_bytes == 1078 + ph * 4)
     assert(feats(3).checksum == 32L * 'd'.toLong)
   }
 
@@ -621,18 +657,19 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val px = Array.tabulate(16)(i => (10 * (i / 4) + (i % 4)).toByte)
     val bmp = Multimodal.BmpCodec.encode(4, 4, px)
     val half = Multimodal.resizeBmp(bmp, 2)
-    val (w, h, off) = Multimodal.BmpCodec.decode(half)
+    val (w, h, hpx) = Multimodal.BmpCodec.decodePixels(half)
     assert(w == 2 && h == 2)
     // out(x,y) = in(2x, 2y): 0, 2, 20, 22
-    assert(half.slice(off, off + 4).toSeq === Seq[Byte](0, 2, 20, 22))
+    assert(hpx.toSeq === Seq[Byte](0, 2, 20, 22))
     // factor larger than the image floors to 1x1 (top-left pixel)
-    val (w1, h1, off1) = Multimodal.BmpCodec.decode(Multimodal.resizeBmp(bmp, 9))
+    val (w1, h1, _) = Multimodal.BmpCodec.decodePixels(
+      Multimodal.resizeBmp(bmp, 9))
     assert(w1 == 1 && h1 == 1)
     // declared dims exceeding the data: sampled pixels past the payload are 0
     val short = Multimodal.BmpCodec.encode(4, 4, Array[Byte](1, 2, 3, 4))
     val rs = Multimodal.resizeBmp(short, 2)
-    val (_, _, off2) = Multimodal.BmpCodec.decode(rs)
-    assert(rs.slice(off2, off2 + 4).toSeq === Seq[Byte](1, 3, 0, 0))
+    assert(Multimodal.BmpCodec.decodePixels(rs)._3.toSeq ===
+      Seq[Byte](1, 3, 0, 0))
   }
 
   test("resizeAssets dispatches per kind; frameEnergies is an exact byte model") {
@@ -640,14 +677,14 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     import ss.implicits._
     val docs = Seq(
       (2L, "b" * 100, "web", 100L),           // doc_id % 4 == 2 → gray JPEG
-      (3L, "x" * 100, "web", 100L),           // doc_id % 4 == 3 → BMP: w=37, h=2
+      (3L, "x" * 100, "web", 100L),           // doc_id % 4 == 3 → BMP: w=37, h=3
       (4L, "ab" * 80, "web", 160L))           // doc_id % 4 == 0 → WAV: 160 bytes
       .toDF("doc_id", "text", "source", "n_chars")
     val assets = Multimodal.assetsFromDocuments(docs)
     val resized = Multimodal.resizeAssets(assets, 2)
       .collect().sortBy(_.asset_id)
     val (rw, rh, _) = Multimodal.BmpCodec.decode(resized(1).payload)
-    assert((rw, rh) == (18, 1), "37x2 halves to 18x1")
+    assert((rw, rh) == (18, 1), "37x3 halves to 18x1")
     assert(resized(2).payload.toSeq == assets.collect()
       .find(_.asset_id == 4L).get.payload.toSeq, "audio passes through")
     assert(resized(0).kind == "image/jpeg" && resized(0).payload.toSeq ==
@@ -658,12 +695,12 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val thumb = Multimodal.resizeAssets(assets, 8)
       .collect().sortBy(_.asset_id).head
     assert(thumb.kind == "image/bmp")
-    val (tw, th, toff) = Multimodal.BmpCodec.decode(thumb.payload)
+    val (tw, th, tpx) = Multimodal.BmpCodec.decodePixels(thumb.payload)
     val (jw, jh) = (1 + 100 % 64, (100 + 36) / 37) // 37x3 blocks
     assert((tw, th) == (jw, jh), s"got ${(tw, th)}")
     val expected = Multimodal.JpegCodec.decodeDcScaled(
       assets.collect().find(_.asset_id == 2L).get.payload)._3
-    assert(thumb.payload.slice(toff, toff + tw * th).toSeq == expected.toSeq)
+    assert(tpx.toSeq == expected.toSeq)
     // factor 16: DC grid then nearest-neighbor halving
     val t16 = Multimodal.resizeAssets(assets, 16)
       .collect().sortBy(_.asset_id).head
