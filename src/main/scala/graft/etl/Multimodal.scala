@@ -12,14 +12,17 @@ import org.apache.spark.sql.functions._
   * mapInPandas shape where one partition iterator serves every format.
   *
   * Five real codecs are registered:
-  *   - [[BmpCodec]]: BITMAPFILEHEADER + BITMAPINFOHEADER, little-endian,
-  *     8 bpp — a genuine binary header parser (magic check, LE field
-  *     extraction), not a stub;
+  *   - [[BmpCodec]]: CONFORMANT BMP — palette + bottom-up 4-byte-padded
+  *     rows on encode (the JDK's reader round-trips it), and a
+  *     normalized pixel decode for 8/24/32-bpp BI_RGB frames in either
+  *     row order;
   *   - [[WavCodec]]: RIFF/WAVE PCM — a genuine RIFF chunk WALK (fmt
   *     fields read where the chunk list puts them, not at fixed
   *     offsets), the shape any container format needs;
-  *   - [[PngCodec]]: full gray8 PNG — CRC-verified chunk walk, real
-  *     zlib inflate, all five scanline filters;
+  *   - [[PngCodec]]: full 8-bit PNG, every color type (gray, RGB,
+  *     palette, gray+alpha, RGBA) — CRC-verified chunk walk, real
+  *     zlib inflate, all five scanline filters at the type's
+  *     bytes-per-pixel;
   *   - [[JpegCodec]]: baseline-sequential JPEG, grayscale AND
   *     3-component YCbCr (4:4:4 / 4:2:2 / 4:2:0 — the dominant crawl
   *     shapes) — marker segments, canonical Huffman entropy decode,
@@ -86,11 +89,14 @@ object Multimodal {
       (acc % 1000) / 1000.0f
     }
 
-  /** Minimal BMP (8 bpp, uncompressed) encoder/decoder in pure JVM.
-    * Layout: 14-byte BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER +
-    * pixel bytes (no row padding or palette — declared sizes are
-    * consistent; readers that require a palette would prepend one at
-    * the same offsets). */
+  /** CONFORMANT BMP (BI_RGB, uncompressed) encoder/decoder in pure
+    * JVM. The encoder writes the real-world container shape — 14-byte
+    * BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER + a 256-entry
+    * identity grayscale palette + BOTTOM-UP rows padded to 4 bytes —
+    * which foreign readers (the JDK's included, cross-checked in
+    * MultimodalSpec) accept as-is. [[decodePixels]] normalizes any
+    * 8/24/32-bpp BI_RGB frame, either row order, back to top-down
+    * unpadded content bytes. */
   object BmpCodec {
     /** BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40). */
     val HeaderSize = 54
