@@ -134,7 +134,8 @@ object Bench {
         s""""passes":3,""" +
         s""""loadavg_start":${num(loadStart)},"loadavg_end":${num(loadEnd)},""" +
         s""""queries":$qs,"errors":$errs,"sf":"$sfDir"""" +
-        fullPath.map(p => s""","full":${jstr(p)}""").getOrElse("") + "}"
+        fullPath.map(p => s""","full":${jstr(p)}""")
+          .getOrElse(""","full":null""") + "}"
     }
     // The durable record lives in a FILE IN THE REPOSITORY (the driver
     // commits the working tree at round end), not /tmp: BENCH_r16's
@@ -143,8 +144,28 @@ object Bench {
     // name is safe here — one bench run per checkout at a time, and each
     // round's run overwrites with that round's numbers.
     val fullJson = render(_.toString, None, withMemoParts = true)
+    // Anchor at the REPOSITORY ROOT, not the JVM's CWD: a forked or
+    // out-of-repo run (sbt `fork := true`, a driver running from /) would
+    // otherwise scatter the durable file — the exact loss mode the repo
+    // file exists to prevent. Resolution order: explicit env override,
+    // then walk up from CWD to the nearest build.sbt/.git marker, then
+    // CWD itself, then /tmp as the last resort.
+    val repoRoot: Option[java.io.File] =
+      sys.env.get("SPARK_GRAFT_REPO").map(new java.io.File(_)).orElse {
+        Iterator.iterate(new java.io.File(".").getAbsoluteFile
+          .getCanonicalFile)(_.getParentFile)
+          .takeWhile(_ != null).take(16)
+          .find(d => new java.io.File(d, "build.sbt").isFile ||
+            new java.io.File(d, ".git").exists)
+      }
+    // A FILTERED run (local iteration on a few queries) must not clobber
+    // the committed full-suite record — only argless (driver) runs write
+    // the repo file; filtered runs fall through to /tmp.
     val fullPath =
-      (Seq(new java.io.File("bench_full.json")).map(_.getAbsoluteFile) ++
+      ((if (args.isEmpty)
+          repoRoot.map(new java.io.File(_, "bench_full.json")).toSeq :+
+            new java.io.File("bench_full.json").getAbsoluteFile
+        else Nil) ++
           scala.util.Try(java.io.File.createTempFile(
             "graft_bench_full_", ".json")).toOption)
         .flatMap { f =>

@@ -215,6 +215,13 @@ object FlacCodec {
     require(totalSamples * channels <= (1L << 26),
       s"FLAC declares $totalSamples samples x $channels channels — " +
         "exceeds the in-row decode bound (2^26 values)")
+    // totalSamples == 0 means "unknown length" per RFC 9639 §8.2, not an
+    // empty stream: frames would follow that the count-driven walk below
+    // would silently skip (and the MD5 referee with them). Refuse loudly
+    // so the quarantine tags it, rather than decode to zero samples.
+    require(totalSamples > 0 || pos >= payload.length,
+      "unknown-length FLAC (STREAMINFO totalSamples=0 with frames present) " +
+        "is not supported")
     val out = new Array[Int](totalSamples.toInt * channels)
     var got = 0L
     // frame walk
@@ -277,6 +284,7 @@ object FlacCodec {
       }
       require(frameBps == bps, "frame bit depth != STREAMINFO bit depth")
       require(in.aligned, "FLAC frame header must be byte-aligned here")
+      require(in.pos < payload.length, "truncated FLAC frame header")
       val declaredCrc8 = payload(in.pos) & 0xff
       require(crc8(payload, hdrStart, in.pos) == declaredCrc8,
         "FLAC frame header CRC-8 mismatch")

@@ -2290,7 +2290,14 @@ object Multimodal {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.mapPartitions(_.map { a =>
-      if (a.kind == "image/bmp") a.copy(payload = resizeBmp(a.payload, f))
+      if (a.kind == "image/bmp") {
+        // only 8-bpp frames resize (resizeBmp's contract); a color
+        // (24/32-bpp) BMP decodes to 3·w·h interleaved samples — pass
+        // it through rather than fail the partition on its require
+        val (w, h, px) = BmpCodec.decodePixels(a.payload)
+        if (px.length == w * h) a.copy(payload = resizeBmp(a.payload, f))
+        else a
+      }
       else if (a.kind == "image/jpeg" && f % 8 == 0) {
         // Thumbnail through the DC grid: 1/8 scale without ever
         // materializing the full pixel planes (works on frames the

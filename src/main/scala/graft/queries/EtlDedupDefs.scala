@@ -190,11 +190,10 @@ private[queries] trait EtlDedupDefs { this: EtlQueries.type =>
          |JOIN sz za ON za.source = ov.src_a
          |JOIN sz zb ON zb.source = ov.src_b
          |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
-      val sg = contamPostings(s, dir)
-        .join(docs(s, dir).select(textKey.as("k"), col("source")).distinct(), "k")
-        .select("source", "g").distinct()
-        // sources × rare-gram vocab, three consumers below
-        .localCheckpoint()
+      // sources × rare-gram vocab — memoized per corpus (built once at
+      // index time with the postings it derives from); the query pays
+      // only the pair join, never a per-run disk checkpoint
+      val sg = sourceGrams(s, dir)
       val sz = sg.groupBy("source").agg(count(lit(1)).as("nv"))
       sg.select(col("source").as("src_a"), col("g"))
         .join(sg.select(col("source").as("src_b"), col("g")), "g")

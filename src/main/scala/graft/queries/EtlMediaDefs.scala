@@ -208,19 +208,25 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
       graft.etl.Multimodal.assetsFromDocuments(docs(s, dir))
         .filter((a: graft.etl.Multimodal.Asset) =>
           a.kind == "audio/wav" || a.kind == "audio/flac")
-        .map { a =>
-          val pcm = a.kind match {
-            case "audio/wav" =>
-              val w = graft.etl.Multimodal.WavCodec.decode(a.payload)
-              java.util.Arrays.copyOfRange(a.payload, w.dataOffset,
-                w.dataOffset + w.dataLength)
-            case _ =>
-              graft.etl.FlacCodec.decode(a.payload).samples.map(_.toByte)
+        .mapPartitions { it =>
+          // one digest instance per partition (the repo idiom), reset
+          // per row — not one allocation per row inside a .map
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { a =>
+            val pcm = a.kind match {
+              case "audio/wav" =>
+                val w = graft.etl.Multimodal.WavCodec.decode(a.payload)
+                java.util.Arrays.copyOfRange(a.payload, w.dataOffset,
+                  w.dataOffset + w.dataLength)
+              case _ =>
+                graft.etl.FlacCodec.decode(a.payload).samples.map(_.toByte)
+            }
+            md.reset()
+            (a.asset_id,
+              String.format("%032x", new java.math.BigInteger(1,
+                md.digest(pcm))),
+              if (a.kind == "audio/flac") 1 else 0)
           }
-          (a.asset_id,
-            String.format("%032x", new java.math.BigInteger(1,
-              java.security.MessageDigest.getInstance("MD5").digest(pcm))),
-            if (a.kind == "audio/flac") 1 else 0)
         }
         .toDF("asset_id", "digest", "is_flac")
         .groupBy("digest")

@@ -847,6 +847,25 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
       incrContamState(s, dir).livePostings().localCheckpoint()
     }
 
+  /** Sources × rare-gram vocabulary — the per-corpus frame the overlap
+    * matrix self-joins. Pure corpus derivation (postings ⋈ source map,
+    * distinct), so it memoizes like the postings themselves; the
+    * round-17 per-run `localCheckpoint()` inside `q_source_overlap`
+    * re-wrote this frame to local disk on every execution, the one
+    * disk-pressure-sensitive step in the suite (BENCH_r17's 2.04×
+    * outlier — environmental per the round-18 same-host A/B, but the
+    * per-run disk write was real and is gone). */
+  private[queries] val sourceGramsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private[queries] def sourceGrams(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo(sourceGramsMemo, s, dir) {
+      contamPostings(s, dir)
+        .join(docs(s, dir).select(textKey.as("k"), col("source")).distinct(),
+          "k")
+        .select("source", "g").distinct()
+        .localCheckpoint()
+    }
+
   /** Word-trigram counts per distinct text — (rid, gram, c) — the
     * n-gram table the diversity report (and any future LM-style
     * statistic) reads; pure per-corpus, so memoized and materialized
@@ -1070,7 +1089,7 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
       dedupClusters(s, dir); repBandKeys(s, dir) }
     t("langpred") { langPredictions(s, dir) }
     t("lm3") { lmScores(s, dir) }
-    t("contam") { contamPostings(s, dir) }
+    t("contam") { contamPostings(s, dir); sourceGrams(s, dir) }
     t("ngrams") { inParallel(repTriGrams(s, dir), repWordCounts(s, dir)) }
     t("embed") { embGroups(s, dir); embedState(s, dir)
       embCosPairs(s, dir); embClusters(s, dir) }

@@ -69,6 +69,29 @@ class FlacCodecSpec extends AnyFunSuite {
       FlacCodec.decode("not flac at all".getBytes("UTF-8")))
   }
 
+  test("unknown-length streams refuse loudly; truncation at the CRC-8 " +
+       "byte names the layer, not an index error") {
+    val data = "unknown length stream content".getBytes("UTF-8")
+    val flac = FlacCodec.encode(8000, data)
+    val si = 8 // STREAMINFO payload offset in an encoder container
+    // zero the 36-bit totalSamples field (low nibble of si+13 + si+14..17):
+    // RFC 9639 says 0 means "unknown", not "empty" — with frames present
+    // the decode must refuse, never silently return zero samples (which
+    // would collapse every unknown-length file into one md5("") group)
+    val u = flac.clone()
+    u(si + 13) = (u(si + 13) & 0xf0).toByte
+    java.util.Arrays.fill(u, si + 14, si + 18, 0.toByte)
+    val e = intercept[IllegalArgumentException](FlacCodec.decode(u))
+    assert(e.getMessage.contains("unknown-length"), e.getMessage)
+    // truncating exactly after the byte-aligned frame header — where the
+    // CRC-8 byte would be — must hit the named require, not an
+    // ArrayIndexOutOfBoundsException (quarantine messages stay readable)
+    val cut = java.util.Arrays.copyOf(flac,
+      FlacCodec.HeaderSize + 7) // 4 hdr + 1 utf8 + 2 blocksize
+    val t = intercept[IllegalArgumentException](FlacCodec.decode(cut))
+    assert(t.getMessage.contains("truncated FLAC frame header"), t.getMessage)
+  }
+
   /** Bit-level writer for hand-built frames (test-side only). */
   private final class BitWriter {
     private val out = new java.io.ByteArrayOutputStream()

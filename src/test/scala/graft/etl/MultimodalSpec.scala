@@ -672,6 +672,29 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq[Byte](1, 3, 0, 0))
   }
 
+  test("resizeAssets passes COLOR BMPs through unchanged (8-bpp only resizes)") {
+    val ss = spark
+    import ss.implicits._
+    // a real 24-bpp BMP via ImageIO — decodePixels yields 3·w·h samples,
+    // so resizeBmp's 8-bpp contract doesn't hold; the asset must pass
+    // through rather than fail the partition
+    val cimg = new java.awt.image.BufferedImage(6, 4,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 4; x <- 0 until 6)
+      cimg.setRGB(x, y, (x * 40 << 16) | (y * 60 << 8) | 0x20)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(cimg, "bmp", bos)
+    val color = bos.toByteArray
+    val gray = Multimodal.BmpCodec.encode(4, 4, Array.tabulate(16)(_.toByte))
+    val assets = Seq(
+      Multimodal.Asset(1L, "image/bmp", color, "web", 0L),
+      Multimodal.Asset(2L, "image/bmp", gray, "web", 0L)).toDS()
+    val out = Multimodal.resizeAssets(assets, 2).collect().sortBy(_.asset_id)
+    assert(out(0).payload.toSeq == color.toSeq, "color BMP passes through")
+    val (w, h, _) = Multimodal.BmpCodec.decodePixels(out(1).payload)
+    assert((w, h) == (2, 2), "gray BMP still resizes")
+  }
+
   test("resizeAssets dispatches per kind; frameEnergies is an exact byte model") {
     val ss = spark
     import ss.implicits._
