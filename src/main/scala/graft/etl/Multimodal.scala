@@ -328,19 +328,66 @@ object Multimodal {
         chunk("IDAT", zlibStored(raw)) ++ chunk("IEND", Array.emptyByteArray)
     }
 
-    /** Decode an 8-bit-depth PNG of ANY color type — grayscale (0),
-      * RGB (2), palette (3, mapped through PLTE to interleaved RGB),
-      * gray+alpha (4), RGBA (6): signature check, chunk walk with CRC
-      * verification, IDAT concatenation, REAL zlib inflate, and the
-      * five-filter unfilter pass at the color type's bytes-per-pixel
-      * (the `left` reference is `bpp` bytes back — what makes the
-      * same five filters correct for every channel count). Returns
-      * (width, height, pixels row-major, channel-interleaved — 1, 2,
-      * 3 or 4 bytes per pixel by color type; palette output is 3).
-      * Adam7 interlace and 16-bit depth refuse loudly; a tRNS palette
-      * alpha is not materialized (ancillary). Throws on anything
-      * malformed — decode failures must surface, not pass through as
-      * zeros. */
+    /** The Adam7 pass grid: (xStart, yStart, xStep, yStep) per pass —
+      * the fixed pixel permutation of the PNG spec's interlace method
+      * 1. Each pass is an independent filtered sub-image (its own
+      * scanlines, its own filter bytes, left/up references within the
+      * pass), placed on the full grid by the start/step lattice. */
+    private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+      (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+    /** Undo PNG scanline filtering for one (sub-)image of `h` rows of
+      * `w` pixels at `bpp` bytes/pixel, reading filtered rows (1 filter
+      * byte + w·bpp data bytes each) from `raw` at `off`, writing
+      * unfiltered bytes into `out` (w·h·bpp). The five filters operate
+      * bytewise with `left` `bpp` bytes back — correct for every
+      * channel count AND sample depth (16-bit doubles bpp, nothing
+      * else). Returns the raw-bytes consumed. */
+    private def unfilter(raw: Array[Byte], off: Int, w: Int, h: Int,
+                         bpp: Int, out: Array[Byte]): Int = {
+      val stride = w * bpp
+      var y = 0
+      while (y < h) {
+        val rowOff = off + y * (1 + stride)
+        val ft = raw(rowOff) & 0xff
+        var i = 0
+        while (i < stride) {
+          val f = raw(rowOff + 1 + i) & 0xff
+          val left = if (i >= bpp) out(y * stride + i - bpp) & 0xff else 0
+          val up = if (y > 0) out((y - 1) * stride + i) & 0xff else 0
+          val ul = if (y > 0 && i >= bpp) out((y - 1) * stride + i - bpp) & 0xff
+            else 0
+          val v = ft match {
+            case 0 => f
+            case 1 => f + left
+            case 2 => f + up
+            case 3 => f + (left + up) / 2
+            case 4 => f + paeth(left, up, ul)
+            case other =>
+              throw new IllegalArgumentException(s"unknown PNG filter $other")
+          }
+          out(y * stride + i) = (v & 0xff).toByte
+          i += 1
+        }
+        y += 1
+      }
+      h * (1 + stride)
+    }
+
+    /** Decode an 8- or 16-bit-depth PNG of ANY color type — grayscale
+      * (0), RGB (2), palette (3, mapped through PLTE to interleaved
+      * RGB), gray+alpha (4), RGBA (6) — sequential OR Adam7-interlaced:
+      * signature check, chunk walk with CRC verification, IDAT
+      * concatenation, REAL zlib inflate, the five-filter unfilter pass
+      * at the color type's bytes-per-pixel (per interlace pass — each
+      * Adam7 pass is its own filtered sub-image, placed on the full
+      * grid by the spec's start/step lattice). Returns (width, height,
+      * content bytes row-major, channel-interleaved — bytes/pixel =
+      * channels × depth/8; 16-bit samples stay big-endian as stored;
+      * palette output is 3 B/px RGB). A tRNS palette alpha is not
+      * materialized (ancillary). Throws on anything malformed — decode
+      * failures must surface, not pass through as zeros. */
     def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
       require(payload.length >= Signature.length + 12 &&
         payload.take(8).sameElements(Signature),
@@ -349,6 +396,8 @@ object Multimodal {
       var pos = 8
       var width = -1; var height = -1
       var colorType = -1
+      var depth = -1
+      var interlaced = false
       var plte = Array.emptyByteArray
       var idat = Array.emptyByteArray
       var done = false
@@ -367,15 +416,19 @@ object Multimodal {
             require(len == 13, s"IHDR must be 13 bytes, got $len")
             width = buf.getInt(pos + 8)
             height = buf.getInt(pos + 12)
-            require(buf.get(pos + 16) == 8,
-              "unsupported PNG bit depth (8 only)")
+            depth = buf.get(pos + 16) & 0xff
+            require(depth == 8 || depth == 16,
+              s"unsupported PNG bit depth $depth (8/16 only)")
             colorType = buf.get(pos + 17) & 0xff
             require(Set(0, 2, 3, 4, 6).contains(colorType),
               s"reserved PNG color type $colorType")
+            require(!(colorType == 3 && depth == 16),
+              "16-bit palette PNG is not a legal IHDR combination")
             require(buf.get(pos + 18) == 0 && buf.get(pos + 19) == 0,
               "unsupported PNG compression/filter method")
-            require(buf.get(pos + 20) == 0,
-              "Adam7-interlaced PNG not supported")
+            val im = buf.get(pos + 20) & 0xff
+            require(im == 0 || im == 1, s"reserved PNG interlace method $im")
+            interlaced = im == 1
             require(width.toLong * height <= (1L << 26),
               s"PNG dims ${width}x$height exceed the in-row decode " +
                 "bound (2^26 pixels)")
@@ -391,15 +444,30 @@ object Multimodal {
       }
       require(width > 0 && height > 0 && idat.nonEmpty,
         "PNG payload missing IHDR/IDAT")
-      // bytes per pixel in the CODED stream (palette codes indices)
-      val bpp = colorType match {
+      // bytes per pixel in the CODED stream (palette codes indices);
+      // 16-bit depth doubles the per-channel width, nothing else
+      val channels = colorType match {
         case 0 | 3 => 1
         case 2 => 3
         case 4 => 2
         case 6 => 4
       }
-      val stride = width * bpp
-      val raw = new Array[Byte](height * (1 + stride))
+      val bpp = channels * (depth / 8)
+      // pass plan: sequential = one full-frame pass; Adam7 = the seven
+      // lattice passes, empty passes (zero rows or cols) contributing
+      // no scanlines at all (spec: they are absent from the stream)
+      val passes: Array[(Int, Int, Int, Int)] =
+        if (interlaced) Adam7 else Array((0, 0, 1, 1))
+      def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+        val (xs, ys, xst, yst) = p
+        (if (width > xs) (width - xs + xst - 1) / xst else 0,
+          if (height > ys) (height - ys + yst - 1) / yst else 0)
+      }
+      val rawLen = passes.map { p =>
+        val (pw, ph) = passDims(p)
+        if (pw == 0 || ph == 0) 0 else ph * (1 + pw * bpp)
+      }.sum
+      val raw = new Array[Byte](rawLen)
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat)
       var got = 0
@@ -411,30 +479,29 @@ object Multimodal {
       inf.end()
       require(got == raw.length,
         s"PNG scanline data truncated: $got of ${raw.length} bytes")
-      val out = new Array[Byte](stride * height)
-      var y = 0
-      while (y < height) {
-        val ft = raw(y * (1 + stride)) & 0xff
-        var i = 0
-        while (i < stride) {
-          val f = raw(y * (1 + stride) + 1 + i) & 0xff
-          val left = if (i >= bpp) out(y * stride + i - bpp) & 0xff else 0
-          val up = if (y > 0) out((y - 1) * stride + i) & 0xff else 0
-          val ul = if (y > 0 && i >= bpp) out((y - 1) * stride + i - bpp) & 0xff
-            else 0
-          val v = ft match {
-            case 0 => f
-            case 1 => f + left
-            case 2 => f + up
-            case 3 => f + (left + up) / 2
-            case 4 => f + paeth(left, up, ul)
-            case other =>
-              throw new IllegalArgumentException(s"unknown PNG filter $other")
+      val out = new Array[Byte](width * height * bpp)
+      var rawOff = 0
+      passes.foreach { case p @ (xs, ys, xst, yst) =>
+        val (pw, ph) = passDims(p)
+        if (pw > 0 && ph > 0) {
+          if (!interlaced) rawOff += unfilter(raw, rawOff, pw, ph, bpp, out)
+          else {
+            // unfilter the pass as its own sub-image, then scatter its
+            // pixels onto the full grid at the pass lattice positions
+            val pbuf = new Array[Byte](pw * ph * bpp)
+            rawOff += unfilter(raw, rawOff, pw, ph, bpp, pbuf)
+            var y = 0
+            while (y < ph) {
+              var x = 0
+              while (x < pw) {
+                System.arraycopy(pbuf, (y * pw + x) * bpp,
+                  out, ((ys + y * yst) * width + (xs + x * xst)) * bpp, bpp)
+                x += 1
+              }
+              y += 1
+            }
           }
-          out(y * stride + i) = (v & 0xff).toByte
-          i += 1
         }
-        y += 1
       }
       if (colorType != 3) (width, height, out)
       else {

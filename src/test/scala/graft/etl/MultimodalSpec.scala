@@ -237,17 +237,112 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (ggw, ggh, gpx2) = Multimodal.PngCodec.decode(gaPng)
     assert((ggw, ggh) == (gw, gh) && gpx2.toSeq == ga.toSeq)
 
-    // Adam7 and 16-bit depth refuse loudly instead of misdecoding
+    // a LYING header still fails loudly: IHDR claiming Adam7 (or 16-bit)
+    // over sequential 8-bit scanline data has the wrong raw length and
+    // must refuse, never misdecode
     val inter = sig ++ chunk("IHDR", ihdrOf(8, 4, 1)) ++
       chunk("IDAT", zbuf.take(zlen)) ++ chunk("IEND", Array.emptyByteArray)
     val ei = intercept[IllegalArgumentException](
       Multimodal.PngCodec.decode(inter))
-    assert(ei.getMessage.contains("Adam7"), ei.getMessage)
-    val deep = sig ++ chunk("IHDR", ihdrOf(16, 0, 0)) ++
+    assert(ei.getMessage.contains("truncated"), ei.getMessage)
+    // (16-bit gray over the same bytes is NOT a lie — gray+alpha 8-bit
+    // and gray 16-bit share bpp=2, so that reinterpretation decodes to
+    // the identical content bytes; use 16-bit RGB for the wrong-length
+    // case)
+    val deep16 = sig ++ chunk("IHDR", ihdrOf(16, 0, 0)) ++
+      chunk("IDAT", zbuf.take(zlen)) ++ chunk("IEND", Array.emptyByteArray)
+    assert(Multimodal.PngCodec.decode(deep16)._3.toSeq == ga.toSeq)
+    val deep = sig ++ chunk("IHDR", ihdrOf(16, 2, 0)) ++
       chunk("IDAT", zbuf.take(zlen)) ++ chunk("IEND", Array.emptyByteArray)
     val ed = intercept[IllegalArgumentException](
       Multimodal.PngCodec.decode(deep))
-    assert(ed.getMessage.contains("bit depth"), ed.getMessage)
+    assert(ed.getMessage.contains("truncated"), ed.getMessage)
+    // still-unsupported depths and the illegal 16-bit palette refuse by name
+    val d4 = sig ++ chunk("IHDR", ihdrOf(4, 0, 0)) ++
+      chunk("IDAT", zbuf.take(zlen)) ++ chunk("IEND", Array.emptyByteArray)
+    assert(intercept[IllegalArgumentException](
+      Multimodal.PngCodec.decode(d4)).getMessage.contains("bit depth"))
+    val p16 = sig ++ chunk("IHDR", ihdrOf(16, 3, 0)) ++
+      chunk("IDAT", zbuf.take(zlen)) ++ chunk("IEND", Array.emptyByteArray)
+    assert(intercept[IllegalArgumentException](
+      Multimodal.PngCodec.decode(p16)).getMessage.contains("palette"))
+  }
+
+  test("INTERLACED (Adam7) and 16-BIT PNG decode pixel-exact vs ImageIO") {
+    def viaImageIO(img: java.awt.image.BufferedImage,
+                   progressive: Boolean): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val p = w.getDefaultWriteParam
+      p.setProgressiveMode(
+        if (progressive) javax.imageio.ImageWriteParam.MODE_DEFAULT
+        else javax.imageio.ImageWriteParam.MODE_DISABLED)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      w.dispose(); ios.close()
+      bos.toByteArray
+    }
+    // Adam7 RGB at odd dims (partial passes on both axes) — byte 28 of
+    // the container is the IHDR interlace flag: prove we exercised it
+    val rgb = new java.awt.image.BufferedImage(13, 11,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 11; x <- 0 until 13)
+      rgb.setRGB(x, y, ((x * 41) % 256 << 16) | ((y * 23) % 256 << 8) |
+        ((x * 7 + y * 5) % 256))
+    val ipng = viaImageIO(rgb, progressive = true)
+    assert(ipng(8 + 8 + 12) == 1, "fixture must actually be interlaced")
+    val (iw, ih, ipx) = Multimodal.PngCodec.decode(ipng)
+    assert((iw, ih) == (13, 11) && ipx.length == 3 * 13 * 11)
+    for (y <- 0 until 11; x <- 0 until 13) {
+      val argb = rgb.getRGB(x, y)
+      val p = 3 * (y * 13 + x)
+      assert((ipx(p) & 0xff) == ((argb >> 16) & 0xff) &&
+        (ipx(p + 1) & 0xff) == ((argb >> 8) & 0xff) &&
+        (ipx(p + 2) & 0xff) == (argb & 0xff),
+        s"interlaced RGB mismatch at ($x,$y)")
+    }
+    // tiny interlaced frames: passes that are entirely empty (1x1 has
+    // only pass 1; 3x2 skips several) must consume zero scanlines
+    for ((tw, th) <- Seq((1, 1), (3, 2), (8, 1), (2, 9))) {
+      val t = new java.awt.image.BufferedImage(tw, th,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until th; x <- 0 until tw)
+        t.setRGB(x, y, (x * 90 + y * 150 + 9) * 0x010203)
+      val png = viaImageIO(t, progressive = true)
+      assert(png(28) == 1)
+      val (w2, h2, px2) = Multimodal.PngCodec.decode(png)
+      assert((w2, h2) == (tw, th))
+      for (y <- 0 until th; x <- 0 until tw) {
+        val argb = t.getRGB(x, y)
+        val p = 3 * (y * tw + x)
+        assert((px2(p) & 0xff) == ((argb >> 16) & 0xff) &&
+          (px2(p + 1) & 0xff) == ((argb >> 8) & 0xff) &&
+          (px2(p + 2) & 0xff) == (argb & 0xff),
+          s"${tw}x$th interlaced mismatch at ($x,$y)")
+      }
+    }
+    // 16-bit grayscale: content bytes are the big-endian samples
+    val g16 = new java.awt.image.BufferedImage(9, 7,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 7; x <- 0 until 9)
+      g16.getRaster.setSample(x, y, 0, (x * 8191 + y * 977) % 65536)
+    val dpng = viaImageIO(g16, progressive = false)
+    assert(dpng(8 + 8 + 8) == 16, "fixture must actually be 16-bit")
+    val (dw, dh, dpx) = Multimodal.PngCodec.decode(dpng)
+    assert((dw, dh) == (9, 7) && dpx.length == 2 * 9 * 7)
+    for (y <- 0 until 7; x <- 0 until 9) {
+      val p = 2 * (y * 9 + x)
+      val v = ((dpx(p) & 0xff) << 8) | (dpx(p + 1) & 0xff)
+      assert(v == g16.getRaster.getSample(x, y, 0),
+        s"16-bit gray mismatch at ($x,$y)")
+    }
+    // 16-bit AND interlaced together (the two generalizations compose)
+    val both = viaImageIO(g16, progressive = true)
+    assert(both(28) == 1 && both(24) == 16)
+    val (bw, bh, bpx) = Multimodal.PngCodec.decode(both)
+    assert((bw, bh) == (9, 7) && bpx.toSeq == dpx.toSeq,
+      "interlaced 16-bit must decode to the same content bytes")
   }
 
   test("documents -> mixed WAV/PNG/JPEG/BMP assets -> features: per-kind dispatch") {
