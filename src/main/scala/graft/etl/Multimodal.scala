@@ -2135,10 +2135,18 @@ object Multimodal {
               else JpegCodec.encodeColor(gridW, gridH, grays, 132, 124),
               source, nChars)
           case _ =>
+            // one residue of the raster class ships GIF — the highest-
+            // frequency crawl image format, and a genuinely different
+            // decode shape (variable-width LZW) than the zlib/DCT paths
+            if (id % 32 == GifResidue)
+              Asset(id, "image/gif",
+                GifCodec.encode(gridW, gridH,
+                  java.util.Arrays.copyOf(bytes, gridW * gridH)),
+                source, nChars)
             // same height clamp as PNG: the conformant container must
             // HOLD every byte (ceil(n/w) rows), unlike the legacy
             // shape whose declared dims undershot the payload
-            Asset(id, "image/bmp",
+            else Asset(id, "image/bmp",
               BmpCodec.encode(gridW, gridH, bytes),
               source, nChars)
         }
@@ -2155,6 +2163,9 @@ object Multimodal {
   /** Residue (mod 32) of the audio class that encodes as FLAC instead
     * of WAV — see [[assetsFromDocuments]]. */
   val FlacResidue = 20L
+  /** Residue (mod 32) of the raster class (doc_id % 4 = 3) that ships
+    * GIF instead of BMP — see [[assetsFromDocuments]]. */
+  val GifResidue = 3L
   /** Residue (mod 32) that becomes [[HostileDimsJpeg]] — a structurally
     * valid JPEG prefix DECLARING 16384×8192 px (2^27 > the 2^26 full-
     * decode bound), refused as `oversize` before any allocation. */
@@ -2285,6 +2296,13 @@ object Multimodal {
         val (w, h, pixels) = PngCodec.decode(a.payload)
         AssetFeatures(a.asset_id, a.kind, a.payload.length,
           sum32(pixels, 0, pixels.length), w, h, byteFeature(pixels, 0))
+      case "image/gif" =>
+        // first frame's index bytes — the palettized content (for the
+        // fixture's identity-gray table, the gray values themselves);
+        // the decode walks and validates EVERY frame + LZW stream
+        val (w, h, idx) = GifCodec.decode(a.payload)
+        AssetFeatures(a.asset_id, a.kind, a.payload.length,
+          sum32(idx, 0, idx.length), w, h, byteFeature(idx, 0))
       case "image/jpeg" =>
         val (w, h, pixels) = JpegCodec.decode(a.payload)
         AssetFeatures(a.asset_id, a.kind, a.payload.length,

@@ -45,7 +45,10 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
         .orderBy("asset_id", "frame")
     },
 
-    // Mixed FOUR-format decode (WAV / PNG / JPEG / BMP by doc_id % 4;
+    // Mixed multi-format decode (WAV / PNG / JPEG / BMP by doc_id % 4,
+    // with audio residue 20 mod 32 shipping FLAC and raster residue 3
+    // mod 32 shipping GIF — 9-bit-literal LZW, closed-form size per
+    // GifCodec.encodedSize, decoded indices = the text bytes;
     // the JPEG class splits % 16 into BASELINE GRAYSCALE (2),
     // PROGRESSIVE grayscale (10 — a real SOF2 multi-scan frame: DC
     // scan + EOB-run AC scan, decoded by accumulating coefficients
@@ -123,6 +126,13 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
          |      ELSE 0 END) AS checksum
          |  FROM d, generate_series(1, 32) s(p)
          |  GROUP BY d.doc_id),
+         |gz AS (
+         |  -- GIF (raster residue 3): 9-bit literal LZW data bytes —
+         |  -- codes = npx + 2 + (npx-1)//254 (initial CLEAR, a CLEAR
+         |  -- every 254 literals, EOI), z = ceil(9*codes/8)
+         |  SELECT doc_id,
+         |    (9 * (w * hp + 2 + (w * hp - 1) // 254) + 7) // 8 AS zg
+         |  FROM d WHERE doc_id % 32 = 3),
          |jcsc AS (
          |  -- color checksum: first 32 INTERLEAVED RGB bytes — byte j
          |  -- is channel (j-1)%3 of pixel 1+(j-1)//3, and the chroma
@@ -139,6 +149,7 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
          |  GROUP BY d.doc_id)
          |SELECT d.doc_id AS asset_id,
          |  CASE WHEN d.doc_id % 32 = 20 THEN 'audio/flac'
+         |       WHEN d.doc_id % 32 = 3 THEN 'image/gif'
          |       WHEN d.doc_id % 4 = 0 THEN 'audio/wav'
          |       WHEN d.doc_id % 4 = 1 THEN 'image/png'
          |       WHEN d.doc_id % 4 = 2 THEN 'image/jpeg'
@@ -161,6 +172,9 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
          |         - COALESCE(j8.cnt8, 0)
          |       WHEN d.doc_id % 8 = 6 THEN 326 + 8 * w * hp
          |         - COALESCE(jm.cntm, 0)
+         |       -- GIF: 13 header + 768 GCT + 10 descriptor + 1 min-code
+         |       -- + z data + ceil(z/255) sub-block lengths + 2
+         |       WHEN d.doc_id % 32 = 3 THEN 794 + gz.zg + (gz.zg + 254) // 255
          |       ELSE 1078 + hp *
          |         ((((1 + n % 64) + 3) // 4) * 4) END AS BIGINT) AS n_bytes,
          |  -- LEFT joins + COALESCE: an empty doc has no byte rows but
@@ -180,6 +194,7 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
          |       LEFT JOIN jm ON jm.doc_id = d.doc_id
          |       LEFT JOIN jcs ON jcs.doc_id = d.doc_id
          |       LEFT JOIN jcsc ON jcsc.doc_id = d.doc_id
+         |       LEFT JOIN gz ON gz.doc_id = d.doc_id
          |ORDER BY asset_id""".stripMargin) { (s, dir) =>
       graft.etl.Multimodal.features(s, dir).drop("feature")
     },

@@ -1,0 +1,172 @@
+package graft.etl
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GifCodecSpec extends AnyFunSuite {
+
+  test("encoder round-trip: indices, closed-form size, screen descriptor") {
+    val data = "gif literal-lzw fixture content, ascii only".getBytes("UTF-8")
+    val (w, h) = (11, 4)
+    val px = java.util.Arrays.copyOf(data, w * h)
+    val gif = GifCodec.encode(w, h, px)
+    assert(gif.length == GifCodec.encodedSize(w * h))
+    val (dw, dh, idx) = GifCodec.decode(gif)
+    assert((dw, dh) == (w, h))
+    assert(idx.toSeq == px.toSeq)
+    // the identity-gray table maps index v to (v,v,v)
+    val (_, _, rgb) = GifCodec.decodeRgb(gif)
+    assert(rgb.length == 3 * w * h)
+    for (p <- 0 until w * h; c <- 0 until 3)
+      assert(rgb(3 * p + c) == px(p), s"rgb mismatch at px $p ch $c")
+    val info = GifCodec.decodeFrames(gif)
+    assert(info.width == w && info.height == h && info.frames.size == 1)
+
+    // closed form across the CLEAR cadence boundaries (254 literals)
+    for (n <- Seq(1, 2, 253, 254, 255, 508, 509, 1000, 4096)) {
+      val p2 = Array.tabulate(n)(i => ((i * 7 + 13) % 256).toByte)
+      val g2 = GifCodec.encode(n, 1, p2)
+      assert(g2.length == GifCodec.encodedSize(n), s"size mismatch at n=$n")
+      assert(GifCodec.decode(g2)._3.toSeq == p2.toSeq, s"content at n=$n")
+    }
+  }
+
+  test("ImageIO reads our containers; we read ImageIO's (real LZW, " +
+       "variable code widths)") {
+    // direction 1: a foreign reader accepts the deterministic encoder
+    val px = Array.tabulate(37 * 9)(i => ((i * 11 + 5) % 256).toByte)
+    val ours = GifCodec.encode(37, 9, px)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ours))
+    assert(img.getWidth == 37 && img.getHeight == 9)
+    for (y <- 0 until 9; x <- 0 until 37) {
+      val v = px(y * 37 + x) & 0xff
+      assert((img.getRGB(x, y) & 0xffffff) == (v << 16 | v << 8 | v),
+        s"ImageIO disagrees at ($x,$y)")
+    }
+    // direction 2: ImageIO's writer uses REAL LZW compression (growing
+    // code widths, dictionary hits) — decode and compare per pixel
+    val src = new java.awt.image.BufferedImage(61, 43,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 43; x <- 0 until 61)
+      // long runs + structure → the encoder emits dictionary codes
+      src.setRGB(x, y, if ((x / 7 + y / 5) % 2 == 0) 0x000000
+        else (x * 16 % 256) << 16 | (y * 24 % 256) << 8)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "gif", bos)
+    val theirs = bos.toByteArray
+    val (tw, th, rgb) = GifCodec.decodeRgb(theirs)
+    assert((tw, th) == (61, 43))
+    for (y <- 0 until 43; x <- 0 until 61) {
+      val argb = src.getRGB(x, y) // palette-quantized already
+      val p = 3 * (y * 61 + x)
+      assert((rgb(p) & 0xff) == ((argb >> 16) & 0xff) &&
+        (rgb(p + 1) & 0xff) == ((argb >> 8) & 0xff) &&
+        (rgb(p + 2) & 0xff) == (argb & 0xff),
+        s"pixel mismatch at ($x,$y)")
+    }
+  }
+
+  test("randomized ImageIO cross-validation over sizes and content") {
+    val rnd = new scala.util.Random(181)
+    for (_ <- 0 until 12) {
+      val w = 1 + rnd.nextInt(80)
+      val h = 1 + rnd.nextInt(60)
+      val src = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+      for (y <- 0 until h; x <- 0 until w)
+        src.setRGB(x, y, rnd.nextInt() & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(src, "gif", bos)
+      val (tw, th, rgb) = GifCodec.decodeRgb(bos.toByteArray)
+      assert((tw, th) == (w, h))
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = src.getRGB(x, y)
+        val p = 3 * (y * w + x)
+        assert((rgb(p) & 0xff) == ((argb >> 16) & 0xff) &&
+          (rgb(p + 1) & 0xff) == ((argb >> 8) & 0xff) &&
+          (rgb(p + 2) & 0xff) == (argb & 0xff),
+          s"${w}x$h mismatch at ($x,$y)")
+      }
+    }
+  }
+
+  test("interlaced and multi-frame GIFs decode (hand-built 4-pass " +
+       "interlace; animation via frame walk)") {
+    // hand-build an interlaced container: encode non-interlaced, then
+    // rewrite the descriptor flag and permute rows into stream order
+    val (w, h) = (5, 11)
+    val px = Array.tabulate(w * h)(i => ((i * 3 + 40) % 256).toByte)
+    val rows = (0 until h by 8) ++ (4 until h by 8) ++
+      (2 until h by 4) ++ (1 until h by 2)
+    val streamPx = rows.flatMap(y =>
+      px.slice(y * w, (y + 1) * w)).toArray
+    val plain = GifCodec.encode(w, h, streamPx)
+    val inter = plain.clone()
+    val descPos = GifCodec.HeaderSize + GifCodec.GctSize
+    assert((inter(descPos) & 0xff) == 0x2c)
+    inter(descPos + 9) = 0x40.toByte // set the interlace flag
+    val (iw, ih, idx) = GifCodec.decode(inter)
+    assert((iw, ih) == (w, h))
+    assert(idx.toSeq == px.toSeq, "de-interlaced rows in display order")
+    // ImageIO agrees on the interlaced container
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(inter))
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img.getRGB(x, y) >> 16 & 0xff) == (px(y * w + x) & 0xff),
+        s"ImageIO interlace disagreement at ($x,$y)")
+
+    // multi-frame: splice a second image block before the trailer
+    val f2 = Array.tabulate(w * h)(i => ((i * 5 + 9) % 256).toByte)
+    val second = GifCodec.encode(w, h, f2)
+    val body2 = java.util.Arrays.copyOfRange(second, descPos,
+      second.length - 1) // descriptor + data, no trailer
+    val anim = plain.dropRight(1) ++ body2 :+ 0x3b.toByte
+    val info = GifCodec.decodeFrames(anim)
+    assert(info.frames.size == 2)
+    assert(info.frames(0).indices.toSeq == streamPx.toSeq)
+    assert(info.frames(1).indices.toSeq == f2.toSeq)
+    // decode() = the first frame (the still-image content)
+    assert(GifCodec.decode(anim)._3.toSeq == streamPx.toSeq)
+  }
+
+  test("corruption and hostile headers refuse loudly") {
+    val px = Array.tabulate(40)(i => (i * 6 % 256).toByte)
+    val gif = GifCodec.encode(8, 5, px)
+    // truncation at various depths
+    for (cut <- Seq(4, 12, 100, gif.length - 2))
+      intercept[IllegalArgumentException](
+        GifCodec.decode(java.util.Arrays.copyOf(gif, cut)))
+    // not a GIF at all
+    intercept[IllegalArgumentException](
+      GifCodec.decode("definitely not a gif".getBytes("UTF-8")))
+    // a frame overflowing the logical screen
+    val bad = gif.clone()
+    val descPos = GifCodec.HeaderSize + GifCodec.GctSize
+    bad(descPos + 5) = 99.toByte // frame width 99 > screen width 8
+    val eo = intercept[IllegalArgumentException](GifCodec.decode(bad))
+    assert(eo.getMessage.contains("logical screen"), eo.getMessage)
+    // hostile dims: a header declaring 2^26+ pixels refuses before
+    // any buffer is sized
+    val huge = gif.clone()
+    huge(6) = 0xff.toByte; huge(7) = 0xff.toByte   // screen w = 65535
+    huge(8) = 0xff.toByte; huge(9) = 0xff.toByte   // screen h = 65535
+    huge(descPos + 5) = 0xff.toByte; huge(descPos + 6) = 0xff.toByte
+    huge(descPos + 7) = 0xff.toByte; huge(descPos + 8) = 0xff.toByte
+    val eh = intercept[IllegalArgumentException](GifCodec.decode(huge))
+    assert(eh.getMessage.contains("2^26"), eh.getMessage)
+    // an LZW code beyond the table
+    val lzw = gif.clone()
+    // first data sub-block starts after descriptor + min-code byte +
+    // length byte; 9-bit codes LSB-first: first code = CLEAR (256) =
+    // bits 0..8; corrupt the second code into 0x1FF (= 511, > table)
+    val dataPos = descPos + GifCodec.DescriptorSize + 2
+    lzw(dataPos + 1) = 0xff.toByte
+    lzw(dataPos + 2) = (lzw(dataPos + 2) | 0x03).toByte
+    val el = intercept[IllegalArgumentException](GifCodec.decode(lzw))
+    assert(el.getMessage.contains("LZW"), el.getMessage)
+    // the encoder's own guards
+    intercept[IllegalArgumentException](GifCodec.encode(0, 5, px))
+    intercept[IllegalArgumentException](GifCodec.encode(8, 5,
+      java.util.Arrays.copyOf(px, 39)))
+  }
+}

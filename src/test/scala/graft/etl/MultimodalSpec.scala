@@ -381,6 +381,16 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // conformant container: headers + palette + ph rows at stride 4
     assert(feats(3).n_bytes == 1078 + ph * 4)
     assert(feats(3).checksum == 32L * 'd'.toLong)
+
+    // GIF class (raster residue 3 mod 32): decoded indices through the
+    // identity-gray table ARE the text bytes; closed-form size
+    val gfeats = Multimodal.extractFeatures(Multimodal.assetsFromDocuments(
+      Seq((3L, "e" * 130, "web", 130L))
+        .toDF("doc_id", "text", "source", "n_chars"))).collect()
+    assert(gfeats.head.kind == "image/gif")
+    assert(gfeats.head.width == pw && gfeats.head.height == ph)
+    assert(gfeats.head.n_bytes == GifCodec.encodedSize(pw * ph))
+    assert(gfeats.head.checksum == 32L * 'e'.toLong)
   }
 
   test("empty documents still encode as valid assets (images clamp to one block)") {
@@ -795,16 +805,20 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     import ss.implicits._
     val docs = Seq(
       (2L, "b" * 100, "web", 100L),           // doc_id % 4 == 2 → gray JPEG
-      (3L, "x" * 100, "web", 100L),           // doc_id % 4 == 3 → BMP: w=37, h=3
-      (4L, "ab" * 80, "web", 160L))           // doc_id % 4 == 0 → WAV: 160 bytes
+      (7L, "x" * 100, "web", 100L),           // doc_id % 4 == 3 → BMP: w=37, h=3
+      (4L, "ab" * 80, "web", 160L),           // doc_id % 4 == 0 → WAV: 160 bytes
+      (3L, "y" * 100, "web", 100L))           // doc_id % 32 == 3 → GIF
       .toDF("doc_id", "text", "source", "n_chars")
     val assets = Multimodal.assetsFromDocuments(docs)
     val resized = Multimodal.resizeAssets(assets, 2)
       .collect().sortBy(_.asset_id)
-    val (rw, rh, _) = Multimodal.BmpCodec.decode(resized(1).payload)
+    val (rw, rh, _) = Multimodal.BmpCodec.decode(resized(3).payload)
     assert((rw, rh) == (18, 1), "37x3 halves to 18x1")
     assert(resized(2).payload.toSeq == assets.collect()
       .find(_.asset_id == 4L).get.payload.toSeq, "audio passes through")
+    assert(resized(1).kind == "image/gif" && resized(1).payload.toSeq ==
+      assets.collect().find(_.asset_id == 3L).get.payload.toSeq,
+      "GIF passes through the resize stage")
     assert(resized(0).kind == "image/jpeg" && resized(0).payload.toSeq ==
       assets.collect().find(_.asset_id == 2L).get.payload.toSeq,
       "factor 2 is off the 8-px block grid: JPEG passes through")
