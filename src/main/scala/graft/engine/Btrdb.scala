@@ -870,15 +870,33 @@ class Btrdb(val spark: SparkSession, val root: String,
   private def alarmMarker(dir: String): String =
     s"${Btrdb.WBucketAlarmDir}/${dir.stripPrefix("pyramid/")
       .replace('/', '-')}"
+  /** The pw this root SHOULD have been created with, computed from the
+    * degenerate dir's observed bytes: each decrement of
+    * pyramidWBucketPw halves a wbucket's time-span — and, at the
+    * density that filled this dir, its bytes — so shrinking by
+    * ceil(log2(bytes / bound)) puts the dir back under the bound.
+    * Floored at max(pyramidLevels): a wbucket narrower than the
+    * coarsest level can't hold even one of its windows (the geometry
+    * require at construction). The fold already knows the dir's bytes
+    * and the root's geometry, so the operator gets a NUMBER to feed
+    * `stamp-geometry`/root re-creation, not just a knob name. */
+  private def suggestedWBucketPw(bytes: Long): Int = {
+    val floor = if (pyramidLevels.nonEmpty) pyramidLevels.max else 0
+    val halvings = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
+      (bytes - 1) / Btrdb.wbucketAlarmBytes))
+    math.max(floor, pyramidWBucketPw - halvings)
+  }
+
   private def recordWBucketAlarm(dir: String, bytes: Long): Unit = {
-    store.writeAtomic(alarmMarker(dir), s"$bytes $dir")
+    val pw = suggestedWBucketPw(bytes)
+    store.writeAtomic(alarmMarker(dir), s"$bytes $dir $pw")
     if (wbucketAlarmsSeen.add(dir))
       System.err.println(s"[graft] engine root $root: rollup partition " +
         s"$dir holds $bytes bytes (> ${Btrdb.wbucketAlarmBytes}): " +
         "pyramidWBucketPw is too wide for this stream's density, so " +
         "every commit rewrites this whole dir (O(total rollup), not " +
-        "O(batch)) — size the wbucket to cadence at root creation " +
-        "(see Btrdb.wbucketAlarmBytes)")
+        s"O(batch)) — recreate the root with pyramidWBucketPw=$pw " +
+        "(computed from this dir's density; see Btrdb.wbucketAlarmBytes)")
   }
   private def clearWBucketAlarm(dir: String): Unit =
     if (wbucketAlarmsSeen.remove(dir) || exists(alarmMarker(dir)))
@@ -893,8 +911,11 @@ class Btrdb(val spark: SparkSession, val root: String,
       else store.listNames(Btrdb.WBucketAlarmDir).sorted.map { name =>
         val body = store.readString(s"${Btrdb.WBucketAlarmDir}/$name")
           .map(_.trim).getOrElse("?")
-        body.split(" ", 2) match {
-          case Array(b, d) =>
+        body.split(" ", 3) match {
+          case Array(b, d, pw) =>
+            s"wbucket-degenerate: $d ${b}B > ${Btrdb.wbucketAlarmBytes}B " +
+              s"(suggest pyramidWBucketPw=$pw)"
+          case Array(b, d) => // pre-round-18 marker without a suggestion
             s"wbucket-degenerate: $d ${b}B > ${Btrdb.wbucketAlarmBytes}B"
           case _ => s"wbucket-degenerate: $body"
         }

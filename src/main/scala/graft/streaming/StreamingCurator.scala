@@ -85,6 +85,35 @@ object StreamingCurator {
     * ([[graft.etl.DedupState]]) — the production split is a bounded
     * streaming gate in front of a versioned on-disk index.
     */
+  /** The MEDIA admission gate: a streaming source of binary asset rows
+    * (asset_id LONG, kind STRING, payload BINARY [, meta_source,
+    * meta_chars]) through the SAME quarantining per-partition decode
+    * the batch path uses ([[graft.etl.Multimodal.decodeAll]]) — every
+    * input row becomes exactly one tagged output row (ok + features,
+    * or the oversize/unknown-kind/decode-error reject), so one corrupt
+    * container in a micro-batch costs ONE REJECT ROW, never the stream:
+    * an uncaught decode throw inside foreachBatch would fail the batch,
+    * the query would retry it, hit the same container, and die — the
+    * job-death loop the batch quarantine exists to prevent, re-armed at
+    * ingest. Narrow (a mapPartitions over the micro-batch, no state, no
+    * shuffle), so it composes with any downstream sink or the text
+    * gate. Callers split on `ok`; the reject side is first-class output
+    * to land in an audit sink, never a silent drop. */
+  def curateMedia(source: DataFrame): Dataset[graft.etl.Multimodal.AssetDecodeRow] = {
+    val spark = source.sparkSession
+    import spark.implicits._
+    val cols = source.columns.toSet
+    val assets = source.select(
+        col("asset_id").cast("long").as("asset_id"),
+        col("kind"), col("payload"),
+        (if (cols("meta_source")) col("meta_source") else lit(""))
+          .as("meta_source"),
+        (if (cols("meta_chars")) col("meta_chars").cast("long") else lit(0L))
+          .as("meta_chars"))
+      .as[graft.etl.Multimodal.Asset]
+    graft.etl.Multimodal.decodeAll(assets)
+  }
+
   def curate(source: DataFrame, ttlMs: Option[Long] = None): Dataset[Admitted] = {
     val spark = source.sparkSession
     import spark.implicits._

@@ -100,6 +100,25 @@ class GeometrySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(warns.nonEmpty, "degenerate wbucket must raise the alarm")
       assert(warns.exists(w => w.contains("wbucket-degenerate") &&
         w.contains("pyramid/pw=20")), warns)
+      // the alarm is ACTIONABLE: it carries a computed pyramidWBucketPw
+      // whose halvings would put the dir back under the bound at this
+      // stream's density (the IngestBench `2000000 54 4096` degenerate
+      // shape in miniature: dense stream, pw=54, one packed dir)
+      val Sug = """.*pyramid/pw=20/\S+ (\d+)B > (\d+)B \(suggest """ +
+        """pyramidWBucketPw=(\d+)\).*"""
+      val m = warns.collectFirst {
+        case w if w.matches(Sug) =>
+          val g = Sug.r.findFirstMatchIn(w).get
+          (g.group(1).toLong, g.group(2).toLong, g.group(3).toInt)
+      }
+      assert(m.nonEmpty, s"no suggestion in $warns")
+      val (dirBytes, bound, sug) = m.get
+      assert(sug >= 30 && sug < 54, s"suggested pw $sug out of range")
+      // each pw decrement halves the wbucket span (and at uniform
+      // density its bytes): the suggested pw must clear the bound
+      assert(dirBytes.toDouble / (1L << (54 - sug)) <= bound,
+        s"suggestion $sug would leave ${dirBytes / (1L << (54 - sug))}B " +
+          s"in the dir (> $bound)")
       // the quantile-histogram table shares the geometry and alarms too
       assert(warns.exists(_.contains("qhist/sbucket=")), warns)
       // the console surfaces it on the info line

@@ -53,6 +53,47 @@ class StreamingCuratorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq == Seq((3L, 50L), (5L, 50L)))
   }
 
+  test("media quarantine: a corrupt container in a micro-batch yields a " +
+       "reject row and the stream survives") {
+    val ss = spark
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    import graft.etl.Multimodal
+    val ckpt = Files.createTempDirectory("curator-media-ckpt").toString
+    val goodBmp = Multimodal.BmpCodec.encode(4, 4,
+      Array.tabulate(16)(_.toByte))
+    val goodGif = graft.etl.GifCodec.encode(3, 2,
+      Array.tabulate(6)(i => (40 + i).toByte))
+    val corrupt = java.util.Arrays.copyOf(goodBmp, 10) // truncated header
+    val alien = "riff-less mystery bytes".getBytes("UTF-8")
+    val mem = MemoryStream[(Long, String, Array[Byte])]
+    val out = StreamingCurator.curateMedia(
+      mem.toDF().toDF("asset_id", "kind", "payload"))
+    val q = out.writeStream.format("memory").queryName("media_gate")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    // batch 1: good + corrupt together — the corrupt row must not fail
+    // the batch (a thrown decode would loop the retry and kill the query)
+    mem.addData((1L, "image/bmp", goodBmp), (2L, "image/bmp", corrupt))
+    q.processAllAvailable()
+    // batch 2 AFTER the corrupt row: the stream is still alive
+    mem.addData((3L, "image/gif", goodGif), (4L, "model/unknown", alien))
+    q.processAllAvailable()
+    assert(q.isActive, "stream must survive the corrupt container")
+    q.stop()
+    val rows = spark.table("media_gate").collect()
+      .map(r => (r.getLong(0), r.getBoolean(3),
+        Option(r.getString(8)))).sortBy(_._1)
+    // count conservation: 4 in, 4 out, each tagged
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows(0)._2 && rows(2)._2, "good containers admitted")
+    assert(!rows(1)._2 && rows(1)._3.contains("decode-error"), rows(1))
+    assert(!rows(3)._2 && rows(3)._3.contains("unknown-kind"), rows(3))
+    // the admitted GIF decoded for real: its checksum is the pixel sum
+    val gifRow = spark.table("media_gate").collect()
+      .find(_.getLong(0) == 3L).get
+    assert(gifRow.getLong(4) == (40 to 45).sum)
+  }
+
   test("quality gate matches the batch rule; scrubbed PII forms one dedup identity") {
     val ss = spark
     implicit val sqlCtx = ss.sqlContext
