@@ -2324,6 +2324,19 @@ object Multimodal {
         AssetFeatures(a.asset_id, a.kind, a.payload.length,
           sum32(sb, 0, sb.length), f.channels, f.totalSamples.toInt,
           byteFeature(sb, 0))
+      case "audio/mpeg" =>
+        // container-VALIDATED, not PCM-decoded (this environment has no
+        // independent MP3 decoder to referee a from-memory Layer III
+        // table dump — see Mp3Codec's scope note): the content region
+        // is the TAG-STRIPPED frame stream, so checksum and feature are
+        // ID3-invariant (a re-tagged crawl of the same audio matches);
+        // dims carry the walked metadata (channels, total samples)
+        val info = Mp3Codec.parse(a.payload)
+        val fs = java.util.Arrays.copyOfRange(a.payload,
+          info.frameStart, info.frameEnd)
+        AssetFeatures(a.asset_id, a.kind, a.payload.length,
+          sum32(fs, 0, fs.length), info.channels,
+          info.totalSamples.toInt, byteFeature(fs, 0))
       case k =>
         throw new UnknownKindException(s"no codec for kind '$k'")
     }

@@ -777,6 +777,32 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq[Byte](1, 3, 0, 0))
   }
 
+  test("MP3 containers validate through the quarantine: tag-invariant " +
+       "identity, walked metadata, corrupt -> one reject row") {
+    val ss = spark
+    import ss.implicits._
+    def fr(seed: Int) = Mp3Codec.buildFrame(1, 3, 9, 0, 0, mono = false,
+      withCrc = false, i => ((i * 13 + seed) % 256).toByte)
+    val audio = fr(1) ++ fr(2)
+    val v1 = new Array[Byte](128)
+    v1(0) = 'T'; v1(1) = 'A'; v1(2) = 'G'
+    val tagged = audio ++ v1 // same frames, extra ID3v1 trailer
+    val corrupt = java.util.Arrays.copyOf(audio, audio.length - 5)
+    val assets = Seq(
+      Multimodal.Asset(1L, "audio/mpeg", audio, "web", 0L),
+      Multimodal.Asset(2L, "audio/mpeg", tagged, "web", 0L),
+      Multimodal.Asset(3L, "audio/mpeg", corrupt, "web", 0L)).toDS()
+    val rows = Multimodal.decodeAll(assets).collect().sortBy(_.asset_id)
+    assert(rows(0).ok && rows(1).ok && !rows(2).ok)
+    assert(rows(2).error_class.contains("decode-error"))
+    // ID3-invariant: the tagged copy shares checksum AND feature with
+    // the bare one (the dedup identity is the frame stream)
+    assert(rows(0).checksum == rows(1).checksum)
+    assert(rows(0).feature.get.toSeq == rows(1).feature.get.toSeq)
+    // walked metadata: stereo, 2 frames x 1152 samples
+    assert(rows(0).width.contains(2) && rows(0).height.contains(2304))
+  }
+
   test("resizeAssets passes COLOR BMPs through unchanged (8-bpp only resizes)") {
     val ss = spark
     import ss.implicits._
