@@ -1,0 +1,327 @@
+package graft.etl
+
+/** Container-structure codecs for the remaining systematic crawl media
+  * formats — WebP (RIFF), Ogg, and MP4/ISO-BMFF — at the same honestly-
+  * scoped tier as [[Mp3Codec]]: full container validation, dims/
+  * duration metadata, and a METADATA-INVARIANT content identity for
+  * dedup, without the inner bitstream decode (VP8/Vorbis/AAC carry no
+  * in-container referee here — shipping a from-memory entropy decoder
+  * validated only by fixtures built from the same tables would be
+  * circular). Each walk is verifiable BY CONSTRUCTION: sizes must tile
+  * the payload exactly, every structural field is checked, and Ogg
+  * pages carry a real CRC-32 the walk validates (a genuine
+  * self-referee, like FLAC's CRCs).
+  *
+  * Content identities (what two crawls of the same media share even
+  * when their metadata differs):
+  *  - WebP: the codec chunk's payload (EXIF/XMP/ICCP chunks excluded)
+  *  - Ogg: the concatenated segment payloads (the elementary stream —
+  *    re-paginated streams share identity)
+  *  - MP4: the mdat payload (moov/metadata-atom-invariant)
+  *
+  * Public layouts per the RIFF/WebP container spec, RFC 3533 (Ogg) and
+  * ISO/IEC 14496-12 (BMFF). Reference behavior analog: opaque payloads
+  * with per-request validation (/root/reference/quasar.go:83-95). */
+object ContainerWalks {
+
+  // ===== WebP ===========================================================
+
+  /** Parsed WebP: variant is "VP8 " (lossy), "VP8L" (lossless) or
+    * "VP8X" (extended); dims from the variant's own header bits;
+    * `content` is the codec chunk's payload. */
+  final case class WebpInfo(variant: String, width: Int, height: Int,
+                            content: Array[Byte])
+
+  object WebpCodec {
+    private def le16(b: Array[Byte], p: Int): Int =
+      (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    private def le24(b: Array[Byte], p: Int): Int =
+      le16(b, p) | ((b(p + 2) & 0xff) << 16)
+    private def le32(b: Array[Byte], p: Int): Long =
+      le24(b, p).toLong | ((b(p + 3) & 0xffL) << 24)
+
+    /** Walk the RIFF container, validate chunk tiling, extract dims
+      * from the codec chunk's public header bits. */
+    def parse(payload: Array[Byte]): WebpInfo = {
+      require(payload.length >= 20 &&
+        new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(payload, 8, 4, "US-ASCII") == "WEBP",
+        s"not a WebP payload (${payload.length} bytes)")
+      val riffLen = le32(payload, 4)
+      require(8 + riffLen == payload.length,
+        s"RIFF size $riffLen does not tile the ${payload.length}-byte " +
+          "payload")
+      var pos = 12
+      var variant: String = null
+      var width = -1
+      var height = -1
+      var content: Array[Byte] = null
+      while (pos < payload.length) {
+        require(pos + 8 <= payload.length, s"truncated WebP chunk at $pos")
+        val tag = new String(payload, pos, 4, "US-ASCII")
+        val len = le32(payload, pos + 4)
+        require(len <= Int.MaxValue && pos + 8 + len <= payload.length,
+          s"WebP chunk '$tag' declares $len bytes past the payload end")
+        val body = pos + 8
+        val n = len.toInt
+        tag match {
+          case "VP8 " =>
+            // 3-byte frame tag, then keyframe start code 9D 01 2A, then
+            // 14-bit dims in 16-bit LE fields (top 2 bits = scale)
+            require(n >= 10, "truncated VP8 frame header")
+            require((payload(body) & 1) == 0, "VP8 chunk is not a keyframe")
+            require((payload(body + 3) & 0xff) == 0x9d &&
+              (payload(body + 4) & 0xff) == 0x01 &&
+              (payload(body + 5) & 0xff) == 0x2a, "bad VP8 start code")
+            width = le16(payload, body + 6) & 0x3fff
+            height = le16(payload, body + 8) & 0x3fff
+            if (variant == null) variant = tag
+            content = java.util.Arrays.copyOfRange(payload, body, body + n)
+          case "VP8L" =>
+            // signature 0x2F, then LSB-first: 14-bit width-1, 14-bit
+            // height-1, alpha bit, 3-bit version (must be 0)
+            require(n >= 5, "truncated VP8L header")
+            require((payload(body) & 0xff) == 0x2f, "bad VP8L signature")
+            val bits = le32(payload, body + 1)
+            width = (bits & 0x3fff).toInt + 1
+            height = ((bits >> 14) & 0x3fff).toInt + 1
+            require(((bits >> 29) & 7) == 0, "reserved VP8L version")
+            if (variant == null) variant = tag
+            content = java.util.Arrays.copyOfRange(payload, body, body + n)
+          case "VP8X" =>
+            // extended header: 4 flag bytes then 24-bit LE dims minus 1
+            require(n == 10, s"VP8X header must be 10 bytes, got $n")
+            width = le24(payload, body + 4) + 1
+            height = le24(payload, body + 7) + 1
+            variant = tag
+          case _ => () // EXIF / XMP / ICCP / ALPH / ANIM… — metadata,
+            // excluded from the content identity by design
+        }
+        pos = body + n + (n & 1) // RIFF pads odd chunks
+      }
+      require(variant != null, "WebP payload without a codec chunk")
+      require(width >= 1 && height >= 1, s"bad WebP dims ${width}x$height")
+      require(width.toLong * height <= (1L << 26),
+        s"WebP dims ${width}x$height exceed the in-row decode bound " +
+          "(2^26 pixels)")
+      require(content != null || variant == "VP8X",
+        "WebP payload without image data")
+      WebpInfo(variant, width, height,
+        if (content != null) content else Array.emptyByteArray)
+    }
+  }
+
+  // ===== Ogg ============================================================
+
+  /** One validated Ogg page. */
+  final case class OggPage(offset: Int, headerType: Int, granule: Long,
+                           serial: Long, seq: Long, body: Array[Byte])
+
+  object OggCodec {
+    /** Ogg's CRC-32: polynomial 0x04C11DB7, init 0, no reflection, no
+      * final xor — computed over the page with its CRC field zeroed
+      * (RFC 3533 §6). A REAL self-referee: the walk validates every
+      * page, and the specs corrupt bytes to prove detection. */
+    private[etl] def crc32(bytes: Array[Byte], from: Int, until: Int,
+                           zeroFrom: Int, zeroUntil: Int): Long = {
+      var crc = 0L
+      var i = from
+      while (i < until) {
+        val b = if (i >= zeroFrom && i < zeroUntil) 0 else bytes(i) & 0xff
+        crc ^= b.toLong << 24
+        var k = 0
+        while (k < 8) {
+          crc = if ((crc & 0x80000000L) != 0) ((crc << 1) ^ 0x04c11db7L)
+            else crc << 1
+          crc &= 0xffffffffL
+          k += 1
+        }
+        i += 1
+      }
+      crc
+    }
+
+    /** Walk every page: capture pattern, version, CRC-32, segment
+      * tiling, sequence monotonicity per stream. Returns the pages;
+      * the concatenated bodies are the content identity. */
+    def parse(payload: Array[Byte]): Vector[OggPage] = {
+      require(payload.length >= 27, s"not an Ogg payload " +
+        s"(${payload.length} bytes)")
+      def le32(p: Int): Long =
+        (payload(p) & 0xffL) | ((payload(p + 1) & 0xffL) << 8) |
+          ((payload(p + 2) & 0xffL) << 16) | ((payload(p + 3) & 0xffL) << 24)
+      def le64(p: Int): Long = le32(p) | (le32(p + 4) << 32)
+      val pages = Vector.newBuilder[OggPage]
+      val lastSeq = scala.collection.mutable.Map.empty[Long, Long]
+      var pos = 0
+      while (pos < payload.length) {
+        require(pos + 27 <= payload.length, s"truncated Ogg page at $pos")
+        require(payload(pos) == 'O' && payload(pos + 1) == 'g' &&
+          payload(pos + 2) == 'g' && payload(pos + 3) == 'S',
+          s"lost Ogg capture pattern at $pos")
+        require(payload(pos + 4) == 0, "unsupported Ogg version")
+        val headerType = payload(pos + 5) & 0xff
+        val granule = le64(pos + 6)
+        val serial = le32(pos + 14)
+        val seq = le32(pos + 18)
+        val declaredCrc = le32(pos + 22)
+        val nSegs = payload(pos + 26) & 0xff
+        require(pos + 27 + nSegs <= payload.length,
+          s"truncated Ogg segment table at $pos")
+        var bodyLen = 0
+        var i = 0
+        while (i < nSegs) {
+          bodyLen += payload(pos + 27 + i) & 0xff
+          i += 1
+        }
+        val pageLen = 27 + nSegs + bodyLen
+        require(pos + pageLen <= payload.length,
+          s"Ogg page at $pos declares $pageLen bytes past the payload end")
+        val actual = crc32(payload, pos, pos + pageLen, pos + 22, pos + 26)
+        require(actual == declaredCrc,
+          s"Ogg page CRC-32 mismatch at $pos")
+        lastSeq.get(serial).foreach(prev => require(seq == prev + 1,
+          s"Ogg page sequence jump for stream $serial: $prev -> $seq"))
+        lastSeq(serial) = seq
+        pages += OggPage(pos, headerType,
+          granule, serial, seq, java.util.Arrays.copyOfRange(
+            payload, pos + 27 + nSegs, pos + pageLen))
+        pos += pageLen
+      }
+      val ps = pages.result()
+      require(ps.nonEmpty, "Ogg payload with no page")
+      require((ps.head.headerType & 2) != 0,
+        "Ogg stream does not begin with a beginning-of-stream page")
+      ps
+    }
+
+    /** The concatenated segment payloads — the elementary stream, the
+      * pagination-invariant content identity. */
+    def contentStream(payload: Array[Byte]): Array[Byte] = {
+      val pages = parse(payload)
+      val out = new java.io.ByteArrayOutputStream()
+      pages.foreach(p => out.write(p.body))
+      out.toByteArray
+    }
+
+    /** Deterministic page builder for specs and fixtures: wraps `body`
+      * as one page with a real CRC. */
+    private[etl] def buildPage(body: Array[Byte], headerType: Int,
+                               granule: Long, serial: Long,
+                               seq: Long): Array[Byte] = {
+      require(body.length <= 255 * 255, "spec builder: one-page bodies only")
+      val nSegs = body.length / 255 + 1
+      val page = new Array[Byte](27 + nSegs + body.length)
+      "OggS".getBytes("US-ASCII").copyToArray(page, 0)
+      page(5) = headerType.toByte
+      var i = 0
+      while (i < 8) { page(6 + i) = (granule >> (8 * i)).toByte; i += 1 }
+      i = 0
+      while (i < 4) {
+        page(14 + i) = (serial >> (8 * i)).toByte
+        page(18 + i) = (seq >> (8 * i)).toByte
+        i += 1
+      }
+      page(26) = nSegs.toByte
+      i = 0
+      while (i < nSegs) { // lacing: full 255s then the (possibly 0) tail
+        page(27 + i) =
+          (if (i < nSegs - 1) 255 else body.length % 255).toByte
+        i += 1
+      }
+      body.copyToArray(page, 27 + nSegs)
+      val crc = crc32(page, 0, page.length, 22, 26)
+      i = 0
+      while (i < 4) { page(22 + i) = (crc >> (8 * i)).toByte; i += 1 }
+      page
+    }
+  }
+
+  // ===== MP4 / ISO-BMFF =================================================
+
+  /** Parsed MP4: brand from ftyp, movie duration from mvhd (ms), and
+    * the mdat payload as the content identity. */
+  final case class Mp4Info(brand: String, durationMs: Long,
+                           content: Array[Byte])
+
+  object Mp4Codec {
+    private def be32(b: Array[Byte], p: Int): Long =
+      ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+    private def be64(b: Array[Byte], p: Int): Long =
+      (be32(b, p) << 32) | be32(b, p + 4)
+
+    /** Walk the top-level box tree (sizes must tile the payload
+      * exactly), require a leading ftyp, read mvhd (either version)
+      * for the duration, capture mdat. */
+    def parse(payload: Array[Byte]): Mp4Info = {
+      require(payload.length >= 16, s"not an MP4 payload " +
+        s"(${payload.length} bytes)")
+      var pos = 0
+      var brand: String = null
+      var durationMs = -1L
+      var content: Array[Byte] = null
+      var first = true
+      while (pos < payload.length) {
+        require(pos + 8 <= payload.length, s"truncated MP4 box at $pos")
+        var size = be32(payload, pos)
+        val typ = new String(payload, pos + 4, 4, "US-ASCII")
+        var hdr = 8
+        if (size == 1) {
+          require(pos + 16 <= payload.length, "truncated MP4 largesize")
+          size = be64(payload, pos + 8)
+          hdr = 16
+        } else if (size == 0) size = payload.length - pos // to end of file
+        require(size >= hdr && pos + size <= payload.length,
+          s"MP4 box '$typ' declares $size bytes past the payload end")
+        if (first) {
+          require(typ == "ftyp", s"MP4 payload must lead with ftyp, " +
+            s"got '$typ'")
+          require(size >= hdr + 8, "truncated ftyp box")
+          brand = new String(payload, pos + hdr, 4, "US-ASCII")
+          first = false
+        }
+        if (typ == "mdat")
+          content = java.util.Arrays.copyOfRange(payload,
+            pos + hdr, pos + size.toInt)
+        if (typ == "moov") {
+          // scan the moov children for mvhd
+          var p = pos + hdr
+          val end = pos + size.toInt
+          while (p < end) {
+            require(p + 8 <= end, "truncated moov child box")
+            val cs = be32(payload, p)
+            val ct = new String(payload, p + 4, 4, "US-ASCII")
+            require(cs >= 8 && p + cs <= end,
+              s"moov child '$ct' overruns its parent")
+            if (ct == "mvhd") {
+              val v = payload(p + 8) & 0xff
+              val (scale, dur) =
+                if (v == 0) (be32(payload, p + 20), be32(payload, p + 24))
+                else (be32(payload, p + 28), be64(payload, p + 32))
+              require(scale > 0, "mvhd timescale 0")
+              durationMs = dur * 1000 / scale
+            }
+            p += cs.toInt
+          }
+        }
+        pos += size.toInt
+      }
+      require(brand != null, "MP4 payload with no ftyp")
+      require(durationMs >= 0, "MP4 payload with no moov/mvhd")
+      Mp4Info(brand, durationMs,
+        if (content != null) content else Array.emptyByteArray)
+    }
+
+    /** Deterministic box builder for specs and fixtures. */
+    private[etl] def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](8 + body.length)
+      val size = out.length
+      out(0) = (size >> 24).toByte; out(1) = (size >> 16).toByte
+      out(2) = (size >> 8).toByte; out(3) = size.toByte
+      typ.getBytes("US-ASCII").copyToArray(out, 4)
+      body.copyToArray(out, 8)
+      out
+    }
+  }
+}

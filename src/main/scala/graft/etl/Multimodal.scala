@@ -2337,6 +2337,33 @@ object Multimodal {
         AssetFeatures(a.asset_id, a.kind, a.payload.length,
           sum32(fs, 0, fs.length), info.channels,
           info.totalSamples.toInt, byteFeature(fs, 0))
+      case "image/webp" =>
+        // container-validated ([[ContainerWalks]] scope note): dims from
+        // the codec chunk's header bits, content identity = the codec
+        // chunk payload (EXIF/XMP/ICCP-invariant)
+        val w = ContainerWalks.WebpCodec.parse(a.payload)
+        AssetFeatures(a.asset_id, a.kind, a.payload.length,
+          sum32(w.content, 0, w.content.length), w.width, w.height,
+          byteFeature(w.content, 0))
+      case "audio/ogg" =>
+        // content identity = the elementary stream (pagination-
+        // invariant); dims carry (logical streams, pages) — channel
+        // count lives in the Vorbis/Opus bitstream this walk does not
+        // decode. Every page's CRC-32 is validated (a real referee).
+        val pages = ContainerWalks.OggCodec.parse(a.payload)
+        val stream = ContainerWalks.OggCodec.contentStream(a.payload)
+        AssetFeatures(a.asset_id, a.kind, a.payload.length,
+          sum32(stream, 0, stream.length),
+          pages.map(_.serial).distinct.size, pages.size,
+          byteFeature(stream, 0))
+      case "video/mp4" | "audio/mp4" =>
+        // content identity = the mdat payload (moov/metadata-invariant);
+        // dims carry (1, duration in ms from mvhd)
+        val m = ContainerWalks.Mp4Codec.parse(a.payload)
+        AssetFeatures(a.asset_id, a.kind, a.payload.length,
+          sum32(m.content, 0, m.content.length), 1,
+          math.min(m.durationMs, Int.MaxValue.toLong).toInt,
+          byteFeature(m.content, 0))
       case k =>
         throw new UnknownKindException(s"no codec for kind '$k'")
     }

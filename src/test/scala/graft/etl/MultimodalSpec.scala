@@ -803,6 +803,51 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(0).width.contains(2) && rows(0).height.contains(2304))
   }
 
+  test("WebP/Ogg/MP4 container kinds validate through the quarantine " +
+       "with metadata-invariant identities") {
+    val ss = spark
+    import ss.implicits._
+    import ContainerWalks._
+    // minimal valid containers via the spec builders
+    val vp8 = {
+      val d = new Array[Byte](26)
+      d(0) = 0x10; d(3) = 0x9d.toByte; d(4) = 0x01; d(5) = 0x2a
+      d(6) = 9; d(8) = 7 // 9x7
+      for (i <- 10 until 26) d(i) = (i * 3).toByte
+      val body = "VP8 ".getBytes ++
+        Array[Byte](26, 0, 0, 0) ++ d
+      val out = new Array[Byte](12 + body.length)
+      "RIFF".getBytes.copyToArray(out, 0)
+      out(4) = (4 + body.length).toByte
+      "WEBP".getBytes.copyToArray(out, 8)
+      body.copyToArray(out, 12)
+      out
+    }
+    val ogg = OggCodec.buildPage("opus-ish bytes".getBytes, 2, 0, 5, 0)
+    val mp4 = {
+      val mvhdBody = new Array[Byte](100)
+      mvhdBody(12) = 0; mvhdBody(13) = 0; mvhdBody(14) = 3
+      mvhdBody(15) = 0xe8.toByte // timescale 1000
+      mvhdBody(19) = 42 // duration 42 -> 42 ms
+      Mp4Codec.box("ftyp", "isom".getBytes ++ new Array[Byte](8)) ++
+        Mp4Codec.box("moov", Mp4Codec.box("mvhd", mvhdBody)) ++
+        Mp4Codec.box("mdat", "media bytes".getBytes)
+    }
+    val corruptOgg = ogg.clone(); corruptOgg(30) = (corruptOgg(30) ^ 1).toByte
+    val assets = Seq(
+      Multimodal.Asset(1L, "image/webp", vp8, "web", 0L),
+      Multimodal.Asset(2L, "audio/ogg", ogg, "web", 0L),
+      Multimodal.Asset(3L, "audio/mp4", mp4, "web", 0L),
+      Multimodal.Asset(4L, "audio/ogg", corruptOgg, "web", 0L)).toDS()
+    val rows = Multimodal.decodeAll(assets).collect().sortBy(_.asset_id)
+    assert(rows(0).ok && rows(0).width.contains(9) &&
+      rows(0).height.contains(7))
+    assert(rows(1).ok && rows(1).width.contains(1) &&
+      rows(1).height.contains(1))
+    assert(rows(2).ok && rows(2).height.contains(42), rows(2))
+    assert(!rows(3).ok && rows(3).error_class.contains("decode-error"))
+  }
+
   test("resizeAssets passes COLOR BMPs through unchanged (8-bpp only resizes)") {
     val ss = spark
     import ss.implicits._
