@@ -252,6 +252,58 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
         .orderBy("rep_asset")
     },
 
+    // FORMAT-INVARIANT raster dedup — the image counterpart of
+    // q_media_dup: the same content shipped as PNG by one crawl, BMP
+    // by another and GIF by a third is ONE asset, visible only to a
+    // DECODED-content key. All three lossless raster codecs normalize
+    // to the identical byte grid (text bytes zero-padded to w·hp: PNG
+    // and GIF pad at encode, BMP's decodePixels zero-fills declared
+    // dims), so grouping by the decoded digest reproduces grouping by
+    // source text exactly — which is what the oracle does, having
+    // never seen a container. The digest itself is NOT in the output
+    // (padding makes it md5(text||zeros), which DuckDB can't build —
+    // VARCHARs can't carry NULs); group equality is proven through
+    // rep/count/kind-count instead. JPEG is excluded by construction:
+    // its decoded grid is the DCT-quantized gray field, a different
+    // content class.
+    "q_media_dup_raster" -> QueryDef(
+      s"""SELECT MIN(doc_id) AS rep_asset,
+         |  CAST(COUNT(*) AS BIGINT) AS n_assets,
+         |  CAST(COUNT(DISTINCT CASE WHEN doc_id % 32 = 3 THEN 'gif'
+         |    WHEN doc_id % 4 = 1 THEN 'png' ELSE 'bmp' END)
+         |    AS BIGINT) AS n_kinds
+         |FROM documents WHERE doc_id % 4 IN (1, 3)
+         |GROUP BY text
+         |ORDER BY rep_asset""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      graft.etl.Multimodal.assetsFromDocuments(docs(s, dir))
+        .filter((a: graft.etl.Multimodal.Asset) => a.kind == "image/png" ||
+          a.kind == "image/bmp" || a.kind == "image/gif")
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { a =>
+            val content = a.kind match {
+              case "image/png" =>
+                graft.etl.Multimodal.PngCodec.decode(a.payload)._3
+              case "image/bmp" =>
+                graft.etl.Multimodal.BmpCodec.decodePixels(a.payload)._3
+              case _ => graft.etl.GifCodec.decode(a.payload)._3
+            }
+            md.reset()
+            (a.asset_id,
+              String.format("%032x", new java.math.BigInteger(1,
+                md.digest(content))), a.kind)
+          }
+        }
+        .toDF("asset_id", "digest", "kind")
+        .groupBy("digest")
+        .agg(min("asset_id").as("rep_asset"),
+          count(lit(1)).as("n_assets"),
+          countDistinct("kind").as("n_kinds"))
+        .select("rep_asset", "n_assets", "n_kinds")
+        .orderBy("rep_asset")
+    },
+
     // DC-grid THUMBNAILS: every JPEG-class container (baseline gray,
     // progressive, color YCbCr) through decodeDcScaled — one pixel per
     // 8×8 block, no full pixel planes. The oracle recomputes dims and
