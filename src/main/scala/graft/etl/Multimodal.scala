@@ -338,15 +338,15 @@ object Multimodal {
       (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
     /** Undo PNG scanline filtering for one (sub-)image of `h` rows of
-      * `w` pixels at `bpp` bytes/pixel, reading filtered rows (1 filter
-      * byte + w·bpp data bytes each) from `raw` at `off`, writing
-      * unfiltered bytes into `out` (w·h·bpp). The five filters operate
-      * bytewise with `left` `bpp` bytes back — correct for every
-      * channel count AND sample depth (16-bit doubles bpp, nothing
-      * else). Returns the raw-bytes consumed. */
-    private def unfilter(raw: Array[Byte], off: Int, w: Int, h: Int,
+      * `stride` bytes, reading filtered rows (1 filter byte + stride
+      * data bytes each) from `raw` at `off`, writing unfiltered bytes
+      * into `out` (stride·h). The five filters operate bytewise with
+      * `left` `bpp` bytes back — correct for every channel count AND
+      * sample depth (16-bit doubles bpp; sub-byte depths pack into the
+      * stride and reference one byte back, per the spec). Returns the
+      * raw-bytes consumed. */
+    private def unfilter(raw: Array[Byte], off: Int, stride: Int, h: Int,
                          bpp: Int, out: Array[Byte]): Int = {
-      val stride = w * bpp
       var y = 0
       while (y < h) {
         val rowOff = off + y * (1 + stride)
@@ -375,17 +375,21 @@ object Multimodal {
       h * (1 + stride)
     }
 
-    /** Decode an 8- or 16-bit-depth PNG of ANY color type — grayscale
-      * (0), RGB (2), palette (3, mapped through PLTE to interleaved
-      * RGB), gray+alpha (4), RGBA (6) — sequential OR Adam7-interlaced:
-      * signature check, chunk walk with CRC verification, IDAT
-      * concatenation, REAL zlib inflate, the five-filter unfilter pass
-      * at the color type's bytes-per-pixel (per interlace pass — each
-      * Adam7 pass is its own filtered sub-image, placed on the full
-      * grid by the spec's start/step lattice). Returns (width, height,
-      * content bytes row-major, channel-interleaved — bytes/pixel =
-      * channels × depth/8; 16-bit samples stay big-endian as stored;
-      * palette output is 3 B/px RGB). A tRNS palette alpha is not
+    /** Decode a PNG of ANY legal IHDR shape — every color type
+      * (grayscale 0, RGB 2, palette 3 mapped through PLTE to
+      * interleaved RGB, gray+alpha 4, RGBA 6), every bit depth (1, 2,
+      * 4, 8, 16 where the spec allows it), sequential OR
+      * Adam7-interlaced: signature check, chunk walk with CRC
+      * verification, IDAT concatenation, REAL zlib inflate, the
+      * five-filter unfilter pass over each (sub-)image's packed row
+      * bytes (per interlace pass — each Adam7 pass is its own filtered
+      * sub-image, placed on the full grid by the spec's start/step
+      * lattice). Returns (width, height, content bytes row-major,
+      * channel-interleaved): depth ≥ 8 gives channels × depth/8 bytes
+      * per pixel with 16-bit samples big-endian as stored; sub-byte
+      * depths unpack MSB-first to ONE byte per sample carrying the raw
+      * 0..2^d−1 value (gray levels unscaled, palette indices as coded);
+      * palette output is 3 B/px RGB. A tRNS palette alpha is not
       * materialized (ancillary). Throws on anything malformed — decode
       * failures must surface, not pass through as zeros. */
     def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
@@ -417,11 +421,16 @@ object Multimodal {
             width = buf.getInt(pos + 8)
             height = buf.getInt(pos + 12)
             depth = buf.get(pos + 16) & 0xff
-            require(depth == 8 || depth == 16,
-              s"unsupported PNG bit depth $depth (8/16 only)")
+            require(Set(1, 2, 4, 8, 16).contains(depth),
+              s"invalid PNG bit depth $depth")
             colorType = buf.get(pos + 17) & 0xff
             require(Set(0, 2, 3, 4, 6).contains(colorType),
               s"reserved PNG color type $colorType")
+            // legality per the spec: sub-byte depths only for gray (0)
+            // and palette (3); 16-bit never for palette
+            require(depth >= 8 || colorType == 0 || colorType == 3,
+              s"depth $depth with color type $colorType is not a legal " +
+                "IHDR combination")
             require(!(colorType == 3 && depth == 16),
               "16-bit palette PNG is not a legal IHDR combination")
             require(buf.get(pos + 18) == 0 && buf.get(pos + 19) == 0,
@@ -452,7 +461,14 @@ object Multimodal {
         case 4 => 2
         case 6 => 4
       }
-      val bpp = channels * (depth / 8)
+      // bits per pixel in the coded stream; sub-byte depths (gray or
+      // palette indices) pack MSB-first into row bytes and UNPACK to
+      // one content byte per sample below — the filter pass always
+      // references whole bytes (`bppF` = 1 for packed rows, per spec)
+      val bitsPF = channels * depth
+      val bppF = math.max(1, bitsPF / 8)
+      val outBpp = math.max(1, bitsPF / 8)
+      def rowBytesOf(pw: Int): Int = (pw * bitsPF + 7) / 8
       // pass plan: sequential = one full-frame pass; Adam7 = the seven
       // lattice passes, empty passes (zero rows or cols) contributing
       // no scanlines at all (spec: they are absent from the stream)
@@ -465,7 +481,7 @@ object Multimodal {
       }
       val rawLen = passes.map { p =>
         val (pw, ph) = passDims(p)
-        if (pw == 0 || ph == 0) 0 else ph * (1 + pw * bpp)
+        if (pw == 0 || ph == 0) 0 else ph * (1 + rowBytesOf(pw))
       }.sum
       val raw = new Array[Byte](rawLen)
       val inf = new java.util.zip.Inflater()
@@ -479,27 +495,61 @@ object Multimodal {
       inf.end()
       require(got == raw.length,
         s"PNG scanline data truncated: $got of ${raw.length} bytes")
-      val out = new Array[Byte](width * height * bpp)
+      // unpack one packed (sub-byte) row to byte-per-sample values
+      def unpackRow(src: Array[Byte], srcOff: Int, pw: Int,
+                    dst: Array[Byte], dstOff: Int): Unit = {
+        val mask = (1 << depth) - 1
+        var x = 0
+        while (x < pw) {
+          val bit = x * depth
+          val b = src(srcOff + (bit >> 3)) & 0xff
+          dst(dstOff + x) = ((b >> (8 - depth - (bit & 7))) & mask).toByte
+          x += 1
+        }
+      }
+      val out = new Array[Byte](width * height * outBpp)
       var rawOff = 0
       passes.foreach { case p @ (xs, ys, xst, yst) =>
         val (pw, ph) = passDims(p)
         if (pw > 0 && ph > 0) {
-          if (!interlaced) rawOff += unfilter(raw, rawOff, pw, ph, bpp, out)
-          else {
-            // unfilter the pass as its own sub-image, then scatter its
-            // pixels onto the full grid at the pass lattice positions
-            val pbuf = new Array[Byte](pw * ph * bpp)
-            rawOff += unfilter(raw, rawOff, pw, ph, bpp, pbuf)
+          val stride = rowBytesOf(pw)
+          if (!interlaced && depth >= 8) { // rows ARE the content: in place
+            rawOff += unfilter(raw, rawOff, stride, ph, bppF, out)
+          } else {
+          val pbuf = new Array[Byte](stride * ph)
+          rawOff += unfilter(raw, rawOff, stride, ph, bppF, pbuf)
+          if (depth >= 8) {
+            // scatter the pass's pixels onto the full grid
             var y = 0
             while (y < ph) {
               var x = 0
               while (x < pw) {
-                System.arraycopy(pbuf, (y * pw + x) * bpp,
-                  out, ((ys + y * yst) * width + (xs + x * xst)) * bpp, bpp)
+                System.arraycopy(pbuf, y * stride + x * outBpp,
+                  out, ((ys + y * yst) * width + (xs + x * xst)) * outBpp,
+                  outBpp)
                 x += 1
               }
               y += 1
             }
+          } else {
+            // sub-byte: unpack each row to samples, then place
+            val rowSamples = new Array[Byte](pw)
+            var y = 0
+            while (y < ph) {
+              unpackRow(pbuf, y * stride, pw, rowSamples, 0)
+              if (!interlaced)
+                System.arraycopy(rowSamples, 0, out, y * width, pw)
+              else {
+                var x = 0
+                while (x < pw) {
+                  out((ys + y * yst) * width + (xs + x * xst)) =
+                    rowSamples(x)
+                  x += 1
+                }
+              }
+              y += 1
+            }
+          }
           }
         }
       }

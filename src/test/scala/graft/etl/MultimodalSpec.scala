@@ -257,11 +257,11 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ed = intercept[IllegalArgumentException](
       Multimodal.PngCodec.decode(deep))
     assert(ed.getMessage.contains("truncated"), ed.getMessage)
-    // still-unsupported depths and the illegal 16-bit palette refuse by name
-    val d4 = sig ++ chunk("IHDR", ihdrOf(4, 0, 0)) ++
+    // invalid depth values and the illegal 16-bit palette refuse by name
+    val d3 = sig ++ chunk("IHDR", ihdrOf(3, 0, 0)) ++
       chunk("IDAT", zbuf.take(zlen)) ++ chunk("IEND", Array.emptyByteArray)
     assert(intercept[IllegalArgumentException](
-      Multimodal.PngCodec.decode(d4)).getMessage.contains("bit depth"))
+      Multimodal.PngCodec.decode(d3)).getMessage.contains("bit depth"))
     val p16 = sig ++ chunk("IHDR", ihdrOf(16, 3, 0)) ++
       chunk("IDAT", zbuf.take(zlen)) ++ chunk("IEND", Array.emptyByteArray)
     assert(intercept[IllegalArgumentException](
@@ -775,6 +775,115 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rs = Multimodal.resizeBmp(short, 2)
     assert(Multimodal.BmpCodec.decodePixels(rs)._3.toSeq ===
       Seq[Byte](1, 3, 0, 0))
+  }
+
+  test("SUB-BYTE PNG (1/2/4-bit) decodes pixel-exact vs ImageIO, " +
+       "sequential and interlaced") {
+    def write(img: java.awt.image.BufferedImage,
+              progressive: Boolean): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val p = w.getDefaultWriteParam
+      p.setProgressiveMode(
+        if (progressive) javax.imageio.ImageWriteParam.MODE_DEFAULT
+        else javax.imageio.ImageWriteParam.MODE_DISABLED)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      w.dispose(); ios.close()
+      bos.toByteArray
+    }
+    // 1-bit: TYPE_BYTE_BINARY writes depth-1 gray; raw samples 0/1.
+    // Odd width exercises the row-padding bits.
+    val bin = new java.awt.image.BufferedImage(19, 7,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until 7; x <- 0 until 19)
+      bin.getRaster.setSample(x, y, 0, (x * 3 + y * 5) % 2)
+    for (prog <- Seq(false, true)) {
+      val png = write(bin, prog)
+      assert(png(24) == 1, s"fixture depth (prog=$prog)")
+      val (w1, h1, px1) = Multimodal.PngCodec.decode(png)
+      assert((w1, h1) == (19, 7))
+      for (y <- 0 until 7; x <- 0 until 19)
+        assert((px1(y * 19 + x) & 0xff) == bin.getRaster.getSample(x, y, 0),
+          s"1-bit (prog=$prog) mismatch at ($x,$y)")
+    }
+    // 4-bit palette: a 16-entry IndexColorModel → depth-4 color type 3,
+    // decoded through PLTE to RGB (compare against getRGB)
+    val cmap = Array.tabulate(16)(i =>
+      (i * 17) << 16 | ((15 - i) * 17) << 8 | (i * 5))
+    val icm = new java.awt.image.IndexColorModel(4, 16,
+      cmap, 0, false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+    val pal = new java.awt.image.BufferedImage(11, 6,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY, icm)
+    for (y <- 0 until 6; x <- 0 until 11)
+      pal.getRaster.setSample(x, y, 0, (x + y * 3) % 16)
+    for (prog <- Seq(false, true)) {
+      val png = write(pal, prog)
+      assert(png(24) == 4 && png(25) == 3, s"fixture shape (prog=$prog)")
+      val (w4, h4, px4) = Multimodal.PngCodec.decode(png)
+      assert((w4, h4) == (11, 6) && px4.length == 3 * 11 * 6)
+      for (y <- 0 until 6; x <- 0 until 11) {
+        val argb = pal.getRGB(x, y)
+        val p = 3 * (y * 11 + x)
+        assert((px4(p) & 0xff) == ((argb >> 16) & 0xff) &&
+          (px4(p + 1) & 0xff) == ((argb >> 8) & 0xff) &&
+          (px4(p + 2) & 0xff) == (argb & 0xff),
+          s"4-bit palette (prog=$prog) mismatch at ($x,$y)")
+      }
+    }
+    // 2-bit gray: hand-built (ImageIO has no 2-bit writer) — packed
+    // MSB-first, filter 2 (Up) rows exercise the byte-back reference
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val td = tag.getBytes("US-ASCII") ++ data
+      val crc = new java.util.zip.CRC32(); crc.update(td)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(td).putInt(crc.getValue.toInt).array()
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    val (gw, gh) = (9, 4) // 9 2-bit samples = 3 row bytes (6 pad bits)
+    val samples = Array.tabulate(gw * gh)(i => (i * 7 % 4).toByte)
+    def packRow(y: Int): Array[Byte] = {
+      val row = new Array[Byte](3)
+      for (x <- 0 until gw) {
+        val bit = x * 2
+        row(bit >> 3) = (row(bit >> 3) |
+          (samples(y * gw + x) << (6 - (bit & 7)))).toByte
+      }
+      row
+    }
+    val rawOut = new java.io.ByteArrayOutputStream()
+    var prevRow = new Array[Byte](3)
+    for (y <- 0 until gh) {
+      val row = packRow(y)
+      if (y % 2 == 0) { rawOut.write(0); rawOut.write(row) }
+      else { // filter 2: Up — deltas against the previous packed row
+        rawOut.write(2)
+        for (i <- 0 until 3)
+          rawOut.write((row(i) - prevRow(i)) & 0xff)
+      }
+      prevRow = row
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(rawOut.toByteArray); defl.finish()
+    val zbuf = new Array[Byte](256)
+    val zlen = defl.deflate(zbuf); defl.end()
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(gw).putInt(gh)
+      .put(2.toByte).put(0.toByte) // depth 2, gray
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val png2 = sig ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", zbuf.take(zlen)) ++ chunk("IEND", Array.emptyByteArray)
+    val (w2, h2, px2) = Multimodal.PngCodec.decode(png2)
+    assert((w2, h2) == (gw, gh))
+    assert(px2.toSeq == samples.toSeq, "2-bit gray raw samples")
+    // sub-byte RGB stays illegal
+    val bad = sig ++ chunk("IHDR", java.nio.ByteBuffer.allocate(13)
+      .putInt(4).putInt(4).put(4.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()) ++
+      chunk("IDAT", zbuf.take(zlen)) ++ chunk("IEND", Array.emptyByteArray)
+    assert(intercept[IllegalArgumentException](
+      Multimodal.PngCodec.decode(bad)).getMessage.contains("legal"))
   }
 
   test("MP3 containers validate through the quarantine: tag-invariant " +
