@@ -2419,7 +2419,7 @@ object Multimodal {
     }
   }
 
-  /** End-to-end: documents → mixed BMP/WAV assets → batch feature
+  /** End-to-end: documents → mixed raster/audio assets → batch feature
     * extraction. */
   def features(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(assetsFromDocuments(
@@ -2472,6 +2472,29 @@ object Multimodal {
         val (w, h, px) = BmpCodec.decodePixels(a.payload)
         if (px.length == w * h) a.copy(payload = resizeBmp(a.payload, f))
         else a
+      }
+      else if (a.kind == "image/gif") {
+        // a GRAY-palette GIF (every table entry r==g==b — the fixture's
+        // identity table included) resizes through the BMP interchange
+        // like the other gray rasters; a color-palette GIF passes
+        // through (no color raster interchange in this registry)
+        val fr = GifCodec.decodeFrames(a.payload).frames.head
+        val n = fr.width * fr.height
+        var gray = true
+        var p = 0
+        while (gray && p < n) {
+          gray = fr.rgb(3 * p) == fr.rgb(3 * p + 1) &&
+            fr.rgb(3 * p + 1) == fr.rgb(3 * p + 2)
+          p += 1
+        }
+        if (!gray) a
+        else {
+          val px = new Array[Byte](n)
+          p = 0
+          while (p < n) { px(p) = fr.rgb(3 * p); p += 1 }
+          a.copy(kind = "image/bmp",
+            payload = resizeBmp(BmpCodec.encode(fr.width, fr.height, px), f))
+        }
       }
       else if (a.kind == "image/jpeg" && f % 8 == 0) {
         // Thumbnail through the DC grid: 1/8 scale without ever

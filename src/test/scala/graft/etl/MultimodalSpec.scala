@@ -996,9 +996,12 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((rw, rh) == (18, 1), "37x3 halves to 18x1")
     assert(resized(2).payload.toSeq == assets.collect()
       .find(_.asset_id == 4L).get.payload.toSeq, "audio passes through")
-    assert(resized(1).kind == "image/gif" && resized(1).payload.toSeq ==
-      assets.collect().find(_.asset_id == 3L).get.payload.toSeq,
-      "GIF passes through the resize stage")
+    // the fixture GIF's identity-gray table makes it a gray raster:
+    // it resizes through the BMP interchange ("y"*100 → 37x3 → 18x1,
+    // pixels = the strided text bytes, all 'y')
+    assert(resized(1).kind == "image/bmp")
+    val (gw2, gh2, gpx) = Multimodal.BmpCodec.decodePixels(resized(1).payload)
+    assert((gw2, gh2) == (18, 1) && gpx.forall(_ == 'y'.toByte))
     assert(resized(0).kind == "image/jpeg" && resized(0).payload.toSeq ==
       assets.collect().find(_.asset_id == 2L).get.payload.toSeq,
       "factor 2 is off the 8-px block grid: JPEG passes through")
