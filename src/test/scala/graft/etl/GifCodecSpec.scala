@@ -129,6 +129,35 @@ class GifCodecSpec extends AnyFunSuite {
     assert(GifCodec.decode(anim)._3.toSeq == streamPx.toSeq)
   }
 
+  test("randomized round-trip fuzz: dims x content x multi-frame splices") {
+    val rnd = new scala.util.Random(1818)
+    for (i <- 0 until 40) {
+      val w = 1 + rnd.nextInt(180)
+      val h = 1 + rnd.nextInt(40)
+      val px = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val gif = GifCodec.encode(w, h, px)
+      assert(gif.length == GifCodec.encodedSize(w * h), s"iter $i size")
+      val (dw, dh, idx) = GifCodec.decode(gif)
+      assert((dw, dh) == (w, h) && idx.toSeq == px.toSeq, s"iter $i content")
+      // splice a random second frame: the walk must see both exactly
+      if (i % 4 == 0) {
+        val px2 = Array.fill(w * h)(rnd.nextInt(256).toByte)
+        val descPos = GifCodec.HeaderSize + GifCodec.GctSize
+        val second = GifCodec.encode(w, h, px2)
+        val anim = gif.dropRight(1) ++
+          java.util.Arrays.copyOfRange(second, descPos,
+            second.length - 1) :+ 0x3b.toByte
+        val info = GifCodec.decodeFrames(anim)
+        assert(info.frames.size == 2 &&
+          info.frames(1).indices.toSeq == px2.toSeq, s"iter $i splice")
+      }
+      // random truncation refuses, never misdecodes or over-reads
+      val cut = 1 + rnd.nextInt(gif.length - 1)
+      intercept[IllegalArgumentException](
+        GifCodec.decode(java.util.Arrays.copyOf(gif, cut)))
+    }
+  }
+
   test("corruption and hostile headers refuse loudly") {
     val px = Array.tabulate(40)(i => (i * 6 % 256).toByte)
     val gif = GifCodec.encode(8, 5, px)

@@ -76,6 +76,38 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(Mp3Codec.parse(m).channels == 1)
   }
 
+  test("randomized stream fuzz: frame counts x shapes walk exactly; " +
+       "random truncation refuses") {
+    val rnd = new scala.util.Random(181)
+    for (i <- 0 until 30) {
+      val v = Seq(1, 2, 25)(rnd.nextInt(3))
+      val l = 1 + rnd.nextInt(3)
+      val brIdx = 1 + rnd.nextInt(14)
+      val srIdx = rnd.nextInt(3)
+      val mono = rnd.nextBoolean()
+      val crc = l == 3 && rnd.nextBoolean()
+      val nFrames = 1 + rnd.nextInt(7)
+      val frames = (0 until nFrames).map { k =>
+        Mp3Codec.buildFrame(v, l, brIdx, srIdx, rnd.nextInt(2), mono, crc,
+          j => ((j * 17 + k * 31 + i) % 256).toByte)
+      }
+      val payload = frames.reduce(_ ++ _)
+      val info = Mp3Codec.parse(payload)
+      assert(info.frames.size == nFrames, s"iter $i frame count")
+      assert(info.frames.map(_.length).sum == payload.length, s"iter $i tiling")
+      assert(info.channels == (if (mono) 1 else 2))
+      // any NON-boundary prefix refuses (frame lengths are exact; a cut
+      // at an exact frame boundary is a legitimately shorter stream)
+      val bounds = info.frames.map(f => f.offset + f.length).toSet
+      val cut = Iterator.continually(1 + rnd.nextInt(payload.length - 1))
+        .find(c => !bounds(c)).get
+      intercept[IllegalArgumentException](
+        Mp3Codec.parse(java.util.Arrays.copyOf(payload, cut)))
+      // the frame stream is the whole payload when untagged
+      assert(Mp3Codec.frameStream(payload).length == payload.length)
+    }
+  }
+
   test("malformed streams refuse loudly at the right layer") {
     val good = frame() ++ frame()
     // lost sync
