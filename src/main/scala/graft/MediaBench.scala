@@ -42,7 +42,7 @@ object MediaBench {
     val docs = (0 until repl).map { r =>
       docs0.select((col("doc_id") + lit(r * stride)).as("doc_id"),
         concat(lit(s"r$r "), col("text")).as("text"),
-        col("source"), (col("n_chars") + lit(3 + r.toString.length))
+        col("source"), (col("n_chars") + lit(2 + r.toString.length))
           .as("n_chars"))
     }.reduce(_ union _)
     val assets = Multimodal.assetsWithEdgeCases(docs)

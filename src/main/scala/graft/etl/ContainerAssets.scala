@@ -1,0 +1,94 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.col
+
+/** Fixture tier for the CONTAINER codecs ([[Mp3Codec]],
+  * [[ContainerWalks]]): every document ships as TWO containers of the
+  * SAME content whose metadata/pagination differ — exactly what two
+  * independent crawls of one asset look like — so the tag/metadata-
+  * invariant dedup identities get a full-hash oracle gate
+  * (q_media_dup_tagged) instead of spec-only coverage.
+  *
+  * Kind by doc_id % 4, variants (asset_id = doc_id·2 + variant):
+  *  - 0 audio/mpeg: bare MP3 frame stream vs ID3v2(64 B) + frames +
+  *    ID3v1(128 B) — identity = the frame stream
+  *  - 1 audio/ogg: 4096-byte pages (serial 7) vs 100-byte pages
+  *    (serial 98765, different granules) — identity = the elementary
+  *    stream
+  *  - 2 image/webp: bare VP8L vs VP8L + EXIF(24 B) + XMP(31 B, odd →
+  *    padded) — identity = the VP8L chunk payload
+  *  - 3 video/mp4: ftyp+moov+mdat vs ftyp+free+mdat+moov(mvhd+udta) —
+  *    identity = the mdat payload
+  *
+  * Every container size is CLOSED-FORM in the text byte length n (the
+  * builders' Scaladoc), so the DuckDB oracle recomputes rep/count/
+  * content-length/total-bytes per (kind, text) group having never seen
+  * a container. Narrow generation — one flatMap, no shuffle; the 100 TB
+  * shape is the downstream digest groupBy's (map-side combined, 16-byte
+  * keys), same as q_media_dup. */
+object ContainerAssets {
+  import ContainerWalks.{Mp4Codec, OggCodec, WebpCodec}
+
+  /** Ogg page bodies for the two variants. The tagged variant's 100 is
+    * deliberately < 255 (single-lacing pages) and small enough that
+    * real corpus texts re-paginate across SEVERAL pages. */
+  val OggBareBody = 4096
+  val OggRepagBody = 100
+
+  private val exifBody: Array[Byte] =
+    "camera-one-metadata-blob".getBytes("US-ASCII") // 24 B, even
+  private val xmpBody: Array[Byte] =
+    "<x:xmpmeta>crawl two</x:xmpmeta".getBytes("US-ASCII") // 31 B, odd
+  require(exifBody.length == 24 && xmpBody.length == 31,
+    "metadata chunk sizes are baked into the oracle's closed forms")
+
+  def taggedAssetsFromDocuments(docs: DataFrame): Dataset[Multimodal.Asset] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"), col("source"),
+        col("n_chars").cast("long"))
+      .as[(Long, String, String, Long)]
+      .flatMap { case (id, text, source, nChars) =>
+        val bytes = text.getBytes("UTF-8")
+        val (kind, bare, tagged) = (id % 4) match {
+          case 0 =>
+            val frames = Mp3Codec.encodeFrames(bytes)
+            ("audio/mpeg", frames,
+              Mp3Codec.id3v2Tag(new Array[Byte](54)) ++ frames ++
+                Mp3Codec.id3v1Tag("graft crawl two"))
+          case 1 =>
+            ("audio/ogg",
+              OggCodec.encode(bytes, OggBareBody, serial = 7L),
+              OggCodec.encode(bytes, OggRepagBody, serial = 98765L))
+          case 2 =>
+            val w = 1 + bytes.length % 64
+            val h = math.max(1, (bytes.length + w - 1) / w)
+            ("image/webp", WebpCodec.encodeLossless(w, h, bytes),
+              WebpCodec.encodeLossless(w, h, bytes,
+                Seq("EXIF" -> exifBody, "XMP " -> xmpBody)))
+          case _ =>
+            ("video/mp4",
+              Mp4Codec.encode(bytes, durationMs = bytes.length.toLong,
+                tagged = false),
+              Mp4Codec.encode(bytes, durationMs = bytes.length.toLong,
+                tagged = true))
+        }
+        Seq(Multimodal.Asset(id * 2, kind, bare, source, nChars),
+          Multimodal.Asset(id * 2 + 1, kind, tagged, source, nChars))
+      }
+  }
+
+  /** The kind-specific metadata-invariant content identity — the byte
+    * stream two crawls of the same media share. Throws on a malformed
+    * container (quarantine upstream tags it per row). */
+  def contentIdentity(kind: String, payload: Array[Byte]): Array[Byte] =
+    kind match {
+      case "audio/mpeg" => Mp3Codec.frameStream(payload)
+      case "audio/ogg"  => OggCodec.contentStream(payload)
+      case "image/webp" => WebpCodec.parse(payload).content
+      case "video/mp4"  => Mp4Codec.parse(payload).content
+      case other => throw new IllegalArgumentException(
+        s"no container identity registered for kind '$other'")
+    }
+}

@@ -14,7 +14,8 @@ package graft.etl
   *
   * Content identities (what two crawls of the same media share even
   * when their metadata differs):
-  *  - WebP: the codec chunk's payload (EXIF/XMP/ICCP chunks excluded)
+  *  - WebP: the image-data chunk payloads in file order — the codec
+  *    chunk, plus ALPH/ANIM/ANMF under VP8X (EXIF/XMP/ICCP excluded)
   *  - Ogg: the concatenated segment payloads (the elementary stream —
   *    re-paginated streams share identity)
   *  - MP4: the mdat payload (moov/metadata-atom-invariant)
@@ -28,7 +29,8 @@ object ContainerWalks {
 
   /** Parsed WebP: variant is "VP8 " (lossy), "VP8L" (lossless) or
     * "VP8X" (extended); dims from the variant's own header bits;
-    * `content` is the codec chunk's payload. */
+    * `content` is the concatenated image-data chunk payloads (codec
+    * chunk, plus ALPH/ANIM/ANMF under VP8X) in file order. */
   final case class WebpInfo(variant: String, width: Int, height: Int,
                             content: Array[Byte])
 
@@ -55,7 +57,11 @@ object ContainerWalks {
       var variant: String = null
       var width = -1
       var height = -1
-      var content: Array[Byte] = null
+      // Image-data chunks in file order: for plain files the single
+      // codec chunk; for VP8X also ALPH/ANIM/ANMF — an animated WebP's
+      // pixels live in ANMF sub-chunks, so excluding them would give
+      // every animation one shared (empty) dedup identity
+      val content = new java.io.ByteArrayOutputStream()
       while (pos < payload.length) {
         require(pos + 8 <= payload.length, s"truncated WebP chunk at $pos")
         val tag = new String(payload, pos, 4, "US-ASCII")
@@ -73,29 +79,41 @@ object ContainerWalks {
             require((payload(body + 3) & 0xff) == 0x9d &&
               (payload(body + 4) & 0xff) == 0x01 &&
               (payload(body + 5) & 0xff) == 0x2a, "bad VP8 start code")
-            width = le16(payload, body + 6) & 0x3fff
-            height = le16(payload, body + 8) & 0x3fff
+            if (variant != "VP8X") { // VP8X canvas dims take precedence
+              width = le16(payload, body + 6) & 0x3fff
+              height = le16(payload, body + 8) & 0x3fff
+            }
             if (variant == null) variant = tag
-            content = java.util.Arrays.copyOfRange(payload, body, body + n)
+            content.write(payload, body, n)
           case "VP8L" =>
             // signature 0x2F, then LSB-first: 14-bit width-1, 14-bit
             // height-1, alpha bit, 3-bit version (must be 0)
             require(n >= 5, "truncated VP8L header")
             require((payload(body) & 0xff) == 0x2f, "bad VP8L signature")
             val bits = le32(payload, body + 1)
-            width = (bits & 0x3fff).toInt + 1
-            height = ((bits >> 14) & 0x3fff).toInt + 1
+            if (variant != "VP8X") {
+              width = (bits & 0x3fff).toInt + 1
+              height = ((bits >> 14) & 0x3fff).toInt + 1
+            }
             require(((bits >> 29) & 7) == 0, "reserved VP8L version")
             if (variant == null) variant = tag
-            content = java.util.Arrays.copyOfRange(payload, body, body + n)
+            content.write(payload, body, n)
           case "VP8X" =>
             // extended header: 4 flag bytes then 24-bit LE dims minus 1
             require(n == 10, s"VP8X header must be 10 bytes, got $n")
             width = le24(payload, body + 4) + 1
             height = le24(payload, body + 7) + 1
             variant = tag
-          case _ => () // EXIF / XMP / ICCP / ALPH / ANIM… — metadata,
-            // excluded from the content identity by design
+          case "ALPH" | "ANIM" | "ANMF" =>
+            // image data, not metadata: the alpha plane and animation
+            // frames ARE what a renderer composes, so they belong to
+            // the content identity (an animated WebP's only pixel data
+            // is its ANMF payloads)
+            require(variant == "VP8X",
+              s"'$tag' chunk outside a VP8X container")
+            content.write(payload, body, n)
+          case _ => () // EXIF / XMP / ICCP — metadata, excluded from
+            // the content identity by design
         }
         pos = body + n + (n & 1) // RIFF pads odd chunks
       }
@@ -104,10 +122,53 @@ object ContainerWalks {
       require(width.toLong * height <= (1L << 26),
         s"WebP dims ${width}x$height exceed the in-row decode bound " +
           "(2^26 pixels)")
-      require(content != null || variant == "VP8X",
-        "WebP payload without image data")
-      WebpInfo(variant, width, height,
-        if (content != null) content else Array.emptyByteArray)
+      // no escape for VP8X: an extended container whose only chunks are
+      // metadata carries no pixels — admitting it would hand every such
+      // file one shared empty dedup identity (false merges)
+      require(content.size > 0, "WebP payload without image data")
+      WebpInfo(variant, width, height, content.toByteArray)
+    }
+
+    /** RIFF assembly with the spec's odd-chunk padding. */
+    private def riff(chunks: Seq[(String, Array[Byte])]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF????WEBP".getBytes("US-ASCII"))
+      chunks.foreach { case (tag, body) =>
+        out.write(tag.getBytes("US-ASCII"))
+        var i = 0
+        while (i < 4) { out.write((body.length >> (8 * i)) & 0xff); i += 1 }
+        out.write(body)
+        if ((body.length & 1) == 1) out.write(0)
+      }
+      val bytes = out.toByteArray
+      val riffLen = bytes.length - 8
+      var i = 0
+      while (i < 4) { bytes(4 + i) = (riffLen >> (8 * i)).toByte; i += 1 }
+      bytes
+    }
+
+    /** Deterministic lossless-variant assembler: a VP8L chunk whose
+      * payload is the 5-byte public header (signature + 14-bit dims)
+      * followed by `data` VERBATIM, plus optional metadata chunks
+      * (EXIF/XMP/ICCP). NOT a VP8L pixel encoder — the bitstream body
+      * is opaque to the walk by design; what it provides is a
+      * conformant container whose size is CLOSED-FORM
+      * (12 + 8 + 5 + n + pad + Σ meta) and whose metadata-invariant
+      * content identity (5 + n bytes) the oracle can recompute. */
+    def encodeLossless(width: Int, height: Int, data: Array[Byte],
+                       meta: Seq[(String, Array[Byte])] = Nil): Array[Byte] = {
+      require(width >= 1 && width <= 0x4000 &&
+        height >= 1 && height <= 0x4000,
+        s"VP8L dims ${width}x$height exceed the 14-bit fields")
+      require(width.toLong * height <= (1L << 26),
+        s"dims ${width}x$height exceed the decode bound (2^26 pixels)")
+      val body = new Array[Byte](5 + data.length)
+      body(0) = 0x2f
+      val bits = (width - 1).toLong | ((height - 1).toLong << 14)
+      var i = 0
+      while (i < 4) { body(1 + i) = (bits >> (8 * i)).toByte; i += 1 }
+      data.copyToArray(body, 5)
+      riff(("VP8L" -> body) +: meta)
     }
   }
 
@@ -204,6 +265,31 @@ object ContainerWalks {
       out.toByteArray
     }
 
+    /** Deterministic PAGINATOR: splits `data` into pages of `pageBody`
+      * bytes (last page short, possibly empty), BOS flag on the first,
+      * EOS on the last, sequential page numbers, real CRC-32 on every
+      * page. Content identity ([[contentStream]]) = `data` verbatim,
+      * whatever the pagination/serial/granule — which is exactly what
+      * the tag-invariance oracle gates. Closed-form size:
+      * n + Σ_pages (27 + ⌊body/255⌋ + 1). */
+    def encode(data: Array[Byte], pageBody: Int, serial: Long): Array[Byte] = {
+      require(pageBody >= 1 && pageBody <= 255 * 254,
+        s"page body must be 1..${255 * 254}, got $pageBody")
+      val nPages = math.max(1, (data.length + pageBody - 1) / pageBody)
+      val out = new java.io.ByteArrayOutputStream()
+      var p = 0
+      while (p < nPages) {
+        val from = p * pageBody
+        val until = math.min(data.length, from + pageBody)
+        val ht = (if (p == 0) 2 else 0) | (if (p == nPages - 1) 4 else 0)
+        out.write(buildPage(
+          java.util.Arrays.copyOfRange(data, from, until),
+          ht, granule = until.toLong, serial, seq = p.toLong))
+        p += 1
+      }
+      out.toByteArray
+    }
+
     /** Deterministic page builder for specs and fixtures: wraps `body`
       * as one page with a real CRC. */
     private[etl] def buildPage(body: Array[Byte], headerType: Int,
@@ -295,7 +381,15 @@ object ContainerWalks {
             require(cs >= 8 && p + cs <= end,
               s"moov child '$ct' overruns its parent")
             if (ct == "mvhd") {
+              // the version byte and the v-dependent field block must
+              // BOTH sit inside this child — a short mvhd (cs >= 8
+              // passes the tiling check) would otherwise read its
+              // sibling's bytes as the duration, silently
+              require(cs >= 12, s"truncated mvhd ($cs bytes)")
               val v = payload(p + 8) & 0xff
+              require(cs >= (if (v == 0) 28 else 40),
+                s"truncated mvhd: version $v needs " +
+                  s"${if (v == 0) 28 else 40} bytes, box has $cs")
               val (scale, dur) =
                 if (v == 0) (be32(payload, p + 20), be32(payload, p + 24))
                 else (be32(payload, p + 28), be64(payload, p + 32))
@@ -311,6 +405,48 @@ object ContainerWalks {
       require(durationMs >= 0, "MP4 payload with no moov/mvhd")
       Mp4Info(brand, durationMs,
         if (content != null) content else Array.emptyByteArray)
+    }
+
+    /** Version-0 mvhd box (28 bytes): zero flags/times, the given
+      * timescale and duration. */
+    def mvhdBox(timescale: Int, duration: Long): Array[Byte] = {
+      require(timescale > 0, "mvhd timescale must be positive")
+      require(duration >= 0 && duration <= 0xffffffffL,
+        "v0 mvhd duration is a 32-bit field")
+      val body = new Array[Byte](20) // version/flags, ctime, mtime, ts, dur
+      var i = 0
+      while (i < 4) {
+        body(12 + i) = (timescale >> (8 * (3 - i))).toByte
+        body(16 + i) = (duration >> (8 * (3 - i))).toByte
+        i += 1
+      }
+      box("mvhd", body)
+    }
+
+    /** Deterministic assembler: ftyp('isom') + optional free/udta
+      * metadata + moov(mvhd, timescale 1000 so durationMs == duration
+      * units) + mdat(`data`). The moov-invariant content identity is
+      * `data` verbatim; sizes are CLOSED-FORM: bare 60 + n, tagged
+      * 124 + n (a 24-byte free box and a 40-byte udta in moov). */
+    def encode(data: Array[Byte], durationMs: Long,
+               tagged: Boolean): Array[Byte] = {
+      val ftyp = box("ftyp", "isomgrft".getBytes("US-ASCII"))
+      val mvhd = mvhdBox(1000, durationMs)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(ftyp)
+      if (tagged) {
+        // editor padding + user-data metadata — exactly what two crawls
+        // of the same movie differ by
+        val junk = Array.tabulate[Byte](16)(i => (0x40 + i).toByte)
+        out.write(box("free", junk))
+        out.write(box("mdat", data))
+        out.write(box("moov", mvhd ++ box("udta",
+          Array.tabulate[Byte](32)(i => (0x60 + i % 16).toByte))))
+      } else {
+        out.write(box("moov", mvhd))
+        out.write(box("mdat", data))
+      }
+      out.toByteArray
     }
 
     /** Deterministic box builder for specs and fixtures. */

@@ -140,9 +140,14 @@ object Mp3Codec {
       pos = id3v2
     }
     val end0 = payload.length
-    val id3v1 = end0 - pos >= 128 && payload(end0 - 128) == 'T' &&
-      payload(end0 - 127) == 'A' && payload(end0 - 126) == 'G'
-    val end = if (id3v1) end0 - 128 else end0
+    // ID3v1 is detected ONLY at a frame boundary with exactly 128 bytes
+    // remaining — unambiguous, because a tag's 'T' (0x54) can never be a
+    // frame header's 0xFF sync byte. A blind sniff at end-128 could be
+    // spoofed by frame-body bytes that happen to spell "TAG", silently
+    // truncating the frame stream (and the dedup identity) mid-frame.
+    var id3v1 = false
+    def id3v1At(p: Int): Boolean = end0 - p == 128 &&
+      payload(p) == 'T' && payload(p + 1) == 'A' && payload(p + 2) == 'G'
     val frameStart = pos
     var version = -1
     var layer = -1
@@ -150,7 +155,10 @@ object Mp3Codec {
     var channels = -1
     val frames = Vector.newBuilder[Mp3Frame]
     var n = 0
-    while (pos < end) {
+    while (pos < end0 && !id3v1) {
+      if (id3v1At(pos)) { id3v1 = true }
+      else {
+      val end = end0
       require(pos + 4 <= end, s"truncated MPEG frame header at $pos")
       val h0 = payload(pos) & 0xff
       val h1 = payload(pos + 1) & 0xff
@@ -219,10 +227,11 @@ object Mp3Codec {
       frames += Mp3Frame(pos, len, samplesPerFrame(v, l))
       pos += len
       n += 1
+      }
     }
     require(n > 0, "MPEG payload with no audio frame")
     Mp3Info(version, layer, sampleRate, channels, frames.result(),
-      frameStart, end, id3v2, id3v1)
+      frameStart, pos, id3v2, id3v1)
   }
 
   /** The tag-stripped FRAME STREAM — the dedup identity: two crawls of
@@ -230,6 +239,58 @@ object Mp3Codec {
   def frameStream(payload: Array[Byte]): Array[Byte] = {
     val info = parse(payload)
     java.util.Arrays.copyOfRange(payload, info.frameStart, info.frameEnd)
+  }
+
+  /** Byte length of the fixture framer's frame shape: MPEG-1 Layer III,
+    * 128 kbps, 44.1 kHz, no padding, no CRC — 144·128000/44100 = 417. */
+  val FrameLen: Int = 417
+
+  /** Deterministic FRAMER: packs `data` into consecutive [[FrameLen]]-
+    * byte MPEG-1 Layer III frames (stereo, 128 kbps, 44.1 kHz, no CRC),
+    * zero-padding the last. NOT an audio encoder — frame bodies carry
+    * the bytes verbatim; what it provides is a conformant frame stream
+    * whose size is CLOSED-FORM (417·max(1,⌈n/413⌉)) and whose walk is
+    * fully validated, so the tag-invariant dedup identity can be
+    * oracle-gated end to end (the q_media_dup discipline). */
+  def encodeFrames(data: Array[Byte]): Array[Byte] = {
+    val cap = FrameLen - 4 // header bytes are not payload
+    val nFrames = math.max(1, (data.length + cap - 1) / cap)
+    val out = new Array[Byte](nFrames * FrameLen)
+    var f = 0
+    while (f < nFrames) {
+      val base = f * cap
+      val frame = buildFrame(1, 3, 9, 0, 0, mono = false, withCrc = false,
+        i => { val j = base + (i - 4)
+               if (j < data.length) data(j) else 0 })
+      System.arraycopy(frame, 0, out, f * FrameLen, FrameLen)
+      f += 1
+    }
+    out
+  }
+
+  /** Deterministic ID3v2.3 tag: real syncsafe-size header wrapping an
+    * opaque body (total 10 + body.length bytes). */
+  def id3v2Tag(body: Array[Byte]): Array[Byte] = {
+    require(body.length < (1 << 28), "ID3v2 body exceeds the syncsafe range")
+    val out = new Array[Byte](10 + body.length)
+    out(0) = 'I'; out(1) = 'D'; out(2) = '3'
+    out(3) = 3 // v2.3, no flags (no footer)
+    var i = 0
+    while (i < 4) {
+      out(6 + i) = ((body.length >> (7 * (3 - i))) & 0x7f).toByte
+      i += 1
+    }
+    body.copyToArray(out, 10)
+    out
+  }
+
+  /** Deterministic ID3v1 tag (always 128 bytes): 'TAG' + title. */
+  def id3v1Tag(title: String): Array[Byte] = {
+    val out = new Array[Byte](128)
+    out(0) = 'T'; out(1) = 'A'; out(2) = 'G'
+    val t = title.getBytes("ISO-8859-1")
+    System.arraycopy(t, 0, out, 3, math.min(30, t.length))
+    out
   }
 
   /** Deterministic test/fixture builder: one conformant frame of the

@@ -2467,10 +2467,13 @@ object Multimodal {
     assets.mapPartitions(_.map { a =>
       if (a.kind == "image/bmp") {
         // only 8-bpp frames resize (resizeBmp's contract); a color
-        // (24/32-bpp) BMP decodes to 3·w·h interleaved samples — pass
-        // it through rather than fail the partition on its require
-        val (w, h, px) = BmpCodec.decodePixels(a.payload)
-        if (px.length == w * h) a.copy(payload = resizeBmp(a.payload, f))
+        // (24/32-bpp) BMP passes through rather than failing the
+        // partition. Route on the header's bpp field directly — a full
+        // decodePixels here would decode every payload twice on the
+        // resize hot path just to learn its depth
+        val bpp = if (a.payload.length >= 30)
+          (a.payload(28) & 0xff) | ((a.payload(29) & 0xff) << 8) else -1
+        if (bpp == 8) a.copy(payload = resizeBmp(a.payload, f))
         else a
       }
       else if (a.kind == "image/gif") {

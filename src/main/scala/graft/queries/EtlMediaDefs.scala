@@ -354,6 +354,85 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
         .orderBy("asset_id")
     },
 
+    // TAG/METADATA-INVARIANT container dedup — the oracle gate for the
+    // container-codec tier (MP3 framing, Ogg pagination + CRC-32, WebP
+    // RIFF walk, MP4 box walk). Every document ships as TWO containers
+    // of the same content that differ exactly the way two independent
+    // crawls do — re-tagged (ID3v2/ID3v1), re-paginated (different Ogg
+    // page sizes/serials/granules), metadata-appended (EXIF/XMP), or
+    // box-shuffled (free/udta atoms, moov after mdat) — and the query
+    // groups by the kind-specific CONTENT identity digest. The oracle
+    // groups by source text with every container size recomputed
+    // closed-form (the builders' Scaladoc), so a hash match proves all
+    // four walks strip exactly the metadata and nothing else:
+    // n_variants counts both variants into one group (a walk leaking
+    // metadata into the identity splits the group), n_content pins the
+    // identity's byte length, sum_bytes pins every encoder's framing
+    // arithmetic.
+    "q_media_dup_tagged" -> QueryDef(
+      s"""WITH b AS (
+         |  SELECT doc_id, text, octet_length(encode(text)) AS n
+         |  FROM documents),
+         |v AS (
+         |  SELECT doc_id, text, n,
+         |    CASE CAST(doc_id % 4 AS INTEGER)
+         |      WHEN 0 THEN 'audio/mpeg' WHEN 1 THEN 'audio/ogg'
+         |      WHEN 2 THEN 'image/webp' ELSE 'video/mp4' END AS kind,
+         |    GREATEST(1, (n + 412) // 413) AS fr,
+         |    GREATEST(1, (n + 4095) // 4096) AS p1,
+         |    GREATEST(1, (n + 99) // 100) AS p2
+         |  FROM b),
+         |s AS (
+         |  SELECT doc_id, text, kind,
+         |    CAST(CASE CAST(doc_id % 4 AS INTEGER)
+         |      WHEN 0 THEN 417 * fr
+         |      WHEN 1 THEN n
+         |      WHEN 2 THEN 5 + n
+         |      ELSE n END AS BIGINT) AS n_content,
+         |    CAST(CASE CAST(doc_id % 4 AS INTEGER)
+         |      -- MP3: bare 417·fr; tagged adds ID3v2 64 + ID3v1 128
+         |      WHEN 0 THEN 834 * fr + 192
+         |      -- Ogg: bare 4096-byte pages (17 lacing bytes full, tail
+         |      -- ⌊r/255⌋+1); repag 100-byte pages (1 lacing byte each)
+         |      WHEN 1 THEN 2 * n + 27 * p1 + 17 * (p1 - 1)
+         |        + (n - 4096 * (p1 - 1)) // 255 + 1 + 28 * p2
+         |      -- WebP: bare 12 RIFF + 8 + (5+n) + odd pad; tagged adds
+         |      -- EXIF 8+24 and XMP 8+31+1 pad = 72
+         |      WHEN 2 THEN 2 * (25 + n + CASE WHEN n % 2 = 0
+         |        THEN 1 ELSE 0 END) + 72
+         |      -- MP4: bare 60+n; tagged 124+n (free 24 + udta 40)
+         |      ELSE 184 + 2 * n END AS BIGINT) AS sum_bytes
+         |  FROM v)
+         |SELECT kind, CAST(MIN(doc_id) * 2 AS BIGINT) AS rep_asset,
+         |  CAST(2 * COUNT(*) AS BIGINT) AS n_variants,
+         |  MIN(n_content) AS n_content,
+         |  CAST(SUM(sum_bytes) AS BIGINT) AS sum_bytes
+         |FROM s GROUP BY kind, text
+         |ORDER BY rep_asset""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      graft.etl.ContainerAssets.taggedAssetsFromDocuments(docs(s, dir))
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { a =>
+            val content =
+              graft.etl.ContainerAssets.contentIdentity(a.kind, a.payload)
+            md.reset()
+            (a.asset_id, a.kind,
+              String.format("%032x", new java.math.BigInteger(1,
+                md.digest(content))),
+              content.length.toLong, a.payload.length.toLong)
+          }
+        }
+        .toDF("asset_id", "kind", "digest", "n_content", "n_bytes")
+        .groupBy("kind", "digest")
+        .agg(min("asset_id").as("rep_asset"),
+          count(lit(1)).as("n_variants"),
+          min("n_content").as("n_content"),
+          sum("n_bytes").as("sum_bytes"))
+        .select("kind", "rep_asset", "n_variants", "n_content", "sum_bytes")
+        .orderBy("rep_asset")
+    },
+
     // Corrupt-asset QUARANTINE over the mixed-media column: a
     // deterministic subset of containers arrives broken (truncated to
     // 10 bytes mid-header — one residue per codec class, doc_id % 32

@@ -116,6 +116,79 @@ class ContainerWalksSpec extends AnyFunSuite {
       OggCodec.parse(java.util.Arrays.copyOf(twoPages, 50)))
   }
 
+  test("Ogg encode: multi-page pagination with BOS/EOS flags, two " +
+       "paginations share the content identity, sizes closed-form") {
+    for (n <- Seq(0, 1, 99, 100, 101, 255, 510, 577, 4096, 9000)) {
+      val data = Array.tabulate[Byte](n)(i => ((i * 37 + 11) % 251).toByte)
+      val a = OggCodec.encode(data, 4096, serial = 7L)
+      val b = OggCodec.encode(data, 100, serial = 98765L)
+      assert(OggCodec.contentStream(a).toSeq == data.toSeq, s"n=$n")
+      assert(OggCodec.contentStream(b).toSeq == data.toSeq)
+      val p1 = math.max(1, (n + 4095) / 4096)
+      val p2 = math.max(1, (n + 99) / 100)
+      assert(a.length == n + 27 * p1 + 17 * (p1 - 1)
+        + (n - 4096 * (p1 - 1)) / 255 + 1, s"n=$n")
+      assert(b.length == n + 28 * p2, s"n=$n")
+      val pages = OggCodec.parse(b)
+      assert(pages.size == p2)
+      assert((pages.head.headerType & 2) != 0 &&
+        (pages.last.headerType & 4) != 0, "BOS and EOS flags")
+    }
+  }
+
+  test("WebP encodeLossless: dims and content round-trip, EXIF/XMP " +
+       "never enter the identity, sizes closed-form") {
+    for (n <- Seq(0, 1, 32, 577)) {
+      val data = Array.tabulate[Byte](n)(i => (i * 3 + 1).toByte)
+      val w = 1 + n % 64
+      val h = math.max(1, (n + w - 1) / w)
+      val bare = WebpCodec.encodeLossless(w, h, data)
+      val tagged = WebpCodec.encodeLossless(w, h, data,
+        Seq("EXIF" -> Array.fill[Byte](24)(3),
+          "XMP " -> Array.fill[Byte](31)(5)))
+      assert(bare.length == 25 + n + (if (n % 2 == 0) 1 else 0), s"n=$n")
+      assert(tagged.length == bare.length + 72)
+      val bi = WebpCodec.parse(bare)
+      val ti = WebpCodec.parse(tagged)
+      assert(bi.variant == "VP8L" && bi.width == w && bi.height == h)
+      assert(bi.content.length == 5 + n)
+      assert(bi.content.toSeq == ti.content.toSeq,
+        "metadata chunks must not change the content identity")
+    }
+  }
+
+  test("VP8X image data (ALPH/ANIM/ANMF) IS the content identity; " +
+       "a VP8X carrying only metadata refuses") {
+    val vp8x = new Array[Byte](10)
+    vp8x(4) = 99.toByte; vp8x(7) = 49.toByte
+    val anim = Array[Byte](1, 2, 3, 4, 5, 6)
+    val anmf1 = "frame-one-pixels".getBytes
+    val anmf2 = "frame-two-pixels".getBytes
+    val a = riff("VP8X" -> vp8x, "ANIM" -> anim, "ANMF" -> anmf1,
+      "ANMF" -> anmf2, "EXIF" -> "cam1".getBytes)
+    val b = riff("VP8X" -> vp8x, "ANIM" -> anim, "ANMF" -> anmf1,
+      "ANMF" -> anmf2, "EXIF" -> "another camera".getBytes)
+    val c = riff("VP8X" -> vp8x, "ANIM" -> anim,
+      "ANMF" -> "DIFFERENT pixels".getBytes, "ANMF" -> anmf2,
+      "EXIF" -> "cam1".getBytes)
+    assert(WebpCodec.parse(a).content.toSeq ==
+      (anim ++ anmf1 ++ anmf2).toSeq)
+    assert(WebpCodec.parse(a).content.toSeq ==
+      WebpCodec.parse(b).content.toSeq)
+    assert(WebpCodec.parse(a).content.toSeq !=
+      WebpCodec.parse(c).content.toSeq,
+      "different animation frames must NOT share one dedup identity")
+    assert(WebpCodec.parse(a).width == 100 && WebpCodec.parse(a).height == 50,
+      "VP8X canvas dims")
+    assert(intercept[IllegalArgumentException](
+      WebpCodec.parse(riff("VP8X" -> vp8x, "EXIF" -> "cam".getBytes)))
+      .getMessage.contains("image data"))
+    // animation chunks outside a VP8X container are malformed
+    assert(intercept[IllegalArgumentException](
+      WebpCodec.parse(riff("ANMF" -> anmf1, "VP8 " -> vp8Chunk(9, 9))))
+      .getMessage.contains("VP8X"))
+  }
+
   // ---- MP4 ------------------------------------------------------------
 
   private def mvhd(timescale: Int, duration: Int): Array[Byte] = {
@@ -163,6 +236,47 @@ class ContainerWalksSpec extends AnyFunSuite {
       .getMessage.contains("mvhd"))
     intercept[IllegalArgumentException](
       Mp4Codec.parse(java.util.Arrays.copyOf(f1, f1.length - 3)))
+  }
+
+  test("MP4 encode: bare and tagged assemblies share the mdat identity; " +
+       "sizes closed-form; a short mvhd refuses instead of reading its " +
+       "sibling's bytes") {
+    for (n <- Seq(0, 1, 17, 577)) {
+      val data = Array.tabulate[Byte](n)(i => (i * 5 + 2).toByte)
+      val bare = Mp4Codec.encode(data, n.toLong, tagged = false)
+      val tagged = Mp4Codec.encode(data, n.toLong, tagged = true)
+      assert(bare.length == 60 + n && tagged.length == 124 + n, s"n=$n")
+      val bi = Mp4Codec.parse(bare)
+      val ti = Mp4Codec.parse(tagged)
+      assert(bi.brand == "isom")
+      assert(bi.durationMs == n.toLong && ti.durationMs == n.toLong)
+      assert(bi.content.toSeq == data.toSeq)
+      assert(bi.content.toSeq == ti.content.toSeq,
+        "free/udta atoms and box order must not change the identity")
+    }
+    // short mvhd: cs=12 passes the tiling check but cannot hold the v0
+    // timescale/duration fields — must refuse by name, never read the
+    // following sibling box's bytes as the duration
+    val ftyp = Mp4Codec.box("ftyp", "isomgrft".getBytes)
+    val f = ftyp ++ Mp4Codec.box("moov",
+      Mp4Codec.box("mvhd", new Array[Byte](4)) ++
+        Mp4Codec.box("udta", new Array[Byte](24))) ++
+      Mp4Codec.box("mdat", "x".getBytes)
+    assert(intercept[IllegalArgumentException](Mp4Codec.parse(f))
+      .getMessage.contains("truncated mvhd"))
+    // an empty-body mvhd (cs=8) refuses before reading the version byte
+    val f0 = ftyp ++ Mp4Codec.box("moov",
+      Mp4Codec.box("mvhd", Array.emptyByteArray) ++
+        Mp4Codec.box("udta", new Array[Byte](24))) ++
+      Mp4Codec.box("mdat", "x".getBytes)
+    assert(intercept[IllegalArgumentException](Mp4Codec.parse(f0))
+      .getMessage.contains("truncated mvhd"))
+    // a v1 mvhd with only v0-sized fields also refuses
+    val v1body = new Array[Byte](20); v1body(0) = 1
+    val f1 = ftyp ++ Mp4Codec.box("moov", Mp4Codec.box("mvhd", v1body)) ++
+      Mp4Codec.box("mdat", "x".getBytes)
+    assert(intercept[IllegalArgumentException](Mp4Codec.parse(f1))
+      .getMessage.contains("version 1"))
   }
 
   test("the quarantine admits valid walks and tags corrupt ones " +

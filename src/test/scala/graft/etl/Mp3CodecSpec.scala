@@ -63,6 +63,49 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(info.id3v2Bytes > 0 && info.id3v1 && info.frames.size == 3)
   }
 
+  test("encodeFrames: closed-form size, verbatim body round-trip, and " +
+       "tag invariance under the builders' own ID3 tags") {
+    for (n <- Seq(0, 1, 412, 413, 414, 577, 5000)) {
+      val data = Array.tabulate[Byte](n)(i => ((i * 131 + 7) % 256).toByte)
+      val bare = Mp3Codec.encodeFrames(data)
+      val fr = math.max(1, (n + 412) / 413)
+      assert(bare.length == 417 * fr, s"n=$n")
+      val info = Mp3Codec.parse(bare)
+      assert(info.frames.size == fr && !info.id3v1 && info.id3v2Bytes == 0)
+      assert(info.version == 1 && info.layer == 3 &&
+        info.sampleRate == 44100 && info.channels == 2)
+      // frame bodies carry the data verbatim, zero-padded
+      val body = info.frames.toArray.flatMap(f =>
+        bare.slice(f.offset + 4, f.offset + f.length))
+      assert(body.take(n).toSeq == data.toSeq, s"n=$n")
+      assert(body.drop(n).forall(_ == 0))
+      val tagged = Mp3Codec.id3v2Tag(new Array[Byte](54)) ++ bare ++
+        Mp3Codec.id3v1Tag("graft crawl two")
+      assert(tagged.length == bare.length + 192)
+      assert(Mp3Codec.frameStream(tagged).toSeq == bare.toSeq,
+        "re-tagging must not change the dedup identity")
+    }
+  }
+
+  test("ID3v1 detection is frame-boundary exact: 'TAG' spelled by frame " +
+       "body bytes 128 bytes before the end is NOT a tag") {
+    // two 417-byte frames: stream end-128 = offset 706, inside frame 2's
+    // body (frame 2 spans [417, 834)); plant T A G there as DATA
+    val n = 2 * 413
+    val data = new Array[Byte](n)
+    data(698) = 'T'; data(699) = 'A'; data(700) = 'G' // stream offset 706
+    val bare = Mp3Codec.encodeFrames(data)
+    assert(bare(706) == 'T' && bare(707) == 'A' && bare(708) == 'G')
+    val info = Mp3Codec.parse(bare)
+    assert(!info.id3v1 && info.frames.size == 2 &&
+      info.frameEnd == bare.length,
+      "a mid-frame TAG byte pattern must not truncate the frame stream")
+    // ...while a REAL tag at the boundary is still detected
+    val tagged = bare ++ Mp3Codec.id3v1Tag("real tag")
+    val ti = Mp3Codec.parse(tagged)
+    assert(ti.id3v1 && ti.frameEnd == bare.length)
+  }
+
   test("Layer III CRC-16 validates; corruption refuses by name") {
     val f = frame(withCrc = true)
     assert(Mp3Codec.parse(f).frames.size == 1)
