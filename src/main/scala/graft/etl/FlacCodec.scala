@@ -80,18 +80,22 @@ object FlacCodec {
 
   // ---- encoder -------------------------------------------------------
 
-  /** Encode unsigned bytes (must be ≤ 127: FLAC samples are SIGNED,
-    * and the fixture corpus is pure ASCII so value == sample — a
-    * byte ≥ 128 would silently flip sign, so refuse it loudly) as a
-    * mono 8-bit VERBATIM-subframe stream. */
-  def encode(sampleRate: Int, data: Array[Byte]): Array[Byte] = {
+  /** ASCII guard shared by both encoders: FLAC samples are SIGNED, and
+    * the fixture corpus is pure ASCII so value == sample — a byte ≥ 128
+    * would silently flip sign, so refuse it loudly. */
+  private def requireAscii(data: Array[Byte]): Unit = {
     var i = 0
     while (i < data.length) {
       require((data(i) & 0xff) < 128,
         s"FLAC fixture encoder takes ASCII-range bytes, got ${data(i) & 0xff}")
       i += 1
     }
-    val out = new java.io.ByteArrayOutputStream()
+  }
+
+  /** "fLaC" magic + last-block STREAMINFO (min/max blocksize, packed
+    * rate/channels/bps/total, MD5 of the unencoded samples). */
+  private def writeStreamHead(out: java.io.ByteArrayOutputStream,
+                              sampleRate: Int, data: Array[Byte]): Unit = {
     out.write('f'); out.write('L'); out.write('a'); out.write('C')
     // metadata block header: last-block flag + type 0 (STREAMINFO), len 34
     out.write(0x80); out.write(0); out.write(0); out.write(34)
@@ -108,33 +112,107 @@ object FlacCodec {
     val md5 = java.security.MessageDigest.getInstance("MD5").digest(data)
     System.arraycopy(md5, 0, si, 18, 16)
     out.write(si)
-    // frames
+  }
+
+  /** One frame header (mono, 8-bit, 16-bit blocksize-minus-one form)
+    * with its CRC-8 — 8 bytes for frame indexes < 128. */
+  private def frameHeader(frame: Int, n: Int): Array[Byte] = {
+    val hdr = new java.io.ByteArrayOutputStream()
+    hdr.write(0xff); hdr.write(0xf8) // sync + reserved + fixed-blocksize
+    hdr.write(0x70)                  // blocksize code 0b0111 (16-bit
+                                     // follows), sample rate 0b0000
+                                     // (from STREAMINFO)
+    hdr.write(0x02)                  // channel 0b0000 (mono), sample
+                                     // size 0b001 (8), reserved 0
+    // UTF-8-coded frame number (fixture frames stay < 128, but encode
+    // the 2-byte form correctly anyway so the closed form's "+1" is a
+    // documented domain, not a latent bug)
+    if (frame < 0x80) hdr.write(frame)
+    else if (frame < 0x800) {
+      hdr.write(0xc0 | (frame >> 6)); hdr.write(0x80 | (frame & 0x3f))
+    } else throw new IllegalArgumentException(
+      s"fixture encoder frame index $frame out of encoded domain")
+    hdr.write((n - 1) >> 8); hdr.write((n - 1) & 0xff)
+    val hb = hdr.toByteArray
+    hdr.write(crc8(hb, 0, hb.length))
+    hdr.toByteArray
+  }
+
+  /** Encode unsigned ASCII bytes as a mono 8-bit VERBATIM-subframe
+    * stream. */
+  def encode(sampleRate: Int, data: Array[Byte]): Array[Byte] = {
+    requireAscii(data)
+    val out = new java.io.ByteArrayOutputStream()
+    writeStreamHead(out, sampleRate, data)
     var frame = 0
     var pos = 0
     while (pos < data.length) {
       val n = math.min(BlockSize, data.length - pos)
-      val hdr = new java.io.ByteArrayOutputStream()
-      hdr.write(0xff); hdr.write(0xf8) // sync + reserved + fixed-blocksize
-      hdr.write(0x70)                  // blocksize code 0b0111 (16-bit
-                                       // follows), sample rate 0b0000
-                                       // (from STREAMINFO)
-      hdr.write(0x02)                  // channel 0b0000 (mono), sample
-                                       // size 0b001 (8), reserved 0
-      // UTF-8-coded frame number (fixture frames stay < 128, but encode
-      // the 2-byte form correctly anyway so the closed form's "+1" is a
-      // documented domain, not a latent bug)
-      if (frame < 0x80) hdr.write(frame)
-      else if (frame < 0x800) {
-        hdr.write(0xc0 | (frame >> 6)); hdr.write(0x80 | (frame & 0x3f))
-      } else throw new IllegalArgumentException(
-        s"fixture encoder frame index $frame out of encoded domain")
-      hdr.write((n - 1) >> 8); hdr.write((n - 1) & 0xff)
-      val hb = hdr.toByteArray
-      hdr.write(crc8(hb, 0, hb.length))
       val frameBytes = new java.io.ByteArrayOutputStream()
-      frameBytes.write(hdr.toByteArray)
+      frameBytes.write(frameHeader(frame, n))
       frameBytes.write(0x02) // subframe header: VERBATIM, no wasted bits
       frameBytes.write(data, pos, n) // 8-bit samples, byte-aligned
+      val fb = frameBytes.toByteArray
+      val c16 = crc16(fb, 0, fb.length)
+      out.write(fb)
+      out.write(c16 >> 8); out.write(c16 & 0xff)
+      pos += n
+      frame += 1
+    }
+    out.toByteArray
+  }
+
+  /** Rice parameter of [[encodeRice]]. Fixed at 7 so the size is
+    * CLOSED-FORM over ASCII bytes: the zigzagged order-0 residual is
+    * u = 2·b ≤ 254, so the unary quotient u >> 7 is 0 for b < 64 and 1
+    * for b ≥ 64 — residual bits per sample = 8 + [b ≥ 64]. */
+  val RiceParam = 7
+
+  /** Encode ASCII-range bytes as a mono 8-bit FIXED-order-0 subframe
+    * stream with one Rice partition per frame (param [[RiceParam]]) —
+    * the entropy-coded path real FLAC exercises, under the same oracle
+    * discipline as the VERBATIM [[encode]]: real CRC-8/CRC-16/MD5, and
+    * a container size the DuckDB oracle recomputes from the text alone:
+    * 42 + Σ_frames (10 + ⌈(18 + 8·n_i + c_i) / 8⌉) bytes, where n_i is
+    * the block's sample count and c_i its count of bytes ≥ 64 (the
+    * 18 = 8-bit subframe header + 2-bit method + 4-bit partition order
+    * + 4-bit Rice parameter). Decoded samples are the input bytes —
+    * pinned by the STREAMINFO MD5 referee. */
+  def encodeRice(sampleRate: Int, data: Array[Byte]): Array[Byte] = {
+    requireAscii(data)
+    val out = new java.io.ByteArrayOutputStream()
+    writeStreamHead(out, sampleRate, data)
+    var frame = 0
+    var pos = 0
+    while (pos < data.length) {
+      val n = math.min(BlockSize, data.length - pos)
+      val frameBytes = new java.io.ByteArrayOutputStream()
+      frameBytes.write(frameHeader(frame, n))
+      // subframe + residual, MSB-first bit stream
+      var acc = 0
+      var nb = 0
+      def wbit(v: Int): Unit = {
+        acc = (acc << 1) | (v & 1); nb += 1
+        if (nb == 8) { frameBytes.write(acc); acc = 0; nb = 0 }
+      }
+      def wbits(v: Int, w: Int): Unit = {
+        var k = w - 1
+        while (k >= 0) { wbit((v >> k) & 1); k -= 1 }
+      }
+      wbits(0x10, 8) // pad 0, type FIXED order 0 (0b001000), wasted 0
+      wbits(0, 2)    // residual method: 4-bit Rice parameters
+      wbits(0, 4)    // partition order 0 — one partition
+      wbits(RiceParam, 4)
+      var j = 0
+      while (j < n) {
+        val u = 2 * (data(pos + j) & 0xff) // zigzag of a non-negative value
+        var q = u >>> RiceParam
+        while (q > 0) { wbit(0); q -= 1 }
+        wbit(1)
+        wbits(u & ((1 << RiceParam) - 1), RiceParam)
+        j += 1
+      }
+      if (nb > 0) { frameBytes.write(acc << (8 - nb)); acc = 0; nb = 0 }
       val fb = frameBytes.toByteArray
       val c16 = crc16(fb, 0, fb.length)
       out.write(fb)

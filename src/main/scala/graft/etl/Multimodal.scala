@@ -2166,6 +2166,12 @@ object Multimodal {
             if (id % 32 == FlacResidue)
               Asset(id, "audio/flac",
                 FlacCodec.encode(8000, bytes), source, nChars)
+            // a second FLAC residue ships the ENTROPY-CODED shape (FIXED
+            // order-0 predictor + Rice residual) — the path real FLAC
+            // exercises, which VERBATIM never touches
+            else if (id % 32 == RiceFlacResidue)
+              Asset(id, "audio/flac",
+                FlacCodec.encodeRice(8000, bytes), source, nChars)
             else Asset(id, "audio/wav",
               WavCodec.encode(8000, 1, 8, bytes), source, nChars)
           case 1 =>
@@ -2213,6 +2219,10 @@ object Multimodal {
   /** Residue (mod 32) of the audio class that encodes as FLAC instead
     * of WAV — see [[assetsFromDocuments]]. */
   val FlacResidue = 20L
+  /** Residue (mod 32) of the audio class that encodes as Rice-coded
+    * FLAC ([[FlacCodec.encodeRice]]: FIXED order-0 + Rice residual) —
+    * oracle coverage for the entropy-coded decode path. */
+  val RiceFlacResidue = 12L
   /** Residue (mod 32) of the raster class (doc_id % 4 = 3) that ships
     * GIF instead of BMP — see [[assetsFromDocuments]]. */
   val GifResidue = 3L

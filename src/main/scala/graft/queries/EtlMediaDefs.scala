@@ -46,8 +46,9 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
     },
 
     // Mixed multi-format decode (WAV / PNG / JPEG / BMP by doc_id % 4,
-    // with audio residue 20 mod 32 shipping FLAC and raster residue 3
-    // mod 32 shipping GIF — 9-bit-literal LZW, closed-form size per
+    // with audio residues 20 (VERBATIM) and 12 (FIXED order-0 + Rice
+    // residual — the entropy-coded path real FLAC exercises) mod 32
+    // shipping FLAC and raster residue 3 mod 32 shipping GIF — 9-bit-literal LZW, closed-form size per
     // GifCodec.encodedSize, decoded indices = the text bytes;
     // the JPEG class splits % 16 into BASELINE GRAYSCALE (2),
     // PROGRESSIVE grayscale (10 — a real SOF2 multi-scan frame: DC
@@ -133,6 +134,15 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
          |  SELECT doc_id,
          |    (9 * (w * hp + 2 + (w * hp - 1) // 254) + 7) // 8 AS zg
          |  FROM d WHERE doc_id % 32 = 3),
+         |c6 AS (
+         |  -- Rice FLAC (audio residue 12): the order-0 residual's
+         |  -- unary quotient is 1 bit for bytes >= 64, 0 below (param 7)
+         |  SELECT doc_id,
+         |    SUM(CASE WHEN ord(substr(text, CAST(p AS INTEGER), 1))
+         |      >= 64 THEN 1 ELSE 0 END) AS c64
+         |  FROM (SELECT doc_id, text, unnest(generate_series(1, n)) AS p
+         |        FROM d) t
+         |  GROUP BY doc_id),
          |jcsc AS (
          |  -- color checksum: first 32 INTERLEAVED RGB bytes — byte j
          |  -- is channel (j-1)%3 of pixel 1+(j-1)//3, and the chroma
@@ -148,7 +158,7 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
          |  FROM d, generate_series(1, 32) s(j)
          |  GROUP BY d.doc_id)
          |SELECT d.doc_id AS asset_id,
-         |  CASE WHEN d.doc_id % 32 = 20 THEN 'audio/flac'
+         |  CASE WHEN d.doc_id % 32 IN (12, 20) THEN 'audio/flac'
          |       WHEN d.doc_id % 32 = 3 THEN 'image/gif'
          |       WHEN d.doc_id % 4 = 0 THEN 'audio/wav'
          |       WHEN d.doc_id % 4 = 1 THEN 'image/png'
@@ -160,6 +170,11 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
          |  -- FlacCodec's closed form, ceil(n/4096) frames
          |  CAST(CASE WHEN d.doc_id % 32 = 20
          |         THEN 42 + 11 * ((n + 4095) // 4096) + n
+         |       -- Rice FLAC: 42 head + one frame (corpus texts are far
+         |       -- below the 4096-sample block) of 8 header + 2 CRC +
+         |       -- ceil((18 subframe/residual prologue bits + 8n + c64)/8)
+         |       WHEN d.doc_id % 32 = 12 THEN 42 + CASE WHEN n = 0 THEN 0
+         |         ELSE 10 + (25 + 8 * n + COALESCE(c6.c64, 0)) // 8 END
          |       WHEN d.doc_id % 4 = 0 THEN 44 + n
          |       WHEN d.doc_id % 4 = 1 THEN 57 + 6
          |         + 5 * ((hp * (w + 1) + 65534) // 65535) + hp * (w + 1)
@@ -194,6 +209,7 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
          |       LEFT JOIN jm ON jm.doc_id = d.doc_id
          |       LEFT JOIN jcs ON jcs.doc_id = d.doc_id
          |       LEFT JOIN jcsc ON jcsc.doc_id = d.doc_id
+         |       LEFT JOIN c6 ON c6.doc_id = d.doc_id
          |       LEFT JOIN gz ON gz.doc_id = d.doc_id
          |ORDER BY asset_id""".stripMargin) { (s, dir) =>
       graft.etl.Multimodal.features(s, dir).drop("feature")
@@ -215,7 +231,8 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
     "q_media_dup" -> QueryDef(
       s"""SELECT md5(text) AS digest, MIN(doc_id) AS rep_asset,
          |  CAST(COUNT(*) AS BIGINT) AS n_assets,
-         |  CAST(COUNT(DISTINCT doc_id % 32 = 20) AS BIGINT) AS n_formats
+         |  CAST(COUNT(DISTINCT doc_id % 32 IN (12, 20)) AS BIGINT)
+         |    AS n_formats
          |FROM documents WHERE doc_id % 4 = 0
          |GROUP BY text
          |ORDER BY rep_asset""".stripMargin) { (s, dir) =>

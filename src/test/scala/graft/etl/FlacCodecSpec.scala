@@ -39,6 +39,39 @@ class FlacCodecSpec extends AnyFunSuite {
       FlacCodec.encode(8000, Array[Byte](-1)))
   }
 
+  test("encodeRice: FIXED order-0 + Rice residual round-trips through " +
+       "the full decoder (MD5 referee) with a closed-form size") {
+    for (n <- Seq(0, 1, 63, 64, 127, 413, 4096, 4097, 9000)) {
+      val data = Array.tabulate[Byte](n)(i => ((i * 29 + 5) % 128).toByte)
+      val enc = FlacCodec.encodeRice(8000, data)
+      // closed form: 42 + per-frame (10 + ceil((18 + 8·n_i + c_i)/8))
+      var expected = FlacCodec.HeaderSize
+      var pos = 0
+      while (pos < n) {
+        val bn = math.min(FlacCodec.BlockSize, n - pos)
+        var c = 0
+        for (j <- pos until pos + bn) if ((data(j) & 0xff) >= 64) c += 1
+        expected += 10 + (25 + 8 * bn + c) / 8
+        pos += FlacCodec.BlockSize
+      }
+      assert(enc.length == expected, s"n=$n")
+      val info = FlacCodec.decode(enc)
+      assert(info.sampleRate == 8000 && info.channels == 1 && info.bps == 8)
+      assert(info.samples.toSeq == data.map(_.toInt).toSeq, s"n=$n")
+    }
+    // boundary samples: 63 (quotient 0) vs 64 (quotient 1) cost 8 vs 9
+    // residual bits — the closed form's c term, one sample at a time
+    val low = FlacCodec.encodeRice(8000, Array.fill[Byte](8)(63))
+    val high = FlacCodec.encodeRice(8000, Array.fill[Byte](8)(64))
+    assert(high.length == low.length + 1)
+    // corruption: flip a residual bit → refused (CRC-16 or MD5 layer)
+    val enc = FlacCodec.encodeRice(8000,
+      "rice coded residual fixture".getBytes("UTF-8"))
+    val bad = enc.clone()
+    bad(55) = (bad(55) ^ 1).toByte
+    intercept[IllegalArgumentException](FlacCodec.decode(bad))
+  }
+
   test("corruption fails loudly at the right layer: CRC-8, CRC-16, MD5") {
     val data = "integrity check content".getBytes("UTF-8")
     val flac = FlacCodec.encode(8000, data)

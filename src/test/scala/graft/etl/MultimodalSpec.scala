@@ -393,6 +393,23 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gfeats.head.checksum == 32L * 'e'.toLong)
   }
 
+  test("Rice-FLAC residue (doc_id % 32 == 12): the entropy-coded " +
+       "container decodes to the text bytes with the closed-form size") {
+    val ss = spark
+    import ss.implicits._
+    val text = "rice residue fixture, mixed CASE so both quotients occur"
+    val feats = Multimodal.extractFeatures(Multimodal.assetsFromDocuments(
+      Seq((12L, text, "web", text.length.toLong))
+        .toDF("doc_id", "text", "source", "n_chars"))).collect()
+    val n = text.length
+    val c64 = text.count(_ >= 64)
+    assert(feats.head.kind == "audio/flac")
+    assert(feats.head.n_bytes == 42 + 10 + (25 + 8 * n + c64) / 8)
+    assert(feats.head.width == 1 && feats.head.height == n)
+    assert(feats.head.checksum ==
+      text.take(32).map(_.toLong).sum)
+  }
+
   test("empty documents still encode as valid assets (images clamp to one block)") {
     val ss = spark
     import ss.implicits._
