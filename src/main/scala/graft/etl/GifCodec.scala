@@ -32,13 +32,21 @@ package graft.etl
 object GifCodec {
 
   /** One decoded frame: placement on the logical screen, its index
-    * bytes (row-major, de-interlaced), and the palette-mapped
-    * interleaved RGB. */
+    * bytes (row-major, de-interlaced), the palette-mapped interleaved
+    * RGB, plus the frame's graphic-control state — `transparent` is
+    * the index a renderer must NOT paint (-1 when opaque), `disposal`
+    * what happens to the frame's region afterwards (0/1 leave,
+    * 2 restore-to-background, 3 restore-to-previous). */
   final case class Frame(left: Int, top: Int, width: Int, height: Int,
-                         indices: Array[Byte], rgb: Array[Byte])
+                         indices: Array[Byte], rgb: Array[Byte],
+                         transparent: Int = -1, disposal: Int = 0)
 
-  /** Logical screen dims + every frame, in stream order. */
-  final case class GifInfo(width: Int, height: Int, frames: Vector[Frame])
+  /** Logical screen dims + every frame, in stream order; `bgRgb` is
+    * the logical screen's background color (the descriptor's index
+    * through the global table; black when absent or out of range —
+    * encoders routinely write junk there, so it is not a refusal). */
+  final case class GifInfo(width: Int, height: Int, frames: Vector[Frame],
+                           bgRgb: Array[Byte] = new Array[Byte](3))
 
   /** "GIF87a" signature (6) + logical screen descriptor (7). */
   val HeaderSize = 13
@@ -68,30 +76,8 @@ object GifCodec {
     val nPx = width * height
     require(pixels.length == nPx,
       s"GIF encoder needs exactly w*h pixels (${pixels.length} != $nPx)")
-    val codes = nPx + 2 + (nPx - 1) / ClearEvery
-    val z = (9 * codes + 7) / 8
-    val data = new Array[Byte](z)
-    var bit = 0L
-    def put(code: Int): Unit = { // 9 bits, LSB-first (GIF bit order)
-      var i = 0
-      while (i < 9) {
-        if ((code & (1 << i)) != 0) {
-          val p = bit + i
-          data((p >> 3).toInt) = (data((p >> 3).toInt) | (1 << (p & 7).toInt))
-            .toByte
-        }
-        i += 1
-      }
-      bit += 9
-    }
-    put(256) // initial CLEAR
-    var i = 0
-    while (i < nPx) {
-      if (i > 0 && i % ClearEvery == 0) put(256)
-      put(pixels(i) & 0xff)
-      i += 1
-    }
-    put(257) // EOI
+    val data = lzwLiteralData(pixels)
+    val z = data.length
     val out = java.nio.ByteBuffer
       .allocate(encodedSize(nPx))
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -118,6 +104,147 @@ object GifCodec {
     out.put(0.toByte)    // block terminator
     out.put(0x3b.toByte) // trailer
     out.array()
+  }
+
+  /** Pure-9-bit-literal LZW image data (initial CLEAR, a CLEAR every
+    * [[ClearEvery]] literals, EOI) — byte-deterministic, size
+    * ⌈9·(n + 2 + ⌊(n−1)/254⌋)/8⌉. */
+  private def lzwLiteralData(pixels: Array[Byte]): Array[Byte] = {
+    val nPx = pixels.length
+    val codes = nPx + 2 + (nPx - 1) / ClearEvery
+    val data = new Array[Byte]((9 * codes + 7) / 8)
+    var bit = 0L
+    def put(code: Int): Unit = { // 9 bits, LSB-first (GIF bit order)
+      var i = 0
+      while (i < 9) {
+        if ((code & (1 << i)) != 0) {
+          val p = bit + i
+          data((p >> 3).toInt) = (data((p >> 3).toInt) | (1 << (p & 7).toInt))
+            .toByte
+        }
+        i += 1
+      }
+      bit += 9
+    }
+    put(256) // initial CLEAR
+    var i = 0
+    while (i < nPx) {
+      if (i > 0 && i % ClearEvery == 0) put(256)
+      put(pixels(i) & 0xff)
+      i += 1
+    }
+    put(257) // EOI
+    data
+  }
+
+  /** One spec-level animated-frame description for [[encodeAnimated]]:
+    * placement, gray pixels, the transparent index (-1 = opaque) and
+    * the disposal method. */
+  private[etl] final case class AnimFrame(left: Int, top: Int,
+      width: Int, height: Int, pixels: Array[Byte],
+      transparent: Int = -1, disposal: Int = 0)
+
+  /** Deterministic MULTI-FRAME GIF89a builder for specs and fixtures:
+    * identity-gray global table, one graphic-control extension per
+    * frame (disposal + transparency), the same 9-bit-literal LZW as
+    * [[encode]]. Exercises the decoder's extension and composition
+    * paths with hand-computable expected canvases. */
+  private[etl] def encodeAnimated(sw: Int, sh: Int, bgIndex: Int,
+                                  frames: Seq[AnimFrame]): Array[Byte] = {
+    require(sw >= 1 && sh >= 1 && frames.nonEmpty, "empty animation")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(sw & 0xff); out.write(sw >> 8)
+    out.write(sh & 0xff); out.write(sh >> 8)
+    out.write(0xf7); out.write(bgIndex); out.write(0)
+    var c = 0
+    while (c < 256) { out.write(c); out.write(c); out.write(c); c += 1 }
+    frames.foreach { f =>
+      require(f.pixels.length == f.width * f.height, "frame pixel count")
+      // graphic control extension
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write((f.disposal << 2) | (if (f.transparent >= 0) 1 else 0))
+      out.write(0); out.write(0) // delay
+      out.write(math.max(0, f.transparent))
+      out.write(0) // terminator
+      // image descriptor
+      out.write(0x2c)
+      out.write(f.left & 0xff); out.write(f.left >> 8)
+      out.write(f.top & 0xff); out.write(f.top >> 8)
+      out.write(f.width & 0xff); out.write(f.width >> 8)
+      out.write(f.height & 0xff); out.write(f.height >> 8)
+      out.write(0) // no local table, not interlaced
+      out.write(8) // LZW minimum code size
+      val data = lzwLiteralData(f.pixels)
+      var off = 0
+      while (off < data.length) {
+        val len = math.min(255, data.length - off)
+        out.write(len); out.write(data, off, len)
+        off += len
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** Render the animation: one logical-screen RGB canvas (3·sw·sh,
+    * interleaved) per frame, composed per the GIF89a semantics —
+    * transparent indices leave the canvas through, disposal 0/1 leaves
+    * the region, 2 restores it to the background color, 3 restores the
+    * canvas as it was before the frame painted. The canvas starts at
+    * the background color. Returns (sw, sh, canvases). */
+  def composeFrames(payload: Array[Byte]): (Int, Int, Vector[Array[Byte]]) = {
+    val info = decodeFrames(payload)
+    val sw = info.width
+    val sh = info.height
+    val canvas = new Array[Byte](3 * sw * sh)
+    var p = 0
+    while (p < sw * sh) {
+      canvas(3 * p) = info.bgRgb(0)
+      canvas(3 * p + 1) = info.bgRgb(1)
+      canvas(3 * p + 2) = info.bgRgb(2)
+      p += 1
+    }
+    val outs = Vector.newBuilder[Array[Byte]]
+    info.frames.foreach { f =>
+      val saved = if (f.disposal == 3) canvas.clone() else null
+      var y = 0
+      while (y < f.height) {
+        var x = 0
+        while (x < f.width) {
+          val s = y * f.width + x
+          if ((f.indices(s) & 0xff) != f.transparent) {
+            val d = 3 * ((f.top + y) * sw + (f.left + x))
+            canvas(d) = f.rgb(3 * s)
+            canvas(d + 1) = f.rgb(3 * s + 1)
+            canvas(d + 2) = f.rgb(3 * s + 2)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      outs += canvas.clone()
+      f.disposal match {
+        case 2 => // restore the frame's region to the background color
+          var yy = 0
+          while (yy < f.height) {
+            var xx = 0
+            while (xx < f.width) {
+              val d = 3 * ((f.top + yy) * sw + (f.left + xx))
+              canvas(d) = info.bgRgb(0)
+              canvas(d + 1) = info.bgRgb(1)
+              canvas(d + 2) = info.bgRgb(2)
+              xx += 1
+            }
+            yy += 1
+          }
+        case 3 =>
+          System.arraycopy(saved, 0, canvas, 0, canvas.length)
+        case _ => ()
+      }
+    }
+    (sw, sh, outs.result())
   }
 
   /** The 4-pass GIF row interlace: stream row i → display row. */
@@ -245,15 +372,40 @@ object GifCodec {
       gct = java.util.Arrays.copyOfRange(payload, pos, pos + 3 * n)
       pos += 3 * n
     }
+    val bgIdx = payload(11) & 0xff
+    val bgRgb = if (gct.nonEmpty && bgIdx < gct.length / 3)
+      java.util.Arrays.copyOfRange(gct, 3 * bgIdx, 3 * bgIdx + 3)
+    else new Array[Byte](3)
     val frames = Vector.newBuilder[Frame]
     var totalPx = 0L
     var done = false
+    // graphic-control state applies to the NEXT image (GIF89a §23)
+    var pendingTransparent = -1
+    var pendingDisposal = 0
     while (!done) {
       require(pos < payload.length, "truncated GIF (missing trailer)")
       (payload(pos) & 0xff) match {
         case 0x3b =>
           done = true
-        case 0x21 => // extension: label + sub-blocks, all ancillary
+        case 0x21 => // extension: label + sub-blocks
+          require(pos + 2 <= payload.length, "truncated GIF extension")
+          val label = payload(pos + 1) & 0xff
+          if (label == 0xf9) {
+            // graphic control: disposal + transparency for the next
+            // frame — NOT ancillary: skipping it diverges the decoded
+            // RGB from what any renderer composes
+            require(pos + 7 <= payload.length,
+              "truncated GIF graphic control")
+            require((payload(pos + 2) & 0xff) == 4,
+              s"GIF graphic-control block size " +
+                s"${payload(pos + 2) & 0xff} != 4")
+            val gp = payload(pos + 3) & 0xff
+            pendingDisposal = (gp >> 2) & 7
+            require(pendingDisposal <= 3,
+              s"reserved GIF disposal method $pendingDisposal")
+            pendingTransparent =
+              if ((gp & 1) != 0) payload(pos + 6) & 0xff else -1
+          } // comment/application/plain-text extensions stay ancillary
           pos += 2
           var sub = -1
           while (sub != 0) {
@@ -314,7 +466,10 @@ object GifCodec {
             rgb(3 * p + 2) = ct(3 * v + 2)
             p += 1
           }
-          frames += Frame(left, top, iw, ih, idx, rgb)
+          frames += Frame(left, top, iw, ih, idx, rgb,
+            pendingTransparent, pendingDisposal)
+          pendingTransparent = -1
+          pendingDisposal = 0
         case other =>
           throw new IllegalArgumentException(
             f"unknown GIF block 0x$other%02x at $pos")
@@ -322,7 +477,7 @@ object GifCodec {
     }
     val fs = frames.result()
     require(fs.nonEmpty, "GIF payload with no image frame")
-    GifInfo(sw, sh, fs)
+    GifInfo(sw, sh, fs, bgRgb)
   }
 
   /** First frame's INDEX bytes — the content for dedup/feature

@@ -158,6 +158,76 @@ class GifCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("graphic control: transparency and disposal 0/2/3 compose " +
+       "pixel-exact onto the logical screen; ImageIO agrees on the " +
+       "per-frame transparency") {
+    import GifCodec.AnimFrame
+    // 4x2 screen, background gray 9; frame 1 paints the full screen
+    // with 10..17, frame 2 is a 2x1 patch at (1,1): 20 painted, 30
+    // transparent
+    val base = Array.tabulate[Byte](8)(i => (10 + i).toByte)
+    def grayCanvas(values: Array[Int]): Seq[Byte] =
+      values.flatMap(v => Seq(v.toByte, v.toByte, v.toByte)).toSeq
+    val f1 = AnimFrame(0, 0, 4, 2, base)
+    val patch = AnimFrame(1, 1, 2, 1, Array[Byte](20, 30), transparent = 30)
+
+    // disposal 0 (leave): canvas 2 keeps frame 1 under the transparent px
+    val g0 = GifCodec.encodeAnimated(4, 2, 9, Seq(f1, patch))
+    val (w0, h0, c0) = GifCodec.composeFrames(g0)
+    assert(w0 == 4 && h0 == 2 && c0.size == 2)
+    assert(c0(0).toSeq == grayCanvas(Array(10, 11, 12, 13, 14, 15, 16, 17)))
+    assert(c0(1).toSeq == grayCanvas(Array(10, 11, 12, 13, 14, 20, 16, 17)),
+      "transparent index must leave the prior canvas through")
+
+    // disposal 2: the patch region restores to BACKGROUND before frame 3
+    val g2 = GifCodec.encodeAnimated(4, 2, 9, Seq(f1,
+      patch.copy(disposal = 2),
+      AnimFrame(0, 0, 1, 1, Array[Byte](50))))
+    val c2 = GifCodec.composeFrames(g2)._3
+    assert(c2(1).toSeq == grayCanvas(Array(10, 11, 12, 13, 14, 20, 16, 17)))
+    assert(c2(2).toSeq == grayCanvas(Array(50, 11, 12, 13, 14, 9, 9, 17)),
+      "disposal 2 must clear the frame region to the background color")
+
+    // disposal 3: the canvas restores to its PRE-FRAME state
+    val g3 = GifCodec.encodeAnimated(4, 2, 9, Seq(f1,
+      patch.copy(disposal = 3),
+      AnimFrame(0, 0, 1, 1, Array[Byte](50))))
+    val c3 = GifCodec.composeFrames(g3)._3
+    assert(c3(2).toSeq == grayCanvas(Array(50, 11, 12, 13, 14, 15, 16, 17)),
+      "disposal 3 must restore the previous canvas")
+
+    // the canvas starts at the background color: a first frame smaller
+    // than the screen shows bg around it
+    val gSmall = GifCodec.encodeAnimated(3, 1, 7,
+      Seq(AnimFrame(1, 0, 1, 1, Array[Byte](42))))
+    assert(GifCodec.composeFrames(gSmall)._3.head.toSeq ==
+      grayCanvas(Array(7, 42, 7)))
+
+    // ImageIO referee for the GCE parse: frame 2's transparent pixel
+    // reads back with alpha 0, the painted one opaque at gray 20
+    val rdr = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    rdr.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(g0)))
+    val fr2 = rdr.read(1)
+    assert((fr2.getRGB(0, 0) >>> 24) == 0xff &&
+      (fr2.getRGB(0, 0) & 0xff) == 20)
+    assert((fr2.getRGB(1, 0) >>> 24) == 0,
+      "ImageIO must see the transparent index as alpha 0")
+    rdr.dispose()
+
+    // decode metadata surfaces the GCE fields; reserved disposal refuses
+    val info = GifCodec.decodeFrames(g0)
+    assert(info.frames(1).transparent == 30 &&
+      info.frames(1).disposal == 0 && info.frames(0).transparent == -1)
+    val bad = g0.clone()
+    // GCE packed byte of frame 1's extension: disposal bits → 4
+    val gceOff = 13 + 768 + 3
+    assert((bad(gceOff - 3) & 0xff) == 0x21 && (bad(gceOff - 2) & 0xff) == 0xf9)
+    bad(gceOff) = (4 << 2).toByte
+    assert(intercept[IllegalArgumentException](GifCodec.decodeFrames(bad))
+      .getMessage.contains("disposal"))
+  }
+
   test("corruption and hostile headers refuse loudly") {
     val px = Array.tabulate(40)(i => (i * 6 % 256).toByte)
     val gif = GifCodec.encode(8, 5, px)
