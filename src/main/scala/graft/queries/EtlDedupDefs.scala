@@ -146,7 +146,7 @@ private[queries] trait EtlDedupDefs { this: EtlQueries.type =>
     // "stopword" grams would be dropped before the join to bound key
     // skew — the fixture's gram distribution doesn't need it.
     "q_contamination" -> QueryDef(contaminationSql) { (s, dir) =>
-      contaminationReport(s, dir, contamPostings(s, dir))
+      contaminationReport(s, dir, contamPostings(s, dir), "single")
     },
 
     // FEDERATED contamination: the same probe report computed from TWO
@@ -155,7 +155,7 @@ private[queries] trait EtlDedupDefs { this: EtlQueries.type =>
     // exact evidence a single store over the union corpus holds, so
     // the oracle is q_contamination's, VERBATIM.
     "q_contam_fed" -> QueryDef(contaminationSql) { (s, dir) =>
-      contaminationReport(s, dir, fedContamPostings(s, dir))
+      contaminationReport(s, dir, fedContamPostings(s, dir), "fed")
     },
 
 
