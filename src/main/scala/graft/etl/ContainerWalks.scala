@@ -323,6 +323,267 @@ object ContainerWalks {
     }
   }
 
+  // ===== ICO / CUR ======================================================
+
+  /** Parsed ICO/CUR: entry count, dims of the largest directory entry,
+    * and the metadata-invariant content identity — the concatenated
+    * image blobs in directory order (hotspots, planes and bit-count
+    * directory fields excluded: two exports of the same icon differ
+    * exactly there). */
+  final case class IcoInfo(cursor: Boolean, count: Int, width: Int,
+                           height: Int, content: Array[Byte])
+
+  object IcoCodec {
+    private def le16(b: Array[Byte], p: Int): Int =
+      (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], p: Int): Long =
+      le16(b, p).toLong | (le16(b, p + 2).toLong << 16)
+
+    /** Walk the ICONDIR: reserved/type/count, every entry's declared
+      * blob bounds-checked and type-sniffed (PNG or a 40-byte
+      * BITMAPINFOHEADER DIB — the only two payloads the format
+      * carries). A directory dim byte of 0 means 256 (the format's
+      * one famous quirk). */
+    def parse(payload: Array[Byte]): IcoInfo = {
+      require(payload.length >= 6 + 16,
+        s"not an ICO payload (${payload.length} bytes)")
+      require(le16(payload, 0) == 0, "ICO reserved field nonzero")
+      val typ = le16(payload, 2)
+      require(typ == 1 || typ == 2, s"bad ICO resource type $typ")
+      val count = le16(payload, 4)
+      require(count >= 1, "empty ICO directory")
+      require(6 + 16 * count <= payload.length,
+        "truncated ICO directory")
+      val content = new java.io.ByteArrayOutputStream()
+      var width = -1
+      var height = -1
+      var e = 0
+      while (e < count) {
+        val base = 6 + 16 * e
+        val ew = { val v = payload(base) & 0xff; if (v == 0) 256 else v }
+        val eh = { val v = payload(base + 1) & 0xff; if (v == 0) 256 else v }
+        val size = le32(payload, base + 8)
+        val off = le32(payload, base + 12)
+        require(size >= 8 && off >= 6 + 16L * count &&
+          off + size <= payload.length,
+          s"ICO entry $e declares [$off, ${off + size}) outside the " +
+            s"${payload.length}-byte payload")
+        val o = off.toInt
+        val isPng = (payload(o) & 0xff) == 0x89 && payload(o + 1) == 'P' &&
+          payload(o + 2) == 'N' && payload(o + 3) == 'G'
+        val isDib = le32(payload, o) == 40 // BITMAPINFOHEADER
+        require(isPng || isDib,
+          s"ICO entry $e is neither a PNG nor a 40-byte-header DIB")
+        if (ew.toLong * eh > width.toLong * height) {
+          width = ew; height = eh
+        }
+        content.write(payload, o, size.toInt)
+        e += 1
+      }
+      IcoInfo(typ == 2, count, width, height, content.toByteArray)
+    }
+
+    /** Deterministic directory assembler for specs and fixtures: wraps
+      * the given (w, h, blob) entries; cursor entries get a fixed
+      * hotspot — exactly the field two exports of one icon differ by. */
+    private[etl] def build(entries: Seq[(Int, Int, Array[Byte])],
+                           cursor: Boolean = false,
+                           hotspot: Int = 0): Array[Byte] = {
+      require(entries.nonEmpty, "empty ICO directory")
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+      w16(0); w16(if (cursor) 2 else 1); w16(entries.size)
+      var off = 6 + 16 * entries.size
+      entries.foreach { case (w, h, blob) =>
+        out.write(if (w >= 256) 0 else w)
+        out.write(if (h >= 256) 0 else h)
+        out.write(0); out.write(0)        // colors, reserved
+        w16(if (cursor) hotspot else 1)   // planes / hotspot x
+        w16(if (cursor) hotspot else 32)  // bit count / hotspot y
+        w32(blob.length); w32(off)
+        off += blob.length
+      }
+      entries.foreach { case (_, _, blob) => out.write(blob) }
+      out.toByteArray
+    }
+  }
+
+  // ===== TIFF ===========================================================
+
+  /** Parsed TIFF: byte order, primary-image dims (first IFD), IFD
+    * count, and the metadata-invariant content identity — the
+    * concatenated strip bytes of every IFD in file order (ASCII
+    * metadata tags like Software/DateTime live in the IFDs, never in
+    * the strips). */
+  final case class TiffInfo(bigEndian: Boolean, width: Int, height: Int,
+                            nIfds: Int, content: Array[Byte])
+
+  object TiffCodec {
+    /** ImageWidth / ImageLength / StripOffsets / StripByteCounts. */
+    private val TagWidth = 256
+    private val TagLength = 257
+    private val TagStripOffsets = 273
+    private val TagStripCounts = 279
+
+    /** Walk both byte orders: magic 42, every IFD's entry table
+      * bounds-checked, dims from the first IFD, strip regions
+      * bounds-checked and concatenated, IFD cycles refused. Reads
+      * SHORT(3)/LONG(4) values, inline or offset per the 4-byte rule. */
+    def parse(payload: Array[Byte]): TiffInfo = {
+      require(payload.length >= 8,
+        s"not a TIFF payload (${payload.length} bytes)")
+      val big =
+        if (payload(0) == 'M' && payload(1) == 'M') true
+        else if (payload(0) == 'I' && payload(1) == 'I') false
+        else throw new IllegalArgumentException("bad TIFF byte-order mark")
+      def u16(p: Int): Int = {
+        require(p + 2 <= payload.length, s"truncated TIFF field at $p")
+        if (big) ((payload(p) & 0xff) << 8) | (payload(p + 1) & 0xff)
+        else (payload(p) & 0xff) | ((payload(p + 1) & 0xff) << 8)
+      }
+      def u32(p: Int): Long = {
+        require(p + 4 <= payload.length, s"truncated TIFF field at $p")
+        if (big) (u16(p).toLong << 16) | u16(p + 2)
+        else u16(p).toLong | (u16(p + 2).toLong << 16)
+      }
+      require(u16(2) == 42, "bad TIFF magic")
+      var ifdOff = u32(4)
+      require(ifdOff != 0, "TIFF with no IFD")
+      val content = new java.io.ByteArrayOutputStream()
+      var width = -1
+      var height = -1
+      var nIfds = 0
+      val seen = scala.collection.mutable.Set.empty[Long]
+      while (ifdOff != 0) {
+        require(seen.add(ifdOff), s"TIFF IFD cycle at offset $ifdOff")
+        require(ifdOff + 2 <= payload.length, "truncated TIFF IFD")
+        val p = ifdOff.toInt
+        val nEntries = u16(p)
+        require(nEntries >= 1, "empty TIFF IFD")
+        val end = p + 2 + 12 * nEntries
+        require(end + 4 <= payload.length, "truncated TIFF IFD table")
+        // SHORT/LONG tag values (inline when they fit in 4 bytes)
+        def values(entry: Int): Array[Long] = {
+          val typ = u16(entry + 2)
+          val n = u32(entry + 4)
+          val width = typ match {
+            case 3 => 2
+            case 4 => 4
+            case t => throw new IllegalArgumentException(
+              s"TIFF tag ${u16(entry)} has unsupported type $t " +
+                "for a structural field")
+          }
+          require(n >= 1 && n <= (1 << 20), s"bad TIFF tag count $n")
+          val at = if (n * width <= 4) entry + 8 else {
+            val o = u32(entry + 8)
+            require(o + n * width <= payload.length,
+              s"TIFF tag ${u16(entry)} values outside the payload")
+            o.toInt
+          }
+          Array.tabulate(n.toInt)(i =>
+            if (width == 2) u16(at + 2 * i).toLong else u32(at + 4 * i))
+        }
+        var stripOffsets: Array[Long] = null
+        var stripCounts: Array[Long] = null
+        var e = 0
+        while (e < nEntries) {
+          val entry = p + 2 + 12 * e
+          u16(entry) match {
+            case TagWidth if nIfds == 0 =>
+              width = values(entry).head.toInt
+            case TagLength if nIfds == 0 =>
+              height = values(entry).head.toInt
+            case TagStripOffsets => stripOffsets = values(entry)
+            case TagStripCounts => stripCounts = values(entry)
+            case _ => () // Software / DateTime / resolution … — metadata,
+              // excluded from the content identity by design
+          }
+          e += 1
+        }
+        require(stripOffsets != null && stripCounts != null,
+          s"TIFF IFD $nIfds carries no strip data")
+        require(stripOffsets.length == stripCounts.length,
+          "TIFF StripOffsets/StripByteCounts length mismatch")
+        var s = 0
+        while (s < stripOffsets.length) {
+          val off = stripOffsets(s)
+          val cnt = stripCounts(s)
+          require(cnt >= 0 && off + cnt <= payload.length,
+            s"TIFF strip $s declares [$off, ${off + cnt}) outside the " +
+              s"${payload.length}-byte payload")
+          content.write(payload, off.toInt, cnt.toInt)
+          s += 1
+        }
+        ifdOff = u32(end)
+        nIfds += 1
+      }
+      require(width >= 1 && height >= 1,
+        s"TIFF primary IFD dims ${width}x$height")
+      require(width.toLong * height <= (1L << 26),
+        s"TIFF dims ${width}x$height exceed the in-row decode bound " +
+          "(2^26 pixels)")
+      TiffInfo(big, width, height, nIfds, content.toByteArray)
+    }
+
+    /** Deterministic single-IFD assembler for specs and fixtures: an
+      * uncompressed gray image in `strips`, either byte order, plus an
+      * optional ASCII Software tag — the metadata two exports of one
+      * scan differ by. */
+    private[etl] def build(big: Boolean, w: Int, h: Int,
+                           strips: Seq[Array[Byte]],
+                           software: String = ""): Array[Byte] = {
+      require(strips.nonEmpty, "TIFF needs at least one strip")
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit =
+        if (big) { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+        else { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def w32(v: Int): Unit =
+        if (big) { w16((v >>> 16) & 0xffff); w16(v & 0xffff) }
+        else { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+      val sw = if (software.isEmpty) Array.emptyByteArray
+        else (software + "\u0000").getBytes("US-ASCII")
+      val nStrips = strips.size
+      val nEntries = 7 + (if (sw.nonEmpty) 1 else 0)
+      val ifdEnd = 8 + 2 + 12 * nEntries + 4
+      // value areas after the IFD: strip offset/count arrays (when they
+      // don't fit inline), the software string, then the strip data
+      val offArr = if (nStrips > 1) ifdEnd else -1
+      val cntArr = if (nStrips > 1) ifdEnd + 4 * nStrips else -1
+      val swOff = ifdEnd + (if (nStrips > 1) 8 * nStrips else 0)
+      val dataOff = swOff + sw.length
+      val stripOffs = strips.scanLeft(dataOff)(_ + _.length).init
+      // header
+      out.write(if (big) 'M' else 'I'); out.write(if (big) 'M' else 'I')
+      w16(42); w32(8)
+      w16(nEntries)
+      def entry(tag: Int, typ: Int, n: Int, inline: => Unit): Unit = {
+        w16(tag); w16(typ); w32(n)
+        val before = out.size()
+        inline
+        while (out.size() < before + 4) out.write(0)
+      }
+      entry(TagWidth, 4, 1, w32(w))
+      entry(TagLength, 4, 1, w32(h))
+      entry(258, 3, 1, w16(8))  // BitsPerSample
+      entry(259, 3, 1, w16(1))  // Compression: none
+      entry(TagStripOffsets, 4, nStrips, // tags in ascending order (spec)
+        if (nStrips == 1) w32(stripOffs.head) else w32(offArr))
+      entry(278, 4, 1, w32((h + nStrips - 1) / nStrips)) // RowsPerStrip
+      entry(TagStripCounts, 4, nStrips,
+        if (nStrips == 1) w32(strips.head.length) else w32(cntArr))
+      if (sw.nonEmpty) entry(305, 2, sw.length, w32(swOff)) // Software
+      w32(0) // no next IFD
+      if (nStrips > 1) {
+        stripOffs.foreach(w32)
+        strips.foreach(st => w32(st.length))
+      }
+      out.write(sw)
+      strips.foreach(out.write)
+      out.toByteArray
+    }
+  }
+
   // ===== MP4 / ISO-BMFF =================================================
 
   /** Parsed MP4: brand from ftyp, movie duration from mvhd (ms), and

@@ -2424,6 +2424,20 @@ object Multimodal {
           sum32(m.content, 0, m.content.length), 1,
           math.min(m.durationMs, Int.MaxValue.toLong).toInt,
           byteFeature(m.content, 0))
+      case "image/x-icon" =>
+        // content identity = the concatenated image blobs in directory
+        // order (hotspot/planes-invariant); dims = largest entry
+        val i = ContainerWalks.IcoCodec.parse(a.payload)
+        AssetFeatures(a.asset_id, a.kind, a.payload.length,
+          sum32(i.content, 0, i.content.length), i.width, i.height,
+          byteFeature(i.content, 0))
+      case "image/tiff" =>
+        // content identity = the concatenated strip bytes of every IFD
+        // (Software/DateTime-tag-invariant); dims from the primary IFD
+        val t = ContainerWalks.TiffCodec.parse(a.payload)
+        AssetFeatures(a.asset_id, a.kind, a.payload.length,
+          sum32(t.content, 0, t.content.length), t.width, t.height,
+          byteFeature(t.content, 0))
       case k =>
         throw new UnknownKindException(s"no codec for kind '$k'")
     }

@@ -279,6 +279,85 @@ class ContainerWalksSpec extends AnyFunSuite {
       .getMessage.contains("version 1"))
   }
 
+  // ---- ICO ------------------------------------------------------------
+
+  test("ICO: directory walk with PNG/DIB entry sniffing, the content " +
+       "identity is hotspot/planes-invariant; refusals by name") {
+    val png = Multimodal.PngCodec.encode(3, 2,
+      Array.tabulate[Byte](6)(i => (i + 1).toByte))
+    val dib = { val b = new Array[Byte](48); b(0) = 40; b } // 40-byte BIH
+    val icon = IcoCodec.build(Seq((16, 16, png), (32, 32, dib)))
+    val cursor = IcoCodec.build(Seq((16, 16, png), (32, 32, dib)),
+      cursor = true, hotspot = 7)
+    val i1 = IcoCodec.parse(icon)
+    val ic = IcoCodec.parse(cursor)
+    assert(!i1.cursor && ic.cursor && i1.count == 2)
+    assert(i1.width == 32 && i1.height == 32, "largest entry wins")
+    assert(i1.content.toSeq == (png ++ dib).toSeq)
+    assert(i1.content.toSeq == ic.content.toSeq,
+      "hotspot/planes directory fields must not change the identity")
+    // the format's famous quirk: a directory dim byte of 0 means 256
+    assert(IcoCodec.parse(IcoCodec.build(Seq((256, 256, dib)))).width == 256)
+    // refusals: nonzero reserved, bad type, entry overrun, alien blob
+    val r1 = icon.clone(); r1(0) = 1
+    assert(intercept[IllegalArgumentException](IcoCodec.parse(r1))
+      .getMessage.contains("reserved"))
+    val r2 = icon.clone(); r2(2) = 9
+    assert(intercept[IllegalArgumentException](IcoCodec.parse(r2))
+      .getMessage.contains("resource type"))
+    val r3 = icon.clone(); r3(6 + 8) = (r3(6 + 8) + 64).toByte // entry 0 size
+    assert(intercept[IllegalArgumentException](IcoCodec.parse(r3))
+      .getMessage.contains("outside"))
+    assert(intercept[IllegalArgumentException](IcoCodec.parse(
+      IcoCodec.build(Seq((8, 8, "not an image".getBytes)))))
+      .getMessage.contains("neither"))
+    intercept[IllegalArgumentException](
+      IcoCodec.parse(java.util.Arrays.copyOf(icon, 10)))
+  }
+
+  // ---- TIFF -----------------------------------------------------------
+
+  test("TIFF: both byte orders walk, dims from the primary IFD, the " +
+       "strip identity is metadata-tag- and striping-invariant; " +
+       "refusals by name") {
+    val px = Array.tabulate[Byte](24)(i => (i * 7 + 3).toByte) // 6x4 gray
+    for (big <- Seq(false, true)) {
+      val t1 = TiffCodec.build(big, 6, 4, Seq(px))
+      val info = TiffCodec.parse(t1)
+      assert(info.bigEndian == big && info.width == 6 &&
+        info.height == 4 && info.nIfds == 1, s"big=$big")
+      assert(info.content.toSeq == px.toSeq)
+      // re-striped + tagged exports share the identity
+      val strips = Seq(px.slice(0, 10), px.slice(10, 24))
+      val t2 = TiffCodec.build(big, 6, 4, strips, software = "scanner nine")
+      val t3 = TiffCodec.build(big, 6, 4, strips,
+        software = "a wholly different export tool")
+      assert(TiffCodec.parse(t2).content.toSeq == px.toSeq,
+        "re-striping must not change the content identity")
+      assert(TiffCodec.parse(t2).content.toSeq ==
+        TiffCodec.parse(t3).content.toSeq,
+        "Software/DateTime tags must not change the content identity")
+      assert(TiffCodec.parse(t2).nIfds == 1)
+    }
+    // refusals (little-endian container; single strip → IFD at 8 with
+    // 7 entries, StripByteCounts value at 90, next-IFD pointer at 94)
+    val t = TiffCodec.build(big = false, 6, 4, Seq(px))
+    val m1 = t.clone(); m1(2) = 43
+    assert(intercept[IllegalArgumentException](TiffCodec.parse(m1))
+      .getMessage.contains("magic"))
+    val m2 = t.clone(); m2(91) = 1 // strip count 24 -> 280
+    assert(intercept[IllegalArgumentException](TiffCodec.parse(m2))
+      .getMessage.contains("outside"))
+    val m3 = t.clone(); m3(94) = 8 // next IFD -> itself
+    assert(intercept[IllegalArgumentException](TiffCodec.parse(m3))
+      .getMessage.contains("cycle"))
+    intercept[IllegalArgumentException](
+      TiffCodec.parse(java.util.Arrays.copyOf(t, 40)))
+    assert(intercept[IllegalArgumentException](
+      TiffCodec.parse("II not tiff at all".getBytes))
+      .getMessage.contains("magic"))
+  }
+
   test("the quarantine admits valid walks and tags corrupt ones " +
        "(no Spark needed: decode dispatch is exercised in MultimodalSpec)") {
     // sanity: all three content identities are non-empty for real data

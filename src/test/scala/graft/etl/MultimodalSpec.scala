@@ -974,6 +974,37 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rows(3).ok && rows(3).error_class.contains("decode-error"))
   }
 
+  test("ICO and TIFF ride the quarantine: valid walks admit with dims " +
+       "and the metadata-invariant checksum, corrupt ones tag rejects") {
+    val ss = spark
+    import ss.implicits._
+    val png = Multimodal.PngCodec.encode(3, 2,
+      Array.tabulate[Byte](6)(i => (i + 1).toByte))
+    val ico = ContainerWalks.IcoCodec.build(Seq((16, 16, png)))
+    val px = Array.tabulate[Byte](24)(i => (i * 7 + 3).toByte)
+    val tiff = ContainerWalks.TiffCodec.build(big = true, 6, 4, Seq(px),
+      software = "scanner nine")
+    val assets = Seq(
+      Multimodal.Asset(1L, "image/x-icon", ico, "web", 0L),
+      Multimodal.Asset(2L, "image/tiff", tiff, "web", 0L),
+      Multimodal.Asset(3L, "image/x-icon",
+        java.util.Arrays.copyOf(ico, 12), "web", 0L),
+      Multimodal.Asset(4L, "image/tiff",
+        java.util.Arrays.copyOf(tiff, 20), "web", 0L)).toDS()
+    val rows = Multimodal.decodeAll(assets).collect().sortBy(_.asset_id)
+    assert(rows(0).ok && rows(0).width.contains(16) &&
+      rows(0).height.contains(16))
+    assert(rows(0).checksum.contains(
+      png.take(32).map(b => (b & 0xff).toLong).sum))
+    assert(rows(1).ok && rows(1).width.contains(6) &&
+      rows(1).height.contains(4))
+    assert(rows(1).checksum.contains(
+      px.take(32).map(b => (b & 0xff).toLong).sum),
+      "TIFF checksum must fold strips, never metadata tags")
+    assert(!rows(2).ok && rows(2).error_class.contains("decode-error"))
+    assert(!rows(3).ok && rows(3).error_class.contains("decode-error"))
+  }
+
   test("resizeAssets passes COLOR BMPs through unchanged (8-bpp only resizes)") {
     val ss = spark
     import ss.implicits._
