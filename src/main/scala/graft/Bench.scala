@@ -132,6 +132,9 @@ object Bench {
         s""""memo_build":${num(memoSec)},""" +
         (if (withMemoParts) s""""memo_parts":$memos,""" else "") +
         s""""passes":3,""" +
+        // the bench's actual master, so SCALE.md prose and the artifact
+        // can never disagree about the core count a number was taken at
+        s""""spark_master":${jstr(spark.sparkContext.master)},""" +
         s""""loadavg_start":${num(loadStart)},"loadavg_end":${num(loadEnd)},""" +
         s""""queries":$qs,"errors":$errs,"sf":"$sfDir"""" +
         fullPath.map(p => s""","full":${jstr(p)}""")

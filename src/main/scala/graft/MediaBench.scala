@@ -75,8 +75,25 @@ object MediaBench {
       val mbps = bytes / 1e6 / sec
       f""""$name":{"assets":$n,"rejects":$rejects,"assets_per_s":${(n / sec).toLong},"mb_per_s":${mbps.toLong},"sec":${"%.3f".format(sec)}}"""
     }
-    println(s"""{"metric":"media_decode","repl":$repl,"total_assets":$total,""" +
-      lines.mkString(",") + "}")
+    // Format-invariant dup-query slope lines: the full decode + digest
+    // groupBy pipelines of q_media_dup / q_media_dup_raster over the
+    // RAW corpus dir (median of 3, one warmup) — point SPARK_GRAFT_SF_DIR
+    // at a tools/make_grow.py dir for a GENUINE-growth slope (replicas
+    // only prove replication invariance).
+    val dupLines = Seq("q_media_dup", "q_media_dup_raster").map { q =>
+      val fn = SparkEntry.queries(q)
+      fn(spark, sfDir).count() // warmup
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val med = ts.map(_._1).sorted.apply(1)
+      f""""$q":{"sec":${"%.3f".format(med)},"groups":${ts.head._2}}"""
+    }
+    println(s"""{"metric":"media_decode","repl":$repl,""" +
+      s""""spark_master":"local[$cpus]","total_assets":$total,""" +
+      (lines ++ dupLines).mkString(",") + "}")
     assets.unpersist()
     spark.stop()
   }
