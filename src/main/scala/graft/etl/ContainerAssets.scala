@@ -10,16 +10,24 @@ import org.apache.spark.sql.functions.col
   * invariant dedup identities get a full-hash oracle gate
   * (q_media_dup_tagged) instead of spec-only coverage.
   *
-  * Kind by doc_id % 4, variants (asset_id = doc_id·2 + variant):
-  *  - 0 audio/mpeg: bare MP3 frame stream vs ID3v2(64 B) + frames +
+  * Kind by doc_id % 8, variants (asset_id = doc_id·2 + variant):
+  *  - 0, 6 audio/mpeg: bare MP3 frame stream vs ID3v2(64 B) + frames +
   *    ID3v1(128 B) — identity = the frame stream
-  *  - 1 audio/ogg: 4096-byte pages (serial 7) vs 100-byte pages
+  *  - 1, 7 audio/ogg: 4096-byte pages (serial 7) vs 100-byte pages
   *    (serial 98765, different granules) — identity = the elementary
   *    stream
   *  - 2 image/webp: bare VP8L vs VP8L + EXIF(24 B) + XMP(31 B, odd →
   *    padded) — identity = the VP8L chunk payload
   *  - 3 video/mp4: ftyp+moov+mdat vs ftyp+free+mdat+moov(mvhd+udta) —
   *    identity = the mdat payload
+  *  - 4 image/x-icon: icon vs cursor-with-hotspot directories around
+  *    ONE entry, the corpus PNG (closed-form size) — identity = the
+  *    PNG blob; the two containers are size-identical, differing only
+  *    in the directory's type/hotspot metadata fields
+  *  - 5 image/tiff: little-endian single-strip vs big-endian two-strip
+  *    + Software tag ("scanner nine", 13 B with NUL) — identity = the
+  *    concatenated strip bytes (byte order, striping and ASCII tags
+  *    are all metadata)
   *
   * Every container size is CLOSED-FORM in the text byte length n (the
   * builders' Scaladoc), so the DuckDB oracle recomputes rep/count/
@@ -28,7 +36,7 @@ import org.apache.spark.sql.functions.col
   * shape is the downstream digest groupBy's (map-side combined, 16-byte
   * keys), same as q_media_dup. */
 object ContainerAssets {
-  import ContainerWalks.{Mp4Codec, OggCodec, WebpCodec}
+  import ContainerWalks.{IcoCodec, Mp4Codec, OggCodec, TiffCodec, WebpCodec}
 
   /** Ogg page bodies for the two variants. The tagged variant's 100 is
     * deliberately < 255 (single-lacing pages) and small enough that
@@ -51,28 +59,41 @@ object ContainerAssets {
       .as[(Long, String, String, Long)]
       .flatMap { case (id, text, source, nChars) =>
         val bytes = text.getBytes("UTF-8")
-        val (kind, bare, tagged) = (id % 4) match {
-          case 0 =>
+        val w = 1 + bytes.length % 64
+        val h = math.max(1, (bytes.length + w - 1) / w)
+        val (kind, bare, tagged) = (id % 8) match {
+          case 0 | 6 =>
             val frames = Mp3Codec.encodeFrames(bytes)
             ("audio/mpeg", frames,
               Mp3Codec.id3v2Tag(new Array[Byte](54)) ++ frames ++
                 Mp3Codec.id3v1Tag("graft crawl two"))
-          case 1 =>
+          case 1 | 7 =>
             ("audio/ogg",
               OggCodec.encode(bytes, OggBareBody, serial = 7L),
               OggCodec.encode(bytes, OggRepagBody, serial = 98765L))
           case 2 =>
-            val w = 1 + bytes.length % 64
-            val h = math.max(1, (bytes.length + w - 1) / w)
             ("image/webp", WebpCodec.encodeLossless(w, h, bytes),
               WebpCodec.encodeLossless(w, h, bytes,
                 Seq("EXIF" -> exifBody, "XMP " -> xmpBody)))
-          case _ =>
+          case 3 =>
             ("video/mp4",
               Mp4Codec.encode(bytes, durationMs = bytes.length.toLong,
                 tagged = false),
               Mp4Codec.encode(bytes, durationMs = bytes.length.toLong,
                 tagged = true))
+          case 4 =>
+            val png = Multimodal.PngCodec.encode(w, h,
+              java.util.Arrays.copyOf(bytes, w * h))
+            ("image/x-icon",
+              IcoCodec.build(Seq((w, h, png))),
+              IcoCodec.build(Seq((w, h, png)), cursor = true, hotspot = 7))
+          case _ =>
+            ("image/tiff",
+              TiffCodec.build(big = false, w, h, Seq(bytes)),
+              TiffCodec.build(big = true, w, h,
+                Seq(bytes.take(bytes.length / 2),
+                  bytes.drop(bytes.length / 2)),
+                software = "scanner nine"))
         }
         Seq(Multimodal.Asset(id * 2, kind, bare, source, nChars),
           Multimodal.Asset(id * 2 + 1, kind, tagged, source, nChars))
@@ -84,10 +105,12 @@ object ContainerAssets {
     * container (quarantine upstream tags it per row). */
   def contentIdentity(kind: String, payload: Array[Byte]): Array[Byte] =
     kind match {
-      case "audio/mpeg" => Mp3Codec.frameStream(payload)
-      case "audio/ogg"  => OggCodec.contentStream(payload)
-      case "image/webp" => WebpCodec.parse(payload).content
-      case "video/mp4"  => Mp4Codec.parse(payload).content
+      case "audio/mpeg"   => Mp3Codec.frameStream(payload)
+      case "audio/ogg"    => OggCodec.contentStream(payload)
+      case "image/webp"   => WebpCodec.parse(payload).content
+      case "video/mp4"    => Mp4Codec.parse(payload).content
+      case "image/x-icon" => IcoCodec.parse(payload).content
+      case "image/tiff"   => TiffCodec.parse(payload).content
       case other => throw new IllegalArgumentException(
         s"no container identity registered for kind '$other'")
     }

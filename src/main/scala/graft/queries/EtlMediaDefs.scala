@@ -373,15 +373,17 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
 
     // TAG/METADATA-INVARIANT container dedup — the oracle gate for the
     // container-codec tier (MP3 framing, Ogg pagination + CRC-32, WebP
-    // RIFF walk, MP4 box walk). Every document ships as TWO containers
-    // of the same content that differ exactly the way two independent
-    // crawls do — re-tagged (ID3v2/ID3v1), re-paginated (different Ogg
-    // page sizes/serials/granules), metadata-appended (EXIF/XMP), or
-    // box-shuffled (free/udta atoms, moov after mdat) — and the query
-    // groups by the kind-specific CONTENT identity digest. The oracle
-    // groups by source text with every container size recomputed
-    // closed-form (the builders' Scaladoc), so a hash match proves all
-    // four walks strip exactly the metadata and nothing else:
+    // RIFF walk, MP4 box walk, ICO directory, TIFF IFD walk). Every
+    // document ships as TWO containers of the same content that differ
+    // exactly the way two independent crawls do — re-tagged (ID3v2/
+    // ID3v1), re-paginated (different Ogg page sizes/serials/granules),
+    // metadata-appended (EXIF/XMP), box-shuffled (free/udta atoms, moov
+    // after mdat), re-typed (icon vs hotspot cursor), or re-exported
+    // (byte order + striping + Software tag) — and the query groups by
+    // the kind-specific CONTENT identity digest. The oracle groups by
+    // source text with every container size recomputed closed-form
+    // (the builders' Scaladoc), so a hash match proves all six walks
+    // strip exactly the metadata and nothing else:
     // n_variants counts both variants into one group (a walk leaking
     // metadata into the identity splits the group), n_content pins the
     // identity's byte length, sum_bytes pins every encoder's framing
@@ -392,34 +394,49 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
          |  FROM documents),
          |v AS (
          |  SELECT doc_id, text, n,
-         |    CASE CAST(doc_id % 4 AS INTEGER)
-         |      WHEN 0 THEN 'audio/mpeg' WHEN 1 THEN 'audio/ogg'
-         |      WHEN 2 THEN 'image/webp' ELSE 'video/mp4' END AS kind,
+         |    1 + n % 64 AS w,
+         |    GREATEST(1, (n + (1 + n % 64) - 1) // (1 + n % 64)) AS hp,
+         |    CASE CAST(doc_id % 8 AS INTEGER)
+         |      WHEN 0 THEN 'audio/mpeg' WHEN 6 THEN 'audio/mpeg'
+         |      WHEN 1 THEN 'audio/ogg' WHEN 7 THEN 'audio/ogg'
+         |      WHEN 2 THEN 'image/webp' WHEN 3 THEN 'video/mp4'
+         |      WHEN 4 THEN 'image/x-icon' ELSE 'image/tiff' END AS kind,
          |    GREATEST(1, (n + 412) // 413) AS fr,
          |    GREATEST(1, (n + 4095) // 4096) AS p1,
          |    GREATEST(1, (n + 99) // 100) AS p2
          |  FROM b),
+         |v2 AS (
+         |  -- the corpus PNG's closed-form size (q_multimodal's formula):
+         |  -- 57 container + zlib(6 + 5·ceil(raw/65535) + raw), raw=hp·(w+1)
+         |  SELECT *, 63 + 5 * ((hp * (w + 1) + 65534) // 65535)
+         |    + hp * (w + 1) AS png FROM v),
          |s AS (
          |  SELECT doc_id, text, kind,
-         |    CAST(CASE CAST(doc_id % 4 AS INTEGER)
-         |      WHEN 0 THEN 417 * fr
-         |      WHEN 1 THEN n
-         |      WHEN 2 THEN 5 + n
+         |    CAST(CASE kind
+         |      WHEN 'audio/mpeg' THEN 417 * fr
+         |      WHEN 'image/webp' THEN 5 + n
+         |      WHEN 'image/x-icon' THEN png
          |      ELSE n END AS BIGINT) AS n_content,
-         |    CAST(CASE CAST(doc_id % 4 AS INTEGER)
+         |    CAST(CASE kind
          |      -- MP3: bare 417·fr; tagged adds ID3v2 64 + ID3v1 128
-         |      WHEN 0 THEN 834 * fr + 192
+         |      WHEN 'audio/mpeg' THEN 834 * fr + 192
          |      -- Ogg: bare 4096-byte pages (17 lacing bytes full, tail
          |      -- ⌊r/255⌋+1); repag 100-byte pages (1 lacing byte each)
-         |      WHEN 1 THEN 2 * n + 27 * p1 + 17 * (p1 - 1)
+         |      WHEN 'audio/ogg' THEN 2 * n + 27 * p1 + 17 * (p1 - 1)
          |        + (n - 4096 * (p1 - 1)) // 255 + 1 + 28 * p2
          |      -- WebP: bare 12 RIFF + 8 + (5+n) + odd pad; tagged adds
          |      -- EXIF 8+24 and XMP 8+31+1 pad = 72
-         |      WHEN 2 THEN 2 * (25 + n + CASE WHEN n % 2 = 0
+         |      WHEN 'image/webp' THEN 2 * (25 + n + CASE WHEN n % 2 = 0
          |        THEN 1 ELSE 0 END) + 72
          |      -- MP4: bare 60+n; tagged 124+n (free 24 + udta 40)
-         |      ELSE 184 + 2 * n END AS BIGINT) AS sum_bytes
-         |  FROM v)
+         |      WHEN 'video/mp4' THEN 184 + 2 * n
+         |      -- ICO: icon and cursor directories are SIZE-identical
+         |      -- (6 + 16 + png), differing only in type/hotspot fields
+         |      WHEN 'image/x-icon' THEN 44 + 2 * png
+         |      -- TIFF: LE single-strip 98+n; BE two-strip + Software
+         |      -- tag 139+n (8 entries + 16 strip-array + 13 sw bytes)
+         |      ELSE 237 + 2 * n END AS BIGINT) AS sum_bytes
+         |  FROM v2)
          |SELECT kind, CAST(MIN(doc_id) * 2 AS BIGINT) AS rep_asset,
          |  CAST(2 * COUNT(*) AS BIGINT) AS n_variants,
          |  MIN(n_content) AS n_content,
