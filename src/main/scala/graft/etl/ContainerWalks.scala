@@ -386,7 +386,7 @@ object ContainerWalks {
     /** Deterministic directory assembler for specs and fixtures: wraps
       * the given (w, h, blob) entries; cursor entries get a fixed
       * hotspot — exactly the field two exports of one icon differ by. */
-    private[etl] def build(entries: Seq[(Int, Int, Array[Byte])],
+    def build(entries: Seq[(Int, Int, Array[Byte])],
                            cursor: Boolean = false,
                            hotspot: Int = 0): Array[Byte] = {
       require(entries.nonEmpty, "empty ICO directory")
@@ -530,7 +530,7 @@ object ContainerWalks {
       * uncompressed gray image in `strips`, either byte order, plus an
       * optional ASCII Software tag — the metadata two exports of one
       * scan differ by. */
-    private[etl] def build(big: Boolean, w: Int, h: Int,
+    def build(big: Boolean, w: Int, h: Int,
                            strips: Seq[Array[Byte]],
                            software: String = ""): Array[Byte] = {
       require(strips.nonEmpty, "TIFF needs at least one strip")

@@ -340,4 +340,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"),
       s"every join side here is broadcastable, got:\n$p")
   }
+
+  test("tagged container dedup: narrow decode, join-free, one map-side-" +
+       "combined digest groupBy") {
+    val p = plan("q_media_dup_tagged")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+      && !p.contains("CartesianProduct"),
+      s"the identity pipeline is decode + groupBy — no joins, got:\n$p")
+    assert(p.contains("HashAggregate") && p.contains("partial_count"),
+      s"the digest groupBy must combine map-side, got:\n$p")
+    // exactly one hash shuffle (the groupBy); the orderBy adds at most a
+    // range exchange — anything more means the decode stopped being narrow
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 2, // plan string repeats the exchange in AQE
+      s"expected one digest-keyed shuffle, got $hashExchanges:\n$p")
+  }
 }

@@ -78,16 +78,28 @@ class StreamingCuratorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // batch 2 AFTER the corrupt row: the stream is still alive
     mem.addData((3L, "image/gif", goodGif), (4L, "model/unknown", alien))
     q.processAllAvailable()
+    // batch 3: the round-19 container walks ride the same gate — a
+    // valid ICO admits, a truncated TIFF tags a reject, stream survives
+    val ico = graft.etl.ContainerWalks.IcoCodec.build(Seq((3, 2,
+      graft.etl.Multimodal.PngCodec.encode(3, 2,
+        Array.tabulate[Byte](6)(i => (i + 1).toByte)))))
+    val tiffTrunc = java.util.Arrays.copyOf(
+      graft.etl.ContainerWalks.TiffCodec.build(big = false, 3, 2,
+        Seq(Array.tabulate[Byte](6)(i => (i + 1).toByte))), 20)
+    mem.addData((5L, "image/x-icon", ico), (6L, "image/tiff", tiffTrunc))
+    q.processAllAvailable()
     assert(q.isActive, "stream must survive the corrupt container")
     q.stop()
     val rows = spark.table("media_gate").collect()
       .map(r => (r.getLong(0), r.getBoolean(3),
         Option(r.getString(8)))).sortBy(_._1)
-    // count conservation: 4 in, 4 out, each tagged
-    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // count conservation: 6 in, 6 out, each tagged
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
     assert(rows(0)._2 && rows(2)._2, "good containers admitted")
     assert(!rows(1)._2 && rows(1)._3.contains("decode-error"), rows(1))
     assert(!rows(3)._2 && rows(3)._3.contains("unknown-kind"), rows(3))
+    assert(rows(4)._2, "valid ICO admitted through the stream gate")
+    assert(!rows(5)._2 && rows(5)._3.contains("decode-error"), rows(5))
     // the admitted GIF decoded for real: its checksum is the pixel sum
     val gifRow = spark.table("media_gate").collect()
       .find(_.getLong(0) == 3L).get
