@@ -223,6 +223,74 @@ object FlacCodec {
     out.toByteArray
   }
 
+  /** Rice parameter of [[encodeLpc]]: the order-1 residual is the
+    * adjacent-sample delta d ∈ [-127, 127], zigzagged to u ≤ 254, so
+    * with k = 4 each residual costs 5 + ⌊u/16⌋ bits — closed-form in
+    * the text's adjacent-char differences. */
+  val LpcRiceParam = 4
+
+  /** Encode ASCII-range bytes as a mono 8-bit LPC subframe stream —
+    * order 1, quantized coefficient 1, shift 0 (prediction = the
+    * previous sample EXACTLY, so the residual is the delta), one Rice
+    * partition per frame at param [[LpcRiceParam]]. The third encoder
+    * tier: after VERBATIM ([[encode]]) and FIXED+Rice ([[encodeRice]]),
+    * this puts the LPC path — quantized-coefficient prediction, the
+    * 64-bit accumulator, warmup samples — under the DuckDB oracle with
+    * the STREAMINFO MD5 as referee. Closed-form size:
+    * 42 + Σ_frames (10 + ⌈(37 + 5·(n_i − 1) + C_i) / 8⌉), where the 37
+    * fixed bits are subframe header (8) + warmup (8) + precision (4) +
+    * shift (5) + coefficient (2) + residual prologue (10), and
+    * C_i = Σ ⌊zigzag(s_j − s_{j−1})/16⌋ over the block's deltas. */
+  def encodeLpc(sampleRate: Int, data: Array[Byte]): Array[Byte] = {
+    requireAscii(data)
+    val out = new java.io.ByteArrayOutputStream()
+    writeStreamHead(out, sampleRate, data)
+    var frame = 0
+    var pos = 0
+    while (pos < data.length) {
+      val n = math.min(BlockSize, data.length - pos)
+      val frameBytes = new java.io.ByteArrayOutputStream()
+      frameBytes.write(frameHeader(frame, n))
+      var acc = 0
+      var nb = 0
+      def wbit(v: Int): Unit = {
+        acc = (acc << 1) | (v & 1); nb += 1
+        if (nb == 8) { frameBytes.write(acc); acc = 0; nb = 0 }
+      }
+      def wbits(v: Int, w: Int): Unit = {
+        var k = w - 1
+        while (k >= 0) { wbit((v >> k) & 1); k -= 1 }
+      }
+      wbits(0x40, 8)               // pad 0, type LPC order 1 (0b100000),
+                                   // no wasted bits
+      wbits(data(pos) & 0xff, 8)   // one warmup sample (ASCII ⇒ sign-free)
+      wbits(1, 4)                  // precision-1 = 1 → 2-bit coefficients
+      wbits(0, 5)                  // shift 0
+      wbits(1, 2)                  // coefficient c0 = 1 (prediction = prev)
+      wbits(0, 2)                  // residual method: 4-bit Rice params
+      wbits(0, 4)                  // partition order 0
+      wbits(LpcRiceParam, 4)
+      var j = 1
+      while (j < n) {
+        val d = (data(pos + j) & 0xff) - (data(pos + j - 1) & 0xff)
+        val u = (d << 1) ^ (d >> 31) // zigzag
+        var q = u >>> LpcRiceParam
+        while (q > 0) { wbit(0); q -= 1 }
+        wbit(1)
+        wbits(u & ((1 << LpcRiceParam) - 1), LpcRiceParam)
+        j += 1
+      }
+      if (nb > 0) { frameBytes.write(acc << (8 - nb)); acc = 0; nb = 0 }
+      val fb = frameBytes.toByteArray
+      val c16 = crc16(fb, 0, fb.length)
+      out.write(fb)
+      out.write(c16 >> 8); out.write(c16 & 0xff)
+      pos += n
+      frame += 1
+    }
+    out.toByteArray
+  }
+
   // ---- decoder -------------------------------------------------------
 
   private final class BitReader(data: Array[Byte], var pos: Int) {

@@ -2172,6 +2172,12 @@ object Multimodal {
             else if (id % 32 == RiceFlacResidue)
               Asset(id, "audio/flac",
                 FlacCodec.encodeRice(8000, bytes), source, nChars)
+            // and a third ships the LPC shape (quantized-coefficient
+            // prediction + Rice deltas) — the last decode path the
+            // oracle had not pinned
+            else if (id % 32 == LpcFlacResidue)
+              Asset(id, "audio/flac",
+                FlacCodec.encodeLpc(8000, bytes), source, nChars)
             else Asset(id, "audio/wav",
               WavCodec.encode(8000, 1, 8, bytes), source, nChars)
           case 1 =>
@@ -2223,6 +2229,10 @@ object Multimodal {
     * FLAC ([[FlacCodec.encodeRice]]: FIXED order-0 + Rice residual) —
     * oracle coverage for the entropy-coded decode path. */
   val RiceFlacResidue = 12L
+  /** Residue (mod 32) of the audio class that encodes as LPC FLAC
+    * ([[FlacCodec.encodeLpc]]: order-1 quantized-coefficient prediction
+    * + Rice deltas) — oracle coverage for the LPC decode path. */
+  val LpcFlacResidue = 28L
   /** Residue (mod 32) of the raster class (doc_id % 4 = 3) that ships
     * GIF instead of BMP — see [[assetsFromDocuments]]. */
   val GifResidue = 3L

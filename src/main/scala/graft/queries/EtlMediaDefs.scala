@@ -46,9 +46,11 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
     },
 
     // Mixed multi-format decode (WAV / PNG / JPEG / BMP by doc_id % 4,
-    // with audio residues 20 (VERBATIM) and 12 (FIXED order-0 + Rice
-    // residual — the entropy-coded path real FLAC exercises) mod 32
-    // shipping FLAC and raster residue 3 mod 32 shipping GIF — 9-bit-literal LZW, closed-form size per
+    // with audio residues 20 (VERBATIM), 12 (FIXED order-0 + Rice
+    // residual) and 28 (LPC order-1: quantized-coefficient prediction
+    // + Rice deltas) mod 32 shipping FLAC — all three subframe decode
+    // paths under the hash gate — and raster residue 3 mod 32 shipping
+    // GIF — 9-bit-literal LZW, closed-form size per
     // GifCodec.encodedSize, decoded indices = the text bytes;
     // the JPEG class splits % 16 into BASELINE GRAYSCALE (2),
     // PROGRESSIVE grayscale (10 — a real SOF2 multi-scan frame: DC
@@ -143,6 +145,19 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
          |  FROM (SELECT doc_id, text, unnest(generate_series(1, n)) AS p
          |        FROM d) t
          |  GROUP BY doc_id),
+         |lz AS (
+         |  -- LPC FLAC (audio residue 28): the order-1 residual is the
+         |  -- adjacent-char delta; zigzag(d)//16 is the per-sample extra
+         |  -- unary cost at Rice param 4
+         |  SELECT doc_id,
+         |    SUM((CASE WHEN dd >= 0 THEN 2 * dd
+         |      ELSE -2 * dd - 1 END) // 16) AS cz
+         |  FROM (SELECT doc_id,
+         |          ord(substr(text, CAST(p AS INTEGER), 1)) -
+         |          ord(substr(text, CAST(p - 1 AS INTEGER), 1)) AS dd
+         |        FROM (SELECT doc_id, text,
+         |                unnest(generate_series(2, n)) AS p FROM d) t) t2
+         |  GROUP BY doc_id),
          |jcsc AS (
          |  -- color checksum: first 32 INTERLEAVED RGB bytes — byte j
          |  -- is channel (j-1)%3 of pixel 1+(j-1)//3, and the chroma
@@ -158,7 +173,7 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
          |  FROM d, generate_series(1, 32) s(j)
          |  GROUP BY d.doc_id)
          |SELECT d.doc_id AS asset_id,
-         |  CASE WHEN d.doc_id % 32 IN (12, 20) THEN 'audio/flac'
+         |  CASE WHEN d.doc_id % 32 IN (12, 20, 28) THEN 'audio/flac'
          |       WHEN d.doc_id % 32 = 3 THEN 'image/gif'
          |       WHEN d.doc_id % 4 = 0 THEN 'audio/wav'
          |       WHEN d.doc_id % 4 = 1 THEN 'image/png'
@@ -175,6 +190,12 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
          |       -- ceil((18 subframe/residual prologue bits + 8n + c64)/8)
          |       WHEN d.doc_id % 32 = 12 THEN 42 + CASE WHEN n = 0 THEN 0
          |         ELSE 10 + (25 + 8 * n + COALESCE(c6.c64, 0)) // 8 END
+         |       -- LPC FLAC: 37 fixed subframe bits (header + warmup +
+         |       -- precision/shift/coef + residual prologue) + 5 bits
+         |       -- per delta + the zigzag/16 unary excess
+         |       WHEN d.doc_id % 32 = 28 THEN 42 + CASE WHEN n = 0 THEN 0
+         |         ELSE 10 + (37 + 5 * (n - 1) + COALESCE(lz.cz, 0) + 7)
+         |           // 8 END
          |       WHEN d.doc_id % 4 = 0 THEN 44 + n
          |       WHEN d.doc_id % 4 = 1 THEN 57 + 6
          |         + 5 * ((hp * (w + 1) + 65534) // 65535) + hp * (w + 1)
@@ -210,6 +231,7 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
          |       LEFT JOIN jcs ON jcs.doc_id = d.doc_id
          |       LEFT JOIN jcsc ON jcsc.doc_id = d.doc_id
          |       LEFT JOIN c6 ON c6.doc_id = d.doc_id
+         |       LEFT JOIN lz ON lz.doc_id = d.doc_id
          |       LEFT JOIN gz ON gz.doc_id = d.doc_id
          |ORDER BY asset_id""".stripMargin) { (s, dir) =>
       graft.etl.Multimodal.features(s, dir).drop("feature")
@@ -231,7 +253,7 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
     "q_media_dup" -> QueryDef(
       s"""SELECT md5(text) AS digest, MIN(doc_id) AS rep_asset,
          |  CAST(COUNT(*) AS BIGINT) AS n_assets,
-         |  CAST(COUNT(DISTINCT doc_id % 32 IN (12, 20)) AS BIGINT)
+         |  CAST(COUNT(DISTINCT doc_id % 32 IN (12, 20, 28)) AS BIGINT)
          |    AS n_formats
          |FROM documents WHERE doc_id % 4 = 0
          |GROUP BY text

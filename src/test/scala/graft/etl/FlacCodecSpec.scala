@@ -72,6 +72,41 @@ class FlacCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](FlacCodec.decode(bad))
   }
 
+  test("encodeLpc: order-1 quantized-coefficient prediction + Rice " +
+       "deltas round-trips through the full decoder with a closed-form " +
+       "size") {
+    for (n <- Seq(0, 1, 2, 127, 413, 4096, 4097, 9000)) {
+      // sawtooth with jumps so deltas span sign and unary cost classes
+      val data = Array.tabulate[Byte](n)(i => ((i * 37 + 11) % 128).toByte)
+      val enc = FlacCodec.encodeLpc(8000, data)
+      var expected = FlacCodec.HeaderSize
+      var pos = 0
+      while (pos < n) {
+        val bn = math.min(FlacCodec.BlockSize, n - pos)
+        var cz = 0
+        for (j <- pos + 1 until pos + bn) {
+          val d = (data(j) & 0xff) - (data(j - 1) & 0xff)
+          cz += ((d << 1) ^ (d >> 31)) / 16
+        }
+        expected += 10 + (37 + 5 * (bn - 1) + cz + 7) / 8
+        pos += FlacCodec.BlockSize
+      }
+      assert(enc.length == expected, s"n=$n")
+      val info = FlacCodec.decode(enc)
+      assert(info.samples.toSeq == data.map(_.toInt).toSeq, s"n=$n")
+    }
+    // constant signal: every delta 0 → exactly 5 bits per residual
+    val flat = FlacCodec.encodeLpc(8000, Array.fill[Byte](100)(65))
+    assert(flat.length == 42 + 10 + (37 + 5 * 99 + 7) / 8)
+    assert(FlacCodec.decode(flat).samples.forall(_ == 65))
+    // corruption: flip a delta bit → refused (CRC-16 or MD5 layer)
+    val enc = FlacCodec.encodeLpc(8000,
+      "lpc coded delta fixture".getBytes("UTF-8"))
+    val bad = enc.clone()
+    bad(56) = (bad(56) ^ 2).toByte
+    intercept[IllegalArgumentException](FlacCodec.decode(bad))
+  }
+
   test("corruption fails loudly at the right layer: CRC-8, CRC-16, MD5") {
     val data = "integrity check content".getBytes("UTF-8")
     val flac = FlacCodec.encode(8000, data)
