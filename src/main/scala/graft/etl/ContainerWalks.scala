@@ -325,11 +325,14 @@ object ContainerWalks {
 
   // ===== ICO / CUR ======================================================
 
-  /** Parsed ICO/CUR: entry count, dims of the largest directory entry,
-    * and the metadata-invariant content identity — the concatenated
-    * image blobs in directory order (hotspots, planes and bit-count
-    * directory fields excluded: two exports of the same icon differ
-    * exactly there). */
+  /** Parsed ICO/CUR: entry count, dims of the largest entry — read
+    * from each entry's OWN header (PNG IHDR / DIB BITMAPINFOHEADER),
+    * never the 1-byte directory fields, which are notoriously
+    * unreliable and cannot express dims above 256 — and the
+    * metadata-invariant content identity: the concatenated image blobs
+    * in directory order (hotspots, planes and bit-count directory
+    * fields excluded: two exports of the same icon differ exactly
+    * there). */
   final case class IcoInfo(cursor: Boolean, count: Int, width: Int,
                            height: Int, content: Array[Byte])
 
@@ -340,10 +343,11 @@ object ContainerWalks {
       le16(b, p).toLong | (le16(b, p + 2).toLong << 16)
 
     /** Walk the ICONDIR: reserved/type/count, every entry's declared
-      * blob bounds-checked and type-sniffed (PNG or a 40-byte
-      * BITMAPINFOHEADER DIB — the only two payloads the format
-      * carries). A directory dim byte of 0 means 256 (the format's
-      * one famous quirk). */
+      * blob bounds-checked AND header-validated — a PNG entry must
+      * carry the signature and an IHDR with sane dims, a DIB entry a
+      * 40-byte BITMAPINFOHEADER with a positive, EVEN height (the
+      * format stores XOR+AND mask rows doubled); anything else
+      * refuses by name (the format carries only these two payloads). */
     def parse(payload: Array[Byte]): IcoInfo = {
       require(payload.length >= 6 + 16,
         s"not an ICO payload (${payload.length} bytes)")
@@ -360,22 +364,38 @@ object ContainerWalks {
       var e = 0
       while (e < count) {
         val base = 6 + 16 * e
-        val ew = { val v = payload(base) & 0xff; if (v == 0) 256 else v }
-        val eh = { val v = payload(base + 1) & 0xff; if (v == 0) 256 else v }
         val size = le32(payload, base + 8)
         val off = le32(payload, base + 12)
-        require(size >= 8 && off >= 6 + 16L * count &&
+        require(size >= 16 && off >= 6 + 16L * count &&
           off + size <= payload.length,
           s"ICO entry $e declares [$off, ${off + size}) outside the " +
             s"${payload.length}-byte payload")
         val o = off.toInt
+        def be32(p: Int): Long =
+          ((payload(p) & 0xffL) << 24) | ((payload(p + 1) & 0xffL) << 16) |
+            ((payload(p + 2) & 0xffL) << 8) | (payload(p + 3) & 0xffL)
         val isPng = (payload(o) & 0xff) == 0x89 && payload(o + 1) == 'P' &&
           payload(o + 2) == 'N' && payload(o + 3) == 'G'
-        val isDib = le32(payload, o) == 40 // BITMAPINFOHEADER
-        require(isPng || isDib,
-          s"ICO entry $e is neither a PNG nor a 40-byte-header DIB")
-        if (ew.toLong * eh > width.toLong * height) {
-          width = ew; height = eh
+        val (ew, eh) =
+          if (isPng) {
+            require(size >= 24 &&
+              new String(payload, o + 12, 4, "US-ASCII") == "IHDR",
+              s"ICO entry $e: PNG without a leading IHDR")
+            (be32(o + 16), be32(o + 20))
+          } else {
+            require(le32(payload, o) == 40 && size >= 40,
+              s"ICO entry $e is neither a PNG nor a 40-byte-header DIB")
+            val w = le32(payload, o + 4)
+            val h2 = le32(payload, o + 8)
+            require(h2 >= 2 && h2 % 2 == 0,
+              s"ICO entry $e: DIB height $h2 is not the doubled " +
+                "XOR+AND-mask value")
+            (w, h2 / 2)
+          }
+        require(ew >= 1 && eh >= 1 && ew * eh <= (1L << 26),
+          s"ICO entry $e dims ${ew}x$eh out of bounds")
+        if (ew * eh > width.toLong * height) {
+          width = ew.toInt; height = eh.toInt
         }
         content.write(payload, o, size.toInt)
         e += 1

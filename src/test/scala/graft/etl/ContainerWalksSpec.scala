@@ -281,24 +281,40 @@ class ContainerWalksSpec extends AnyFunSuite {
 
   // ---- ICO ------------------------------------------------------------
 
-  test("ICO: directory walk with PNG/DIB entry sniffing, the content " +
-       "identity is hotspot/planes-invariant; refusals by name") {
+  test("ICO: directory walk with PNG-IHDR/DIB-header entry validation, " +
+       "blob-derived dims, hotspot/planes-invariant identity; refusals " +
+       "by name") {
+    def dib(w: Int, h: Int): Array[Byte] = { // 40-byte BIH + pixel stub
+      val b = new Array[Byte](48)
+      b(0) = 40
+      var i = 0
+      while (i < 4) {
+        b(4 + i) = (w >> (8 * i)).toByte
+        b(8 + i) = ((2 * h) >> (8 * i)).toByte // XOR+AND doubled height
+        i += 1
+      }
+      b
+    }
     val png = Multimodal.PngCodec.encode(3, 2,
       Array.tabulate[Byte](6)(i => (i + 1).toByte))
-    val dib = { val b = new Array[Byte](48); b(0) = 40; b } // 40-byte BIH
-    val icon = IcoCodec.build(Seq((16, 16, png), (32, 32, dib)))
-    val cursor = IcoCodec.build(Seq((16, 16, png), (32, 32, dib)),
+    val big = dib(32, 32)
+    val icon = IcoCodec.build(Seq((3, 2, png), (32, 32, big)))
+    val cursor = IcoCodec.build(Seq((3, 2, png), (32, 32, big)),
       cursor = true, hotspot = 7)
     val i1 = IcoCodec.parse(icon)
     val ic = IcoCodec.parse(cursor)
     assert(!i1.cursor && ic.cursor && i1.count == 2)
-    assert(i1.width == 32 && i1.height == 32, "largest entry wins")
-    assert(i1.content.toSeq == (png ++ dib).toSeq)
+    assert(i1.width == 32 && i1.height == 32,
+      "largest entry wins, dims from the blob headers")
+    assert(i1.content.toSeq == (png ++ big).toSeq)
     assert(i1.content.toSeq == ic.content.toSeq,
       "hotspot/planes directory fields must not change the identity")
-    // the format's famous quirk: a directory dim byte of 0 means 256
-    assert(IcoCodec.parse(IcoCodec.build(Seq((256, 256, dib)))).width == 256)
-    // refusals: nonzero reserved, bad type, entry overrun, alien blob
+    // dims above the 1-byte directory fields' range come from the blob
+    // (the directory byte writes the format's famous 0-means-256 form)
+    val huge = IcoCodec.parse(IcoCodec.build(Seq((300, 300, dib(300, 300)))))
+    assert(huge.width == 300 && huge.height == 300)
+    // refusals: nonzero reserved, bad type, entry overrun, alien blob,
+    // a DIB whose height is not the doubled mask value
     val r1 = icon.clone(); r1(0) = 1
     assert(intercept[IllegalArgumentException](IcoCodec.parse(r1))
       .getMessage.contains("reserved"))
@@ -309,8 +325,12 @@ class ContainerWalksSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](IcoCodec.parse(r3))
       .getMessage.contains("outside"))
     assert(intercept[IllegalArgumentException](IcoCodec.parse(
-      IcoCodec.build(Seq((8, 8, "not an image".getBytes)))))
+      IcoCodec.build(Seq((8, 8, "not an image, full stop".getBytes)))))
       .getMessage.contains("neither"))
+    val odd = dib(8, 8); odd(8) = 15 // odd height
+    assert(intercept[IllegalArgumentException](IcoCodec.parse(
+      IcoCodec.build(Seq((8, 8, odd)))))
+      .getMessage.contains("doubled"))
     intercept[IllegalArgumentException](
       IcoCodec.parse(java.util.Arrays.copyOf(icon, 10)))
   }

@@ -980,7 +980,7 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     import ss.implicits._
     val png = Multimodal.PngCodec.encode(3, 2,
       Array.tabulate[Byte](6)(i => (i + 1).toByte))
-    val ico = ContainerWalks.IcoCodec.build(Seq((16, 16, png)))
+    val ico = ContainerWalks.IcoCodec.build(Seq((3, 2, png)))
     val px = Array.tabulate[Byte](24)(i => (i * 7 + 3).toByte)
     val tiff = ContainerWalks.TiffCodec.build(big = true, 6, 4, Seq(px),
       software = "scanner nine")
@@ -992,8 +992,8 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       Multimodal.Asset(4L, "image/tiff",
         java.util.Arrays.copyOf(tiff, 20), "web", 0L)).toDS()
     val rows = Multimodal.decodeAll(assets).collect().sortBy(_.asset_id)
-    assert(rows(0).ok && rows(0).width.contains(16) &&
-      rows(0).height.contains(16))
+    assert(rows(0).ok && rows(0).width.contains(3) &&
+      rows(0).height.contains(2), "dims from the PNG entry's own IHDR")
     assert(rows(0).checksum.contains(
       png.take(32).map(b => (b & 0xff).toLong).sum))
     assert(rows(1).ok && rows(1).width.contains(6) &&
