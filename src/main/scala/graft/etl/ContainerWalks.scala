@@ -18,7 +18,8 @@ package graft.etl
   *    chunk, plus ALPH/ANIM/ANMF under VP8X (EXIF/XMP/ICCP excluded)
   *  - Ogg: the concatenated segment payloads (the elementary stream —
   *    re-paginated streams share identity)
-  *  - MP4: the mdat payload (moov/metadata-atom-invariant)
+  *  - MP4: the concatenated mdat payloads in file order
+  *    (moov/metadata-atom- and mdat-fragmentation-invariant)
   *
   * Public layouts per the RIFF/WebP container spec, RFC 3533 (Ogg) and
   * ISO/IEC 14496-12 (BMFF). Reference behavior analog: opaque payloads
@@ -607,7 +608,9 @@ object ContainerWalks {
   // ===== MP4 / ISO-BMFF =================================================
 
   /** Parsed MP4: brand from ftyp, movie duration from mvhd (ms), and
-    * the mdat payload as the content identity. */
+    * the concatenated mdat payloads (in file order — a fragmented/
+    * multi-mdat file's media is ALL its mdat boxes, not the last one)
+    * as the content identity. */
   final case class Mp4Info(brand: String, durationMs: Long,
                            content: Array[Byte])
 
@@ -627,7 +630,7 @@ object ContainerWalks {
       var pos = 0
       var brand: String = null
       var durationMs = -1L
-      var content: Array[Byte] = null
+      val content = new java.io.ByteArrayOutputStream()
       var first = true
       while (pos < payload.length) {
         require(pos + 8 <= payload.length, s"truncated MP4 box at $pos")
@@ -649,8 +652,7 @@ object ContainerWalks {
           first = false
         }
         if (typ == "mdat")
-          content = java.util.Arrays.copyOfRange(payload,
-            pos + hdr, pos + size.toInt)
+          content.write(payload, pos + hdr, size.toInt - hdr)
         if (typ == "moov") {
           // scan the moov children for mvhd
           var p = pos + hdr
@@ -684,8 +686,7 @@ object ContainerWalks {
       }
       require(brand != null, "MP4 payload with no ftyp")
       require(durationMs >= 0, "MP4 payload with no moov/mvhd")
-      Mp4Info(brand, durationMs,
-        if (content != null) content else Array.emptyByteArray)
+      Mp4Info(brand, durationMs, content.toByteArray)
     }
 
     /** Version-0 mvhd box (28 bytes): zero flags/times, the given

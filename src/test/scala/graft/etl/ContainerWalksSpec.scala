@@ -222,6 +222,13 @@ class ContainerWalksSpec extends AnyFunSuite {
     assert(i1.content.toSeq == media.toSeq)
     assert(i1.content.toSeq == i2.content.toSeq,
       "metadata atoms must not change the content identity")
+    // a fragmented layout (the same media split across TWO mdat boxes)
+    // shares the identity — the media is ALL mdats in file order
+    val (ma, mb) = media.splitAt(11)
+    val frag = ftyp ++ moov1 ++ Mp4Codec.box("mdat", ma) ++
+      Mp4Codec.box("free", "seg-gap".getBytes) ++ Mp4Codec.box("mdat", mb)
+    assert(Mp4Codec.parse(frag).content.toSeq == media.toSeq,
+      "mdat fragmentation must not change the content identity")
     // refusals: no leading ftyp, box overrun, missing mvhd, truncation
     assert(intercept[IllegalArgumentException](
       Mp4Codec.parse(mdat ++ ftyp ++ moov1))
