@@ -398,6 +398,12 @@ object ContainerWalks {
         if (ew * eh > width.toLong * height) {
           width = ew.toInt; height = eh.toInt
         }
+        // entries may not overlap: a hostile directory whose entries
+        // all claim the same region would otherwise amplify a small
+        // payload into an unbounded content buffer (executor OOM —
+        // exactly what the quarantine exists to prevent)
+        require(content.size.toLong + size <= payload.length,
+          "ICO entries total more bytes than the payload (overlapping)")
         content.write(payload, o, size.toInt)
         e += 1
       }
@@ -475,6 +481,7 @@ object ContainerWalks {
       var width = -1
       var height = -1
       var nIfds = 0
+      var totalVals = 0L // structural-tag values read across the walk
       val seen = scala.collection.mutable.Set.empty[Long]
       while (ifdOff != 0) {
         require(seen.add(ifdOff), s"TIFF IFD cycle at offset $ifdOff")
@@ -495,7 +502,13 @@ object ContainerWalks {
               s"TIFF tag ${u16(entry)} has unsupported type $t " +
                 "for a structural field")
           }
-          require(n >= 1 && n <= (1 << 20), s"bad TIFF tag count $n")
+          require(n >= 1 && n <= (1 << 16), s"bad TIFF tag count $n")
+          // overlapping IFD chains (the seen-set only blocks exact
+          // repeats) must not turn a small payload into unbounded
+          // tag-array allocations
+          totalVals += n
+          require(totalVals <= (1L << 22),
+            "TIFF structural tag values exceed the decode bound (2^22)")
           val at = if (n * width <= 4) entry + 8 else {
             val o = u32(entry + 8)
             require(o + n * width <= payload.length,
@@ -533,6 +546,10 @@ object ContainerWalks {
           require(cnt >= 0 && off + cnt <= payload.length,
             s"TIFF strip $s declares [$off, ${off + cnt}) outside the " +
               s"${payload.length}-byte payload")
+          // strips may not overlap (each media byte belongs to one
+          // strip) — the same amplification bound as the ICO directory
+          require(content.size.toLong + cnt <= payload.length,
+            "TIFF strips total more bytes than the payload (overlapping)")
           content.write(payload, off.toInt, cnt.toInt)
           s += 1
         }

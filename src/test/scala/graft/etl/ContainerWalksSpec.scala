@@ -340,6 +340,25 @@ class ContainerWalksSpec extends AnyFunSuite {
       .getMessage.contains("doubled"))
     intercept[IllegalArgumentException](
       IcoCodec.parse(java.util.Arrays.copyOf(icon, 10)))
+    // hostile amplification: 200 entries all claiming the same blob
+    // would inflate a small payload into a 200x content buffer —
+    // refused, never allocated
+    val blob = dib(8, 8)
+    val hdrLen = 6 + 16 * 200
+    val hostile = new Array[Byte](hdrLen + blob.length)
+    hostile(2) = 1; hostile(4) = 200.toByte
+    for (e <- 0 until 200) {
+      val b = 6 + 16 * e
+      var i = 0
+      while (i < 4) {
+        hostile(b + 8 + i) = (blob.length >> (8 * i)).toByte
+        hostile(b + 12 + i) = (hdrLen >> (8 * i)).toByte
+        i += 1
+      }
+    }
+    blob.copyToArray(hostile, hdrLen)
+    assert(intercept[IllegalArgumentException](IcoCodec.parse(hostile))
+      .getMessage.contains("overlapping"))
   }
 
   // ---- TIFF -----------------------------------------------------------
@@ -378,6 +397,20 @@ class ContainerWalksSpec extends AnyFunSuite {
     val m3 = t.clone(); m3(94) = 8 // next IFD -> itself
     assert(intercept[IllegalArgumentException](TiffCodec.parse(m3))
       .getMessage.contains("cycle"))
+    // hostile amplification: overlapping strips whose byte counts sum
+    // past the payload are refused before any buffer grows. Two-strip
+    // LE layout (no software): IFD ends at 98, offset array at 98,
+    // count array at 106, data at 114 (100 bytes per strip, 314 total)
+    val px2 = Array.tabulate[Byte](100)(i => (i + 1).toByte)
+    val t2s = TiffCodec.build(big = false, 10, 10, Seq(px2, px2))
+    assert(t2s.length == 314)
+    val bomb = t2s.clone()
+    bomb(106) = 160.toByte // counts[0] 100 -> 160
+    bomb(110) = 160.toByte // counts[1] 100 -> 160
+    var i = 0
+    while (i < 4) { bomb(102 + i) = 0; i += 1 } // offsets[1] -> 0
+    assert(intercept[IllegalArgumentException](TiffCodec.parse(bomb))
+      .getMessage.contains("overlapping"))
     intercept[IllegalArgumentException](
       TiffCodec.parse(java.util.Arrays.copyOf(t, 40)))
     assert(intercept[IllegalArgumentException](
