@@ -72,8 +72,13 @@ object ContainerAssets {
               OggCodec.encode(bytes, OggBareBody, serial = 7L),
               OggCodec.encode(bytes, OggRepagBody, serial = 98765L))
           case 2 =>
-            ("image/webp", WebpCodec.encodeLossless(w, h, bytes),
-              WebpCodec.encodeLossless(w, h, bytes,
+            // the declared dims are wrap metadata (the VP8L body is
+            // opaque to the walk and dims are not in the oracle
+            // output) — clamp into the 14-bit header domain so a text
+            // past 16384 bytes at w=1 cannot throw in the executor
+            val wh = math.min(0x4000, h)
+            ("image/webp", WebpCodec.encodeLossless(w, wh, bytes),
+              WebpCodec.encodeLossless(w, wh, bytes,
                 Seq("EXIF" -> exifBody, "XMP " -> xmpBody)))
           case 3 =>
             ("video/mp4",

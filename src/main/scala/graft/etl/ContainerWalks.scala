@@ -360,8 +360,8 @@ object ContainerWalks {
       require(6 + 16 * count <= payload.length,
         "truncated ICO directory")
       val content = new java.io.ByteArrayOutputStream()
-      var width = -1
-      var height = -1
+      var width = 0 // 0, not -1: a valid 1x1 largest entry (1 > 0*0)
+      var height = 0 // must still win the largest-area comparison
       var e = 0
       while (e < count) {
         val base = 6 + 16 * e
@@ -393,7 +393,10 @@ object ContainerWalks {
                 "XOR+AND-mask value")
             (w, h2 / 2)
           }
-        require(ew >= 1 && eh >= 1 && ew * eh <= (1L << 26),
+        // cap each dim BEFORE the product: be32/le32 values reach 2^32,
+        // whose product overflows Long and could slip past the bound
+        require(ew >= 1 && eh >= 1 && ew <= (1L << 26) &&
+          eh <= (1L << 26) && ew * eh <= (1L << 26),
           s"ICO entry $e dims ${ew}x$eh out of bounds")
         if (ew * eh > width.toLong * height) {
           width = ew.toInt; height = eh.toInt
@@ -407,6 +410,7 @@ object ContainerWalks {
         content.write(payload, o, size.toInt)
         e += 1
       }
+      require(width >= 1 && height >= 1, s"bad ICO dims ${width}x$height")
       IcoInfo(typ == 2, count, width, height, content.toByteArray)
     }
 
@@ -482,6 +486,7 @@ object ContainerWalks {
       var height = -1
       var nIfds = 0
       var totalVals = 0L // structural-tag values read across the walk
+      var totalEntries = 0L // entry-table slots scanned across the walk
       val seen = scala.collection.mutable.Set.empty[Long]
       while (ifdOff != 0) {
         require(seen.add(ifdOff), s"TIFF IFD cycle at offset $ifdOff")
@@ -489,6 +494,13 @@ object ContainerWalks {
         val p = ifdOff.toInt
         val nEntries = u16(p)
         require(nEntries >= 1, "empty TIFF IFD")
+        // the cycle set only blocks exact repeats: OVERLAPPING chained
+        // IFDs (offsets shifted a byte at a time) could otherwise make
+        // one small payload cost quadratic CPU in entry scans
+        totalEntries += nEntries
+        require(totalEntries <= (1L << 20),
+          "TIFF IFD chain scans more entry slots than the decode bound " +
+            "(2^20)")
         val end = p + 2 + 12 * nEntries
         require(end + 4 <= payload.length, "truncated TIFF IFD table")
         // SHORT/LONG tag values (inline when they fit in 4 bytes)

@@ -198,6 +198,13 @@ object GifCodec {
     val info = decodeFrames(payload)
     val sw = info.width
     val sh = info.height
+    // decodeFrames bounds only the SUMMED FRAME pixels — a tiny GIF can
+    // declare a gigapixel logical screen around a 1x1 frame, and the
+    // canvas is allocated at screen size, so it needs its own bound
+    // (3·sw·sh also overflows Int without it)
+    require(sw.toLong * sh <= (1L << 26),
+      s"GIF logical screen ${sw}x$sh exceeds the compose bound " +
+        "(2^26 pixels)")
     val canvas = new Array[Byte](3 * sw * sh)
     var p = 0
     while (p < sw * sh) {

@@ -145,6 +145,13 @@ object Mp3Codec {
     // frame header's 0xFF sync byte. A blind sniff at end-128 could be
     // spoofed by frame-body bytes that happen to spell "TAG", silently
     // truncating the frame stream (and the dedup identity) mid-frame.
+    // Deliberate consequence: if the declared frame lengths tile EXACTLY
+    // to the payload end ACROSS an end-128 "TAG", the bytes are read as
+    // frames — sync-validated exact tiling is stronger evidence than a
+    // 3-byte magic, and the refusal alternative would reject legitimate
+    // streams whose body coincidentally spells TAG there. A genuinely
+    // tag-over-truncated-frame file almost never re-tiles exactly and
+    // still refuses at the non-tiling boundary.
     var id3v1 = false
     def id3v1At(p: Int): Boolean = end0 - p == 128 &&
       payload(p) == 'T' && payload(p + 1) == 'A' && payload(p + 2) == 'G'

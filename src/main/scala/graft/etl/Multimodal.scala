@@ -673,6 +673,11 @@ object Multimodal {
                blockGrays: Array[Byte]): Array[Byte] = {
       require(wBlocks >= 1 && hBlocks >= 1,
         s"bad block grid ${wBlocks}x$hBlocks")
+      // SOF dims are 16-bit fields: a grid past 8191 blocks per axis
+      // would silently WRAP to a lying header — refuse loudly instead
+      require(8 * wBlocks <= 0xffff && 8 * hBlocks <= 0xffff,
+        s"block grid ${wBlocks}x$hBlocks exceeds the 16-bit SOF " +
+          "pixel-dims domain")
       require(blockGrays.length == wBlocks * hBlocks,
         s"need ${wBlocks * hBlocks} block grays, got ${blockGrays.length}")
       val out = new java.io.ByteArrayOutputStream()
@@ -762,6 +767,11 @@ object Multimodal {
         blockGrays: Array[Byte]): Array[Byte] = {
       require(wBlocks >= 1 && hBlocks >= 1,
         s"bad block grid ${wBlocks}x$hBlocks")
+      // SOF dims are 16-bit fields: a grid past 8191 blocks per axis
+      // would silently WRAP to a lying header — refuse loudly instead
+      require(8 * wBlocks <= 0xffff && 8 * hBlocks <= 0xffff,
+        s"block grid ${wBlocks}x$hBlocks exceeds the 16-bit SOF " +
+          "pixel-dims domain")
       require(blockGrays.length == wBlocks * hBlocks,
         s"need ${wBlocks * hBlocks} block grays, got ${blockGrays.length}")
       val out = new java.io.ByteArrayOutputStream()
@@ -845,6 +855,11 @@ object Multimodal {
                     cb: Int, cr: Int): Array[Byte] = {
       require(wBlocks >= 1 && hBlocks >= 1,
         s"bad block grid ${wBlocks}x$hBlocks")
+      // SOF dims are 16-bit fields: a grid past 8191 blocks per axis
+      // would silently WRAP to a lying header — refuse loudly instead
+      require(8 * wBlocks <= 0xffff && 8 * hBlocks <= 0xffff,
+        s"block grid ${wBlocks}x$hBlocks exceeds the 16-bit SOF " +
+          "pixel-dims domain")
       require(yGrays.length == wBlocks * hBlocks,
         s"need ${wBlocks * hBlocks} block lumas, got ${yGrays.length}")
       val out = new java.io.ByteArrayOutputStream()

@@ -138,25 +138,42 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
          |  FROM d WHERE doc_id % 32 = 3),
          |c6 AS (
          |  -- Rice FLAC (audio residue 12): the order-0 residual's
-         |  -- unary quotient is 1 bit for bytes >= 64, 0 below (param 7)
+         |  -- unary quotient is 1 bit for bytes >= 64, 0 below (param
+         |  -- 7); per 4096-sample FRAME (matching the encoder's block
+         |  -- walk, not assuming one frame): 8 header + 2 CRC +
+         |  -- ceil((18 prologue bits + 8·cnt + c64)/8)
          |  SELECT doc_id,
-         |    SUM(CASE WHEN ord(substr(text, CAST(p AS INTEGER), 1))
-         |      >= 64 THEN 1 ELSE 0 END) AS c64
-         |  FROM (SELECT doc_id, text, unnest(generate_series(1, n)) AS p
-         |        FROM d) t
+         |    SUM(10 + (25 + 8 * cnt + c64) // 8) AS rice_bytes
+         |  FROM (
+         |    SELECT doc_id, (p - 1) // 4096 AS f,
+         |      COUNT(*) AS cnt,
+         |      SUM(CASE WHEN ord(substr(text, CAST(p AS INTEGER), 1))
+         |        >= 64 THEN 1 ELSE 0 END) AS c64
+         |    FROM (SELECT doc_id, text, unnest(generate_series(1, n)) AS p
+         |          FROM d) t
+         |    GROUP BY doc_id, (p - 1) // 4096) g
          |  GROUP BY doc_id),
          |lz AS (
          |  -- LPC FLAC (audio residue 28): the order-1 residual is the
-         |  -- adjacent-char delta; zigzag(d)//16 is the per-sample extra
-         |  -- unary cost at Rice param 4
+         |  -- adjacent-char delta; zigzag(d)//16 is the per-delta extra
+         |  -- unary cost at Rice param 4. Per 4096-sample FRAME: each
+         |  -- block's first sample is the verbatim warmup (no delta),
+         |  -- so 37 fixed bits + 5·(cnt−1) + the block's zigzag excess
          |  SELECT doc_id,
-         |    SUM((CASE WHEN dd >= 0 THEN 2 * dd
-         |      ELSE -2 * dd - 1 END) // 16) AS cz
-         |  FROM (SELECT doc_id,
-         |          ord(substr(text, CAST(p AS INTEGER), 1)) -
-         |          ord(substr(text, CAST(p - 1 AS INTEGER), 1)) AS dd
-         |        FROM (SELECT doc_id, text,
-         |                unnest(generate_series(2, n)) AS p FROM d) t) t2
+         |    SUM(10 + (37 + 5 * (cnt - 1) + cz + 7) // 8) AS lpc_bytes
+         |  FROM (
+         |    SELECT doc_id, (p - 1) // 4096 AS f, COUNT(*) AS cnt,
+         |      SUM(CASE WHEN (p - 1) % 4096 = 0 THEN 0
+         |        WHEN dd >= 0 THEN (2 * dd) // 16
+         |        ELSE (-2 * dd - 1) // 16 END) AS cz
+         |    FROM (SELECT doc_id, p,
+         |            ord(substr(text, CAST(p AS INTEGER), 1)) -
+         |            CASE WHEN p > 1 THEN
+         |              ord(substr(text, CAST(p - 1 AS INTEGER), 1))
+         |            ELSE 0 END AS dd
+         |          FROM (SELECT doc_id, text,
+         |                  unnest(generate_series(1, n)) AS p FROM d) t) t2
+         |    GROUP BY doc_id, (p - 1) // 4096) g
          |  GROUP BY doc_id),
          |jcsc AS (
          |  -- color checksum: first 32 INTERLEAVED RGB bytes — byte j
@@ -185,17 +202,12 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
          |  -- FlacCodec's closed form, ceil(n/4096) frames
          |  CAST(CASE WHEN d.doc_id % 32 = 20
          |         THEN 42 + 11 * ((n + 4095) // 4096) + n
-         |       -- Rice FLAC: 42 head + one frame (corpus texts are far
-         |       -- below the 4096-sample block) of 8 header + 2 CRC +
-         |       -- ceil((18 subframe/residual prologue bits + 8n + c64)/8)
-         |       WHEN d.doc_id % 32 = 12 THEN 42 + CASE WHEN n = 0 THEN 0
-         |         ELSE 10 + (25 + 8 * n + COALESCE(c6.c64, 0)) // 8 END
-         |       -- LPC FLAC: 37 fixed subframe bits (header + warmup +
-         |       -- precision/shift/coef + residual prologue) + 5 bits
-         |       -- per delta + the zigzag/16 unary excess
-         |       WHEN d.doc_id % 32 = 28 THEN 42 + CASE WHEN n = 0 THEN 0
-         |         ELSE 10 + (37 + 5 * (n - 1) + COALESCE(lz.cz, 0) + 7)
-         |           // 8 END
+         |       -- Rice / LPC FLAC: 42 stream head + the per-frame sums
+         |       -- (empty docs have no frames — COALESCE to the bare head)
+         |       WHEN d.doc_id % 32 = 12
+         |         THEN 42 + COALESCE(c6.rice_bytes, 0)
+         |       WHEN d.doc_id % 32 = 28
+         |         THEN 42 + COALESCE(lz.lpc_bytes, 0)
          |       WHEN d.doc_id % 4 = 0 THEN 44 + n
          |       WHEN d.doc_id % 4 = 1 THEN 57 + 6
          |         + 5 * ((hp * (w + 1) + 65534) // 65535) + hp * (w + 1)
