@@ -119,4 +119,25 @@ object ContainerAssets {
       case other => throw new IllegalArgumentException(
         s"no container identity registered for kind '$other'")
     }
+
+  /** The kind-specific DECODED-METADATA scalar — what the walk's field
+    * arithmetic yields, so the oracle can pin it per container: MP3
+    * duration in ms (samples-per-frame × frames / rate), Ogg page
+    * count, MP4 mvhd duration in ms (timescale division), and
+    * width·height for the raster walks (WebP 14-bit LSB fields, ICO
+    * PNG-IHDR big-endian, TIFF tag values in either byte order). */
+  def decodedMeta(kind: String, payload: Array[Byte]): Long =
+    kind match {
+      case "audio/mpeg"   => Mp3Codec.parse(payload).durationMs
+      case "audio/ogg"    => OggCodec.parse(payload).size.toLong
+      case "image/webp"   =>
+        val i = WebpCodec.parse(payload); i.width.toLong * i.height
+      case "video/mp4"    => Mp4Codec.parse(payload).durationMs
+      case "image/x-icon" =>
+        val i = IcoCodec.parse(payload); i.width.toLong * i.height
+      case "image/tiff"   =>
+        val i = TiffCodec.parse(payload); i.width.toLong * i.height
+      case other => throw new IllegalArgumentException(
+        s"no container metadata registered for kind '$other'")
+    }
 }

@@ -421,7 +421,10 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
     // n_variants counts both variants into one group (a walk leaking
     // metadata into the identity splits the group), n_content pins the
     // identity's byte length, sum_bytes pins every encoder's framing
-    // arithmetic.
+    // arithmetic, and sum_meta pins every walk's DECODED-METADATA
+    // arithmetic (MP3 samples-per-frame duration, Ogg page counts, MP4
+    // mvhd timescale division, and the WebP/ICO/TIFF dim-field decodes
+    // — 14-bit LSB, big-endian IHDR, either-endian tags).
     "q_media_dup_tagged" -> QueryDef(
       s"""WITH b AS (
          |  SELECT doc_id, text, octet_length(encode(text)) AS n
@@ -469,12 +472,24 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
          |      WHEN 'image/x-icon' THEN 44 + 2 * png
          |      -- TIFF: LE single-strip 98+n; BE two-strip + Software
          |      -- tag 139+n (8 entries + 16 strip-array + 13 sw bytes)
-         |      ELSE 237 + 2 * n END AS BIGINT) AS sum_bytes
+         |      ELSE 237 + 2 * n END AS BIGINT) AS sum_bytes,
+         |    CAST(CASE kind
+         |      -- MP3: 1152 samples/frame at 44100 Hz, floor-divided ms
+         |      WHEN 'audio/mpeg' THEN 2 * ((1152 * fr * 1000) // 44100)
+         |      -- Ogg: bare + repag page counts
+         |      WHEN 'audio/ogg' THEN p1 + p2
+         |      -- WebP: canvas w·h (height clamped to the 14-bit domain)
+         |      WHEN 'image/webp' THEN 2 * w * LEAST(16384, hp)
+         |      -- MP4: mvhd duration at timescale 1000 = n ms
+         |      WHEN 'video/mp4' THEN 2 * n
+         |      -- ICO: the PNG entry's IHDR dims; TIFF: the dims tags
+         |      ELSE 2 * w * hp END AS BIGINT) AS sum_meta
          |  FROM v2)
          |SELECT kind, CAST(MIN(doc_id) * 2 AS BIGINT) AS rep_asset,
          |  CAST(2 * COUNT(*) AS BIGINT) AS n_variants,
          |  MIN(n_content) AS n_content,
-         |  CAST(SUM(sum_bytes) AS BIGINT) AS sum_bytes
+         |  CAST(SUM(sum_bytes) AS BIGINT) AS sum_bytes,
+         |  CAST(SUM(sum_meta) AS BIGINT) AS sum_meta
          |FROM s GROUP BY kind, text
          |ORDER BY rep_asset""".stripMargin) { (s, dir) =>
       import s.implicits._
@@ -488,16 +503,19 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
             (a.asset_id, a.kind,
               String.format("%032x", new java.math.BigInteger(1,
                 md.digest(content))),
-              content.length.toLong, a.payload.length.toLong)
+              content.length.toLong, a.payload.length.toLong,
+              graft.etl.ContainerAssets.decodedMeta(a.kind, a.payload))
           }
         }
-        .toDF("asset_id", "kind", "digest", "n_content", "n_bytes")
+        .toDF("asset_id", "kind", "digest", "n_content", "n_bytes", "meta")
         .groupBy("kind", "digest")
         .agg(min("asset_id").as("rep_asset"),
           count(lit(1)).as("n_variants"),
           min("n_content").as("n_content"),
-          sum("n_bytes").as("sum_bytes"))
-        .select("kind", "rep_asset", "n_variants", "n_content", "sum_bytes")
+          sum("n_bytes").as("sum_bytes"),
+          sum("meta").as("sum_meta"))
+        .select("kind", "rep_asset", "n_variants", "n_content",
+          "sum_bytes", "sum_meta")
         .orderBy("rep_asset")
     },
 
