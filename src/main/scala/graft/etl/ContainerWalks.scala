@@ -401,12 +401,15 @@ object ContainerWalks {
         if (ew * eh > width.toLong * height) {
           width = ew.toInt; height = eh.toInt
         }
-        // entries may not overlap: a hostile directory whose entries
-        // all claim the same region would otherwise amplify a small
-        // payload into an unbounded content buffer (executor OOM —
-        // exactly what the quarantine exists to prevent)
+        // 1× amplification bound: the SUM of entry sizes may not exceed
+        // the payload (entries could still partially overlap within the
+        // slack left by directory/header bytes — that is harmless; what
+        // this prevents is a hostile directory whose entries all claim
+        // the same region amplifying a small payload into an unbounded
+        // content buffer, the executor-OOM class the quarantine exists
+        // to catch)
         require(content.size.toLong + size <= payload.length,
-          "ICO entries total more bytes than the payload (overlapping)")
+          "ICO entries total more bytes than the payload (amplification bound)")
         content.write(payload, o, size.toInt)
         e += 1
       }
@@ -558,10 +561,12 @@ object ContainerWalks {
           require(cnt >= 0 && off + cnt <= payload.length,
             s"TIFF strip $s declares [$off, ${off + cnt}) outside the " +
               s"${payload.length}-byte payload")
-          // strips may not overlap (each media byte belongs to one
-          // strip) — the same amplification bound as the ICO directory
+          // 1× amplification bound (same as the ICO directory): the SUM
+          // of strip byte counts may not exceed the payload — partial
+          // overlap within header slack remains possible and harmless;
+          // unbounded content-buffer growth does not
           require(content.size.toLong + cnt <= payload.length,
-            "TIFF strips total more bytes than the payload (overlapping)")
+            "TIFF strips total more bytes than the payload (amplification bound)")
           content.write(payload, off.toInt, cnt.toInt)
           s += 1
         }

@@ -80,10 +80,19 @@ object FlacCodec {
 
   // ---- encoder -------------------------------------------------------
 
-  /** ASCII guard shared by both encoders: FLAC samples are SIGNED, and
-    * the fixture corpus is pure ASCII so value == sample — a byte ≥ 128
-    * would silently flip sign, so refuse it loudly. */
+  /** ASCII guard shared by all three encoders: FLAC samples are SIGNED,
+    * and the fixture corpus is pure ASCII so value == sample — a byte
+    * ≥ 128 would silently flip sign, so refuse it loudly. Also guards
+    * the CLOSED-FORM SIZE domain: the oracle's per-frame overhead is a
+    * fixed 10 bytes (8-byte header + CRC-16), which holds only while
+    * the UTF-8-coded frame number stays 1 byte — frame < 128, i.e.
+    * data ≤ 128·BlockSize. [[frameHeader]] would encode the 2-byte
+    * form correctly, but the DuckDB closed forms would not follow, so
+    * refuse the regime at encode time instead of diverging silently. */
   private def requireAscii(data: Array[Byte]): Unit = {
+    require(data.length <= 128 * BlockSize,
+      s"FLAC fixture encoder domain is <= ${128 * BlockSize} bytes " +
+        s"(frame numbers must stay 1-byte UTF-8), got ${data.length}")
     var i = 0
     while (i < data.length) {
       require((data(i) & 0xff) < 128,

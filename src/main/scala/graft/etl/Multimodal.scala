@@ -2519,8 +2519,16 @@ object Multimodal {
         // (24/32-bpp) BMP passes through rather than failing the
         // partition. Route on the header's bpp field directly — a full
         // decodePixels here would decode every payload twice on the
-        // resize hot path just to learn its depth
-        val bpp = if (a.payload.length >= 30)
+        // resize hot path just to learn its depth. The bpp offset (28)
+        // is a BITMAPINFOHEADER-family field: check the DIB header
+        // size at offset 14 first — a BITMAPCOREHEADER (size 12) BMP
+        // keeps bpp elsewhere, so reading 28 blind would route on
+        // garbage; such a frame passes through unresized instead
+        val dibSize = if (a.payload.length >= 18)
+          (a.payload(14) & 0xff) | ((a.payload(15) & 0xff) << 8) |
+            ((a.payload(16) & 0xff) << 16) | ((a.payload(17) & 0xff) << 24)
+        else -1
+        val bpp = if (dibSize >= 40 && a.payload.length >= 30)
           (a.payload(28) & 0xff) | ((a.payload(29) & 0xff) << 8) else -1
         if (bpp == 8) a.copy(payload = resizeBmp(a.payload, f))
         else a

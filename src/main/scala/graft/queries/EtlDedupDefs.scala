@@ -488,13 +488,10 @@ private[queries] trait EtlDedupDefs { this: EtlQueries.type =>
         .map(i => when(col(s"la$i") === col(s"lb$i"), 1L).otherwise(0L))
         .reduce(_ + _)
       // exact shingle-set sizes/intersection priced for candidate reps
-      // only (the same left-semi trim the corpus Jaccard uses)
-      val needed = pairs.select(col("a").as("doc_id"))
-        .unionByName(pairs.select(col("b").as("doc_id"))).distinct()
-      val sh = shinglesOf(distinctGroups(s, dir)
-          .select(col("rid").as("doc_id"), col("text"))
-          .join(needed, Seq("doc_id"), "left_semi"))
-        .localCheckpoint()
+      // only (the same left-semi trim the corpus Jaccard uses); the
+      // frame is corpus-memoized ([[minhashAccShingles]]) — one
+      // materialization per corpus, not one disk write per run
+      val sh = minhashAccShingles(s, dir)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = pairs
         .join(sh.select(col("doc_id").as("a"), col("sh")), "a")

@@ -470,6 +470,128 @@ private[queries] trait EtlExportDefs { this: EtlQueries.type =>
         .orderBy("first_doc", "h")
     },
 
+    // Exact-substring dedup REMOVAL (Lee et al. 2022, the step a
+    // production pipeline actually executes after q_substring_dup's
+    // detection): every 32-token window shared by >= 2 distinct docs
+    // is stripped from every doc EXCEPT the span's canonical holder
+    // (the minimum doc_id containing it), greedily left-to-right —
+    // accept the leftmost removable span start, jump past its end
+    // (start + 32), repeat — so accepted spans are disjoint and each
+    // drops exactly 32 tokens. Deterministic by construction: position
+    // order breaks all ties, and canonicality is a total function of
+    // the span. The dup-span set comes from the PERSISTED span store
+    // (appends at batch cost, exactly like detection); removal is
+    // priced per DISTINCT TEXT, not per doc: a doc's outcome depends
+    // only on (text, is-canonical-per-span), and a non-rep member is
+    // canonical for NOTHING (first_doc <= rid < doc_id for every span
+    // it carries), so each distinct text has at most TWO removal
+    // variants — rep (drop spans first seen in an earlier doc) and
+    // member (drop every dup span) — computed once per affected text;
+    // docs attach by digest join. Unaffected docs (no dup span) pass
+    // through with the rejoined-token digest. No new shuffle class:
+    // the dup aggregate and the h-join reuse detection's digest-keyed
+    // shuffle family, and the re-windowing (the store keys spans by
+    // hash; removal needs offsets) is a per-row map over AFFECTED
+    // distinct texts only. The oracle mirrors the greedy walk with a
+    // recursive CTE (≤ ceil(512/32) + 1 iterations — accepted starts
+    // are >= 32 apart inside the 512-position store cap).
+    "q_substring_strip" -> QueryDef(
+      """WITH RECURSIVE
+        |wl AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '),
+        |                             x -> length(x) > 0) AS w
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS i,
+        |    md5(array_to_string(w[CAST(i AS INTEGER):CAST(i + 31 AS INTEGER)], ' ')) AS h
+        |  FROM wl, generate_series(1, 512) AS g(i)
+        |  WHERE i <= len(w) - 31),
+        |dup AS (
+        |  SELECT h, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        |  FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cand AS (
+        |  SELECT sp.doc_id, sp.i FROM sp JOIN dup ON sp.h = dup.h
+        |  WHERE sp.doc_id <> dup.first_doc),
+        |walk(doc_id, nxt, acc) AS (
+        |  SELECT doc_id, 1, CAST([] AS INTEGER[])
+        |  FROM (SELECT DISTINCT doc_id FROM cand)
+        |  UNION ALL
+        |  SELECT doc_id, s + 32, list_append(acc, s) FROM (
+        |    SELECT w.doc_id, w.acc,
+        |      (SELECT MIN(c.i) FROM cand c
+        |       WHERE c.doc_id = w.doc_id AND c.i >= w.nxt) AS s
+        |    FROM walk w) WHERE s IS NOT NULL),
+        |fin AS (SELECT doc_id, arg_max(acc, len(acc)) AS acc
+        |        FROM walk GROUP BY doc_id),
+        |o AS (
+        |  SELECT wl.doc_id, wl.w,
+        |    COALESCE(fin.acc, CAST([] AS INTEGER[])) AS acc
+        |  FROM wl LEFT JOIN fin ON wl.doc_id = fin.doc_id)
+        |SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(32 * len(acc) AS BIGINT) AS n_dropped,
+        |  md5(array_to_string(
+        |    list_where(w, list_transform(range(1, len(w) + 1),
+        |      j -> len(list_filter(acc, a -> a <= j AND j < a + 32)) = 0)),
+        |    ' ')) AS kept_fp
+        |FROM o ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val g = distinctGroups(s, dir)
+      val st = spanState(s, dir).derived()
+      val dup = st.join(g.select("k", "rid", "nm"), "k")
+        .groupBy("h")
+        .agg(sum("nm").as("n_docs"), min("rid").as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .select("h", "first_doc")
+      val affected = st.join(dup.select("h"), Seq("h"), "left_semi")
+        .select("k").distinct()
+      val toks = expr("filter(split(text, ' '), x -> length(x) > 0)")
+      val base = g.select(col("k"), col("rid"), toks.as("w"))
+      val baseStats = base.select(col("k"),
+        size(col("w")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("w")).cast("binary")).as("base_fp"))
+      val aw = base.join(affected, Seq("k"), "left_semi")
+        .filter(size(col("w")) >= 32)
+        .select(col("k"), col("rid"), col("w"),
+          explode(sequence(lit(1),
+            least(size(col("w")) - 31, lit(512)))).as("i"))
+        .select(col("k"), col("rid"), col("i"),
+          md5(concat_ws(" ", expr("slice(w, i, 32)")).cast("binary")).as("h"))
+      val hits = aw.join(dup, "h")
+      def greedy(src: String) = expr(
+        s"""aggregate($src,
+           |  named_struct('nxt', 1, 'acc', cast(array() as array<int>)),
+           |  (s, x) -> if(x >= s.nxt,
+           |    named_struct('nxt', x + 32, 'acc', array_append(s.acc, x)),
+           |    s),
+           |  s -> s.acc)""".stripMargin)
+      def keptFp(acc: String) =
+        md5(concat_ws(" ", expr(
+          s"filter(w, (x, j) -> NOT exists($acc," +
+            " a -> a <= j + 1 AND j + 1 < a + 32))")).cast("binary"))
+      val variants = hits.groupBy("k")
+        .agg(sort_array(collect_list(col("i"))).as("all_i"),
+          sort_array(collect_list(
+            when(col("first_doc") =!= col("rid"), col("i")))).as("rep_i"))
+        .join(base.select("k", "w"), "k")
+        .withColumn("all_acc", greedy("all_i"))
+        .withColumn("rep_acc", greedy("rep_i"))
+        .select(col("k"),
+          (size(col("all_acc")) * 32).cast("long").as("nd_all"),
+          keptFp("all_acc").as("fp_all"),
+          (size(col("rep_acc")) * 32).cast("long").as("nd_rep"),
+          keptFp("rep_acc").as("fp_rep"))
+      docs(s, dir).select(col("doc_id"), textKey.as("k"))
+        .join(baseStats, "k")
+        .join(g.select("k", "rid"), "k")
+        .join(variants, Seq("k"), "left_outer")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(when(col("doc_id") === col("rid"), col("nd_rep"))
+            .otherwise(col("nd_all")), lit(0L)).as("n_dropped"),
+          coalesce(when(col("doc_id") === col("rid"), col("fp_rep"))
+            .otherwise(col("fp_all")), col("base_fp")).as("kept_fp"))
+        .orderBy("doc_id")
+    },
+
     // Per-label embedding centroids via exact fixed-point sums — the
     // codebook/centroid-training step an IVF index or a k-means
     // iteration runs at corpus scale: one explode, one (label, dim)

@@ -308,6 +308,37 @@ class TrainingExportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_._4 < 3L), s"intra-doc repetition must not report: ${rows.toSeq}")
   }
 
+  test("q_substring_strip: canonical keeps, members strip greedily-disjoint spans") {
+    val run = (1 to 32).map(i => s"s$i").mkString(" ")     // 32 tokens
+    val run33 = (1 to 33).map(i => s"r$i").mkString(" ")   // 33 tokens
+    val dir = writeDocs(Seq(
+      (1L, run + " a b c"),   // canonical holder of every span it carries
+      (2L, "p q " + run),     // shares only the exact run (at offset 3)
+      (3L, run + " a b c"),   // exact duplicate of doc 1 — member variant
+      (4L, run33),            // canonical of the 33-token run
+      (5L, run33),            // dup: spans at i=1 AND i=2 — greedy keeps
+                              // them disjoint (accept 1, skip 2)
+      (6L, "u v w")))         // under 32 tokens — never enters the store
+    val got = graft.SparkEntry.queries("q_substring_strip")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 is first_doc of all its spans: nothing removed
+    assert(got(1L) == ((35L, 0L, md5hex(run + " a b c"))))
+    // doc 2: only the exact run (position 3) is cross-doc; 32 dropped
+    assert(got(2L) == ((34L, 32L, md5hex("p q"))))
+    // doc 3 (exact duplicate, NOT the canonical): every window of its
+    // text is shared with doc 1; greedy accepts position 1, skips the
+    // overlapping 2/3/4 — tail "a b c" survives
+    assert(got(3L) == ((35L, 32L, md5hex("a b c"))))
+    // docs 4/5: 33-token duplicate run → two overlapping dup spans;
+    // the canonical keeps all, the member drops exactly ONE disjoint
+    // span (32 tokens), not both overlapping ones
+    assert(got(4L) == ((33L, 0L, md5hex(run33))))
+    assert(got(5L) == ((33L, 32L, md5hex("r33"))))
+    // short doc: passes through with the rejoined-token digest
+    assert(got(6L) == ((3L, 0L, md5hex("u v w"))))
+  }
+
   test("q_emb_centroid: exact per-label per-dim means") {
     val ss = spark
     import ss.implicits._
