@@ -292,6 +292,40 @@ private[queries] trait EtlExportDefs { this: EtlQueries.type =>
         .select("rank", "pair", "cnt").orderBy("rank")
     },
 
+    // BPE tokenizer APPLY — the export a training run actually
+    // consumes: the corpus is segmented into token ids under
+    // BpeApplyRounds greedy merge rounds trained on the corpus itself
+    // ([[bpeApplyMap]]: iterate count-pairs → merge argmax, the full
+    // loop q_bpe_merges computes one step of). Per doc: the BPE token
+    // count, the exact integer sum of token ids (order-independent
+    // checksum pinning every word occurrence's segmentation) and the
+    // digest of the ordered id sequence. The expensive loop is
+    // VOCABULARY-bounded — merges apply once per distinct word; docs
+    // join the word map (broadcast) by multiplicity, factored over
+    // distinct content like every token consumer. Word counts come
+    // from the persisted unigram store, so the trained merges — and
+    // therefore the whole export — are fold-schedule-invariant. The
+    // oracle unrolls the merge rounds as chained CTEs over the same
+    // vocabulary; merge application is a literal string replace over
+    // double-separator symbol strings on BOTH engines, so the
+    // left-to-right merge order matches byte-for-byte.
+    "q_bpe_apply" -> QueryDef(bpeApplySql) { (s, dir) =>
+      val wmap = bpeApplyMap(s, dir)
+      perDistinctText(s, dir) { reps =>
+        reps.select(col("doc_id"),
+            posexplode(expr(
+              s"filter(split(text, ' '), $bpeWordFilter)"))
+              .as(Seq("pos", "word")))
+          .join(broadcast(wmap), "word")
+          .groupBy("doc_id")
+          .agg(sum("n_syms").as("n_tokens"),
+            sum("sum_ids").as("id_sum"),
+            md5(expr("concat_ws(' ', transform(" +
+              "array_sort(collect_list(struct(pos, id_str)))," +
+              " x -> x.id_str))").cast("binary")).as("tok_fp"))
+      }.orderBy("doc_id")
+    },
+
     // Per-source token-length decile table — the length-distribution
     // report batch/packing planning reads (sequence budget sizing,
     // truncation-rate estimates). NTILE over (toks, doc_id) is
@@ -912,4 +946,71 @@ private[queries] trait EtlExportDefs { this: EtlQueries.type =>
       sq8TopK(fedSq8Codes(s, dir))
     },
   )
+
+  /** DuckDB mirror of [[bpeApplyMap]] + the per-doc export: the
+    * BpeApplyRounds merge rounds unroll as chained CTEs (p_r: adjacent
+    * symbol-pair counts weighted by word frequency; t_r: the argmax
+    * pair, ties to the smaller string; seg_r: literal replace of the
+    * double-separator pattern — LEFT JOIN ON TRUE so an exhausted
+    * vocabulary no-ops instead of emptying the frame), then token ids
+    * by dense rank over the sorted final vocabulary and the same
+    * per-doc aggregate the Spark side computes. */
+  private[queries] def bpeApplySql: String = {
+    val S = "chr(1)"
+    val rounds = (1 to BpeApplyRounds).map { r =>
+      val p = r - 1
+      s"""p$r AS (
+         |  SELECT s.cnt, unnest(list_transform(range(1, len(y)),
+         |    i -> y[CAST(i AS INTEGER)] || $S || y[CAST(i + 1 AS INTEGER)])) AS pr
+         |  FROM (SELECT cnt, list_filter(string_split(seg, $S), x -> x <> '') AS y
+         |        FROM seg$p) s
+         |  WHERE len(y) >= 2),
+         |t$r AS (SELECT pr FROM (SELECT pr, SUM(cnt) AS c FROM p$r GROUP BY pr)
+         |        ORDER BY c DESC, pr ASC LIMIT 1),
+         |seg$r AS (
+         |  SELECT word, cnt,
+         |    CASE WHEN t.pr IS NULL THEN seg
+         |         ELSE replace(seg, $S || replace(t.pr, $S, $S || $S) || $S,
+         |                      $S || replace(t.pr, $S, '') || $S) END AS seg
+         |  FROM seg$p LEFT JOIN t$r t ON TRUE),""".stripMargin
+    }.mkString("\n")
+    s"""WITH wl AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '),
+       |    $bpeWordFilter) AS w
+       |  FROM documents),
+       |wx AS (SELECT unnest(w) AS word FROM wl),
+       |c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM wx GROUP BY 1),
+       |seg0 AS (
+       |  SELECT word, cnt,
+       |    $S || array_to_string(list_transform(range(1, length(word) + 1),
+       |      i -> word[CAST(i AS INTEGER)]), $S || $S) || $S AS seg
+       |  FROM c),
+       |$rounds
+       |syms AS (SELECT word, list_filter(string_split(seg, $S), x -> x <> '') AS y
+       |         FROM seg$BpeApplyRounds),
+       |vocab AS (SELECT DISTINCT unnest(y) AS sym FROM syms),
+       |ids AS (SELECT sym, CAST(DENSE_RANK() OVER (ORDER BY sym) AS BIGINT) AS id
+       |        FROM vocab),
+       |wsym AS (
+       |  SELECT word, CAST(i AS BIGINT) AS i, y[CAST(i AS INTEGER)] AS sym
+       |  FROM syms, generate_series(1, $MaxWordLen) g(i) WHERE i <= len(y)),
+       |wj AS (SELECT ws.word, ws.i, ids.id
+       |       FROM wsym ws JOIN ids ON ids.sym = ws.sym),
+       |wmap AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_syms,
+       |    CAST(SUM(id) AS BIGINT) AS sum_ids,
+       |    string_agg(CAST(id AS VARCHAR), ' ' ORDER BY i) AS id_str
+       |  FROM wj GROUP BY word),
+       |dw AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+       |    i -> struct_pack(pos := i, word := w[CAST(i AS INTEGER)]))) AS s2
+       |  FROM wl),
+       |dw2 AS (SELECT doc_id, s2.pos AS pos, s2.word AS word FROM dw),
+       |d AS (SELECT dw2.doc_id, dw2.pos, m.n_syms, m.sum_ids, m.id_str
+       |      FROM dw2 JOIN wmap m ON m.word = dw2.word)
+       |SELECT doc_id, CAST(SUM(n_syms) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(sum_ids) AS BIGINT) AS id_sum,
+       |  md5(string_agg(id_str, ' ' ORDER BY pos)) AS tok_fp
+       |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }

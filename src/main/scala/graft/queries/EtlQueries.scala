@@ -957,6 +957,47 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
   // attributes ([[graft.etl.DedupState]] `gramsOf`): the Jaccard is
   // priced once per PAIR ever, and the report is a read.
 
+  /** "Line" segmentation of the boilerplate-dedup family
+    * (`q_line_dedup`): the synthetic corpus is a flat word stream with
+    * no physical newlines, so a line here is a NON-OVERLAPPING
+    * LineLen-token block (tail block may be shorter) — the
+    * segmentation is the pluggable piece (a real web corpus splits on
+    * '\n'); the operator semantics (per-source distinct-doc line
+    * frequency, removal everywhere) are what carry. */
+  private[queries] val LineLen = 4
+  /** Boilerplate bar: a line present in >= this many distinct docs of
+    * one source is dropped from ALL of them (CCNet-style — boilerplate
+    * has no canonical holder, unlike `q_substring_strip`'s spans). */
+  private[queries] val LineDfMin = 2
+  /** Block-position cap, the mirror of the oracle's generate_series
+    * bound: tokens past LineLen·MaxLineBlocks are never hashed and
+    * therefore never dropped. */
+  private[queries] val MaxLineBlocks = 1024
+
+  /** The PERSISTED line store: (k, i, h) per distinct text — block
+    * index and block hash — pure per-content like [[spanState]], so a
+    * crawl appends its new content's lines at batch cost; corpus facts
+    * (source membership, multiplicity) attach at read time. */
+  private[queries] val lineStateMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      graft.etl.DerivedState]
+  private[queries] def lineState(s: SparkSession, dir: String)
+      : graft.etl.DerivedState =
+    contentStore(lineStateMemo, s, dir, "lines",
+      s"lines:blocks:l=$LineLen:cap=$MaxLineBlocks", (rows, _) =>
+        rows
+          .select(col("k"),
+            expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
+          .filter(size(col("w")) >= 1)
+          .select(col("k"), col("w"),
+            explode(sequence(lit(1),
+              least(expr(s"(size(w) - 1) div $LineLen + 1"),
+                lit(MaxLineBlocks)))).as("i"))
+          .select(col("k"), col("i"),
+            md5(concat_ws(" ",
+              expr(s"slice(w, (i - 1) * $LineLen + 1, $LineLen)"))
+              .cast("binary")).as("h")))
+
   /** Per-distinct-text word counts — (rid, nm, word, c) — the unigram
     * table every token-level consumer (tf-idf, vocab coverage, BPE
     * merge counting, unigram rarity) previously re-derived with its
@@ -986,6 +1027,90 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
       wordState(s, dir).derived()
         .join(distinctGroups(s, dir).select("k", "rid", "nm"), "k")
         .select("rid", "nm", "word", "c")
+        .localCheckpoint()
+    }
+
+  /** Merge rounds of the BPE APPLY step (`q_bpe_apply`): enough to
+    * produce multi-char tokens on this corpus while keeping the
+    * oracle's unrolled-CTE mirror readable. */
+  private[queries] val BpeApplyRounds = 8
+  /** Symbol separator of the BPE segmentation strings: a control char
+    * no corpus word may contain (words carrying it — none in this
+    * fixture — are excluded from the vocabulary AND the token
+    * sequence, on both engines). */
+  private[queries] val BpeSep = "\u0001"
+  /** SQL fragment: the word-level admission filter shared by the BPE
+    * vocabulary and the per-doc token sequence — non-empty,
+    * length-capped (MaxWordLen, the q_bpe_merges domain), separator-
+    * free. Identical text works as a Spark lambda body and inside the
+    * DuckDB list_filter. */
+  private[queries] def bpeWordFilter: String =
+    s"x -> length(x) > 0 AND length(x) <= $MaxWordLen AND NOT contains(x, chr(1))"
+
+  /** Trained-BPE word map — (word, n_syms, sum_ids, id_str): each
+    * distinct corpus word's segmentation under [[BpeApplyRounds]]
+    * greedy merge rounds (count adjacent symbol pairs weighted by
+    * corpus word frequency, merge the argmax — ties to the smaller
+    * pair string — everywhere, repeat), with token ids assigned by
+    * dense rank over the sorted final-symbol vocabulary. Memoized per
+    * corpus like the k-means artifacts: the training loop's only
+    * driver traffic is ONE argmax row per round. Merge application is
+    * a literal string replace over a double-separator-joined symbol
+    * string (".a..b..a..b." with pattern ".a..b." → ".ab."), whose
+    * left-to-right non-overlapping scan is EXACTLY BPE's within-word
+    * merge order — consecutive and overlapping occurrences included —
+    * so DuckDB's replace() reproduces it byte-for-byte. Word counts
+    * come from the persisted unigram store ([[wordState]], folded in
+    * batches), so the trained merges are schedule-invariant by
+    * construction. Vocabulary-bounded end to end: the corpus-sized
+    * pass is the store build every token consumer already shares. */
+  private[queries] val bpeApplyMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private[queries] def bpeApplyMap(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo(bpeApplyMemo, s, dir) {
+      val S = BpeSep
+      val c = repWordCounts(s, dir)
+        .groupBy("word").agg(sum(col("nm") * col("c")).as("cnt"))
+        .filter(length(col("word")) > 0 &&
+          length(col("word")) <= MaxWordLen &&
+          !col("word").contains(BpeSep))
+      var seg = c.select(col("word"), col("cnt"),
+        concat(lit(S), concat_ws(S + S,
+          expr("filter(split(word, ''), x -> x != '')")), lit(S)).as("seg"))
+        .localCheckpoint()
+      for (_ <- 1 to BpeApplyRounds) {
+        val top = seg
+          .select(col("cnt"),
+            expr("filter(split(seg, chr(1)), x -> x != '')").as("y"))
+          .filter(size(col("y")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(y) - 1)," +
+              " i -> concat(element_at(y, i), chr(1), element_at(y, i + 1)))"))
+            .as("pr"))
+          .groupBy("pr").agg(sum("cnt").as("c"))
+          .orderBy(col("c").desc, col("pr").asc)
+          .limit(1).collect()
+        if (top.nonEmpty) {
+          val p = top(0).getString(0)
+          seg = seg.withColumn("seg",
+            org.apache.spark.sql.functions.replace(col("seg"),
+              lit(S + p.replace(S, S + S) + S),
+              lit(S + p.replace(S, "") + S)))
+            .localCheckpoint()
+        }
+      }
+      val syms = seg.select(col("word"),
+        expr("filter(split(seg, chr(1)), x -> x != '')").as("y"))
+      val ids = syms.select(explode(col("y")).as("sym")).distinct()
+        .withColumn("id",
+          dense_rank().over(Window.orderBy("sym")).cast("long"))
+      syms.select(col("word"), posexplode(col("y")).as(Seq("i", "sym")))
+        .join(broadcast(ids), "sym")
+        .groupBy("word")
+        .agg(count(lit(1)).as("n_syms"), sum("id").as("sum_ids"),
+          expr("concat_ws(' ', transform(" +
+            "array_sort(collect_list(struct(i, id)))," +
+            " x -> cast(x.id as string)))").as("id_str"))
         .localCheckpoint()
     }
 
@@ -1151,6 +1276,7 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
     t("winnow_pairs") { winnowPairState(s, dir) }
     t("fed_winnow") { winnowFedState(s, dir) }
     t("spans") { spanState(s, dir) }
+    t("lines") { lineState(s, dir) }
     t("fed_contam") { fedContamPostings(s, dir)
       contamProbeFrame(s, dir, fedContamPostings(s, dir), "fed") }
     t("fed_embed") { fedEmbClusters(s, dir); fedEmbCosPairs(s, dir) }

@@ -183,6 +183,102 @@ private[queries] trait EtlTextDefs { this: EtlQueries.type =>
       }.orderBy("doc_id")
     },
 
+    // Cross-doc line-level boilerplate dedup (the CCNet/RefinedWeb
+    // cleanup family: Wenzek et al. 2020 §3.1, Penedo et al. 2023
+    // §4.2): a line present in >= LineDfMin DISTINCT DOCS of one
+    // source is boilerplate (headers, navigation, license banners) and
+    // is dropped from ALL of them — unlike q_substring_strip's spans,
+    // boilerplate has no canonical holder. "Line" is the pluggable
+    // segmentation: real corpora split on '\n'; this corpus is a flat
+    // word stream, so a line is a non-overlapping LineLen-token block
+    // ([[lineState]]). The within-doc repetition filters
+    // (q_quality_repetition) don't touch this class — the df is
+    // CROSS-doc per source. Line hashing is priced once per DISTINCT
+    // TEXT via the persisted line store (appends at batch cost); the
+    // df aggregate attaches per-source doc multiplicities at read time
+    // (df = Σ members over distinct texts containing the line — a doc
+    // repeating a line internally still counts once, matching the
+    // oracle's COUNT(DISTINCT doc_id)); removal is computed once per
+    // DISTINCT (text, source) pair and docs attach by digest join —
+    // replication-invariant by construction, and the oracle proves it:
+    // it computes the direct per-doc form over a corpus that contains
+    // exact duplicates. One groupBy on (source, h) with map-side
+    // combine; the boilerplate set is output-bounded (lines crossing
+    // the df bar), so its join back to the store rides a small side.
+    "q_line_dedup" -> QueryDef(
+      s"""WITH wl AS (
+         |  SELECT doc_id, source, list_filter(string_split(text, ' '),
+         |                                     x -> length(x) > 0) AS w
+         |  FROM documents),
+         |ln AS (
+         |  SELECT doc_id, source, CAST(i AS BIGINT) AS i,
+         |    md5(array_to_string(
+         |      w[CAST((i - 1) * $LineLen + 1 AS INTEGER):CAST(i * $LineLen AS INTEGER)],
+         |      ' ')) AS h
+         |  FROM wl, generate_series(1, $MaxLineBlocks) AS g(i)
+         |  WHERE (i - 1) * $LineLen < len(w)),
+         |df AS (
+         |  SELECT source, h FROM ln GROUP BY source, h
+         |  HAVING COUNT(DISTINCT doc_id) >= $LineDfMin),
+         |drops AS (
+         |  SELECT ln.doc_id, ln.i FROM ln
+         |  JOIN df ON ln.source = df.source AND ln.h = df.h),
+         |da AS (SELECT doc_id, list(i) AS di, COUNT(*) AS nd
+         |       FROM drops GROUP BY doc_id),
+         |o AS (
+         |  SELECT wl.doc_id, wl.w,
+         |    COALESCE(da.di, CAST([] AS BIGINT[])) AS di,
+         |    COALESCE(da.nd, 0) AS nd
+         |  FROM wl LEFT JOIN da ON wl.doc_id = da.doc_id)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN len(w) = 0 THEN 0
+         |            ELSE (len(w) - 1) // $LineLen + 1 END AS BIGINT) AS n_lines,
+         |  CAST(nd AS BIGINT) AS n_dropped,
+         |  md5(array_to_string(
+         |    list_where(w, list_transform(range(1, len(w) + 1),
+         |      j -> NOT list_contains(di, (j - 1) // $LineLen + 1))),
+         |    ' ')) AS kept_fp
+         |FROM o ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val g = distinctGroups(s, dir)
+      val st = lineState(s, dir).derived()          // (k, i, h)
+      val srcCnt = docs(s, dir)
+        .select(col("doc_id"), textKey.as("k"), col("source"))
+        .groupBy("k", "source").agg(count(lit(1)).as("m"))
+      // df per (source, line): Σ member counts over DISTINCT texts
+      // containing the line — a within-text repeat counts its doc once
+      val boil = st.select("k", "h").distinct()
+        .join(srcCnt, "k")
+        .groupBy("source", "h").agg(sum("m").as("df"))
+        .filter(col("df") >= LineDfMin)
+        .select("source", "h")
+      // dropped block ids per (distinct text, source) — only for
+      // (k, source) pairs that actually hold docs
+      val drops = st.join(boil, "h")
+        .join(srcCnt.select("k", "source"), Seq("k", "source"), "left_semi")
+        .groupBy("k", "source")
+        .agg(sort_array(collect_list(col("i"))).as("di"),
+          count(lit(1)).cast("long").as("nd"))
+      val toks = expr("filter(split(text, ' '), x -> length(x) > 0)")
+      val base = g.select(col("k"), toks.as("w"))
+      val baseStats = base.select(col("k"),
+        when(size(col("w")) === 0, lit(0L))
+          .otherwise(expr(s"(size(w) - 1) div $LineLen + 1").cast("long"))
+          .as("n_lines"),
+        md5(concat_ws(" ", col("w")).cast("binary")).as("base_fp"))
+      val variants = drops.join(base, "k")
+        .select(col("k"), col("source"), col("nd"),
+          md5(concat_ws(" ", expr(
+            s"filter(w, (x, j) -> NOT array_contains(di, j div $LineLen + 1))"))
+            .cast("binary")).as("fp_kept"))
+      docs(s, dir).select(col("doc_id"), textKey.as("k"), col("source"))
+        .join(baseStats, "k")
+        .join(variants, Seq("k", "source"), "left_outer")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("nd"), lit(0L)).as("n_dropped"),
+          coalesce(col("fp_kept"), col("base_fp")).as("kept_fp"))
+        .orderBy("doc_id")
+    },
+
     // Token accounting per source (corpus-level budgeting).
     "q_token_count" -> QueryDef(
       s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

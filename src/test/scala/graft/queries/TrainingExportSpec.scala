@@ -339,6 +339,68 @@ class TrainingExportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(6L) == ((3L, 0L, md5hex("u v w"))))
   }
 
+  test("q_line_dedup: per-source cross-doc lines drop everywhere; within-doc and cross-source do not") {
+    val ss = spark
+    import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("linedocs").toString
+    Seq(
+      (1L, "h1 h2 h3 h4 x y z", "a"),        // shares block 1 with doc 2
+      (2L, "h1 h2 h3 h4 p q r s", "a"),
+      (3L, "h1 h2 h3 h4 u v", "b"),          // same line, OTHER source
+      (4L, "w1 h1 h2 h3 h4", "a"),           // misaligned — blocks differ
+      (5L, "t1 t2 t3 t4", "a"),              // exact duplicates: the whole
+      (6L, "t1 t2 t3 t4", "a"),              // doc is boilerplate
+      (7L, "r1 r2 r3 r4 r1 r2 r3 r4", "a"))  // within-doc repeat: df = 1
+      .toDF("doc_id", "text", "source").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("q_line_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // the shared aligned block drops from BOTH source-a holders
+    assert(got(1L) == ((2L, 1L, md5hex("x y z"))))
+    assert(got(2L) == ((2L, 1L, md5hex("p q r s"))))
+    // same line in source b: df(b) = 1, kept whole
+    assert(got(3L) == ((2L, 0L, md5hex("h1 h2 h3 h4 u v"))))
+    // the same four tokens NOT block-aligned are a different line
+    assert(got(4L) == ((2L, 0L, md5hex("w1 h1 h2 h3 h4"))))
+    // exact duplicates: every line crosses the bar — full removal
+    assert(got(5L) == ((1L, 1L, md5hex(""))))
+    assert(got(6L) == ((1L, 1L, md5hex(""))))
+    // a doc repeating its own line is ONE distinct doc: not boilerplate
+    assert(got(7L) == ((2L, 0L, md5hex("r1 r2 r3 r4 r1 r2 r3 r4"))))
+  }
+
+  test("q_bpe_apply: greedy merges, left-to-right within-word order, dense ids") {
+    // Corpus engineered so "aaa" merges (a,a) in round 1 but its
+    // follow-up (aa,a) NEVER wins — seven filler pairs at count 20
+    // outvote it (12) for the remaining 7 rounds — freezing the
+    // PARTIAL segmentation [aa, a]: left-to-right merge order (the
+    // first (a,a) wins, NOT [a, aa]), mid-training state, and dense
+    // rank ids over the final symbol vocabulary all pinned at once.
+    val fillers = Seq("bc", "de", "fg", "hi", "jk", "lm", "no")
+    val dir = writeDocs(Seq(
+      (1L, Seq.fill(12)("aaa").mkString(" ")),
+      (2L, fillers.flatMap(f => Seq.fill(20)(f)).mkString(" "))))
+    val got = graft.SparkEntry.queries("q_bpe_apply")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // final symbols sorted: a=1, aa=2, bc=3, de=4, fg=5, hi=6, jk=7,
+    // lm=8, no=9; aaa segments [aa, a] -> "2 1"
+    assert(got(1L) == ((24L, 36L, md5hex(Seq.fill(12)("2 1").mkString(" ")))))
+    val fillerSeq = (3 to 9).flatMap(id => Seq.fill(20)(id.toString)).mkString(" ")
+    assert(got(2L) == ((140L, 840L, md5hex(fillerSeq))))
+
+    // simple end-to-end: ab outvotes everything, then (ab,ab) — word
+    // order and duplicate weighting flow into ids
+    val dir2 = writeDocs(Seq((1L, "abab abab ab"), (2L, "abab ab")))
+    val got2 = graft.SparkEntry.queries("q_bpe_apply")(spark, dir2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // vocab: ab=1, abab=2
+    assert(got2(1L) == ((3L, 5L, md5hex("2 2 1"))))
+    assert(got2(2L) == ((2L, 3L, md5hex("2 1"))))
+  }
+
   test("q_emb_centroid: exact per-label per-dim means") {
     val ss = spark
     import ss.implicits._
