@@ -105,6 +105,58 @@ object ContainerAssets {
       }
   }
 
+  /** One deterministic 4-frame animated GIF89a per document — the
+    * render-tier fixture (q_media_gif_render) that puts
+    * [[GifCodec.composeFrames]] under the full-hash oracle: every
+    * composition rule gets a frame whose composed canvas is closed-form
+    * in the text bytes t(1..n) (w = 1 + n%64, h = ⌈n/w⌉ clamped ≥ 1,
+    * N = w·h, background index 7):
+    *  - frame 0: full-screen, INTERLACED stream order, transparent
+    *    index 0 — pixels are the text bytes, zero pad transparent, so
+    *    canvas(p) = t(p) for p ≤ n and the background 7 elsewhere
+    *    (pins de-interlace row placement AND transparency punch-through)
+    *  - frame 1: top row, opaque, pixel x = 255 − t(x) (pad 255),
+    *    disposal 2 — after emission the row restores to background
+    *  - frame 2: 1×1 at the bottom-right corner, value
+    *    64 + t(n) % 128, disposal 3 — restore-to-previous
+    *  - frame 3: top row again, transparent index 255 — text bytes
+    *    punch through, 255 pads leave the restored background, so the
+    *    final canvas equals frame 0's exactly (pins disposal 2 AND 3:
+    *    either leaking turns frame 3's canvas away from frame 0's).
+    * Narrow generation — one map, no shuffle; the render itself is
+    * per-row partition-local like every other decode. */
+  def animatedGifsFromDocuments(docs: DataFrame): Dataset[Multimodal.Asset] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"), col("source"),
+        col("n_chars").cast("long"))
+      .as[(Long, String, String, Long)]
+      .map { case (id, text, source, nChars) =>
+        import GifCodec.AnimFrame
+        val bytes = text.getBytes("UTF-8")
+        val n = bytes.length
+        val w = 1 + n % 64
+        val h = math.max(1, (n + w - 1) / w)
+        val full = java.util.Arrays.copyOf(bytes, w * h)
+        val row1 = new Array[Byte](w)
+        val row3 = new Array[Byte](w)
+        var x = 0
+        while (x < w) {
+          row1(x) = (255 - (if (x < n) bytes(x) & 0xff else 0)).toByte
+          row3(x) = if (x < n) bytes(x) else 0xff.toByte
+          x += 1
+        }
+        val v3 = (64 + (if (n >= 1) (bytes(n - 1) & 0xff) % 128 else 0)).toByte
+        Multimodal.Asset(id, "image/gif",
+          GifCodec.encodeAnimated(w, h, bgIndex = 7, Seq(
+            AnimFrame(0, 0, w, h, full, transparent = 0, interlaced = true),
+            AnimFrame(0, 0, w, 1, row1, disposal = 2),
+            AnimFrame(w - 1, h - 1, 1, 1, Array(v3), disposal = 3),
+            AnimFrame(0, 0, w, 1, row3, transparent = 255))),
+          source, nChars)
+      }
+  }
+
   /** The kind-specific metadata-invariant content identity — the byte
     * stream two crawls of the same media share. Throws on a malformed
     * container (quarantine upstream tags it per row). */

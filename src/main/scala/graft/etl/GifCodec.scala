@@ -138,19 +138,43 @@ object GifCodec {
   }
 
   /** One spec-level animated-frame description for [[encodeAnimated]]:
-    * placement, gray pixels, the transparent index (-1 = opaque) and
-    * the disposal method. */
-  private[etl] final case class AnimFrame(left: Int, top: Int,
+    * placement, gray pixels (DISPLAY row order — the encoder permutes
+    * into stream order when `interlaced`), the transparent index
+    * (-1 = opaque) and the disposal method. */
+  private[graft] final case class AnimFrame(left: Int, top: Int,
       width: Int, height: Int, pixels: Array[Byte],
-      transparent: Int = -1, disposal: Int = 0)
+      transparent: Int = -1, disposal: Int = 0,
+      interlaced: Boolean = false)
+
+  /** Display-order rows → 4-pass interlace stream order (the exact
+    * inverse of [[deinterlace]]): stream row s carries display row
+    * y_s, y_s enumerated pass-by-pass (0 step 8, 4 step 8, 2 step 4,
+    * 1 step 2). */
+  private def interlaceRows(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](px.length)
+    var dst = 0
+    var pass = 0
+    val starts = Array(0, 4, 2, 1)
+    val steps = Array(8, 8, 4, 2)
+    while (pass < 4) {
+      var y = starts(pass)
+      while (y < h) {
+        System.arraycopy(px, y * w, out, dst * w, w)
+        dst += 1
+        y += steps(pass)
+      }
+      pass += 1
+    }
+    out
+  }
 
   /** Deterministic MULTI-FRAME GIF89a builder for specs and fixtures:
     * identity-gray global table, one graphic-control extension per
     * frame (disposal + transparency), the same 9-bit-literal LZW as
     * [[encode]]. Exercises the decoder's extension and composition
     * paths with hand-computable expected canvases. */
-  private[etl] def encodeAnimated(sw: Int, sh: Int, bgIndex: Int,
-                                  frames: Seq[AnimFrame]): Array[Byte] = {
+  private[graft] def encodeAnimated(sw: Int, sh: Int, bgIndex: Int,
+                                    frames: Seq[AnimFrame]): Array[Byte] = {
     require(sw >= 1 && sh >= 1 && frames.nonEmpty, "empty animation")
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF89a".getBytes("US-ASCII"))
@@ -173,9 +197,11 @@ object GifCodec {
       out.write(f.top & 0xff); out.write(f.top >> 8)
       out.write(f.width & 0xff); out.write(f.width >> 8)
       out.write(f.height & 0xff); out.write(f.height >> 8)
-      out.write(0) // no local table, not interlaced
+      out.write(if (f.interlaced) 0x40 else 0) // no local table
       out.write(8) // LZW minimum code size
-      val data = lzwLiteralData(f.pixels)
+      val data = lzwLiteralData(
+        if (f.interlaced) interlaceRows(f.pixels, f.width, f.height)
+        else f.pixels)
       var off = 0
       while (off < data.length) {
         val len = math.min(255, data.length - off)

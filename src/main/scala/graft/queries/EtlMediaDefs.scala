@@ -519,6 +519,85 @@ private[queries] trait EtlMediaDefs { this: EtlQueries.type =>
         .orderBy("rep_asset")
     },
 
+    // ANIMATED-GIF RENDERING under the full-hash oracle — the gate for
+    // [[graft.etl.GifCodec.composeFrames]], the one decode surface that
+    // was spec-only: every document ships as a deterministic 4-frame
+    // GIF89a (ContainerAssets.animatedGifsFromDocuments) whose per-frame
+    // COMPOSED CANVASES are closed-form in the text bytes, and the query
+    // emits one row per (asset, frame) with a POSITION-WEIGHTED checksum
+    // Σ (j+1)·byte_j over the full interleaved-RGB canvas. The weighting
+    // is the point: frame 0 is stored INTERLACED, so a wrong de-interlace
+    // permutes rows and breaks the sum (an unweighted sum would not see
+    // it); transparency punch-through (frames 0 and 3), disposal 2
+    // (restore-to-background after frame 1) and disposal 3 (restore-to-
+    // previous after frame 2) each land a distinct canvas the oracle
+    // recomputes per position — frame 3's canvas must equal frame 0's
+    // EXACTLY, which fails if either disposal leaks. Scale shape: one
+    // narrow map to build, one flatMap to render (per-row, partition-
+    // local, 2^26-px canvas bound), no shuffle but the output sort.
+    "q_media_gif_render" -> QueryDef(
+      s"""WITH b AS (
+         |  SELECT doc_id, text, octet_length(encode(text)) AS n
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, text, n, 1 + n % 64 AS w,
+         |    GREATEST(1, (n + (1 + n % 64) - 1) // (1 + n % 64)) AS hp,
+         |    CASE WHEN n >= 1
+         |      THEN 64 + ord(substr(text, CAST(n AS INTEGER), 1)) % 128
+         |      ELSE 64 END AS v3
+         |  FROM b),
+         |pv AS (
+         |  -- one row per canvas position; t = the text byte there (0 in
+         |  -- the zero pad) — ASCII corpus, so ord() = the byte
+         |  SELECT doc_id, p, npx, w, n, v3,
+         |    CASE WHEN p <= n
+         |      THEN ord(substr(text, CAST(p AS INTEGER), 1)) ELSE 0 END AS t
+         |  FROM (SELECT doc_id, text, n, w, v3, w * hp AS npx,
+         |          unnest(generate_series(1, w * hp)) AS p
+         |        FROM d) u),
+         |sums AS (
+         |  -- per-pixel weight 9p-3 = the sum of the pixel's three
+         |  -- 1-based interleaved-byte indexes (identity-gray, R=G=B)
+         |  SELECT doc_id,
+         |    -- frame 0: text grid, transparent pad shows background 7
+         |    SUM((9 * p - 3) * (CASE WHEN p <= n THEN t ELSE 7 END))
+         |      AS chk0,
+         |    -- frame 1: top row overpainted with 255 - t (opaque pad 255)
+         |    SUM((9 * p - 3) * (CASE WHEN p <= w THEN 255 - t
+         |        WHEN p <= n THEN t ELSE 7 END)) AS chk1,
+         |    -- frame 2: row restored to bg, corner pixel painted v3
+         |    SUM((9 * p - 3) * (CASE WHEN p = npx THEN v3
+         |        WHEN p <= w THEN 7
+         |        WHEN p <= n THEN t ELSE 7 END)) AS chk2
+         |  FROM pv GROUP BY doc_id)
+         |SELECT d.doc_id AS asset_id, CAST(f.f AS BIGINT) AS frame,
+         |  CAST(d.w AS INTEGER) AS width, CAST(d.hp AS INTEGER) AS height,
+         |  -- frame 3 = frame 0 by construction (disposal 3 restored the
+         |  -- corner, transparency left the restored-bg row's pad alone)
+         |  CAST(CASE f.f WHEN 0 THEN s.chk0 WHEN 1 THEN s.chk1
+         |       WHEN 2 THEN s.chk2 ELSE s.chk0 END AS BIGINT) AS checksum
+         |FROM d JOIN sums s ON s.doc_id = d.doc_id,
+         |  generate_series(0, 3) f(f)
+         |ORDER BY asset_id, frame""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      graft.etl.ContainerAssets.animatedGifsFromDocuments(docs(s, dir))
+        .flatMap { a =>
+          val (sw, sh, canvases) =
+            graft.etl.GifCodec.composeFrames(a.payload)
+          canvases.iterator.zipWithIndex.map { case (cv, i) =>
+            var j = 0
+            var chk = 0L
+            while (j < cv.length) {
+              chk += (j + 1).toLong * (cv(j) & 0xff)
+              j += 1
+            }
+            (a.asset_id, i.toLong, sw, sh, chk)
+          }
+        }
+        .toDF("asset_id", "frame", "width", "height", "checksum")
+        .orderBy("asset_id", "frame")
+    },
+
     // Corrupt-asset QUARANTINE over the mixed-media column: a
     // deterministic subset of containers arrives broken (truncated to
     // 10 bytes mid-header — one residue per codec class, doc_id % 32

@@ -228,6 +228,62 @@ class GifCodecSpec extends AnyFunSuite {
       .getMessage.contains("disposal"))
   }
 
+  test("interlaced animated frames decode back to display row order, " +
+       "and the render-tier fixture composes to its closed forms") {
+    import GifCodec.AnimFrame
+    // 10 rows — every interlace pass non-empty (0,8 / 4 / 2,6 / odd)
+    val w = 3
+    val h = 10
+    val disp = Array.tabulate[Byte](w * h)(i => (i + 1).toByte)
+    val g = GifCodec.encodeAnimated(w, h, 0,
+      Seq(AnimFrame(0, 0, w, h, disp, interlaced = true)))
+    val f = GifCodec.decodeFrames(g).frames.head
+    assert(f.indices.toSeq == disp.toSeq,
+      "encodeAnimated(interlaced) + deinterlace must round-trip rows")
+    // and the STREAM bytes genuinely differ from display order (the
+    // permutation is real, not a no-op flag)
+    val gSeq = GifCodec.encodeAnimated(w, h, 0,
+      Seq(AnimFrame(0, 0, w, h, disp)))
+    assert(!java.util.Arrays.equals(g, gSeq))
+
+    // the q_media_gif_render fixture on a worked example: text bytes
+    // t = [65, 66, 67, 68, 69] ("ABCDE"), n = 5 → the fixture pins
+    // w = 1 + n % 64 = 6, h = 1 — the row-overlap edge where frames
+    // 1/2/3 all land on the single row
+    val t = "ABCDE".getBytes("US-ASCII")
+    val full = java.util.Arrays.copyOf(t, 6)
+    val row1 = Array.tabulate[Byte](6)(x =>
+      (255 - (if (x < 5) t(x) & 0xff else 0)).toByte)
+    val row3 = Array.tabulate[Byte](6)(x =>
+      if (x < 5) t(x) else 0xff.toByte)
+    val v3 = (64 + ('E'.toInt % 128)).toByte // 64 + 69 = 133
+    val anim = GifCodec.encodeAnimated(6, 1, 7, Seq(
+      AnimFrame(0, 0, 6, 1, full, transparent = 0, interlaced = true),
+      AnimFrame(0, 0, 6, 1, row1, disposal = 2),
+      AnimFrame(5, 0, 1, 1, Array(v3), disposal = 3),
+      AnimFrame(0, 0, 6, 1, row3, transparent = 255)))
+    val (sw, sh, cvs) = GifCodec.composeFrames(anim)
+    def gray(values: Int*): Seq[Byte] =
+      values.flatMap(v => Seq(v.toByte, v.toByte, v.toByte))
+    assert(sw == 6 && sh == 1 && cvs.size == 4)
+    // frame 0: text + transparent zero pad over background 7
+    assert(cvs(0).toSeq == gray(65, 66, 67, 68, 69, 7))
+    // frame 1: the complement row, opaque pad 255
+    assert(cvs(1).toSeq == gray(190, 189, 188, 187, 186, 255))
+    // frame 2: disposal 2 restored the row to bg, corner painted 133
+    assert(cvs(2).toSeq == gray(7, 7, 7, 7, 7, 133))
+    // frame 3: disposal 3 un-painted the corner; text punches through
+    // transparent-255 pads over the restored background = frame 0
+    assert(cvs(3).toSeq == cvs(0).toSeq)
+    // and the oracle's position-weighted checksum on frame 0:
+    // sum over pixels of (9p-3)·v
+    val chk0 = cvs(0).zipWithIndex.map { case (b, j) =>
+      (j + 1).toLong * (b & 0xff) }.sum
+    val expect0 = Seq(65, 66, 67, 68, 69, 7).zipWithIndex.map {
+      case (v, i) => (9L * (i + 1) - 3) * v }.sum
+    assert(chk0 == expect0)
+  }
+
   test("corruption and hostile headers refuse loudly") {
     val px = Array.tabulate(40)(i => (i * 6 % 256).toByte)
     val gif = GifCodec.encode(8, 5, px)
