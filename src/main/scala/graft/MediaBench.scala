@@ -76,11 +76,14 @@ object MediaBench {
       f""""$name":{"assets":$n,"rejects":$rejects,"assets_per_s":${(n / sec).toLong},"mb_per_s":${mbps.toLong},"sec":${"%.3f".format(sec)}}"""
     }
     // Format-invariant dup-query slope lines: the full decode + digest
-    // groupBy pipelines of q_media_dup / q_media_dup_raster over the
-    // RAW corpus dir (median of 3, one warmup) — point SPARK_GRAFT_SF_DIR
-    // at a tools/make_grow.py dir for a GENUINE-growth slope (replicas
-    // only prove replication invariance).
-    val dupLines = Seq("q_media_dup", "q_media_dup_raster").map { q =>
+    // groupBy pipelines of q_media_dup / q_media_dup_raster — plus the
+    // container-walk tier (q_media_dup_tagged: six kinds, two variants
+    // each) and the animation-render tier (q_media_gif_render) — over
+    // the RAW corpus dir (median of 3, one warmup) — point
+    // SPARK_GRAFT_SF_DIR at a tools/make_grow.py dir for a
+    // GENUINE-growth slope (replicas only prove replication invariance).
+    val dupLines = Seq("q_media_dup", "q_media_dup_raster",
+        "q_media_dup_tagged", "q_media_gif_render").map { q =>
       val fn = SparkEntry.queries(q)
       fn(spark, sfDir).count() // warmup
       val ts = (1 to 3).map { _ =>
