@@ -569,55 +569,13 @@ private[queries] trait EtlExportDefs { this: EtlQueries.type =>
         |      j -> len(list_filter(acc, a -> a <= j AND j < a + 32)) = 0)),
         |    ' ')) AS kept_fp
         |FROM o ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val g = distinctGroups(s, dir)
-      val st = spanState(s, dir).derived()
-      val dup = st.join(g.select("k", "rid", "nm"), "k")
-        .groupBy("h")
-        .agg(sum("nm").as("n_docs"), min("rid").as("first_doc"))
-        .filter(col("n_docs") >= 2)
-        .select("h", "first_doc")
-      val affected = st.join(dup.select("h"), Seq("h"), "left_semi")
-        .select("k").distinct()
-      val toks = expr("filter(split(text, ' '), x -> length(x) > 0)")
-      val base = g.select(col("k"), col("rid"), toks.as("w"))
-      val baseStats = base.select(col("k"),
-        size(col("w")).cast("long").as("n_tokens"),
-        md5(concat_ws(" ", col("w")).cast("binary")).as("base_fp"))
-      val aw = base.join(affected, Seq("k"), "left_semi")
-        .filter(size(col("w")) >= 32)
-        .select(col("k"), col("rid"), col("w"),
-          explode(sequence(lit(1),
-            least(size(col("w")) - 31, lit(512)))).as("i"))
-        .select(col("k"), col("rid"), col("i"),
-          md5(concat_ws(" ", expr("slice(w, i, 32)")).cast("binary")).as("h"))
-      val hits = aw.join(dup, "h")
-      def greedy(src: String) = expr(
-        s"""aggregate($src,
-           |  named_struct('nxt', 1, 'acc', cast(array() as array<int>)),
-           |  (s, x) -> if(x >= s.nxt,
-           |    named_struct('nxt', x + 32, 'acc', array_append(s.acc, x)),
-           |    s),
-           |  s -> s.acc)""".stripMargin)
-      def keptFp(acc: String) =
-        md5(concat_ws(" ", expr(
-          s"filter(w, (x, j) -> NOT exists($acc," +
-            " a -> a <= j + 1 AND j + 1 < a + 32))")).cast("binary"))
-      val variants = hits.groupBy("k")
-        .agg(sort_array(collect_list(col("i"))).as("all_i"),
-          sort_array(collect_list(
-            when(col("first_doc") =!= col("rid"), col("i")))).as("rep_i"))
-        .join(base.select("k", "w"), "k")
-        .withColumn("all_acc", greedy("all_i"))
-        .withColumn("rep_acc", greedy("rep_i"))
-        .select(col("k"),
-          (size(col("all_acc")) * 32).cast("long").as("nd_all"),
-          keptFp("all_acc").as("fp_all"),
-          (size(col("rep_acc")) * 32).cast("long").as("nd_rep"),
-          keptFp("rep_acc").as("fp_rep"))
+      // base fingerprints and removal variants are pure per corpus —
+      // both memoized ([[keptBaseStats]], [[substringVariants]]), so
+      // the per-run cost is these digest joins alone
       docs(s, dir).select(col("doc_id"), textKey.as("k"))
-        .join(baseStats, "k")
-        .join(g.select("k", "rid"), "k")
-        .join(variants, Seq("k"), "left_outer")
+        .join(keptBaseStats(s, dir).select("k", "n_tokens", "base_fp"), "k")
+        .join(distinctGroups(s, dir).select("k", "rid"), "k")
+        .join(substringVariants(s, dir), Seq("k"), "left_outer")
         .select(col("doc_id"), col("n_tokens"),
           coalesce(when(col("doc_id") === col("rid"), col("nd_rep"))
             .otherwise(col("nd_all")), lit(0L)).as("n_dropped"),

@@ -998,6 +998,125 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
               expr(s"slice(w, (i - 1) * $LineLen + 1, $LineLen)"))
               .cast("binary")).as("h")))
 
+  /** Per-distinct-text kept-text BASE stats — (k, n_tokens, n_lines,
+    * base_fp): token/line counts plus the rejoined-token fingerprint
+    * the removal operators (`q_substring_strip`, `q_line_dedup`) fall
+    * back to for unaffected docs. Re-hashing every distinct text was
+    * those queries' dominant per-run cost and the frame is pure per
+    * corpus — memoized and materialized once like [[repWordCounts]]. */
+  private[queries] val keptBaseMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private[queries] def keptBaseStats(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo(keptBaseMemo, s, dir) {
+      distinctGroups(s, dir)
+        .select(col("k"),
+          expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
+        .select(col("k"),
+          size(col("w")).cast("long").as("n_tokens"),
+          when(size(col("w")) === 0, lit(0L))
+            .otherwise(expr(s"(size(w) - 1) div $LineLen + 1").cast("long"))
+            .as("n_lines"),
+          md5(concat_ws(" ", col("w")).cast("binary")).as("base_fp"))
+        .localCheckpoint()
+    }
+
+  /** Removal variants of the exact-substring strip per AFFECTED
+    * distinct text — (k, nd_all, fp_all, nd_rep, fp_rep): dropped-token
+    * counts and kept-text fingerprints for the member form (drop every
+    * dup span) and the rep form (drop only spans first seen in an
+    * earlier doc). A pure derivation of the span store + distinct
+    * groups, so memoized: `q_substring_strip`'s per-run cost is the
+    * docs-side digest joins alone. Bounded by affected distinct texts
+    * (the removal family's analog of the contam probe frame). */
+  private[queries] val substringVariantMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private[queries] def substringVariants(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo(substringVariantMemo, s, dir) {
+      val g = distinctGroups(s, dir)
+      val st = spanState(s, dir).derived()
+      val dup = st.join(g.select("k", "rid", "nm"), "k")
+        .groupBy("h")
+        .agg(sum("nm").as("n_docs"), min("rid").as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .select("h", "first_doc")
+      val affected = st.join(dup.select("h"), Seq("h"), "left_semi")
+        .select("k").distinct()
+      val toks = expr("filter(split(text, ' '), x -> length(x) > 0)")
+      val base = g.select(col("k"), col("rid"), toks.as("w"))
+      // the store keys spans by hash; removal needs offsets — re-window
+      // AFFECTED distinct texts only (a per-row map, no new shuffle)
+      val aw = base.join(affected, Seq("k"), "left_semi")
+        .filter(size(col("w")) >= 32)
+        .select(col("k"), col("rid"), col("w"),
+          explode(sequence(lit(1),
+            least(size(col("w")) - 31, lit(512)))).as("i"))
+        .select(col("k"), col("rid"), col("i"),
+          md5(concat_ws(" ", expr("slice(w, i, 32)")).cast("binary")).as("h"))
+      val hits = aw.join(dup, "h")
+      // greedy left-to-right non-overlap: accept the leftmost removable
+      // start, jump past its end, repeat — positions are sorted, so one
+      // array fold computes the accepted set
+      def greedy(src: String) = expr(
+        s"""aggregate($src,
+           |  named_struct('nxt', 1, 'acc', cast(array() as array<int>)),
+           |  (s, x) -> if(x >= s.nxt,
+           |    named_struct('nxt', x + 32, 'acc', array_append(s.acc, x)),
+           |    s),
+           |  s -> s.acc)""".stripMargin)
+      def keptFp(acc: String) =
+        md5(concat_ws(" ", expr(
+          s"filter(w, (x, j) -> NOT exists($acc," +
+            " a -> a <= j + 1 AND j + 1 < a + 32))")).cast("binary"))
+      hits.groupBy("k")
+        .agg(sort_array(collect_list(col("i"))).as("all_i"),
+          sort_array(collect_list(
+            when(col("first_doc") =!= col("rid"), col("i")))).as("rep_i"))
+        .join(base.select("k", "w"), "k")
+        .withColumn("all_acc", greedy("all_i"))
+        .withColumn("rep_acc", greedy("rep_i"))
+        .select(col("k"),
+          (size(col("all_acc")) * 32).cast("long").as("nd_all"),
+          keptFp("all_acc").as("fp_all"),
+          (size(col("rep_acc")) * 32).cast("long").as("nd_rep"),
+          keptFp("rep_acc").as("fp_rep"))
+        .localCheckpoint()
+    }
+
+  /** Removal variants of the line-level boilerplate dedup per affected
+    * distinct (text, source) pair — (k, source, nd, fp_kept). Pure per
+    * corpus (line store + per-source multiplicities), memoized like
+    * [[substringVariants]]. */
+  private[queries] val lineVariantMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private[queries] def lineVariants(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo(lineVariantMemo, s, dir) {
+      val g = distinctGroups(s, dir)
+      val st = lineState(s, dir).derived() // (k, i, h)
+      val srcCnt = docs(s, dir)
+        .select(col("doc_id"), textKey.as("k"), col("source"))
+        .groupBy("k", "source").agg(count(lit(1)).as("m"))
+      // df per (source, line): Σ member counts over DISTINCT texts
+      // containing the line — a within-text repeat counts its doc once
+      val boil = st.select("k", "h").distinct()
+        .join(srcCnt, "k")
+        .groupBy("source", "h").agg(sum("m").as("df"))
+        .filter(col("df") >= LineDfMin)
+        .select("source", "h")
+      val drops = st.join(boil, "h")
+        .join(srcCnt.select("k", "source"), Seq("k", "source"), "left_semi")
+        .groupBy("k", "source")
+        .agg(sort_array(collect_list(col("i"))).as("di"),
+          count(lit(1)).cast("long").as("nd"))
+      val toks = expr("filter(split(text, ' '), x -> length(x) > 0)")
+      val base = g.select(col("k"), toks.as("w"))
+      drops.join(base, "k")
+        .select(col("k"), col("source"), col("nd"),
+          md5(concat_ws(" ", expr(
+            s"filter(w, (x, j) -> NOT array_contains(di, j div $LineLen + 1))"))
+            .cast("binary")).as("fp_kept"))
+        .localCheckpoint()
+    }
+
   /** Per-distinct-text word counts — (rid, nm, word, c) — the unigram
     * table every token-level consumer (tf-idf, vocab coverage, BPE
     * merge counting, unigram rarity) previously re-derived with its
@@ -1275,8 +1394,9 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
     t("winnow") { winnowSelSet(s, dir) }
     t("winnow_pairs") { winnowPairState(s, dir) }
     t("fed_winnow") { winnowFedState(s, dir) }
-    t("spans") { spanState(s, dir) }
-    t("lines") { lineState(s, dir) }
+    t("spans") { spanState(s, dir); keptBaseStats(s, dir)
+      substringVariants(s, dir) }
+    t("lines") { lineState(s, dir); lineVariants(s, dir) }
     t("fed_contam") { fedContamPostings(s, dir)
       contamProbeFrame(s, dir, fedContamPostings(s, dir), "fed") }
     t("fed_embed") { fedEmbClusters(s, dir); fedEmbCosPairs(s, dir) }

@@ -239,40 +239,12 @@ private[queries] trait EtlTextDefs { this: EtlQueries.type =>
          |      j -> NOT list_contains(di, (j - 1) // $LineLen + 1))),
          |    ' ')) AS kept_fp
          |FROM o ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val g = distinctGroups(s, dir)
-      val st = lineState(s, dir).derived()          // (k, i, h)
-      val srcCnt = docs(s, dir)
-        .select(col("doc_id"), textKey.as("k"), col("source"))
-        .groupBy("k", "source").agg(count(lit(1)).as("m"))
-      // df per (source, line): Σ member counts over DISTINCT texts
-      // containing the line — a within-text repeat counts its doc once
-      val boil = st.select("k", "h").distinct()
-        .join(srcCnt, "k")
-        .groupBy("source", "h").agg(sum("m").as("df"))
-        .filter(col("df") >= LineDfMin)
-        .select("source", "h")
-      // dropped block ids per (distinct text, source) — only for
-      // (k, source) pairs that actually hold docs
-      val drops = st.join(boil, "h")
-        .join(srcCnt.select("k", "source"), Seq("k", "source"), "left_semi")
-        .groupBy("k", "source")
-        .agg(sort_array(collect_list(col("i"))).as("di"),
-          count(lit(1)).cast("long").as("nd"))
-      val toks = expr("filter(split(text, ' '), x -> length(x) > 0)")
-      val base = g.select(col("k"), toks.as("w"))
-      val baseStats = base.select(col("k"),
-        when(size(col("w")) === 0, lit(0L))
-          .otherwise(expr(s"(size(w) - 1) div $LineLen + 1").cast("long"))
-          .as("n_lines"),
-        md5(concat_ws(" ", col("w")).cast("binary")).as("base_fp"))
-      val variants = drops.join(base, "k")
-        .select(col("k"), col("source"), col("nd"),
-          md5(concat_ws(" ", expr(
-            s"filter(w, (x, j) -> NOT array_contains(di, j div $LineLen + 1))"))
-            .cast("binary")).as("fp_kept"))
+      // base fingerprints and removal variants are pure per corpus —
+      // both memoized ([[keptBaseStats]], [[lineVariants]]), so the
+      // per-run cost is these digest joins alone
       docs(s, dir).select(col("doc_id"), textKey.as("k"), col("source"))
-        .join(baseStats, "k")
-        .join(variants, Seq("k", "source"), "left_outer")
+        .join(keptBaseStats(s, dir).select("k", "n_lines", "base_fp"), "k")
+        .join(lineVariants(s, dir), Seq("k", "source"), "left_outer")
         .select(col("doc_id"), col("n_lines"),
           coalesce(col("nd"), lit(0L)).as("n_dropped"),
           coalesce(col("fp_kept"), col("base_fp")).as("kept_fp"))
