@@ -129,4 +129,23 @@ object KMeans {
       struct(cosineTo(emb, c).as("cos"), lit(-c.id).as("nid")))
     -array_max(array(scored: _*)).getField("nid")
   }
+
+  /** Nearest-centroid assignment under SQUARED L2 distance — the
+    * product-quantization sub-space rule (PQ codebooks minimize
+    * reconstruction error, not angle, and a sub-vector may be
+    * near-zero where a cosine is undefined). Minimizing
+    * |x−c|² = |x|² − 2x·c + |c|² over c needs only the EXACT Long
+    * score |c|² − 2x·c on the fixed-point grid: no division, no
+    * floats, no NaN case at all — `array_min` over (score, id)
+    * structs is `ORDER BY score ASC, id ASC` row_number = 1 in the
+    * oracle, bit-for-bit. Same scale shape as [[assign]]: a pure
+    * projection over plan-constant centroids. */
+  def assignL2(emb: Column, cents: Seq[Centroid]): Column = {
+    require(cents.nonEmpty, "assignL2 needs at least one centroid")
+    val scored = cents.map(c =>
+      struct((lit(c.normSq) -
+        lit(2L) * fixedPointDot(emb, typedlit(c.coords))).as("d"),
+        lit(c.id).as("id")))
+    array_min(array(scored: _*)).getField("id")
+  }
 }

@@ -463,6 +463,81 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
           (col("hits").cast("double") / col("n_pairs")).as("recall"))
         .orderBy("nprobe")
     },
+
+    // Product-quantization ANN — the COMPRESSION half of the
+    // billion-vector recipe (IVF-PQ, Jégou et al. 2011; the coarse
+    // half is q_ann_kmivf's centroid lists): every vector stores as m
+    // per-sub-space codes (m·log₂k = 12 bits here; 8–16 BYTES in
+    // production vs 256 bytes of floats), codebooks trained by the
+    // same deterministic fixed-point Lloyd passes as the IVF coarse
+    // quantizer but under SQUARED-L2 assignment — the PQ objective,
+    // and exact Long scores with no NaN case. Query-time ranking is
+    // ADC (asymmetric distance computation): the query precomputes
+    // its m×k dot table against the codebooks ONCE, and each
+    // candidate's approximate cosine is m array lookups over the wide
+    // code frame — a pure projection with the table riding a one-row
+    // broadcast; the only exchange is the top-k. |x̃|² = Σ_s |c_s|²
+    // EXACTLY (sub-spaces are disjoint dims), so the ADC score is
+    // integer arithmetic up to one final IEEE division and the oracle
+    // replays training, coding and ranking bit-for-bit.
+    "q_ann_pq" -> QueryDef(
+      s"""WITH $pqSql,
+         |qd AS (
+         |  SELECT c1.sub, c1.cluster, SUM(sq.v * c1.q) AS qdot
+         |  FROM sq JOIN c1 ON c1.i = sq.i
+         |  WHERE sq.vec_id = 0
+         |  GROUP BY c1.sub, c1.cluster),
+         |qn AS (SELECT SUM(v * v) AS qnn FROM sq WHERE vec_id = 0),
+         |adc AS (
+         |  SELECT a2.vec_id, SUM(qd.qdot) AS adot, SUM(cn1.cn) AS cns
+         |  FROM a2
+         |  JOIN qd ON qd.sub = a2.sub AND qd.cluster = a2.cluster
+         |  JOIN cn1 ON cn1.sub = a2.sub AND cn1.cluster = a2.cluster
+         |  WHERE a2.vec_id <> 0
+         |  GROUP BY a2.vec_id)
+         |SELECT vec_id,
+         |  CAST(adot AS DOUBLE) /
+         |    (sqrt(CAST(cns AS DOUBLE)) * sqrt(CAST(qnn AS DOUBLE)))
+         |    AS approx_cos
+         |FROM adc, qn
+         |ORDER BY approx_cos DESC, vec_id LIMIT $PqTopK""".stripMargin) { (s, dir) =>
+      import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
+      val bySub = pqCentroids(s, dir)
+      // lookup arrays are indexed BY CODEWORD ID (position id+1), so a
+      // dead id (an emptied Lloyd cluster trains no centroid) pads
+      // with a never-referenced zero instead of shifting its betters
+      def slot(sIdx: Int): IndexedSeq[Option[graft.etl.KMeans.Centroid]] = {
+        val m = bySub(sIdx).map(c => c.id.toInt -> c).toMap
+        (0 until PqK).map(m.get)
+      }
+      // the query's ADC table as ONE row: per sub-space, the k exact
+      // dots (array) — codeword norms are plan literals
+      val qRow = emb(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").as("qemb"))
+        .select(
+          (0 until PqM).map { sIdx =>
+            array(slot(sIdx).map {
+              case Some(c) => fixedPointDot(pqSubCol(col("qemb"), sIdx),
+                typedlit(c.coords))
+              case None => lit(0L)
+            }: _*).as(s"q$sIdx")
+          } :+ fixedPointNormSq(col("qemb")).as("qnn"): _*)
+      val adot = (0 until PqM).map(sIdx =>
+        element_at(col(s"q$sIdx"), col(s"c$sIdx").cast("int") + 1))
+        .reduce(_ + _)
+      val cns = (0 until PqM).map(sIdx =>
+        element_at(typedlit(slot(sIdx).map(_.fold(0L)(_.normSq)).toArray),
+          col(s"c$sIdx").cast("int") + 1))
+        .reduce(_ + _)
+      pqCodes(s, dir).filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qRow))
+        .select(col("vec_id"),
+          (adot.cast("double") /
+            (sqrt(cns.cast("double")) * sqrt(col("qnn").cast("double"))))
+            .as("approx_cos"))
+        .orderBy(col("approx_cos").desc, col("vec_id"))
+        .limit(PqTopK)
+    },
   )
 
   // ---- family helpers: embedding groups, cosine stores, SQ8, k-means IVF ----
@@ -851,6 +926,120 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
        |  FROM embeddings),
        |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM sc GROUP BY vec_id),
        |a0 AS (SELECT vec_id, vec_id % $KMeansK AS cluster FROM embeddings),
+       |${pass(0, "a0")},
+       |${pass(1, "a1")}"""
+      .stripMargin
+  }
+
+  /** Sub-vector of the `sIdx`-th product-quantization sub-space
+    * (dims [sIdx·PqSub, sIdx·PqSub + PqSub)). */
+  private[queries] def pqSubCol(e: Column, sIdx: Int): Column =
+    slice(e, sIdx * PqSub + 1, PqSub)
+
+  /** The PERSISTED product-quantization index store: per-sub-space
+    * codebooks train once per corpus — two fixed Lloyd passes under
+    * SQUARED-L2 assignment ([[graft.etl.KMeans.assignL2]], the PQ
+    * objective), artifacts the flattened (sub·k + cid, i, q) centroid
+    * rows — and new vectors CODE against the frozen codebooks at
+    * batch cost (derive = m pure projections), the production cadence
+    * of a PQ index: re-training is an explicit new generation. */
+  private[queries] lazy val pqStateMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      graft.etl.DerivedState]
+  private[queries] def pqState(s: SparkSession, dir: String)
+      : graft.etl.DerivedState =
+    fixtureMemo(pqStateMemo, s, dir) {
+      val trainer: DataFrame => DataFrame = corpus => {
+        val cents = (0 until PqM).flatMap { sIdx =>
+          val sub = corpus.select(col("vec_id"),
+            pqSubCol(col("embedding"), sIdx).as("embedding"))
+          val c0 = graft.etl.KMeans.quantizedCentroids(
+            sub.withColumn("cluster", col("vec_id") % PqK))
+          val c1 = graft.etl.KMeans.quantizedCentroids(
+            sub.withColumn("cluster",
+              graft.etl.KMeans.assignL2(col("embedding"), c0)))
+          c1.map(c => c.copy(id = sIdx * PqK + c.id))
+        }
+        graft.etl.KMeans.centroidRows(s, cents)
+      }
+      val derive: (DataFrame, DataFrame) => DataFrame = (rows, arts) => {
+        val bySub = pqCodebooks(arts)
+        rows.select(col("vec_id") +:
+          (0 until PqM).map(sIdx =>
+            graft.etl.KMeans.assignL2(pqSubCol(col("embedding"), sIdx),
+              bySub(sIdx)).as(s"c$sIdx")): _*)
+      }
+      val fp = s"pq:m=$PqM:sub=$PqSub:k=$PqK:lloyd=2:init=mod:l2"
+      durableStore(s, dir, "pq", fp)(root =>
+        new graft.etl.DerivedState(s, root, fp, "vec_id", derive,
+          Some(trainer))) { st =>
+        val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+        st.train(e)
+        (0 to 1).foreach(i => st.update(e.filter(col("vec_id") % 2 === i)))
+      }
+    }
+
+  /** Flattened artifact rows → per-sub-space codebooks with LOCAL
+    * centroid ids (0..k−1). A sub-space may have fewer than k live
+    * codewords (an emptied Lloyd cluster trains no centroid) — codes
+    * only ever reference live ids. */
+  private[queries] def pqCodebooks(arts: DataFrame)
+      : Map[Int, Seq[graft.etl.KMeans.Centroid]] =
+    graft.etl.KMeans.centroidsFromRows(arts)
+      .groupBy(c => (c.id / PqK).toInt)
+      .map { case (sIdx, cs) =>
+        sIdx -> cs.map(c => c.copy(id = c.id % PqK)).sortBy(_.id)
+      }
+  private[queries] lazy val pqCentMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      Map[Int, Seq[graft.etl.KMeans.Centroid]]]
+  private[queries] def pqCentroids(s: SparkSession, dir: String)
+      : Map[Int, Seq[graft.etl.KMeans.Centroid]] =
+    fixtureMemo(pqCentMemo, s, dir) {
+      pqCodebooks(pqState(s, dir).artifacts())
+    }
+  private[queries] lazy val pqCodeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  /** The wide code frame (vec_id, c0..c_{m−1}) — the COMPRESSED index
+    * a 100 TB ANN serves from: m·log₂k bits a vector. */
+  private[queries] def pqCodes(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo(pqCodeMemo, s, dir) {
+      pqState(s, dir).derived().localCheckpoint()
+    }
+
+  /** DuckDB mirror of the PQ training + coding
+    * ([[pqState]]): the [[kmeansSql]] CTE shape per (vec_id, sub)
+    * with the L2 score `cn − 2·dot` (exact BIGINT — no division, no
+    * NaN order case) replacing the cosine; `a2` carries the final
+    * codes. */
+  private[queries] def pqSql: String = {
+    def pass(n: Int, prev: String) =
+      s"""c$n AS (
+         |  SELECT $prev.sub, $prev.cluster, sq.i,
+         |    CAST(ROUND(CAST(SUM(sq.v) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS q
+         |  FROM sq JOIN $prev
+         |    ON $prev.vec_id = sq.vec_id AND $prev.sub = sq.sub
+         |  GROUP BY $prev.sub, $prev.cluster, sq.i),
+         |cn$n AS (SELECT sub, cluster, SUM(q * q) AS cn
+         |         FROM c$n GROUP BY sub, cluster),
+         |d$n AS (
+         |  SELECT sq.vec_id, c$n.sub, c$n.cluster, SUM(sq.v * c$n.q) AS dot
+         |  FROM sq JOIN c$n ON c$n.i = sq.i
+         |  GROUP BY sq.vec_id, c$n.sub, c$n.cluster),
+         |a${n + 1} AS (
+         |  SELECT vec_id, sub, cluster FROM (
+         |    SELECT d$n.vec_id, d$n.sub, d$n.cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY d$n.vec_id, d$n.sub
+         |        ORDER BY cn$n.cn - 2 * d$n.dot ASC, d$n.cluster) AS rn
+         |    FROM d$n JOIN cn$n
+         |      ON cn$n.sub = d$n.sub AND cn$n.cluster = d$n.cluster) t
+         |  WHERE rn = 1)""".stripMargin
+    s"""sq AS (
+       |  SELECT vec_id, i // $PqSub AS sub, i, v FROM (
+       |    SELECT vec_id, unnest(range(len(embedding))) AS i,
+       |      CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * $Scale, 0) AS BIGINT) AS v
+       |    FROM embeddings) u),
+       |a0 AS (SELECT DISTINCT vec_id, sub, vec_id % $PqK AS cluster FROM sq),
        |${pass(0, "a0")},
        |${pass(1, "a1")}"""
       .stripMargin

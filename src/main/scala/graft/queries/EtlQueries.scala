@@ -78,6 +78,19 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
   private[queries] val SemDedupTau = 0.3
   private[queries] val KmIvfProbes = 2
   private[queries] val KmIvfTopK = 10
+  /** Product-quantization geometry (`q_ann_pq`): m sub-spaces of
+    * dim/m dims, k codewords each — a vector compresses to
+    * m·log₂k bits (12 here; 8–16 bytes in production), the form that
+    * makes billion-vector ANN fit executor memory at 100 TB. k and m
+    * are the recall/compression knobs; codebooks are trained per
+    * sub-space with the same deterministic fixed-point Lloyd passes
+    * as the IVF coarse quantizer, under SQUARED-L2 assignment
+    * ([[graft.etl.KMeans.assignL2]] — exact Long scores, no NaN
+    * case). */
+  private[queries] val PqM = 4
+  private[queries] val PqSub = 16
+  private[queries] val PqK = 8
+  private[queries] val PqTopK = 10
   // recall report: every 97th vector probes the index, capped at a
   // FIXED query budget — the eval's brute-force ground truth costs
   // |queries| × corpus, so the probe set must not scale with the
@@ -1389,6 +1402,7 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
     t("sq8") { sq8Codes(s, dir) }
     t("fed_sq8") { fedSq8Codes(s, dir) }
     t("kmeans") { kmeansCentroids(s, dir); kmeansAssignments(s, dir) }
+    t("pq") { pqCentroids(s, dir); pqCodes(s, dir) }
     t("dedup_store") { incrDedupState(s, dir) }
     t("fed_dedup") { fedDocClusters(s, dir) }
     t("winnow") { winnowSelSet(s, dir) }

@@ -79,6 +79,80 @@ class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(1L -> 2L, 2L -> 5L, 3L -> 2L))
   }
 
+  test("assignL2: nearest centroid by exact squared-L2; ties take the " +
+       "smallest id; zero sub-vectors assign without any NaN case") {
+    val sp = spark; import sp.implicits._
+    val cents = Seq(
+      KMeans.Centroid(0L, Array(1f, 0f), 1000000L * 1000000L),
+      KMeans.Centroid(1L, Array(-1f, 0f), 1000000L * 1000000L),
+      KMeans.Centroid(2L, Array(0f, 0f), 0L))
+    val df = Seq(
+      (1L, Array(0.9f, 0.1f)),   // → 0 (closest by L2)
+      (2L, Array(-0.4f, 0f)),    // → 2: |x−c2|²=0.16 < |x−c1|²=0.36
+      (3L, Array(-0.5f, 3f)),    // exactly equidistant from c1 and c2
+                                 // (and farther from c0) → smaller id 1
+      (4L, Array(0f, 0f))        // the cosine-undefined case: → 2 exactly
+    ).toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"),
+        KMeans.assignL2(col("embedding"), cents).as("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 2L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("PQ coding matches a brute-force L2 model per sub-space, and the " +
+       "ADC score is exact for codebook-reconstructed vectors") {
+    val vecs = collectEmb()
+    val (pqM, pqSub, pqK) = (4, 16, 8)
+    // train per sub-space exactly as q_ann_pq's store does
+    val books = (0 until pqM).map { sIdx =>
+      val sub = emb.select(col("vec_id"),
+        slice(col("embedding"), sIdx * pqSub + 1, pqSub).as("embedding"))
+      val c0 = KMeans.quantizedCentroids(
+        sub.withColumn("cluster", col("vec_id") % pqK))
+      val c1 = KMeans.quantizedCentroids(
+        sub.withColumn("cluster",
+          KMeans.assignL2(col("embedding"), c0)))
+      val codes = sub.select(col("vec_id"),
+          KMeans.assignL2(col("embedding"), c1).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (c1, codes)
+    }
+    // every sub-code = the model's argmin of |c|² − 2x·c (score ASC, id ASC)
+    books.zipWithIndex.foreach { case ((cents, codes), sIdx) =>
+      val scaled = cents.map(c => c.id -> (scaleVec(c.coords), c.normSq))
+      vecs.foreach { case (vid, v) =>
+        val sv = scaleVec(v.slice(sIdx * pqSub, sIdx * pqSub + pqSub))
+        val best = scaled.map { case (cid, (cs, cn)) =>
+          (cn - 2 * sv.zip(cs).map { case (x, y) => x * y }.sum, cid)
+        }.min._2
+        assert(codes(vid) == best, s"vec $vid sub $sIdx")
+      }
+    }
+    // ADC identity: for a query built by CONCATENATING one codeword per
+    // sub-space, the ADC score of any vector COINCIDES with the exact
+    // fixed-point cosine between the query and that vector's
+    // reconstruction — ADC loses only the quantization residual, never
+    // the arithmetic
+    val q = books.map(_._1.head.coords).reduce(_ ++ _)
+    val qs = scaleVec(q)
+    val qnn = qs.map(x => x * x).sum
+    vecs.keys.take(5).foreach { vid =>
+      val rec = books.zipWithIndex.flatMap { case ((cents, codes), sIdx) =>
+        cents.find(_.id == codes(vid)).get.coords
+      }.toArray
+      val adot = books.zipWithIndex.map { case ((cents, codes), sIdx) =>
+        val c = cents.find(_.id == codes(vid)).get
+        val sub = qs.slice(sIdx * pqSub, sIdx * pqSub + pqSub)
+        sub.zip(scaleVec(c.coords)).map { case (x, y) => x * y }.sum
+      }.sum
+      val cns = books.map { case (cents, codes) =>
+        cents.find(_.id == codes(vid)).get.normSq }.sum
+      val adc = adot.toDouble /
+        (math.sqrt(cns.toDouble) * math.sqrt(qnn.toDouble))
+      assert(adc == modelCos(qs, scaleVec(rec)), s"vec $vid")
+    }
+  }
+
   test("assign matches a brute-force exact-arithmetic model on the fixture") {
     val vecs = collectEmb()
     // train exactly as the queries do: two Lloyd passes from vec_id % 8
