@@ -481,7 +481,7 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
     // integer arithmetic up to one final IEEE division and the oracle
     // replays training, coding and ranking bit-for-bit.
     "q_ann_pq" -> QueryDef(
-      s"""WITH $pqSql,
+      s"""WITH ${pqSql()},
          |qd AS (
          |  SELECT c1.sub, c1.cluster, SUM(sq.v * c1.q) AS qdot
          |  FROM sq JOIN c1 ON c1.i = sq.i
@@ -501,34 +501,7 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
          |    AS approx_cos
          |FROM adc, qn
          |ORDER BY approx_cos DESC, vec_id LIMIT $PqTopK""".stripMargin) { (s, dir) =>
-      import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
-      val bySub = pqCentroids(s, dir)
-      // lookup arrays are indexed BY CODEWORD ID (position id+1), so a
-      // dead id (an emptied Lloyd cluster trains no centroid) pads
-      // with a never-referenced zero instead of shifting its betters
-      def slot(sIdx: Int): IndexedSeq[Option[graft.etl.KMeans.Centroid]] = {
-        val m = bySub(sIdx).map(c => c.id.toInt -> c).toMap
-        (0 until PqK).map(m.get)
-      }
-      // the query's ADC table as ONE row: per sub-space, the k exact
-      // dots (array) — codeword norms are plan literals
-      val qRow = emb(s, dir).filter(col("vec_id") === 0)
-        .select(col("embedding").as("qemb"))
-        .select(
-          (0 until PqM).map { sIdx =>
-            array(slot(sIdx).map {
-              case Some(c) => fixedPointDot(pqSubCol(col("qemb"), sIdx),
-                typedlit(c.coords))
-              case None => lit(0L)
-            }: _*).as(s"q$sIdx")
-          } :+ fixedPointNormSq(col("qemb")).as("qnn"): _*)
-      val adot = (0 until PqM).map(sIdx =>
-        element_at(col(s"q$sIdx"), col(s"c$sIdx").cast("int") + 1))
-        .reduce(_ + _)
-      val cns = (0 until PqM).map(sIdx =>
-        element_at(typedlit(slot(sIdx).map(_.fold(0L)(_.normSq)).toArray),
-          col(s"c$sIdx").cast("int") + 1))
-        .reduce(_ + _)
+      val (qRow, adot, cns) = pqAdc(s, dir)
       pqCodes(s, dir).filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(qRow))
         .select(col("vec_id"),
@@ -537,6 +510,99 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
             .as("approx_cos"))
         .orderBy(col("approx_cos").desc, col("vec_id"))
         .limit(PqTopK)
+    },
+
+    // IVF-PQ, the COMPOSED serving path (the exact topology a
+    // billion-vector deployment runs, Jégou et al. 2011): the coarse
+    // quantizer prunes the corpus to the probed centroid lists
+    // (q_ann_kmivf's structure), ADC ranks ONLY those candidates from
+    // their m-code compressed forms (q_ann_pq's structure), and the
+    // ADC shortlist alone pays an exact full-precision rerank — the
+    // three-tier funnel (corpus → nprobe/k of it → PqRerank exact
+    // dots) that makes the full-vector scan disappear at 100 TB. The
+    // output carries BOTH scores: approx_cos pins the ADC arithmetic
+    // inside the funnel, cos the exact rerank. Both trained indexes
+    // are the persisted artifacts every other ANN consumer reads —
+    // nothing trains at query time.
+    "q_ann_ivfpq" -> QueryDef(
+      s"""WITH $kmeansSql,
+         |${pqSql("p")},
+         |probe AS (
+         |  SELECT cluster FROM (
+         |    SELECT cluster,
+         |      ROW_NUMBER() OVER (ORDER BY cos DESC, cluster) AS rn
+         |    FROM s1 WHERE vec_id = 0) t
+         |  WHERE rn <= $KmIvfProbes),
+         |cand AS (
+         |  SELECT a2.vec_id FROM a2
+         |  JOIN probe ON probe.cluster = a2.cluster
+         |  WHERE a2.vec_id <> 0),
+         |qd AS (
+         |  SELECT pc1.sub, pc1.cluster, SUM(psq.v * pc1.q) AS qdot
+         |  FROM psq JOIN pc1 ON pc1.i = psq.i
+         |  WHERE psq.vec_id = 0
+         |  GROUP BY pc1.sub, pc1.cluster),
+         |qn2 AS (SELECT nn AS qnn FROM norms WHERE vec_id = 0),
+         |adc AS (
+         |  SELECT pa2.vec_id, SUM(qd.qdot) AS adot, SUM(pcn1.cn) AS cns
+         |  FROM pa2
+         |  JOIN cand ON cand.vec_id = pa2.vec_id
+         |  JOIN qd ON qd.sub = pa2.sub AND qd.cluster = pa2.cluster
+         |  JOIN pcn1 ON pcn1.sub = pa2.sub AND pcn1.cluster = pa2.cluster
+         |  GROUP BY pa2.vec_id),
+         |short AS (
+         |  SELECT vec_id,
+         |    CAST(adot AS DOUBLE) /
+         |      (sqrt(CAST(cns AS DOUBLE)) * sqrt(CAST(qnn AS DOUBLE)))
+         |      AS approx_cos
+         |  FROM adc, qn2
+         |  ORDER BY approx_cos DESC, vec_id LIMIT $PqRerank),
+         |qv AS (SELECT i, v FROM sc WHERE vec_id = 0),
+         |ex AS (
+         |  SELECT sc.vec_id, SUM(sc.v * qv.v) AS dot
+         |  FROM sc JOIN qv ON qv.i = sc.i
+         |  JOIN short ON short.vec_id = sc.vec_id
+         |  GROUP BY sc.vec_id)
+         |SELECT ex.vec_id, short.approx_cos,
+         |  CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(qnn AS DOUBLE))) AS cos
+         |FROM ex
+         |JOIN short ON short.vec_id = ex.vec_id
+         |JOIN norms ON norms.vec_id = ex.vec_id, qn2
+         |ORDER BY cos DESC, ex.vec_id LIMIT $KmIvfTopK""".stripMargin) { (s, dir) =>
+      import graft.functions.FixedPointOps.exactCosine
+      // tier 1: coarse probe (the kmivf structure, trained artifacts)
+      val cents = kmeansCentroids(s, dir)
+      val qf = emb(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").as("qemb"))
+      val probe = qf.select(explode(array(cents.map(c =>
+          struct(graft.etl.KMeans.cosineTo(col("qemb"), c).as("cos"),
+            lit(c.id).as("cluster"))): _*)).as("p"))
+        .select(col("p.cos").as("cos"), col("p.cluster").as("cluster"))
+        .orderBy(col("cos").desc, col("cluster"))
+        .limit(KmIvfProbes)
+        .select("cluster")
+      val cand = kmeansAssignments(s, dir)
+        .join(broadcast(probe), "cluster")
+        .filter(col("vec_id") =!= 0)
+        .select("vec_id")
+      // tier 2: ADC over the candidates' compressed codes only
+      val (qRow, adot, cns) = pqAdc(s, dir)
+      val short = pqCodes(s, dir).join(cand, "vec_id")
+        .crossJoin(broadcast(qRow))
+        .select(col("vec_id"),
+          (adot.cast("double") /
+            (sqrt(cns.cast("double")) * sqrt(col("qnn").cast("double"))))
+            .as("approx_cos"))
+        .orderBy(col("approx_cos").desc, col("vec_id"))
+        .limit(PqRerank)
+      // tier 3: exact full-precision rerank of the shortlist alone
+      short.join(emb(s, dir).select("vec_id", "embedding"), "vec_id")
+        .crossJoin(broadcast(qf))
+        .select(col("vec_id"), col("approx_cos"),
+          exactCosine(col("embedding"), col("qemb")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(KmIvfTopK)
     },
   )
 
@@ -1010,39 +1076,78 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
   /** DuckDB mirror of the PQ training + coding
     * ([[pqState]]): the [[kmeansSql]] CTE shape per (vec_id, sub)
     * with the L2 score `cn − 2·dot` (exact BIGINT — no division, no
-    * NaN order case) replacing the cosine; `a2` carries the final
-    * codes. */
-  private[queries] def pqSql: String = {
+    * NaN order case) replacing the cosine; `${p}a2` carries the final
+    * codes. `p` prefixes every CTE name so the chain can share a WITH
+    * clause with [[kmeansSql]] (q_ann_ivfpq composes both). */
+  private[queries] def pqSql(p: String = ""): String = {
     def pass(n: Int, prev: String) =
-      s"""c$n AS (
-         |  SELECT $prev.sub, $prev.cluster, sq.i,
-         |    CAST(ROUND(CAST(SUM(sq.v) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS q
-         |  FROM sq JOIN $prev
-         |    ON $prev.vec_id = sq.vec_id AND $prev.sub = sq.sub
-         |  GROUP BY $prev.sub, $prev.cluster, sq.i),
-         |cn$n AS (SELECT sub, cluster, SUM(q * q) AS cn
-         |         FROM c$n GROUP BY sub, cluster),
-         |d$n AS (
-         |  SELECT sq.vec_id, c$n.sub, c$n.cluster, SUM(sq.v * c$n.q) AS dot
-         |  FROM sq JOIN c$n ON c$n.i = sq.i
-         |  GROUP BY sq.vec_id, c$n.sub, c$n.cluster),
-         |a${n + 1} AS (
+      s"""${p}c$n AS (
+         |  SELECT $prev.sub, $prev.cluster, ${p}sq.i,
+         |    CAST(ROUND(CAST(SUM(${p}sq.v) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS q
+         |  FROM ${p}sq JOIN $prev
+         |    ON $prev.vec_id = ${p}sq.vec_id AND $prev.sub = ${p}sq.sub
+         |  GROUP BY $prev.sub, $prev.cluster, ${p}sq.i),
+         |${p}cn$n AS (SELECT sub, cluster, SUM(q * q) AS cn
+         |         FROM ${p}c$n GROUP BY sub, cluster),
+         |${p}d$n AS (
+         |  SELECT ${p}sq.vec_id, ${p}c$n.sub, ${p}c$n.cluster,
+         |    SUM(${p}sq.v * ${p}c$n.q) AS dot
+         |  FROM ${p}sq JOIN ${p}c$n ON ${p}c$n.i = ${p}sq.i
+         |  GROUP BY ${p}sq.vec_id, ${p}c$n.sub, ${p}c$n.cluster),
+         |${p}a${n + 1} AS (
          |  SELECT vec_id, sub, cluster FROM (
-         |    SELECT d$n.vec_id, d$n.sub, d$n.cluster,
-         |      ROW_NUMBER() OVER (PARTITION BY d$n.vec_id, d$n.sub
-         |        ORDER BY cn$n.cn - 2 * d$n.dot ASC, d$n.cluster) AS rn
-         |    FROM d$n JOIN cn$n
-         |      ON cn$n.sub = d$n.sub AND cn$n.cluster = d$n.cluster) t
+         |    SELECT ${p}d$n.vec_id, ${p}d$n.sub, ${p}d$n.cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY ${p}d$n.vec_id, ${p}d$n.sub
+         |        ORDER BY ${p}cn$n.cn - 2 * ${p}d$n.dot ASC, ${p}d$n.cluster) AS rn
+         |    FROM ${p}d$n JOIN ${p}cn$n
+         |      ON ${p}cn$n.sub = ${p}d$n.sub
+         |     AND ${p}cn$n.cluster = ${p}d$n.cluster) t
          |  WHERE rn = 1)""".stripMargin
-    s"""sq AS (
+    s"""${p}sq AS (
        |  SELECT vec_id, i // $PqSub AS sub, i, v FROM (
        |    SELECT vec_id, unnest(range(len(embedding))) AS i,
        |      CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * $Scale, 0) AS BIGINT) AS v
        |    FROM embeddings) u),
-       |a0 AS (SELECT DISTINCT vec_id, sub, vec_id % $PqK AS cluster FROM sq),
-       |${pass(0, "a0")},
-       |${pass(1, "a1")}"""
+       |${p}a0 AS (SELECT DISTINCT vec_id, sub, vec_id % $PqK AS cluster
+       |           FROM ${p}sq),
+       |${pass(0, s"${p}a0")},
+       |${pass(1, s"${p}a1")}"""
       .stripMargin
+  }
+
+  /** The ADC machinery shared by q_ann_pq / q_ann_ivfpq: the query's
+    * one-row dot-table frame (per sub-space, the k exact dots as an
+    * array, plus the query norm) and the (adot, cns) lookup columns
+    * over the wide code frame. Lookup arrays are indexed BY CODEWORD
+    * ID (position id+1), so a dead id (an emptied Lloyd cluster trains
+    * no centroid) pads with a never-referenced zero instead of
+    * shifting its betters. */
+  private[queries] def pqAdc(s: SparkSession, dir: String)
+      : (DataFrame, Column, Column) = {
+    import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
+    val bySub = pqCentroids(s, dir)
+    def slot(sIdx: Int): IndexedSeq[Option[graft.etl.KMeans.Centroid]] = {
+      val m = bySub(sIdx).map(c => c.id.toInt -> c).toMap
+      (0 until PqK).map(m.get)
+    }
+    val qRow = emb(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qemb"))
+      .select(
+        (0 until PqM).map { sIdx =>
+          array(slot(sIdx).map {
+            case Some(c) => fixedPointDot(pqSubCol(col("qemb"), sIdx),
+              typedlit(c.coords))
+            case None => lit(0L)
+          }: _*).as(s"q$sIdx")
+        } :+ fixedPointNormSq(col("qemb")).as("qnn"): _*)
+    val adot = (0 until PqM).map(sIdx =>
+      element_at(col(s"q$sIdx"), col(s"c$sIdx").cast("int") + 1))
+      .reduce(_ + _)
+    val cns = (0 until PqM).map(sIdx =>
+      element_at(typedlit(slot(sIdx).map(_.fold(0L)(_.normSq)).toArray),
+        col(s"c$sIdx").cast("int") + 1))
+      .reduce(_ + _)
+    (qRow, adot, cns)
   }
 
   /** Banded hyperplane-signature candidates over `base`

@@ -91,6 +91,10 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
   private[queries] val PqSub = 16
   private[queries] val PqK = 8
   private[queries] val PqTopK = 10
+  /** ADC shortlist size of the composed IVF-PQ funnel (`q_ann_ivfpq`):
+    * only this many candidates ever pay an exact full-precision dot —
+    * the 10–100× rerank margin every production deployment runs. */
+  private[queries] val PqRerank = 20
   // recall report: every 97th vector probes the index, capped at a
   // FIXED query budget — the eval's brute-force ground truth costs
   // |queries| × corpus, so the probe set must not scale with the

@@ -261,4 +261,54 @@ class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     val probed = out.map { case (vid, _) => semdedup(vid) }.toSet
     assert(probed.size <= 2, s"results span ${probed.size} clusters > probes")
   }
+
+  test("q_ann_ivfpq: the three-tier funnel — probed clusters only, ADC " +
+       "scores from codes, exact rerank equals brute force") {
+    val out = graft.SparkEntry.queries("q_ann_ivfpq")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.nonEmpty && out.length <= 10)
+    // final ordering is by the EXACT rerank score, not the ADC one
+    assert(out.map(_._3).toSeq.sliding(2).forall {
+      case Seq(a, b) => a >= b; case _ => true
+    })
+    val vecs = collectEmb()
+    val q = scaleVec(vecs(0L))
+    out.foreach { case (vid, _, cos) =>
+      assert(vid != 0L)
+      assert(cos == modelCos(scaleVec(vecs(vid)), q),
+        s"vec $vid rerank must equal the exact cosine")
+    }
+    // candidates stay inside the probed coarse cells
+    val clusters = graft.SparkEntry.queries("q_semdedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map { case (vid, _, _) => clusters(vid) }.toSet.size <= 2)
+    // every approx score is the ADC value of the vector's own codes:
+    // retrain the sub-codebooks exactly as the store does and recompute
+    val (pqM, pqSub, pqK) = (4, 16, 8)
+    val books = (0 until pqM).map { sIdx =>
+      val sub = emb.select(col("vec_id"),
+        slice(col("embedding"), sIdx * pqSub + 1, pqSub).as("embedding"))
+      val c0 = KMeans.quantizedCentroids(
+        sub.withColumn("cluster", col("vec_id") % pqK))
+      val c1 = KMeans.quantizedCentroids(
+        sub.withColumn("cluster", KMeans.assignL2(col("embedding"), c0)))
+      val codes = sub.select(col("vec_id"),
+          KMeans.assignL2(col("embedding"), c1).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (c1, codes)
+    }
+    val qnn = q.map(x => x * x).sum
+    out.foreach { case (vid, approx, _) =>
+      val adot = books.zipWithIndex.map { case ((cents, codes), sIdx) =>
+        val c = cents.find(_.id == codes(vid)).get
+        q.slice(sIdx * pqSub, sIdx * pqSub + pqSub)
+          .zip(scaleVec(c.coords)).map { case (x, y) => x * y }.sum
+      }.sum
+      val cns = books.map { case (cents, codes) =>
+        cents.find(_.id == codes(vid)).get.normSq }.sum
+      assert(approx == adot.toDouble /
+        (math.sqrt(cns.toDouble) * math.sqrt(qnn.toDouble)),
+        s"vec $vid ADC score mismatch")
+    }
+  }
 }
