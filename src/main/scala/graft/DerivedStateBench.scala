@@ -83,6 +83,39 @@ object DerivedStateBench {
     val (_, sInit) = timed { sst.train(eCorpus); sst.update(eCorpus) }
     val (sRep, sFold) = timed(sst.update(eBatch))
 
+    // ---- PQ codes (trained family, round 20): per-sub-space L2
+    // codebooks + the m-wide code fold — the compressed-ANN index
+    // cadence (the q_ann_pq store's trainer/derive shape)
+    val (pqM, pqSub, pqK) = (4, 16, 8)
+    def pqSubCol(e: org.apache.spark.sql.Column, sIdx: Int) =
+      slice(e, sIdx * pqSub + 1, pqSub)
+    val pqTrainer: DataFrame => DataFrame = c => {
+      val cents = (0 until pqM).flatMap { sIdx =>
+        val sub = c.select(col("vec_id"),
+          pqSubCol(col("embedding"), sIdx).as("embedding"))
+        val c0 = graft.etl.KMeans.quantizedCentroids(
+          sub.withColumn("cluster", col("vec_id") % pqK))
+        val c1 = graft.etl.KMeans.quantizedCentroids(
+          sub.withColumn("cluster",
+            graft.etl.KMeans.assignL2(col("embedding"), c0)))
+        c1.map(x => x.copy(id = sIdx * pqK + x.id))
+      }
+      graft.etl.KMeans.centroidRows(spark, cents)
+    }
+    val pqDerive: (DataFrame, DataFrame) => DataFrame = (rows, arts) => {
+      val bySub = graft.etl.KMeans.centroidsFromRows(arts)
+        .groupBy(x => (x.id / pqK).toInt)
+        .map { case (k2, cs) =>
+          k2 -> cs.map(x => x.copy(id = x.id % pqK)).sortBy(_.id) }
+      rows.select(col("vec_id") +: (0 until pqM).map(sIdx =>
+        graft.etl.KMeans.assignL2(pqSubCol(col("embedding"), sIdx),
+          bySub(sIdx)).as(s"c$sIdx")): _*)
+    }
+    val pst = new graft.etl.DerivedState(spark, freshRoot(), "pq",
+      "vec_id", pqDerive, Some(pqTrainer))
+    val (_, pInit) = timed { pst.train(eCorpus); pst.update(eCorpus) }
+    val (pRep, pFold) = timed(pst.update(eBatch))
+
     // ---- LM trigram conditional score (trained family, round 16):
     // same trainer/derive as the q_lm_score fixture path, so the
     // fold-cost shape here IS the shipped family's
@@ -103,6 +136,9 @@ object DerivedStateBench {
       s""""lm_init_sec":$lInit,"lm_fold_sec":$lFold,""" +
       s""""lm_fold_new_keys":${lRep.nNewKeys},""" +
       s""""lm_fold_rows":${lRep.nDerivedRows},""" +
+      s""""pq_init_sec":$pInit,"pq_fold_sec":$pFold,""" +
+      s""""pq_fold_new_keys":${pRep.nNewKeys},""" +
+      s""""pq_fold_rows":${pRep.nDerivedRows},""" +
       s""""corpus_docs":${corpus.count()},"sf":"$sfDir"}""")
     spark.stop()
   }
