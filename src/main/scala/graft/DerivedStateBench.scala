@@ -86,7 +86,7 @@ object DerivedStateBench {
     // ---- PQ codes (trained family, round 20): per-sub-space L2
     // codebooks + the m-wide code fold — the compressed-ANN index
     // cadence (the q_ann_pq store's trainer/derive shape)
-    val (pqM, pqSub, pqK) = (4, 16, 8)
+    val (pqM, pqSub, pqK) = (8, 8, 16)
     def pqSubCol(e: org.apache.spark.sql.Column, sIdx: Int) =
       slice(e, sIdx * pqSub + 1, pqSub)
     val pqTrainer: DataFrame => DataFrame = c => {

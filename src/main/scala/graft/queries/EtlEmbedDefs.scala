@@ -604,6 +604,129 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(KmIvfTopK)
     },
+
+    // PQ rerank-margin recall — the measure-don't-guess loop for
+    // PqRerank (the q_ann_recall analog for the compression tier): for
+    // the same deterministic probe query set, what fraction of the
+    // EXACT cosine top-10 sits inside the ADC ranking's top-R, per
+    // R ∈ {5, 10, 20}? This is the only loss ADC introduces (the
+    // rerank is exact), so the margin the funnel needs is read off
+    // the table instead of assumed. Ground truth (|queries| brute
+    // passes) is an EVAL-ONLY cost; the serving path stays
+    // q_ann_ivfpq's funnel. Per-query ADC tables ride a broadcast
+    // (m·k rows per query); the melted code frame joins them with no
+    // per-query scan of the float vectors.
+    "q_ann_pq_recall" -> QueryDef(
+      s"""WITH ${pqSql()},
+         |nrm AS (SELECT vec_id, SUM(v * v) AS nn FROM sq GROUP BY vec_id),
+         |qs AS (SELECT vec_id AS qid FROM embeddings
+         |       WHERE vec_id % $RecallQueryMod = 0
+         |         AND vec_id < $RecallQueryCap),
+         |qtab AS (
+         |  SELECT q.vec_id AS qid, c1.sub, c1.cluster, SUM(q.v * c1.q) AS qdot
+         |  FROM sq q JOIN qs ON qs.qid = q.vec_id
+         |  JOIN c1 ON c1.i = q.i
+         |  GROUP BY q.vec_id, c1.sub, c1.cluster),
+         |vc AS (
+         |  SELECT a2.vec_id, SUM(cn1.cn) AS cns
+         |  FROM a2 JOIN cn1 ON cn1.sub = a2.sub AND cn1.cluster = a2.cluster
+         |  GROUP BY a2.vec_id),
+         |ad AS (
+         |  SELECT qtab.qid, a2.vec_id, SUM(qtab.qdot) AS adot
+         |  FROM a2 JOIN qtab ON qtab.sub = a2.sub AND qtab.cluster = a2.cluster
+         |  WHERE a2.vec_id <> qtab.qid
+         |  GROUP BY qtab.qid, a2.vec_id),
+         |ar AS (
+         |  SELECT ad.qid, ad.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY ad.qid ORDER BY
+         |      CAST(adot AS DOUBLE) /
+         |        (sqrt(CAST(vc.cns AS DOUBLE)) * sqrt(CAST(qn.nn AS DOUBLE)))
+         |        DESC, ad.vec_id) AS arn
+         |  FROM ad JOIN vc ON vc.vec_id = ad.vec_id
+         |  JOIN nrm qn ON qn.vec_id = ad.qid),
+         |qd2 AS (
+         |  SELECT q.vec_id AS qid, sq.vec_id, SUM(sq.v * q.v) AS dot
+         |  FROM sq JOIN sq q ON q.i = sq.i
+         |  JOIN qs ON qs.qid = q.vec_id
+         |  WHERE sq.vec_id <> q.vec_id
+         |  GROUP BY q.vec_id, sq.vec_id),
+         |gt AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qd2.qid, qd2.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qd2.qid ORDER BY
+         |        CAST(dot AS DOUBLE) / (sqrt(CAST(n1.nn AS DOUBLE))
+         |          * sqrt(CAST(n2.nn AS DOUBLE))) DESC, qd2.vec_id) AS rn
+         |    FROM qd2
+         |    JOIN nrm n1 ON n1.vec_id = qd2.qid
+         |    JOIN nrm n2 ON n2.vec_id = qd2.vec_id) t
+         |  WHERE rn <= $RecallK),
+         |rr AS (SELECT unnest([5, 10, 20]) AS rerank)
+         |SELECT CAST(rerank AS BIGINT) AS rerank,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(CASE WHEN ar.arn <= rr.rerank THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS hits,
+         |  CAST(SUM(CASE WHEN ar.arn <= rr.rerank THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / COUNT(*) AS recall
+         |FROM gt JOIN ar ON ar.qid = gt.qid AND ar.vec_id = gt.vec_id
+         |CROSS JOIN rr
+         |GROUP BY rerank ORDER BY rerank""".stripMargin) { (s, dir) =>
+      import graft.functions.FixedPointOps.{exactCosine, fixedPointDot, fixedPointNormSq}
+      import s.implicits._
+      val bySub = pqCentroids(s, dir)
+      val qs = emb(s, dir)
+        .filter(col("vec_id") % RecallQueryMod === 0 &&
+          col("vec_id") < RecallQueryCap)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      // per-query ADC table: m·k rows a query, broadcast
+      val qtab = qs.select(col("qid"), explode(array(
+          (0 until PqM).flatMap { sIdx => bySub(sIdx).map { c =>
+            struct(lit(sIdx).as("sub"), lit(c.id).as("code"),
+              fixedPointDot(pqSubCol(col("qemb"), sIdx),
+                typedlit(c.coords)).as("qdot"))
+          }}: _*)).as("t"))
+        .select(col("qid"), col("t.sub"), col("t.code"), col("t.qdot"))
+      val qnorms = qs.select(col("qid"),
+        fixedPointNormSq(col("qemb")).as("qnn"))
+      // melted codes + per-vector reconstruction norm (the pqAdc
+      // lookup column over the wide frame)
+      val (_, _, cnsCol) = pqAdc(s, dir)
+      val vc = pqCodes(s, dir).select(col("vec_id"), cnsCol.as("cns"))
+      val codesL = pqCodes(s, dir).select(col("vec_id"), explode(array(
+          (0 until PqM).map(sIdx =>
+            struct(lit(sIdx).as("sub"), col(s"c$sIdx").as("code"))): _*))
+          .as("t"))
+        .select(col("vec_id"), col("t.sub"), col("t.code"))
+      val ar = codesL.join(broadcast(qtab), Seq("sub", "code"))
+        .groupBy("qid", "vec_id").agg(sum("qdot").as("adot"))
+        .filter(col("vec_id") =!= col("qid"))
+        .join(vc, "vec_id")
+        .join(broadcast(qnorms), "qid")
+        .select(col("qid"), col("vec_id"),
+          (col("adot").cast("double") /
+            (sqrt(col("cns").cast("double")) *
+              sqrt(col("qnn").cast("double")))).as("adc"))
+        .withColumn("arn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))))
+        .select("qid", "vec_id", "arn")
+      val gt = emb(s, dir).select(col("vec_id"), col("embedding"))
+        .join(broadcast(qs), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          exactCosine(col("embedding"), col("qemb")).as("cos"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rn") <= RecallK)
+        .select("qid", "vec_id")
+      val rr = Seq(5L, 10L, 20L).toDF("rerank")
+      gt.join(ar, Seq("qid", "vec_id"))
+        .crossJoin(broadcast(rr))
+        .select(col("rerank"),
+          when(col("arn") <= col("rerank"), 1L).otherwise(0L).as("hit"))
+        .groupBy("rerank")
+        .agg(count(lit(1)).as("n_pairs"), sum("hit").as("hits"))
+        .select(col("rerank"), col("n_pairs"), col("hits"),
+          (col("hits").cast("double") / col("n_pairs")).as("recall"))
+        .orderBy("rerank")
+    },
   )
 
   // ---- family helpers: embedding groups, cosine stores, SQ8, k-means IVF ----

@@ -80,16 +80,16 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
   private[queries] val KmIvfTopK = 10
   /** Product-quantization geometry (`q_ann_pq`): m sub-spaces of
     * dim/m dims, k codewords each — a vector compresses to
-    * m·log₂k bits (12 here; 8–16 bytes in production), the form that
+    * m·log₂k bits (32 here; 8–16 bytes in production), the form that
     * makes billion-vector ANN fit executor memory at 100 TB. k and m
     * are the recall/compression knobs; codebooks are trained per
     * sub-space with the same deterministic fixed-point Lloyd passes
     * as the IVF coarse quantizer, under SQUARED-L2 assignment
     * ([[graft.etl.KMeans.assignL2]] — exact Long scores, no NaN
     * case). */
-  private[queries] val PqM = 4
-  private[queries] val PqSub = 16
-  private[queries] val PqK = 8
+  private[queries] val PqM = 8
+  private[queries] val PqSub = 8
+  private[queries] val PqK = 16
   private[queries] val PqTopK = 10
   /** ADC shortlist size of the composed IVF-PQ funnel (`q_ann_ivfpq`):
     * only this many candidates ever pay an exact full-precision dot —

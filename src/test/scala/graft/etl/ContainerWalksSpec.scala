@@ -358,7 +358,7 @@ class ContainerWalksSpec extends AnyFunSuite {
     }
     blob.copyToArray(hostile, hdrLen)
     assert(intercept[IllegalArgumentException](IcoCodec.parse(hostile))
-      .getMessage.contains("overlapping"))
+      .getMessage.contains("amplification bound"))
   }
 
   // ---- TIFF -----------------------------------------------------------
@@ -410,7 +410,7 @@ class ContainerWalksSpec extends AnyFunSuite {
     var i = 0
     while (i < 4) { bomb(102 + i) = 0; i += 1 } // offsets[1] -> 0
     assert(intercept[IllegalArgumentException](TiffCodec.parse(bomb))
-      .getMessage.contains("overlapping"))
+      .getMessage.contains("amplification bound"))
     intercept[IllegalArgumentException](
       TiffCodec.parse(java.util.Arrays.copyOf(t, 40)))
     assert(intercept[IllegalArgumentException](

@@ -102,7 +102,7 @@ class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("PQ coding matches a brute-force L2 model per sub-space, and the " +
        "ADC score is exact for codebook-reconstructed vectors") {
     val vecs = collectEmb()
-    val (pqM, pqSub, pqK) = (4, 16, 8)
+    val (pqM, pqSub, pqK) = (8, 8, 16)
     // train per sub-space exactly as q_ann_pq's store does
     val books = (0 until pqM).map { sIdx =>
       val sub = emb.select(col("vec_id"),
@@ -284,7 +284,7 @@ class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map { case (vid, _, _) => clusters(vid) }.toSet.size <= 2)
     // every approx score is the ADC value of the vector's own codes:
     // retrain the sub-codebooks exactly as the store does and recompute
-    val (pqM, pqSub, pqK) = (4, 16, 8)
+    val (pqM, pqSub, pqK) = (8, 8, 16)
     val books = (0 until pqM).map { sIdx =>
       val sub = emb.select(col("vec_id"),
         slice(col("embedding"), sIdx * pqSub + 1, pqSub).as("embedding"))
