@@ -176,6 +176,15 @@ object GifCodec {
   private[graft] def encodeAnimated(sw: Int, sh: Int, bgIndex: Int,
                                     frames: Seq[AnimFrame]): Array[Byte] = {
     require(sw >= 1 && sh >= 1 && frames.nonEmpty, "empty animation")
+    // the descriptor fields are u16 — out-of-domain dims must refuse,
+    // never wrap into a lying header (the JPEG-encoder discipline)
+    require(sw <= 0xffff && sh <= 0xffff,
+      s"GIF logical screen ${sw}x$sh exceeds the u16 descriptor domain")
+    frames.foreach(f => require(
+      f.left >= 0 && f.top >= 0 && f.width >= 1 && f.height >= 1 &&
+        f.left + f.width <= sw && f.top + f.height <= sh,
+      s"GIF frame ${f.width}x${f.height} at (${f.left},${f.top}) " +
+        s"outside the ${sw}x$sh logical screen"))
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF89a".getBytes("US-ASCII"))
     out.write(sw & 0xff); out.write(sw >> 8)

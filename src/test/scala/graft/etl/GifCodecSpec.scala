@@ -282,6 +282,16 @@ class GifCodecSpec extends AnyFunSuite {
     val expect0 = Seq(65, 66, 67, 68, 69, 7).zipWithIndex.map {
       case (v, i) => (9L * (i + 1) - 3) * v }.sum
     assert(chk0 == expect0)
+
+    // out-of-domain dims refuse loudly — never a wrapped u16 header
+    assert(intercept[IllegalArgumentException](
+      GifCodec.encodeAnimated(1, 0x10000, 0,
+        Seq(AnimFrame(0, 0, 1, 1, Array[Byte](1)))))
+      .getMessage.contains("u16"))
+    assert(intercept[IllegalArgumentException](
+      GifCodec.encodeAnimated(4, 4, 0,
+        Seq(AnimFrame(3, 0, 2, 1, Array[Byte](1, 2)))))
+      .getMessage.contains("outside"))
   }
 
   test("corruption and hostile headers refuse loudly") {
