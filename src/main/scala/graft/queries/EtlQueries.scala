@@ -1407,6 +1407,7 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
     t("fed_sq8") { fedSq8Codes(s, dir) }
     t("kmeans") { kmeansCentroids(s, dir); kmeansAssignments(s, dir) }
     t("pq") { pqCentroids(s, dir); pqCodes(s, dir) }
+    t("ann_gt") { annGroundTruth(s, dir) }
     t("dedup_store") { incrDedupState(s, dir) }
     t("fed_dedup") { fedDocClusters(s, dir) }
     t("winnow") { winnowSelSet(s, dir) }
