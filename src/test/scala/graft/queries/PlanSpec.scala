@@ -77,6 +77,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan("q_ann_topk").contains("BroadcastExchange"))
   }
 
+  test("MRL prefix funnel broadcasts the query row; both tiers stay top-k") {
+    val p = plan("q_ann_mrl")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"the one-row query frame must broadcast, got:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "shortlist and rerank must compile to top-k, not global sorts")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing in the funnel may shuffle-join")
+  }
+
   test("hyperplane ANN broadcasts the query row and avoids cartesian products") {
     val p = plan("q_ann_ivf")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
