@@ -154,14 +154,23 @@ private[queries] trait EtlExportDefs { this: EtlQueries.type =>
       val srcMult = docs(s, dir).select(textKey.as("k"), col("source"))
         .join(g.select("k", "rid"), "k")
         .groupBy("rid", "source").agg(count(lit(1)).as("m"))
-      val tf = repWords.join(srcMult, "rid")
+      // srcMult is corpus-sided (one row per distinct content) — never
+      // broadcastable at scale, but per-partition it is narrow, so a
+      // SHUFFLED HASH join skips sorting the big word frame (guide
+      // §3.1); df rides tf as a WINDOW count over the word partition
+      // (= the old groupBy+join-back, bit-identically) so the tf
+      // subtree — the expensive corpus-factored aggregate — is planned
+      // and executed ONCE instead of twice (the join-back form
+      // duplicated it: 13 Exchanges → 6, 2 SortMergeJoins → 0).
+      val tf = repWords.join(srcMult.hint("shuffle_hash"), "rid")
         .groupBy("source", "word").agg(sum(col("m") * col("c")).as("tf"))
-      val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val dfW = Window.partitionBy("word")
       val ns = docs(s, dir).agg(countDistinct("source").cast("double").as("s"))
       val score = col("tf") * (col("s") - col("df")) / col("df")
       val rankW = Window.partitionBy("source")
         .orderBy(score.desc, col("word").asc)
-      tf.join(broadcast(df), "word").crossJoin(broadcast(ns))
+      tf.withColumn("df", count(lit(1)).over(dfW))
+        .crossJoin(broadcast(ns))
         .withColumn("score", score)
         .withColumn("rank", row_number().over(rankW).cast("long"))
         .filter(col("rank") <= 5)
@@ -198,7 +207,9 @@ private[queries] trait EtlExportDefs { this: EtlQueries.type =>
       val srcMult = docs(s, dir).select(textKey.as("k"), col("source"))
         .join(distinctGroups(s, dir).select("k", "rid"), "k")
         .groupBy("rid", "source").agg(count(lit(1)).as("m"))
-      repTriGrams(s, dir).join(srcMult, "rid")
+      // shuffled-hash on the narrow per-rep multiplicity side — never
+      // sort the corpus-factored trigram frame (guide §3.1)
+      repTriGrams(s, dir).join(srcMult.hint("shuffle_hash"), "rid")
         .groupBy("source")
         .agg(sum(col("m") * col("c")).as("n_grams"),
           countDistinct("gram").as("n_distinct"))
@@ -579,8 +590,14 @@ private[queries] trait EtlExportDefs { this: EtlQueries.type =>
         .select(col("doc_id"), col("n_tokens"),
           coalesce(when(col("doc_id") === col("rid"), col("nd_rep"))
             .otherwise(col("nd_all")), lit(0L)).as("n_dropped"),
-          coalesce(when(col("doc_id") === col("rid"), col("fp_rep"))
-            .otherwise(col("fp_all")), col("base_fp")).as("kept_fp"))
+          // fallback keyed on ROW PRESENCE (nd_all), not the fp: a doc
+          // fully covered by accepted spans has a variant row whose fp
+          // is NULL (the oracle's array_to_string([]) semantics) and
+          // that NULL must survive to the output
+          when(col("nd_all").isNotNull,
+            when(col("doc_id") === col("rid"), col("fp_rep"))
+              .otherwise(col("fp_all")))
+            .otherwise(col("base_fp")).as("kept_fp"))
         .orderBy("doc_id")
     },
 
@@ -647,7 +664,10 @@ private[queries] trait EtlExportDefs { this: EtlQueries.type =>
       // re-keyed by digest ([[perDistinctText]]).
       val words = repWordCounts(s, dir)
       val c = words.groupBy("word").agg(sum(col("nm") * col("c")).as("cnt"))
-      val tot = c.agg(sum("cnt").cast("double").as("tot"))
+      // Σ_word cnt ≡ Σ nm·c over the base frame (grouped integer sums
+      // re-associate exactly), so the scalar total skips the second
+      // vocabulary-wide groupBy the c-derived form re-ran per pass
+      val tot = words.agg(sum(col("nm") * col("c")).cast("double").as("tot"))
       val sif = c.crossJoin(broadcast(tot))
         .select(col("word"),
           round(col("tot") / col("cnt") * 1000000, 0).cast("long").as("sif"))

@@ -1085,10 +1085,14 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
            |    named_struct('nxt', x + 32, 'acc', array_append(s.acc, x)),
            |    s),
            |  s -> s.acc)""".stripMargin)
-      def keptFp(acc: String) =
-        md5(concat_ws(" ", expr(
+      // DuckDB's array_to_string over an EMPTY list is NULL (not ''):
+      // a doc fully covered by accepted spans fingerprints NULL
+      def keptFp(acc: String) = {
+        val kept = expr(
           s"filter(w, (x, j) -> NOT exists($acc," +
-            " a -> a <= j + 1 AND j + 1 < a + 32))")).cast("binary"))
+            " a -> a <= j + 1 AND j + 1 < a + 32))")
+        when(size(kept) > 0, md5(concat_ws(" ", kept).cast("binary")))
+      }
       hits.groupBy("k")
         .agg(sort_array(collect_list(col("i"))).as("all_i"),
           sort_array(collect_list(
@@ -1131,11 +1135,16 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
           count(lit(1)).cast("long").as("nd"))
       val toks = expr("filter(split(text, ' '), x -> length(x) > 0)")
       val base = g.select(col("k"), toks.as("w"))
+      // DuckDB's array_to_string over an EMPTY list is NULL (not ''),
+      // so a doc whose every line drops fingerprints NULL — mirror
+      // that exactly or the all-boilerplate edge diverges (it first
+      // occurs at sf0.001; sf0.01 never hits it)
+      val kept = expr(
+        s"filter(w, (x, j) -> NOT array_contains(di, j div $LineLen + 1))")
       drops.join(base, "k")
         .select(col("k"), col("source"), col("nd"),
-          md5(concat_ws(" ", expr(
-            s"filter(w, (x, j) -> NOT array_contains(di, j div $LineLen + 1))"))
-            .cast("binary")).as("fp_kept"))
+          when(size(kept) > 0,
+            md5(concat_ws(" ", kept).cast("binary"))).as("fp_kept"))
         .localCheckpoint()
     }
 

@@ -247,7 +247,12 @@ private[queries] trait EtlTextDefs { this: EtlQueries.type =>
         .join(lineVariants(s, dir), Seq("k", "source"), "left_outer")
         .select(col("doc_id"), col("n_lines"),
           coalesce(col("nd"), lit(0L)).as("n_dropped"),
-          coalesce(col("fp_kept"), col("base_fp")).as("kept_fp"))
+          // key the fallback on ROW PRESENCE (nd), not on fp_kept:
+          // an all-boilerplate doc has a variant row whose fp_kept is
+          // NULL by the oracle's array_to_string([]) semantics, and
+          // that NULL must survive to the output
+          when(col("nd").isNotNull, col("fp_kept"))
+            .otherwise(col("base_fp")).as("kept_fp"))
         .orderBy("doc_id")
     },
 
