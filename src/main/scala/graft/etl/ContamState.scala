@@ -147,6 +147,9 @@ final class ContamState(
       DedupState.keyPrefix(col("k")))),
     "postings" -> ((StructField("gp", IntegerType), gramBucket(col("g")))))
 
+  override protected def partitionFanout(name: String): Int =
+    if (name == "postings") ContamState.GramBuckets else 256
+
   // pruned index scans for the update path (StatePartitionSpec asserts
   // files-read ∝ touched partitions — the DedupState contract)
 

@@ -38,16 +38,11 @@ object DedupState {
   private[etl] def bandBucket(c: Column): Column =
     pmod(xxhash64(c), lit(BandBuckets)).cast("int")
 
-  /** Writes at or above this row count land physically partitioned;
-    * smaller deltas write ONE flat file carrying the partition column
-    * as data (the LSM shape: partitioned base, flat batch-sized
-    * deltas). Fanning a 500-row micro-batch delta into 256 near-empty
-    * partition dirs is the small-files failure mode — measured 4.5×
-    * on the 100× fresh-fold probe — while reading a flat batch-sized
-    * delta whole is ∝ batch by definition. The corpus-sized tables
-    * (init builds, compacted snapshots) cross the threshold and land
-    * partitioned, which is where pruning pays. */
-  private[etl] val PartitionMinRows = 8192L
+  // The partitioned-vs-flat write policy lives in
+  // [[VersionedStore.partitionCutoff]]: a write fans into partition
+  // dirs only when the average bucket holds a file's worth of rows
+  // (scale-adaptive — corpus-sized builds at production scale cross
+  // it, bench-scale fixtures stay flat in row-sized files).
 
   /** Per-update accounting — the spec's cost-proportionality evidence.
     * `nBandRows` is the number of signature rows COMPUTED this update:

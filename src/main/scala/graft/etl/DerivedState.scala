@@ -98,7 +98,7 @@ object DerivedState {
   *   root/v{N}/ARTDIGEST       md5 of the artifact rows (train/adopt),
   *                             the federation-merge compatibility key
   * }}}
-  * Keys follow the [[DedupState.PartitionMinRows]] rule: corpus-sized
+  * Keys follow the [[VersionedStore.partitionCutoff]] rule: corpus-sized
   * writes (train, compact) land partitioned for the pruned anti-join,
   * batch-sized deltas stay flat. Derived deltas are never probed by
   * updates (pure append), so they stay flat at any size. A crash
@@ -232,10 +232,14 @@ final class DerivedState(
       val target = store.resolve(s"v$next/keys").toString
       val withB = keyFrame.withColumn("kb", keyBucket(col(keyCol)))
       rememberSchema("keys", withB)
-      if (n >= DedupState.PartitionMinRows)
+      if (n >= partitionCutoff("keys"))
         withB.repartition(col("kb"))
           .write.mode("overwrite").partitionBy("kb").parquet(target)
-      else withB.coalesce(1).write.mode("overwrite").parquet(target)
+      else {
+        val k = flatFileCount("keys", n)
+        (if (k == 1) withB.coalesce(1) else withB.repartition(k, col("kb")))
+          .write.mode("overwrite").parquet(target)
+      }
     }
     n
   }
@@ -244,7 +248,11 @@ final class DerivedState(
                         n: Long): Long = {
     if (n > 0) {
       if (name == "derived") rememberSchema(name, df)
-      df.write.mode("overwrite")
+      // row-sized file count, never one-per-task (a 32-core fold would
+      // spray a bench-scale derived table across 32 near-empty files)
+      val k = flatFileCount(name, n)
+      (if (k == 1) df.coalesce(1) else df.repartition(k))
+        .write.mode("overwrite")
         .parquet(store.resolve(s"v$next/$name").toString)
     }
     n

@@ -664,6 +664,9 @@ final class FedContamState(
     "ftexts" -> ((StructField("kp", StringType), keyPrefix(col("k")))),
     "fposts" -> ((StructField("gp", IntegerType), gramBucket(col("g")))))
 
+  override protected def partitionFanout(name: String): Int =
+    if (name == "fposts") ContamState.GramBuckets else 256
+
   /** Distinct content keys absorbed federation-wide — (k, ver). */
   def fedKeys(upTo: Long = currentVersion): DataFrame =
     tableFrame("ftexts", TextsSchema, upTo)

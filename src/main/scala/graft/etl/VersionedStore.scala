@@ -43,6 +43,17 @@ import graft.storage.Store
   * exactly this file.
   */
 private[graft] object VersionedStore {
+  /** Target rows per FLAT output file: a sub-cutoff write lands as
+    * ceil(n / FlatFileRows) files instead of one-per-task (a 32-core
+    * fold otherwise sprays a 100k-row table across 32 near-empty
+    * files — the small-files failure mode, paid again by every
+    * reader's listing and footer pass). At ~50-100 B/row this sizes
+    * flat files in the tens-of-MB range, splittable by row group. */
+  private[etl] val FlatFileRows = 1L << 20
+
+  /** Default average rows per partition bucket below which a write
+    * stays FLAT (see [[VersionedStore.partitionCutoff]]). */
+  private[etl] val DefaultMinBucketRows = 8192L
   /** The ONE lenient parse of a CURRENT pointer's tokens — (current
     * version, read base, tail): base defaults to 1 for a
     * pre-base-format pointer ("cur" only). Exposed (spark-free) so
@@ -112,6 +123,35 @@ private[etl] abstract class VersionedStore(
     * scans prune to a batch's partitions); tables absent here write
     * flat. */
   protected def partitionField: Map[String, (StructField, Column)]
+
+  /** Distinct values the table's partition column can take (the hash
+    * modulus / prefix domain) — sizes [[partitionCutoff]]. */
+  protected def partitionFanout(name: String): Int = 256
+
+  /** Row count at which a table's write fans into partition DIRS: the
+    * dir layout pays for pruning only when the average bucket holds a
+    * file's worth of rows — below that, 256 near-empty dirs cost every
+    * reader a 256-file listing + footer pass for kilobytes of data
+    * (measured: the sf0.1 fed-winnow store held 3,256 files for 31 MB,
+    * and the store-read queries spent more time listing than
+    * computing). The cutoff DERIVES from the table's fanout × a
+    * per-bucket row floor instead of a flat constant, so the layout is
+    * scale-adaptive: corpus-sized builds at production scale cross it
+    * immediately, bench-scale fixtures stay flat (pruned readers
+    * filter the partition column as data identically — the contract
+    * StatePartitionSpec pins). The floor is conf-overridable
+    * (`graft.store.partitionMinBucketRows`) so layout tests exercise
+    * the partitioned regime without corpus-sized fixtures. */
+  protected final def partitionCutoff(name: String): Long =
+    spark.conf.get("graft.store.partitionMinBucketRows",
+      VersionedStore.DefaultMinBucketRows.toString).toLong *
+      partitionFanout(name)
+
+  /** ceil(n / FlatFileRows), capped at the fanout — the flat write's
+    * file count. */
+  protected final def flatFileCount(name: String, n: Long): Int =
+    math.min((n - 1) / VersionedStore.FlatFileRows + 1,
+      partitionFanout(name).toLong).toInt
 
   // concurrent: fold stages construct index-read PLANS (diskFrame →
   // manifest) on executor-context threads while the main thread does
@@ -218,29 +258,35 @@ private[etl] abstract class VersionedStore(
     }
   }
 
-  /** Write one table of version `next`: partitioned tables gain their
-    * partition column and repartition BY it first, so each partition
-    * dir lands as one file per delta instead of one per writing task.
-    * Writes at or below [[DedupState.PartitionMinRows]] land as ONE
-    * flat file carrying the partition column as data (the LSM shape:
-    * partitioned base, flat batch-sized deltas — fanning a 500-row
-    * micro-batch into 256 near-empty dirs is the small-files failure
-    * mode, measured 4.5× on the 100× fresh-fold probe; the pruned
+  /** Write one table of version `next`: writes past the table's
+    * [[partitionCutoff]] gain their partition column and repartition
+    * BY it first, so each partition dir lands as one file per delta
+    * instead of one per writing task. Smaller writes land FLAT in
+    * row-sized files ([[flatFileCount]]) carrying the partition column
+    * as data (the LSM shape: partitioned base, flat batch-sized
+    * deltas — fanning a 500-row micro-batch into 256 near-empty dirs
+    * is the small-files failure mode, measured 4.5× on the 100× fresh-
+    * fold probe and again on the sf0.1 store-read queries; the pruned
     * readers' filter applies to the data column identically). */
   protected final def writeTable(next: Long, name: String, df: DataFrame,
                                  n: Long): Long = {
     if (n > 0) {
       val target = store.resolve(s"v$next/$name").toString
+      def sized(d: DataFrame, key: Option[Column]): DataFrame = {
+        val k = flatFileCount(name, n)
+        if (k == 1) d.coalesce(1)
+        else key.map(d.repartition(k, _)).getOrElse(d.repartition(k))
+      }
       partitionField.get(name) match {
-        case Some((f, expr)) if n >= DedupState.PartitionMinRows =>
+        case Some((f, expr)) if n >= partitionCutoff(name) =>
           df.withColumn(f.name, expr)
             .repartition(col(f.name))
             .write.mode("overwrite").partitionBy(f.name).parquet(target)
         case Some((f, expr)) =>
-          df.withColumn(f.name, expr).coalesce(1)
+          sized(df.withColumn(f.name, expr), Some(col(f.name)))
             .write.mode("overwrite").parquet(target)
         case None =>
-          df.write.mode("overwrite").parquet(target)
+          sized(df, None).write.mode("overwrite").parquet(target)
       }
     }
     n

@@ -36,6 +36,10 @@ class StatePartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // exercise the partitioned regime without corpus-sized fixtures:
+      // 32 rows/bucket × 256 buckets = the spec corpus crosses the
+      // cutoff exactly as the old flat 8192-row threshold did
+      .config("graft.store.partitionMinBucketRows", "32")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
   }
@@ -80,9 +84,10 @@ class StatePartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
 
-  /** A corpus big enough to cross [[DedupState.PartitionMinRows]], so
-    * its init build lands physically partitioned (distinct synthetic
-    * texts: doc_id digest strings). */
+  /** A corpus big enough to cross [[VersionedStore.partitionCutoff]]
+    * at the spec's lowered per-bucket floor, so its init build lands
+    * physically partitioned (distinct synthetic texts: doc_id digest
+    * strings). */
   private def bigDocs(n: Long): DataFrame =
     spark.range(0, n).select(col("id").as("doc_id"),
       concat(md5(col("id").cast("string")),
@@ -98,7 +103,7 @@ class StatePartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("corpus-sized writes land partitioned; batch-sized deltas stay flat") {
     val root = tmpRoot("statepart-layout-")
     val st = new DedupState(spark, root.toString, prefixBands)
-    st.update(bigDocs(12000).localCheckpoint()) // > PartitionMinRows
+    st.update(bigDocs(12000).localCheckpoint()) // > partition cutoff
     st.update(bigDocs(12050).filter(col("doc_id") >= 12000)
       .localCheckpoint()) // 50-row delta
 
