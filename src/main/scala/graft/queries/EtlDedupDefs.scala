@@ -238,7 +238,7 @@ private[queries] trait EtlDedupDefs { this: EtlQueries.type =>
       // exactly or nearly. Co-partitioned equi-join, deliberately NOT
       // broadcast (too big at corpus scale).
       val csz = cl.groupBy("cluster").agg(count(lit(1)).as("csz"))
-      docs(s, dir).select(col("doc_id"), col("source"), textKey.as("k"))
+      docKeys(s, dir).select("doc_id", "source", "k")
         .join(cl, "doc_id")
         .join(csz, "cluster")
         .groupBy("source")

@@ -151,7 +151,7 @@ private[queries] trait EtlExportDefs { this: EtlQueries.type =>
       // explodes 1% of the rows.
       val g = distinctGroups(s, dir)
       val repWords = repWordCounts(s, dir).select("rid", "word", "c")
-      val srcMult = docs(s, dir).select(textKey.as("k"), col("source"))
+      val srcMult = docKeys(s, dir).select("k", "source")
         .join(g.select("k", "rid"), "k")
         .groupBy("rid", "source").agg(count(lit(1)).as("m"))
       // srcMult is corpus-sided (one row per distinct content) — never
@@ -204,7 +204,7 @@ private[queries] trait EtlExportDefs { this: EtlQueries.type =>
          |SELECT source, n_grams, n_distinct,
          |  CAST(n_distinct AS DOUBLE) / n_grams AS distinct_ratio
          |FROM agg ORDER BY source""".stripMargin) { (s, dir) =>
-      val srcMult = docs(s, dir).select(textKey.as("k"), col("source"))
+      val srcMult = docKeys(s, dir).select("k", "source")
         .join(distinctGroups(s, dir).select("k", "rid"), "k")
         .groupBy("rid", "source").agg(count(lit(1)).as("m"))
       // shuffled-hash on the narrow per-rep multiplicity side — never
@@ -583,7 +583,7 @@ private[queries] trait EtlExportDefs { this: EtlQueries.type =>
       // base fingerprints and removal variants are pure per corpus —
       // both memoized ([[keptBaseStats]], [[substringVariants]]), so
       // the per-run cost is these digest joins alone
-      docs(s, dir).select(col("doc_id"), textKey.as("k"))
+      docKeys(s, dir).select("doc_id", "k")
         .join(keptBaseStats(s, dir).select("k", "n_tokens", "base_fp"), "k")
         .join(distinctGroups(s, dir).select("k", "rid"), "k")
         .join(substringVariants(s, dir), Seq("k"), "left_outer")
@@ -718,8 +718,8 @@ private[queries] trait EtlExportDefs { this: EtlQueries.type =>
          |  CAST(SUM(m.r) // COUNT(*) AS BIGINT) AS avg_fp
          |FROM pos JOIN model m USING (g3)
          |GROUP BY pos.doc_id ORDER BY pos.doc_id""".stripMargin) { (s, dir) =>
-      docs(s, dir).filter(length(col("text")) >= 3)
-        .select(col("doc_id"), textKey.as("k"))
+      docKeys(s, dir).filter(col("len") >= 3)
+        .select("doc_id", "k")
         .join(lmScores(s, dir), "k")
         .select(col("doc_id"), col("n_pos"), col("lm_fp"),
           expr("lm_fp div n_pos").as("avg_fp"))

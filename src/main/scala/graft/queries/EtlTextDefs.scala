@@ -75,8 +75,8 @@ private[queries] trait EtlTextDefs { this: EtlQueries.type =>
       // fixture ([[langPredictions]]) — the corpus's language labels
       // are computed once and every downstream consumer (sampling,
       // mixing, this confusion matrix) reads them.
-      docs(s, dir).filter(length(col("text")) >= 3)
-        .select(col("doc_id"), col("lang"), textKey.as("k"))
+      docKeys(s, dir).filter(col("len") >= 3)
+        .select("doc_id", "lang", "k")
         .join(langPredictions(s, dir), Seq("k"), "left_outer")
         .groupBy(col("lang"), coalesce(col("pred"), lit("en")).as("pred"))
         .agg(count(lit(1)).as("cnt"))
@@ -242,7 +242,7 @@ private[queries] trait EtlTextDefs { this: EtlQueries.type =>
       // base fingerprints and removal variants are pure per corpus —
       // both memoized ([[keptBaseStats]], [[lineVariants]]), so the
       // per-run cost is these digest joins alone
-      docs(s, dir).select(col("doc_id"), textKey.as("k"), col("source"))
+      docKeys(s, dir).select("doc_id", "k", "source")
         .join(keptBaseStats(s, dir).select("k", "n_lines", "base_fp"), "k")
         .join(lineVariants(s, dir), Seq("k", "source"), "left_outer")
         .select(col("doc_id"), col("n_lines"),
