@@ -419,9 +419,7 @@ private[queries] trait EtlDedupDefs { this: EtlQueries.type =>
       // the round-13 form re-read and re-intersected a gram store per
       // invocation, a measured 2× regression.
       val st = incrDedupState(s, dir)
-      val members = st.members().select("doc_id", "k")
-        .join(st.seenKeys().select("k", "rid"), "k")
-        .select(col("rid"), col("doc_id").as("id"))
+      val members = storeMembers(s, dir)
       val repJac = st.livePairStats()
         .filter(col("jac_num") * 4 >= col("jac_den"))
       // identical texts: A = B, so J = 1 exactly — (n, n) per
@@ -933,6 +931,21 @@ private[queries] trait EtlDedupDefs { this: EtlQueries.type =>
     * lives in a temp dir for the session. Uses the SAME banding
     * ([[bandKeys]]) as the memoized one-shot pipeline, so components
     * match the oracle's. */
+  /** rep id → member doc_id map read from the PERSISTED dedup store
+    * (members ⨝ seenKeys) — memoized with materialization for the same
+    * reason as [[EtlQueries.groupMembers]]: the pair expansion reads
+    * it four times per execution. */
+  private[queries] lazy val storeMemberMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private[queries] def storeMembers(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo(storeMemberMemo, s, dir) {
+      val st = incrDedupState(s, dir)
+      st.members().select("doc_id", "k")
+        .join(st.seenKeys().select("k", "rid"), "k")
+        .select(col("rid"), col("doc_id").as("id"))
+        .localCheckpoint()
+    }
+
   private[queries] lazy val dedupStateMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       graft.etl.DedupState]

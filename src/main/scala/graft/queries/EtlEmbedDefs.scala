@@ -104,13 +104,11 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
       // the exchange; see the note above replacing embKey.
       import graft.functions.FixedPointOps.{exactCosine, fixedPointDot, fixedPointNormSq}
       val g = embGroups(s, dir)
-      val members = emb(s, dir).join(g, "embedding")
-        .select(col("rid"), col("vec_id").as("id"))
       val repPairs = embCosPairs(s, dir)
       val selfCos = g.select(col("rid"),
           exactCosine(col("embedding"), col("embedding")).as("cos"))
         .filter(col("cos") >= 0.2)
-      expandPairs(members, repPairs, selfCos).orderBy("a", "b")
+      expandPairs(embMembers(s, dir), repPairs, selfCos).orderBy("a", "b")
     },
 
     // The FEDERATED form of the pair report: the rep-level pairs come
@@ -125,12 +123,10 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
     "q_dedup_embcos_fed" -> QueryDef(embcosPairsOracleSql) { (s, dir) =>
       import graft.functions.FixedPointOps.exactCosine
       val g = embGroups(s, dir)
-      val members = emb(s, dir).join(g, "embedding")
-        .select(col("rid"), col("vec_id").as("id"))
       val selfCos = g.select(col("rid"),
           exactCosine(col("embedding"), col("embedding")).as("cos"))
         .filter(col("cos") >= 0.2)
-      expandPairs(members, fedEmbCosPairs(s, dir), selfCos)
+      expandPairs(embMembers(s, dir), fedEmbCosPairs(s, dir), selfCos)
         .orderBy("a", "b")
     },
 
@@ -753,6 +749,19 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
   /** Distinct-embedding groups — (embedding, rid = min vec_id, n) —
     * the embedding analog of [[distinctGroups]], memoized per fixture
     * and read by both cosine-dedup forms. */
+  /** rep id → member vec_id map over the embedding groups — memoized
+    * with materialization for the same reason as
+    * [[EtlQueries.groupMembers]]: [[EtlQueries.expandPairs]] reads it
+    * four times per execution. */
+  private[queries] lazy val embMemberMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private[queries] def embMembers(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo(embMemberMemo, s, dir) {
+      emb(s, dir).join(embGroups(s, dir), "embedding")
+        .select(col("rid"), col("vec_id").as("id"))
+        .localCheckpoint()
+    }
+
   private[queries] lazy val embGroupMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private[queries] def embGroups(s: SparkSession, dir: String): DataFrame =

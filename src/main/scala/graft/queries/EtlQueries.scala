@@ -210,11 +210,13 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
   private[queries] def expandPairs(members: DataFrame, repPairs: DataFrame,
                           intraCarry: DataFrame): DataFrame = {
     // members is corpus-sized but narrow (two 8-byte ids/row) and is
-    // consumed FOUR times below (both cross sides + both intra sides);
-    // each consumer would otherwise re-run the scan → digest → distinct
-    // group → join pipeline that produced it. Materialize once
-    // (spillable), like the candidate waist of the callers.
-    val m = members.localCheckpoint()
+    // consumed FOUR times below (both cross sides + both intra sides).
+    // Callers pass the MEMOIZED membership frames ([[groupMembers]],
+    // [[EtlEmbedDefs.embMembers]], the store-members memo), so the
+    // one-time materialization happens with the other memo frames —
+    // the per-run localCheckpoint that used to live here re-wrote the
+    // frame to local disk on every execution.
+    val m = members
     val carry = repPairs.columns.toSeq.filterNot(Set("a", "b"))
     val cross = repPairs
       .join(m.select(col("rid").as("a"), col("id").as("xa")), "a")
@@ -634,13 +636,20 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
         .localCheckpoint()
     }
 
-  /** rep id → member doc_id map over the distinct groups (NOT
-    * memoized: two narrow joins over the memoized frames — cheap, and
-    * corpus-sized rows are better re-streamed than pinned). */
+  /** rep id → member doc_id map over the distinct groups — memoized
+    * WITH materialization: [[expandPairs]] consumes it four times per
+    * execution (both cross sides + both intra sides), so the map is
+    * checkpointed once with the other memo frames instead of per run
+    * (narrow: two 8-byte ids/row, bounded by the corpus row count). */
+  private[queries] val groupMemberMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private[queries] def groupMembers(s: SparkSession, dir: String): DataFrame =
-    docKeys(s, dir).select("doc_id", "k")
-      .join(distinctGroups(s, dir).select("rid", "k"), "k")
-      .select(col("rid"), col("doc_id").as("id"))
+    fixtureMemo(groupMemberMemo, s, dir) {
+      docKeys(s, dir).select("doc_id", "k")
+        .join(distinctGroups(s, dir).select("rid", "k"), "k")
+        .select(col("rid"), col("doc_id").as("id"))
+        .localCheckpoint()
+    }
 
   /** The banded MinHash candidate graph over the distinct-text reps —
     * (a, b) pairs of rep ids — memoized per (session, fixture) like
@@ -1422,7 +1431,8 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
       f
       out += name -> (System.nanoTime() - t0) / 1e9
     }
-    t("groups") { distinctGroups(s, dir); docKeys(s, dir) }
+    t("groups") { distinctGroups(s, dir); docKeys(s, dir)
+      groupMembers(s, dir) }
     t("minhash") { repSignatures(s, dir); corpusBandPairs(s, dir)
       dedupClusters(s, dir); repBandKeys(s, dir)
       minhashAccShingles(s, dir) }
@@ -1432,13 +1442,13 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
       contamProbeFrame(s, dir, contamPostings(s, dir), "single") }
     t("ngrams") { inParallel(repTriGrams(s, dir), repWordCounts(s, dir)) }
     t("embed") { embGroups(s, dir); embedState(s, dir)
-      embCosPairs(s, dir); embClusters(s, dir) }
+      embCosPairs(s, dir); embClusters(s, dir); embMembers(s, dir) }
     t("sq8") { sq8Codes(s, dir) }
     t("fed_sq8") { fedSq8Codes(s, dir) }
     t("kmeans") { kmeansCentroids(s, dir); kmeansAssignments(s, dir) }
     t("pq") { pqCentroids(s, dir); pqCodes(s, dir) }
     t("ann_gt") { annGroundTruth(s, dir); pqAdcRanks(s, dir) }
-    t("dedup_store") { incrDedupState(s, dir) }
+    t("dedup_store") { incrDedupState(s, dir); storeMembers(s, dir) }
     t("fed_dedup") { fedDocClusters(s, dir) }
     t("winnow") { winnowSelSet(s, dir) }
     t("winnow_pairs") { winnowPairState(s, dir) }
