@@ -306,12 +306,17 @@ object BtrdbQueries {
          |FULL JOIN s1 ON s0.time = s1.time
          |FULL JOIN s2 ON COALESCE(s0.time, s1.time) = s2.time
          |ORDER BY time""".stripMargin) { (s, dir) =>
-      val p = Tables.timeSlice(Tables.points(s, dir), week1, week1 + 3 * DayNs)
+      // the chained full-outer joins are a PIVOT: one row per time
+      // present in ANY of the three sids, with that sid's MAX(value)
+      // or null — identical rows from ONE scan + one aggregate instead
+      // of three scan+aggregate subtrees and two full-outer
+      // SortMergeJoins (8 Exchanges → 2, 3 scans → 1)
+      Tables.timeSlice(Tables.points(s, dir), week1, week1 + 3 * DayNs)
         .filter(col("sid") < 3)
-        .groupBy("sid", "time").agg(max("value").as("v"))
-      val frames = (0 to 2).map(i =>
-        p.filter(col("sid") === i).select(col("time"), col("v").as(s"v$i")))
-      frames.reduce(_.join(_, Seq("time"), "full_outer")).orderBy("time")
+        .groupBy("time").pivot("sid", Seq(0, 1, 2)).agg(max("value"))
+        .select(col("time"), col("0").as("v0"), col("1").as("v1"),
+          col("2").as("v2"))
+        .orderBy("time")
     },
 
     // A1/A2 — stat pyramid: rollup at pw=38 combined up to pw=44; the
