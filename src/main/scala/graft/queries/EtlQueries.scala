@@ -1377,9 +1377,13 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
     def probeSide(df: DataFrame): DataFrame =
       if (smallProbe) broadcast(df)
       else df
-    val corpusGrams = kGrams
-      .join(corpusM.select(col("kc").as("k")).distinct(), Seq("k"), "left_semi")
-      .withColumnRenamed("k", "kc")
+    // No corpus-side pre-filter: restricting the postings to corpus
+    // contents cost a full shuffle of the index by k plus a distinct
+    // over the corpus keys, to drop only the probe-side contents
+    // (1/97 of the corpus) — rows the final inner join with corpusM
+    // drops anyway. The gram join feeds straight off the materialized
+    // postings with no exchange; identical output.
+    val corpusGrams = kGrams.withColumnRenamed("k", "kc")
     val np = probeGrams.groupBy("kp").agg(count(lit(1)).as("np"))
     val hitsK = corpusGrams.join(probeSide(probeGrams), "g")
       .groupBy("kc", "kp").agg(count(lit(1)).as("shared"))
