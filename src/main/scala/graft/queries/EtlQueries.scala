@@ -218,8 +218,13 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
     // frame to local disk on every execution.
     val m = members
     val carry = repPairs.columns.toSeq.filterNot(Set("a", "b"))
-    val cross = repPairs
+    // shuffled-hash on the pair side: the members map is the big side
+    // of every equi-join here and never needs sorting (guide §3.1 —
+    // the planner's sort-merge default sorted the corpus-wide map
+    // twice per expansion)
+    val cross = repPairs.hint("shuffle_hash")
       .join(m.select(col("rid").as("a"), col("id").as("xa")), "a")
+      .hint("shuffle_hash")
       .join(m.select(col("rid").as("b"), col("id").as("xb")), "b")
       .select(least(col("xa"), col("xb")).as("a") +:
         greatest(col("xa"), col("xb")).as("b") +: carry.map(col): _*)
@@ -227,7 +232,8 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
       .select(col("rid") +: col("id").as("a") +: carry.map(col): _*)
     val eb = m.join(intraCarry.select("rid"), Seq("rid"), "left_semi")
       .select(col("rid"), col("id").as("b"))
-    val intra = ea.join(eb, "rid").filter(col("a") < col("b"))
+    val intra = ea.join(eb.hint("shuffle_hash"), "rid")
+      .filter(col("a") < col("b"))
       .select(("a" +: "b" +: carry).map(col): _*)
     cross.unionByName(intra)
   }
