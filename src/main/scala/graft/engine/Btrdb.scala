@@ -1939,23 +1939,31 @@ class Btrdb(val spark: SparkSession, val root: String,
           .agg(count(lit(1)).as("hc"))
       }).flatten
     val hist = parts.reduce(_ unionByName _)
-    val totals = hist.groupBy("sid", "wstart")
-      .agg(sum("hc").as("ntot"),
-        coalesce(sum(when(col("c").isNull, col("hc"))), lit(0L)).as("nbad"))
-    val cum = hist.filter(col("c").isNotNull)
-      .withColumn("cum", sum("hc").over(
-        Window.partitionBy("sid", "wstart").orderBy("c")))
+    // ONE pass over the histogram: totals and the cumulative rank ride
+    // two windows over the SAME (sid, wstart) partitioning (one
+    // exchange, one sort), and the final rank probe is a groupBy on
+    // keys the rows already cluster by. The join form recomputed the
+    // hist subtree three times — three qhist scans per member per run.
+    // Null-c rows (off-grid values) sort first and contribute nothing
+    // to the cumulative sum, so ranks are over on-grid rows exactly as
+    // the filtered form; a window whose every value is off-grid
+    // surfaces with NULL quantiles, as before.
+    val wAll = Window.partitionBy("sid", "wstart")
+    val wCum = wAll.orderBy(col("c").asc_nulls_first)
+    val h = hist
+      .withColumn("ntot", sum("hc").over(wAll))
+      .withColumn("nbad",
+        coalesce(sum(when(col("c").isNull, col("hc"))).over(wAll), lit(0L)))
+      .withColumn("cum",
+        sum(when(col("c").isNotNull, col("hc"))).over(wCum))
     def atRank(r: Column): Column =
-      max(when(col("cum") - col("hc") < r && r <= col("cum"), col("c")))
-    val ranked = cum.join(totals, Seq("sid", "wstart"))
-      .groupBy("sid", "wstart")
-      .agg(atRank(expr("(ntot + 1) div 2")).as("c1"),
+      max(when(col("c").isNotNull &&
+        col("cum") - col("hc") < r && r <= col("cum"), col("c")))
+    h.groupBy("sid", "wstart")
+      .agg(max("ntot").as("ntot"), max("nbad").as("nbad"),
+        atRank(expr("(ntot + 1) div 2")).as("c1"),
         atRank(expr("(ntot + 2) div 2")).as("c2"),
         atRank(expr("(19 * ntot + 19) div 20")).as("c95"))
-    // left join: a window whose every value is off-grid has no ranked
-    // rows but must still surface (with NULL quantiles), like any
-    // other non-empty window
-    totals.join(ranked, Seq("sid", "wstart"), "left_outer")
       .select(col("sid"), col("wstart"), col("ntot").as("cnt"),
         when(col("nbad") === 0, (col("c1") + col("c2")) / lit(200.0)).as("p50"),
         when(col("nbad") === 0, col("c95") / lit(100.0)).as("p95"))
