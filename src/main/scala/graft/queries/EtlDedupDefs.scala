@@ -684,7 +684,7 @@ private[queries] trait EtlDedupDefs { this: EtlQueries.type =>
       winnowState(s, dir).derived()
         .join(distinctGroups(s, dir).select("k", "rid"), "k")
         .select(col("rid").as("doc_id"), col("sel"))
-        .localCheckpoint()
+        .memoCheckpoint()
     }
 
 
@@ -716,7 +716,7 @@ private[queries] trait EtlDedupDefs { this: EtlQueries.type =>
           b.update(d.filter(col("doc_id") % 2 === 1)))
         fed.fold()
       }
-      fed.docClusters().localCheckpoint()
+      fed.docClusters().memoCheckpoint()
     }
 
   /** Plan-guardrail probe ([[graft.queries.PlanSpec]]): the banding
@@ -756,7 +756,7 @@ private[queries] trait EtlDedupDefs { this: EtlQueries.type =>
       min((col("h1") * a + col("h2") * b + c) % LaneP).as(s"l$i")
     }
     hs.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint()
+      .memoCheckpoint()
   }
 
   /** Band → bucket self-join over a signature matrix. */
@@ -817,7 +817,7 @@ private[queries] trait EtlDedupDefs { this: EtlQueries.type =>
         .join(distinctGroups(s, dir).select(col("rid").as("doc_id"),
           col("k")), "doc_id")
         .select("k", "bkey")
-        .localCheckpoint()
+        .memoCheckpoint()
     }
 
   /** Content-keyed lookup banding for fixture stores: joins the batch's
@@ -918,7 +918,7 @@ private[queries] trait EtlDedupDefs { this: EtlQueries.type =>
         .select(col("id").as("doc_id"),
           coalesce(col("cluster"), col("rid")).as("cluster"))
         // corpus-sized but two longs per row; every consumer reads it
-        .localCheckpoint()
+        .memoCheckpoint()
     }
 
   /** The PERSISTED incremental dedup state for the fixture's
@@ -943,7 +943,7 @@ private[queries] trait EtlDedupDefs { this: EtlQueries.type =>
       st.members().select("doc_id", "k")
         .join(st.seenKeys().select("k", "rid"), "k")
         .select(col("rid"), col("doc_id").as("id"))
-        .localCheckpoint()
+        .memoCheckpoint()
     }
 
   private[queries] lazy val dedupStateMemo =

@@ -759,7 +759,7 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
     fixtureMemo(embMemberMemo, s, dir) {
       emb(s, dir).join(embGroups(s, dir), "embedding")
         .select(col("rid"), col("vec_id").as("id"))
-        .localCheckpoint()
+        .memoCheckpoint()
     }
 
   private[queries] lazy val embGroupMemo =
@@ -768,7 +768,7 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
     fixtureMemo(embGroupMemo, s, dir) {
       emb(s, dir).groupBy("embedding")
         .agg(min("vec_id").as("rid"), count(lit(1)).as("n"))
-        .localCheckpoint()
+        .memoCheckpoint()
     }
 
   /** Hyperplane band keys over (doc_id, text = ARRAY<FLOAT>) — bkey =
@@ -903,7 +903,7 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private[queries] def fedEmbClusters(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(fedEmbClustersMemo, s, dir) {
-      fedEmbStore(s, dir).docClusters().localCheckpoint()
+      fedEmbStore(s, dir).docClusters().memoCheckpoint()
     }
 
   /** FEDERATED embedding near-dup PAIR REPORT — (a, b, cos) in
@@ -919,7 +919,7 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
     fixtureMemo(fedEmbPairsMemo, s, dir) {
       fedEmbStore(s, dir).pairReport()
         .select(col("a"), col("b"), storedCos.as("cos"))
-        .localCheckpoint()
+        .memoCheckpoint()
     }
 
   /** The banded-hyperplane candidate graph over the distinct-embedding
@@ -942,7 +942,7 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
         .join(sz.select(col("rid").as("a"), col("n").as("na")), "a")
         .join(sz.select(col("rid").as("b"), col("n").as("nb")), "b")
         .select(col("a"), col("b"), storedCos.as("cos"))
-        .localCheckpoint()
+        .memoCheckpoint()
     }
 
   /** The CONVERGED embedding cluster assignment — (vec_id, cluster)
@@ -967,7 +967,7 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
       embedState(s, dir).docClusters()
         .select(col("doc_id").as("vec_id"), col("cluster"))
         // corpus-sized but two longs per row; every consumer reads it
-        .localCheckpoint()
+        .memoCheckpoint()
     }
 
   /** Symmetric-int8 quantized codes of the fixture's embeddings —
@@ -1012,7 +1012,7 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
     }
   private[queries] def sq8Codes(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(sq8Memo, s, dir) {
-      sq8State(s, dir).derived().localCheckpoint()
+      sq8State(s, dir).derived().memoCheckpoint()
     }
 
   /** FEDERATED SQ8 codes: two member stores (vec_id-parity split) under
@@ -1041,7 +1041,7 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
           a.update(e.filter(col("vec_id") % 2 === 0)),
           b.update(e.filter(col("vec_id") % 2 === 1)))
       }
-      graft.etl.DerivedState.federatedDerived(Seq(a, b)).localCheckpoint()
+      graft.etl.DerivedState.federatedDerived(Seq(a, b)).memoCheckpoint()
     }
 
   /** Trained spherical-k-means artifacts of the fixture's embeddings —
@@ -1100,7 +1100,7 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
   private[queries] def kmeansAssignments(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(kmAssignMemo, s, dir) {
       // two longs per row; read by SemDeDup and every IVF probe
-      kmState(s, dir).derived().localCheckpoint()
+      kmState(s, dir).derived().memoCheckpoint()
     }
 
   /** DuckDB mirror of the two fixed Lloyd passes ([[kmeansCentroids]]):
@@ -1171,7 +1171,7 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
           Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
         .filter(col("rn") <= RecallK)
         .select("qid", "vec_id")
-        .localCheckpoint()
+        .memoCheckpoint()
     }
 
   /** ADC ranking of the whole corpus per probe query — (qid, vec_id,
@@ -1218,7 +1218,7 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
         .withColumn("arn", row_number().over(
           Window.partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))))
         .select("qid", "vec_id", "arn")
-        .localCheckpoint()
+        .memoCheckpoint()
     }
 
   /** Sub-vector of the `sIdx`-th product-quantization sub-space
@@ -1294,7 +1294,7 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
     * a 100 TB ANN serves from: m·log₂k bits a vector. */
   private[queries] def pqCodes(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(pqCodeMemo, s, dir) {
-      pqState(s, dir).derived().localCheckpoint()
+      pqState(s, dir).derived().memoCheckpoint()
     }
 
   /** DuckDB mirror of the PQ training + coding

@@ -238,6 +238,32 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
     cross.unionByName(intra)
   }
 
+  /** [[DataFrame.localCheckpoint]] for memo frames + partition-count
+    * hygiene: a union/distinct-shaped build freezes its final stage's
+    * shuffle-partition fan-out into the cached RDD (AQE does not
+    * coalesce the RDD-materialization path), so every downstream stage
+    * of every consumer pays a task per near-empty partition per
+    * execution — the fed contamination postings pinned 32 partitions
+    * of ~4k rows while the single-store build held 2, and the fed form
+    * ran 3× slower on an identical plan. The checkpoint is returned
+    * coalesced to ~MemoPartRows rows/partition (a narrow read of the
+    * cached blocks, no second materialization); at production scale
+    * rows/MemoPartRows exceeds the fan-out and the coalesce is a
+    * no-op. */
+  private[queries] val MemoPartRows = 250000L
+  private[queries] implicit class MemoFrame(private val df: DataFrame) {
+    def memoCheckpoint(): DataFrame = {
+      val cp = df.localCheckpoint()
+      val parts = cp.rdd.getNumPartitions
+      if (parts <= 4) cp
+      else {
+        val target = math.min(parts.toLong,
+          cp.count() / MemoPartRows + 1).toInt
+        if (parts > target * 2) cp.coalesce(target) else cp
+      }
+    }
+  }
+
   /** 128-bit content digest used as THE distinct-content shuffle key:
     * the distinct-group and re-key joins move a 16-byte digest instead
     * of the full ~2 KB text as the join KEY (the text crosses the wire
@@ -621,7 +647,7 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
         .groupBy("k")
         .agg(min("doc_id").as("rid"), count(lit(1)).as("nm"),
           min("text").as("text"))
-        .localCheckpoint()
+        .memoCheckpoint()
     }
 
   /** The per-doc content-key map — (doc_id, k, source, lang) — the
@@ -639,7 +665,7 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
       docs(s, dir)
         .select(col("doc_id"), textKey.as("k"), col("source"), col("lang"),
           length(col("text")).as("len"))
-        .localCheckpoint()
+        .memoCheckpoint()
     }
 
   /** rep id → member doc_id map over the distinct groups — memoized
@@ -654,7 +680,7 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
       docKeys(s, dir).select("doc_id", "k")
         .join(distinctGroups(s, dir).select("rid", "k"), "k")
         .select(col("rid"), col("doc_id").as("id"))
-        .localCheckpoint()
+        .memoCheckpoint()
     }
 
   /** The banded MinHash candidate graph over the distinct-text reps —
@@ -671,7 +697,7 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
   private[queries] def corpusBandPairs(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(bandPairsMemo, s, dir) {
       bandPairsFromSignatures(repSignatures(s, dir))
-        .localCheckpoint()
+        .memoCheckpoint()
     }
 
   /** The PERSISTED 16-lane MinHash signature store: (k, l0..l15) per
@@ -701,7 +727,7 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
       sigState(s, dir).derived()
         .join(distinctGroups(s, dir).select("k", "rid"), "k")
         .select(col("rid").as("doc_id") +: lanes: _*)
-        .localCheckpoint()
+        .memoCheckpoint()
     }
 
   /** Per-distinct-text language prediction — (k, pred) — Cavnar-
@@ -758,7 +784,7 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
     }
   private[queries] def langPredictions(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(langPredMemo, s, dir) {
-      langPredState(s, dir).derived().localCheckpoint()
+      langPredState(s, dir).derived().memoCheckpoint()
     }
 
   // --- character-trigram LM quality score (CCNet-shaped) --------------
@@ -843,7 +869,7 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
     }
   private[queries] def lmScores(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(lmScoreMemo, s, dir) {
-      lmScoreState(s, dir).derived().localCheckpoint()
+      lmScoreState(s, dir).derived().memoCheckpoint()
     }
 
   /** Rare-8-gram postings per distinct text — (k, g), document-
@@ -899,7 +925,7 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
     * (ContamStateSpec). */
   private[queries] def contamPostings(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(contamPostingsMemo, s, dir) {
-      incrContamState(s, dir).livePostings().localCheckpoint()
+      incrContamState(s, dir).livePostings().memoCheckpoint()
     }
 
   /** Sources × rare-gram vocabulary — the per-corpus frame the overlap
@@ -917,7 +943,7 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
       contamPostings(s, dir)
         .join(docKeys(s, dir).select("k", "source").distinct(), "k")
         .select("source", "g").distinct()
-        .localCheckpoint()
+        .memoCheckpoint()
     }
 
   /** Word-trigram counts per distinct text — (rid, gram, c) — the
@@ -953,7 +979,7 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
       triGramState(s, dir).derived()
         .join(distinctGroups(s, dir).select("k", "rid"), "k")
         .select("rid", "gram", "c")
-        .localCheckpoint()
+        .memoCheckpoint()
     }
 
   /** Candidate-rep shingle frame of the MinHash accuracy report
@@ -977,7 +1003,7 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
       shinglesOf(distinctGroups(s, dir)
           .select(col("rid").as("doc_id"), col("text"))
           .join(needed, Seq("doc_id"), "left_semi"))
-        .localCheckpoint()
+        .memoCheckpoint()
     }
 
   /** The PERSISTED 32-token span-hash store: (k, h, c) per distinct
@@ -1071,7 +1097,7 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
             .otherwise(expr(s"(size(w) - 1) div $LineLen + 1").cast("long"))
             .as("n_lines"),
           md5(concat_ws(" ", col("w")).cast("binary")).as("base_fp"))
-        .localCheckpoint()
+        .memoCheckpoint()
     }
 
   /** Removal variants of the exact-substring strip per AFFECTED
@@ -1137,7 +1163,7 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
           keptFp("all_acc").as("fp_all"),
           (size(col("rep_acc")) * 32).cast("long").as("nd_rep"),
           keptFp("rep_acc").as("fp_rep"))
-        .localCheckpoint()
+        .memoCheckpoint()
     }
 
   /** Removal variants of the line-level boilerplate dedup per affected
@@ -1176,7 +1202,7 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
         .select(col("k"), col("source"), col("nd"),
           when(size(kept) > 0,
             md5(concat_ws(" ", kept).cast("binary"))).as("fp_kept"))
-        .localCheckpoint()
+        .memoCheckpoint()
     }
 
   /** Per-distinct-text word counts — (rid, nm, word, c) — the unigram
@@ -1208,7 +1234,7 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
       wordState(s, dir).derived()
         .join(distinctGroups(s, dir).select("k", "rid", "nm"), "k")
         .select("rid", "nm", "word", "c")
-        .localCheckpoint()
+        .memoCheckpoint()
     }
 
   /** Merge rounds of the BPE APPLY step (`q_bpe_apply`): enough to
@@ -1258,7 +1284,7 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
       var seg = c.select(col("word"), col("cnt"),
         concat(lit(S), concat_ws(S + S,
           expr("filter(split(word, ''), x -> x != '')")), lit(S)).as("seg"))
-        .localCheckpoint()
+        .memoCheckpoint()
       for (_ <- 1 to BpeApplyRounds) {
         val top = seg
           .select(col("cnt"),
@@ -1277,7 +1303,7 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
             org.apache.spark.sql.functions.replace(col("seg"),
               lit(S + p.replace(S, S + S) + S),
               lit(S + p.replace(S, "") + S)))
-            .localCheckpoint()
+            .memoCheckpoint()
         }
       }
       val syms = seg.select(col("word"),
@@ -1292,7 +1318,7 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
           expr("concat_ws(' ', transform(" +
             "array_sort(collect_list(struct(i, id)))," +
             " x -> cast(x.id as string)))").as("id_str"))
-        .localCheckpoint()
+        .memoCheckpoint()
     }
 
   /** Force every per-(session, fixture) memo — the corpus-derived index
@@ -1354,7 +1380,7 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
       val pg = kGrams
         .join(probeKeys, Seq("k"), "left_semi")
         .withColumnRenamed("k", "kp")
-        .localCheckpoint()
+        .memoCheckpoint()
       (pg, pg.count() <= ContamBroadcastMaxPostings)
     }
 
@@ -1425,7 +1451,7 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
           b.update(d.filter(col("doc_id") % 2 === 1)))
         fed.fold()
       }
-      fed.livePostings().localCheckpoint()
+      fed.livePostings().memoCheckpoint()
     }
 
   /** Build every fixture memo / persisted store, returning per-family
