@@ -662,9 +662,15 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private[queries] def docKeys(s: SparkSession, dir: String): DataFrame =
     fixtureMemo(docKeyMemo, s, dir) {
-      docs(s, dir)
-        .select(col("doc_id"), textKey.as("k"), col("source"), col("lang"),
-          length(col("text")).as("len"))
+      val d = docs(s, dir)
+      // synthetic spec corpora may omit the optional columns; a real
+      // corpus always carries them (null-padded here so every consumer
+      // sees one schema)
+      def opt(c: String): Column =
+        if (d.columns.contains(c)) col(c)
+        else lit(null).cast("string").as(c)
+      d.select(col("doc_id"), textKey.as("k"), opt("source").as("source"),
+          opt("lang").as("lang"), length(col("text")).as("len"))
         .memoCheckpoint()
     }
 
