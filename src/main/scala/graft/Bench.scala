@@ -80,6 +80,13 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    // settle AGAIN after warmup: a fresh-store run carries GC debt and
+    // context-cleaner churn out of the build phase into pass 1, and the
+    // pass-major median then splits the decay (a fresh-build run
+    // measured 28% slower than an identical store-reuse run at equal
+    // loadavg). Same discipline as the post-fixture settle.
+    System.gc()
+    Thread.sleep(1000)
 
     // ---- phase 3: timed — median of 3 PASS-MAJOR sweeps ----
     // Pass-major (sweep all queries, three times) rather than
