@@ -148,6 +148,11 @@ object Bench {
     def ms(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f",
         Double.box(v))
+    // fresh-vs-reuse stamp (round-20 verdict): memo_build for a run
+    // that reopened completed store roots is not comparable to one
+    // that rebuilt them — the artifact carries which happened.
+    val reused = graft.queries.EtlQueries.storesReused.get
+    val built = graft.queries.EtlQueries.storesBuilt.get
     def render(num: Double => String, fullPath: Option[String],
                withMemoParts: Boolean): String = {
       val qs = results.map { case (k, v, _) => jstr(k) + ":" + num(v) }
@@ -168,7 +173,35 @@ object Bench {
         s""""spark_master":${jstr(spark.sparkContext.master)},""" +
         s""""loadavg_start":${num(loadStart)},"loadavg_end":${num(loadEnd)},""" +
         s""""max_load":${num(maxLoad)},"degraded":$degraded,""" +
+        s""""store_reuse":${reused > 0},""" +
+        s""""stores_reused":$reused,"stores_built":$built,""" +
         s""""queries":$qs,"errors":$errs,"sf":"$sfDir"""" +
+        fullPath.map(p => s""","full":${jstr(p)}""")
+          .getOrElse(""","full":null""") + "}"
+    }
+    // COMPACT SUMMARY LINE (printed LAST): the full line above is
+    // ~3 KB with 109 per-query timings, and the driver keeps only the
+    // last ~2000 characters of the output — since BENCH_r17 the full
+    // line's HEAD has been cut and the driver's automated per-query
+    // comparison has parsed nothing. This line carries every headline
+    // field but NO per-query map (≤ ~400 B), so the bounded tail
+    // always ends with one whole parseable JSON object; the per-query
+    // map rides in the `full` file whose path is in both lines. The
+    // full line still prints, unchanged, for human readers and for
+    // any consumer that captures complete output.
+    def compact(fullPath: Option[String]): String = {
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val nErr = results.count(_._3.nonEmpty) +
+        fixtureErr.size + memoErr.size
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+        s""""memo_build":${ms(memoSec)},"passes":3,""" +
+        s""""n_queries":${results.size},"n_errors":$nErr,""" +
+        s""""spark_master":${jstr(spark.sparkContext.master)},""" +
+        s""""loadavg_start":${ms(loadStart)},"loadavg_end":${ms(loadEnd)},""" +
+        s""""max_load":${ms(maxLoad)},"degraded":$degraded,""" +
+        s""""store_reuse":${reused > 0},""" +
+        s""""stores_reused":$reused,"stores_built":$built,""" +
+        s""""sf":"$sfDir"""" +
         fullPath.map(p => s""","full":${jstr(p)}""")
           .getOrElse(""","full":null""") + "}"
     }
@@ -213,6 +246,7 @@ object Bench {
     // precision and memo_parts elided (they are in the repo file) keep
     // the line comfortably inside the window.
     println(render(ms, fullPath, withMemoParts = false))
+    println(compact(fullPath))
     spark.stop()
   }
 }

