@@ -1904,7 +1904,18 @@ class Btrdb(val spark: SparkSession, val root: String,
     * any off-cents-grid value (NULL `c` rows) serve NULL quantiles
     * rather than wrong ones. */
   def quantileWindowsBulk(uuids: Seq[String], start: Long, end: Long,
-                          pw: Int): DataFrame = {
+                          pw: Int): DataFrame =
+    Btrdb.quantileFinish(quantileHistogram(uuids, start, end, pw))
+
+  /** The per-window cents HISTOGRAM behind [[quantileWindowsBulk]] —
+    * (sid, wstart, c, hc) — separable so a federation can union its
+    * members' histograms and run [[Btrdb.quantileFinish]]'s window
+    * pass ONCE over the union: member stream ownership is disjoint, so
+    * a (sid, wstart) group never straddles members and finishing the
+    * union is row-identical to unioning finished members — minus one
+    * full window/sort/aggregate pass per member (guide §2.4). */
+  def quantileHistogram(uuids: Seq[String], start: Long, end: Long,
+                        pw: Int): DataFrame = {
     val q = quantileLevel.getOrElse(throw new IllegalStateException(
       "quantile rollup not enabled on this engine (quantileLevel)"))
     require(pw >= q, s"window pw=$pw must be at least histogram level $q")
@@ -1938,36 +1949,7 @@ class Btrdb(val spark: SparkSession, val root: String,
             StatOps.cents(col("value")).as("c"))
           .agg(count(lit(1)).as("hc"))
       }).flatten
-    val hist = parts.reduce(_ unionByName _)
-    // ONE pass over the histogram: totals and the cumulative rank ride
-    // two windows over the SAME (sid, wstart) partitioning (one
-    // exchange, one sort), and the final rank probe is a groupBy on
-    // keys the rows already cluster by. The join form recomputed the
-    // hist subtree three times — three qhist scans per member per run.
-    // Null-c rows (off-grid values) sort first and contribute nothing
-    // to the cumulative sum, so ranks are over on-grid rows exactly as
-    // the filtered form; a window whose every value is off-grid
-    // surfaces with NULL quantiles, as before.
-    val wAll = Window.partitionBy("sid", "wstart")
-    val wCum = wAll.orderBy(col("c").asc_nulls_first)
-    val h = hist
-      .withColumn("ntot", sum("hc").over(wAll))
-      .withColumn("nbad",
-        coalesce(sum(when(col("c").isNull, col("hc"))).over(wAll), lit(0L)))
-      .withColumn("cum",
-        sum(when(col("c").isNotNull, col("hc"))).over(wCum))
-    def atRank(r: Column): Column =
-      max(when(col("c").isNotNull &&
-        col("cum") - col("hc") < r && r <= col("cum"), col("c")))
-    h.groupBy("sid", "wstart")
-      .agg(max("ntot").as("ntot"), max("nbad").as("nbad"),
-        atRank(expr("(ntot + 1) div 2")).as("c1"),
-        atRank(expr("(ntot + 2) div 2")).as("c2"),
-        atRank(expr("(19 * ntot + 19) div 20")).as("c95"))
-      .select(col("sid"), col("wstart"), col("ntot").as("cnt"),
-        when(col("nbad") === 0, (col("c1") + col("c2")) / lit(200.0)).as("p50"),
-        when(col("nbad") === 0, col("c95") / lit(100.0)).as("p95"))
-      .orderBy("sid", "wstart")
+    parts.reduce(_ unionByName _)
   }
 
   /** Single-stream [[quantileWindowsBulk]]. */
@@ -2933,6 +2915,40 @@ object Btrdb {
     s"sb=$sBuckets tb=$tBucketPw pl=" +
       (if (pyramidLevels.isEmpty) "-" else pyramidLevels.mkString(",")) +
       s" wb=$pyramidWBucketPw ql=${quantileLevel.fold("-")(_.toString)}"
+
+  /** Nearest-rank quantiles from a per-window cents histogram
+    * (sid, wstart, c, hc) — the finishing pass of
+    * [[Btrdb#quantileWindowsBulk]], separable so a federation finishes
+    * the UNION of member histograms once. ONE pass over the histogram:
+    * totals and the cumulative rank ride two windows over the SAME
+    * (sid, wstart) partitioning (one exchange, one sort), and the
+    * final rank probe is a groupBy on keys the rows already cluster
+    * by. Null-c rows (off-grid values) sort first and contribute
+    * nothing to the cumulative sum, so ranks are over on-grid rows
+    * exactly as the filtered form; a window whose every value is
+    * off-grid surfaces with NULL quantiles. */
+  private[graft] def quantileFinish(hist: DataFrame): DataFrame = {
+    val wAll = Window.partitionBy("sid", "wstart")
+    val wCum = wAll.orderBy(col("c").asc_nulls_first)
+    val h = hist
+      .withColumn("ntot", sum("hc").over(wAll))
+      .withColumn("nbad",
+        coalesce(sum(when(col("c").isNull, col("hc"))).over(wAll), lit(0L)))
+      .withColumn("cum",
+        sum(when(col("c").isNotNull, col("hc"))).over(wCum))
+    def atRank(r: Column): Column =
+      max(when(col("c").isNotNull &&
+        col("cum") - col("hc") < r && r <= col("cum"), col("c")))
+    h.groupBy("sid", "wstart")
+      .agg(max("ntot").as("ntot"), max("nbad").as("nbad"),
+        atRank(expr("(ntot + 1) div 2")).as("c1"),
+        atRank(expr("(ntot + 2) div 2")).as("c2"),
+        atRank(expr("(19 * ntot + 19) div 20")).as("c95"))
+      .select(col("sid"), col("wstart"), col("ntot").as("cnt"),
+        when(col("nbad") === 0, (col("c1") + col("c2")) / lit(200.0)).as("p50"),
+        when(col("nbad") === 0, col("c95") / lit(100.0)).as("p95"))
+      .orderBy("sid", "wstart")
+  }
 
   /** Open an engine root at its PERSISTED geometry (the `GEOMETRY`
     * stamp its first locking writer wrote) — the safe open for any

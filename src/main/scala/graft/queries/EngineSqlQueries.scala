@@ -326,12 +326,16 @@ object EngineSqlQueries {
          |ORDER BY sid, wstart""".stripMargin) { (s, dir) =>
       val members = fedMembers(s, dir)
       val uuids = (0 until Tables.NumSids).map(k => s"sqlfed-u$k")
-      val df = members.map(_.quantileWindowsBulk(uuids,
-          Tables.T0, Tables.T0 + 40 * Tables.DayNs, pw))
-        .reduce(_ unionByName _)
-        // a non-owner member emits nothing for a stream, so the union
-        // is disjoint; re-sort across members
-        .orderBy("sid", "wstart")
+      // union the member HISTOGRAMS, then finish ONCE: stream
+      // ownership is disjoint (a non-owner member's histogram holds
+      // nothing for a stream), so no (sid, wstart) group straddles
+      // members and finishing the union is row-identical to unioning
+      // finished members — minus one full window/sort/aggregate pass
+      // and one sort per member (guide §2.4; was 7 Exchanges)
+      val df = graft.engine.Btrdb.quantileFinish(
+        members.map(_.quantileHistogram(uuids,
+            Tables.T0, Tables.T0 + 40 * Tables.DayNs, pw))
+          .reduce(_ unionByName _))
       val scans = graft.plans.PlanChecks.scanRootPaths(df)
       require(scans.nonEmpty && scans.forall(_.contains("/qhist")),
         s"federated quantiles must read only member qhists; scans=$scans")

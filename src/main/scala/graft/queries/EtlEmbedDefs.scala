@@ -442,8 +442,11 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
       // (the brute pass is the recall eval's cost; see [[annGroundTruth]])
       val gt = annGroundTruth(s, dir)
       val np = Seq(1L, 2L, 4L).toDF("nprobe")
-      gt.join(kmeansAssignments(s, dir), "vec_id")
-        .join(cr, Seq("qid", "cluster"))
+      // gt and cr are capped by construction (≤ RecallQueryCap/Mod
+      // probes × RecallK rows / × K centroids) — broadcast them so the
+      // corpus-sized assignment index is probed, never sorted/shuffled
+      broadcast(gt).join(kmeansAssignments(s, dir), "vec_id")
+        .join(broadcast(cr), Seq("qid", "cluster"))
         .crossJoin(broadcast(np))
         .select(col("nprobe"),
           when(col("crn") <= col("nprobe"), 1L).otherwise(0L).as("hit"))
@@ -561,36 +564,81 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
          |JOIN norms ON norms.vec_id = ex.vec_id, qn2
          |ORDER BY cos DESC, ex.vec_id LIMIT $KmIvfTopK""".stripMargin) { (s, dir) =>
       import graft.functions.FixedPointOps.exactCosine
-      // tier 1: coarse probe (the kmivf structure, trained artifacts)
+      import graft.functions.FixedPointDot.scale
+      // DRIVER-ORCHESTRATED funnel (round-20 verdict item 7): the old
+      // body chained tier 1 → 2 → 3 as broadcast subtrees, paying ~5
+      // sequential job latencies for data-tiny tiers. The query VECTOR
+      // is one bounded row — collect it, replay the coarse probe on
+      // the driver with the SAME fixed-point arithmetic the engine
+      // expressions run ([[graft.functions.FixedPointDot.scale]] is
+      // the exact function the codegen calls; sqrt/division are the
+      // identical IEEE trees), and collect the PqRerank-bounded ADC
+      // shortlist — so one job computes the shortlist and one job
+      // reranks it. Funnel semantics are intact: the corpus is pruned
+      // to the probed cells, only candidates pay ADC, only the
+      // shortlist pays exact dots; every collect is constant-bounded
+      // (1 row; PqRerank rows) — the catalog-metadata collect class.
       val cents = kmeansCentroids(s, dir)
-      val qf = emb(s, dir).filter(col("vec_id") === 0)
-        .select(col("embedding").as("qemb"))
-      val probe = qf.select(explode(array(cents.map(c =>
-          struct(graft.etl.KMeans.cosineTo(col("qemb"), c).as("cos"),
-            lit(c.id).as("cluster"))): _*)).as("p"))
-        .select(col("p.cos").as("cos"), col("p.cluster").as("cluster"))
-        .orderBy(col("cos").desc, col("cluster"))
-        .limit(KmIvfProbes)
-        .select("cluster")
+      val qemb = emb(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val qscaled = qemb.map(scale)
+      val qnn = qscaled.map(v => v * v).sum
+      // tier 1: coarse probe — exact cosine vs the K trained centroids,
+      // ORDER BY cos DESC, cluster ASC (NaN-greatest, like the column
+      // tree; real corpora have no zero-norm vectors, same contract as
+      // KMeans.assign)
+      val probeIds = cents.map { c =>
+        val dot = c.coords.iterator.zipWithIndex
+          .map { case (f, i) => scale(f) * qscaled(i) }.sum
+        val cos = dot.toDouble /
+          (math.sqrt(qnn.toDouble) * math.sqrt(c.normSq.toDouble))
+        (cos, c.id)
+      }.sortWith { case ((ca, ia), (cb, ib)) =>
+        val cmp = java.lang.Double.compare(cb, ca) // NaN-greatest desc
+        cmp < 0 || (cmp == 0 && ia < ib)
+      }.take(KmIvfProbes).map(_._2)
+      // tier 2: ADC over the probed cells' compressed codes only — the
+      // query's per-sub-space dot tables are driver-computed literals
+      // (bit-identical to fixedPointDot over the collected vector), so
+      // the shortlist is ONE job over the code frame
+      val bySub = pqCentroids(s, dir)
+      def qdots(sIdx: Int): Array[Long] = {
+        val m = bySub(sIdx).map(c => c.id.toInt -> c).toMap
+        (0 until PqK).map(m.get(_).fold(0L) { c =>
+          c.coords.iterator.zipWithIndex
+            .map { case (f, i) => scale(f) * qscaled(sIdx * PqSub + i) }
+            .sum
+        }).toArray
+      }
+      def cnorms(sIdx: Int): Array[Long] = {
+        val m = bySub(sIdx).map(c => c.id.toInt -> c).toMap
+        (0 until PqK).map(m.get(_).fold(0L)(_.normSq)).toArray
+      }
+      val adot = (0 until PqM).map(sIdx =>
+        element_at(typedlit(qdots(sIdx)), col(s"c$sIdx").cast("int") + 1))
+        .reduce(_ + _)
+      val cns = (0 until PqM).map(sIdx =>
+        element_at(typedlit(cnorms(sIdx)), col(s"c$sIdx").cast("int") + 1))
+        .reduce(_ + _)
       val cand = kmeansAssignments(s, dir)
-        .join(broadcast(probe), "cluster")
-        .filter(col("vec_id") =!= 0)
+        .filter(col("cluster").isin(probeIds: _*) && col("vec_id") =!= 0)
         .select("vec_id")
-      // tier 2: ADC over the candidates' compressed codes only
-      val (qRow, adot, cns) = pqAdc(s, dir)
       val short = pqCodes(s, dir).join(cand, "vec_id")
-        .crossJoin(broadcast(qRow))
         .select(col("vec_id"),
           (adot.cast("double") /
-            (sqrt(cns.cast("double")) * sqrt(col("qnn").cast("double"))))
+            (sqrt(cns.cast("double")) * lit(math.sqrt(qnn.toDouble))))
             .as("approx_cos"))
         .orderBy(col("approx_cos").desc, col("vec_id"))
         .limit(PqRerank)
-      // tier 3: exact full-precision rerank of the shortlist alone
-      short.join(emb(s, dir).select("vec_id", "embedding"), "vec_id")
-        .crossJoin(broadcast(qf))
-        .select(col("vec_id"), col("approx_cos"),
-          exactCosine(col("embedding"), col("qemb")).as("cos"))
+        .collect()
+      val approxByVec = short.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // tier 3: exact full-precision rerank of the shortlist alone —
+      // the returned frame is one scan of PqRerank vectors
+      emb(s, dir)
+        .filter(col("vec_id").isin(approxByVec.keys.toSeq: _*))
+        .select(col("vec_id"),
+          element_at(typedlit(approxByVec), col("vec_id")).as("approx_cos"),
+          exactCosine(col("embedding"), typedlit(qemb)).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(KmIvfTopK)
     },
@@ -668,7 +716,10 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
       val ar = pqAdcRanks(s, dir)
       val gt = annGroundTruth(s, dir)
       val rr = Seq(5L, 10L, 20L).toDF("rerank")
-      gt.join(ar, Seq("qid", "vec_id"))
+      // gt is capped by construction (≤ 16 probes × RecallK rows):
+      // broadcast it so the corpus-wide ADC ranking is probed in place
+      // instead of sort-merge-shuffled against a 160-row table
+      broadcast(gt).join(ar, Seq("qid", "vec_id"))
         .crossJoin(broadcast(rr))
         .select(col("rerank"),
           when(col("arn") <= col("rerank"), 1L).otherwise(0L).as("hit"))
@@ -1183,33 +1234,38 @@ private[queries] trait EtlEmbedDefs { this: EtlQueries.type =>
     * (qid, vec) aggregate, one per-qid rank window. */
   private[queries] def pqAdcRanks(s: SparkSession, dir: String): DataFrame =
     {
-      import graft.functions.FixedPointOps.{fixedPointDot, fixedPointNormSq}
+      import graft.functions.FixedPointOps.fixedPointDot
       val bySub = pqCentroids(s, dir)
       val qs = emb(s, dir)
         .filter(col("vec_id") % RecallQueryMod === 0 &&
           col("vec_id") < RecallQueryCap)
         .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-      val qtab = qs.select(col("qid"), explode(array(
+      // the per-(sub, code) CENTROID norm and the per-qid query norm
+      // both ride the ONE broadcast table with the query dot, so the
+      // per-vector cns needs no second scan of the code frame (the old
+      // `vc` join re-read it) and qnn no separate broadcast join — two
+      // joins and a code-frame scan gone, adc arithmetic bit-identical.
+      import graft.functions.FixedPointOps.fixedPointNormSq
+      val qtab = qs.select(col("qid"),
+          fixedPointNormSq(col("qemb")).as("qnn"), explode(array(
           (0 until PqM).flatMap { sIdx => bySub(sIdx).map { c =>
             struct(lit(sIdx).as("sub"), lit(c.id).as("code"),
               fixedPointDot(pqSubCol(col("qemb"), sIdx),
-                typedlit(c.coords)).as("qdot"))
+                typedlit(c.coords)).as("qdot"),
+              lit(c.normSq).as("cn"))
           }}: _*)).as("t"))
-        .select(col("qid"), col("t.sub"), col("t.code"), col("t.qdot"))
-      val qnorms = qs.select(col("qid"),
-        fixedPointNormSq(col("qemb")).as("qnn"))
-      val (_, _, cnsCol) = pqAdc(s, dir)
-      val vc = pqCodes(s, dir).select(col("vec_id"), cnsCol.as("cns"))
+        .select(col("qid"), col("qnn"), col("t.sub"), col("t.code"),
+          col("t.qdot"), col("t.cn"))
       val codesL = pqCodes(s, dir).select(col("vec_id"), explode(array(
           (0 until PqM).map(sIdx =>
             struct(lit(sIdx).as("sub"), col(s"c$sIdx").as("code"))): _*))
           .as("t"))
         .select(col("vec_id"), col("t.sub"), col("t.code"))
       codesL.join(broadcast(qtab), Seq("sub", "code"))
-        .groupBy("qid", "vec_id").agg(sum("qdot").as("adot"))
+        .groupBy("qid", "vec_id")
+        .agg(sum("qdot").as("adot"), sum("cn").as("cns"),
+          max("qnn").as("qnn"))
         .filter(col("vec_id") =!= col("qid"))
-        .join(vc, "vec_id")
-        .join(broadcast(qnorms), "qid")
         .select(col("qid"), col("vec_id"),
           (col("adot").cast("double") /
             (sqrt(col("cns").cast("double")) *

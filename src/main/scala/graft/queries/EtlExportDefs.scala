@@ -165,7 +165,11 @@ private[queries] trait EtlExportDefs { this: EtlQueries.type =>
       val tf = repWords.join(srcMult.hint("shuffle_hash"), "rid")
         .groupBy("source", "word").agg(sum(col("m") * col("c")).as("tf"))
       val dfW = Window.partitionBy("word")
-      val ns = docs(s, dir).agg(countDistinct("source").cast("double").as("s"))
+      // docKeys carries one row per doc with its source — same
+      // distinct-source set as the raw table, minus a parquet corpus
+      // scan (the ns subtree was the plan's only remaining raw read)
+      val ns = docKeys(s, dir)
+        .agg(countDistinct("source").cast("double").as("s"))
       val score = col("tf") * (col("s") - col("df")) / col("df")
       val rankW = Window.partitionBy("source")
         .orderBy(score.desc, col("word").asc)
@@ -588,7 +592,10 @@ private[queries] trait EtlExportDefs { this: EtlQueries.type =>
       docKeys(s, dir).select("doc_id", "k")
         .join(keptBaseStats(s, dir).select("k", "n_tokens", "base_fp"), "k")
         .join(distinctGroups(s, dir).select("k", "rid"), "k")
-        .join(substringVariants(s, dir), Seq("k"), "left_outer")
+        // variants are bounded by AFFECTED texts — hash-build that side
+        // so the corpus-keyed doc frame is never sorted (guide §3.1)
+        .join(substringVariants(s, dir).hint("shuffle_hash"),
+          Seq("k"), "left_outer")
         .select(col("doc_id"), col("n_tokens"),
           coalesce(when(col("doc_id") === col("rid"), col("nd_rep"))
             .otherwise(col("nd_all")), lit(0L)).as("n_dropped"),

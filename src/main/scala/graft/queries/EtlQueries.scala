@@ -1164,25 +1164,40 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
     {
       val g = distinctGroups(s, dir)
       val st = spanState(s, dir).derived()
-      val dup = st.join(g.select("k", "rid", "nm"), "k")
-        .groupBy("h")
-        .agg(sum("nm").as("n_docs"), min("rid").as("first_doc"))
+      // ONE store pass decides duplication AND keeps the affected text
+      // key: per-span corpus totals ride a window over h, and the
+      // surviving rows fold to one row per AFFECTED text carrying its
+      // dup spans as an md5 → first_doc map. The join/semi form this
+      // replaces re-derived the dup aggregate and the store scan in
+      // four plan branches (16 scans, 3 SortMergeJoins) and shuffled
+      // the re-windowed positions against the dup set; here the
+      // position resolution is a per-row map lookup (guide §2.4 —
+      // remove shuffles outright; §2.3 — shuffle keys, not payloads).
+      val wH = Window.partitionBy("h")
+      val dupSpans = st.join(g.select("k", "rid", "nm"), "k")
+        .select(col("k"), col("h"),
+          sum("nm").over(wH).as("n_docs"),
+          min("rid").over(wH).as("first_doc"))
         .filter(col("n_docs") >= 2)
-        .select("h", "first_doc")
-      val affected = st.join(dup.select("h"), Seq("h"), "left_semi")
-        .select("k").distinct()
+        .groupBy("k")
+        .agg(map_from_entries(
+          collect_list(struct(col("h"), col("first_doc")))).as("dm"))
       val toks = expr("filter(split(text, ' '), x -> length(x) > 0)")
       val base = g.select(col("k"), col("rid"), toks.as("w"))
       // the store keys spans by hash; removal needs offsets — re-window
-      // AFFECTED distinct texts only (a per-row map, no new shuffle)
-      val aw = base.join(affected, Seq("k"), "left_semi")
+      // AFFECTED distinct texts only (the inner join IS the affected
+      // restriction; the store windows with the same cap, so every
+      // position hash of an affected text resolves against its map)
+      val hits = base.join(dupSpans, "k")
         .filter(size(col("w")) >= 32)
-        .select(col("k"), col("rid"), col("w"),
+        .select(col("k"), col("rid"), col("w"), col("dm"),
           explode(sequence(lit(1),
             least(size(col("w")) - 31, lit(512)))).as("i"))
         .select(col("k"), col("rid"), col("i"),
-          md5(concat_ws(" ", expr("slice(w, i, 32)")).cast("binary")).as("h"))
-      val hits = aw.join(dup, "h")
+          element_at(col("dm"),
+            md5(concat_ws(" ", expr("slice(w, i, 32)")).cast("binary")))
+            .as("first_doc"))
+        .filter(col("first_doc").isNotNull)
       // greedy left-to-right non-overlap: accept the leftmost removable
       // start, jump past its end, repeat — positions are sorted, so one
       // array fold computes the accepted set
@@ -1228,14 +1243,20 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
       val srcCnt = docKeys(s, dir)
         .groupBy("k", "source").agg(count(lit(1)).as("m"))
       // df per (source, line): Σ member counts over DISTINCT texts
-      // containing the line — a within-text repeat counts its doc once
-      val boil = st.select("k", "h").distinct()
+      // containing the line — a within-text repeat counts its doc
+      // once. The df rides a WINDOW over (source, h), so the surviving
+      // rows are directly the (text, source, boilerplate-line) triples
+      // the position join needs — the groupBy + join-back + left-semi
+      // form this replaces re-derived the store scan and the srcCnt
+      // aggregate in two plan branches each (guide §2.4).
+      val wSH = Window.partitionBy("source", "h")
+      val boilK = st.select("k", "h").distinct()
         .join(srcCnt, "k")
-        .groupBy("source", "h").agg(sum("m").as("df"))
+        .select(col("k"), col("source"), col("h"),
+          sum("m").over(wSH).as("df"))
         .filter(col("df") >= LineDfMin)
-        .select("source", "h")
-      val drops = st.join(boil, "h")
-        .join(srcCnt.select("k", "source"), Seq("k", "source"), "left_semi")
+        .select("k", "source", "h")
+      val drops = st.join(boilK, Seq("k", "h"))
         .groupBy("k", "source")
         .agg(sort_array(collect_list(col("i"))).as("di"),
           count(lit(1)).cast("long").as("nd"))

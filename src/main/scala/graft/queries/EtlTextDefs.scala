@@ -245,7 +245,10 @@ private[queries] trait EtlTextDefs { this: EtlQueries.type =>
       // kept-text fingerprints are the operator's serving work
       docKeys(s, dir).select("doc_id", "k", "source")
         .join(keptBaseStats(s, dir).select("k", "n_lines", "base_fp"), "k")
-        .join(lineVariants(s, dir), Seq("k", "source"), "left_outer")
+        // variants are bounded by affected (text, source) pairs —
+        // hash-build that side, never sort the doc frame (guide §3.1)
+        .join(lineVariants(s, dir).hint("shuffle_hash"),
+          Seq("k", "source"), "left_outer")
         .select(col("doc_id"), col("n_lines"),
           coalesce(col("nd"), lit(0L)).as("n_dropped"),
           // key the fallback on ROW PRESENCE (nd), not on fp_kept:
