@@ -960,8 +960,13 @@ private[queries] trait EtlDedupDefs { this: EtlQueries.type =>
       durableStore(s, dir, "dedup", "minhash16x4:gram4")(root =>
         new graft.etl.DedupState(s, root,
           fixtureBandsOf(s, dir), gramsOf = Some(gram4Of))) { st =>
+        // try_cast: a corpus whose source names don't parse (the
+        // make_grow 'edge' docs) lands those docs in batch 1 — the
+        // split is arbitrary by the store's schedule-invariance
+        // contract, but the fold must not throw on it
         val d = docs(s, dir).select(col("doc_id"), col("text"),
-          expr("CAST(substr(source, 4, 8) AS INT)").as("sn"))
+          coalesce(expr("try_cast(substr(source, 4, 8) AS INT)"),
+            lit(0)).as("sn"))
         st.update(d.filter(col("sn") < 10).select("doc_id", "text"))
         st.update(d.filter(col("sn") >= 10).select("doc_id", "text"))
       }

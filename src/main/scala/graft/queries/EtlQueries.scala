@@ -271,29 +271,47 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
     tempStateRoot("graft-memo-spill-")
   private[queries] val memoSpillSeq =
     new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Rows/partition for memo frames whose CONSUMERS do heavy per-row
+    * compute over wide rows — the distinct-text groups (every
+    * tokenize/shingle/window pipeline starts by splitting these ~2 KB
+    * texts). The 250k default is sized for shuffle-byte hygiene of
+    * narrow rows; applied to the text frame it let AQE's build-side
+    * coalescing collapse the corpus to 1–5 cached partitions, and
+    * every consumer's FIRST stage (the expensive explode) ran on that
+    * many tasks no matter the core count — measured at the 30× grown
+    * corpus: q_quality_repetition 10.1 s at local[32] ≈ 10.5 s at
+    * local[8], i.e. a serial plan. 8192 texts ≈ 16 MB a task. */
+  private[queries] val TextMemoPartRows = 8192L
   private[queries] implicit class MemoFrame(private val df: DataFrame) {
-    def memoCheckpoint(): DataFrame = {
+    def memoCheckpoint(rowsPerPart: Long = MemoPartRows): DataFrame = {
       val spark = df.sparkSession
       val cp = df.localCheckpoint()
       val parts = cp.rdd.getNumPartitions
       val n = cp.count()
+      val ideal = math.min(Int.MaxValue.toLong, n / rowsPerPart + 1).toInt
       if (n >= MemoReliableRows) {
         // corpus-sized: move off executor-local blocks into durable
         // parquet (guide §5 — cached data competes with execution
         // memory, and localCheckpoint adds executor-loss fragility)
         val path =
           s"$memoSpillRoot/memo_${memoSpillSeq.incrementAndGet()}"
-        val k = math.min(parts.toLong, n / MemoPartRows + 1).toInt
+        val k = math.min(parts, ideal)
         (if (k < parts) cp.coalesce(k) else cp)
           .write.mode("overwrite").parquet(path)
         val back = spark.read.parquet(path)
         cp.unpersist()
         back
-      } else if (parts <= 4) cp
-      else {
-        val target = math.min(parts.toLong, n / MemoPartRows + 1).toInt
-        if (parts > target * 2) cp.coalesce(target) else cp
-      }
+      } else if (parts > ideal * 2) cp.coalesce(ideal) // r20: near-empty tasks
+      else if (ideal > parts * 2) {
+        // too FEW partitions: AQE sized the BUILD's final stage by
+        // shuffle bytes, but the consumers' per-row compute needs the
+        // spread — re-spread ONCE at memo-build time (deterministic
+        // round-robin; a per-consumer repartition would re-shuffle on
+        // every read). Found at the 30× corpus (see TextMemoPartRows).
+        val sp = cp.repartition(ideal).localCheckpoint()
+        cp.unpersist()
+        sp
+      } else cp
     }
   }
 
@@ -691,7 +709,9 @@ object EtlQueries extends EtlDedupDefs with EtlTextDefs with EtlEmbedDefs
         .groupBy("k")
         .agg(min("doc_id").as("rid"), count(lit(1)).as("nm"),
           min("text").as("text"))
-        .memoCheckpoint()
+        // text rows: partition for the consumers' per-row compute,
+        // not for shuffle bytes (see TextMemoPartRows)
+        .memoCheckpoint(rowsPerPart = TextMemoPartRows)
     }
 
   /** The per-doc content-key map — (doc_id, k, source, lang) — the
